@@ -1,0 +1,242 @@
+"""The Pipeline: spec-dict -> Catalyst select-list compiler.
+
+Parity target: reference ``wrangle_pypes/pipeline.py``.  The reference
+interprets the spec dict record-at-a-time (``pipeline.py:35-51``); here
+the same spec compiles ONCE into a list of Column expressions, and
+``create_multiple(model, df)`` is ``df.select(*exprs)`` — columnar,
+whole-stage-codegen'd, lazily executed, Catalyst-optimized (projection
+pushdown into the Parquet scan comes for free because every field chain
+is a native expression over the source columns).
+
+Scale notes: a compiled pipeline carries no per-record Python; the only
+data movement is whatever the enclosing plan needs.  ``get_or_create``
+(the reference's per-record external-lookup protocol,
+``pipeline.py:53-83``) becomes a set-oriented left join against a
+dimension DataFrame, with an automatic broadcast hint when the dimension
+is small — the per-record RPC disappears into one shuffle or zero
+(broadcast).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .errors import SpecError, TransformationError
+from .models import spark_schema_for
+from .transformations import Chain, CompileContext, Transformation
+
+__all__ = ("Pipeline",)
+
+# Dimensions at or under this many rows get an explicit broadcast hint in
+# get_or_create.  (AQE would usually pick this up too; the hint makes the
+# plan deterministic for the common "small dim table" case.)
+_BROADCAST_ROW_THRESHOLD = 10_000_000 // 100  # ~100k rows, conservative
+
+
+@dataclass
+class Pipeline:
+    """Declarative model-building pipeline over Spark DataFrames.
+
+    ``transformations``: ``{Model: {field_name: Transformation-chain}}`` —
+    identical shape to the reference spec dict (``pipeline.py:30-32``).
+
+    ``strict=True`` → ANSI semantics: malformed casts / missing map keys
+    raise, like the reference's exceptions.  ``strict=False`` → lenient:
+    ``try_cast``/``try_element_at`` null out failures, and
+    ``create_multiple(..., audit=True)`` adds a ``_nulled_fields`` column
+    listing output fields that came out null (error-context parity,
+    SURVEY.md section 4.3).
+    """
+
+    transformations: Mapping[type, Mapping[str, Transformation]]
+    strict: bool = True
+
+    # -- compilation -------------------------------------------------------
+
+    def _ctx(self, model: type | None = None) -> CompileContext:
+        return CompileContext(pipeline=self, strict=self.strict,
+                              model=model.__name__ if model else None)
+
+    def _spec_for(self, model: type) -> Mapping[str, Transformation]:
+        try:
+            return self.transformations[model]
+        except KeyError:
+            raise SpecError(f"no spec registered for model {model.__name__!r}")
+
+    def _compile_model(self, ctx: CompileContext, model: type, col: Column,
+                       dtype: T.DataType | None) -> tuple[Column, T.StructType]:
+        """Compile a model's spec against the value `col` — used by the
+        root compile and recursively by Create/CreateMultiple."""
+        if model in ctx.stack:
+            cycle = " -> ".join(m.__name__ for m in ctx.stack + (model,))
+            raise SpecError(f"model spec cycle: {cycle}")
+        spec = self._spec_for(model)
+        declared = (spark_schema_for(model)
+                    if dataclasses.is_dataclass(model) else None)
+        exprs: list[Column] = []
+        out_fields: list[T.StructField] = []
+        for name, chain in spec.items():
+            sub = CompileContext(pipeline=self, strict=ctx.strict,
+                                 model=model.__name__, field=name,
+                                 stack=ctx.stack + (model,))
+            try:
+                expr, out_t = chain.compile(sub, col, dtype)
+            except (TransformationError, SpecError):
+                raise
+            except Exception as e:  # compile-time analog of the reference's
+                # error re-wrap at pipeline.py:128-135
+                raise TransformationError(str(e), model=model.__name__,
+                                          field=name, op=type(chain).__name__)
+            # If the model declares a type for this field, cast to it so the
+            # output schema is exactly the model schema.
+            if declared is not None:
+                dt = dict((f.name, f.dataType) for f in declared.fields).get(name)
+                if dt is not None and not isinstance(dt, T.NullType):
+                    if out_t is None or out_t.simpleString() != dt.simpleString():
+                        expr = expr.cast(dt) if ctx.strict else expr.try_cast(dt)
+                    out_t = dt
+            exprs.append(expr.alias(name))
+            out_fields.append(T.StructField(name, out_t or T.NullType(), True))
+        return F.struct(*exprs), T.StructType(out_fields)
+
+    def compile(self, model: type, df: DataFrame) -> list[Column]:
+        """Compile the spec for `model` against `df`'s schema into one
+        aliased Column per model field (the select-list)."""
+        root_col = F.struct(*[F.col(c) for c in df.columns])
+        root_t = T.StructType(df.schema.fields)
+        struct_col, struct_t = self._compile_model(self._ctx(model), model,
+                                                   root_col, root_t)
+        # unwrap the struct into top-level output columns
+        return [struct_col.getField(f.name).alias(f.name) for f in struct_t.fields]
+
+    # -- entry points (reference pipeline.py:35-51) ------------------------
+
+    def create_multiple(self, model: type, df: DataFrame, *,
+                        audit: bool = False) -> DataFrame:
+        """The core table-in/table-out op: one typed output row per input
+        row (reference ``create_multiple``, ``pipeline.py:43-51``)."""
+        exprs = self.compile(model, df)
+        out = df.select(*exprs)
+        if audit:
+            names = [f.name for f in out.schema.fields]
+            nulled = F.filter(
+                F.array(*[F.when(F.col(n).isNull(), F.lit(n)) for n in names]),
+                lambda x: x.isNotNull())
+            out = out.withColumn("_nulled_fields", nulled)
+        return out
+
+    def create(self, model: type, df: DataFrame) -> Row:
+        """Build a single instance from the first row (reference
+        ``create``, ``pipeline.py:35-41``)."""
+        return self.create_multiple(model, df).first()
+
+    def schema_for(self, model: type, df: DataFrame) -> T.StructType:
+        """The output schema `create_multiple(model, df)` would produce."""
+        return self.create_multiple(model, df).schema
+
+    # -- get_or_create: the lookup-join protocol (reference pipeline.py:53-104)
+
+    def get_or_create(
+        self,
+        model: type,
+        df: DataFrame,
+        dim: DataFrame,
+        match_targets: Optional[Sequence[str]] = None,
+        *,
+        broadcast_threshold: int | None = None,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Set-oriented ``get_or_create`` (SURVEY.md section 3.3).
+
+        The reference resolves each record against an external store via a
+        user ``lookup`` callable and returns ``(instance, created)`` pairs
+        (``pipeline.py:53-83``); on a miss it builds the full model
+        (intended semantics — the reference has an unbound-local bug on
+        that path, SURVEY.md section 2.3.2).  Here the external store is a
+        dimension DataFrame and the whole protocol is one left join:
+
+        * build candidate rows from ``df`` via the model spec,
+        * left-join ``dim`` on ``match_targets`` (all fields if None),
+        * ``created`` := no dim match,
+        * matched rows take the dim's values, misses keep the built ones,
+        * the updated dimension is ``dim UNION (new rows)``.
+
+        Returns ``(result, new_dim)`` where ``result`` has the model's
+        columns plus a boolean ``created``.  At scale: the dim side gets a
+        broadcast hint when it is small; otherwise this is a plain
+        shuffle join that AQE can re-plan.  Concurrent upsert semantics
+        are batch-level and idempotent (dedup on match keys before union);
+        a transactional MERGE needs a table format (Delta/Iceberg) and is
+        out of scope for the in-memory protocol.
+        """
+        built = self.create_multiple(model, df)
+        keys = list(match_targets) if match_targets else list(built.columns)
+        missing = [k for k in keys if k not in built.columns or k not in dim.columns]
+        if missing:
+            raise SpecError(f"match_targets {missing!r} not present in both "
+                            f"built columns {built.columns} and dim {dim.columns}")
+
+        dim_side = dim
+        threshold = (_BROADCAST_ROW_THRESHOLD if broadcast_threshold is None
+                     else broadcast_threshold)
+        # Explicit broadcast for small dims; for large dims let AQE decide.
+        if threshold and _cheap_count_at_most(dim, threshold):
+            dim_side = F.broadcast(dim)
+
+        b = built.alias("b")
+        d = dim_side.alias("d")
+        cond = None
+        for k in keys:
+            eq = F.col(f"b.{k}").eqNullSafe(F.col(f"d.{k}"))
+            cond = eq if cond is None else (cond & eq)
+        joined = b.join(d, cond, "left")
+
+        dim_cols = set(dim.columns)
+        probe = keys[0]
+        # eqNullSafe join: a dim match always has a non-null (or null-matched)
+        # probe column reference; use the join condition's success directly.
+        created = F.when(F.col(f"d.{probe}").isNotNull(), F.lit(False)) \
+                   .otherwise(F.lit(True))
+
+        out_cols = []
+        for c in built.columns:
+            if c in dim_cols:
+                out_cols.append(F.when(created, F.col(f"b.{c}"))
+                                .otherwise(F.col(f"d.{c}")).alias(c))
+            else:
+                out_cols.append(F.col(f"b.{c}").alias(c))
+        result = joined.select(*out_cols, created.alias("created"))
+
+        new_rows = (result.filter(F.col("created"))
+                    .select(*[F.col(c).alias(c) for c in built.columns
+                              if c in dim_cols])
+                    .dropDuplicates(keys))
+        # align to dim schema: missing dim columns become null
+        aligned = new_rows
+        for c in dim.columns:
+            if c not in aligned.columns:
+                aligned = aligned.withColumn(c, F.lit(None).cast(dict(
+                    (f.name, f.dataType) for f in dim.schema.fields)[c]))
+        aligned = aligned.select(*dim.columns)
+        new_dim = dim.unionByName(aligned)
+        return result, new_dim
+
+    def get_or_create_multiple(self, *args, **kwargs):
+        """Alias of :meth:`get_or_create` — the engine is set-oriented, so
+        the "multiple" variant (reference ``pipeline.py:85-104``) is the
+        same operation."""
+        return self.get_or_create(*args, **kwargs)
+
+
+def _cheap_count_at_most(df: DataFrame, n: int) -> bool:
+    """True if df has at most n rows, checked without a full count when
+    possible (limit n+1 then count the limited frame)."""
+    try:
+        return df.limit(n + 1).count() <= n
+    except Exception:
+        return False

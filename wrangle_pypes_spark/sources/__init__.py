@@ -1,0 +1,12 @@
+"""Sources: batch readers for the engine.
+
+The reference has no file connectors at all — its canonical ingress is
+``json.loads`` output fed to the pipeline (reference ``README.md:41-53``).
+The Spark engine's ingress is the DataFrameReader; these helpers add the
+engine's conventions (explicit schemas, star-schema loading, JSON-string
+payload parsing for dynamic columns).
+"""
+
+from .tables import TABLES, load_star_schema, load_table, parse_json_col, read_jsonl
+
+__all__ = ("TABLES", "load_star_schema", "load_table", "parse_json_col", "read_jsonl")

@@ -1,0 +1,73 @@
+"""Parquet/JSON/CSV source helpers and the testdata star schema.
+
+Scale notes: `spark.read.parquet` gives predicate pushdown, column
+pruning and partition pruning for free; `parse_json_col` uses
+``F.from_json`` with an explicit schema so the parse happens JVM-side in
+one pass (never per-row Python json.loads).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The driver-generated TPC-H-ish star schema (TESTDATA.md / FIXTURES.md).
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# events.props is a JSON-string payload (FIXTURES.md A: "parse with
+# F.from_json"); observed shape in the driver-generated data: {"k": <int>}.
+# Explicit schema — from_json with schema inference (schema_of_json) would
+# need an extra sample pass at scale.
+EVENT_PROPS_SCHEMA = T.StructType([
+    T.StructField("k", T.LongType(), True),
+])
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table from a scale-factor directory."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_star_schema(spark: SparkSession, sf_dir: str,
+                     tables: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Load the star schema as a dict and register temp views so the SQL
+    surface (`spark.sql`) sees the same names the DuckDB oracle does."""
+    out = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def parse_json_col(df: DataFrame, col: str, schema: T.StructType | str,
+                   out: str | None = None) -> DataFrame:
+    """Parse a JSON-string column into a typed struct column (JVM-side)."""
+    return df.withColumn(out or col, F.from_json(F.col(col), schema))
+
+
+def read_jsonl(spark: SparkSession, path: str,
+               schema: T.StructType | str | None = None) -> DataFrame:
+    """Read newline-delimited JSON with an explicit schema when given
+    (schema inference is a full extra pass at scale — avoid in prod)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_csv(spark: SparkSession, path: str,
+             schema: T.StructType | str | None = None, *,
+             header: bool = True) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")  # dev only; avoid at scale
+    return reader.csv(path)
