@@ -1,38 +1,921 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship nested-model build + aggregation at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (omitted for the
+ops that aren't SQL-expressible; those get rows-only checks).
+
+Conventions for oracle comparability:
+* every computed column aliased identically on both sides,
+* double aggregates rounded (2 dp money, 4-6 dp ratios) — Spark and
+  DuckDB accumulate in different orders, so raw last-bit equality is
+  not expected; rounded values are stable,
+* deterministic tie-breaking on every top-k / kept-row choice,
+* session timezone pinned to UTC (see wrangle_pypes_spark.session).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
+from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from wrangle_pypes_spark import (
+    Cast,
+    Create,
+    Default,
+    Expr,
+    Get,
+    Pipeline,
+)
+from wrangle_pypes_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    subword_token_estimate,
+    tokens,
+)
+from wrangle_pypes_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from wrangle_pypes_spark.operators.relational import (
+    asof_join,
+    bucketed_range_join,
+    sessionize,
+    topk_per_group,
+    unpivot,
+)
+from wrangle_pypes_spark.operators.similarity import cosine_topk, cosine_expr
+from wrangle_pypes_spark.streaming import (
+    run_available_now_to_memory,
+    stream_events,
+)
+
+
+from wrangle_pypes_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# models used by the wrangle-core queries
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CustomerM:
+    key: int
+    name: str
+    segment: str
+
+
+@dataclass
+class OrderM:
+    orderkey: int
+    total: float
+    status: str
+    urgent: bool
+    order_year: int
+
+
+@dataclass
+class NestedOrderM:
+    orderkey: int
+    total: float
+    customer: CustomerM
+
+
+@dataclass
+class CustKV:
+    custkey: int
+    name: str
+
+
+def _order_pipeline() -> Pipeline:
+    return Pipeline({
+        OrderM: {
+            "orderkey": Get("o_orderkey"),
+            "total": Get("o_totalprice") | Expr(lambda c: F.round(c, 2)),
+            "status": Get("o_orderstatus") | Default("UNKNOWN"),
+            "urgent": Get("o_orderpriority") | Expr(lambda c: c.startswith("1")),
+            "order_year": Get("o_orderdate") | Expr(F.year),
+        },
+    })
+
+
+def _nested_pipeline() -> Pipeline:
+    return Pipeline({
+        NestedOrderM: {
+            "orderkey": Get("o_orderkey"),
+            "total": Get("o_totalprice") | Expr(lambda c: F.round(c, 2)),
+            "customer": Create(CustomerM),
+        },
+        CustomerM: {
+            "key": Get("c_custkey"),
+            "name": Get("c_name"),
+            "segment": Get("c_mktsegment") | Default("NONE"),
+        },
+    })
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query (smoke @ sf0.001)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Nested-model build (orders ⨝ customer → NestedOrder) then revenue
+    per customer segment — exercises the wrangle compiler, broadcast
+    join, nested structs, and aggregation in one plan."""
+    sf_dir = "/root/testdata/sf0.001"
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(customer),
+                         orders.o_custkey == customer.c_custkey, "left")
+    nested = _nested_pipeline().create_multiple(NestedOrderM, joined)
+    return (nested
+            .groupBy(F.col("customer").getField("segment").alias("segment"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("total"), 2).alias("revenue"))
+            .orderBy("segment"))
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+def q_wrangle_flat_orders(spark, sf_dir):
+    return _order_pipeline().create_multiple(OrderM, _t(spark, sf_dir, "orders"))
+
+
+SQL_WRANGLE_FLAT = """
+SELECT o_orderkey AS orderkey,
+       round(o_totalprice, 2) AS total,
+       CASE WHEN o_orderstatus IS NULL OR o_orderstatus = '' THEN 'UNKNOWN'
+            ELSE o_orderstatus END AS status,
+       starts_with(o_orderpriority, '1') AS urgent,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year
+FROM orders
+"""
+
+
+def q_wrangle_nested_customer(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(customer),
+                         orders.o_custkey == customer.c_custkey, "inner")
+    nested = _nested_pipeline().create_multiple(NestedOrderM, joined)
+    # flatten the struct for oracle comparability (nested build is the
+    # point; the oracle sees scalar columns)
+    return nested.select(
+        "orderkey", "total",
+        F.col("customer").getField("key").alias("cust_key"),
+        F.col("customer").getField("name").alias("cust_name"),
+        F.col("customer").getField("segment").alias("cust_segment"))
+
+
+SQL_WRANGLE_NESTED = """
+SELECT o_orderkey AS orderkey,
+       round(o_totalprice, 2) AS total,
+       c_custkey AS cust_key,
+       c_name AS cust_name,
+       CASE WHEN c_mktsegment IS NULL OR c_mktsegment = '' THEN 'NONE'
+            ELSE c_mktsegment END AS cust_segment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_wrangle_get_or_create(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    dim = (customer.filter(F.col("c_custkey") < 100)
+           .select(F.col("c_custkey").alias("custkey"),
+                   F.col("c_name").alias("name")))
+    p = Pipeline({CustKV: {"custkey": Get("c_custkey"), "name": Get("c_name")}})
+    result, _new_dim = p.get_or_create(CustKV, customer, dim,
+                                       match_targets=["custkey"])
+    return result.select("custkey", "name", "created")
+
+
+SQL_GET_OR_CREATE = """
+SELECT c.c_custkey AS custkey, c.c_name AS name,
+       (d.c_custkey IS NULL) AS created
+FROM customer c
+LEFT JOIN (SELECT c_custkey FROM customer WHERE c_custkey < 100) d
+  ON c.c_custkey = d.c_custkey
+"""
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (li.filter(F.col("l_shipdate") <= F.lit("2000-01-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(disc), 2).alias("sum_disc_price"),
+                 F.round(F.sum(charge), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_q3_topk_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+                    o.o_custkey == F.col("c_custkey")))
+    grouped = (joined.filter((o.o_orderdate < F.lit("1999-01-01")) &
+                             (li.l_shipdate > F.lit("1996-01-01")))
+               .groupBy("l_orderkey", "o_orderdate")
+               .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .alias("_rev")))
+    return (grouped.orderBy(F.col("_rev").desc(), F.col("l_orderkey"))
+            .limit(10)
+            .select(F.col("l_orderkey").alias("orderkey"),
+                    F.round(F.col("_rev"), 2).alias("revenue"),
+                    F.col("o_orderdate").alias("orderdate")))
+
+
+SQL_Q3 = """
+SELECT l_orderkey AS orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate AS orderdate
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_q5_revenue_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    joined = (li
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .filter(c.c_nationkey == s.s_nationkey)
+              .join(F.broadcast(n), s.s_nationkey == n.n_nationkey))
+    return (joined.groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_lineitems")))
+
+
+SQL_Q5 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select(F.col("c_custkey").alias("custkey"),
+                    F.col("c_name").alias("name")))
+
+
+SQL_ANTI = """
+SELECT c_custkey AS custkey, c_name AS name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_topk_orders_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    top = topk_per_group(o, ["o_custkey"], "o_totalprice", 3,
+                         tie_breakers=["o_orderkey"])
+    return top.select(F.col("o_custkey").alias("custkey"),
+                      F.col("o_orderkey").alias("orderkey"),
+                      F.round(F.col("o_totalprice"), 2).alias("total"))
+
+
+SQL_TOPK = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       round(o_totalprice, 2) AS total
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 3
+"""
+
+
+def q_window_running_total(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return o.select(F.col("o_orderkey").alias("orderkey"),
+                    F.col("o_custkey").alias("custkey"),
+                    F.round(F.sum("o_totalprice").over(w), 2)
+                     .alias("running_total"))
+
+
+SQL_RUNNING = """
+SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+def q_window_lag_gap(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(F.col("o_orderkey").alias("orderkey"),
+                    F.col("o_custkey").alias("custkey"),
+                    F.datediff(F.col("o_orderdate"), prev)
+                     .cast("bigint").alias("gap_days"))
+
+
+SQL_LAG = """
+SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+       datediff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate)::BIGINT AS gap_days
+FROM orders
+"""
+
+
+def q_rollup_status_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .select(F.col("o_orderstatus").alias("status"),
+                    F.col("o_orderpriority").alias("priority"),
+                    "n", "total"))
+
+
+SQL_ROLLUP = """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_set_ops_custkeys(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING") \
+                .select(F.col("c_custkey").alias("custkey"))
+    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY") \
+                 .select(F.col("c_custkey").alias("custkey"))
+    with_orders = o.select(F.col("o_custkey").alias("custkey")).distinct()
+    negative = c.filter(F.col("c_acctbal") < 0) \
+                .select(F.col("c_custkey").alias("custkey"))
+    return (building.union(machinery).distinct()
+            .intersect(with_orders)
+            .exceptAll(negative).distinct())
+
+
+SQL_SETOPS = """
+(SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ UNION
+ SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+INTERSECT
+SELECT DISTINCT o_custkey FROM orders
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+"""
+
+
+def q_distinct_counts_by_segment(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (c.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count("*").alias("n_customers"),
+                 F.countDistinct("c_nationkey").alias("n_nations"),
+                 F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal")))
+
+
+SQL_DISTINCT = """
+SELECT c_mktsegment AS segment, count(*) AS n_customers,
+       count(DISTINCT c_nationkey) AS n_nations,
+       round(avg(c_acctbal), 4) AS avg_acctbal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_scalar_functions_part(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.when(F.col("p_size") < 10, "S")
+         .when(F.col("p_size") < 30, "M")
+         .otherwise("L").alias("size_class"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("marked_up"),
+        F.abs(F.col("p_size") - 25).cast("bigint").alias("size_dist"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"))
+
+
+SQL_SCALARS = """
+SELECT p_partkey AS partkey,
+       upper(p_brand) AS brand_upper,
+       substring(p_type, 1, 5) AS type_prefix,
+       length(p_name)::BIGINT AS name_len,
+       CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M'
+            ELSE 'L' END AS size_class,
+       round(p_retailprice * 1.1, 2) AS marked_up,
+       abs(p_size - 25)::BIGINT AS size_dist,
+       p_brand || ':' || p_type AS brand_type
+FROM part
+"""
+
+
+def q_json_extract_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select("event_id",
+                    F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+                    "event_type")
+
+
+SQL_JSON = """
+SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k, event_type
+FROM events
+"""
+
+
+def q_orders_by_month(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+SQL_BY_MONTH = """
+SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1
+"""
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_pivot_status_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    piv = (o.groupBy(F.col("o_orderstatus").alias("status"))
+           .pivot("o_orderpriority", _PRIORITIES)
+           .agg(F.count(F.lit(1))))
+    # Spark pivot yields null for absent combos; normalize to 0 like the
+    # conditional-aggregation formulation
+    return piv.select("status", *[
+        F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(p) for p in _PRIORITIES])
+
+
+SQL_PIVOT = """
+SELECT o_orderstatus AS status,
+       count(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+       count(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+       count(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+       count(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_unpivot_part_measures(spark, sf_dir):
+    p = _t(spark, sf_dir, "part") \
+        .withColumn("p_size_d", F.col("p_size").cast("double"))
+    return (unpivot(p.select(F.col("p_partkey").alias("partkey"),
+                             F.col("p_size_d").alias("p_size"),
+                             F.col("p_retailprice")),
+                    ["partkey"], ["p_size", "p_retailprice"],
+                    "measure", "value"))
+
+
+SQL_UNPIVOT = """
+SELECT p_partkey AS partkey, 'p_size' AS measure, p_size::DOUBLE AS value
+FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+"""
+
+
+def q_sessionize_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (sessionize(e, "user_id", "ts", 1800)
+            .select("event_id", "user_id", "session_seq"))
+
+
+SQL_SESSIONIZE = """
+SELECT event_id, user_id,
+       sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+                THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+FROM (SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events)
+"""
+
+
+def q_asof_latest_order_per_event(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    # dedup right side to one row per (key, ts) for determinism
+    w = Window.partitionBy("o_custkey", "o_orderdate") \
+              .orderBy(F.col("o_orderkey").desc())
+    o1 = (o.withColumn("_rn", F.row_number().over(w))
+          .filter(F.col("_rn") == 1)
+          .select(F.col("o_custkey").alias("user_id"),
+                  F.col("o_orderdate"),
+                  F.col("o_orderkey").alias("matched_order")))
+    out = asof_join(e.select("event_id", "user_id", "ts"), o1,
+                    on="user_id", left_ts="ts", right_ts="o_orderdate",
+                    right_value_cols=["matched_order"],
+                    direction="backward")
+    return out.select("event_id", "user_id", "matched_order")
+
+
+SQL_ASOF = """
+SELECT e.event_id, e.user_id, o.matched_order
+FROM events e
+ASOF LEFT JOIN (
+    SELECT o_custkey, o_orderdate, o_orderkey AS matched_order
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                               ORDER BY o_orderkey DESC) = 1
+) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def q_range_join_event_pairs(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    a = e.select("user_id", F.col("event_id").alias("id_a"),
+                 F.col("ts").alias("ts_a"))
+    b = e.select("user_id", F.col("event_id").alias("id_b"),
+                 F.col("ts").alias("ts_b"))
+    joined = bucketed_range_join(a, b, on="user_id",
+                                 left_ts="ts_a", right_ts="ts_b",
+                                 lower_seconds=0, upper_seconds=3600)
+    return (joined.filter(F.col("ts_b") > F.col("ts_a"))
+            .select("id_a", "id_b"))
+
+
+SQL_RANGE_JOIN = """
+SELECT a.event_id AS id_a, b.event_id AS id_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+"""
+
+
+# --- LLM-data ops ----------------------------------------------------------
+
+def _dup_corpus(spark, sf_dir):
+    """documents ∪ a perturbed copy (last token replaced by 'zzz', id
+    shifted) — the controlled near-duplicate fixture for fuzzy dedup."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    perturbed = F.concat(
+        F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))),
+        F.lit(" zzz"))
+    d2 = d.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                  perturbed.alias("text"))
+    return d.unionByName(d2)
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d2 = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    corpus = d.unionByName(d2)
+    return exact_dedup(corpus, ["text"], tie_breaker="doc_id").select("doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id
+FROM (SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents)
+GROUP BY text
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))),
+           ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        subword_token_estimate(F.col("text")).alias("subword_tokens"))
+
+
+SQL_TEXT_STATS = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       round((
+         (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+            / greatest(length(text), 1))
+         + (len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1))
+         + (CASE WHEN len(toks) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+       ) / 3.0, 6) AS quality,
+       (list_sum(list_transform(toks,
+            t -> 1 + greatest(ceil((length(t) - 4) / 4.0), 0)))::BIGINT
+        + (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+       )::BIGINT AS subword_tokens
+FROM t
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_detected"))
+
+
+SQL_LANG_ID = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    len(list_filter(toks, t -> list_contains(
+      ['the','a','and','of','to','in','is','that','it','for'], t))) AS h_en,
+    len(list_filter(toks, t -> list_contains(
+      ['der','die','das','und','ist','nicht','ein','mit','auf','zu'], t))) AS h_de,
+    len(list_filter(toks, t -> list_contains(
+      ['el','la','los','de','que','y','en','un','una','por'], t))) AS h_es,
+    len(list_filter(toks, t -> list_contains(
+      ['le','la','les','de','et','un','une','est','que','pour'], t))) AS h_fr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
+       WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+       WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+       ELSE 'de' END AS lang_detected
+FROM h
+"""
+
+
+def q_knn_cosine_top5(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = cosine_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5)
+    return out.select("query_id", "neighbor_id",
+                      F.round(F.col("cosine"), 6).alias("cosine"))
+
+
+SQL_KNN = """
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]),
+             6) AS cosine
+FROM embeddings q, embeddings c
+WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+             DESC, c.vec_id) <= 5
+"""
+
+
+def q_embedding_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sumsq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    total = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.sqrt(sumsq), 6).alias("l2_norm"),
+        F.round(total / F.size("embedding"), 6).alias("mean_val"))
+
+
+SQL_NORMS = """
+SELECT vec_id,
+       len(embedding)::BIGINT AS dim,
+       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6)
+           AS l2_norm,
+       round(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS mean_val
+FROM embeddings
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, "text", id_col="doc_id",
+                                shingle_n=3, threshold=0.3,
+                                prefilter_tokens=2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(
+             toks[1:greatest(len(toks) - 1, 0)], ' ') || ' zzz'
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+), sh AS (
+  SELECT doc_id,
+         array_to_string(toks[1:2], ' ') AS bkey,
+         list_distinct(list_transform(
+             range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS shingle_set
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM corpus)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.shingle_set, b.shingle_set))::DOUBLE
+             / len(list_distinct(list_concat(a.shingle_set, b.shingle_set))),
+             6) AS jaccard
+FROM sh a JOIN sh b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingle_set, b.shingle_set))::DOUBLE
+      / len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) >= 0.3
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = minhash_lsh_dup_pairs(corpus, "text", id_col="doc_id",
+                                  num_hashes=64, bands=16, shingle_n=3,
+                                  jaccard_threshold=0.5)
+    return pairs.select("id_a", "id_b",
+                        F.round("est_jaccard", 6).alias("est_jaccard"))
+    # no SQL oracle: xxhash64 is not available in DuckDB → rows-only check;
+    # recall vs exact jaccard is audited in tests/test_dedup.py
+
+
+def q_simhash_pairs(spark, sf_dir):
+    corpus = _dup_corpus(spark, sf_dir)
+    return simhash_dup_pairs(corpus, "text", id_col="doc_id",
+                             shingle_n=2, max_hamming=6)
+    # no SQL oracle (xxhash64) → rows-only; audited in tests/test_dedup.py
+
+
+def q_stream_tumbling_events(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    agg = (ev.groupBy(F.window("ts", "1 hour"), "event_type")
+           .agg(F.count("*").alias("n"),
+                F.sum("value").alias("_sv")))
+    table = run_available_now_to_memory(agg, "stream_tumbling_out",
+                                        output_mode="complete")
+    return table.select(F.col("window.start").alias("hour_start"),
+                        "event_type", "n",
+                        F.round("_sv", 2).alias("sum_value"))
+
+
+SQL_STREAM_TUMBLING = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "wrangle_flat_orders": q_wrangle_flat_orders,
+    "wrangle_nested_customer": q_wrangle_nested_customer,
+    "wrangle_get_or_create": q_wrangle_get_or_create,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "q3_topk_revenue": q_q3_topk_revenue,
+    "q5_revenue_by_nation": q_q5_revenue_by_nation,
+    "customers_without_orders": q_customers_without_orders,
+    "topk_orders_per_customer": q_topk_orders_per_customer,
+    "window_running_total": q_window_running_total,
+    "window_lag_gap": q_window_lag_gap,
+    "rollup_status_priority": q_rollup_status_priority,
+    "set_ops_custkeys": q_set_ops_custkeys,
+    "distinct_counts_by_segment": q_distinct_counts_by_segment,
+    "scalar_functions_part": q_scalar_functions_part,
+    "json_extract_events": q_json_extract_events,
+    "orders_by_month": q_orders_by_month,
+    "pivot_status_priority": q_pivot_status_priority,
+    "unpivot_part_measures": q_unpivot_part_measures,
+    "sessionize_events": q_sessionize_events,
+    "asof_latest_order_per_event": q_asof_latest_order_per_event,
+    "range_join_event_pairs": q_range_join_event_pairs,
+    "dedup_exact": q_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "knn_cosine_top5": q_knn_cosine_top5,
+    "embedding_norms": q_embedding_norms,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "stream_tumbling_events": q_stream_tumbling_events,
+}
+
+_ORACLES: dict[str, str] = {
+    "wrangle_flat_orders": SQL_WRANGLE_FLAT,
+    "wrangle_nested_customer": SQL_WRANGLE_NESTED,
+    "wrangle_get_or_create": SQL_GET_OR_CREATE,
+    "q1_pricing_summary": SQL_Q1,
+    "q3_topk_revenue": SQL_Q3,
+    "q5_revenue_by_nation": SQL_Q5,
+    "customers_without_orders": SQL_ANTI,
+    "topk_orders_per_customer": SQL_TOPK,
+    "window_running_total": SQL_RUNNING,
+    "window_lag_gap": SQL_LAG,
+    "rollup_status_priority": SQL_ROLLUP,
+    "set_ops_custkeys": SQL_SETOPS,
+    "distinct_counts_by_segment": SQL_DISTINCT,
+    "scalar_functions_part": SQL_SCALARS,
+    "json_extract_events": SQL_JSON,
+    "orders_by_month": SQL_BY_MONTH,
+    "pivot_status_priority": SQL_PIVOT,
+    "unpivot_part_measures": SQL_UNPIVOT,
+    "sessionize_events": SQL_SESSIONIZE,
+    "asof_latest_order_per_event": SQL_ASOF,
+    "range_join_event_pairs": SQL_RANGE_JOIN,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "doc_fingerprint": SQL_FINGERPRINT,
+    "text_stats": SQL_TEXT_STATS,
+    "lang_id": SQL_LANG_ID,
+    "knn_cosine_top5": SQL_KNN,
+    "embedding_norms": SQL_NORMS,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+    # minhash_lsh_pairs / simhash_pairs: rows-only (xxhash64 not in DuckDB)
+    "stream_tumbling_events": SQL_STREAM_TUMBLING,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing methodology: one warm shared SparkSession (session startup is
+excluded — it is per-cluster fixed cost, not per-query), each query
+timed over plan-build + full execution to a count/collect action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from wrangle_pypes_spark.session import get_session
+
+# Headline set: the scale-relevant operators (joins, aggs, windows,
+# asof/range, dedup/LSH, knn, text) — not the trivial projections.
+HEADLINE = [
+    "wrangle_flat_orders",
+    "wrangle_nested_customer",
+    "wrangle_get_or_create",
+    "q1_pricing_summary",
+    "q3_topk_revenue",
+    "q5_revenue_by_nation",
+    "topk_orders_per_customer",
+    "window_running_total",
+    "sessionize_events",
+    "asof_latest_order_per_event",
+    "range_join_event_pairs",
+    "dedup_exact",
+    "doc_fingerprint",
+    "text_stats",
+    "lang_id",
+    "knn_cosine_top5",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "stream_tumbling_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_session("wrangle-bench", cpus=cpus)
+    qs = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    total_rows = 0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        total_rows += n
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "total_result_rows": total_rows,
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

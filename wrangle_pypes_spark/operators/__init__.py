@@ -1,0 +1,49 @@
+"""Relational + large-scale data-pipeline operators.
+
+The reference has no relational algebra beyond its lookup-join analog
+(SURVEY.md section 2.2) — everything here is the [EXT] surface: the
+operators a user of a full engine needs, each designed Spark-first for
+100 TB scale (broadcast/bucket/window strategies documented per op).
+"""
+
+from .relational import (
+    asof_join,
+    bucketed_range_join,
+    pivot_table,
+    sessionize,
+    topk_per_group,
+    unpivot,
+)
+from .dedup import (
+    exact_dedup,
+    minhash_lsh_dup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash64,
+    simhash_dup_pairs,
+)
+from .similarity import (
+    cosine_topk,
+    lsh_bucket_topk,
+    normalize_embeddings,
+)
+
+__all__ = (
+    "asof_join",
+    "bucketed_range_join",
+    "pivot_table",
+    "sessionize",
+    "topk_per_group",
+    "unpivot",
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_dup_pairs",
+    "ngram_jaccard_pairs",
+    "shingles",
+    "simhash64",
+    "simhash_dup_pairs",
+    "cosine_topk",
+    "lsh_bucket_topk",
+    "normalize_embeddings",
+)

@@ -1,0 +1,247 @@
+"""Deduplication operators for training-data pipelines.
+
+All hot paths are pure Column expressions (whole-stage codegen; no
+Python per row).  The LSH family follows the standard web-scale recipe
+(shingle -> MinHash -> band -> bucket equi-join -> verify): candidate
+generation is an EQUI-join on (band_index, band_hash), so the shuffle is
+linear in corpus size — never the O(n^2) all-pairs compare.
+
+Determinism: every hash is ``xxhash64(seed, value)`` with fixed integer
+seeds, so signatures are stable across runs/partitionings (required for
+the rows-only oracle checks and for incremental re-runs at scale).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, cols: Sequence[str],
+                tie_breaker: Optional[str] = None) -> DataFrame:
+    """Exact deduplication on ``cols``.
+
+    With ``tie_breaker`` the kept row is deterministic (min tie_breaker
+    per duplicate group) — required for oracle comparison and for
+    reproducible pipelines; plain ``dropDuplicates`` keeps an arbitrary
+    row.  One shuffle on ``cols`` either way.
+    """
+    if tie_breaker is None:
+        return df.dropDuplicates(list(cols))
+    w = Window.partitionBy(*cols).orderBy(F.col(tie_breaker).asc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# ---------------------------------------------------------------------------
+# tokenize / shingle (shared by MinHash & Jaccard & SimHash)
+# ---------------------------------------------------------------------------
+
+def tokens_col(text: Column) -> Column:
+    """Lowercased whitespace tokens (empty strings removed)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set of a text column, as array<string>.
+
+    Built with sequence/transform/slice — one pass, no explode, no UDF.
+    """
+    toks = tokens_col(text)
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def _h64(col: Column, seed: int) -> Column:
+    """Deterministic 64-bit hash of a string column under a fixed seed."""
+    return F.xxhash64(F.lit(seed), col)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, text_col: str, *, id_col: str,
+                       num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
+    """id, signature array<long> of ``num_hashes`` minhashes.
+
+    Each minhash_i = min over shingles of xxhash64(seed_i, shingle) —
+    ``num_hashes`` transform+array_min passes, all codegen'd.  Cost is
+    O(shingles * num_hashes) arithmetic per row, no shuffle at all.
+    """
+    sh = shingles(F.col(text_col), shingle_n)
+    df = df.withColumn("_sh", sh)
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("_sh"), lambda t, i=i: _h64(t, i)))
+        for i in range(num_hashes)
+    ])
+    return df.select(F.col(id_col), sig.alias("signature")).withColumnRenamed(
+        id_col, id_col)
+
+
+def minhash_lsh_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
+                          num_hashes: int = 64, bands: int = 16,
+                          shingle_n: int = 3,
+                          jaccard_threshold: float = 0.8) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard) via MinHash LSH.
+
+    Pipeline: signatures -> split into ``bands`` -> explode one row per
+    band -> equi-join on (band_idx, band_hash) to get candidates ->
+    verify with full-signature estimated Jaccard >= threshold.
+
+    Scale: candidate generation is a groupBy-free self equi-join whose
+    key (band hash) is uniform by construction; the explode factor is
+    ``bands`` (small constant).  The verify step re-compares only
+    candidate pairs.  This is the standard 100 TB dedup topology
+    (e.g. the C4/RefinedWeb recipes).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col=id_col,
+                              num_hashes=num_hashes, shingle_n=shingle_n)
+    banded = sigs.select(
+        F.col(id_col), F.col("signature"),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.lit(b), F.concat_ws(
+                         ",", *[F.col("signature")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)])).alias("bhash"))
+            for b in range(bands)
+        ])).alias("lsh"),
+    ).select(id_col, "signature", "lsh.band", "lsh.bhash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                      (F.col("a.bhash") == F.col("b.bhash")) &
+                      (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")), "inner")
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col("a.signature").alias("sig_a"),
+                     F.col("b.signature").alias("sig_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+
+    est = (F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
+                                      lambda x, y: x == y),
+                           lambda eq: eq))
+           / F.lit(float(num_hashes)))
+    return (cand.withColumn("est_jaccard", est)
+                .filter(F.col("est_jaccard") >= jaccard_threshold)
+                .select("id_a", "id_b", "est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for verification / small-candidate sets)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, *, id_col: str,
+                        shingle_n: int = 3,
+                        threshold: float = 0.5,
+                        prefilter_tokens: int = 2) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs above ``threshold``.
+
+    Candidate generation uses a token-prefix blocking key (the
+    ``prefilter_tokens`` rarest... here: first tokens) so the self-join
+    is an equi-join, then exact Jaccard on shingle sets verifies.  For a
+    full-corpus exact run at scale, swap the blocking key for the LSH
+    candidates above; this operator is the *verifier* of that pipeline.
+    """
+    base = df.select(F.col(id_col),
+                     shingles(F.col(text_col), shingle_n).alias("_sh"),
+                     F.slice(tokens_col(F.col(text_col)), 1,
+                             prefilter_tokens).alias("_block"))
+    base = base.withColumn("_bkey", F.concat_ws(" ", F.col("_block")))
+    a, b = base.alias("a"), base.alias("b")
+    cand = a.join(b, (F.col("a._bkey") == F.col("b._bkey")) &
+                     (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")), "inner")
+    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
+    union = F.size(F.array_union(F.col("a._sh"), F.col("b._sh")))
+    jac = inter.cast("double") / union.cast("double")
+    return (cand.select(F.col(f"a.{id_col}").alias("id_a"),
+                        F.col(f"b.{id_col}").alias("id_b"),
+                        jac.alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: Column, *, shingle_n: int = 2) -> Column:
+    """64-bit SimHash of a text column, fully in Catalyst expressions.
+
+    Per shingle: xxhash64 -> 64 sign contributions (+1/-1 per bit);
+    aggregate sums them; the sign of each position forms the final bits.
+    O(shingles × 64) arithmetic, zero shuffle, zero Python.
+    """
+    sh = shingles(text, shingle_n)
+    # F.shiftright/shiftleft only take python-int shift amounts; the SQL
+    # functions accept column amounts — call them directly.
+    shr = lambda c, i: F.call_function("shiftright", c, i)  # noqa: E731
+    shl = lambda c, i: F.call_function("shiftleft", c, i)   # noqa: E731
+    bitvec = F.aggregate(
+        sh,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.when(
+                    shr(_h64(t, 7777), i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1)).otherwise(F.lit(-1)).cast("long"),
+            ),
+            lambda a_, b_: a_ + b_,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(bitvec, F.sequence(F.lit(0), F.lit(63)),
+                   lambda v, i: F.when(v > 0, shl(F.lit(1).cast("long"), i))
+                                 .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
+                      shingle_n: int = 2, max_hamming: int = 3,
+                      chunks: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Pigeonhole blocking: split the 64-bit hash into ``chunks`` chunks —
+    any pair within distance < chunks must share at least one exact
+    chunk, so candidates come from ``chunks`` equi-joins (linear
+    shuffle), then the exact popcount filter verifies.
+    """
+    width = 64 // chunks
+    h = df.select(F.col(id_col), simhash64(F.col(text_col),
+                                           shingle_n=shingle_n).alias("simhash"))
+    chunk_arr = F.array(*[
+        F.struct(F.lit(c).alias("c"),
+                 F.shiftright(F.col("simhash"), c * width)
+                  .bitwiseAND(F.lit((1 << width) - 1)).alias("v"))
+        for c in range(chunks)])
+    blocked = h.select(id_col, "simhash",
+                       F.explode(chunk_arr).alias("ch")) \
+               .select(id_col, "simhash", "ch.c", "ch.v")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (a.join(b, (F.col("a.c") == F.col("b.c")) &
+                      (F.col("a.v") == F.col("b.v")) &
+                      (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")), "inner")
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col("a.simhash").alias("h_a"),
+                     F.col("b.simhash").alias("h_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (cand.withColumn("hamming", hamming)
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,177 @@
+"""Relational operators Spark lacks as single calls, composed scale-first.
+
+Each operator documents its shuffle/partition strategy — the difference
+between "works on 60k rows" and "works on 100 TB" is almost entirely
+which of these strategies the plan picks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _epoch(col: Column) -> Column:
+    """Epoch seconds (double, µs fraction preserved) for timestamp,
+    timestamp_ntz (interpreted in the UTC session tz), or numeric input."""
+    return col.cast("timestamp").cast("double")
+
+
+def topk_per_group(df: DataFrame, group_cols: Sequence[str], order_col: str,
+                   k: int, *, descending: bool = True,
+                   tie_breakers: Sequence[str] = ()) -> DataFrame:
+    """Top-k rows per group via window row_number.
+
+    Scale: one shuffle on ``group_cols``; within-partition sort is
+    bounded by the group size, and AQE handles skewed groups.  For very
+    hot groups (one group >> executor memory) pre-aggregate with a
+    per-partition partial top-k first — not needed for k << group size
+    because Spark's WindowExec spills.
+    """
+    ordering = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
+    ordering += [F.col(c).asc() for c in tie_breakers]
+    w = Window.partitionBy(*group_cols).orderBy(*ordering)
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= k)
+              .drop("_rn"))
+
+
+def sessionize(df: DataFrame, key_col: str, ts_col: str,
+               gap_seconds: int) -> DataFrame:
+    """Assign session ids: a new session starts when the gap from the
+    previous event of the same key exceeds ``gap_seconds``.
+
+    Classic lag + running-sum-of-boundaries; one shuffle on ``key_col``,
+    both windows share the same partitioning so Catalyst plans a single
+    exchange + sort.  (Streaming variant: ``F.session_window`` — see
+    ``wrangle_pypes_spark.streaming``.)
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev_ts = F.lag(ts_col).over(w)
+    gap = _epoch(F.col(ts_col)) - _epoch(prev_ts)
+    is_new = F.when(prev_ts.isNull() | (gap > gap_seconds), F.lit(1)).otherwise(F.lit(0))
+    return (df.withColumn("_new_session", is_new)
+              .withColumn("session_seq",
+                          F.sum("_new_session").over(
+                              w.rowsBetween(Window.unboundedPreceding, 0)))
+              .drop("_new_session"))
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str, right_ts: str, *,
+              right_value_cols: Optional[Sequence[str]] = None,
+              direction: str = "backward") -> DataFrame:
+    """As-of join: for each left row, the single right row with the
+    latest ``right_ts`` <= ``left_ts`` (direction="backward"; "forward"
+    mirrors it) for the same key.
+
+    Spark-first strategy (no native as-of operator): union both sides
+    tagged, sort within key, and carry the most recent right values
+    forward with ``last(..., ignorenulls=True)``.  This costs ONE shuffle
+    of (left ∪ right) on the key — versus the naive range-join which is
+    O(|L|·|R|) per key.  This is the standard scalable formulation and
+    survives 100× data growth as long as per-key history fits a window
+    sort (spillable).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    rcols = list(right_value_cols) if right_value_cols is not None else [
+        c for c in right.columns if c not in (on, right_ts)]
+    clash = set(rcols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right value columns {sorted(clash)} collide with "
+                         "left columns; rename before asof_join")
+
+    lhs = left.withColumn("_is_left", F.lit(1)) \
+              .withColumn("_ts", F.col(left_ts))
+    for c in rcols:
+        lhs = lhs.withColumn(c, F.lit(None).cast(dict(
+            (f.name, f.dataType) for f in right.schema.fields)[c]))
+    rhs = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c) for c in rcols],
+    )
+    lhs_sel = lhs.select(on, "_ts", "_is_left",
+                         *rcols,
+                         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"))
+    rhs_sel = rhs.withColumn("_lrow", F.lit(None).cast(
+        lhs_sel.schema["_lrow"].dataType))
+    unioned = lhs_sel.unionByName(rhs_sel)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal ts => "<=" semantics
+        w = (Window.partitionBy(on).orderBy(F.col("_ts").asc(),
+                                            F.col("_is_left").asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+    else:
+        w = (Window.partitionBy(on).orderBy(F.col("_ts").desc(),
+                                            F.col("_is_left").asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+
+    filled = unioned
+    for c in rcols:
+        filled = filled.withColumn(
+            c, F.last(F.when(F.col("_is_left") == 0, F.col(c)), ignorenulls=True).over(w))
+    out = filled.filter(F.col("_is_left") == 1)
+    return out.select(*[F.col("_lrow").getField(c).alias(c) for c in left.columns],
+                      *[F.col(c) for c in rcols])
+
+
+def bucketed_range_join(left: DataFrame, right: DataFrame, on: str,
+                        left_ts: str, right_ts: str,
+                        lower_seconds: int, upper_seconds: int,
+                        *, bucket_seconds: Optional[int] = None) -> DataFrame:
+    """Join rows where ``right_ts`` ∈ [left_ts + lower, left_ts + upper]
+    for the same key.
+
+    A raw inequality join degenerates to a per-key cross product.  Here
+    the time axis is bucketized: each left row explodes to the (few)
+    buckets its window overlaps, then an EQUI-join on (key, bucket)
+    prunes candidates before the exact filter.  Shuffle cost:
+    |L|·(window/bucket) + |R| — linear, broadcast-able, AQE-friendly;
+    this is the scalable interval-join formulation (Flink/KDB do the
+    same under the hood).
+    """
+    if bucket_seconds is None:
+        bucket_seconds = max(upper_seconds - lower_seconds, 1)
+    clash = (set(left.columns) & set(right.columns)) - {on}
+    if clash:
+        raise ValueError(f"columns {sorted(clash)} exist on both sides; "
+                         "rename before bucketed_range_join")
+    lb = F.floor((_epoch(F.col(left_ts)) + lower_seconds) / bucket_seconds)
+    ub = F.floor((_epoch(F.col(left_ts)) + upper_seconds) / bucket_seconds)
+    # explicit aliases: a self-range-join would otherwise resolve both
+    # sides of the condition to the same column lineage
+    l = left.withColumn("_bucket", F.explode(F.sequence(lb, ub))).alias("_l")
+    r = right.withColumn("_bucket",
+                         F.floor(_epoch(F.col(right_ts)) / bucket_seconds)).alias("_r")
+    cond = (
+        (F.col(f"_l.{on}") == F.col(f"_r.{on}")) &
+        (F.col("_l._bucket") == F.col("_r._bucket")) &
+        (_epoch(F.col(f"_r.{right_ts}")) >= _epoch(F.col(f"_l.{left_ts}")) + lower_seconds) &
+        (_epoch(F.col(f"_r.{right_ts}")) <= _epoch(F.col(f"_l.{left_ts}")) + upper_seconds)
+    )
+    out = l.join(r, cond, "inner")
+    return out.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_r.{c}").alias(c) for c in right.columns if c != on])
+
+
+def pivot_table(df: DataFrame, group_cols: Sequence[str], pivot_col: str,
+                values: Sequence, agg: Column) -> DataFrame:
+    """Pivot with an explicit value list.
+
+    Always pass ``values``: without it Spark runs an extra distinct scan
+    to discover them, and an unbounded pivot width is a scale hazard.
+    """
+    return df.groupBy(*group_cols).pivot(pivot_col, list(values)).agg(agg)
+
+
+def unpivot(df: DataFrame, id_cols: Sequence[str], value_cols: Sequence[str],
+            var_name: str = "variable", value_name: str = "value") -> DataFrame:
+    """Melt columns to rows (native ``unpivot`` — no shuffle, no UDF)."""
+    return df.unpivot(list(id_cols), list(value_cols), var_name, value_name)

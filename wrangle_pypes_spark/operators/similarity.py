@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring a production ANN stack:
+
+* ``cosine_topk`` — exact brute force.  Right for |queries| << |corpus|
+  (broadcast the queries; the corpus streams through one projection —
+  no shuffle of the corpus at all) or as the final re-rank stage.
+* ``lsh_bucket_topk`` — random-hyperplane LSH: corpus and queries are
+  bucketed by sign-bit codes; candidates come from an equi-join on the
+  bucket code, then exact cosine re-ranks.  Probing multi-bucket
+  (hamming-adjacent codes) trades recall for cost.  This is the scale
+  path: shuffle is linear in corpus size with a uniform key.
+
+All math is Column expressions (zip_with/aggregate) — JVM-side, no
+Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<numeric> columns, computed in
+    double precision with in-order accumulation (deterministic)."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    return _dot(da, db) / (_norm(da) * _norm(db))
+
+
+def normalize_embeddings(df: DataFrame, vec_col: str,
+                         out_col: Optional[str] = None) -> DataFrame:
+    """L2-normalize an embedding column (pre-normalizing once turns every
+    downstream cosine into a plain dot product — at scale you store the
+    normalized vectors and never recompute norms)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = _norm(v)
+    normed = F.transform(v, lambda x: x / n)
+    return df.withColumn(out_col or vec_col, normed)
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, *,
+                id_col: str, vec_col: str, k: int = 5,
+                query_id_col: Optional[str] = None,
+                query_vec_col: Optional[str] = None) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cosine) with deterministic
+    tie-breaking on neighbor_id.  Self-matches (same id) are excluded.
+
+    Scale: queries are broadcast (they must be the small side); the
+    corpus is scanned once — a single projection computes all dots via
+    codegen'd loops, then top-k per query via window.  For large |Q|·|C|
+    use ``lsh_bucket_topk``.
+    """
+    qid = query_id_col or id_col
+    qvec = query_vec_col or vec_col
+    q = queries.select(F.col(qid).alias("query_id"),
+                       F.col(qvec).alias("_qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("_cvec"))
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        cosine_expr(F.col("_qvec"), F.col("_cvec")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure python LCG —
+    no numpy dependency at plan-build time; literals are baked into the
+    plan and broadcast with it)."""
+    state = seed & 0x7FFFFFFF or 1
+    planes = []
+    for _ in range(n_planes):
+        vec = []
+        for _ in range(dim):
+            # Park–Miller LCG -> approx N(0,1) via sum of 4 uniforms
+            acc = 0.0
+            for _ in range(4):
+                state = (state * 48271) % 2147483647
+                acc += state / 2147483647.0
+            vec.append(acc - 2.0)
+        n = math.sqrt(sum(x * x for x in vec)) or 1.0
+        planes.append([x / n for x in vec])
+    return planes
+
+
+def lsh_code_expr(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
+    """Sign-bit LSH code (long) of an embedding under fixed hyperplanes."""
+    code = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(F.transform(vec, lambda x: x.cast("double")), plane) >= 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        code = code.bitwiseOR(bit)
+    return code
+
+
+def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, *,
+                    id_col: str, vec_col: str, k: int = 5,
+                    n_planes: int = 8, dim: Optional[int] = None,
+                    seed: int = 42) -> DataFrame:
+    """Approximate top-k cosine neighbors via random-hyperplane LSH.
+
+    Both sides get an ``n_planes``-bit sign code; candidates share the
+    exact code (single-probe).  Exact cosine re-ranks candidates.
+    Recall is audited in tests against ``cosine_topk`` (no silent
+    quality cliff); raise ``n_planes`` for precision, lower for recall.
+    """
+    if dim is None:
+        sample = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(sample["d"])
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("_cvec"),
+                      lsh_code_expr(F.col(vec_col), planes).alias("_code"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qvec"),
+                       lsh_code_expr(F.col(vec_col), planes).alias("_code"))
+    cand = c.join(q, "_code", "inner").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select("query_id", "neighbor_id",
+                         cosine_expr(F.col("_qvec"), F.col("_cvec")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= k).drop("_rn"))

@@ -30,6 +30,9 @@ def get_session(app_name: str = "wrangle_pypes_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "true")
+        # testdata events.ts is parquet TIMESTAMP(NANOS) which Spark cannot
+        # read natively; read as long and convert (sources.load_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -29,9 +29,25 @@ EVENT_PROPS_SCHEMA = T.StructType([
 ])
 
 
+def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Convert a nanosecond-epoch long column (parquet TIMESTAMP(NANOS)
+    read under ``spark.sql.legacy.parquet.nanosAsLong``) to
+    timestamp_ntz, truncating to microseconds exactly like DuckDB's
+    TIMESTAMP_NS -> TIMESTAMP read."""
+    if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+        # integer division: floor to µs, matching DuckDB's truncation
+        micros = F.expr(f"`{col}` div 1000")
+        return df.withColumn(col,
+                             F.timestamp_micros(micros).cast("timestamp_ntz"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table from a scale-factor directory."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = normalize_nanos_ts(df)
+    return df
 
 
 def load_star_schema(spark: SparkSession, sf_dir: str,

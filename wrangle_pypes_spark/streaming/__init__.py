@@ -1,0 +1,26 @@
+"""Structured Streaming surface.
+
+The reference's ``async/`` package is IO-concurrency for lookups, not
+streaming (SURVEY.md section 2.2 — and it is partially broken,
+section 2.3.5).  We do not mirror a sync/async split; Spark Structured
+Streaming is the engine's answer to the same use-case: incremental
+processing with event-time semantics.
+"""
+
+from .windows import (
+    run_available_now_to_memory,
+    session_window_agg,
+    sliding_window_agg,
+    stream_events,
+    tumbling_window_agg,
+    foreach_batch_get_or_create,
+)
+
+__all__ = (
+    "stream_events",
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+    "run_available_now_to_memory",
+    "foreach_batch_get_or_create",
+)

@@ -1,0 +1,127 @@
+"""Event-time windowed aggregation + stateful patterns over streams.
+
+Design for scale: watermarks bound state (late rows beyond the
+watermark are dropped, state for closed windows is evicted); windowed
+aggregations shuffle on (window, keys) exactly like their batch
+``groupBy`` twins, so the same skew/partition sizing reasoning applies.
+``foreach_batch_get_or_create`` is the streaming version of the
+reference's external-lookup protocol (SURVEY.md section 3.3) — each
+micro-batch runs the set-oriented join + union.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_events(spark: SparkSession, sf_dir: str,
+                  schema: Optional[T.StructType] = None) -> DataFrame:
+    """readStream over the events parquet directory (file-source stream;
+    in production this is Kafka with the same downstream plan)."""
+    from ..sources.tables import normalize_nanos_ts
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    # the file stream source requires a DIRECTORY; testdata ships single
+    # files, so expose the file through a per-sf temp dir of symlinks
+    if os.path.isfile(path):
+        import hashlib
+        import tempfile
+        tag = hashlib.md5(path.encode()).hexdigest()[:12]
+        d = os.path.join(tempfile.gettempdir(), f"wps_stream_{tag}")
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
+        path = d
+    stream = spark.readStream.schema(schema).format("parquet").load(path)
+    return normalize_nanos_ts(stream)
+
+
+def tumbling_window_agg(events: DataFrame, *, ts_col: str = "ts",
+                        keys: Sequence[str] = ("event_type",),
+                        window: str = "1 hour",
+                        watermark: str = "1 hour") -> DataFrame:
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window), *keys)
+            .agg(F.count("*").alias("n"),
+                 F.sum("value").alias("sum_value")))
+
+
+def sliding_window_agg(events: DataFrame, *, ts_col: str = "ts",
+                       keys: Sequence[str] = ("event_type",),
+                       window: str = "1 hour", slide: str = "15 minutes",
+                       watermark: str = "1 hour") -> DataFrame:
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window, slide), *keys)
+            .agg(F.count("*").alias("n"),
+                 F.sum("value").alias("sum_value")))
+
+
+def session_window_agg(events: DataFrame, *, ts_col: str = "ts",
+                       keys: Sequence[str] = ("user_id",),
+                       gap: str = "30 minutes",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Session windows (dynamic gap-based) — the streaming twin of
+    ``operators.relational.sessionize``."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(ts_col, gap), *keys)
+            .agg(F.count("*").alias("n"),
+                 F.sum("value").alias("sum_value")))
+
+
+def run_available_now_to_memory(stream_df: DataFrame, name: str,
+                                output_mode: str = "append") -> DataFrame:
+    """Drain all currently-available input through the streaming plan
+    into an in-memory table and return it as a DataFrame.
+
+    Uses ``trigger(availableNow=True)`` — processes everything then
+    stops, which makes streaming queries testable/benchable in batch
+    harnesses while exercising the real incremental engine.
+    """
+    q = (stream_df.writeStream
+         .format("memory")
+         .queryName(name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def foreach_batch_get_or_create(stream_df: DataFrame, pipeline, model: type,
+                                dim_holder: dict,
+                                match_targets: Sequence[str],
+                                checkpoint: Optional[str] = None):
+    """Streaming get_or_create: every micro-batch left-joins the current
+    dimension state and appends newly-created rows to it (the async
+    lookup of the reference, made incremental and set-oriented).
+
+    ``dim_holder`` is ``{"dim": DataFrame}`` — mutated per batch.  In
+    production the holder is a Delta/Iceberg MERGE target; kept
+    pluggable here because the v1 image carries no table format jars.
+    """
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        result, new_dim = pipeline.get_or_create(
+            model, batch_df, dim_holder["dim"], match_targets)
+        # materialize new_dim before the next batch mutates lineage
+        dim_holder["dim"] = new_dim.localCheckpoint(eager=True)
+        dim_holder.setdefault("batches", []).append(
+            (epoch_id, result.count()))
+
+    writer = stream_df.writeStream.foreachBatch(_batch) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
