@@ -1,0 +1,162 @@
+"""Dedup + similarity: correctness against exact recomputation, and
+recall audits for the approximate (LSH) operators — SURVEY §5.2.4."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrangle_pypes_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dup_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_dup_pairs,
+    simhash64,
+)
+from wrangle_pypes_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucket_topk,
+    normalize_embeddings,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark, tables):
+    """documents plus near-duplicate copies (last word changed)."""
+    d = tables["documents"].select("doc_id", "text").limit(200)
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda t: t != F.lit(""))
+    perturbed = F.concat(
+        F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))),
+        F.lit(" zzz"))
+    d2 = d.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                  perturbed.alias("text"))
+    return d.unionByName(d2).cache()
+
+
+def test_exact_dedup_deterministic(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y")], "id long, t string")
+    out = exact_dedup(df, ["t"], tie_breaker="id")
+    assert sorted(r.id for r in out.collect()) == [1, 2]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    out = df.select(shingles(F.col("t"), 3).alias("sh")).collect()[0].sh
+    assert sorted(out) == ["a b c", "b c d"]
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([("a b",)], "t string")
+    out = df.select(shingles(F.col("t"), 3).alias("sh")).collect()[0].sh
+    assert out == ["a b"]  # fewer tokens than n -> single partial shingle
+
+
+def test_minhash_lsh_recall_vs_exact(spark, dup_corpus):
+    """Every planted near-dup pair with true jaccard >= 0.8 must be
+    found by the LSH pipeline (est threshold relaxed to 0.5)."""
+    exact = ngram_jaccard_pairs(dup_corpus, "text", id_col="doc_id",
+                                shingle_n=3, threshold=0.8,
+                                prefilter_tokens=2)
+    truth = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert len(truth) > 50  # the planted pairs are found at all
+
+    lsh = minhash_lsh_dup_pairs(dup_corpus, "text", id_col="doc_id",
+                                num_hashes=64, bands=16,
+                                jaccard_threshold=0.5)
+    found = {(r.id_a, r.id_b) for r in lsh.collect()}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9"
+
+
+def test_minhash_est_accuracy(spark, dup_corpus):
+    """Estimated jaccard from 64 minhashes tracks exact jaccard."""
+    exact = ngram_jaccard_pairs(dup_corpus, "text", id_col="doc_id",
+                                shingle_n=3, threshold=0.7,
+                                prefilter_tokens=2)
+    lsh = minhash_lsh_dup_pairs(dup_corpus, "text", id_col="doc_id",
+                                num_hashes=64, bands=16,
+                                jaccard_threshold=0.3)
+    j = {(r.id_a, r.id_b): r.jaccard for r in exact.collect()}
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in lsh.collect()}
+    common = set(j) & set(est)
+    assert common
+    errs = [abs(j[p] - est[p]) for p in common]
+    assert sum(errs) / len(errs) < 0.15
+
+
+def test_simhash_deterministic_and_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different text about spark engines and data")],
+        "id long, t string")
+    out = {r.id: r.h for r in
+           df.select("id", simhash64(F.col("t")).alias("h")).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_simhash_pairs_find_planted_dups(spark, dup_corpus):
+    pairs = simhash_dup_pairs(dup_corpus, "text", id_col="doc_id",
+                              shingle_n=2, max_hamming=6)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(i, i + 1000000) for i in
+               [r.doc_id for r in dup_corpus.filter(F.col("doc_id") < 1000000)
+                .select("doc_id").collect()]}
+    hit = len(found & planted) / len(planted)
+    assert hit >= 0.5, f"simhash found only {hit:.2f} of planted dups"
+
+
+# --- similarity -------------------------------------------------------------
+
+def test_cosine_topk_matches_bruteforce_python(spark, tables):
+    emb = tables["embeddings"].limit(100).cache()
+    rows = emb.collect()
+    vecs = {r.vec_id: r.embedding for r in rows}
+
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    q = emb.filter(F.col("vec_id") < 3)
+    out = cosine_topk(emb, q, id_col="vec_id", vec_col="embedding", k=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.neighbor_id, r.cosine))
+    for qid, neighbors in got.items():
+        expected = sorted(
+            ((nid, cos(vecs[qid], v)) for nid, v in vecs.items() if nid != qid),
+            key=lambda t: (-t[1], t[0]))[:4]
+        assert [n for n, _ in neighbors] == [n for n, _ in expected]
+        for (_, a), (_, b) in zip(neighbors, expected):
+            assert abs(a - b) < 1e-9
+
+
+def test_lsh_topk_recall(spark, tables):
+    """Single-probe sign-LSH top-k recall vs exact — audited, not silent."""
+    emb = tables["embeddings"].cache()
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, q, id_col="vec_id", vec_col="embedding", k=5)
+    approx = lsh_bucket_topk(emb, q, id_col="vec_id", vec_col="embedding",
+                             k=5, n_planes=4, probes=2)
+    t = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(t & a) / len(t)
+    # 4-bit multi-probe LSH on these near-random 64-dim vectors measures
+    # ~0.85; the audit pins the floor so regressions are visible
+    assert recall >= 0.7, f"LSH recall {recall:.2f} below floor"
+
+
+def test_normalize_embeddings(spark, tables):
+    emb = tables["embeddings"].limit(10)
+    out = normalize_embeddings(emb, "embedding", "normed")
+    norm = out.select(
+        F.sqrt(F.aggregate(F.col("normed"), F.lit(0.0),
+                           lambda a, x: a + x * x)).alias("n")).collect()
+    for r in norm:
+        assert abs(r.n - 1.0) < 1e-9

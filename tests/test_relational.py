@@ -1,0 +1,115 @@
+"""Tests for the relational operator compositions (asof, range join,
+sessionize, topk) against hand-computed expectations."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from wrangle_pypes_spark.operators.relational import (
+    asof_join,
+    bucketed_range_join,
+    sessionize,
+    topk_per_group,
+    unpivot,
+)
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+        "k string, id long, v double")
+    out = topk_per_group(df, ["k"], "v", 2, tie_breakers=["id"])
+    got = sorted((r.k, r.id) for r in out.collect())
+    assert got == [("a", 2), ("a", 3), ("b", 4)]
+
+
+def test_topk_tie_break_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 10.0), ("a", 3, 10.0)],
+        "k string, id long, v double")
+    out = topk_per_group(df, ["k"], "v", 2, tie_breakers=["id"])
+    assert sorted(r.id for r in out.collect()) == [1, 2]
+
+
+def test_sessionize(spark):
+    rows = [
+        (1, 100, ts("2024-01-01T00:00:00")),
+        (1, 101, ts("2024-01-01T00:10:00")),   # same session (gap 600 < 1800)
+        (1, 102, ts("2024-01-01T01:00:00")),   # new session (gap 3000)
+        (2, 200, ts("2024-01-01T00:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "user long, event long, ts timestamp")
+    out = sessionize(df, "user", "ts", 1800)
+    got = {r.event: r.session_seq for r in out.collect()}
+    assert got == {100: 1, 101: 1, 102: 2, 200: 1}
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, ts("2024-01-05T00:00:00")),
+         (1, 11, ts("2024-01-01T00:00:00")),   # before any right row
+         (2, 20, ts("2024-01-05T00:00:00"))],
+        "k long, lid long, lts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-02T00:00:00"), "r1"),
+         (1, ts("2024-01-04T00:00:00"), "r2"),
+         (1, ts("2024-01-06T00:00:00"), "r3"),
+         (2, ts("2024-01-05T00:00:00"), "r4")],  # equal ts: inclusive
+        "k long, rts timestamp, val string")
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts")
+    got = {r.lid: r.val for r in out.collect()}
+    assert got == {10: "r2", 11: None, 20: "r4"}
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([(1, 10, ts("2024-01-03T00:00:00"))],
+                                 "k long, lid long, lts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-02T00:00:00"), "past"),
+         (1, ts("2024-01-04T00:00:00"), "next")],
+        "k long, rts timestamp, val string")
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                    direction="forward")
+    assert out.collect()[0].val == "next"
+
+
+def test_bucketed_range_join_matches_naive(spark, tables):
+    e = tables["events"].limit(2000)
+    a = e.select("user_id", F.col("event_id").alias("id_a"),
+                 F.col("ts").alias("ts_a"))
+    b = e.select("user_id", F.col("event_id").alias("id_b"),
+                 F.col("ts").alias("ts_b"))
+    fast = bucketed_range_join(a, b, on="user_id", left_ts="ts_a",
+                               right_ts="ts_b", lower_seconds=0,
+                               upper_seconds=3600)
+    fast_pairs = {(r.id_a, r.id_b) for r in
+                  fast.filter(F.col("ts_b") > F.col("ts_a")).collect()}
+    a2, b2 = a.alias("a"), b.alias("b")
+    naive = a2.join(b2, (F.col("a.user_id") == F.col("b.user_id")) &
+                    (F.col("b.ts_b") > F.col("a.ts_a")) &
+                    (F.col("b.ts_b").cast("timestamp").cast("double") <=
+                     F.col("a.ts_a").cast("timestamp").cast("double") + 3600))
+    naive_pairs = {(r.id_a, r.id_b) for r in naive.collect()}
+    assert fast_pairs == naive_pairs
+    assert len(fast_pairs) > 0
+
+
+def test_range_join_name_clash_raises(spark):
+    df = spark.createDataFrame([(1, ts("2024-01-01T00:00:00"))],
+                               "k long, t timestamp")
+    with pytest.raises(ValueError, match="both sides"):
+        bucketed_range_join(df, df, on="k", left_ts="t", right_ts="t",
+                            lower_seconds=0, upper_seconds=10)
+
+
+def test_unpivot(spark):
+    df = spark.createDataFrame([(1, 2.0, 3.0)], "id long, a double, b double")
+    out = unpivot(df, ["id"], ["a", "b"])
+    got = sorted((r.variable, r.value) for r in out.collect())
+    assert got == [("a", 2.0), ("b", 3.0)]

@@ -1,0 +1,128 @@
+"""Text functions, streaming windows, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrangle_pypes_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from wrangle_pypes_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+)
+from wrangle_pypes_spark.streaming import (
+    run_available_now_to_memory,
+    session_window_agg,
+    stream_events,
+    tumbling_window_agg,
+)
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("",)], "t string")
+    got = [r.n for r in df.select(token_count(F.col("t")).alias("n")).collect()]
+    assert got == [3, 0]
+
+
+def test_quality_score_bounds(spark, tables):
+    d = tables["documents"].limit(100)
+    rows = d.select(quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
+
+
+def test_lang_id_known_samples(spark):
+    df = spark.createDataFrame(
+        [("the cat is on the mat and it is happy",),
+         ("der hund ist nicht mit der katze auf dem sofa",),
+         ("el perro y la casa de un amigo en madrid",),
+         ("xyzzy qwerty plugh",)],
+        "t string")
+    got = [r.lang for r in df.select(lang_id(F.col("t")).alias("lang")).collect()]
+    assert got == ["en", "de", "es", "und"]
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "b a c"), (2, "a b c"), (3, "a b c c"), (4, "a b d")],
+        "id long, t string")
+    fp = {r.id: r.f for r in
+          df.select("id", doc_fingerprint(F.col("t")).alias("f")).collect()}
+    assert fp[1] == fp[2] == fp[3]  # order + duplication invariant
+    assert fp[1] != fp[4]
+
+
+# --- streaming --------------------------------------------------------------
+
+def test_tumbling_window_stream_matches_batch(spark, sf_dir, tables):
+    ev = stream_events(spark, sf_dir)
+    agg = (ev.groupBy(F.window("ts", "1 hour"), "event_type")
+           .agg(F.count("*").alias("n")))
+    table = run_available_now_to_memory(agg, "t_tumbling_test",
+                                        output_mode="complete")
+    stream_rows = {(r["window"]["start"], r["event_type"]): r["n"]
+                   for r in table.collect()}
+    batch = (tables["events"]
+             .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+             .agg(F.count("*").alias("n")))
+    batch_rows = {(r.h, r.event_type): r.n for r in batch.collect()}
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+
+
+def test_session_window_stream(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    agg = session_window_agg(ev, keys=("user_id",), gap="30 minutes")
+    table = run_available_now_to_memory(agg, "t_session_test",
+                                        output_mode="complete")
+    rows = table.collect()
+    assert len(rows) > 0
+    assert all(r["n"] >= 1 for r in rows)
+
+
+def test_foreach_batch_get_or_create(spark, sf_dir, tables):
+    from dataclasses import dataclass
+
+    from wrangle_pypes_spark import Get, Pipeline
+
+    @dataclass
+    class UserM:
+        user_id: int
+
+    p = Pipeline({UserM: {"user_id": Get("user_id")}})
+    dim = (tables["events"].select("user_id").distinct()
+           .filter(F.col("user_id") < 50).localCheckpoint(eager=True))
+    holder = {"dim": dim}
+
+    from wrangle_pypes_spark.streaming import foreach_batch_get_or_create
+
+    ev = stream_events(spark, sf_dir)
+    q = foreach_batch_get_or_create(ev, p, UserM, holder, ["user_id"])
+    q.awaitTermination()
+    n_dim = holder["dim"].count()
+    n_users = tables["events"].select("user_id").distinct().count()
+    assert n_dim == n_users  # all users known after the stream drains
+
+
+# --- multimodal -------------------------------------------------------------
+
+def test_multimodal_feature_extraction(spark, tables):
+    d = tables["documents"].limit(50)
+    payloads = attach_binary_payload(d, "text", id_col="doc_id")
+    assert dict(payloads.dtypes)["payload"] == "binary"
+    feats = extract_features(payloads)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-9
+        assert r.byte_len > 0
+        assert len(r.content_hash) == 32
+
+    # determinism: same payload -> same hash/feature
+    again = {r.content_id: (r.content_hash, tuple(r.feature))
+             for r in extract_features(payloads).collect()}
+    first = {r.content_id: (r.content_hash, tuple(r.feature)) for r in rows}
+    assert again == first

@@ -116,14 +116,20 @@ def lsh_code_expr(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
 
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, *,
                     id_col: str, vec_col: str, k: int = 5,
-                    n_planes: int = 8, dim: Optional[int] = None,
-                    seed: int = 42) -> DataFrame:
+                    n_planes: int = 4, dim: Optional[int] = None,
+                    seed: int = 42, probes: int = 2) -> DataFrame:
     """Approximate top-k cosine neighbors via random-hyperplane LSH.
 
-    Both sides get an ``n_planes``-bit sign code; candidates share the
-    exact code (single-probe).  Exact cosine re-ranks candidates.
+    Both sides get an ``n_planes``-bit sign code; the QUERY side is
+    multi-probed — ``probes=1`` also explores every hamming-1-adjacent
+    bucket (n_planes+1 probes total), which is the standard fix for
+    sign-LSH's boundary losses.  Exact cosine re-ranks candidates.
     Recall is audited in tests against ``cosine_topk`` (no silent
-    quality cliff); raise ``n_planes`` for precision, lower for recall.
+    quality cliff); raise ``n_planes`` to shrink buckets (cheaper, less
+    recall), raise ``probes`` to recover recall.
+
+    Scale: corpus is coded once (map-only) and shuffled once on the code;
+    the probe explosion multiplies only the (small) query side.
     """
     if dim is None:
         sample = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -132,11 +138,22 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, *,
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("_cvec"),
                       lsh_code_expr(F.col(vec_col), planes).alias("_code"))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("_qvec"),
-                       lsh_code_expr(F.col(vec_col), planes).alias("_code"))
+    qbase = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("_qvec"),
+                           lsh_code_expr(F.col(vec_col), planes).alias("_c0"))
+    probe_codes = [F.col("_c0")]
+    if probes >= 1:
+        probe_codes += [F.col("_c0").bitwiseXOR(F.lit(1 << i))
+                        for i in range(n_planes)]
+    if probes >= 2:
+        probe_codes += [
+            F.col("_c0").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_planes) for j in range(i + 1, n_planes)]
+    q = qbase.withColumn("_code", F.explode(F.array(*probe_codes))) \
+             .drop("_c0")
     cand = c.join(q, "_code", "inner").filter(
-        F.col("neighbor_id") != F.col("query_id"))
+        F.col("neighbor_id") != F.col("query_id")) \
+        .dropDuplicates(["query_id", "neighbor_id"])
     scored = cand.select("query_id", "neighbor_id",
                          cosine_expr(F.col("_qvec"), F.col("_cvec")).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),

@@ -29,16 +29,17 @@ EVENT_PROPS_SCHEMA = T.StructType([
 ])
 
 
-def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+def normalize_nanos_ts(df: DataFrame, col: str = "ts",
+                       target: str = "timestamp_ntz") -> DataFrame:
     """Convert a nanosecond-epoch long column (parquet TIMESTAMP(NANOS)
-    read under ``spark.sql.legacy.parquet.nanosAsLong``) to
-    timestamp_ntz, truncating to microseconds exactly like DuckDB's
-    TIMESTAMP_NS -> TIMESTAMP read."""
+    read under ``spark.sql.legacy.parquet.nanosAsLong``) to a timestamp,
+    truncating to microseconds exactly like DuckDB's TIMESTAMP_NS ->
+    TIMESTAMP read.  ``target='timestamp'`` (ltz) is required for
+    streaming watermarks; ntz is the batch/oracle default."""
     if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
         # integer division: floor to µs, matching DuckDB's truncation
         micros = F.expr(f"`{col}` div 1000")
-        return df.withColumn(col,
-                             F.timestamp_micros(micros).cast("timestamp_ntz"))
+        return df.withColumn(col, F.timestamp_micros(micros).cast(target))
     return df
 
 

@@ -41,7 +41,8 @@ def stream_events(spark: SparkSession, sf_dir: str,
             os.symlink(path, link)
         path = d
     stream = spark.readStream.schema(schema).format("parquet").load(path)
-    return normalize_nanos_ts(stream)
+    # ltz: watermarks reject TIMESTAMP_NTZ event-time columns
+    return normalize_nanos_ts(stream, target="timestamp")
 
 
 def tumbling_window_agg(events: DataFrame, *, ts_col: str = "ts",
