@@ -10,6 +10,7 @@ from wrangle_pypes_spark.operators.dedup import (
     ngram_jaccard_pairs,
     shingles,
     simhash_dup_pairs,
+    simhash_signatures,
     simhash64,
 )
 from wrangle_pypes_spark.operators.similarity import (
@@ -95,6 +96,21 @@ def test_simhash_deterministic_and_sensitive(spark):
            df.select("id", simhash64(F.col("t")).alias("h")).collect()}
     assert out[1] == out[2]
     assert out[1] != out[3]
+
+
+def test_simhash_signatures_match_expression_form(spark, dup_corpus):
+    """The aggregate-based corpus path must produce bit-identical hashes
+    to the pure-expression ``simhash64`` (same shingles, hash seed, and
+    sign rule) — the two are interchangeable by contract."""
+    sample = dup_corpus.limit(50)
+    expr = {r.doc_id: r.h for r in
+            sample.select("doc_id",
+                          simhash64(F.col("text"), shingle_n=2).alias("h"))
+                  .collect()}
+    agg = {r.doc_id: r.simhash for r in
+           simhash_signatures(sample, "text", id_col="doc_id",
+                              shingle_n=2).collect()}
+    assert expr == agg
 
 
 def test_simhash_pairs_find_planted_dups(spark, dup_corpus):

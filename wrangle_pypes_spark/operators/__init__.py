@@ -22,6 +22,7 @@ from .dedup import (
     shingles,
     simhash64,
     simhash_dup_pairs,
+    simhash_signatures,
 )
 from .similarity import (
     cosine_topk,
@@ -43,6 +44,7 @@ __all__ = (
     "shingles",
     "simhash64",
     "simhash_dup_pairs",
+    "simhash_signatures",
     "cosine_topk",
     "lsh_bucket_topk",
     "normalize_embeddings",

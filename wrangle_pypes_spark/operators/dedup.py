@@ -217,6 +217,33 @@ def simhash64(text: Column, *, shingle_n: int = 2) -> Column:
     )
 
 
+def simhash_signatures(df: DataFrame, text_col: str, *, id_col: str,
+                       shingle_n: int = 2) -> DataFrame:
+    """id, simhash long — same semantics as ``simhash64`` but computed
+    the scale way: explode distinct shingles, then ONE hash-aggregate
+    with 64 ``sum(+/-1 per bit)`` columns (map-side partial agg before
+    the shuffle, full whole-stage codegen), then reassemble the sign
+    bits.  The pure-expression ``simhash64`` keeps the Column API for
+    single-value use; this is the corpus path (the nested
+    aggregate/transform lambdas in ``simhash64`` are interpreted, which
+    benchmarked ~10x slower at sf0.1)."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("_sh"))
+    h = _h64(F.col("_sh"), 7777)
+    aggs = [F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+                         F.lit(1)).otherwise(F.lit(-1))).alias(f"_b{i}")
+            for i in range(64)]
+    agged = exploded.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"_b{i}") > 0,
+                   F.shiftleft(F.lit(1).cast("long"), i))
+             .otherwise(F.lit(0).cast("long")))
+    return agged.select(F.col(id_col), sim.alias("simhash"))
+
+
 def simhash_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
                       shingle_n: int = 2, max_hamming: int = 3,
                       chunks: int = 4) -> DataFrame:
@@ -228,8 +255,7 @@ def simhash_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
     shuffle), then the exact popcount filter verifies.
     """
     width = 64 // chunks
-    h = df.select(F.col(id_col), simhash64(F.col(text_col),
-                                           shingle_n=shingle_n).alias("simhash"))
+    h = simhash_signatures(df, text_col, id_col=id_col, shingle_n=shingle_n)
     chunk_arr = F.array(*[
         F.struct(F.lit(c).alias("c"),
                  F.shiftright(F.col("simhash"), c * width)
