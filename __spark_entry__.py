@@ -28,7 +28,10 @@ from wrangle_pypes_spark import (
     Create,
     Default,
     Expr,
+    Filter,
     Get,
+    GetKeys,
+    Map,
     Pipeline,
 )
 from wrangle_pypes_spark.functions.text import (
@@ -39,10 +42,15 @@ from wrangle_pypes_spark.functions.text import (
     tokens,
 )
 from wrangle_pypes_spark.operators.dedup import (
+    embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_dup_pairs,
     ngram_jaccard_pairs,
     simhash_dup_pairs,
+)
+from wrangle_pypes_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
 )
 from wrangle_pypes_spark.operators.relational import (
     asof_join,
@@ -51,9 +59,16 @@ from wrangle_pypes_spark.operators.relational import (
     topk_per_group,
     unpivot,
 )
-from wrangle_pypes_spark.operators.similarity import cosine_topk, cosine_expr
+from wrangle_pypes_spark.operators.similarity import (
+    cosine_expr,
+    cosine_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+)
 from wrangle_pypes_spark.streaming import (
     run_available_now_to_memory,
+    session_window_agg,
+    sliding_window_agg,
     stream_events,
 )
 
@@ -841,6 +856,308 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_sliding_events(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    agg = sliding_window_agg(ev, window="1 hour", slide="15 minutes")
+    table = run_available_now_to_memory(agg, "stream_sliding_out",
+                                        output_mode="complete")
+    return table.select(F.col("window.start").alias("win_start"),
+                        "event_type", "n",
+                        F.round("sum_value", 2).alias("sum_value"))
+
+
+SQL_STREAM_SLIDING = """
+WITH w AS (
+  SELECT event_type, value,
+         unnest(generate_series(
+             time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '45 minutes',
+             time_bucket(INTERVAL '15 minutes', ts),
+             INTERVAL '15 minutes')) AS win_start
+  FROM events)
+SELECT win_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM w GROUP BY 1, 2
+"""
+
+
+def q_stream_session_events(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    agg = session_window_agg(ev, gap="30 minutes")
+    table = run_available_now_to_memory(agg, "stream_session_out",
+                                        output_mode="complete")
+    return table.select(F.col("session_window.start").alias("session_start"),
+                        "user_id", "n",
+                        F.round("sum_value", 2).alias("sum_value"))
+
+
+SQL_STREAM_SESSION = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) >= 1800 THEN 1 ELSE 0 END AS new_s
+  FROM (SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT min(ts) AS session_start, user_id, count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+# --- embedding near-dup + ANN ---------------------------------------------
+
+def _emb_dup_corpus(spark, sf_dir):
+    """embeddings ∪ perturbed copies (first component +0.05, id shifted)
+    — the controlled near-duplicate fixture for embedding dedup."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    perturbed = F.concat(F.array(v[0] + F.lit(0.05)),
+                         F.slice(v, 2, F.size(v) - 1))
+    e2 = emb.select((F.col("vec_id") + 1000000).alias("vec_id"),
+                    perturbed.alias("embedding"))
+    return emb.select("vec_id", v.alias("embedding")).unionByName(e2)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    corpus = _emb_dup_corpus(spark, sf_dir)
+    pairs = embedding_near_dup_pairs(corpus, "embedding", id_col="vec_id",
+                                     threshold=0.9, method="exact")
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_EMB_NEAR_DUP = """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_concat([embedding[1]::DOUBLE + 0.05],
+                     (embedding::DOUBLE[])[2:])
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+"""
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    corpus = _emb_dup_corpus(spark, sf_dir)
+    return embedding_near_dup_pairs(corpus, "embedding", id_col="vec_id",
+                                    threshold=0.9, method="lsh", n_planes=8)
+    # no SQL oracle: LSH blocking is approximate → rows-only; recall vs
+    # exact is audited in tests/test_dedup_similarity.py
+
+
+def q_ivf_ann_top5(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = ivf_topk(emb, q, id_col="vec_id", vec_col="embedding",
+                   k=5, n_centroids=8, n_probe=4)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"))
+    # no SQL oracle: k-means cells are approximate → rows-only; recall vs
+    # cosine_topk is audited in tests/test_dedup_similarity.py
+
+
+def q_lsh_ann_top5(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = lsh_bucket_topk(emb, q, id_col="vec_id", vec_col="embedding",
+                          k=5, n_planes=4, probes=2)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"))
+    # no SQL oracle: sign-LSH buckets are approximate → rows-only; recall
+    # audited in tests/test_dedup_similarity.py
+
+
+# --- multimodal ------------------------------------------------------------
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-payload plumbing: text bytes stand in for image bytes (the
+    container has no decoders — operators/multimodal.py documents the
+    stub); content hash + byte length are exact and oracle-checkable,
+    the 8-dim stub feature is covered by unit tests."""
+    d = _t(spark, sf_dir, "documents")
+    payload = attach_binary_payload(d, "text", id_col="doc_id")
+    feats = extract_features(payload)
+    return feats.select("content_id", "content_hash", "byte_len")
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id AS content_id, md5(text) AS content_hash,
+       octet_length(text::BLOB)::BIGINT AS byte_len
+FROM documents
+"""
+
+
+# --- wrangle collection / map operators ------------------------------------
+
+@dataclass
+class DocTokensM:
+    doc_id: int
+    n_kept: int
+    kept_str: str
+
+
+def q_wrangle_array_ops(spark, sf_dir):
+    """Groups C (Filter/Map over arrays) through the wrangle spec API."""
+    kept = (Get("text") | Expr(tokens)
+            | Filter(lambda x: F.length(x) >= 6)
+            | Map(F.upper))
+    p = Pipeline({DocTokensM: {
+        "doc_id": Get("doc_id"),
+        "n_kept": kept | Expr(lambda c: F.size(c).cast("long")),
+        "kept_str": kept | Expr(lambda c: F.concat_ws(" ", c)),
+    }})
+    return p.create_multiple(DocTokensM, _t(spark, sf_dir, "documents"))
+
+
+SQL_WRANGLE_ARRAY = """
+WITH t AS (
+  SELECT doc_id,
+         list_transform(
+             list_filter(
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> ''),
+                 x -> strlen(x) >= 6),
+             x -> upper(x)) AS kept
+  FROM documents)
+SELECT doc_id, len(kept)::BIGINT AS n_kept,
+       coalesce(array_to_string(kept, ' '), '') AS kept_str
+FROM t
+"""
+
+
+@dataclass
+class EventPropsM:
+    event_id: int
+    keys_str: str
+    k_val: int
+
+
+def q_wrangle_map_ops(spark, sf_dir):
+    """Group D (map operators) on dynamic JSON payloads: parse → GetKeys
+    / Get-with-default, all Catalyst expressions."""
+    parsed = Get("props") | Expr(
+        lambda c: F.from_json(c, "map<string,string>"),
+        out_type="map<string,string>")
+    p = Pipeline({EventPropsM: {
+        "event_id": Get("event_id"),
+        "keys_str": parsed | GetKeys()
+        | Expr(lambda c: F.concat_ws(",", F.sort_array(c))),
+        "k_val": Get("props")
+        | Expr(lambda c: F.from_json(c, "map<string,bigint>"),
+               out_type="map<string,bigint>")
+        | Get("k", default=-1),
+    }})
+    return p.create_multiple(EventPropsM, _t(spark, sf_dir, "events"))
+
+
+SQL_WRANGLE_MAP = """
+SELECT event_id,
+       array_to_string(list_sort(json_keys(props)), ',') AS keys_str,
+       coalesce(json_extract_string(props, '$.k')::BIGINT, -1) AS k_val
+FROM events
+"""
+
+
+# --- relational widening ----------------------------------------------------
+
+def q_cube_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube(F.col("o_orderstatus").alias("status"),
+                   F.year("o_orderdate").cast("bigint").alias("year"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+SQL_CUBE = """
+SELECT o_orderstatus AS status, year(o_orderdate)::BIGINT AS year,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+"""
+
+
+def q_semi_join_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select(F.col("c_custkey").alias("custkey"),
+                    F.col("c_name").alias("name")))
+
+
+SQL_SEMI = """
+SELECT c_custkey AS custkey, c_name AS name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_percentiles_by_segment(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (c.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.round(F.median("c_acctbal"), 4).alias("median_bal"),
+                 F.round(F.percentile("c_acctbal", 0.9), 4).alias("p90_bal"),
+                 F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+                 F.round(F.max("c_acctbal"), 2).alias("max_bal")))
+
+
+SQL_PERCENTILES = """
+SELECT c_mktsegment AS segment,
+       round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+       round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_string_agg_priorities(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(F.concat_ws(",", F.sort_array(F.collect_set("o_orderpriority")))
+                 .alias("priorities"),
+                 F.count("*").alias("n")))
+
+
+SQL_STRING_AGG = """
+SELECT o_orderstatus AS status,
+       array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+           AS priorities,
+       count(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_orders_above_cust_avg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg_total = F.avg("o_totalprice").over(w)
+    return (o.withColumn("_avg", avg_total)
+            .filter(F.col("o_totalprice") > F.col("_avg"))
+            # cust_avg itself is not projected: sum/n regularly lands on
+            # exact half-boundaries (n=2,4) where Spark's and DuckDB's
+            # double rounding legitimately disagree in the last digit
+            .select(F.col("o_orderkey").alias("orderkey"),
+                    F.col("o_custkey").alias("custkey"),
+                    F.round("o_totalprice", 2).alias("total")))
+
+
+SQL_ABOVE_AVG = """
+SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+       round(o_totalprice, 2) AS total
+FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+             avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM orders)
+WHERE o_totalprice > cust_avg
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -877,6 +1194,20 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "stream_tumbling_events": q_stream_tumbling_events,
+    "stream_sliding_events": q_stream_sliding_events,
+    "stream_session_events": q_stream_session_events,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "ivf_ann_top5": q_ivf_ann_top5,
+    "lsh_ann_top5": q_lsh_ann_top5,
+    "multimodal_features": q_multimodal_features,
+    "wrangle_array_ops": q_wrangle_array_ops,
+    "wrangle_map_ops": q_wrangle_map_ops,
+    "cube_orders": q_cube_orders,
+    "semi_join_customers": q_semi_join_customers,
+    "percentiles_by_segment": q_percentiles_by_segment,
+    "string_agg_priorities": q_string_agg_priorities,
+    "orders_above_cust_avg": q_orders_above_cust_avg,
 }
 
 _ORACLES: dict[str, str] = {
@@ -910,6 +1241,19 @@ _ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     # minhash_lsh_pairs / simhash_pairs: rows-only (xxhash64 not in DuckDB)
     "stream_tumbling_events": SQL_STREAM_TUMBLING,
+    "stream_sliding_events": SQL_STREAM_SLIDING,
+    "stream_session_events": SQL_STREAM_SESSION,
+    "embedding_near_dup": SQL_EMB_NEAR_DUP,
+    # embedding_near_dup_lsh / ivf_ann_top5 / lsh_ann_top5: approximate →
+    # rows-only; recall audited in tests/test_dedup_similarity.py
+    "multimodal_features": SQL_MULTIMODAL,
+    "wrangle_array_ops": SQL_WRANGLE_ARRAY,
+    "wrangle_map_ops": SQL_WRANGLE_MAP,
+    "cube_orders": SQL_CUBE,
+    "semi_join_customers": SQL_SEMI,
+    "percentiles_by_segment": SQL_PERCENTILES,
+    "string_agg_priorities": SQL_STRING_AGG,
+    "orders_above_cust_avg": SQL_ABOVE_AVG,
 }
 
 

@@ -42,7 +42,14 @@ HEADLINE = [
     "knn_cosine_top5",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "embedding_near_dup_lsh",
+    "ivf_ann_top5",
+    "lsh_ann_top5",
+    "multimodal_features",
+    "wrangle_array_ops",
+    "cube_orders",
     "stream_tumbling_events",
+    "stream_session_events",
 ]
 
 

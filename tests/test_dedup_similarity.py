@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from wrangle_pypes_spark.operators.dedup import (
+    embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_dup_pairs,
     ngram_jaccard_pairs,
@@ -15,6 +16,8 @@ from wrangle_pypes_spark.operators.dedup import (
 )
 from wrangle_pypes_spark.operators.similarity import (
     cosine_topk,
+    ivf_topk,
+    kmeans_fit,
     lsh_bucket_topk,
     normalize_embeddings,
 )
@@ -166,6 +169,60 @@ def test_lsh_topk_recall(spark, tables):
     # 4-bit multi-probe LSH on these near-random 64-dim vectors measures
     # ~0.85; the audit pins the floor so regressions are visible
     assert recall >= 0.7, f"LSH recall {recall:.2f} below floor"
+
+
+@pytest.fixture(scope="module")
+def emb_dup_corpus(spark, tables):
+    """embeddings plus perturbed near-identical copies (first component
+    shifted by +0.05 → cosine just below 1)."""
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    perturbed = F.concat(F.array(v[0] + F.lit(0.05)),
+                         F.slice(v, 2, F.size(v) - 1))
+    e2 = emb.select((F.col("vec_id") + 1000000).alias("vec_id"),
+                    perturbed.alias("embedding"))
+    return emb.select("vec_id",
+                      v.alias("embedding")).unionByName(e2).cache()
+
+
+def test_embedding_near_dup_exact_finds_planted(spark, emb_dup_corpus):
+    pairs = embedding_near_dup_pairs(emb_dup_corpus, "embedding",
+                                     id_col="vec_id", threshold=0.9,
+                                     method="exact")
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    n = emb_dup_corpus.count() // 2
+    planted = {(i, i + 1000000) for i in range(n)}
+    # every planted pair has cosine ~0.99+ -> all must be found
+    assert planted <= found
+
+
+def test_embedding_near_dup_lsh_recall(spark, emb_dup_corpus):
+    exact = embedding_near_dup_pairs(emb_dup_corpus, "embedding",
+                                     id_col="vec_id", threshold=0.9,
+                                     method="exact")
+    lsh = embedding_near_dup_pairs(emb_dup_corpus, "embedding",
+                                   id_col="vec_id", threshold=0.9,
+                                   method="lsh", n_planes=8)
+    t = {(r.id_a, r.id_b) for r in exact.collect()}
+    a = {(r.id_a, r.id_b) for r in lsh.collect()}
+    assert a <= t  # lsh never invents pairs (same verify filter)
+    recall = len(t & a) / len(t)
+    assert recall >= 0.6, f"embedding LSH recall {recall:.2f} below floor"
+
+
+def test_kmeans_deterministic_and_ivf_recall(spark, tables):
+    emb = tables["embeddings"].cache()
+    c1 = kmeans_fit(emb, "embedding", id_col="vec_id", k=8, iters=2)
+    c2 = kmeans_fit(emb, "embedding", id_col="vec_id", k=8, iters=2)
+    assert c1 == c2  # fully deterministic fit
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, q, id_col="vec_id", vec_col="embedding", k=5)
+    approx = ivf_topk(emb, q, id_col="vec_id", vec_col="embedding",
+                      k=5, n_centroids=8, n_probe=4, centroids=c1)
+    t = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(t & a) / len(t)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
 
 
 def test_normalize_embeddings(spark, tables):

@@ -15,6 +15,7 @@ from .relational import (
     unpivot,
 )
 from .dedup import (
+    embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_dup_pairs,
     minhash_signatures,
@@ -26,6 +27,8 @@ from .dedup import (
 )
 from .similarity import (
     cosine_topk,
+    ivf_topk,
+    kmeans_fit,
     lsh_bucket_topk,
     normalize_embeddings,
 )
@@ -37,6 +40,7 @@ __all__ = (
     "sessionize",
     "topk_per_group",
     "unpivot",
+    "embedding_near_dup_pairs",
     "exact_dedup",
     "minhash_signatures",
     "minhash_lsh_dup_pairs",
@@ -46,6 +50,8 @@ __all__ = (
     "simhash_dup_pairs",
     "simhash_signatures",
     "cosine_topk",
+    "ivf_topk",
+    "kmeans_fit",
     "lsh_bucket_topk",
     "normalize_embeddings",
 )
