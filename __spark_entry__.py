@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from wrangle_pypes_spark import (
     Cast,
     Create,
+    CreateMultiple,
     Default,
     Expr,
     Filter,
@@ -1065,6 +1066,57 @@ FROM events
 """
 
 
+@dataclass
+class LineM:
+    ln: int
+    qty: int
+
+
+@dataclass
+class OrderLinesM:
+    orderkey: int
+    n_items: int
+    items_str: str
+
+
+def q_wrangle_create_multiple(spark, sf_dir):
+    """Group E (CreateMultiple): build a list of child models per order
+    from collected lineitems, then flatten to oracle-comparable scalars
+    (sorted 'ln:qty' pairs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    grouped = (li.groupBy("l_orderkey")
+               .agg(F.collect_list(F.struct(
+                   F.col("l_linenumber").alias("ln"),
+                   F.col("l_quantity").cast("bigint").alias("qty")))
+                    .alias("items")))
+    items = Get("items") | CreateMultiple(LineM)
+    p = Pipeline({
+        OrderLinesM: {
+            "orderkey": Get("l_orderkey"),
+            "n_items": items | Expr(lambda c: F.size(c).cast("long")),
+            "items_str": items | Expr(lambda c: F.concat_ws(",", F.transform(
+                F.sort_array(c),
+                lambda s: F.concat_ws(":", s.getField("ln").cast("string"),
+                                      s.getField("qty").cast("string"))))),
+        },
+        LineM: {"ln": Get("ln"), "qty": Get("qty")},
+    })
+    return p.create_multiple(OrderLinesM, grouped)
+
+
+SQL_WRANGLE_CREATE_MULTIPLE = """
+WITH g AS (
+  SELECT l_orderkey AS orderkey,
+         list_sort(list(struct_pack(ln := l_linenumber,
+                                    qty := l_quantity::BIGINT))) AS items
+  FROM lineitem GROUP BY l_orderkey)
+SELECT orderkey, len(items)::BIGINT AS n_items,
+       array_to_string(list_transform(items, s -> concat(s.ln, ':', s.qty)),
+                       ',') AS items_str
+FROM g
+"""
+
+
 # --- relational widening ----------------------------------------------------
 
 def q_cube_orders(spark, sf_dir):
@@ -1203,6 +1255,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "wrangle_array_ops": q_wrangle_array_ops,
     "wrangle_map_ops": q_wrangle_map_ops,
+    "wrangle_create_multiple": q_wrangle_create_multiple,
     "cube_orders": q_cube_orders,
     "semi_join_customers": q_semi_join_customers,
     "percentiles_by_segment": q_percentiles_by_segment,
@@ -1249,6 +1302,7 @@ _ORACLES: dict[str, str] = {
     "multimodal_features": SQL_MULTIMODAL,
     "wrangle_array_ops": SQL_WRANGLE_ARRAY,
     "wrangle_map_ops": SQL_WRANGLE_MAP,
+    "wrangle_create_multiple": SQL_WRANGLE_CREATE_MULTIPLE,
     "cube_orders": SQL_CUBE,
     "semi_join_customers": SQL_SEMI,
     "percentiles_by_segment": SQL_PERCENTILES,

@@ -1,0 +1,65 @@
+"""Source/sink round-trips: partitioned parquet layout, partition
+pruning on read-back, jsonl/csv interchange."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from wrangle_pypes_spark.sources import (
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+
+
+def test_partitioned_parquet_roundtrip_and_pruning(spark, tables, tmp_path):
+    out = str(tmp_path / "orders_by_status")
+    o = tables["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+    write_parquet(o, out, partition_by=["o_orderstatus"],
+                  sort_by=["o_orderkey"])
+
+    # hive layout on disk: one dir per status value
+    dirs = {os.path.basename(p) for p in glob.glob(f"{out}/o_orderstatus=*")}
+    statuses = {r.o_orderstatus for r in
+                o.select("o_orderstatus").distinct().collect()}
+    assert dirs == {f"o_orderstatus={s}" for s in statuses}
+
+    back = spark.read.parquet(out)
+    assert back.count() == o.count()
+
+    # partition filter must prune at plan time: the scan's PartitionFilters
+    # carry the predicate and fewer files are read
+    plan = back.filter(F.col("o_orderstatus") == "F") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_target_file_rows_controls_file_count(spark, tables, tmp_path):
+    out = str(tmp_path / "sized")
+    o = tables["orders"].select("o_orderkey", "o_totalprice")
+    n = o.count()
+    write_parquet(o, out, target_file_rows=max(1, n // 4))
+    files = glob.glob(f"{out}/*.parquet")
+    assert 3 <= len(files) <= 5  # ~4 files, AQE may coalesce +-1
+
+
+def test_jsonl_roundtrip(spark, tables, tmp_path):
+    out = str(tmp_path / "j")
+    d = tables["documents"].select("doc_id", "lang")
+    write_json(d, out)
+    back = read_jsonl(spark, out, schema="doc_id bigint, lang string")
+    assert sorted((r.doc_id, r.lang) for r in back.collect()) == \
+           sorted((r.doc_id, r.lang) for r in d.collect())
+
+
+def test_csv_roundtrip(spark, tables, tmp_path):
+    out = str(tmp_path / "c")
+    d = tables["nation"].select("n_nationkey", "n_name")
+    write_csv(d, out)
+    back = read_csv(spark, out, schema="n_nationkey bigint, n_name string")
+    assert sorted((r.n_nationkey, r.n_name) for r in back.collect()) == \
+           sorted((r.n_nationkey, r.n_name) for r in d.collect())

@@ -108,7 +108,8 @@ def minhash_signatures(df: DataFrame, text_col: str, *, id_col: str,
 def minhash_lsh_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
                           num_hashes: int = 64, bands: int = 16,
                           shingle_n: int = 3,
-                          jaccard_threshold: float = 0.8) -> DataFrame:
+                          jaccard_threshold: float = 0.8,
+                          persist: bool = True) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard) via MinHash LSH.
 
     Pipeline: signatures -> split into ``bands`` -> explode one row per
@@ -120,6 +121,13 @@ def minhash_lsh_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
     ``bands`` (small constant).  The verify step re-compares only
     candidate pairs.  This is the standard 100 TB dedup topology
     (e.g. the C4/RefinedWeb recipes).
+
+    ``persist`` materializes the banded signature table before the
+    self-join: Spark does not reuse the exchange across the two join
+    sides, so without it the whole shingle->hash->aggregate pipeline
+    runs TWICE (measured 2x wall).  Signatures are ~0.1% of corpus
+    bytes, so persisting them is the right call at any scale (at 100 TB
+    you would write them to a table and join from there).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col=id_col,
@@ -134,6 +142,8 @@ def minhash_lsh_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
             for b in range(bands)
         ])).alias("lsh"),
     ).select(id_col, "signature", "lsh.band", "lsh.bhash")
+    if persist:
+        banded = banded.persist()
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -162,7 +172,8 @@ def minhash_lsh_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, *, id_col: str,
                         shingle_n: int = 3,
                         threshold: float = 0.5,
-                        prefilter_tokens: int = 2) -> DataFrame:
+                        prefilter_tokens: int = 2,
+                        persist: bool = True) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs above ``threshold``.
 
     Candidate generation uses a token-prefix blocking key (the
@@ -176,6 +187,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, *, id_col: str,
                      F.slice(tokens_col(F.col(text_col)), 1,
                              prefilter_tokens).alias("_block"))
     base = base.withColumn("_bkey", F.concat_ws(" ", F.col("_block")))
+    if persist:  # shingle sets are recomputed per join side otherwise
+        base = base.persist()
     a, b = base.alias("a"), base.alias("b")
     cand = a.join(b, (F.col("a._bkey") == F.col("b._bkey")) &
                      (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")), "inner")
@@ -292,6 +305,7 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, *, id_col: str,
         base = df.select(F.col(id_col).alias("_id"),
                          F.col(vec_col).alias("_v"),
                          lsh_code_expr(F.col(vec_col), planes).alias("_code"))
+        base = base.persist()  # avoid recomputing codes per join side
         a, b = base.alias("a"), base.alias("b")
         cand = (a.join(b, (F.col("a._code") == F.col("b._code")) &
                           (F.col("a._id") < F.col("b._id")), "inner"))
@@ -306,7 +320,7 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, *, id_col: str,
 
 def simhash_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
                       shingle_n: int = 2, max_hamming: int = 3,
-                      chunks: int = 4) -> DataFrame:
+                      chunks: int = 4, persist: bool = True) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
 
     Pigeonhole blocking: split the 64-bit hash into ``chunks`` chunks —
@@ -316,6 +330,8 @@ def simhash_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
     """
     width = 64 // chunks
     h = simhash_signatures(df, text_col, id_col=id_col, shingle_n=shingle_n)
+    if persist:  # one 8-byte hash per doc; avoids 2x signature compute
+        h = h.persist()
     chunk_arr = F.array(*[
         F.struct(F.lit(c).alias("c"),
                  F.shiftright(F.col("simhash"), c * width)

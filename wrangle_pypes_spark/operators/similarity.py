@@ -20,6 +20,8 @@ from __future__ import annotations
 import math
 from typing import Optional, Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -114,23 +116,28 @@ def lsh_code_expr(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
     return code
 
 
-def _sq_dist(vec: Column, centroid: Sequence[float]) -> Column:
-    c = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(F.transform(vec, lambda x: x.cast("double")), c,
-                   lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda acc, x: acc + x)
+def _nearest_cells_udf(centroids: Sequence[Sequence[float]], n_probe: int = 1):
+    """Arrow-vectorized assignment: the ``n_probe`` nearest centroid ids
+    per vector, squared-L2, ties broken by centroid id (stable sort).
 
+    This is a deliberate pandas-UDF: the pure-expression formulation
+    (k centroid-literal arrays x zip_with/aggregate lambdas) builds a
+    k*dim-literal tree that costs seconds of driver analysis PER PLAN
+    and runs interpreted per row; one numpy matmul per Arrow batch is
+    both the faster and the smaller plan.  Batch math is
+    ``||x-c||^2 = ||c||^2 - 2 x.c  (+ ||x||^2, rank-invariant)``.
+    """
+    C = np.asarray(centroids, dtype=np.float64)           # k x d
+    c2 = (C * C).sum(axis=1)                              # k
 
-def _nearest_centroids_expr(vec: Column, centroids: Sequence[Sequence[float]],
-                            n_probe: int = 1) -> Column:
-    """array of the ``n_probe`` nearest centroid ids (int), by squared
-    L2, deterministic tie-break on centroid id (struct sort order)."""
-    scored = F.array(*[
-        F.named_struct(F.lit("d"), _sq_dist(vec, c), F.lit("cid"), F.lit(i))
-        for i, c in enumerate(centroids)])
-    ranked = F.slice(F.sort_array(scored), 1, n_probe)
-    return F.transform(ranked, lambda s: s.getField("cid"))
+    @F.pandas_udf("array<int>")
+    def assign(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)     # n x d
+        d2 = c2[None, :] - 2.0 * (X @ C.T)                # n x k
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    return assign
 
 
 def kmeans_fit(df: DataFrame, vec_col: str, *, id_col: str,
@@ -152,8 +159,9 @@ def kmeans_fit(df: DataFrame, vec_col: str, *, id_col: str,
                  .orderBy("_r").limit(k).collect())
     centroids = [[float(x) for x in r["_v"]] for r in init_rows]
     for _ in range(iters):
+        assign = _nearest_cells_udf(centroids, 1)
         assigned = df.select(
-            _nearest_centroids_expr(F.col(vec_col), centroids)[0].alias("_cid"),
+            assign(F.col(vec_col))[0].alias("_cid"),
             F.posexplode(F.transform(F.col(vec_col),
                                      lambda x: x.cast("double")))
              .alias("_pos", "_x"))
@@ -191,13 +199,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
     if centroids is None:
         centroids = kmeans_fit(corpus, vec_col, id_col=id_col,
                                k=n_centroids, iters=iters, seed=seed)
+    assign1 = _nearest_cells_udf(centroids, 1)
+    assign_p = _nearest_cells_udf(centroids, n_probe)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"),
-        _nearest_centroids_expr(F.col(vec_col), centroids)[0].alias("_cell"))
+        assign1(F.col(vec_col))[0].alias("_cell"))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"),
-        F.explode(_nearest_centroids_expr(F.col(vec_col), centroids,
-                                          n_probe)).alias("_cell"))
+        F.explode(assign_p(F.col(vec_col))).alias("_cell"))
     cand = c.join(q, "_cell", "inner").filter(
         F.col("neighbor_id") != F.col("query_id"))
     scored = cand.select(

@@ -7,6 +7,8 @@ engine's conventions (explicit schemas, star-schema loading, JSON-string
 payload parsing for dynamic columns).
 """
 
-from .tables import TABLES, load_star_schema, load_table, parse_json_col, read_jsonl
+from .sinks import write_csv, write_json, write_parquet
+from .tables import TABLES, load_star_schema, load_table, parse_json_col, read_csv, read_jsonl
 
-__all__ = ("TABLES", "load_star_schema", "load_table", "parse_json_col", "read_jsonl")
+__all__ = ("TABLES", "load_star_schema", "load_table", "parse_json_col",
+           "read_csv", "read_jsonl", "write_csv", "write_json", "write_parquet")

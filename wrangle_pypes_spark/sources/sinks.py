@@ -1,0 +1,61 @@
+"""Sink surface: materialize DataFrames back to columnar storage.
+
+The reference has NO sinks — model instances are yielded to the caller
+and any persistence goes through the user ``lookup`` callable
+(reference ``pipeline.py:33``; SURVEY.md section 2.2 "Sinks").  A scale
+engine needs real ones.  Everything here is the plain DataFrameWriter
+under deliberate defaults:
+
+* **Partitioned layout** (``partition_by``): directory-level partition
+  pruning for every downstream reader — the single highest-leverage
+  layout decision at 100 TB.
+* **File sizing** (``target_file_rows``): many small files kill scan
+  planning (driver-side listing) and shuffle; too few kill parallelism.
+  Callers set rows-per-file from row width; we repartition to match.
+* **Sorted-within-partition** (``sort_by``): min/max page statistics in
+  parquet footers become selective → row-group skipping for range
+  predicates on the sort key, at zero read-time cost.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, *,
+                  mode: str = "overwrite",
+                  partition_by: Sequence[str] = (),
+                  sort_by: Sequence[str] = (),
+                  target_file_rows: Optional[int] = None,
+                  compression: str = "zstd") -> None:
+    """Write ``df`` as a (optionally hive-partitioned) parquet table."""
+    out = df
+    if target_file_rows is not None:
+        n = df.count()
+        parts = max(1, -(-n // target_file_rows))  # ceil
+        out = (out.repartition(parts, *partition_by) if partition_by
+               else out.repartition(parts))
+    elif partition_by:
+        # co-locate rows of one partition value into one task → one file
+        # per partition dir instead of tasks x partitions small files
+        out = out.repartition(*partition_by)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    writer = out.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_json(df: DataFrame, path: str, *, mode: str = "overwrite",
+               compression: str = "gzip") -> None:
+    """JSON-lines sink (interchange format; parquet is the scale path)."""
+    df.write.mode(mode).option("compression", compression).json(path)
+
+
+def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite",
+              header: bool = True, compression: str = "gzip") -> None:
+    df.write.mode(mode).option("header", str(header).lower()) \
+        .option("compression", compression).csv(path)
