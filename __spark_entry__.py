@@ -70,6 +70,7 @@ from wrangle_pypes_spark.streaming import (
     run_available_now_to_memory,
     session_window_agg,
     sliding_window_agg,
+    stateful_running_counts,
     stream_events,
 )
 
@@ -909,6 +910,27 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_stream_stateful_counts(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running (count, sum) across micro-batches; the drained final state
+    equals the batch groupBy — which is the oracle."""
+    ev = stream_events(spark, sf_dir)
+    out = stateful_running_counts(ev)
+    table = run_available_now_to_memory(out, "stream_stateful_out",
+                                        output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (table.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1))
+    return final.select("user_id", "n_events",
+                        F.round("total_value", 2).alias("total_value"))
+
+
+SQL_STREAM_STATEFUL = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 # --- embedding near-dup + ANN ---------------------------------------------
 
 def _emb_dup_corpus(spark, sf_dir):
@@ -1248,6 +1270,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tumbling_events": q_stream_tumbling_events,
     "stream_sliding_events": q_stream_sliding_events,
     "stream_session_events": q_stream_session_events,
+    "stream_stateful_counts": q_stream_stateful_counts,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "ivf_ann_top5": q_ivf_ann_top5,
@@ -1296,6 +1319,7 @@ _ORACLES: dict[str, str] = {
     "stream_tumbling_events": SQL_STREAM_TUMBLING,
     "stream_sliding_events": SQL_STREAM_SLIDING,
     "stream_session_events": SQL_STREAM_SESSION,
+    "stream_stateful_counts": SQL_STREAM_STATEFUL,
     "embedding_near_dup": SQL_EMB_NEAR_DUP,
     # embedding_near_dup_lsh / ivf_ann_top5 / lsh_ann_top5: approximate →
     # rows-only; recall audited in tests/test_dedup_similarity.py

@@ -82,6 +82,31 @@ def test_session_window_stream(spark, sf_dir):
     assert all(r["n"] >= 1 for r in rows)
 
 
+def test_stateful_running_counts_matches_batch(spark, sf_dir, tables):
+    from wrangle_pypes_spark.streaming import (
+        run_available_now_to_memory,
+        stateful_running_counts,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    out = stateful_running_counts(ev)
+    table = run_available_now_to_memory(out, "stateful_counts_out",
+                                        output_mode="update")
+    # final state per key = the update row with the largest n_events
+    # (counts are monotone; update mode may emit one row per micro-batch)
+    import pyspark.sql.functions as F
+    got = {}
+    for r in table.collect():
+        if r.user_id not in got or r.n_events > got[r.user_id][0]:
+            got[r.user_id] = (r.n_events, round(r.total_value, 2))
+    batch = {r.user_id: (r.n, round(r.s, 2)) for r in
+             tables["events"].groupBy("user_id")
+             .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+             .collect()}
+    assert got == batch
+
+
 def test_foreach_batch_get_or_create(spark, sf_dir, tables):
     from dataclasses import dataclass
 

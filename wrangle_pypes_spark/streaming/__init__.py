@@ -7,6 +7,7 @@ Streaming is the engine's answer to the same use-case: incremental
 processing with event-time semantics.
 """
 
+from .stateful import stateful_running_counts
 from .windows import (
     run_available_now_to_memory,
     session_window_agg,
@@ -21,6 +22,7 @@ __all__ = (
     "tumbling_window_agg",
     "sliding_window_agg",
     "session_window_agg",
+    "stateful_running_counts",
     "run_available_now_to_memory",
     "foreach_batch_get_or_create",
 )
