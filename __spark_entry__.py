@@ -629,6 +629,155 @@ FROM events a JOIN events b
 """
 
 
+# --- TPC-H-pattern relational coverage --------------------------------------
+
+def q_q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter((F.col("l_shipdate") >= F.lit("1996-01-01")) &
+                  (F.col("l_shipdate") < F.lit("1997-01-01")) &
+                  F.col("l_discount").between(0.05, 0.07) &
+                  (F.col("l_quantity") < 24))
+    return f.agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_lines"))
+
+
+SQL_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_q4_late_order_priority(spark, sf_dir):
+    """EXISTS-style semi join with a non-equi condition (line shipped
+    >30 days after order date), counted per priority."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = ((o.o_orderkey == li.l_orderkey) &
+            (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")))
+    late = o.join(li, cond, "left_semi")
+    return (late.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.count("*").alias("n_orders")))
+
+
+SQL_Q4 = """
+SELECT o_orderpriority AS priority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_q12_late_lines_by_flag(spark, sf_dir):
+    """Conditional aggregation (CASE inside SUM) over a join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 15 DAYS"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (j.groupBy(F.col("l_returnflag").alias("returnflag"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
+
+
+SQL_Q12 = """
+SELECT l_returnflag AS returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 15 DAY
+GROUP BY l_returnflag
+"""
+
+
+def q_q14_promo_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01")) &
+        (F.col("l_shipdate") < F.lit("1996-09-01")))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return j.agg(F.round(F.lit(100.0) * F.sum(promo) / F.sum(disc), 4)
+                 .alias("promo_pct"))
+
+
+SQL_Q14 = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-09-01'
+"""
+
+
+def q_q18_large_volume_orders(spark, sf_dir):
+    """HAVING-filtered aggregate joined back to its fact dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("_sum_qty"))
+           .filter(F.col("_sum_qty") > 150))
+    j = (big.join(o, big.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    return j.select(F.col("c_custkey").alias("custkey"),
+                    F.col("o_orderkey").alias("orderkey"),
+                    F.col("o_orderdate").alias("orderdate"),
+                    F.round("o_totalprice", 2).alias("totalprice"),
+                    F.round("_sum_qty", 2).alias("sum_qty"))
+
+
+SQL_Q18 = """
+SELECT c_custkey AS custkey, o_orderkey AS orderkey,
+       o_orderdate AS orderdate, round(o_totalprice, 2) AS totalprice,
+       round(sum_qty, 2) AS sum_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) b
+JOIN orders ON b.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_q19_bracketed_revenue(spark, sf_dir):
+    """OR-of-ANDs predicate (brand/size/quantity brackets) — the classic
+    pushdown-through-join shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) &
+         F.col("l_quantity").between(1, 20)) |
+        ((F.col("p_brand") == "Brand#25") & F.col("p_size").between(10, 30) &
+         F.col("l_quantity").between(10, 30)))
+    return (j.filter(cond)
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
+SQL_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#25' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+"""
+
+
 # --- LLM-data ops ----------------------------------------------------------
 
 def _dup_corpus(spark, sf_dir):
@@ -1243,6 +1392,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_topk_revenue": q_q3_topk_revenue,
     "q5_revenue_by_nation": q_q5_revenue_by_nation,
+    "q4_late_order_priority": q_q4_late_order_priority,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
+    "q14_promo_revenue": q_q14_promo_revenue,
+    "q18_large_volume_orders": q_q18_large_volume_orders,
+    "q19_bracketed_revenue": q_q19_bracketed_revenue,
     "customers_without_orders": q_customers_without_orders,
     "topk_orders_per_customer": q_topk_orders_per_customer,
     "window_running_total": q_window_running_total,
@@ -1293,6 +1448,12 @@ _ORACLES: dict[str, str] = {
     "q1_pricing_summary": SQL_Q1,
     "q3_topk_revenue": SQL_Q3,
     "q5_revenue_by_nation": SQL_Q5,
+    "q4_late_order_priority": SQL_Q4,
+    "q6_forecast_revenue": SQL_Q6,
+    "q12_late_lines_by_flag": SQL_Q12,
+    "q14_promo_revenue": SQL_Q14,
+    "q18_large_volume_orders": SQL_Q18,
+    "q19_bracketed_revenue": SQL_Q19,
     "customers_without_orders": SQL_ANTI,
     "topk_orders_per_customer": SQL_TOPK,
     "window_running_total": SQL_RUNNING,

@@ -1,0 +1,106 @@
+"""Physical-plan audits: the scale properties the engine promises are
+asserted here so they cannot silently regress — UDF-free hot paths,
+scan-level filter pushdown, column pruning, broadcast of small dims
+(SURVEY.md section 4.2; every check reads `.explain("formatted")`).
+"""
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# queries whose plans must stay entirely JVM-side (no Python eval nodes).
+# Excluded by design: multimodal_features (mapInPandas decode plumbing),
+# ivf_ann_top5 (numpy cell assignment), stream_* (streaming sinks).
+PURE_JVM_QUERIES = [
+    "wrangle_flat_orders",
+    "wrangle_nested_customer",
+    "wrangle_array_ops",
+    "wrangle_map_ops",
+    "wrangle_create_multiple",
+    "q1_pricing_summary",
+    "q3_topk_revenue",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q19_bracketed_revenue",
+    "topk_orders_per_customer",
+    "asof_latest_order_per_event",
+    "range_join_event_pairs",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "knn_cosine_top5",
+    "embedding_near_dup",
+    "text_stats",
+    "lang_id",
+]
+
+
+@pytest.mark.parametrize("name", PURE_JVM_QUERIES)
+def test_no_python_eval_in_hot_path(spark, sf_dir, name):
+    df = entrymod.queries()[name](spark, sf_dir)
+    p = plan_of(df)
+    assert "BatchEvalPython" not in p, f"{name}: row-at-a-time python UDF"
+    assert "ArrowEvalPython" not in p, f"{name}: pandas UDF in pure-JVM query"
+    assert "MapInPandas" not in p, f"{name}: mapInPandas in pure-JVM query"
+
+
+def test_q6_filter_pushdown_and_pruning(spark, sf_dir):
+    """Filters must reach the parquet scan; ReadSchema must be pruned to
+    the referenced columns (not the full 11-column lineitem)."""
+    df = entrymod.queries()["q6_forecast_revenue"](spark, sf_dir)
+    p = plan_of(df)
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert pushed and "l_quantity" in pushed.group(1), p
+    read = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert read is not None
+    cols = {c.split(":")[0] for c in read.group(1).split(",") if c}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity",
+                    "l_extendedprice"}, cols
+
+
+def test_broadcast_joins_used_for_small_dims(spark, sf_dir):
+    for name in ("q5_revenue_by_nation", "q14_promo_revenue",
+                 "wrangle_nested_customer"):
+        p = plan_of(entrymod.queries()[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in p, f"{name} lost its broadcast join"
+
+
+def test_semi_anti_join_operators(spark, sf_dir):
+    p = plan_of(entrymod.queries()["semi_join_customers"](spark, sf_dir))
+    assert "LeftSemi" in p
+    p = plan_of(entrymod.queries()["customers_without_orders"](spark, sf_dir))
+    assert "LeftAnti" in p
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    """q1 must plan partial (map-side) + final hash aggregation around a
+    single exchange — the shape that scales."""
+    p = plan_of(entrymod.queries()["q1_pricing_summary"](spark, sf_dir))
+    n_agg = len(re.findall(r"\(\d+\) HashAggregate", p))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_agg == 2, f"expected partial+final agg, got {n_agg}"
+    assert n_ex == 1, f"expected single shuffle, got {n_ex}"
+
+
+def test_wrangle_compiles_to_single_projection(spark, sf_dir):
+    """The whole flat wrangle pipeline must be ONE codegen'd Project over
+    the scan — no shuffle, no python."""
+    df = entrymod.queries()["wrangle_flat_orders"](spark, sf_dir)
+    p = plan_of(df)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0
+    # formatted mode marks fused stages with "[codegen id : N]"
+    assert "codegen id" in p
+    assert len(re.findall(r"\(\d+\) Project", p)) == 1
