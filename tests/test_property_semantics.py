@@ -1,0 +1,109 @@
+"""Property-style oracle (SURVEY.md section 5.2.5): random records run
+through the Spark engine must match a ~40-line in-process Python
+interpreter implementing the PINNED intended semantics of section 2.3
+(the reference code itself is too buggy to be the oracle):
+
+* ``Get`` with default: missing key -> default, present-None -> None.
+* ``Default``: Python-truthiness replacement (None/0/""/[] replaced).
+* ``Filter``: per-element predicate.
+* ``Map``: per-element function.
+
+One Spark job per hypothesis example is expensive, so each example is a
+BATCH of records (the whole batch is one DataFrame).
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wrangle_pypes_spark import Default, Expr, Filter, Get, Map, Pipeline
+
+
+@dataclass
+class OutM:
+    a_filled: int
+    b_filled: str
+    c_doubled: Optional[list]
+    d_x: int
+    d_y: Optional[int]
+
+
+SCHEMA = T.StructType([
+    T.StructField("a", T.LongType(), True),
+    T.StructField("b", T.StringType(), True),
+    T.StructField("c", T.ArrayType(T.LongType(), False), True),
+    T.StructField("d", T.MapType(T.StringType(), T.LongType(), True), True),
+])
+
+
+def build_pipeline() -> Pipeline:
+    return Pipeline(strict=False, transformations={OutM: {
+        "a_filled": Get("a") | Default(99),
+        "b_filled": Get("b") | Default("?"),
+        "c_doubled": Get("c") | Filter(lambda x: x > 0) | Map(lambda x: x * 2),
+        "d_x": Get("d") | Get("x", default=-1),
+        "d_y": Get("d") | Get("y", default=None),  # None = NO default (2.3.3)
+    }})
+
+
+def interpret(rec: dict):
+    """The pinned-semantics reference interpreter."""
+    def get(data, key, default, has_default):
+        if data is None:
+            return None
+        if key in data:
+            return data[key]
+        if has_default:
+            return default
+        raise KeyError(key)
+
+    a = rec["a"]
+    b = rec["b"]
+    c = rec["c"]
+    d = rec["d"]
+    return (
+        a if a else 99,                                   # Default truthiness
+        b if b else "?",
+        None if c is None else [x * 2 for x in c if x > 0],
+        get(d, "x", -1, True),
+        None,  # placeholder; d_y handled by caller (may raise)
+    )
+
+
+records = st.fixed_dictionaries({
+    "a": st.one_of(st.none(), st.integers(-5, 5)),
+    "b": st.one_of(st.none(), st.sampled_from(["", "hi", "x y", "0"])),
+    "c": st.one_of(st.none(), st.lists(st.integers(-4, 4), max_size=5)),
+    "d": st.one_of(st.none(), st.dictionaries(
+        st.sampled_from(["x", "y", "z"]),
+        st.one_of(st.none(), st.integers(-3, 3)), max_size=3)),
+})
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(batch=st.lists(records, min_size=1, max_size=12))
+def test_engine_matches_reference_interpreter(spark, batch):
+    df = spark.createDataFrame(
+        [(r["a"], r["b"], r["c"], r["d"]) for r in batch], SCHEMA)
+    out = build_pipeline().create_multiple(OutM, df)
+    got = [(r.a_filled, r.b_filled,
+            None if r.c_doubled is None else list(r.c_doubled),
+            r.d_x, r.d_y) for r in out.collect()]
+
+    expected = []
+    for rec in batch:
+        a_f, b_f, c_d, d_x, _ = interpret(rec)
+        d = rec["d"]
+        # Get("y") with NO default on a map: strict raises on missing;
+        # lenient (strict=False) nulls out — this test runs lenient
+        d_y = d.get("y") if d else None
+        expected.append((a_f, b_f, c_d, d_x, d_y))
+
+    key = lambda t: tuple((v is None, v if not isinstance(v, list) else tuple(v))
+                          for v in t)  # noqa: E731
+    assert sorted(got, key=key) == sorted(expected, key=key)

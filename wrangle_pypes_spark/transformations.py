@@ -388,8 +388,13 @@ class Get(Transformation):
         # --- map input ----------------------------------------------------
         if isinstance(dtype, T.MapType):
             if has_default:
-                out = F.when(F.map_contains_key(col, F.lit(self.key)),
-                             col.getItem(self.key)).otherwise(F.lit(self.default))
+                # default fills MISSING keys only; a null container
+                # propagates null (null-in/null-out, like every Spark op)
+                out = F.when(col.isNull(),
+                             F.lit(None).cast(dtype.valueType)) \
+                    .when(F.map_contains_key(col, F.lit(self.key)),
+                          col.getItem(self.key)) \
+                    .otherwise(F.lit(self.default))
                 return out, dtype.valueType
             if ctx.strict:
                 return F.element_at(col, F.lit(self.key)), dtype.valueType
@@ -403,8 +408,10 @@ class Get(Transformation):
             if has_default:
                 in_bounds = (F.size(col) > F.lit(idx)) if idx >= 0 else \
                             (F.size(col) >= F.lit(-idx))
-                out = F.when(in_bounds, F.try_element_at(col, F.lit(pos))
-                             ).otherwise(F.lit(self.default))
+                out = F.when(col.isNull(),
+                             F.lit(None).cast(dtype.elementType)) \
+                    .when(in_bounds, F.try_element_at(col, F.lit(pos))) \
+                    .otherwise(F.lit(self.default))
                 return out, dtype.elementType
             getter = F.element_at if ctx.strict else F.try_element_at
             return getter(col, F.lit(pos)), dtype.elementType
