@@ -56,6 +56,7 @@ from wrangle_pypes_spark.operators.multimodal import (
 from wrangle_pypes_spark.operators.relational import (
     asof_join,
     bucketed_range_join,
+    salted_join,
     sessionize,
     topk_per_group,
     unpivot,
@@ -778,6 +779,39 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 """
 
 
+def q_salted_join_revenue(spark, sf_dir):
+    """Skew-salted join must produce exactly the plain join's answer —
+    the oracle is the unsalted SQL."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice",
+                                              "l_discount")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    j = salted_join(li, o, "l_orderkey", salt=8)
+    return (j.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
+SQL_SALTED = """
+SELECT o_orderpriority AS priority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_approx_distinct_users(spark, sf_dir):
+    """HLL sketch per event_type; approximate by design → rows-only
+    (cross-engine HLL values differ); accuracy vs exact is pinned in
+    tests/test_relational.py."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+                 F.count("*").alias("n")))
+
+
 # --- LLM-data ops ----------------------------------------------------------
 
 def _dup_corpus(spark, sf_dir):
@@ -1439,6 +1473,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentiles_by_segment": q_percentiles_by_segment,
     "string_agg_priorities": q_string_agg_priorities,
     "orders_above_cust_avg": q_orders_above_cust_avg,
+    "salted_join_revenue": q_salted_join_revenue,
+    "approx_distinct_users": q_approx_distinct_users,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1493,6 +1529,8 @@ _ORACLES: dict[str, str] = {
     "percentiles_by_segment": SQL_PERCENTILES,
     "string_agg_priorities": SQL_STRING_AGG,
     "orders_above_cust_avg": SQL_ABOVE_AVG,
+    "salted_join_revenue": SQL_SALTED,
+    # approx_distinct_users: HLL values are engine-specific → rows-only
 }
 
 

@@ -113,3 +113,45 @@ def test_unpivot(spark):
     out = unpivot(df, ["id"], ["a", "b"])
     got = sorted((r.variable, r.value) for r in out.collect())
     assert got == [("a", 2.0), ("b", 3.0)]
+
+
+def test_salted_join_equals_plain_join(spark, tables):
+    from wrangle_pypes_spark.operators.relational import salted_join
+
+    li = tables["lineitem"].select("l_orderkey", "l_quantity")
+    o = tables["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    salted = salted_join(li, o, "l_orderkey", salt=4)
+    plain = li.join(o, "l_orderkey")
+    a = sorted((r.l_orderkey, r.l_quantity, r.o_orderpriority)
+               for r in salted.collect())
+    b = sorted((r.l_orderkey, r.l_quantity, r.o_orderpriority)
+               for r in plain.collect())
+    assert a == b
+
+    # the join key must actually include the salt (that is the point)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    from wrangle_pypes_spark.operators.relational import salted_join
+
+    l = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    r = spark.createDataFrame([(1, "x")], "k long, w string")
+    out = salted_join(l, r, "k", salt=3, how="left")
+    got = sorted((row.k, row.w) for row in out.collect())
+    assert got == [(1, "x"), (2, None)]
+
+
+def test_approx_count_distinct_accuracy(spark, tables):
+    e = tables["events"]
+    approx = {r.event_type: r.a for r in
+              e.groupBy("event_type")
+              .agg(F.approx_count_distinct("user_id", 0.02).alias("a"))
+              .collect()}
+    exact = {r.event_type: r.x for r in
+             e.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("x")).collect()}
+    for k, x in exact.items():
+        assert abs(approx[k] - x) / max(x, 1) < 0.05, (k, approx[k], x)

@@ -10,6 +10,7 @@ from .relational import (
     asof_join,
     bucketed_range_join,
     pivot_table,
+    salted_join,
     sessionize,
     topk_per_group,
     unpivot,
@@ -37,6 +38,7 @@ __all__ = (
     "asof_join",
     "bucketed_range_join",
     "pivot_table",
+    "salted_join",
     "sessionize",
     "topk_per_group",
     "unpivot",

@@ -161,6 +161,30 @@ def bucketed_range_join(left: DataFrame, right: DataFrame, on: str,
         *[F.col(f"_r.{c}").alias(c) for c in right.columns if c != on])
 
 
+def salted_join(left: DataFrame, right: DataFrame, on: str, *,
+                salt: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join with key salting for a skewed LEFT key distribution.
+
+    A hot key sends all its rows to one reducer; salting splits it:
+    every left row gets a deterministic salt in ``[0, salt)`` (hash of
+    the full row, so re-runs are stable), the right side is replicated
+    ``salt`` times, and the join key becomes ``(key, salt)`` — the hot
+    key's rows now spread over ``salt`` tasks.  Cost: right side
+    shuffles ``salt``x (use for skewed-left x small-right shapes; AQE's
+    skew-join handles the symmetric case).  Results are identical to the
+    plain join — the oracle query asserts exactly that.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (the skewed-left shapes)")
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                   F.lit(salt)).cast("int")
+    l = left.withColumn("_salt", lsalt)
+    r = right.withColumn("_salt", F.explode(
+        F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<int>")))
+    out = l.join(r, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
 def pivot_table(df: DataFrame, group_cols: Sequence[str], pivot_col: str,
                 values: Sequence, agg: Column) -> DataFrame:
     """Pivot with an explicit value list.
