@@ -25,13 +25,17 @@ from pyspark.sql import functions as F
 
 from wrangle_pypes_spark import (
     Cast,
+    Constant,
     Create,
     CreateMultiple,
     Default,
     Expr,
     Filter,
+    Flatten,
+    Gather,
     Get,
     GetKeys,
+    If,
     Map,
     Pipeline,
 )
@@ -779,6 +783,117 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 """
 
 
+def q_full_outer_daily_activity(spark, sf_dir):
+    """Full outer join: days with orders vs days with events."""
+    o = (_t(spark, sf_dir, "orders")
+         .groupBy(F.to_date("o_orderdate").alias("day"))
+         .agg(F.count("*").alias("n_orders")))
+    e = (_t(spark, sf_dir, "events")
+         .groupBy(F.to_date("ts").alias("day"))
+         .agg(F.count("*").alias("n_events")))
+    return (o.join(e, "day", "full_outer")
+            .select("day",
+                    F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+                    F.coalesce("n_events", F.lit(0)).alias("n_events")))
+
+
+SQL_FULL_OUTER = """
+SELECT coalesce(o.day, e.day) AS day,
+       coalesce(o.n_orders, 0) AS n_orders,
+       coalesce(e.n_events, 0) AS n_events
+FROM (SELECT o_orderdate::DATE AS day, count(*) AS n_orders
+      FROM orders GROUP BY 1) o
+FULL OUTER JOIN (SELECT ts::DATE AS day, count(*) AS n_events
+                 FROM events GROUP BY 1) e
+  ON o.day = e.day
+"""
+
+
+def q_grouping_sets_orders(spark, sf_dir):
+    """Explicit GROUPING SETS (finer control than rollup/cube)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupingSets([["o_orderstatus"], ["o_orderpriority"], []],
+                           F.col("o_orderstatus"), F.col("o_orderpriority"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .select(F.col("o_orderstatus").alias("status"),
+                    F.col("o_orderpriority").alias("priority"),
+                    "n", "total"))
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@dataclass
+class CondOrderM:
+    orderkey: int
+    size_class: str
+    status_pair: str
+
+
+def q_wrangle_conditional_gather(spark, sf_dir):
+    """If (sub-transformation ternary) + Gather (struct projection) from
+    the wrangle surface."""
+    p = Pipeline({CondOrderM: {
+        "orderkey": Get("o_orderkey"),
+        "size_class": Get("o_totalprice")
+        | If(lambda c: c > 150000, then=Constant("BIG"),
+             else_=Constant("SMALL")),
+        "status_pair": Get("_pair") | Gather(["o_orderstatus", "o_orderpriority"])
+        | Expr(lambda c: F.concat_ws("/", c.getField("o_orderstatus"),
+                                     c.getField("o_orderpriority"))),
+    }})
+    o = _t(spark, sf_dir, "orders")
+    o = o.withColumn("_pair", F.struct("o_orderstatus", "o_orderpriority",
+                                       "o_orderdate"))
+    return p.create_multiple(CondOrderM, o)
+
+
+SQL_WRANGLE_CONDITIONAL = """
+SELECT o_orderkey AS orderkey,
+       CASE WHEN o_totalprice > 150000 THEN 'BIG' ELSE 'SMALL' END
+           AS size_class,
+       o_orderstatus || '/' || o_orderpriority AS status_pair
+FROM orders
+"""
+
+
+@dataclass
+class CustFlatM:
+    custkey: int
+    n_all_items: int
+
+
+def q_wrangle_flatten(spark, sf_dir):
+    """Flatten (nested array concat): per customer, lineitem quantities
+    nested order->items, flattened and counted."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    per_order = (li.join(o, li.l_orderkey == o.o_orderkey)
+                 .groupBy("o_custkey", "o_orderkey")
+                 .agg(F.collect_list("l_quantity").alias("qtys")))
+    per_cust = (per_order.groupBy("o_custkey")
+                .agg(F.collect_list("qtys").alias("nested")))
+    p = Pipeline({CustFlatM: {
+        "custkey": Get("o_custkey"),
+        "n_all_items": Get("nested") | Flatten()
+        | Expr(lambda c: F.size(c).cast("long")),
+    }})
+    return p.create_multiple(CustFlatM, per_cust)
+
+
+SQL_WRANGLE_FLATTEN = """
+SELECT o_custkey AS custkey, count(*)::BIGINT AS n_all_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_custkey
+"""
+
+
 def q_salted_join_revenue(spark, sf_dir):
     """Skew-salted join must produce exactly the plain join's answer —
     the oracle is the unsalted SQL."""
@@ -1475,6 +1590,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "salted_join_revenue": q_salted_join_revenue,
     "approx_distinct_users": q_approx_distinct_users,
+    "full_outer_daily_activity": q_full_outer_daily_activity,
+    "grouping_sets_orders": q_grouping_sets_orders,
+    "wrangle_conditional_gather": q_wrangle_conditional_gather,
+    "wrangle_flatten": q_wrangle_flatten,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1531,6 +1650,10 @@ _ORACLES: dict[str, str] = {
     "orders_above_cust_avg": SQL_ABOVE_AVG,
     "salted_join_revenue": SQL_SALTED,
     # approx_distinct_users: HLL values are engine-specific → rows-only
+    "full_outer_daily_activity": SQL_FULL_OUTER,
+    "grouping_sets_orders": SQL_GROUPING_SETS,
+    "wrangle_conditional_gather": SQL_WRANGLE_CONDITIONAL,
+    "wrangle_flatten": SQL_WRANGLE_FLATTEN,
 }
 
 
