@@ -32,6 +32,8 @@ from wrangle_pypes_spark import (
     Expr,
     Filter,
     Flatten,
+    FoldInKeys,
+    FoldInValue,
     Gather,
     Get,
     GetKeys,
@@ -894,6 +896,77 @@ GROUP BY o_custkey
 """
 
 
+def q_sql_api_top_nations(spark, sf_dir):
+    """The engine's SQL surface: registered temp views + spark.sql —
+    same Catalyst plans as the DataFrame API."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql("""
+        SELECT n_name AS nation, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """)
+
+
+SQL_SQL_API = """
+SELECT n_name AS nation, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@dataclass
+class FoldM:
+    orderkey: int
+    kinds_str: str
+    total_amt: float
+    base_plus_ctx: float
+
+
+def q_wrangle_fold_ops(spark, sf_dir):
+    """Group D deep cut: FoldInKeys (struct-of-structs un-pivot),
+    FoldInValue (fold one map entry into the others), over columns
+    restructured into the reference's dict-of-dicts shape."""
+    o = _t(spark, sf_dir, "orders")
+    # integer-valued doubles: fold arithmetic stays binary-exact, so the
+    # oracle compare is immune to half-boundary rounding noise
+    amt = F.floor("o_totalprice").cast("double")
+    o = o.withColumn("_byk", F.struct(
+        F.struct(amt.alias("amt")).alias("list"),
+        F.struct((amt * 3).alias("amt")).alias("disc")))
+    o = o.withColumn("_bym", F.from_json(F.to_json(F.struct(
+        F.struct(amt.alias("amt")).alias("base"),
+        F.struct((amt * 2).alias("amt")).alias("ctx"))),
+        "map<string,struct<amt:double>>"))
+    folded = Get("_byk") | FoldInKeys("kind")
+    p = Pipeline({FoldM: {
+        "orderkey": Get("o_orderkey"),
+        "kinds_str": folded
+        | Map(lambda s: s.getField("kind"))
+        | Expr(lambda c: F.concat_ws(",", c)),
+        "total_amt": folded
+        | Map(lambda s: s.getField("amt"))
+        | Expr(lambda c: F.round(F.aggregate(c, F.lit(0.0),
+                                             lambda a, x: a + x), 2)),
+        "base_plus_ctx": Get("_bym") | FoldInValue("ctx", "folded")
+        | Get("base")
+        | Expr(lambda s: F.round(s.getField("amt")
+                                 + s.getField("folded").getField("amt"), 2)),
+    }})
+    return p.create_multiple(FoldM, o)
+
+
+SQL_WRANGLE_FOLD = """
+SELECT o_orderkey AS orderkey,
+       'list,disc' AS kinds_str,
+       round(floor(o_totalprice) * 4, 2) AS total_amt,
+       round(floor(o_totalprice) * 3, 2) AS base_plus_ctx
+FROM orders
+"""
+
+
 def q_salted_join_revenue(spark, sf_dir):
     """Skew-salted join must produce exactly the plain join's answer —
     the oracle is the unsalted SQL."""
@@ -1594,6 +1667,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets_orders": q_grouping_sets_orders,
     "wrangle_conditional_gather": q_wrangle_conditional_gather,
     "wrangle_flatten": q_wrangle_flatten,
+    "wrangle_fold_ops": q_wrangle_fold_ops,
+    "sql_api_top_nations": q_sql_api_top_nations,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1654,6 +1729,8 @@ _ORACLES: dict[str, str] = {
     "grouping_sets_orders": SQL_GROUPING_SETS,
     "wrangle_conditional_gather": SQL_WRANGLE_CONDITIONAL,
     "wrangle_flatten": SQL_WRANGLE_FLATTEN,
+    "wrangle_fold_ops": SQL_WRANGLE_FOLD,
+    "sql_api_top_nations": SQL_SQL_API,
 }
 
 
