@@ -297,7 +297,11 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, *, id_col: str,
 
     if method == "exact":
         base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        a, b = base.alias("a"), base.alias("b")
+        # small inputs arrive in 1-2 partitions; spread the O(n^2)
+        # compare across the cluster before the cross product
+        sc = df.sparkSession.sparkContext
+        a = base.repartition(sc.defaultParallelism).alias("a")
+        b = base.alias("b")
         cand = a.join(b, F.col("a._id") < F.col("b._id"), "inner")
     elif method == "lsh":
         sample = df.select(F.size(F.col(vec_col)).alias("d")).first()
