@@ -636,6 +636,133 @@ FROM events a JOIN events b
 """
 
 
+def q_corpus_clean_pipeline(spark, sf_dir):
+    """The end-to-end training-data shape: language filter -> quality
+    floor -> exact dedup -> token accounting. Composes lang_id,
+    quality_score, exact_dedup, token counts in ONE plan."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d2 = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    corpus = d.unionByName(d2)  # planted exact dups to remove
+    scored = corpus.select(
+        "doc_id", "text",
+        lang_id(F.col("text")).alias("_lang"),
+        quality_score(F.col("text")).alias("_q"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"))
+    kept = scored.filter((F.col("_lang") == "en") & (F.col("_q") >= 0.5))
+    deduped = exact_dedup(kept, ["text"], tie_breaker="doc_id")
+    return deduped.select("doc_id", "n_tokens",
+                          F.round("_q", 6).alias("quality"))
+
+
+SQL_CORPUS_CLEAN = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+), t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM corpus
+), scored AS (
+  SELECT doc_id, text, len(toks)::BIGINT AS n_tokens,
+    round((
+      (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+         / greatest(length(text), 1))
+      + (len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1))
+      + (CASE WHEN len(toks) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+    ) / 3.0, 6) AS quality,
+    (CASE WHEN greatest(
+        len(list_filter(toks, x -> list_contains(
+            ['the','a','and','of','to','in','is','that','it','for'], x))),
+        len(list_filter(toks, x -> list_contains(
+            ['der','die','das','und','ist','nicht','ein','mit','auf','zu'], x))),
+        len(list_filter(toks, x -> list_contains(
+            ['el','la','los','de','que','y','en','un','una','por'], x))),
+        len(list_filter(toks, x -> list_contains(
+            ['le','la','les','de','et','un','une','est','que','pour'], x)))) = 0
+      THEN 'und'
+      WHEN len(list_filter(toks, x -> list_contains(
+            ['le','la','les','de','et','un','une','est','que','pour'], x))) = greatest(
+        len(list_filter(toks, x -> list_contains(
+            ['the','a','and','of','to','in','is','that','it','for'], x))),
+        len(list_filter(toks, x -> list_contains(
+            ['der','die','das','und','ist','nicht','ein','mit','auf','zu'], x))),
+        len(list_filter(toks, x -> list_contains(
+            ['el','la','los','de','que','y','en','un','una','por'], x))),
+        len(list_filter(toks, x -> list_contains(
+            ['le','la','les','de','et','un','une','est','que','pour'], x))))
+      THEN 'fr'
+      WHEN len(list_filter(toks, x -> list_contains(
+            ['el','la','los','de','que','y','en','un','una','por'], x))) = greatest(
+        len(list_filter(toks, x -> list_contains(
+            ['the','a','and','of','to','in','is','that','it','for'], x))),
+        len(list_filter(toks, x -> list_contains(
+            ['der','die','das','und','ist','nicht','ein','mit','auf','zu'], x))),
+        len(list_filter(toks, x -> list_contains(
+            ['el','la','los','de','que','y','en','un','una','por'], x))),
+        len(list_filter(toks, x -> list_contains(
+            ['le','la','les','de','et','un','une','est','que','pour'], x))))
+      THEN 'es'
+      WHEN len(list_filter(toks, x -> list_contains(
+            ['the','a','and','of','to','in','is','that','it','for'], x))) = greatest(
+        len(list_filter(toks, x -> list_contains(
+            ['the','a','and','of','to','in','is','that','it','for'], x))),
+        len(list_filter(toks, x -> list_contains(
+            ['der','die','das','und','ist','nicht','ein','mit','auf','zu'], x))),
+        len(list_filter(toks, x -> list_contains(
+            ['el','la','los','de','que','y','en','un','una','por'], x))),
+        len(list_filter(toks, x -> list_contains(
+            ['le','la','les','de','et','un','une','est','que','pour'], x))))
+      THEN 'en' ELSE 'de' END) AS lang_detected
+  FROM t
+)
+SELECT min(doc_id) AS doc_id,
+       any_value(n_tokens) AS n_tokens,
+       any_value(quality) AS quality
+FROM scored
+WHERE lang_detected = 'en' AND quality >= 0.5
+GROUP BY text
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF per (doc, term), top-3 terms per doc — the groupBy+join
+    formulation (SURVEY 2.2 text-analysis row)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = d.count()  # scalar; at scale precompute once per corpus
+    terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = (terms.distinct().groupBy("term")
+             .agg(F.count("*").alias("df")))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .withColumn("score",
+                          F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))))
+    return (topk_per_group(scored, ["doc_id"], "score", 3,
+                           tie_breakers=["term"])
+            .select("doc_id", "term", F.round("score", 6).alias("score")))
+
+
+SQL_TFIDF = """
+WITH terms AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1
+)
+SELECT doc_id, term,
+       round(tf * ln((SELECT count(*) FROM documents)::DOUBLE / df), 6)
+           AS score
+FROM tf JOIN dfreq USING (term)
+QUALIFY row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY tf * ln((SELECT count(*) FROM documents)::DOUBLE / df) DESC,
+             term) <= 3
+"""
+
+
 # --- TPC-H-pattern relational coverage --------------------------------------
 
 def q_q6_forecast_revenue(spark, sf_dir):
@@ -1669,6 +1796,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wrangle_flatten": q_wrangle_flatten,
     "wrangle_fold_ops": q_wrangle_fold_ops,
     "sql_api_top_nations": q_sql_api_top_nations,
+    "corpus_clean_pipeline": q_corpus_clean_pipeline,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1731,6 +1860,8 @@ _ORACLES: dict[str, str] = {
     "wrangle_flatten": SQL_WRANGLE_FLATTEN,
     "wrangle_fold_ops": SQL_WRANGLE_FOLD,
     "sql_api_top_nations": SQL_SQL_API,
+    "corpus_clean_pipeline": SQL_CORPUS_CLEAN,
+    "tfidf_top_terms": SQL_TFIDF,
 }
 
 
