@@ -151,3 +151,54 @@ def test_multimodal_feature_extraction(spark, tables):
              for r in extract_features(payloads).collect()}
     first = {r.content_id: (r.content_hash, tuple(r.feature)) for r in rows}
     assert again == first
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed agg with a 30-min watermark: an event
+    arriving after its window was finalized and evicted must be dropped.
+
+    Micro-batch semantics pinned here (measured on Spark 4.1.2): input
+    rows merge into still-LIVE window state regardless of the watermark;
+    eviction+emission run at batch END; only rows arriving after their
+    window's eviction are dropped. Hence four single-file batches:
+    on-time rows -> watermark advancer -> eviction batch -> late row.
+    """
+    import os
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+
+    def write(rows, name):
+        df = spark.createDataFrame(rows, "id long, ts_s string").select(
+            "id", F.col("ts_s").cast("timestamp").alias("ts"))
+        df.coalesce(1).write.parquet(f"{src}/{name}")
+
+    write([(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:20:00"),
+           (3, "2024-01-01 10:40:00")], "f1")           # the window
+    write([(4, "2024-01-01 12:00:00")], "f2")           # wm -> 11:30
+    write([(5, "2024-01-01 12:10:00")], "f3")           # evicts [10,11)
+    write([(99, "2024-01-01 10:05:00")], "f4")          # late: must drop
+    now = _time.time()
+    for i, d in enumerate(("f1", "f2", "f3", "f4")):
+        for f in os.listdir(f"{src}/{d}"):  # file source orders by mtime
+            os.utime(f"{src}/{d}/{f}", (now + i * 10, now + i * 10))
+
+    stream = (spark.readStream.schema("id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/*"))
+    agg = (stream.withWatermark("ts", "30 minutes")
+           .groupBy(F.window("ts", "1 hour")).agg(F.count("*").alias("n")))
+    q = (agg.writeStream.format("memory").queryName("late_drop_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    dropped = sum(p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+                  for p in q.recentProgress if p["stateOperators"])
+    rows = [(r["window"].start.hour, r.n)
+            for r in spark.table("late_drop_out").collect()
+            if r["window"].start.hour == 10]
+    assert rows == [(10, 3)], rows   # finalized once, late row excluded
+    assert dropped == 1
