@@ -28,9 +28,11 @@ from wrangle_pypes_spark import (
     Constant,
     Create,
     CreateMultiple,
+    Custom,
     Default,
     Expr,
     Filter,
+    ForEach,
     Flatten,
     FoldInKeys,
     FoldInValue,
@@ -633,6 +635,47 @@ FROM events a JOIN events b
   ON a.user_id = b.user_id
  AND b.ts > a.ts
  AND b.ts <= a.ts + INTERVAL 1 HOUR
+"""
+
+
+@dataclass
+class ForEachM:
+    doc_id: int
+    trigrams_str: str
+    reversed_prefix: str
+    const_tag: str
+
+
+def q_wrangle_foreach_custom(spark, sf_dir):
+    """ForEach (sub-chain per element), Custom (the explicit pandas-UDF
+    escape hatch), and Constant — the last unproven reference ops."""
+    import pandas as pd  # noqa: F401  (Custom receives a pd.Series)
+
+    p = Pipeline({ForEachM: {
+        "doc_id": Get("doc_id"),
+        "trigrams_str": Get("text") | Expr(tokens)
+        | ForEach(Expr(lambda c: F.substring(c, 1, 3)))
+        | Expr(lambda c: F.concat_ws(",", c)),
+        "reversed_prefix": Get("text")
+        | Expr(lambda c: F.substring(c, 1, 10))
+        | Custom(lambda s: s.map(lambda x: None if x is None else x[::-1]),
+                 return_type="string"),
+        "const_tag": Constant("v1"),
+    }})
+    return p.create_multiple(ForEachM, _t(spark, sf_dir, "documents"))
+
+
+SQL_WRANGLE_FOREACH = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+             AS toks
+  FROM documents)
+SELECT doc_id,
+       array_to_string(list_transform(toks, x -> x[1:3]), ',') AS trigrams_str,
+       reverse(text[1:10]) AS reversed_prefix,
+       'v1' AS const_tag
+FROM t
 """
 
 
@@ -1798,6 +1841,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_api_top_nations": q_sql_api_top_nations,
     "corpus_clean_pipeline": q_corpus_clean_pipeline,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "wrangle_foreach_custom": q_wrangle_foreach_custom,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1862,6 +1906,7 @@ _ORACLES: dict[str, str] = {
     "sql_api_top_nations": SQL_SQL_API,
     "corpus_clean_pipeline": SQL_CORPUS_CLEAN,
     "tfidf_top_terms": SQL_TFIDF,
+    "wrangle_foreach_custom": SQL_WRANGLE_FOREACH,
 }
 
 

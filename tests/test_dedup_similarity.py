@@ -89,6 +89,32 @@ def test_minhash_est_accuracy(spark, dup_corpus):
     assert sum(errs) / len(errs) < 0.15
 
 
+def test_incremental_lsh_matches_full_batch(spark, dup_corpus):
+    """Dedup of a NEW batch against a stored banded index must find the
+    same cross-side pairs as the full-batch run — the incremental 100 TB
+    topology is semantics-preserving."""
+    from wrangle_pypes_spark.operators.dedup import (
+        minhash_banded,
+        minhash_lsh_pairs_against,
+    )
+
+    corpus = dup_corpus.filter(F.col("doc_id") < 1000000)      # originals
+    new_batch = dup_corpus.filter(F.col("doc_id") >= 1000000)  # perturbed
+
+    index = minhash_banded(corpus, "text", id_col="doc_id").persist()
+    inc = minhash_lsh_pairs_against(new_batch, index, "text",
+                                    id_col="doc_id", jaccard_threshold=0.5)
+    inc_pairs = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+                 for r in inc.collect()}
+
+    full = minhash_lsh_dup_pairs(dup_corpus, "text", id_col="doc_id",
+                                 jaccard_threshold=0.5)
+    cross = {(r.id_a, r.id_b) for r in full.collect()
+             if (r.id_a < 1000000) != (r.id_b < 1000000)}
+    assert inc_pairs == cross
+    assert len(inc_pairs) > 50
+
+
 def test_simhash_deterministic_and_sensitive(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog"),

@@ -18,7 +18,9 @@ from .relational import (
 from .dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
+    minhash_banded,
     minhash_lsh_dup_pairs,
+    minhash_lsh_pairs_against,
     minhash_signatures,
     ngram_jaccard_pairs,
     shingles,
@@ -44,8 +46,10 @@ __all__ = (
     "unpivot",
     "embedding_near_dup_pairs",
     "exact_dedup",
+    "minhash_banded",
     "minhash_signatures",
     "minhash_lsh_dup_pairs",
+    "minhash_lsh_pairs_against",
     "ngram_jaccard_pairs",
     "shingles",
     "simhash64",

@@ -105,6 +105,72 @@ def minhash_signatures(df: DataFrame, text_col: str, *, id_col: str,
                      .alias("signature")))
 
 
+def minhash_banded(df: DataFrame, text_col: str, *, id_col: str,
+                   num_hashes: int = 64, bands: int = 16,
+                   shingle_n: int = 3) -> DataFrame:
+    """(id, signature, band, bhash) — the LSH index table.
+
+    This is the artifact to PERSIST AS A TABLE at scale: signatures are
+    ~0.1% of corpus bytes, and every later batch dedups against it via
+    ``minhash_lsh_pairs_against`` without touching corpus text again.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col=id_col,
+                              num_hashes=num_hashes, shingle_n=shingle_n)
+    return sigs.select(
+        F.col(id_col), F.col("signature"),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.lit(b), F.concat_ws(
+                         ",", *[F.col("signature")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)])).alias("bhash"))
+            for b in range(bands)
+        ])).alias("lsh"),
+    ).select(id_col, "signature", "lsh.band", "lsh.bhash")
+
+
+def _verified_pairs(cand: DataFrame, num_hashes: int,
+                    jaccard_threshold: float) -> DataFrame:
+    est = (F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
+                                      lambda x, y: x == y),
+                           lambda eq: eq))
+           / F.lit(float(num_hashes)))
+    return (cand.withColumn("est_jaccard", est)
+                .filter(F.col("est_jaccard") >= jaccard_threshold)
+                .select("id_a", "id_b", "est_jaccard"))
+
+
+def minhash_lsh_pairs_against(new_df: DataFrame, banded_corpus: DataFrame,
+                              text_col: str, *, id_col: str,
+                              num_hashes: int = 64, bands: int = 16,
+                              shingle_n: int = 3,
+                              jaccard_threshold: float = 0.8) -> DataFrame:
+    """Incremental near-dup detection: NEW batch vs an EXISTING banded
+    signature table (from ``minhash_banded``, same parameters).
+
+    Output: (id_a = new id, id_b = corpus id, est_jaccard).  This is the
+    steady-state 100 TB topology — per batch, only the new documents are
+    shingled and hashed (linear in batch size), and the join touches the
+    corpus index, not the corpus text.  Self-pairs (same id on both
+    sides) are excluded so a batch can be checked against an index that
+    already contains it.
+    """
+    banded_new = minhash_banded(new_df, text_col, id_col=id_col,
+                                num_hashes=num_hashes, bands=bands,
+                                shingle_n=shingle_n)
+    a = banded_new.alias("a")
+    b = banded_corpus.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                      (F.col("a.bhash") == F.col("b.bhash")) &
+                      (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")), "inner")
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col("a.signature").alias("sig_a"),
+                     F.col("b.signature").alias("sig_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    return _verified_pairs(cand, num_hashes, jaccard_threshold)
+
+
 def minhash_lsh_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
                           num_hashes: int = 64, bands: int = 16,
                           shingle_n: int = 3,
@@ -129,19 +195,9 @@ def minhash_lsh_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
     bytes, so persisting them is the right call at any scale (at 100 TB
     you would write them to a table and join from there).
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col=id_col,
-                              num_hashes=num_hashes, shingle_n=shingle_n)
-    banded = sigs.select(
-        F.col(id_col), F.col("signature"),
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(F.lit(b), F.concat_ws(
-                         ",", *[F.col("signature")[b * rows_per_band + r].cast("string")
-                                for r in range(rows_per_band)])).alias("bhash"))
-            for b in range(bands)
-        ])).alias("lsh"),
-    ).select(id_col, "signature", "lsh.band", "lsh.bhash")
+    banded = minhash_banded(df, text_col, id_col=id_col,
+                            num_hashes=num_hashes, bands=bands,
+                            shingle_n=shingle_n)
     if persist:
         banded = banded.persist()
 
@@ -155,14 +211,7 @@ def minhash_lsh_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
                      F.col("a.signature").alias("sig_a"),
                      F.col("b.signature").alias("sig_b"))
              .dropDuplicates(["id_a", "id_b"]))
-
-    est = (F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
-                                      lambda x, y: x == y),
-                           lambda eq: eq))
-           / F.lit(float(num_hashes)))
-    return (cand.withColumn("est_jaccard", est)
-                .filter(F.col("est_jaccard") >= jaccard_threshold)
-                .select("id_a", "id_b", "est_jaccard"))
+    return _verified_pairs(cand, num_hashes, jaccard_threshold)
 
 
 # ---------------------------------------------------------------------------
