@@ -53,6 +53,7 @@ from wrangle_pypes_spark.functions.text import (
 from wrangle_pypes_spark.operators.dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
+    fuzzy_dedup_keep_canonical,
     minhash_lsh_dup_pairs,
     ngram_jaccard_pairs,
     simhash_dup_pairs,
@@ -1379,6 +1380,64 @@ def q_simhash_pairs(spark, sf_dir):
     # no SQL oracle (xxhash64) → rows-only; audited in tests/test_dedup.py
 
 
+def q_fuzzy_dedup_canonical(spark, sf_dir):
+    """pairs -> connected components -> one canonical doc per cluster
+    (iterative min-label propagation; the DuckDB oracle reproduces it
+    with a recursive transitive-closure CTE over the same exact-Jaccard
+    pairs)."""
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, "text", id_col="doc_id",
+                                shingle_n=3, threshold=0.8,
+                                prefilter_tokens=2)
+    kept = fuzzy_dedup_keep_canonical(corpus, pairs, id_col="doc_id")
+    return kept.select("doc_id")
+
+
+SQL_FUZZY_CANONICAL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(toks[1:greatest(len(toks) - 1, 0)], ' ') || ' zzz'
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+), sh AS (
+  SELECT doc_id,
+         array_to_string(toks[1:2], ' ') AS bkey,
+         list_distinct(list_transform(
+             range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS shingle_set
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM corpus)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingle_set, b.shingle_set))::DOUBLE
+        / len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) >= 0.8
+), sym AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  WITH RECURSIVE r(s, d) AS (
+    SELECT s, d FROM sym
+    UNION
+    SELECT r.s, sym.d FROM r JOIN sym ON r.d = sym.s
+  )
+  SELECT * FROM r
+), comp AS (
+  SELECT s AS id, least(s, min(d)) AS comp FROM reach GROUP BY s
+)
+SELECT c.doc_id
+FROM corpus c LEFT JOIN comp ON c.doc_id = comp.id
+WHERE comp.id IS NULL OR c.doc_id = comp.comp
+"""
+
+
 def q_stream_tumbling_events(spark, sf_dir):
     ev = stream_events(spark, sf_dir)
     agg = (ev.groupBy(F.window("ts", "1 hour"), "event_type")
@@ -1842,6 +1901,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_clean_pipeline": q_corpus_clean_pipeline,
     "tfidf_top_terms": q_tfidf_top_terms,
     "wrangle_foreach_custom": q_wrangle_foreach_custom,
+    "fuzzy_dedup_canonical": q_fuzzy_dedup_canonical,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1907,6 +1967,7 @@ _ORACLES: dict[str, str] = {
     "corpus_clean_pipeline": SQL_CORPUS_CLEAN,
     "tfidf_top_terms": SQL_TFIDF,
     "wrangle_foreach_custom": SQL_WRANGLE_FOREACH,
+    "fuzzy_dedup_canonical": SQL_FUZZY_CANONICAL,
 }
 
 

@@ -115,6 +115,50 @@ def test_incremental_lsh_matches_full_batch(spark, dup_corpus):
     assert len(inc_pairs) > 50
 
 
+def test_connected_components_vs_union_find(spark):
+    from wrangle_pypes_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (5, 3)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.comp for r in connected_components(df).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    nodes = {n for e in edges for n in e}
+    roots = {n: find(n) for n in nodes}
+    canon = {}
+    for n, r in roots.items():
+        canon.setdefault(r, set()).add(n)
+    expected = {n: min(canon[r]) for n, r in roots.items()}
+    assert got == expected
+
+
+def test_fuzzy_dedup_keep_canonical(spark, dup_corpus):
+    from wrangle_pypes_spark.operators.dedup import fuzzy_dedup_keep_canonical
+
+    pairs = ngram_jaccard_pairs(dup_corpus, "text", id_col="doc_id",
+                                shingle_n=3, threshold=0.8,
+                                prefilter_tokens=2)
+    kept = fuzzy_dedup_keep_canonical(dup_corpus, pairs, id_col="doc_id")
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    paired = {i for r in pairs.collect() for i in (r.id_a, r.id_b)}
+    # every paired cluster keeps exactly its min id; unpaired docs all kept
+    for r in pairs.collect():
+        assert not (r.id_a in kept_ids and r.id_b in kept_ids)
+    all_ids = {r.doc_id for r in dup_corpus.select("doc_id").collect()}
+    assert (all_ids - paired) <= kept_ids
+    assert len(kept_ids) < len(all_ids)
+
+
 def test_simhash_deterministic_and_sensitive(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog"),

@@ -16,8 +16,10 @@ from .relational import (
     unpivot,
 )
 from .dedup import (
+    connected_components,
     embedding_near_dup_pairs,
     exact_dedup,
+    fuzzy_dedup_keep_canonical,
     minhash_banded,
     minhash_lsh_dup_pairs,
     minhash_lsh_pairs_against,
@@ -44,8 +46,10 @@ __all__ = (
     "sessionize",
     "topk_per_group",
     "unpivot",
+    "connected_components",
     "embedding_near_dup_pairs",
     "exact_dedup",
+    "fuzzy_dedup_keep_canonical",
     "minhash_banded",
     "minhash_signatures",
     "minhash_lsh_dup_pairs",

@@ -320,6 +320,61 @@ def simhash_signatures(df: DataFrame, text_col: str, *, id_col: str,
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters -> canonical doc (connected components)
+# ---------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, *, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_iter: int = 20) -> DataFrame:
+    """(id, component) for every node in ``edges``: component = min node
+    id reachable — iterative min-label propagation.
+
+    Scale: each iteration is one equi-join + hash-aggregate on the edge
+    list (linear); near-dup graphs have tiny diameter so it converges in
+    a handful of rounds (early-stops when no label changes).  Lineage is
+    truncated per iteration with ``localCheckpoint`` — without it the
+    plan doubles every round and the driver dies long before the data
+    does (the classic iterative-Spark trap).
+    """
+    sym = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+           .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+           .distinct().localCheckpoint(eager=True))
+    labels = (sym.select(F.col("s").alias("id")).distinct()
+              .withColumn("comp", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        neigh = (sym.join(labels, sym.d == labels.id)
+                 .groupBy("s").agg(F.min("comp").alias("ncomp")))
+        new = (labels.join(neigh, labels.id == neigh.s, "left")
+               .select(labels.id,
+                       F.least(F.col("comp"),
+                               F.coalesce("ncomp", F.col("comp"))).alias("comp"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n").join(labels.alias("o"), "id")
+                   .filter(F.col("n.comp") != F.col("o.comp")).limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def fuzzy_dedup_keep_canonical(df: DataFrame, pairs: DataFrame, *,
+                               id_col: str) -> DataFrame:
+    """Keep ONE document per near-duplicate cluster (the min id — the
+    cluster's canonical), plus every unpaired document.
+
+    ``pairs`` is any (id_a, id_b) near-dup pair table (MinHash LSH,
+    SimHash, embedding...).  This is the final step of the web-scale
+    dedup recipe: pairs -> clusters -> one survivor per cluster.
+    """
+    comp = connected_components(pairs)
+    joined = df.join(comp.withColumnRenamed("id", id_col), id_col, "left")
+    return (joined.filter(F.col("comp").isNull() |
+                          (F.col(id_col) == F.col("comp")))
+                  .drop("comp"))
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-duplicates
 # ---------------------------------------------------------------------------
 
