@@ -62,6 +62,12 @@ from wrangle_pypes_spark.operators.multimodal import (
     attach_binary_payload,
     extract_features,
 )
+from wrangle_pypes_spark.operators.sampling import (
+    deterministic_sample,
+    histogram,
+    pack_sequences,
+    stratified_sample,
+)
 from wrangle_pypes_spark.operators.relational import (
     asof_join,
     bucketed_range_join,
@@ -1380,6 +1386,65 @@ def q_simhash_pairs(spark, sf_dir):
     # no SQL oracle (xxhash64) → rows-only; audited in tests/test_dedup.py
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing: documents into ~4096-token context windows."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id",
+                    F.size(tokens(F.col("text"))).cast("bigint")
+                    .alias("n_tokens"))
+    packed = pack_sequences(toks, token_col="n_tokens", max_tokens=4096,
+                            order_col="doc_id")
+    return (packed.groupBy("pack_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("pack_tokens")))
+
+
+SQL_PACK = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents
+), p AS (
+  SELECT doc_id, n_tokens,
+         floor((sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) / 4096)::BIGINT AS pack_id
+  FROM t
+)
+SELECT pack_id, count(*) AS n_docs, sum(n_tokens) AS pack_tokens
+FROM p GROUP BY pack_id
+"""
+
+
+def q_histogram_acctbal(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (histogram(c, "c_acctbal", lo=-1000.0, hi=10000.0, nbins=11)
+            .select("bin", F.round("bin_lo", 2).alias("bin_lo"),
+                    F.round("bin_hi", 2).alias("bin_hi"), "n"))
+
+
+SQL_HISTOGRAM = """
+SELECT bin, round(-1000.0 + bin * 1000.0, 2) AS bin_lo,
+       round(-1000.0 + (bin + 1) * 1000.0, 2) AS bin_hi,
+       count(*) AS n
+FROM (SELECT least(greatest(floor((c_acctbal - (-1000.0)) / 1000.0), 0),
+                   10)::BIGINT AS bin
+      FROM customer)
+GROUP BY bin
+"""
+
+
+def q_stratified_sample_langs(spark, sf_dir):
+    """Deterministic hash-based corpus re-weighting; rows-only (DuckDB
+    has no xxhash64) — determinism and per-stratum rates are pinned in
+    tests/test_sampling.py."""
+    d = _t(spark, sf_dir, "documents")
+    return (stratified_sample(d, "lang", {"en": 0.5, "de": 1.0, "fr": 1.0},
+                              key_col="doc_id")
+            .select("doc_id", "lang"))
+
+
 def q_fuzzy_dedup_canonical(spark, sf_dir):
     """pairs -> connected components -> one canonical doc per cluster
     (iterative min-label propagation; the DuckDB oracle reproduces it
@@ -1902,6 +1967,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "wrangle_foreach_custom": q_wrangle_foreach_custom,
     "fuzzy_dedup_canonical": q_fuzzy_dedup_canonical,
+    "pack_sequences": q_pack_sequences,
+    "histogram_acctbal": q_histogram_acctbal,
+    "stratified_sample_langs": q_stratified_sample_langs,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1968,6 +2036,9 @@ _ORACLES: dict[str, str] = {
     "tfidf_top_terms": SQL_TFIDF,
     "wrangle_foreach_custom": SQL_WRANGLE_FOREACH,
     "fuzzy_dedup_canonical": SQL_FUZZY_CANONICAL,
+    "pack_sequences": SQL_PACK,
+    "histogram_acctbal": SQL_HISTOGRAM,
+    # stratified_sample_langs: xxhash64 not in DuckDB → rows-only
 }
 
 

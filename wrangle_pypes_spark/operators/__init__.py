@@ -30,6 +30,12 @@ from .dedup import (
     simhash_dup_pairs,
     simhash_signatures,
 )
+from .sampling import (
+    deterministic_sample,
+    histogram,
+    pack_sequences,
+    stratified_sample,
+)
 from .similarity import (
     cosine_topk,
     ivf_topk,
@@ -59,6 +65,10 @@ __all__ = (
     "simhash64",
     "simhash_dup_pairs",
     "simhash_signatures",
+    "deterministic_sample",
+    "histogram",
+    "pack_sequences",
+    "stratified_sample",
     "cosine_topk",
     "ivf_topk",
     "kmeans_fit",
