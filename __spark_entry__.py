@@ -416,6 +416,29 @@ FROM orders
 """
 
 
+def q_window_trailing_30d(spark, sf_dir):
+    """Time-based window frame (rangeBetween over event-time seconds):
+    30-day trailing order total per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+         .rangeBetween(-30 * 86400, 0))
+    return (o.select(F.col("o_orderkey").alias("orderkey"),
+                     F.col("o_custkey").alias("custkey"),
+                     F.round(F.sum("o_totalprice").over(w), 2)
+                     .alias("trailing_30d")))
+
+
+SQL_TRAILING = """
+SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+           RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2)
+           AS trailing_30d
+FROM orders
+"""
+
+
 def q_rollup_status_priority(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (o.rollup("o_orderstatus", "o_orderpriority")
@@ -1918,6 +1941,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_orders_per_customer": q_topk_orders_per_customer,
     "window_running_total": q_window_running_total,
     "window_lag_gap": q_window_lag_gap,
+    "window_trailing_30d": q_window_trailing_30d,
     "rollup_status_priority": q_rollup_status_priority,
     "set_ops_custkeys": q_set_ops_custkeys,
     "distinct_counts_by_segment": q_distinct_counts_by_segment,
@@ -1989,6 +2013,7 @@ _ORACLES: dict[str, str] = {
     "topk_orders_per_customer": SQL_TOPK,
     "window_running_total": SQL_RUNNING,
     "window_lag_gap": SQL_LAG,
+    "window_trailing_30d": SQL_TRAILING,
     "rollup_status_priority": SQL_ROLLUP,
     "set_ops_custkeys": SQL_SETOPS,
     "distinct_counts_by_segment": SQL_DISTINCT,

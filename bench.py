@@ -52,6 +52,10 @@ HEADLINE = [
     "multimodal_features",
     "wrangle_array_ops",
     "cube_orders",
+    "corpus_clean_pipeline",
+    "tfidf_top_terms",
+    "fuzzy_dedup_canonical",
+    "pack_sequences",
     "stream_tumbling_events",
     "stream_session_events",
 ]
