@@ -202,3 +202,29 @@ def test_watermark_drops_late_events(spark, tmp_path):
             if r["window"].start.hour == 10]
     assert rows == [(10, 3)], rows   # finalized once, late row excluded
     assert dropped == 1
+
+
+def test_multimodal_resize_and_frame_sample(spark, tables):
+    from wrangle_pypes_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    d = tables["documents"].limit(20)
+    payloads = attach_binary_payload(d, "text", id_col="doc_id")
+
+    resized = resize_images(payloads, width=16, height=8).collect()
+    assert len(resized) == 20
+    for r in resized:
+        assert len(r.payload) == 16 * 8
+        assert r.image_meta.width == 16 and r.image_meta.height == 8
+
+    frames = sample_frames(payloads, every_n=2, max_frames=4)
+    rows = frames.collect()
+    assert 20 <= len(rows) <= 20 * 4  # fan-out bounded by max_frames
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.content_id, []).append(r.frame_idx)
+        assert len(r.frame) <= 64
+    for idxs in per_doc.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # dense, ordered

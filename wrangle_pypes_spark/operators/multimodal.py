@@ -95,3 +95,75 @@ def extract_features(df: DataFrame, *, batch_limit: int = 1024) -> DataFrame:
                 })
 
     return df.mapInPandas(_batches, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("content_id", T.LongType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("image_meta", IMAGE_META_SCHEMA, True),
+])
+
+
+def resize_images(df: DataFrame, *, width: int, height: int) -> DataFrame:
+    """Resize the image payload column (map-only, no shuffle).
+
+    STUB decode: no codecs in this container (PIL/opencv) — the stand-in
+    deterministically truncates/pads payload bytes to width*height and
+    rewrites the metadata struct, so schema flow, Arrow batching, and
+    metadata propagation are real.  Swap ``_fake_resize`` for
+    ``PIL.Image.resize`` in production.
+    """
+
+    def _fake_resize(payload: bytes) -> bytes:
+        if payload is None:
+            return None
+        n = width * height
+        return (payload * (n // max(len(payload), 1) + 1))[:n]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "content_id": pdf["content_id"],
+                "payload": pdf["payload"].map(_fake_resize),
+                "image_meta": [
+                    {"format": "fake", "width": width, "height": height}
+                    for _ in range(len(pdf))],
+            })
+
+    return df.mapInPandas(_batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("content_id", T.LongType(), True),
+    T.StructField("frame_idx", T.IntegerType(), True),
+    T.StructField("frame", T.BinaryType(), True),
+])
+
+
+def sample_frames(df: DataFrame, *, every_n: int = 10,
+                  max_frames: int = 8) -> DataFrame:
+    """Sample frames from a video payload: ONE input row fans out to
+    ``<= max_frames`` frame rows (a mapInPandas generator — the UDTF
+    shape; output cardinality differs from input, no shuffle).
+
+    STUB decode: without ffmpeg the stand-in treats each ``every_n``-th
+    64-byte slice of the payload as a "frame".  The fan-out plumbing,
+    schema, and batch iteration are the real thing.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"content_id": [], "frame_idx": [], "frame": []}
+            for cid, payload in zip(pdf["content_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for k in range(max_frames):
+                    start = k * every_n * 64
+                    if start >= len(payload):
+                        break
+                    out["content_id"].append(cid)
+                    out["frame_idx"].append(k)
+                    out["frame"].append(bytes(payload[start:start + 64]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=FRAME_SCHEMA)
