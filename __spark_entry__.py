@@ -1789,6 +1789,31 @@ class OrderLinesM:
     items_str: str
 
 
+@dataclass
+class AttrIdM:
+    orderkey: int
+    status: str
+
+
+def q_wrangle_attr_id(spark, sf_dir):
+    """Attr (object attribute ≅ struct field) and Id (identity) — the
+    last two reference ops without a driver-level proof."""
+    from wrangle_pypes_spark import Attr, Id
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "_obj", F.struct("o_orderstatus", "o_orderdate"))
+    p = Pipeline({AttrIdM: {
+        "orderkey": Get("o_orderkey") | Id(),
+        "status": Get("_obj") | Attr("o_orderstatus"),
+    }})
+    return p.create_multiple(AttrIdM, o)
+
+
+SQL_WRANGLE_ATTR_ID = """
+SELECT o_orderkey AS orderkey, o_orderstatus AS status FROM orders
+"""
+
+
 def q_wrangle_create_multiple(spark, sf_dir):
     """Group E (CreateMultiple): build a list of child models per order
     from collected lineitems, then flatten to oracle-comparable scalars
@@ -1974,6 +1999,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wrangle_array_ops": q_wrangle_array_ops,
     "wrangle_map_ops": q_wrangle_map_ops,
     "wrangle_create_multiple": q_wrangle_create_multiple,
+    "wrangle_attr_id": q_wrangle_attr_id,
     "cube_orders": q_cube_orders,
     "semi_join_customers": q_semi_join_customers,
     "percentiles_by_segment": q_percentiles_by_segment,
@@ -2044,6 +2070,7 @@ _ORACLES: dict[str, str] = {
     "wrangle_array_ops": SQL_WRANGLE_ARRAY,
     "wrangle_map_ops": SQL_WRANGLE_MAP,
     "wrangle_create_multiple": SQL_WRANGLE_CREATE_MULTIPLE,
+    "wrangle_attr_id": SQL_WRANGLE_ATTR_ID,
     "cube_orders": SQL_CUBE,
     "semi_join_customers": SQL_SEMI,
     "percentiles_by_segment": SQL_PERCENTILES,
