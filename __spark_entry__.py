@@ -16,7 +16,6 @@ Conventions for oracle comparability:
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -24,7 +23,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wrangle_pypes_spark import (
-    Cast,
     Constant,
     Create,
     CreateMultiple,
@@ -63,7 +61,6 @@ from wrangle_pypes_spark.operators.multimodal import (
     extract_features,
 )
 from wrangle_pypes_spark.operators.sampling import (
-    deterministic_sample,
     histogram,
     pack_sequences,
     stratified_sample,
@@ -77,7 +74,6 @@ from wrangle_pypes_spark.operators.relational import (
     unpivot,
 )
 from wrangle_pypes_spark.operators.similarity import (
-    cosine_expr,
     cosine_topk,
     ivf_topk,
     lsh_bucket_topk,
@@ -679,8 +675,6 @@ class ForEachM:
 def q_wrangle_foreach_custom(spark, sf_dir):
     """ForEach (sub-chain per element), Custom (the explicit pandas-UDF
     escape hatch), and Constant — the last unproven reference ops."""
-    import pandas as pd  # noqa: F401  (Custom receives a pd.Series)
-
     p = Pipeline({ForEachM: {
         "doc_id": Get("doc_id"),
         "trigrams_str": Get("text") | Expr(tokens)
