@@ -104,3 +104,29 @@ def test_wrangle_compiles_to_single_projection(spark, sf_dir):
     # formatted mode marks fused stages with "[codegen id : N]"
     assert "codegen id" in p
     assert len(re.findall(r"\(\d+\) Project", p)) == 1
+
+
+def test_asof_join_is_union_window_not_range_join(spark, sf_dir):
+    """The as-of join must plan as union + single window pass (linear),
+    never a nested-loop/cartesian range join (quadratic per key)."""
+    p = plan_of(entrymod.queries()["asof_latest_order_per_event"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert re.search(r"\(\d+\) Window", p), "expected window-based as-of plan"
+
+
+def test_range_join_is_equi_join_on_buckets(spark, sf_dir):
+    """The bucketed range join must candidate-generate via an EQUI join
+    (hash/sort-merge on (key, bucket)) — the bucketization is pointless
+    if Spark still plans a nested loop."""
+    p = plan_of(entrymod.queries()["range_join_event_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or \
+           ("ShuffledHashJoin" in p)
+
+
+def test_salted_join_spreads_key(spark, sf_dir):
+    p = plan_of(entrymod.queries()["salted_join_revenue"](spark, sf_dir))
+    assert "_salt" in p  # the salt is part of the join key
+    assert "CartesianProduct" not in p
