@@ -92,17 +92,18 @@ def minhash_signatures(df: DataFrame, text_col: str, *, id_col: str,
         F.col(id_col),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("_sh"))
     # masks keep h1 + i*h2 inside signed-long range under ANSI mode
-    # (i < 64: 64 * 2^56 + 2^61 < 2^63); 56-bit hashes are ample
+    # (i < 64: 64 * 2^56 + 2^61 < 2^63); 56-bit hashes are ample.
+    # expressions are built as SQL strings: the Column-tree form costs
+    # ~2s of py4j round trips per plan at num_hashes=64
     hashed = exploded.select(
         F.col(id_col),
         _h64(F.col("_sh"), 1).bitwiseAND(F.lit((1 << 61) - 1)).alias("_h1"),
         _h64(F.col("_sh"), 2).bitwiseAND(F.lit((1 << 56) - 1)).alias("_h2"))
-    aggs = [F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"_m{i}")
+    aggs = [F.expr(f"min(_h1 + {i} * _h2) AS _m{i}")
             for i in range(num_hashes)]
+    arr = "array(" + ", ".join(f"_m{i}" for i in range(num_hashes)) + ")"
     return (hashed.groupBy(id_col).agg(*aggs)
-            .select(F.col(id_col),
-                    F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
-                     .alias("signature")))
+            .selectExpr(id_col, f"{arr} AS signature"))
 
 
 def minhash_banded(df: DataFrame, text_col: str, *, id_col: str,
@@ -305,18 +306,14 @@ def simhash_signatures(df: DataFrame, text_col: str, *, id_col: str,
         F.col(id_col),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("_sh"),
     ).select(F.col(id_col), _h64(F.col("_sh"), 7777).alias("_h"))
-    h = F.col("_h")
-    aggs = [F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
-                         F.lit(1)).otherwise(F.lit(-1))).alias(f"_b{i}")
-            for i in range(64)]
+    # SQL-string expressions: see minhash_signatures (py4j plan cost)
+    aggs = [F.expr(f"sum(CASE WHEN (shiftright(_h, {i}) & 1) = 1 "
+                   f"THEN 1 ELSE -1 END) AS _b{i}") for i in range(64)]
     agged = exploded.groupBy(id_col).agg(*aggs)
-    sim = F.lit(0).cast("long")
-    for i in range(64):
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"_b{i}") > 0,
-                   F.shiftleft(F.lit(1).cast("long"), i))
-             .otherwise(F.lit(0).cast("long")))
-    return agged.select(F.col(id_col), sim.alias("simhash"))
+    sim = " | ".join(
+        f"(CASE WHEN _b{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        f"ELSE CAST(0 AS BIGINT) END)" for i in range(64))
+    return agged.selectExpr(id_col, f"({sim}) AS simhash")
 
 
 # ---------------------------------------------------------------------------
