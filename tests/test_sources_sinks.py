@@ -63,3 +63,29 @@ def test_csv_roundtrip(spark, tables, tmp_path):
     back = read_csv(spark, out, schema="n_nationkey bigint, n_name string")
     assert sorted((r.n_nationkey, r.n_name) for r in back.collect()) == \
            sorted((r.n_nationkey, r.n_name) for r in d.collect())
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tables):
+    """Two tables bucketed by the join key into the same bucket count
+    must join with ZERO exchanges (the write-once-shuffle contract)."""
+    import re
+
+    from wrangle_pypes_spark.sources import write_bucketed_table
+
+    write_bucketed_table(tables["orders"].select("o_orderkey", "o_totalprice"),
+                         "b_orders", buckets=8, bucket_by=["o_orderkey"],
+                         sort_by=["o_orderkey"])
+    write_bucketed_table(tables["lineitem"].select("l_orderkey", "l_quantity"),
+                         "b_lineitem", buckets=8, bucket_by=["l_orderkey"],
+                         sort_by=["l_orderkey"])
+    o = spark.table("b_orders")
+    li = spark.table("b_lineitem")
+    joined = o.join(li, o.o_orderkey == li.l_orderkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"Exchange hashpartitioning", plan), plan
+    # and it still computes the right thing
+    n = joined.count()
+    plain = (tables["orders"].join(
+        tables["lineitem"],
+        tables["orders"].o_orderkey == tables["lineitem"].l_orderkey).count())
+    assert n == plain

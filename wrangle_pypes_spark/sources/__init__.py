@@ -7,8 +7,9 @@ engine's conventions (explicit schemas, star-schema loading, JSON-string
 payload parsing for dynamic columns).
 """
 
-from .sinks import write_csv, write_json, write_parquet
+from .sinks import write_bucketed_table, write_csv, write_json, write_parquet
 from .tables import TABLES, load_star_schema, load_table, parse_json_col, read_csv, read_jsonl
 
 __all__ = ("TABLES", "load_star_schema", "load_table", "parse_json_col",
-           "read_csv", "read_jsonl", "write_csv", "write_json", "write_parquet")
+           "read_csv", "read_jsonl", "write_bucketed_table", "write_csv",
+           "write_json", "write_parquet")

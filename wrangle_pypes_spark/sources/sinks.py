@@ -49,6 +49,27 @@ def write_parquet(df: DataFrame, path: str, *,
     writer.parquet(path)
 
 
+def write_bucketed_table(df: DataFrame, name: str, *, buckets: int,
+                         bucket_by: Sequence[str],
+                         sort_by: Sequence[str] = (),
+                         mode: str = "overwrite") -> None:
+    """Save as a bucketed (+optionally sorted) managed table.
+
+    Bucketing pre-shuffles ONCE at write time: two tables bucketed by
+    the same key into the same bucket count join with NO exchange (and
+    with ``sort_by`` on the key, no sort either) — the co-located-join
+    strategy for fact tables that are joined repeatedly.  At 100 TB the
+    write-side shuffle is paid once; every downstream join reads
+    straight into sort-merge.  Requires ``saveAsTable`` (bucket metadata
+    lives in the catalog, not the parquet files).
+    """
+    writer = (df.write.mode(mode).format("parquet")
+              .bucketBy(buckets, *bucket_by))
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(name)
+
+
 def write_json(df: DataFrame, path: str, *, mode: str = "overwrite",
                compression: str = "gzip") -> None:
     """JSON-lines sink (interchange format; parquet is the scale path)."""
