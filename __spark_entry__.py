@@ -84,6 +84,7 @@ from wrangle_pypes_spark.streaming import (
     sliding_window_agg,
     stateful_running_counts,
     stream_events,
+    stream_stream_interval_join,
 )
 
 
@@ -1462,6 +1463,30 @@ def q_stratified_sample_langs(spark, sf_dir):
             .select("doc_id", "lang"))
 
 
+def q_stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join (watermarked both sides, time-bound
+    condition for state eviction); the batch range join is the oracle."""
+    a = stream_events(spark, sf_dir).select(
+        "user_id", F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a"))
+    b = stream_events(spark, sf_dir).select(
+        "user_id", F.col("event_id").alias("id_b"), F.col("ts").alias("ts_b"))
+    joined = stream_stream_interval_join(
+        a, b, on="user_id", left_ts="ts_a", right_ts="ts_b",
+        upper_seconds=3600)
+    table = run_available_now_to_memory(joined, "stream_stream_out",
+                                        output_mode="append")
+    return table.select("id_a", "id_b")
+
+
+SQL_STREAM_STREAM = """
+SELECT a.event_id AS id_a, b.event_id AS id_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+"""
+
+
 def q_fuzzy_dedup_canonical(spark, sf_dir):
     """pairs -> connected components -> one canonical doc per cluster
     (iterative min-label propagation; the DuckDB oracle reproduces it
@@ -1985,6 +2010,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sliding_events": q_stream_sliding_events,
     "stream_session_events": q_stream_session_events,
     "stream_stateful_counts": q_stream_stateful_counts,
+    "stream_stream_join": q_stream_stream_join,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "ivf_ann_top5": q_ivf_ann_top5,
@@ -2057,6 +2083,7 @@ _ORACLES: dict[str, str] = {
     "stream_sliding_events": SQL_STREAM_SLIDING,
     "stream_session_events": SQL_STREAM_SESSION,
     "stream_stateful_counts": SQL_STREAM_STATEFUL,
+    "stream_stream_join": SQL_STREAM_STREAM,
     "embedding_near_dup": SQL_EMB_NEAR_DUP,
     # embedding_near_dup_lsh / ivf_ann_top5 / lsh_ann_top5: approximate →
     # rows-only; recall audited in tests/test_dedup_similarity.py

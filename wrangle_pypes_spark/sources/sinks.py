@@ -19,6 +19,7 @@ under deliberate defaults:
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
@@ -63,6 +64,19 @@ def write_bucketed_table(df: DataFrame, name: str, *, buckets: int,
     straight into sort-merge.  Requires ``saveAsTable`` (bucket metadata
     lives in the catalog, not the parquet files).
     """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # with the default in-memory catalog, a table written by a
+        # PREVIOUS session is unknown to DROP but its directory still
+        # blocks saveAsTable — clear the orphan location
+        import shutil
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        if warehouse.startswith("file:"):
+            warehouse = warehouse[len("file:"):]
+        orphan = os.path.join(warehouse, name.split(".")[-1].lower())
+        if os.path.isdir(orphan):
+            shutil.rmtree(orphan)
     writer = (df.write.mode(mode).format("parquet")
               .bucketBy(buckets, *bucket_by))
     if sort_by:

@@ -13,6 +13,7 @@ from .windows import (
     session_window_agg,
     sliding_window_agg,
     stream_events,
+    stream_stream_interval_join,
     tumbling_window_agg,
     foreach_batch_get_or_create,
 )
@@ -23,6 +24,7 @@ __all__ = (
     "sliding_window_agg",
     "session_window_agg",
     "stateful_running_counts",
+    "stream_stream_interval_join",
     "run_available_now_to_memory",
     "foreach_batch_get_or_create",
 )

@@ -80,6 +80,31 @@ def session_window_agg(events: DataFrame, *, ts_col: str = "ts",
                  F.sum("value").alias("sum_value")))
 
 
+def stream_stream_interval_join(left: DataFrame, right: DataFrame, *,
+                                on: str, left_ts: str, right_ts: str,
+                                upper_seconds: int,
+                                watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: right events within
+    ``(left_ts, left_ts + upper_seconds]`` for the same key.
+
+    Both sides are watermarked and the join condition carries the time
+    bound — that is what lets Spark EVICT join state (without it, both
+    sides buffer forever).  State per side ≈ watermark-window of rows,
+    partitioned by key: the streaming twin of
+    ``operators.relational.bucketed_range_join``, and the batch range
+    join is its oracle.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}")) &
+        (F.col(f"r.{right_ts}") > F.col(f"l.{left_ts}")) &
+        (F.col(f"r.{right_ts}") <=
+         F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper_seconds} SECONDS"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def run_available_now_to_memory(stream_df: DataFrame, name: str,
                                 output_mode: str = "append") -> DataFrame:
     """Drain all currently-available input through the streaming plan
