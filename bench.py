@@ -58,6 +58,7 @@ HEADLINE = [
     "pack_sequences",
     "stream_tumbling_events",
     "stream_session_events",
+    "stream_stream_join",
 ]
 
 

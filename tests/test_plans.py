@@ -130,3 +130,10 @@ def test_salted_join_spreads_key(spark, sf_dir):
     p = plan_of(entrymod.queries()["salted_join_revenue"](spark, sf_dir))
     assert "_salt" in p  # the salt is part of the join key
     assert "CartesianProduct" not in p
+
+
+def test_get_or_create_broadcasts_small_dim(spark, sf_dir):
+    """The lookup-join must broadcast the (small) dimension side — a
+    shuffled get_or_create on a 100-row dim is the wrong plan."""
+    p = plan_of(entrymod.queries()["wrangle_get_or_create"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
