@@ -72,6 +72,7 @@ from wrangle_pypes_spark.operators.relational import (
     sessionize,
     topk_per_group,
     unpivot,
+    validate,
 )
 from wrangle_pypes_spark.operators.similarity import (
     cosine_topk,
@@ -1091,6 +1092,41 @@ GROUP BY o_custkey
 """
 
 
+def q_data_quality_violations(spark, sf_dir):
+    """Constraint-check gate: one row per (row, violated rule)."""
+    d = _t(spark, sf_dir, "documents")
+    rules = {
+        "nonempty_text": F.length("text") > 0,
+        "known_lang": F.col("lang").isin("en", "de", "es", "fr", "zh"),
+        "token_budget": F.size(tokens(F.col("text"))) <= 60,
+        "id_positive": F.col("doc_id") >= 0,
+    }
+    return validate(d, rules, id_cols=["doc_id"])
+
+
+SQL_DATA_QUALITY = """
+WITH t AS (
+  SELECT doc_id,
+         length(text) > 0 AS nonempty_text,
+         lang IN ('en','de','es','fr','zh') AS known_lang,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) <= 60 AS token_budget,
+         doc_id >= 0 AS id_positive
+  FROM documents
+)
+SELECT doc_id, rule
+FROM (
+  SELECT doc_id, 'nonempty_text' AS rule FROM t WHERE NOT coalesce(nonempty_text, FALSE)
+  UNION ALL
+  SELECT doc_id, 'known_lang' FROM t WHERE NOT coalesce(known_lang, FALSE)
+  UNION ALL
+  SELECT doc_id, 'token_budget' FROM t WHERE NOT coalesce(token_budget, FALSE)
+  UNION ALL
+  SELECT doc_id, 'id_positive' FROM t WHERE NOT coalesce(id_positive, FALSE)
+)
+"""
+
+
 def q_sql_api_top_nations(spark, sf_dir):
     """The engine's SQL surface: registered temp views + spark.sql —
     same Catalyst plans as the DataFrame API."""
@@ -2033,6 +2069,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wrangle_flatten": q_wrangle_flatten,
     "wrangle_fold_ops": q_wrangle_fold_ops,
     "sql_api_top_nations": q_sql_api_top_nations,
+    "data_quality_violations": q_data_quality_violations,
     "corpus_clean_pipeline": q_corpus_clean_pipeline,
     "tfidf_top_terms": q_tfidf_top_terms,
     "wrangle_foreach_custom": q_wrangle_foreach_custom,
@@ -2105,6 +2142,7 @@ _ORACLES: dict[str, str] = {
     "wrangle_flatten": SQL_WRANGLE_FLATTEN,
     "wrangle_fold_ops": SQL_WRANGLE_FOLD,
     "sql_api_top_nations": SQL_SQL_API,
+    "data_quality_violations": SQL_DATA_QUALITY,
     "corpus_clean_pipeline": SQL_CORPUS_CLEAN,
     "tfidf_top_terms": SQL_TFIDF,
     "wrangle_foreach_custom": SQL_WRANGLE_FOREACH,

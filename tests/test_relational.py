@@ -155,3 +155,18 @@ def test_approx_count_distinct_accuracy(spark, tables):
              .agg(F.countDistinct("user_id").alias("x")).collect()}
     for k, x in exact.items():
         assert abs(approx[k] - x) / max(x, 1) < 0.05, (k, approx[k], x)
+
+
+def test_validate_reports_violations_with_null_semantics(spark):
+    from wrangle_pypes_spark.operators.relational import validate
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, -5, "b"), (3, None, "zz"), (4, 7, None)],
+        "id long, v long, s string")
+    out = validate(df, {
+        "v_positive": F.col("v") > 0,           # null v -> violation
+        "s_short": F.length("s") <= 1,          # null s -> violation
+    }, id_cols=["id"])
+    got = sorted((r.id, r.rule) for r in out.collect())
+    assert got == [(2, "v_positive"), (3, "s_short"), (3, "v_positive"),
+                   (4, "s_short")]

@@ -14,6 +14,7 @@ from .relational import (
     sessionize,
     topk_per_group,
     unpivot,
+    validate,
 )
 from .dedup import (
     connected_components,
@@ -52,6 +53,7 @@ __all__ = (
     "sessionize",
     "topk_per_group",
     "unpivot",
+    "validate",
     "connected_components",
     "embedding_near_dup_pairs",
     "exact_dedup",

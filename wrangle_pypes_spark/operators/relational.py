@@ -185,6 +185,25 @@ def salted_join(left: DataFrame, right: DataFrame, on: str, *,
     return out.drop("_salt")
 
 
+def validate(df: DataFrame, rules: "dict[str, Column]", *,
+             id_cols: Sequence[str]) -> DataFrame:
+    """Constraint checking: one output row per (row, violated rule).
+
+    ``rules`` maps rule name -> predicate Column that must hold.  The
+    result carries ``id_cols`` plus ``rule`` — the violations table a
+    data-quality gate feeds to quarantine/alerting.  Single scan, no
+    shuffle: all rules evaluate in one projection and the per-row rule
+    array is exploded (rows violating nothing produce nothing).
+    """
+    checks = F.array(*[
+        F.when(~F.coalesce(pred, F.lit(False)), F.lit(name))
+        for name, pred in rules.items()])
+    out = df.select(*id_cols,
+                    F.explode(F.filter(checks, lambda x: x.isNotNull()))
+                    .alias("rule"))
+    return out
+
+
 def pivot_table(df: DataFrame, group_cols: Sequence[str], pivot_col: str,
                 values: Sequence, agg: Column) -> DataFrame:
     """Pivot with an explicit value list.
