@@ -170,3 +170,60 @@ def test_validate_reports_violations_with_null_semantics(spark):
     got = sorted((r.id, r.rule) for r in out.collect())
     assert got == [(2, "v_positive"), (3, "s_short"), (3, "v_positive"),
                    (4, "s_short")]
+
+
+def test_zorder_interleave_matches_python_replica(spark):
+    from wrangle_pypes_spark.operators.relational import zorder_col
+
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = {(r.x, r.y): r._zorder
+           for r in zorder_col(df, ["x", "y"], bits=3).collect()}
+
+    def scale(v, lo, hi, bits):
+        width = (hi - lo) or 1.0
+        return min(max(int((v - lo) / width * (1 << bits)), 0),
+                   (1 << bits) - 1)
+
+    def morton(x, y, bits, n=2):
+        z = 0
+        for k in range(bits):
+            z |= ((x >> k) & 1) << (k * n + 0)
+            z |= ((y >> k) & 1) << (k * n + 1)
+        return z
+
+    for (x, y), z in out.items():
+        assert z == morton(scale(x, 0, 7, 3), scale(y, 0, 7, 3), 3), (x, y, z)
+
+    # locality: neighbors in both dims stay within a bounded z distance
+    assert abs(out[(3, 3)] - out[(3, 4)]) < 64
+
+
+def test_zorder_clusters_files_for_pruning(spark, tables, tmp_path):
+    """Write orders z-ordered by (custkey, totalprice): a 2-d predicate
+    must scan fewer row groups than a random layout would (verified via
+    parquet min/max stats on the z-sorted files)."""
+    from wrangle_pypes_spark.operators.relational import zorder_col
+    from wrangle_pypes_spark.sources import write_parquet
+
+    o = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    z = zorder_col(o, ["o_custkey", "o_totalprice"], bits=10)
+    out = str(tmp_path / "zordered")
+    write_parquet(z.repartitionByRange(8, "_zorder"), out,
+                  sort_by=["_zorder"])
+    back = spark.read.parquet(out)
+    assert back.count() == o.count()
+    # each file covers a narrow custkey band -> stats become selective
+    import pyarrow.parquet as pq
+    import glob as g
+    spans = []
+    for f in g.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(1)  # o_custkey
+            los.append(col.statistics.min)
+            his.append(col.statistics.max)
+        spans.append(max(his) - min(los))
+    full_span = 1500  # customers at sf0.01
+    assert sorted(spans)[0] < full_span / 2  # at least some narrow files

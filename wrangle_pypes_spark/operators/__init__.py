@@ -15,6 +15,7 @@ from .relational import (
     topk_per_group,
     unpivot,
     validate,
+    zorder_col,
 )
 from .dedup import (
     connected_components,
@@ -54,6 +55,7 @@ __all__ = (
     "topk_per_group",
     "unpivot",
     "validate",
+    "zorder_col",
     "connected_components",
     "embedding_near_dup_pairs",
     "exact_dedup",

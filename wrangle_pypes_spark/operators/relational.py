@@ -185,6 +185,45 @@ def salted_join(left: DataFrame, right: DataFrame, on: str, *,
     return out.drop("_salt")
 
 
+def zorder_col(df: DataFrame, cols: Sequence[str], *, bits: int = 16,
+               out_col: str = "_zorder") -> DataFrame:
+    """Add a Z-order (Morton) value interleaving ``cols``' bits.
+
+    Sorting/range-partitioning by the Z-value before writing clusters
+    rows that are close in EVERY dimension into the same files, so
+    parquet min/max row-group stats prune multi-dimensional predicates
+    (the Delta OPTIMIZE ZORDER layout, as a plain column expression).
+    Each column is min/max-scaled to ``bits`` bits (one small agg pass);
+    bit k of column j lands at position ``k*len(cols)+j``.  Total bits
+    must fit a long: ``bits * len(cols) <= 63``.
+
+    Usage: ``write_parquet(zorder_col(df, ["a","b"]), path,
+    sort_by=["_zorder"])`` or ``df.repartitionByRange("_zorder")`` for
+    file-level clustering.
+    """
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError(f"bits*len(cols) = {bits * n} exceeds long range")
+    ranges = df.agg(*[F.min(c).alias(f"_lo{i}") for i, c in enumerate(cols)],
+                    *[F.max(c).alias(f"_hi{i}") for i, c in enumerate(cols)]
+                    ).first()
+    scaled = []
+    for i, c in enumerate(cols):
+        lo = float(ranges[f"_lo{i}"])
+        hi = float(ranges[f"_hi{i}"])
+        width = (hi - lo) or 1.0
+        # clamp to [0, 2^bits - 1]
+        scaled.append(
+            f"least(greatest(CAST(floor((CAST(`{c}` AS DOUBLE) - {lo!r}) "
+            f"/ {width!r} * {(1 << bits)}) AS BIGINT), CAST(0 AS BIGINT)), "
+            f"CAST({(1 << bits) - 1} AS BIGINT))")
+    terms = []
+    for j, s in enumerate(scaled):
+        for k in range(bits):
+            terms.append(f"shiftleft(shiftright({s}, {k}) & 1, {k * n + j})")
+    return df.withColumn(out_col, F.expr(" | ".join(terms)))
+
+
 def validate(df: DataFrame, rules: "dict[str, Column]", *,
              id_cols: Sequence[str]) -> DataFrame:
     """Constraint checking: one output row per (row, violated rule).
