@@ -1092,6 +1092,42 @@ GROUP BY o_custkey
 """
 
 
+@dataclass
+class LenientM:
+    custkey: int
+    bad_parse: int
+    good_parse: int
+
+
+def q_wrangle_lenient_audit(spark, sf_dir):
+    """Lenient error mode: failed casts null out (try_cast) instead of
+    raising, and audit=True appends a _nulled_fields column naming the
+    failures — error-model parity (SURVEY 4.3) through the oracle gate
+    (DuckDB TRY_CAST is the reference semantics)."""
+    from wrangle_pypes_spark import Cast
+
+    p = Pipeline(strict=False, transformations={LenientM: {
+        "custkey": Get("c_custkey"),
+        "bad_parse": Get("c_name") | Cast(int),
+        "good_parse": Get("c_name")
+        | Expr(lambda c: F.substring(c, 10, 20)) | Cast(int),
+    }})
+    out = p.create_multiple(LenientM, _t(spark, sf_dir, "customer"),
+                            audit=True)
+    return out.select("custkey", "bad_parse", "good_parse",
+                      F.concat_ws(",", "_nulled_fields").alias("nulled"))
+
+
+SQL_WRANGLE_LENIENT = """
+SELECT c_custkey AS custkey,
+       TRY_CAST(c_name AS BIGINT) AS bad_parse,
+       TRY_CAST(substring(c_name, 10, 20) AS BIGINT) AS good_parse,
+       CASE WHEN TRY_CAST(c_name AS BIGINT) IS NULL
+            THEN 'bad_parse' ELSE '' END AS nulled
+FROM customer
+"""
+
+
 def q_data_quality_violations(spark, sf_dir):
     """Constraint-check gate: one row per (row, violated rule)."""
     d = _t(spark, sf_dir, "documents")
@@ -2070,6 +2106,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wrangle_fold_ops": q_wrangle_fold_ops,
     "sql_api_top_nations": q_sql_api_top_nations,
     "data_quality_violations": q_data_quality_violations,
+    "wrangle_lenient_audit": q_wrangle_lenient_audit,
     "corpus_clean_pipeline": q_corpus_clean_pipeline,
     "tfidf_top_terms": q_tfidf_top_terms,
     "wrangle_foreach_custom": q_wrangle_foreach_custom,
@@ -2143,6 +2180,7 @@ _ORACLES: dict[str, str] = {
     "wrangle_fold_ops": SQL_WRANGLE_FOLD,
     "sql_api_top_nations": SQL_SQL_API,
     "data_quality_violations": SQL_DATA_QUALITY,
+    "wrangle_lenient_audit": SQL_WRANGLE_LENIENT,
     "corpus_clean_pipeline": SQL_CORPUS_CLEAN,
     "tfidf_top_terms": SQL_TFIDF,
     "wrangle_foreach_custom": SQL_WRANGLE_FOREACH,
