@@ -227,3 +227,13 @@ def test_zorder_clusters_files_for_pruning(spark, tables, tmp_path):
         spans.append(max(his) - min(los))
     full_span = 1500  # customers at sf0.01
     assert sorted(spans)[0] < full_span / 2  # at least some narrow files
+
+
+def test_approx_percentile_accuracy(spark, tables):
+    """approx_percentile must track exact percentile within the declared
+    accuracy on real data (audited, like the HLL sketch)."""
+    o = tables["orders"]
+    approx = o.agg(F.percentile_approx("o_totalprice", 0.5, 1000)
+                   .alias("m")).first().m
+    exact = o.agg(F.percentile("o_totalprice", 0.5).alias("m")).first().m
+    assert abs(approx - exact) / exact < 0.02
