@@ -1128,6 +1128,42 @@ FROM customer
 """
 
 
+def q_udtf_chunk_text(spark, sf_dir):
+    """Python UDTF surface: LATERAL table function from SQL, chunking
+    documents into 30-token context windows."""
+    from wrangle_pypes_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("v_docs")
+    return spark.sql("""
+        SELECT d.doc_id, c.chunk_idx, c.chunk, CAST(c.n_tokens AS BIGINT)
+               AS n_tokens
+        FROM v_docs d, LATERAL chunk_text(d.text, 30) c
+    """)
+
+
+SQL_UDTF_CHUNK = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         unnest(generate_series(0, cast(ceil(len(toks) / 30.0) AS INT) - 1))
+             AS chunk_idx,
+         toks
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, chunk_idx,
+       array_to_string(toks[chunk_idx * 30 + 1 : least((chunk_idx + 1) * 30,
+                                                       len(toks))], ' ')
+           AS chunk,
+       (least((chunk_idx + 1) * 30, len(toks)) - chunk_idx * 30)::BIGINT
+           AS n_tokens
+FROM c
+"""
+
+
 def q_data_quality_violations(spark, sf_dir):
     """Constraint-check gate: one row per (row, violated rule)."""
     d = _t(spark, sf_dir, "documents")
@@ -2107,6 +2143,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_api_top_nations": q_sql_api_top_nations,
     "data_quality_violations": q_data_quality_violations,
     "wrangle_lenient_audit": q_wrangle_lenient_audit,
+    "udtf_chunk_text": q_udtf_chunk_text,
     "corpus_clean_pipeline": q_corpus_clean_pipeline,
     "tfidf_top_terms": q_tfidf_top_terms,
     "wrangle_foreach_custom": q_wrangle_foreach_custom,
@@ -2181,6 +2218,7 @@ _ORACLES: dict[str, str] = {
     "sql_api_top_nations": SQL_SQL_API,
     "data_quality_violations": SQL_DATA_QUALITY,
     "wrangle_lenient_audit": SQL_WRANGLE_LENIENT,
+    "udtf_chunk_text": SQL_UDTF_CHUNK,
     "corpus_clean_pipeline": SQL_CORPUS_CLEAN,
     "tfidf_top_terms": SQL_TFIDF,
     "wrangle_foreach_custom": SQL_WRANGLE_FOREACH,
