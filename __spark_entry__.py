@@ -1128,6 +1128,18 @@ FROM customer
 """
 
 
+def q_grouped_ewma(spark, sf_dir):
+    """Per-user EWMA over event values (applyInPandas grouped map);
+    recursive along time → not SQL-expressible → rows-only; exactness
+    vs a python replica is pinned in tests/test_relational.py."""
+    from wrangle_pypes_spark.operators.timeseries import grouped_ewma
+
+    e = _t(spark, sf_dir, "events")
+    out = grouped_ewma(e, key_col="user_id", ts_col="ts",
+                       value_col="value", alpha=0.3)
+    return out.select("user_id", "ts", F.round("ewma", 6).alias("ewma"))
+
+
 def q_udtf_chunk_text(spark, sf_dir):
     """Python UDTF surface: LATERAL table function from SQL, chunking
     documents into 30-token context windows."""
@@ -2144,6 +2156,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_quality_violations": q_data_quality_violations,
     "wrangle_lenient_audit": q_wrangle_lenient_audit,
     "udtf_chunk_text": q_udtf_chunk_text,
+    "grouped_ewma": q_grouped_ewma,
     "corpus_clean_pipeline": q_corpus_clean_pipeline,
     "tfidf_top_terms": q_tfidf_top_terms,
     "wrangle_foreach_custom": q_wrangle_foreach_custom,

@@ -237,3 +237,29 @@ def test_approx_percentile_accuracy(spark, tables):
                    .alias("m")).first().m
     exact = o.agg(F.percentile("o_totalprice", 0.5).alias("m")).first().m
     assert abs(approx - exact) / exact < 0.02
+
+
+def test_grouped_ewma_matches_replica(spark, tables):
+    from wrangle_pypes_spark.operators.timeseries import grouped_ewma
+
+    e = tables["events"].filter(F.col("user_id") < 10)
+    out = grouped_ewma(e, key_col="user_id", ts_col="ts",
+                       value_col="value", alpha=0.3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.user_id, []).append((r.ts, r.value, r.ewma))
+    rows = [(r.user_id, r.ts, r.value) for r in
+            e.select("user_id", "ts", "value").collect()]
+    by_user = {}
+    for u, ts, v in sorted(rows, key=lambda t: (t[0], t[1], t[2])):
+        by_user.setdefault(u, []).append((ts, v))
+    for u, seq in by_user.items():
+        ewma = None
+        expected = []
+        for ts, v in seq:
+            ewma = v if ewma is None else 0.3 * v + 0.7 * ewma
+            expected.append((ts, v, ewma))
+        spark_seq = sorted(got[u])
+        assert len(spark_seq) == len(expected)
+        for (ts1, v1, e1), (ts2, v2, e2) in zip(spark_seq, expected):
+            assert ts1 == ts2 and v1 == v2 and abs(e1 - e2) < 1e-9

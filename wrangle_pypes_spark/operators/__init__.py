@@ -38,6 +38,7 @@ from .sampling import (
     pack_sequences,
     stratified_sample,
 )
+from .timeseries import grouped_ewma
 from .similarity import (
     cosine_topk,
     ivf_topk,
@@ -70,6 +71,7 @@ __all__ = (
     "simhash_dup_pairs",
     "simhash_signatures",
     "deterministic_sample",
+    "grouped_ewma",
     "histogram",
     "pack_sequences",
     "stratified_sample",
