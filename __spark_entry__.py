@@ -953,6 +953,37 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_q10_returned_revenue(spark, sf_dir):
+    """Top-20 customers by revenue from returned items (join + filtered
+    aggregate + deterministic top-k)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = (li.filter(F.col("l_returnflag") == "R")
+         .join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    g = (j.groupBy("c_custkey", "c_name")
+         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .alias("_rev")))
+    return (g.orderBy(F.col("_rev").desc(), F.col("c_custkey")).limit(20)
+            .select(F.col("c_custkey").alias("custkey"),
+                    F.col("c_name").alias("name"),
+                    F.round("_rev", 2).alias("revenue")))
+
+
+SQL_Q10 = """
+SELECT c_custkey AS custkey, c_name AS name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+LIMIT 20
+"""
+
+
 def q_q19_bracketed_revenue(spark, sf_dir):
     """OR-of-ANDs predicate (brand/size/quantity brackets) — the classic
     pushdown-through-join shape."""
@@ -2099,6 +2130,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
     "q14_promo_revenue": q_q14_promo_revenue,
+    "q10_returned_revenue": q_q10_returned_revenue,
     "q18_large_volume_orders": q_q18_large_volume_orders,
     "q19_bracketed_revenue": q_q19_bracketed_revenue,
     "customers_without_orders": q_customers_without_orders,
@@ -2177,6 +2209,7 @@ _ORACLES: dict[str, str] = {
     "q6_forecast_revenue": SQL_Q6,
     "q12_late_lines_by_flag": SQL_Q12,
     "q14_promo_revenue": SQL_Q14,
+    "q10_returned_revenue": SQL_Q10,
     "q18_large_volume_orders": SQL_Q18,
     "q19_bracketed_revenue": SQL_Q19,
     "customers_without_orders": SQL_ANTI,
