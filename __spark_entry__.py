@@ -1960,6 +1960,50 @@ class OrderLinesM:
 
 
 @dataclass
+class PartRefM:
+    partkey: int
+
+
+def q_wrangle_get_or_create_arrays(spark, sf_dir):
+    """GetOrCreateMultiple over array input (reference
+    transformations.py:254-266): per order, the lineitem part list is
+    resolved against a known-parts dimension via one exploded lookup
+    join, regrouped in element order with per-element created flags."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    grouped = (li.groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct(F.col("l_linenumber").alias("ln"),
+                            F.col("l_partkey").alias("pk")))).alias("items")))
+    dim = (p.filter(F.col("p_partkey") < 1000)
+           .select(F.col("p_partkey").alias("partkey")))
+    pipe = Pipeline({PartRefM: {"partkey": Get("pk")}})
+    result, _new_dim = pipe.get_or_create_in_arrays(
+        PartRefM, grouped, "items", dim, ["partkey"], id_col="l_orderkey")
+    items_str = F.concat_ws(",", F.transform(
+        F.col("items"),
+        lambda s: F.concat_ws(":", s.getField("partkey").cast("string"),
+                              s.getField("created").cast("string"))))
+    return result.select(F.col("l_orderkey").alias("orderkey"),
+                         items_str.alias("items_str"))
+
+
+SQL_GOC_ARRAYS = """
+WITH g AS (
+  SELECT l_orderkey AS orderkey,
+         list_sort(list(struct_pack(ln := l_linenumber,
+                                    pk := l_partkey))) AS items
+  FROM lineitem GROUP BY l_orderkey)
+SELECT orderkey,
+       array_to_string(list_transform(items,
+           s -> concat(s.pk, ':', CASE WHEN s.pk < 1000
+                                       THEN 'false' ELSE 'true' END)),
+           ',') AS items_str
+FROM g
+"""
+
+
+@dataclass
 class AttrIdM:
     orderkey: int
     status: str
@@ -2172,6 +2216,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wrangle_map_ops": q_wrangle_map_ops,
     "wrangle_create_multiple": q_wrangle_create_multiple,
     "wrangle_attr_id": q_wrangle_attr_id,
+    "wrangle_get_or_create_arrays": q_wrangle_get_or_create_arrays,
     "cube_orders": q_cube_orders,
     "semi_join_customers": q_semi_join_customers,
     "percentiles_by_segment": q_percentiles_by_segment,
@@ -2249,6 +2294,7 @@ _ORACLES: dict[str, str] = {
     "wrangle_map_ops": SQL_WRANGLE_MAP,
     "wrangle_create_multiple": SQL_WRANGLE_CREATE_MULTIPLE,
     "wrangle_attr_id": SQL_WRANGLE_ATTR_ID,
+    "wrangle_get_or_create_arrays": SQL_GOC_ARRAYS,
     "cube_orders": SQL_CUBE,
     "semi_join_customers": SQL_SEMI,
     "percentiles_by_segment": SQL_PERCENTILES,

@@ -150,6 +150,7 @@ class Pipeline:
         match_targets: Optional[Sequence[str]] = None,
         *,
         broadcast_threshold: int | None = None,
+        passthrough: Sequence[str] = (),
     ) -> tuple[DataFrame, DataFrame]:
         """Set-oriented ``get_or_create`` (SURVEY.md section 3.3).
 
@@ -174,8 +175,10 @@ class Pipeline:
         a transactional MERGE needs a table format (Delta/Iceberg) and is
         out of scope for the in-memory protocol.
         """
-        built = self.create_multiple(model, df)
-        keys = list(match_targets) if match_targets else list(built.columns)
+        built = df.select(*self.compile(model, df),
+                          *[F.col(c) for c in passthrough])
+        model_cols = [c for c in built.columns if c not in set(passthrough)]
+        keys = list(match_targets) if match_targets else list(model_cols)
         missing = [k for k in keys if k not in built.columns or k not in dim.columns]
         if missing:
             raise SpecError(f"match_targets {missing!r} not present in both "
@@ -213,7 +216,7 @@ class Pipeline:
         result = joined.select(*out_cols, created.alias("created"))
 
         new_rows = (result.filter(F.col("created"))
-                    .select(*[F.col(c).alias(c) for c in built.columns
+                    .select(*[F.col(c).alias(c) for c in model_cols
                               if c in dim_cols])
                     .dropDuplicates(keys))
         # align to dim schema: missing dim columns become null
@@ -228,9 +231,54 @@ class Pipeline:
 
     def get_or_create_multiple(self, *args, **kwargs):
         """Alias of :meth:`get_or_create` — the engine is set-oriented, so
-        the "multiple" variant (reference ``pipeline.py:85-104``) is the
-        same operation."""
+        the "multiple" variant over flat rows (reference
+        ``pipeline.py:85-104``) is the same operation.  For ARRAY-valued
+        input (a list of child records per row, the reference
+        ``GetOrCreateMultiple`` transformation) use
+        :meth:`get_or_create_in_arrays`."""
         return self.get_or_create(*args, **kwargs)
+
+    def get_or_create_in_arrays(
+        self,
+        model: type,
+        df: DataFrame,
+        array_col: str,
+        dim: DataFrame,
+        match_targets: Optional[Sequence[str]] = None,
+        *,
+        id_col: str,
+    ) -> tuple[DataFrame, DataFrame]:
+        """``GetOrCreateMultiple`` over an array column (reference
+        ``transformations.py:254-266``): each element of
+        ``df[array_col]`` (array<struct>) is resolved against ``dim``.
+
+        Topology (SURVEY.md section 2.1 row E4): ``posexplode`` the
+        array, run the set-oriented lookup join once over ALL elements
+        of ALL rows, then regroup with ``collect_list`` sorted by the
+        original element position.  Returns ``(result, new_dim)`` where
+        ``result`` is ``(id_col, items)`` and ``items`` is an array of
+        model structs each carrying its ``created`` flag, in input
+        order.
+        """
+        exploded = (df.select(id_col,
+                              F.posexplode(F.col(array_col))
+                               .alias("_pos", "_elem"))
+                    .select(id_col, "_pos", "_elem.*"))
+        flat, new_dim = self.get_or_create(
+            model, exploded, dim, match_targets,
+            passthrough=[id_col, "_pos"])
+        entry_cols = [c for c in flat.columns if c not in (id_col, "_pos")]
+        entry = F.struct(*[F.col(c) for c in entry_cols])
+        regrouped = (flat
+                     .groupBy(id_col)
+                     .agg(F.array_sort(F.collect_list(
+                         F.struct(F.col("_pos").alias("p"),
+                                  entry.alias("e")))).alias("_tmp"))
+                     .select(id_col,
+                             F.transform(F.col("_tmp"),
+                                         lambda s: s.getField("e"))
+                              .alias("items")))
+        return regrouped, new_dim
 
 
 def _cheap_count_at_most(df: DataFrame, n: int) -> bool:
