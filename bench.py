@@ -56,6 +56,10 @@ HEADLINE = [
     "tfidf_top_terms",
     "fuzzy_dedup_canonical",
     "pack_sequences",
+    "grouped_ewma",
+    "udtf_chunk_text",
+    "wrangle_get_or_create_arrays",
+    "q10_returned_revenue",
     "stream_tumbling_events",
     "stream_session_events",
     "stream_stream_join",
