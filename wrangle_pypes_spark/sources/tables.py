@@ -29,6 +29,26 @@ EVENT_PROPS_SCHEMA = T.StructType([
 ])
 
 
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Make ANY SparkSession able to read the testdata correctly.
+
+    Callers (including the correctness driver) may hand us a bare
+    session, so the source layer cannot assume ``session.get_session``
+    ran.  Both settings are runtime SQL confs, safe to set post-start:
+
+    - ``spark.sql.legacy.parquet.nanosAsLong``: events.parquet stores
+      ``ts`` as parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+      otherwise rejects outright (PARQUET_TYPE_ILLEGAL); reading it as a
+      nanosecond long + ``normalize_nanos_ts`` matches DuckDB's
+      TIMESTAMP_NS -> TIMESTAMP truncation.
+    - ``spark.sql.session.timeZone=UTC``: keeps timestamp rendering/
+      extraction oracle-comparable regardless of host timezone.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def normalize_nanos_ts(df: DataFrame, col: str = "ts",
                        target: str = "timestamp_ntz") -> DataFrame:
     """Convert a nanosecond-epoch long column (parquet TIMESTAMP(NANOS)
@@ -44,7 +64,13 @@ def normalize_nanos_ts(df: DataFrame, col: str = "ts",
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one star-schema table from a scale-factor directory."""
+    """Read one star-schema table from a scale-factor directory.
+
+    Self-sufficient on any session: sets the nanos/timezone confs itself
+    (see ``ensure_session_confs``) rather than assuming the caller used
+    ``session.get_session``.
+    """
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_nanos_ts(df)

@@ -23,8 +23,9 @@ def stream_events(spark: SparkSession, sf_dir: str,
                   schema: Optional[T.StructType] = None) -> DataFrame:
     """readStream over the events parquet directory (file-source stream;
     in production this is Kafka with the same downstream plan)."""
-    from ..sources.tables import normalize_nanos_ts
+    from ..sources.tables import ensure_session_confs, normalize_nanos_ts
 
+    ensure_session_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
     if schema is None:
         schema = spark.read.parquet(path).schema
