@@ -164,3 +164,83 @@ def test_get_or_create_all_fields_match(spark):
     result, _ = p.get_or_create(User, incoming, dim)  # match on ALL fields
     got = sorted((r.email, r.name, r.created) for r in result.collect())
     assert got == [("a@x.com", "Alice", False), ("a@x.com", "Different", True)]
+
+
+def test_get_or_create_null_key_dim_match(spark):
+    """A dim row whose match-key IS NULL must count as a hit (eqNullSafe),
+    not be re-created and re-appended to the dim on every call."""
+    dim = spark.createDataFrame([(None, "Dim Null"), ("a@x.com", "Alice")],
+                                "email string, name string")
+    incoming = spark.createDataFrame([(None, "New Null")],
+                                     "email string, name string")
+    p = Pipeline({User: {"email": Get("email"), "name": Get("name")}})
+    result, new_dim = p.get_or_create(User, incoming, dim,
+                                      match_targets=["email"])
+    rows = result.collect()
+    assert len(rows) == 1
+    assert rows[0].created is False  # null-key dim row matched
+    assert rows[0].name == "Dim Null"  # dim values win on a hit
+    assert new_dim.count() == 2  # nothing appended
+    # idempotent across repeated calls (the foreach-batch topology)
+    _, dim2 = p.get_or_create(User, incoming, new_dim,
+                              match_targets=["email"])
+    assert dim2.count() == 2
+
+
+def test_get_or_create_in_arrays_empty_and_null(spark):
+    """Empty arrays come back as empty item lists; NULL arrays stay
+    NULL; neither row is dropped (reference GetOrCreateMultiple returns
+    [] for empty input)."""
+    from pyspark.sql import types as T
+
+    elem = T.StructType([T.StructField("email", T.StringType()),
+                         T.StructField("name", T.StringType())])
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("members", T.ArrayType(elem))])
+    df = spark.createDataFrame(
+        [(1, [("a@x.com", "New Alice"), ("c@x.com", "Carol")]),
+         (2, []),
+         (3, None)], schema)
+    dim = spark.createDataFrame([("a@x.com", "Dim Alice")],
+                                "email string, name string")
+    p = Pipeline({User: {"email": Get("email"), "name": Get("name")}})
+    result, new_dim = p.get_or_create_in_arrays(
+        User, df, "members", dim, ["email"], id_col="id")
+    got = {r.id: r.items for r in result.collect()}
+    assert set(got) == {1, 2, 3}
+    assert [ (i.email, i.created) for i in got[1] ] == [
+        ("a@x.com", False), ("c@x.com", True)]
+    assert got[1][0].name == "Dim Alice"
+    assert got[2] == []
+    assert got[3] is None
+    assert sorted(r.email for r in new_dim.collect()) == ["a@x.com", "c@x.com"]
+
+
+def test_to_instances_materializes_dataclasses(spark):
+    """API-shape parity with the reference: the final hand-off yields
+    real dataclass instances with nested models (reference
+    pipeline.py:41 model(**kwargs))."""
+    from wrangle_pypes_spark import to_instances
+
+    data = [
+        Row(A=Row(x="0", y="0"), B=Row(x="1", y="1")),
+        Row(A=Row(x="10", y="10"), B=Row(x="11", y="11")),
+    ]
+    df = spark.createDataFrame(
+        data, "A struct<x: string, y: string>, B struct<x: string, y: string>")
+    pipeline = Pipeline({
+        Square: {"A": Get("A") | Create(Point),
+                 "B": Get("B") | Create(Point)},
+        Point: {"x": Get("x") | Cast(int),
+                "y": Get("y") | Cast(int)},
+    })
+    built = pipeline.create_multiple(Square, df)
+    out = sorted(to_instances(Square, built), key=lambda s: s.A.x)
+    assert all(isinstance(s, Square) for s in out)
+    assert all(isinstance(s.A, Point) and isinstance(s.B, Point) for s in out)
+    assert out == [Square(A=Point(x=0, y=0), B=Point(x=1, y=1)),
+                   Square(A=Point(x=10, y=10), B=Point(x=11, y=11))]
+    # extra columns (e.g. the created flag) are ignored
+    flagged = built.withColumn("created", F.lit(True))
+    again = list(to_instances(Square, flagged))
+    assert len(again) == 2 and isinstance(again[0], Square)

@@ -263,3 +263,17 @@ def test_grouped_ewma_matches_replica(spark, tables):
         assert len(spark_seq) == len(expected)
         for (ts1, v1, e1), (ts2, v2, e2) in zip(spark_seq, expected):
             assert ts1 == ts2 and v1 == v2 and abs(e1 - e2) < 1e-9
+
+
+def test_asof_join_null_value_preserved(spark):
+    """The as-of matched right row's legitimately-NULL value must come
+    through as NULL — not be skipped in favor of a stale older value."""
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12, 0, 0))], "k bigint, lts timestamp")
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0, 0), 100.0),
+         (1, dt.datetime(2024, 1, 1, 11, 0, 0), None)],
+        "k bigint, rts timestamp, price double")
+    out = asof_join(left, right, "k", "lts", "rts").collect()
+    assert len(out) == 1
+    assert out[0].price is None  # the 11:00 row matched; its NULL survives

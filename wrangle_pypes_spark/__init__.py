@@ -38,7 +38,7 @@ SURVEY.md section 2.3.6.)
 
 from .errors import SpecError, TransformationError, WrangleError
 from .models import spark_schema_for, spark_type_for
-from .pipeline import Pipeline
+from .pipeline import Pipeline, to_instances
 from .session import get_session
 from .transformations import (
     MISSING,
@@ -72,6 +72,7 @@ __version__ = "0.1.0"
 
 __all__ = (
     "Pipeline",
+    "to_instances",
     "get_session",
     "spark_schema_for",
     "spark_type_for",

@@ -332,6 +332,13 @@ def connected_components(edges: DataFrame, *, src: str = "id_a",
     truncated per iteration with ``localCheckpoint`` — without it the
     plan doubles every round and the driver dies long before the data
     does (the classic iterative-Spark trap).
+
+    If ``max_iter`` is reached before convergence (graph diameter >
+    ``max_iter``) the labels are PARTIAL — some clusters carry more than
+    one label, so downstream canonical-selection would keep extra
+    "canonical" rows.  That case warns loudly rather than returning
+    silently; raise ``max_iter`` (rounds needed ≈ graph diameter, tiny
+    for near-dup graphs).
     """
     sym = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
            .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
@@ -339,6 +346,7 @@ def connected_components(edges: DataFrame, *, src: str = "id_a",
     labels = (sym.select(F.col("s").alias("id")).distinct()
               .withColumn("comp", F.col("id"))
               .localCheckpoint(eager=True))
+    changed = 0
     for _ in range(max_iter):
         neigh = (sym.join(labels, sym.d == labels.id)
                  .groupBy("s").agg(F.min("comp").alias("ncomp")))
@@ -352,6 +360,12 @@ def connected_components(edges: DataFrame, *, src: str = "id_a",
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        import warnings
+        warnings.warn(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds; labels are partial (clusters may carry multiple "
+            "labels). Raise max_iter.", RuntimeWarning, stacklevel=2)
     return labels
 
 

@@ -68,13 +68,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     mirrors it) for the same key.
 
     Spark-first strategy (no native as-of operator): union both sides
-    tagged, sort within key, and carry the most recent right values
-    forward with ``last(..., ignorenulls=True)``.  This costs ONE shuffle
-    of (left ∪ right) on the key — versus the naive range-join which is
-    O(|L|·|R|) per key.  This is the standard scalable formulation and
-    survives 100× data growth as long as per-key history fits a window
-    sort (spillable).
+    tagged, sort within key, and carry the most recent right row forward
+    as ONE struct with ``last(..., ignorenulls=True)`` — the struct of a
+    matched right row is non-null even when individual value fields are
+    NULL, so the as-of row's actual NULLs are preserved (a per-column
+    fill would skip them and report a stale older value).  This costs
+    ONE shuffle of (left ∪ right) on the key — versus the naive
+    range-join which is O(|L|·|R|) per key.  This is the standard
+    scalable formulation and survives 100× data growth as long as
+    per-key history fits a window sort (spillable).
     """
+    from pyspark.sql import types as T
+
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     rcols = list(right_value_cols) if right_value_cols is not None else [
@@ -84,22 +89,22 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         raise ValueError(f"right value columns {sorted(clash)} collide with "
                          "left columns; rename before asof_join")
 
-    lhs = left.withColumn("_is_left", F.lit(1)) \
-              .withColumn("_ts", F.col(left_ts))
-    for c in rcols:
-        lhs = lhs.withColumn(c, F.lit(None).cast(dict(
-            (f.name, f.dataType) for f in right.schema.fields)[c]))
-    rhs = right.select(
+    right_types = dict((f.name, f.dataType) for f in right.schema.fields)
+    rrow_t = T.StructType(
+        [T.StructField(c, right_types[c], True) for c in rcols])
+    lrow_t = T.StructType(left.schema.fields)
+    lhs_sel = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast(rrow_t).alias("_rrow"))
+    rhs_sel = right.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
-        *[F.col(c) for c in rcols],
-    )
-    lhs_sel = lhs.select(on, "_ts", "_is_left",
-                         *rcols,
-                         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"))
-    rhs_sel = rhs.withColumn("_lrow", F.lit(None).cast(
-        lhs_sel.schema["_lrow"].dataType))
+        F.lit(None).cast(lrow_t).alias("_lrow"),
+        F.struct(*[F.col(c) for c in rcols]).alias("_rrow"))
     unioned = lhs_sel.unionByName(rhs_sel)
 
     if direction == "backward":
@@ -112,13 +117,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
                                             F.col("_is_left").asc())
              .rowsBetween(Window.unboundedPreceding, 0))
 
-    filled = unioned
-    for c in rcols:
-        filled = filled.withColumn(
-            c, F.last(F.when(F.col("_is_left") == 0, F.col(c)), ignorenulls=True).over(w))
+    # left rows carry a NULL _rrow, so ignorenulls finds the latest RIGHT row
+    filled = unioned.withColumn(
+        "_rmatch", F.last(F.col("_rrow"), ignorenulls=True).over(w))
     out = filled.filter(F.col("_is_left") == 1)
     return out.select(*[F.col("_lrow").getField(c).alias(c) for c in left.columns],
-                      *[F.col(c) for c in rcols])
+                      *[F.col("_rmatch").getField(c).alias(c) for c in rcols])
 
 
 def bucketed_range_join(left: DataFrame, right: DataFrame, on: str,

@@ -31,7 +31,7 @@ from .errors import SpecError, TransformationError
 from .models import spark_schema_for
 from .transformations import Chain, CompileContext, Transformation
 
-__all__ = ("Pipeline",)
+__all__ = ("Pipeline", "to_instances")
 
 # Dimensions at or under this many rows get an explicit broadcast hint in
 # get_or_create.  (AQE would usually pick this up too; the hint makes the
@@ -184,12 +184,16 @@ class Pipeline:
             raise SpecError(f"match_targets {missing!r} not present in both "
                             f"built columns {built.columns} and dim {dim.columns}")
 
-        dim_side = dim
+        # Literal hit marker: `created` must not probe a key column —
+        # eqNullSafe can match a dim row whose key value IS null, and a
+        # key-column probe would flag that real match as created=True
+        # (and re-append the null-key row to new_dim every batch).
+        dim_side = dim.withColumn("_dim_hit", F.lit(True))
         threshold = (_BROADCAST_ROW_THRESHOLD if broadcast_threshold is None
                      else broadcast_threshold)
         # Explicit broadcast for small dims; for large dims let AQE decide.
         if threshold and _cheap_count_at_most(dim, threshold):
-            dim_side = F.broadcast(dim)
+            dim_side = F.broadcast(dim_side)
 
         b = built.alias("b")
         d = dim_side.alias("d")
@@ -200,11 +204,7 @@ class Pipeline:
         joined = b.join(d, cond, "left")
 
         dim_cols = set(dim.columns)
-        probe = keys[0]
-        # eqNullSafe join: a dim match always has a non-null (or null-matched)
-        # probe column reference; use the join condition's success directly.
-        created = F.when(F.col(f"d.{probe}").isNotNull(), F.lit(False)) \
-                   .otherwise(F.lit(True))
+        created = F.col("d._dim_hit").isNull()
 
         out_cols = []
         for c in built.columns:
@@ -255,10 +255,13 @@ class Pipeline:
         Topology (SURVEY.md section 2.1 row E4): ``posexplode`` the
         array, run the set-oriented lookup join once over ALL elements
         of ALL rows, then regroup with ``collect_list`` sorted by the
-        original element position.  Returns ``(result, new_dim)`` where
-        ``result`` is ``(id_col, items)`` and ``items`` is an array of
-        model structs each carrying its ``created`` flag, in input
-        order.
+        original element position and left-join back onto the input ids.
+        Rows whose array is EMPTY come back with an empty ``items`` list
+        (the reference returns ``[]`` for empty input rather than
+        dropping the record); a NULL array stays NULL.  Returns
+        ``(result, new_dim)`` where ``result`` is ``(id_col, items)``
+        and ``items`` is an array of model structs each carrying its
+        ``created`` flag, in input order.
         """
         exploded = (df.select(id_col,
                               F.posexplode(F.col(array_col))
@@ -278,7 +281,70 @@ class Pipeline:
                              F.transform(F.col("_tmp"),
                                          lambda s: s.getField("e"))
                               .alias("items")))
-        return regrouped, new_dim
+        items_t = regrouped.schema["items"].dataType
+        base = df.select(id_col, F.col(array_col).alias("_src_arr"))
+        result = (base.join(regrouped, id_col, "left")
+                  .select(id_col,
+                          F.when(F.col("_src_arr").isNull(),
+                                 F.lit(None).cast(items_t))
+                           .otherwise(F.coalesce(F.col("items"),
+                                                 F.array().cast(items_t)))
+                           .alias("items")))
+        return result, new_dim
+
+
+def to_instances(model: type, df: DataFrame):
+    """Materialize a built DataFrame back into actual dataclass
+    instances — the reference's output shape (``pipeline.py:41``
+    ``model(**kwargs)`` yields real model objects, not rows).
+
+    Nested structs become nested model instances, arrays/maps of models
+    convert element-wise, and extra non-model columns (e.g. the
+    ``created`` flag from ``get_or_create``) are ignored.  Returns a
+    generator like the reference's ``create_multiple``.
+
+    This is deliberately a DRIVER-side adapter for the final
+    "hand results to Python" step: it streams partitions via
+    ``toLocalIterator`` (never more than one partition of rows held on
+    the driver), but instances are plain Python objects — keep
+    distributed work in DataFrame land and materialize only what you
+    consume.
+    """
+    import typing
+
+    names = [f.name for f in dataclasses.fields(model)]
+    _hints_cache: dict[type, dict[str, Any]] = {}
+
+    def hints_for(m: type) -> dict[str, Any]:
+        if m not in _hints_cache:
+            _hints_cache[m] = typing.get_type_hints(m)
+        return _hints_cache[m]
+
+    def convert(py_type: Any, val: Any):
+        if val is None:
+            return None
+        import types as _types
+        origin = typing.get_origin(py_type)
+        if origin is typing.Union or origin is _types.UnionType:
+            args = [a for a in typing.get_args(py_type) if a is not type(None)]
+            return convert(args[0], val) if len(args) == 1 else val
+        if origin in (list, tuple):
+            (elem,) = typing.get_args(py_type) or (Any,)
+            return [convert(elem, v) for v in val]
+        if origin is dict:
+            kv = typing.get_args(py_type) or (Any, Any)
+            return {k: convert(kv[1], v) for k, v in val.items()}
+        if isinstance(py_type, type) and dataclasses.is_dataclass(py_type):
+            return row_to_instance(py_type, val)
+        return val
+
+    def row_to_instance(m: type, row: Row):
+        m_hints = hints_for(m)
+        return m(**{f.name: convert(m_hints.get(f.name, Any), row[f.name])
+                    for f in dataclasses.fields(m)})
+
+    for row in df.select(*names).toLocalIterator():
+        yield row_to_instance(model, row)
 
 
 def _cheap_count_at_most(df: DataFrame, n: int) -> bool:

@@ -9,10 +9,13 @@ SURVEY.md section 2.3:
 
 * ``Filter`` applies its predicate per-element (reference bug at
   ``transformations.py:124`` applies it to the whole collection).
-* ``Get``'s missing-key default uses a MISSING sentinel, so
-  ``default=None`` means "no default" exactly like the reference's
-  ``if self.default is not None`` check (``transformations.py:105-108``),
-  without conflating a *present* null with a *missing* key.
+* ``Get``'s missing-key default uses a MISSING sentinel: only OMITTING
+  ``default`` means "no default"; an explicit ``Get(k, None)`` is a real
+  default that nulls out missing keys.  (Deliberate divergence from the
+  reference's ``if self.default is not None`` check,
+  ``transformations.py:105-108``, which cannot express "default to
+  null"; the sentinel also avoids conflating a *present* null with a
+  *missing* key.)
 * Chains are immutable (reference ``Chain.__or__`` mutates in place,
   ``pipeline.py:164-166``).
 
