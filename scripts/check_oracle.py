@@ -35,6 +35,54 @@ def canon(val):
     return val
 
 
+# The driver's value hash is TYPE-sensitive (round 1: DuckDB HUGEINT vs
+# Spark BIGINT hash-mismatched with identical values), so replicate that
+# strictness here: map both engines' result types to canonical tags and
+# require equality per column.
+_SPARK_TYPE_TAGS = {
+    "tinyint": "i8", "smallint": "i16", "int": "i32", "bigint": "i64",
+    "float": "f32", "double": "f64", "string": "str", "boolean": "bool",
+    "date": "date", "timestamp": "ts", "timestamp_ntz": "ts",
+    "binary": "bytes",
+}
+_DUCK_TYPE_TAGS = {
+    "TINYINT": "i8", "SMALLINT": "i16", "INTEGER": "i32", "BIGINT": "i64",
+    "HUGEINT": "i128", "UTINYINT": "u8", "USMALLINT": "u16",
+    "UINTEGER": "u32", "UBIGINT": "u64",
+    "FLOAT": "f32", "DOUBLE": "f64", "VARCHAR": "str", "BOOLEAN": "bool",
+    "DATE": "date", "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts",
+    "TIMESTAMP WITH TIME ZONE": "ts", "BLOB": "bytes",
+}
+
+
+def _spark_tag(dtype: str) -> str:
+    if dtype.startswith("decimal"):
+        return "dec" + dtype[len("decimal"):].replace(" ", "")
+    if dtype.startswith(("array", "map", "struct")):
+        return dtype  # structural: compare as-is
+    return _SPARK_TYPE_TAGS.get(dtype, dtype)
+
+
+def _duck_tag(dtype: str) -> str:
+    d = str(dtype).upper()
+    if d.startswith("DECIMAL"):
+        return "dec" + d[len("DECIMAL"):].replace(" ", "").lower()
+    if d.endswith("[]"):
+        return "array<" + _duck_tag(d[:-2]).lower() + ">"
+    return _DUCK_TYPE_TAGS.get(d, d.lower())
+
+
+def type_mismatches(scols, sdtypes, dcols, ddtypes):
+    """Column-name-aligned type comparison; returns list of diffs."""
+    sm = {c: _spark_tag(t) for c, t in sdtypes}
+    dm = dict(zip(dcols, (_duck_tag(t) for t in ddtypes)))
+    out = []
+    for c in scols:
+        if c in dm and sm.get(c) != dm[c]:
+            out.append(f"{c}: spark={sm.get(c)} duck={dm[c]}")
+    return out
+
+
 def df_to_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     canoned = [tuple(canon(r[i]) for i in idx) for r in rows]
@@ -72,12 +120,21 @@ def main():
                   f"{time.time()-t0:.1f}s) — no oracle")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # relation API: .types gives concrete types (BIGINT vs HUGEINT);
+            # DB-API description only exposes generic categories ('NUMBER')
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
+            drows = rel.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            continue
+        tdiffs = type_mismatches(scols, sdf.dtypes, dcols, dtypes)
+        if tdiffs:
+            failures.append(name)
+            print(f"FAIL {name}: result TYPE mismatch (driver hash is "
+                  f"type-sensitive): {'; '.join(tdiffs)}")
             continue
         s_sorted, s_cols = df_to_rows(scols, [tuple(r) for r in srows])
         d_sorted, d_cols = df_to_rows(dcols, drows)
