@@ -89,3 +89,24 @@ def test_bucketed_join_eliminates_shuffle(spark, tables):
         tables["lineitem"],
         tables["orders"].o_orderkey == tables["lineitem"].l_orderkey).count())
     assert n == plain
+
+
+def test_parse_json_col_infers_richer_payload(spark):
+    """A props payload richer than the assumed {"k": long} keeps all its
+    keys when the schema is inferred (round-1 advice: the hard-coded
+    schema silently nulled unknown keys)."""
+    from wrangle_pypes_spark.sources.tables import infer_json_schema, parse_json_col
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "extra": "x", "nested": {"a": 1.5}}'),
+         (2, '{"k": 8}'),
+         (3, None)],
+        "event_id bigint, props string")
+    schema = infer_json_schema(df, "props")
+    names = [f.name for f in schema.fields]
+    assert set(names) == {"k", "extra", "nested"}
+    parsed = parse_json_col(df, "props", out="p")
+    rows = {r.event_id: r.p for r in parsed.collect()}
+    assert rows[1].k == 7 and rows[1].extra == "x" and rows[1].nested.a == 1.5
+    assert rows[2].k == 8 and rows[2].extra is None
+    assert rows[3] is None

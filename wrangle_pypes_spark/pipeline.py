@@ -349,8 +349,22 @@ def to_instances(model: type, df: DataFrame):
 
 def _cheap_count_at_most(df: DataFrame, n: int) -> bool:
     """True if df has at most n rows, checked without a full count when
-    possible (limit n+1 then count the limited frame)."""
-    try:
-        return df.limit(n + 1).count() <= n
-    except Exception:
-        return False
+    possible (limit n+1 then count the limited frame).
+
+    This runs an EAGER (but tiny) job at plan-build time; the verdict is
+    memoized on the DataFrame handle so repeated ``get_or_create`` calls
+    against the same dim object (e.g. per micro-batch) probe once.
+    """
+    cache = getattr(df, "_wps_atmost_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            df._wps_atmost_cache = cache
+        except AttributeError:  # exotic DataFrame proxy; skip memoization
+            pass
+    if n not in cache:
+        try:
+            cache[n] = df.limit(n + 1).count() <= n
+        except Exception:
+            return False
+    return cache[n]

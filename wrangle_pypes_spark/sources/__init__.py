@@ -8,8 +8,11 @@ payload parsing for dynamic columns).
 """
 
 from .sinks import write_bucketed_table, write_csv, write_json, write_parquet
-from .tables import TABLES, load_star_schema, load_table, parse_json_col, read_csv, read_jsonl
+from .tables import (TABLES, ensure_session_confs, infer_json_schema,
+                     load_star_schema, load_table, parse_json_col, read_csv,
+                     read_jsonl)
 
-__all__ = ("TABLES", "load_star_schema", "load_table", "parse_json_col",
+__all__ = ("TABLES", "ensure_session_confs", "infer_json_schema",
+           "load_star_schema", "load_table", "parse_json_col",
            "read_csv", "read_jsonl", "write_bucketed_table", "write_csv",
            "write_json", "write_parquet")

@@ -89,10 +89,83 @@ def load_star_schema(spark: SparkSession, sf_dir: str,
     return out
 
 
-def parse_json_col(df: DataFrame, col: str, schema: T.StructType | str,
+def parse_json_col(df: DataFrame, col: str,
+                   schema: T.StructType | str | None = None,
                    out: str | None = None) -> DataFrame:
-    """Parse a JSON-string column into a typed struct column (JVM-side)."""
+    """Parse a JSON-string column into a typed struct column (JVM-side).
+
+    With ``schema=None`` the schema is inferred from a bounded sample
+    (``infer_json_schema`` — one tiny job at plan-build time), so richer
+    payloads than an assumed shape keep all their keys instead of being
+    silently nulled.  Pass an explicit schema in production pipelines to
+    skip the sample pass."""
+    if schema is None:
+        schema = infer_json_schema(df, col)
     return df.withColumn(out or col, F.from_json(F.col(col), schema))
+
+
+def infer_json_schema(df: DataFrame, col: str, *,
+                      samples: int = 100) -> T.StructType:
+    """Infer a StructType for a JSON-string column from a driver-side
+    sample of ``samples`` non-null values (bounded: one ``limit(n)``
+    job, never a full-data inference pass).  Keys seen in ANY sampled
+    row are included; conflicting value types widen to string."""
+    import json
+
+    def py_to_type(v) -> T.DataType:
+        if isinstance(v, bool):
+            return T.BooleanType()
+        if isinstance(v, int):
+            return T.LongType()
+        if isinstance(v, float):
+            return T.DoubleType()
+        if isinstance(v, list):
+            elem = merge_types([py_to_type(e) for e in v if e is not None])
+            return T.ArrayType(elem or T.StringType())
+        if isinstance(v, dict):
+            return obj_to_struct([v])
+        return T.StringType()
+
+    def merge_types(ts: list[T.DataType]) -> T.DataType | None:
+        ts = [t for t in ts if t is not None]
+        if not ts:
+            return None
+        first = ts[0]
+        for t in ts[1:]:
+            if t.simpleString() != first.simpleString():
+                if {t.simpleString(), first.simpleString()} <= {"bigint", "double"}:
+                    first = T.DoubleType()
+                else:
+                    return T.StringType()
+        return first
+
+    def obj_to_struct(objs: list[dict]) -> T.StructType:
+        keys: dict[str, list] = {}
+        for o in objs:
+            for k, v in o.items():
+                keys.setdefault(k, []).append(v)
+        fields = []
+        for k in sorted(keys):
+            vals = [v for v in keys[k] if v is not None]
+            dicts = [v for v in vals if isinstance(v, dict)]
+            if dicts and len(dicts) == len(vals):
+                dt: T.DataType = obj_to_struct(dicts)
+            else:
+                dt = merge_types([py_to_type(v) for v in vals]) or T.StringType()
+            fields.append(T.StructField(k, dt, True))
+        return T.StructType(fields)
+
+    rows = (df.select(col).where(F.col(col).isNotNull())
+            .limit(samples).collect())
+    objs = []
+    for r in rows:
+        try:
+            v = json.loads(r[0])
+        except (TypeError, ValueError):
+            continue
+        if isinstance(v, dict):
+            objs.append(v)
+    return obj_to_struct(objs)
 
 
 def read_jsonl(spark: SparkSession, path: str,
