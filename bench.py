@@ -50,6 +50,9 @@ HEADLINE = [
     "ivf_ann_top5",
     "lsh_ann_top5",
     "multimodal_features",
+    "resize_images",
+    "sample_frames",
+    "zorder_col",
     "wrangle_array_ops",
     "cube_orders",
     "corpus_clean_pipeline",

@@ -4,7 +4,11 @@
 same scale factor, compare row count, schema (column names), and
 order-insensitive values.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [--bare] [--window] [sf_dir] [query ...]
+
+``--bare`` runs on a plain SparkSession (no repo confs) to simulate the
+driver's session exactly; ``--window`` restricts to the first 50
+registry entries (the slice the driver checks).
 """
 
 from __future__ import annotations
@@ -92,15 +96,30 @@ def df_to_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_session("oracle-check", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    args = sys.argv[1:]
+    bare = "--bare" in args
+    window = "--window" in args
+    args = [a for a in args if a not in ("--bare", "--window")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    if bare:
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master(f"local[{cpus}]")
+                 .appName("oracle-check-bare")
+                 .config("spark.ui.enabled", "false")
+                 .getOrCreate())
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = get_session("oracle-check", cpus=cpus)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"'{os.path.join(sf_dir, t + '.parquet')}'")
 
     qs = entrymod.queries()
+    if window:
+        qs = dict(list(qs.items())[:50])
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():

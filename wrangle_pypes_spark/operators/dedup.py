@@ -350,14 +350,17 @@ def connected_components(edges: DataFrame, *, src: str = "id_a",
     for _ in range(max_iter):
         neigh = (sym.join(labels, sym.d == labels.id)
                  .groupBy("s").agg(F.min("comp").alias("ncomp")))
+        # carry the previous label through the update so convergence is a
+        # filter on the checkpointed frame — not an extra join per round
         new = (labels.join(neigh, labels.id == neigh.s, "left")
                .select(labels.id,
                        F.least(F.col("comp"),
-                               F.coalesce("ncomp", F.col("comp"))).alias("comp"))
+                               F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+                       F.col("comp").alias("_prev"))
                .localCheckpoint(eager=True))
-        changed = (new.alias("n").join(labels.alias("o"), "id")
-                   .filter(F.col("n.comp") != F.col("o.comp")).limit(1).count())
-        labels = new
+        changed = (new.filter(F.col("comp") != F.col("_prev"))
+                   .limit(1).count())
+        labels = new.drop("_prev")
         if changed == 0:
             break
     if changed != 0:
