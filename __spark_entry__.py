@@ -87,6 +87,7 @@ from wrangle_pypes_spark.streaming import (
     session_window_agg,
     sliding_window_agg,
     stateful_running_counts,
+    stream_dedup,
     stream_events,
     stream_stream_interval_join,
 )
@@ -1643,6 +1644,25 @@ FROM events a JOIN events b
 """
 
 
+def q_stream_dedup_events(spark, sf_dir):
+    """Streaming ingest-time dedup (dropDuplicatesWithinWatermark; state
+    = one entry per in-watermark key).  Key columns only, so the result
+    is deterministic regardless of which physical row survives; the
+    batch DISTINCT is the oracle."""
+    ev = stream_events(spark, sf_dir).select("ts", "user_id", "event_type")
+    # watermark wider than the dataset's time span so the batch DISTINCT
+    # is an exact oracle (in production you'd size it to the dup horizon)
+    dd = stream_dedup(ev, ["user_id", "event_type"], watermark="3650 days")
+    table = run_available_now_to_memory(dd, "stream_dedup_out",
+                                        output_mode="append")
+    return table.select("user_id", "event_type")
+
+
+SQL_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def q_fuzzy_dedup_canonical(spark, sf_dir):
     """pairs -> connected components -> one canonical doc per cluster
     (iterative min-label propagation; the DuckDB oracle reproduces it
@@ -2288,6 +2308,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_session_events": q_stream_session_events,
     "stream_stateful_counts": q_stream_stateful_counts,
     "stream_stream_join": q_stream_stream_join,
+    "stream_dedup_events": q_stream_dedup_events,
     # round-1 never-driver-checked (registry slots 51-77 last round)
     "wrangle_create_multiple": q_wrangle_create_multiple,
     "wrangle_attr_id": q_wrangle_attr_id,
@@ -2403,6 +2424,7 @@ _ORACLES: dict[str, str] = {
     "stream_session_events": SQL_STREAM_SESSION,
     "stream_stateful_counts": SQL_STREAM_STATEFUL,
     "stream_stream_join": SQL_STREAM_STREAM,
+    "stream_dedup_events": SQL_STREAM_DEDUP,
     "embedding_near_dup": SQL_EMB_NEAR_DUP,
     # embedding_near_dup_lsh / ivf_ann_top5 / lsh_ann_top5: approximate →
     # rows-only; recall audited in tests/test_dedup_similarity.py

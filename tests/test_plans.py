@@ -137,3 +137,23 @@ def test_get_or_create_broadcasts_small_dim(spark, sf_dir):
     shuffled get_or_create on a 100-row dim is the wrong plan."""
     p = plan_of(entrymod.queries()["wrangle_get_or_create"](spark, sf_dir))
     assert "BroadcastHashJoin" in p, p
+
+
+def test_multimodal_ops_are_map_only(spark, sf_dir):
+    """resize/frame fan-out must be pure mapInPandas — any Exchange here
+    means a pointless shuffle of large binary payloads."""
+    for name in ("resize_images", "sample_frames"):
+        p = plan_of(entrymod.queries()[name](spark, sf_dir))
+        assert "MapInPandas" in p, f"{name}: expected mapInPandas plumbing"
+        assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, \
+            f"{name}: shuffle in a map-only op"
+
+
+def test_zorder_expression_stays_jvm_side(spark, sf_dir):
+    """The Morton interleave must compile to a codegen'd projection —
+    no Python eval, no shuffle (min/max ranges are a separate tiny agg
+    pass at build time)."""
+    p = plan_of(entrymod.queries()["zorder_col"](spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0
+    assert "codegen id" in p

@@ -12,6 +12,7 @@ from .windows import (
     run_available_now_to_memory,
     session_window_agg,
     sliding_window_agg,
+    stream_dedup,
     stream_events,
     stream_stream_interval_join,
     tumbling_window_agg,
@@ -24,6 +25,7 @@ __all__ = (
     "sliding_window_agg",
     "session_window_agg",
     "stateful_running_counts",
+    "stream_dedup",
     "stream_stream_interval_join",
     "run_available_now_to_memory",
     "foreach_batch_get_or_create",

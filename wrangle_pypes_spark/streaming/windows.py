@@ -81,6 +81,23 @@ def session_window_agg(events: DataFrame, *, ts_col: str = "ts",
                  F.sum("value").alias("sum_value")))
 
 
+def stream_dedup(stream: DataFrame, keys: Sequence[str], *,
+                 ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: keep the FIRST row per key, with state
+    bounded by the watermark (``dropDuplicatesWithinWatermark`` evicts
+    key state once the watermark passes it — the streaming twin of
+    ``operators.dedup.dedup_exact``).
+
+    Scale: state is one entry per distinct in-watermark key, partitioned
+    by key — the steady-state topology for ingest-time dedup of an
+    event/document firehose.  Duplicates arriving farther apart than the
+    watermark are NOT caught; dedup the at-rest table with the batch
+    operator for the long tail.
+    """
+    return (stream.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(keys)))
+
+
 def stream_stream_interval_join(left: DataFrame, right: DataFrame, *,
                                 on: str, left_ts: str, right_ts: str,
                                 upper_seconds: int,
