@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wrangle_pypes_spark import (
+    AsyncCustom,
     Constant,
     Create,
     CreateMultiple,
@@ -40,6 +41,7 @@ from wrangle_pypes_spark import (
     If,
     Map,
     Pipeline,
+    async_get_or_create,
 )
 from wrangle_pypes_spark.functions.text import (
     doc_fingerprint,
@@ -1663,6 +1665,76 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def q_async_enrich_tags(spark, sf_dir):
+    """Async surface (reference ``wrangle_pypes/async/transformations.py``
+    Custom): an ``async def`` service call dropped into a normal sync
+    Pipeline spec, compiled to an Arrow-batched UDF that overlaps up to
+    64 in-flight coroutines per batch.  The fake service is a pure
+    function of the key so DuckDB can reproduce it."""
+    import asyncio
+
+    @dataclass
+    class TaggedM:
+        c_custkey: int
+        tag: str
+
+    async def svc(nation_key):
+        await asyncio.sleep(0)  # stand-in for network IO
+        return f"svc-{nation_key}"
+
+    p = Pipeline({TaggedM: {
+        "c_custkey": Get("c_custkey"),
+        "tag": Get("c_nationkey") | AsyncCustom(svc, max_concurrency=64),
+    }})
+    return p.create_multiple(TaggedM, _t(spark, sf_dir, "customer"))
+
+
+SQL_ASYNC_ENRICH = """
+SELECT c_custkey, 'svc-' || CAST(c_nationkey AS VARCHAR) AS tag
+FROM customer
+"""
+
+
+def q_async_get_or_create_dim(spark, sf_dir):
+    """Async external-service get_or_create (reference
+    ``wrangle_pypes/async/pipeline.py:55-88``): one concurrent coroutine
+    lookup per DISTINCT match key inside mapInPandas, answers left-joined
+    back, misses built and flagged created=True.  The fake service knows
+    nation keys < 13; it is deterministic so the oracle is a CASE."""
+    import asyncio
+
+    from wrangle_pypes_spark import Cast
+
+    # local class: pickled by value into the mapInPandas closure
+    class DimN:
+        pass
+
+    async def lookup(model, kwargs):
+        await asyncio.sleep(0)
+        nk = kwargs["nk"]
+        if nk < 13:
+            return {"nk": nk, "name": f"cached-{nk}"}
+        return None
+
+    p = Pipeline({DimN: {
+        "nk": Get("c_nationkey") | Cast(int),
+        "name": Get("c_nationkey") | Cast(str) |
+                Expr(lambda c: F.concat(F.lit("built-"), c), out_type=str),
+    }})
+    return async_get_or_create(p, DimN, _t(spark, sf_dir, "customer"),
+                               ["nk"], lookup=lookup)
+
+
+SQL_ASYNC_GOC = """
+SELECT CAST(c_nationkey AS BIGINT) AS nk,
+       CASE WHEN c_nationkey < 13
+            THEN 'cached-' || CAST(c_nationkey AS VARCHAR)
+            ELSE 'built-' || CAST(c_nationkey AS VARCHAR) END AS name,
+       c_nationkey >= 13 AS created
+FROM customer
+"""
+
+
 def q_fuzzy_dedup_canonical(spark, sf_dir):
     """pairs -> connected components -> one canonical doc per cluster
     (iterative min-label propagation; the DuckDB oracle reproduces it
@@ -2341,6 +2413,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_col": q_zorder_col,
     "resize_images": q_resize_images,
     "sample_frames": q_sample_frames,
+    "async_enrich_tags": q_async_enrich_tags,
+    "async_get_or_create_dim": q_async_get_or_create_dim,
     # proven round-1-green representatives (rotate through the window)
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_topk_revenue": q_q3_topk_revenue,
@@ -2385,6 +2459,8 @@ _ORACLES: dict[str, str] = {
     "wrangle_flat_orders": SQL_WRANGLE_FLAT,
     "wrangle_nested_customer": SQL_WRANGLE_NESTED,
     "wrangle_get_or_create": SQL_GET_OR_CREATE,
+    "async_enrich_tags": SQL_ASYNC_ENRICH,
+    "async_get_or_create_dim": SQL_ASYNC_GOC,
     "q1_pricing_summary": SQL_Q1,
     "q3_topk_revenue": SQL_Q3,
     "q5_revenue_by_nation": SQL_Q5,

@@ -36,6 +36,7 @@ Quick start::
 SURVEY.md section 2.3.6.)
 """
 
+from .aio import AsyncCustom, async_get_or_create
 from .errors import SpecError, TransformationError, WrangleError
 from .models import spark_schema_for, spark_type_for
 from .pipeline import Pipeline, to_instances
@@ -104,4 +105,6 @@ __all__ = (
     "CreateMultiple",
     "GetOrCreate",
     "GetOrCreateMultiple",
+    "AsyncCustom",
+    "async_get_or_create",
 )
