@@ -64,6 +64,12 @@ from wrangle_pypes_spark.operators.multimodal import (
     resize_images,
     sample_frames,
 )
+from wrangle_pypes_spark.operators.quality import (
+    decontaminate,
+    gopher_quality_flags,
+    pii_scrub,
+    repetition_stats,
+)
 from wrangle_pypes_spark.operators.sampling import (
     histogram,
     pack_sequences,
@@ -1735,6 +1741,168 @@ FROM customer
 """
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher/MassiveText-style rule battery (operators/quality.py:
+    gopher_quality_flags) — one codegen'd map-only projection."""
+    d = _t(spark, sf_dir, "documents")
+    return gopher_quality_flags(d).select(
+        "doc_id", "word_count", "mean_word_len", "symbol_word_ratio",
+        "alpha_word_frac", "stopword_hits", "passes_gopher")
+
+
+SQL_GOPHER = r"""
+WITH t AS (
+  SELECT *, list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks)::BIGINT AS word_count,
+       list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+         / greatest(len(toks), 1) AS mean_word_len,
+       ((length(text) - length(replace(text, '#', '')))
+        + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+         / greatest(len(toks), 1) AS symbol_word_ratio,
+       len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+         / greatest(len(toks), 1) AS alpha_word_frac,
+       len(list_intersect(list_distinct(toks),
+           ['the','a','an','and','of','to','in','is','that','for',
+            'it','on','with','as','was','at','by','be','this','are']
+           ))::BIGINT AS stopword_hits,
+       (len(toks) BETWEEN 10 AND 100000
+        AND (list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+               / greatest(len(toks), 1)) BETWEEN 2.0 AND 12.0
+        AND (((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+               / greatest(len(toks), 1)) <= 0.1
+        AND (len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+               / greatest(len(toks), 1)) >= 0.8
+        AND len(list_intersect(list_distinct(toks),
+            ['the','a','an','and','of','to','in','is','that','for',
+             'it','on','with','as','was','at','by','be','this','are'])) >= 2
+       ) AS passes_gopher
+FROM t
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Repetition signals (operators/quality.py:repetition_stats);
+    top_token_frac via sorted-array longest-run fold — shuffle-free,
+    vs the oracle's explode → groupBy → max topology."""
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d).select(
+        "doc_id", "total_tokens", "distinct_token_frac",
+        "dup_bigram_frac", "top_token_frac")
+
+
+SQL_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS bigrams
+  FROM t
+),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+cnt AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY 1)
+SELECT b.doc_id,
+       len(b.toks)::BIGINT AS total_tokens,
+       len(list_distinct(b.toks))::DOUBLE / greatest(len(b.toks), 1)
+         AS distinct_token_frac,
+       CASE WHEN len(b.bigrams) > 0
+            THEN (len(b.bigrams) - len(list_distinct(b.bigrams)))::DOUBLE
+                   / len(b.bigrams)
+            ELSE 0.0 END AS dup_bigram_frac,
+       top.top_c::DOUBLE / greatest(len(b.toks), 1) AS top_token_frac
+FROM bg b JOIN top USING (doc_id)
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (operators/quality.py:pii_scrub).  The corpus is
+    synthetic and PII-free, so deterministic PII is appended from
+    doc_id before scrubbing — counts land at exactly 1 per category and
+    the redaction is value-checked."""
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), F.col("doc_id"),
+                 F.lit("@example.com or +1 555 123 4567 at 10.0.0."),
+                 (F.col("doc_id") % 255).cast("string")).alias("text"))
+    return pii_scrub(seeded).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "text_scrubbed")
+
+
+SQL_PII = r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 555 123 4567 at 10.0.0.'
+              || CAST(doc_id % 255 AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+         AS n_email,
+       len(regexp_extract_all(text,
+           '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}'))::BIGINT
+         AS n_phone,
+       len(regexp_extract_all(text,
+           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))::BIGINT AS n_ipv4,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '[REDACTED-email]', 'g'),
+           '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}',
+           '[REDACTED-phone]', 'g'),
+           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b',
+           '[REDACTED-ipv4]', 'g') AS text_scrubbed
+FROM seeded
+"""
+
+
+def q_decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination (operators/quality.py:decontaminate):
+    docs sharing any word 3-gram with the held-out eval slice
+    (doc_id % 97 = 0) are flagged.  Eval grams broadcast; the corpus
+    side stays map-only."""
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    tr = d.filter(F.col("doc_id") % 97 != 0)
+    return (decontaminate(tr, ev, n=3)
+            .select("doc_id", "contaminated"))
+
+
+SQL_DECONTAMINATE = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+      THEN list_transform(generate_series(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+      ELSE [] END) AS gram
+  FROM t
+),
+ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+hits AS (SELECT DISTINCT g.doc_id FROM grams g
+         JOIN ev USING (gram) WHERE g.doc_id % 97 <> 0)
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
 def q_fuzzy_dedup_canonical(spark, sf_dir):
     """pairs -> connected components -> one canonical doc per cluster
     (iterative min-label propagation; the DuckDB oracle reproduces it
@@ -2366,7 +2534,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # flagship anchors (always in-window)
     "wrangle_flat_orders": q_wrangle_flat_orders,
     "wrangle_nested_customer": q_wrangle_nested_customer,
-    "wrangle_get_or_create": q_wrangle_get_or_create,
     # round-1 hash fail (oracle HUGEINT cast fixed)
     "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
     # round-1 errs: events-table reads on a bare session (conf fix)
@@ -2415,7 +2582,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_frames": q_sample_frames,
     "async_enrich_tags": q_async_enrich_tags,
     "async_get_or_create_dim": q_async_get_or_create_dim,
+    "gopher_quality": q_gopher_quality,
+    "repetition_stats": q_repetition_stats,
+    "pii_scrub": q_pii_scrub,
+    "decontaminate_docs": q_decontaminate_docs,
     # proven round-1-green representatives (rotate through the window)
+    # r1-green, rotated out of the driver's 50-slot window (join protocol
+    # covered in-window by async_get_or_create_dim + wrangle_get_or_create_arrays)
+    "wrangle_get_or_create": q_wrangle_get_or_create,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_topk_revenue": q_q3_topk_revenue,
     "knn_cosine_top5": q_knn_cosine_top5,
@@ -2461,6 +2635,10 @@ _ORACLES: dict[str, str] = {
     "wrangle_get_or_create": SQL_GET_OR_CREATE,
     "async_enrich_tags": SQL_ASYNC_ENRICH,
     "async_get_or_create_dim": SQL_ASYNC_GOC,
+    "gopher_quality": SQL_GOPHER,
+    "repetition_stats": SQL_REPETITION,
+    "pii_scrub": SQL_PII,
+    "decontaminate_docs": SQL_DECONTAMINATE,
     "q1_pricing_summary": SQL_Q1,
     "q3_topk_revenue": SQL_Q3,
     "q5_revenue_by_nation": SQL_Q5,

@@ -1,0 +1,115 @@
+"""Quality operators: Gopher rules, repetition, PII scrub, decontamination.
+
+Value semantics are pinned against in-process Python replicas on the
+real documents table; plan shapes are pinned so the map-only ops stay
+shuffle-free and Python-free and decontamination broadcasts the eval
+side.
+"""
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrangle_pypes_spark.operators import (
+    decontaminate,
+    gopher_quality_flags,
+    pii_scrub,
+    repetition_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _toks(text):
+    return [t for t in re.split(r"\s+", text.lower()) if t]
+
+
+def test_gopher_flags_match_python_replica(docs):
+    rows = gopher_quality_flags(docs).collect()
+    src = {r.doc_id: r.text for r in docs.collect()}
+    assert len(rows) == len(src)
+    for r in rows:
+        toks = _toks(src[r.doc_id])
+        wc = len(toks)
+        assert r.word_count == wc
+        assert r.mean_word_len == pytest.approx(
+            sum(map(len, toks)) / max(wc, 1))
+        alpha = sum(1 for t in toks if re.search("[a-z]", t)) / max(wc, 1)
+        assert r.alpha_word_frac == pytest.approx(alpha)
+        expect_pass = (10 <= wc <= 100_000
+                       and 2.0 <= sum(map(len, toks)) / max(wc, 1) <= 12.0
+                       and r.symbol_word_ratio <= 0.1
+                       and alpha >= 0.8
+                       and r.stopword_hits >= 2)
+        assert r.passes_gopher == expect_pass
+
+
+def test_repetition_stats_match_python_replica(docs):
+    rows = repetition_stats(docs).collect()
+    src = {r.doc_id: r.text for r in docs.collect()}
+    for r in rows:
+        toks = _toks(src[r.doc_id])
+        wc = len(toks)
+        assert r.total_tokens == wc
+        assert r.distinct_token_frac == pytest.approx(
+            len(set(toks)) / max(wc, 1))
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        expect_dup = ((len(bigrams) - len(set(bigrams))) / len(bigrams)
+                      if bigrams else 0.0)
+        assert r.dup_bigram_frac == pytest.approx(expect_dup)
+        top = Counter(toks).most_common(1)[0][1] if toks else 0
+        assert r.top_token_frac == pytest.approx(top / max(wc, 1))
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@corp.example.org thanks"),
+         (2, "call +44 123 4567 890 or ping 192.168.0.1"),
+         (3, "clean text, nothing to scrub"),
+         (4, "two mails: a@b.io c@d.co and 10.0.0.7")],
+        "doc_id int, text string")
+    out = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert out[1].n_email == 1 and "[REDACTED-email]" in out[1].text_scrubbed
+    assert "jo.doe" not in out[1].text_scrubbed
+    assert out[2].n_phone == 1 and out[2].n_ipv4 == 1
+    assert "[REDACTED-phone]" in out[2].text_scrubbed
+    assert "[REDACTED-ipv4]" in out[2].text_scrubbed
+    assert out[3].n_email == out[3].n_phone == out[3].n_ipv4 == 0
+    assert out[3].text_scrubbed == out[3].text
+    assert out[4].n_email == 2 and out[4].n_ipv4 == 1
+
+
+def test_decontaminate_flags_exact_overlap(spark):
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),       # shares 3-gram with eval
+         (2, "beta gamma alpha delta"),       # same words, no shared 3-gram
+         (3, "totally different words here")],
+        "doc_id int, text string")
+    ev = spark.createDataFrame(
+        [(100, "zzz alpha beta gamma yyy")], "doc_id int, text string")
+    got = {r.doc_id: r.contaminated
+           for r in decontaminate(train, ev, n=3).collect()}
+    assert got == {1: True, 2: False, 3: False}
+
+
+def test_quality_plans(docs, spark):
+    def plan_of(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+
+    for build in (gopher_quality_flags, repetition_stats, pii_scrub):
+        p = plan_of(build(docs))
+        assert "Exchange" not in p, f"{build.__name__}: shuffle in map-only op"
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, \
+            f"{build.__name__}: Python in the hot path"
+
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    p = plan_of(decontaminate(tr, ev, n=3))
+    assert "BroadcastHashJoin" in p, "eval grams must broadcast"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

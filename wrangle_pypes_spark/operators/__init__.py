@@ -38,6 +38,12 @@ from .sampling import (
     pack_sequences,
     stratified_sample,
 )
+from .quality import (
+    decontaminate,
+    gopher_quality_flags,
+    pii_scrub,
+    repetition_stats,
+)
 from .timeseries import grouped_ewma
 from .similarity import (
     cosine_topk,
@@ -75,6 +81,10 @@ __all__ = (
     "histogram",
     "pack_sequences",
     "stratified_sample",
+    "gopher_quality_flags",
+    "repetition_stats",
+    "pii_scrub",
+    "decontaminate",
     "cosine_topk",
     "ivf_topk",
     "kmeans_fit",

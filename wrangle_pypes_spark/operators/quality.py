@@ -1,0 +1,235 @@
+"""Document-quality operators for LLM training-data curation.
+
+Four classics of the public data-pipeline literature, each expressed as
+pure Column expressions (JVM-side, whole-stage-codegen'd, map-only
+unless noted) so they run unchanged over a 100 TB corpus:
+
+- :func:`gopher_quality_flags` — the Gopher/MassiveText-style rule
+  battery (word count bounds, mean word length, symbol ratio, alphabetic
+  word fraction, stopword evidence) with per-rule flags and a combined
+  ``passes_gopher`` verdict.
+- :func:`repetition_stats` — repetition signals (distinct-token
+  fraction, duplicate-bigram fraction, top-token fraction).  The
+  top-token fraction is computed WITHOUT a shuffle: sort the token array
+  and fold a longest-run accumulator over it, instead of
+  explode→groupBy→max per doc.
+- :func:`pii_scrub` — regex redaction of emails / phone numbers / IPv4
+  addresses with per-category match counts (counts first, then a
+  composed ``regexp_replace`` chain).
+- :func:`decontaminate` — benchmark decontamination: flag training docs
+  sharing any word n-gram with an eval corpus.  Eval n-grams are
+  broadcast (eval sets are small by construction), so the training side
+  is map-side only — no shuffle of the corpus text.
+
+Relation to the reference: ``wrangle_pypes`` has no corpus layer; these
+extend the engine the way SURVEY.md §2.4's LLM-data block describes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = (
+    "gopher_quality_flags",
+    "repetition_stats",
+    "pii_scrub",
+    "decontaminate",
+    "DEFAULT_STOPWORDS",
+)
+
+DEFAULT_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "of", "to", "in", "is", "that", "for",
+    "it", "on", "with", "as", "was", "at", "by", "be", "this", "are",
+)
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Gopher-style quality rules → per-rule metrics + ``passes_gopher``.
+
+    Thresholds default to the published MassiveText settings scaled to
+    short documents; every rule is a JVM Column expression over the
+    tokenized text, so the whole battery is one codegen'd projection —
+    map-only, shuffle-free, safe to run inline in the ingest scan.
+    """
+    text = F.col(text_col)
+    toks = _tokens(text)
+    wc = F.size(toks)
+    wc_d = F.greatest(wc, F.lit(1)).cast("double")
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"),
+                          lambda acc, x: acc + F.length(x))
+    mean_wl = sum_len.cast("double") / wc_d
+    # symbols counted Gopher-style: '#' occurrences + '...' occurrences
+    hash_n = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ell_n = ((F.length(text)
+              - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3)
+    symbol_ratio = (hash_n + ell_n).cast("double") / wc_d
+    alpha_frac = (F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+                  .cast("double") / wc_d)
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(s) for s in stopwords])))
+
+    passes = (
+        wc.between(min_words, max_words)
+        & mean_wl.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_ratio <= F.lit(max_symbol_word_ratio))
+        & (alpha_frac >= F.lit(min_alpha_word_frac))
+        & (stop_hits >= F.lit(min_stopword_hits))
+    )
+    return df.select(
+        "*",
+        wc.cast("bigint").alias("word_count"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("bigint").alias("stopword_hits"),
+        passes.alias("passes_gopher"),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition signals per document, shuffle-free.
+
+    ``top_token_frac`` (share of the most frequent token) is derived by
+    sorting the token array and folding a longest-equal-run accumulator
+    over it — a per-row O(n log n) instead of the explode → groupBy →
+    max-per-doc topology, which would shuffle the whole exploded corpus
+    twice.  ``dup_bigram_frac`` uses an index-sequence transform (the
+    adjacent-pair construction of ``operators.dedup``'s shingles).
+    """
+    text = F.col(text_col)
+    toks = _tokens(text)
+    wc = F.size(toks)
+    wc_d = F.greatest(wc, F.lit(1)).cast("double")
+    distinct_frac = F.size(F.array_distinct(toks)).cast("double") / wc_d
+
+    bigrams = F.when(wc >= 2, F.transform(
+        F.sequence(F.lit(0), wc - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                              F.element_at(toks, i + 2)),
+    )).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigrams)
+    dup_bigram_frac = F.when(nb > 0,
+                             (nb - F.size(F.array_distinct(bigrams)))
+                             .cast("double") / nb.cast("double")
+                             ).otherwise(F.lit(0.0))
+
+    # longest equal run in the SORTED token array == max token count
+    srt = F.array_sort(toks)
+    run = F.aggregate(
+        srt,
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).cast("long").alias("run"),
+                 F.lit(0).cast("long").alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"].isNotNull() & (acc["prev"] == x),
+                   acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].isNotNull() & (acc["prev"] == x),
+                       acc["run"] + 1).otherwise(F.lit(1))).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_token_frac = run.cast("double") / wc_d
+
+    return df.select(
+        "*",
+        wc.cast("bigint").alias("total_tokens"),
+        distinct_frac.alias("distinct_token_frac"),
+        dup_bigram_frac.alias("dup_bigram_frac"),
+        top_token_frac.alias("top_token_frac"),
+    )
+
+
+# Patterns deliberately conservative and RE2/Java-compatible so the
+# DuckDB oracle can run the identical regex.
+_PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", *,
+              patterns: Optional[dict[str, str]] = None,
+              replacement: str = "[REDACTED-{kind}]") -> DataFrame:
+    """Redact PII-shaped substrings; emit per-category match counts.
+
+    Counts are taken BEFORE redaction (order-independent); the scrub is
+    a composed ``regexp_replace`` chain.  Everything is a native string
+    expression — no Python in the path, linear in corpus size.
+    """
+    pats = patterns or _PII_PATTERNS
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(p), F.lit(0)))
+        .cast("bigint").alias(f"n_{kind}")
+        for kind, p in pats.items()
+    ]
+    scrubbed = text
+    for kind, p in pats.items():
+        scrubbed = F.regexp_replace(
+            scrubbed, p, replacement.format(kind=kind))
+    return df.select("*", *counts, scrubbed.alias(f"{text_col}_scrubbed"))
+
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    toks = _tokens(text)
+    wc = F.size(toks)
+    return F.when(wc >= n, F.transform(
+        F.sequence(F.lit(0), wc - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame, *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3) -> DataFrame:
+    """Flag training documents that share any word ``n``-gram with the
+    eval corpus (benchmark decontamination).
+
+    Plan shape: eval n-grams are distinct'd and BROADCAST (eval suites
+    are tiny next to the corpus), so the training side stays map-only —
+    explode the n-grams, probe the broadcast set, collect hit doc-ids,
+    left-join the flag back.  On a 100 TB corpus nothing but the hit
+    id-list ever shuffles.  Grams are joined as strings here for
+    exactness; at larger eval suites hash them (``xxhash64``) to shrink
+    the broadcast, with a vanishing false-positive rate.
+    """
+    eval_grams = (eval_df
+                  .select(F.explode(_word_ngrams(F.col(text_col), n))
+                          .alias("_gram"))
+                  .distinct())
+    train_grams = train.select(
+        F.col(id_col),
+        F.explode(_word_ngrams(F.col(text_col), n)).alias("_gram"))
+    hits = (train_grams
+            .join(F.broadcast(eval_grams), "_gram", "left_semi")
+            .select(id_col).distinct()
+            .withColumn("_contaminated", F.lit(True)))
+    return (train.join(hits, id_col, "left")
+            .withColumn("contaminated",
+                        F.coalesce(F.col("_contaminated"), F.lit(False)))
+            .drop("_contaminated"))
