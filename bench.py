@@ -66,6 +66,12 @@ HEADLINE = [
     "stream_tumbling_events",
     "stream_session_events",
     "stream_stream_join",
+    "stream_dedup_events",
+    "async_get_or_create_dim",
+    "gopher_quality",
+    "repetition_stats",
+    "pii_scrub",
+    "decontaminate_docs",
 ]
 
 
