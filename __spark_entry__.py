@@ -997,6 +997,226 @@ LIMIT 20
 """
 
 
+def q_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bi-directional nation-pair revenue by year —
+    4-way join with two aliases of the same broadcast dim (nation) and a
+    tuple-membership filter.  Broadcasting both nation aliases keeps the
+    only shuffle on the final (supp_nation, cust_nation, year) agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    j = (li.filter(F.col("l_shipdate").between("1996-01-01", "1997-12-31"))
+         .join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(c, o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+         .filter(((F.col("supp_nation") == "NATION_1") &
+                  (F.col("cust_nation") == "NATION_2")) |
+                 ((F.col("supp_nation") == "NATION_2") &
+                  (F.col("cust_nation") == "NATION_1"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("bigint").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+SQL_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate BETWEEN '1996-01-01' AND '1997-12-31'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_1's share of STANDARD-part revenue sold
+    into EUROPE-region customers, by year — conditional-sum ratio over a
+    6-way join (all dims broadcast; one shuffle for the year agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (li.join(F.broadcast(p.filter(F.col("p_type") == "STANDARD")),
+                 li.l_partkey == p.p_partkey)
+         .join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(c, o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+         .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey")))
+    return (j.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+            .agg(F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol)
+                      .otherwise(F.lit(0.0))) / F.sum(vol), 6)
+                 .alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+SQL_Q8 = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN n1.n_name = 'NATION_1'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region   ON n2.n_regionkey = r_regionkey
+WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution — LEFT join
+    with an ON-clause filter (priority exclusion), double aggregation.
+    The outer join preserves zero-order customers (c_count = 0)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (c.join(o.filter(F.col("o_orderpriority") != "1-URGENT"),
+                       c.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+SQL_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_q21_suppliers_kept_waiting(spark, sf_dir):
+    """TPC-H Q21 shape (adapted to this schema's dates): suppliers who
+    were the ONLY late supplier on a finished multi-supplier order
+    ("late" = shipped >60 days after order date).  The reference Q21
+    formulation is EXISTS + NOT-EXISTS self-joins; at scale the
+    per-order aggregate is the better plan: one pass over lineitem
+    computes distinct-supplier and distinct-LATE-supplier counts per
+    order, then the filter is (suppliers > 1 AND late_suppliers = 1) —
+    two shuffles total instead of two self-joins of the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    li_o = li.join(o, li.l_orderkey == o.o_orderkey)
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    per_order = (li_o.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.countDistinct(F.when(late, F.col("l_suppkey")))
+                      .alias("n_late_supp"),
+                      F.first(F.when(late, F.col("l_suppkey")), True)
+                      .alias("_any_late_supp")))
+    # the one late supplier on qualifying orders
+    culprit = (per_order
+               .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+               .select(F.col("_any_late_supp").alias("s_suppkey")))
+    return (culprit.join(F.broadcast(s), "s_suppkey")
+            .groupBy("s_name")
+            .agg(F.count("*").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), F.col("s_name")))
+
+
+SQL_Q21 = """
+WITH li_o AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp,
+         max(CASE WHEN late THEN l_suppkey END) AS any_late_supp
+  FROM li_o GROUP BY l_orderkey
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON any_late_supp = s_suppkey
+WHERE n_supp > 1 AND n_late_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+def q_q22_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape (cntrycode = nationkey % 10 stands in for the
+    phone prefix): rich customers (above the positive-balance average —
+    a scalar subquery) with no RECENT orders (none after 2000-07-01 —
+    most customers have old orders, so plain no-orders is empty), bucketed
+    by country code.  The
+    scalar average broadcasts as a literal-sized frame; the no-orders
+    predicate is an anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("a")))
+    rich = (c.join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("a")))
+    recent = o.filter(F.col("o_orderdate") >= "2000-07-01")
+    no_orders = rich.join(recent, rich.c_custkey == recent.o_custkey,
+                          "left_anti")
+    return (no_orders
+            .groupBy((F.col("c_nationkey") % 10).cast("bigint")
+                     .alias("cntrycode"))
+            .agg(F.count("*").alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+            .orderBy("cntrycode"))
+
+
+SQL_Q22 = """
+SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= '2000-07-01')
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def q_q19_bracketed_revenue(spark, sf_dir):
     """OR-of-ANDs predicate (brand/size/quantity brackets) — the classic
     pushdown-through-join shape."""
@@ -2591,6 +2811,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # covered in-window by async_get_or_create_dim + wrangle_get_or_create_arrays)
     "wrangle_get_or_create": q_wrangle_get_or_create,
     "q1_pricing_summary": q_q1_pricing_summary,
+    "q7_volume_shipping": q_q7_volume_shipping,
+    "q8_market_share": q_q8_market_share,
+    "q13_order_distribution": q_q13_order_distribution,
+    "q21_suppliers_kept_waiting": q_q21_suppliers_kept_waiting,
+    "q22_sales_opportunity": q_q22_sales_opportunity,
     "q3_topk_revenue": q_q3_topk_revenue,
     "knn_cosine_top5": q_knn_cosine_top5,
     "dedup_exact": q_dedup_exact,
@@ -2640,6 +2865,11 @@ _ORACLES: dict[str, str] = {
     "pii_scrub": SQL_PII,
     "decontaminate_docs": SQL_DECONTAMINATE,
     "q1_pricing_summary": SQL_Q1,
+    "q7_volume_shipping": SQL_Q7,
+    "q8_market_share": SQL_Q8,
+    "q13_order_distribution": SQL_Q13,
+    "q21_suppliers_kept_waiting": SQL_Q21,
+    "q22_sales_opportunity": SQL_Q22,
     "q3_topk_revenue": SQL_Q3,
     "q5_revenue_by_nation": SQL_Q5,
     "q4_late_order_priority": SQL_Q4,
