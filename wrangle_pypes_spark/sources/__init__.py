@@ -7,12 +7,14 @@ engine's conventions (explicit schemas, star-schema loading, JSON-string
 payload parsing for dynamic columns).
 """
 
-from .sinks import write_bucketed_table, write_csv, write_json, write_parquet
+from .sinks import (read_orc, upsert_parquet, write_bucketed_table,
+                    write_csv, write_json, write_orc, write_parquet)
 from .tables import (TABLES, ensure_session_confs, infer_json_schema,
                      load_star_schema, load_table, parse_json_col, read_csv,
                      read_jsonl)
 
 __all__ = ("TABLES", "ensure_session_confs", "infer_json_schema",
            "load_star_schema", "load_table", "parse_json_col",
-           "read_csv", "read_jsonl", "write_bucketed_table", "write_csv",
-           "write_json", "write_parquet")
+           "read_csv", "read_jsonl", "read_orc", "upsert_parquet",
+           "write_bucketed_table", "write_csv", "write_json", "write_orc",
+           "write_parquet")

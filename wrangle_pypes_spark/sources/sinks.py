@@ -94,3 +94,89 @@ def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite",
               header: bool = True, compression: str = "gzip") -> None:
     df.write.mode(mode).option("header", str(header).lower()) \
         .option("compression", compression).csv(path)
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite",
+              partition_by: Sequence[str] = (),
+              compression: str = "zstd") -> None:
+    """ORC sink — same layout conventions as :func:`write_parquet`
+    (ORC carries equivalent stripe-level min/max statistics, so the
+    sorted-layout guidance applies unchanged)."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """ORC source (native vectorized reader; predicate pushdown and
+    column pruning work as for parquet)."""
+    return spark.read.orc(path)
+
+
+def upsert_parquet(df: DataFrame, path: str, keys: Sequence[str], *,
+                   partition_by: Sequence[str] = (),
+                   compression: str = "zstd") -> None:
+    """Key-based upsert into a parquet table: incoming rows REPLACE
+    existing rows with the same key; everything else is kept.
+
+    This is the batch-idempotent MERGE the reference's ``get_or_create``
+    lookup protocol implies on the storage side (reference
+    ``pipeline.py:53-83`` leaves persistence to the caller).  Parquet
+    files are immutable, so an upsert is a rewrite — the design question
+    is *how much* gets rewritten:
+
+    * With ``partition_by``, only TOUCHED partitions rewrite: incoming
+      partition values are semi-joined against the existing table, the
+      survivors (existing-minus-updated) union the new rows, and a
+      dynamic partition overwrite replaces just those directories.  At
+      100 TB with daily partitions, upserting one day rewrites one day.
+    * Without partitions the whole table rewrites via temp-dir + rename
+      (snapshot semantics, single writer).
+
+    Not a transaction log: concurrent writers need a table format
+    (Delta/Iceberg ``MERGE INTO`` — same plan shape, plus the log).
+    The incoming batch is deduplicated on ``keys`` (arbitrary survivor,
+    matching ``dropDuplicates``) so replays are idempotent.
+    """
+    import shutil
+
+    spark = df.sparkSession
+    incoming = df.dropDuplicates(list(keys))
+    if not os.path.isdir(path):
+        write_parquet(incoming, path, partition_by=partition_by,
+                      compression=compression)
+        return
+
+    from pyspark.sql import functions as F
+
+    existing = spark.read.parquet(path)
+    if partition_by:
+        touched_parts = incoming.select(*partition_by).distinct()
+        keep = (existing
+                .join(F.broadcast(touched_parts), list(partition_by),
+                      "left_semi")
+                .join(incoming.select(*keys).distinct(), list(keys),
+                      "left_anti"))
+        merged = keep.unionByName(incoming)
+        # materialize BEFORE overwriting the directory we read from —
+        # localCheckpoint truncates lineage so the write can't re-scan
+        # the files it is replacing
+        merged = merged.localCheckpoint(eager=True)
+        (merged.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .option("compression", compression)
+         .partitionBy(*partition_by).parquet(path))
+        return
+
+    keep = existing.join(incoming.select(*keys).distinct(), list(keys),
+                         "left_anti")
+    merged = keep.unionByName(incoming)
+    tmp = path.rstrip("/") + "._upsert_tmp"
+    bak = path.rstrip("/") + "._upsert_bak"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").option("compression", compression) \
+        .parquet(tmp)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
