@@ -1217,6 +1217,296 @@ ORDER BY 1
 """
 
 
+def q_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (no partsupp table in this schema — "supply cost"
+    is the supplier's account balance, and "offers the part" means
+    "shipped the part" per lineitem): for each LARGE-type part, the
+    cheapest European supplier who shipped it.  The reference Q2 is a
+    correlated MIN subquery; the scalable plan is a single
+    ``min(struct(cost, tiebreak, payload...))`` aggregate per part — one
+    shuffle, no join-back, deterministic tie-break baked into the
+    struct ordering."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_s = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    offers = (li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                      li.l_partkey == p.p_partkey)
+              .join(F.broadcast(eu_s), li.l_suppkey == eu_s.s_suppkey)
+              .dropDuplicates(["p_partkey", "s_suppkey"]))
+    best = (offers.groupBy("p_partkey", "p_brand")
+            .agg(F.min(F.struct("s_acctbal", "s_suppkey", "s_name", "n_name"))
+                 .alias("b")))
+    return (best.select(
+                F.col("p_partkey").alias("partkey"),
+                F.col("p_brand").alias("brand"),
+                F.col("b.s_name").alias("supp_name"),
+                F.col("b.n_name").alias("supp_nation"),
+                F.col("b.s_acctbal").alias("supp_acctbal"))
+            .orderBy(F.col("supp_acctbal").desc(), F.col("partkey"))
+            .limit(100))
+
+
+SQL_Q2 = """
+WITH offers AS (
+  SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE p_type = 'LARGE' AND r_name = 'EUROPE'
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY p_partkey ORDER BY s_acctbal, s_suppkey) AS rn
+  FROM offers
+)
+SELECT p_partkey AS partkey, p_brand AS brand, s_name AS supp_name,
+       n_name AS supp_nation, s_acctbal AS supp_acctbal
+FROM ranked WHERE rn = 1
+ORDER BY supp_acctbal DESC, partkey
+LIMIT 100
+"""
+
+
+def q_q9_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 shape (supply cost proxied by 10%% of p_retailprice —
+    no partsupp in this schema): profit per supplier-nation per order
+    year over '%widget%' parts.  Classic 5-way star join + two-level
+    group-by; part and the dims broadcast, lineitem never shuffles
+    until the final aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (_t(spark, sf_dir, "part")
+         .filter(F.col("p_name").like("%widget%"))
+         .select("p_partkey", "p_retailprice"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("p_retailprice") * F.col("l_quantity") * 0.1)
+    j = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+         .join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey))
+    # floor() not round(): the 0.1 * retailprice * qty term makes 3-dp
+    # addends whose sums land on .005 half-boundaries where Spark's and
+    # DuckDB's last-digit rounding disagree; whole-currency floor is
+    # stable under last-ulp summation-order noise.
+    return (j.groupBy(F.col("n_name").alias("nation"),
+                      F.year("o_orderdate").cast("bigint").alias("o_year"))
+            .agg(F.floor(F.sum(amount)).alias("sum_profit"))
+            .orderBy("nation", F.col("o_year").desc()))
+
+
+SQL_Q9 = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(floor(sum(l_extendedprice * (1 - l_discount)
+                      - p_retailprice * l_quantity * 0.1)) AS BIGINT)
+           AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (inventory value proxied by shipped value — no
+    partsupp): parts whose shipped value from NATION_5's suppliers
+    exceeds twice the per-part average.  The scalar threshold is a
+    1-row aggregate cross-joined (broadcast) onto the per-part
+    aggregate — the HAVING-scalar-subquery shape.  Mean-relative (not
+    TPC-H's fixed fraction of the total) so selectivity is
+    scale-invariant: a fixed fraction returns 0 rows once part count
+    outgrows 1/fraction (TPC-H itself rescales the fraction by SF)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    nat_li = (li.join(F.broadcast(
+                  s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                  .select("s_suppkey")),
+                  li.l_suppkey == F.col("s_suppkey")))
+    value = F.col("l_extendedprice") * F.col("l_quantity")
+    per_part = (nat_li.groupBy("l_partkey")
+                .agg(F.sum(value).alias("_val")))
+    total = per_part.agg(F.avg("_val").alias("_mean"))
+    return (per_part.join(F.broadcast(total))
+            .filter(F.col("_val") > F.col("_mean") * 2.0)
+            .select(F.col("l_partkey").alias("partkey"),
+                    F.round("_val", 2).alias("part_value"))
+            .orderBy(F.col("part_value").desc(), F.col("partkey")))
+
+
+SQL_Q11 = """
+WITH nat_li AS (
+  SELECT l_partkey, l_extendedprice * l_quantity AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5'
+),
+per_part AS (
+  SELECT l_partkey, sum(val) AS val FROM nat_li GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey, round(val, 2) AS part_value
+FROM per_part
+WHERE val > (SELECT avg(val) FROM per_part) * 2.0
+ORDER BY part_value DESC, partkey
+"""
+
+
+def q_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: quarterly revenue per supplier (the "view"),
+    then the supplier(s) achieving the max — a scalar-subquery equality
+    against an aggregate of the same derived table.  The revenue frame
+    is computed once and self-compared via a broadcast 1-row max, not
+    recomputed."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") &
+        (F.col("l_shipdate") < "1997-04-01"))
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (li.groupBy("l_suppkey")
+               .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .alias("_rev")))
+    top = revenue.agg(F.max("_rev").alias("_top"))
+    return (revenue.join(F.broadcast(top))
+            .filter(F.col("_rev") == F.col("_top"))
+            .join(F.broadcast(s), revenue.l_suppkey == s.s_suppkey)
+            .select(F.col("s_suppkey").alias("suppkey"),
+                    F.col("s_name").alias("supp_name"),
+                    F.round("_rev", 2).alias("total_revenue"))
+            .orderBy("suppkey"))
+
+
+SQL_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey AS suppkey, s_name AS supp_name,
+       round(rev, 2) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT max(rev) FROM revenue)
+ORDER BY suppkey
+"""
+
+
+def q_q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape ("offers" from lineitem, "complaint" suppliers
+    proxied by negative-ish balance): distinct supplier count per
+    (brand, type, size) bucket for non-PROMO parts in selected sizes,
+    excluding low-balance suppliers via anti join.  Pure-integer
+    output — immune to float hashing artifacts."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (_t(spark, sf_dir, "part")
+         .filter((F.col("p_type") != "PROMO") &
+                 F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad_s = (_t(spark, sf_dir, "supplier")
+             .filter(F.col("s_acctbal") < 1000.0).select("s_suppkey"))
+    offers = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .join(F.broadcast(bad_s), li.l_suppkey == bad_s.s_suppkey,
+                    "left_anti"))
+    return (offers.groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
+                     "p_size"))
+
+
+SQL_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 1000.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from line items whose quantity is below
+    half the part's average quantity — the correlated-average subquery.
+    Expressed as a per-part aggregate broadcast-joined back onto the
+    fact (one pass + broadcast), never a per-row subquery."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (_t(spark, sf_dir, "part")
+         .filter(F.col("p_brand") == "Brand#13").select("p_partkey"))
+    branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    part_avg = (branded.groupBy("p_partkey")
+                .agg(F.avg("l_quantity").alias("_avg_qty")))
+    small = (branded.join(F.broadcast(part_avg), "p_partkey")
+             .filter(F.col("l_quantity") < 0.5 * F.col("_avg_qty")))
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+
+
+SQL_Q17 = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (
+    SELECT 0.5 * avg(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def q_q20_bulk_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (availability proxied by shipped volume — no
+    partsupp): NATION_3 suppliers who shipped more than 40 units of
+    some '%rod%' part during 1997 — nested semi-joins over a correlated
+    per-(supplier, part) aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") &
+        (F.col("l_shipdate") < "1998-01-01"))
+    p = (_t(spark, sf_dir, "part")
+         .filter(F.col("p_name").like("%rod%")).select("p_partkey"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    bulk = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy("l_suppkey", "l_partkey")
+            .agg(F.sum("l_quantity").alias("_qty"))
+            .filter(F.col("_qty") > 40.0)
+            .select("l_suppkey").distinct())
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(bulk, s.s_suppkey == bulk.l_suppkey, "left_semi")
+            .select(F.col("s_name").alias("supp_name"),
+                    F.col("s_acctbal").alias("supp_acctbal"))
+            .orderBy("supp_name"))
+
+
+SQL_Q20 = """
+SELECT s_name AS supp_name, s_acctbal AS supp_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%rod%'
+      AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 40.0)
+ORDER BY supp_name
+"""
+
+
 def q_q19_bracketed_revenue(spark, sf_dir):
     """OR-of-ANDs predicate (brand/size/quantity brackets) — the classic
     pushdown-through-join shape."""
@@ -2811,6 +3101,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # covered in-window by async_get_or_create_dim + wrangle_get_or_create_arrays)
     "wrangle_get_or_create": q_wrangle_get_or_create,
     "q1_pricing_summary": q_q1_pricing_summary,
+    # new this round, below the window: locally gated now, rotate in next
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "q9_profit_by_nation": q_q9_profit_by_nation,
+    "q11_important_parts": q_q11_important_parts,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q16_supplier_part_counts": q_q16_supplier_part_counts,
+    "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
+    "q20_bulk_suppliers": q_q20_bulk_suppliers,
     "q7_volume_shipping": q_q7_volume_shipping,
     "q8_market_share": q_q8_market_share,
     "q13_order_distribution": q_q13_order_distribution,
@@ -2865,6 +3163,13 @@ _ORACLES: dict[str, str] = {
     "pii_scrub": SQL_PII,
     "decontaminate_docs": SQL_DECONTAMINATE,
     "q1_pricing_summary": SQL_Q1,
+    "q2_min_cost_supplier": SQL_Q2,
+    "q9_profit_by_nation": SQL_Q9,
+    "q11_important_parts": SQL_Q11,
+    "q15_top_supplier": SQL_Q15,
+    "q16_supplier_part_counts": SQL_Q16,
+    "q17_small_quantity_revenue": SQL_Q17,
+    "q20_bulk_suppliers": SQL_Q20,
     "q7_volume_shipping": SQL_Q7,
     "q8_market_share": SQL_Q8,
     "q13_order_distribution": SQL_Q13,

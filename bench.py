@@ -34,6 +34,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_topk_revenue",
     "q5_revenue_by_nation",
+    "q2_min_cost_supplier",
+    "q9_profit_by_nation",
+    "q21_suppliers_kept_waiting",
     "topk_orders_per_customer",
     "window_running_total",
     "sessionize_events",
