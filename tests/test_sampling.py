@@ -63,3 +63,59 @@ def test_histogram_totals_and_clamping(spark, tables):
     rows = h.collect()
     assert sum(r.n for r in rows) == c.count()  # out-of-range clamped, kept
     assert all(0 <= r.bin <= 3 for r in rows)
+
+
+def test_mix_plan_rates_and_caps(spark, tables):
+    from wrangle_pypes_spark.operators.sampling import mix_plan
+
+    d = tables["documents"]
+    total = d.agg(F.sum("n_chars")).collect()[0][0]
+    # budget = half the corpus, equal weights over two real sources
+    plan = mix_plan(d, source_col="source", token_col="n_chars",
+                    weights={"src0": 1.0, "src1": 1.0},
+                    token_budget=total / 2)
+    for src in ("src0", "src1"):
+        p = plan[src]
+        assert p["target"] == pytest.approx(total / 4)
+        assert 0.0 < p["rate"] <= 1.0
+        assert p["rate"] == pytest.approx(
+            min(1.0, p["target"] / p["available"]))
+    # a budget larger than availability caps the rate at 1 (no upsampling)
+    plan_big = mix_plan(d, source_col="source", token_col="n_chars",
+                        weights={"src0": 1.0}, token_budget=total * 10)
+    assert plan_big["src0"]["rate"] == 1.0
+    # unknown source: rate 0
+    plan_unk = mix_plan(d, source_col="source", token_col="n_chars",
+                        weights={"nope": 1.0}, token_budget=100.0)
+    assert plan_unk["nope"]["rate"] == 0.0
+    assert plan_unk["nope"]["available"] == 0.0
+
+
+def test_mix_corpus_hits_budget_and_is_deterministic(spark, tables):
+    from wrangle_pypes_spark.operators.sampling import mix_corpus
+
+    d = tables["documents"]
+    total = d.agg(F.sum("n_chars")).collect()[0][0]
+    budget = total / 3
+    kwargs = dict(source_col="source", token_col="n_chars",
+                  key_col="doc_id",
+                  weights={"src0": 2.0, "src1": 1.0}, token_budget=budget)
+    out = mix_corpus(d, **kwargs)
+    got = {r["source"]: r["tok"] for r in
+           out.groupBy("source").agg(F.sum("n_chars").alias("tok"))
+           .collect()}
+    assert set(got) <= {"src0", "src1"}  # unlisted sources dropped
+    # per-source token totals within 25% of min(target, available)
+    # (Bernoulli sampling variance at this corpus size; rate caps at 1)
+    from wrangle_pypes_spark.operators.sampling import mix_plan
+    plan = mix_plan(d, source_col="source", token_col="n_chars",
+                    weights=kwargs["weights"], token_budget=budget)
+    for src in ("src0", "src1"):
+        expected = min(plan[src]["target"], plan[src]["available"])
+        assert got[src] == pytest.approx(expected, rel=0.25)
+    # deterministic and partitioning-invariant
+    ids1 = sorted(r.doc_id for r in out.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in
+                  mix_corpus(d.repartition(13), **kwargs)
+                  .select("doc_id").collect())
+    assert ids1 == ids2

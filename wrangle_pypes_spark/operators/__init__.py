@@ -35,6 +35,8 @@ from .dedup import (
 from .sampling import (
     deterministic_sample,
     histogram,
+    mix_corpus,
+    mix_plan,
     pack_sequences,
     stratified_sample,
 )
@@ -80,6 +82,8 @@ __all__ = (
     "grouped_ewma",
     "histogram",
     "pack_sequences",
+    "mix_corpus",
+    "mix_plan",
     "stratified_sample",
     "gopher_quality_flags",
     "repetition_stats",

@@ -40,6 +40,61 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.filter(cond)
 
 
+def mix_plan(df: DataFrame, *, source_col: str, token_col: str,
+             weights: Mapping[str, float],
+             token_budget: float) -> dict[str, dict[str, float]]:
+    """Compute per-source sampling rates for a token-budget corpus mix.
+
+    Given relative ``weights`` (e.g. ``{"web": 0.6, "code": 0.3,
+    "books": 0.1}``) and a total ``token_budget``, each source's token
+    target is ``budget * w / sum(w)`` and its keep-rate is
+    ``min(1, target / available)``.  Rates are capped at 1 — a source
+    short of its quota keeps everything and the mix under-delivers on
+    that source rather than duplicating documents (upsampling is an
+    epoch-level training decision, not a corpus op).
+
+    Cost at scale: ONE partial-aggregated groupBy over the corpus
+    collecting k rows (k = #sources) to the driver — the only
+    driver-side state is the k-entry plan dict.  Sources absent from
+    ``weights`` get rate 0 (dropped).
+    """
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    avail = {r["src"]: float(r["tok"]) for r in
+             (df.groupBy(F.col(source_col).alias("src"))
+              .agg(F.sum(token_col).alias("tok")).collect())}
+    plan: dict[str, dict[str, float]] = {}
+    for src, w in weights.items():
+        target = token_budget * float(w) / total_w
+        a = avail.get(src, 0.0)
+        rate = 0.0 if a <= 0 else min(1.0, target / a)
+        plan[src] = {"available": a, "target": target, "rate": rate}
+    return plan
+
+
+def mix_corpus(df: DataFrame, *, source_col: str, token_col: str,
+               key_col: str, weights: Mapping[str, float],
+               token_budget: float, seed: int = 42) -> DataFrame:
+    """Token-budget corpus mixing (Pile-style static domain weights):
+    deterministically sample each source so the combined output is
+    ~``token_budget`` tokens at the requested mixture proportions.
+
+    Two jobs total: the :func:`mix_plan` aggregate, then one map-only
+    hash filter (same membership scheme as :func:`deterministic_sample`
+    — stable across runs, partitionings, and cluster sizes, so a 100 TB
+    mix is resumable and auditable).  Expected tokens per kept source =
+    rate × available; variance is that of Bernoulli document sampling.
+    """
+    plan = mix_plan(df, source_col=source_col, token_col=token_col,
+                    weights=weights, token_budget=token_budget)
+    return stratified_sample(
+        df, source_col, {s: p["rate"] for s, p in plan.items()},
+        key_col, seed=seed)
+
+
 def pack_sequences(df: DataFrame, *, token_col: str, max_tokens: int,
                    order_col: str,
                    partition_col: Optional[str] = None) -> DataFrame:
