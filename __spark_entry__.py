@@ -2138,6 +2138,21 @@ def q_stratified_sample_langs(spark, sf_dir):
             .select("doc_id", "lang"))
 
 
+def q_mix_corpus_sources(spark, sf_dir):
+    """Token-budget domain mixing (Pile-style static weights): one
+    aggregate computes per-source keep-rates, one map-only hash filter
+    samples; rows-only (DuckDB has no xxhash64) — rate math, budget
+    adherence, and determinism are pinned in tests/test_sampling.py."""
+    from wrangle_pypes_spark.operators.sampling import mix_corpus
+    d = _t(spark, sf_dir, "documents")
+    total = d.agg(F.sum("n_chars")).collect()[0][0]
+    return (mix_corpus(d, source_col="source", token_col="n_chars",
+                       key_col="doc_id",
+                       weights={"src0": 2.0, "src1": 1.0, "src2": 1.0},
+                       token_budget=float(total) * 0.05)
+            .select("doc_id", "source", "n_chars"))
+
+
 def q_stream_stream_join(spark, sf_dir):
     """Stream-stream interval join (watermarked both sides, time-bound
     condition for state eviction); the batch range join is the oracle."""
@@ -3096,6 +3111,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "decontaminate_docs": q_decontaminate_docs,
+    # below the 50-slot driver window from here down
+    "mix_corpus_sources": q_mix_corpus_sources,
     # proven round-1-green representatives (rotate through the window)
     # r1-green, rotated out of the driver's 50-slot window (join protocol
     # covered in-window by async_get_or_create_dim + wrangle_get_or_create_arrays)
