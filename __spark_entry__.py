@@ -2153,6 +2153,49 @@ def q_mix_corpus_sources(spark, sf_dir):
             .select("doc_id", "source", "n_chars"))
 
 
+def q_scd2_customer_history(spark, sf_dir):
+    """SCD2 dimension versioning (operators/scd.py): each customer's
+    order-priority history as validity intervals — consecutive identical
+    observations collapse, ``valid_to`` chains to the next version's
+    ``valid_from``, last version per key is current.  One key shuffle +
+    two window passes; the DuckDB oracle is the same
+    change-detect/lead() formulation in SQL."""
+    from wrangle_pypes_spark.operators.scd import scd2_build
+    o = _t(spark, sf_dir, "orders")
+    dim = scd2_build(
+        o.select("o_custkey", "o_orderpriority", "o_orderdate"),
+        key_cols=["o_custkey"], ts_col="o_orderdate",
+        attr_cols=["o_orderpriority"], tiebreak_cols=["o_orderpriority"])
+    return dim.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        "valid_from", "valid_to", "is_current")
+
+
+SQL_SCD2 = """
+WITH obs AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate,
+         row_number() OVER w AS rn,
+         lag(o_orderpriority) OVER w AS prev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderpriority)
+),
+versions AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate
+  FROM obs
+  WHERE rn = 1 OR o_orderpriority IS DISTINCT FROM prev
+)
+SELECT o_custkey AS custkey, o_orderpriority AS priority,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w2 AS valid_to,
+       (lead(o_orderdate) OVER w2) IS NULL AS is_current
+FROM versions
+WINDOW w2 AS (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderpriority)
+"""
+
+
 def q_stream_stream_join(spark, sf_dir):
     """Stream-stream interval join (watermarked both sides, time-bound
     condition for state eviction); the batch range join is the oracle."""
@@ -3113,6 +3156,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_docs": q_decontaminate_docs,
     # below the 50-slot driver window from here down
     "mix_corpus_sources": q_mix_corpus_sources,
+    "scd2_customer_history": q_scd2_customer_history,
     # proven round-1-green representatives (rotate through the window)
     # r1-green, rotated out of the driver's 50-slot window (join protocol
     # covered in-window by async_get_or_create_dim + wrangle_get_or_create_arrays)
@@ -3187,6 +3231,7 @@ _ORACLES: dict[str, str] = {
     "q16_supplier_part_counts": SQL_Q16,
     "q17_small_quantity_revenue": SQL_Q17,
     "q20_bulk_suppliers": SQL_Q20,
+    "scd2_customer_history": SQL_SCD2,
     "q7_volume_shipping": SQL_Q7,
     "q8_market_share": SQL_Q8,
     "q13_order_distribution": SQL_Q13,

@@ -66,6 +66,8 @@ HEADLINE = [
     "udtf_chunk_text",
     "wrangle_get_or_create_arrays",
     "q10_returned_revenue",
+    "scd2_customer_history",
+    "mix_corpus_sources",
     "stream_tumbling_events",
     "stream_session_events",
     "stream_stream_join",

@@ -1,0 +1,101 @@
+"""SCD2 dimension versioning: build, incremental merge, snapshots."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrangle_pypes_spark.operators import scd2_build, scd2_merge, scd2_snapshot
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def updates(spark):
+    # customer 1 changes segment twice (with one no-op observation),
+    # customer 2 never changes, customer 3 has a same-instant tie.
+    rows = [
+        (1, "BRONZE", _ts("2024-01-01")),
+        (1, "BRONZE", _ts("2024-02-01")),   # no-op: collapses
+        (1, "SILVER", _ts("2024-03-01")),
+        (1, "GOLD", _ts("2024-06-01")),
+        (2, "BRONZE", _ts("2024-01-15")),
+        (3, "A", _ts("2024-01-01")),
+        (3, "B", _ts("2024-01-01")),        # tie on ts -> tiebreak on attr
+    ]
+    return spark.createDataFrame(rows, "custkey int, segment string, ts timestamp")
+
+
+def test_scd2_build_intervals(spark, updates):
+    dim = scd2_build(updates, key_cols=["custkey"], ts_col="ts",
+                     attr_cols=["segment"], tiebreak_cols=["segment"])
+    got = {(r.custkey, r.segment): (r.valid_from, r.valid_to, r.is_current)
+           for r in dim.collect()}
+    assert got[(1, "BRONZE")] == (_ts("2024-01-01"), _ts("2024-03-01"), False)
+    assert got[(1, "SILVER")] == (_ts("2024-03-01"), _ts("2024-06-01"), False)
+    assert got[(1, "GOLD")] == (_ts("2024-06-01"), None, True)
+    assert got[(2, "BRONZE")] == (_ts("2024-01-15"), None, True)
+    # tie: A orders before B, B is current; intervals half-open, no gap
+    assert got[(3, "A")] == (_ts("2024-01-01"), _ts("2024-01-01"), False)
+    assert got[(3, "B")] == (_ts("2024-01-01"), None, True)
+    # exactly one current row per key
+    cur = dim.filter("is_current").groupBy("custkey").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_scd2_merge_touches_only_batch_keys(spark, updates):
+    dim = scd2_build(updates, key_cols=["custkey"], ts_col="ts",
+                     attr_cols=["segment"], tiebreak_cols=["segment"])
+    batch = spark.createDataFrame(
+        [(1, "PLATINUM", _ts("2024-09-01")),      # change for key 1
+         (4, "NEW", _ts("2024-09-01"))],          # brand-new key
+        "custkey int, segment string, ts timestamp")
+    merged = scd2_merge(dim, batch, key_cols=["custkey"], ts_col="ts",
+                        attr_cols=["segment"], tiebreak_cols=["segment"])
+    got = {(r.custkey, r.segment): (r.valid_from, r.valid_to, r.is_current)
+           for r in merged.collect()}
+    # untouched key 2 byte-identical
+    assert got[(2, "BRONZE")] == (_ts("2024-01-15"), None, True)
+    # key 1: GOLD closed at the new version's start, PLATINUM current
+    assert got[(1, "GOLD")] == (_ts("2024-06-01"), _ts("2024-09-01"), False)
+    assert got[(1, "PLATINUM")] == (_ts("2024-09-01"), None, True)
+    assert got[(4, "NEW")] == (_ts("2024-09-01"), None, True)
+    # idempotent: replaying the same batch changes nothing
+    again = scd2_merge(merged, batch, key_cols=["custkey"], ts_col="ts",
+                       attr_cols=["segment"], tiebreak_cols=["segment"])
+    assert sorted(map(tuple, again.collect())) == \
+        sorted(map(tuple, merged.collect()))
+
+
+def test_scd2_snapshot(spark, updates):
+    dim = scd2_build(updates, key_cols=["custkey"], ts_col="ts",
+                     attr_cols=["segment"], tiebreak_cols=["segment"])
+    snap = scd2_snapshot(dim, _ts("2024-04-01"))
+    got = {r.custkey: r.segment for r in snap.collect()}
+    assert got == {1: "SILVER", 2: "BRONZE", 3: "B"}
+    # before any observation of key 2
+    early = scd2_snapshot(dim, _ts("2024-01-10"))
+    got_early = {r.custkey: r.segment for r in early.collect()}
+    assert got_early == {1: "BRONZE", 3: "B"}
+
+
+def test_scd2_build_on_real_orders(spark, tables):
+    """Priority history per customer from the orders stream — the query
+    registered as scd2_customer_history."""
+    o = tables["orders"]
+    dim = scd2_build(o.select("o_custkey", "o_orderpriority", "o_orderdate"),
+                     key_cols=["o_custkey"], ts_col="o_orderdate",
+                     attr_cols=["o_orderpriority"],
+                     tiebreak_cols=["o_orderpriority"])
+    # every customer with orders has exactly one current version
+    n_cust = o.select("o_custkey").distinct().count()
+    assert dim.filter("is_current").count() == n_cust
+    # intervals chain: valid_to of version k == valid_from of version k+1
+    from pyspark.sql import Window
+    w = Window.partitionBy("o_custkey").orderBy("valid_from")
+    chained = (dim.withColumn("_next_from", F.lead("valid_from").over(w))
+               .filter(F.col("valid_to").isNotNull())
+               .filter(~F.col("valid_to").eqNullSafe(F.col("_next_from"))))
+    assert chained.count() == 0

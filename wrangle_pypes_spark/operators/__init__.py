@@ -40,6 +40,11 @@ from .sampling import (
     pack_sequences,
     stratified_sample,
 )
+from .scd import (
+    scd2_build,
+    scd2_merge,
+    scd2_snapshot,
+)
 from .quality import (
     decontaminate,
     gopher_quality_flags,
@@ -84,6 +89,9 @@ __all__ = (
     "pack_sequences",
     "mix_corpus",
     "mix_plan",
+    "scd2_build",
+    "scd2_merge",
+    "scd2_snapshot",
     "stratified_sample",
     "gopher_quality_flags",
     "repetition_stats",

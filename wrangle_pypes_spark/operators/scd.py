@@ -1,0 +1,112 @@
+"""Slowly-changing-dimension (SCD type 2) operators.
+
+The reference's ``get_or_create`` protocol (``wrangle_pypes/pipeline.py:53``)
+answers "does this entity exist, else create it"; at warehouse scale the
+follow-on question is "what did the entity look like WHEN" — dimension
+versioning.  These operators keep full attribute history as validity
+intervals: one row per (key, version) with ``valid_from`` / ``valid_to``
+(NULL = current) and ``is_current``.
+
+Design for 100 TB: everything is one shuffle on the dimension key plus
+window passes over each key's (tiny) version list — no self-joins, no
+driver-side state.  ``scd2_merge`` touches only the keys present in the
+incoming batch (semi/anti split), so merging a daily delta into a
+billion-row dimension rebuilds only the delta's keys.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ("scd2_build", "scd2_merge", "scd2_snapshot")
+
+_VALID_FROM, _VALID_TO, _IS_CURRENT = "valid_from", "valid_to", "is_current"
+
+
+def scd2_build(updates: DataFrame, *, key_cols: Sequence[str],
+               ts_col: str, attr_cols: Sequence[str],
+               tiebreak_cols: Sequence[str] = ()) -> DataFrame:
+    """Collapse an update/event stream into SCD2 validity intervals.
+
+    ``updates`` holds one row per observed (key, attrs, ts); the output
+    holds one row per ATTRIBUTE CHANGE: consecutive observations with
+    identical ``attr_cols`` merge into one interval, ``valid_to`` of a
+    version is the next version's ``valid_from`` (half-open intervals,
+    no gaps), and the last version per key is current (``valid_to``
+    NULL).
+
+    Two window passes over one key-partitioned shuffle:
+
+    1. change detection — a row starts a new version iff any attr
+       differs (null-safely) from the previous observation;
+    2. interval close — ``lead(valid_from)`` over surviving versions.
+
+    ``tiebreak_cols`` break ``ts`` ties deterministically (same-instant
+    observations order by the tiebreak, last one wins the interval).
+    """
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    first = F.row_number().over(w) == 1
+    versions = (updates
+                .withColumn("_new_version", first | changed)
+                .filter(F.col("_new_version"))
+                .drop("_new_version"))
+
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    out = (versions
+           .withColumn(_VALID_FROM, F.col(ts_col))
+           .withColumn(_VALID_TO, F.lead(_VALID_FROM).over(w2))
+           .withColumn(_IS_CURRENT, F.col(_VALID_TO).isNull()))
+    return out.select(*keys, *attrs, _VALID_FROM, _VALID_TO, _IS_CURRENT)
+
+
+def scd2_merge(dim: DataFrame, updates: DataFrame, *,
+               key_cols: Sequence[str], ts_col: str,
+               attr_cols: Sequence[str],
+               tiebreak_cols: Sequence[str] = ()) -> DataFrame:
+    """Merge an update batch into an existing SCD2 dimension.
+
+    Only keys present in ``updates`` are reprocessed: the dimension
+    splits into untouched history (left_anti — passes through untouched,
+    byte-identical) and touched history, whose versions are re-expressed
+    as observations at their ``valid_from`` and re-collapsed together
+    with the new updates via :func:`scd2_build`.  Replaying the same
+    batch is a no-op (identical observations collapse), so the merge is
+    batch-idempotent like ``sources.upsert_parquet``.
+    """
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    touched_keys = updates.select(*keys).distinct()
+    untouched = dim.join(touched_keys, keys, "left_anti")
+    touched_hist = (dim.join(touched_keys, keys, "left_semi")
+                    .select(*keys, *attrs,
+                            F.col(_VALID_FROM).alias(ts_col)))
+    observations = touched_hist.unionByName(
+        updates.select(*keys, *attrs, ts_col))
+    rebuilt = scd2_build(observations, key_cols=keys, ts_col=ts_col,
+                         attr_cols=attrs, tiebreak_cols=tiebreak_cols)
+    return untouched.unionByName(rebuilt)
+
+
+def scd2_snapshot(dim: DataFrame, as_of, *,
+                  ts_col: Optional[str] = None) -> DataFrame:
+    """Point-in-time view of an SCD2 dimension: the version valid at
+    ``as_of`` (``valid_from <= as_of < valid_to``, open current
+    interval).  A plain filter — pushes down to the scan, and on a
+    dimension partitioned by ``is_current`` the common "latest" case
+    prunes to the current partition."""
+    cond = ((F.col(_VALID_FROM) <= F.lit(as_of)) &
+            (F.col(_VALID_TO).isNull() | (F.col(_VALID_TO) > F.lit(as_of))))
+    out = dim.filter(cond)
+    if ts_col:
+        out = out.withColumn(ts_col, F.lit(as_of))
+    return out
