@@ -2153,6 +2153,107 @@ def q_mix_corpus_sources(spark, sf_dir):
             .select("doc_id", "source", "n_chars"))
 
 
+def q_profile_customer(spark, sf_dir):
+    """Column profiling (operators/relational.py ``profile``): one
+    aggregate pass over the table → per-column stats rows.  The
+    registered variant uses exact distincts so DuckDB can mirror it;
+    ``mean`` is dropped from the projection (engine-dependent
+    last-ulp float noise; pinned instead in tests/test_relational.py)."""
+    from wrangle_pypes_spark.operators import profile
+    c = _t(spark, sf_dir, "customer")
+    return (profile(c, exact_distinct=True)
+            .select("column", "dtype", "n", "n_null", "n_distinct",
+                    "min_value", "max_value")
+            .orderBy("column"))
+
+
+SQL_PROFILE = """
+WITH s AS (SELECT * FROM customer)
+SELECT 'c_custkey' AS "column", 'bigint' AS dtype, count(*) AS n,
+       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+       CAST(min(c_custkey) AS VARCHAR) AS min_value,
+       CAST(max(c_custkey) AS VARCHAR) AS max_value
+FROM s
+UNION ALL
+SELECT 'c_name', 'string', count(*),
+       CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT c_name) AS BIGINT),
+       CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR)
+FROM s
+UNION ALL
+SELECT 'c_nationkey', 'int', count(*),
+       CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT c_nationkey) AS BIGINT),
+       CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
+FROM s
+UNION ALL
+SELECT 'c_acctbal', 'double', count(*),
+       CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT c_acctbal) AS BIGINT),
+       CAST(min(c_acctbal) AS VARCHAR), CAST(max(c_acctbal) AS VARCHAR)
+FROM s
+UNION ALL
+SELECT 'c_mktsegment', 'string', count(*),
+       CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+       CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR)
+FROM s
+ORDER BY "column"
+"""
+
+
+def q_rollup_events_hourly(spark, sf_dir):
+    """Continuous-aggregate maintenance (operators/rollup.py): the
+    registered query exercises the INCREMENTAL path end-to-end — raw
+    events split into two disjoint batches, each rolled up
+    independently, merged via the mergeable partial states — and the
+    oracle recomputes the same hourly aggregate directly from all raw
+    rows, proving merge(build(A), build(B)) == build(A ∪ B).  The HLL
+    distinct-user sketch column is exercised in tests/test_rollup.py
+    (engine-specific binary state, no DuckDB twin).  The value sum is
+    accumulated in INTEGER CENTS (2-dp money × 100 rounds exactly to
+    int64) — a double sum of 2-dp values regularly lands ulp-close to
+    an integer where floor()/round() flip per engine."""
+    from wrangle_pypes_spark.operators.rollup import (rollup_build,
+                                                      rollup_merge,
+                                                      time_bucket)
+    e = (_t(spark, sf_dir, "events")
+         .withColumn("bucket", time_bucket(F.col("ts"), "hour"))
+         .withColumn("value_cents",
+                     F.round(F.col("value") * 100).cast("long")))
+    metrics = {
+        "n": ("count", "*"),
+        "sum_value": ("sum", "value_cents"),
+        "min_value": ("min", "value"),
+        "max_value": ("max", "value"),
+    }
+    group = ["bucket", "event_type"]
+    a = rollup_build(e.filter(F.col("event_id") % 2 == 0),
+                     group_cols=group, metrics=metrics)
+    b = rollup_build(e.filter(F.col("event_id") % 2 == 1),
+                     group_cols=group, metrics=metrics)
+    merged = rollup_merge(a, b, group_cols=group, metrics=metrics)
+    return (merged.select(
+                "bucket", "event_type", "n",
+                F.col("sum_value").alias("sum_value_cents"),
+                "min_value", "max_value")
+            .orderBy("bucket", "event_type"))
+
+
+SQL_ROLLUP_EVENTS = """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents,
+       min(value) AS min_value, max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket, event_type
+"""
+
+
 def q_scd2_customer_history(spark, sf_dir):
     """SCD2 dimension versioning (operators/scd.py): each customer's
     order-priority history as validity intervals — consecutive identical
@@ -3157,6 +3258,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # below the 50-slot driver window from here down
     "mix_corpus_sources": q_mix_corpus_sources,
     "scd2_customer_history": q_scd2_customer_history,
+    "profile_customer": q_profile_customer,
+    "rollup_events_hourly": q_rollup_events_hourly,
     # proven round-1-green representatives (rotate through the window)
     # r1-green, rotated out of the driver's 50-slot window (join protocol
     # covered in-window by async_get_or_create_dim + wrangle_get_or_create_arrays)
@@ -3232,6 +3335,8 @@ _ORACLES: dict[str, str] = {
     "q17_small_quantity_revenue": SQL_Q17,
     "q20_bulk_suppliers": SQL_Q20,
     "scd2_customer_history": SQL_SCD2,
+    "profile_customer": SQL_PROFILE,
+    "rollup_events_hourly": SQL_ROLLUP_EVENTS,
     "q7_volume_shipping": SQL_Q7,
     "q8_market_share": SQL_Q8,
     "q13_order_distribution": SQL_Q13,

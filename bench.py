@@ -68,6 +68,8 @@ HEADLINE = [
     "q10_returned_revenue",
     "scd2_customer_history",
     "mix_corpus_sources",
+    "rollup_events_hourly",
+    "profile_customer",
     "stream_tumbling_events",
     "stream_session_events",
     "stream_stream_join",

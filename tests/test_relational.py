@@ -277,3 +277,29 @@ def test_asof_join_null_value_preserved(spark):
     out = asof_join(left, right, "k", "lts", "rts").collect()
     assert len(out) == 1
     assert out[0].price is None  # the 11:00 row matched; its NULL survives
+
+
+def test_profile_stats(spark, tables):
+    from wrangle_pypes_spark.operators import profile
+
+    c = tables["customer"]
+    p = {r.column: r for r in
+         profile(c, exact_distinct=True).collect()}
+    assert set(p) == set(c.columns)
+    n = c.count()
+    row = p["c_acctbal"]
+    assert row.n == n and row.n_null == 0
+    assert row.dtype == "double"
+    exact = c.selectExpr(
+        "min(c_acctbal) mn", "max(c_acctbal) mx", "avg(c_acctbal) av",
+        "count(DISTINCT c_acctbal) nd").collect()[0]
+    assert row.min_value == str(exact.mn) and row.max_value == str(exact.mx)
+    assert row.mean == pytest.approx(exact.av)
+    assert row.n_distinct == exact.nd
+    # non-numeric column: mean is NULL, distinct is exact
+    seg = p["c_mktsegment"]
+    assert seg.mean is None
+    assert seg.n_distinct == c.select("c_mktsegment").distinct().count()
+    # approx path close to exact
+    ap = {r.column: r for r in profile(c).collect()}
+    assert ap["c_custkey"].n_distinct == pytest.approx(n, rel=0.05)

@@ -1,0 +1,91 @@
+"""Continuous-aggregate rollups: build/merge equivalence, sketch
+distincts, hierarchical re-bucketing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrangle_pypes_spark.operators import (rollup_build, rollup_finalize,
+                                           rollup_merge, time_bucket)
+
+METRICS = {
+    "n": ("count", "*"),
+    "sum_value": ("sum", "value"),
+    "min_value": ("min", "value"),
+    "max_value": ("max", "value"),
+    "users": ("approx_distinct", "user_id"),
+}
+
+
+@pytest.fixture()
+def events(spark, tables):
+    return tables["events"].withColumn("bucket",
+                                       time_bucket(F.col("ts"), "hour"))
+
+
+def _scalar_rows(df):
+    return sorted(
+        (r.bucket, r.event_type, r.n, r.sum_value, r.min_value, r.max_value)
+        for r in df.collect())
+
+
+def _assert_rollups_equal(got, want):
+    """count/min/max merge exactly; double sums only up to float
+    summation-order (associativity) noise."""
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3] and g[4:] == w[4:]
+        assert g[3] == pytest.approx(w[3], rel=1e-12)
+
+
+def test_incremental_merge_equals_full_build(spark, events):
+    group = ["bucket", "event_type"]
+    full = rollup_build(events, group_cols=group, metrics=METRICS)
+
+    # split raw data in two disjoint halves, roll up each, merge
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    merged = rollup_merge(
+        rollup_build(a, group_cols=group, metrics=METRICS),
+        rollup_build(b, group_cols=group, metrics=METRICS),
+        group_cols=group, metrics=METRICS)
+
+    _assert_rollups_equal(_scalar_rows(merged), _scalar_rows(full))
+    # HLL: estimate of merged sketches == estimate of full-build sketch
+    est_full = {(r.bucket, r.event_type): r.users for r in
+                rollup_finalize(full, metrics=METRICS).collect()}
+    est_merged = {(r.bucket, r.event_type): r.users for r in
+                  rollup_finalize(merged, metrics=METRICS).collect()}
+    assert est_full == est_merged
+
+
+def test_sketch_estimates_near_exact(spark, events):
+    group = ["event_type"]
+    roll = rollup_finalize(
+        rollup_build(events, group_cols=group, metrics=METRICS),
+        metrics=METRICS)
+    est = {r.event_type: r.users for r in roll.collect()}
+    exact = {r.event_type: r.n for r in
+             events.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for k, v in exact.items():
+        assert est[k] == pytest.approx(v, rel=0.05)
+
+
+def test_hour_rollup_rebuckets_to_day(spark, events):
+    """Coarser rollups derive from finer state without raw data."""
+    hourly = rollup_build(events, group_cols=["bucket", "event_type"],
+                          metrics=METRICS)
+    daily_from_hourly = rollup_merge(
+        hourly.withColumn("bucket", time_bucket(F.col("bucket"), "day")),
+        group_cols=["bucket", "event_type"], metrics=METRICS)
+    daily_direct = rollup_build(
+        events.withColumn("bucket", time_bucket(F.col("ts"), "day")),
+        group_cols=["bucket", "event_type"], metrics=METRICS)
+    _assert_rollups_equal(_scalar_rows(daily_from_hourly),
+                          _scalar_rows(daily_direct))
+
+
+def test_unknown_metric_kind_raises(spark, events):
+    with pytest.raises(ValueError, match="unknown kind"):
+        rollup_build(events, group_cols=["event_type"],
+                     metrics={"x": ("median", "value")})

@@ -10,6 +10,7 @@ from .relational import (
     asof_join,
     bucketed_range_join,
     pivot_table,
+    profile,
     salted_join,
     sessionize,
     topk_per_group,
@@ -40,6 +41,12 @@ from .sampling import (
     pack_sequences,
     stratified_sample,
 )
+from .rollup import (
+    rollup_build,
+    rollup_finalize,
+    rollup_merge,
+    time_bucket,
+)
 from .scd import (
     scd2_build,
     scd2_merge,
@@ -64,6 +71,7 @@ __all__ = (
     "asof_join",
     "bucketed_range_join",
     "pivot_table",
+    "profile",
     "salted_join",
     "sessionize",
     "topk_per_group",
@@ -89,6 +97,9 @@ __all__ = (
     "pack_sequences",
     "mix_corpus",
     "mix_plan",
+    "rollup_build",
+    "rollup_finalize",
+    "rollup_merge",
     "scd2_build",
     "scd2_merge",
     "scd2_snapshot",

@@ -261,3 +261,57 @@ def unpivot(df: DataFrame, id_cols: Sequence[str], value_cols: Sequence[str],
             var_name: str = "variable", value_name: str = "value") -> DataFrame:
     """Melt columns to rows (native ``unpivot`` — no shuffle, no UDF)."""
     return df.unpivot(list(id_cols), list(value_cols), var_name, value_name)
+
+
+def profile(df: DataFrame, cols: Optional[Sequence[str]] = None, *,
+            exact_distinct: bool = False) -> DataFrame:
+    """Column profile: one output row per column with
+    ``(column, dtype, n, n_null, n_distinct, min_value, max_value,
+    mean)`` — the engine's SUMMARIZE.
+
+    ONE aggregate pass produces every statistic (min/max/mean/null
+    counts are all partial-aggregatable), then the single wide row is
+    unpivoted driver-side into k rows — no second scan, no shuffle
+    beyond the aggregate's.  ``min_value``/``max_value`` are cast to
+    string so one schema covers numeric, string, and timestamp columns;
+    ``mean`` is NULL for non-numeric columns.
+
+    ``exact_distinct=True`` uses ``count(DISTINCT)`` (k distinct aggs →
+    one Expand of the scan by k — fine at audit scale, wrong default
+    for 100 TB); the default is HyperLogLog++
+    (``approx_count_distinct``, single-pass mergeable sketch, ~2%
+    relative error).
+    """
+    names = list(cols) if cols is not None else list(df.columns)
+    numeric = {f.name for f in df.schema.fields
+               if f.name in names and
+               f.dataType.typeName() in
+               ("byte", "short", "integer", "long", "float", "double",
+                "decimal")}
+    dtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in names:
+        distinct = (F.countDistinct(c) if exact_distinct
+                    else F.approx_count_distinct(c))
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
+            distinct.alias(f"_dist_{c}"),
+            F.min(c).cast("string").alias(f"_min_{c}"),
+            F.max(c).cast("string").alias(f"_max_{c}"),
+            (F.avg(F.col(c).cast("double")) if c in numeric
+             else F.lit(None).cast("double")).alias(f"_mean_{c}"),
+        ]
+    # ONE job: the aggregate collapses to a single wide row; collect it
+    # and fan out driver-side (k stats rows, not data).  Unioning k
+    # projections of the aggregate would re-run the scan per column —
+    # Spark does not reliably reuse the exchange across union branches.
+    row = df.agg(*aggs).collect()[0]
+    records = [
+        (c, dtypes[c], row["_n"], row[f"_null_{c}"], row[f"_dist_{c}"],
+         row[f"_min_{c}"], row[f"_max_{c}"], row[f"_mean_{c}"])
+        for c in names]
+    return df.sparkSession.createDataFrame(
+        records,
+        "column string, dtype string, n bigint, n_null bigint, "
+        "n_distinct bigint, min_value string, max_value string, "
+        "mean double")
