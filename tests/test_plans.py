@@ -157,3 +157,46 @@ def test_zorder_expression_stays_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 0
     assert "codegen id" in p
+
+
+def test_new_tpch_shapes_stay_jvm_and_broadcast(spark, sf_dir):
+    """The q2/q9/q11/q15/q16/q17/q20 adaptations: dims broadcast, no
+    Python eval anywhere, scans pruned."""
+    qs = entrymod.queries()
+    for name in ("q2_min_cost_supplier", "q9_profit_by_nation",
+                 "q11_important_parts", "q15_top_supplier",
+                 "q16_supplier_part_counts", "q17_small_quantity_revenue",
+                 "q20_bulk_suppliers"):
+        p = plan_of(qs[name](spark, sf_dir))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+        assert "BroadcastHashJoin" in p, f"{name} lost its broadcast join"
+        assert "CartesianProduct" not in p, name
+
+
+def test_q9_star_join_prunes_lineitem(spark, sf_dir):
+    """The 5-way star join must not read lineitem columns it doesn't
+    use (l_comment-class columns stay out of ReadSchema)."""
+    p = plan_of(entrymod.queries()["q9_profit_by_nation"](spark, sf_dir))
+    reads = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    li_reads = [r for r in reads if "l_partkey" in r]
+    assert li_reads, p
+    cols = {c.split(":")[0] for c in li_reads[0].split(",") if c}
+    assert cols == {"l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                    "l_extendedprice", "l_discount"}, cols
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """SCD2 build: both window passes share ONE key-partitioned
+    exchange (same partitioning, no re-shuffle between passes)."""
+    p = plan_of(entrymod.queries()["scd2_customer_history"](spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_ex == 1, f"expected one key shuffle, got {n_ex}"
+
+
+def test_rollup_merge_keeps_partial_aggregation(spark, sf_dir):
+    """The rollup merge path must plan map-side partial aggregates
+    (mergeable states are the whole point)."""
+    p = plan_of(entrymod.queries()["rollup_events_hourly"](spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert len(re.findall(r"HashAggregate", p)) >= 2, p
