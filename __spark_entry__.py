@@ -426,6 +426,77 @@ FROM orders
 """
 
 
+def q_window_rank_family(spark, sf_dir):
+    """The full ranking-function family over one window (rank,
+    dense_rank, percent_rank, cume_dist, ntile) — unique (price, key)
+    ordering makes every function deterministic across engines;
+    percent_rank/cume_dist are exact small-integer ratios, safe to
+    hash."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"))
+
+
+SQL_RANK_FAMILY = """
+SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist() OVER w AS cdist,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+def q_date_functions_orders(spark, sf_dir):
+    """Date/time scalar-function breadth on one frame: extraction
+    (year/quarter/month/day/hour), calendar arithmetic (add_months with
+    month-end clamping, day offsets, month truncation, last_day), and
+    epoch-anchored day differences — every expression has an exact
+    DuckDB twin."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.year(d).cast("bigint").alias("y"),
+        F.quarter(d).cast("bigint").alias("q"),
+        F.month(d).cast("bigint").alias("m"),
+        F.dayofmonth(d).cast("bigint").alias("dom"),
+        # DuckDB's month-granularity date_trunc returns DATE
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).alias("plus3m"),
+        F.date_add(d.cast("date"), 45).alias("plus45d"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date"))
+         .cast("bigint").alias("days_to_y2k"))
+
+
+SQL_DATE_FUNCS = """
+SELECT o_orderkey AS orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS y,
+       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+       CAST(month(o_orderdate) AS BIGINT) AS m,
+       CAST(day(o_orderdate) AS BIGINT) AS dom,
+       date_trunc('month', o_orderdate) AS month_start,
+       last_day(o_orderdate) AS month_end,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+       CAST(o_orderdate AS DATE) + 45 AS plus45d,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')::BIGINT
+           AS days_to_y2k
+FROM orders
+"""
+
+
 def q_window_trailing_30d(spark, sf_dir):
     """Time-based window frame (rangeBetween over event-time seconds):
     30-day trailing order total per customer."""
@@ -3260,6 +3331,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_customer_history": q_scd2_customer_history,
     "profile_customer": q_profile_customer,
     "rollup_events_hourly": q_rollup_events_hourly,
+    "window_rank_family": q_window_rank_family,
+    "date_functions_orders": q_date_functions_orders,
     # proven round-1-green representatives (rotate through the window)
     # r1-green, rotated out of the driver's 50-slot window (join protocol
     # covered in-window by async_get_or_create_dim + wrangle_get_or_create_arrays)
@@ -3337,6 +3410,8 @@ _ORACLES: dict[str, str] = {
     "scd2_customer_history": SQL_SCD2,
     "profile_customer": SQL_PROFILE,
     "rollup_events_hourly": SQL_ROLLUP_EVENTS,
+    "window_rank_family": SQL_RANK_FAMILY,
+    "date_functions_orders": SQL_DATE_FUNCS,
     "q7_volume_shipping": SQL_Q7,
     "q8_market_share": SQL_Q8,
     "q13_order_distribution": SQL_Q13,
