@@ -67,6 +67,26 @@ def _h64(col: Column, seed: int) -> Column:
     return F.xxhash64(F.lit(seed), col)
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Decouple map-side parallelism from the file layout: if the scan
+    yields (much) fewer partitions than the cluster has slots, round-robin
+    repartition to ``defaultParallelism`` before heavy per-row compute.
+
+    The shingle/hash stages below do their expensive work in the MAP
+    stage, whose task count is the input-split count — a handful of
+    small parquet files would otherwise serialize the whole signature
+    computation onto a couple of cores.  At scale this is a no-op
+    (a 100 TB table yields far more splits than slots, and the guard
+    skips the shuffle); it only fires for small files or post-filter
+    frames, where the extra shuffle is pennies next to the compute it
+    parallelizes."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:  # plan-only, no job
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -88,7 +108,7 @@ def minhash_signatures(df: DataFrame, text_col: str, *, id_col: str,
     # hash as h1 + i*h2 (universal-family guarantee is enough for
     # minhash).  2 xxhash64 calls per shingle instead of num_hashes —
     # benchmarked ~2.5x faster at sf0.1 with identical recall.
-    exploded = df.select(
+    exploded = spread_small_input(df).select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("_sh"))
     # masks keep h1 + i*h2 inside signed-long range under ANSI mode
@@ -232,10 +252,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, *, id_col: str,
     full-corpus exact run at scale, swap the blocking key for the LSH
     candidates above; this operator is the *verifier* of that pipeline.
     """
-    base = df.select(F.col(id_col),
-                     shingles(F.col(text_col), shingle_n).alias("_sh"),
-                     F.slice(tokens_col(F.col(text_col)), 1,
-                             prefilter_tokens).alias("_block"))
+    base = spread_small_input(df).select(
+        F.col(id_col),
+        shingles(F.col(text_col), shingle_n).alias("_sh"),
+        F.slice(tokens_col(F.col(text_col)), 1,
+                prefilter_tokens).alias("_block"))
     base = base.withColumn("_bkey", F.concat_ws(" ", F.col("_block")))
     if persist:  # shingle sets are recomputed per join side otherwise
         base = base.persist()
@@ -302,7 +323,7 @@ def simhash_signatures(df: DataFrame, text_col: str, *, id_col: str,
     benchmarked ~10x slower at sf0.1)."""
     # hash each shingle ONCE in a projection; the 64 aggregate columns
     # only do shift/mask arithmetic on the precomputed hash
-    exploded = df.select(
+    exploded = spread_small_input(df).select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("_sh"),
     ).select(F.col(id_col), _h64(F.col("_sh"), 7777).alias("_h"))
