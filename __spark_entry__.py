@@ -609,6 +609,49 @@ FROM part
 """
 
 
+def q_string_functions_customer(spark, sf_dir):
+    """String-function battery with exact DuckDB twins: edit distance,
+    split_part, position, hashing (md5/sha256), padding, reverse,
+    replace, translate, left/right slices, ascii, null-dispatch
+    (nullif/coalesce)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.levenshtein("c_name", "c_mktsegment").cast("bigint").alias("lev"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.instr(F.col("c_name"), "#").cast("bigint").alias("hash_pos"),
+        F.md5("c_name").alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("key_pad"),
+        F.reverse(F.col("c_name")).alias("name_rev"),
+        F.regexp_replace(F.col("c_name"), "Customer", "C").alias("name_short"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("seg_tr"),
+        F.expr("left(c_name, 3)").alias("l3"),
+        F.expr("right(c_name, 3)").alias("r3"),
+        F.ascii("c_mktsegment").cast("bigint").alias("seg_ascii"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+                   F.lit("-")).alias("seg_nb"))
+
+
+SQL_STRING_FUNCS = """
+SELECT c_custkey AS custkey,
+       levenshtein(c_name, c_mktsegment)::BIGINT AS lev,
+       split_part(c_name, '#', 2) AS name_num,
+       strpos(c_name, '#')::BIGINT AS hash_pos,
+       md5(c_name) AS name_md5,
+       sha256(c_name) AS name_sha,
+       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_pad,
+       reverse(c_name) AS name_rev,
+       replace(c_name, 'Customer', 'C') AS name_short,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+       left(c_name, 3) AS l3,
+       right(c_name, 3) AS r3,
+       ascii(c_mktsegment)::BIGINT AS seg_ascii,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), '-') AS seg_nb
+FROM customer
+"""
+
+
 def q_json_extract_events(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return e.select("event_id",
@@ -3333,6 +3376,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_events_hourly": q_rollup_events_hourly,
     "window_rank_family": q_window_rank_family,
     "date_functions_orders": q_date_functions_orders,
+    "string_functions_customer": q_string_functions_customer,
     # proven round-1-green representatives (rotate through the window)
     # r1-green, rotated out of the driver's 50-slot window (join protocol
     # covered in-window by async_get_or_create_dim + wrangle_get_or_create_arrays)
@@ -3412,6 +3456,7 @@ _ORACLES: dict[str, str] = {
     "rollup_events_hourly": SQL_ROLLUP_EVENTS,
     "window_rank_family": SQL_RANK_FAMILY,
     "date_functions_orders": SQL_DATE_FUNCS,
+    "string_functions_customer": SQL_STRING_FUNCS,
     "q7_volume_shipping": SQL_Q7,
     "q8_market_share": SQL_Q8,
     "q13_order_distribution": SQL_Q13,
