@@ -303,3 +303,16 @@ def test_normalize_embeddings(spark, tables):
                            lambda a, x: a + x * x)).alias("n")).collect()
     for r in norm:
         assert abs(r.n - 1.0) < 1e-9
+
+
+def test_spread_small_input_guard(spark, tables):
+    from wrangle_pypes_spark.operators.dedup import spread_small_input
+
+    d = tables["documents"]
+    target = spark.sparkContext.defaultParallelism
+    # small file: spread fires and raises map-side parallelism
+    assert d.rdd.getNumPartitions() < target
+    assert spread_small_input(d).rdd.getNumPartitions() == target
+    # already-parallel frame: no-op (no extra shuffle at scale)
+    wide = d.repartition(target)
+    assert spread_small_input(wide) is wide

@@ -228,3 +228,34 @@ def test_multimodal_resize_and_frame_sample(spark, tables):
         assert len(r.frame) <= 64
     for idxs in per_doc.values():
         assert sorted(idxs) == list(range(len(idxs)))  # dense, ordered
+
+
+def test_foreach_batch_get_or_create_upsert(spark, sf_dir, tables, tmp_path):
+    """Durable dim store: stream drains into a parquet dimension via
+    keyed upsert; replaying the stream is idempotent."""
+    from dataclasses import dataclass
+
+    from wrangle_pypes_spark import Get, Pipeline
+    from wrangle_pypes_spark.streaming import (
+        foreach_batch_get_or_create_upsert)
+
+    @dataclass
+    class UserM:
+        user_id: int
+
+    p = Pipeline({UserM: {"user_id": Get("user_id")}})
+    dim_path = str(tmp_path / "user_dim")
+
+    ev = stream_events(spark, sf_dir)
+    q = foreach_batch_get_or_create_upsert(ev, p, UserM, dim_path,
+                                           ["user_id"])
+    q.awaitTermination()
+    n_users = tables["events"].select("user_id").distinct().count()
+    assert spark.read.parquet(dim_path).count() == n_users
+    # replay the whole stream (fresh checkpoint): dim unchanged
+    q2 = foreach_batch_get_or_create_upsert(stream_events(spark, sf_dir),
+                                            p, UserM, dim_path, ["user_id"])
+    q2.awaitTermination()
+    back = spark.read.parquet(dim_path)
+    assert back.count() == n_users
+    assert back.select("user_id").distinct().count() == n_users

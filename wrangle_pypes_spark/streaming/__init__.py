@@ -17,6 +17,7 @@ from .windows import (
     stream_stream_interval_join,
     tumbling_window_agg,
     foreach_batch_get_or_create,
+    foreach_batch_get_or_create_upsert,
 )
 
 __all__ = (
@@ -29,4 +30,5 @@ __all__ = (
     "stream_stream_interval_join",
     "run_available_now_to_memory",
     "foreach_batch_get_or_create",
+    "foreach_batch_get_or_create_upsert",
 )

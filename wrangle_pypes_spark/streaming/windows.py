@@ -169,3 +169,43 @@ def foreach_batch_get_or_create(stream_df: DataFrame, pipeline, model: type,
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def foreach_batch_get_or_create_upsert(stream_df: DataFrame, pipeline,
+                                       model: type, dim_path: str,
+                                       match_targets: Sequence[str],
+                                       checkpoint: Optional[str] = None):
+    """Durable streaming get_or_create: the dimension lives in a PARQUET
+    table maintained by key-based upsert — the steady-state topology
+    without a table-format dependency.
+
+    Per micro-batch: read the current dimension, run the set-oriented
+    lookup join, and write ONLY the newly-created rows back via
+    ``sources.upsert_parquet`` (keyed MERGE; the touched-partition
+    rewrite keeps the write proportional to the batch, and the
+    batch-level dedup makes replays after a checkpoint recovery
+    idempotent).  First batch bootstraps the table from the model
+    schema.  Swap ``upsert_parquet`` for a Delta/Iceberg ``MERGE INTO``
+    for concurrent writers — same plan shape plus a transaction log.
+    """
+    from ..sources.sinks import upsert_parquet
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        keys = list(match_targets)
+        if os.path.isdir(dim_path):
+            dim = spark.read.parquet(dim_path)
+        else:
+            dim = spark.createDataFrame(
+                [], pipeline.schema_for(model, batch_df))
+        result, _ = pipeline.get_or_create(model, batch_df, dim,
+                                           match_targets)
+        created = (result.filter(F.col("created"))
+                   .drop("created").dropDuplicates(keys))
+        upsert_parquet(created, dim_path, keys)
+
+    writer = stream_df.writeStream.foreachBatch(_batch) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
