@@ -9,7 +9,9 @@ Conventions for oracle comparability:
 * every computed column aliased identically on both sides,
 * double aggregates rounded (2 dp money, 4-6 dp ratios) — Spark and
   DuckDB accumulate in different orders, so raw last-bit equality is
-  not expected; rounded values are stable,
+  not expected; rounded values are stable.  When a 2-dp sum can land
+  on an exact integer or half-boundary, accumulate INTEGER CENTS
+  (``sum(cast(round(x*100) as bigint))``) instead — binary-exact,
 * deterministic tie-breaking on every top-k / kept-row choice,
 * session timezone pinned to UTC (see wrangle_pypes_spark.session).
 """
