@@ -45,6 +45,12 @@ PURE_JVM_QUERIES = [
     "embedding_near_dup",
     "text_stats",
     "lang_id",
+    "window_rank_family",
+    "date_functions_orders",
+    "string_functions_customer",
+    "mix_corpus_sources",
+    "scd2_customer_history",
+    "rollup_events_hourly",
 ]
 
 
