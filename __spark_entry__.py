@@ -46,13 +46,16 @@ from wrangle_pypes_spark import (
     async_get_or_create,
 )
 from wrangle_pypes_spark.functions.text import (
+    corpus_top_ngrams,
     doc_fingerprint,
     lang_id,
     quality_score,
     subword_token_estimate,
+    token_pmi_pairs,
     tokens,
 )
 from wrangle_pypes_spark.operators.dedup import (
+    dedup_keep_best,
     embedding_near_dup_pairs,
     exact_dedup,
     fuzzy_dedup_keep_canonical,
@@ -2176,6 +2179,98 @@ WHERE len(list_intersect(a.shingle_set, b.shingle_set))::DOUBLE
 """
 
 
+def q_top_ngrams_corpus(spark, sf_dir):
+    """Corpus-wide top-25 word trigrams (boilerplate detection): one
+    hash-aggregate with map-side partials + top-k, never the full
+    distribution to the driver."""
+    d = _t(spark, sf_dir, "documents")
+    top = corpus_top_ngrams(d, "text", id_col="doc_id", n=3, k=25)
+    return top.select("ngram",
+                      F.col("total_count").cast("bigint").alias("total_count"),
+                      F.col("n_docs").cast("bigint").alias("n_docs"))
+
+
+SQL_TOP_NGRAMS = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 3 THEN list_transform(
+             range(1, len(toks) - 1),
+             i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [] END) AS ngram
+  FROM t
+)
+SELECT ngram, count(*)::BIGINT AS total_count,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM g
+GROUP BY ngram
+ORDER BY total_count DESC, ngram
+LIMIT 25
+"""
+
+
+def q_token_pmi_pairs(spark, sf_dir):
+    """Within-document token co-occurrence PMI — doc-distinct tokens,
+    co-partitioned pair self-join, broadcast marginals."""
+    d = _t(spark, sf_dir, "documents")
+    return token_pmi_pairs(d, "text", id_col="doc_id", min_pair_docs=50)
+
+
+SQL_TOKEN_PMI = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+             string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS toks
+  FROM documents
+), u AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t
+), marg AS (
+  SELECT tok, count(*) AS n_t FROM u GROUP BY tok
+), co AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
+  FROM u a JOIN u b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+  HAVING count(*) >= 50
+)
+SELECT tok_a, tok_b, n_ab,
+       round(ln(n_ab::DOUBLE * (SELECT count(*) FROM documents)
+                / (ma.n_t * mb.n_t)), 6) AS pmi
+FROM co
+JOIN marg ma ON co.tok_a = ma.tok
+JOIN marg mb ON co.tok_b = mb.tok
+"""
+
+
+def q_dedup_keep_longest(spark, sf_dir):
+    """Best-of-group dedup: per content fingerprint keep the LONGEST
+    document (doc_id breaks ties) — single max_by hash-aggregate, no
+    window sort."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select("doc_id", "n_chars",
+                  doc_fingerprint(F.col("text")).alias("fingerprint"))
+    best = dedup_keep_best(fp, ["fingerprint"],
+                           [F.col("n_chars"), -F.col("doc_id")])
+    return best.select("fingerprint", "doc_id", "n_chars")
+
+
+SQL_DEDUP_KEEP_LONGEST = """
+WITH f AS (
+  SELECT doc_id, n_chars,
+         md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> ''))), ' ')) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, doc_id, n_chars
+FROM f
+QUALIFY row_number() OVER (PARTITION BY fingerprint
+                           ORDER BY n_chars DESC, doc_id) = 1
+"""
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     corpus = _dup_corpus(spark, sf_dir)
     pairs = minhash_lsh_dup_pairs(corpus, "text", id_col="doc_id",
@@ -3427,6 +3522,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "embedding_norms": q_embedding_norms,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "top_ngrams_corpus": q_top_ngrams_corpus,
+    "token_pmi_pairs": q_token_pmi_pairs,
+    "dedup_keep_longest": q_dedup_keep_longest,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dup": q_embedding_near_dup,
@@ -3496,6 +3594,9 @@ _ORACLES: dict[str, str] = {
     "knn_cosine_top5": SQL_KNN,
     "embedding_norms": SQL_NORMS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+    "top_ngrams_corpus": SQL_TOP_NGRAMS,
+    "token_pmi_pairs": SQL_TOKEN_PMI,
+    "dedup_keep_longest": SQL_DEDUP_KEEP_LONGEST,
     # minhash_lsh_pairs / simhash_pairs: rows-only (xxhash64 not in DuckDB)
     "stream_tumbling_events": SQL_STREAM_TUMBLING,
     "stream_sliding_events": SQL_STREAM_SLIDING,

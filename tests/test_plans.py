@@ -51,6 +51,9 @@ PURE_JVM_QUERIES = [
     "mix_corpus_sources",
     "scd2_customer_history",
     "rollup_events_hourly",
+    "top_ngrams_corpus",
+    "token_pmi_pairs",
+    "dedup_keep_longest",
 ]
 
 

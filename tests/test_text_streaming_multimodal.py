@@ -4,11 +4,15 @@ import pytest
 from pyspark.sql import functions as F
 
 from wrangle_pypes_spark.functions.text import (
+    corpus_top_ngrams,
     doc_fingerprint,
     lang_id,
     quality_score,
     token_count,
+    token_pmi_pairs,
+    word_ngrams,
 )
+from wrangle_pypes_spark.operators.dedup import dedup_keep_best
 from wrangle_pypes_spark.operators.multimodal import (
     attach_binary_payload,
     extract_features,
@@ -52,6 +56,48 @@ def test_fingerprint_order_invariant(spark):
           df.select("id", doc_fingerprint(F.col("t")).alias("f")).collect()}
     assert fp[1] == fp[2] == fp[3]  # order + duplication invariant
     assert fp[1] != fp[4]
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "t string")
+    got = [r.g for r in
+           df.select(word_ngrams(F.col("t"), 3).alias("g")).collect()]
+    assert got[0] == []
+    assert got[1] == ["a b c", "b c d"]
+
+
+def test_corpus_top_ngrams_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z x y z"), (2, "x y z q"), (3, "a b")],
+        "doc_id long, text string")
+    top = corpus_top_ngrams(df, "text", id_col="doc_id", n=3, k=2).collect()
+    # "x y z" appears 3 times total (2 in doc1, 1 in doc2) across 2 docs
+    assert top[0].ngram == "x y z"
+    assert top[0].total_count == 3 and top[0].n_docs == 2
+    assert top[1].total_count < 3
+
+
+def test_token_pmi_attract_repel(spark):
+    # p/q always together, p/r never together -> pmi(p,q) > 0 > pmi(p,r)
+    rows = [(i, "p q") for i in range(4)] + [(i + 4, "r s") for i in range(4)]
+    rows += [(8, "p q r s")]  # one mixed doc so (p,r) pair exists
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pmi = {(r.tok_a, r.tok_b): r.pmi
+           for r in token_pmi_pairs(df, "text", id_col="doc_id",
+                                    min_pair_docs=1).collect()}
+    assert pmi[("p", "q")] > 0
+    assert pmi[("p", "r")] < 0
+
+
+def test_dedup_keep_best_deterministic(spark):
+    df = spark.createDataFrame(
+        [("k1", 1, 10), ("k1", 2, 30), ("k1", 3, 30), ("k2", 4, 5)],
+        "k string, id long, score long")
+    best = {r.k: r.id for r in
+            dedup_keep_best(df, ["k"],
+                            [F.col("score"), -F.col("id")]).collect()}
+    # k1: max score 30, tie broken to the SMALLEST id (via -id)
+    assert best == {"k1": 2, "k2": 4}
 
 
 # --- streaming --------------------------------------------------------------

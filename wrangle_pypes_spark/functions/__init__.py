@@ -8,12 +8,16 @@ whole-stage codegen.
 
 from .text import (
     STOPWORDS,
+    corpus_top_ngrams,
     doc_fingerprint,
     lang_id,
     quality_score,
     token_count,
+    token_pmi_pairs,
     tokens,
+    word_ngrams,
 )
 
-__all__ = ("STOPWORDS", "doc_fingerprint", "lang_id", "quality_score",
-           "token_count", "tokens")
+__all__ = ("STOPWORDS", "corpus_top_ngrams", "doc_fingerprint", "lang_id",
+           "quality_score", "token_count", "token_pmi_pairs", "tokens",
+           "word_ngrams")

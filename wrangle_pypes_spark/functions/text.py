@@ -1,4 +1,5 @@
-"""Text analysis for training-data pipelines — pure Column expressions.
+"""Text analysis for training-data pipelines — pure Column expressions
+plus a few corpus-level DataFrame operators (top n-grams, PMI).
 
 Each function is deterministic and (where registered in
 ``__spark_entry__``) has an ANSI-SQL oracle twin, so correctness is
@@ -7,7 +8,9 @@ checkable against DuckDB on the ``documents`` table.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Minimal per-language stopword lists for the n-gram/stopword language-ID
@@ -80,6 +83,89 @@ def lang_id(text: Column) -> Column:
     best = F.array_max(F.array(*scores))  # max by (hits, lang)
     return F.when(best.getField("hits") > 0,
                   best.getField("lang")).otherwise(F.lit("und"))
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word ``n``-grams as space-joined strings (empty array when the
+    document has fewer than ``n`` tokens)."""
+    toks = tokens(text)
+    wc = F.size(toks)
+    return F.when(wc >= n, F.transform(
+        F.sequence(F.lit(1), wc - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def corpus_top_ngrams(docs: DataFrame, text_col: str = "text", *,
+                      id_col: str = "doc_id", n: int = 3,
+                      k: int = 25) -> DataFrame:
+    """Corpus-wide top-``k`` word ``n``-grams: (ngram, total_count,
+    n_docs), ordered by total count (n-gram string breaks ties so the
+    top-k cut is deterministic).
+
+    The boilerplate detector of web-corpus curation: a handful of
+    n-grams with huge counts across many documents = navigation chrome /
+    licence headers to strip before training.
+
+    Scale: explode → hash-aggregate with map-side partial aggregation
+    (each task pre-counts its own grams before the single shuffle on the
+    gram string), then a ``takeOrdered``-style top-k — only k rows reach
+    the driver, never the full gram distribution.  ``n_docs`` rides the
+    same shuffle as a count over per-doc-distinct grams, unioned in one
+    pass via a conditional aggregate rather than a second job.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("ngram"))
+    per_doc = grams.groupBy(id_col, "ngram").agg(
+        F.count("*").alias("c"))  # partial-aggregates before the shuffle
+    counts = per_doc.groupBy("ngram").agg(
+        F.sum("c").alias("total_count"),
+        F.count("*").alias("n_docs"))
+    return counts.orderBy(F.desc("total_count"), "ngram").limit(k)
+
+
+def token_pmi_pairs(docs: DataFrame, text_col: str = "text", *,
+                    id_col: str = "doc_id", min_pair_docs: int = 2,
+                    n_docs: Optional[int] = None) -> DataFrame:
+    """Pointwise mutual information for token pairs co-occurring in the
+    same document: (tok_a, tok_b, n_ab, pmi) for every unordered pair
+    seen in at least ``min_pair_docs`` documents.
+
+    pmi = ln(N · n_ab / (n_a · n_b)) over document frequencies —
+    positive = the tokens attract (phrases, topics), negative = repel.
+
+    Scale: tokens are distinct'd PER DOCUMENT before the pair self-join,
+    so the join is co-partitioned on ``id_col`` and each document
+    contributes at most |vocab_doc|² pairs (bounded by doc length, not
+    corpus size).  Marginal document frequencies are a separate tiny
+    aggregate (≤ vocabulary rows) broadcast onto the pair counts — the
+    only full-data shuffles are the doc-distinct and the pair count,
+    both with map-side partial aggregation.  For web-scale vocabularies
+    prefilter ``toks`` to the top-M tokens by document frequency first.
+    """
+    if n_docs is None:
+        n_docs = docs.count()  # scalar; at scale precompute per corpus
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+    marginals = toks.groupBy("tok").agg(F.count("*").alias("n_t"))
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = a.join(b, (F.col("a._id") == F.col("b._id")) &
+                   (F.col("a.tok") < F.col("b.tok")))
+    co = (pairs.groupBy(F.col("a.tok").alias("tok_a"),
+                        F.col("b.tok").alias("tok_b"))
+          .agg(F.count("*").alias("n_ab"))
+          .filter(F.col("n_ab") >= min_pair_docs))
+    ma = F.broadcast(marginals.select(F.col("tok").alias("tok_a"),
+                                     F.col("n_t").alias("n_a")))
+    mb = F.broadcast(marginals.select(F.col("tok").alias("tok_b"),
+                                     F.col("n_t").alias("n_b")))
+    return (co.join(ma, "tok_a").join(mb, "tok_b")
+            .select("tok_a", "tok_b", "n_ab",
+                    F.round(F.log(F.col("n_ab") * F.lit(float(n_docs)) /
+                                  (F.col("n_a") * F.col("n_b"))), 6)
+                    .alias("pmi")))
 
 
 def doc_fingerprint(text: Column) -> Column:

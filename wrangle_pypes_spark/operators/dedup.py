@@ -39,6 +39,31 @@ def exact_dedup(df: DataFrame, cols: Sequence[str],
               .filter(F.col("_rn") == 1).drop("_rn"))
 
 
+def dedup_keep_best(df: DataFrame, key_cols: Sequence[str],
+                    order_cols: Sequence[Column | str]) -> DataFrame:
+    """One row per ``key_cols`` group: the row MAXIMIZING ``order_cols``
+    (lexicographic; include a unique column last for a deterministic
+    pick — e.g. keep the LONGEST document per content fingerprint with
+    ``order_cols=[F.col("n_chars"), -F.col("doc_id")]``).
+
+    Plan shape: a single aggregate — ``max_by(struct(*), struct
+    (order))`` — with map-side ``partial_max_by``, so each task reduces
+    its input to one candidate row per local key before the one shuffle
+    on ``key_cols``.  That beats the window/row_number formulation,
+    which shuffles EVERY row and then sorts each partition.  (Struct
+    aggregation buffers fall back to SortAggregate rather than
+    HashAggregate — the reduction still happens before the shuffle,
+    which is what matters at scale.)  The same aggregate is what a
+    streaming/incremental refresh would merge.
+    """
+    ordkey = F.struct(*[F.col(c) if isinstance(c, str) else c
+                        for c in order_cols])
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    best = (df.groupBy(*key_cols)
+            .agg(F.max_by(payload, ordkey).alias("_best")))
+    return best.select(*[F.col(f"_best.{c}").alias(c) for c in df.columns])
+
+
 # ---------------------------------------------------------------------------
 # tokenize / shingle (shared by MinHash & Jaccard & SimHash)
 # ---------------------------------------------------------------------------
