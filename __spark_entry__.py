@@ -46,6 +46,7 @@ from wrangle_pypes_spark import (
     async_get_or_create,
 )
 from wrangle_pypes_spark.functions.text import (
+    chunk_documents,
     corpus_top_ngrams,
     doc_fingerprint,
     lang_id,
@@ -2271,6 +2272,35 @@ QUALIFY row_number() OVER (PARTITION BY fingerprint
 """
 
 
+def q_chunk_documents_overlap(spark, sf_dir):
+    """Sliding-window chunking (64-token windows, 16-token overlap) as a
+    pure-Column map-only 1→N fan-out — the JVM-side twin of the
+    ``udtf_chunk_text`` Python UDTF."""
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, "text", id_col="doc_id",
+                           chunk_tokens=64, overlap_tokens=16)
+
+
+SQL_CHUNK_OVERLAP = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(CASE WHEN len(toks) > 0
+                THEN range(1, greatest(len(toks) - 16, 1) + 1, 48)
+                ELSE [] END) AS s
+  FROM t
+)
+SELECT doc_id,
+       ((s - 1) // 48)::INT AS chunk_idx,
+       array_to_string(toks[s:s+63], ' ') AS chunk,
+       least(n - s + 1, 64)::INT AS n_tokens
+FROM c
+"""
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     corpus = _dup_corpus(spark, sf_dir)
     pairs = minhash_lsh_dup_pairs(corpus, "text", id_col="doc_id",
@@ -3525,6 +3555,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_ngrams_corpus": q_top_ngrams_corpus,
     "token_pmi_pairs": q_token_pmi_pairs,
     "dedup_keep_longest": q_dedup_keep_longest,
+    "chunk_documents_overlap": q_chunk_documents_overlap,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dup": q_embedding_near_dup,
@@ -3597,6 +3628,7 @@ _ORACLES: dict[str, str] = {
     "top_ngrams_corpus": SQL_TOP_NGRAMS,
     "token_pmi_pairs": SQL_TOKEN_PMI,
     "dedup_keep_longest": SQL_DEDUP_KEEP_LONGEST,
+    "chunk_documents_overlap": SQL_CHUNK_OVERLAP,
     # minhash_lsh_pairs / simhash_pairs: rows-only (xxhash64 not in DuckDB)
     "stream_tumbling_events": SQL_STREAM_TUMBLING,
     "stream_sliding_events": SQL_STREAM_SLIDING,

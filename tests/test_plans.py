@@ -54,6 +54,7 @@ PURE_JVM_QUERIES = [
     "top_ngrams_corpus",
     "token_pmi_pairs",
     "dedup_keep_longest",
+    "chunk_documents_overlap",
 ]
 
 

@@ -4,6 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from wrangle_pypes_spark.functions.text import (
+    chunk_documents,
     corpus_top_ngrams,
     doc_fingerprint,
     lang_id,
@@ -87,6 +88,25 @@ def test_token_pmi_attract_repel(spark):
                                     min_pair_docs=1).collect()}
     assert pmi[("p", "q")] > 0
     assert pmi[("p", "r")] < 0
+
+
+def test_chunk_documents_overlap_semantics(spark):
+    import pytest as _pytest
+    toks = " ".join(f"t{i}" for i in range(1, 13))  # 12 tokens
+    df = spark.createDataFrame([(1, toks), (2, "a b"), (3, "")],
+                               "doc_id long, text string")
+    out = chunk_documents(df, "text", id_col="doc_id",
+                          chunk_tokens=8, overlap_tokens=4)
+    got = {(r.doc_id, r.chunk_idx): (r.chunk, r.n_tokens)
+           for r in out.collect()}
+    # doc1: stride 4 -> windows at tokens 1-8 and 5-12
+    assert got[(1, 0)] == (" ".join(f"t{i}" for i in range(1, 9)), 8)
+    assert got[(1, 1)] == (" ".join(f"t{i}" for i in range(5, 13)), 8)
+    # short doc: single partial chunk; empty doc: no chunks
+    assert got[(2, 0)] == ("a b", 2)
+    assert not any(d == 3 for d, _ in got)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "text", chunk_tokens=8, overlap_tokens=8)
 
 
 def test_dedup_keep_best_deterministic(spark):

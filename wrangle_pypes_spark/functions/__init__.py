@@ -8,6 +8,7 @@ whole-stage codegen.
 
 from .text import (
     STOPWORDS,
+    chunk_documents,
     corpus_top_ngrams,
     doc_fingerprint,
     lang_id,
@@ -18,6 +19,6 @@ from .text import (
     word_ngrams,
 )
 
-__all__ = ("STOPWORDS", "corpus_top_ngrams", "doc_fingerprint", "lang_id",
-           "quality_score", "token_count", "token_pmi_pairs", "tokens",
-           "word_ngrams")
+__all__ = ("STOPWORDS", "chunk_documents", "corpus_top_ngrams",
+           "doc_fingerprint", "lang_id", "quality_score", "token_count",
+           "token_pmi_pairs", "tokens", "word_ngrams")

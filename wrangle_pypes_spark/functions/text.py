@@ -168,6 +168,42 @@ def token_pmi_pairs(docs: DataFrame, text_col: str = "text", *,
                     .alias("pmi")))
 
 
+def chunk_documents(docs: DataFrame, text_col: str = "text", *,
+                    id_col: str = "doc_id", chunk_tokens: int = 512,
+                    overlap_tokens: int = 0) -> DataFrame:
+    """Split documents into fixed-size token windows with optional
+    overlap: (id, chunk_idx, chunk, n_tokens) — the embedding/-context-
+    window preprocessing step, as a pure Column plan.
+
+    Window ``i`` starts at token ``1 + i·stride`` (stride = chunk −
+    overlap); the final window may be shorter; empty documents yield no
+    chunks.  Unlike the Python-UDTF chunker (``functions/udtfs.py``)
+    this stays entirely inside whole-stage codegen — sequence/transform/
+    slice build all windows in one pass, then ``posexplode`` fans out
+    1→N with no shuffle at all (chunking is map-only at any scale).
+    """
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - overlap_tokens, F.lit(1)),
+        F.lit(stride))
+    chunks = F.when(F.size(toks) > 0, F.transform(
+        starts, lambda s: F.struct(
+            F.concat_ws(" ", F.slice(toks, s, chunk_tokens)).alias("chunk"),
+            F.least(F.size(toks) - s + 1, F.lit(chunk_tokens))
+            .alias("n_tokens"))
+    )).otherwise(F.array().cast(
+        "array<struct<chunk:string,n_tokens:int>>"))
+    return (docs
+            .select(F.col(id_col),
+                    F.posexplode(chunks).alias("chunk_idx", "_c"))
+            .select(id_col, "chunk_idx",
+                    F.col("_c.chunk").alias("chunk"),
+                    F.col("_c.n_tokens").alias("n_tokens")))
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Canonical content fingerprint: md5 over the sorted distinct token
     set.  Robust to word order / duplication; identical across engines
