@@ -51,15 +51,31 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
 
 def normalize_nanos_ts(df: DataFrame, col: str = "ts",
                        target: str = "timestamp_ntz") -> DataFrame:
-    """Convert a nanosecond-epoch long column (parquet TIMESTAMP(NANOS)
-    read under ``spark.sql.legacy.parquet.nanosAsLong``) to a timestamp,
-    truncating to microseconds exactly like DuckDB's TIMESTAMP_NS ->
-    TIMESTAMP read.  ``target='timestamp'`` (ltz) is required for
-    streaming watermarks; ntz is the batch/oracle default."""
-    if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+    """Normalize an event-time column to ``target`` regardless of how the
+    producer wrote it.
+
+    - parquet TIMESTAMP(NANOS) read under
+      ``spark.sql.legacy.parquet.nanosAsLong`` arrives as a nanosecond
+      long: floor-divide to µs (exactly DuckDB's TIMESTAMP_NS ->
+      TIMESTAMP truncation) then cast.
+    - parquet TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ (or ltz): cast
+      between ntz/ltz when it differs from ``target``.  With the session
+      timezone pinned to UTC (``ensure_session_confs``) the cast is a
+      pure reinterpretation, no wall-clock shift.
+
+    ``target='timestamp'`` (ltz) is required for streaming watermarks
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE rejects ntz); ntz is the
+    batch/oracle default."""
+    if col not in df.columns:
+        return df
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
         # integer division: floor to µs, matching DuckDB's truncation
         micros = F.expr(f"`{col}` div 1000")
         return df.withColumn(col, F.timestamp_micros(micros).cast(target))
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)) \
+            and dt.typeName() != target:
+        return df.withColumn(col, F.col(col).cast(target))
     return df
 
 
