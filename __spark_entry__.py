@@ -2549,7 +2549,8 @@ def q_stream_stream_join(spark, sf_dir):
         a, b, on="user_id", left_ts="ts_a", right_ts="ts_b",
         upper_seconds=3600)
     table = run_available_now_to_memory(joined, "stream_stream_out",
-                                        output_mode="append")
+                                        output_mode="append",
+                                        state_partitions=8)
     return table.select("id_a", "id_b")
 
 
@@ -2572,7 +2573,8 @@ def q_stream_dedup_events(spark, sf_dir):
     # is an exact oracle (in production you'd size it to the dup horizon)
     dd = stream_dedup(ev, ["user_id", "event_type"], watermark="3650 days")
     table = run_available_now_to_memory(dd, "stream_dedup_out",
-                                        output_mode="append")
+                                        output_mode="append",
+                                        state_partitions=8)
     return table.select("user_id", "event_type")
 
 
@@ -2877,7 +2879,8 @@ def q_stream_tumbling_events(spark, sf_dir):
            .agg(F.count("*").alias("n"),
                 F.sum("value").alias("_sv")))
     table = run_available_now_to_memory(agg, "stream_tumbling_out",
-                                        output_mode="complete")
+                                        output_mode="complete",
+                                        state_partitions=8)
     return table.select(F.col("window.start").alias("hour_start"),
                         "event_type", "n",
                         F.round("_sv", 2).alias("sum_value"))
@@ -2895,7 +2898,8 @@ def q_stream_sliding_events(spark, sf_dir):
     ev = stream_events(spark, sf_dir)
     agg = sliding_window_agg(ev, window="1 hour", slide="15 minutes")
     table = run_available_now_to_memory(agg, "stream_sliding_out",
-                                        output_mode="complete")
+                                        output_mode="complete",
+                                        state_partitions=8)
     return table.select(F.col("window.start").alias("win_start"),
                         "event_type", "n",
                         F.round("sum_value", 2).alias("sum_value"))
@@ -2918,7 +2922,8 @@ def q_stream_session_events(spark, sf_dir):
     ev = stream_events(spark, sf_dir)
     agg = session_window_agg(ev, gap="30 minutes")
     table = run_available_now_to_memory(agg, "stream_session_out",
-                                        output_mode="complete")
+                                        output_mode="complete",
+                                        state_partitions=8)
     return table.select(F.col("session_window.start").alias("session_start"),
                         "user_id", "n",
                         F.round("sum_value", 2).alias("sum_value"))
@@ -2950,7 +2955,8 @@ def q_stream_stateful_counts(spark, sf_dir):
     ev = stream_events(spark, sf_dir)
     out = stateful_running_counts(ev)
     table = run_available_now_to_memory(out, "stream_stateful_out",
-                                        output_mode="update")
+                                        output_mode="update",
+                                        state_partitions=8)
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     final = (table.withColumn("_rn", F.row_number().over(w))
              .filter(F.col("_rn") == 1))

@@ -124,22 +124,43 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame, *,
 
 
 def run_available_now_to_memory(stream_df: DataFrame, name: str,
-                                output_mode: str = "append") -> DataFrame:
+                                output_mode: str = "append",
+                                state_partitions: Optional[int] = None
+                                ) -> DataFrame:
     """Drain all currently-available input through the streaming plan
     into an in-memory table and return it as a DataFrame.
 
     Uses ``trigger(availableNow=True)`` — processes everything then
     stops, which makes streaming queries testable/benchable in batch
     harnesses while exercising the real incremental engine.
+
+    ``state_partitions`` sizes the STATE partitioning of stateful
+    operators (stream-stream join, streaming agg, dedup): Spark pins it
+    to ``spark.sql.shuffle.partitions`` at the query's first start, and
+    every state partition pays a per-micro-batch store open/commit/
+    maintenance cost (measured ~1 s/partition for the stream-stream
+    join on local disk).  A 10k-row test stream does not want 32 state
+    stores; a 1000-executor cluster ingesting a firehose wants
+    thousands.  Size it to expected state volume, like you size shuffle
+    partitions to data volume.  The conf is set only around ``start()``
+    (planning reads it there) and restored after, so batch queries on
+    the same session keep their own sizing.
     """
-    q = (stream_df.writeStream
-         .format("memory")
-         .queryName(name)
-         .outputMode(output_mode)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
     spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (stream_df.writeStream
+             .format("memory")
+             .queryName(name)
+             .outputMode(output_mode)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
