@@ -142,7 +142,8 @@ def _nearest_cells_udf(centroids: Sequence[Sequence[float]], n_probe: int = 1):
 
 def kmeans_fit(df: DataFrame, vec_col: str, *, id_col: str,
                k: int = 16, iters: int = 2,
-               seed: int = 42) -> list[list[float]]:
+               seed: int = 42,
+               fit_fraction: float = 1.0) -> list[list[float]]:
     """Deterministic distributed Lloyd k-means (the IVF coarse quantizer).
 
     Init: the ``k`` corpus vectors with smallest ``xxhash64(seed, id)``
@@ -153,28 +154,45 @@ def kmeans_fit(df: DataFrame, vec_col: str, *, id_col: str,
     collapses every partition to at most k*dim rows before the shuffle,
     so the iteration cost is a single scan regardless of corpus size.
     Only k*dim floats ever reach the driver (the model).
+
+    Scans the fit set ``iters + 1`` times, so it is projected to
+    (id, vec) and persisted for the duration of the fit — at corpus
+    scale you do not re-read 100 TB per Lloyd iteration.  Better still,
+    don't fit on the full corpus at all: ``fit_fraction < 1`` keeps a
+    deterministic xxhash64 sample (coarse-quantizer quality needs a
+    representative sample, not every vector — standard IVF practice).
     """
-    init_rows = (df.select(F.col(vec_col).alias("_v"),
-                           F.xxhash64(F.lit(seed), F.col(id_col)).alias("_r"))
-                 .orderBy("_r").limit(k).collect())
-    centroids = [[float(x) for x in r["_v"]] for r in init_rows]
-    for _ in range(iters):
-        assign = _nearest_cells_udf(centroids, 1)
-        assigned = df.select(
-            assign(F.col(vec_col))[0].alias("_cid"),
-            F.posexplode(F.transform(F.col(vec_col),
-                                     lambda x: x.cast("double")))
-             .alias("_pos", "_x"))
-        means = (assigned.groupBy("_cid", "_pos").agg(F.avg("_x").alias("_m"))
-                 .collect())
-        new = [list(c) for c in centroids]  # empty cluster keeps old centroid
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cid.setdefault(r["_cid"], {})[r["_pos"]] = r["_m"]
-        for cid, dims in by_cid.items():
-            for pos, m in dims.items():
-                new[cid][pos] = m
-        centroids = new
+    fit = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if fit_fraction < 1.0:
+        bound = int(fit_fraction * (1 << 63))
+        fit = fit.filter(
+            F.abs(F.xxhash64(F.lit(seed ^ 0x5EED), F.col("_id"))) < bound)
+    fit = fit.persist()
+    try:
+        init_rows = (fit.select(F.col("_v"),
+                                F.xxhash64(F.lit(seed), F.col("_id"))
+                                 .alias("_r"))
+                     .orderBy("_r").limit(k).collect())
+        centroids = [[float(x) for x in r["_v"]] for r in init_rows]
+        for _ in range(iters):
+            assign = _nearest_cells_udf(centroids, 1)
+            assigned = fit.select(
+                assign(F.col("_v"))[0].alias("_cid"),
+                F.posexplode(F.transform(F.col("_v"),
+                                         lambda x: x.cast("double")))
+                 .alias("_pos", "_x"))
+            means = (assigned.groupBy("_cid", "_pos")
+                     .agg(F.avg("_x").alias("_m")).collect())
+            new = [list(c) for c in centroids]  # empty cell keeps old centroid
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cid.setdefault(r["_cid"], {})[r["_pos"]] = r["_m"]
+            for cid, dims in by_cid.items():
+                for pos, m in dims.items():
+                    new[cid][pos] = m
+            centroids = new
+    finally:
+        fit.unpersist()
     return centroids
 
 
