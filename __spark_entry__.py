@@ -2272,6 +2272,63 @@ QUALIFY row_number() OVER (PARTITION BY fingerprint
 """
 
 
+def q_train_val_test_split(spark, sf_dir):
+    """Hash-based split assignment (operators/sampling.py
+    ``split_assign``): every doc lands in exactly one of train/val/test
+    as a pure function of (seed, doc_id) — stable across runs, scales,
+    and partitionings, which is what keeps eval sets uncontaminated as
+    a corpus is regrown.  Verified value-level: the md5 threshold is
+    engine-portable, so DuckDB reproduces the exact assignment."""
+    from wrangle_pypes_spark.operators import split_assign
+    d = _t(spark, sf_dir, "documents")
+    return (split_assign(d, "doc_id")
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .orderBy("split"))
+
+
+def _split_bounds() -> tuple[str, str]:
+    # identical float math to sampling.split_assign's defaults
+    b1 = format(min(int(0.98 * 16**8), 16**8 - 1), "08x")
+    b2 = format(min(int((0.98 + 0.01) * 16**8), 16**8 - 1), "08x")
+    return b1, b2
+
+
+_B1, _B2 = _split_bounds()
+
+SQL_TVT_SPLIT = f"""
+WITH k AS (
+  SELECT n_chars,
+         substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+  FROM documents
+)
+SELECT CASE WHEN h < '{_B1}' THEN 'train'
+            WHEN h < '{_B2}' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM k GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_shuffle_documents(spark, sf_dir):
+    """Deterministic global training shuffle (operators/sampling.py
+    ``deterministic_shuffle``): range-partition + sort by a reproducible
+    md5 key — total order across output files without a one-partition
+    window.  The oracle verifies the key values; the ordering/
+    reproducibility properties are pinned in tests/test_sampling.py."""
+    from wrangle_pypes_spark.operators import deterministic_shuffle
+    d = _t(spark, sf_dir, "documents")
+    return deterministic_shuffle(d, "doc_id").select("doc_id", "shuffle_key")
+
+
+SQL_SHUFFLE_DOCS = """
+SELECT doc_id,
+       substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS shuffle_key
+FROM documents
+"""
+
+
 def q_chunk_documents_overlap(spark, sf_dir):
     """Sliding-window chunking (64-token windows, 16-token overlap) as a
     pure-Column map-only 1→N fan-out — the JVM-side twin of the
@@ -3562,6 +3619,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_pmi_pairs": q_token_pmi_pairs,
     "dedup_keep_longest": q_dedup_keep_longest,
     "chunk_documents_overlap": q_chunk_documents_overlap,
+    "train_val_test_split": q_train_val_test_split,
+    "shuffle_documents": q_shuffle_documents,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_near_dup": q_embedding_near_dup,
@@ -3635,6 +3694,8 @@ _ORACLES: dict[str, str] = {
     "token_pmi_pairs": SQL_TOKEN_PMI,
     "dedup_keep_longest": SQL_DEDUP_KEEP_LONGEST,
     "chunk_documents_overlap": SQL_CHUNK_OVERLAP,
+    "train_val_test_split": SQL_TVT_SPLIT,
+    "shuffle_documents": SQL_SHUFFLE_DOCS,
     # minhash_lsh_pairs / simhash_pairs: rows-only (xxhash64 not in DuckDB)
     "stream_tumbling_events": SQL_STREAM_TUMBLING,
     "stream_sliding_events": SQL_STREAM_SLIDING,

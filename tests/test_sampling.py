@@ -6,8 +6,10 @@ from pyspark.sql import functions as F
 
 from wrangle_pypes_spark.operators.sampling import (
     deterministic_sample,
+    deterministic_shuffle,
     histogram,
     pack_sequences,
+    split_assign,
     stratified_sample,
 )
 
@@ -119,3 +121,71 @@ def test_mix_corpus_hits_budget_and_is_deterministic(spark, tables):
                   mix_corpus(d.repartition(13), **kwargs)
                   .select("doc_id").collect())
     assert ids1 == ids2
+
+
+def test_split_assign_disjoint_exhaustive_stable(spark, tables):
+    docs = tables["documents"]
+    n = docs.count()
+    out = split_assign(docs, "doc_id")
+    # exhaustive: every row gets exactly one split (withColumn => same rows)
+    assert out.count() == n
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == n
+    # dominant split gets the bulk; tolerance loose at tiny sf
+    assert counts["train"] / n > 0.90
+    # stable: same seed -> identical assignment; different seed -> differs
+    again = {r["doc_id"]: r["split"] for r in
+             split_assign(docs, "doc_id").select("doc_id", "split").collect()}
+    first = {r["doc_id"]: r["split"] for r in
+             out.select("doc_id", "split").collect()}
+    assert again == first
+    other = {r["doc_id"]: r["split"] for r in
+             split_assign(docs, "doc_id", seed=7)
+             .select("doc_id", "split").collect()}
+    assert other != first
+
+
+def test_split_assign_weights_normalized(spark, tables):
+    docs = tables["documents"]
+    out = split_assign(docs, "doc_id",
+                       splits=(("a", 50), ("b", 50)), seed=1)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert abs(counts.get("a", 0) / total - 0.5) < 0.1
+
+
+def test_deterministic_shuffle_total_order_and_reproducibility(spark, tables):
+    docs = tables["documents"].select("doc_id")
+    out = deterministic_shuffle(docs, "doc_id", num_partitions=4)
+    # the produced order (partition-major, then within-partition) is the
+    # global shuffle_key order: collect per partition and concatenate
+    parts = (out.withColumn("_pid", F.spark_partition_id())
+             .select("_pid", "shuffle_key", "doc_id").collect())
+    seq = [(r["_pid"], r["shuffle_key"], r["doc_id"]) for r in parts]
+    # rows arrive partition by partition already sorted; the concatenated
+    # (key, id) sequence must therefore be globally sorted
+    keys_in_order = [(k, d) for _, k, d in seq]
+    assert keys_in_order == sorted(keys_in_order)
+    # reproducible permutation: same seed -> same order
+    out2 = deterministic_shuffle(docs, "doc_id", num_partitions=4)
+    assert [r["doc_id"] for r in out2.collect()] == \
+        [d for _, _, d in seq]
+    # a different seed is a different permutation
+    out3 = deterministic_shuffle(docs, "doc_id", seed=9, num_partitions=4)
+    assert [r["doc_id"] for r in out3.collect()] != \
+        [d for _, _, d in seq]
+
+
+def test_split_and_shuffle_are_map_side_plans(spark, tables):
+    docs = tables["documents"]
+    plan = split_assign(docs, "doc_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: no shuffle for assignment
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    splan = deterministic_shuffle(docs, "doc_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "rangepartitioning" in splan.lower()  # total order via range part.
+    assert "BatchEvalPython" not in splan and "ArrowEvalPython" not in splan

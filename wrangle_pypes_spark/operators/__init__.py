@@ -35,10 +35,12 @@ from .dedup import (
 )
 from .sampling import (
     deterministic_sample,
+    deterministic_shuffle,
     histogram,
     mix_corpus,
     mix_plan,
     pack_sequences,
+    split_assign,
     stratified_sample,
 )
 from .rollup import (
@@ -92,6 +94,8 @@ __all__ = (
     "simhash_dup_pairs",
     "simhash_signatures",
     "deterministic_sample",
+    "deterministic_shuffle",
+    "split_assign",
     "grouped_ewma",
     "histogram",
     "pack_sequences",

@@ -130,3 +130,66 @@ def histogram(df: DataFrame, col: str, *, lo: float, hi: float,
                     (F.lit(lo) + F.col("bin") * w).alias("bin_lo"),
                     (F.lit(lo) + (F.col("bin") + 1) * w).alias("bin_hi"),
                     "n"))
+
+
+def _md5_unit_key(id_col: str, seed: int) -> Column:
+    """First 8 hex chars of ``md5("{seed}:{id}")`` — a uniform draw in
+    [0, 16^8) encoded as a fixed-width lowercase hex STRING.  Equal-width
+    hex strings compare lexicographically exactly like their numeric
+    values, and md5 is bit-identical across engines, so thresholds and
+    orderings built on this key reproduce anywhere (Spark, DuckDB, or a
+    bash pipeline) — no engine-private hash, no RNG state."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+        1, 8)
+
+
+def split_assign(df: DataFrame, id_col: str,
+                 splits: Sequence[tuple[str, float]] = (
+                     ("train", 0.98), ("val", 0.01), ("test", 0.01)), *,
+                 seed: int = 42, out_col: str = "split") -> DataFrame:
+    """Assign every row to exactly one split (train/val/test/...) by key
+    hash: disjoint, exhaustive, and stable — the same document lands in
+    the same split on every run, at any scale, on any partitioning.
+    That stability is the property that keeps eval sets uncontaminated
+    as a 100 TB corpus is regrown incrementally: membership is a pure
+    function of (seed, id), never of which batch a row arrived in.
+
+    Map-only (one projection, no shuffle); weights are normalized so
+    ratios like (98, 1, 1) work as-is.
+    """
+    total = sum(w for _, w in splits)
+    if total <= 0:
+        raise ValueError("split weights must sum to > 0")
+    key = _md5_unit_key(id_col, seed)
+    expr = None
+    cum = 0.0
+    for name, w in splits[:-1]:
+        cum += w / total
+        bound = format(min(int(cum * 16**8), 16**8 - 1), "08x")
+        cond = key < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else \
+            expr.when(cond, F.lit(name))
+    last = F.lit(splits[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str, *, seed: int = 42,
+                          key_col: str = "shuffle_key",
+                          num_partitions: Optional[int] = None) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: every row
+    gets a reproducible pseudo-random sort key, and the output is
+    range-partitioned + sorted by it — a total order across output
+    files WITHOUT a single-partition window (rank is implicit in file
+    order; readers stream files in name order and see the same
+    permutation every run).
+
+    Changing ``seed`` produces an independent permutation (per-epoch
+    reshuffles); same seed reproduces the run byte-for-byte.
+    """
+    keyed = df.withColumn(key_col, _md5_unit_key(id_col, seed))
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions")
+    return (keyed.repartitionByRange(int(n), F.col(key_col), F.col(id_col))
+            .sortWithinPartitions(key_col, id_col))
