@@ -470,8 +470,14 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, *, id_col: str,
     elif method == "lsh":
         sample = df.select(F.size(F.col(vec_col)).alias("d")).first()
         planes = _hyperplanes(int(sample["d"]), n_planes, seed)
+        # normalize ONCE per vector (map stage, before the self-join):
+        # candidate scoring then costs a single dot product per pair
+        # instead of dot + two norms — at corpus scale the pair count
+        # dwarfs the vector count, so per-pair work is what matters.
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
         base = df.select(F.col(id_col).alias("_id"),
-                         F.col(vec_col).alias("_v"),
+                         F.transform(v, lambda x: x / norm).alias("_v"),
                          lsh_code_expr(F.col(vec_col), planes).alias("_code"))
         base = base.persist()  # avoid recomputing codes per join side
         a, b = base.alias("a"), base.alias("b")
@@ -479,7 +485,12 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, *, id_col: str,
                           (F.col("a._id") < F.col("b._id")), "inner"))
     else:
         raise ValueError(f"unknown method {method!r}")
-    cos = cosine_expr(F.col("a._v"), F.col("b._v"))
+    if method == "lsh":
+        cos = F.aggregate(F.zip_with(F.col("a._v"), F.col("b._v"),
+                                     lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+    else:
+        cos = cosine_expr(F.col("a._v"), F.col("b._v"))
     return (cand.select(F.col("a._id").alias("id_a"),
                         F.col("b._id").alias("id_b"),
                         cos.alias("cosine"))
