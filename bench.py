@@ -79,6 +79,8 @@ HEADLINE = [
     "repetition_stats",
     "pii_scrub",
     "decontaminate_docs",
+    "train_val_test_split",
+    "shuffle_documents",
 ]
 
 
@@ -101,6 +103,12 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         total_rows += n
+        # untimed inter-query hygiene: queries that persist intermediates
+        # (LSH/minhash/near-dup) would otherwise accumulate cached blocks
+        # and GC pressure that bleeds into NEIGHBORS' timings; each query
+        # is timed from a clean cache (its own persists still apply
+        # within its timed region).
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
