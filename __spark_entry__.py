@@ -2789,8 +2789,9 @@ SELECT b.doc_id,
             THEN (len(b.bigrams) - len(list_distinct(b.bigrams)))::DOUBLE
                    / len(b.bigrams)
             ELSE 0.0 END AS dup_bigram_frac,
-       top.top_c::DOUBLE / greatest(len(b.toks), 1) AS top_token_frac
-FROM bg b JOIN top USING (doc_id)
+       coalesce(top.top_c, 0)::DOUBLE / greatest(len(b.toks), 1)
+         AS top_token_frac
+FROM bg b LEFT JOIN top USING (doc_id)
 """
 
 
@@ -3590,7 +3591,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "multimodal_features": q_multimodal_features,
-    # --- driver window ends around here (first 50) ---
     "wrangle_array_ops": q_wrangle_array_ops,
     "pivot_status_priority": q_pivot_status_priority,
     "window_trailing_30d": q_window_trailing_30d,

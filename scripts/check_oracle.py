@@ -62,8 +62,14 @@ _DUCK_TYPE_TAGS = {
 def _spark_tag(dtype: str) -> str:
     if dtype.startswith("decimal"):
         return "dec" + dtype[len("decimal"):].replace(" ", "")
-    if dtype.startswith(("array", "map", "struct")):
-        return dtype  # structural: compare as-is
+    if dtype.startswith("array<") and dtype.endswith(">"):
+        return "array<" + _spark_tag(dtype[len("array<"):-1]) + ">"
+    # structs/maps: compare coarsely (field-by-field text never lines up
+    # across engines; the value hash still compares contents exactly)
+    if dtype.startswith("struct"):
+        return "struct"
+    if dtype.startswith("map"):
+        return "map"
     return _SPARK_TYPE_TAGS.get(dtype, dtype)
 
 
@@ -72,7 +78,11 @@ def _duck_tag(dtype: str) -> str:
     if d.startswith("DECIMAL"):
         return "dec" + d[len("DECIMAL"):].replace(" ", "").lower()
     if d.endswith("[]"):
-        return "array<" + _duck_tag(d[:-2]).lower() + ">"
+        return "array<" + _duck_tag(d[:-2]) + ">"
+    if d.startswith("STRUCT"):
+        return "struct"
+    if d.startswith("MAP"):
+        return "map"
     return _DUCK_TYPE_TAGS.get(d, d.lower())
 
 

@@ -140,6 +140,35 @@ def test_upsert_parquet_replaces_and_inserts(spark, tmp_path):
     assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
 
 
+def test_upsert_parquet_recovers_from_crash_window(spark, tmp_path):
+    """A crash between the two swap renames leaves only the ._upsert_bak
+    dir; the next upsert must restore it as the table instead of
+    bootstrapping from the incoming batch (silent full-table loss)."""
+    import os
+
+    from wrangle_pypes_spark.sources import upsert_parquet
+
+    path = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    upsert_parquet(base, path, ["k"])
+    # simulate the crash window: table renamed to backup, swap not done
+    os.rename(path, path + "._upsert_bak")
+    batch = spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string")
+    upsert_parquet(batch, path, ["k"])
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    assert not os.path.isdir(path + "._upsert_bak")
+    # stale backup WITH a live table (crash after the swap): cleared,
+    # upsert proceeds
+    os.makedirs(path + "._upsert_bak/garbage")
+    upsert_parquet(spark.createDataFrame([(5, "e")], "k int, v string"),
+                   path, ["k"])
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d", 5: "e"}
+    assert not os.path.isdir(path + "._upsert_bak")
+
+
 def test_upsert_parquet_partitioned_rewrites_only_touched(spark, tmp_path):
     import glob
     import os

@@ -70,7 +70,21 @@ def gather_bounded(coros: Sequence[Awaitable[Any]], max_concurrency: int):
 
         return await asyncio.gather(*[_one(c) for c in coros])
 
-    return asyncio.new_event_loop().run_until_complete(_run())
+    loop = asyncio.new_event_loop()
+    try:
+        return loop.run_until_complete(_run())
+    finally:
+        # close the per-batch loop (don't lean on __del__: that's a
+        # ResourceWarning per batch and a leaked epoll fd until GC);
+        # cancel stragglers first so a raising coroutine doesn't leave
+        # siblings "never awaited"
+        pending = asyncio.all_tasks(loop)
+        for t in pending:
+            t.cancel()
+        if pending:
+            loop.run_until_complete(
+                asyncio.gather(*pending, return_exceptions=True))
+        loop.close()
 
 
 @dataclass(frozen=True)
@@ -132,6 +146,13 @@ def async_get_or_create(
     1M distinct keys costs 1M calls spread over the cluster.  The
     fetched key set is persisted before the join-back so the service is
     never called twice for one key.
+
+    The persisted frame must outlive the caller's action (unpersisting
+    earlier would re-fire the service calls), so it cannot be dropped
+    here; it is exposed as ``result._async_fetched`` — long-lived
+    drivers that loop over batches should
+    ``result._async_fetched.unpersist()`` after materializing, or the
+    cached key frames accumulate for the session's lifetime.
     """
     if not match_targets:
         raise ValueError("async_get_or_create requires match_targets")
@@ -170,4 +191,6 @@ def async_get_or_create(
             out_cols.append(
                 F.when(hit, F.col(f"_found.{name}"))
                 .otherwise(F.col(name)).alias(name))
-    return joined.select(*out_cols, (~hit).alias(created_col))
+    out = joined.select(*out_cols, (~hit).alias(created_col))
+    out._async_fetched = fetched  # cleanup handle (see docstring)
+    return out

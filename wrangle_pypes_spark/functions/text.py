@@ -107,12 +107,13 @@ def corpus_top_ngrams(docs: DataFrame, text_col: str = "text", *,
     n-grams with huge counts across many documents = navigation chrome /
     licence headers to strip before training.
 
-    Scale: explode → hash-aggregate with map-side partial aggregation
-    (each task pre-counts its own grams before the single shuffle on the
-    gram string), then a ``takeOrdered``-style top-k — only k rows reach
-    the driver, never the full gram distribution.  ``n_docs`` rides the
-    same shuffle as a count over per-doc-distinct grams, unioned in one
-    pass via a conditional aggregate rather than a second job.
+    Scale: explode → (id, ngram) hash-aggregate with map-side partial
+    aggregation, then a second aggregate on the gram string — two
+    shuffles, but the first collapses the exploded grams to per-doc
+    counts (the bulk of the data) and the second moves only one row per
+    distinct (doc, gram).  The top-k cut means only k rows reach the
+    driver, never the full gram distribution; ``n_docs`` is a plain
+    ``count(*)`` over the per-doc rows in the second aggregate.
     """
     grams = docs.select(
         F.col(id_col),

@@ -46,8 +46,11 @@ DEFAULT_STOPWORDS: tuple[str, ...] = (
 )
 
 
-def _tokens(text: Column) -> Column:
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+# one tokenizer for the whole engine: quality rules and benchmark
+# decontamination must segment text EXACTLY like the rest of the corpus
+# pipeline (text.tokens), or a tokenizer tweak silently diverges them
+from ..functions.text import tokens as _tokens
+from ..functions.text import word_ngrams as _word_ngrams
 
 
 def gopher_quality_flags(
@@ -192,16 +195,6 @@ def pii_scrub(df: DataFrame, text_col: str = "text", *,
         scrubbed = F.regexp_replace(
             scrubbed, p, replacement.format(kind=kind))
     return df.select("*", *counts, scrubbed.alias(f"{text_col}_scrubbed"))
-
-
-def _word_ngrams(text: Column, n: int) -> Column:
-    toks = _tokens(text)
-    wc = F.size(toks)
-    return F.when(wc >= n, F.transform(
-        F.sequence(F.lit(0), wc - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-    )).otherwise(F.array().cast("array<string>"))
 
 
 def decontaminate(train: DataFrame, eval_df: DataFrame, *,

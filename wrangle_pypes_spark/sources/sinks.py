@@ -143,6 +143,13 @@ def upsert_parquet(df: DataFrame, path: str, keys: Sequence[str], *,
 
     spark = df.sparkSession
     incoming = df.dropDuplicates(list(keys))
+    bak = path.rstrip("/") + "._upsert_bak"
+    if not os.path.isdir(path) and os.path.isdir(bak):
+        # a prior non-partitioned upsert crashed between its two renames:
+        # the backup IS the table — restore it instead of silently
+        # bootstrapping from the incoming batch (which would drop every
+        # pre-existing row)
+        os.rename(bak, path)
     if not os.path.isdir(path):
         write_parquet(incoming, path, partition_by=partition_by,
                       compression=compression)
@@ -173,8 +180,12 @@ def upsert_parquet(df: DataFrame, path: str, keys: Sequence[str], *,
                          "left_anti")
     merged = keep.unionByName(incoming)
     tmp = path.rstrip("/") + "._upsert_tmp"
-    bak = path.rstrip("/") + "._upsert_bak"
     shutil.rmtree(tmp, ignore_errors=True)
+    # a stale backup at this point means the table dir ALSO exists (the
+    # crashed-between-renames case was repaired above), so it is merely
+    # leftover garbage from a crash after the second rename — clear it
+    # or the rename below fails forever
+    shutil.rmtree(bak, ignore_errors=True)
     merged.write.mode("overwrite").option("compression", compression) \
         .parquet(tmp)
     os.rename(path, bak)

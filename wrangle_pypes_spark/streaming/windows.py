@@ -145,6 +145,12 @@ def run_available_now_to_memory(stream_df: DataFrame, name: str,
     partitions to data volume.  The conf is set only around ``start()``
     (planning reads it there) and restored after, so batch queries on
     the same session keep their own sizing.
+
+    Caveat: the conf is session-global while set — a query planned
+    CONCURRENTLY on the same session (another thread, a foreachBatch
+    body) would pick it up.  Use from a single planning thread, or
+    isolate with ``spark.newSession()`` when driving streams from a
+    multi-threaded driver.
     """
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
