@@ -2620,6 +2620,72 @@ FROM events a JOIN events b
 """
 
 
+def q_stream_static_enrich(spark, sf_dir):
+    """Stream-static dimension join (streaming/windows.py
+    ``stream_static_enrich``): events stream enriched with the customer
+    dimension's market segment, dim broadcast so the stream side stays
+    shuffle-free.  The batch join is the oracle."""
+    from wrangle_pypes_spark.streaming import (
+        run_available_now_to_memory, stream_static_enrich)
+
+    ev = stream_events(spark, sf_dir).select("event_id", "user_id")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"))
+    enriched = stream_static_enrich(ev, dim, on="user_id")
+    table = run_available_now_to_memory(enriched, "stream_enrich_out",
+                                        output_mode="append",
+                                        state_partitions=8)
+    return table.select("event_id", "user_id", "segment")
+
+
+SQL_STREAM_ENRICH = """
+SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+def q_stream_rollup_events(spark, sf_dir):
+    """Durable streaming continuous aggregate (streaming/windows.py
+    ``foreach_batch_rollup_upsert``): each micro-batch rolls up to
+    mergeable state and MERGES into a parquet store keyed by (hour,
+    event_type); only touched groups rewrite.  After the drain the
+    store's exact metrics equal a batch rollup of all rows — the SQL
+    recompute is the oracle (the HLL users sketch is finalized but
+    excluded from the oracle projection; sketch merge accuracy is
+    pinned in tests/test_rollup.py)."""
+    import tempfile
+
+    from wrangle_pypes_spark.streaming import foreach_batch_rollup_upsert
+
+    metrics = {"n": ("count", "*"), "sum_value": ("sum", "value"),
+               "min_value": ("min", "value"), "max_value": ("max", "value")}
+    store = tempfile.mkdtemp(prefix="wps_rollup_store_") + "/state"
+    ev = stream_events(spark, sf_dir).select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type", "value")
+    q = foreach_batch_rollup_upsert(ev, store,
+                                    group_cols=["hour", "event_type"],
+                                    metrics=metrics)
+    q.awaitTermination()
+    return (spark.read.parquet(store)
+            .select(F.col("hour").cast("timestamp_ntz").alias("hour"),
+                    "event_type", "n",
+                    F.round("sum_value", 4).alias("sum_value"),
+                    F.round("min_value", 4).alias("min_value"),
+                    F.round("max_value", 4).alias("max_value")))
+
+
+SQL_STREAM_ROLLUP = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_stream_dedup_events(spark, sf_dir):
     """Streaming ingest-time dedup (dropDuplicatesWithinWatermark; state
     = one entry per in-watermark key).  Key columns only, so the result
@@ -3561,6 +3627,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "decontaminate_docs": q_decontaminate_docs,
     # below the 50-slot driver window from here down
+    "stream_static_enrich": q_stream_static_enrich,
+    "stream_rollup_events": q_stream_rollup_events,
     "mix_corpus_sources": q_mix_corpus_sources,
     "scd2_customer_history": q_scd2_customer_history,
     "profile_customer": q_profile_customer,
@@ -3703,6 +3771,8 @@ _ORACLES: dict[str, str] = {
     "stream_stateful_counts": SQL_STREAM_STATEFUL,
     "stream_stream_join": SQL_STREAM_STREAM,
     "stream_dedup_events": SQL_STREAM_DEDUP,
+    "stream_static_enrich": SQL_STREAM_ENRICH,
+    "stream_rollup_events": SQL_STREAM_ROLLUP,
     "embedding_near_dup": SQL_EMB_NEAR_DUP,
     # embedding_near_dup_lsh / ivf_ann_top5 / lsh_ann_top5: approximate →
     # rows-only; recall audited in tests/test_dedup_similarity.py

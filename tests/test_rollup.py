@@ -89,3 +89,50 @@ def test_unknown_metric_kind_raises(spark, events):
     with pytest.raises(ValueError, match="unknown kind"):
         rollup_build(events, group_cols=["event_type"],
                      metrics={"x": ("median", "value")})
+
+
+def test_streaming_rollup_upsert_equals_batch(spark, events, tmp_path):
+    """Drain the events through foreach_batch_rollup_upsert in TWO
+    micro-batches (two files, maxFilesPerTrigger=1): the durable store
+    must equal the one-shot rollup of all rows — the streaming twin of
+    the merge-equivalence proof, including only-touched-group rewrites
+    against a live store."""
+    from wrangle_pypes_spark.streaming import foreach_batch_rollup_upsert
+
+    src_dir = str(tmp_path / "stream_src")
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    half_a.coalesce(1).write.parquet(src_dir + "/a")
+    half_b.coalesce(1).write.parquet(src_dir + "/b")
+    import glob
+    import shutil
+    files = [f for d in ("a", "b")
+             for f in glob.glob(f"{src_dir}/{d}/*.parquet")]
+    assert len(files) == 2
+    for i, f in enumerate(files):
+        shutil.move(f, f"{src_dir}/part-{i}.parquet")
+    shutil.rmtree(src_dir + "/a"), shutil.rmtree(src_dir + "/b")
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", "1")
+              .format("parquet").load(src_dir)
+              .select("bucket", "event_type", "value", "user_id"))
+    store = str(tmp_path / "rollup_store")
+    q = foreach_batch_rollup_upsert(
+        stream, store, group_cols=["bucket", "event_type"],
+        metrics=METRICS)
+    q.awaitTermination()
+
+    got_state = spark.read.parquet(store)
+    want_state = rollup_build(events, group_cols=["bucket", "event_type"],
+                              metrics=METRICS)
+    _assert_rollups_equal(_scalar_rows(got_state), _scalar_rows(want_state))
+    # HLL sketches merged across batches still estimate exact distincts
+    got_users = {(r.bucket, r.event_type): r.users
+                 for r in rollup_finalize(got_state, metrics=METRICS)
+                 .collect()}
+    exact = {(r.bucket, r.event_type): r.u for r in
+             events.groupBy("bucket", "event_type")
+             .agg(F.countDistinct("user_id").alias("u")).collect()}
+    for k, u in exact.items():
+        assert got_users[k] == pytest.approx(u, rel=0.1)

@@ -18,6 +18,8 @@ from .windows import (
     tumbling_window_agg,
     foreach_batch_get_or_create,
     foreach_batch_get_or_create_upsert,
+    foreach_batch_rollup_upsert,
+    stream_static_enrich,
 )
 
 __all__ = (
@@ -31,4 +33,6 @@ __all__ = (
     "run_available_now_to_memory",
     "foreach_batch_get_or_create",
     "foreach_batch_get_or_create_upsert",
+    "foreach_batch_rollup_upsert",
+    "stream_static_enrich",
 )

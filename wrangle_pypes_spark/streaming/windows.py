@@ -170,6 +170,74 @@ def run_available_now_to_memory(stream_df: DataFrame, name: str,
     return spark.table(name)
 
 
+def stream_static_enrich(stream: DataFrame, dim: DataFrame,
+                         on: Sequence[str] | str, *,
+                         how: str = "left",
+                         broadcast_dim: bool = True) -> DataFrame:
+    """Stream-static dimension enrichment: join a stream to a BATCH
+    dimension table.  The standard production topology for attaching
+    slowly-changing attributes (customer segment, product category) to
+    an event firehose.
+
+    No state store is involved — Spark re-plans the static side per
+    micro-batch, which also means dim UPDATES are picked up on the next
+    batch when the dim is a table/path reference.  ``broadcast_dim``
+    (default) hints the hash-side: dimensions are small next to the
+    stream, and broadcasting keeps the stream side shuffle-free —
+    at cluster scale this is the difference between enriching in the
+    map stage and shuffling the firehose.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=list(on) if not isinstance(on, str) else on,
+                       how=how)
+
+
+def foreach_batch_rollup_upsert(stream_df: DataFrame, store_path: str, *,
+                                group_cols: Sequence[str],
+                                metrics,
+                                checkpoint: Optional[str] = None):
+    """Durable continuous-aggregate maintenance: every micro-batch is
+    rolled up to mergeable state (``operators.rollup.rollup_build``) and
+    MERGED into a parquet rollup store keyed by the group columns —
+    only groups the batch touches are read, merged, and rewritten
+    (``upsert_parquet`` touched-key semantics), so the write cost is
+    proportional to the batch, not the store.
+
+    This is the streaming twin of the batch ``rollup_merge`` proof:
+    state is count/sum/min/max scalars + HLL sketches, all mergeable,
+    so the store after N batches equals the one-shot rollup of all N
+    batches' rows (pinned in tests/test_rollup.py).  In production the
+    store is a Delta/Iceberg MERGE target; the topology is identical.
+    """
+    from ..operators.rollup import rollup_build, rollup_merge
+    from ..sources.sinks import upsert_parquet
+
+    keys = list(group_cols)
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_state = rollup_build(batch_df, group_cols=keys,
+                                   metrics=metrics)
+        if os.path.isdir(store_path):
+            stored = spark.read.parquet(store_path)
+            touched = (stored.join(
+                F.broadcast(batch_state.select(*keys).distinct()),
+                keys, "left_semi"))
+            merged = rollup_merge(touched, batch_state,
+                                  group_cols=keys, metrics=metrics)
+        else:
+            merged = batch_state
+        # localCheckpoint: upsert rewrites the store we read from
+        merged = merged.localCheckpoint(eager=True)
+        upsert_parquet(merged, store_path, keys)
+
+    writer = stream_df.writeStream.foreachBatch(_batch) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def foreach_batch_get_or_create(stream_df: DataFrame, pipeline, model: type,
                                 dim_holder: dict,
                                 match_targets: Sequence[str],
