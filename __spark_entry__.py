@@ -2686,6 +2686,53 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_scd2_user_status(spark, sf_dir):
+    """Durable streaming SCD2 (streaming/windows.py
+    ``foreach_batch_scd2_merge``): each user's event-type history as
+    validity intervals, maintained incrementally in a parquet dimension
+    keyed-MERGEd per micro-batch.  Intervals derive from data
+    timestamps, so the drained store equals the batch ``scd2_build`` —
+    the change-detect/lead() SQL is the oracle."""
+    import tempfile
+
+    from wrangle_pypes_spark.streaming import foreach_batch_scd2_merge
+
+    dim = tempfile.mkdtemp(prefix="wps_scd2_dim_") + "/state"
+    ev = stream_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    q = foreach_batch_scd2_merge(ev, dim, key_cols=["user_id"],
+                                 ts_col="ts", attr_cols=["event_type"],
+                                 tiebreak_cols=["event_type"])
+    q.awaitTermination()
+    return (spark.read.parquet(dim)
+            .select("user_id", F.col("event_type").alias("status"),
+                    F.col("valid_from").cast("timestamp_ntz")
+                     .alias("valid_from"),
+                    F.col("valid_to").cast("timestamp_ntz")
+                     .alias("valid_to"),
+                    "is_current"))
+
+
+SQL_STREAM_SCD2 = """
+WITH obs AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER w AS rn,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+),
+versions AS (
+  SELECT user_id, event_type, ts FROM obs
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+)
+SELECT user_id, event_type AS status,
+       ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       (lead(ts) OVER w2) IS NULL AS is_current
+FROM versions
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_type)
+"""
+
+
 def q_stream_dedup_events(spark, sf_dir):
     """Streaming ingest-time dedup (dropDuplicatesWithinWatermark; state
     = one entry per in-watermark key).  Key columns only, so the result
@@ -3629,6 +3676,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # below the 50-slot driver window from here down
     "stream_static_enrich": q_stream_static_enrich,
     "stream_rollup_events": q_stream_rollup_events,
+    "stream_scd2_user_status": q_stream_scd2_user_status,
     "mix_corpus_sources": q_mix_corpus_sources,
     "scd2_customer_history": q_scd2_customer_history,
     "profile_customer": q_profile_customer,
@@ -3773,6 +3821,7 @@ _ORACLES: dict[str, str] = {
     "stream_dedup_events": SQL_STREAM_DEDUP,
     "stream_static_enrich": SQL_STREAM_ENRICH,
     "stream_rollup_events": SQL_STREAM_ROLLUP,
+    "stream_scd2_user_status": SQL_STREAM_SCD2,
     "embedding_near_dup": SQL_EMB_NEAR_DUP,
     # embedding_near_dup_lsh / ivf_ann_top5 / lsh_ann_top5: approximate →
     # rows-only; recall audited in tests/test_dedup_similarity.py

@@ -99,3 +99,56 @@ def test_scd2_build_on_real_orders(spark, tables):
                .filter(F.col("valid_to").isNotNull())
                .filter(~F.col("valid_to").eqNullSafe(F.col("_next_from"))))
     assert chained.count() == 0
+
+
+def test_streaming_scd2_merge_equals_batch_build(spark, tables, tmp_path):
+    """Drain events through foreach_batch_scd2_merge in TWO micro-batches
+    split by TIME (per-key observations non-decreasing across batches —
+    the documented CDC-load contract): the durable dimension must equal
+    scd2_build over all rows, and replaying the last batch must be a
+    no-op."""
+    from wrangle_pypes_spark.streaming import foreach_batch_scd2_merge
+    from wrangle_pypes_spark.operators.scd import scd2_merge
+
+    ev = tables["events"].select("user_id", "event_type", "ts")
+    # deterministic midpoint: median row's ts via sort+limit
+    n = ev.count()
+    mid_ts = (ev.orderBy("ts").limit(n // 2)
+              .agg(F.max("ts")).collect()[0][0])
+    src_dir = str(tmp_path / "scd_src")
+    import glob
+    import shutil
+    for tag, half in (("a", ev.filter(F.col("ts") <= mid_ts)),
+                      ("b", ev.filter(F.col("ts") > mid_ts))):
+        half.coalesce(1).write.parquet(f"{src_dir}/{tag}")
+    files = [f for d in ("a", "b")
+             for f in sorted(glob.glob(f"{src_dir}/{d}/*.parquet"))]
+    for i, f in enumerate(files):
+        shutil.move(f, f"{src_dir}/part-{i}.parquet")
+    shutil.rmtree(f"{src_dir}/a"), shutil.rmtree(f"{src_dir}/b")
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1")
+              .format("parquet").load(src_dir))
+    dim_path = str(tmp_path / "scd_dim")
+    q = foreach_batch_scd2_merge(stream, dim_path, key_cols=["user_id"],
+                                 ts_col="ts", attr_cols=["event_type"],
+                                 tiebreak_cols=["event_type"])
+    q.awaitTermination()
+
+    want = scd2_build(ev, key_cols=["user_id"], ts_col="ts",
+                      attr_cols=["event_type"],
+                      tiebreak_cols=["event_type"])
+
+    def rows(df):
+        return sorted((r.user_id, r.valid_from, r.event_type,
+                       r.valid_to, r.is_current) for r in df.collect())
+
+    got = spark.read.parquet(dim_path)
+    assert rows(got) == rows(want)
+    # replaying the second half (checkpoint recovery) is a no-op
+    replay = scd2_merge(got, ev.filter(F.col("ts") > mid_ts),
+                        key_cols=["user_id"], ts_col="ts",
+                        attr_cols=["event_type"],
+                        tiebreak_cols=["event_type"])
+    assert rows(replay) == rows(want)

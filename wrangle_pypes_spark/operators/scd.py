@@ -72,7 +72,8 @@ def scd2_build(updates: DataFrame, *, key_cols: Sequence[str],
 def scd2_merge(dim: DataFrame, updates: DataFrame, *,
                key_cols: Sequence[str], ts_col: str,
                attr_cols: Sequence[str],
-               tiebreak_cols: Sequence[str] = ()) -> DataFrame:
+               tiebreak_cols: Sequence[str] = (),
+               include_untouched: bool = True) -> DataFrame:
     """Merge an update batch into an existing SCD2 dimension.
 
     Only keys present in ``updates`` are reprocessed: the dimension
@@ -82,11 +83,15 @@ def scd2_merge(dim: DataFrame, updates: DataFrame, *,
     with the new updates via :func:`scd2_build`.  Replaying the same
     batch is a no-op (identical observations collapse), so the merge is
     batch-idempotent like ``sources.upsert_parquet``.
+
+    ``include_untouched=False`` returns ONLY the rebuilt versions of
+    touched keys — the shape a keyed storage MERGE wants (replace the
+    touched key groups in place, never rewrite untouched history; see
+    ``streaming.foreach_batch_scd2_merge``).
     """
     keys = list(key_cols)
     attrs = list(attr_cols)
     touched_keys = updates.select(*keys).distinct()
-    untouched = dim.join(touched_keys, keys, "left_anti")
     touched_hist = (dim.join(touched_keys, keys, "left_semi")
                     .select(*keys, *attrs,
                             F.col(_VALID_FROM).alias(ts_col)))
@@ -94,6 +99,9 @@ def scd2_merge(dim: DataFrame, updates: DataFrame, *,
         updates.select(*keys, *attrs, ts_col))
     rebuilt = scd2_build(observations, key_cols=keys, ts_col=ts_col,
                          attr_cols=attrs, tiebreak_cols=tiebreak_cols)
+    if not include_untouched:
+        return rebuilt
+    untouched = dim.join(touched_keys, keys, "left_anti")
     return untouched.unionByName(rebuilt)
 
 

@@ -116,7 +116,8 @@ def read_orc(spark, path: str) -> DataFrame:
 
 def upsert_parquet(df: DataFrame, path: str, keys: Sequence[str], *,
                    partition_by: Sequence[str] = (),
-                   compression: str = "zstd") -> None:
+                   compression: str = "zstd",
+                   dedup_incoming: bool = True) -> None:
     """Key-based upsert into a parquet table: incoming rows REPLACE
     existing rows with the same key; everything else is kept.
 
@@ -137,12 +138,16 @@ def upsert_parquet(df: DataFrame, path: str, keys: Sequence[str], *,
     Not a transaction log: concurrent writers need a table format
     (Delta/Iceberg ``MERGE INTO`` — same plan shape, plus the log).
     The incoming batch is deduplicated on ``keys`` (arbitrary survivor,
-    matching ``dropDuplicates``) so replays are idempotent.
+    matching ``dropDuplicates``) so replays are idempotent.  Pass
+    ``dedup_incoming=False`` when ``keys`` is a GROUP key and the batch
+    legitimately carries several rows per key (e.g. SCD2 version rows
+    per dimension key): existing rows for the key group are replaced by
+    the whole incoming group.
     """
     import shutil
 
     spark = df.sparkSession
-    incoming = df.dropDuplicates(list(keys))
+    incoming = df.dropDuplicates(list(keys)) if dedup_incoming else df
     bak = path.rstrip("/") + "._upsert_bak"
     if not os.path.isdir(path) and os.path.isdir(bak):
         # a prior non-partitioned upsert crashed between its two renames:

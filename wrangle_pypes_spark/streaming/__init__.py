@@ -19,6 +19,7 @@ from .windows import (
     foreach_batch_get_or_create,
     foreach_batch_get_or_create_upsert,
     foreach_batch_rollup_upsert,
+    foreach_batch_scd2_merge,
     stream_static_enrich,
 )
 
@@ -34,5 +35,6 @@ __all__ = (
     "foreach_batch_get_or_create",
     "foreach_batch_get_or_create_upsert",
     "foreach_batch_rollup_upsert",
+    "foreach_batch_scd2_merge",
     "stream_static_enrich",
 )

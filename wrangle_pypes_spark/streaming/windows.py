@@ -238,6 +238,61 @@ def foreach_batch_rollup_upsert(stream_df: DataFrame, store_path: str, *,
     return writer.start()
 
 
+def foreach_batch_scd2_merge(stream_df: DataFrame, dim_path: str, *,
+                             key_cols: Sequence[str], ts_col: str,
+                             attr_cols: Sequence[str],
+                             tiebreak_cols: Sequence[str] = (),
+                             checkpoint: Optional[str] = None):
+    """Durable streaming SCD2 maintenance: each micro-batch of attribute
+    observations re-collapses the version history of the keys it
+    touches and keyed-MERGEs them into a parquet dimension — untouched
+    keys' history is never rewritten.
+
+    Validity intervals derive from the DATA's ``ts_col`` (never wall
+    clock).  Contract: a key's observations must arrive in
+    NON-DECREASING ``ts`` order ACROSS batches (the normal CDC /
+    periodic-snapshot load pattern) — the store keeps collapsed
+    versions, not raw observations, so an observation arriving BETWEEN
+    two already-stored versions cannot resurrect a collapsed
+    reverted-back version (the inherent SCD2 late-data limitation; route
+    stragglers through a batch rebuild from the raw log if they
+    matter).  Under that contract the drained store equals
+    ``scd2_build`` over all rows regardless of batch boundaries, and
+    replaying a batch after checkpoint recovery is a no-op (both pinned
+    in tests/test_scd.py).  Completes the durable-streaming trio:
+    ``foreach_batch_get_or_create_upsert`` (dims),
+    ``foreach_batch_rollup_upsert`` (aggregates), this (history).
+    """
+    from ..operators.scd import scd2_build, scd2_merge
+    from ..sources.sinks import upsert_parquet
+
+    keys = list(key_cols)
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        obs = batch_df.select(*keys, *attr_cols, ts_col)
+        if os.path.isdir(dim_path):
+            dim = spark.read.parquet(dim_path)
+            rebuilt = scd2_merge(dim, obs, key_cols=keys, ts_col=ts_col,
+                                 attr_cols=list(attr_cols),
+                                 tiebreak_cols=list(tiebreak_cols),
+                                 include_untouched=False)
+        else:
+            rebuilt = scd2_build(obs, key_cols=keys, ts_col=ts_col,
+                                 attr_cols=list(attr_cols),
+                                 tiebreak_cols=list(tiebreak_cols))
+        # materialize before the store rewrite (lineage reads the store)
+        rebuilt = rebuilt.localCheckpoint(eager=True)
+        # version rows share the dimension key: replace whole key groups
+        upsert_parquet(rebuilt, dim_path, keys, dedup_incoming=False)
+
+    writer = stream_df.writeStream.foreachBatch(_batch) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def foreach_batch_get_or_create(stream_df: DataFrame, pipeline, model: type,
                                 dim_holder: dict,
                                 match_targets: Sequence[str],
