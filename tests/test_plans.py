@@ -210,3 +210,41 @@ def test_rollup_merge_keeps_partial_aggregation(spark, sf_dir):
     p = plan_of(entrymod.queries()["rollup_events_hourly"](spark, sf_dir))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert len(re.findall(r"HashAggregate", p)) >= 2, p
+
+
+def test_plan_audit_reads_scan_and_join_facts(spark, tables):
+    """plans.audit distills the facts the scale story depends on:
+    pushdown, pruning, broadcast-vs-shuffle, partial aggregation,
+    python-eval detection."""
+    from wrangle_pypes_spark.plans import assert_jvm_only, audit
+
+    o, c = tables["orders"], tables["customer"]
+    q = (o.filter(F.col("o_totalprice") > 100.0)
+         .join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == F.col("c_custkey"))
+         .groupBy("c_mktsegment")
+         .agg(F.sum("o_totalprice").alias("rev")))
+    rep = audit(q)
+    assert rep.jvm_only()
+    assert rep.broadcast_joins == 1 and rep.sortmerge_joins == 0
+    assert rep.pushdown_ok()               # price filter reached the scan
+    assert rep.partial_aggregates >= 1     # map-side combine before shuffle
+    assert_jvm_only(q)                     # does not raise
+
+    # pruning: the scan reads only the joined/aggregated columns
+    assert all("o_comment" not in s for s in rep.read_schemas)
+
+    # python stages ARE reported when present
+    from wrangle_pypes_spark.operators.timeseries import grouped_ewma
+    ewma = grouped_ewma(tables["events"], key_col="user_id",
+                        ts_col="ts", value_col="value")
+    rep2 = audit(ewma)
+    assert not rep2.jvm_only()
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        assert_jvm_only(ewma)
+
+    # a map-only projection shows zero exchanges
+    from wrangle_pypes_spark.operators import split_assign
+    rep3 = audit(split_assign(tables["documents"], "doc_id"))
+    assert rep3.shuffle_count() == 0

@@ -40,6 +40,7 @@ from .aio import AsyncCustom, async_get_or_create
 from .errors import SpecError, TransformationError, WrangleError
 from .models import spark_schema_for, spark_type_for
 from .pipeline import Pipeline, to_instances
+from .plans import PlanReport, audit, assert_jvm_only
 from .session import get_session
 from .transformations import (
     MISSING,
@@ -75,6 +76,9 @@ __all__ = (
     "Pipeline",
     "to_instances",
     "get_session",
+    "PlanReport",
+    "audit",
+    "assert_jvm_only",
     "spark_schema_for",
     "spark_type_for",
     "WrangleError",
