@@ -81,6 +81,9 @@ HEADLINE = [
     "decontaminate_docs",
     "train_val_test_split",
     "shuffle_documents",
+    "stream_static_enrich",
+    "stream_rollup_events",
+    "stream_scd2_user_status",
 ]
 
 
