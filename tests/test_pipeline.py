@@ -244,3 +244,17 @@ def test_to_instances_materializes_dataclasses(spark):
     flagged = built.withColumn("created", F.lit(True))
     again = list(to_instances(Square, flagged))
     assert len(again) == 2 and isinstance(again[0], Square)
+
+
+def test_pipeline_explain_reports_spec_and_plan(spark, tables):
+    from dataclasses import dataclass
+
+    @dataclass
+    class Flat:
+        key: int
+
+    p = Pipeline({Flat: {"key": Get("o_orderkey")}})
+    text = p.explain(Flat, tables["orders"])
+    assert "Pipeline spec for Flat" in text
+    assert "key <-" in text
+    assert "jvm_only=True" in text and "shuffles=0" in text

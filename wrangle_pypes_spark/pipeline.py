@@ -131,6 +131,26 @@ class Pipeline:
             out = out.withColumn("_nulled_fields", nulled)
         return out
 
+    def explain(self, model: type, df: DataFrame) -> str:
+        """Human-readable view of what a spec compiles to: the Column
+        expression per field plus the physical-plan audit of the
+        resulting select (``plans.audit``) — the debugging surface the
+        reference's record-at-a-time interpreter never needed but a
+        plan-compiled engine owes its users.  Plan-build only, no job.
+        """
+        from .plans import audit as plan_audit
+
+        exprs = self.compile(model, df)
+        lines = [f"Pipeline spec for {model.__name__}:"]
+        for field_name, expr in zip(self.transformations[model], exprs):
+            lines.append(f"  {field_name} <- {expr!r}")
+        rep = plan_audit(df.select(*exprs))
+        lines.append(
+            f"plan: jvm_only={rep.jvm_only()} shuffles={rep.shuffle_count()}"
+            f" broadcast_joins={rep.broadcast_joins}"
+            f" pushed_filters={rep.pushed_filters or '[]'}")
+        return "\n".join(lines)
+
     def create(self, model: type, df: DataFrame) -> Row:
         """Build a single instance from the first row (reference
         ``create``, ``pipeline.py:35-41``)."""
