@@ -75,10 +75,12 @@ def _spark_tag(dtype: str) -> str:
 
 def _duck_tag(dtype: str) -> str:
     d = str(dtype).upper()
-    if d.startswith("DECIMAL"):
-        return "dec" + d[len("DECIMAL"):].replace(" ", "").lower()
+    # array suffix before the DECIMAL prefix: DECIMAL(p,s)[] must recurse
+    # to array<dec(p,s)>, not tag as dec(p,s)[]
     if d.endswith("[]"):
         return "array<" + _duck_tag(d[:-2]) + ">"
+    if d.startswith("DECIMAL"):
+        return "dec" + d[len("DECIMAL"):].replace(" ", "").lower()
     if d.startswith("STRUCT"):
         return "struct"
     if d.startswith("MAP"):

@@ -248,3 +248,40 @@ def test_plan_audit_reads_scan_and_join_facts(spark, tables):
     from wrangle_pypes_spark.operators import split_assign
     rep3 = audit(split_assign(tables["documents"], "doc_id"))
     assert rep3.shuffle_count() == 0
+
+
+def test_plan_audit_robust_to_codegen_stars_and_python_aggs(spark, tables):
+    """audit() must count nodes on NON-AQE plans (lines start '*(n) '),
+    detect pandas-UDAF python stages, and pass pushdown_ok on
+    filterless projections."""
+    import pandas as pd
+
+    from wrangle_pypes_spark.plans import audit
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        o = tables["orders"]
+        q = (o.filter(F.col("o_totalprice") > 100.0)
+             .groupBy("o_orderstatus")
+             .agg(F.sum("o_totalprice").alias("rev")))
+        rep = audit(q)
+        assert rep.partial_aggregates >= 1, rep.plan  # '*(n) ' stripped
+        assert rep.final_aggregates >= 1
+        assert rep.pushdown_ok()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+    # pandas UDAF is a python stage and must be detected
+    @F.pandas_udf("double")
+    def pd_mean(v: pd.Series) -> float:
+        return float(v.mean())
+
+    agg = tables["orders"].groupBy("o_orderstatus").agg(
+        pd_mean(F.col("o_totalprice")).alias("m"))
+    assert not audit(agg).jvm_only()
+
+    # filterless projection: nothing to push, pushdown_ok stays True
+    rep2 = audit(tables["orders"].select("o_orderkey", "o_totalprice"))
+    assert rep2.pushdown_ok()
+    assert rep2.filter_nodes == 0

@@ -136,3 +136,13 @@ def test_streaming_rollup_upsert_equals_batch(spark, events, tmp_path):
              .agg(F.countDistinct("user_id").alias("u")).collect()}
     for k, u in exact.items():
         assert got_users[k] == pytest.approx(u, rel=0.1)
+
+    # redelivery protection: draining the same files again re-delivers
+    # epochs <= the store's epoch marker — they must be SKIPPED, not
+    # double-merged (rollup merge is additive)
+    q2 = foreach_batch_rollup_upsert(
+        stream, store, group_cols=["bucket", "event_type"],
+        metrics=METRICS)
+    q2.awaitTermination()
+    again = _scalar_rows(spark.read.parquet(store))
+    assert again == _scalar_rows(got_state)

@@ -50,16 +50,21 @@ class PlanReport:
     partial_aggregates: int = 0
     final_aggregates: int = 0
     codegen_spans: int = 0
+    filter_nodes: int = 0
 
     def shuffle_count(self) -> int:
         return len(self.exchanges)
 
     def pushdown_ok(self) -> bool:
-        """True when every scan carries at least one pushed filter OR the
-        plan has no Filter above an unpushed scan (no filters at all)."""
+        """True when the plan either has no Filter NODES at all (nothing
+        to push — a bare projection/aggregation passes) or at least one
+        scan carries a pushed filter.  Coarse on purpose: a multi-scan
+        join legitimately has filterless dims, so "every scan pushed" is
+        not checkable from here — inspect ``pushed_filters`` per scan
+        when it matters."""
         if not self.read_schemas:
             return True
-        if "Filter" not in self.plan:
+        if self.filter_nodes == 0:
             return True
         return any(f not in ("", "[]") for f in self.pushed_filters)
 
@@ -78,20 +83,28 @@ def audit(df: DataFrame) -> PlanReport:
     """
     plan = df._jdf.queryExecution().executedPlan().toString()
     rep = PlanReport(plan=plan)
+    # node lines look like "+- *(2) HashAggregate(...)" (codegen star),
+    # ":- BroadcastHashJoin ..." or "+- !ArrowAggregatePython(...)"
+    _prefix = re.compile(r"^[\s+:!-]*(\*\s*)?(\(\d+\)\s*)?")
+    _python_nodes = ("BatchEvalPython", "ArrowEvalPython",
+                     "ArrowAggregatePython", "ArrowWindowPython",
+                     "WindowInPandas", "AggregateInPandas",
+                     "MapInPandas", "MapInArrow",
+                     "FlatMapGroupsInPandas", "FlatMapGroupsInArrow",
+                     "FlatMapCoGroupsInPandas", "FlatMapGroupsWithState",
+                     "PythonMapInArrow")
     for line in plan.splitlines():
-        s = line.strip().lstrip("*+- :")
-        if s.startswith(("BatchEvalPython", "ArrowEvalPython",
-                         "MapInPandas", "FlatMapGroupsInPandas")):
+        s = _prefix.sub("", line)
+        if s.startswith(_python_nodes):
             rep.python_eval_nodes.append(s.split("(")[0].strip())
         if s.startswith("Exchange"):
             rep.exchanges.append(s.split(",")[0])
-        if s.startswith("BroadcastHashJoin") or s.startswith(
-                "BroadcastNestedLoopJoin"):
+        if s.startswith(("BroadcastHashJoin", "BroadcastNestedLoopJoin")):
             rep.broadcast_joins += 1
         if s.startswith("SortMergeJoin"):
             rep.sortmerge_joins += 1
-        if s.startswith("HashAggregate") or s.startswith(
-                "ObjectHashAggregate") or s.startswith("SortAggregate"):
+        if s.startswith(("HashAggregate", "ObjectHashAggregate",
+                         "SortAggregate")):
             if "partial" in s:
                 rep.partial_aggregates += 1
             else:
@@ -101,6 +114,8 @@ def audit(df: DataFrame) -> PlanReport:
         rep.pushed_filters.append(m.group(1))
     for m in re.finditer(r"ReadSchema: ([^\n]*)", plan):
         rep.read_schemas.append(m.group(1).strip())
+    rep.filter_nodes = len(re.findall(r"^[\s+:!-]*(?:\*\s*)?(?:\(\d+\)\s*)?"
+                                      r"Filter[ (]", plan, re.MULTILINE))
     return rep
 
 

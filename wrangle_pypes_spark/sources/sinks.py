@@ -114,6 +114,23 @@ def read_orc(spark, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def recover_upsert_backup(path: str) -> bool:
+    """Repair the crash window of :func:`upsert_parquet`'s rename swap:
+    if a prior upsert crashed between its two renames, only
+    ``<path>._upsert_bak`` exists and IS the table — restore it.
+
+    Every reader that decides "does this store exist yet?" with
+    ``os.path.isdir(path)`` must call this FIRST (the streaming
+    foreachBatch maintainers do), or a crash window makes it bootstrap
+    from scratch and silently discard the accumulated store.  Returns
+    True when a table directory exists after the check.
+    """
+    bak = path.rstrip("/") + "._upsert_bak"
+    if not os.path.isdir(path) and os.path.isdir(bak):
+        os.rename(bak, path)
+    return os.path.isdir(path)
+
+
 def upsert_parquet(df: DataFrame, path: str, keys: Sequence[str], *,
                    partition_by: Sequence[str] = (),
                    compression: str = "zstd",
@@ -149,12 +166,7 @@ def upsert_parquet(df: DataFrame, path: str, keys: Sequence[str], *,
     spark = df.sparkSession
     incoming = df.dropDuplicates(list(keys)) if dedup_incoming else df
     bak = path.rstrip("/") + "._upsert_bak"
-    if not os.path.isdir(path) and os.path.isdir(bak):
-        # a prior non-partitioned upsert crashed between its two renames:
-        # the backup IS the table — restore it instead of silently
-        # bootstrapping from the incoming batch (which would drop every
-        # pre-existing row)
-        os.rename(bak, path)
+    recover_upsert_backup(path)
     if not os.path.isdir(path):
         write_parquet(incoming, path, partition_by=partition_by,
                       compression=compression)

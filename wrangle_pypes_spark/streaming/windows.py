@@ -192,33 +192,68 @@ def stream_static_enrich(stream: DataFrame, dim: DataFrame,
                        how=how)
 
 
+def _epoch_marker_path(store_path: str) -> str:
+    return store_path.rstrip("/") + "._epoch"
+
+
+def _read_epoch(store_path: str) -> int:
+    try:
+        with open(_epoch_marker_path(store_path)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def _write_epoch(store_path: str, epoch_id: int) -> None:
+    p = _epoch_marker_path(store_path)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(epoch_id))
+    os.replace(tmp, p)  # atomic on POSIX
+
+
 def foreach_batch_rollup_upsert(stream_df: DataFrame, store_path: str, *,
                                 group_cols: Sequence[str],
                                 metrics,
-                                checkpoint: Optional[str] = None):
+                                checkpoint: Optional[str] = None,
+                                store_partition_by: Sequence[str] = ()):
     """Durable continuous-aggregate maintenance: every micro-batch is
     rolled up to mergeable state (``operators.rollup.rollup_build``) and
-    MERGED into a parquet rollup store keyed by the group columns —
-    only groups the batch touches are read, merged, and rewritten
-    (``upsert_parquet`` touched-key semantics), so the write cost is
-    proportional to the batch, not the store.
+    MERGED into a parquet rollup store keyed by the group columns.
 
     This is the streaming twin of the batch ``rollup_merge`` proof:
     state is count/sum/min/max scalars + HLL sketches, all mergeable,
     so the store after N batches equals the one-shot rollup of all N
-    batches' rows (pinned in tests/test_rollup.py).  In production the
-    store is a Delta/Iceberg MERGE target; the topology is identical.
+    batches' rows (pinned in tests/test_rollup.py).
+
+    Only touched groups are READ and MERGED (semi-join against the
+    batch's keys).  The storage REWRITE is touched-partitions-only when
+    ``store_partition_by`` gives the store a partition layout (e.g. a
+    coarse time bucket); without one, parquet's immutability means the
+    table-level swap rewrites the whole store per batch — fine for a
+    compact rollup, wrong for a huge one, so partition big stores.  In
+    production the store is a Delta/Iceberg MERGE target; the topology
+    is identical.
+
+    Rollup merge is ADDITIVE, so foreachBatch's at-least-once
+    redelivery would double-merge a replayed batch; an epoch marker
+    beside the store skips epochs already merged.  The marker commits
+    after the store swap — a crash exactly between the two leaves ONE
+    batch that will double-merge on recovery (the table-format MERGE
+    closes that window transactionally; parquet alone cannot).
     """
     from ..operators.rollup import rollup_build, rollup_merge
-    from ..sources.sinks import upsert_parquet
+    from ..sources.sinks import recover_upsert_backup, upsert_parquet
 
     keys = list(group_cols)
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if epoch_id <= _read_epoch(store_path):
+            return  # checkpoint replay of an already-merged batch
         batch_state = rollup_build(batch_df, group_cols=keys,
                                    metrics=metrics)
-        if os.path.isdir(store_path):
+        if recover_upsert_backup(store_path):
             stored = spark.read.parquet(store_path)
             touched = (stored.join(
                 F.broadcast(batch_state.select(*keys).distinct()),
@@ -229,7 +264,9 @@ def foreach_batch_rollup_upsert(stream_df: DataFrame, store_path: str, *,
             merged = batch_state
         # localCheckpoint: upsert rewrites the store we read from
         merged = merged.localCheckpoint(eager=True)
-        upsert_parquet(merged, store_path, keys)
+        upsert_parquet(merged, store_path, keys,
+                       partition_by=list(store_partition_by))
+        _write_epoch(store_path, epoch_id)
 
     writer = stream_df.writeStream.foreachBatch(_batch) \
         .trigger(availableNow=True)
@@ -246,7 +283,10 @@ def foreach_batch_scd2_merge(stream_df: DataFrame, dim_path: str, *,
     """Durable streaming SCD2 maintenance: each micro-batch of attribute
     observations re-collapses the version history of the keys it
     touches and keyed-MERGEs them into a parquet dimension — untouched
-    keys' history is never rewritten.
+    keys' history is never re-COLLAPSED (the merge computation is
+    touched-keys-only; the parquet table swap still rewrites the file
+    set, as any non-partitioned parquet upsert must — partition or use
+    a table format when the dimension is huge).
 
     Validity intervals derive from the DATA's ``ts_col`` (never wall
     clock).  Contract: a key's observations must arrive in
@@ -264,14 +304,14 @@ def foreach_batch_scd2_merge(stream_df: DataFrame, dim_path: str, *,
     ``foreach_batch_rollup_upsert`` (aggregates), this (history).
     """
     from ..operators.scd import scd2_build, scd2_merge
-    from ..sources.sinks import upsert_parquet
+    from ..sources.sinks import recover_upsert_backup, upsert_parquet
 
     keys = list(key_cols)
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         obs = batch_df.select(*keys, *attr_cols, ts_col)
-        if os.path.isdir(dim_path):
+        if recover_upsert_backup(dim_path):
             dim = spark.read.parquet(dim_path)
             rebuilt = scd2_merge(dim, obs, key_cols=keys, ts_col=ts_col,
                                  attr_cols=list(attr_cols),
@@ -338,12 +378,12 @@ def foreach_batch_get_or_create_upsert(stream_df: DataFrame, pipeline,
     schema.  Swap ``upsert_parquet`` for a Delta/Iceberg ``MERGE INTO``
     for concurrent writers — same plan shape plus a transaction log.
     """
-    from ..sources.sinks import upsert_parquet
+    from ..sources.sinks import recover_upsert_backup, upsert_parquet
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         keys = list(match_targets)
-        if os.path.isdir(dim_path):
+        if recover_upsert_backup(dim_path):
             dim = spark.read.parquet(dim_path)
         else:
             dim = spark.createDataFrame(
