@@ -91,8 +91,12 @@ def audit(df: DataFrame) -> PlanReport:
                      "WindowInPandas", "AggregateInPandas",
                      "MapInPandas", "MapInArrow",
                      "FlatMapGroupsInPandas", "FlatMapGroupsInArrow",
-                     "FlatMapCoGroupsInPandas", "FlatMapGroupsWithState",
+                     "FlatMapCoGroupsInPandas",
                      "PythonMapInArrow")
+    # NOTE: "FlatMapGroupsWithState" is deliberately absent — that is
+    # the JVM (Scala/Java) stateful node, not a Python-eval stage; the
+    # Python twin prints FlatMapGroupsInPandasWithState, which the
+    # "FlatMapGroupsInPandas" prefix already matches.
     for line in plan.splitlines():
         s = _prefix.sub("", line)
         if s.startswith(_python_nodes):
