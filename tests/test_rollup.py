@@ -139,10 +139,13 @@ def test_streaming_rollup_upsert_equals_batch(spark, events, tmp_path):
 
     # redelivery protection: draining the same files again re-delivers
     # epochs <= the store's epoch marker — they must be SKIPPED, not
-    # double-merged (rollup merge is additive)
-    q2 = foreach_batch_rollup_upsert(
-        stream, store, group_cols=["bucket", "event_type"],
-        metrics=METRICS)
+    # double-merged (rollup merge is additive).  Resuming an existing
+    # store without a checkpoint is only sound for exactly this
+    # byte-identical re-drain, so the maintainer must WARN about it.
+    with pytest.warns(UserWarning, match="WITHOUT a checkpoint"):
+        q2 = foreach_batch_rollup_upsert(
+            stream, store, group_cols=["bucket", "event_type"],
+            metrics=METRICS)
     q2.awaitTermination()
     again = _scalar_rows(spark.read.parquet(store))
     assert again == _scalar_rows(got_state)

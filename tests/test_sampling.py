@@ -147,6 +147,22 @@ def test_split_assign_disjoint_exhaustive_stable(spark, tables):
     assert other != first
 
 
+def test_split_assign_null_id_routing(spark):
+    """NULL ids must never silently land in the eval split: the default
+    fails the job; an explicit quarantine label routes them visibly."""
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c")], "doc_id int, body string")
+    from pyspark.errors import PySparkException
+
+    with pytest.raises(PySparkException):
+        split_assign(df, "doc_id").collect()
+    out = {r["doc_id"]: r["split"] for r in
+           split_assign(df, "doc_id", on_null="_unsplit").collect()}
+    assert out[None] == "_unsplit"
+    assert all(v in {"train", "val", "test"}
+               for k, v in out.items() if k is not None)
+
+
 def test_split_assign_weights_normalized(spark, tables):
     docs = tables["documents"]
     out = split_assign(docs, "doc_id",

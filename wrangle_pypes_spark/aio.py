@@ -126,6 +126,7 @@ def async_get_or_create(
     lookup: Callable[[type, dict], Awaitable[Optional[dict]]],
     max_concurrency: int = 64,
     created_col: str = "created",
+    cache_registry: Optional[list] = None,
 ) -> DataFrame:
     """Get-or-create against an EXTERNAL async service (reference
     ``AsyncPipeline.get_or_create``, ``async/pipeline.py:55-88``).
@@ -149,10 +150,14 @@ def async_get_or_create(
 
     The persisted frame must outlive the caller's action (unpersisting
     earlier would re-fire the service calls), so it cannot be dropped
-    here; it is exposed as ``result._async_fetched`` — long-lived
-    drivers that loop over batches should
-    ``result._async_fetched.unpersist()`` after materializing, or the
-    cached key frames accumulate for the session's lifetime.
+    here.  Long-lived drivers that loop over batches should pass a list
+    as ``cache_registry``: the persisted key frame is appended to it,
+    and the caller ``unpersist()``s the entries after materializing
+    each batch — otherwise cached key frames accumulate for the
+    session's lifetime.  (An explicit out-param rather than an
+    attribute on the result: any further DataFrame transformation
+    returns a NEW frame, so an attribute handle is lost exactly when
+    users chain, which they always do.)
     """
     if not match_targets:
         raise ValueError("async_get_or_create requires match_targets")
@@ -192,5 +197,6 @@ def async_get_or_create(
                 F.when(hit, F.col(f"_found.{name}"))
                 .otherwise(F.col(name)).alias(name))
     out = joined.select(*out_cols, (~hit).alias(created_col))
-    out._async_fetched = fetched  # cleanup handle (see docstring)
+    if cache_registry is not None:
+        cache_registry.append(fetched)  # cleanup handle (see docstring)
     return out

@@ -147,13 +147,24 @@ def _md5_unit_key(id_col: str, seed: int) -> Column:
 def split_assign(df: DataFrame, id_col: str,
                  splits: Sequence[tuple[str, float]] = (
                      ("train", 0.98), ("val", 0.01), ("test", 0.01)), *,
-                 seed: int = 42, out_col: str = "split") -> DataFrame:
+                 seed: int = 42, out_col: str = "split",
+                 on_null: str = "error") -> DataFrame:
     """Assign every row to exactly one split (train/val/test/...) by key
     hash: disjoint, exhaustive, and stable — the same document lands in
     the same split on every run, at any scale, on any partitioning.
     That stability is the property that keeps eval sets uncontaminated
     as a 100 TB corpus is regrown incrementally: membership is a pure
     function of (seed, id), never of which batch a row arrived in.
+
+    ``id_col`` must be non-null for membership to be a function of the
+    id at all — a NULL id has no stable hash, and silently lumping such
+    rows into one split (what a bare when/otherwise chain does: NULL
+    comparisons fall through to the LAST branch, i.e. the EVAL split)
+    is exactly the contamination this operator exists to prevent.  So
+    NULL ids are routed explicitly by ``on_null``: ``"error"`` (default)
+    fails the job with a clear message the moment one appears; any
+    other value is used as a quarantine label (e.g. ``"_unsplit"``) so
+    the caller can inspect/repair those rows downstream.
 
     Map-only (one projection, no shuffle); weights are normalized so
     ratios like (98, 1, 1) work as-is.
@@ -162,16 +173,20 @@ def split_assign(df: DataFrame, id_col: str,
     if total <= 0:
         raise ValueError("split weights must sum to > 0")
     key = _md5_unit_key(id_col, seed)
-    expr = None
+    if on_null == "error":
+        null_branch = F.raise_error(F.lit(
+            f"split_assign: NULL {id_col!r} — split membership must key "
+            "on a non-null id (pass on_null=<label> to quarantine "
+            "instead)"))
+    else:
+        null_branch = F.lit(on_null)
+    expr = F.when(F.col(id_col).isNull(), null_branch)
     cum = 0.0
     for name, w in splits[:-1]:
         cum += w / total
         bound = format(min(int(cum * 16**8), 16**8 - 1), "08x")
-        cond = key < F.lit(bound)
-        expr = F.when(cond, F.lit(name)) if expr is None else \
-            expr.when(cond, F.lit(name))
-    last = F.lit(splits[-1][0])
-    expr = last if expr is None else expr.otherwise(last)
+        expr = expr.when(key < F.lit(bound), F.lit(name))
+    expr = expr.otherwise(F.lit(splits[-1][0]))
     return df.withColumn(out_col, expr)
 
 

@@ -114,21 +114,29 @@ def read_orc(spark, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
-def recover_upsert_backup(path: str) -> bool:
+def recover_upsert_backup(path: str, spark=None) -> bool:
     """Repair the crash window of :func:`upsert_parquet`'s rename swap:
     if a prior upsert crashed between its two renames, only
     ``<path>._upsert_bak`` exists and IS the table — restore it.
 
-    Every reader that decides "does this store exist yet?" with
-    ``os.path.isdir(path)`` must call this FIRST (the streaming
-    foreachBatch maintainers do), or a crash window makes it bootstrap
-    from scratch and silently discard the accumulated store.  Returns
-    True when a table directory exists after the check.
+    Every reader that decides "does this store exist yet?" with a bare
+    existence probe must call this FIRST (the streaming foreachBatch
+    maintainers do), or a crash window makes it bootstrap from scratch
+    and silently discard the accumulated store.  Returns True when a
+    table directory exists after the check.
+
+    Paths with a non-local scheme (hdfs://, s3a://, ...) route through
+    the Hadoop FileSystem API and require ``spark``; see
+    :mod:`wrangle_pypes_spark.fsutil` for the atomicity caveats per
+    filesystem.
     """
+    from .. import fsutil
+
     bak = path.rstrip("/") + "._upsert_bak"
-    if not os.path.isdir(path) and os.path.isdir(bak):
-        os.rename(bak, path)
-    return os.path.isdir(path)
+    if (not fsutil.dir_exists(path, spark=spark)
+            and fsutil.dir_exists(bak, spark=spark)):
+        fsutil.rename(bak, path, spark=spark)
+    return fsutil.dir_exists(path, spark=spark)
 
 
 def upsert_parquet(df: DataFrame, path: str, keys: Sequence[str], *,
@@ -160,14 +168,20 @@ def upsert_parquet(df: DataFrame, path: str, keys: Sequence[str], *,
     legitimately carries several rows per key (e.g. SCD2 version rows
     per dimension key): existing rows for the key group are replaced by
     the whole incoming group.
+
+    The swap's control operations (existence probe, backup rename, tmp
+    cleanup) go through :mod:`wrangle_pypes_spark.fsutil`, so the store
+    may live on any Hadoop-addressable filesystem; the rename swap is
+    atomic on POSIX/HDFS and copy-based on S3-like stores (where a
+    table format is the real answer — see fsutil docstring).
     """
-    import shutil
+    from .. import fsutil
 
     spark = df.sparkSession
     incoming = df.dropDuplicates(list(keys)) if dedup_incoming else df
     bak = path.rstrip("/") + "._upsert_bak"
-    recover_upsert_backup(path)
-    if not os.path.isdir(path):
+    recover_upsert_backup(path, spark=spark)
+    if not fsutil.dir_exists(path, spark=spark):
         write_parquet(incoming, path, partition_by=partition_by,
                       compression=compression)
         return
@@ -197,14 +211,14 @@ def upsert_parquet(df: DataFrame, path: str, keys: Sequence[str], *,
                          "left_anti")
     merged = keep.unionByName(incoming)
     tmp = path.rstrip("/") + "._upsert_tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    fsutil.delete(tmp, spark=spark)
     # a stale backup at this point means the table dir ALSO exists (the
     # crashed-between-renames case was repaired above), so it is merely
     # leftover garbage from a crash after the second rename — clear it
     # or the rename below fails forever
-    shutil.rmtree(bak, ignore_errors=True)
+    fsutil.delete(bak, spark=spark)
     merged.write.mode("overwrite").option("compression", compression) \
         .parquet(tmp)
-    os.rename(path, bak)
-    os.rename(tmp, path)
-    shutil.rmtree(bak)
+    fsutil.rename(path, bak, spark=spark)
+    fsutil.rename(tmp, path, spark=spark)
+    fsutil.delete(bak, spark=spark)

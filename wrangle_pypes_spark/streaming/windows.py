@@ -196,20 +196,23 @@ def _epoch_marker_path(store_path: str) -> str:
     return store_path.rstrip("/") + "._epoch"
 
 
-def _read_epoch(store_path: str) -> int:
+def _read_epoch(store_path: str, spark=None) -> int:
+    from .. import fsutil
+
+    txt = fsutil.read_text(_epoch_marker_path(store_path), spark=spark)
     try:
-        with open(_epoch_marker_path(store_path)) as f:
-            return int(f.read().strip())
-    except (OSError, ValueError):
+        return int(txt.strip())
+    except (AttributeError, ValueError):
         return -1
 
 
-def _write_epoch(store_path: str, epoch_id: int) -> None:
-    p = _epoch_marker_path(store_path)
-    tmp = p + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(epoch_id))
-    os.replace(tmp, p)  # atomic on POSIX
+def _write_epoch(store_path: str, epoch_id: int, spark=None) -> None:
+    from .. import fsutil
+
+    # tmp-then-rename via fsutil: atomic on POSIX/HDFS, works against
+    # any Hadoop-addressable store (see fsutil for the S3 caveat)
+    fsutil.write_text_atomic(_epoch_marker_path(store_path),
+                             str(epoch_id), spark=spark)
 
 
 def foreach_batch_rollup_upsert(stream_df: DataFrame, store_path: str, *,
@@ -241,19 +244,42 @@ def foreach_batch_rollup_upsert(stream_df: DataFrame, store_path: str, *,
     after the store swap — a crash exactly between the two leaves ONE
     batch that will double-merge on recovery (the table-format MERGE
     closes that window transactionally; parquet alone cannot).
+
+    The epoch guard is only sound when epoch ids are MONOTONIC across
+    runs, which requires a ``checkpoint`` location: without one, batch
+    ids restart at 0 every run, so re-draining a source that has GROWN
+    since the last drain both skips batches (epoch <= marker) and
+    double-merges old rows that shift into later batches.  Incremental
+    production use therefore REQUIRES ``checkpoint``; the only safe
+    no-checkpoint replay is re-draining a byte-identical source (the
+    redelivery-idempotence scenario the tests pin).  A warning fires
+    when an existing store is resumed without one.
     """
+    import warnings
+
     from ..operators.rollup import rollup_build, rollup_merge
     from ..sources.sinks import recover_upsert_backup, upsert_parquet
 
     keys = list(group_cols)
+    session = stream_df.sparkSession
+    if (checkpoint is None
+            and _read_epoch(store_path, spark=session) >= 0):
+        warnings.warn(
+            "foreach_batch_rollup_upsert: resuming an existing rollup "
+            f"store ({store_path!r}) WITHOUT a checkpoint location — "
+            "batch ids restart at 0 each run, so the epoch marker can "
+            "only deduplicate a byte-identical re-drain. If the source "
+            "has grown since the last run, state WILL corrupt (skipped "
+            "and double-merged batches). Pass checkpoint= for "
+            "incremental use.", stacklevel=2)
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        if epoch_id <= _read_epoch(store_path):
+        if epoch_id <= _read_epoch(store_path, spark=spark):
             return  # checkpoint replay of an already-merged batch
         batch_state = rollup_build(batch_df, group_cols=keys,
                                    metrics=metrics)
-        if recover_upsert_backup(store_path):
+        if recover_upsert_backup(store_path, spark=spark):
             stored = spark.read.parquet(store_path)
             touched = (stored.join(
                 F.broadcast(batch_state.select(*keys).distinct()),
@@ -266,7 +292,7 @@ def foreach_batch_rollup_upsert(stream_df: DataFrame, store_path: str, *,
         merged = merged.localCheckpoint(eager=True)
         upsert_parquet(merged, store_path, keys,
                        partition_by=list(store_partition_by))
-        _write_epoch(store_path, epoch_id)
+        _write_epoch(store_path, epoch_id, spark=spark)
 
     writer = stream_df.writeStream.foreachBatch(_batch) \
         .trigger(availableNow=True)
@@ -311,7 +337,7 @@ def foreach_batch_scd2_merge(stream_df: DataFrame, dim_path: str, *,
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         obs = batch_df.select(*keys, *attr_cols, ts_col)
-        if recover_upsert_backup(dim_path):
+        if recover_upsert_backup(dim_path, spark=spark):
             dim = spark.read.parquet(dim_path)
             rebuilt = scd2_merge(dim, obs, key_cols=keys, ts_col=ts_col,
                                  attr_cols=list(attr_cols),
@@ -383,7 +409,7 @@ def foreach_batch_get_or_create_upsert(stream_df: DataFrame, pipeline,
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         keys = list(match_targets)
-        if recover_upsert_backup(dim_path):
+        if recover_upsert_backup(dim_path, spark=spark):
             dim = spark.read.parquet(dim_path)
         else:
             dim = spark.createDataFrame(
