@@ -2439,16 +2439,53 @@ def q_stratified_sample_langs(spark, sf_dir):
 def q_mix_corpus_sources(spark, sf_dir):
     """Token-budget domain mixing (Pile-style static weights): one
     aggregate computes per-source keep-rates, one map-only hash filter
-    samples; rows-only (DuckDB has no xxhash64) — rate math, budget
-    adherence, and determinism are pinned in tests/test_sampling.py."""
+    samples.  Registered with ``hash_scheme="md5"`` so membership is
+    engine-portable and DuckDB reproduces the EXACT kept set — the
+    oracle mirrors the rate arithmetic (budget × w / Σw ÷ available,
+    capped at 1) in the same double-precision evaluation order, so the
+    check is value-level, not rows-only.  Rate math, budget adherence,
+    and determinism are additionally pinned in tests/test_sampling.py."""
     from wrangle_pypes_spark.operators.sampling import mix_corpus
     d = _t(spark, sf_dir, "documents")
     total = d.agg(F.sum("n_chars")).collect()[0][0]
     return (mix_corpus(d, source_col="source", token_col="n_chars",
                        key_col="doc_id",
                        weights={"src0": 2.0, "src1": 1.0, "src2": 1.0},
-                       token_budget=float(total) * 0.05)
+                       token_budget=float(total) * 0.05,
+                       hash_scheme="md5")
             .select("doc_id", "source", "n_chars"))
+
+
+# Mirrors mix_plan's driver-side float math step for step (same
+# left-to-right double ops), then the md5 membership predicate of
+# sampling._membership_cond: hex-prefix key < printf('%08x', ⌊rate·16⁸⌋),
+# with rate ≥ 1 short-circuiting to keep-all (a key of ffffffff must
+# not be dropped by the strict <).
+SQL_MIX_CORPUS = """
+WITH tot AS (
+  SELECT CAST(sum(n_chars) AS DOUBLE) * 0.05 AS budget FROM documents
+),
+avail AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS a
+  FROM documents GROUP BY source
+),
+w(source, wt) AS (VALUES ('src0', 2.0), ('src1', 1.0), ('src2', 1.0)),
+rates AS (
+  SELECT w.source,
+         least(1.0, (SELECT budget FROM tot) * w.wt / 4.0 / a.a) AS rate
+  FROM w JOIN avail a ON w.source = a.source
+),
+bounds AS (
+  SELECT source, rate,
+         printf('%08x', CAST(least(floor(rate * 4294967296.0),
+                                   4294967295.0) AS BIGINT)) AS bound
+  FROM rates
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN bounds b ON d.source = b.source
+WHERE b.rate >= 1.0
+   OR substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < b.bound
+"""
 
 
 def q_profile_customer(spark, sf_dir):
@@ -2460,6 +2497,22 @@ def q_profile_customer(spark, sf_dir):
     from wrangle_pypes_spark.operators import profile
     c = _t(spark, sf_dir, "customer")
     return (profile(c, exact_distinct=True)
+            .select("column", "dtype", "n", "n_null", "n_distinct",
+                    "min_value", "max_value")
+            .orderBy("column"))
+
+
+def q_profile_customer_approx(spark, sf_dir):
+    """Column profiling on the SCALE-default code path: HyperLogLog++
+    ``approx_count_distinct`` (single-pass mergeable sketch) instead of
+    the exact ``count(DISTINCT)`` that Expands the scan by k — this is
+    the variant a 100 TB profile runs (relational.py ``profile``
+    default).  Rows-only by design (sketch estimates are engine-
+    specific); the ≤5% accuracy bound vs exact distincts is pinned in
+    tests/test_relational.py."""
+    from wrangle_pypes_spark.operators import profile
+    c = _t(spark, sf_dir, "customer")
+    return (profile(c)
             .select("column", "dtype", "n", "n_null", "n_distinct",
                     "min_value", "max_value")
             .orderBy("column"))
@@ -3643,6 +3696,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_corpus_sources": q_mix_corpus_sources,
     "scd2_customer_history": q_scd2_customer_history,
     "profile_customer": q_profile_customer,
+    "profile_customer_approx": q_profile_customer_approx,
     "rollup_events_hourly": q_rollup_events_hourly,
     "window_rank_family": q_window_rank_family,
     "date_functions_orders": q_date_functions_orders,
@@ -3811,6 +3865,7 @@ _ORACLES: dict[str, str] = {
     "dedup_keep_longest": SQL_DEDUP_KEEP_LONGEST,
     "chunk_documents_overlap": SQL_CHUNK_OVERLAP,
     "train_val_test_split": SQL_TVT_SPLIT,
+    "mix_corpus_sources": SQL_MIX_CORPUS,
     "shuffle_documents": SQL_SHUFFLE_DOCS,
     # minhash_lsh_pairs / simhash_pairs: rows-only (xxhash64 not in DuckDB)
     "stream_tumbling_events": SQL_STREAM_TUMBLING,

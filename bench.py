@@ -70,6 +70,7 @@ HEADLINE = [
     "mix_corpus_sources",
     "rollup_events_hourly",
     "profile_customer",
+    "profile_customer_approx",
     "stream_tumbling_events",
     "stream_session_events",
     "stream_stream_join",

@@ -152,3 +152,55 @@ def test_streaming_scd2_merge_equals_batch_build(spark, tables, tmp_path):
                         attr_cols=["event_type"],
                         tiebreak_cols=["event_type"])
     assert rows(replay) == rows(want)
+
+
+def test_scd2_rebuild_store_heals_late_observation(spark, tmp_path):
+    """A straggler whose ts falls BETWEEN two already-stored versions is
+    the case the streaming merge documents it cannot fix (collapsed
+    versions can't resurrect the interval the straggler splits);
+    scd2_rebuild_store over the raw log must heal exactly that key."""
+    import datetime as dt
+
+    from wrangle_pypes_spark.operators.scd import (
+        scd2_build, scd2_merge, scd2_rebuild_store)
+    from wrangle_pypes_spark.sources.sinks import upsert_parquet
+
+    def t(day):
+        return dt.datetime(2024, 1, day)
+
+    # full raw observation log: key 1 goes A -> B -> A, key 2 X -> Y
+    all_obs = spark.createDataFrame(
+        [(1, "A", t(1)), (1, "B", t(5)), (1, "A", t(9)),
+         (2, "X", t(2)), (2, "Y", t(6))],
+        "user_id int, status string, ts timestamp")
+    straggler = all_obs.filter(F.col("ts") == t(5))
+    on_time = all_obs.filter(F.col("ts") != t(5))
+
+    def rows(df):
+        return sorted((r.user_id, r.valid_from, r.status,
+                       r.valid_to, r.is_current) for r in df.collect())
+
+    # streaming arrival violating the per-key order contract: batch 1
+    # carries (t1,A) and (t9,A) — they collapse to ONE interval — then
+    # batch 2 delivers the t5 straggler (same merge calls the
+    # foreachBatch maintainer makes)
+    dim_path = str(tmp_path / "dim")
+    upsert_parquet(scd2_build(on_time, key_cols=["user_id"], ts_col="ts",
+                              attr_cols=["status"]),
+                   dim_path, ["user_id"], dedup_incoming=False)
+    stored = spark.read.parquet(dim_path)
+    upsert_parquet(scd2_merge(stored, straggler, key_cols=["user_id"],
+                              ts_col="ts", attr_cols=["status"],
+                              include_untouched=False),
+                   dim_path, ["user_id"], dedup_incoming=False)
+
+    want = scd2_build(all_obs, key_cols=["user_id"], ts_col="ts",
+                      attr_cols=["status"])
+    # the streaming path lost the A@t9 resurrection — store is WRONG
+    assert rows(spark.read.parquet(dim_path)) != rows(want)
+
+    # heal ONLY the late key from the raw log
+    late_keys = spark.createDataFrame([(1,)], "user_id int")
+    scd2_rebuild_store(all_obs, dim_path, key_cols=["user_id"],
+                       ts_col="ts", attr_cols=["status"], keys=late_keys)
+    assert rows(spark.read.parquet(dim_path)) == rows(want)

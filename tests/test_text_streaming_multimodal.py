@@ -195,6 +195,62 @@ def test_foreach_batch_get_or_create(spark, sf_dir, tables):
     n_dim = holder["dim"].count()
     n_users = tables["events"].select("user_id").distinct().count()
     assert n_dim == n_users  # all users known after the stream drains
+    # the incrementally-tracked size must agree with the real dim
+    assert holder["rows"] == n_dim
+
+
+def test_foreach_batch_get_or_create_probes_dim_once(spark, sf_dir, tables,
+                                                     tmp_path, monkeypatch):
+    """The broadcast-size probe must not re-run per micro-batch: across
+    a multi-batch drain, the dim-sized limit-probe fires ZERO times
+    (the maintainers track the size incrementally and pass dim_rows)."""
+    import glob
+    import shutil
+    from dataclasses import dataclass
+
+    from wrangle_pypes_spark import Get, Pipeline
+    from wrangle_pypes_spark import pipeline as pipeline_mod
+    from wrangle_pypes_spark.streaming import foreach_batch_get_or_create
+
+    @dataclass
+    class UserM:
+        user_id: int
+
+    # a 3-file source dir -> 3 micro-batches with maxFilesPerTrigger=1
+    ev = tables["events"].select("user_id", "ts")
+    src_dir = str(tmp_path / "src")
+    for i in range(3):
+        (ev.filter(F.col("user_id") % 3 == i).coalesce(1)
+         .write.parquet(f"{src_dir}/{i}"))
+    files = [f for i in range(3)
+             for f in sorted(glob.glob(f"{src_dir}/{i}/*.parquet"))]
+    for i, f in enumerate(files):
+        shutil.move(f, f"{src_dir}/part-{i}.parquet")
+    for i in range(3):
+        shutil.rmtree(f"{src_dir}/{i}")
+
+    calls = {"n": 0}
+    real = pipeline_mod._cheap_count_at_most
+
+    def counting_probe(df, n):
+        calls["n"] += 1
+        return real(df, n)
+
+    monkeypatch.setattr(pipeline_mod, "_cheap_count_at_most",
+                        counting_probe)
+
+    p = Pipeline({UserM: {"user_id": Get("user_id")}})
+    dim = (ev.select("user_id").distinct()
+           .filter(F.col("user_id") < 50).localCheckpoint(eager=True))
+    holder = {"dim": dim}
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1")
+              .format("parquet").load(src_dir))
+    q = foreach_batch_get_or_create(stream, p, UserM, holder, ["user_id"])
+    q.awaitTermination()
+    assert len(holder["batches"]) == 3
+    assert calls["n"] == 0, f"dim probe ran {calls['n']}× in 3 batches"
+    assert holder["rows"] == holder["dim"].count()
 
 
 # --- multimodal -------------------------------------------------------------

@@ -52,6 +52,7 @@ from .rollup import (
 from .scd import (
     scd2_build,
     scd2_merge,
+    scd2_rebuild_store,
     scd2_snapshot,
 )
 from .quality import (
@@ -106,6 +107,7 @@ __all__ = (
     "rollup_merge",
     "scd2_build",
     "scd2_merge",
+    "scd2_rebuild_store",
     "scd2_snapshot",
     "stratified_sample",
     "gopher_quality_flags",

@@ -1,8 +1,12 @@
 """Document-quality operators for LLM training-data curation.
 
-Four classics of the public data-pipeline literature, each expressed as
+Classics of the public data-pipeline literature, each expressed as
 pure Column expressions (JVM-side, whole-stage-codegen'd, map-only
 unless noted) so they run unchanged over a 100 TB corpus:
+
+- :func:`c4_line_clean` — the C4/RealNews line-level recipe: keep lines
+  ending in terminal punctuation with enough words and no banned
+  substrings; flag documents with too few surviving lines.
 
 - :func:`gopher_quality_flags` — the Gopher/MassiveText-style rule
   battery (word count bounds, mean word length, symbol ratio, alphabetic
@@ -37,6 +41,7 @@ __all__ = (
     "repetition_stats",
     "pii_scrub",
     "decontaminate",
+    "c4_line_clean",
     "DEFAULT_STOPWORDS",
 )
 
@@ -106,6 +111,55 @@ def gopher_quality_flags(
         alpha_frac.alias("alpha_word_frac"),
         stop_hits.cast("bigint").alias("stopword_hits"),
         passes.alias("passes_gopher"),
+    )
+
+
+def c4_line_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_line_words: int = 3,
+    terminal_punct: Sequence[str] = (".", "!", "?", '"', "'"),
+    banned_substrings: Sequence[str] = ("javascript", "lorem ipsum", "{"),
+    min_kept_lines: int = 3,
+    out_col: str = "cleaned_text",
+) -> DataFrame:
+    """C4-style line-level cleaning (the public C4/RealNews recipe):
+    keep only lines that end in terminal punctuation, carry at least
+    ``min_line_words`` words, and contain none of ``banned_substrings``
+    (case-insensitive); a document whose kept-line count falls below
+    ``min_kept_lines`` fails ``passes_c4``.
+
+    Everything is JVM higher-order Column functions over the line array
+    (split → filter → array_join) — map-only and shuffle-free, so the
+    cleaner composes into the ingest scan at any corpus size exactly
+    like :func:`gopher_quality_flags`.  Output adds ``total_lines``,
+    ``kept_lines``, ``{out_col}`` (kept lines re-joined) and
+    ``passes_c4``; the original text column is preserved for auditing.
+
+    Line predicates are deliberately simple string ops (trim, right-1
+    membership, whitespace-split word count, lowercase substring) so an
+    external engine can mirror the semantics for value-level oracles.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _ok(line: Column) -> Column:
+        t = F.trim(line)
+        ends = F.substring(t, -1, 1).isin(*terminal_punct)
+        words = F.size(F.split(t, r"\s+")) >= F.lit(min_line_words)
+        lowered = F.lower(t)
+        clean = F.lit(True)
+        for bad in banned_substrings:
+            clean = clean & ~lowered.contains(bad.lower())
+        return ends & words & clean
+
+    kept = F.filter(lines, _ok)
+    return df.select(
+        "*",
+        F.size(lines).cast("bigint").alias("total_lines"),
+        F.size(kept).cast("bigint").alias("kept_lines"),
+        F.array_join(kept, "\n").alias(out_col),
+        (F.size(kept) >= F.lit(min_kept_lines)).alias("passes_c4"),
     )
 
 

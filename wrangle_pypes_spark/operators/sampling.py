@@ -13,30 +13,63 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _membership_cond(key_col: str, seed: int, fraction: float,
+                     hash_scheme: str) -> Column:
+    """Deterministic keep-this-key predicate for ``fraction`` of keys.
+
+    Two hash schemes, same contract (pure function of (seed, key)):
+
+    * ``"xxhash64"`` — Spark's JVM xxhash64 into 1e6 buckets: fastest,
+      but engine-private (no DuckDB/portable twin), so downstream
+      oracle checks are rows-only.
+    * ``"md5"`` — the :func:`_md5_unit_key` hex prefix compared against
+      a precomputed hex bound: bit-identical in any engine with md5
+      (Spark, DuckDB, a bash pipeline), which upgrades correctness
+      checks to value-level; ~2× the hash cost of xxhash64, still
+      map-only.
+    """
+    if fraction >= 1.0:
+        return F.lit(True)
+    if fraction <= 0.0:
+        return F.lit(False)
+    if hash_scheme == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(key_col)),
+                        F.lit(1_000_000))
+        return bucket < int(fraction * 1_000_000)
+    if hash_scheme == "md5":
+        bound = format(min(int(fraction * 16**8), 16**8 - 1), "08x")
+        return _md5_unit_key(key_col, seed) < F.lit(bound)
+    raise ValueError(f"unknown hash_scheme {hash_scheme!r} "
+                     "(expected 'xxhash64' or 'md5')")
+
+
 def deterministic_sample(df: DataFrame, key_col: str, fraction: float, *,
-                         seed: int = 42) -> DataFrame:
+                         seed: int = 42,
+                         hash_scheme: str = "xxhash64") -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by key hash — stable across
     runs, partitionings, and cluster sizes (unlike ``df.sample``, whose
     output depends on partition layout).  Same key ⇒ same decision, so
     joins between two tables sampled on the same key stay consistent.
+    ``hash_scheme="md5"`` makes membership engine-portable (see
+    :func:`_membership_cond`).
     """
     if not (0.0 <= fraction <= 1.0):
         raise ValueError("fraction must be in [0, 1]")
-    bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(key_col)), F.lit(1_000_000))
-    return df.filter(bucket < int(fraction * 1_000_000))
+    return df.filter(_membership_cond(key_col, seed, fraction, hash_scheme))
 
 
 def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: Mapping, key_col: str, *,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42,
+                      hash_scheme: str = "xxhash64") -> DataFrame:
     """Per-stratum deterministic sampling (e.g. downsample by language:
     ``{"en": 0.1, "de": 1.0}``).  Unlisted strata are dropped — the
     data-mixing primitive for corpus re-weighting."""
-    bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(key_col)), F.lit(1_000_000))
     cond = F.lit(False)
     for stratum, frac in fractions.items():
         cond = cond | ((F.col(strata_col) == F.lit(stratum)) &
-                       (bucket < int(float(frac) * 1_000_000)))
+                       _membership_cond(key_col, seed, float(frac),
+                                        hash_scheme))
     return df.filter(cond)
 
 
@@ -77,7 +110,8 @@ def mix_plan(df: DataFrame, *, source_col: str, token_col: str,
 
 def mix_corpus(df: DataFrame, *, source_col: str, token_col: str,
                key_col: str, weights: Mapping[str, float],
-               token_budget: float, seed: int = 42) -> DataFrame:
+               token_budget: float, seed: int = 42,
+               hash_scheme: str = "xxhash64") -> DataFrame:
     """Token-budget corpus mixing (Pile-style static domain weights):
     deterministically sample each source so the combined output is
     ~``token_budget`` tokens at the requested mixture proportions.
@@ -92,7 +126,73 @@ def mix_corpus(df: DataFrame, *, source_col: str, token_col: str,
                     weights=weights, token_budget=token_budget)
     return stratified_sample(
         df, source_col, {s: p["rate"] for s, p in plan.items()},
-        key_col, seed=seed)
+        key_col, seed=seed, hash_scheme=hash_scheme)
+
+
+def temperature_mix_plan(df: DataFrame, *, source_col: str,
+                         token_col: str, alpha: float,
+                         token_budget: float,
+                         sources: Optional[Sequence[str]] = None
+                         ) -> dict[str, dict[str, float]]:
+    """Temperature-based mixture rates: source ``i`` gets a token share
+    proportional to ``n_i**alpha`` (the multilingual-sampling scheme of
+    the public mBERT/XLM-R recipes — ``alpha=1`` keeps natural
+    proportions, ``alpha=0`` gives uniform, between up-weights the
+    tail), capped at keep-everything.
+
+    Like :func:`mix_plan`: ONE partial-aggregated groupBy collecting k
+    source totals to the driver; the returned plan dict is the only
+    driver state.  ``sources`` restricts (and orders) the mix —
+    accumulation over sources runs in SORTED-name order with
+    ``math.sqrt`` for ``alpha=0.5``, so an external engine can
+    reproduce the float arithmetic bit-for-bit (``pow`` is not
+    correctly-rounded across libms; ``sqrt`` is).
+    """
+    import math
+
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    avail = {r["src"]: float(r["tok"]) for r in
+             (df.groupBy(F.col(source_col).alias("src"))
+              .agg(F.sum(token_col).alias("tok")).collect())}
+    srcs = sorted(sources) if sources is not None else sorted(avail)
+    powed = {}
+    for s in srcs:
+        a = avail.get(s, 0.0)
+        powed[s] = (math.sqrt(a) if alpha == 0.5 else a ** alpha) \
+            if a > 0 else 0.0
+    denom = 0.0
+    for s in srcs:  # explicit sorted-order accumulation (see docstring)
+        denom += powed[s]
+    plan: dict[str, dict[str, float]] = {}
+    for s in srcs:
+        a = avail.get(s, 0.0)
+        rate = 0.0 if (a <= 0 or denom <= 0) else min(
+            1.0, token_budget * powed[s] / denom / a)
+        plan[s] = {"available": a, "target_share": powed[s],
+                   "rate": rate}
+    return plan
+
+
+def temperature_mix(df: DataFrame, *, source_col: str, token_col: str,
+                    key_col: str, alpha: float, token_budget: float,
+                    sources: Optional[Sequence[str]] = None,
+                    seed: int = 42,
+                    hash_scheme: str = "xxhash64") -> DataFrame:
+    """Temperature-weighted corpus mixing: sample each source at the
+    :func:`temperature_mix_plan` rate via deterministic hash membership
+    — two jobs total (one k-row aggregate, one map-only filter), same
+    scale shape as :func:`mix_corpus` but with rates derived from
+    ``n_i**alpha`` instead of fixed weights.  ``hash_scheme="md5"``
+    makes the kept set engine-portable for value-level verification.
+    """
+    plan = temperature_mix_plan(df, source_col=source_col,
+                                token_col=token_col, alpha=alpha,
+                                token_budget=token_budget,
+                                sources=sources)
+    return stratified_sample(
+        df, source_col, {s: p["rate"] for s, p in plan.items()},
+        key_col, seed=seed, hash_scheme=hash_scheme)
 
 
 def pack_sequences(df: DataFrame, *, token_col: str, max_tokens: int,

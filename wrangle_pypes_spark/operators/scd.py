@@ -21,7 +21,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ("scd2_build", "scd2_merge", "scd2_snapshot")
+__all__ = ("scd2_build", "scd2_merge", "scd2_rebuild_store",
+           "scd2_snapshot")
 
 _VALID_FROM, _VALID_TO, _IS_CURRENT = "valid_from", "valid_to", "is_current"
 
@@ -103,6 +104,46 @@ def scd2_merge(dim: DataFrame, updates: DataFrame, *,
         return rebuilt
     untouched = dim.join(touched_keys, keys, "left_anti")
     return untouched.unionByName(rebuilt)
+
+
+def scd2_rebuild_store(raw_log: DataFrame, dim_path: str, *,
+                       key_cols: Sequence[str], ts_col: str,
+                       attr_cols: Sequence[str],
+                       tiebreak_cols: Sequence[str] = (),
+                       keys: Optional[DataFrame] = None) -> None:
+    """Batch recovery for observations the streaming path cannot order:
+    rebuild SCD2 history from the RAW observation log and merge it over
+    the durable store.
+
+    ``streaming.foreach_batch_scd2_merge`` keeps COLLAPSED versions,
+    not raw observations, so a straggler whose ``ts`` falls between two
+    already-stored versions cannot resurrect the interval it splits
+    (the documented per-key in-order contract).  This is the escape
+    hatch that contract points to: the raw log has every observation,
+    so ``scd2_build`` over it is ground truth by construction,
+    regardless of arrival order.
+
+    ``keys`` scopes the heal: pass the late keys (any DataFrame with
+    ``key_cols``) and only their log slices are re-collapsed and
+    keyed-MERGEd into the store — at 100 TB you heal one straggler's
+    key, not a billion-key dimension.  ``keys=None`` rebuilds the whole
+    store (initial backfill / full audit).  Either way the store swap
+    goes through :func:`~wrangle_pypes_spark.sources.sinks.upsert_parquet`
+    (group-replace, crash-recoverable), and the result equals
+    ``scd2_build`` over the full log for every healed key.
+    """
+    from ..sources.sinks import upsert_parquet
+
+    kc = list(key_cols)
+    log = raw_log
+    if keys is not None:
+        log = raw_log.join(F.broadcast(keys.select(*kc).distinct()),
+                           kc, "left_semi")
+    rebuilt = scd2_build(log.select(*kc, *attr_cols, ts_col),
+                         key_cols=kc, ts_col=ts_col,
+                         attr_cols=list(attr_cols),
+                         tiebreak_cols=tiebreak_cols)
+    upsert_parquet(rebuilt, dim_path, kc, dedup_incoming=False)
 
 
 def scd2_snapshot(dim: DataFrame, as_of, *,

@@ -171,6 +171,7 @@ class Pipeline:
         *,
         broadcast_threshold: int | None = None,
         passthrough: Sequence[str] = (),
+        dim_rows: int | None = None,
     ) -> tuple[DataFrame, DataFrame]:
         """Set-oriented ``get_or_create`` (SURVEY.md section 3.3).
 
@@ -189,7 +190,9 @@ class Pipeline:
 
         Returns ``(result, new_dim)`` where ``result`` has the model's
         columns plus a boolean ``created``.  At scale: the dim side gets a
-        broadcast hint when it is small; otherwise this is a plain
+        broadcast hint when it is small — decided from ``dim_rows`` when
+        the caller already knows the size, else from a one-off
+        memoized ``limit``-probe — otherwise this is a plain
         shuffle join that AQE can re-plan.  Concurrent upsert semantics
         are batch-level and idempotent (dedup on match keys before union);
         a transactional MERGE needs a table format (Delta/Iceberg) and is
@@ -211,8 +214,14 @@ class Pipeline:
         dim_side = dim.withColumn("_dim_hit", F.lit(True))
         threshold = (_BROADCAST_ROW_THRESHOLD if broadcast_threshold is None
                      else broadcast_threshold)
-        # Explicit broadcast for small dims; for large dims let AQE decide.
-        if threshold and _cheap_count_at_most(dim, threshold):
+        # Explicit broadcast for small dims; for large dims let AQE
+        # decide.  ``dim_rows`` (a caller-known row count) skips the
+        # probe job entirely — loop drivers like the foreachBatch
+        # maintainers track the dim size incrementally and pass it, so
+        # the dim-sized probe runs at most once per stream, not per
+        # micro-batch.
+        if threshold and (dim_rows <= threshold if dim_rows is not None
+                          else _cheap_count_at_most(dim, threshold)):
             dim_side = F.broadcast(dim_side)
 
         b = built.alias("b")

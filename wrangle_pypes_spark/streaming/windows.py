@@ -320,9 +320,10 @@ def foreach_batch_scd2_merge(stream_df: DataFrame, dim_path: str, *,
     periodic-snapshot load pattern) — the store keeps collapsed
     versions, not raw observations, so an observation arriving BETWEEN
     two already-stored versions cannot resurrect a collapsed
-    reverted-back version (the inherent SCD2 late-data limitation; route
-    stragglers through a batch rebuild from the raw log if they
-    matter).  Under that contract the drained store equals
+    reverted-back version (the inherent SCD2 late-data limitation;
+    route stragglers through ``operators.scd.scd2_rebuild_store`` —
+    a keyed re-collapse from the raw observation log that heals exactly
+    the late keys).  Under that contract the drained store equals
     ``scd2_build`` over all rows regardless of batch boundaries, and
     replaying a batch after checkpoint recovery is a no-op (both pinned
     in tests/test_scd.py).  Completes the durable-streaming trio:
@@ -370,15 +371,36 @@ def foreach_batch_get_or_create(stream_df: DataFrame, pipeline, model: type,
     ``dim_holder`` is ``{"dim": DataFrame}`` — mutated per batch.  In
     production the holder is a Delta/Iceberg MERGE target; kept
     pluggable here because the v1 image carries no table format jars.
+
+    The dimension's row count is tracked in ``dim_holder["rows"]``
+    (counted once on the first batch, then maintained from each batch's
+    created keys) and passed to ``get_or_create`` as ``dim_rows`` — the
+    broadcast decision costs ONE dim-sized job for the whole stream,
+    not one probe per micro-batch.
     """
+    keys = list(match_targets)
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if dim_holder.get("rows") is None:
+            dim_holder["rows"] = dim_holder["dim"].count()
         result, new_dim = pipeline.get_or_create(
-            model, batch_df, dim_holder["dim"], match_targets)
+            model, batch_df, dim_holder["dim"], match_targets,
+            dim_rows=dim_holder["rows"])
         # materialize new_dim before the next batch mutates lineage
         dim_holder["dim"] = new_dim.localCheckpoint(eager=True)
+        # one batch-sized aggregate yields the log count AND the size
+        # increment (distinct created keys = rows appended to the dim)
+        stats = result.agg(
+            F.count(F.lit(1)).alias("n"),
+            # struct wrapper: non-created rows collapse to one NULL that
+            # count(DISTINCT) skips, while created rows with NULL key
+            # PARTS still count (the struct itself is non-null)
+            F.count_distinct(F.when(F.col("created"),
+                                    F.struct(*keys))).alias("n_created")
+        ).collect()[0]
+        dim_holder["rows"] += stats["n_created"]
         dim_holder.setdefault("batches", []).append(
-            (epoch_id, result.count()))
+            (epoch_id, stats["n"]))
 
     writer = stream_df.writeStream.foreachBatch(_batch) \
         .trigger(availableNow=True)
@@ -403,21 +425,35 @@ def foreach_batch_get_or_create_upsert(stream_df: DataFrame, pipeline,
     idempotent).  First batch bootstraps the table from the model
     schema.  Swap ``upsert_parquet`` for a Delta/Iceberg ``MERGE INTO``
     for concurrent writers — same plan shape plus a transaction log.
+
+    The dimension's row count is probed at most ONCE (an exact count
+    when resuming an existing store, zero on bootstrap) and then
+    maintained from each batch's created-row count, so the broadcast
+    decision inside ``get_or_create`` never re-runs a dim-sized job
+    per micro-batch.
     """
     from ..sources.sinks import recover_upsert_backup, upsert_parquet
+
+    state: dict = {"rows": None}
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         keys = list(match_targets)
         if recover_upsert_backup(dim_path, spark=spark):
             dim = spark.read.parquet(dim_path)
+            if state["rows"] is None:  # resume: one exact count, ever
+                state["rows"] = dim.count()
         else:
             dim = spark.createDataFrame(
                 [], pipeline.schema_for(model, batch_df))
+            state["rows"] = 0
         result, _ = pipeline.get_or_create(model, batch_df, dim,
-                                           match_targets)
+                                           match_targets,
+                                           dim_rows=state["rows"])
         created = (result.filter(F.col("created"))
-                   .drop("created").dropDuplicates(keys))
+                   .drop("created").dropDuplicates(keys)
+                   .localCheckpoint(eager=True))
+        state["rows"] += created.count()
         upsert_parquet(created, dim_path, keys)
 
     writer = stream_df.writeStream.foreachBatch(_batch) \
