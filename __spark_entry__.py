@@ -2488,6 +2488,113 @@ WHERE b.rate >= 1.0
 """
 
 
+def q_temperature_mix_sources(spark, sf_dir):
+    """Temperature-based corpus mixing (operators/sampling.py
+    ``temperature_mix``): per-source rates ∝ n_i^0.5 (the public
+    multilingual-sampling recipe), md5 membership.  Value-level oracle:
+    alpha=0.5 means sqrt — correctly rounded in every engine, unlike
+    pow — and the plan accumulates the denominator in sorted-source
+    order, which the SQL mirrors term for term."""
+    from wrangle_pypes_spark.operators import temperature_mix
+    d = _t(spark, sf_dir, "documents")
+    total = d.agg(F.sum("n_chars")).collect()[0][0]
+    return (temperature_mix(d, source_col="source", token_col="n_chars",
+                            key_col="doc_id", alpha=0.5,
+                            token_budget=float(total) * 0.25,
+                            sources=_TM_SOURCES, hash_scheme="md5")
+            .select("doc_id", "source", "n_chars"))
+
+
+_TM_SOURCES = tuple(sorted(f"src{i}" for i in range(20)))
+
+
+def _temperature_mix_oracle_sql() -> str:
+    """Generate the DuckDB twin of q_temperature_mix_sources: per-source
+    totals via FILTER aggregates, the sqrt-share denominator summed in
+    the SAME sorted-source order as temperature_mix_plan's Python loop,
+    and the md5 membership bound of sampling._membership_cond."""
+    srcs = list(_TM_SOURCES)
+    n_cols = ",\n         ".join(
+        f"CAST(sum(n_chars) FILTER (source = '{s}') AS DOUBLE) AS n_{s}"
+        for s in srcs)
+    denom = " + ".join(f"sqrt(n_{s})" for s in srcs)
+    per_src = "\n  UNION ALL ".join(
+        f"SELECT '{s}' AS source, "
+        f"least(1.0, budget * sqrt(n_{s}) / denom / n_{s}) AS rate "
+        "FROM r"
+        for s in srcs)
+    return f"""
+WITH agg AS (
+  SELECT {n_cols},
+         CAST(sum(n_chars) AS DOUBLE) * 0.25 AS budget
+  FROM documents
+),
+r AS (SELECT *, {denom} AS denom FROM agg),
+rates AS (
+  {per_src}
+),
+bounds AS (
+  SELECT source, rate,
+         printf('%08x', CAST(least(floor(rate * 4294967296.0),
+                                   4294967295.0) AS BIGINT)) AS bound
+  FROM rates
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN bounds b ON d.source = b.source
+WHERE b.rate >= 1.0
+   OR substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < b.bound
+"""
+
+
+SQL_TEMPERATURE_MIX = _temperature_mix_oracle_sql()
+
+
+def q_c4_clean_docs(spark, sf_dir):
+    """C4-style line-level cleaning (operators/quality.py
+    ``c4_line_clean``): keep lines with terminal punctuation, ≥3 words,
+    and no banned substring; flag docs with <3 surviving lines.  The
+    testdata text is single-line word salad, so line structure is first
+    synthesized DETERMINISTICALLY (a period+newline after every 6th
+    word — same regex in the oracle), making kept/dropped counts vary
+    by real content.  'spark' is the banned token (it occurs in the
+    corpus vocabulary)."""
+    from wrangle_pypes_spark.operators import c4_line_clean
+    d = _t(spark, sf_dir, "documents")
+    lined = d.withColumn(
+        "text",
+        F.regexp_replace(
+            F.col("text"), r"(\S+ \S+ \S+ \S+ \S+ \S+) ", "$1.\n"))
+    return (c4_line_clean(lined, banned_substrings=("spark",))
+            .select("doc_id", "total_lines", "kept_lines", "passes_c4")
+            .orderBy("doc_id"))
+
+
+SQL_C4_CLEAN = r"""
+WITH lined AS (
+  SELECT doc_id,
+         regexp_replace(text, '(\S+ \S+ \S+ \S+ \S+ \S+) ',
+                        '\1.' || chr(10), 'g') AS t
+  FROM documents
+),
+l AS (
+  SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM lined
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS total_lines,
+         CAST(count(*) FILTER (
+             right(trim(line), 1) IN ('.', '!', '?', '"', '''')
+             AND len(string_split_regex(trim(line), '\s+')) >= 3
+             AND NOT contains(lower(trim(line)), 'spark')
+         ) AS BIGINT) AS kept_lines
+  FROM l GROUP BY doc_id
+)
+SELECT doc_id, CAST(total_lines AS BIGINT) AS total_lines, kept_lines,
+       kept_lines >= 3 AS passes_c4
+FROM agg ORDER BY doc_id
+"""
+
+
 def q_profile_customer(spark, sf_dir):
     """Column profiling (operators/relational.py ``profile``): one
     aggregate pass over the table → per-column stats rows.  The
@@ -3701,6 +3808,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_rank_family": q_window_rank_family,
     "date_functions_orders": q_date_functions_orders,
     "string_functions_customer": q_string_functions_customer,
+    # new this round (need first driver-green rows)
+    "temperature_mix_sources": q_temperature_mix_sources,
+    "c4_clean_docs": q_c4_clean_docs,
     # never-driver-checked: text / sampling ops
     "top_ngrams_corpus": q_top_ngrams_corpus,
     "token_pmi_pairs": q_token_pmi_pairs,
@@ -3866,6 +3976,8 @@ _ORACLES: dict[str, str] = {
     "chunk_documents_overlap": SQL_CHUNK_OVERLAP,
     "train_val_test_split": SQL_TVT_SPLIT,
     "mix_corpus_sources": SQL_MIX_CORPUS,
+    "temperature_mix_sources": SQL_TEMPERATURE_MIX,
+    "c4_clean_docs": SQL_C4_CLEAN,
     "shuffle_documents": SQL_SHUFFLE_DOCS,
     # minhash_lsh_pairs / simhash_pairs: rows-only (xxhash64 not in DuckDB)
     "stream_tumbling_events": SQL_STREAM_TUMBLING,

@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from wrangle_pypes_spark.operators import (
+    c4_line_clean,
     decontaminate,
     gopher_quality_flags,
     pii_scrub,
@@ -97,12 +98,39 @@ def test_decontaminate_flags_exact_overlap(spark):
     assert got == {1: True, 2: False, 3: False}
 
 
+def test_c4_line_clean_semantics(spark):
+    text1 = "\n".join([
+        "This is a good line.",          # kept
+        "short.",                        # too few words
+        "no terminal punct here",        # bad ending
+        "Another good line with words!",  # kept
+        "this line has javascript in it.",  # banned substring
+        "  Trimmed line also counts.  ",  # kept (trim before checks)
+    ])
+    docs = spark.createDataFrame(
+        [(1, text1), (2, "one short line only.")],
+        "doc_id int, text string")
+    out = {r.doc_id: r for r in c4_line_clean(docs).collect()}
+    assert out[1].total_lines == 6
+    assert out[1].kept_lines == 3
+    assert out[1].passes_c4 is True
+    assert out[1].cleaned_text == (
+        "This is a good line.\nAnother good line with words!\n"
+        "  Trimmed line also counts.  ")
+    assert out[2].total_lines == 1
+    assert out[2].kept_lines == 1
+    assert out[2].passes_c4 is False  # below min_kept_lines
+    # the original column survives for auditing
+    assert out[1].text == text1
+
+
 def test_quality_plans(docs, spark):
     def plan_of(df):
         return df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")
 
-    for build in (gopher_quality_flags, repetition_stats, pii_scrub):
+    for build in (gopher_quality_flags, repetition_stats, pii_scrub,
+                  c4_line_clean):
         p = plan_of(build(docs))
         assert "Exchange" not in p, f"{build.__name__}: shuffle in map-only op"
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, \

@@ -147,6 +147,43 @@ def test_split_assign_disjoint_exhaustive_stable(spark, tables):
     assert other != first
 
 
+def test_temperature_mix_rates_and_tail_upweighting(spark, tables):
+    from wrangle_pypes_spark.operators import (temperature_mix,
+                                               temperature_mix_plan)
+
+    docs = tables["documents"]
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    budget = float(total) * 0.25
+    # alpha=1 keeps natural proportions -> every source gets the SAME
+    # rate (budget/total), so the mix is a uniform thinning
+    plan1 = temperature_mix_plan(docs, source_col="source",
+                                 token_col="n_chars", alpha=1.0,
+                                 token_budget=budget)
+    rates1 = {s: p["rate"] for s, p in plan1.items()}
+    for r in rates1.values():
+        assert r == pytest.approx(budget / float(total), rel=1e-9)
+    # alpha=0.5 up-weights the smaller sources relative to natural
+    plan_h = temperature_mix_plan(docs, source_col="source",
+                                  token_col="n_chars", alpha=0.5,
+                                  token_budget=budget)
+    smallest = min(plan_h, key=lambda s: plan_h[s]["available"])
+    largest = max(plan_h, key=lambda s: plan_h[s]["available"])
+    assert plan_h[smallest]["rate"] > rates1[smallest]
+    assert plan_h[largest]["rate"] < rates1[largest]
+    # the sampled mix is deterministic and stays within every source's
+    # availability
+    out = temperature_mix(docs, source_col="source", token_col="n_chars",
+                          key_col="doc_id", alpha=0.5,
+                          token_budget=budget, hash_scheme="md5")
+    again = temperature_mix(docs, source_col="source", token_col="n_chars",
+                            key_col="doc_id", alpha=0.5,
+                            token_budget=budget, hash_scheme="md5")
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert ids == sorted(r.doc_id for r in again.select("doc_id").collect())
+    kept_tok = out.agg(F.sum("n_chars")).collect()[0][0]
+    assert 0 < kept_tok < total
+
+
 def test_split_assign_null_id_routing(spark):
     """NULL ids must never silently land in the eval split: the default
     fails the job; an explicit quarantine label routes them visibly."""

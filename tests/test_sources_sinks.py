@@ -198,3 +198,47 @@ def test_upsert_parquet_partitioned_rewrites_only_touched(spark, tmp_path):
     after = sorted(glob.glob(f"{path}/day=2024-01-02/*.parquet"))
     assert after == untouched
     assert [os.path.getmtime(f) for f in after] == mtimes
+
+
+def test_compact_parquet_reduces_files_preserves_data(spark, tables,
+                                                      tmp_path):
+    import glob
+
+    from wrangle_pypes_spark.sources import compact_parquet
+
+    path = str(tmp_path / "frag")
+    orders = tables["orders"].select("o_orderkey", "o_totalprice")
+    orders.repartition(20).write.parquet(path)
+    before = glob.glob(f"{path}/*.parquet")
+    assert len(before) >= 20
+    want = sorted((r.o_orderkey, r.o_totalprice)
+                  for r in spark.read.parquet(path).collect())
+
+    n_out = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n_out == 1
+    after = glob.glob(f"{path}/*.parquet")
+    assert len(after) == 1
+    # compaction is content-neutral
+    got = sorted((r.o_orderkey, r.o_totalprice)
+                 for r in spark.read.parquet(path).collect())
+    assert got == want
+    # crash garbage from a previous run would have been cleaned up
+    assert not glob.glob(f"{path}._compact_tmp")
+    assert not glob.glob(f"{path}._upsert_bak")
+
+
+def test_compact_parquet_targets_file_size(spark, tables, tmp_path):
+    import glob
+
+    from wrangle_pypes_spark.sources import compact_parquet
+    from wrangle_pypes_spark.sources.sinks import _dir_bytes
+
+    path = str(tmp_path / "sized")
+    tables["lineitem"].write.parquet(path)
+    total = _dir_bytes(path)
+    # pick a target that implies 3-5 output files
+    target = max(1, total // 4)
+    n_out = compact_parquet(spark, path, target_file_bytes=target)
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) == n_out
+    assert 2 <= n_out <= 8

@@ -39,6 +39,8 @@ from .sampling import (
     histogram,
     mix_corpus,
     mix_plan,
+    temperature_mix,
+    temperature_mix_plan,
     pack_sequences,
     split_assign,
     stratified_sample,
@@ -56,6 +58,7 @@ from .scd import (
     scd2_snapshot,
 )
 from .quality import (
+    c4_line_clean,
     decontaminate,
     gopher_quality_flags,
     pii_scrub,
@@ -102,6 +105,8 @@ __all__ = (
     "pack_sequences",
     "mix_corpus",
     "mix_plan",
+    "temperature_mix",
+    "temperature_mix_plan",
     "rollup_build",
     "rollup_finalize",
     "rollup_merge",
@@ -110,6 +115,7 @@ __all__ = (
     "scd2_rebuild_store",
     "scd2_snapshot",
     "stratified_sample",
+    "c4_line_clean",
     "gopher_quality_flags",
     "repetition_stats",
     "pii_scrub",

@@ -7,7 +7,8 @@ engine's conventions (explicit schemas, star-schema loading, JSON-string
 payload parsing for dynamic columns).
 """
 
-from .sinks import (read_orc, recover_upsert_backup, upsert_parquet,
+from .sinks import (compact_parquet, read_orc, recover_upsert_backup,
+                    upsert_parquet,
                     write_bucketed_table,
                     write_csv, write_json, write_orc, write_parquet)
 from .tables import (TABLES, ensure_session_confs, infer_json_schema,
@@ -16,6 +17,7 @@ from .tables import (TABLES, ensure_session_confs, infer_json_schema,
 
 __all__ = ("TABLES", "ensure_session_confs", "infer_json_schema",
            "load_star_schema", "load_table", "parse_json_col",
+           "compact_parquet",
            "read_csv", "read_jsonl", "read_orc", "recover_upsert_backup",
            "upsert_parquet",
            "write_bucketed_table", "write_csv", "write_json", "write_orc",

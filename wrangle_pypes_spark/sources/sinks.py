@@ -114,6 +114,66 @@ def read_orc(spark, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def compact_parquet(spark, path: str, *,
+                    target_file_bytes: int = 128 * 1024 * 1024,
+                    compression: str = "zstd") -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    size-targeted files and atomically swap it in.  Returns the output
+    file count.
+
+    Streaming maintainers and incremental upserts accrete small files;
+    thousands of them slow scan PLANNING (driver-side listing +
+    footer reads) and fragment row groups below the size where column
+    statistics and vectorized reads pay off.  This is the maintenance
+    pass a table format calls OPTIMIZE: read, ``repartition`` to
+    ``ceil(current_bytes / target_file_bytes)`` output files, write to
+    a temp dir, and swap via the same backup-rename protocol as
+    :func:`upsert_parquet` (crash-recoverable through
+    :func:`recover_upsert_backup`; control ops through
+    :mod:`~wrangle_pypes_spark.fsutil`).
+
+    Data-content neutral (same rows, fewer files) — a compaction must
+    never change query results.  Current bytes are measured from the
+    existing footprint, so the file-count decision needs no extra scan
+    of the data itself.  Partitioned layouts: compact per-partition
+    directory (this rewrite is layout-flattening by design, like
+    rewriting one partition's directory of a huge table).
+    """
+    import math
+
+    from .. import fsutil
+
+    total = _dir_bytes(path, spark)
+    n_files = max(1, math.ceil(total / float(target_file_bytes)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    bak = path.rstrip("/") + "._upsert_bak"
+    fsutil.delete(tmp, spark=spark)
+    (df.repartition(n_files).write.mode("overwrite")
+     .option("compression", compression).parquet(tmp))
+    fsutil.delete(bak, spark=spark)
+    fsutil.rename(path, bak, spark=spark)
+    fsutil.rename(tmp, path, spark=spark)
+    fsutil.delete(bak, spark=spark)
+    return n_files
+
+
+def _dir_bytes(path: str, spark=None) -> int:
+    """Total bytes of data files under ``path`` (local fast path; the
+    Hadoop ContentSummary API for remote stores)."""
+    from .. import fsutil
+
+    if fsutil.is_local(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total
+    fs, jpath, _ = fsutil._hadoop(fsutil._require_spark(spark, path), path)
+    return int(fs.getContentSummary(jpath).getLength())
+
+
 def recover_upsert_backup(path: str, spark=None) -> bool:
     """Repair the crash window of :func:`upsert_parquet`'s rename swap:
     if a prior upsert crashed between its two renames, only
