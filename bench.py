@@ -68,6 +68,8 @@ HEADLINE = [
     "q10_returned_revenue",
     "scd2_customer_history",
     "mix_corpus_sources",
+    "temperature_mix_sources",
+    "c4_clean_docs",
     "rollup_events_hourly",
     "profile_customer",
     "profile_customer_approx",
