@@ -2488,6 +2488,65 @@ WHERE b.rate >= 1.0
 """
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality scoring (functions/text.py
+    ``unigram_logprob_score``): per-doc mean -ln p(token) under the
+    corpus unigram distribution — the cheap perplexity proxy for
+    gibberish/boilerplate triage.  Rounded to 4 decimals so the value
+    oracle is insensitive to float summation order."""
+    from wrangle_pypes_spark.functions import unigram_logprob_score
+    d = _t(spark, sf_dir, "documents")
+    return (unigram_logprob_score(d)
+            .select("doc_id", "n_tokens", "avg_neg_logprob")
+            .orderBy("doc_id"))
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+freqs AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(avg(-ln(f.tf / (SELECT n FROM tot))), 4) AS avg_neg_logprob
+FROM toks t JOIN freqs f USING (tok)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+def q_inverted_index_stats(spark, sf_dir):
+    """Inverted-index build (functions/text.py ``inverted_index``):
+    token → (df, total_tf, postings sorted by doc).  The registered
+    projection checks the scalar statistics per token (min_df=2);
+    postings-array contents are pinned in tests/test_text... against a
+    hand-built index (array-of-struct hashing is engine-specific)."""
+    from wrangle_pypes_spark.functions import inverted_index
+    d = _t(spark, sf_dir, "documents")
+    return (inverted_index(d, min_df=2)
+            .select("token", "df", "total_tf")
+            .orderBy("token"))
+
+
+SQL_INVERTED_INDEX = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+postings AS (
+  SELECT tok AS token, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf
+FROM postings GROUP BY token HAVING count(*) >= 2 ORDER BY token
+"""
+
+
 def q_temperature_mix_sources(spark, sf_dir):
     """Temperature-based corpus mixing (operators/sampling.py
     ``temperature_mix``): per-source rates ∝ n_i^0.5 (the public
@@ -3811,6 +3870,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this round (need first driver-green rows)
     "temperature_mix_sources": q_temperature_mix_sources,
     "c4_clean_docs": q_c4_clean_docs,
+    "unigram_logprob": q_unigram_logprob,
+    "inverted_index_stats": q_inverted_index_stats,
     # never-driver-checked: text / sampling ops
     "top_ngrams_corpus": q_top_ngrams_corpus,
     "token_pmi_pairs": q_token_pmi_pairs,
@@ -3978,6 +4039,8 @@ _ORACLES: dict[str, str] = {
     "mix_corpus_sources": SQL_MIX_CORPUS,
     "temperature_mix_sources": SQL_TEMPERATURE_MIX,
     "c4_clean_docs": SQL_C4_CLEAN,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "inverted_index_stats": SQL_INVERTED_INDEX,
     "shuffle_documents": SQL_SHUFFLE_DOCS,
     # minhash_lsh_pairs / simhash_pairs: rows-only (xxhash64 not in DuckDB)
     "stream_tumbling_events": SQL_STREAM_TUMBLING,

@@ -70,6 +70,8 @@ HEADLINE = [
     "mix_corpus_sources",
     "temperature_mix_sources",
     "c4_clean_docs",
+    "unigram_logprob",
+    "inverted_index_stats",
     "rollup_events_hourly",
     "profile_customer",
     "profile_customer_approx",

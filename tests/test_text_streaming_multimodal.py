@@ -78,6 +78,44 @@ def test_corpus_top_ngrams_counts(spark):
     assert top[1].total_count < 3
 
 
+def test_unigram_logprob_score_matches_replica(spark):
+    import math
+    from collections import Counter
+
+    from wrangle_pypes_spark.functions import unigram_logprob_score
+
+    corpus = {1: "a a b", 2: "a c", 3: "b c c d"}
+    df = spark.createDataFrame(list(corpus.items()),
+                               "doc_id long, text string")
+    all_toks = [t for txt in corpus.values() for t in txt.split()]
+    freq, total = Counter(all_toks), len(all_toks)
+    want = {
+        d: round(sum(-math.log(freq[t] / total) for t in txt.split())
+                 / len(txt.split()), 4)
+        for d, txt in corpus.items()}
+    got = {r.doc_id: r.avg_neg_logprob
+           for r in unigram_logprob_score(df).collect()}
+    assert got == pytest.approx(want)
+    # rare-token doc scores higher than common-token doc
+    assert got[3] > got[1]
+
+
+def test_inverted_index_postings(spark):
+    from wrangle_pypes_spark.functions import inverted_index
+
+    df = spark.createDataFrame(
+        [(1, "x y x"), (2, "y z"), (3, "x")],
+        "doc_id long, text string")
+    idx = {r.token: r for r in inverted_index(df).collect()}
+    assert idx["x"].df == 2 and idx["x"].total_tf == 3
+    assert [(p.doc, p.tf) for p in idx["x"].postings] == [(1, 2), (3, 1)]
+    assert [(p.doc, p.tf) for p in idx["y"].postings] == [(1, 1), (2, 1)]
+    assert idx["z"].df == 1
+    # min_df prunes hapax tokens
+    pruned = {r.token for r in inverted_index(df, min_df=2).collect()}
+    assert pruned == {"x", "y"}
+
+
 def test_token_pmi_attract_repel(spark):
     # p/q always together, p/r never together -> pmi(p,q) > 0 > pmi(p,r)
     rows = [(i, "p q") for i in range(4)] + [(i + 4, "r s") for i in range(4)]

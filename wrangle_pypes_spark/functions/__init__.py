@@ -11,14 +11,17 @@ from .text import (
     chunk_documents,
     corpus_top_ngrams,
     doc_fingerprint,
+    inverted_index,
     lang_id,
     quality_score,
     token_count,
     token_pmi_pairs,
     tokens,
+    unigram_logprob_score,
     word_ngrams,
 )
 
 __all__ = ("STOPWORDS", "chunk_documents", "corpus_top_ngrams",
-           "doc_fingerprint", "lang_id", "quality_score", "token_count",
-           "token_pmi_pairs", "tokens", "word_ngrams")
+           "doc_fingerprint", "inverted_index", "lang_id", "quality_score",
+           "token_count", "token_pmi_pairs", "tokens",
+           "unigram_logprob_score", "word_ngrams")

@@ -126,6 +126,66 @@ def corpus_top_ngrams(docs: DataFrame, text_col: str = "text", *,
     return counts.orderBy(F.desc("total_count"), "ngram").limit(k)
 
 
+def unigram_logprob_score(docs: DataFrame, text_col: str = "text", *,
+                          id_col: str = "doc_id",
+                          round_digits: int = 4) -> DataFrame:
+    """Per-document unigram-LM score: average negative log-probability
+    of the document's tokens under the CORPUS unigram distribution —
+    the cheap perplexity proxy of public web-corpus curation (a doc of
+    globally-rare tokens scores high = gibberish candidate; a doc of
+    only ultra-common tokens scores low = boilerplate candidate).
+
+    Two aggregates, both map-side partial: (1) corpus token counts
+    (vocab-sized, broadcast back), (2) per-doc mean of
+    ``-ln p(token)`` over token instances.  The broadcast keeps the
+    per-token join shuffle-free, so corpus cost is one explode + one
+    doc-keyed aggregate — the same shape as tf-idf.
+
+    The score is rounded to ``round_digits`` decimals: float summation
+    order differs between engines (and between partitionings), and the
+    ~1e-13 reassociation noise below the rounding grain is exactly what
+    a cross-engine value oracle must not depend on.
+    """
+    toks = docs.select(F.col(id_col),
+                       F.explode(tokens(F.col(text_col))).alias("_tok"))
+    freqs = toks.groupBy("_tok").agg(F.count("*").alias("_tf"))
+    total = toks.count()
+    scored = (toks.join(F.broadcast(freqs), "_tok")
+              .groupBy(id_col)
+              .agg(F.count("*").alias("n_tokens"),
+                   F.round(F.avg(-F.log(F.col("_tf") / F.lit(float(total)))),
+                           round_digits).alias("avg_neg_logprob")))
+    return scored
+
+
+def inverted_index(docs: DataFrame, text_col: str = "text", *,
+                   id_col: str = "doc_id",
+                   min_df: int = 1) -> DataFrame:
+    """Build an inverted index: one row per distinct token with
+    ``df`` (document frequency), ``total_tf`` (corpus term frequency),
+    and ``postings`` — an array of ``(doc, tf)`` structs sorted by doc
+    id, the classic search/retrieval sidecar for a document corpus.
+
+    Shape at scale: explode → per-(doc, token) count with map-side
+    partials (collapses the token stream to one row per posting before
+    any shuffle) → token-keyed aggregate building the postings array.
+    Partition-count the output by token hash; a 100 TB corpus's index
+    is read back by token equi-lookups, which prune to one partition.
+    ``min_df`` drops hapax noise at the source (common in web corpora).
+    """
+    toks = docs.select(F.col(id_col).alias("doc"),
+                       F.explode(tokens(F.col(text_col))).alias("token"))
+    postings = toks.groupBy("token", "doc").agg(F.count("*").alias("tf"))
+    idx = (postings.groupBy("token")
+           .agg(F.count("*").alias("df"),
+                F.sum("tf").alias("total_tf"),
+                F.sort_array(F.collect_list(
+                    F.struct("doc", "tf"))).alias("postings")))
+    if min_df > 1:
+        idx = idx.filter(F.col("df") >= min_df)
+    return idx
+
+
 def token_pmi_pairs(docs: DataFrame, text_col: str = "text", *,
                     id_col: str = "doc_id", min_pair_docs: int = 2,
                     n_docs: Optional[int] = None) -> DataFrame:
