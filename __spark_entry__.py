@@ -2488,6 +2488,117 @@ WHERE b.rate >= 1.0
 """
 
 
+def q_funnel_events(spark, sf_dir):
+    """Ordered funnel (operators/relational.py ``funnel_steps``):
+    view → click → purchase per user, greedy subsequence matching via a
+    JVM aggregate-fold over time-sorted event structs.  Output is the
+    per-level user distribution; the oracle rebuilds the same greedy
+    reachability with per-step min-timestamp joins (strict/equal bounds
+    chosen to match the fold's (ts, type) tie order).  Restricted to
+    the first two days so the funnel discriminates — over the full
+    month every user completes every step."""
+    from wrangle_pypes_spark.operators import funnel_steps
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
+    lv = funnel_steps(e, key_col="user_id", ts_col="ts",
+                      type_col="event_type",
+                      steps=("view", "click", "purchase"))
+    return (lv.groupBy("steps_completed")
+            .agg(F.count("*").alias("n_users"))
+            .orderBy("steps_completed"))
+
+
+SQL_FUNNEL = """
+WITH ev AS (
+  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+),
+s1 AS (
+  SELECT user_id, min(ts) AS t FROM ev
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM ev e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM ev e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1
+),
+base AS (
+  SELECT DISTINCT user_id FROM ev
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+lvl AS (
+  SELECT b.user_id,
+         CASE WHEN s3.user_id IS NOT NULL THEN 3
+              WHEN s2.user_id IS NOT NULL THEN 2
+              WHEN s1.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS steps_completed
+  FROM base b
+  LEFT JOIN s1 USING (user_id)
+  LEFT JOIN s2 USING (user_id)
+  LEFT JOIN s3 USING (user_id)
+)
+SELECT CAST(steps_completed AS INT) AS steps_completed,
+       count(*) AS n_users
+FROM lvl GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_cohort_retention_weekly(spark, sf_dir):
+    """Cohort retention (operators/relational.py ``cohort_retention``):
+    users cohorted by first-event week; distinct active users per
+    (cohort, week offset)."""
+    from wrangle_pypes_spark.operators import cohort_retention
+    e = _t(spark, sf_dir, "events")
+    return (cohort_retention(e, key_col="user_id", ts_col="ts",
+                             bucket="week")
+            .withColumn("cohort", F.to_date("cohort")))
+
+
+SQL_COHORT = """
+WITH f AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort
+  FROM events GROUP BY 1
+),
+a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS b FROM events)
+SELECT f.cohort, CAST(date_diff('day', f.cohort, a.b) / 7 AS INT) AS offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_embedding_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (operators/similarity.py
+    ``embedding_centroids``): posexplode → one (label, pos) map-side
+    partial aggregate → ordered regroup.  The registered projection
+    re-flattens the centroid arrays so the value check compares scalar
+    cells (array hashing is engine-specific); means rounded to 6
+    decimals for summation-order insensitivity."""
+    from wrangle_pypes_spark.operators import embedding_centroids
+    e = _t(spark, sf_dir, "embeddings")
+    c = embedding_centroids(e, vec_col="embedding", label_col="label",
+                            round_digits=6)
+    return (c.select("label", "n",
+                     F.posexplode("centroid").alias("pos", "m"))
+            .orderBy("label", "pos"))
+
+
+SQL_CENTROIDS = """
+WITH z AS (
+  SELECT label, unnest(embedding) AS v,
+         unnest(generate_series(1, len(embedding))) AS pos
+  FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(pos - 1 AS INT) AS pos,
+       round(avg(v), 6) AS m
+FROM z GROUP BY label, pos ORDER BY label, pos
+"""
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Unigram-LM quality scoring (functions/text.py
     ``unigram_logprob_score``): per-doc mean -ln p(token) under the
@@ -3872,6 +3983,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_clean_docs": q_c4_clean_docs,
     "unigram_logprob": q_unigram_logprob,
     "inverted_index_stats": q_inverted_index_stats,
+    "funnel_events": q_funnel_events,
+    "cohort_retention_weekly": q_cohort_retention_weekly,
+    "embedding_label_centroids": q_embedding_label_centroids,
     # never-driver-checked: text / sampling ops
     "top_ngrams_corpus": q_top_ngrams_corpus,
     "token_pmi_pairs": q_token_pmi_pairs,
@@ -4041,6 +4155,9 @@ _ORACLES: dict[str, str] = {
     "c4_clean_docs": SQL_C4_CLEAN,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "inverted_index_stats": SQL_INVERTED_INDEX,
+    "funnel_events": SQL_FUNNEL,
+    "cohort_retention_weekly": SQL_COHORT,
+    "embedding_label_centroids": SQL_CENTROIDS,
     "shuffle_documents": SQL_SHUFFLE_DOCS,
     # minhash_lsh_pairs / simhash_pairs: rows-only (xxhash64 not in DuckDB)
     "stream_tumbling_events": SQL_STREAM_TUMBLING,

@@ -72,6 +72,9 @@ HEADLINE = [
     "c4_clean_docs",
     "unigram_logprob",
     "inverted_index_stats",
+    "funnel_events",
+    "cohort_retention_weekly",
+    "embedding_label_centroids",
     "rollup_events_hourly",
     "profile_customer",
     "profile_customer_approx",

@@ -316,3 +316,16 @@ def test_spread_small_input_guard(spark, tables):
     # already-parallel frame: no-op (no extra shuffle at scale)
     wide = d.repartition(target)
     assert spread_small_input(wide) is wide
+
+
+def test_embedding_centroids_elementwise_mean(spark):
+    from wrangle_pypes_spark.operators import embedding_centroids
+
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 2.0]), (2, "a", [3.0, 6.0]), (3, "b", [5.0, 5.0])],
+        "vec_id int, label string, embedding array<double>")
+    got = {r.label: (r.n, r.centroid)
+           for r in embedding_centroids(df, vec_col="embedding",
+                                        label_col="label").collect()}
+    assert got["a"] == (2, [2.0, 4.0])
+    assert got["b"] == (1, [5.0, 5.0])

@@ -303,3 +303,56 @@ def test_profile_stats(spark, tables):
     # approx path close to exact
     ap = {r.column: r for r in profile(c).collect()}
     assert ap["c_custkey"].n_distinct == pytest.approx(n, rel=0.05)
+
+
+def test_funnel_steps_order_matters(spark):
+    import datetime as dt
+
+    from wrangle_pypes_spark.operators import funnel_steps
+
+    def t(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+        # user 2: purchase BEFORE click -> stops after step 2
+        (2, "view", t(1)), (2, "purchase", t(2)), (2, "click", t(3)),
+        # user 3: never views -> 0 despite click+purchase
+        (3, "click", t(1)), (3, "purchase", t(2)),
+        # user 4: only a view
+        (4, "view", t(5)),
+        # user 5: repeated steps don't double-advance
+        (5, "view", t(1)), (5, "view", t(2)), (5, "click", t(3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp")
+    got = {r.user_id: r.steps_completed
+           for r in funnel_steps(df, key_col="user_id", ts_col="ts",
+                                 type_col="event_type",
+                                 steps=("view", "click", "purchase"))
+           .collect()}
+    assert got == {1: 3, 2: 2, 3: 0, 4: 1, 5: 2}
+
+
+def test_cohort_retention_offsets(spark):
+    import datetime as dt
+
+    from wrangle_pypes_spark.operators import cohort_retention
+
+    # Mondays: 2024-01-01, 2024-01-08, 2024-01-15
+    rows = [
+        (1, dt.datetime(2024, 1, 2)),   # cohort wk0
+        (1, dt.datetime(2024, 1, 10)),  # wk0 offset 1
+        (1, dt.datetime(2024, 1, 16)),  # wk0 offset 2
+        (2, dt.datetime(2024, 1, 3)),   # cohort wk0
+        (3, dt.datetime(2024, 1, 9)),   # cohort wk1
+        (3, dt.datetime(2024, 1, 18)),  # wk1 offset 1
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = {(str(r.cohort)[:10], r.offset): r.n_active
+           for r in cohort_retention(df, key_col="user_id", ts_col="ts")
+           .collect()}
+    assert got == {
+        ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1, ("2024-01-08", 1): 1,
+    }

@@ -9,6 +9,8 @@ operators a user of a full engine needs, each designed Spark-first for
 from .relational import (
     asof_join,
     bucketed_range_join,
+    cohort_retention,
+    funnel_steps,
     pivot_table,
     profile,
     salted_join,
@@ -67,6 +69,7 @@ from .quality import (
 from .timeseries import grouped_ewma
 from .similarity import (
     cosine_topk,
+    embedding_centroids,
     ivf_topk,
     kmeans_fit,
     lsh_bucket_topk,
@@ -75,6 +78,8 @@ from .similarity import (
 
 __all__ = (
     "asof_join",
+    "cohort_retention",
+    "funnel_steps",
     "bucketed_range_join",
     "pivot_table",
     "profile",
@@ -121,6 +126,7 @@ __all__ = (
     "pii_scrub",
     "decontaminate",
     "cosine_topk",
+    "embedding_centroids",
     "ivf_topk",
     "kmeans_fit",
     "lsh_bucket_topk",

@@ -59,6 +59,66 @@ def sessionize(df: DataFrame, key_col: str, ts_col: str,
               .drop("_new_session"))
 
 
+def funnel_steps(df: DataFrame, *, key_col: str, ts_col: str,
+                 type_col: str, steps: Sequence[str]) -> DataFrame:
+    """Ordered funnel analysis: per key, how many of ``steps`` were
+    completed IN ORDER (each step's event strictly follows the state
+    reached by the previous step).  Output: (key, steps_completed).
+
+    One shuffle (groupBy key), then a JVM ``aggregate`` fold over the
+    key's time-sorted event structs advancing a step counter — the
+    subsequence-matching greedy (earliest matching event per step),
+    which is optimal.  Per-key event lists live in executor memory like
+    any ``collect_list``; for power-law keys cap or pre-filter to the
+    funnel's event types first (done here — only events whose type
+    appears in ``steps`` survive the scan, so the list carries funnel
+    events, not the firehose).
+    """
+    typed = df.filter(F.col(type_col).isin(*steps)) \
+              .select(key_col, ts_col, type_col)
+    evs = typed.groupBy(key_col).agg(
+        F.sort_array(F.collect_list(
+            F.struct(ts_col, type_col))).alias("_evs"))
+
+    def advance(acc: Column, e: Column) -> Column:
+        matched = F.lit(False)
+        for i, s in enumerate(steps):
+            matched = matched | ((acc == F.lit(i)) &
+                                 (e[type_col] == F.lit(s)))
+        return F.when(matched, acc + F.lit(1)).otherwise(acc)
+
+    done = F.aggregate(F.col("_evs"), F.lit(0), advance)
+    return evs.select(F.col(key_col),
+                      done.cast("int").alias("steps_completed"))
+
+
+def cohort_retention(df: DataFrame, *, key_col: str, ts_col: str,
+                     bucket: str = "week") -> DataFrame:
+    """Cohort retention matrix: keys are cohorted by the time bucket of
+    their FIRST event; each (cohort, offset) cell counts the distinct
+    keys active ``offset`` buckets after their cohort bucket.
+
+    Two shuffles, both key-partitioned: the first-seen aggregate and
+    the (cohort, bucket) distinct-count — the standard retention
+    topology, with the first-seen side joined back on the key so the
+    activity scan stays map-side after one co-partitioned join.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    first_seen = (df.groupBy(key_col)
+                  .agg(F.min(b).alias("_cohort")))
+    days = {"week": 7, "day": 1}.get(bucket)
+    if days is None:
+        raise ValueError("bucket must be 'week' or 'day'")
+    act = (df.select(key_col, b.alias("_b")).distinct()
+           .join(first_seen, key_col)
+           .select(key_col, "_cohort",
+                   (F.datediff(F.col("_b"), F.col("_cohort"))
+                    / F.lit(days)).cast("int").alias("offset")))
+    return (act.groupBy(F.col("_cohort").alias("cohort"), "offset")
+            .agg(F.count_distinct(key_col).alias("n_active"))
+            .orderBy("cohort", "offset"))
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str, right_ts: str, *,
               right_value_cols: Optional[Sequence[str]] = None,

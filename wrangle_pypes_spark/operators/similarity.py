@@ -54,6 +54,34 @@ def normalize_embeddings(df: DataFrame, vec_col: str,
     return df.withColumn(out_col or vec_col, normed)
 
 
+def embedding_centroids(df: DataFrame, *, vec_col: str, label_col: str,
+                        round_digits: Optional[int] = None) -> DataFrame:
+    """Per-label element-wise mean of embedding vectors: (label, n,
+    centroid array<double>) — the class-prototype builder behind
+    nearest-centroid classification, IVF coarse quantizers, and
+    per-domain embedding drift monitoring.
+
+    Shape at scale: ``posexplode`` the vectors, ONE hash-aggregate on
+    (label, position) with map-side partials — each partition collapses
+    to k×dim rows before the shuffle, the same reduction k-means'
+    assignment step uses — then regroup positions into ordered arrays
+    (k rows of dim doubles; driver never sees data-scale rows).
+    ``round_digits`` quantizes the means for engines whose summation
+    order differs (value-level oracles).
+    """
+    pos = df.select(F.col(label_col).alias("label"),
+                    F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    per_dim = pos.groupBy("label", "pos").agg(
+        F.count("*").alias("n"), F.avg("v").alias("m"))
+    m = F.col("m") if round_digits is None else \
+        F.round(F.col("m"), round_digits)
+    return (per_dim.groupBy("label")
+            .agg(F.max("n").alias("n"),
+                 F.transform(
+                     F.sort_array(F.collect_list(F.struct("pos", m.alias("m")))),
+                     lambda s: s["m"]).alias("centroid")))
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, *,
                 id_col: str, vec_col: str, k: int = 5,
                 query_id_col: Optional[str] = None,
