@@ -2427,13 +2427,27 @@ GROUP BY bin
 
 
 def q_stratified_sample_langs(spark, sf_dir):
-    """Deterministic hash-based corpus re-weighting; rows-only (DuckDB
-    has no xxhash64) — determinism and per-stratum rates are pinned in
-    tests/test_sampling.py."""
+    """Deterministic hash-based corpus re-weighting, registered with the
+    engine-portable md5 membership scheme so DuckDB reproduces the
+    exact kept set (value-level check); determinism and per-stratum
+    rates are additionally pinned in tests/test_sampling.py."""
     d = _t(spark, sf_dir, "documents")
     return (stratified_sample(d, "lang", {"en": 0.5, "de": 1.0, "fr": 1.0},
-                              key_col="doc_id")
+                              key_col="doc_id", hash_scheme="md5")
             .select("doc_id", "lang"))
+
+
+# fixed fractions -> membership bounds are data-independent literals,
+# computed with the same float math as sampling._membership_cond
+_STRAT_EN_BOUND = format(min(int(0.5 * 16**8), 16**8 - 1), "08x")
+
+SQL_STRATIFIED_LANGS = f"""
+SELECT doc_id, lang FROM documents
+WHERE (lang = 'en' AND
+       substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+           < '{_STRAT_EN_BOUND}')
+   OR lang = 'de' OR lang = 'fr'
+"""
 
 
 def q_mix_corpus_sources(spark, sf_dir):
@@ -4151,6 +4165,7 @@ _ORACLES: dict[str, str] = {
     "chunk_documents_overlap": SQL_CHUNK_OVERLAP,
     "train_val_test_split": SQL_TVT_SPLIT,
     "mix_corpus_sources": SQL_MIX_CORPUS,
+    "stratified_sample_langs": SQL_STRATIFIED_LANGS,
     "temperature_mix_sources": SQL_TEMPERATURE_MIX,
     "c4_clean_docs": SQL_C4_CLEAN,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,

@@ -55,6 +55,13 @@ PURE_JVM_QUERIES = [
     "token_pmi_pairs",
     "dedup_keep_longest",
     "chunk_documents_overlap",
+    "temperature_mix_sources",
+    "c4_clean_docs",
+    "unigram_logprob",
+    "inverted_index_stats",
+    "funnel_events",
+    "cohort_retention_weekly",
+    "embedding_label_centroids",
 ]
 
 
@@ -65,6 +72,23 @@ def test_no_python_eval_in_hot_path(spark, sf_dir, name):
     assert "BatchEvalPython" not in p, f"{name}: row-at-a-time python UDF"
     assert "ArrowEvalPython" not in p, f"{name}: pandas UDF in pure-JVM query"
     assert "MapInPandas" not in p, f"{name}: mapInPandas in pure-JVM query"
+
+
+def test_unigram_logprob_broadcasts_freq_table(spark, sf_dir):
+    df = entrymod.queries()["unigram_logprob"](spark, sf_dir)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p, \
+        "token-frequency join must broadcast, not shuffle the corpus"
+
+
+def test_funnel_and_centroids_partial_aggregate(spark, sf_dir):
+    # both collapse data map-side before their single keyed shuffle
+    from wrangle_pypes_spark.plans import audit
+
+    for name in ("funnel_events", "embedding_label_centroids"):
+        df = entrymod.queries()[name](spark, sf_dir)
+        rep = audit(df)
+        assert rep.partial_aggregates >= 1, f"{name}: no map-side combine"
 
 
 def test_q6_filter_pushdown_and_pruning(spark, sf_dir):

@@ -149,7 +149,11 @@ def unigram_logprob_score(docs: DataFrame, text_col: str = "text", *,
     toks = docs.select(F.col(id_col),
                        F.explode(tokens(F.col(text_col))).alias("_tok"))
     freqs = toks.groupBy("_tok").agg(F.count("*").alias("_tf"))
-    total = toks.count()
+    # persist the vocab-sized table: it feeds both the total (one
+    # vocab-sized aggregate — never a second corpus-sized pass) and the
+    # broadcast join back onto the token stream
+    freqs = freqs.persist()
+    total = freqs.agg(F.sum("_tf")).collect()[0][0]
     scored = (toks.join(F.broadcast(freqs), "_tok")
               .groupBy(id_col)
               .agg(F.count("*").alias("n_tokens"),
