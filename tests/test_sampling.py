@@ -242,3 +242,53 @@ def test_split_and_shuffle_are_map_side_plans(spark, tables):
         .executedPlan().toString()
     assert "rangepartitioning" in splan.lower()  # total order via range part.
     assert "BatchEvalPython" not in splan and "ArrowEvalPython" not in splan
+
+
+# -- property-style invariants (one Spark job per example batch) ------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(weights=st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c", "d"]),
+              st.floats(min_value=0.01, max_value=100.0,
+                        allow_nan=False, allow_infinity=False)),
+    min_size=1, max_size=4, unique_by=lambda t: t[0]))
+def test_split_assign_always_disjoint_exhaustive(spark, weights):
+    """For ANY positive weight vector: every row lands in exactly one
+    split, and only declared split names appear."""
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    out = split_assign(df, "doc_id", splits=tuple(weights), seed=3)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 200
+    assert set(counts) <= {name for name, _ in weights}
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(alpha=st.floats(min_value=0.0, max_value=1.0,
+                       allow_nan=False, allow_infinity=False),
+       budget_frac=st.floats(min_value=0.05, max_value=2.0,
+                             allow_nan=False, allow_infinity=False))
+def test_temperature_mix_plan_invariants(spark, tables, alpha, budget_frac):
+    """For ANY alpha in [0,1] and ANY budget: rates stay in [0,1] and
+    expected kept tokens (rate x available) never exceed the budget when
+    no source is cap-saturated at rate 1."""
+    from wrangle_pypes_spark.operators import temperature_mix_plan
+
+    docs = tables["documents"]
+    total = float(docs.agg(F.sum("n_chars")).collect()[0][0])
+    plan = temperature_mix_plan(docs, source_col="source",
+                                token_col="n_chars", alpha=alpha,
+                                token_budget=total * budget_frac)
+    for p in plan.values():
+        assert 0.0 <= p["rate"] <= 1.0
+    expected = sum(p["rate"] * p["available"] for p in plan.values())
+    if all(p["rate"] < 1.0 for p in plan.values()):
+        assert expected == pytest.approx(total * budget_frac, rel=1e-6)
+    else:
+        assert expected <= total * budget_frac * (1 + 1e-9)
