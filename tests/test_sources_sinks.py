@@ -242,3 +242,19 @@ def test_compact_parquet_targets_file_size(spark, tables, tmp_path):
     files = glob.glob(f"{path}/*.parquet")
     assert len(files) == n_out
     assert 2 <= n_out <= 8
+
+
+def test_compact_parquet_recovers_crashed_swap(spark, tables, tmp_path):
+    import os
+
+    from wrangle_pypes_spark.sources import compact_parquet
+
+    path = str(tmp_path / "crashed")
+    tables["orders"].limit(200).repartition(5).write.parquet(path)
+    want = spark.read.parquet(path).count()
+    # simulate a crash between the two renames: table moved to backup,
+    # replacement never landed
+    os.rename(path, path + "._upsert_bak")
+    n_out = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n_out == 1
+    assert spark.read.parquet(path).count() == want

@@ -143,6 +143,11 @@ def compact_parquet(spark, path: str, *,
 
     from .. import fsutil
 
+    # repair a prior crashed swap first (same backup protocol as
+    # upsert_parquet), or a crash between this function's two renames
+    # would leave the table unreadable for the NEXT compaction too
+    if not recover_upsert_backup(path, spark=spark):
+        raise FileNotFoundError(f"no parquet table at {path!r}")
     total = _dir_bytes(path, spark)
     n_files = max(1, math.ceil(total / float(target_file_bytes)))
     df = spark.read.parquet(path)
