@@ -2698,13 +2698,21 @@ def _temperature_mix_oracle_sql() -> str:
     the SAME sorted-source order as temperature_mix_plan's Python loop,
     and the md5 membership bound of sampling._membership_cond."""
     srcs = list(_TM_SOURCES)
+    # COALESCE: a source absent from the data must contribute 0 to the
+    # denominator and get rate 0, mirroring temperature_mix_plan's
+    # avail.get(s, 0.0) — a bare FILTER sum would be NULL and poison
+    # every rate (empty oracle result on any testdata regeneration that
+    # drops a source)
     n_cols = ",\n         ".join(
-        f"CAST(sum(n_chars) FILTER (source = '{s}') AS DOUBLE) AS n_{s}"
+        f"CAST(coalesce(sum(n_chars) FILTER (source = '{s}'), 0) "
+        f"AS DOUBLE) AS n_{s}"
         for s in srcs)
     denom = " + ".join(f"sqrt(n_{s})" for s in srcs)
     per_src = "\n  UNION ALL ".join(
         f"SELECT '{s}' AS source, "
-        f"least(1.0, budget * sqrt(n_{s}) / denom / n_{s}) AS rate "
+        f"CASE WHEN n_{s} <= 0 OR denom <= 0 THEN 0.0 "
+        f"ELSE least(1.0, budget * sqrt(n_{s}) / denom / n_{s}) "
+        f"END AS rate "
         "FROM r"
         for s in srcs)
     return f"""
@@ -4020,6 +4028,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_trailing_30d": q_window_trailing_30d,
     "q5_revenue_by_nation": q_q5_revenue_by_nation,
     "q4_late_order_priority": q_q4_late_order_priority,
+    # ---- below the 50-slot driver window from here down ----
+    # (the boundary is checked by tests/test_bare_session.py — keep the
+    # marker honest when rotating: exactly 50 entries precede it)
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q14_promo_revenue": q_q14_promo_revenue,
     "q10_returned_revenue": q_q10_returned_revenue,
@@ -4028,7 +4039,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_without_orders": q_customers_without_orders,
     "topk_orders_per_customer": q_topk_orders_per_customer,
     "window_running_total": q_window_running_total,
-    # ---- below the 50-slot driver window from here down ----
     # round-2 driver-green (CORRECTNESS_r02.json)
     "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
     "json_extract_events": q_json_extract_events,

@@ -57,3 +57,19 @@ def test_stream_events_on_bare_session(spark, sf_dir):
     out = run_available_now_to_memory(agg, "bare_session_tumbling",
                                       output_mode="complete")
     assert out.count() > 0
+
+
+def test_registry_window_marker_is_honest():
+    """The '50-slot driver window' comment in the registry must sit
+    after EXACTLY 50 entries — rotation decisions are made against it,
+    so a drifted marker silently mislabels which queries the driver
+    checks."""
+    import os
+    import re
+
+    src = open(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "__spark_entry__.py")).read()
+    head = src.split("# ---- below the 50-slot driver window")[0]
+    head = head[head.index("_QUERIES: dict"):]
+    n = len(re.findall(r'^\s{4}"[a-z0-9_]+": q_', head, re.M))
+    assert n == 50, f"{n} registry entries precede the window marker"

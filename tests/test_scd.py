@@ -204,3 +204,27 @@ def test_scd2_rebuild_store_heals_late_observation(spark, tmp_path):
     scd2_rebuild_store(all_obs, dim_path, key_cols=["user_id"],
                        ts_col="ts", attr_cols=["status"], keys=late_keys)
     assert rows(spark.read.parquet(dim_path)) == rows(want)
+
+
+def test_scd2_rebuild_store_carries_tiebreak_column(spark, tmp_path):
+    """A dedicated per-key sequence column (the usual CDC tiebreaker,
+    NOT among key/attr columns) must survive the rebuild projection —
+    same-instant observations order by it."""
+    import datetime as dt
+
+    from wrangle_pypes_spark.operators.scd import (scd2_build,
+                                                   scd2_rebuild_store)
+
+    t = dt.datetime(2024, 1, 1)
+    log = spark.createDataFrame(
+        [(1, "A", t, 1), (1, "B", t, 2)],  # same ts; seq orders them
+        "user_id int, status string, ts timestamp, seq int")
+    dim_path = str(tmp_path / "dim")
+    scd2_rebuild_store(log, dim_path, key_cols=["user_id"], ts_col="ts",
+                       attr_cols=["status"], tiebreak_cols=["seq"])
+    got = spark.read.parquet(dim_path).collect()
+    want = scd2_build(log, key_cols=["user_id"], ts_col="ts",
+                      attr_cols=["status"], tiebreak_cols=["seq"]).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # seq=2 wins the current interval
+    assert [r.status for r in got if r.is_current] == ["B"]

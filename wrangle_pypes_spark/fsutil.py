@@ -82,8 +82,16 @@ def read_text(path: str, spark=None) -> Optional[str]:
 
 
 def write_text_atomic(path: str, text: str, spark=None) -> None:
-    """Write a small text file via tmp-then-rename (atomic on
-    POSIX/HDFS; copy+delete on S3-like stores — see module docstring)."""
+    """Write a small text file via tmp-then-rename-with-overwrite
+    (atomic on POSIX/HDFS; copy-based on S3-like stores — see module
+    docstring).
+
+    The remote branch renames through ``FileContext`` with
+    ``Options.Rename.OVERWRITE`` — a single atomic namespace operation
+    on HDFS.  A delete-then-rename pair would open a crash window with
+    NO marker present at all, which for an epoch marker silently
+    re-arms already-merged batches — worse than a stale marker.
+    """
     if is_local(path):
         p = _strip_file_scheme(path)
         tmp = p + ".tmp"
@@ -91,17 +99,21 @@ def write_text_atomic(path: str, text: str, spark=None) -> None:
             f.write(text)
         os.replace(tmp, p)
         return
-    fs, jpath, jvm = _hadoop(_require_spark(spark, path), path)
+    spark = _require_spark(spark, path)
+    fs, jpath, jvm = _hadoop(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(jpath):
-        fs.delete(jpath, False)
-    if not fs.rename(tmp, jpath):
-        raise IOError(f"rename {path}.tmp -> {path} failed")
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        jpath.toUri(), spark._jsc.hadoopConfiguration())
+    overwrite = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    arr = spark.sparkContext._gateway.new_array(
+        jvm.org.apache.hadoop.fs.Options.Rename, 1)
+    arr[0] = overwrite
+    fc.rename(tmp, jpath, arr)
 
 
 def dir_exists(path: str, spark=None) -> bool:

@@ -128,7 +128,9 @@ def corpus_top_ngrams(docs: DataFrame, text_col: str = "text", *,
 
 def unigram_logprob_score(docs: DataFrame, text_col: str = "text", *,
                           id_col: str = "doc_id",
-                          round_digits: int = 4) -> DataFrame:
+                          round_digits: int = 4,
+                          cache_registry: Optional[list] = None
+                          ) -> DataFrame:
     """Per-document unigram-LM score: average negative log-probability
     of the document's tokens under the CORPUS unigram distribution —
     the cheap perplexity proxy of public web-corpus curation (a doc of
@@ -145,6 +147,13 @@ def unigram_logprob_score(docs: DataFrame, text_col: str = "text", *,
     order differs between engines (and between partitionings), and the
     ~1e-13 reassociation noise below the rounding grain is exactly what
     a cross-engine value oracle must not depend on.
+
+    The vocab-sized frequency table is persisted (it feeds both the
+    total and the broadcast join, and must survive until the caller's
+    action).  Long-lived drivers looping over corpora should pass a
+    list as ``cache_registry`` and ``unpersist()`` its entries after
+    materializing — the same cleanup contract as
+    ``aio.async_get_or_create``.
     """
     toks = docs.select(F.col(id_col),
                        F.explode(tokens(F.col(text_col))).alias("_tok"))
@@ -153,7 +162,11 @@ def unigram_logprob_score(docs: DataFrame, text_col: str = "text", *,
     # vocab-sized aggregate — never a second corpus-sized pass) and the
     # broadcast join back onto the token stream
     freqs = freqs.persist()
-    total = freqs.agg(F.sum("_tf")).collect()[0][0]
+    if cache_registry is not None:
+        cache_registry.append(freqs)
+    # empty corpus (or all-empty texts): sum is NULL — any positive
+    # stand-in works, no row ever evaluates the log
+    total = freqs.agg(F.sum("_tf")).collect()[0][0] or 1
     scored = (toks.join(F.broadcast(freqs), "_tok")
               .groupBy(id_col)
               .agg(F.count("*").alias("n_tokens"),

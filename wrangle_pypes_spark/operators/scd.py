@@ -139,7 +139,14 @@ def scd2_rebuild_store(raw_log: DataFrame, dim_path: str, *,
     if keys is not None:
         log = raw_log.join(F.broadcast(keys.select(*kc).distinct()),
                            kc, "left_semi")
-    rebuilt = scd2_build(log.select(*kc, *attr_cols, ts_col),
+    # carry tiebreak columns through the projection (deduped) — a
+    # dedicated per-key sequence column is exactly what CDC logs use
+    cols, seen = [], set()
+    for c in [*kc, *attr_cols, ts_col, *tiebreak_cols]:
+        if c not in seen:
+            seen.add(c)
+            cols.append(c)
+    rebuilt = scd2_build(log.select(*cols),
                          key_cols=kc, ts_col=ts_col,
                          attr_cols=list(attr_cols),
                          tiebreak_cols=tiebreak_cols)
