@@ -2230,14 +2230,18 @@ WITH t AS (
   SELECT doc_id, unnest(toks) AS tok FROM t
 ), marg AS (
   SELECT tok, count(*) AS n_t FROM u GROUP BY tok
+), topm AS (
+  SELECT tok FROM marg ORDER BY n_t DESC, tok LIMIT 10000
+), uf AS (
+  SELECT u.doc_id, u.tok FROM u JOIN topm USING (tok)
 ), co AS (
   SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
-  FROM u a JOIN u b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  FROM uf a JOIN uf b ON a.doc_id = b.doc_id AND a.tok < b.tok
   GROUP BY 1, 2
   HAVING count(*) >= 50
 )
 SELECT tok_a, tok_b, n_ab,
-       round(ln(n_ab::DOUBLE * (SELECT count(*) FROM documents)
+       round(ln(n_ab::DOUBLE * (SELECT count(DISTINCT doc_id) FROM u)
                 / (ma.n_t * mb.n_t)), 6) AS pmi
 FROM co
 JOIN marg ma ON co.tok_a = ma.tok
@@ -2645,14 +2649,17 @@ ORDER BY t.doc_id
 
 def q_inverted_index_stats(spark, sf_dir):
     """Inverted-index build (functions/text.py ``inverted_index``):
-    token → (df, total_tf, postings sorted by doc).  The registered
-    projection checks the scalar statistics per token (min_df=2);
-    postings-array contents are pinned in tests/test_text... against a
-    hand-built index (array-of-struct hashing is engine-specific)."""
+    (token, shard) → bounded postings + token-level (df, total_tf),
+    sharded by doc-hash so no stopword-class token materializes an
+    unbounded array.  The registered projection checks the token-level
+    scalar statistics (min_df=2; distinct collapses the shards, which
+    is also the reader's union); postings-array contents are pinned in
+    tests against a hand-built index (array-of-struct hashing is
+    engine-specific)."""
     from wrangle_pypes_spark.functions import inverted_index
     d = _t(spark, sf_dir, "documents")
-    return (inverted_index(d, min_df=2)
-            .select("token", "df", "total_tf")
+    return (inverted_index(d, min_df=2, postings_shards=16)
+            .select("token", "df", "total_tf").distinct()
             .orderBy("token"))
 
 

@@ -123,7 +123,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    record = json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
@@ -132,7 +132,20 @@ def main() -> None:
         "n_queries": len(timings),
         "total_result_rows": total_rows,
         "cpus": cpus,
-    }))
+    })
+    # sidecar copy: the driver's stdout tail-capture truncated the
+    # one-line JSON once (BENCH_r03 "parsed": null) — the file is the
+    # truncation-proof record of the same line
+    sidecar = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_local.json"))
+    try:
+        with open(sidecar, "w") as f:
+            f.write(record + "\n")
+    except OSError:
+        pass  # a read-only checkout must not fail the bench itself
+    print(record)
 
 
 if __name__ == "__main__":

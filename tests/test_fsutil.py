@@ -48,6 +48,29 @@ def test_local_roundtrip(tmp_path):
     assert not fsutil.dir_exists(d + "2")
 
 
+def test_read_text_propagates_non_notfound_errors(tmp_path):
+    """Only genuine not-found maps to None (ADVICE r3): a permission
+    error must RAISE — mapping it to None would read as epoch -1 and
+    re-arm an already-merged streaming batch."""
+    missing = str(tmp_path / "nope")
+    assert fsutil.read_text(missing) is None
+    # path component that is a file, not a dir -> also "doesn't exist"
+    f = str(tmp_path / "plain")
+    fsutil.write_text_atomic(f, "x")
+    assert fsutil.read_text(f + "/marker") is None
+    if os.geteuid() == 0:
+        pytest.skip("root bypasses permission bits")
+    locked = tmp_path / "locked"
+    locked.mkdir()
+    (locked / "marker").write_text("7")
+    locked.chmod(0o000)
+    try:
+        with pytest.raises(PermissionError):
+            fsutil.read_text(str(locked / "marker"))
+    finally:
+        locked.chmod(0o755)
+
+
 def test_hadoop_fs_roundtrip(spark, tmp_path, monkeypatch):
     _force_hadoop(monkeypatch)
     p = "file:" + str(tmp_path / "marker")

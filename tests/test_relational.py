@@ -334,6 +334,33 @@ def test_funnel_steps_order_matters(spark):
     assert got == {1: 3, 2: 2, 3: 0, 4: 1, 5: 2}
 
 
+def test_funnel_steps_caps_events_per_key(spark):
+    """max_events_per_key slices the sorted list: a bot key keeps only
+    its EARLIEST events, so a qualifying event past the cap
+    under-counts (documented truncation) while normal keys are
+    untouched."""
+    import datetime as dt
+
+    from wrangle_pypes_spark.operators import funnel_steps
+
+    rows = [(1, "view", dt.datetime(2024, 1, 1, 0, m)) for m in range(50)]
+    rows.append((1, "click", dt.datetime(2024, 1, 2)))  # after the flood
+    rows += [(2, "view", dt.datetime(2024, 1, 1)),
+             (2, "click", dt.datetime(2024, 1, 2))]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_type string, ts timestamp")
+    kw = dict(key_col="user_id", ts_col="ts", type_col="event_type",
+              steps=("view", "click"))
+    capped = {r.user_id: r.steps_completed
+              for r in funnel_steps(df, max_events_per_key=10, **kw)
+              .collect()}
+    assert capped == {1: 1, 2: 2}  # bot's late click truncated away
+    uncapped = {r.user_id: r.steps_completed
+                for r in funnel_steps(df, max_events_per_key=None, **kw)
+                .collect()}
+    assert uncapped == {1: 2, 2: 2}
+
+
 def test_cohort_retention_offsets(spark):
     import datetime as dt
 

@@ -184,6 +184,26 @@ def test_temperature_mix_rates_and_tail_upweighting(spark, tables):
     assert 0 < kept_tok < total
 
 
+def test_temperature_mix_plan_ignores_null_source(spark):
+    """A NULL source key is dropped from the inferred source list
+    (ADVICE r3) instead of blowing up sorted() with None-vs-str; the
+    membership filter never keeps NULL-source rows anyway."""
+    from wrangle_pypes_spark.operators import (temperature_mix,
+                                               temperature_mix_plan)
+
+    rows = [("web", 100, 1), ("code", 50, 2), (None, 999, 3),
+            ("web", 100, 4)]
+    df = spark.createDataFrame(rows, "source string, n_tok long, id long")
+    plan = temperature_mix_plan(df, source_col="source",
+                                token_col="n_tok", alpha=0.5,
+                                token_budget=100.0)
+    assert set(plan) == {"web", "code"}  # no None key
+    out = temperature_mix(df, source_col="source", token_col="n_tok",
+                          key_col="id", alpha=0.5, token_budget=1000.0,
+                          hash_scheme="md5")
+    assert all(r.source is not None for r in out.collect())
+
+
 def test_split_assign_null_id_routing(spark):
     """NULL ids must never silently land in the eval split: the default
     fails the job; an explicit quarantine label routes them visibly."""

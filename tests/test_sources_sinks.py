@@ -244,6 +244,40 @@ def test_compact_parquet_targets_file_size(spark, tables, tmp_path):
     assert 2 <= n_out <= 8
 
 
+def test_compact_parquet_preserves_hive_partition_layout(spark, tables,
+                                                         tmp_path):
+    """Compacting a Hive-partitioned ROOT must keep the key=value
+    directory layout (ADVICE r3): a later partitioned upsert on the
+    same store would otherwise meet a mixed flat/partitioned tree."""
+    import glob
+
+    from wrangle_pypes_spark.sources import compact_parquet
+
+    path = str(tmp_path / "hive")
+    orders = tables["orders"].select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    (orders.repartition(6).write.partitionBy("o_orderpriority")
+     .parquet(path))
+    want = sorted((r.o_orderkey, r.o_totalprice, r.o_orderpriority)
+                  for r in spark.read.parquet(path).collect())
+    parts_before = sorted(
+        os.path.basename(d) for d in glob.glob(f"{path}/o_orderpriority=*"))
+    assert parts_before  # sanity: layout is partitioned
+
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    parts_after = sorted(
+        os.path.basename(d) for d in glob.glob(f"{path}/o_orderpriority=*"))
+    assert parts_after == parts_before
+    # no stray flat data files at the root
+    assert not glob.glob(f"{path}/*.parquet")
+    # ~one file per partition value after compaction
+    for d in glob.glob(f"{path}/o_orderpriority=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+    got = sorted((r.o_orderkey, r.o_totalprice, r.o_orderpriority)
+                 for r in spark.read.parquet(path).collect())
+    assert got == want
+
+
 def test_compact_parquet_recovers_crashed_swap(spark, tables, tmp_path):
     import os
 

@@ -106,14 +106,59 @@ def test_inverted_index_postings(spark):
     df = spark.createDataFrame(
         [(1, "x y x"), (2, "y z"), (3, "x")],
         "doc_id long, text string")
-    idx = {r.token: r for r in inverted_index(df).collect()}
+    idx = {r.token: r
+           for r in inverted_index(df, postings_shards=1).collect()}
     assert idx["x"].df == 2 and idx["x"].total_tf == 3
     assert [(p.doc, p.tf) for p in idx["x"].postings] == [(1, 2), (3, 1)]
     assert [(p.doc, p.tf) for p in idx["y"].postings] == [(1, 1), (2, 1)]
     assert idx["z"].df == 1
     # min_df prunes hapax tokens
-    pruned = {r.token for r in inverted_index(df, min_df=2).collect()}
+    pruned = {r.token for r in
+              inverted_index(df, min_df=2, postings_shards=1).collect()}
     assert pruned == {"x", "y"}
+
+
+def test_inverted_index_sharded_bounds_skewed_postings(spark):
+    """A stopword-class token (present in EVERY doc) must not
+    materialize one unbounded postings array: with S shards every
+    array is bounded near |docs|/S, token-level df/total_tf ride on
+    each shard row, and the union of shards reproduces the unsharded
+    index exactly."""
+    from wrangle_pypes_spark.functions import inverted_index
+
+    n, s = 240, 8
+    rows = [(i, f"the tok{i}") for i in range(n)]  # 'the' in all docs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sharded = inverted_index(df, postings_shards=s).collect()
+    the_rows = [r for r in sharded if r.token == "the"]
+    assert len(the_rows) > 1  # actually sharded
+    # every shard row carries the TOKEN-level stats
+    assert all(r.df == n and r.total_tf == n for r in the_rows)
+    # forced-skew bound: no single array near |docs|; all ≤ ~3x ideal
+    assert max(len(r.postings) for r in the_rows) <= 3 * (n // s)
+    assert sum(len(r.postings) for r in the_rows) == n
+    # union of shards == unsharded postings
+    merged = sorted((p.doc, p.tf) for r in the_rows for p in r.postings)
+    flat = {r.token: r
+            for r in inverted_index(df, postings_shards=1).collect()}
+    assert merged == [(p.doc, p.tf) for p in flat["the"].postings]
+    # max_df suppresses the stopword-class token entirely
+    capped = {r.token for r in
+              inverted_index(df, max_df=n - 1, postings_shards=s).collect()}
+    assert "the" not in capped and "tok0" in capped
+
+
+def test_inverted_index_sharded_plan_partial_aggregates(spark):
+    """The sharded build must keep map-side partial aggregation on the
+    (doc, token) collapse and stay entirely JVM-side."""
+    from wrangle_pypes_spark.functions import inverted_index
+    from wrangle_pypes_spark.plans import assert_jvm_only, audit
+
+    df = spark.createDataFrame([(1, "x y"), (2, "x")],
+                               "doc_id long, text string")
+    idx = inverted_index(df, postings_shards=4)
+    assert audit(idx).partial_aggregates >= 1
+    assert_jvm_only(idx)
 
 
 def test_token_pmi_attract_repel(spark):
@@ -126,6 +171,31 @@ def test_token_pmi_attract_repel(spark):
                                     min_pair_docs=1).collect()}
     assert pmi[("p", "q")] > 0
     assert pmi[("p", "r")] < 0
+
+
+def test_token_pmi_top_m_bounds_pathological_doc(spark):
+    """The enforced top-M vocabulary cut: a gibberish document full of
+    corpus-rare tokens contributes NO pairs beyond the globally
+    frequent vocabulary, instead of |vocab_doc|^2 of them."""
+    # 6 docs establish a frequent core vocab {a b c}; doc 99 is
+    # pathological: 40 unique hapax tokens (+ the core)
+    rows = [(i, "a b c") for i in range(6)]
+    rows.append((99, "a b c " + " ".join(f"junk{j}" for j in range(40))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = token_pmi_pairs(df, "text", id_col="doc_id",
+                          min_pair_docs=1, top_m_tokens=3).collect()
+    toks_seen = {t for r in out for t in (r.tok_a, r.tok_b)}
+    assert toks_seen == {"a", "b", "c"}  # junk never enters the join
+    assert len(out) == 3  # C(3,2) pairs only, not C(43,2)
+    # N folds into the marginals pass: 7 docs contribute tokens
+    ab = next(r for r in out if (r.tok_a, r.tok_b) == ("a", "b"))
+    import math
+    assert ab.pmi == pytest.approx(
+        round(math.log(7 * 7.0 / (7 * 7)), 6))  # ln(N*n_ab/(n_a*n_b))=0
+    # disabling the cap restores the full pair set
+    full = token_pmi_pairs(df, "text", id_col="doc_id",
+                           min_pair_docs=1, top_m_tokens=None).collect()
+    assert len(full) > 3
 
 
 def test_chunk_documents_overlap_semantics(spark):

@@ -63,12 +63,18 @@ def _hadoop(spark, path: str):
 
 
 def read_text(path: str, spark=None) -> Optional[str]:
-    """Contents of a small text file, or None if it doesn't exist."""
+    """Contents of a small text file, or None if it doesn't exist.
+
+    Only genuine not-found maps to None.  Every other error (permission
+    denied, transient I/O) propagates: for an epoch marker, swallowing
+    it would read as "epoch -1", re-arming an already-merged batch and
+    double-merging additive state — a failed batch is the safe outcome.
+    """
     if is_local(path):
         try:
             with open(_strip_file_scheme(path)) as f:
                 return f.read()
-        except OSError:
+        except (FileNotFoundError, NotADirectoryError):
             return None
     fs, jpath, jvm = _hadoop(_require_spark(spark, path), path)
     if not fs.exists(jpath):

@@ -177,35 +177,73 @@ def unigram_logprob_score(docs: DataFrame, text_col: str = "text", *,
 
 def inverted_index(docs: DataFrame, text_col: str = "text", *,
                    id_col: str = "doc_id",
-                   min_df: int = 1) -> DataFrame:
-    """Build an inverted index: one row per distinct token with
-    ``df`` (document frequency), ``total_tf`` (corpus term frequency),
-    and ``postings`` — an array of ``(doc, tf)`` structs sorted by doc
-    id, the classic search/retrieval sidecar for a document corpus.
+                   min_df: int = 1,
+                   max_df: Optional[int] = None,
+                   postings_shards: int = 16) -> DataFrame:
+    """Build an inverted index keyed by ``(token, shard)``: each row
+    carries the token-level ``df`` (document frequency) and
+    ``total_tf`` (corpus term frequency) plus ``postings`` — that
+    shard's array of ``(doc, tf)`` structs sorted by doc id.  Readers
+    union a token's shards (``WHERE token = ?`` prunes to ≤
+    ``postings_shards`` rows).
+
+    Why sharded: a per-token ``collect_list`` is unbounded on the
+    high-df tail — at web scale a stopword-class token would
+    materialize one row holding ~every doc id, an executor OOM on
+    exactly the rows a 100 TB corpus guarantees exist.  Sharding by
+    ``pmod(xxhash64(doc), S)`` bounds every postings array at roughly
+    ``|docs| / S`` regardless of skew, and S scales with the corpus
+    (pick ``S ≈ max_expected_df / rows_per_array_budget``).
 
     Shape at scale: explode → per-(doc, token) count with map-side
     partials (collapses the token stream to one row per posting before
-    any shuffle) → token-keyed aggregate building the postings array.
-    Partition-count the output by token hash; a 100 TB corpus's index
-    is read back by token equi-lookups, which prune to one partition.
-    ``min_df`` drops hapax noise at the source (common in web corpora).
+    any shuffle) → (token, shard)-keyed aggregate building the arrays →
+    token-keyed roll-up of the per-shard counts (vocab×S tiny rows)
+    joined back for token-level ``df``/``total_tf``.  The join is
+    token-keyed sort-merge; rows stream through it one bounded array at
+    a time, so no task ever holds a full token's postings.
+
+    ``min_df`` drops hapax noise (common in web corpora); ``max_df``
+    is the stopword-suppression escape — tokens in more than ``max_df``
+    documents are dropped entirely.  ``postings_shards=1`` keeps the
+    legacy single-row-per-token layout (no ``shard`` column) for small
+    corpora where lookups should be single-row.
     """
     toks = docs.select(F.col(id_col).alias("doc"),
                        F.explode(tokens(F.col(text_col))).alias("token"))
     postings = toks.groupBy("token", "doc").agg(F.count("*").alias("tf"))
-    idx = (postings.groupBy("token")
-           .agg(F.count("*").alias("df"),
-                F.sum("tf").alias("total_tf"),
-                F.sort_array(F.collect_list(
-                    F.struct("doc", "tf"))).alias("postings")))
+    if postings_shards <= 1:
+        idx = (postings.groupBy("token")
+               .agg(F.count("*").alias("df"),
+                    F.sum("tf").alias("total_tf"),
+                    F.sort_array(F.collect_list(
+                        F.struct("doc", "tf"))).alias("postings")))
+    else:
+        shard = F.pmod(F.xxhash64("doc"),
+                       F.lit(postings_shards)).cast("int")
+        per_shard = (postings.withColumn("shard", shard)
+                     .groupBy("token", "shard")
+                     .agg(F.count("*").alias("_shard_df"),
+                          F.sum("tf").alias("_shard_tf"),
+                          F.sort_array(F.collect_list(
+                              F.struct("doc", "tf"))).alias("postings")))
+        tok_stats = (per_shard.groupBy("token")
+                     .agg(F.sum("_shard_df").alias("df"),
+                          F.sum("_shard_tf").alias("total_tf")))
+        idx = (per_shard.join(tok_stats, "token")
+               .select("token", "shard", "df", "total_tf", "postings"))
     if min_df > 1:
         idx = idx.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        idx = idx.filter(F.col("df") <= max_df)
     return idx
 
 
 def token_pmi_pairs(docs: DataFrame, text_col: str = "text", *,
                     id_col: str = "doc_id", min_pair_docs: int = 2,
-                    n_docs: Optional[int] = None) -> DataFrame:
+                    n_docs: Optional[int] = None,
+                    top_m_tokens: Optional[int] = 10_000,
+                    cache_registry: Optional[list] = None) -> DataFrame:
     """Pointwise mutual information for token pairs co-occurring in the
     same document: (tok_a, tok_b, n_ab, pmi) for every unordered pair
     seen in at least ``min_pair_docs`` documents.
@@ -213,21 +251,45 @@ def token_pmi_pairs(docs: DataFrame, text_col: str = "text", *,
     pmi = ln(N · n_ab / (n_a · n_b)) over document frequencies —
     positive = the tokens attract (phrases, topics), negative = repel.
 
-    Scale: tokens are distinct'd PER DOCUMENT before the pair self-join,
-    so the join is co-partitioned on ``id_col`` and each document
-    contributes at most |vocab_doc|² pairs (bounded by doc length, not
-    corpus size).  Marginal document frequencies are a separate tiny
-    aggregate (≤ vocabulary rows) broadcast onto the pair counts — the
-    only full-data shuffles are the doc-distinct and the pair count,
-    both with map-side partial aggregation.  For web-scale vocabularies
-    prefilter ``toks`` to the top-M tokens by document frequency first.
+    Scale: tokens are distinct'd PER DOCUMENT before the pair
+    self-join, so the join is co-partitioned on ``id_col`` — and the
+    vocabulary entering the join is ENFORCED to the ``top_m_tokens``
+    tokens by document frequency (deterministic tie-break on the token
+    string).  Without that bound one pathological 50k-distinct-token
+    document emits ~1.2B pairs; with it, a document contributes pairs
+    only among its globally-frequent tokens — which is also what PMI
+    is for, since a pair below ``min_pair_docs`` can never surface and
+    hapax tokens only waste the join.  ``top_m_tokens=None`` disables
+    the bound (small corpora).
+
+    One marginals pass does double duty via ``rollup``: the per-token
+    rows are the document frequencies ``n_t`` and the grand-total row
+    carries ``count(DISTINCT doc)`` — so ``N`` (docs contributing ≥1
+    token; empty documents carry no co-occurrence signal) costs no
+    second corpus scan.  Pass ``n_docs`` to skip even that collect.
+    The vocab-sized marginals table is persisted (it feeds the top-M
+    cut, the scalar N, and both broadcast joins); long-lived drivers
+    pass ``cache_registry`` and unpersist after materializing, as with
+    :func:`unigram_logprob_score`.
     """
-    if n_docs is None:
-        n_docs = docs.count()  # scalar; at scale precompute per corpus
     toks = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
-    marginals = toks.groupBy("tok").agg(F.count("*").alias("n_t"))
+    marg = (toks.rollup("tok")
+            .agg(F.count("*").alias("n_t"),
+                 F.count_distinct("_id").alias("_nd"),
+                 F.grouping("tok").alias("_g"))
+            .persist())
+    if cache_registry is not None:
+        cache_registry.append(marg)
+    if n_docs is None:
+        row = marg.filter(F.col("_g") == 1).collect()
+        n_docs = int(row[0]["_nd"]) if row else 0
+    marginals = marg.filter(F.col("_g") == 0).select("tok", "n_t")
+    if top_m_tokens is not None:
+        top = (marginals.orderBy(F.desc("n_t"), "tok")
+               .limit(top_m_tokens).select("tok"))
+        toks = toks.join(F.broadcast(top), "tok")
     a, b = toks.alias("a"), toks.alias("b")
     pairs = a.join(b, (F.col("a._id") == F.col("b._id")) &
                    (F.col("a.tok") < F.col("b.tok")))

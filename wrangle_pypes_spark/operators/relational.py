@@ -60,7 +60,8 @@ def sessionize(df: DataFrame, key_col: str, ts_col: str,
 
 
 def funnel_steps(df: DataFrame, *, key_col: str, ts_col: str,
-                 type_col: str, steps: Sequence[str]) -> DataFrame:
+                 type_col: str, steps: Sequence[str],
+                 max_events_per_key: Optional[int] = 100_000) -> DataFrame:
     """Ordered funnel analysis: per key, how many of ``steps`` were
     completed IN ORDER (each step's event strictly follows the state
     reached by the previous step).  Output: (key, steps_completed).
@@ -69,16 +70,30 @@ def funnel_steps(df: DataFrame, *, key_col: str, ts_col: str,
     key's time-sorted event structs advancing a step counter — the
     subsequence-matching greedy (earliest matching event per step),
     which is optimal.  Per-key event lists live in executor memory like
-    any ``collect_list``; for power-law keys cap or pre-filter to the
-    funnel's event types first (done here — only events whose type
-    appears in ``steps`` survive the scan, so the list carries funnel
-    events, not the firehose).
+    any ``collect_list``; only events whose type appears in ``steps``
+    survive the scan, and ``max_events_per_key`` caps the list AFTER
+    the sort (``F.slice``) so one bot key cannot blow an executor at
+    100× scale.  Truncation semantics: the EARLIEST ``max_events_per_key``
+    funnel-type events are kept — the greedy matcher prefers earliest
+    events anyway, so a truncated key can only UNDER-count steps whose
+    qualifying events all fall past the cap.  ``None`` disables the cap.
+
+    Tie order contract: simultaneous events sort by ``(ts, type)``
+    LEXICOGRAPHICALLY on the type string — an event at the exact
+    timestamp of the event that completed the previous step advances
+    the funnel only if its type string sorts after it (e.g. a
+    ``purchase`` at the same ts as the qualifying ``click`` counts, a
+    ``click`` at the same ts as the qualifying ``view`` does not).
+    Pick step names (or pre-map them to ordered labels) so the
+    funnel's step order agrees with lexicographic order when
+    same-timestamp advancement should count.
     """
     typed = df.filter(F.col(type_col).isin(*steps)) \
               .select(key_col, ts_col, type_col)
-    evs = typed.groupBy(key_col).agg(
-        F.sort_array(F.collect_list(
-            F.struct(ts_col, type_col))).alias("_evs"))
+    sorted_evs = F.sort_array(F.collect_list(F.struct(ts_col, type_col)))
+    if max_events_per_key is not None:
+        sorted_evs = F.slice(sorted_evs, 1, max_events_per_key)
+    evs = typed.groupBy(key_col).agg(sorted_evs.alias("_evs"))
 
     def advance(acc: Column, e: Column) -> Column:
         matched = F.lit(False)

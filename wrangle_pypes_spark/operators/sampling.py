@@ -96,7 +96,7 @@ def mix_plan(df: DataFrame, *, source_col: str, token_col: str,
     total_w = float(sum(weights.values()))
     if total_w <= 0:
         raise ValueError("weights must sum to a positive value")
-    avail = {r["src"]: float(r["tok"]) for r in
+    avail = {r["src"]: float(r["tok"] or 0.0) for r in
              (df.groupBy(F.col(source_col).alias("src"))
               .agg(F.sum(token_col).alias("tok")).collect())}
     plan: dict[str, dict[str, float]] = {}
@@ -152,9 +152,13 @@ def temperature_mix_plan(df: DataFrame, *, source_col: str,
 
     if token_budget <= 0:
         raise ValueError("token_budget must be positive")
-    avail = {r["src"]: float(r["tok"]) for r in
+    avail = {r["src"]: float(r["tok"] or 0.0) for r in
              (df.groupBy(F.col(source_col).alias("src"))
               .agg(F.sum(token_col).alias("tok")).collect())}
+    # a NULL source key can't be part of a named mix (and would make
+    # sorted() raise None-vs-str); drop it here — the membership filter
+    # never keeps NULL-source rows anyway
+    avail.pop(None, None)
     srcs = sorted(sources) if sources is not None else sorted(avail)
     powed = {}
     for s in srcs:

@@ -135,9 +135,15 @@ def compact_parquet(spark, path: str, *,
     Data-content neutral (same rows, fewer files) — a compaction must
     never change query results.  Current bytes are measured from the
     existing footprint, so the file-count decision needs no extra scan
-    of the data itself.  Partitioned layouts: compact per-partition
-    directory (this rewrite is layout-flattening by design, like
-    rewriting one partition's directory of a huge table).
+    of the data itself.  Hive-partitioned roots (``key=value``
+    subdirectories) are DETECTED and rewritten with the same
+    ``partitionBy``, so the layout survives and a later
+    ``upsert_parquet(..., partition_by=...)`` on the store never sees a
+    mixed flat/partitioned directory.  In that case rows are
+    repartitioned on the partition columns (≈ one output file per
+    partition value); a single partition far above
+    ``target_file_bytes`` is better compacted by pointing this function
+    at that partition's own directory.
     """
     import math
 
@@ -148,19 +154,53 @@ def compact_parquet(spark, path: str, *,
     # would leave the table unreadable for the NEXT compaction too
     if not recover_upsert_backup(path, spark=spark):
         raise FileNotFoundError(f"no parquet table at {path!r}")
+    pcols = _partition_columns(path, spark)
     total = _dir_bytes(path, spark)
     n_files = max(1, math.ceil(total / float(target_file_bytes)))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "._compact_tmp"
     bak = path.rstrip("/") + "._upsert_bak"
     fsutil.delete(tmp, spark=spark)
-    (df.repartition(n_files).write.mode("overwrite")
-     .option("compression", compression).parquet(tmp))
+    out = df.repartition(n_files, *pcols) if pcols else df.repartition(n_files)
+    writer = (out.write.mode("overwrite")
+              .option("compression", compression))
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(tmp)
     fsutil.delete(bak, spark=spark)
     fsutil.rename(path, bak, spark=spark)
     fsutil.rename(tmp, path, spark=spark)
     fsutil.delete(bak, spark=spark)
     return n_files
+
+
+def _partition_columns(path: str, spark=None) -> list:
+    """Hive partition columns of a parquet directory, inferred from its
+    ``key=value`` subdirectory chain (outermost first); ``[]`` for a
+    flat layout.  Driver-side listing of ONE directory per partition
+    level — never a data scan."""
+    from .. import fsutil
+
+    def subdirs(p):
+        if fsutil.is_local(p):
+            lp = fsutil._strip_file_scheme(p)
+            return [d for d in os.listdir(lp)
+                    if os.path.isdir(os.path.join(lp, d))]
+        fs, jpath, _ = fsutil._hadoop(
+            fsutil._require_spark(spark, p), p)
+        return [st.getPath().getName() for st in fs.listStatus(jpath)
+                if st.isDirectory()]
+
+    cols: list = []
+    cur = path.rstrip("/")
+    while True:
+        parts = [d for d in subdirs(cur)
+                 if "=" in d and not d.startswith(("_", "."))]
+        if not parts:
+            return cols
+        name = sorted(parts)[0].split("=", 1)[0]
+        cols.append(name)
+        cur = cur + "/" + sorted(parts)[0]
 
 
 def _dir_bytes(path: str, spark=None) -> int:
