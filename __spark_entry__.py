@@ -2954,6 +2954,71 @@ WINDOW w2 AS (PARTITION BY o_custkey
 """
 
 
+def q_compact_roundtrip_orders(spark, sf_dir):
+    """Small-file compaction (sources/sinks.py ``compact_parquet``):
+    a 17-file Hive-partitioned store is rewritten size-targeted and
+    atomically swapped, PRESERVING the key=value layout.  Compaction is
+    content-neutral by contract, so the read-back equals the source
+    projection row-for-row — which is exactly what the oracle checks;
+    file-count and layout mechanics are pinned in
+    tests/test_sources_sinks.py."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources import compact_parquet
+
+    store = tempfile.mkdtemp(prefix="wps_compact_q_") + "/store"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    (o.repartition(17).write.partitionBy("o_orderstatus")
+     .parquet(store))
+    compact_parquet(spark, store, target_file_bytes=1 << 30)
+    back = spark.read.parquet(store)
+    return back.select("o_orderkey", "o_custkey", "o_totalprice",
+                       F.col("o_orderstatus").cast("string")
+                       .alias("o_orderstatus"))
+
+
+SQL_COMPACT_ROUNDTRIP = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+"""
+
+
+def q_scd2_rebuild_heal(spark, sf_dir):
+    """Late-data recovery for the durable SCD2 store (operators/scd.py
+    ``scd2_rebuild_store``): bootstrap the dimension from a log MISSING
+    a deterministic straggler slice (minute>=30 events of every 7th
+    user), then heal ONLY the affected keys from the full raw log.
+    The healed store must equal ``scd2_build`` over the complete log —
+    the same change-detect/lead() SQL as the streaming SCD2 oracle,
+    which is the ground-truth contract the docstring promises."""
+    import tempfile
+
+    from wrangle_pypes_spark.operators.scd import (scd2_build,
+                                                   scd2_rebuild_store)
+    from wrangle_pypes_spark.sources.sinks import upsert_parquet
+
+    dim = tempfile.mkdtemp(prefix="wps_scd2_heal_") + "/dim"
+    log = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    late = ((F.pmod(F.col("user_id"), F.lit(7)) == 3) &
+            (F.minute("ts") >= 30))
+    partial = scd2_build(log.filter(~late), key_cols=["user_id"],
+                         ts_col="ts", attr_cols=["event_type"],
+                         tiebreak_cols=["event_type"])
+    upsert_parquet(partial, dim, ["user_id"], dedup_incoming=False)
+    # heal: re-collapse ONLY the straggler keys from the raw log
+    scd2_rebuild_store(log, dim, key_cols=["user_id"], ts_col="ts",
+                       attr_cols=["event_type"],
+                       tiebreak_cols=["event_type"],
+                       keys=log.filter(late).select("user_id"))
+    return (spark.read.parquet(dim)
+            .select("user_id", F.col("event_type").alias("status"),
+                    F.col("valid_from").cast("timestamp_ntz")
+                     .alias("valid_from"),
+                    F.col("valid_to").cast("timestamp_ntz")
+                     .alias("valid_to"),
+                    "is_current"))
+
+
 def q_stream_stream_join(spark, sf_dir):
     """Stream-stream interval join (watermarked both sides, time-bound
     condition for state eviction); the batch range join is the oracle."""
@@ -3972,72 +4037,34 @@ WHERE o_totalprice > cust_avg
 # Registry order is deliberate: the correctness driver verifies the
 # FIRST 50 entries each round, so unproven/changed queries go in the
 # window and long-proven ones rotate behind it (they stay covered by
-# scripts/check_oracle.py locally).  Round-3 window: flagship anchors,
-# then the 28 queries the driver has never checked (12 TPC-H shapes,
-# the durable-streaming trio, SCD2/rollup/profile, window/date/string
-# function families, text/sampling ops), then new-this-round queries,
-# then proven-green rotation fills.
+# scripts/check_oracle.py locally).  Round-4 window: the two new
+# write-path read-back queries, the three queries whose operators
+# changed this round (PMI bound, sharded inverted index, funnel cap),
+# then 45 of the 73 queries whose last driver row predates the
+# round-3 code (sampling/quality/batch-streaming first, per
+# VERDICT r3 #4).  The flagship anchors rotate below for the first
+# time: their code is untouched since their r3 hash-green rows, and
+# entry() + bench.py exercise them every round regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # flagship anchors (always in-window)
-    "wrangle_flat_orders": q_wrangle_flat_orders,
-    "wrangle_nested_customer": q_wrangle_nested_customer,
-    # never-driver-checked: the 12 TPC-H join/agg shapes added in round 2
-    "q2_min_cost_supplier": q_q2_min_cost_supplier,
-    "q7_volume_shipping": q_q7_volume_shipping,
-    "q8_market_share": q_q8_market_share,
-    "q9_profit_by_nation": q_q9_profit_by_nation,
-    "q11_important_parts": q_q11_important_parts,
-    "q13_order_distribution": q_q13_order_distribution,
-    "q15_top_supplier": q_q15_top_supplier,
-    "q16_supplier_part_counts": q_q16_supplier_part_counts,
-    "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
-    "q20_bulk_suppliers": q_q20_bulk_suppliers,
-    "q21_suppliers_kept_waiting": q_q21_suppliers_kept_waiting,
-    "q22_sales_opportunity": q_q22_sales_opportunity,
-    # never-driver-checked: durable streaming maintainers
-    "stream_static_enrich": q_stream_static_enrich,
-    "stream_rollup_events": q_stream_rollup_events,
-    "stream_scd2_user_status": q_stream_scd2_user_status,
-    # never-driver-checked: SCD2 / rollup / profiling / fn families
-    "mix_corpus_sources": q_mix_corpus_sources,
-    "scd2_customer_history": q_scd2_customer_history,
-    "profile_customer": q_profile_customer,
-    "profile_customer_approx": q_profile_customer_approx,
-    "rollup_events_hourly": q_rollup_events_hourly,
-    "window_rank_family": q_window_rank_family,
-    "date_functions_orders": q_date_functions_orders,
-    "string_functions_customer": q_string_functions_customer,
-    # new this round (need first driver-green rows)
-    "temperature_mix_sources": q_temperature_mix_sources,
-    "c4_clean_docs": q_c4_clean_docs,
-    "unigram_logprob": q_unigram_logprob,
-    "inverted_index_stats": q_inverted_index_stats,
-    "funnel_events": q_funnel_events,
-    "cohort_retention_weekly": q_cohort_retention_weekly,
-    "embedding_label_centroids": q_embedding_label_centroids,
-    # never-driver-checked: text / sampling ops
-    "top_ngrams_corpus": q_top_ngrams_corpus,
-    "token_pmi_pairs": q_token_pmi_pairs,
-    "dedup_keep_longest": q_dedup_keep_longest,
-    "chunk_documents_overlap": q_chunk_documents_overlap,
-    "train_val_test_split": q_train_val_test_split,
-    "shuffle_documents": q_shuffle_documents,
-    # proven-green rotation fills (r1/r2 driver-green, re-verified)
-    "q1_pricing_summary": q_q1_pricing_summary,
-    "wrangle_get_or_create": q_wrangle_get_or_create,
-    "q3_topk_revenue": q_q3_topk_revenue,
-    "knn_cosine_top5": q_knn_cosine_top5,
-    "dedup_exact": q_dedup_exact,
-    "text_stats": q_text_stats,
-    "multimodal_features": q_multimodal_features,
-    "wrangle_array_ops": q_wrangle_array_ops,
-    "pivot_status_priority": q_pivot_status_priority,
-    "window_trailing_30d": q_window_trailing_30d,
-    "q5_revenue_by_nation": q_q5_revenue_by_nation,
-    "q4_late_order_priority": q_q4_late_order_priority,
-    # ---- below the 50-slot driver window from here down ----
-    # (the boundary is checked by tests/test_bare_session.py — keep the
-    # marker honest when rotating: exactly 50 entries precede it)
+    "compact_roundtrip_orders": q_compact_roundtrip_orders,  # new r4: compact_parquet read-back
+    "scd2_rebuild_heal": q_scd2_rebuild_heal,  # new r4: scd2_rebuild_store heal read-back
+    "token_pmi_pairs": q_token_pmi_pairs,  # r4: enforced top-M bound + folded N
+    "inverted_index_stats": q_inverted_index_stats,  # r4: sharded postings
+    "funnel_events": q_funnel_events,  # r4: max_events_per_key cap
+    "stratified_sample_langs": q_stratified_sample_langs,  # md5 value-level oracle, driver last saw rows-only
+    "gopher_quality": q_gopher_quality,
+    "repetition_stats": q_repetition_stats,
+    "pii_scrub": q_pii_scrub,
+    "decontaminate_docs": q_decontaminate_docs,
+    "stream_tumbling_events": q_stream_tumbling_events,
+    "stream_sliding_events": q_stream_sliding_events,
+    "stream_session_events": q_stream_session_events,
+    "stream_stateful_counts": q_stream_stateful_counts,
+    "stream_stream_join": q_stream_stream_join,
+    "stream_dedup_events": q_stream_dedup_events,
+    "zorder_col": q_zorder_col,
+    "pack_sequences": q_pack_sequences,
+    "histogram_acctbal": q_histogram_acctbal,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q14_promo_revenue": q_q14_promo_revenue,
     "q10_returned_revenue": q_q10_returned_revenue,
@@ -4046,19 +4073,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_without_orders": q_customers_without_orders,
     "topk_orders_per_customer": q_topk_orders_per_customer,
     "window_running_total": q_window_running_total,
-    # round-2 driver-green (CORRECTNESS_r02.json)
     "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
     "json_extract_events": q_json_extract_events,
     "sessionize_events": q_sessionize_events,
     "asof_latest_order_per_event": q_asof_latest_order_per_event,
     "range_join_event_pairs": q_range_join_event_pairs,
     "wrangle_map_ops": q_wrangle_map_ops,
-    "stream_tumbling_events": q_stream_tumbling_events,
-    "stream_sliding_events": q_stream_sliding_events,
-    "stream_session_events": q_stream_session_events,
-    "stream_stateful_counts": q_stream_stateful_counts,
-    "stream_stream_join": q_stream_stream_join,
-    "stream_dedup_events": q_stream_dedup_events,
     "wrangle_create_multiple": q_wrangle_create_multiple,
     "wrangle_attr_id": q_wrangle_attr_id,
     "wrangle_get_or_create_arrays": q_wrangle_get_or_create_arrays,
@@ -4068,7 +4088,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_agg_priorities": q_string_agg_priorities,
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "salted_join_revenue": q_salted_join_revenue,
-    "approx_distinct_users": q_approx_distinct_users,
     "full_outer_daily_activity": q_full_outer_daily_activity,
     "grouping_sets_orders": q_grouping_sets_orders,
     "wrangle_conditional_gather": q_wrangle_conditional_gather,
@@ -4077,25 +4096,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_api_top_nations": q_sql_api_top_nations,
     "data_quality_violations": q_data_quality_violations,
     "wrangle_lenient_audit": q_wrangle_lenient_audit,
+    # ---- below the 50-slot driver window from here down ----
     "udtf_chunk_text": q_udtf_chunk_text,
-    "grouped_ewma": q_grouped_ewma,
     "corpus_clean_pipeline": q_corpus_clean_pipeline,
     "tfidf_top_terms": q_tfidf_top_terms,
     "wrangle_foreach_custom": q_wrangle_foreach_custom,
     "fuzzy_dedup_canonical": q_fuzzy_dedup_canonical,
-    "pack_sequences": q_pack_sequences,
-    "histogram_acctbal": q_histogram_acctbal,
-    "stratified_sample_langs": q_stratified_sample_langs,
-    "zorder_col": q_zorder_col,
-    "resize_images": q_resize_images,
-    "sample_frames": q_sample_frames,
     "async_enrich_tags": q_async_enrich_tags,
     "async_get_or_create_dim": q_async_get_or_create_dim,
-    "gopher_quality": q_gopher_quality,
-    "repetition_stats": q_repetition_stats,
-    "pii_scrub": q_pii_scrub,
-    "decontaminate_docs": q_decontaminate_docs,
-    # round-1 driver-green remainder
     "window_lag_gap": q_window_lag_gap,
     "rollup_status_priority": q_rollup_status_priority,
     "set_ops_custkeys": q_set_ops_custkeys,
@@ -4107,9 +4115,60 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "embedding_norms": q_embedding_norms,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embedding_near_dup": q_embedding_near_dup,
+    "resize_images": q_resize_images,
+    "sample_frames": q_sample_frames,
+    "wrangle_flat_orders": q_wrangle_flat_orders,
+    "wrangle_nested_customer": q_wrangle_nested_customer,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "q3_topk_revenue": q_q3_topk_revenue,
+    "q4_late_order_priority": q_q4_late_order_priority,
+    "q5_revenue_by_nation": q_q5_revenue_by_nation,
+    "q7_volume_shipping": q_q7_volume_shipping,
+    "q8_market_share": q_q8_market_share,
+    "q9_profit_by_nation": q_q9_profit_by_nation,
+    "q11_important_parts": q_q11_important_parts,
+    "q13_order_distribution": q_q13_order_distribution,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q16_supplier_part_counts": q_q16_supplier_part_counts,
+    "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
+    "q20_bulk_suppliers": q_q20_bulk_suppliers,
+    "q21_suppliers_kept_waiting": q_q21_suppliers_kept_waiting,
+    "q22_sales_opportunity": q_q22_sales_opportunity,
+    "stream_static_enrich": q_stream_static_enrich,
+    "stream_rollup_events": q_stream_rollup_events,
+    "stream_scd2_user_status": q_stream_scd2_user_status,
+    "mix_corpus_sources": q_mix_corpus_sources,
+    "temperature_mix_sources": q_temperature_mix_sources,
+    "scd2_customer_history": q_scd2_customer_history,
+    "profile_customer": q_profile_customer,
+    "rollup_events_hourly": q_rollup_events_hourly,
+    "window_rank_family": q_window_rank_family,
+    "window_trailing_30d": q_window_trailing_30d,
+    "date_functions_orders": q_date_functions_orders,
+    "string_functions_customer": q_string_functions_customer,
+    "c4_clean_docs": q_c4_clean_docs,
+    "unigram_logprob": q_unigram_logprob,
+    "cohort_retention_weekly": q_cohort_retention_weekly,
+    "embedding_label_centroids": q_embedding_label_centroids,
+    "top_ngrams_corpus": q_top_ngrams_corpus,
+    "dedup_keep_longest": q_dedup_keep_longest,
+    "dedup_exact": q_dedup_exact,
+    "chunk_documents_overlap": q_chunk_documents_overlap,
+    "train_val_test_split": q_train_val_test_split,
+    "shuffle_documents": q_shuffle_documents,
+    "wrangle_get_or_create": q_wrangle_get_or_create,
+    "knn_cosine_top5": q_knn_cosine_top5,
+    "text_stats": q_text_stats,
+    "multimodal_features": q_multimodal_features,
+    "wrangle_array_ops": q_wrangle_array_ops,
+    "pivot_status_priority": q_pivot_status_priority,
+    "grouped_ewma": q_grouped_ewma,
+    "approx_distinct_users": q_approx_distinct_users,
+    "profile_customer_approx": q_profile_customer_approx,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
-    "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "ivf_ann_top5": q_ivf_ann_top5,
     "lsh_ann_top5": q_lsh_ann_top5,
@@ -4134,6 +4193,10 @@ _ORACLES: dict[str, str] = {
     "q17_small_quantity_revenue": SQL_Q17,
     "q20_bulk_suppliers": SQL_Q20,
     "scd2_customer_history": SQL_SCD2,
+    "compact_roundtrip_orders": SQL_COMPACT_ROUNDTRIP,
+    # the heal contract IS "equals scd2_build over the full log" —
+    # the streaming-SCD2 ground-truth SQL is the oracle
+    "scd2_rebuild_heal": SQL_STREAM_SCD2,
     "profile_customer": SQL_PROFILE,
     "rollup_events_hourly": SQL_ROLLUP_EVENTS,
     "window_rank_family": SQL_RANK_FAMILY,
@@ -4232,7 +4295,6 @@ _ORACLES: dict[str, str] = {
     "fuzzy_dedup_canonical": SQL_FUZZY_CANONICAL,
     "pack_sequences": SQL_PACK,
     "histogram_acctbal": SQL_HISTOGRAM,
-    # stratified_sample_langs: xxhash64 not in DuckDB → rows-only
     "zorder_col": SQL_ZORDER,
     "resize_images": SQL_RESIZE,
     "sample_frames": SQL_FRAMES,
