@@ -2276,6 +2276,96 @@ QUALIFY row_number() OVER (PARTITION BY fingerprint
 """
 
 
+def q_paragraph_dedup_docs(spark, sf_dir):
+    """Corpus-wide duplicated-paragraph removal (operators/dedup.py
+    ``paragraph_dedup``, the CCNet/C4 boilerplate recipe): split on a
+    separator, md5 the normalized paragraph, keep only the first
+    (doc, pos) occurrence of any paragraph seen >= 2 times, rebuild
+    text in order.  md5 is bit-stable across engines, so the kept set
+    and rebuilt strings are value-level oracle-checkable.  The
+    synthetic docs have no newlines, so the token ' a ' serves as the
+    separator — semantics are identical."""
+    from wrangle_pypes_spark.operators import paragraph_dedup
+    d = _t(spark, sf_dir, "documents")
+    return paragraph_dedup(d, sep=" a ", join_sep=" | ", min_dup=2)
+
+
+SQL_PARAGRAPH_DEDUP = r"""
+WITH p0 AS (
+  SELECT doc_id, string_split_regex(text, ' a ') AS parts FROM documents
+), px AS (
+  SELECT doc_id,
+         unnest(list_transform(parts, (x, i) -> {'pos': i, 'para': x})) AS u
+  FROM p0
+), p AS (
+  SELECT doc_id, u.pos AS pos, u.para AS para,
+         trim(regexp_replace(lower(u.para), '\s+', ' ', 'g')) AS norm
+  FROM px
+  WHERE trim(regexp_replace(lower(u.para), '\s+', ' ', 'g')) <> ''
+), h AS (
+  SELECT doc_id, pos, para, md5(norm) AS hh FROM p
+), flags AS (
+  SELECT doc_id, pos, para,
+         count(*) OVER (PARTITION BY hh) AS n,
+         row_number() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn
+  FROM h
+), kept AS (
+  SELECT doc_id, pos, para FROM flags WHERE n < 2 OR rn = 1
+), rebuilt AS (
+  SELECT doc_id, string_agg(para, ' | ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+       (coalesce(t.n_paras, 0) - coalesce(r.n_kept, 0))::BIGINT AS n_dropped
+FROM documents d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def q_quality_quantile_filter(spark, sf_dir):
+    """Per-language quality-quantile filtering (operators/quality.py
+    ``quantile_filter``, exact path): drop the bottom 20% of documents
+    by quality score WITHIN each language.  ``cume_dist`` ties share a
+    value, so tied documents are kept or dropped together in any
+    engine — the property that makes the exact path value-level
+    checkable (the approx_percentile path is the 100 TB default and is
+    covered by the agreement test in tests/test_quality.py)."""
+    from wrangle_pypes_spark.operators import quantile_filter
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "lang",
+                      quality_score(F.col("text")).alias("quality"))
+    return quantile_filter(scored, "quality", quantile=0.2,
+                           group_cols=["lang"], exact=True)
+
+
+SQL_QUALITY_QUANTILE = """
+WITH t AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         round((
+           (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+              / greatest(length(text), 1))
+           + (len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1))
+           + (CASE WHEN len(toks) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+         ) / 3.0, 6) AS quality
+  FROM t
+)
+SELECT doc_id, lang, quality
+FROM s
+QUALIFY cume_dist() OVER (PARTITION BY lang ORDER BY quality) > 0.2
+"""
+
+
 def q_train_val_test_split(spark, sf_dir):
     """Hash-based split assignment (operators/sampling.py
     ``split_assign``): every doc lands in exactly one of train/val/test
@@ -4116,6 +4206,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norms": q_embedding_norms,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_near_dup": q_embedding_near_dup,
+    "paragraph_dedup_docs": q_paragraph_dedup_docs,
+    "quality_quantile_filter": q_quality_quantile_filter,
     "resize_images": q_resize_images,
     "sample_frames": q_sample_frames,
     "wrangle_flat_orders": q_wrangle_flat_orders,
@@ -4296,6 +4388,8 @@ _ORACLES: dict[str, str] = {
     "pack_sequences": SQL_PACK,
     "histogram_acctbal": SQL_HISTOGRAM,
     "zorder_col": SQL_ZORDER,
+    "paragraph_dedup_docs": SQL_PARAGRAPH_DEDUP,
+    "quality_quantile_filter": SQL_QUALITY_QUANTILE,
     "resize_images": SQL_RESIZE,
     "sample_frames": SQL_FRAMES,
 }

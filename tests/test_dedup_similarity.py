@@ -329,3 +329,35 @@ def test_embedding_centroids_elementwise_mean(spark):
                                         label_col="label").collect()}
     assert got["a"] == (2, [2.0, 4.0])
     assert got["b"] == (1, [5.0, 5.0])
+
+
+def test_paragraph_dedup_corpus_boilerplate(spark):
+    """Corpus-wide duplicated paragraphs are dropped except the first
+    (doc, pos) occurrence; normalization (case/whitespace) unifies
+    variants; row count is preserved even for fully-dropped docs."""
+    from wrangle_pypes_spark.operators import paragraph_dedup
+
+    rows = [
+        (1, "Hello world\n\nSHARE ME\n\nunique one"),
+        (2, "SHARE ME\n\nanother thing"),
+        (3, "share  me\n\nthird"),          # normalizes to the same hash
+        (4, ""),                              # empty doc
+        (5, "Share Me"),                      # all paragraphs are dups
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+           for r in paragraph_dedup(df, min_dup=2).collect()}
+    assert got[1] == ("Hello world\n\nSHARE ME\n\nunique one", 3, 0)
+    assert got[2] == ("another thing", 1, 1)
+    assert got[3] == ("third", 1, 1)
+    assert got[4] == ("", 0, 0)
+    assert got[5] == ("", 0, 1)
+    # keep="none" drops the first occurrence too
+    none = {r.doc_id: r.clean_text
+            for r in paragraph_dedup(df, min_dup=2, keep="none").collect()}
+    assert none[1] == "Hello world\n\nunique one"
+    # stays JVM-side with map-side partial aggregation
+    from wrangle_pypes_spark.plans import assert_jvm_only, audit
+    out = paragraph_dedup(df, min_dup=2)
+    assert_jvm_only(out)
+    assert audit(out).partial_aggregates >= 1

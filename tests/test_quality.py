@@ -141,3 +141,34 @@ def test_quality_plans(docs, spark):
     p = plan_of(decontaminate(tr, ev, n=3))
     assert "BroadcastHashJoin" in p, "eval grams must broadcast"
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_quantile_filter_exact_and_approx(spark):
+    """exact=True keeps rows with cume_dist > q (ties kept/dropped
+    together); the approx path agrees on well-separated scores and
+    never sorts the corpus."""
+    from wrangle_pypes_spark.operators import quantile_filter
+
+    rows = [("g1", i, float(i)) for i in range(1, 11)]          # 1..10
+    rows += [("g2", 100 + i, 1.0) for i in range(4)]            # 4-way tie
+    rows += [("g2", 200 + i, float(5 + i)) for i in range(6)]   # 5..10
+    df = spark.createDataFrame(rows, "grp string, id long, score double")
+
+    ex = quantile_filter(df, "score", quantile=0.2,
+                         group_cols=["grp"], exact=True)
+    got = {r.id for r in ex.collect()}
+    # g1: scores 1,2 have cume_dist .1/.2 (not > .2) -> dropped
+    assert {i for i in got if i < 100} == set(range(3, 11))
+    # g2: the 4 tied 1.0s share cume_dist 0.4 > 0.2 -> ALL kept
+    assert {100, 101, 102, 103} <= got
+
+    ap = quantile_filter(df.filter("grp = 'g1'"), "score",
+                         quantile=0.2, exact=False)
+    ids = {r.id for r in ap.collect()}
+    assert ids == set(range(3, 11))  # cutoff ~2, keeps score > 2
+    # per-group approx path: no sort, cutoffs broadcast
+    apg = quantile_filter(df, "score", quantile=0.2,
+                          group_cols=["grp"], exact=False)
+    plan = apg._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Sort" not in plan.split("BroadcastHashJoin")[0]

@@ -532,3 +532,77 @@ def simhash_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
     return (cand.withColumn("hamming", hamming)
                 .filter(F.col("hamming") <= max_hamming)
                 .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level (CCNet-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(docs: DataFrame, text_col: str = "text", *,
+                    id_col: str = "doc_id",
+                    sep: str = r"\n{2,}", join_sep: str = "\n\n",
+                    min_dup: int = 2, keep: str = "first") -> DataFrame:
+    """Corpus-wide duplicated-paragraph removal (the CCNet/C4 recipe at
+    paragraph granularity): split every document on ``sep``, hash each
+    normalized paragraph (lowercase, whitespace-collapsed, md5 — md5 is
+    bit-stable across engines, so the kept set is oracle-checkable),
+    count occurrences corpus-wide, and drop every paragraph whose hash
+    occurs at least ``min_dup`` times — keeping the single first
+    occurrence (``keep="first"``, ordered by (doc id, position)) or
+    none of them (``keep="none"``).  Navigation chrome, licence
+    blocks, and share-bars are exactly the paragraphs this removes.
+
+    Output: one row per input document — ``clean_text`` rebuilt from
+    the surviving paragraphs in original order (joined with
+    ``join_sep``), ``n_kept``, ``n_dropped``.  Documents whose every
+    paragraph was dropped (or that were empty) come back with
+    ``clean_text = ''`` — row count is always preserved.
+
+    Scale shape: posexplode → map-side normalize+hash → ONE
+    hash-keyed aggregate for (count, first-occurrence), equi-joined
+    back on the hash (hash-partitioned sort-merge; the stats side is
+    |distinct paragraphs| rows, never broadcast) → one doc-keyed
+    regroup.  Per-paragraph rows are bounded by document length, and
+    no task ever holds more than one document's paragraph list, so the
+    topology is skew-safe at corpus scale.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError("keep must be 'first' or 'none'")
+    paras = (docs
+             .select(F.col(id_col).alias("_doc"),
+                     F.posexplode(F.split(F.col(text_col), sep))
+                     .alias("_pos", "_para"))
+             .withColumn("_norm", F.trim(F.regexp_replace(
+                 F.lower("_para"), r"\s+", " ")))
+             .filter(F.col("_norm") != "")
+             .withColumn("_h", F.md5("_norm")))
+    stats = paras.groupBy("_h").agg(
+        F.count("*").alias("_n"),
+        F.min(F.struct("_doc", "_pos")).alias("_first"))
+    joined = paras.join(stats, "_h")
+    unique = F.col("_n") < min_dup
+    if keep == "first":
+        survives = unique | ((F.col("_doc") == F.col("_first._doc")) &
+                             (F.col("_pos") == F.col("_first._pos")))
+    else:
+        survives = unique
+    rebuilt = (joined.filter(survives)
+               .groupBy("_doc")
+               .agg(F.concat_ws(join_sep, F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("_pos", "_para"))),
+                        lambda s: s["_para"])).alias("clean_text"),
+                    F.count("*").alias("n_kept")))
+    totals = paras.groupBy("_doc").agg(F.count("*").alias("_n_paras"))
+    return (docs.select(F.col(id_col))
+            .join(totals, F.col(id_col) == F.col("_doc"), "left")
+            .drop("_doc")
+            .join(rebuilt, F.col(id_col) == F.col("_doc"), "left")
+            .drop("_doc")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    (F.coalesce("_n_paras", F.lit(0)) -
+                     F.coalesce("n_kept", F.lit(0))).cast("long")
+                    .alias("n_dropped")))

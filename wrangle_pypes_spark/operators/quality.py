@@ -280,3 +280,49 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, *,
             .withColumn("contaminated",
                         F.coalesce(F.col("_contaminated"), F.lit(False)))
             .drop("_contaminated"))
+
+
+def quantile_filter(df: DataFrame, score_col: str, *,
+                    quantile: float,
+                    group_cols: Sequence[str] = (),
+                    exact: bool = False,
+                    relative_error: float = 0.001) -> DataFrame:
+    """Drop the bottom ``quantile`` fraction of rows by ``score_col``,
+    optionally per group (the standard corpus-curation move: "keep
+    documents above the 20th quality percentile of their language").
+
+    Two paths, same contract, different scale economics:
+
+    * ``exact=False`` (the 100 TB default) — per-group
+      ``approx_percentile`` cutoffs (one partial-aggregated pass,
+      k rows collected), broadcast back, map-only ``score > cutoff``
+      filter.  Nothing data-scale ever sorts or shuffles beyond the
+      tiny cutoff aggregate; accuracy is ``relative_error`` of rank.
+    * ``exact=True`` — ``cume_dist`` window per group: keep rows with
+      ``cume_dist > quantile``.  Exact and engine-portable (ties share
+      a ``cume_dist``, so tied rows are kept or dropped TOGETHER in
+      any engine — no tiebreak needed), at the cost of a full sort per
+      group.  This is the oracle-checkable twin, same trade as
+      ``profile`` exact vs HLL.
+    """
+    if not 0.0 <= quantile < 1.0:
+        raise ValueError("quantile must be in [0, 1)")
+    groups = list(group_cols)
+    if exact:
+        from pyspark.sql import Window
+
+        w = (Window.partitionBy(*groups).orderBy(F.col(score_col))
+             if groups else Window.partitionBy().orderBy(F.col(score_col)))
+        return (df.withColumn("_cd", F.cume_dist().over(w))
+                .filter(F.col("_cd") > quantile).drop("_cd"))
+    agg = F.expr(f"approx_percentile({score_col}, {quantile!r}, "
+                 f"{int(1.0 / relative_error)})").alias("_cutoff")
+    if groups:
+        cuts = df.groupBy(*groups).agg(agg)
+        return (df.join(F.broadcast(cuts), groups)
+                .filter(F.col(score_col) > F.col("_cutoff"))
+                .drop("_cutoff"))
+    cut = df.agg(agg).collect()[0]["_cutoff"]
+    if cut is None:
+        return df
+    return df.filter(F.col(score_col) > F.lit(cut))
