@@ -2366,6 +2366,72 @@ QUALIFY cume_dist() OVER (PARTITION BY lang ORDER BY quality) > 0.2
 """
 
 
+def q_dsir_weights_docs(spark, sf_dir):
+    """DSIR hashed-n-gram importance weights (operators/quality.py
+    ``dsir_importance``): raw corpus = all documents, target = the
+    English subset; weight = Σ log(p̂_tgt/p̂_raw) over md5-hex-bucketed
+    unigram+bigram features (Laplace-smoothed, rounded 4dp — the
+    cross-engine float contract of ``unigram_logprob``)."""
+    from wrangle_pypes_spark.operators import dsir_importance
+    d = _t(spark, sf_dir, "documents")
+    return dsir_importance(d, d.filter(F.col("lang") == "en"))
+
+
+SQL_DSIR_WEIGHTS = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, lang,
+         unnest(toks || list_transform(range(1, len(toks)),
+                    i -> array_to_string(toks[i:i+1], ' '))) AS gram
+  FROM t
+), b AS (
+  SELECT doc_id, lang, substr(md5(gram), 1, 4) AS bk FROM g
+), rawc AS (
+  SELECT bk, count(*) AS rc FROM b GROUP BY bk
+), tgtc AS (
+  SELECT bk, count(*) AS tc FROM b WHERE lang = 'en' GROUP BY bk
+), ratio AS (
+  SELECT r.bk, r.rc, coalesce(t2.tc, 0) AS tc
+  FROM rawc r LEFT JOIN tgtc t2 USING (bk)
+), tot AS (
+  SELECT sum(rc)::DOUBLE AS R, sum(tc)::DOUBLE AS T FROM ratio
+), pb AS (
+  SELECT doc_id, bk, count(*) AS n FROM b GROUP BY doc_id, bk
+)
+SELECT pb.doc_id, sum(n)::BIGINT AS n_grams,
+       round(sum(n * ln(((tc + 1.0) / (T + 65536.0))
+                        / ((rc + 1.0) / (R + 65536.0)))), 4)
+         AS dsir_logweight
+FROM pb JOIN ratio USING (bk) CROSS JOIN tot
+GROUP BY pb.doc_id
+"""
+
+
+def q_cap_per_source(spark, sf_dir):
+    """Per-source document quota (operators/sampling.py
+    ``cap_per_group`` exact path): keep each source's 20 documents
+    with the smallest md5 draw — deterministic, engine-portable, so
+    the kept SET is the oracle (the approx map-only path is covered by
+    the agreement test)."""
+    from wrangle_pypes_spark.operators import cap_per_group
+    d = _t(spark, sf_dir, "documents")
+    capped = cap_per_group(d, "source", key_col="doc_id",
+                           max_per_group=20)
+    return capped.select("doc_id", "source")
+
+
+SQL_CAP_PER_SOURCE = """
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY substr(md5('42:' || doc_id::VARCHAR), 1, 8), doc_id) <= 20
+"""
+
+
 def q_train_val_test_split(spark, sf_dir):
     """Hash-based split assignment (operators/sampling.py
     ``split_assign``): every doc lands in exactly one of train/val/test
@@ -4207,6 +4273,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "paragraph_dedup_docs": q_paragraph_dedup_docs,
+    "dsir_weights_docs": q_dsir_weights_docs,
+    "cap_per_source": q_cap_per_source,
     "quality_quantile_filter": q_quality_quantile_filter,
     "resize_images": q_resize_images,
     "sample_frames": q_sample_frames,
@@ -4389,6 +4457,8 @@ _ORACLES: dict[str, str] = {
     "histogram_acctbal": SQL_HISTOGRAM,
     "zorder_col": SQL_ZORDER,
     "paragraph_dedup_docs": SQL_PARAGRAPH_DEDUP,
+    "dsir_weights_docs": SQL_DSIR_WEIGHTS,
+    "cap_per_source": SQL_CAP_PER_SOURCE,
     "quality_quantile_filter": SQL_QUALITY_QUANTILE,
     "resize_images": SQL_RESIZE,
     "sample_frames": SQL_FRAMES,

@@ -96,6 +96,8 @@ HEADLINE = [
     "scd2_rebuild_heal",
     "paragraph_dedup_docs",
     "quality_quantile_filter",
+    "dsir_weights_docs",
+    "cap_per_source",
 ]
 
 

@@ -172,3 +172,25 @@ def test_quantile_filter_exact_and_approx(spark):
     plan = apg._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Sort" not in plan.split("BroadcastHashJoin")[0]
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """Documents resembling the target corpus get higher importance
+    weights than off-distribution documents; the ratio table broadcasts
+    (no corpus-side shuffle join)."""
+    from wrangle_pypes_spark.operators import dsir_importance
+
+    target = spark.createDataFrame(
+        [(100 + i, "physics energy quantum field theory") for i in range(4)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(1, "physics energy quantum field"),
+         (2, "buy cheap pills online now"),
+         (3, "quantum field theory energy")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.dsir_logweight
+           for r in dsir_importance(raw, target).collect()}
+    assert out[1] > out[2] and out[3] > out[2]
+    plan = dsir_importance(raw, target) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

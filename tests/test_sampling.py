@@ -312,3 +312,36 @@ def test_temperature_mix_plan_invariants(spark, tables, alpha, budget_frac):
         assert expected == pytest.approx(total * budget_frac, rel=1e-6)
     else:
         assert expected <= total * budget_frac * (1 + 1e-9)
+
+
+def test_cap_per_group_exact_and_approx(spark):
+    """exact=True keeps EXACTLY max_per_group members per group, chosen
+    by md5 draw (deterministic across runs and partitionings); the
+    approx path keeps ~cap with a map-only filter and agrees on the
+    under-cap groups (everything kept)."""
+    from wrangle_pypes_spark.operators import cap_per_group
+
+    rows = [("big", i) for i in range(200)] + [("small", 1000 + i)
+                                               for i in range(5)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    ex = cap_per_group(df, "source", key_col="doc_id", max_per_group=10)
+    got = {}
+    for r in ex.collect():
+        got.setdefault(r.source, set()).add(r.doc_id)
+    assert len(got["big"]) == 10
+    assert got["small"] == {1000, 1001, 1002, 1003, 1004}  # under cap
+    # deterministic: same members again, even repartitioned
+    again = cap_per_group(df.repartition(7), "source",
+                          key_col="doc_id", max_per_group=10)
+    got2 = {}
+    for r in again.collect():
+        got2.setdefault(r.source, set()).add(r.doc_id)
+    assert got2 == got
+    # approx path: no window sort, keeps roughly the cap
+    ap = cap_per_group(df, "source", key_col="doc_id",
+                       max_per_group=10, exact=False)
+    plan = ap._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    n_big = ap.filter("source = 'big'").count()
+    assert 2 <= n_big <= 25  # Bernoulli around 10
+    assert ap.filter("source = 'small'").count() == 5

@@ -326,3 +326,68 @@ def quantile_filter(df: DataFrame, score_col: str, *,
     if cut is None:
         return df
     return df.filter(F.col(score_col) > F.lit(cut))
+
+
+def dsir_importance(raw: DataFrame, target: DataFrame,
+                    text_col: str = "text", *, id_col: str = "doc_id",
+                    smoothing: float = 1.0,
+                    round_digits: int = 4,
+                    cache_registry: Optional[list] = None) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023 — the public hashed-n-gram recipe):
+    score every raw-corpus document by how much more likely its hashed
+    n-gram features are under a small TARGET corpus than under the raw
+    corpus itself.  Select-by-weight (top-k or Gumbel top-k) then
+    yields a raw subset distributed like the target.
+
+    Features: unigrams + bigrams, bucketed by the first 4 hex chars of
+    ``md5(gram)`` (65 536 buckets).  The hex-prefix bucket is the
+    engine-portable twin of DSIR's usual ``hash(gram) % B`` — md5 is
+    bit-identical everywhere, so weights are value-level checkable.
+
+    ``weight(doc) = Σ_instances log( p̂_tgt[b] / p̂_raw[b] )`` with
+    Laplace-``smoothing`` estimates ``p̂[b] = (c[b]+s) / (C+s·B)``.
+    The sum collapses to per-(doc, bucket) counts first, so the
+    order-dependent float accumulation runs over ≤ |doc buckets| terms
+    and is rounded to ``round_digits`` (the same cross-engine
+    tolerance contract as ``unigram_logprob_score``).
+
+    Scale shape: both bucket-count aggregates are map-side partial and
+    ≤ 65 536 rows out; the log-ratio table BROADCASTS onto the
+    exploded raw side, so corpus cost is one explode + one doc-keyed
+    aggregate — the tf-idf topology.  The ratio table is persisted
+    (``cache_registry`` contract as elsewhere).
+    """
+    B = 65536
+
+    def grams(df: DataFrame):
+        g = F.concat(_word_ngrams(F.col(text_col), 1),
+                     _word_ngrams(F.col(text_col), 2))
+        return df.select(F.col(id_col).alias("_doc"),
+                         F.explode(g).alias("_gram")) \
+                 .withColumn("_b", F.substring(F.md5("_gram"), 1, 4))
+
+    raw_g, tgt_g = grams(raw), grams(target)
+    raw_counts = raw_g.groupBy("_b").agg(F.count("*").alias("_rc"))
+    tgt_counts = tgt_g.groupBy("_b").agg(F.count("*").alias("_tc"))
+    ratio = (raw_counts.join(tgt_counts, "_b", "left")
+             .withColumn("_tc", F.coalesce("_tc", F.lit(0)))
+             .persist())
+    if cache_registry is not None:
+        cache_registry.append(ratio)
+    totals = ratio.agg(F.sum("_rc").alias("r"),
+                       F.sum("_tc").alias("t")).collect()[0]
+    R, T = float(totals["r"] or 0), float(totals["t"] or 0)
+    s = float(smoothing)
+    logratio = F.log(((F.col("_tc") + s) / F.lit(T + s * B)) /
+                     ((F.col("_rc") + s) / F.lit(R + s * B)))
+    per_bucket = raw_g.groupBy("_doc", "_b").agg(
+        F.count("*").alias("_n"))
+    return (per_bucket
+            .join(F.broadcast(ratio), "_b")
+            .groupBy("_doc")
+            .agg(F.sum("_n").alias("n_grams"),
+                 F.round(F.sum(F.col("_n") * logratio),
+                         round_digits).alias("dsir_logweight"))
+            .select(F.col("_doc").alias(id_col), "n_grams",
+                    "dsir_logweight"))

@@ -312,3 +312,43 @@ def deterministic_shuffle(df: DataFrame, id_col: str, *, seed: int = 42,
         "spark.sql.shuffle.partitions")
     return (keyed.repartitionByRange(int(n), F.col(key_col), F.col(id_col))
             .sortWithinPartitions(key_col, id_col))
+
+
+def cap_per_group(df: DataFrame, group_col: str, *, key_col: str,
+                  max_per_group: int, seed: int = 42,
+                  exact: bool = True) -> DataFrame:
+    """Cap rows per group at ``max_per_group`` — the domain-quota move
+    of corpus curation ("no single site/source contributes more than N
+    documents"), chosen deterministically so re-runs keep the SAME
+    members.
+
+    * ``exact=True`` — keep each group's ``max_per_group`` members with
+      the smallest :func:`_md5_unit_key` draw (key breaks hash ties):
+      one ``row_number`` window per group.  md5 is engine-portable, so
+      the kept set is value-level oracle-checkable.  Window-sorts each
+      group; fine up to groups of hundreds of millions (WindowExec
+      spills), and the cap is exact.
+    * ``exact=False`` — the 100 TB path for billion-row groups: one
+      k-row count aggregate, then the map-only hash-membership filter
+      at rate ``min(1, cap/n)`` per group (same md5 scheme) — keeps
+      ``≈ max_per_group`` with Bernoulli variance, nothing sorts.
+    """
+    if max_per_group <= 0:
+        raise ValueError("max_per_group must be positive")
+    draw = _md5_unit_key(key_col, seed)
+    if exact:
+        w = (Window.partitionBy(group_col)
+             .orderBy(draw, F.col(key_col)))
+        return (df.withColumn("_qrn", F.row_number().over(w))
+                .filter(F.col("_qrn") <= max_per_group).drop("_qrn"))
+    counts = {r["g"]: r["n"] for r in
+              df.groupBy(F.col(group_col).alias("g"))
+              .agg(F.count("*").alias("n")).collect()}
+    cond = F.lit(False)
+    for g, n in counts.items():
+        if g is None:
+            continue
+        frac = min(1.0, max_per_group / float(n))
+        cond = cond | ((F.col(group_col) == F.lit(g)) &
+                       _membership_cond(key_col, seed, frac, "md5"))
+    return df.filter(cond)
