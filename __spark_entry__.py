@@ -2366,6 +2366,30 @@ QUALIFY cume_dist() OVER (PARTITION BY lang ORDER BY quality) > 0.2
 """
 
 
+def q_stream_dedup_keep_best(spark, sf_dir):
+    """Durable streaming corpus dedup (streaming/windows.py
+    ``foreach_batch_dedup_keep_best``): drain the documents table as a
+    file stream, maintaining a keep-longest-per-fingerprint store via
+    idempotent max_by merges (no epoch marker needed — see docstring).
+    Store == batch ``dedup_keep_best`` regardless of batch boundaries,
+    so the batch keep-longest SQL is the oracle."""
+    import tempfile
+
+    from wrangle_pypes_spark.streaming import (
+        foreach_batch_dedup_keep_best, stream_table)
+
+    store = tempfile.mkdtemp(prefix="wps_dedup_store_") + "/state"
+    docs = stream_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        doc_fingerprint(F.col("text")).alias("fingerprint"))
+    q = foreach_batch_dedup_keep_best(
+        docs, store, key_cols=["fingerprint"],
+        order_cols=[F.col("n_chars"), -F.col("doc_id")])
+    q.awaitTermination()
+    return (spark.read.parquet(store)
+            .select("fingerprint", "doc_id", "n_chars"))
+
+
 def q_dsir_weights_docs(spark, sf_dir):
     """DSIR hashed-n-gram importance weights (operators/quality.py
     ``dsir_importance``): raw corpus = all documents, target = the
@@ -4274,6 +4298,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "paragraph_dedup_docs": q_paragraph_dedup_docs,
     "dsir_weights_docs": q_dsir_weights_docs,
+    "stream_dedup_keep_best": q_stream_dedup_keep_best,
     "cap_per_source": q_cap_per_source,
     "quality_quantile_filter": q_quality_quantile_filter,
     "resize_images": q_resize_images,
@@ -4458,6 +4483,8 @@ _ORACLES: dict[str, str] = {
     "zorder_col": SQL_ZORDER,
     "paragraph_dedup_docs": SQL_PARAGRAPH_DEDUP,
     "dsir_weights_docs": SQL_DSIR_WEIGHTS,
+    # same ground truth as the batch keep-longest (boundary-independent)
+    "stream_dedup_keep_best": SQL_DEDUP_KEEP_LONGEST,
     "cap_per_source": SQL_CAP_PER_SOURCE,
     "quality_quantile_filter": SQL_QUALITY_QUANTILE,
     "resize_images": SQL_RESIZE,

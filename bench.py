@@ -98,6 +98,7 @@ HEADLINE = [
     "quality_quantile_filter",
     "dsir_weights_docs",
     "cap_per_source",
+    "stream_dedup_keep_best",
 ]
 
 

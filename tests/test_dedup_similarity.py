@@ -361,3 +361,59 @@ def test_paragraph_dedup_corpus_boilerplate(spark):
     out = paragraph_dedup(df, min_dup=2)
     assert_jvm_only(out)
     assert audit(out).partial_aggregates >= 1
+
+
+def test_streaming_dedup_keep_best_equals_batch(spark, tables, tmp_path):
+    """Drain documents through foreach_batch_dedup_keep_best in two
+    ARBITRARY micro-batches (parity split — no ordering contract, unlike
+    SCD2): the durable store must equal the one-shot batch
+    dedup_keep_best, and replaying a batch must leave the store
+    byte-identical (max_by merge is idempotent — no epoch marker)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from wrangle_pypes_spark.functions import doc_fingerprint
+    from wrangle_pypes_spark.operators.dedup import dedup_keep_best
+    from wrangle_pypes_spark.streaming import foreach_batch_dedup_keep_best
+
+    d = tables["documents"].select(
+        "doc_id", "n_chars",
+        doc_fingerprint(F.col("text")).alias("fingerprint"))
+    src_dir = str(tmp_path / "docs_src")
+    for tag, half in (("a", d.filter(F.col("doc_id") % 2 == 0)),
+                      ("b", d.filter(F.col("doc_id") % 2 == 1))):
+        half.coalesce(1).write.parquet(f"{src_dir}/{tag}")
+    files = [f for t in ("a", "b")
+             for f in sorted(glob.glob(f"{src_dir}/{t}/*.parquet"))]
+    for i, f in enumerate(files):
+        shutil.move(f, f"{src_dir}/part-{i}.parquet")
+    shutil.rmtree(f"{src_dir}/a"), shutil.rmtree(f"{src_dir}/b")
+
+    stream = (spark.readStream.schema(d.schema)
+              .option("maxFilesPerTrigger", "1")
+              .format("parquet").load(src_dir))
+    store = str(tmp_path / "dedup_store")
+    order = [F.col("n_chars"), -F.col("doc_id")]
+    q = foreach_batch_dedup_keep_best(
+        stream, store, key_cols=["fingerprint"], order_cols=order)
+    q.awaitTermination()
+
+    def rows(df):
+        return sorted((r.fingerprint, r.doc_id, r.n_chars)
+                      for r in df.collect())
+
+    got = spark.read.parquet(store)
+    want = dedup_keep_best(d, ["fingerprint"], order)
+    assert rows(got) == rows(want)
+    assert got.count() < d.count()  # the corpus has real duplicates
+
+    # replay half the input (at-least-once redelivery): store unchanged
+    replay = (spark.readStream.schema(d.schema)
+              .option("maxFilesPerTrigger", "1")
+              .format("parquet").load(src_dir))
+    q2 = foreach_batch_dedup_keep_best(
+        replay, store, key_cols=["fingerprint"], order_cols=order)
+    q2.awaitTermination()
+    assert rows(spark.read.parquet(store)) == rows(want)

@@ -14,10 +14,12 @@ from .windows import (
     sliding_window_agg,
     stream_dedup,
     stream_events,
+    stream_table,
     stream_stream_interval_join,
     tumbling_window_agg,
     foreach_batch_get_or_create,
     foreach_batch_get_or_create_upsert,
+    foreach_batch_dedup_keep_best,
     foreach_batch_rollup_upsert,
     foreach_batch_scd2_merge,
     stream_static_enrich,
@@ -25,6 +27,7 @@ from .windows import (
 
 __all__ = (
     "stream_events",
+    "stream_table",
     "tumbling_window_agg",
     "sliding_window_agg",
     "session_window_agg",
@@ -34,6 +37,7 @@ __all__ = (
     "run_available_now_to_memory",
     "foreach_batch_get_or_create",
     "foreach_batch_get_or_create_upsert",
+    "foreach_batch_dedup_keep_best",
     "foreach_batch_rollup_upsert",
     "foreach_batch_scd2_merge",
     "stream_static_enrich",

@@ -19,14 +19,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def stream_events(spark: SparkSession, sf_dir: str,
-                  schema: Optional[T.StructType] = None) -> DataFrame:
-    """readStream over the events parquet directory (file-source stream;
-    in production this is Kafka with the same downstream plan)."""
-    from ..sources.tables import ensure_session_confs, normalize_nanos_ts
+def stream_table(spark: SparkSession, sf_dir: str, table: str,
+                 schema: Optional[T.StructType] = None) -> DataFrame:
+    """readStream over any testdata parquet table (file-source stream;
+    in production this is Kafka/object-store notifications with the
+    same downstream plan)."""
+    from ..sources.tables import ensure_session_confs
 
     ensure_session_confs(spark)
-    path = os.path.join(sf_dir, "events.parquet")
+    path = os.path.join(sf_dir, f"{table}.parquet")
     if schema is None:
         schema = spark.read.parquet(path).schema
     # the file stream source requires a DIRECTORY; testdata ships single
@@ -37,11 +38,20 @@ def stream_events(spark: SparkSession, sf_dir: str,
         tag = hashlib.md5(path.encode()).hexdigest()[:12]
         d = os.path.join(tempfile.gettempdir(), f"wps_stream_{tag}")
         os.makedirs(d, exist_ok=True)
-        link = os.path.join(d, "events.parquet")
+        link = os.path.join(d, f"{table}.parquet")
         if not os.path.exists(link):
             os.symlink(path, link)
         path = d
-    stream = spark.readStream.schema(schema).format("parquet").load(path)
+    return spark.readStream.schema(schema).format("parquet").load(path)
+
+
+def stream_events(spark: SparkSession, sf_dir: str,
+                  schema: Optional[T.StructType] = None) -> DataFrame:
+    """readStream over the events parquet directory (file-source stream;
+    in production this is Kafka with the same downstream plan)."""
+    from ..sources.tables import normalize_nanos_ts
+
+    stream = stream_table(spark, sf_dir, "events", schema)
     # ltz: watermarks reject TIMESTAMP_NTZ event-time columns
     return normalize_nanos_ts(stream, target="timestamp")
 
@@ -352,6 +362,59 @@ def foreach_batch_scd2_merge(stream_df: DataFrame, dim_path: str, *,
         rebuilt = rebuilt.localCheckpoint(eager=True)
         # version rows share the dimension key: replace whole key groups
         upsert_parquet(rebuilt, dim_path, keys, dedup_incoming=False)
+
+    writer = stream_df.writeStream.foreachBatch(_batch) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def foreach_batch_dedup_keep_best(stream_df: DataFrame, store_path: str, *,
+                                  key_cols: Sequence[str],
+                                  order_cols: Sequence,
+                                  checkpoint: Optional[str] = None):
+    """Durable streaming corpus dedup: maintain a parquet store holding,
+    for every content fingerprint (``key_cols``) ever seen, the single
+    BEST row — max by ``order_cols`` (include a unique tiebreak, e.g.
+    ``[F.col("n_chars"), -F.col("doc_id")]`` for keep-longest).  The
+    ingest-time twin of ``operators.dedup.dedup_keep_best``, for
+    corpora that arrive incrementally.
+
+    Correctness without an epoch marker: ``max_by`` under a
+    deterministic total order is associative, commutative, and
+    idempotent, so the store after N batches equals the one-shot batch
+    ``dedup_keep_best`` over all N batches' rows REGARDLESS of batch
+    boundaries — and replaying a delivered batch (foreachBatch is
+    at-least-once) merges to the identical store.  This is the same
+    merge-shaped-state argument as the rollup maintainer, minus the
+    additivity hazard that forces its epoch guard.
+
+    Per batch: one map-side-partial ``max_by`` over the batch, a
+    broadcast semi-join pulling ONLY the touched fingerprints from the
+    store, one merge aggregate over (touched ∪ batch-best), and a keyed
+    upsert.  Steady-state cost scales with batch size, not store size
+    (modulo the parquet-swap rewrite — partition or use a table format
+    for huge stores, as with the other maintainers).
+    """
+    from ..operators.dedup import dedup_keep_best
+    from ..sources.sinks import recover_upsert_backup, upsert_parquet
+
+    keys = list(key_cols)
+    order = list(order_cols)
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        best = dedup_keep_best(batch_df, keys, order)
+        if recover_upsert_backup(store_path, spark=spark):
+            stored = spark.read.parquet(store_path)
+            touched = stored.join(
+                F.broadcast(best.select(*keys).distinct()),
+                keys, "left_semi")
+            best = dedup_keep_best(
+                touched.unionByName(best), keys, order)
+        best = best.localCheckpoint(eager=True)
+        upsert_parquet(best, store_path, keys, dedup_incoming=False)
 
     writer = stream_df.writeStream.foreachBatch(_batch) \
         .trigger(availableNow=True)
