@@ -194,3 +194,38 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     plan = dsir_importance(raw, target) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_boilerplate_removal_drops_high_df_lines(spark):
+    """Segments in >= min_docs documents vanish from EVERY document
+    (including the first); unique segments survive in order; fully-
+    boilerplate docs come back empty with the row preserved."""
+    from wrangle_pypes_spark.operators import boilerplate_removal
+
+    chrome = "accept cookies"
+    docs = [(i, f"intro {i}\n{chrome}\nbody {i}") for i in range(1, 5)]
+    docs.append((5, chrome))            # nothing but chrome
+    docs.append((6, "unique doc\nanother line"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    out = {r.doc_id: r for r in boilerplate_removal(
+        df, sep=r"\n", join_sep="\n", min_docs=4).collect()}
+    assert len(out) == 6
+    for i in range(1, 5):
+        assert out[i].clean_text == f"intro {i}\nbody {i}"
+        assert out[i].n_removed == 1
+    assert out[5].clean_text == "" and out[5].n_kept == 0
+    assert out[6].clean_text == "unique doc\nanother line"
+    assert out[6].n_removed == 0
+
+
+def test_boilerplate_removal_approx_agrees_when_separated(spark):
+    """approx_count_distinct path matches exact on df counts far from
+    the threshold (the 100 TB default's contract)."""
+    from wrangle_pypes_spark.operators import boilerplate_removal
+
+    docs = [(i, "shared footer\ncontent %d" % i) for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    ex = boilerplate_removal(df, sep=r"\n", min_docs=5, exact=True)
+    ap = boilerplate_removal(df, sep=r"\n", min_docs=5, exact=False)
+    assert sorted(map(tuple, ex.collect())) == sorted(map(tuple, ap.collect()))

@@ -383,3 +383,68 @@ def test_cohort_retention_offsets(spark):
         ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1, ("2024-01-08", 1): 1,
     }
+
+
+def test_bucketize_quartiles(spark):
+    """Exact quartile cuts of 1..8 are (2.75, 4.5, 6.25); bucket index
+    counts cuts strictly below the value; NULLs get a NULL bucket; the
+    assignment is map-only (no join, no second shuffle)."""
+    from wrangle_pypes_spark.operators import bucketize
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 9)] + [(None,)], "v double")
+    out = bucketize(df, "v")
+    got = {r.v: r.bucket for r in out.collect()}
+    assert got[1.0] == 0 and got[2.0] == 0
+    assert got[3.0] == 1 and got[4.0] == 1
+    assert got[5.0] == 2 and got[6.0] == 2
+    assert got[7.0] == 3 and got[8.0] == 3
+    assert got[None] is None
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+    ap = bucketize(df, "v", exact=False)
+    assert {r.bucket for r in ap.collect() if r.v is not None} <= {0, 1, 2, 3}
+
+
+def test_resample_gap_fill(spark):
+    """Every bucket between a key's first and last observation appears;
+    gaps carry the last observed value forward and are flagged."""
+    from wrangle_pypes_spark.operators import resample
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:30", 10.0),
+         (1, "2024-01-01 00:00:45", 5.0),
+         # 00:01 missing entirely
+         (1, "2024-01-01 00:02:10", 7.0),
+         (2, "2024-01-01 00:05:00", 1.0)],
+        "user_id long, ts string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = resample(df, key_col="user_id", ts_col="ts",
+                   value_col="value", interval_sec=60)
+    rows = {(r.user_id, str(r.bucket)): r for r in out.collect()}
+    assert len(rows) == 4  # 3 buckets for user 1, 1 for user 2
+    k0 = rows[(1, "2024-01-01 00:00:00")]
+    assert k0.sum_value == 15.0 and not k0.is_gap and k0.filled == 15.0
+    k1 = rows[(1, "2024-01-01 00:01:00")]
+    assert k1.sum_value is None and k1.is_gap and k1.filled == 15.0
+    k2 = rows[(1, "2024-01-01 00:02:00")]
+    assert k2.sum_value == 7.0 and k2.filled == 7.0
+    assert rows[(2, "2024-01-01 00:05:00")].sum_value == 1.0
+
+
+def test_rolling_zscore_flags_spike(spark):
+    """A spike after a stable run is flagged; cold-start rows stay NULL
+    until min_periods observations accumulate."""
+    from wrangle_pypes_spark.operators import rolling_zscore
+
+    vals = [10.0, 10.5, 9.5, 10.2, 9.8, 10.1, 50.0]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)],
+        "key long, t long, value double")
+    out = sorted(rolling_zscore(
+        df, key_col="key", ts_col="t", value_col="value",
+        n=10, min_periods=4).collect(), key=lambda r: r.t)
+    assert all(r.zscore is None for r in out[:4])      # cold start
+    assert out[-1].is_anomaly and out[-1].zscore > 3.0
+    assert all(not r.is_anomaly for r in out[4:-1])

@@ -345,3 +345,40 @@ def test_cap_per_group_exact_and_approx(spark):
     n_big = ap.filter("source = 'big'").count()
     assert 2 <= n_big <= 25  # Bernoulli around 10
     assert ap.filter("source = 'small'").count() == 5
+
+
+def test_weighted_sample_pps_proportional_and_deterministic(spark):
+    """Rows with weight >= W/k are always kept; heavy rows are kept at a
+    visibly higher rate than light rows; re-running yields the same set
+    (pure hash, no RNG)."""
+    from wrangle_pypes_spark.operators import weighted_sample_pps
+
+    rows = [(i, 1) for i in range(500)] + [(1000 + i, 100) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    # W = 2500; k=25 -> p(heavy) = 25*100/2500 = 1.0, p(light) = 0.01
+    out = weighted_sample_pps(df, key_col="doc_id", weight_col="w", k=25)
+    ids = {r.doc_id for r in out.collect()}
+    assert {1000 + i for i in range(20)} <= ids          # certainties kept
+    assert len(ids - {1000 + i for i in range(20)}) <= 15  # few light rows
+    again = {r.doc_id for r in weighted_sample_pps(
+        df, key_col="doc_id", weight_col="w", k=25).collect()}
+    assert ids == again
+
+
+def test_topp_per_group_nucleus(spark):
+    """Per group, rows ordered by score desc are kept until cumulative
+    tokens reach p of the total; the crossing row is kept, the rest
+    dropped; ties break by id."""
+    from wrangle_pypes_spark.operators import topp_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1, 0.9, 40), ("a", 2, 0.8, 40), ("a", 3, 0.7, 20),
+         ("b", 4, 0.5, 10), ("b", 5, 0.5, 10)],
+        "src string, doc_id long, score double, tok long")
+    # group a total=100, p=0.5 -> keep doc 1 (cum 40 < 50) and doc 2
+    # (crossing: cum-tok = 40 < 50), drop doc 3 (cum-tok = 80)
+    out = topp_per_group(df, group_col="src", score_col="score",
+                         token_col="tok", p=0.5, id_col="doc_id")
+    got = {r.doc_id: r.cum_tokens for r in out.collect()}
+    assert set(got) == {1, 2, 4}          # b: tie -> doc 4 first, covers 0.5
+    assert got[1] == 40 and got[2] == 80 and got[4] == 10

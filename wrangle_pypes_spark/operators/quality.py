@@ -391,3 +391,71 @@ def dsir_importance(raw: DataFrame, target: DataFrame,
                          round_digits).alias("dsir_logweight"))
             .select(F.col("_doc").alias(id_col), "n_grams",
                     "dsir_logweight"))
+
+
+def boilerplate_removal(docs: DataFrame, text_col: str = "text", *,
+                        id_col: str = "doc_id",
+                        sep: str = r"\n+", join_sep: str = "\n",
+                        min_docs: int = 5,
+                        exact: bool = True) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the CCNet "terminal lines"
+    recipe): split every document on ``sep``, hash each normalized
+    segment (lowercase, whitespace-collapsed, md5), count the number of
+    DISTINCT documents each segment appears in, and drop **every**
+    occurrence of any segment seen in at least ``min_docs`` documents.
+    Cookie banners, nav bars, and footer legalese are exactly the lines
+    this removes.  Complement of :func:`~.dedup.paragraph_dedup`: that
+    op keeps the *first* occurrence of a duplicated paragraph; this one
+    treats high-document-frequency lines as template chrome and removes
+    them from all documents.
+
+    Output: one row per input document — ``clean_text`` rebuilt from the
+    surviving segments in original order (joined with ``join_sep``),
+    ``n_kept``, ``n_removed``.  Fully-boilerplate (or empty) documents
+    come back with ``clean_text = ''`` — row count is preserved.
+
+    Scale shape: posexplode → map-side normalize+hash → one hash-keyed
+    document-frequency aggregate (``exact=True`` uses
+    ``count(DISTINCT doc)`` — two-phase shuffle, oracle-checkable;
+    ``exact=False`` uses ``approx_count_distinct`` — single-phase, the
+    100 TB default near the threshold boundary only ±2% fuzzy) →
+    LEFT ANTI join of the segment stream against the boilerplate set.
+    The anti-join side holds only segments over the ``min_docs``
+    threshold — by construction a tiny fraction of distinct segments —
+    so AQE broadcasts it and the corpus side never reshuffles; the
+    final doc-keyed regroup bounds per-task state at one document.
+    """
+    segs = (docs
+            .select(F.col(id_col).alias("_doc"),
+                    F.posexplode(F.split(F.col(text_col), sep))
+                    .alias("_pos", "_seg"))
+            .withColumn("_norm", F.trim(F.regexp_replace(
+                F.lower("_seg"), r"\s+", " ")))
+            .filter(F.col("_norm") != "")
+            .withColumn("_h", F.md5("_norm"))
+            .drop("_norm"))
+    docfreq = (F.count_distinct("_doc") if exact
+               else F.approx_count_distinct("_doc"))
+    chrome = (segs.groupBy("_h").agg(docfreq.alias("_df"))
+              .filter(F.col("_df") >= min_docs)
+              .select("_h"))
+    kept = segs.join(chrome, "_h", "left_anti")
+    rebuilt = (kept.groupBy("_doc")
+               .agg(F.concat_ws(join_sep, F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("_pos", "_seg"))),
+                        lambda s: s["_seg"])).alias("clean_text"),
+                    F.count("*").alias("n_kept")))
+    totals = segs.groupBy("_doc").agg(F.count("*").alias("_n_segs"))
+    return (docs.select(F.col(id_col))
+            .join(totals, F.col(id_col) == F.col("_doc"), "left")
+            .drop("_doc")
+            .join(rebuilt, F.col(id_col) == F.col("_doc"), "left")
+            .drop("_doc")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    (F.coalesce("_n_segs", F.lit(0)) -
+                     F.coalesce("n_kept", F.lit(0))).cast("long")
+                    .alias("n_removed")))

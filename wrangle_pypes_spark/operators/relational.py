@@ -390,3 +390,44 @@ def profile(df: DataFrame, cols: Optional[Sequence[str]] = None, *,
         "column string, dtype string, n bigint, n_null bigint, "
         "n_distinct bigint, min_value string, max_value string, "
         "mean double")
+
+
+def bucketize(df: DataFrame, value_col: str, *,
+              probs: Sequence[float] = (0.25, 0.5, 0.75),
+              exact: bool = True, round_cuts: int = 6,
+              out_col: str = "bucket") -> DataFrame:
+    """Quantile binning (feature bucketization): compute the
+    ``probs``-quantile cut points of ``value_col`` over the whole
+    DataFrame, then assign each row the bucket index
+    ``#{cuts c : value > c}`` (0 .. len(probs)) — equal-frequency bins
+    from the data itself, no hand-tuned boundaries.
+
+    * ``exact=True`` — exact linear-interpolation ``percentile``: a
+      full-sort aggregate per partition merge; cut points match any
+      engine's ``quantile_cont`` after rounding to ``round_cuts``
+      decimals, which makes downstream bucket assignment value-level
+      oracle-checkable.
+    * ``exact=False`` — ``approx_percentile`` (Greenwald-Khanna, no
+      sort): the 100 TB default; bucket boundaries are approximate so
+      checks are rows-only.
+
+    Scale shape: ONE aggregate collapsing to a k-cut row collected to
+    the driver (k scalars, not data), then a map-only codegen'd
+    assignment (`size(filter(...))` over a literal array) — no second
+    shuffle, no join.  NULL values get a NULL bucket.
+    """
+    probs = [float(p) for p in probs]
+    if not probs or any(not 0.0 < p < 1.0 for p in probs):
+        raise ValueError("probs must be within (0, 1)")
+    if sorted(probs) != probs:
+        raise ValueError("probs must be ascending")
+    fn = "percentile" if exact else "approx_percentile"
+    cuts_row = df.agg(F.expr(
+        f"{fn}({value_col}, array({', '.join(map(repr, probs))}))")
+        .alias("c")).collect()[0]["c"]
+    cuts = [round(float(c), round_cuts) for c in cuts_row]
+    cut_arr = F.array(*[F.lit(c) for c in cuts])
+    v = F.col(value_col).cast("double")
+    bucket = F.when(v.isNotNull(), F.size(
+        F.filter(cut_arr, lambda c: v > c)))
+    return df.withColumn(out_col, bucket)

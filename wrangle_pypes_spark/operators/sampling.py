@@ -352,3 +352,74 @@ def cap_per_group(df: DataFrame, group_col: str, *, key_col: str,
         cond = cond | ((F.col(group_col) == F.lit(g)) &
                        _membership_cond(key_col, seed, frac, "md5"))
     return df.filter(cond)
+
+
+def weighted_sample_pps(df: DataFrame, *, key_col: str, weight_col: str,
+                        k: int, seed: int = 42) -> DataFrame:
+    """Probability-proportional-to-size Poisson sampling: keep each row
+    independently with probability ``min(1, k·w/W)`` (``W`` = corpus
+    weight total), so the sample holds ~``k`` rows and a row's chance of
+    inclusion is proportional to its weight — the standard move for
+    "sample documents proportional to token count".  Deterministic: the
+    per-row draw is the first 48 bits of ``md5(seed:key)`` (pure
+    function of (seed, key) — stable across runs, partitionings, and
+    cluster sizes), and with INTEGER weights every quantity in the
+    accept test (``u48 < min(1, k·w/W)·2^48``) is bit-identical in any
+    engine with md5 and IEEE doubles, so the kept SET is value-level
+    oracle-checkable.  Float weights make ``W`` a float sum (reduction-
+    order-dependent in the last ulp) — selection is then stable within
+    one engine but only almost-surely portable.
+
+    Cost at scale: one partial-aggregated total (single scalar to the
+    driver) + one map-only filter.  No sort, no shuffle of the corpus.
+    Expected size is ~``k`` (Poisson, not exact-k); for a hard per-group
+    cap use :func:`cap_per_group`.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    total = df.agg(F.sum(weight_col).alias("w")).collect()[0]["w"]
+    if total is None or float(total) <= 0:
+        raise ValueError("weight_col must have a positive total")
+    u48 = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"),
+                       F.col(key_col).cast("string"))), 1, 12),
+        16, 10).cast("long")
+    p = F.least(F.lit(1.0),
+                (F.lit(float(k)) * F.col(weight_col).cast("double"))
+                / F.lit(float(total)))
+    return df.filter(u48 < p * F.lit(float(1 << 48)))
+
+
+def topp_per_group(df: DataFrame, *, group_col: str, score_col: str,
+                   token_col: str, p: float, id_col: str) -> DataFrame:
+    """Nucleus (top-p) selection per group: order each group's rows by
+    (``score_col`` desc, ``id_col``) and keep rows until the cumulative
+    ``token_col`` share reaches ``p`` of the group total — the doc that
+    crosses the threshold is kept, everything after it is dropped.  The
+    budget-aware sibling of quantile filtering: "the best documents
+    covering 60% of each source's tokens" instead of "the best 60% of
+    documents".
+
+    Output: the kept rows with an exact ``cum_tokens`` running total
+    appended.  With integer tokens the threshold test
+    (``cum − tok < p·total``) is bit-exact cross-engine; scores only
+    need a deterministic ORDER (ties broken by ``id_col``), not exact
+    arithmetic.
+
+    Scale shape: one shuffle on the group key; the running total and the
+    group total are two frames over the SAME sorted partition (one sort,
+    no self-join).  Per-group volume is the skew bound, as with any
+    window-over-key.
+    """
+    if not (0.0 <= p <= 1.0):
+        raise ValueError("p must be in [0, 1]")
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.col(score_col).desc(), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = F.sum(token_col).over(w)
+    total = F.sum(token_col).over(Window.partitionBy(group_col))
+    return (df.withColumn("cum_tokens", cum)
+            .withColumn("_tot", total)
+            .filter((F.col("cum_tokens") - F.col(token_col))
+                    < F.lit(float(p)) * F.col("_tot"))
+            .drop("_tot"))
