@@ -99,6 +99,12 @@ HEADLINE = [
     "dsir_weights_docs",
     "cap_per_source",
     "stream_dedup_keep_best",
+    "boilerplate_lines_docs",
+    "resample_user_6h",
+    "rolling_zscore_events",
+    "weighted_sample_docs",
+    "topp_quality_per_source",
+    "bucketize_order_totals",
 ]
 
 
