@@ -62,6 +62,12 @@ PURE_JVM_QUERIES = [
     "funnel_events",
     "cohort_retention_weekly",
     "embedding_label_centroids",
+    "boilerplate_lines_docs",
+    "resample_user_6h",
+    "rolling_zscore_events",
+    "weighted_sample_docs",
+    "topp_quality_per_source",
+    "bucketize_order_totals",
 ]
 
 
@@ -309,3 +315,39 @@ def test_plan_audit_robust_to_codegen_stars_and_python_aggs(spark, tables):
     rep2 = audit(tables["orders"].select("o_orderkey", "o_totalprice"))
     assert rep2.pushdown_ok()
     assert rep2.filter_nodes == 0
+
+
+def test_resample_shares_one_key_partitioning(spark, sf_dir):
+    """The (key, bucket) aggregate, the grid join, and the forward-fill
+    window must reuse one key-based distribution — a second corpus-wide
+    exchange on the same key would double the op's shuffle cost."""
+    from wrangle_pypes_spark.operators import resample
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = resample(e, key_col="user_id", ts_col="ts",
+                  value_col="value", interval_sec=6 * 3600)
+    p = plan_of(df)
+    # the only exchanges over event-scale data hash on the key (or
+    # key+bucket for the partial agg); no single-partition exchange
+    assert "SinglePartition" not in p
+    assert p.count("Exchange hashpartitioning") <= 3
+
+
+def test_bucketize_assignment_is_map_only(spark, sf_dir):
+    """After the cut-point aggregate, assignment must be a literal-array
+    projection: no join, no exchange in the output plan."""
+    from wrangle_pypes_spark.operators import bucketize
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = bucketize(o, "o_totalprice")
+    p = plan_of(df)
+    assert "Join" not in p and "Exchange" not in p
+
+
+def test_weighted_sample_pps_is_map_only_filter(spark, sf_dir):
+    """The accept test is a pure projection over the scan — pushdown-
+    friendly, no exchange, no join."""
+    from wrangle_pypes_spark.operators import weighted_sample_pps
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = weighted_sample_pps(d, key_col="doc_id",
+                             weight_col="n_chars", k=50)
+    p = plan_of(df)
+    assert "Join" not in p and "Exchange" not in p
