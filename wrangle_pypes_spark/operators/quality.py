@@ -332,6 +332,7 @@ def dsir_importance(raw: DataFrame, target: DataFrame,
                     text_col: str = "text", *, id_col: str = "doc_id",
                     smoothing: float = 1.0,
                     round_digits: int = 4,
+                    hash_scheme: str = "md5",
                     cache_registry: Optional[list] = None) -> DataFrame:
     """DSIR-style importance weights (Data Selection via Importance
     Resampling, Xie et al. 2023 — the public hashed-n-gram recipe):
@@ -340,10 +341,13 @@ def dsir_importance(raw: DataFrame, target: DataFrame,
     corpus itself.  Select-by-weight (top-k or Gumbel top-k) then
     yields a raw subset distributed like the target.
 
-    Features: unigrams + bigrams, bucketed by the first 4 hex chars of
-    ``md5(gram)`` (65 536 buckets).  The hex-prefix bucket is the
-    engine-portable twin of DSIR's usual ``hash(gram) % B`` — md5 is
-    bit-identical everywhere, so weights are value-level checkable.
+    Features: unigrams + bigrams, bucketed into 65 536 buckets by the
+    first 4 hex chars of ``md5(gram)`` (``hash_scheme="md5"``, the
+    default: md5 is bit-identical everywhere, so weights are
+    value-level checkable against any engine) or by
+    ``pmod(xxhash64(gram), B)`` (``hash_scheme="xxhash64"`` — ~2×
+    cheaper per gram, engine-private; the 100 TB choice when no
+    cross-engine oracle is needed).
 
     ``weight(doc) = Σ_instances log( p̂_tgt[b] / p̂_raw[b] )`` with
     Laplace-``smoothing`` estimates ``p̂[b] = (c[b]+s) / (C+s·B)``.
@@ -352,28 +356,45 @@ def dsir_importance(raw: DataFrame, target: DataFrame,
     and is rounded to ``round_digits`` (the same cross-engine
     tolerance contract as ``unigram_logprob_score``).
 
-    Scale shape: both bucket-count aggregates are map-side partial and
-    ≤ 65 536 rows out; the log-ratio table BROADCASTS onto the
-    exploded raw side, so corpus cost is one explode + one doc-keyed
-    aggregate — the tf-idf topology.  The ratio table is persisted
-    (``cache_registry`` contract as elsewhere).
+    Scale shape: the raw corpus is exploded and hashed ONCE — the
+    per-(doc, bucket) aggregate is PERSISTED (memory-and-disk; it is
+    the op's working set, O(corpus tokens) rows, spill-safe) and both
+    the raw bucket marginals and the final weight aggregate read from
+    that cache, so no plan branch re-explodes the corpus; the
+    target-side aggregate is map-side partial and ≤ 65 536 rows out;
+    the log-ratio table BROADCASTS onto the per-bucket side.  Corpus
+    cost is one explode + one doc-keyed aggregate — the tf-idf
+    topology.  Both cached tables are handed to ``cache_registry``
+    (caller unpersists, the contract used elsewhere).
     """
     B = 65536
+    if hash_scheme == "md5":
+        def bucket(gram):
+            return F.substring(F.md5(gram), 1, 4)
+    elif hash_scheme == "xxhash64":
+        def bucket(gram):
+            return F.pmod(F.xxhash64(gram), F.lit(B))
+    else:
+        raise ValueError(f"unknown hash_scheme {hash_scheme!r} "
+                         "(expected 'md5' or 'xxhash64')")
 
     def grams(df: DataFrame):
         g = F.concat(_word_ngrams(F.col(text_col), 1),
                      _word_ngrams(F.col(text_col), 2))
         return df.select(F.col(id_col).alias("_doc"),
                          F.explode(g).alias("_gram")) \
-                 .withColumn("_b", F.substring(F.md5("_gram"), 1, 4))
+                 .withColumn("_b", bucket(F.col("_gram")))
 
-    raw_g, tgt_g = grams(raw), grams(target)
-    raw_counts = raw_g.groupBy("_b").agg(F.count("*").alias("_rc"))
-    tgt_counts = tgt_g.groupBy("_b").agg(F.count("*").alias("_tc"))
+    from pyspark import StorageLevel
+    per_bucket = grams(raw).groupBy("_doc", "_b").agg(
+        F.count("*").alias("_n")).persist(StorageLevel.MEMORY_AND_DISK)
+    raw_counts = per_bucket.groupBy("_b").agg(F.sum("_n").alias("_rc"))
+    tgt_counts = grams(target).groupBy("_b").agg(F.count("*").alias("_tc"))
     ratio = (raw_counts.join(tgt_counts, "_b", "left")
              .withColumn("_tc", F.coalesce("_tc", F.lit(0)))
              .persist())
     if cache_registry is not None:
+        cache_registry.append(per_bucket)
         cache_registry.append(ratio)
     totals = ratio.agg(F.sum("_rc").alias("r"),
                        F.sum("_tc").alias("t")).collect()[0]
@@ -381,8 +402,6 @@ def dsir_importance(raw: DataFrame, target: DataFrame,
     s = float(smoothing)
     logratio = F.log(((F.col("_tc") + s) / F.lit(T + s * B)) /
                      ((F.col("_rc") + s) / F.lit(R + s * B)))
-    per_bucket = raw_g.groupBy("_doc", "_b").agg(
-        F.count("*").alias("_n"))
     return (per_bucket
             .join(F.broadcast(ratio), "_b")
             .groupBy("_doc")

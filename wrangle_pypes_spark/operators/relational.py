@@ -431,3 +431,80 @@ def bucketize(df: DataFrame, value_col: str, *,
     bucket = F.when(v.isNotNull(), F.size(
         F.filter(cut_arr, lambda c: v > c)))
     return df.withColumn(out_col, bucket)
+
+
+def merge_intervals(df: DataFrame, key_col: str, start_col: str,
+                    end_col: str, *, gap: float = 0) -> DataFrame:
+    """Coalesce overlapping / near-adjacent intervals per key (the
+    gaps-and-islands move): intervals whose start is within ``gap``
+    seconds of the running maximum end so far merge into one island.
+    Output: one row per island — (key, start, end, n_merged).
+
+    Works on timestamp or numeric interval bounds (timestamps compare
+    via exact integer microseconds, so island boundaries are
+    bit-identical in any engine).
+
+    Scale shape: one shuffle on the key, one sorted window pass (the
+    running-max-end frame and the island running sum share the sort),
+    then a (key, island) aggregate with map-side partials on the SAME
+    partitioning — AQE plans a single exchange end to end.
+    """
+    is_ts = df.schema[start_col].dataType.typeName().startswith("timestamp")
+    if is_ts:
+        s = F.unix_micros(F.col(start_col).cast("timestamp"))
+        e = F.unix_micros(F.col(end_col).cast("timestamp"))
+        gap_u = int(gap * 1_000_000)
+    else:
+        s, e = F.col(start_col), F.col(end_col)
+        gap_u = gap
+    w = Window.partitionBy(key_col).orderBy(s, e)
+    prev_max_end = F.max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max_end.isNull() | (s > prev_max_end + F.lit(gap_u)),
+        F.lit(1)).otherwise(F.lit(0))
+    island = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    lo, hi = F.min(s).alias("_lo"), F.max(e).alias("_hi")
+    merged = (df.select(F.col(key_col), s.alias("_s"), e.alias("_e"),
+                        island.alias("_island"))
+              .groupBy(key_col, "_island")
+              .agg(F.min("_s").alias("_lo"), F.max("_e").alias("_hi"),
+                   F.count("*").alias("n_merged")))
+    if is_ts:
+        out_s = F.timestamp_micros(F.col("_lo"))
+        out_e = F.timestamp_micros(F.col("_hi"))
+    else:
+        out_s, out_e = F.col("_lo"), F.col("_hi")
+    return merged.select(key_col, out_s.alias(start_col),
+                         out_e.alias(end_col), "n_merged")
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str, *,
+                  compare_cols: Sequence[str]) -> DataFrame:
+    """Corpus version diff: classify every id across two snapshots as
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both,
+    differing md5 over ``compare_cols``) or ``unchanged`` — the audit
+    that makes a regrown 100 TB corpus reviewable before training on
+    it.  Output: (id, status, old_hash, new_hash).
+
+    Scale shape: each side collapses to (id, hash) map-side — the
+    full-outer join ships two narrow columns per row, never document
+    bodies.  One shuffle on the id (or zero with co-bucketed stores).
+    md5 over a '\\x1f'-joined canonical encoding is engine-portable, so
+    the whole diff is value-level oracle-checkable.
+    """
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                 for c in compare_cols]
+        return df.select(F.col(id_col),
+                         F.md5(F.concat_ws("\x1f", *parts)).alias(alias))
+
+    o = hashed(old, "old_hash")
+    n = hashed(new, "new_hash")
+    j = o.join(n, id_col, "full_outer")
+    status = (F.when(F.col("old_hash").isNull(), F.lit("added"))
+              .when(F.col("new_hash").isNull(), F.lit("removed"))
+              .when(F.col("old_hash") == F.col("new_hash"),
+                    F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select(id_col, status.alias("status"), "old_hash", "new_hash")
