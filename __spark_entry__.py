@@ -4424,6 +4424,152 @@ FROM orders, cuts
 
 
 
+
+def q_merge_intervals_user(spark, sf_dir):
+    """Gaps-and-islands interval coalescing (operators/relational.py
+    ``merge_intervals``): each event opens a 30-minute activity
+    interval per user; overlapping intervals merge into activity
+    islands.  Island boundaries are exact integer-microsecond
+    comparisons, so the merged set is value-level checkable."""
+    from wrangle_pypes_spark.operators import merge_intervals
+    e = _t(spark, sf_dir, "events")
+    start = F.col("ts").cast("timestamp")
+    iv = e.select("user_id", start.alias("start_ts"),
+                  F.timestamp_micros(F.unix_micros(start)
+                                     + 1800 * 1_000_000).alias("end_ts"))
+    return merge_intervals(iv, "user_id", "start_ts", "end_ts")
+
+
+SQL_MERGE_INTERVALS = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+  FROM events
+), o AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pme
+  FROM iv
+), isl AS (
+  SELECT user_id, s, e,
+         sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM o
+)
+SELECT user_id, make_timestamp(min(s)) AS start_ts,
+       make_timestamp(max(e)) AS end_ts,
+       count(*)::BIGINT AS n_merged
+FROM isl GROUP BY user_id, island
+"""
+
+
+def q_snapshot_diff_docs(spark, sf_dir):
+    """Corpus version diff (operators/relational.py ``snapshot_diff``):
+    old = the documents table; new = the same corpus with every 7th
+    doc dropped, every 11th doc's text rewritten, and every 13th doc
+    re-added under a shifted id — the regrow-audit classifying each id
+    as added/removed/changed/unchanged by engine-portable md5."""
+    from wrangle_pypes_spark.operators import snapshot_diff
+    d = _t(spark, sf_dir, "documents")
+    changed = F.when(F.col("doc_id") % 11 == 0,
+                     F.upper(F.col("text"))).otherwise(F.col("text"))
+    new = (d.filter(F.col("doc_id") % 7 != 0)
+           .select("doc_id", changed.alias("text"))
+           .unionByName(
+               d.filter(F.col("doc_id") % 13 == 0)
+               .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                       "text")))
+    return snapshot_diff(d.select("doc_id", "text"), new, "doc_id",
+                         compare_cols=["text"])
+
+
+SQL_SNAPSHOT_DIFF = r"""
+WITH old AS (
+  SELECT doc_id, md5(coalesce(text, chr(0))) AS old_hash FROM documents
+), newt AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text
+  FROM documents WHERE doc_id % 13 = 0
+), new AS (
+  SELECT doc_id, md5(coalesce(text, chr(0))) AS new_hash FROM newt
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.old_hash IS NULL THEN 'added'
+            WHEN n.new_hash IS NULL THEN 'removed'
+            WHEN o.old_hash = n.new_hash THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.old_hash, n.new_hash
+FROM old o FULL OUTER JOIN new n USING (doc_id)
+"""
+
+
+def q_rolling_median_orders(spark, sf_dir):
+    """Rolling order-statistic window (operators/timeseries.py
+    ``rolling_median``): median order total over each customer's
+    trailing 5 orders — even frames average the two middles, the
+    quantile_cont(0.5) convention any engine mirrors.  Compared as
+    2×median: the averaging puts half-cent values exactly on the
+    .xx5 rounding boundary where engines' round() legitimately
+    disagree; doubling restores exact 2-decimal arithmetic (binary
+    ×2 is lossless), so the check stays value-level."""
+    from wrangle_pypes_spark.operators import rolling_median
+    o = _t(spark, sf_dir, "orders")
+    out = rolling_median(o, key_col="o_custkey", ts_col="o_orderdate",
+                         value_col="o_totalprice", n=5,
+                         tiebreak_cols=("o_orderkey",))
+    return out.select("o_custkey", "o_orderkey", "o_orderdate",
+                      "n_obs",
+                      F.round(F.col("rolling_median") * 2, 2)
+                      .alias("median_5_x2"))
+
+
+SQL_ROLLING_MEDIAN = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       count(*) OVER w AS n_obs,
+       round(quantile_cont(o_totalprice, 0.5) OVER w * 2, 2)
+         AS median_5_x2
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_pagerank_trade_graph(spark, sf_dir):
+    """PageRank centrality (operators/graph.py ``pagerank``) over the
+    customer-nation -> supplier-nation trade graph (distinct edges via
+    the q7 join path).  Iterative with per-round localCheckpoint and
+    dangling-mass redistribution; float sums are reduction-order
+    dependent, so the driver check is rows-only by design — exact
+    semantics are pinned by the python-replica test in
+    tests/test_relational.py."""
+    from wrangle_pypes_spark.operators import pagerank
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("c_nationkey"),
+                  F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("s_nationkey"),
+                  F.col("n_name").alias("supp_nation"))
+    edges = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .join(c, o.o_custkey == c.c_custkey)
+             .join(s, li.l_suppkey == s.s_suppkey)
+             .join(F.broadcast(cn), "c_nationkey")
+             .join(F.broadcast(sn), "s_nationkey")
+             .select("cust_nation", "supp_nation").distinct())
+    ranks = pagerank(edges, src_col="cust_nation", dst_col="supp_nation",
+                     max_iter=50, tol=1e-9)
+    return ranks.select("node", F.round("rank", 6).alias("rank_r")) \
+                .orderBy("node")
+
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4457,6 +4603,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample_docs": q_weighted_sample_docs,  # new r4
     "topp_quality_per_source": q_topp_quality_per_source,  # new r4
     "bucketize_order_totals": q_bucketize_order_totals,  # new r4
+    "merge_intervals_user": q_merge_intervals_user,  # new r4
+    "snapshot_diff_docs": q_snapshot_diff_docs,  # new r4
+    "rolling_median_orders": q_rolling_median_orders,  # new r4
+    "pagerank_trade_graph": q_pagerank_trade_graph,  # new r4 (rows-only by design)
     "stratified_sample_langs": q_stratified_sample_langs,  # md5 value-level oracle, driver last saw rows-only
     "gopher_quality": q_gopher_quality,
     "repetition_stats": q_repetition_stats,
@@ -4487,11 +4637,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wrangle_map_ops": q_wrangle_map_ops,
     "wrangle_create_multiple": q_wrangle_create_multiple,
     "wrangle_attr_id": q_wrangle_attr_id,
+    # ---- below the 50-slot driver window from here down ----
     "wrangle_get_or_create_arrays": q_wrangle_get_or_create_arrays,
     "cube_orders": q_cube_orders,
     "semi_join_customers": q_semi_join_customers,
     "percentiles_by_segment": q_percentiles_by_segment,
-    # ---- below the 50-slot driver window from here down ----
     "string_agg_priorities": q_string_agg_priorities,
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "salted_join_revenue": q_salted_join_revenue,
@@ -4709,6 +4859,9 @@ _ORACLES: dict[str, str] = {
     "cap_per_source": SQL_CAP_PER_SOURCE,
     "quality_quantile_filter": SQL_QUALITY_QUANTILE,
     "resize_images": SQL_RESIZE,
+    "merge_intervals_user": SQL_MERGE_INTERVALS,
+    "snapshot_diff_docs": SQL_SNAPSHOT_DIFF,
+    "rolling_median_orders": SQL_ROLLING_MEDIAN,
     "boilerplate_lines_docs": SQL_BOILERPLATE,
     "resample_user_6h": SQL_RESAMPLE_6H,
     "rolling_zscore_events": SQL_ROLLING_ZSCORE,

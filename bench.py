@@ -105,6 +105,10 @@ HEADLINE = [
     "weighted_sample_docs",
     "topp_quality_per_source",
     "bucketize_order_totals",
+    "merge_intervals_user",
+    "snapshot_diff_docs",
+    "rolling_median_orders",
+    "pagerank_trade_graph",
 ]
 
 

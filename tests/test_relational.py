@@ -448,3 +448,95 @@ def test_rolling_zscore_flags_spike(spark):
     assert all(r.zscore is None for r in out[:4])      # cold start
     assert out[-1].is_anomaly and out[-1].zscore > 3.0
     assert all(not r.is_anomaly for r in out[4:-1])
+
+
+def test_merge_intervals_islands(spark):
+    """Overlapping and gap-adjacent intervals coalesce per key;
+    disjoint ones stay separate; timestamps merge on exact
+    microsecond arithmetic."""
+    from wrangle_pypes_spark.operators import merge_intervals
+
+    df = spark.createDataFrame(
+        [(1, 0, 10), (1, 5, 20), (1, 25, 30),   # [0,20] and [25,30]
+         (2, 0, 1), (2, 100, 110)],
+        "k long, s long, e long")
+    out = {(r.k, r.s): (r.e, r.n_merged)
+           for r in merge_intervals(df, "k", "s", "e").collect()}
+    assert out == {(1, 0): (20, 2), (1, 25): (30, 1),
+                   (2, 0): (1, 1), (2, 100): (110, 1)}
+    # gap tolerance bridges the 5-unit hole
+    bridged = merge_intervals(df.filter("k = 1"), "k", "s", "e", gap=5)
+    assert [(r.s, r.e, r.n_merged) for r in bridged.collect()] == [(0, 30, 3)]
+
+    ts = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+         (1, "2024-01-01 00:30:00", "2024-01-01 02:00:00"),
+         (1, "2024-01-01 05:00:00", "2024-01-01 06:00:00")],
+        "k long, s string, e string") \
+        .select("k", F.col("s").cast("timestamp").alias("s"),
+                F.col("e").cast("timestamp").alias("e"))
+    got = sorted((str(r.s), str(r.e)) for r in
+                 merge_intervals(ts, "k", "s", "e").collect())
+    assert got == [("2024-01-01 00:00:00", "2024-01-01 02:00:00"),
+                   ("2024-01-01 05:00:00", "2024-01-01 06:00:00")]
+
+
+def test_snapshot_diff_statuses(spark):
+    """added/removed/changed/unchanged classified by id + content hash;
+    the join ships hashes, not documents."""
+    from wrangle_pypes_spark.operators import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, text string")
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C!"), (4, "d")], "id long, text string")
+    got = {r.id: r.status for r in snapshot_diff(
+        old, new, "id", compare_cols=["text"]).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_rolling_median_even_odd_frames(spark):
+    """Median over growing frames: odd frame takes the middle element,
+    even frame averages the two middles."""
+    from wrangle_pypes_spark.operators import rolling_median
+
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate([10.0, 2.0, 8.0, 4.0])],
+        "k long, t long, v double")
+    out = sorted(rolling_median(df, key_col="k", ts_col="t",
+                                value_col="v", n=3).collect(),
+                 key=lambda r: r.t)
+    assert [r.rolling_median for r in out] == [10.0, 6.0, 8.0, 4.0]
+    assert [r.n_obs for r in out] == [1, 2, 3, 3]
+
+
+def test_pagerank_matches_replica(spark):
+    """Ranks on a small directed graph match a driver-side python
+    replica to 1e-9, sum to 1, and dangling mass redistributes."""
+    from wrangle_pypes_spark.operators import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]  # 4 -> dangling? no: 4 has out-edge; no dangling
+    edges.append((3, 5))                              # 5 is dangling
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in
+           pagerank(df, max_iter=50, tol=1e-12).collect()}
+
+    # python replica
+    from collections import defaultdict
+    out = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    nodes = sorted({n for e in edges for n in e})
+    N = len(nodes)
+    ranks = {v: 1.0 / N for v in nodes}
+    for _ in range(200):
+        dangling = sum(r for v, r in ranks.items() if v not in out)
+        contrib = defaultdict(float)
+        for s, ds in out.items():
+            for d in ds:
+                contrib[d] += ranks[s] / len(ds)
+        ranks = {v: 0.15 / N + 0.85 * (contrib[v] + dangling / N)
+                 for v in nodes}
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])

@@ -141,3 +141,33 @@ def rolling_zscore(df: DataFrame, *, key_col: str, ts_col: str,
         *[c for c in tiebreak_cols if c not in (key_col, ts_col, value_col)],
         cnt.alias("n_obs"), z.alias("zscore"),
         F.when(z.isNotNull(), F.abs(z) > threshold).alias("is_anomaly"))
+
+
+def rolling_median(df: DataFrame, *, key_col: str, ts_col: str,
+                   value_col: str, n: int,
+                   tiebreak_cols: tuple = ()) -> DataFrame:
+    """Per-key rolling median over the trailing ``n`` observations
+    (ROWS frame including the current row) — the robust smoother for
+    outlier-laden metrics, where a rolling mean chases every spike.
+    Even-sized frames average the two middle values (the
+    ``quantile_cont(0.5)`` convention, so any engine mirrors it).
+
+    Scale shape: one shuffle on the key, one sorted window pass.  The
+    frame is materialized per row (``collect_list`` + ``sort_array``
+    inside the window — O(n log n) per row), so keep ``n`` modest
+    (tens-to-hundreds); this is the exact-order-statistic trade-off,
+    not a skew bug.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
+    w = (Window.partitionBy(key_col).orderBy(*order)
+         .rowsBetween(-(n - 1), 0))
+    arr = F.sort_array(F.collect_list(value_col).over(w))
+    sz = F.size(arr)
+    odd = F.element_at(arr, ((sz + 1) / 2).cast("int"))
+    even = (F.element_at(arr, (sz / 2).cast("int"))
+            + F.element_at(arr, (sz / 2 + 1).cast("int"))) / 2
+    med = F.when(sz % 2 == 1, odd).otherwise(even)
+    return df.select(
+        key_col, ts_col, value_col,
+        *[c for c in tiebreak_cols if c not in (key_col, ts_col, value_col)],
+        sz.cast("long").alias("n_obs"), med.alias("rolling_median"))
