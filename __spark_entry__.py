@@ -4570,6 +4570,81 @@ def q_pagerank_trade_graph(spark, sf_dir):
 
 
 
+
+def q_ngram_containment_docs(spark, sf_dir):
+    """Graded decontamination (operators/quality.py
+    ``ngram_containment``): per-doc distinct-trigram containment
+    against the held-out eval slice (doc_id % 97 = 0) — the ratio that
+    ranks HOW contaminated a document is, not just whether it touched
+    the eval set.  Exact integer counts + one rounded int division, so
+    the whole profile is value-level checkable."""
+    from wrangle_pypes_spark.operators import ngram_containment
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    tr = d.filter(F.col("doc_id") % 97 != 0)
+    return ngram_containment(tr, ev, n=3)
+
+
+SQL_NGRAM_CONTAINMENT = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(generate_series(1, len(toks) - 2),
+                  i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+             ELSE [] END) AS gs
+  FROM t
+),
+ev AS (SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, gs FROM grams WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(gs) AS gram FROM tr) g
+  JOIN ev USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT tr.doc_id,
+       len(tr.gs)::BIGINT AS n_grams,
+       coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+       round(coalesce(h.n_overlap, 0) / greatest(len(tr.gs), 1), 6)
+         AS containment,
+       (coalesce(h.n_overlap, 0) > 0) AS contaminated
+FROM tr LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_standardize_orders(spark, sf_dir):
+    """Per-group feature standardization (operators/relational.py
+    ``standardize``): z-score each order's total within its priority
+    class via a broadcast stats join (never a single-partition global
+    window).  Rounded to 4dp — the cross-engine float-tolerance
+    contract used by the other windowed-stat queries."""
+    from wrangle_pypes_spark.operators import standardize
+    o = _t(spark, sf_dir, "orders")
+    out = standardize(o, ["o_totalprice"],
+                      group_cols=["o_orderpriority"], round_digits=4)
+    return out.select("o_orderkey", "o_orderpriority", "o_totalprice",
+                      F.col("o_totalprice_z").alias("z"))
+
+
+SQL_STANDARDIZE = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       CASE WHEN stddev_samp(o_totalprice)
+                 OVER (PARTITION BY o_orderpriority) > 0
+            THEN round((o_totalprice - avg(o_totalprice)
+                        OVER (PARTITION BY o_orderpriority))
+                       / stddev_samp(o_totalprice)
+                         OVER (PARTITION BY o_orderpriority), 4)
+       END AS z
+FROM orders
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4607,6 +4682,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff_docs": q_snapshot_diff_docs,  # new r4
     "rolling_median_orders": q_rolling_median_orders,  # new r4
     "pagerank_trade_graph": q_pagerank_trade_graph,  # new r4 (rows-only by design)
+    "ngram_containment_docs": q_ngram_containment_docs,  # new r4
+    "standardize_orders": q_standardize_orders,  # new r4
     "stratified_sample_langs": q_stratified_sample_langs,  # md5 value-level oracle, driver last saw rows-only
     "gopher_quality": q_gopher_quality,
     "repetition_stats": q_repetition_stats,
@@ -4635,9 +4712,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_latest_order_per_event": q_asof_latest_order_per_event,
     "range_join_event_pairs": q_range_join_event_pairs,
     "wrangle_map_ops": q_wrangle_map_ops,
+    # ---- below the 50-slot driver window from here down ----
     "wrangle_create_multiple": q_wrangle_create_multiple,
     "wrangle_attr_id": q_wrangle_attr_id,
-    # ---- below the 50-slot driver window from here down ----
     "wrangle_get_or_create_arrays": q_wrangle_get_or_create_arrays,
     "cube_orders": q_cube_orders,
     "semi_join_customers": q_semi_join_customers,
@@ -4862,6 +4939,8 @@ _ORACLES: dict[str, str] = {
     "merge_intervals_user": SQL_MERGE_INTERVALS,
     "snapshot_diff_docs": SQL_SNAPSHOT_DIFF,
     "rolling_median_orders": SQL_ROLLING_MEDIAN,
+    "ngram_containment_docs": SQL_NGRAM_CONTAINMENT,
+    "standardize_orders": SQL_STANDARDIZE,
     "boilerplate_lines_docs": SQL_BOILERPLATE,
     "resample_user_6h": SQL_RESAMPLE_6H,
     "rolling_zscore_events": SQL_ROLLING_ZSCORE,

@@ -109,6 +109,8 @@ HEADLINE = [
     "snapshot_diff_docs",
     "rolling_median_orders",
     "pagerank_trade_graph",
+    "ngram_containment_docs",
+    "standardize_orders",
 ]
 
 

@@ -71,6 +71,8 @@ PURE_JVM_QUERIES = [
     "merge_intervals_user",
     "snapshot_diff_docs",
     "rolling_median_orders",
+    "ngram_containment_docs",
+    "standardize_orders",
 ]
 
 

@@ -229,3 +229,28 @@ def test_boilerplate_removal_approx_agrees_when_separated(spark):
     ex = boilerplate_removal(df, sep=r"\n", min_docs=5, exact=True)
     ap = boilerplate_removal(df, sep=r"\n", min_docs=5, exact=False)
     assert sorted(map(tuple, ex.collect())) == sorted(map(tuple, ap.collect()))
+
+
+def test_ngram_containment_ratio(spark):
+    """Exact distinct-trigram containment per doc; the doc fully inside
+    the reference scores 1.0, a disjoint doc 0.0, a short doc 0 grams;
+    the reference side broadcasts."""
+    from wrangle_pypes_spark.operators import ngram_containment
+
+    ref = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),        # 2 grams, both in ref
+         (2, "alpha beta gamma zzz"),          # 1 of 2 grams in ref
+         (3, "totally different words here"),  # 0 of 2
+         (4, "too short")],                    # 0 grams
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_containment(
+        train, ref, n=3).collect()}
+    assert out[1].containment == 1.0 and out[1].contaminated
+    assert out[2].containment == 0.5
+    assert out[3].containment == 0.0 and not out[3].contaminated
+    assert out[4].n_grams == 0 and out[4].containment == 0.0
+    plan = ngram_containment(train, ref, n=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -540,3 +540,25 @@ def test_pagerank_matches_replica(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
     for v in nodes:
         assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
+
+
+def test_standardize_global_and_grouped(spark):
+    """Per-group z-scores match hand math (ddof=1); constant groups get
+    NULL; the stats side broadcasts (no global window)."""
+    from wrangle_pypes_spark.operators import standardize
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 5.0)],
+        "g string, v double")
+    out = standardize(df, ["v"], group_cols=["g"])
+    got = sorted((r.g, r.v, r.v_z) for r in out.collect())
+    # group a: mean 2, sd sqrt(2) -> z = +-1/sqrt(2)
+    import math
+    assert abs(got[0][2] + 1 / math.sqrt(2)) < 1e-12
+    assert abs(got[1][2] - 1 / math.sqrt(2)) < 1e-12
+    assert got[2][2] is None and got[3][2] is None   # constant group
+
+    glob = standardize(df, ["v"])
+    assert abs(sum(r.v_z for r in glob.collect())) < 1e-9
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

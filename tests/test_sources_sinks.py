@@ -292,3 +292,31 @@ def test_compact_parquet_recovers_crashed_swap(spark, tables, tmp_path):
     n_out = compact_parquet(spark, path, target_file_bytes=1 << 30)
     assert n_out == 1
     assert spark.read.parquet(path).count() == want
+
+
+def test_read_text_line_and_wholefile(spark, tmp_path):
+    from wrangle_pypes_spark.sources import read_text
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("solo doc body\n")
+    lines = read_text(spark, str(d))
+    assert sorted(r.value for r in lines.collect()) == \
+        ["line one", "line two", "solo doc body"]
+    docs = read_text(spark, str(d), whole_file=True, with_path=True)
+    got = {r.path.rsplit("/", 1)[-1]: r.value for r in docs.collect()}
+    assert got["a.txt"] == "line one\nline two\n"
+    assert got["b.txt"] == "solo doc body\n"
+
+
+def test_read_binary_files_glob(spark, tmp_path):
+    from wrangle_pypes_spark.sources import read_binary_files
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "x.bin").write_bytes(b"\x00\x01\x02")
+    (d / "y.txt").write_bytes(b"nope")
+    out = read_binary_files(spark, str(d), glob="*.bin").collect()
+    assert len(out) == 1
+    assert out[0].content == b"\x00\x01\x02" and out[0].length == 3

@@ -478,3 +478,50 @@ def boilerplate_removal(docs: DataFrame, text_col: str = "text", *,
                     (F.coalesce("_n_segs", F.lit(0)) -
                      F.coalesce("n_kept", F.lit(0))).cast("long")
                     .alias("n_removed")))
+
+
+def ngram_containment(train: DataFrame, eval_df: DataFrame,
+                      text_col: str = "text", *, id_col: str = "doc_id",
+                      n: int = 3, round_digits: int = 6) -> DataFrame:
+    """Graded decontamination: per-document n-gram containment against
+    a reference corpus — ``containment = |doc grams ∩ ref grams| /
+    |doc grams|`` over DISTINCT word n-grams.  Where
+    :func:`decontaminate` answers "does this doc touch the eval set at
+    all?", the ratio ranks HOW contaminated it is, which is what a
+    near-threshold curation pass needs (drop > 0.8, audit 0.2–0.8,
+    keep < 0.2).
+
+    Output: (id, n_grams, n_overlap, containment, contaminated).
+    Documents with fewer than ``n`` tokens have 0 grams and containment
+    0.0.  Counts are exact integers and the ratio is one exact-int
+    division rounded to ``round_digits`` — value-level checkable.
+
+    Scale shape: the reference side collapses to distinct grams and
+    BROADCASTS (eval corpora are small by construction); the training
+    corpus is exploded once (doc-distinct grams) into a broadcast-hash
+    join + doc-keyed count — no corpus shuffle beyond the final
+    doc aggregate.
+    """
+    ref = (eval_df
+           .select(F.explode(F.array_distinct(
+               _word_ngrams(F.col(text_col), n))).alias("_g"))
+           .distinct())
+    grams = train.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.array_distinct(
+            _word_ngrams(F.col(text_col), n))).alias("_g"))
+    hits = (grams.join(F.broadcast(ref), "_g")
+            .groupBy("_doc").agg(F.count("*").alias("_hits")))
+    totals = train.select(
+        F.col(id_col),
+        F.size(F.array_distinct(_word_ngrams(F.col(text_col), n)))
+        .cast("long").alias("n_grams"))
+    out = (totals.join(hits, totals[id_col] == hits["_doc"], "left")
+           .drop("_doc"))
+    overlap = F.coalesce("_hits", F.lit(0)).cast("long")
+    ratio = F.round(overlap / F.greatest(F.col("n_grams"), F.lit(1)),
+                    round_digits)
+    return out.select(
+        id_col, "n_grams", overlap.alias("n_overlap"),
+        ratio.alias("containment"),
+        (overlap > 0).alias("contaminated"))

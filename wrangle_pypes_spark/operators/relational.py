@@ -508,3 +508,36 @@ def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str, *,
                     F.lit("unchanged"))
               .otherwise(F.lit("changed")))
     return j.select(id_col, status.alias("status"), "old_hash", "new_hash")
+
+
+def standardize(df: DataFrame, value_cols: Sequence[str], *,
+                group_cols: Optional[Sequence[str]] = None,
+                round_digits: Optional[int] = None) -> DataFrame:
+    """Z-normalize numeric columns — globally or per group — appending
+    ``{col}_z = (x − mean) / stddev`` (sample stddev; NULL when the
+    group is constant or a singleton).  The feature-scaling step before
+    embedding math, anomaly thresholds, or mixed-unit scoring.
+
+    Scale shape: one partial-aggregated stats pass (k×groups rows) that
+    BROADCASTS back onto the corpus — a map-only transform, never a
+    single-partition global window (``avg() OVER ()`` is the classic
+    scale trap this op exists to avoid).  ``round_digits`` applies the
+    cross-engine float-tolerance contract when oracle comparison is
+    intended.
+    """
+    gcols = list(group_cols or [])
+    aggs = []
+    for c in value_cols:
+        aggs += [F.avg(c).alias(f"_mu_{c}"),
+                 F.stddev_samp(c).alias(f"_sd_{c}")]
+    stats = df.groupBy(*gcols).agg(*aggs) if gcols else df.agg(*aggs)
+    joined = (df.join(F.broadcast(stats), gcols, "left") if gcols
+              else df.crossJoin(F.broadcast(stats)))
+    out_cols = list(df.columns)
+    for c in value_cols:
+        z = F.when(F.col(f"_sd_{c}") > 0,
+                   (F.col(c) - F.col(f"_mu_{c}")) / F.col(f"_sd_{c}"))
+        if round_digits is not None:
+            z = F.round(z, round_digits)
+        out_cols.append(z.alias(f"{c}_z"))
+    return joined.select(*out_cols)

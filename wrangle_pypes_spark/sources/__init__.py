@@ -12,13 +12,14 @@ from .sinks import (compact_parquet, read_orc, recover_upsert_backup,
                     write_bucketed_table,
                     write_csv, write_json, write_orc, write_parquet)
 from .tables import (TABLES, ensure_session_confs, infer_json_schema,
-                     load_star_schema, load_table, parse_json_col, read_csv,
-                     read_jsonl)
+                     load_star_schema, load_table, parse_json_col,
+                     read_binary_files, read_csv, read_jsonl, read_text)
 
 __all__ = ("TABLES", "ensure_session_confs", "infer_json_schema",
            "load_star_schema", "load_table", "parse_json_col",
            "compact_parquet",
-           "read_csv", "read_jsonl", "read_orc", "recover_upsert_backup",
+           "read_binary_files", "read_csv", "read_jsonl", "read_orc",
+           "read_text", "recover_upsert_backup",
            "upsert_parquet",
            "write_bucketed_table", "write_csv", "write_json", "write_orc",
            "write_parquet")

@@ -203,3 +203,42 @@ def read_csv(spark: SparkSession, path: str,
     else:
         reader = reader.option("inferSchema", "true")  # dev only; avoid at scale
     return reader.csv(path)
+
+
+def read_text(spark: SparkSession, path: str, *,
+              whole_file: bool = False,
+              with_path: bool = False) -> DataFrame:
+    """Raw-text corpus ingest.
+
+    * ``whole_file=False`` (default) — one row per LINE (``value``
+      string): log/CSV-fragment ingestion.  Splittable: large files
+      fan out across tasks.
+    * ``whole_file=True`` — one row per FILE: document-per-file corpora
+      (the common raw-scrape layout).  NOT splittable — a task holds an
+      entire file, so shard huge documents upstream.
+
+    ``with_path=True`` adds the source file path (the natural document
+    id for file-per-doc corpora) via ``input_file_name``.
+    """
+    df = spark.read.text(path, wholetext=whole_file)
+    if with_path:
+        df = df.select(F.input_file_name().alias("path"), "value")
+    return df
+
+
+def read_binary_files(spark: SparkSession, path: str, *,
+                      glob: str | None = None) -> DataFrame:
+    """Opaque binary ingest (images/audio/video payloads) via Spark's
+    built-in ``binaryFile`` source: (path, modificationTime, length,
+    content) — the loader for the `operators.multimodal` convention
+    (binary column + typed metadata).  Files are NOT split; partition
+    count follows file count, so compact tiny files upstream
+    (`sources.sinks.compact_parquet` after a parquet conversion) and
+    keep single payloads under executor memory.
+    ``glob`` maps to ``pathGlobFilter`` (e.g. ``"*.png"``) — pruning
+    happens at listing time, before any read.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
