@@ -4645,6 +4645,66 @@ FROM orders
 
 
 
+
+def q_rollup_hist_percentiles(spark, sf_dir):
+    """Mergeable-histogram quantile state (operators/rollup.py
+    ``histogram`` kind + ``rollup_percentile``): per event type, a
+    50-bin value histogram built from two disjoint batches and MERGED
+    (element-wise integer add — incremental ≡ full exactly), then p50
+    and p90 read from the merged state by linear interpolation.  The
+    oracle rebuilds the same integer bins from raw rows and applies
+    the identical crossing-bin arithmetic — value-level, because the
+    state is exact integers and the estimate is one deterministic
+    formula over them."""
+    from wrangle_pypes_spark.operators.rollup import (rollup_build,
+                                                      rollup_merge,
+                                                      rollup_percentile)
+    e = _t(spark, sf_dir, "events")
+    metrics = {"n": ("count", "*"),
+               "hist": ("histogram", "value", 0.0, 500.0, 50)}
+    group = ["event_type"]
+    a = rollup_build(e.filter(F.col("event_id") % 2 == 0),
+                     group_cols=group, metrics=metrics)
+    b = rollup_build(e.filter(F.col("event_id") % 2 == 1),
+                     group_cols=group, metrics=metrics)
+    merged = rollup_merge(a, b, group_cols=group, metrics=metrics)
+    kw = dict(lo=0.0, hi=500.0, bins=50)
+    return merged.select(
+        "event_type", "n",
+        rollup_percentile(F.col("hist"), 0.5, **kw).alias("p50_est"),
+        rollup_percentile(F.col("hist"), 0.9, **kw).alias("p90_est"))
+
+
+SQL_ROLLUP_HIST = """
+WITH b AS (
+  SELECT event_type,
+         least(greatest(floor(value / 10.0), 0), 49)::INT AS bin,
+         count(*) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), n AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY 1
+), cum AS (
+  SELECT event_type, bin, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS total
+  FROM b
+), est AS (
+  SELECT event_type,
+         min(CASE WHEN cum >= 0.5 * total AND (cum - c) < 0.5 * total
+              THEN round((bin + (0.5 * total - (cum - c)) / c) * 10.0, 6)
+             END) AS p50_est,
+         min(CASE WHEN cum >= 0.9 * total AND (cum - c) < 0.9 * total
+              THEN round((bin + (0.9 * total - (cum - c)) / c) * 10.0, 6)
+             END) AS p90_est
+  FROM cum GROUP BY event_type
+)
+SELECT n.event_type, n.n, est.p50_est, est.p90_est
+FROM n JOIN est USING (event_type)
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4684,6 +4744,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_trade_graph": q_pagerank_trade_graph,  # new r4 (rows-only by design)
     "ngram_containment_docs": q_ngram_containment_docs,  # new r4
     "standardize_orders": q_standardize_orders,  # new r4
+    "rollup_hist_percentiles": q_rollup_hist_percentiles,  # new r4
     "stratified_sample_langs": q_stratified_sample_langs,  # md5 value-level oracle, driver last saw rows-only
     "gopher_quality": q_gopher_quality,
     "repetition_stats": q_repetition_stats,
@@ -4711,8 +4772,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": q_sessionize_events,
     "asof_latest_order_per_event": q_asof_latest_order_per_event,
     "range_join_event_pairs": q_range_join_event_pairs,
-    "wrangle_map_ops": q_wrangle_map_ops,
     # ---- below the 50-slot driver window from here down ----
+    "wrangle_map_ops": q_wrangle_map_ops,
     "wrangle_create_multiple": q_wrangle_create_multiple,
     "wrangle_attr_id": q_wrangle_attr_id,
     "wrangle_get_or_create_arrays": q_wrangle_get_or_create_arrays,
@@ -4941,6 +5002,7 @@ _ORACLES: dict[str, str] = {
     "rolling_median_orders": SQL_ROLLING_MEDIAN,
     "ngram_containment_docs": SQL_NGRAM_CONTAINMENT,
     "standardize_orders": SQL_STANDARDIZE,
+    "rollup_hist_percentiles": SQL_ROLLUP_HIST,
     "boilerplate_lines_docs": SQL_BOILERPLATE,
     "resample_user_6h": SQL_RESAMPLE_6H,
     "rolling_zscore_events": SQL_ROLLING_ZSCORE,

@@ -111,6 +111,7 @@ HEADLINE = [
     "pagerank_trade_graph",
     "ngram_containment_docs",
     "standardize_orders",
+    "rollup_hist_percentiles",
 ]
 
 

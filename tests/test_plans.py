@@ -73,6 +73,7 @@ PURE_JVM_QUERIES = [
     "rolling_median_orders",
     "ngram_containment_docs",
     "standardize_orders",
+    "rollup_hist_percentiles",
 ]
 
 

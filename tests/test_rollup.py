@@ -149,3 +149,40 @@ def test_streaming_rollup_upsert_equals_batch(spark, events, tmp_path):
     q2.awaitTermination()
     again = _scalar_rows(spark.read.parquet(store))
     assert again == _scalar_rows(got_state)
+
+
+def test_histogram_state_merge_equivalence_and_percentile(spark):
+    """merge(build(A), build(B)) == build(A ∪ B) EXACTLY for histogram
+    counts (integer vector add), and the histogram percentile estimate
+    lands within one bin width of the exact percentile."""
+    from wrangle_pypes_spark.operators import (
+        rollup_build, rollup_merge, rollup_percentile)
+    from pyspark.sql import functions as F
+
+    metrics = {"n": ("count", "*"),
+               "hist": ("histogram", "v", 0.0, 100.0, 20)}
+    a = spark.createDataFrame(
+        [("g", float(v)) for v in range(0, 50)], "grp string, v double")
+    b = spark.createDataFrame(
+        [("g", float(v)) for v in range(50, 100)] + [("g", None)],
+        "grp string, v double")
+    ra = rollup_build(a, group_cols=["grp"], metrics=metrics)
+    rb = rollup_build(b, group_cols=["grp"], metrics=metrics)
+    merged = rollup_merge(ra, rb, group_cols=["grp"], metrics=metrics)
+    full = rollup_build(a.unionByName(b), group_cols=["grp"],
+                        metrics=metrics)
+    mrow, frow = merged.collect()[0], full.collect()[0]
+    assert mrow.hist == frow.hist            # exact state equality
+    assert sum(mrow.hist) == 100             # NULL not counted
+
+    est = merged.select(rollup_percentile(
+        F.col("hist"), 0.5, lo=0.0, hi=100.0, bins=20).alias("p50"))
+    p50 = est.collect()[0].p50
+    assert abs(p50 - 49.5) <= 5.0            # one bin width (100/20)
+
+    # clamping: out-of-range values land in edge bins, never vanish
+    c = spark.createDataFrame([("g", -5.0), ("g", 500.0)],
+                              "grp string, v double")
+    hist = rollup_build(c, group_cols=["grp"],
+                        metrics=metrics).collect()[0].hist
+    assert hist[0] == 1 and hist[-1] == 1
