@@ -186,3 +186,42 @@ def test_histogram_state_merge_equivalence_and_percentile(spark):
     hist = rollup_build(c, group_cols=["grp"],
                         metrics=metrics).collect()[0].hist
     assert hist[0] == 1 and hist[-1] == 1
+
+
+def test_streaming_rollup_histogram_state_composes(spark, events, tmp_path):
+    """The durable streaming maintainer composes with the histogram
+    kind unchanged: after a two-micro-batch drain the stored count
+    vectors equal the one-shot batch rollup's, exactly (integer
+    element-wise add is the merge)."""
+    from wrangle_pypes_spark.streaming import foreach_batch_rollup_upsert
+
+    metrics = {"n": ("count", "*"),
+               "hist": ("histogram", "value", 0.0, 500.0, 25)}
+    src_dir = str(tmp_path / "hsrc")
+    events.filter(F.col("event_id") % 2 == 0) \
+        .coalesce(1).write.parquet(src_dir + "/a")
+    events.filter(F.col("event_id") % 2 == 1) \
+        .coalesce(1).write.parquet(src_dir + "/b")
+    import glob
+    import shutil
+    files = [f for d in ("a", "b")
+             for f in glob.glob(f"{src_dir}/{d}/*.parquet")]
+    for i, f in enumerate(files):
+        shutil.move(f, f"{src_dir}/part-{i}.parquet")
+    shutil.rmtree(src_dir + "/a"), shutil.rmtree(src_dir + "/b")
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", "1")
+              .format("parquet").load(src_dir)
+              .select("event_type", "value"))
+    store = str(tmp_path / "hstore")
+    q = foreach_batch_rollup_upsert(
+        stream, store, group_cols=["event_type"], metrics=metrics)
+    q.awaitTermination()
+
+    got = {r.event_type: (r.n, r.hist)
+           for r in spark.read.parquet(store).collect()}
+    want = {r.event_type: (r.n, r.hist)
+            for r in rollup_build(events, group_cols=["event_type"],
+                                  metrics=metrics).collect()}
+    assert got == want
