@@ -107,3 +107,73 @@ def test_engine_matches_reference_interpreter(spark, batch):
     key = lambda t: tuple((v is None, v if not isinstance(v, list) else tuple(v))
                           for v in t)  # noqa: E731
     assert sorted(got, key=key) == sorted(expected, key=key)
+
+
+# ---------------------------------------------------------------------------
+# interval coalescing vs a brute-force union replica
+# ---------------------------------------------------------------------------
+
+_intervals = st.lists(
+    st.tuples(st.integers(0, 60), st.integers(0, 30)),
+    min_size=1, max_size=12)
+
+
+def _union_replica(ivs, gap):
+    """Brute-force interval union with gap tolerance."""
+    ivs = sorted((s, s + ln) for s, ln in ivs)
+    out = []
+    for s, e in ivs:
+        if out and s <= out[-1][1] + gap:
+            out[-1][1] = max(out[-1][1], e)
+            out[-1][2] += 1
+        else:
+            out.append([s, e, 1])
+    return [(s, e, n) for s, e, n in out]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(ivs=_intervals, gap=st.sampled_from([0, 3]))
+def test_merge_intervals_matches_union_replica(spark, ivs, gap):
+    from wrangle_pypes_spark.operators import merge_intervals
+
+    df = spark.createDataFrame(
+        [(1, s, s + ln) for s, ln in ivs], "k long, s long, e long")
+    got = sorted((r.s, r.e, r.n_merged) for r in
+                 merge_intervals(df, "k", "s", "e", gap=gap).collect())
+    assert got == _union_replica(ivs, gap)
+
+
+# ---------------------------------------------------------------------------
+# resample invariants: full grid, no observation lost, fill correctness
+# ---------------------------------------------------------------------------
+
+_obs = st.lists(
+    st.tuples(st.integers(0, 500), st.integers(1, 9)),  # (second, value)
+    min_size=1, max_size=15, unique_by=lambda t: t[0])
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(obs=_obs)
+def test_resample_grid_and_fill_invariants(spark, obs):
+    from wrangle_pypes_spark.operators import resample
+
+    df = spark.createDataFrame(
+        [(1, s, float(v)) for s, v in obs], "k long, sec long, v double") \
+        .select("k", F.timestamp_seconds(F.col("sec")).alias("ts"), "v")
+    rows = sorted(resample(df, key_col="k", ts_col="ts", value_col="v",
+                           interval_sec=60).collect(),
+                  key=lambda r: r.bucket)
+    buckets = [int(r.bucket.timestamp()) for r in rows]
+    # 1. contiguous grid from first to last observed bucket
+    assert buckets == list(range(min(buckets), max(buckets) + 60, 60))
+    # 2. no observation lost: bucket sums add up to the input total
+    assert sum(r.sum_v for r in rows if r.sum_v is not None) == \
+        pytest.approx(sum(v for _, v in obs))
+    # 3. fill semantics: filled equals the last non-gap sum seen so far
+    last = None
+    for r in rows:
+        if not r.is_gap:
+            last = r.sum_v
+        assert r.filled == last
