@@ -4705,6 +4705,63 @@ FROM n JOIN est USING (event_type)
 
 
 
+
+def q_span_dedup_docs(spark, sf_dir):
+    """Duplicated token-span removal (operators/dedup.py ``span_dedup``,
+    stride=1 = exact for duplicates >= span): every 8-token window
+    repeated anywhere in the corpus is dropped from ALL documents —
+    the sub-paragraph dedup paragraph_dedup cannot see.  The oracle
+    replicates the whole pipeline (windows, corpus counts, coverage
+    intervals, rebuild) on the identical tokenizer, so the cleaned
+    strings are value-level checkable."""
+    from wrangle_pypes_spark.operators.dedup import span_dedup
+    d = _t(spark, sf_dir, "documents")
+    return span_dedup(d, span=8, stride=1, min_dup=2)
+
+
+SQL_SPAN_DEDUP = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, i AS st, array_to_string(toks[i:i+7], ' ') AS w
+  FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+  WHERE len(toks) >= 8
+), dup AS (
+  SELECT w FROM s GROUP BY w HAVING count(*) >= 2
+), ds AS (
+  SELECT doc_id, st FROM s JOIN dup USING (w)
+), cov AS (
+  SELECT DISTINCT doc_id, st + o AS pos
+  FROM ds, unnest(generate_series(0, 7)) AS g(o)
+), tok AS (
+  SELECT doc_id, u.i AS pos, u.x AS tk
+  FROM (SELECT doc_id,
+               unnest(list_transform(toks, (x, i) -> {'i': i, 'x': x})) AS u
+        FROM t) q
+), kept AS (
+  SELECT tok.doc_id, tok.pos, tok.tk
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+  WHERE cov.pos IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, len(toks) AS wc FROM t
+)
+SELECT d.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       coalesce(t2.wc, 0)::BIGINT AS n_tokens,
+       (coalesce(t2.wc, 0) - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+FROM documents d
+LEFT JOIN totals t2 USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4745,6 +4802,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment_docs": q_ngram_containment_docs,  # new r4
     "standardize_orders": q_standardize_orders,  # new r4
     "rollup_hist_percentiles": q_rollup_hist_percentiles,  # new r4
+    "span_dedup_docs": q_span_dedup_docs,  # new r4
     "stratified_sample_langs": q_stratified_sample_langs,  # md5 value-level oracle, driver last saw rows-only
     "gopher_quality": q_gopher_quality,
     "repetition_stats": q_repetition_stats,
@@ -4771,8 +4829,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract_events": q_json_extract_events,
     "sessionize_events": q_sessionize_events,
     "asof_latest_order_per_event": q_asof_latest_order_per_event,
-    "range_join_event_pairs": q_range_join_event_pairs,
     # ---- below the 50-slot driver window from here down ----
+    "range_join_event_pairs": q_range_join_event_pairs,
     "wrangle_map_ops": q_wrangle_map_ops,
     "wrangle_create_multiple": q_wrangle_create_multiple,
     "wrangle_attr_id": q_wrangle_attr_id,
@@ -5003,6 +5061,7 @@ _ORACLES: dict[str, str] = {
     "ngram_containment_docs": SQL_NGRAM_CONTAINMENT,
     "standardize_orders": SQL_STANDARDIZE,
     "rollup_hist_percentiles": SQL_ROLLUP_HIST,
+    "span_dedup_docs": SQL_SPAN_DEDUP,
     "boilerplate_lines_docs": SQL_BOILERPLATE,
     "resample_user_6h": SQL_RESAMPLE_6H,
     "rolling_zscore_events": SQL_ROLLING_ZSCORE,

@@ -112,6 +112,7 @@ HEADLINE = [
     "ngram_containment_docs",
     "standardize_orders",
     "rollup_hist_percentiles",
+    "span_dedup_docs",
 ]
 
 

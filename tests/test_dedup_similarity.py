@@ -417,3 +417,65 @@ def test_streaming_dedup_keep_best_equals_batch(spark, tables, tmp_path):
         replay, store, key_cols=["fingerprint"], order_cols=order)
     q2.awaitTermination()
     assert rows(spark.read.parquet(store)) == rows(want)
+
+
+def test_span_dedup_removes_duplicated_spans(spark):
+    """A 5-token span shared by two documents vanishes from BOTH; the
+    unique remainder survives in order; short and empty docs pass
+    through; overlapping duplicated windows merge into one coverage
+    interval (no double-removal)."""
+    from wrangle_pypes_spark.operators.dedup import span_dedup
+
+    dup = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(1, f"one two {dup} three four"),
+         (2, f"five six seven {dup} eight"),
+         (3, "totally unique tokens here nine ten eleven"),
+         (4, "short doc"),
+         (5, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in span_dedup(
+        docs, span=5, stride=1, min_dup=2).collect()}
+    assert out[1].clean_text == "one two three four"
+    assert out[1].n_removed == 5 and out[1].n_tokens == 9
+    assert out[2].clean_text == "five six seven eight"
+    assert out[3].n_removed == 0
+    assert out[3].clean_text == "totally unique tokens here nine ten eleven"
+    assert out[4].clean_text == "short doc" and out[4].n_removed == 0
+    assert out[5].n_tokens == 0 and out[5].n_removed == 0
+
+    # a 6-token shared run => two overlapping duplicated 5-windows that
+    # must merge into ONE [start, start+5] interval covering 6 tokens
+    dup6 = dup + " zeta"
+    docs2 = spark.createDataFrame(
+        [(1, f"aa bb {dup6} cc"), (2, f"dd {dup6} ee ff")],
+        "doc_id long, text string")
+    out2 = {r.doc_id: r for r in span_dedup(
+        docs2, span=5, stride=1, min_dup=2).collect()}
+    assert out2[1].clean_text == "aa bb cc" and out2[1].n_removed == 6
+    assert out2[2].clean_text == "dd ee ff" and out2[2].n_removed == 6
+
+
+def test_span_dedup_content_anchoring_catches_misaligned_dup(spark):
+    """stride>1 uses content-defined anchors (first-token md5 % stride
+    == 0), so a shared run is sampled at the SAME internal positions in
+    both docs even though its offsets differ — a doc-aligned grid would
+    miss it.  Tokens w7/w8 anchor for stride=4 (precomputed from md5),
+    so windows [w7..w14] and [w8..w15] are caught and w7..w15 vanish
+    from both docs."""
+    from wrangle_pypes_spark.operators.dedup import span_dedup
+
+    long_dup = " ".join(f"w{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [(1, f"x1 x2 {long_dup} x3"),          # dup at offset 3
+         (2, f"y1 {long_dup} y2 y3 y4")],      # dup at offset 2
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in span_dedup(
+        docs, span=8, stride=4, min_dup=2).collect()}
+    assert out[1].n_removed == 9 and out[2].n_removed == 9
+    assert out[1].clean_text == \
+        "x1 x2 " + " ".join(f"w{i}" for i in range(7)) + " x3"
+
+    capped = span_dedup(docs, span=8, stride=4, min_dup=2,
+                        max_spans_per_doc=1)
+    assert capped.count() == 2        # cap never breaks the pipeline

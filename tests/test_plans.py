@@ -74,6 +74,7 @@ PURE_JVM_QUERIES = [
     "ngram_containment_docs",
     "standardize_orders",
     "rollup_hist_percentiles",
+    "span_dedup_docs",
 ]
 
 

@@ -606,3 +606,112 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text", *,
                     (F.coalesce("_n_paras", F.lit(0)) -
                      F.coalesce("n_kept", F.lit(0))).cast("long")
                     .alias("n_dropped")))
+
+
+def span_dedup(docs: DataFrame, text_col: str = "text", *,
+               id_col: str = "doc_id", span: int = 50, stride: int = 1,
+               min_dup: int = 2, max_spans_per_doc: int = 100_000
+               ) -> DataFrame:
+    """Duplicated token-SPAN removal — the scalable fingerprint
+    approximation of exact-substring dedup (the public recipe behind
+    "Deduplicating Training Data Makes Language Models Better"-style
+    cleaning, without a distributed suffix array): hash windows of
+    ``span`` consecutive tokens, count window fingerprints corpus-wide,
+    and DROP every token covered by a fingerprint seen at least
+    ``min_dup`` times.  ``stride=1`` fingerprints every alignment
+    (exact for duplicates ≥ span); ``stride>1`` switches to
+    CONTENT-DEFINED anchoring — a window starts wherever its first
+    token's md5 ≡ 0 (mod stride) — so the ~1/stride sampled windows
+    land at the SAME positions inside a shared substring regardless of
+    where it sits in each document (a fixed doc-aligned grid would only
+    catch duplicates whose offsets happen to agree mod stride).  A
+    duplicate of length L ≥ span is missed only when none of its first
+    L−span+1 tokens anchors (probability ≈ (1−1/stride)^(L−span+1) —
+    vanishing for long duplicates; documented approximation).
+    Sub-paragraph template fragments that
+    :func:`paragraph_dedup` cannot see (a duplicated sentence inside an
+    otherwise-unique paragraph) are exactly what this removes.
+
+    Output: one row per document — ``clean_text`` (surviving tokens
+    re-joined with single spaces; tokenization is the engine-wide
+    whitespace+lowercase contract), ``n_tokens``, ``n_removed``.
+    Documents shorter than ``span`` tokens pass through unchanged
+    (minus lowercasing/whitespace collapse).
+
+    Scale shape: the window explode emits ~|tokens|/stride rows per doc
+    (bounded by ``max_spans_per_doc`` against pathological documents —
+    spans past the cap are not fingerprinted, so a doc's tail past
+    ~cap·stride tokens is not dedup-checked) → ONE hash-keyed count
+    aggregate → semi-join of the
+    span stream against the tiny over-threshold fingerprint set (AQE
+    broadcasts it) → per-doc regroup collecting only duplicated span
+    STARTS (≤ spans per doc), which fold into merged coverage intervals
+    before the per-token mask, so the mask test is O(tokens ×
+    merged-intervals), not O(tokens × spans).
+    """
+    if span < 2:
+        raise ValueError("span must be >= 2")
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    toks = tokens_col(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("_doc"),
+                       toks.alias("_toks"),
+                       F.size(toks).alias("_wc"))
+    cand = F.sequence(F.lit(1), F.col("_wc") - span + 1)
+    if stride > 1:
+        # content anchor: md5 of the window's first token, engine-
+        # portable (same contract as the sampling md5 draws)
+        def _anchored(i):
+            tok = F.element_at(F.col("_toks"), i.cast("int"))
+            draw = F.conv(F.substring(F.md5(tok), 1, 4), 16, 10)
+            return F.pmod(draw.cast("long"), F.lit(stride)) == 0
+        cand = F.filter(cand, _anchored)
+    starts_arr = F.slice(cand, 1, max_spans_per_doc)
+    spans = (base
+             .filter(F.col("_wc") >= span)
+             .select("_doc", "_toks",
+                     F.explode(starts_arr).alias("_start"))
+             .select("_doc", "_start",
+                     F.md5(F.concat_ws(
+                         " ", F.slice("_toks", F.col("_start"), span)))
+                     .alias("_h")))
+    dup = (spans.groupBy("_h").agg(F.count("*").alias("_n"))
+           .filter(F.col("_n") >= min_dup).select("_h"))
+    starts = (spans.join(dup, "_h", "left_semi")
+              .groupBy("_doc")
+              .agg(F.sort_array(F.collect_list("_start")).alias("_starts")))
+    # fold sorted starts into merged [lo, hi] coverage intervals so the
+    # per-token test is linear in intervals, not raw spans
+    iv = F.aggregate(
+        F.col("_starts"),
+        F.array().cast("array<struct<lo:int,hi:int>>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) &
+            (s <= F.element_at(acc, -1)["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["lo"].alias("lo"),
+                    F.greatest(F.element_at(acc, -1)["hi"],
+                               (s + span - 1).cast("int")).alias("hi"))))
+        ).otherwise(F.concat(acc, F.array(F.struct(
+            s.cast("int").alias("lo"),
+            (s + span - 1).cast("int").alias("hi"))))))
+    joined = (base.join(starts, "_doc", "left")
+              .select("_doc", "_toks", "_wc",
+                      F.coalesce(iv, F.array().cast(
+                          "array<struct<lo:int,hi:int>>")).alias("_iv")))
+    kept = F.when(F.col("_wc") > 0, F.filter(
+        F.zip_with(F.col("_toks"),
+                   F.sequence(F.lit(1), F.greatest(F.col("_wc"), F.lit(1))),
+                   lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda x: ~F.exists("_iv", lambda v: (x["i"] >= v["lo"]) &
+                            (x["i"] <= v["hi"])))) \
+        .otherwise(F.array().cast("array<struct<t:string,i:int>>"))
+    n_kept = F.size(kept)
+    return joined.select(
+        F.col("_doc").alias(id_col),
+        F.concat_ws(" ", F.transform(kept, lambda x: x["t"]))
+        .alias("clean_text"),
+        F.col("_wc").cast("long").alias("n_tokens"),
+        (F.col("_wc") - n_kept).cast("long").alias("n_removed"))
