@@ -4762,6 +4762,23 @@ LEFT JOIN rebuilt r USING (doc_id)
 
 
 
+
+def q_semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/dedup.py
+    ``semantic_dedup``): k-means blocks the embedding corpus, cosine >=
+    0.99 pairs connect within blocks, one canonical survives per
+    duplicate group.  Deterministic end-to-end (seeded hash init), but
+    k-means centroids are iterative float means — no SQL twin, so the
+    driver check is rows-only by design; the survivors-per-cluster
+    contract is pinned in tests/test_dedup_similarity.py."""
+    from wrangle_pypes_spark.operators import semantic_dedup
+    corpus = _emb_dup_corpus(spark, sf_dir)
+    kept = semantic_dedup(corpus, "embedding", id_col="vec_id",
+                          n_clusters=8, threshold=0.99)
+    return kept.select("vec_id").orderBy("vec_id")
+
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4803,6 +4820,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "standardize_orders": q_standardize_orders,  # new r4
     "rollup_hist_percentiles": q_rollup_hist_percentiles,  # new r4
     "span_dedup_docs": q_span_dedup_docs,  # new r4
+    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # new r4 (rows-only by design)
     "stratified_sample_langs": q_stratified_sample_langs,  # md5 value-level oracle, driver last saw rows-only
     "gopher_quality": q_gopher_quality,
     "repetition_stats": q_repetition_stats,
@@ -4828,8 +4846,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
     "json_extract_events": q_json_extract_events,
     "sessionize_events": q_sessionize_events,
-    "asof_latest_order_per_event": q_asof_latest_order_per_event,
     # ---- below the 50-slot driver window from here down ----
+    "asof_latest_order_per_event": q_asof_latest_order_per_event,
     "range_join_event_pairs": q_range_join_event_pairs,
     "wrangle_map_ops": q_wrangle_map_ops,
     "wrangle_create_multiple": q_wrangle_create_multiple,

@@ -479,3 +479,30 @@ def test_span_dedup_content_anchoring_catches_misaligned_dup(spark):
     capped = span_dedup(docs, span=8, stride=4, min_dup=2,
                         max_spans_per_doc=1)
     assert capped.count() == 2        # cap never breaks the pipeline
+
+
+def test_semantic_dedup_keeps_one_per_cluster_of_near_dups(spark):
+    """Two tight groups of near-identical vectors plus isolated
+    singletons: one canonical (min id) survives per group, singletons
+    all survive, and re-running yields the same survivors."""
+    from wrangle_pypes_spark.operators import semantic_dedup
+
+    def jitter(base, eps):
+        return [x + eps for x in base]
+
+    g1 = [1.0, 0.0, 0.0, 0.0]
+    g2 = [0.0, 1.0, 0.0, 0.0]
+    rows = [(1, jitter(g1, 0.0)), (2, jitter(g1, 0.001)),
+            (3, jitter(g1, 0.002)),
+            (10, jitter(g2, 0.0)), (11, jitter(g2, 0.001)),
+            (20, [0.0, 0.0, 1.0, 0.0]),      # isolated
+            (21, [0.0, 0.0, 0.0, 1.0])]      # isolated
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, "embedding", id_col="vec_id",
+                         n_clusters=4, threshold=0.999)
+    ids = sorted(r.vec_id for r in out.collect())
+    assert ids == [1, 10, 20, 21]
+    again = sorted(r.vec_id for r in semantic_dedup(
+        df, "embedding", id_col="vec_id",
+        n_clusters=4, threshold=0.999).collect())
+    assert again == ids

@@ -715,3 +715,48 @@ def span_dedup(docs: DataFrame, text_col: str = "text", *,
         .alias("clean_text"),
         F.col("_wc").cast("long").alias("n_tokens"),
         (F.col("_wc") - n_kept).cast("long").alias("n_removed"))
+
+
+def semantic_dedup(df: DataFrame, vec_col: str, *, id_col: str,
+                   n_clusters: int = 16, threshold: float = 0.95,
+                   iters: int = 2, seed: int = 42,
+                   max_iter_cc: int = 20) -> DataFrame:
+    """SemDeDup-style semantic deduplication (the public
+    cluster-then-compare recipe): k-means cluster the embeddings (the
+    deterministic Lloyd fit from ``operators.similarity``), compare
+    cosines ONLY within each cluster (the cluster is the blocking — the
+    all-pairs O(n²) never happens), connect pairs ≥ ``threshold`` into
+    duplicate groups, and keep one canonical (min id) per group plus
+    every unclustered singleton.  Row shape of the output = input rows
+    minus dropped near-duplicates.
+
+    Approximation contract: a near-duplicate pair split across two
+    clusters is missed — exactly SemDeDup's trade; raise ``n_clusters``
+    quality via more iters, or audit with the exact pair op on a
+    sample (tests do).  All stages are deterministic (seeded hash
+    init), so re-runs keep the same survivors.
+
+    Scale shape: one k-means fit (linear scans), one map-only cell
+    assignment, one equi-join self-pair per cell (cell size bounds the
+    quadratic term — the 100 TB knob is ``n_clusters`` ∝ corpus size),
+    then components + canonical selection as in
+    :func:`fuzzy_dedup_keep_canonical`.
+    """
+    from .similarity import _nearest_cells_udf, cosine_expr, kmeans_fit
+
+    centroids = kmeans_fit(df, vec_col, id_col=id_col, k=n_clusters,
+                           iters=iters, seed=seed)
+    assign = _nearest_cells_udf(centroids, 1)
+    cells = df.select(F.col(id_col).alias("_id"),
+                      F.col(vec_col).alias("_v"),
+                      assign(F.col(vec_col))[0].alias("_cell"))
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (a.join(b, (F.col("a._cell") == F.col("b._cell")) &
+                    (F.col("a._id") < F.col("b._id")))
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"),
+                     cosine_expr(F.col("a._v"), F.col("b._v"))
+                     .alias("cosine"))
+             .filter(F.col("cosine") >= threshold)
+             .select("id_a", "id_b"))
+    return fuzzy_dedup_keep_canonical(df, pairs, id_col=id_col)
