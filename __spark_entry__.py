@@ -4779,6 +4779,49 @@ def q_semantic_dedup_embeddings(spark, sf_dir):
 
 
 
+
+def q_bm25_search_docs(spark, sf_dir):
+    """Okapi BM25 lexical ranking (functions/text.py ``bm25_scores``):
+    score every document against a 3-term query bag.  All formula
+    inputs are exact integers plus one exact division (avgdl), so the
+    4dp-rounded score reproduces in any engine with IEEE doubles and
+    ln — value-level."""
+    from wrangle_pypes_spark.functions.text import bm25_scores
+    d = _t(spark, sf_dir, "documents")
+    return bm25_scores(d, ["spark", "shuffle", "window"])
+
+
+SQL_BM25 = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, toks, len(toks) AS dl FROM t
+), tot AS (
+  SELECT count(*) AS n, sum(dl) AS s FROM base
+), hits AS (
+  SELECT doc_id, dl,
+         unnest(list_filter(toks,
+                x -> x IN ('shuffle', 'spark', 'window'))) AS tm
+  FROM base
+), tf AS (
+  SELECT doc_id, dl, tm, count(*) AS tf FROM hits GROUP BY 1, 2, 3
+), dfx AS (
+  SELECT tm, count(*) AS df FROM tf GROUP BY 1
+)
+SELECT tf.doc_id, count(*)::BIGINT AS n_terms_hit,
+       round(sum(
+         ln(1 + (tot.n - dfx.df + 0.5) / (dfx.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / (tot.s / tot.n)))
+       ), 4) AS bm25
+FROM tf CROSS JOIN tot JOIN dfx USING (tm)
+GROUP BY tf.doc_id
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4821,6 +4864,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_hist_percentiles": q_rollup_hist_percentiles,  # new r4
     "span_dedup_docs": q_span_dedup_docs,  # new r4
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # new r4 (rows-only by design)
+    "bm25_search_docs": q_bm25_search_docs,  # new r4
     "stratified_sample_langs": q_stratified_sample_langs,  # md5 value-level oracle, driver last saw rows-only
     "gopher_quality": q_gopher_quality,
     "repetition_stats": q_repetition_stats,
@@ -4845,8 +4889,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_running_total": q_window_running_total,
     "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
     "json_extract_events": q_json_extract_events,
-    "sessionize_events": q_sessionize_events,
     # ---- below the 50-slot driver window from here down ----
+    "sessionize_events": q_sessionize_events,
     "asof_latest_order_per_event": q_asof_latest_order_per_event,
     "range_join_event_pairs": q_range_join_event_pairs,
     "wrangle_map_ops": q_wrangle_map_ops,
@@ -5080,6 +5124,7 @@ _ORACLES: dict[str, str] = {
     "standardize_orders": SQL_STANDARDIZE,
     "rollup_hist_percentiles": SQL_ROLLUP_HIST,
     "span_dedup_docs": SQL_SPAN_DEDUP,
+    "bm25_search_docs": SQL_BM25,
     "boilerplate_lines_docs": SQL_BOILERPLATE,
     "resample_user_6h": SQL_RESAMPLE_6H,
     "rolling_zscore_events": SQL_ROLLING_ZSCORE,

@@ -113,6 +113,7 @@ HEADLINE = [
     "standardize_orders",
     "rollup_hist_percentiles",
     "span_dedup_docs",
+    "bm25_search_docs",
 ]
 
 

@@ -75,6 +75,7 @@ PURE_JVM_QUERIES = [
     "standardize_orders",
     "rollup_hist_percentiles",
     "span_dedup_docs",
+    "bm25_search_docs",
 ]
 
 

@@ -489,3 +489,44 @@ def test_foreach_batch_get_or_create_upsert(spark, sf_dir, tables, tmp_path):
     back = spark.read.parquet(dim_path)
     assert back.count() == n_users
     assert back.select("user_id").distinct().count() == n_users
+
+
+def test_bm25_matches_python_replica(spark):
+    """BM25 over a tiny corpus matches the textbook formula computed in
+    python; docs with no query term are absent; repeated terms raise tf
+    with diminishing returns (k1 saturation)."""
+    import math
+
+    from wrangle_pypes_spark.functions.text import bm25_scores
+
+    corpus = [(1, "spark engine shuffles data fast"),
+              (2, "spark spark spark tuning guide"),
+              (3, "gardening tips for spring"),
+              (4, "data engine internals")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    terms = ["spark", "engine"]
+    got = {r.doc_id: (r.n_terms_hit, r.bm25)
+           for r in bm25_scores(df, terms).collect()}
+    assert set(got) == {1, 2, 4}
+
+    docs = {i: t.split() for i, t in corpus}
+    N = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / N
+    k1, b = 1.2, 0.75
+
+    def score(d):
+        s = 0.0
+        for t in terms:
+            tf = docs[d].count(t)
+            if tf == 0:
+                continue
+            dfc = sum(1 for dd in docs.values() if t in dd)
+            idf = math.log(1 + (N - dfc + 0.5) / (dfc + 0.5))
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(docs[d]) / avgdl))
+        return round(s, 4)
+
+    for d in (1, 2, 4):
+        assert got[d][1] == pytest.approx(score(d), abs=1e-4), d
+    # saturation: tripled 'spark' scores higher than single, sub-linearly
+    assert got[2][1] > got[4][1]

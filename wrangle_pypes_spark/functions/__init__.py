@@ -8,6 +8,7 @@ whole-stage codegen.
 
 from .text import (
     STOPWORDS,
+    bm25_scores,
     chunk_documents,
     corpus_top_ngrams,
     doc_fingerprint,
@@ -21,7 +22,8 @@ from .text import (
     word_ngrams,
 )
 
-__all__ = ("STOPWORDS", "chunk_documents", "corpus_top_ngrams",
+__all__ = ("STOPWORDS", "bm25_scores", "chunk_documents",
+           "corpus_top_ngrams",
            "doc_fingerprint", "inverted_index", "lang_id", "quality_score",
            "token_count", "token_pmi_pairs", "tokens",
            "unigram_logprob_score", "word_ngrams")

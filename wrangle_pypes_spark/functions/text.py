@@ -8,7 +8,7 @@ checkable against DuckDB on the ``documents`` table.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -350,3 +350,60 @@ def doc_fingerprint(text: Column) -> Column:
     (md5 is bit-stable), so it doubles as the cross-engine dedup key."""
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text))))
     return F.md5(canon)
+
+
+def bm25_scores(docs: DataFrame, query_terms: Sequence[str], *,
+                text_col: str = "text", id_col: str = "doc_id",
+                k1: float = 1.2, b: float = 0.75,
+                round_digits: int = 4) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag of query
+    terms — the classic lexical ranker (and the retrieval baseline any
+    embedding search gets compared to):
+
+    ``score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) /
+                 (tf(t,d) + k1·(1 − b + b·|d|/avgdl))``
+    with ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))``.
+
+    Output: (id, n_terms_hit, bm25) for documents matching ≥ 1 term.
+    All inputs to the formula are exact integers (tf, df, |d|, N) plus
+    one exact-int division (avgdl), so the rounded score is
+    reproducible in any engine with IEEE doubles and ``ln``.
+
+    Scale shape: tokens are exploded ONCE and filtered to the query
+    bag immediately (the filter is a broadcast literal array — the
+    corpus-scale stream shrinks to query-term hits before any
+    shuffle); df/tf come from two aggregates over that filtered
+    stream; doc lengths ride a map-only projection; the per-term stats
+    table (≤ |query| rows) broadcasts onto the final doc-keyed sum.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    bag = F.array(*[F.lit(t) for t in terms])
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("_doc"),
+                       toks.alias("_toks"),
+                       F.size(toks).alias("_dl"))
+    # one corpus aggregate: N and avgdl (exact ints -> one division)
+    tot = base.agg(F.count("*").alias("n"),
+                   F.sum("_dl").alias("s")).collect()[0]
+    n_docs, avgdl = int(tot["n"]), float(tot["s"] or 0) / max(int(tot["n"]), 1)
+    hits = (base.select("_doc", "_dl",
+                        F.explode(F.filter(
+                            "_toks", lambda t: F.array_contains(bag, t)))
+                        .alias("_t")))
+    tf = hits.groupBy("_doc", "_dl", "_t").agg(F.count("*").alias("_tf"))
+    df_t = tf.groupBy("_t").agg(F.count("*").alias("_df"))
+    idf = F.log(F.lit(1.0) +
+                (F.lit(float(n_docs)) - F.col("_df") + 0.5)
+                / (F.col("_df") + 0.5))
+    contrib = (tf.join(F.broadcast(df_t), "_t")
+               .select("_doc",
+                       (idf * (F.col("_tf") * (k1 + 1))
+                        / (F.col("_tf") + F.lit(k1)
+                           * (1 - b + F.lit(b) * F.col("_dl")
+                              / F.lit(avgdl)))).alias("_s")))
+    return (contrib.groupBy("_doc")
+            .agg(F.count("*").cast("long").alias("n_terms_hit"),
+                 F.round(F.sum("_s"), round_digits).alias("bm25"))
+            .select(F.col("_doc").alias(id_col), "n_terms_hit", "bm25"))
