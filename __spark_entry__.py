@@ -4822,6 +4822,42 @@ GROUP BY tf.doc_id
 
 
 
+
+def q_stream_zscore_events(spark, sf_dir):
+    """Streaming stateful anomaly scoring (streaming/stateful.py
+    ``stateful_zscore``): per-user Welford state scores each event
+    against ALL its priors before folding it in, across micro-batch
+    boundaries.  The emitted columns are the robust ones — exact
+    integer ``n_prior`` and the threshold flag (a float z would sit
+    ulp-close to round boundaries between the Welford and two-pass
+    algorithms); the batch expanding-window SQL is the oracle.  The
+    full z-vs-batch equivalence (rel 1e-9) is pinned in
+    tests/test_text_streaming_multimodal.py."""
+    from wrangle_pypes_spark.streaming import (
+        run_available_now_to_memory, stateful_zscore, stream_events)
+    ev = stream_events(spark, sf_dir)
+    out = stateful_zscore(ev, key_col="user_id", ts_col="ts",
+                          value_col="value", min_periods=5)
+    table = run_available_now_to_memory(out, "stream_zscore_out",
+                                        output_mode="append")
+    return table.select(F.col("key").alias("user_id"), "ts", "value",
+                        "n_prior", "is_anomaly")
+
+
+SQL_STREAM_ZSCORE = """
+SELECT user_id, ts, value,
+       count(value) OVER w AS n_prior,
+       CASE WHEN count(value) OVER w >= 5
+                 AND stddev_samp(value) OVER w > 0
+            THEN abs((value - avg(value) OVER w)
+                     / stddev_samp(value) OVER w) > 3.0 END AS is_anomaly
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4865,6 +4901,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup_docs": q_span_dedup_docs,  # new r4
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # new r4 (rows-only by design)
     "bm25_search_docs": q_bm25_search_docs,  # new r4
+    "stream_zscore_events": q_stream_zscore_events,  # new r4
     "stratified_sample_langs": q_stratified_sample_langs,  # md5 value-level oracle, driver last saw rows-only
     "gopher_quality": q_gopher_quality,
     "repetition_stats": q_repetition_stats,
@@ -4888,8 +4925,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_orders_per_customer": q_topk_orders_per_customer,
     "window_running_total": q_window_running_total,
     "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
-    "json_extract_events": q_json_extract_events,
     # ---- below the 50-slot driver window from here down ----
+    "json_extract_events": q_json_extract_events,
     "sessionize_events": q_sessionize_events,
     "asof_latest_order_per_event": q_asof_latest_order_per_event,
     "range_join_event_pairs": q_range_join_event_pairs,
@@ -5125,6 +5162,7 @@ _ORACLES: dict[str, str] = {
     "rollup_hist_percentiles": SQL_ROLLUP_HIST,
     "span_dedup_docs": SQL_SPAN_DEDUP,
     "bm25_search_docs": SQL_BM25,
+    "stream_zscore_events": SQL_STREAM_ZSCORE,
     "boilerplate_lines_docs": SQL_BOILERPLATE,
     "resample_user_6h": SQL_RESAMPLE_6H,
     "rolling_zscore_events": SQL_ROLLING_ZSCORE,

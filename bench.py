@@ -114,6 +114,7 @@ HEADLINE = [
     "rollup_hist_percentiles",
     "span_dedup_docs",
     "bm25_search_docs",
+    "stream_zscore_events",
 ]
 
 

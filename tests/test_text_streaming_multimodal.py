@@ -530,3 +530,60 @@ def test_bm25_matches_python_replica(spark):
         assert got[d][1] == pytest.approx(score(d), abs=1e-4), d
     # saturation: tripled 'spark' scores higher than single, sub-linearly
     assert got[2][1] > got[4][1]
+
+
+def test_stateful_zscore_matches_expanding_batch(spark, tmp_path):
+    """Streaming Welford z-scores drained over TWO time-ordered
+    micro-batches match the batch expanding-window z (mean/std of all
+    priors) — state carries across batch boundaries and the spike is
+    flagged only against its priors."""
+    import glob
+    import shutil
+
+    from pyspark.sql import Window
+
+    from wrangle_pypes_spark.streaming import (
+        run_available_now_to_memory,
+        stateful_zscore,
+    )
+
+    rows = [(1, i, v) for i, v in enumerate(
+        [10.0, 10.5, 9.5, 10.2, 9.8, 10.1, 10.3, 9.9, 50.0, 10.0])]
+    df = (spark.createDataFrame(rows, "user_id long, sec long, value double")
+          .select("user_id", F.timestamp_seconds(F.col("sec")).alias("ts"),
+                  "value"))
+    src = str(tmp_path / "zsrc")
+    df.filter("sec < 5").coalesce(1).write.parquet(src + "/a")
+    df.filter("sec >= 5").coalesce(1).write.parquet(src + "/b")
+    files = sorted(f for d in ("a", "b")
+                   for f in glob.glob(f"{src}/{d}/*.parquet"))
+    # time-ordered file names => per-key in-order delivery across batches
+    for i, f in enumerate(sorted(
+            files, key=lambda p: 0 if "/a/" in p else 1)):
+        shutil.move(f, f"{src}/part-{i}.parquet")
+    shutil.rmtree(src + "/a"), shutil.rmtree(src + "/b")
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1")
+              .format("parquet").load(src))
+    out = stateful_zscore(stream, key_col="user_id", ts_col="ts",
+                          value_col="value", min_periods=4)
+    table = run_available_now_to_memory(out, "zscore_out",
+                                        output_mode="append")
+    got = {int(r.ts.timestamp()): r for r in table.collect()}
+    assert len(got) == 10
+
+    w = (Window.partitionBy("user_id").orderBy("ts")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    batch = df.select(
+        "ts", F.count("value").over(w).alias("np"),
+        ((F.col("value") - F.avg("value").over(w))
+         / F.stddev_samp("value").over(w)).alias("z")).collect()
+    for r in batch:
+        sec = int(r.ts.timestamp())
+        if r.np < 4:
+            assert got[sec].zscore is None
+        else:
+            assert got[sec].zscore == pytest.approx(r.z, rel=1e-9)
+    assert got[8].is_anomaly and not got[7].is_anomaly
+    assert got[9].n_prior == 9        # state crossed the batch boundary

@@ -7,7 +7,7 @@ Streaming is the engine's answer to the same use-case: incremental
 processing with event-time semantics.
 """
 
-from .stateful import stateful_running_counts
+from .stateful import stateful_running_counts, stateful_zscore
 from .windows import (
     run_available_now_to_memory,
     session_window_agg,
@@ -32,6 +32,7 @@ __all__ = (
     "sliding_window_agg",
     "session_window_agg",
     "stateful_running_counts",
+    "stateful_zscore",
     "stream_dedup",
     "stream_stream_interval_join",
     "run_available_now_to_memory",

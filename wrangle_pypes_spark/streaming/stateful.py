@@ -61,3 +61,77 @@ def stateful_running_counts(events: DataFrame, *,
                                     stateStructType=_STATE_SCHEMA,
                                     outputMode="update",
                                     timeoutConf=timeout))
+
+
+ANOMALY_SCHEMA = T.StructType([
+    T.StructField("key", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("n_prior", T.LongType()),
+    T.StructField("zscore", T.DoubleType()),
+    T.StructField("is_anomaly", T.BooleanType()),
+])
+
+_WELFORD_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("mean", T.DoubleType()),
+    T.StructField("m2", T.DoubleType()),
+])
+
+
+def stateful_zscore(events: DataFrame, *, key_col: str = "user_id",
+                    ts_col: str = "ts", value_col: str = "value",
+                    min_periods: int = 5, threshold: float = 3.0,
+                    timeout: str = GroupStateTimeout.NoTimeout
+                    ) -> DataFrame:
+    """Streaming per-key anomaly scoring — the streaming twin of
+    ``operators.timeseries.rolling_zscore`` with an UNBOUNDED baseline:
+    per key, a Welford accumulator (n, mean, M2) persists across
+    micro-batches; each event is scored against the state BEFORE it is
+    folded in (a spike never deflates its own baseline), emitting z and
+    an ``is_anomaly`` flag, NULL until ``min_periods`` priors exist.
+
+    Within a micro-batch events are processed in ``ts_col`` order, so
+    replaying the same batches yields identical scores (per-key
+    in-order delivery is the same contract as the SCD2 maintainer).
+    State is three scalars per key — constant-size, spill-free; idle
+    keys evict via ``timeout``.
+    """
+
+    def update(key: Tuple, pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterable[pd.DataFrame]:
+        import math
+
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        out_ts, out_v, out_np, out_z, out_flag = [], [], [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                z = None
+                if n >= min_periods and m2 > 0:
+                    std = math.sqrt(m2 / (n - 1))
+                    if std > 0:
+                        z = (float(v) - mean) / std
+                out_ts.append(ts)
+                out_v.append(float(v))
+                out_np.append(n)
+                out_z.append(z)
+                out_flag.append(None if z is None
+                                else abs(z) > threshold)
+                n += 1
+                delta = float(v) - mean
+                mean += delta / n
+                m2 += delta * (float(v) - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame({
+            "key": [key[0]] * len(out_v), "ts": out_ts, "value": out_v,
+            "n_prior": out_np, "zscore": out_z, "is_anomaly": out_flag,
+        })
+
+    return (events.select(key_col, ts_col, value_col)
+            .groupBy(key_col)
+            .applyInPandasWithState(update,
+                                    outputStructType=ANOMALY_SCHEMA,
+                                    stateStructType=_WELFORD_SCHEMA,
+                                    outputMode="append",
+                                    timeoutConf=timeout))
