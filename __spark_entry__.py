@@ -4858,6 +4858,32 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 
 
 
+
+def q_winsorize_order_totals(spark, sf_dir):
+    """Percentile clipping (operators/relational.py ``winsorize``):
+    order totals capped into their [p01, p99] range.  Exact cuts
+    rounded 6dp match quantile_cont; the clip itself is pure
+    comparison, so every row is value-level checkable."""
+    from wrangle_pypes_spark.operators import winsorize
+    o = _t(spark, sf_dir, "orders")
+    return (winsorize(o, "o_totalprice")
+            .select("o_orderkey", "o_totalprice",
+                    F.col("o_totalprice_winsor").alias("winsor")))
+
+
+SQL_WINSORIZE = """
+WITH cuts AS (
+  SELECT round(quantile_cont(o_totalprice, 0.01), 6) AS lo,
+         round(quantile_cont(o_totalprice, 0.99), 6) AS hi
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice,
+       least(greatest(o_totalprice, cuts.lo), cuts.hi) AS winsor
+FROM orders, cuts
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4902,6 +4928,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # new r4 (rows-only by design)
     "bm25_search_docs": q_bm25_search_docs,  # new r4
     "stream_zscore_events": q_stream_zscore_events,  # new r4
+    "winsorize_order_totals": q_winsorize_order_totals,  # new r4
     "stratified_sample_langs": q_stratified_sample_langs,  # md5 value-level oracle, driver last saw rows-only
     "gopher_quality": q_gopher_quality,
     "repetition_stats": q_repetition_stats,
@@ -4924,8 +4951,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_without_orders": q_customers_without_orders,
     "topk_orders_per_customer": q_topk_orders_per_customer,
     "window_running_total": q_window_running_total,
-    "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
     # ---- below the 50-slot driver window from here down ----
+    "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
     "json_extract_events": q_json_extract_events,
     "sessionize_events": q_sessionize_events,
     "asof_latest_order_per_event": q_asof_latest_order_per_event,
@@ -5163,6 +5190,7 @@ _ORACLES: dict[str, str] = {
     "span_dedup_docs": SQL_SPAN_DEDUP,
     "bm25_search_docs": SQL_BM25,
     "stream_zscore_events": SQL_STREAM_ZSCORE,
+    "winsorize_order_totals": SQL_WINSORIZE,
     "boilerplate_lines_docs": SQL_BOILERPLATE,
     "resample_user_6h": SQL_RESAMPLE_6H,
     "rolling_zscore_events": SQL_ROLLING_ZSCORE,

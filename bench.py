@@ -115,6 +115,7 @@ HEADLINE = [
     "span_dedup_docs",
     "bm25_search_docs",
     "stream_zscore_events",
+    "winsorize_order_totals",
 ]
 
 

@@ -76,6 +76,7 @@ PURE_JVM_QUERIES = [
     "rollup_hist_percentiles",
     "span_dedup_docs",
     "bm25_search_docs",
+    "winsorize_order_totals",
 ]
 
 

@@ -562,3 +562,20 @@ def test_standardize_global_and_grouped(spark):
     assert abs(sum(r.v_z for r in glob.collect())) < 1e-9
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_winsorize_clips_to_quantile_range(spark):
+    """Values clip into the [lower, upper] quantile range; interior
+    values and NULLs pass through; the clip is map-only."""
+    from wrangle_pypes_spark.operators import winsorize
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 101)] + [(None,)], "v double")
+    out = winsorize(df, "v", lower=0.05, upper=0.95)
+    got = {r.v: r.v_winsor for r in out.collect()}
+    lo, hi = got[1.0], got[100.0]
+    assert lo == got[2.0] and hi == got[99.0]      # tails clipped flat
+    assert 5.0 <= lo <= 7.0 and 94.0 <= hi <= 96.0
+    assert got[50.0] == 50.0 and got[None] is None
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan

@@ -541,3 +541,32 @@ def standardize(df: DataFrame, value_cols: Sequence[str], *,
             z = F.round(z, round_digits)
         out_cols.append(z.alias(f"{c}_z"))
     return joined.select(*out_cols)
+
+
+def winsorize(df: DataFrame, value_col: str, *,
+              lower: float = 0.01, upper: float = 0.99,
+              exact: bool = True, round_cuts: int = 6,
+              out_col: Optional[str] = None) -> DataFrame:
+    """Percentile clipping (winsorization): cap ``value_col`` into its
+    [``lower``, ``upper``] quantile range — the outlier-taming step
+    before means/regressions that :func:`standardize` and friends
+    assume.  ``exact=True`` uses exact interpolated percentiles
+    (oracle-checkable after rounding to ``round_cuts``);
+    ``exact=False`` uses ``approx_percentile`` — the 100 TB default.
+
+    Scale shape: one aggregate collapsing to two scalars, then a
+    map-only ``least(greatest(...))`` projection.  NULLs pass through
+    unchanged.
+    """
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError("need 0 <= lower < upper <= 1")
+    fn = "percentile" if exact else "approx_percentile"
+    row = df.agg(F.expr(
+        f"{fn}({value_col}, array({lower!r}, {upper!r}))").alias("c")) \
+        .collect()[0]["c"]
+    lo, hi = (round(float(c), round_cuts) for c in row)
+    clipped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(F.greatest(F.col(value_col).cast("double"), F.lit(lo)),
+                F.lit(hi)))
+    return df.withColumn(out_col or f"{value_col}_winsor", clipped)
