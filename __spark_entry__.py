@@ -4884,6 +4884,80 @@ FROM orders, cuts
 
 
 
+
+def q_dedup_pair_audit(spark, sf_dir):
+    """Candidate-pair audit (operators/dedup.py ``pair_metrics``):
+    precision/recall/F1 of the looser 2-gram Jaccard pair set against
+    the 3-gram reference over the planted-dup corpus — the first-class
+    form of the recall audits every approximate dedup config ships
+    with.  Counts are exact integers; each ratio one int division —
+    value-level."""
+    from wrangle_pypes_spark.operators import pair_metrics
+    corpus = _dup_corpus(spark, sf_dir)
+    pred = ngram_jaccard_pairs(corpus, "text", id_col="doc_id",
+                               shingle_n=2, threshold=0.5,
+                               prefilter_tokens=2)
+    truth = ngram_jaccard_pairs(corpus, "text", id_col="doc_id",
+                                shingle_n=3, threshold=0.5,
+                                prefilter_tokens=2)
+    return pair_metrics(pred, truth)
+
+
+SQL_DEDUP_PAIR_AUDIT = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(
+             toks[1:greatest(len(toks) - 1, 0)], ' ') || ' zzz'
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+), tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM corpus
+), sh2 AS (
+  SELECT doc_id, array_to_string(toks[1:2], ' ') AS bkey,
+         list_distinct(list_transform(
+             range(1, greatest(len(toks) - 1, 1) + 1),
+             i -> array_to_string(toks[i:i+1], ' '))) AS ss
+  FROM tk
+), sh3 AS (
+  SELECT doc_id, array_to_string(toks[1:2], ' ') AS bkey,
+         list_distinct(list_transform(
+             range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS ss
+  FROM tk
+), p2 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh2 a JOIN sh2 b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
+        / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.5
+), p3 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh3 a JOIN sh3 b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
+        / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.5
+), u AS (
+  SELECT id_a, id_b, max(p) AS p, max(t) AS t FROM (
+    SELECT id_a, id_b, 1 AS p, 0 AS t FROM p2
+    UNION ALL
+    SELECT id_a, id_b, 0 AS p, 1 AS t FROM p3
+  ) GROUP BY 1, 2
+)
+SELECT sum(p)::BIGINT AS n_pred, sum(t)::BIGINT AS n_truth,
+       sum(p * t)::BIGINT AS n_hit,
+       round(sum(p * t) / sum(p), 6) AS precision,
+       round(sum(p * t) / sum(t), 6) AS recall,
+       round(2.0 * sum(p * t) / (sum(p) + sum(t)), 6) AS f1
+FROM u
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4929,6 +5003,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search_docs": q_bm25_search_docs,  # new r4
     "stream_zscore_events": q_stream_zscore_events,  # new r4
     "winsorize_order_totals": q_winsorize_order_totals,  # new r4
+    "dedup_pair_audit": q_dedup_pair_audit,  # new r4
     "stratified_sample_langs": q_stratified_sample_langs,  # md5 value-level oracle, driver last saw rows-only
     "gopher_quality": q_gopher_quality,
     "repetition_stats": q_repetition_stats,
@@ -4950,8 +5025,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_bracketed_revenue": q_q19_bracketed_revenue,
     "customers_without_orders": q_customers_without_orders,
     "topk_orders_per_customer": q_topk_orders_per_customer,
-    "window_running_total": q_window_running_total,
     # ---- below the 50-slot driver window from here down ----
+    "window_running_total": q_window_running_total,
     "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
     "json_extract_events": q_json_extract_events,
     "sessionize_events": q_sessionize_events,
@@ -5191,6 +5266,7 @@ _ORACLES: dict[str, str] = {
     "bm25_search_docs": SQL_BM25,
     "stream_zscore_events": SQL_STREAM_ZSCORE,
     "winsorize_order_totals": SQL_WINSORIZE,
+    "dedup_pair_audit": SQL_DEDUP_PAIR_AUDIT,
     "boilerplate_lines_docs": SQL_BOILERPLATE,
     "resample_user_6h": SQL_RESAMPLE_6H,
     "rolling_zscore_events": SQL_ROLLING_ZSCORE,

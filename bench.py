@@ -116,6 +116,7 @@ HEADLINE = [
     "bm25_search_docs",
     "stream_zscore_events",
     "winsorize_order_totals",
+    "dedup_pair_audit",
 ]
 
 

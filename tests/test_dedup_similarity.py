@@ -506,3 +506,23 @@ def test_semantic_dedup_keeps_one_per_cluster_of_near_dups(spark):
         df, "embedding", id_col="vec_id",
         n_clusters=4, threshold=0.999).collect())
     assert again == ids
+
+
+def test_pair_metrics_counts_and_ratios(spark):
+    """Canonicalization (order, duplicates) is applied before counting;
+    precision/recall/f1 match hand math; empty sides yield NULL ratios
+    instead of division errors."""
+    from wrangle_pypes_spark.operators import pair_metrics
+
+    pred = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (5, 6)], "id_a long, id_b long")
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (7, 8)], "id_a long, id_b long")
+    r = pair_metrics(pred, truth).collect()[0]
+    assert (r.n_pred, r.n_truth, r.n_hit) == (3, 3, 2)
+    assert r.precision == r.recall == pytest.approx(2 / 3, abs=1e-6)
+    assert r.f1 == pytest.approx(2 * 2 / 6, abs=1e-6)
+
+    empty = pred.filter("id_a < 0")
+    r2 = pair_metrics(empty, truth).collect()[0]
+    assert r2.n_pred == 0 and r2.precision is None and r2.recall == 0.0

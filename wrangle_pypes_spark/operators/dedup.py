@@ -760,3 +760,51 @@ def semantic_dedup(df: DataFrame, vec_col: str, *, id_col: str,
              .filter(F.col("cosine") >= threshold)
              .select("id_a", "id_b"))
     return fuzzy_dedup_keep_canonical(df, pairs, id_col=id_col)
+
+
+def pair_metrics(pred: DataFrame, truth: DataFrame, *,
+                 id_a: str = "id_a", id_b: str = "id_b",
+                 round_digits: int = 6) -> DataFrame:
+    """Candidate-pair audit: precision / recall / F1 of a predicted
+    duplicate-pair set against a reference set — the op that makes
+    every approximate dedup config (LSH bands, SimHash radius, ANN
+    probes) auditable as a first-class pipeline step instead of an
+    offline notebook check.  Pairs are canonicalized (unordered, id_a <
+    id_b) and deduplicated on both sides first.
+
+    Output: ONE row — n_pred, n_truth, n_hit, precision, recall, f1
+    (ratios NULL when their denominator is 0).  Counts are exact
+    integers and each ratio is one exact-int division, so the audit is
+    value-level checkable cross-engine.
+
+    Scale shape: tag-union both pair streams, ONE pair-keyed aggregate
+    (map-side partial) marking which side(s) saw each pair, then a
+    single global rollup to one row.  Linear in |pred| + |truth|; no
+    join of pair tables against each other.
+    """
+    def canon(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("_a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("_b"),
+        ).distinct().withColumn("_src", F.lit(tag))
+
+    tagged = canon(pred, "p").unionByName(canon(truth, "t"))
+    marked = (tagged.groupBy("_a", "_b")
+              .agg(F.max((F.col("_src") == "p").cast("int")).alias("_p"),
+                   F.max((F.col("_src") == "t").cast("int")).alias("_t")))
+    counts = marked.agg(
+        F.sum("_p").cast("long").alias("n_pred"),
+        F.sum("_t").cast("long").alias("n_truth"),
+        F.sum((F.col("_p") * F.col("_t"))).cast("long").alias("n_hit"))
+    prec = F.when(F.col("n_pred") > 0,
+                  F.col("n_hit") / F.col("n_pred"))
+    rec = F.when(F.col("n_truth") > 0,
+                 F.col("n_hit") / F.col("n_truth"))
+    f1 = F.when((F.col("n_pred") + F.col("n_truth")) > 0,
+                2.0 * F.col("n_hit")
+                / (F.col("n_pred") + F.col("n_truth")))
+    return counts.select(
+        "n_pred", "n_truth", "n_hit",
+        F.round(prec, round_digits).alias("precision"),
+        F.round(rec, round_digits).alias("recall"),
+        F.round(f1, round_digits).alias("f1"))
