@@ -2419,8 +2419,11 @@ WITH t AS (
 ), tgtc AS (
   SELECT bk, count(*) AS tc FROM b WHERE lang = 'en' GROUP BY bk
 ), ratio AS (
-  SELECT r.bk, r.rc, coalesce(t2.tc, 0) AS tc
-  FROM rawc r LEFT JOIN tgtc t2 USING (bk)
+  -- FULL join mirrors the operator: target-only buckets count in T
+  -- (here target is a subset of raw, so the branch is inert — kept
+  -- for semantic equality with dsir_importance)
+  SELECT bk, coalesce(rc, 0) AS rc, coalesce(tc, 0) AS tc
+  FROM rawc FULL OUTER JOIN tgtc USING (bk)
 ), tot AS (
   SELECT sum(rc)::DOUBLE AS R, sum(tc)::DOUBLE AS T FROM ratio
 ), pb AS (

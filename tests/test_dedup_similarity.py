@@ -526,3 +526,6 @@ def test_pair_metrics_counts_and_ratios(spark):
     empty = pred.filter("id_a < 0")
     r2 = pair_metrics(empty, truth).collect()[0]
     assert r2.n_pred == 0 and r2.precision is None and r2.recall == 0.0
+
+    r3 = pair_metrics(empty, empty).collect()[0]
+    assert (r3.n_pred, r3.n_truth, r3.n_hit) == (0, 0, 0)  # never NULL

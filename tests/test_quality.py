@@ -254,3 +254,26 @@ def test_ngram_containment_ratio(spark):
     plan = ngram_containment(train, ref, n=3) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_quantile_filter_null_groups_and_zero_quantile(spark):
+    """Approx path parity with the exact path on the edges: an
+    all-NULL-score group survives (not silently deleted), NULL group
+    keys are a group like any other, and quantile=0 keeps everything
+    including minimum-tied rows."""
+    from wrangle_pypes_spark.operators import quantile_filter
+
+    rows = [("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0),
+            ("b", 10, None), ("b", 11, None),       # all-NULL group
+            (None, 20, 5.0), (None, 21, 6.0)]       # NULL group key
+    df = spark.createDataFrame(rows, "grp string, id long, score double")
+    ap = quantile_filter(df, "score", quantile=0.34,
+                         group_cols=["grp"], exact=False)
+    ids = {r.id for r in ap.collect()}
+    assert {10, 11} <= ids            # NULL-cutoff group kept whole
+    assert 20 in ids or 21 in ids     # NULL key treated as a group
+    assert 1 not in ids               # bottom of group a dropped
+
+    z = quantile_filter(df, "score", quantile=0.0,
+                        group_cols=["grp"], exact=False)
+    assert z.count() == len(rows)     # keep-everything baseline

@@ -579,3 +579,17 @@ def test_winsorize_clips_to_quantile_range(spark):
     assert got[50.0] == 50.0 and got[None] is None
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_bucketize_winsorize_empty_and_all_null_inputs(spark):
+    """No rows / all-NULL value columns: bucketize yields NULL buckets
+    and winsorize passes values through — no driver TypeError."""
+    from wrangle_pypes_spark.operators import bucketize, winsorize
+
+    empty = spark.createDataFrame([], "v double")
+    assert bucketize(empty, "v").count() == 0
+    assert winsorize(empty, "v").count() == 0
+    nulls = spark.createDataFrame([(None,), (None,)], "v double")
+    assert [r.bucket for r in bucketize(nulls, "v").collect()] == [None, None]
+    assert [r.v_winsor for r in winsorize(nulls, "v").collect()] == \
+        [None, None]

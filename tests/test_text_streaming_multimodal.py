@@ -587,3 +587,32 @@ def test_stateful_zscore_matches_expanding_batch(spark, tmp_path):
             assert got[sec].zscore == pytest.approx(r.z, rel=1e-9)
     assert got[8].is_anomaly and not got[7].is_anomaly
     assert got[9].n_prior == 9        # state crossed the batch boundary
+
+
+def test_stateful_zscore_null_value_does_not_poison_state(spark, tmp_path):
+    """A NULL value is emitted as unknown and never folded into the
+    Welford state — later events still score against the clean
+    baseline (one NaN would otherwise disable the key forever)."""
+    from wrangle_pypes_spark.streaming import (
+        run_available_now_to_memory,
+        stateful_zscore,
+    )
+
+    vals = [10.0, 10.5, 9.5, 10.2, 9.8, None, 10.1, 50.0]
+    df = (spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)],
+        "user_id long, sec long, value double")
+        .select("user_id", F.timestamp_seconds(F.col("sec")).alias("ts"),
+                "value"))
+    src = str(tmp_path / "nzsrc")
+    df.coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema(df.schema)
+              .format("parquet").load(src))
+    out = stateful_zscore(stream, key_col="user_id", ts_col="ts",
+                          value_col="value", min_periods=4)
+    table = run_available_now_to_memory(out, "zscore_null_out",
+                                        output_mode="append")
+    got = sorted(table.collect(), key=lambda r: r.ts)
+    assert got[5].zscore is None and got[5].value is None
+    assert got[6].n_prior == 5          # the NULL was not counted
+    assert got[7].is_anomaly            # baseline still clean

@@ -419,15 +419,18 @@ def connected_components(edges: DataFrame, *, src: str = "id_a",
 
 
 def fuzzy_dedup_keep_canonical(df: DataFrame, pairs: DataFrame, *,
-                               id_col: str) -> DataFrame:
+                               id_col: str,
+                               max_iter: int = 20) -> DataFrame:
     """Keep ONE document per near-duplicate cluster (the min id — the
     cluster's canonical), plus every unpaired document.
 
     ``pairs`` is any (id_a, id_b) near-dup pair table (MinHash LSH,
     SimHash, embedding...).  This is the final step of the web-scale
     dedup recipe: pairs -> clusters -> one survivor per cluster.
+    ``max_iter`` forwards to :func:`connected_components` (raise it for
+    long duplicate chains; non-convergence warns there).
     """
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, max_iter=max_iter)
     joined = df.join(comp.withColumnRenamed("id", id_col), id_col, "left")
     return (joined.filter(F.col("comp").isNull() |
                           (F.col(id_col) == F.col("comp")))
@@ -759,7 +762,8 @@ def semantic_dedup(df: DataFrame, vec_col: str, *, id_col: str,
                      .alias("cosine"))
              .filter(F.col("cosine") >= threshold)
              .select("id_a", "id_b"))
-    return fuzzy_dedup_keep_canonical(df, pairs, id_col=id_col)
+    return fuzzy_dedup_keep_canonical(df, pairs, id_col=id_col,
+                                      max_iter=max_iter_cc)
 
 
 def pair_metrics(pred: DataFrame, truth: DataFrame, *,
@@ -793,9 +797,10 @@ def pair_metrics(pred: DataFrame, truth: DataFrame, *,
               .agg(F.max((F.col("_src") == "p").cast("int")).alias("_p"),
                    F.max((F.col("_src") == "t").cast("int")).alias("_t")))
     counts = marked.agg(
-        F.sum("_p").cast("long").alias("n_pred"),
-        F.sum("_t").cast("long").alias("n_truth"),
-        F.sum((F.col("_p") * F.col("_t"))).cast("long").alias("n_hit"))
+        F.coalesce(F.sum("_p"), F.lit(0)).cast("long").alias("n_pred"),
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum(F.col("_p") * F.col("_t")), F.lit(0))
+        .cast("long").alias("n_hit"))
     prec = F.when(F.col("n_pred") > 0,
                   F.col("n_hit") / F.col("n_pred"))
     rec = F.when(F.col("n_truth") > 0,

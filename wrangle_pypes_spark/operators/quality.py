@@ -307,6 +307,11 @@ def quantile_filter(df: DataFrame, score_col: str, *,
     """
     if not 0.0 <= quantile < 1.0:
         raise ValueError("quantile must be in [0, 1)")
+    if quantile == 0.0:
+        # "drop the bottom 0 fraction" keeps everything on BOTH paths
+        # (the approx cutoff would be the minimum, and the strict >
+        # filter would wrongly delete minimum-tied rows)
+        return df
     groups = list(group_cols)
     if exact:
         from pyspark.sql import Window
@@ -318,10 +323,20 @@ def quantile_filter(df: DataFrame, score_col: str, *,
     agg = F.expr(f"approx_percentile({score_col}, {quantile!r}, "
                  f"{int(1.0 / relative_error)})").alias("_cutoff")
     if groups:
+        # null-safe equi-join: a NULL group key is a group like any
+        # other (matching the exact path's window partitioning), and a
+        # NULL cutoff (all-NULL scores in the group) keeps the group
+        # instead of silently deleting it — same contract as the
+        # ungrouped path's `if cut is None: return df`
         cuts = df.groupBy(*groups).agg(agg)
-        return (df.join(F.broadcast(cuts), groups)
-                .filter(F.col(score_col) > F.col("_cutoff"))
-                .drop("_cutoff"))
+        cond = None
+        for g in groups:
+            c = df[g].eqNullSafe(cuts[g])
+            cond = c if cond is None else (cond & c)
+        return (df.join(F.broadcast(cuts), cond)
+                .filter(F.col("_cutoff").isNull() |
+                        (F.col(score_col) > F.col("_cutoff")))
+                .drop("_cutoff").drop(*[cuts[g] for g in groups]))
     cut = df.agg(agg).collect()[0]["_cutoff"]
     if cut is None:
         return df
@@ -390,8 +405,12 @@ def dsir_importance(raw: DataFrame, target: DataFrame,
         F.count("*").alias("_n")).persist(StorageLevel.MEMORY_AND_DISK)
     raw_counts = per_bucket.groupBy("_b").agg(F.sum("_n").alias("_rc"))
     tgt_counts = grams(target).groupBy("_b").agg(F.count("*").alias("_tc"))
-    ratio = (raw_counts.join(tgt_counts, "_b", "left")
+    # FULL outer: buckets seen only in the target (the normal case for
+    # an out-of-domain target corpus) must still count toward T, or
+    # every p-hat_tgt is inflated; raw-only buckets carry _tc = 0
+    ratio = (raw_counts.join(tgt_counts, "_b", "full_outer")
              .withColumn("_tc", F.coalesce("_tc", F.lit(0)))
+             .withColumn("_rc", F.coalesce("_rc", F.lit(0)))
              .persist())
     if cache_registry is not None:
         cache_registry.append(per_bucket)

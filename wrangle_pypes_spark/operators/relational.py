@@ -425,6 +425,10 @@ def bucketize(df: DataFrame, value_col: str, *,
     cuts_row = df.agg(F.expr(
         f"{fn}({value_col}, array({', '.join(map(repr, probs))}))")
         .alias("c")).collect()[0]["c"]
+    if cuts_row is None:
+        # empty input / all-NULL column: no cut points exist — every
+        # row (there may be none, or only NULLs) gets a NULL bucket
+        return df.withColumn(out_col, F.lit(None).cast("int"))
     cuts = [round(float(c), round_cuts) for c in cuts_row]
     cut_arr = F.array(*[F.lit(c) for c in cuts])
     v = F.col(value_col).cast("double")
@@ -464,7 +468,6 @@ def merge_intervals(df: DataFrame, key_col: str, start_col: str,
         F.lit(1)).otherwise(F.lit(0))
     island = F.sum(new_island).over(
         w.rowsBetween(Window.unboundedPreceding, 0))
-    lo, hi = F.min(s).alias("_lo"), F.max(e).alias("_hi")
     merged = (df.select(F.col(key_col), s.alias("_s"), e.alias("_e"),
                         island.alias("_island"))
               .groupBy(key_col, "_island")
@@ -564,6 +567,10 @@ def winsorize(df: DataFrame, value_col: str, *,
     row = df.agg(F.expr(
         f"{fn}({value_col}, array({lower!r}, {upper!r}))").alias("c")) \
         .collect()[0]["c"]
+    if row is None:
+        # empty input / all-NULL column: nothing to clip against
+        return df.withColumn(out_col or f"{value_col}_winsor",
+                             F.col(value_col).cast("double"))
     lo, hi = (round(float(c), round_cuts) for c in row)
     clipped = F.when(
         F.col(value_col).isNotNull(),

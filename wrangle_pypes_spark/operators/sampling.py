@@ -329,9 +329,14 @@ def cap_per_group(df: DataFrame, group_col: str, *, key_col: str,
       group; fine up to groups of hundreds of millions (WindowExec
       spills), and the cap is exact.
     * ``exact=False`` — the 100 TB path for billion-row groups: one
-      k-row count aggregate, then the map-only hash-membership filter
-      at rate ``min(1, cap/n)`` per group (same md5 scheme) — keeps
-      ``≈ max_per_group`` with Bernoulli variance, nothing sorts.
+      partial-aggregated per-group count BROADCAST back (|groups|
+      rows; drop the hint if group cardinality ever outgrows the
+      broadcast threshold) onto a map-only accept test at rate
+      ``min(1, cap/n)`` per group (48-bit md5 draw vs rate·2^48, the
+      :func:`weighted_sample_pps` mechanism) — keeps
+      ``≈ max_per_group`` with Bernoulli variance, nothing sorts,
+      nothing collects to the driver, no per-group plan growth.  NULL
+      group keys are a group like any other on both paths.
     """
     if max_per_group <= 0:
         raise ValueError("max_per_group must be positive")
@@ -341,17 +346,16 @@ def cap_per_group(df: DataFrame, group_col: str, *, key_col: str,
              .orderBy(draw, F.col(key_col)))
         return (df.withColumn("_qrn", F.row_number().over(w))
                 .filter(F.col("_qrn") <= max_per_group).drop("_qrn"))
-    counts = {r["g"]: r["n"] for r in
-              df.groupBy(F.col(group_col).alias("g"))
-              .agg(F.count("*").alias("n")).collect()}
-    cond = F.lit(False)
-    for g, n in counts.items():
-        if g is None:
-            continue
-        frac = min(1.0, max_per_group / float(n))
-        cond = cond | ((F.col(group_col) == F.lit(g)) &
-                       _membership_cond(key_col, seed, frac, "md5"))
-    return df.filter(cond)
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_gn"))
+    rate = F.least(F.lit(1.0), F.lit(float(max_per_group)) / F.col("_gn"))
+    u48 = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"),
+                       F.col(key_col).cast("string"))), 1, 12),
+        16, 10).cast("long")
+    return (df.join(F.broadcast(counts),
+                    df[group_col].eqNullSafe(counts[group_col]))
+            .filter(u48 < rate * F.lit(float(1 << 48)))
+            .drop(counts[group_col]).drop("_gn"))
 
 
 def weighted_sample_pps(df: DataFrame, *, key_col: str, weight_col: str,

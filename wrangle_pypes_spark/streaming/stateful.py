@@ -107,6 +107,16 @@ def stateful_zscore(events: DataFrame, *, key_col: str = "user_id",
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col, kind="mergesort")
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                if pd.isna(v):
+                    # match the batch twin: NULL values are scored as
+                    # unknown and NEVER folded into the baseline (one
+                    # NaN would poison mean/M2 for the key forever)
+                    out_ts.append(ts)
+                    out_v.append(None)
+                    out_np.append(n)
+                    out_z.append(None)
+                    out_flag.append(None)
+                    continue
                 z = None
                 if n >= min_periods and m2 > 0:
                     std = math.sqrt(m2 / (n - 1))
