@@ -4840,7 +4840,8 @@ def q_stream_zscore_events(spark, sf_dir):
         run_available_now_to_memory, stateful_zscore, stream_events)
     ev = stream_events(spark, sf_dir)
     out = stateful_zscore(ev, key_col="user_id", ts_col="ts",
-                          value_col="value", min_periods=5)
+                          value_col="value", min_periods=5,
+                          tiebreak_cols=("event_id",))
     table = run_available_now_to_memory(out, "stream_zscore_out",
                                         output_mode="append")
     return table.select(F.col("key").alias("user_id"), "ts", "value",

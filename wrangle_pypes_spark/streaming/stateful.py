@@ -82,6 +82,7 @@ _WELFORD_SCHEMA = T.StructType([
 def stateful_zscore(events: DataFrame, *, key_col: str = "user_id",
                     ts_col: str = "ts", value_col: str = "value",
                     min_periods: int = 5, threshold: float = 3.0,
+                    tiebreak_cols: tuple = (),
                     timeout: str = GroupStateTimeout.NoTimeout
                     ) -> DataFrame:
     """Streaming per-key anomaly scoring — the streaming twin of
@@ -91,9 +92,12 @@ def stateful_zscore(events: DataFrame, *, key_col: str = "user_id",
     folded in (a spike never deflates its own baseline), emitting z and
     an ``is_anomaly`` flag, NULL until ``min_periods`` priors exist.
 
-    Within a micro-batch events are processed in ``ts_col`` order, so
-    replaying the same batches yields identical scores (per-key
-    in-order delivery is the same contract as the SCD2 maintainer).
+    Within a micro-batch events are processed in (``ts_col``,
+    *tiebreak_cols) order — pass a unique tiebreak (an event id) when
+    timestamps can collide, or the fold order at a tie is input-order
+    dependent.  Replaying the same batches yields identical scores
+    (per-key in-order delivery is the same contract as the SCD2
+    maintainer).
     State is three scalars per key — constant-size, spill-free; idle
     keys evict via ``timeout``.
     """
@@ -104,8 +108,9 @@ def stateful_zscore(events: DataFrame, *, key_col: str = "user_id",
 
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         out_ts, out_v, out_np, out_z, out_flag = [], [], [], [], []
+        order = [ts_col, *tiebreak_cols]
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            pdf = pdf.sort_values(order, kind="mergesort")
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
                 if pd.isna(v):
                     # match the batch twin: NULL values are scored as
@@ -138,7 +143,7 @@ def stateful_zscore(events: DataFrame, *, key_col: str = "user_id",
             "n_prior": out_np, "zscore": out_z, "is_anomaly": out_flag,
         })
 
-    return (events.select(key_col, ts_col, value_col)
+    return (events.select(key_col, ts_col, value_col, *tiebreak_cols)
             .groupBy(key_col)
             .applyInPandasWithState(update,
                                     outputStructType=ANOMALY_SCHEMA,
