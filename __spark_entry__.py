@@ -4844,8 +4844,7 @@ def q_stream_zscore_events(spark, sf_dir):
                           tiebreak_cols=("event_id",))
     table = run_available_now_to_memory(out, "stream_zscore_out",
                                         output_mode="append")
-    return table.select(F.col("key").alias("user_id"), "ts", "value",
-                        "n_prior", "is_anomaly")
+    return table.select("user_id", "ts", "value", "n_prior", "is_anomaly")
 
 
 SQL_STREAM_ZSCORE = """
@@ -4856,7 +4855,7 @@ SELECT user_id, ts, value,
             THEN abs((value - avg(value) OVER w)
                      / stddev_samp(value) OVER w) > 3.0 END AS is_anomaly
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 """
 

@@ -320,8 +320,9 @@ def quantile_filter(df: DataFrame, score_col: str, *,
              if groups else Window.partitionBy().orderBy(F.col(score_col)))
         return (df.withColumn("_cd", F.cume_dist().over(w))
                 .filter(F.col("_cd") > quantile).drop("_cd"))
-    agg = F.expr(f"approx_percentile({score_col}, {quantile!r}, "
-                 f"{int(1.0 / relative_error)})").alias("_cutoff")
+    agg = F.approx_percentile(
+        F.col(score_col), F.lit(quantile),
+        F.lit(int(1.0 / relative_error))).alias("_cutoff")
     if groups:
         # null-safe equi-join: a NULL group key is a group like any
         # other (matching the exact path's window partitioning), and a
@@ -517,30 +518,30 @@ def ngram_containment(train: DataFrame, eval_df: DataFrame,
 
     Scale shape: the reference side collapses to distinct grams and
     BROADCASTS (eval corpora are small by construction); the training
-    corpus is exploded once (doc-distinct grams) into a broadcast-hash
-    join + doc-keyed count — no corpus shuffle beyond the final
-    doc aggregate.
+    corpus is tokenized and exploded ONCE (``explode_outer``, so
+    gram-less documents keep their row) into a broadcast-hash left
+    join + one doc-keyed aggregate computing both the gram count and
+    the overlap — no second corpus scan, no corpus shuffle beyond the
+    final doc aggregate.
     """
     ref = (eval_df
            .select(F.explode(F.array_distinct(
                _word_ngrams(F.col(text_col), n))).alias("_g"))
-           .distinct())
-    grams = train.select(
-        F.col(id_col).alias("_doc"),
-        F.explode(F.array_distinct(
-            _word_ngrams(F.col(text_col), n))).alias("_g"))
-    hits = (grams.join(F.broadcast(ref), "_g")
-            .groupBy("_doc").agg(F.count("*").alias("_hits")))
-    totals = train.select(
+           .distinct()
+           .withColumn("_hit", F.lit(1)))
+    exploded = train.select(
         F.col(id_col),
-        F.size(F.array_distinct(_word_ngrams(F.col(text_col), n)))
-        .cast("long").alias("n_grams"))
-    out = (totals.join(hits, totals[id_col] == hits["_doc"], "left")
-           .drop("_doc"))
-    overlap = F.coalesce("_hits", F.lit(0)).cast("long")
-    ratio = F.round(overlap / F.greatest(F.col("n_grams"), F.lit(1)),
+        F.explode_outer(F.array_distinct(
+            _word_ngrams(F.col(text_col), n))).alias("_g"))
+    out = (exploded.join(F.broadcast(ref), "_g", "left")
+           .groupBy(id_col)
+           .agg(F.count("_g").alias("n_grams"),
+                F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+                .alias("n_overlap")))
+    ratio = F.round(F.col("n_overlap")
+                    / F.greatest(F.col("n_grams"), F.lit(1)),
                     round_digits)
     return out.select(
-        id_col, "n_grams", overlap.alias("n_overlap"),
+        id_col, "n_grams", "n_overlap",
         ratio.alias("containment"),
-        (overlap > 0).alias("contaminated"))
+        (F.col("n_overlap") > 0).alias("contaminated"))

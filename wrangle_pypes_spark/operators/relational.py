@@ -421,10 +421,10 @@ def bucketize(df: DataFrame, value_col: str, *,
         raise ValueError("probs must be within (0, 1)")
     if sorted(probs) != probs:
         raise ValueError("probs must be ascending")
-    fn = "percentile" if exact else "approx_percentile"
-    cuts_row = df.agg(F.expr(
-        f"{fn}({value_col}, array({', '.join(map(repr, probs))}))")
-        .alias("c")).collect()[0]["c"]
+    pcts = F.array(*[F.lit(p) for p in probs])
+    fn = F.percentile if exact else F.approx_percentile
+    cuts_row = df.agg(
+        fn(F.col(value_col), pcts).alias("c")).collect()[0]["c"]
     if cuts_row is None:
         # empty input / all-NULL column: no cut points exist — every
         # row (there may be none, or only NULLs) gets a NULL bucket
@@ -533,9 +533,19 @@ def standardize(df: DataFrame, value_cols: Sequence[str], *,
     for c in value_cols:
         aggs += [F.avg(c).alias(f"_mu_{c}"),
                  F.stddev_samp(c).alias(f"_sd_{c}")]
-    stats = df.groupBy(*gcols).agg(*aggs) if gcols else df.agg(*aggs)
-    joined = (df.join(F.broadcast(stats), gcols, "left") if gcols
-              else df.crossJoin(F.broadcast(stats)))
+    if gcols:
+        stats = df.groupBy(*gcols).agg(*aggs)
+        # null-safe: a NULL group key is a group like any other (the
+        # same contract as quantile_filter/cap_per_group)
+        cond = None
+        for g in gcols:
+            c = df[g].eqNullSafe(stats[g])
+            cond = c if cond is None else (cond & c)
+        joined = df.join(F.broadcast(stats), cond, "left") \
+            .drop(*[stats[g] for g in gcols])
+    else:
+        stats = df.agg(*aggs)
+        joined = df.crossJoin(F.broadcast(stats))
     out_cols = list(df.columns)
     for c in value_cols:
         z = F.when(F.col(f"_sd_{c}") > 0,
@@ -563,9 +573,9 @@ def winsorize(df: DataFrame, value_col: str, *,
     """
     if not (0.0 <= lower < upper <= 1.0):
         raise ValueError("need 0 <= lower < upper <= 1")
-    fn = "percentile" if exact else "approx_percentile"
-    row = df.agg(F.expr(
-        f"{fn}({value_col}, array({lower!r}, {upper!r}))").alias("c")) \
+    fn = F.percentile if exact else F.approx_percentile
+    row = df.agg(fn(F.col(value_col),
+                    F.array(F.lit(lower), F.lit(upper))).alias("c")) \
         .collect()[0]["c"]
     if row is None:
         # empty input / all-NULL column: nothing to clip against

@@ -111,10 +111,19 @@ def _check(metrics: Mapping[str, Tuple]) -> None:
             raise ValueError(
                 f"metric {name!r}: unknown kind {kind!r} "
                 f"(expected one of {sorted(_KINDS)})")
-        if kind == "histogram" and len(spec) != 5:
-            raise ValueError(
-                f"metric {name!r}: histogram spec is "
-                "('histogram', col, lo, hi, bins)")
+        if kind == "histogram":
+            if len(spec) != 5:
+                raise ValueError(
+                    f"metric {name!r}: histogram spec is "
+                    "('histogram', col, lo, hi, bins)")
+            _, _col, lo, hi, bins = spec
+            if not lo < hi:
+                raise ValueError(
+                    f"metric {name!r}: need lo < hi (got {lo!r}, {hi!r}) "
+                    "— a zero-width range would silently produce "
+                    "all-NULL bins")
+            if bins < 1:
+                raise ValueError(f"metric {name!r}: bins must be >= 1")
 
 
 def rollup_build(df: DataFrame, *, group_cols: Sequence[str],

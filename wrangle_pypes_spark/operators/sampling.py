@@ -236,6 +236,17 @@ def histogram(df: DataFrame, col: str, *, lo: float, hi: float,
                     "n"))
 
 
+def _md5_u48_key(key_col: str, seed: int) -> Column:
+    """First 48 bits of ``md5("{seed}:{key}")`` as a BIGINT — the
+    numeric sibling of :func:`_md5_unit_key` for accept tests of the
+    form ``u48 < rate * 2**48`` (rate varies per row, so a precomputed
+    hex bound cannot be used).  Same engine-portability contract."""
+    return F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"),
+                       F.col(key_col).cast("string"))), 1, 12),
+        16, 10).cast("long")
+
+
 def _md5_unit_key(id_col: str, seed: int) -> Column:
     """First 8 hex chars of ``md5("{seed}:{id}")`` — a uniform draw in
     [0, 16^8) encoded as a fixed-width lowercase hex STRING.  Equal-width
@@ -348,10 +359,7 @@ def cap_per_group(df: DataFrame, group_col: str, *, key_col: str,
                 .filter(F.col("_qrn") <= max_per_group).drop("_qrn"))
     counts = df.groupBy(group_col).agg(F.count("*").alias("_gn"))
     rate = F.least(F.lit(1.0), F.lit(float(max_per_group)) / F.col("_gn"))
-    u48 = F.conv(F.substring(
-        F.md5(F.concat(F.lit(f"{seed}:"),
-                       F.col(key_col).cast("string"))), 1, 12),
-        16, 10).cast("long")
+    u48 = _md5_u48_key(key_col, seed)
     return (df.join(F.broadcast(counts),
                     df[group_col].eqNullSafe(counts[group_col]))
             .filter(u48 < rate * F.lit(float(1 << 48)))
@@ -384,10 +392,7 @@ def weighted_sample_pps(df: DataFrame, *, key_col: str, weight_col: str,
     total = df.agg(F.sum(weight_col).alias("w")).collect()[0]["w"]
     if total is None or float(total) <= 0:
         raise ValueError("weight_col must have a positive total")
-    u48 = F.conv(F.substring(
-        F.md5(F.concat(F.lit(f"{seed}:"),
-                       F.col(key_col).cast("string"))), 1, 12),
-        16, 10).cast("long")
+    u48 = _md5_u48_key(key_col, seed)
     p = F.least(F.lit(1.0),
                 (F.lit(float(k)) * F.col(weight_col).cast("double"))
                 / F.lit(float(total)))

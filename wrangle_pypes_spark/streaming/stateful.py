@@ -63,15 +63,6 @@ def stateful_running_counts(events: DataFrame, *,
                                     timeoutConf=timeout))
 
 
-ANOMALY_SCHEMA = T.StructType([
-    T.StructField("key", T.LongType()),
-    T.StructField("ts", T.TimestampType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("n_prior", T.LongType()),
-    T.StructField("zscore", T.DoubleType()),
-    T.StructField("is_anomaly", T.BooleanType()),
-])
-
 _WELFORD_SCHEMA = T.StructType([
     T.StructField("n", T.LongType()),
     T.StructField("mean", T.DoubleType()),
@@ -93,14 +84,25 @@ def stateful_zscore(events: DataFrame, *, key_col: str = "user_id",
     an ``is_anomaly`` flag, NULL until ``min_periods`` priors exist.
 
     Within a micro-batch events are processed in (``ts_col``,
-    *tiebreak_cols) order — pass a unique tiebreak (an event id) when
-    timestamps can collide, or the fold order at a tie is input-order
-    dependent.  Replaying the same batches yields identical scores
-    (per-key in-order delivery is the same contract as the SCD2
-    maintainer).
+    *tiebreak_cols) order ACROSS the whole batch — the group's Arrow
+    chunks are concatenated before sorting, since the state store
+    hands a large group to the update function as multiple chunks in
+    arbitrary order and a per-chunk sort would fold events out of time
+    order.  Pass a unique tiebreak (an event id) when timestamps can
+    collide, or the fold order at a tie is input-order dependent.
+    Replaying the same batches yields identical scores (per-key
+    in-order delivery is the same contract as the SCD2 maintainer).
     State is three scalars per key — constant-size, spill-free; idle
-    keys evict via ``timeout``.
+    keys evict via ``timeout``.  Output schema derives from the input
+    (key/ts/value keep their dtypes and names).
     """
+    out_schema = T.StructType([
+        events.schema[key_col], events.schema[ts_col],
+        T.StructField(value_col, T.DoubleType()),
+        T.StructField("n_prior", T.LongType()),
+        T.StructField("zscore", T.DoubleType()),
+        T.StructField("is_anomaly", T.BooleanType()),
+    ])
 
     def update(key: Tuple, pdfs: Iterable[pd.DataFrame],
                state: GroupState) -> Iterable[pd.DataFrame]:
@@ -109,44 +111,50 @@ def stateful_zscore(events: DataFrame, *, key_col: str = "user_id",
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         out_ts, out_v, out_np, out_z, out_flag = [], [], [], [], []
         order = [ts_col, *tiebreak_cols]
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order, kind="mergesort")
-            for ts, v in zip(pdf[ts_col], pdf[value_col]):
-                if pd.isna(v):
-                    # match the batch twin: NULL values are scored as
-                    # unknown and NEVER folded into the baseline (one
-                    # NaN would poison mean/M2 for the key forever)
-                    out_ts.append(ts)
-                    out_v.append(None)
-                    out_np.append(n)
-                    out_z.append(None)
-                    out_flag.append(None)
-                    continue
-                z = None
-                if n >= min_periods and m2 > 0:
-                    std = math.sqrt(m2 / (n - 1))
-                    if std > 0:
-                        z = (float(v) - mean) / std
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            whole = (pd.concat(chunks, ignore_index=True)
+                     if len(chunks) > 1 else chunks[0])
+            whole = whole.sort_values(order, kind="mergesort")
+        else:
+            whole = pd.DataFrame({ts_col: [], value_col: []})
+        for ts, v in zip(whole[ts_col], whole[value_col]):
+            if pd.isna(v):
+                # match the batch twin: NULL values are scored as
+                # unknown and NEVER folded into the baseline (one
+                # NaN would poison mean/M2 for the key forever)
                 out_ts.append(ts)
-                out_v.append(float(v))
+                out_v.append(None)
                 out_np.append(n)
-                out_z.append(z)
-                out_flag.append(None if z is None
-                                else abs(z) > threshold)
-                n += 1
-                delta = float(v) - mean
-                mean += delta / n
-                m2 += delta * (float(v) - mean)
+                out_z.append(None)
+                out_flag.append(None)
+                continue
+            z = None
+            if n >= min_periods and m2 > 0:
+                std = math.sqrt(m2 / (n - 1))
+                if std > 0:
+                    z = (float(v) - mean) / std
+            out_ts.append(ts)
+            out_v.append(float(v))
+            out_np.append(n)
+            out_z.append(z)
+            out_flag.append(None if z is None
+                            else abs(z) > threshold)
+            n += 1
+            delta = float(v) - mean
+            mean += delta / n
+            m2 += delta * (float(v) - mean)
         state.update((n, mean, m2))
         yield pd.DataFrame({
-            "key": [key[0]] * len(out_v), "ts": out_ts, "value": out_v,
-            "n_prior": out_np, "zscore": out_z, "is_anomaly": out_flag,
+            key_col: [key[0]] * len(out_v), ts_col: out_ts,
+            value_col: out_v, "n_prior": out_np, "zscore": out_z,
+            "is_anomaly": out_flag,
         })
 
     return (events.select(key_col, ts_col, value_col, *tiebreak_cols)
             .groupBy(key_col)
             .applyInPandasWithState(update,
-                                    outputStructType=ANOMALY_SCHEMA,
+                                    outputStructType=out_schema,
                                     stateStructType=_WELFORD_SCHEMA,
                                     outputMode="append",
                                     timeoutConf=timeout))
