@@ -87,9 +87,23 @@ def lang_id(text: Column) -> Column:
 
 def word_ngrams(text: Column, n: int) -> Column:
     """Word ``n``-grams as space-joined strings (empty array when the
-    document has fewer than ``n`` tokens)."""
+    document has fewer than ``n`` tokens).
+
+    Identical output for every n; the small-n cases take cheaper plans
+    because this expression sits in the hot loop of dsir/tf-idf/
+    decontamination/PMI: n=1 is the token array itself and n=2 pairs
+    adjacent tokens with one ``zip_with`` (two array allocations per
+    DOC) instead of a ``slice``+``concat_ws`` per POSITION.
+    """
     toks = tokens(text)
     wc = F.size(toks)
+    if n == 1:
+        return toks
+    if n == 2:
+        k = F.greatest(wc - 1, F.lit(0))
+        return F.zip_with(
+            F.slice(toks, 1, k), F.slice(toks, 2, k),
+            lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(wc >= n, F.transform(
         F.sequence(F.lit(1), wc - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
