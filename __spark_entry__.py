@@ -4961,6 +4961,65 @@ FROM u
 
 
 
+
+def q_dsir_select_docs(spark, sf_dir):
+    """The complete DSIR recipe (weights + selection): importance
+    weights vs the English target, then Gumbel top-k sampling without
+    replacement (operators/sampling.py ``gumbel_topk``) of 100
+    documents with probability proportional to exp(weight).  The
+    Gumbel key is built on the 4dp-ROUNDED weight, so the selection
+    reproduces cross-engine (the noise arithmetic is IEEE-stable; ln
+    ulp divergence only matters at exact key ties, broken by id)."""
+    from wrangle_pypes_spark.operators import dsir_importance, gumbel_topk
+    d = _t(spark, sf_dir, "documents")
+    w = dsir_importance(d, d.filter(F.col("lang") == "en"))
+    return (gumbel_topk(w, "dsir_logweight", key_col="doc_id", k=100)
+            .select("doc_id", "dsir_logweight"))
+
+
+SQL_DSIR_SELECT = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, lang,
+         unnest(toks || list_transform(range(1, len(toks)),
+                    i -> array_to_string(toks[i:i+1], ' '))) AS gram
+  FROM t
+), b AS (
+  SELECT doc_id, lang, substr(md5(gram), 1, 4) AS bk FROM g
+), rawc AS (
+  SELECT bk, count(*) AS rc FROM b GROUP BY bk
+), tgtc AS (
+  SELECT bk, count(*) AS tc FROM b WHERE lang = 'en' GROUP BY bk
+), ratio AS (
+  SELECT bk, coalesce(rc, 0) AS rc, coalesce(tc, 0) AS tc
+  FROM rawc FULL OUTER JOIN tgtc USING (bk)
+), tot AS (
+  SELECT sum(rc)::DOUBLE AS R, sum(tc)::DOUBLE AS T FROM ratio
+), pb AS (
+  SELECT doc_id, bk, count(*) AS n FROM b GROUP BY doc_id, bk
+), w AS (
+  SELECT pb.doc_id,
+         round(sum(n * ln(((tc + 1.0) / (T + 65536.0))
+                          / ((rc + 1.0) / (R + 65536.0)))), 4)
+           AS dsir_logweight
+  FROM pb JOIN ratio USING (bk) CROSS JOIN tot
+  GROUP BY pb.doc_id
+)
+SELECT doc_id, dsir_logweight FROM w
+ORDER BY dsir_logweight
+         + (-ln(-ln((('0x' || substr(md5('42:' || doc_id::VARCHAR),
+                                     1, 12))::BIGINT::DOUBLE + 0.5)
+                    / 281474976710656.0))) DESC,
+         doc_id
+LIMIT 100
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5029,6 +5088,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_without_orders": q_customers_without_orders,
     "topk_orders_per_customer": q_topk_orders_per_customer,
     # ---- below the 50-slot driver window from here down ----
+    "dsir_select_docs": q_dsir_select_docs,  # new r4 (below window; local sweep covers until rotated in)
     "window_running_total": q_window_running_total,
     "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
     "json_extract_events": q_json_extract_events,
@@ -5270,6 +5330,7 @@ _ORACLES: dict[str, str] = {
     "stream_zscore_events": SQL_STREAM_ZSCORE,
     "winsorize_order_totals": SQL_WINSORIZE,
     "dedup_pair_audit": SQL_DEDUP_PAIR_AUDIT,
+    "dsir_select_docs": SQL_DSIR_SELECT,
     "boilerplate_lines_docs": SQL_BOILERPLATE,
     "resample_user_6h": SQL_RESAMPLE_6H,
     "rolling_zscore_events": SQL_ROLLING_ZSCORE,

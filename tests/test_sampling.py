@@ -382,3 +382,25 @@ def test_topp_per_group_nucleus(spark):
     got = {r.doc_id: r.cum_tokens for r in out.collect()}
     assert set(got) == {1, 2, 4}          # b: tie -> doc 4 first, covers 0.5
     assert got[1] == 40 and got[2] == 80 and got[4] == 10
+
+
+def test_gumbel_topk_properties(spark):
+    """Exactly k rows come back; re-runs return the SAME set; a much
+    higher score is (essentially) always selected; temperature -> 0
+    approaches deterministic top-k by score."""
+    from wrangle_pypes_spark.operators import gumbel_topk
+
+    rows = [(i, 0.0) for i in range(100)] + [(1000, 50.0), (1001, 50.0)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    got = {r.doc_id for r in gumbel_topk(
+        df, "score", key_col="doc_id", k=10).collect()}
+    assert len(got) == 10
+    assert {1000, 1001} <= got      # +50 dominates unit-scale gumbels
+    again = {r.doc_id for r in gumbel_topk(
+        df, "score", key_col="doc_id", k=10).collect()}
+    assert got == again
+
+    cold = {r.doc_id for r in gumbel_topk(
+        df, "score", key_col="doc_id", k=2,
+        temperature=1e-9).collect()}
+    assert cold == {1000, 1001}     # near-argmax at low temperature

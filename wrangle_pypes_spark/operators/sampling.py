@@ -432,3 +432,41 @@ def topp_per_group(df: DataFrame, *, group_col: str, score_col: str,
             .filter((F.col("cum_tokens") - F.col(token_col))
                     < F.lit(float(p)) * F.col("_tot"))
             .drop("_tot"))
+
+
+def gumbel_topk(df: DataFrame, score_col: str, *, key_col: str,
+                k: int, seed: int = 42,
+                temperature: float = 1.0) -> DataFrame:
+    """Gumbel top-k sampling WITHOUT replacement: keep the ``k`` rows
+    maximizing ``score/temperature + Gumbel(md5(seed:key))`` — exactly
+    sampling k items without replacement with probability ∝
+    ``exp(score/temperature)`` (the Gumbel-max trick), which is the
+    published selection step of DSIR-style importance resampling
+    (scores = log importance weights).  ``temperature → 0`` approaches
+    deterministic arg-top-k; larger temperatures flatten the draw.
+
+    Deterministic: the Gumbel noise is ``−ln(−ln(u))`` of the 48-bit
+    md5 draw (+0.5 to dodge ln(0)) — a pure function of (seed, key),
+    so re-runs keep the SAME sample.  Feed a ROUNDED score when
+    cross-engine reproducibility matters: the noise arithmetic is
+    IEEE-stable, but an unrounded float score carries its own
+    accumulation-order ulps.
+
+    Scale shape: map-only key computation + ``orderBy().limit(k)``,
+    which Spark executes as TakeOrdered — per-partition partial top-k,
+    only k rows per partition reach the driver-side merge.  No full
+    sort, no shuffle of the corpus.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    u = (_md5_u48_key(key_col, seed).cast("double") + 0.5) \
+        / F.lit(float(1 << 48))
+    gumbel = -F.log(-F.log(u))
+    key = F.col(score_col).cast("double") / F.lit(float(temperature)) \
+        + gumbel
+    return (df.withColumn("_gumbel_key", key)
+            .orderBy(F.col("_gumbel_key").desc(), F.col(key_col))
+            .limit(k)
+            .drop("_gumbel_key"))
