@@ -5020,6 +5020,24 @@ LIMIT 100
 
 
 
+
+def q_bpe_merges_docs(spark, sf_dir):
+    """Distributed BPE-merge induction (functions/text.py
+    ``bpe_induce``): 8 merges learned from the documents corpus —
+    statistics over the distinct-word frequency table, one explode +
+    1-row max_by per round, localCheckpoint lineage truncation.
+    Deterministic (lexicographic tie break) but iterative with a
+    driver-side model artifact, so the check is rows-only by design;
+    exact semantics are pinned by the python-replica test."""
+    from wrangle_pypes_spark.functions.text import bpe_induce
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_induce(d, num_merges=8)
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "step int, left string, right string").orderBy("step")
+
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5089,6 +5107,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_orders_per_customer": q_topk_orders_per_customer,
     # ---- below the 50-slot driver window from here down ----
     "dsir_select_docs": q_dsir_select_docs,  # new r4 (below window; local sweep covers until rotated in)
+    "bpe_merges_docs": q_bpe_merges_docs,  # new r4 (below window; rows-only by design)
     "window_running_total": q_window_running_total,
     "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
     "json_extract_events": q_json_extract_events,

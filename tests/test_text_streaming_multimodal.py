@@ -616,3 +616,55 @@ def test_stateful_zscore_null_value_does_not_poison_state(spark, tmp_path):
     assert got[5].zscore is None and got[5].value is None
     assert got[6].n_prior == 5          # the NULL was not counted
     assert got[7].is_anomaly            # baseline still clean
+
+
+def test_bpe_induce_matches_python_replica(spark):
+    """Induced merges on a tiny corpus equal the classic BPE algorithm
+    run in python (counts over word frequencies, lexicographic tie
+    break); segmenting with those merges reproduces the merged
+    symbols; re-runs are identical."""
+    from collections import Counter
+
+    from wrangle_pypes_spark.functions.text import bpe_induce, bpe_segment
+
+    texts = ["low low low lower lowest", "new newer newest new"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = bpe_induce(df, num_merges=4)
+
+    # python replica of learn-BPE over the word-frequency table
+    words = Counter(w for t in texts for w in t.lower().split())
+    vocab = {tuple(w): f for w, f in words.items()}
+    merges = []
+    for _ in range(4):
+        pairs = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        best = max(pairs.items(),
+                   key=lambda kv: (kv[1], "\x00".join(kv[0])))
+        if best[1] < 2:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    assert got == merges
+
+    seg = df.select(bpe_segment(F.col("text"), got).alias("s")) \
+        .collect()[0].s
+    assert "low" in seg                  # 'l'+'o'(+'w') merged back up
+    assert got == bpe_induce(df, num_merges=4)   # deterministic

@@ -9,6 +9,8 @@ whole-stage codegen.
 from .text import (
     STOPWORDS,
     bm25_scores,
+    bpe_induce,
+    bpe_segment,
     chunk_documents,
     corpus_top_ngrams,
     doc_fingerprint,
@@ -22,7 +24,8 @@ from .text import (
     word_ngrams,
 )
 
-__all__ = ("STOPWORDS", "bm25_scores", "chunk_documents",
+__all__ = ("STOPWORDS", "bm25_scores", "bpe_induce", "bpe_segment",
+           "chunk_documents",
            "corpus_top_ngrams",
            "doc_fingerprint", "inverted_index", "lang_id", "quality_score",
            "token_count", "token_pmi_pairs", "tokens",

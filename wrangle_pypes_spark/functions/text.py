@@ -421,3 +421,95 @@ def bm25_scores(docs: DataFrame, query_terms: Sequence[str], *,
             .agg(F.count("*").cast("long").alias("n_terms_hit"),
                  F.round(F.sum("_s"), round_digits).alias("bm25"))
             .select(F.col("_doc").alias(id_col), "n_terms_hit", "bm25"))
+
+
+def bpe_induce(docs: DataFrame, text_col: str = "text", *,
+               num_merges: int = 10,
+               min_pair_count: int = 2) -> list[tuple[str, str]]:
+    """Induce byte-pair-encoding merges from a corpus — the classic
+    subword-vocabulary construction (Sennrich et al.), distributed the
+    way the reference implementations batch it: statistics run over the
+    DISTINCT-WORD frequency table, never the raw corpus, so after one
+    corpus scan each merge iteration touches |vocabulary| rows.
+
+    Returns the ordered merge list ``[(left, right), ...]`` — a
+    driver-side model artifact like ``kmeans_fit``'s centroids; apply
+    it with :func:`bpe_segment`.  Deterministic: the best pair per
+    round is ``max_by`` on (count, pair-string) — ties break
+    lexicographically, so re-runs (and any engine) produce the same
+    merges.
+
+    Scale shape: ONE corpus scan builds the (word, freq) table
+    (hash-aggregate, map-side partial), persisted; each of the
+    ``num_merges`` rounds is an explode of adjacent symbol pairs
+    weighted by word freq → a 1-row ``max_by`` aggregate → a map-only
+    fold rewriting the symbol arrays, with ``localCheckpoint`` per
+    round so the plan cannot double (the iterative-Spark discipline of
+    ``connected_components``/``pagerank``).  Stops early when no pair
+    reaches ``min_pair_count``.
+    """
+    vocab = (docs
+             .select(F.explode(tokens(F.col(text_col))).alias("_w"))
+             .groupBy("_w").agg(F.count("*").alias("_f"))
+             .select(F.split(F.col("_w"), "").alias("_syms"), "_f")
+             .localCheckpoint(eager=True))
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs = vocab.select(
+            "_f",
+            F.explode(F.zip_with(
+                F.slice("_syms", 1,
+                        F.greatest(F.size("_syms") - 1, F.lit(0))),
+                F.slice("_syms", 2,
+                        F.greatest(F.size("_syms") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r"))))
+            .alias("_p"))
+        best = (pairs.groupBy("_p").agg(F.sum("_f").alias("_n"))
+                .agg(F.max_by(
+                    F.struct("_p", "_n"),
+                    F.struct(F.col("_n"),
+                             F.concat(F.col("_p.l"), F.lit("\x00"),
+                                      F.col("_p.r")))).alias("_b"))
+                .collect()[0]["_b"])
+        if best is None or best["_n"] < min_pair_count:
+            break
+        left, right = best["_p"]["l"], best["_p"]["r"]
+        merges.append((left, right))
+        la, ra, ma = F.lit(left), F.lit(right), F.lit(left + right)
+        merged = F.aggregate(
+            F.col("_syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == la)
+                & (x == ra),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ma))
+            ).otherwise(F.concat(acc, F.array(x))))
+        vocab = (vocab.select(merged.alias("_syms"), "_f")
+                 .localCheckpoint(eager=True))
+    return merges
+
+
+def bpe_segment(text: Column, merges: "list[tuple[str, str]]") -> Column:
+    """Apply an ordered BPE merge list to whitespace tokens → array of
+    subword symbols per document.  Map-only: one fold per merge per
+    word (fine for the small merge lists :func:`bpe_induce` builds;
+    production tokenizers bake thousands of merges into a real
+    tokenizer — this is the corpus-side reference implementation that
+    pins the semantics)."""
+    def apply_one(syms: Column, left: str, right: str) -> Column:
+        la, ra, ma = F.lit(left), F.lit(right), F.lit(left + right)
+        return F.aggregate(
+            syms, F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == la)
+                & (x == ra),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ma))
+            ).otherwise(F.concat(acc, F.array(x))))
+
+    def segment_word(w: Column) -> Column:
+        syms = F.split(w, "")
+        for left, right in merges:
+            syms = apply_one(syms, left, right)
+        return syms
+
+    return F.flatten(F.transform(tokens(text), segment_word))
