@@ -146,6 +146,11 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             continue
+        finally:
+            # same inter-query hygiene as bench.py: queries that persist
+            # intermediates (dsir, LSH, unigram) would otherwise pile
+            # cached blocks across the 150-query sweep
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s) — no oracle")

@@ -95,19 +95,22 @@ def word_ngrams(text: Column, n: int) -> Column:
     adjacent tokens with one ``zip_with`` (two array allocations per
     DOC) instead of a ``slice``+``concat_ws`` per POSITION.
     """
+    empty = F.array().cast("array<string>")
     toks = tokens(text)
     wc = F.size(toks)
     if n == 1:
-        return toks
+        # coalesce: NULL text must yield [] on every path (tokens(NULL)
+        # is NULL), preserving the 'identical output for every n' claim
+        return F.coalesce(toks, empty)
     if n == 2:
         k = F.greatest(wc - 1, F.lit(0))
-        return F.zip_with(
+        return F.coalesce(F.zip_with(
             F.slice(toks, 1, k), F.slice(toks, 2, k),
-            lambda a, b: F.concat(a, F.lit(" "), b))
+            lambda a, b: F.concat(a, F.lit(" "), b)), empty)
     return F.when(wc >= n, F.transform(
         F.sequence(F.lit(1), wc - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )).otherwise(F.array().cast("array<string>"))
+    )).otherwise(empty)
 
 
 def corpus_top_ngrams(docs: DataFrame, text_col: str = "text", *,

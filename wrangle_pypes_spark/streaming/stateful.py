@@ -36,22 +36,33 @@ _STATE_SCHEMA = T.StructType([
 def stateful_running_counts(events: DataFrame, *,
                             key_col: str = "user_id",
                             value_col: str = "value",
-                            timeout: str = GroupStateTimeout.NoTimeout
+                            timeout: str = GroupStateTimeout.NoTimeout,
+                            timeout_duration_ms: int = 3_600_000
                             ) -> DataFrame:
     """Per-key running (count, sum) maintained across micro-batches.
 
     The windowed-agg operators cover time-bucketed rollups; this one is
     the template for arbitrary per-key accumulators (dedup-by-key,
     rate limiting, session machines with custom close rules).
+
+    With ``timeout=GroupStateTimeout.ProcessingTimeTimeout`` a key idle
+    for ``timeout_duration_ms`` is EVICTED (state removed, no row
+    emitted) — the knob that bounds state for unbounded key spaces;
+    the default NoTimeout keeps state forever.
     """
 
     def update(key: Tuple, pdfs: Iterable[pd.DataFrame],
                state: GroupState) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += int(len(pdf))
             total += float(pdf[value_col].sum())
         state.update((n, total))
+        if timeout != GroupStateTimeout.NoTimeout:
+            state.setTimeoutDuration(timeout_duration_ms)
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
                             "total_value": [total]})
 
@@ -74,7 +85,8 @@ def stateful_zscore(events: DataFrame, *, key_col: str = "user_id",
                     ts_col: str = "ts", value_col: str = "value",
                     min_periods: int = 5, threshold: float = 3.0,
                     tiebreak_cols: tuple = (),
-                    timeout: str = GroupStateTimeout.NoTimeout
+                    timeout: str = GroupStateTimeout.NoTimeout,
+                    timeout_duration_ms: int = 3_600_000
                     ) -> DataFrame:
     """Streaming per-key anomaly scoring — the streaming twin of
     ``operators.timeseries.rolling_zscore`` with an UNBOUNDED baseline:
@@ -92,9 +104,11 @@ def stateful_zscore(events: DataFrame, *, key_col: str = "user_id",
     collide, or the fold order at a tie is input-order dependent.
     Replaying the same batches yields identical scores (per-key
     in-order delivery is the same contract as the SCD2 maintainer).
-    State is three scalars per key — constant-size, spill-free; idle
-    keys evict via ``timeout``.  Output schema derives from the input
-    (key/ts/value keep their dtypes and names).
+    State is three scalars per key — constant-size, spill-free; with
+    ``timeout=GroupStateTimeout.ProcessingTimeTimeout`` a key idle for
+    ``timeout_duration_ms`` is evicted (state removed, baseline resets
+    on the key's next appearance).  Output schema derives from the
+    input (key/ts/value keep their dtypes and names).
     """
     out_schema = T.StructType([
         events.schema[key_col], events.schema[ts_col],
@@ -108,6 +122,9 @@ def stateful_zscore(events: DataFrame, *, key_col: str = "user_id",
                state: GroupState) -> Iterable[pd.DataFrame]:
         import math
 
+        if state.hasTimedOut:
+            state.remove()
+            return
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         out_ts, out_v, out_np, out_z, out_flag = [], [], [], [], []
         order = [ts_col, *tiebreak_cols]
@@ -145,6 +162,8 @@ def stateful_zscore(events: DataFrame, *, key_col: str = "user_id",
             mean += delta / n
             m2 += delta * (float(v) - mean)
         state.update((n, mean, m2))
+        if timeout != GroupStateTimeout.NoTimeout:
+            state.setTimeoutDuration(timeout_duration_ms)
         yield pd.DataFrame({
             key_col: [key[0]] * len(out_v), ts_col: out_ts,
             value_col: out_v, "n_prior": out_np, "zscore": out_z,
