@@ -2830,6 +2830,82 @@ ORDER BY t.doc_id
 """
 
 
+def q_ccnet_buckets_docs(spark, sf_dir):
+    """CCNet-style perplexity bucketing (operators/quality.py
+    ``perplexity_buckets``): per-language head/middle/tail terciles of
+    the unigram-LM score (Wenzek et al. 2020's Common Crawl recipe).
+    Registered with ``exact=True`` (cume_dist terciles — tied scores
+    share a bucket in any engine); the ``exact=False`` default is the
+    100 TB path (broadcast approx cutoffs, map-only CASE)."""
+    from wrangle_pypes_spark.operators import perplexity_buckets
+    d = _t(spark, sf_dir, "documents")
+    return (perplexity_buckets(d, exact=True)
+            .select("doc_id", "lang", "n_tokens", "avg_neg_logprob",
+                    "bucket")
+            .orderBy("doc_id"))
+
+
+SQL_CCNET_BUCKETS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+freqs AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+scored AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         round(avg(-ln(f.tf / (SELECT n FROM tot))), 4) AS avg_neg_logprob
+  FROM toks t JOIN freqs f USING (tok)
+  GROUP BY t.doc_id
+),
+cd AS (
+  SELECT d.doc_id, d.lang, s.n_tokens, s.avg_neg_logprob,
+         cume_dist() OVER (PARTITION BY d.lang
+                           ORDER BY s.avg_neg_logprob) AS _cd
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, n_tokens, avg_neg_logprob,
+       CASE WHEN _cd <= 1.0/3.0 THEN 'head'
+            WHEN _cd <= 2.0/3.0 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM cd
+ORDER BY doc_id
+"""
+
+
+def q_zipf_fit_corpus(spark, sf_dir):
+    """Corpus Zipf-law diagnostic (functions/text.py ``zipf_fit``):
+    ln(tf) ~ ln(rank) regression over the 200 most frequent tokens —
+    one row of (n_terms, slope, intercept, r²).  Top-k is a
+    distributed TakeOrdered with a token-string tiebreak so the cut is
+    cross-engine deterministic; regression moments rounded to 6dp."""
+    from wrangle_pypes_spark.functions import zipf_fit
+    d = _t(spark, sf_dir, "documents")
+    return zipf_fit(d, top_k=200)
+
+
+SQL_ZIPF_FIT = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+freqs AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+ranked AS (
+  SELECT tf, row_number() OVER (ORDER BY tf DESC, tok ASC) AS r
+  FROM freqs
+)
+SELECT count(*) AS n_terms,
+       round(regr_slope(ln(tf), ln(r)), 6) AS zipf_slope,
+       round(regr_intercept(ln(tf), ln(r)), 6) AS zipf_intercept,
+       round(regr_r2(ln(tf), ln(r)), 6) AS zipf_r2
+FROM ranked
+WHERE r <= 200
+"""
+
+
 def q_inverted_index_stats(spark, sf_dir):
     """Inverted-index build (functions/text.py ``inverted_index``):
     (token, shard) → bounded postings + token-level (df, total_tf),
@@ -5101,13 +5177,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q14_promo_revenue": q_q14_promo_revenue,
     "q10_returned_revenue": q_q10_returned_revenue,
-    "q18_large_volume_orders": q_q18_large_volume_orders,
-    "q19_bracketed_revenue": q_q19_bracketed_revenue,
-    "customers_without_orders": q_customers_without_orders,
-    "topk_orders_per_customer": q_topk_orders_per_customer,
+    "dsir_select_docs": q_dsir_select_docs,  # new r4, never driver-checked: value-level oracle
+    "bpe_merges_docs": q_bpe_merges_docs,  # new r4, never driver-checked (rows-only by design)
+    "ccnet_buckets_docs": q_ccnet_buckets_docs,  # new r4: value-level oracle
+    "zipf_fit_corpus": q_zipf_fit_corpus,  # new r4: value-level oracle
     # ---- below the 50-slot driver window from here down ----
-    "dsir_select_docs": q_dsir_select_docs,  # new r4 (below window; local sweep covers until rotated in)
-    "bpe_merges_docs": q_bpe_merges_docs,  # new r4 (below window; rows-only by design)
+    "q18_large_volume_orders": q_q18_large_volume_orders,  # r1-green; local sweep covers
+    "q19_bracketed_revenue": q_q19_bracketed_revenue,  # r1-green; local sweep covers
+    "customers_without_orders": q_customers_without_orders,  # r1-green; local sweep covers
+    "topk_orders_per_customer": q_topk_orders_per_customer,  # r1-green; local sweep covers
     "window_running_total": q_window_running_total,
     "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
     "json_extract_events": q_json_extract_events,
@@ -5284,6 +5362,8 @@ _ORACLES: dict[str, str] = {
     "temperature_mix_sources": SQL_TEMPERATURE_MIX,
     "c4_clean_docs": SQL_C4_CLEAN,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "ccnet_buckets_docs": SQL_CCNET_BUCKETS,
+    "zipf_fit_corpus": SQL_ZIPF_FIT,
     "inverted_index_stats": SQL_INVERTED_INDEX,
     "funnel_events": SQL_FUNNEL,
     "cohort_retention_weekly": SQL_COHORT,

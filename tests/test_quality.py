@@ -277,3 +277,62 @@ def test_quantile_filter_null_groups_and_zero_quantile(spark):
     z = quantile_filter(df, "score", quantile=0.0,
                         group_cols=["grp"], exact=False)
     assert z.count() == len(rows)     # keep-everything baseline
+
+
+def test_perplexity_buckets_exact_terciles(spark):
+    """Exact path: per-group cume_dist terciles — common-token docs land
+    in head, rare-token docs in tail, ties share a bucket; the approx
+    path broadcasts cutoffs and never sorts the corpus."""
+    from wrangle_pypes_spark.operators import perplexity_buckets
+
+    # 9 docs, one lang: three of only ultra-common tokens, three mixed,
+    # three of globally-unique tokens -> clean tercile split
+    common = "the the the the"
+    rows = ([(i, common, "en") for i in range(3)]
+            + [(10 + i, f"the the rare{i}", "en") for i in range(3)]
+            + [(20 + i, f"u{i}a u{i}b u{i}c u{i}d", "en") for i in range(3)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    out = perplexity_buckets(docs, exact=True).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, set()).add(r.doc_id)
+    assert by_bucket["head"] == {0, 1, 2}        # tied scores, same bucket
+    assert by_bucket["middle"] == {10, 11, 12}
+    assert by_bucket["tail"] == {20, 21, 22}
+
+    ap = perplexity_buckets(docs, exact=False)
+    got = {r.doc_id: r.bucket for r in ap.collect()}
+    assert {d for d, b in got.items() if b == "head"} == {0, 1, 2}
+    plan = ap._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "cutoffs must broadcast"
+
+    # bad args fail fast
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        perplexity_buckets(docs, cuts=(0.5,), labels=("a", "b", "c"))
+    with _pytest.raises(ValueError):
+        perplexity_buckets(docs, cuts=(0.9, 0.1))
+
+
+def test_zipf_fit_shape_and_determinism(spark):
+    """A Zipf-ish corpus fits a negative slope with one output row;
+    the top-k cut is total-ordered (frequency ties broken by token) so
+    repeated runs agree exactly."""
+    from wrangle_pypes_spark.functions import zipf_fit
+
+    # token i appears ~N/i times -> ln(tf) ~ -ln(rank) + c
+    rows = []
+    did = 0
+    for i in range(1, 21):
+        for _ in range(200 // i):
+            rows.append((did, f"tok{i:02d}"))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = zipf_fit(docs, top_k=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_terms == 10
+    assert r.zipf_slope < -0.8 and r.zipf_r2 > 0.95
+    again = zipf_fit(docs, top_k=10).collect()[0]
+    assert again == r

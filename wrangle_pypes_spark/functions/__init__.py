@@ -21,6 +21,7 @@ from .text import (
     token_pmi_pairs,
     tokens,
     unigram_logprob_score,
+    zipf_fit,
     word_ngrams,
 )
 
@@ -29,4 +30,4 @@ __all__ = ("STOPWORDS", "bm25_scores", "bpe_induce", "bpe_segment",
            "corpus_top_ngrams",
            "doc_fingerprint", "inverted_index", "lang_id", "quality_score",
            "token_count", "token_pmi_pairs", "tokens",
-           "unigram_logprob_score", "word_ngrams")
+           "unigram_logprob_score", "word_ngrams", "zipf_fit")

@@ -516,3 +516,41 @@ def bpe_segment(text: Column, merges: "list[tuple[str, str]]") -> Column:
         return syms
 
     return F.flatten(F.transform(tokens(text), segment_word))
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text", *,
+             top_k: int = 1000, round_digits: int = 6) -> DataFrame:
+    """Least-squares Zipf fit over the corpus rank-frequency curve:
+    regress ``ln(tf)`` on ``ln(rank)`` for the ``top_k`` most frequent
+    tokens and return one row ``(n_terms, zipf_slope, zipf_intercept,
+    zipf_r2)``.  A healthy natural-language corpus fits ``slope ≈ -1``
+    with high r²; machine-generated or template-heavy corpora bend the
+    curve — a one-row diagnostic cheap enough to run per ingest batch.
+
+    Scale shape: one corpus-sized explode into a map-side-combined
+    vocab aggregate, then a DISTRIBUTED top-k (``orderBy().limit()``
+    compiles to TakeOrdered — no single-partition sort of the vocab);
+    only the ``top_k`` surviving rows pass through the single-partition
+    ``row_number`` window, and the regression aggregates them to one
+    row.  Ties in frequency are totally ordered by token string so the
+    cut at ``top_k`` is deterministic cross-engine.
+
+    Results are rounded: the regression moments are sums over
+    ``top_k`` well-conditioned logs, so engines differ only below
+    ~1e-10 — far under the ``round_digits`` grain.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(F.explode(tokens(F.col(text_col))).alias("_tok"))
+    freqs = toks.groupBy("_tok").agg(F.count("*").alias("_tf"))
+    top = freqs.orderBy(F.col("_tf").desc(), F.col("_tok").asc()) \
+               .limit(int(top_k))
+    w = Window.orderBy(F.col("_tf").desc(), F.col("_tok").asc())
+    ranked = top.withColumn("_rank", F.row_number().over(w))
+    y = F.log(F.col("_tf").cast("double"))
+    x = F.log(F.col("_rank").cast("double"))
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.regr_slope(y, x), round_digits).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), round_digits).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), round_digits).alias("zipf_r2"))

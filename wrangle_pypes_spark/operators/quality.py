@@ -42,6 +42,7 @@ __all__ = (
     "pii_scrub",
     "decontaminate",
     "c4_line_clean",
+    "perplexity_buckets",
     "DEFAULT_STOPWORDS",
 )
 
@@ -550,3 +551,84 @@ def ngram_containment(train: DataFrame, eval_df: DataFrame,
         id_col, "n_grams", overlap.alias("n_overlap"),
         ratio.alias("containment"),
         (overlap > 0).alias("contaminated"))
+
+
+def perplexity_buckets(docs: DataFrame, *,
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       group_col: Optional[str] = "lang",
+                       cuts: Sequence[float] = (1.0 / 3.0, 2.0 / 3.0),
+                       labels: Sequence[str] = ("head", "middle", "tail"),
+                       exact: bool = False,
+                       relative_error: float = 0.001) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus unigram LM (:func:`~..functions.text.unigram_logprob_score`,
+    the cheap perplexity proxy), then split each ``group_col`` stratum
+    (per-language, as in CCNet) into ``head`` / ``middle`` / ``tail``
+    by the within-group score distribution — head = most fluent under
+    the LM, tail = most surprising.  Public recipe: CCNet (Wenzek et
+    al. 2020) buckets Common Crawl per language by LM perplexity
+    terciles; downstream mixes sample the buckets at different rates.
+
+    Two paths, same contract as :func:`quantile_filter`:
+
+    * ``exact=False`` (the 100 TB default) — per-group
+      ``approx_percentile`` cutoffs (one partial-aggregated pass over
+      the k-group aggregate), broadcast back, map-only CASE.  Nothing
+      data-scale sorts; the giant English stratum never lands on one
+      machine.
+    * ``exact=True`` — ``cume_dist`` window per group.  Exact and
+      engine-portable: tied scores share a ``cume_dist``, so tied
+      documents land in the same bucket in any engine, and the k/n
+      ratio is an IEEE-exact division both engines round identically.
+      Costs a full sort per group — the oracle-checkable twin.
+
+    Returns ``id_col``, ``group_col`` (if set), ``n_tokens``,
+    ``avg_neg_logprob``, ``bucket``.
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need exactly one more label than cuts")
+    if list(cuts) != sorted(cuts) or not all(0.0 < c < 1.0 for c in cuts):
+        raise ValueError("cuts must be strictly increasing in (0, 1)")
+    from ..functions.text import unigram_logprob_score
+
+    scored = unigram_logprob_score(docs, text_col, id_col=id_col)
+    keep = [id_col] + ([group_col] if group_col else [])
+    scored = (docs.select(*keep)
+              .join(scored, id_col))  # re-attach the stratum column
+    score = F.col("avg_neg_logprob")
+    groups = [group_col] if group_col else []
+
+    def _case(pos: Column) -> Column:
+        expr = F.lit(labels[-1])
+        for cut, lab in zip(reversed(cuts), reversed(labels[:-1])):
+            expr = F.when(pos <= F.lit(cut), F.lit(lab)).otherwise(expr)
+        return expr
+
+    if exact:
+        from pyspark.sql import Window
+
+        w = (Window.partitionBy(*groups).orderBy(score)
+             if groups else Window.partitionBy().orderBy(score))
+        return (scored.withColumn("_cd", F.cume_dist().over(w))
+                .withColumn("bucket", _case(F.col("_cd")))
+                .drop("_cd"))
+    aggs = [F.approx_percentile(
+        score, F.lit(float(c)),
+        F.lit(int(1.0 / relative_error))).alias(f"_cut{i}")
+        for i, c in enumerate(cuts)]
+    cut_cols = [f"_cut{i}" for i in range(len(cuts))]
+    if groups:
+        cut_rows = scored.groupBy(*groups).agg(*aggs)
+        cond = scored[groups[0]].eqNullSafe(cut_rows[groups[0]])
+        joined = scored.join(F.broadcast(cut_rows), cond)
+    else:
+        joined = scored.crossJoin(F.broadcast(scored.agg(*aggs)))
+    # approx path buckets by VALUE cutoffs: score <= cut_i -> labels[i]
+    expr = F.lit(labels[-1])
+    for c, lab in zip(reversed(cut_cols), reversed(labels[:-1])):
+        expr = F.when(score <= F.col(c), F.lit(lab)).otherwise(expr)
+    out = joined.withColumn("bucket", expr).drop(*cut_cols)
+    if groups:
+        out = out.drop(cut_rows[groups[0]])
+    return out
