@@ -117,6 +117,10 @@ HEADLINE = [
     "stream_zscore_events",
     "winsorize_order_totals",
     "dedup_pair_audit",
+    "dsir_select_docs",
+    "bpe_merges_docs",
+    "ccnet_buckets_docs",
+    "zipf_fit_corpus",
 ]
 
 
