@@ -360,3 +360,28 @@ def test_weighted_sample_pps_is_map_only_filter(spark, sf_dir):
                              weight_col="n_chars", k=50)
     p = plan_of(df)
     assert "Join" not in p and "Exchange" not in p
+
+
+def test_perplexity_buckets_approx_never_sorts_corpus(spark, sf_dir):
+    """The 100 TB path: per-group cutoffs broadcast back onto the scored
+    stream, bucket assignment is a map-only CASE — no window sort of a
+    language stratum, no Python eval anywhere."""
+    from wrangle_pypes_spark.operators import perplexity_buckets
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = perplexity_buckets(d)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p, "approx path must not window-sort strata"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_zipf_fit_topk_is_distributed(spark, sf_dir):
+    """Vocab top-k compiles to TakeOrdered (per-partition partial top-k),
+    never a global sort of the vocabulary; the row_number window only
+    ever sees the top_k survivors."""
+    from wrangle_pypes_spark.functions import zipf_fit
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = zipf_fit(d, top_k=100)
+    p = plan_of(df)
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
