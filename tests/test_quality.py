@@ -301,11 +301,29 @@ def test_perplexity_buckets_exact_terciles(spark):
     assert by_bucket["middle"] == {10, 11, 12}
     assert by_bucket["tail"] == {20, 21, 22}
 
-    ap = perplexity_buckets(docs, exact=False)
+    reg = []
+    ap = perplexity_buckets(docs, exact=False, cache_registry=reg)
     got = {r.doc_id: r.bucket for r in ap.collect()}
     assert {d for d, b in got.items() if b == "head"} == {0, 1, 2}
     plan = ap._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, "cutoffs must broadcast"
+    # scored stream persisted exactly once (+ the vocab table from the
+    # unigram scorer) and handed back for caller cleanup
+    assert len(reg) == 2
+    for df in reg:
+        df.unpersist()
+
+    # both paths expose the SAME column order (docstring contract)
+    expect = ["doc_id", "lang", "n_tokens", "avg_neg_logprob", "bucket"]
+    assert perplexity_buckets(docs, exact=True).columns == expect
+    assert ap.columns == expect
+
+    # ungrouped path: no stratum column, same bucket semantics
+    ug = perplexity_buckets(docs, group_col=None)
+    assert ug.columns == ["doc_id", "n_tokens", "avg_neg_logprob",
+                          "bucket"]
+    assert {r.doc_id for r in ug.collect() if r.bucket == "head"} \
+        == {0, 1, 2}
 
     # bad args fail fast
     import pytest as _pytest
@@ -313,6 +331,8 @@ def test_perplexity_buckets_exact_terciles(spark):
         perplexity_buckets(docs, cuts=(0.5,), labels=("a", "b", "c"))
     with _pytest.raises(ValueError):
         perplexity_buckets(docs, cuts=(0.9, 0.1))
+    with _pytest.raises(ValueError):
+        perplexity_buckets(docs, cuts=(0.5, 0.5))  # duplicates rejected
 
 
 def test_zipf_fit_shape_and_determinism(spark):

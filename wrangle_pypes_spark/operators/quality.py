@@ -560,7 +560,8 @@ def perplexity_buckets(docs: DataFrame, *,
                        cuts: Sequence[float] = (1.0 / 3.0, 2.0 / 3.0),
                        labels: Sequence[str] = ("head", "middle", "tail"),
                        exact: bool = False,
-                       relative_error: float = 0.001) -> DataFrame:
+                       relative_error: float = 0.001,
+                       cache_registry: Optional[list] = None) -> DataFrame:
     """CCNet-style perplexity bucketing: score every document with the
     corpus unigram LM (:func:`~..functions.text.unigram_logprob_score`,
     the cheap perplexity proxy), then split each ``group_col`` stratum
@@ -570,39 +571,57 @@ def perplexity_buckets(docs: DataFrame, *,
     al. 2020) buckets Common Crawl per language by LM perplexity
     terciles; downstream mixes sample the buckets at different rates.
 
-    Two paths, same contract as :func:`quantile_filter`:
+    Two paths, same output schema, same trade as
+    :func:`quantile_filter`:
 
     * ``exact=False`` (the 100 TB default) — per-group
-      ``approx_percentile`` cutoffs (one partial-aggregated pass over
-      the k-group aggregate), broadcast back, map-only CASE.  Nothing
-      data-scale sorts; the giant English stratum never lands on one
-      machine.
-    * ``exact=True`` — ``cume_dist`` window per group.  Exact and
-      engine-portable: tied scores share a ``cume_dist``, so tied
-      documents land in the same bucket in any engine, and the k/n
-      ratio is an IEEE-exact division both engines round identically.
-      Costs a full sort per group — the oracle-checkable twin.
+      ``approx_percentile`` cutoffs broadcast back, map-only CASE
+      (``score <= cutoff_i`` → ``labels[i]``).  Nothing data-scale
+      sorts; the giant English stratum never lands on one machine.
+      This is CCNet's actual recipe (value cutoffs from a quantile
+      estimate).  The scored stream is persisted so the cutoff
+      aggregate and the bucket assignment share ONE scoring pass.
+    * ``exact=True`` — ``cume_dist`` window per group, rank-based.
+      Engine-portable (tied scores share a ``cume_dist``, so tied
+      documents land in the same bucket in any engine; the k/n ratio
+      is an IEEE-exact division both engines round identically) at
+      the cost of a full sort per group — the oracle-checkable twin.
+
+    Tie contract (same caveat as ``quantile_filter``): the paths agree
+    wherever scores are well separated around the cut points.  A tied
+    block STRADDLING a cut point is rank-assigned by ``exact=True``
+    (its cumulative mass decides) but value-assigned low by
+    ``exact=False`` — a degenerate all-tied stratum is all-``tail``
+    exact, all-``head`` approx.  4dp-rounded scores on real text make
+    cut-straddling ties rare; don't diff the paths on them.
 
     Returns ``id_col``, ``group_col`` (if set), ``n_tokens``,
-    ``avg_neg_logprob``, ``bucket``.
+    ``avg_neg_logprob``, ``bucket`` — identical column order on both
+    paths.  The vocab and score intermediates are persisted; pass a
+    list as ``cache_registry`` and unpersist after materializing when
+    looping over corpora (same contract as ``unigram_logprob_score``).
     """
     if len(labels) != len(cuts) + 1:
         raise ValueError("need exactly one more label than cuts")
-    if list(cuts) != sorted(cuts) or not all(0.0 < c < 1.0 for c in cuts):
+    if (not all(a < b for a, b in zip(cuts, cuts[1:]))
+            or not all(0.0 < c < 1.0 for c in cuts)):
         raise ValueError("cuts must be strictly increasing in (0, 1)")
     from ..functions.text import unigram_logprob_score
 
-    scored = unigram_logprob_score(docs, text_col, id_col=id_col)
-    keep = [id_col] + ([group_col] if group_col else [])
-    scored = (docs.select(*keep)
-              .join(scored, id_col))  # re-attach the stratum column
+    scored = unigram_logprob_score(docs, text_col, id_col=id_col,
+                                   cache_registry=cache_registry)
+    if group_col:
+        # re-attach the stratum column (scored carries id/stats only)
+        scored = docs.select(id_col, group_col).join(scored, id_col)
+    out_cols = ([id_col] + ([group_col] if group_col else [])
+                + ["n_tokens", "avg_neg_logprob", "bucket"])
     score = F.col("avg_neg_logprob")
     groups = [group_col] if group_col else []
 
-    def _case(pos: Column) -> Column:
+    def _case(pos: Column, cut_exprs: Sequence[Column]) -> Column:
         expr = F.lit(labels[-1])
-        for cut, lab in zip(reversed(cuts), reversed(labels[:-1])):
-            expr = F.when(pos <= F.lit(cut), F.lit(lab)).otherwise(expr)
+        for cut, lab in zip(reversed(cut_exprs), reversed(labels[:-1])):
+            expr = F.when(pos <= cut, F.lit(lab)).otherwise(expr)
         return expr
 
     if exact:
@@ -611,24 +630,31 @@ def perplexity_buckets(docs: DataFrame, *,
         w = (Window.partitionBy(*groups).orderBy(score)
              if groups else Window.partitionBy().orderBy(score))
         return (scored.withColumn("_cd", F.cume_dist().over(w))
-                .withColumn("bucket", _case(F.col("_cd")))
-                .drop("_cd"))
+                .withColumn(
+                    "bucket",
+                    _case(F.col("_cd"), [F.lit(c) for c in cuts]))
+                .select(*out_cols))
+    # the cutoff aggregate AND the bucket join both consume `scored`;
+    # without the persist the whole corpus-scoring lineage runs twice
+    scored = scored.persist()
+    if cache_registry is not None:
+        cache_registry.append(scored)
     aggs = [F.approx_percentile(
         score, F.lit(float(c)),
         F.lit(int(1.0 / relative_error))).alias(f"_cut{i}")
         for i, c in enumerate(cuts)]
     cut_cols = [f"_cut{i}" for i in range(len(cuts))]
     if groups:
-        cut_rows = scored.groupBy(*groups).agg(*aggs)
-        cond = scored[groups[0]].eqNullSafe(cut_rows[groups[0]])
+        # the group key is renamed on the cutoff side: cut_rows shares
+        # scored's lineage, so frame-qualified drop/select would bind
+        # the SAME attribute on both sides — a fresh name is the only
+        # unambiguous handle
+        cut_rows = (scored.groupBy(*groups).agg(*aggs)
+                    .withColumnRenamed(groups[0], "_cutgrp"))
+        cond = scored[groups[0]].eqNullSafe(F.col("_cutgrp"))
         joined = scored.join(F.broadcast(cut_rows), cond)
     else:
         joined = scored.crossJoin(F.broadcast(scored.agg(*aggs)))
-    # approx path buckets by VALUE cutoffs: score <= cut_i -> labels[i]
-    expr = F.lit(labels[-1])
-    for c, lab in zip(reversed(cut_cols), reversed(labels[:-1])):
-        expr = F.when(score <= F.col(c), F.lit(lab)).otherwise(expr)
-    out = joined.withColumn("bucket", expr).drop(*cut_cols)
-    if groups:
-        out = out.drop(cut_rows[groups[0]])
-    return out
+    return (joined.withColumn(
+                "bucket", _case(score, [F.col(c) for c in cut_cols]))
+            .select(*out_cols))
