@@ -2906,6 +2906,96 @@ WHERE r <= 200
 """
 
 
+def q_corpus_data_card(spark, sf_dir):
+    """Per-source corpus data card (operators/quality.py
+    ``corpus_data_card``): docs / token share / language spread /
+    dominant language / mean lengths per source — ONE corpus shuffle
+    (groupBy(source, lang) with map-side combine), everything after is
+    k-row.  Dominant language picked by a total order (docs DESC, lang
+    ASC NULLS LAST) so the row is cross-engine deterministic."""
+    from wrangle_pypes_spark.operators import corpus_data_card
+    d = _t(spark, sf_dir, "documents")
+    return corpus_data_card(d).orderBy("source")
+
+
+SQL_DATA_CARD = r"""
+WITH per AS (
+  SELECT source, lang, count(*) AS docs,
+         sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> ''))) AS toks,
+         sum(length(text)) AS chars
+  FROM documents GROUP BY source, lang
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY docs DESC, lang ASC NULLS LAST) AS rn
+  FROM per
+),
+src AS (
+  SELECT source, CAST(sum(docs) AS BIGINT) AS n_docs,
+         count(*) AS n_langs,
+         CAST(sum(toks) AS BIGINT) AS total_tokens,
+         CAST(sum(chars) AS BIGINT) AS total_chars
+  FROM per GROUP BY source
+)
+SELECT s.source, s.n_docs,
+       round(s.n_docs / (sum(s.n_docs) OVER ()), 4) AS pct_docs,
+       s.n_langs, r.lang AS top_lang, s.total_tokens,
+       round(s.total_tokens / (sum(s.total_tokens) OVER ()), 4) AS pct_tokens,
+       round(s.total_tokens / s.n_docs, 4) AS avg_tokens,
+       round(s.total_chars / s.n_docs, 4) AS avg_chars
+FROM src s JOIN ranked r ON r.source = s.source AND r.rn = 1
+ORDER BY s.source
+"""
+
+
+def q_html_extract_docs(spark, sf_dir):
+    """HTML → text extraction (functions/text.py ``html_to_text``):
+    the corpus text is wrapped in a deterministic HTML shell
+    (tags + a script block + entities would surround real crawl text)
+    and stripped back out — map-only regexp_replace chain, RE2-safe
+    patterns so the identical chain runs in the oracle engine."""
+    from wrangle_pypes_spark.functions import html_to_text
+    d = _t(spark, sf_dir, "documents")
+    wrapped = F.concat(
+        F.lit("<html><head><style>p{margin:0}</style></head><body><p>"),
+        F.col("text"),
+        F.lit("</p><!-- footer --><script>var x=1;</script></body></html>"))
+    return (d.select("doc_id",
+                     html_to_text(wrapped).alias("clean_text"))
+            .withColumn("clean_chars",
+                        F.length("clean_text").cast("long"))
+            .orderBy("doc_id"))
+
+
+SQL_HTML_EXTRACT = r"""
+WITH stripped AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                '<html><head><style>p{margin:0}</style></head><body><p>'
+                || text ||
+                '</p><!-- footer --><script>var x=1;</script></body></html>',
+                '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+          '<[^>]+>', ' ', 'g'),
+        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        '&#39;', ''''), '&nbsp;', ' '),
+      '\s+', ' ', 'g')) AS clean_text
+  FROM documents
+)
+SELECT doc_id, clean_text,
+       CAST(length(clean_text) AS BIGINT) AS clean_chars
+FROM stripped
+ORDER BY doc_id
+"""
+
+
 def q_inverted_index_stats(spark, sf_dir):
     """Inverted-index build (functions/text.py ``inverted_index``):
     (token, shard) → bounded postings + token-level (df, total_tf),
@@ -5174,14 +5264,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_col": q_zorder_col,
     "pack_sequences": q_pack_sequences,
     "histogram_acctbal": q_histogram_acctbal,
-    "q6_forecast_revenue": q_q6_forecast_revenue,
-    "q14_promo_revenue": q_q14_promo_revenue,
     "q10_returned_revenue": q_q10_returned_revenue,
     "dsir_select_docs": q_dsir_select_docs,  # new r4, never driver-checked: value-level oracle
     "bpe_merges_docs": q_bpe_merges_docs,  # new r4, never driver-checked (rows-only by design)
     "ccnet_buckets_docs": q_ccnet_buckets_docs,  # new r4: value-level oracle
     "zipf_fit_corpus": q_zipf_fit_corpus,  # new r4: value-level oracle
+    "corpus_data_card": q_corpus_data_card,  # new r4: value-level oracle
+    "html_extract_docs": q_html_extract_docs,  # new r4: value-level oracle
     # ---- below the 50-slot driver window from here down ----
+    "q6_forecast_revenue": q_q6_forecast_revenue,  # r1-green; local sweep covers
+    "q14_promo_revenue": q_q14_promo_revenue,  # r1-green; local sweep covers
     "q18_large_volume_orders": q_q18_large_volume_orders,  # r1-green; local sweep covers
     "q19_bracketed_revenue": q_q19_bracketed_revenue,  # r1-green; local sweep covers
     "customers_without_orders": q_customers_without_orders,  # r1-green; local sweep covers
@@ -5364,6 +5456,8 @@ _ORACLES: dict[str, str] = {
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "ccnet_buckets_docs": SQL_CCNET_BUCKETS,
     "zipf_fit_corpus": SQL_ZIPF_FIT,
+    "corpus_data_card": SQL_DATA_CARD,
+    "html_extract_docs": SQL_HTML_EXTRACT,
     "inverted_index_stats": SQL_INVERTED_INDEX,
     "funnel_events": SQL_FUNNEL,
     "cohort_retention_weekly": SQL_COHORT,

@@ -121,6 +121,8 @@ HEADLINE = [
     "bpe_merges_docs",
     "ccnet_buckets_docs",
     "zipf_fit_corpus",
+    "corpus_data_card",
+    "html_extract_docs",
 ]
 
 

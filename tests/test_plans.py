@@ -385,3 +385,28 @@ def test_zipf_fit_topk_is_distributed(spark, sf_dir):
     p = plan_of(df)
     assert "TakeOrderedAndProject" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_html_to_text_is_map_only(spark, sf_dir):
+    """The strip chain is a pure projection: no exchange, no join, no
+    Python eval — it composes into the ingest scan."""
+    from wrangle_pypes_spark.functions import html_to_text
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = d.select("doc_id", html_to_text(F.col("text")).alias("t"))
+    p = plan_of(df)
+    assert "Exchange" not in p and "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_corpus_data_card_single_corpus_shuffle(spark, sf_dir):
+    """Exactly one exchange reads corpus-scale data (the (source,lang)
+    hash aggregate, partial-aggregated map-side); the rollup, top-lang
+    window and share windows all run on the k-row table."""
+    from wrangle_pypes_spark.operators import corpus_data_card
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(corpus_data_card(d))
+    assert "HashAggregate" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # partial aggregation before the corpus shuffle
+    assert re.search(r"partial_(count|sum)", p.lower()) or \
+        "Partial" in p

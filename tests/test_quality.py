@@ -356,3 +356,42 @@ def test_zipf_fit_shape_and_determinism(spark):
     assert r.zipf_slope < -0.8 and r.zipf_r2 > 0.95
     again = zipf_fit(docs, top_k=10).collect()[0]
     assert again == r
+
+
+def test_html_to_text_strips_script_style_entities(spark):
+    """Script/style/comment blocks vanish wholesale, tags become word
+    boundaries, common entities decode, whitespace collapses."""
+    from wrangle_pypes_spark.functions import html_to_text
+
+    html = ("<html><head><style>p{color:red}</style>"
+            "<script>if (1<2) alert('x');</script></head>"
+            "<body><!-- nav --><p>Tom &amp; Jerry</p>"
+            "<p>a</p><p>b</p><div>&lt;tag&gt;&nbsp;&quot;q&#39;s&quot;</div>"
+            "</body></html>")
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    out = df.select(
+        html_to_text(F.col("html")).alias("t")).collect()[0].t
+    assert out == "Tom & Jerry a b <tag> \"q's\""
+    # adjacent block tags must not fuse words
+    assert " a b " in f" {out} "
+
+
+def test_corpus_data_card_shares_and_top_lang(spark):
+    """Per-source doc/token shares sum to 1, the dominant language is
+    picked by (docs DESC, lang ASC) so count ties resolve
+    deterministically."""
+    from wrangle_pypes_spark.operators import corpus_data_card
+
+    rows = [(1, "a b c", "en", "s1"), (2, "d e", "en", "s1"),
+            (3, "f g h i", "fr", "s1"),
+            # s2: 1 doc each of zz and aa -> tie, aa wins (lang ASC)
+            (4, "x y", "zz", "s2"), (5, "p q r", "aa", "s2")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    out = {r.source: r for r in corpus_data_card(docs).collect()}
+    assert out["s1"].n_docs == 3 and out["s1"].n_langs == 2
+    assert out["s1"].top_lang == "en"
+    assert out["s2"].top_lang == "aa"          # tie broken by lang ASC
+    assert abs(out["s1"].pct_docs + out["s2"].pct_docs - 1.0) < 1e-9
+    assert out["s1"].total_tokens == 9 and out["s2"].total_tokens == 5
+    assert abs(out["s1"].avg_tokens - 3.0) < 1e-9

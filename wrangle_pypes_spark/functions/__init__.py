@@ -7,6 +7,7 @@ whole-stage codegen.
 """
 
 from .text import (
+    html_to_text,
     STOPWORDS,
     bm25_scores,
     bpe_induce,
@@ -27,7 +28,7 @@ from .text import (
 
 __all__ = ("STOPWORDS", "bm25_scores", "bpe_induce", "bpe_segment",
            "chunk_documents",
-           "corpus_top_ngrams",
+           "corpus_top_ngrams", "html_to_text",
            "doc_fingerprint", "inverted_index", "lang_id", "quality_score",
            "token_count", "token_pmi_pairs", "tokens",
            "unigram_logprob_score", "word_ngrams", "zipf_fit")

@@ -554,3 +554,31 @@ def zipf_fit(docs: DataFrame, text_col: str = "text", *,
         F.round(F.regr_slope(y, x), round_digits).alias("zipf_slope"),
         F.round(F.regr_intercept(y, x), round_digits).alias("zipf_intercept"),
         F.round(F.regr_r2(y, x), round_digits).alias("zipf_r2"))
+
+
+def html_to_text(html: Column) -> Column:
+    """Map-only HTML → plain-text extraction, the web-corpus ingest
+    staple (the C4/CCNet pipelines run exactly this class of strip
+    before any quality rule sees the text).  Pure ``regexp_replace``
+    chain — JVM-side, whole-stage-codegen'd, zero shuffle:
+
+    1. drop ``<script>`` / ``<style>`` blocks wholesale (their text is
+       code, not prose) and HTML comments;
+    2. replace every remaining tag with a space (tags are word
+       boundaries: ``a</p><p>b`` must not fuse into ``ab``);
+    3. decode the high-frequency entities (&amp; &lt; &gt; &quot;
+       &#39; &nbsp;) — the long tail of exotic entities is left as-is
+       rather than half-decoded;
+    4. collapse whitespace runs and trim.
+
+    Patterns are RE2-safe (no backreferences or lookaround) so the
+    same chain runs verbatim in other engines for oracle checks.
+    """
+    t = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, rep in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", "\""), ("&#39;", "'"), ("&nbsp;", " ")):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

@@ -43,6 +43,7 @@ __all__ = (
     "decontaminate",
     "c4_line_clean",
     "perplexity_buckets",
+    "corpus_data_card",
     "DEFAULT_STOPWORDS",
 )
 
@@ -658,3 +659,64 @@ def perplexity_buckets(docs: DataFrame, *,
     return (joined.withColumn(
                 "bucket", _case(score, [F.col(c) for c in cut_cols]))
             .select(*out_cols))
+
+
+def corpus_data_card(docs: DataFrame, *,
+                     source_col: str = "source",
+                     lang_col: str = "lang",
+                     text_col: str = "text",
+                     round_digits: int = 4) -> DataFrame:
+    """Per-source corpus "data card": the summary table every released
+    training mix ships (docs, token share, language spread, dominant
+    language, mean lengths per source).
+
+    One corpus-sized shuffle total: a map-side-combined
+    ``groupBy(source, lang)`` aggregate; everything downstream
+    (per-source rollup, dominant-language pick, corpus-share windows)
+    operates on the k×langs row table, which is tiny by construction.
+    The dominant language is picked by ``row_number`` ordered
+    ``(docs DESC, lang ASC NULLS LAST)`` — a total order, so the pick
+    is deterministic cross-engine even on count ties or NULL langs.
+
+    Returns one row per source: ``source, n_docs, pct_docs, n_langs,
+    top_lang, total_tokens, pct_tokens, avg_tokens, avg_chars``.
+    """
+    from pyspark.sql import Window
+
+    per = (docs.groupBy(source_col, lang_col)
+           .agg(F.count("*").alias("_docs"),
+                F.sum(F.size(_tokens(F.col(text_col))))
+                .cast("long").alias("_toks"),
+                F.sum(F.length(F.col(text_col)))
+                .cast("long").alias("_chars")))
+    ranked = per.withColumn(
+        "_rn", F.row_number().over(
+            Window.partitionBy(source_col)
+            .orderBy(F.col("_docs").desc(),
+                     F.col(lang_col).asc_nulls_last())))
+    src = (per.groupBy(source_col)
+           .agg(F.sum("_docs").alias("n_docs"),
+                F.count("*").alias("n_langs"),
+                F.sum("_toks").alias("total_tokens"),
+                F.sum("_chars").alias("total_chars")))
+    top = (ranked.filter(F.col("_rn") == 1)
+           .select(source_col, F.col(lang_col).alias("top_lang")))
+    w_all = Window.partitionBy()
+    return (src.join(top, source_col)
+            .withColumn("pct_docs",
+                        F.round(F.col("n_docs")
+                                / F.sum("n_docs").over(w_all),
+                                round_digits))
+            .withColumn("pct_tokens",
+                        F.round(F.col("total_tokens")
+                                / F.sum("total_tokens").over(w_all),
+                                round_digits))
+            .withColumn("avg_tokens",
+                        F.round(F.col("total_tokens") / F.col("n_docs"),
+                                round_digits))
+            .withColumn("avg_chars",
+                        F.round(F.col("total_chars") / F.col("n_docs"),
+                                round_digits))
+            .select(source_col, "n_docs", "pct_docs", "n_langs",
+                    "top_lang", "total_tokens", "pct_tokens",
+                    "avg_tokens", "avg_chars"))
