@@ -2906,6 +2906,52 @@ WHERE r <= 200
 """
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM scoring (functions/text.py
+    ``bigram_logprob_score``): per-doc mean -ln p(w2|w1) with additive
+    unigram interpolation — flags word salad that unigram scoring
+    can't.  Bigram counts rejoin by key-partitioned shuffle (never
+    broadcast — web-scale bigram vocab is data-sized); unigram/prefix
+    tables broadcast.  4dp rounding for the cross-engine oracle."""
+    from wrangle_pypes_spark.functions import bigram_logprob_score
+    d = _t(spark, sf_dir, "documents")
+    return (bigram_logprob_score(d)
+            .select("doc_id", "n_bigrams", "avg_neg_logprob_bi")
+            .orderBy("doc_id"))
+
+
+SQL_BIGRAM_LOGPROB = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2 THEN list_transform(
+             range(1, len(toks)),
+             i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))
+           ELSE [] END) AS p
+  FROM t
+),
+b AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bi),
+bic AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+pref AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bic GROUP BY w1),
+toki AS (SELECT unnest(toks) AS tok FROM t),
+uni AS (SELECT tok, count(*) AS tf FROM toki GROUP BY tok),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toki)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       round(avg(-ln((bic.c12 + 1.0 * (uni.tf / (SELECT n FROM tot)))
+                     / (pref.c1 + 1.0))), 4) AS avg_neg_logprob_bi
+FROM b JOIN bic USING (w1, w2)
+       JOIN pref USING (w1)
+       JOIN uni ON uni.tok = b.w2
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
 def q_corpus_data_card(spark, sf_dir):
     """Per-source corpus data card (operators/quality.py
     ``corpus_data_card``): docs / token share / language spread /
@@ -5264,14 +5310,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_col": q_zorder_col,
     "pack_sequences": q_pack_sequences,
     "histogram_acctbal": q_histogram_acctbal,
-    "q10_returned_revenue": q_q10_returned_revenue,
     "dsir_select_docs": q_dsir_select_docs,  # new r4, never driver-checked: value-level oracle
     "bpe_merges_docs": q_bpe_merges_docs,  # new r4, never driver-checked (rows-only by design)
     "ccnet_buckets_docs": q_ccnet_buckets_docs,  # new r4: value-level oracle
     "zipf_fit_corpus": q_zipf_fit_corpus,  # new r4: value-level oracle
     "corpus_data_card": q_corpus_data_card,  # new r4: value-level oracle
     "html_extract_docs": q_html_extract_docs,  # new r4: value-level oracle
+    "bigram_logprob": q_bigram_logprob,  # new r4: value-level oracle
     # ---- below the 50-slot driver window from here down ----
+    "q10_returned_revenue": q_q10_returned_revenue,  # r1-green; local sweep covers
     "q6_forecast_revenue": q_q6_forecast_revenue,  # r1-green; local sweep covers
     "q14_promo_revenue": q_q14_promo_revenue,  # r1-green; local sweep covers
     "q18_large_volume_orders": q_q18_large_volume_orders,  # r1-green; local sweep covers
@@ -5458,6 +5505,7 @@ _ORACLES: dict[str, str] = {
     "zipf_fit_corpus": SQL_ZIPF_FIT,
     "corpus_data_card": SQL_DATA_CARD,
     "html_extract_docs": SQL_HTML_EXTRACT,
+    "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "inverted_index_stats": SQL_INVERTED_INDEX,
     "funnel_events": SQL_FUNNEL,
     "cohort_retention_weekly": SQL_COHORT,

@@ -123,6 +123,7 @@ HEADLINE = [
     "zipf_fit_corpus",
     "corpus_data_card",
     "html_extract_docs",
+    "bigram_logprob",
 ]
 
 

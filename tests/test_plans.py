@@ -410,3 +410,23 @@ def test_corpus_data_card_single_corpus_shuffle(spark, sf_dir):
     # partial aggregation before the corpus shuffle
     assert re.search(r"partial_(count|sum)", p.lower()) or \
         "Partial" in p
+
+
+def test_bigram_logprob_shuffle_joins_bigram_counts(spark, sf_dir):
+    """Only the vocab-sized unigram/prefix tables carry a broadcast
+    HINT; the bigram count table must not (a web-scale bigram vocab is
+    data-sized — at real scale it shuffle-joins).  With size-based
+    auto-broadcast off, hinted joins still broadcast and the unhinted
+    bigram join falls to a shuffle join — proving no hint exists."""
+    from wrangle_pypes_spark.functions import bigram_logprob_score
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(bigram_logprob_score(d))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" in p, "unigram/prefix tables broadcast"
+    assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p), \
+        "bigram counts must shuffle-join, not broadcast"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

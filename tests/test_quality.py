@@ -395,3 +395,41 @@ def test_corpus_data_card_shares_and_top_lang(spark):
     assert abs(out["s1"].pct_docs + out["s2"].pct_docs - 1.0) < 1e-9
     assert out["s1"].total_tokens == 9 and out["s2"].total_tokens == 5
     assert abs(out["s1"].avg_tokens - 3.0) < 1e-9
+
+
+def test_bigram_logprob_matches_python_replica(spark):
+    """Interpolated bigram probabilities match an exact in-process
+    replica; word salad scores higher than natural repetition even
+    when unigram distributions match."""
+    import math
+    from collections import Counter
+    from wrangle_pypes_spark.functions import bigram_logprob_score
+
+    rows = [(1, "a b a b a b"),       # highly predictable transitions
+            (2, "a a b b b a"),       # same unigrams, scrambled
+            (3, "x")]                 # <2 tokens: absent from output
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_logprob_score(docs).collect()}
+    assert 3 not in got
+
+    texts = {1: "a b a b a b".split(), 2: "a a b b b a".split(),
+             3: ["x"]}
+    stream = [t for ts in texts.values() for t in ts]
+    uni = Counter(stream)
+    total = len(stream)
+    bic = Counter()
+    pref = Counter()
+    for ts in texts.values():
+        for w1, w2 in zip(ts, ts[1:]):
+            bic[(w1, w2)] += 1
+            pref[w1] += 1
+    for did in (1, 2):
+        ts = texts[did]
+        ps = [
+            -math.log((bic[(w1, w2)] + 1.0 * (uni[w2] / total))
+                      / (pref[w1] + 1.0))
+            for w1, w2 in zip(ts, ts[1:])]
+        expect = round(sum(ps) / len(ps), 4)
+        assert got[did].n_bigrams == len(ts) - 1
+        assert got[did].avg_neg_logprob_bi == pytest.approx(expect)
+    assert (got[2].avg_neg_logprob_bi > got[1].avg_neg_logprob_bi)

@@ -7,6 +7,7 @@ whole-stage codegen.
 """
 
 from .text import (
+    bigram_logprob_score,
     html_to_text,
     STOPWORDS,
     bm25_scores,
@@ -26,7 +27,7 @@ from .text import (
     word_ngrams,
 )
 
-__all__ = ("STOPWORDS", "bm25_scores", "bpe_induce", "bpe_segment",
+__all__ = ("STOPWORDS", "bigram_logprob_score", "bm25_scores", "bpe_induce", "bpe_segment",
            "chunk_documents",
            "corpus_top_ngrams", "html_to_text",
            "doc_fingerprint", "inverted_index", "lang_id", "quality_score",
