@@ -2967,9 +2967,10 @@ def q_corpus_data_card(spark, sf_dir):
 SQL_DATA_CARD = r"""
 WITH per AS (
   SELECT source, lang, count(*) AS docs,
-         sum(len(list_filter(string_split_regex(lower(text), '\s+'),
-                             x -> x <> ''))) AS toks,
-         sum(length(text)) AS chars
+         sum(coalesce(len(list_filter(
+             string_split_regex(lower(text), '\s+'),
+             x -> x <> '')), 0)) AS toks,
+         sum(coalesce(length(text), 0)) AS chars
   FROM documents GROUP BY source, lang
 ),
 ranked AS (
@@ -2990,7 +2991,8 @@ SELECT s.source, s.n_docs,
        round(s.total_tokens / (sum(s.total_tokens) OVER ()), 4) AS pct_tokens,
        round(s.total_tokens / s.n_docs, 4) AS avg_tokens,
        round(s.total_chars / s.n_docs, 4) AS avg_chars
-FROM src s JOIN ranked r ON r.source = s.source AND r.rn = 1
+FROM src s JOIN ranked r
+  ON r.source IS NOT DISTINCT FROM s.source AND r.rn = 1
 ORDER BY s.source
 """
 
@@ -3030,8 +3032,8 @@ WITH stripped AS (
               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
             '(?s)<!--.*?-->', ' ', 'g'),
           '<[^>]+>', ' ', 'g'),
-        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        '&#39;', ''''), '&nbsp;', ' '),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
       '\s+', ' ', 'g')) AS clean_text
   FROM documents
 )

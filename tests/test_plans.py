@@ -404,12 +404,17 @@ def test_corpus_data_card_single_corpus_shuffle(spark, sf_dir):
     window and share windows all run on the k-row table."""
     from wrangle_pypes_spark.operators import corpus_data_card
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    p = plan_of(corpus_data_card(d))
+    reg = []
+    card = corpus_data_card(d, cache_registry=reg)
+    p = plan_of(card)
     assert "HashAggregate" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    # partial aggregation before the corpus shuffle
-    assert re.search(r"partial_(count|sum)", p.lower()) or \
-        "Partial" in p
+    # the (source,lang) aggregate is persisted: both consuming branches
+    # read the cache, so the corpus is scanned/aggregated exactly once
+    assert "InMemoryTableScan" in p, \
+        "per-(source,lang) aggregate must be cached, not recomputed"
+    for df in reg:
+        df.unpersist()
 
 
 def test_bigram_logprob_shuffle_joins_bigram_counts(spark, sf_dir):

@@ -375,6 +375,15 @@ def test_html_to_text_strips_script_style_entities(spark):
     # adjacent block tags must not fuse words
     assert " a b " in f" {out} "
 
+    # nested escapes must decode exactly once: a page DISPLAYING
+    # "&lt;b&gt;" writes "&amp;lt;b&amp;gt;" — the ampersand decodes
+    # LAST so the visible text survives as the literal entity
+    nested = spark.createDataFrame(
+        [(1, "<p>use &amp;lt;b&amp;gt; tags</p>")], "id long, html string")
+    got = nested.select(
+        html_to_text(F.col("html")).alias("t")).collect()[0].t
+    assert got == "use &lt;b&gt; tags"
+
 
 def test_corpus_data_card_shares_and_top_lang(spark):
     """Per-source doc/token shares sum to 1, the dominant language is
@@ -395,6 +404,20 @@ def test_corpus_data_card_shares_and_top_lang(spark):
     assert abs(out["s1"].pct_docs + out["s2"].pct_docs - 1.0) < 1e-9
     assert out["s1"].total_tokens == 9 and out["s2"].total_tokens == 5
     assert abs(out["s1"].avg_tokens - 3.0) < 1e-9
+
+    # NULL source is a source like any other; NULL text counts zero
+    # tokens — no document silently vanishes from the shares
+    rows2 = rows + [(6, None, "en", None), (7, "k l", None, None)]
+    docs2 = spark.createDataFrame(
+        rows2, "doc_id long, text string, lang string, source string")
+    reg = []
+    out2 = {r.source: r
+            for r in corpus_data_card(docs2, cache_registry=reg).collect()}
+    assert None in out2 and out2[None].n_docs == 2
+    assert out2[None].total_tokens == 2         # NULL text -> 0 tokens
+    assert abs(sum(r.pct_docs for r in out2.values()) - 1.0) < 1e-9
+    assert len(reg) == 1
+    reg[0].unpersist()
 
 
 def test_bigram_logprob_matches_python_replica(spark):

@@ -566,9 +566,12 @@ def html_to_text(html: Column) -> Column:
        code, not prose) and HTML comments;
     2. replace every remaining tag with a space (tags are word
        boundaries: ``a</p><p>b`` must not fuse into ``ab``);
-    3. decode the high-frequency entities (&amp; &lt; &gt; &quot;
-       &#39; &nbsp;) — the long tail of exotic entities is left as-is
-       rather than half-decoded;
+    3. decode the high-frequency entities (&lt; &gt; &quot; &#39;
+       &nbsp;, then &amp; LAST — decoding the ampersand first would
+       double-decode nested escapes like ``&amp;lt;`` into ``<`` when
+       the page's visible text is the literal ``&lt;``); the long
+       tail of exotic entities is left as-is rather than
+       half-decoded;
     4. collapse whitespace runs and trim.
 
     Patterns are RE2-safe (no backreferences or lookaround) so the
@@ -578,8 +581,8 @@ def html_to_text(html: Column) -> Column:
     t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     t = F.regexp_replace(t, r"<[^>]+>", " ")
-    for ent, rep in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-                     ("&quot;", "\""), ("&#39;", "'"), ("&nbsp;", " ")):
+    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+                     ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
         t = F.replace(t, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
@@ -600,13 +603,16 @@ def bigram_logprob_score(docs: DataFrame, text_col: str = "text", *,
     corpus unigram MLE.  Word-salad documents score high even when
     individual tokens are common — the signal unigram scoring misses.
 
-    Scale shape: two corpus-sized passes (one bigram explode, one
-    token explode), both map-side partial-aggregated.  The bigram
-    count table is joined back by a key-partitioned SHUFFLE join —
-    never broadcast: a web-scale bigram vocabulary is data-sized.
-    The unigram and prefix tables are vocab-sized, persisted (register
-    via ``cache_registry`` for cleanup) and broadcast.  Scores carry
-    the same ``round_digits`` cross-engine contract as the unigram
+    Scale shape: the scan+tokenize lineage re-evaluates in THREE
+    map-only branches (bigram-count build, join probe, unigram
+    counts) — recompute-over-materialize is the deliberate trade, a
+    corpus-scale tokenized intermediate is never persisted.  Each
+    aggregate is map-side partial.  The bigram count table is joined
+    back by a key-partitioned SHUFFLE join — never broadcast: a
+    web-scale bigram vocabulary is data-sized.  The unigram and
+    prefix tables are vocab-sized, persisted (register via
+    ``cache_registry`` for cleanup) and broadcast.  Scores carry the
+    same ``round_digits`` cross-engine contract as the unigram
     scorer.  Documents with fewer than two tokens emit no bigrams and
     are absent from the output.
     """
@@ -628,8 +634,7 @@ def bigram_logprob_score(docs: DataFrame, text_col: str = "text", *,
     # not from a third corpus pass
     pref = (bic.groupBy("_w1")
             .agg(F.sum("_c12").cast("long").alias("_c1")).persist())
-    stream = docs.select(
-        F.explode(tokens(F.col(text_col))).alias("_tok"))
+    stream = toks.select(F.explode("_ts").alias("_tok"))
     uni = stream.groupBy("_tok").agg(F.count("*").alias("_tf")).persist()
     if cache_registry is not None:
         cache_registry.extend([pref, uni])

@@ -665,18 +665,24 @@ def corpus_data_card(docs: DataFrame, *,
                      source_col: str = "source",
                      lang_col: str = "lang",
                      text_col: str = "text",
-                     round_digits: int = 4) -> DataFrame:
+                     round_digits: int = 4,
+                     cache_registry: Optional[list] = None) -> DataFrame:
     """Per-source corpus "data card": the summary table every released
     training mix ships (docs, token share, language spread, dominant
     language, mean lengths per source).
 
     One corpus-sized shuffle total: a map-side-combined
-    ``groupBy(source, lang)`` aggregate; everything downstream
-    (per-source rollup, dominant-language pick, corpus-share windows)
-    operates on the k×langs row table, which is tiny by construction.
-    The dominant language is picked by ``row_number`` ordered
-    ``(docs DESC, lang ASC NULLS LAST)`` — a total order, so the pick
-    is deterministic cross-engine even on count ties or NULL langs.
+    ``groupBy(source, lang)`` aggregate, PERSISTED (it feeds both the
+    per-source rollup and the dominant-language pick — without the
+    persist the corpus aggregate would evaluate once per branch);
+    everything downstream operates on the k×langs row table, which is
+    tiny by construction.  Register cleanup via ``cache_registry`` as
+    with the other corpus operators.  The dominant language is picked
+    by ``row_number`` ordered ``(docs DESC, lang ASC NULLS LAST)`` —
+    a total order, so the pick is deterministic cross-engine even on
+    count ties or NULL langs.  A NULL ``source_col`` is a source like
+    any other (null-safe join), and NULL ``text_col`` counts zero
+    tokens/chars, so no document is silently missing from the shares.
 
     Returns one row per source: ``source, n_docs, pct_docs, n_langs,
     top_lang, total_tokens, pct_tokens, avg_tokens, avg_chars``.
@@ -685,10 +691,17 @@ def corpus_data_card(docs: DataFrame, *,
 
     per = (docs.groupBy(source_col, lang_col)
            .agg(F.count("*").alias("_docs"),
-                F.sum(F.size(_tokens(F.col(text_col))))
+                # greatest+coalesce: size(NULL) is NULL under ANSI but
+                # -1 under legacy sizeOfNull — zero in either dialect
+                F.sum(F.greatest(
+                    F.coalesce(F.size(_tokens(F.col(text_col))),
+                               F.lit(0)), F.lit(0)))
                 .cast("long").alias("_toks"),
-                F.sum(F.length(F.col(text_col)))
-                .cast("long").alias("_chars")))
+                F.sum(F.coalesce(F.length(F.col(text_col)), F.lit(0)))
+                .cast("long").alias("_chars"))
+           .persist())
+    if cache_registry is not None:
+        cache_registry.append(per)
     ranked = per.withColumn(
         "_rn", F.row_number().over(
             Window.partitionBy(source_col)
@@ -702,7 +715,11 @@ def corpus_data_card(docs: DataFrame, *,
     top = (ranked.filter(F.col("_rn") == 1)
            .select(source_col, F.col(lang_col).alias("top_lang")))
     w_all = Window.partitionBy()
-    return (src.join(top, source_col)
+    # null-safe: a NULL source group must not vanish from the card
+    top = top.withColumnRenamed(source_col, "_topsrc")
+    return (src.join(top,
+                     src[source_col].eqNullSafe(F.col("_topsrc")))
+            .drop("_topsrc")
             .withColumn("pct_docs",
                         F.round(F.col("n_docs")
                                 / F.sum("n_docs").over(w_all),
