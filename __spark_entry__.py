@@ -2997,6 +2997,40 @@ ORDER BY s.source
 """
 
 
+def q_source_kl_drift(spark, sf_dir):
+    """Per-source distribution drift (operators/quality.py
+    ``source_kl_divergence``): KL(P_source || P_corpus) over token
+    unigram distributions — the mixture-monitoring number.  ONE corpus
+    shuffle (the persisted (source, token) aggregate feeds marginals
+    and the KL sum); corpus marginals broadcast; finite by
+    construction (corpus support is a superset)."""
+    from wrangle_pypes_spark.operators import source_kl_divergence
+    d = _t(spark, sf_dir, "documents")
+    return source_kl_divergence(d).orderBy("source")
+
+
+SQL_SOURCE_KL = r"""
+WITH ex AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+st AS (SELECT source, tok, count(*) AS c FROM ex GROUP BY source, tok),
+marg AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cm FROM st GROUP BY tok),
+srct AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM st GROUP BY source),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM st)
+SELECT st.source, max(srct.ns) AS n_tokens,
+       round(sum((st.c / srct.ns)
+                 * ln((st.c / srct.ns)
+                      / (marg.cm / (SELECT n FROM tot)))), 6) AS kl_nats
+FROM st JOIN marg USING (tok)
+        JOIN srct ON srct.source IS NOT DISTINCT FROM st.source
+GROUP BY st.source
+ORDER BY st.source
+"""
+
+
 def q_html_extract_docs(spark, sf_dir):
     """HTML → text extraction (functions/text.py ``html_to_text``):
     the corpus text is wrapped in a deterministic HTML shell
@@ -5311,7 +5345,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup_events": q_stream_dedup_events,
     "zorder_col": q_zorder_col,
     "pack_sequences": q_pack_sequences,
-    "histogram_acctbal": q_histogram_acctbal,
     "dsir_select_docs": q_dsir_select_docs,  # new r4, never driver-checked: value-level oracle
     "bpe_merges_docs": q_bpe_merges_docs,  # new r4, never driver-checked (rows-only by design)
     "ccnet_buckets_docs": q_ccnet_buckets_docs,  # new r4: value-level oracle
@@ -5319,7 +5352,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_data_card": q_corpus_data_card,  # new r4: value-level oracle
     "html_extract_docs": q_html_extract_docs,  # new r4: value-level oracle
     "bigram_logprob": q_bigram_logprob,  # new r4: value-level oracle
+    "source_kl_drift": q_source_kl_drift,  # new r4: value-level oracle
     # ---- below the 50-slot driver window from here down ----
+    "histogram_acctbal": q_histogram_acctbal,  # r2-green trivial agg; local sweep covers
     "q10_returned_revenue": q_q10_returned_revenue,  # r1-green; local sweep covers
     "q6_forecast_revenue": q_q6_forecast_revenue,  # r1-green; local sweep covers
     "q14_promo_revenue": q_q14_promo_revenue,  # r1-green; local sweep covers
@@ -5508,6 +5543,7 @@ _ORACLES: dict[str, str] = {
     "corpus_data_card": SQL_DATA_CARD,
     "html_extract_docs": SQL_HTML_EXTRACT,
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
+    "source_kl_drift": SQL_SOURCE_KL,
     "inverted_index_stats": SQL_INVERTED_INDEX,
     "funnel_events": SQL_FUNNEL,
     "cohort_retention_weekly": SQL_COHORT,

@@ -124,6 +124,7 @@ HEADLINE = [
     "corpus_data_card",
     "html_extract_docs",
     "bigram_logprob",
+    "source_kl_drift",
 ]
 
 

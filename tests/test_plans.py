@@ -435,3 +435,18 @@ def test_bigram_logprob_shuffle_joins_bigram_counts(spark, sf_dir):
     assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p), \
         "bigram counts must shuffle-join, not broadcast"
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_source_kl_single_corpus_shuffle(spark, sf_dir):
+    """The (source, token) aggregate is the only corpus-scale shuffle
+    and is persisted for its two consumers; corpus marginals broadcast
+    back; no Python eval."""
+    from wrangle_pypes_spark.operators import source_kl_divergence
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reg = []
+    p = plan_of(source_kl_divergence(d, cache_registry=reg))
+    assert "InMemoryTableScan" in p, "(source,token) aggregate cached"
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    for df in reg:
+        df.unpersist()

@@ -456,3 +456,34 @@ def test_bigram_logprob_matches_python_replica(spark):
         assert got[did].n_bigrams == len(ts) - 1
         assert got[did].avg_neg_logprob_bi == pytest.approx(expect)
     assert (got[2].avg_neg_logprob_bi > got[1].avg_neg_logprob_bi)
+
+
+def test_source_kl_divergence_matches_python_replica(spark):
+    """KL(P_source || P_corpus) matches an exact in-process replica; a
+    source matching the corpus mix scores near zero, an off-domain
+    source scores higher; NULL source is a group like any other."""
+    import math
+    from collections import Counter
+    from wrangle_pypes_spark.operators import source_kl_divergence
+
+    texts = {"bal": "a b c d a b c d", "skew": "a a a a a a a a",
+             None: "c d c d"}
+    docs = spark.createDataFrame(
+        [(i, t, s) for i, (s, t) in enumerate(texts.items())],
+        "doc_id long, text string, source string")
+    reg = []
+    got = {r.source: r
+           for r in source_kl_divergence(docs, cache_registry=reg).collect()}
+    for df in reg:
+        df.unpersist()
+
+    corpus = Counter(t for txt in texts.values() for t in txt.split())
+    total = sum(corpus.values())
+    for s, txt in texts.items():
+        cnt = Counter(txt.split())
+        ns = sum(cnt.values())
+        kl = sum((c / ns) * math.log((c / ns) / (corpus[w] / total))
+                 for w, c in cnt.items())
+        assert got[s].n_tokens == ns
+        assert got[s].kl_nats == pytest.approx(round(kl, 6), abs=2e-6)
+    assert got["skew"].kl_nats > got["bal"].kl_nats

@@ -44,6 +44,7 @@ __all__ = (
     "c4_line_clean",
     "perplexity_buckets",
     "corpus_data_card",
+    "source_kl_divergence",
     "DEFAULT_STOPWORDS",
 )
 
@@ -737,3 +738,55 @@ def corpus_data_card(docs: DataFrame, *,
             .select(source_col, "n_docs", "pct_docs", "n_langs",
                     "top_lang", "total_tokens", "pct_tokens",
                     "avg_tokens", "avg_chars"))
+
+
+def source_kl_divergence(docs: DataFrame, *,
+                         source_col: str = "source",
+                         text_col: str = "text",
+                         round_digits: int = 6,
+                         cache_registry: Optional[list] = None
+                         ) -> DataFrame:
+    """Per-source distribution drift: ``KL(P_source || P_corpus)`` over
+    the token unigram distributions, in nats — the monitoring number
+    behind "did this crawl slice change what the mix looks like".  A
+    source whose language/topic profile matches the corpus scores near
+    0; templated or off-domain sources score high.
+
+    ``P_corpus`` has superset support by construction (it aggregates
+    the same token stream), so the ratio is always finite — no
+    smoothing knob to disagree about cross-engine.
+
+    Scale shape: ONE corpus-sized shuffle — the ``(source, token)``
+    count aggregate, map-side partial, persisted (it feeds both the
+    corpus marginals and the per-source sum).  The corpus marginal
+    table is vocab-sized and broadcast back; the per-source KL sum is
+    a k-row aggregate.  Rounded to ``round_digits`` because the
+    per-source summation order over the vocab differs between engines.
+
+    Returns one row per source: ``source, n_tokens, kl_nats``.
+    """
+    st = (docs.select(F.col(source_col),
+                      F.explode(_tokens(F.col(text_col))).alias("_tok"))
+          .groupBy(source_col, "_tok")
+          .agg(F.count("*").alias("_c"))
+          .persist())
+    if cache_registry is not None:
+        cache_registry.append(st)
+    marg = st.groupBy("_tok").agg(F.sum("_c").cast("long").alias("_cm"))
+    src_tot = (st.groupBy(source_col)
+               .agg(F.sum("_c").cast("long").alias("_ns")))
+    total = st.agg(F.sum("_c")).collect()[0][0] or 1
+
+    p_s = F.col("_c") / F.col("_ns")
+    p_c = F.col("_cm") / F.lit(float(total))
+    # null-safe re-attach of the per-source totals (NULL source is a
+    # source like any other, same contract as corpus_data_card)
+    src_tot = src_tot.withColumnRenamed(source_col, "_ksrc")
+    joined = (st.join(F.broadcast(marg), "_tok")
+              .join(F.broadcast(src_tot),
+                    st[source_col].eqNullSafe(F.col("_ksrc")))
+              .drop("_ksrc"))
+    return (joined.groupBy(source_col)
+            .agg(F.max("_ns").alias("n_tokens"),
+                 F.round(F.sum(p_s * F.log(p_s / p_c)), round_digits)
+                 .alias("kl_nats")))
