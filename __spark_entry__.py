@@ -2997,6 +2997,57 @@ ORDER BY s.source
 """
 
 
+def q_snapshot_js_drift(spark, sf_dir):
+    """Snapshot-to-snapshot Jensen–Shannon drift (operators/quality.py
+    ``corpus_js_divergence``): the documents corpus split into two
+    deterministic halves (doc_id parity) standing in for BEFORE/AFTER
+    — symmetric, defined on disjoint support, bounded by ln 2.  Two
+    corpus-sized count aggregates, one vocab-sized full-outer merge,
+    one row out."""
+    from wrangle_pypes_spark.operators import corpus_js_divergence
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    return corpus_js_divergence(a, b)
+
+
+SQL_SNAPSHOT_JS = r"""
+WITH ea AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents WHERE doc_id % 2 = 0
+),
+eb AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents WHERE doc_id % 2 = 1
+),
+ca AS (SELECT tok, count(*) AS c FROM ea GROUP BY tok),
+cb AS (SELECT tok, count(*) AS c FROM eb GROUP BY tok),
+na AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM ca),
+nb AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cb),
+merged AS (
+  SELECT coalesce(ca.c, 0) AS cca, coalesce(cb.c, 0) AS ccb
+  FROM ca FULL OUTER JOIN cb USING (tok)
+)
+SELECT CAST((SELECT n FROM na) AS BIGINT) AS n_tokens_a,
+       CAST((SELECT n FROM nb) AS BIGINT) AS n_tokens_b,
+       round(0.5 * sum(CASE WHEN cca > 0 THEN
+                 (cca / (SELECT n FROM na))
+                 * ln((cca / (SELECT n FROM na))
+                      / (((cca / (SELECT n FROM na))
+                          + (ccb / (SELECT n FROM nb))) / 2.0))
+               ELSE 0.0 END)
+             + 0.5 * sum(CASE WHEN ccb > 0 THEN
+                 (ccb / (SELECT n FROM nb))
+                 * ln((ccb / (SELECT n FROM nb))
+                      / (((cca / (SELECT n FROM na))
+                          + (ccb / (SELECT n FROM nb))) / 2.0))
+               ELSE 0.0 END), 6) AS js_nats
+FROM merged
+"""
+
+
 def q_source_kl_drift(spark, sf_dir):
     """Per-source distribution drift (operators/quality.py
     ``source_kl_divergence``): KL(P_source || P_corpus) over token
@@ -5343,7 +5394,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_stateful_counts": q_stream_stateful_counts,
     "stream_stream_join": q_stream_stream_join,
     "stream_dedup_events": q_stream_dedup_events,
-    "zorder_col": q_zorder_col,
     "pack_sequences": q_pack_sequences,
     "dsir_select_docs": q_dsir_select_docs,  # new r4, never driver-checked: value-level oracle
     "bpe_merges_docs": q_bpe_merges_docs,  # new r4, never driver-checked (rows-only by design)
@@ -5353,7 +5403,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract_docs": q_html_extract_docs,  # new r4: value-level oracle
     "bigram_logprob": q_bigram_logprob,  # new r4: value-level oracle
     "source_kl_drift": q_source_kl_drift,  # new r4: value-level oracle
+    "snapshot_js_drift": q_snapshot_js_drift,  # new r4: value-level oracle
     # ---- below the 50-slot driver window from here down ----
+    "zorder_col": q_zorder_col,  # r2-green expression op; local sweep covers
     "histogram_acctbal": q_histogram_acctbal,  # r2-green trivial agg; local sweep covers
     "q10_returned_revenue": q_q10_returned_revenue,  # r1-green; local sweep covers
     "q6_forecast_revenue": q_q6_forecast_revenue,  # r1-green; local sweep covers
@@ -5544,6 +5596,7 @@ _ORACLES: dict[str, str] = {
     "html_extract_docs": SQL_HTML_EXTRACT,
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "source_kl_drift": SQL_SOURCE_KL,
+    "snapshot_js_drift": SQL_SNAPSHOT_JS,
     "inverted_index_stats": SQL_INVERTED_INDEX,
     "funnel_events": SQL_FUNNEL,
     "cohort_retention_weekly": SQL_COHORT,

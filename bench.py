@@ -125,6 +125,7 @@ HEADLINE = [
     "html_extract_docs",
     "bigram_logprob",
     "source_kl_drift",
+    "snapshot_js_drift",
 ]
 
 

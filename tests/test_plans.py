@@ -450,3 +450,20 @@ def test_source_kl_single_corpus_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     for df in reg:
         df.unpersist()
+
+
+def test_js_divergence_merges_vocab_not_corpus(spark, sf_dir):
+    """Both sides collapse to persisted vocab-sized count tables before
+    the full-outer merge; no corpus-scale join, no Python eval."""
+    from wrangle_pypes_spark.operators import corpus_js_divergence
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reg = []
+    df = corpus_js_divergence(d.filter(F.col("doc_id") % 2 == 0),
+                              d.filter(F.col("doc_id") % 2 == 1),
+                              cache_registry=reg)
+    p = plan_of(df)
+    assert "InMemoryTableScan" in p, "count tables must be cached"
+    assert "SortMergeJoin FullOuter" in p or "FullOuter" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    for c in reg:
+        c.unpersist()

@@ -487,3 +487,41 @@ def test_source_kl_divergence_matches_python_replica(spark):
         assert got[s].n_tokens == ns
         assert got[s].kl_nats == pytest.approx(round(kl, 6), abs=2e-6)
     assert got["skew"].kl_nats > got["bal"].kl_nats
+
+
+def test_corpus_js_divergence_replica_and_bounds(spark):
+    """JS matches an exact in-process replica, is symmetric, zero on
+    identical corpora, and ln 2 on disjoint vocabularies."""
+    import math
+    from wrangle_pypes_spark.operators import corpus_js_divergence
+
+    a = spark.createDataFrame([(1, "x x y"), (2, "y z")],
+                              "doc_id long, text string")
+    b = spark.createDataFrame([(3, "x y y q")], "doc_id long, text string")
+
+    def replica(ta, tb):
+        from collections import Counter
+        pa, pb = Counter(ta.split()), Counter(tb.split())
+        na, nb = sum(pa.values()), sum(pb.values())
+        js = 0.0
+        for w in set(pa) | set(pb):
+            p, q = pa[w] / na, pb[w] / nb
+            m = (p + q) / 2
+            if p:
+                js += 0.5 * p * math.log(p / m)
+            if q:
+                js += 0.5 * q * math.log(q / m)
+        return round(js, 6)
+
+    got = corpus_js_divergence(a, b).collect()[0]
+    assert got.n_tokens_a == 5 and got.n_tokens_b == 4
+    assert got.js_nats == pytest.approx(
+        replica("x x y y z", "x y y q"), abs=2e-6)
+    # symmetry
+    rev = corpus_js_divergence(b, a).collect()[0]
+    assert rev.js_nats == pytest.approx(got.js_nats, abs=2e-6)
+    # identical -> 0, disjoint -> ln 2
+    assert corpus_js_divergence(a, a).collect()[0].js_nats == 0.0
+    c = spark.createDataFrame([(9, "p p r")], "doc_id long, text string")
+    assert corpus_js_divergence(a, c).collect()[0].js_nats \
+        == pytest.approx(round(math.log(2), 6), abs=2e-6)

@@ -45,6 +45,7 @@ __all__ = (
     "perplexity_buckets",
     "corpus_data_card",
     "source_kl_divergence",
+    "corpus_js_divergence",
     "DEFAULT_STOPWORDS",
 )
 
@@ -790,3 +791,55 @@ def source_kl_divergence(docs: DataFrame, *,
             .agg(F.max("_ns").alias("n_tokens"),
                  F.round(F.sum(p_s * F.log(p_s / p_c)), round_digits)
                  .alias("kl_nats")))
+
+
+def corpus_js_divergence(a: DataFrame, b: DataFrame, *,
+                         text_col: str = "text",
+                         round_digits: int = 6,
+                         cache_registry: Optional[list] = None
+                         ) -> DataFrame:
+    """Jensen–Shannon divergence between two corpus snapshots' token
+    unigram distributions, in nats — the symmetric companion to
+    :func:`source_kl_divergence` for BEFORE/AFTER monitoring (new
+    crawl vs old, pre- vs post-filter).  Unlike KL it is defined when
+    the supports differ (tokens exclusive to one side contribute
+    ``p·ln 2``), so no smoothing knob; bounded by ``ln 2``.
+
+    Scale shape: one corpus-sized token-count aggregate PER SIDE
+    (map-side partial, persisted — each count table feeds its total
+    and the merge), then a vocab-sized full-outer shuffle join merges
+    the two vocabularies and a one-row aggregate folds the JS sum.
+    Nothing corpus-scale is joined or sorted.
+
+    Returns one row: ``n_tokens_a, n_tokens_b, js_nats``.
+    """
+    def _counts(df: DataFrame, name: str) -> DataFrame:
+        out = (df.select(F.explode(_tokens(F.col(text_col)))
+                         .alias("_tok"))
+               .groupBy("_tok")
+               .agg(F.count("*").alias(name))
+               .persist())
+        if cache_registry is not None:
+            cache_registry.append(out)
+        return out
+
+    ca = _counts(a, "_ca")
+    cb = _counts(b, "_cb")
+    na = ca.agg(F.sum("_ca")).collect()[0][0] or 1
+    nb = cb.agg(F.sum("_cb")).collect()[0][0] or 1
+
+    merged = (ca.join(cb, "_tok", "full_outer")
+              .select(F.coalesce("_ca", F.lit(0)).alias("_ca"),
+                      F.coalesce("_cb", F.lit(0)).alias("_cb")))
+    p = F.col("_ca") / F.lit(float(na))
+    q = F.col("_cb") / F.lit(float(nb))
+    m = (p + q) / F.lit(2.0)
+    # one-sided terms vanish where the side's mass is zero
+    term_a = F.when(F.col("_ca") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+    term_b = F.when(F.col("_cb") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    return merged.agg(
+        F.lit(int(na)).cast("long").alias("n_tokens_a"),
+        F.lit(int(nb)).cast("long").alias("n_tokens_b"),
+        F.round(F.lit(0.5) * F.sum(term_a)
+                + F.lit(0.5) * F.sum(term_b),
+                round_digits).alias("js_nats"))
