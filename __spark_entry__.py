@@ -2961,7 +2961,8 @@ def q_corpus_data_card(spark, sf_dir):
     ASC NULLS LAST) so the row is cross-engine deterministic."""
     from wrangle_pypes_spark.operators import corpus_data_card
     d = _t(spark, sf_dir, "documents")
-    return corpus_data_card(d).orderBy("source")
+    # NULLS LAST pins Spark's default (nulls first) to DuckDB's
+    return corpus_data_card(d).orderBy(F.col("source").asc_nulls_last())
 
 
 SQL_DATA_CARD = r"""
@@ -3057,7 +3058,9 @@ def q_source_kl_drift(spark, sf_dir):
     construction (corpus support is a superset)."""
     from wrangle_pypes_spark.operators import source_kl_divergence
     d = _t(spark, sf_dir, "documents")
-    return source_kl_divergence(d).orderBy("source")
+    # NULLS LAST pins Spark's default (nulls first) to DuckDB's
+    return source_kl_divergence(d).orderBy(
+        F.col("source").asc_nulls_last())
 
 
 SQL_SOURCE_KL = r"""
@@ -3070,15 +3073,23 @@ WITH ex AS (
 st AS (SELECT source, tok, count(*) AS c FROM ex GROUP BY source, tok),
 marg AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cm FROM st GROUP BY tok),
 srct AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM st GROUP BY source),
-tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM st)
-SELECT st.source, max(srct.ns) AS n_tokens,
-       round(sum((st.c / srct.ns)
-                 * ln((st.c / srct.ns)
-                      / (marg.cm / (SELECT n FROM tot)))), 6) AS kl_nats
-FROM st JOIN marg USING (tok)
-        JOIN srct ON srct.source IS NOT DISTINCT FROM st.source
-GROUP BY st.source
-ORDER BY st.source
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM st),
+scored AS (
+  SELECT st.source, max(srct.ns) AS n_tokens,
+         round(sum((st.c / srct.ns)
+                   * ln((st.c / srct.ns)
+                        / (marg.cm / (SELECT n FROM tot)))), 6) AS kl_nats
+  FROM st JOIN marg USING (tok)
+          JOIN srct ON srct.source IS NOT DISTINCT FROM st.source
+  GROUP BY st.source
+),
+allsrc AS (SELECT DISTINCT source FROM documents)
+SELECT a.source,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       s.kl_nats
+FROM allsrc a LEFT JOIN scored s
+  ON a.source IS NOT DISTINCT FROM s.source
+ORDER BY a.source NULLS LAST
 """
 
 

@@ -525,3 +525,24 @@ def test_corpus_js_divergence_replica_and_bounds(spark):
     c = spark.createDataFrame([(9, "p p r")], "doc_id long, text string")
     assert corpus_js_divergence(a, c).collect()[0].js_nats \
         == pytest.approx(round(math.log(2), 6), abs=2e-6)
+
+
+def test_source_kl_empty_source_and_js_empty_snapshot(spark):
+    """A source whose docs hold no tokens still appears in the KL
+    report (n_tokens=0, NULL kl) — the extractor-regression signal must
+    not vanish; an empty JS snapshot fails loudly instead of reporting
+    fabricated drift."""
+    from wrangle_pypes_spark.operators import (corpus_js_divergence,
+                                               source_kl_divergence)
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "ok"), (2, None, "dead"), (3, "", "dead")],
+        "doc_id long, text string, source string")
+    got = {r.source: r for r in source_kl_divergence(docs).collect()}
+    assert set(got) == {"ok", "dead"}
+    assert got["dead"].n_tokens == 0 and got["dead"].kl_nats is None
+    assert got["ok"].n_tokens == 2
+
+    empty = docs.filter("doc_id < 0")
+    with pytest.raises(ValueError, match="empty snapshot"):
+        corpus_js_divergence(docs, empty)

@@ -764,7 +764,12 @@ def source_kl_divergence(docs: DataFrame, *,
     a k-row aggregate.  Rounded to ``round_digits`` because the
     per-source summation order over the vocab differs between engines.
 
-    Returns one row per source: ``source, n_tokens, kl_nats``.
+    Returns one row per source: ``source, n_tokens, kl_nats``.  A
+    source whose documents hold no tokens at all (NULL/empty text —
+    e.g. an extractor regression, exactly the drift this monitor
+    exists to flag) still appears, with ``n_tokens = 0`` and a NULL
+    ``kl_nats`` (KL of an empty distribution is undefined, but the
+    row must not vanish).
     """
     st = (docs.select(F.col(source_col),
                       F.explode(_tokens(F.col(text_col))).alias("_tok"))
@@ -787,10 +792,21 @@ def source_kl_divergence(docs: DataFrame, *,
               .join(F.broadcast(src_tot),
                     st[source_col].eqNullSafe(F.col("_ksrc")))
               .drop("_ksrc"))
-    return (joined.groupBy(source_col)
-            .agg(F.max("_ns").alias("n_tokens"),
-                 F.round(F.sum(p_s * F.log(p_s / p_c)), round_digits)
-                 .alias("kl_nats")))
+    scored = (joined.groupBy(source_col)
+              .agg(F.max("_ns").alias("n_tokens"),
+                   F.round(F.sum(p_s * F.log(p_s / p_c)), round_digits)
+                   .alias("kl_nats")))
+    # re-attach token-less sources the explode necessarily dropped:
+    # a k-row distinct (map-side partial) left-joined null-safely
+    all_src = (docs.select(source_col).distinct()
+               .withColumnRenamed(source_col, "_asrc"))
+    return (all_src.join(F.broadcast(scored),
+                         F.col("_asrc").eqNullSafe(scored[source_col]),
+                         "left")
+            .select(F.col("_asrc").alias(source_col),
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                    .alias("n_tokens"),
+                    "kl_nats"))
 
 
 def corpus_js_divergence(a: DataFrame, b: DataFrame, *,
@@ -825,8 +841,14 @@ def corpus_js_divergence(a: DataFrame, b: DataFrame, *,
 
     ca = _counts(a, "_ca")
     cb = _counts(b, "_cb")
-    na = ca.agg(F.sum("_ca")).collect()[0][0] or 1
-    nb = cb.agg(F.sum("_cb")).collect()[0][0] or 1
+    na = ca.agg(F.sum("_ca")).collect()[0][0]
+    nb = cb.agg(F.sum("_cb")).collect()[0][0]
+    if not na or not nb:
+        # an empty snapshot has no distribution: loud failure beats a
+        # fabricated "0.35 nats of drift" from a vacuous comparison
+        raise ValueError(
+            f"corpus_js_divergence: empty snapshot "
+            f"(n_tokens_a={na or 0}, n_tokens_b={nb or 0})")
 
     merged = (ca.join(cb, "_tok", "full_outer")
               .select(F.coalesce("_ca", F.lit(0)).alias("_ca"),
