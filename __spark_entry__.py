@@ -5172,6 +5172,57 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 
 
 
+def q_stream_drift_hourly(spark, sf_dir):
+    """Streaming distribution-drift monitor: the durable rollup
+    maintainer (streaming/windows.py ``foreach_batch_rollup_upsert``)
+    maintains (hour, event_type) counts incrementally; the drained
+    store feeds ``distribution_drift`` (operators/quality.py) — per
+    hour, KL(P_hour || P_reference) against the corpus event-type
+    distribution.  The drift series is rollup-store-sized; the event
+    stream is only ever touched by the maintainer's one aggregate.
+    Deterministic after drain, so the full batch recompute is the
+    oracle."""
+    import tempfile
+
+    from wrangle_pypes_spark.operators import distribution_drift
+    from wrangle_pypes_spark.streaming import foreach_batch_rollup_upsert
+
+    store = tempfile.mkdtemp(prefix="wps_drift_store_") + "/state"
+    ev = stream_events(spark, sf_dir).select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+    q = foreach_batch_rollup_upsert(ev, store,
+                                    group_cols=["hour", "event_type"],
+                                    metrics={"n": ("count", "*")})
+    q.awaitTermination()
+    counts = spark.read.parquet(store).select(
+        F.col("hour").cast("timestamp_ntz").alias("hour"),
+        "event_type", "n")
+    ref = (_t(spark, sf_dir, "events")
+           .groupBy("event_type").agg(F.count("*").alias("n")))
+    return (distribution_drift(counts, ref, window_col="hour",
+                               key_col="event_type")
+            .orderBy("hour"))
+
+
+SQL_STREAM_DRIFT = """
+WITH cts AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+ref AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+rt AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM ref),
+wt AS (SELECT hour, CAST(sum(n) AS BIGINT) AS nw FROM cts GROUP BY hour)
+SELECT cts.hour, max(wt.nw) AS n_events,
+       CAST(0 AS BIGINT) AS n_novel_keys,
+       round(sum((cts.n / wt.nw)
+                 * ln((cts.n / wt.nw)
+                      / (ref.n / (SELECT t FROM rt)))), 6) AS kl_nats
+FROM cts JOIN wt USING (hour) JOIN ref USING (event_type)
+GROUP BY cts.hour
+ORDER BY cts.hour
+"""
+
+
 def q_winsorize_order_totals(spark, sf_dir):
     """Percentile clipping (operators/relational.py ``winsorize``):
     order totals capped into their [p01, p99] range.  Exact cuts
@@ -5405,7 +5456,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_stateful_counts": q_stream_stateful_counts,
     "stream_stream_join": q_stream_stream_join,
     "stream_dedup_events": q_stream_dedup_events,
-    "pack_sequences": q_pack_sequences,
     "dsir_select_docs": q_dsir_select_docs,  # new r4, never driver-checked: value-level oracle
     "bpe_merges_docs": q_bpe_merges_docs,  # new r4, never driver-checked (rows-only by design)
     "ccnet_buckets_docs": q_ccnet_buckets_docs,  # new r4: value-level oracle
@@ -5415,7 +5465,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logprob": q_bigram_logprob,  # new r4: value-level oracle
     "source_kl_drift": q_source_kl_drift,  # new r4: value-level oracle
     "snapshot_js_drift": q_snapshot_js_drift,  # new r4: value-level oracle
+    "stream_drift_hourly": q_stream_drift_hourly,  # new r4: value-level oracle
     # ---- below the 50-slot driver window from here down ----
+    "pack_sequences": q_pack_sequences,  # r2-green; local sweep covers
     "zorder_col": q_zorder_col,  # r2-green expression op; local sweep covers
     "histogram_acctbal": q_histogram_acctbal,  # r2-green trivial agg; local sweep covers
     "q10_returned_revenue": q_q10_returned_revenue,  # r1-green; local sweep covers
@@ -5608,6 +5660,7 @@ _ORACLES: dict[str, str] = {
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "source_kl_drift": SQL_SOURCE_KL,
     "snapshot_js_drift": SQL_SNAPSHOT_JS,
+    "stream_drift_hourly": SQL_STREAM_DRIFT,
     "inverted_index_stats": SQL_INVERTED_INDEX,
     "funnel_events": SQL_FUNNEL,
     "cohort_retention_weekly": SQL_COHORT,

@@ -126,6 +126,7 @@ HEADLINE = [
     "bigram_logprob",
     "source_kl_drift",
     "snapshot_js_drift",
+    "stream_drift_hourly",
 ]
 
 

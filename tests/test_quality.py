@@ -546,3 +546,39 @@ def test_source_kl_empty_source_and_js_empty_snapshot(spark):
     empty = docs.filter("doc_id < 0")
     with pytest.raises(ValueError, match="empty snapshot"):
         corpus_js_divergence(docs, empty)
+
+
+def test_distribution_drift_replica_and_novel_keys(spark):
+    """Per-window KL matches an exact replica; a window containing a
+    key absent from the reference reports NULL kl with a novel-key
+    count instead of silently dropping the key; empty reference fails
+    loudly."""
+    import math
+    from wrangle_pypes_spark.operators import distribution_drift
+
+    counts = spark.createDataFrame(
+        [("w1", "a", 3), ("w1", "b", 1),
+         ("w2", "a", 2), ("w2", "NEW", 2)],
+        "win string, k string, n long")
+    ref = spark.createDataFrame([("a", 6), ("b", 2)], "k string, n long")
+    out = {r.win: r for r in distribution_drift(
+        counts, ref, window_col="win", key_col="k").collect()}
+
+    # w1 matches the reference distribution (3:1 vs 6:2) -> KL = 0
+    assert out["w1"].n_events == 4 and out["w1"].n_novel_keys == 0
+    assert out["w1"].kl_nats == pytest.approx(0.0, abs=1e-9)
+    # w2 has an unseen key: NULL kl, novel count surfaced
+    assert out["w2"].n_novel_keys == 1 and out["w2"].kl_nats is None
+
+    # replica for a skewed-but-covered window
+    c2 = spark.createDataFrame([("w3", "a", 1), ("w3", "b", 3)],
+                               "win string, k string, n long")
+    got = distribution_drift(c2, ref, window_col="win",
+                             key_col="k").collect()[0]
+    expect = (1 / 4) * math.log((1 / 4) / (6 / 8)) \
+        + (3 / 4) * math.log((3 / 4) / (2 / 8))
+    assert got.kl_nats == pytest.approx(round(expect, 6), abs=2e-6)
+
+    with pytest.raises(ValueError, match="empty reference"):
+        distribution_drift(counts, ref.filter("n < 0"),
+                           window_col="win", key_col="k")

@@ -46,6 +46,7 @@ __all__ = (
     "corpus_data_card",
     "source_kl_divergence",
     "corpus_js_divergence",
+    "distribution_drift",
     "DEFAULT_STOPWORDS",
 )
 
@@ -865,3 +866,53 @@ def corpus_js_divergence(a: DataFrame, b: DataFrame, *,
         F.round(F.lit(0.5) * F.sum(term_a)
                 + F.lit(0.5) * F.sum(term_b),
                 round_digits).alias("js_nats"))
+
+
+def distribution_drift(counts: DataFrame, reference: DataFrame, *,
+                       window_col: str, key_col: str,
+                       count_col: str = "n",
+                       ref_count_col: str = "n",
+                       round_digits: int = 6) -> DataFrame:
+    """Per-window distribution drift ``KL(P_window || P_reference)``
+    from ANY ``(window, key, count)`` table — the analytic half of a
+    streaming drift monitor: point the durable streaming rollup
+    maintainer (:func:`~..streaming.foreach_batch_rollup_upsert`) at
+    ``(window, key)`` counts and feed its store here each time you
+    want the drift series; the same call works on a batch rollup.
+
+    The reference is a ``(key, count)`` distribution (typically the
+    historical corpus).  Keys observed in a window but ABSENT from the
+    reference make that window's KL undefined — emitted as NULL
+    ``kl_nats`` with a non-zero ``n_novel_keys``, never silently
+    dropped: a brand-new category IS drift.
+
+    Scale shape: everything is rollup-store-sized (windows × keys),
+    orders of magnitude below the event stream the counts summarize.
+    The reference is broadcast; window totals come from one window
+    function over the store.
+    """
+    from pyspark.sql import Window
+
+    ref_tot = reference.agg(
+        F.sum(ref_count_col)).collect()[0][0]
+    if not ref_tot:
+        raise ValueError("distribution_drift: empty reference")
+    ref = (reference.select(
+        F.col(key_col),
+        (F.col(ref_count_col) / F.lit(float(ref_tot))).alias("_pref")))
+
+    w_tot = Window.partitionBy(window_col)
+    cts = counts.withColumn(
+        "_nw", F.sum(count_col).over(w_tot))
+    p = F.col(count_col) / F.col("_nw")
+    joined = cts.join(F.broadcast(ref), key_col, "left")
+    term = F.when(F.col("_pref").isNotNull(),
+                  p * F.log(p / F.col("_pref")))
+    return (joined.groupBy(window_col)
+            .agg(F.max("_nw").cast("long").alias("n_events"),
+                 F.count(F.when(F.col("_pref").isNull(), 1))
+                 .cast("long").alias("n_novel_keys"),
+                 F.when(
+                     F.count(F.when(F.col("_pref").isNull(), 1)) == 0,
+                     F.round(F.sum(term), round_digits))
+                 .alias("kl_nats")))
