@@ -5399,6 +5399,182 @@ def q_bpe_merges_docs(spark, sf_dir):
 
 
 
+def _doc_url(spark, sf_dir):
+    """documents + a deterministic synthetic ``url`` column (the table
+    has no URL field; the expression is mirrored verbatim in the
+    oracles) exercising subdomains, multi-label public suffixes,
+    tracking params, and fragments."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    sub = F.when(did % 3 == 0, F.lit("")) \
+           .when(did % 3 == 1, F.lit("www.")) \
+           .otherwise(F.lit("news.blog."))
+    suffix = F.when(did % 4 == 0, F.lit(".com")) \
+              .when(did % 4 == 1, F.lit(".co.uk")) \
+              .when(did % 4 == 2, F.lit(".org")) \
+              .otherwise(F.lit(".com.au"))
+    qs = F.when(did % 5 == 0, F.lit("")) \
+          .when(did % 5 == 1, F.lit("?utm_source=rss&z=9&a=1")) \
+          .when(did % 5 == 2, F.concat(F.lit("?id="), did.cast("string"))) \
+          .when(did % 5 == 3, F.lit("?b=2&a=1&fbclid=xyz")) \
+          .otherwise(F.lit("?a=0&gclid=1"))
+    frag = F.when(did % 2 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    url = F.concat(F.lit("https://"), sub, F.col("source"),
+                   F.lit("-hub"), suffix, F.lit("/articles/"),
+                   did.cast("string"), qs, frag)
+    return d.withColumn("url", url)
+
+
+# the same synthetic url in ANSI SQL, verbatim for every URL oracle
+_SQL_DOC_URL = """
+  SELECT *,
+    'https://'
+    || CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN 'www.'
+                       ELSE 'news.blog.' END
+    || source || '-hub'
+    || CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+                       WHEN 2 THEN '.org' ELSE '.com.au' END
+    || '/articles/' || CAST(doc_id AS VARCHAR)
+    || CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN '?utm_source=rss&z=9&a=1'
+                       WHEN 2 THEN '?id=' || CAST(doc_id AS VARCHAR)
+                       WHEN 3 THEN '?b=2&a=1&fbclid=xyz'
+                       ELSE '?a=0&gclid=1' END
+    || CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+"""
+
+# host / registrable-domain extraction in ANSI SQL (mirrors
+# functions/urls.py:url_host / registered_domain on the suffixes the
+# synthetic corpus uses)
+_SQL_URL_HOST = (
+    "lower(regexp_extract(url,"
+    " '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1))")
+_SQL_REG_DOMAIN = """
+    CASE WHEN len(str_split(host, '.')) <= 1 THEN host
+         WHEN array_to_string(str_split(host, '.')[-2:], '.')
+                IN ('co.uk', 'com.au')
+              AND len(str_split(host, '.')) >= 3
+           THEN array_to_string(str_split(host, '.')[-3:], '.')
+         ELSE array_to_string(str_split(host, '.')[-2:], '.') END
+"""
+
+
+def q_url_parse_docs(spark, sf_dir):
+    """URL battery parse + canonicalize (functions/urls.py): scheme,
+    host, registrable domain (multi-label public-suffix aware), path,
+    query, TLD, and the canonical dedup form (tracking params dropped,
+    params sorted, fragment/default-slash stripped) — all pure Column
+    regexp/array expressions, map-only, whole-stage codegen."""
+    from wrangle_pypes_spark.functions import urls as U
+    d = _doc_url(spark, sf_dir)
+    u = F.col("url")
+    return (d.select(
+        "doc_id",
+        U.url_scheme(u).alias("scheme"),
+        U.url_host(u).alias("host"),
+        U.registered_domain(u).alias("domain"),
+        U.url_path(u).alias("path"),
+        U.url_query(u).alias("qs"),
+        U.url_tld(u).alias("tld"),
+        U.canonical_url(u).alias("canon"))
+        .orderBy("doc_id"))
+
+
+SQL_URL_PARSE = f"""
+WITH raw AS ({_SQL_DOC_URL}),
+hosted AS (
+  SELECT doc_id, url, {_SQL_URL_HOST} AS host FROM raw
+),
+parsed AS (
+  SELECT doc_id, url, host,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+    {_SQL_REG_DOMAIN} AS domain,
+    regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS qs,
+    regexp_extract(host, '\\.([^.]+)$', 1) AS tld
+  FROM hosted
+)
+, canonq AS (
+  SELECT *,
+    -- array_to_string([]) is NULL in the oracle engine, hence coalesce
+    coalesce(array_to_string(list_sort(list_filter(str_split(qs, '&'),
+      x -> x <> '' AND NOT str_split(x, '=')[1] IN
+        ('utm_source', 'utm_medium', 'utm_campaign', 'utm_term',
+         'utm_content', 'fbclid', 'gclid'))), '&'), '') AS sorted_q
+  FROM parsed
+)
+SELECT doc_id, scheme, host, domain, path, qs, tld,
+  'https://' || host
+  || CASE WHEN path IN ('', '/') THEN ''
+          ELSE regexp_replace(path, '/$', '') END
+  || CASE WHEN sorted_q = '' THEN '' ELSE '?' || sorted_q END AS canon
+FROM canonq
+ORDER BY doc_id
+"""
+
+
+def q_url_blocklist_docs(spark, sf_dir):
+    """Subdomain-aware domain blocklist (functions/urls.py
+    ``blocklist_filter``): drop docs whose synthetic host equals or is
+    a subdomain of a blocklisted registrable domain.  Scale shape:
+    ≤8 map-only BroadcastHashJoins over one shared broadcast hash
+    table — zero shuffles, no nested-loop LIKE join."""
+    from wrangle_pypes_spark.functions.urls import blocklist_filter, url_host
+    d = _doc_url(spark, sf_dir)
+    hosts = d.select("doc_id", url_host(F.col("url")).alias("host"))
+    bl = spark.createDataFrame(
+        [("src0-hub.com",), ("src1-hub.co.uk",), ("src2-hub.org",)],
+        "domain string")
+    return (blocklist_filter(hosts, host_col="host", blocklist=bl)
+            .orderBy("doc_id"))
+
+
+SQL_URL_BLOCKLIST = f"""
+WITH raw AS ({_SQL_DOC_URL}),
+hosted AS (
+  SELECT doc_id, {_SQL_URL_HOST} AS host FROM raw
+)
+SELECT doc_id, host FROM hosted
+WHERE NOT (host = 'src0-hub.com' OR host LIKE '%.src0-hub.com'
+        OR host = 'src1-hub.co.uk' OR host LIKE '%.src1-hub.co.uk'
+        OR host = 'src2-hub.org' OR host LIKE '%.src2-hub.org')
+ORDER BY doc_id
+"""
+
+
+def q_domain_stats_docs(spark, sf_dir):
+    """Per-registrable-domain corpus stats (functions/urls.py
+    ``domain_stats``): doc count, char volume, mean doc length — the
+    aggregate behind per-domain source weighting.  ONE hash aggregate
+    with map-side partial combine on the domain key."""
+    from wrangle_pypes_spark.functions.urls import domain_stats
+    d = _doc_url(spark, sf_dir)
+    out = domain_stats(d, url_col="url", quality_col="n_chars",
+                       text_col="text")
+    return (out.select("domain", "n_docs", "total_chars",
+                       F.round("avg_quality", 6).alias("avg_quality"))
+            .orderBy("domain"))
+
+
+SQL_DOMAIN_STATS = f"""
+WITH raw AS ({_SQL_DOC_URL}),
+hosted AS (
+  SELECT *, {_SQL_URL_HOST} AS host FROM raw
+),
+dom AS (
+  SELECT *, {_SQL_REG_DOMAIN} AS domain FROM hosted
+)
+SELECT domain,
+  COUNT(*)::BIGINT AS n_docs,
+  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+  round(AVG(n_chars), 6) AS avg_quality
+FROM dom
+GROUP BY domain
+ORDER BY domain
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5416,6 +5592,9 @@ def q_bpe_merges_docs(spark, sf_dir):
 # their r3 hash-green rows, and entry() + bench.py exercise them every
 # round regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "url_parse_docs": q_url_parse_docs,  # new r4: URL battery parse/canonicalize
+    "url_blocklist_docs": q_url_blocklist_docs,  # new r4: subdomain-aware blocklist
+    "domain_stats_docs": q_domain_stats_docs,  # new r4: per-domain stats
     "compact_roundtrip_orders": q_compact_roundtrip_orders,  # new r4: compact_parquet read-back
     "scd2_rebuild_heal": q_scd2_rebuild_heal,  # new r4: scd2_rebuild_store heal read-back
     "token_pmi_pairs": q_token_pmi_pairs,  # r4: enforced top-M bound + folded N
@@ -5453,9 +5632,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tumbling_events": q_stream_tumbling_events,
     "stream_sliding_events": q_stream_sliding_events,
     "stream_session_events": q_stream_session_events,
-    "stream_stateful_counts": q_stream_stateful_counts,
-    "stream_stream_join": q_stream_stream_join,
-    "stream_dedup_events": q_stream_dedup_events,
     "dsir_select_docs": q_dsir_select_docs,  # new r4, never driver-checked: value-level oracle
     "bpe_merges_docs": q_bpe_merges_docs,  # new r4, never driver-checked (rows-only by design)
     "ccnet_buckets_docs": q_ccnet_buckets_docs,  # new r4: value-level oracle
@@ -5467,6 +5643,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_js_drift": q_snapshot_js_drift,  # new r4: value-level oracle
     "stream_drift_hourly": q_stream_drift_hourly,  # new r4: value-level oracle
     # ---- below the 50-slot driver window from here down ----
+    "stream_stateful_counts": q_stream_stateful_counts,  # r2-green; r3 rotation green; local sweep covers
+    "stream_stream_join": q_stream_stream_join,  # r2-green; local sweep covers
+    "stream_dedup_events": q_stream_dedup_events,  # r2-green; local sweep covers
     "pack_sequences": q_pack_sequences,  # r2-green; local sweep covers
     "zorder_col": q_zorder_col,  # r2-green expression op; local sweep covers
     "histogram_acctbal": q_histogram_acctbal,  # r2-green trivial agg; local sweep covers
@@ -5579,6 +5758,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _ORACLES: dict[str, str] = {
+    "url_parse_docs": SQL_URL_PARSE,
+    "url_blocklist_docs": SQL_URL_BLOCKLIST,
+    "domain_stats_docs": SQL_DOMAIN_STATS,
     "wrangle_flat_orders": SQL_WRANGLE_FLAT,
     "wrangle_nested_customer": SQL_WRANGLE_NESTED,
     "wrangle_get_or_create": SQL_GET_OR_CREATE,

@@ -127,6 +127,9 @@ HEADLINE = [
     "source_kl_drift",
     "snapshot_js_drift",
     "stream_drift_hourly",
+    "url_parse_docs",
+    "url_blocklist_docs",
+    "domain_stats_docs",
 ]
 
 

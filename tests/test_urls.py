@@ -1,0 +1,111 @@
+"""URL battery: parse/canonicalize/registered-domain/blocklist/stats."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from wrangle_pypes_spark.functions.urls import (
+    blocklist_filter, canonical_url, domain_stats, host_suffix_set,
+    registered_domain, url_host, url_path, url_query, url_scheme, url_tld,
+)
+from wrangle_pypes_spark.plans import audit
+
+
+URLS = [
+    "https://News.Example.co.uk:443/World/politics/?b=2&utm_source=x&a=1#frag",
+    "http://user:pw@sub.blog.example.com/post/42?id=7",
+    "https://example.com/",
+    "ftp://files.example.org/pub/data.csv",
+    "https://localhost:8080/admin",
+    "not a url at all",
+]
+
+
+@pytest.fixture(scope="module")
+def urls_df(spark):
+    return spark.createDataFrame([Row(i=i, url=u) for i, u in enumerate(URLS)])
+
+
+def test_parse_components(urls_df):
+    row = (urls_df.filter("i = 0")
+           .select(url_scheme(F.col("url")).alias("s"),
+                   url_host(F.col("url")).alias("h"),
+                   url_path(F.col("url")).alias("p"),
+                   url_query(F.col("url")).alias("q"),
+                   url_tld(F.col("url")).alias("t")).first())
+    assert row.s == "https"
+    assert row.h == "news.example.co.uk"
+    assert row.p == "/World/politics/"
+    assert row.q == "b=2&utm_source=x&a=1"
+    assert row.t == "uk"
+
+
+def test_parse_userinfo_and_nonurl(urls_df):
+    rows = {r.i: r for r in urls_df.select(
+        "i", url_host(F.col("url")).alias("h"),
+        url_scheme(F.col("url")).alias("s")).collect()}
+    assert rows[1].h == "sub.blog.example.com"
+    assert rows[4].h == "localhost"
+    assert rows[5].h == "" and rows[5].s == ""
+
+
+def test_registered_domain(urls_df):
+    rows = {r.i: r.d for r in urls_df.select(
+        "i", registered_domain(F.col("url")).alias("d")).collect()}
+    assert rows[0] == "example.co.uk"      # multi-label public suffix
+    assert rows[1] == "example.com"        # subdomains collapsed
+    assert rows[2] == "example.com"
+    assert rows[4] == "localhost"          # dotless host passes through
+
+
+def test_canonical_url(urls_df):
+    rows = {r.i: r.c for r in urls_df.select(
+        "i", canonical_url(F.col("url")).alias("c")).collect()}
+    # tracking param dropped, params sorted, fragment stripped, host lowered
+    assert rows[0] == "https://news.example.co.uk/World/politics?a=1&b=2"
+    assert rows[1] == "http://sub.blog.example.com/post/42?id=7"
+    # bare "/" path and trailing slash both collapse
+    assert rows[2] == "https://example.com"
+
+
+def test_host_suffix_set(spark):
+    df = spark.createDataFrame([Row(h="a.b.co.uk")])
+    [r] = df.select(host_suffix_set(F.col("h")).alias("s")).collect()
+    assert r.s == ["a.b.co.uk", "b.co.uk", "co.uk", "uk"]
+
+
+def test_blocklist_filter_semantics(spark, urls_df):
+    bl = spark.createDataFrame([Row(domain="example.com"),
+                                Row(domain="files.example.org")])
+    hosts = urls_df.select("i", url_host(F.col("url")).alias("host"))
+    kept = {r.i for r in blocklist_filter(
+        hosts, host_col="host", blocklist=bl).collect()}
+    # i=1 (sub of example.com), i=2 (exact), i=3 (exact) dropped
+    assert kept == {0, 4, 5}
+    dropped = {r.i for r in blocklist_filter(
+        hosts, host_col="host", blocklist=bl, keep=True).collect()}
+    assert dropped == {1, 2, 3}
+
+
+def test_blocklist_plan_no_nested_loop(spark, urls_df):
+    bl = spark.createDataFrame([Row(domain="example.com")])
+    hosts = urls_df.select("i", url_host(F.col("url")).alias("host"))
+    out = blocklist_filter(hosts, host_col="host", blocklist=bl)
+    rep = audit(out)
+    assert "BroadcastNestedLoopJoin" not in rep.plan
+    assert "CartesianProduct" not in rep.plan
+    assert rep.jvm_only()
+
+
+def test_domain_stats(spark):
+    df = spark.createDataFrame([
+        Row(url="https://a.example.com/1", q=1.0, text="xx"),
+        Row(url="https://b.example.com/2", q=3.0, text="yyyy"),
+        Row(url="https://other.org/", q=5.0, text="z"),
+    ])
+    out = {r.domain: r for r in domain_stats(
+        df, url_col="url", quality_col="q", text_col="text").collect()}
+    assert out["example.com"].n_docs == 2
+    assert out["example.com"].total_chars == 6
+    assert out["example.com"].avg_quality == pytest.approx(2.0)
+    assert out["other.org"].n_docs == 1

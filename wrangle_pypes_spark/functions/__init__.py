@@ -6,6 +6,18 @@ here every function is a native Column expression so it stays inside
 whole-stage codegen.
 """
 
+from .urls import (
+    blocklist_filter,
+    canonical_url,
+    domain_stats,
+    host_suffix_set,
+    registered_domain,
+    url_host,
+    url_path,
+    url_query,
+    url_scheme,
+    url_tld,
+)
 from .text import (
     bigram_logprob_score,
     html_to_text,
@@ -32,4 +44,7 @@ __all__ = ("STOPWORDS", "bigram_logprob_score", "bm25_scores", "bpe_induce", "bp
            "corpus_top_ngrams", "html_to_text",
            "doc_fingerprint", "inverted_index", "lang_id", "quality_score",
            "token_count", "token_pmi_pairs", "tokens",
-           "unigram_logprob_score", "word_ngrams", "zipf_fit")
+           "unigram_logprob_score", "word_ngrams", "zipf_fit",
+           "blocklist_filter", "canonical_url", "domain_stats",
+           "host_suffix_set", "registered_domain", "url_host", "url_path",
+           "url_query", "url_scheme", "url_tld")

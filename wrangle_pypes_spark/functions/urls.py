@@ -1,0 +1,183 @@
+"""URL battery for web-corpus pipelines — parse, canonicalize, domain
+blocklists, per-domain stats.
+
+CommonCrawl-style training-data pipelines spend a whole stage on URLs:
+extracting the host, collapsing subdomains to a registrable domain,
+dropping blocklisted domains, and aggregating per-domain quality stats
+that drive source weighting.  Everything here is a pure Column
+expression (JVM-side, whole-stage codegen) except the blocklist join,
+which is an equi-join on an exploded bounded suffix set — NOT a
+broadcast nested-loop on a LIKE predicate, so it scales to a 100 TB
+scan against a 100k-domain blocklist.
+
+Reference analog: the reference has no URL surface (its pipeline.py
+wrangles in-memory records); this module is part of the LLM-data
+battery the north star asks for beyond reference parity.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal multi-label public-suffix set for registrable-domain
+# collapsing.  Real pipelines broadcast the full Mozilla PSL (~9k
+# entries) through the same code path (`suffixes=` parameter); this
+# default keeps the common two-level ccTLDs correct without shipping
+# the list.
+DEFAULT_MULTI_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tw", "com.sg", "co.za", "com.ar", "co.nz",
+)
+
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def url_scheme(url: Column) -> Column:
+    """Lowercased scheme, '' when the value is not an absolute URL."""
+    return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host (userinfo and port stripped), '' when absent."""
+    return F.lower(F.regexp_extract(url, _HOST_RE, 1))
+
+
+def url_path(url: Column) -> Column:
+    """Path component ('' when absent; query/fragment excluded)."""
+    return F.regexp_extract(url, _PATH_RE, 1)
+
+
+def url_query(url: Column) -> Column:
+    """Raw query string without the '?' ('' when absent)."""
+    return F.regexp_extract(url, _QUERY_RE, 1)
+
+
+def url_tld(url: Column) -> Column:
+    """Last host label ('' for dotless hosts such as ``localhost``)."""
+    return F.regexp_extract(url_host(url), r"\.([^.]+)$", 1)
+
+
+def registered_domain(url: Column,
+                      suffixes: Sequence[str] = DEFAULT_MULTI_SUFFIXES
+                      ) -> Column:
+    """Registrable domain: the last two host labels, or three when the
+    last two form a known multi-label public suffix (``co.uk`` etc).
+
+    Pure Column expression — split/slice/array_join, no UDF.  Hosts
+    with fewer labels than the suffix rule needs pass through whole
+    (``localhost`` → ``localhost``).
+    """
+    host = url_host(url)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, F.greatest(n - 1, F.lit(1)), 2), ".")
+    last3 = F.array_join(F.slice(labels, F.greatest(n - 2, F.lit(1)), 3), ".")
+    is_multi = last2.isin(*suffixes)
+    return F.when(n <= 1, host).when(is_multi & (n >= 3), last3) \
+            .when(is_multi, last2).otherwise(last2)
+
+
+def canonical_url(url: Column,
+                  drop_params: Sequence[str] = ("utm_source", "utm_medium",
+                                                "utm_campaign", "utm_term",
+                                                "utm_content", "fbclid",
+                                                "gclid")) -> Column:
+    """Canonical form for URL-level dedup: lowercase scheme+host, strip
+    the fragment and default ports, drop tracking query params, sort the
+    surviving params, strip a trailing slash on a bare path.
+
+    All JVM Column ops (split → filter → sort_array → array_join), so
+    canonicalizing 100 TB of URLs stays inside whole-stage codegen.
+    Dedup on the result with ``exact_dedup``/``dedup_keep_best``.
+    """
+    scheme = url_scheme(url)
+    host = url_host(url)
+    path = url_path(url)
+    query = url_query(url)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit("")) &
+                  ~F.split(p, "=")[0].isin(*drop_params))
+    sorted_q = F.array_join(F.sort_array(params), "&")
+    path_norm = F.when(path.isin("", "/"), F.lit("")) \
+                 .otherwise(F.regexp_replace(path, "/$", ""))
+    base = F.concat(scheme, F.lit("://"), host, path_norm)
+    return F.when(sorted_q == "", base) \
+            .otherwise(F.concat(base, F.lit("?"), sorted_q))
+
+
+def host_suffix_set(host: Column, max_labels: int = 8) -> Column:
+    """All dot-suffixes of a host, longest first: ``a.b.co.uk`` →
+    ``[a.b.co.uk, b.co.uk, co.uk, uk]``.  Bounded at ``max_labels``
+    entries, so the explode fan-out in ``blocklist_filter`` is a small
+    constant regardless of corpus size."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    idx = F.sequence(F.lit(1), F.least(n, F.lit(max_labels)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."))
+
+
+def blocklist_filter(df: DataFrame, *, host_col: str,
+                     blocklist: DataFrame, domain_col: str = "domain",
+                     keep: bool = False, max_labels: int = 8) -> DataFrame:
+    """Drop (or with ``keep=True``, retain) rows whose host equals a
+    blocklisted domain OR is a subdomain of one.
+
+    Scale path: the naive formulation is a broadcast NESTED-LOOP join
+    on ``host LIKE '%.'||domain`` — quadratic in (rows × blocklist) and
+    the classic accidental-cartesian at 100 TB.  An explode + semi/anti
+    join has the right cost but wrong multiplicity (the anti side only
+    removes the matching exploded copies, or needs a row id to regroup).
+    Instead: the suffix set is BOUNDED (≤ ``max_labels``), so probe the
+    broadcast blocklist once per suffix position — ``max_labels``
+    map-only BroadcastHashJoins over one shared broadcast, folded into
+    a hit flag.  ZERO shuffles on the fact side, deterministic,
+    multiplicity-preserving.  The deduped blocklist is eagerly
+    localCheckpoint-ed (it is dim-scale by contract) so its distinct
+    shuffle runs ONCE, not once per probe position.
+    """
+    bl = blocklist.select(
+        F.lower(F.col(domain_col)).alias("_bl_dom")).distinct() \
+        .localCheckpoint(eager=True)
+    cur = df.withColumn("_sfx_arr",
+                        host_suffix_set(F.col(host_col), max_labels))
+    hit_cols = []
+    for i in range(1, max_labels + 1):
+        k, h = f"_k{i}", f"_h{i}"
+        probe = F.broadcast(bl.select(F.col("_bl_dom").alias(k),
+                                      F.lit(True).alias(h)))
+        # try_element_at past the array end is NULL (ANSI-safe) → null
+        # key never joins
+        cur = cur.withColumn(k, F.try_element_at("_sfx_arr", F.lit(i))) \
+                 .join(probe, on=k, how="left")
+        hit_cols.append(F.col(h))
+    hit = F.coalesce(*hit_cols, F.lit(False))
+    cur = cur.filter(hit if keep else ~hit)
+    drop = ["_sfx_arr"] + [f"_k{i}" for i in range(1, max_labels + 1)] \
+                        + [f"_h{i}" for i in range(1, max_labels + 1)]
+    return cur.drop(*drop)
+
+
+def domain_stats(df: DataFrame, *, url_col: str,
+                 quality_col: Optional[str] = None,
+                 text_col: Optional[str] = None) -> DataFrame:
+    """Per-registrable-domain corpus stats: doc count, char volume,
+    mean quality — the aggregate that drives per-domain source
+    weighting.  ONE hash aggregate keyed on the registrable domain
+    (map-side partial combine; no skew risk beyond what AQE handles,
+    since even the biggest web domain is a bounded fraction of docs)."""
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if text_col is not None:
+        aggs.append(F.sum(F.length(F.col(text_col))).alias("total_chars"))
+    if quality_col is not None:
+        aggs.append(F.avg(F.col(quality_col)).alias("avg_quality"))
+    return (df.withColumn("_dom", registered_domain(F.col(url_col)))
+              .groupBy(F.col("_dom").alias("domain")).agg(*aggs))
