@@ -5575,6 +5575,93 @@ ORDER BY domain
 """
 
 
+def q_normalize_text_docs(spark, sf_dir):
+    """Unicode text normalization (functions/text.py ``normalize_text``):
+    doc text is deterministically dirtied (curly quotes, NBSP, dashes,
+    ellipsis, zero-width chars, control codes, whitespace runs — what
+    real crawl text carries) and cleaned back — one translate + fixed
+    regexp chain, map-only, whole-stage codegen."""
+    from wrangle_pypes_spark.functions import normalize_text
+    d = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("\u201cIntro\u201d \u2013 quote\u2019s\u2026\n\n\n\n\t "),
+        F.col("text"),
+        F.lit(" \u200b\u00a0 end\x07\x1f  "))
+    return (d.select("doc_id",
+                     normalize_text(dirty).alias("clean_text"))
+            .withColumn("clean_chars", F.length("clean_text").cast("long"))
+            .orderBy("doc_id"))
+
+
+SQL_NORMALIZE_TEXT = """
+WITH dirty AS (
+  SELECT doc_id,
+    chr(8220) || 'Intro' || chr(8221) || ' ' || chr(8211) || ' quote'
+      || chr(8217) || 's' || chr(8230)
+      || chr(10) || chr(10) || chr(10) || chr(10) || chr(9) || ' '
+      || text
+      || ' ' || chr(8203) || chr(160) || ' end' || chr(7) || chr(31)
+      || '  ' AS t
+  FROM documents
+),
+normed AS (
+  SELECT doc_id,
+    trim(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  translate(t,
+                    chr(8216)||chr(8217)||chr(8220)||chr(8221)||chr(160)
+                      ||chr(8211)||chr(8212),
+                    chr(39)||chr(39)||chr(34)||chr(34)||' --'),
+                  chr(8230), '...', 'g'),
+                '['||chr(8203)||chr(8204)||chr(8205)||chr(65279)||']',
+                '', 'g'),
+              '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+            '[ \\t]+', ' ', 'g'),
+          ' ?\\n ?', chr(10), 'g'),
+        '\\n{3,}', chr(10)||chr(10), 'g')
+    ) AS clean_text
+  FROM dirty
+)
+SELECT doc_id, clean_text,
+  CAST(length(clean_text) AS BIGINT) AS clean_chars
+FROM normed
+ORDER BY doc_id
+"""
+
+
+def q_fuzzy_part_names(spark, sf_dir):
+    """Blocked fuzzy string matching (operators/fuzzy.py
+    ``fuzzy_string_pairs``): distinct part-name pairs within edit
+    distance 3, prefix-1 blocking + length banding before any
+    levenshtein — hash equi-join on the block key, thresholded
+    levenshtein on survivors only, no cross product."""
+    from wrangle_pypes_spark.operators.fuzzy import fuzzy_string_pairs
+    p = _t(spark, sf_dir, "part")
+    out = fuzzy_string_pairs(
+        p, p, left_col="p_name", right_col="p_name",
+        max_distance=3, block="prefix", block_len=1,
+        dedup_self_pairs=True)
+    return out.orderBy("p_name_l", "p_name_r")
+
+
+SQL_FUZZY_PART_NAMES = """
+WITH names AS (SELECT DISTINCT lower(p_name) AS n FROM part)
+SELECT a.n AS p_name_l, b.n AS p_name_r,
+  CAST(levenshtein(a.n, b.n) AS BIGINT) AS distance
+FROM names a JOIN names b
+  ON substr(a.n, 1, 1) = substr(b.n, 1, 1)
+ AND a.n < b.n
+ AND abs(length(a.n) - length(b.n)) <= 3
+ AND levenshtein(a.n, b.n) <= 3
+ORDER BY p_name_l, p_name_r
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5592,6 +5679,8 @@ ORDER BY domain
 # their r3 hash-green rows, and entry() + bench.py exercise them every
 # round regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "normalize_text_docs": q_normalize_text_docs,  # new r4: unicode cleanup
+    "fuzzy_part_names": q_fuzzy_part_names,  # new r4: blocked levenshtein pairs
     "url_parse_docs": q_url_parse_docs,  # new r4: URL battery parse/canonicalize
     "url_blocklist_docs": q_url_blocklist_docs,  # new r4: subdomain-aware blocklist
     "domain_stats_docs": q_domain_stats_docs,  # new r4: per-domain stats
@@ -5630,8 +5719,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "decontaminate_docs": q_decontaminate_docs,
     "stream_tumbling_events": q_stream_tumbling_events,
-    "stream_sliding_events": q_stream_sliding_events,
-    "stream_session_events": q_stream_session_events,
     "dsir_select_docs": q_dsir_select_docs,  # new r4, never driver-checked: value-level oracle
     "bpe_merges_docs": q_bpe_merges_docs,  # new r4, never driver-checked (rows-only by design)
     "ccnet_buckets_docs": q_ccnet_buckets_docs,  # new r4: value-level oracle
@@ -5643,6 +5730,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_js_drift": q_snapshot_js_drift,  # new r4: value-level oracle
     "stream_drift_hourly": q_stream_drift_hourly,  # new r4: value-level oracle
     # ---- below the 50-slot driver window from here down ----
+    "stream_sliding_events": q_stream_sliding_events,  # r2-green; local sweep covers
+    "stream_session_events": q_stream_session_events,  # r2-green; local sweep covers
     "stream_stateful_counts": q_stream_stateful_counts,  # r2-green; r3 rotation green; local sweep covers
     "stream_stream_join": q_stream_stream_join,  # r2-green; local sweep covers
     "stream_dedup_events": q_stream_dedup_events,  # r2-green; local sweep covers
@@ -5758,6 +5847,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _ORACLES: dict[str, str] = {
+    "normalize_text_docs": SQL_NORMALIZE_TEXT,
+    "fuzzy_part_names": SQL_FUZZY_PART_NAMES,
     "url_parse_docs": SQL_URL_PARSE,
     "url_blocklist_docs": SQL_URL_BLOCKLIST,
     "domain_stats_docs": SQL_DOMAIN_STATS,

@@ -130,6 +130,8 @@ HEADLINE = [
     "url_parse_docs",
     "url_blocklist_docs",
     "domain_stats_docs",
+    "normalize_text_docs",
+    "fuzzy_part_names",
 ]
 
 

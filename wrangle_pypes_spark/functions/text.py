@@ -63,6 +63,27 @@ def quality_score(text: Column) -> Column:
     return F.round((alpha_ratio + diversity + len_ok) / 3.0, 6)
 
 
+def normalize_text(text: Column) -> Column:
+    """Unicode cleanup for crawl text (ftfy-lite): map curly quotes /
+    en- and em-dashes / NBSP to ASCII, spell out the ellipsis, strip
+    zero-width characters and C0/DEL control codes (newline and tab
+    survive), collapse space/tab runs, cap blank-line runs at one, and
+    trim.  One ``translate`` plus a fixed regexp_replace chain — pure
+    JVM, map-only, whole-stage codegen; the identical chain runs in the
+    oracle engine (RE2-safe patterns, global-flag mirrored).
+    """
+    t = F.translate(text,
+                    "\u2018\u2019\u201c\u201d\u00a0\u2013\u2014",
+                    "''\"\" --")
+    t = F.regexp_replace(t, "\u2026", "...")
+    t = F.regexp_replace(t, "[\u200b\u200c\u200d\ufeff]", "")
+    t = F.regexp_replace(t, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")
+    return F.trim(t)
+
+
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
     toks = tokens(text)
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
