@@ -5662,6 +5662,77 @@ ORDER BY p_name_l, p_name_r
 """
 
 
+def q_link_graph_docs(spark, sf_dir):
+    """Outlink extraction → domain link graph (functions/text.py
+    ``extract_links`` + functions/urls.py ``registered_domain``): each
+    doc's synthetic HTML carries absolute links in all three href
+    quoting styles plus a relative link; edges aggregate to
+    (src_domain, dst_domain, n_links).  Map-only extract + one hash
+    aggregate; relative links (no host) are excluded from the graph.
+    The same edge table feeds ``operators/graph.py pagerank``."""
+    from wrangle_pypes_spark.functions import urls as U
+    from wrangle_pypes_spark.functions.text import extract_links
+    d = _doc_url(spark, sf_dir)
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<div><a href="https://www.site'),
+        (did % 10).cast("string"),
+        F.lit('.com/a?id='), did.cast("string"),
+        F.lit('">x</a><a href=/rel/'), did.cast("string"),
+        F.lit(">r</a><a class='l' href='http://ref"),
+        (did % 7).cast("string"),
+        F.lit(".net/b'>y</a></div>"))
+    links = d.select(
+        U.registered_domain(F.col("url")).alias("src_domain"),
+        F.explode(extract_links(html)).alias("link"))
+    edges = (links
+             .withColumn("dst_domain", U.registered_domain(F.col("link")))
+             .filter(U.url_host(F.col("link")) != "")
+             .groupBy("src_domain", "dst_domain")
+             .agg(F.count(F.lit(1)).alias("n_links")))
+    return edges.orderBy("src_domain", "dst_domain")
+
+
+SQL_LINK_GRAPH = f"""
+WITH raw AS ({_SQL_DOC_URL}),
+src AS (
+  SELECT doc_id, {_SQL_URL_HOST} AS host FROM raw
+),
+srcdom AS (
+  SELECT doc_id, {_SQL_REG_DOMAIN} AS src_domain FROM src
+),
+pages AS (
+  SELECT doc_id,
+    '<div><a href="https://www.site' || CAST(doc_id % 10 AS VARCHAR)
+    || '.com/a?id=' || CAST(doc_id AS VARCHAR)
+    || '">x</a><a href=/rel/' || CAST(doc_id AS VARCHAR)
+    || '>r</a><a class=''l'' href=''http://ref'
+    || CAST(doc_id % 7 AS VARCHAR)
+    || '.net/b''>y</a></div>' AS html
+  FROM raw
+),
+links AS (
+  SELECT doc_id, unnest(regexp_extract_all(html,
+    '(?i)<a[^>]*\\shref\\s*=\\s*["'']?([^"''\\s>]+)', 1)) AS link
+  FROM pages
+),
+hosted AS (
+  SELECT doc_id, link,
+    lower(regexp_extract(link,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
+  FROM links
+),
+dst AS (
+  SELECT doc_id, {_SQL_REG_DOMAIN} AS dst_domain
+  FROM hosted WHERE host <> ''
+)
+SELECT s.src_domain, d.dst_domain, COUNT(*)::BIGINT AS n_links
+FROM dst d JOIN srcdom s USING (doc_id)
+GROUP BY s.src_domain, d.dst_domain
+ORDER BY src_domain, dst_domain
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5679,6 +5750,7 @@ ORDER BY p_name_l, p_name_r
 # their r3 hash-green rows, and entry() + bench.py exercise them every
 # round regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "link_graph_docs": q_link_graph_docs,  # new r4: outlinks -> domain graph
     "normalize_text_docs": q_normalize_text_docs,  # new r4: unicode cleanup
     "fuzzy_part_names": q_fuzzy_part_names,  # new r4: blocked levenshtein pairs
     "url_parse_docs": q_url_parse_docs,  # new r4: URL battery parse/canonicalize
@@ -5718,7 +5790,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "decontaminate_docs": q_decontaminate_docs,
-    "stream_tumbling_events": q_stream_tumbling_events,
     "dsir_select_docs": q_dsir_select_docs,  # new r4, never driver-checked: value-level oracle
     "bpe_merges_docs": q_bpe_merges_docs,  # new r4, never driver-checked (rows-only by design)
     "ccnet_buckets_docs": q_ccnet_buckets_docs,  # new r4: value-level oracle
@@ -5730,6 +5801,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_js_drift": q_snapshot_js_drift,  # new r4: value-level oracle
     "stream_drift_hourly": q_stream_drift_hourly,  # new r4: value-level oracle
     # ---- below the 50-slot driver window from here down ----
+    "stream_tumbling_events": q_stream_tumbling_events,  # r2-green; local sweep covers
     "stream_sliding_events": q_stream_sliding_events,  # r2-green; local sweep covers
     "stream_session_events": q_stream_session_events,  # r2-green; local sweep covers
     "stream_stateful_counts": q_stream_stateful_counts,  # r2-green; r3 rotation green; local sweep covers
@@ -5847,6 +5919,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _ORACLES: dict[str, str] = {
+    "link_graph_docs": SQL_LINK_GRAPH,
     "normalize_text_docs": SQL_NORMALIZE_TEXT,
     "fuzzy_part_names": SQL_FUZZY_PART_NAMES,
     "url_parse_docs": SQL_URL_PARSE,

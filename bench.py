@@ -132,6 +132,7 @@ HEADLINE = [
     "domain_stats_docs",
     "normalize_text_docs",
     "fuzzy_part_names",
+    "link_graph_docs",
 ]
 
 

@@ -109,3 +109,14 @@ def test_domain_stats(spark):
     assert out["example.com"].total_chars == 6
     assert out["example.com"].avg_quality == pytest.approx(2.0)
     assert out["other.org"].n_docs == 1
+
+
+def test_extract_links_quoting_styles(spark):
+    from wrangle_pypes_spark.functions.text import extract_links
+    html = ('<div><a class=x href="https://a.com/p">t</a>'
+            '<A HREF=/rel>u</A>'
+            "<a data-1 href='http://b.org/q?z=1'>v</a>"
+            '<a name=no-href>w</a></div>')
+    [r] = spark.createDataFrame([Row(h=html)]).select(
+        extract_links(F.col("h")).alias("l")).collect()
+    assert r.l == ["https://a.com/p", "/rel", "http://b.org/q?z=1"]

@@ -28,6 +28,7 @@ from .text import (
     chunk_documents,
     corpus_top_ngrams,
     doc_fingerprint,
+    extract_links,
     inverted_index,
     lang_id,
     normalize_text,
@@ -43,7 +44,7 @@ from .text import (
 __all__ = ("STOPWORDS", "bigram_logprob_score", "bm25_scores", "bpe_induce", "bpe_segment",
            "chunk_documents",
            "corpus_top_ngrams", "html_to_text",
-           "doc_fingerprint", "inverted_index", "lang_id", "quality_score",
+           "doc_fingerprint", "extract_links", "inverted_index", "lang_id", "quality_score",
            "token_count", "token_pmi_pairs", "tokens", "normalize_text",
            "unigram_logprob_score", "word_ngrams", "zipf_fit",
            "blocklist_filter", "canonical_url", "domain_stats",

@@ -608,6 +608,20 @@ def html_to_text(html: Column) -> Column:
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
+def extract_links(html: Column) -> Column:
+    """All ``href`` targets in an HTML document, in document order —
+    the crawl-frontier / link-graph half of web ingest (PageRank over
+    the domain graph, anchor harvesting, outlink counts).
+
+    One ``regexp_extract_all`` — map-only, JVM-side.  Handles single-,
+    double-, and un-quoted attribute values; case-insensitive; tolerant
+    of other attributes before ``href``.  RE2-safe (no lookaround) so
+    the identical pattern runs in oracle engines.
+    """
+    pat = r"""(?i)<a[^>]*\shref\s*=\s*["']?([^"'\s>]+)"""
+    return F.regexp_extract_all(html, F.lit(pat), F.lit(1))
+
+
 def bigram_logprob_score(docs: DataFrame, text_col: str = "text", *,
                          id_col: str = "doc_id",
                          alpha: float = 1.0,
