@@ -5733,6 +5733,53 @@ ORDER BY src_domain, dst_domain
 """
 
 
+def q_source_overlap_docs(spark, sf_dir):
+    """Cross-source content-overlap matrix (operators/dedup.py
+    ``source_overlap``) over word-3-gram shingles: per source pair,
+    common/total distinct shingles → jaccard + containment — the
+    "is source X a scrape of source Y" forensic.  One distinct on
+    (shingle, source); self-join fan-out bounded by the source count;
+    k-row totals broadcast."""
+    from wrangle_pypes_spark.operators.dedup import source_overlap
+    from wrangle_pypes_spark.functions.text import word_ngrams
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("source",
+                  F.explode(word_ngrams(F.col("text"), 3)).alias("shingle"))
+    return (source_overlap(sh, source_col="source",
+                           fingerprint_col="shingle")
+            .orderBy("source_a", "source_b"))
+
+
+SQL_SOURCE_OVERLAP = """
+WITH t AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), mem AS (
+  SELECT DISTINCT source, unnest(CASE WHEN len(toks) >= 3 THEN list_transform(
+             range(1, len(toks) - 1),
+             i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [] END) AS shingle
+  FROM t
+), tot AS (
+  SELECT source, count(*) AS n FROM mem GROUP BY source
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+  FROM mem a JOIN mem b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.source_a, p.source_b,
+  p.n_common::BIGINT AS n_common,
+  ta.n::BIGINT AS n_a, tb.n::BIGINT AS n_b,
+  round(p.n_common / (ta.n + tb.n - p.n_common), 6) AS jaccard,
+  round(p.n_common / least(ta.n, tb.n), 6) AS containment
+FROM pairs p
+JOIN tot ta ON ta.source = p.source_a
+JOIN tot tb ON tb.source = p.source_b
+ORDER BY source_a, source_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5750,6 +5797,7 @@ ORDER BY src_domain, dst_domain
 # their r3 hash-green rows, and entry() + bench.py exercise them every
 # round regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "source_overlap_docs": q_source_overlap_docs,  # new r4: cross-source shingle overlap
     "link_graph_docs": q_link_graph_docs,  # new r4: outlinks -> domain graph
     "normalize_text_docs": q_normalize_text_docs,  # new r4: unicode cleanup
     "fuzzy_part_names": q_fuzzy_part_names,  # new r4: blocked levenshtein pairs
@@ -5787,7 +5835,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_pair_audit": q_dedup_pair_audit,  # new r4
     "stratified_sample_langs": q_stratified_sample_langs,  # md5 value-level oracle, driver last saw rows-only
     "gopher_quality": q_gopher_quality,
-    "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "decontaminate_docs": q_decontaminate_docs,
     "dsir_select_docs": q_dsir_select_docs,  # new r4, never driver-checked: value-level oracle
@@ -5801,6 +5848,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_js_drift": q_snapshot_js_drift,  # new r4: value-level oracle
     "stream_drift_hourly": q_stream_drift_hourly,  # new r4: value-level oracle
     # ---- below the 50-slot driver window from here down ----
+    "repetition_stats": q_repetition_stats,  # r2-green + replica tests; local sweep covers
     "stream_tumbling_events": q_stream_tumbling_events,  # r2-green; local sweep covers
     "stream_sliding_events": q_stream_sliding_events,  # r2-green; local sweep covers
     "stream_session_events": q_stream_session_events,  # r2-green; local sweep covers
@@ -5919,6 +5967,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _ORACLES: dict[str, str] = {
+    "source_overlap_docs": SQL_SOURCE_OVERLAP,
     "link_graph_docs": SQL_LINK_GRAPH,
     "normalize_text_docs": SQL_NORMALIZE_TEXT,
     "fuzzy_part_names": SQL_FUZZY_PART_NAMES,

@@ -133,6 +133,7 @@ HEADLINE = [
     "normalize_text_docs",
     "fuzzy_part_names",
     "link_graph_docs",
+    "source_overlap_docs",
 ]
 
 

@@ -529,3 +529,29 @@ def test_pair_metrics_counts_and_ratios(spark):
 
     r3 = pair_metrics(empty, empty).collect()[0]
     assert (r3.n_pred, r3.n_truth, r3.n_hit) == (0, 0, 0)  # never NULL
+
+
+def test_source_overlap_matrix(spark):
+    from wrangle_pypes_spark.operators.dedup import source_overlap
+    rows = [("a", "x"), ("a", "y"), ("a", "z"),
+            ("b", "y"), ("b", "z"), ("b", "w"),
+            ("c", "q"), ("a", "y"), (None, "x")]
+    df = spark.createDataFrame(rows, "src string, fp string")
+    out = {(r.source_a, r.source_b): r for r in source_overlap(
+        df, source_col="src", fingerprint_col="fp").collect()}
+    ab = out[("a", "b")]
+    assert (ab.n_common, ab.n_a, ab.n_b) == (2, 3, 3)  # dup (a,y) collapsed
+    assert ab.jaccard == pytest.approx(2 / 4)
+    assert ab.containment == pytest.approx(2 / 3)
+    assert ("a", "c") not in out  # zero-overlap pairs omitted
+    assert all(k[0] is not None for k in out)  # null source dropped
+
+
+def test_source_overlap_arg_validation(spark):
+    from wrangle_pypes_spark.operators.dedup import source_overlap
+    df = spark.createDataFrame([("a", "x")], "src string, fp string")
+    with pytest.raises(ValueError):
+        source_overlap(df, source_col="src")
+    with pytest.raises(ValueError):
+        source_overlap(df, source_col="src", text_col="fp",
+                       fingerprint_col="fp")

@@ -813,3 +813,59 @@ def pair_metrics(pred: DataFrame, truth: DataFrame, *,
         F.round(prec, round_digits).alias("precision"),
         F.round(rec, round_digits).alias("recall"),
         F.round(f1, round_digits).alias("f1"))
+
+
+def source_overlap(df: DataFrame, *, source_col: str,
+                   text_col: Optional[str] = None,
+                   fingerprint_col: Optional[str] = None,
+                   round_digits: int = 6) -> DataFrame:
+    """Cross-source duplicate-leakage matrix: for every pair of
+    sources, how much content they share — (source_a, source_b,
+    n_common, n_a, n_b, jaccard, containment), one row per unordered
+    pair with any overlap.
+
+    The corpus-forensics aggregate behind "is source X just a scrape
+    of source Y": high containment with modest jaccard = one source
+    embeds the other; high jaccard = mirrors.  Counts are over DISTINCT
+    content fingerprints (exact md5 of ``text_col`` by default, or a
+    caller-supplied ``fingerprint_col`` — e.g. a minhash band key for
+    fuzzy overlap).
+
+    Scale: one distinct on (fingerprint, source) — the only data-sized
+    shuffle; the self-join key is the fingerprint, whose fan-out is
+    bounded by the SOURCE count (a categorical dim, not data-sized), so
+    pair rows are ≤ S²/2 per fingerprint; per-source totals are a
+    k-row aggregate broadcast back onto the k²-row pair table.
+    """
+    if (text_col is None) == (fingerprint_col is None):
+        raise ValueError("pass exactly one of text_col / fingerprint_col")
+    fp = (F.md5(F.col(text_col).cast("string")) if text_col is not None
+          else F.col(fingerprint_col))
+    mem = (df.select(fp.alias("_fp"),
+                     F.col(source_col).alias("_src"))
+             .filter(F.col("_src").isNotNull())
+             .distinct())
+    totals = mem.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
+    a = mem.select(F.col("_fp"), F.col("_src").alias("source_a"))
+    b = mem.select(F.col("_fp"), F.col("_src").alias("source_b"))
+    pairs = (a.join(b, "_fp")
+              .filter(F.col("source_a") < F.col("source_b"))
+              .groupBy("source_a", "source_b")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    out = (pairs
+           .join(F.broadcast(totals.select(
+               F.col("_src").alias("source_a"), F.col("_n").alias("n_a"))),
+               "source_a")
+           .join(F.broadcast(totals.select(
+               F.col("_src").alias("source_b"), F.col("_n").alias("n_b"))),
+               "source_b"))
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    jac = F.col("n_common") / union
+    cont = F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))
+    return out.select(
+        "source_a", "source_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(jac, round_digits).alias("jaccard"),
+        F.round(cont, round_digits).alias("containment"))
