@@ -5780,6 +5780,92 @@ ORDER BY source_a, source_b
 """
 
 
+def q_web_ingest_docs(spark, sf_dir):
+    """Composite web-ingest pipeline in ONE plan: raw HTML → text
+    extraction (``html_to_text``) → outlink count (``extract_links``)
+    → token/quality scoring → language-signal + quality floor filter →
+    exact keep-first dedup (min doc_id per content md5).  The whole
+    chain is map-only until the single dedup aggregate; filters sit
+    before the shuffle so dropped docs never shuffle."""
+    from wrangle_pypes_spark.functions.text import (
+        extract_links, html_to_text, quality_score, stopword_ratio,
+        token_count)
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><nav>Home | About</nav><p>'),
+        F.col("text"),
+        F.lit('</p><a href="https://out'), (did % 6).cast("string"),
+        F.lit('.com/l">x</a><script>var x;</script></body></html>'))
+    staged = d.select(
+        "doc_id",
+        html_to_text(html).alias("clean"),
+        F.size(extract_links(html)).cast("long").alias("n_links"))
+    scored = staged.select(
+        "doc_id", "clean", "n_links",
+        token_count(F.col("clean")).cast("long").alias("n_tokens"),
+        quality_score(F.col("clean")).alias("quality"),
+        stopword_ratio(F.col("clean"), "en").alias("en_ratio"))
+    kept = scored.filter((F.col("en_ratio") > 0) & (F.col("quality") >= 0.4))
+    deduped = (kept.groupBy(F.md5("clean").alias("_fp"))
+               .agg(F.min_by(
+                   F.struct("doc_id", "n_tokens", "n_links", "quality"),
+                   F.col("doc_id")).alias("_r"))
+               .select("_r.doc_id", "_r.n_tokens", "_r.n_links",
+                       "_r.quality"))
+    return deduped.orderBy("doc_id")
+
+
+SQL_WEB_INGEST = """
+WITH pages AS (
+  SELECT doc_id,
+    '<html><body><nav>Home | About</nav><p>' || text
+    || '</p><a href="https://out' || CAST(doc_id % 6 AS VARCHAR)
+    || '.com/l">x</a><script>var x;</script></body></html>' AS html
+  FROM documents
+), stripped AS (
+  SELECT doc_id, html,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+          '<[^>]+>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        '&nbsp;', ' '), '&amp;', '&'),
+      '\\s+', ' ', 'g')) AS clean,
+    len(regexp_extract_all(html,
+      '(?i)<a[^>]*\\shref\\s*=\\s*["'']?([^"''\\s>]+)', 1))::BIGINT AS n_links
+  FROM pages
+), scored AS (
+  SELECT doc_id, clean, n_links,
+    len(toks)::BIGINT AS n_tokens,
+    round((
+      (length(regexp_replace(lower(clean), '[^a-z]', '', 'g'))::DOUBLE
+         / greatest(length(clean), 1))
+      + (len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1))
+      + (CASE WHEN len(toks) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+    ) / 3.0, 6) AS quality,
+    len(list_filter(toks, x -> list_contains(
+        ['the','a','and','of','to','in','is','that','it','for'], x)))::DOUBLE
+      / greatest(len(toks), 1) AS en_ratio
+  FROM (SELECT *,
+          list_filter(string_split_regex(lower(clean), '\\s+'),
+                      x -> x <> '') AS toks
+        FROM stripped)
+), kept AS (
+  SELECT * FROM scored WHERE en_ratio > 0 AND quality >= 0.4
+)
+SELECT doc_id, n_tokens, n_links, quality
+FROM kept
+QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(clean))
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5797,6 +5883,7 @@ ORDER BY source_a, source_b
 # their r3 hash-green rows, and entry() + bench.py exercise them every
 # round regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "web_ingest_docs": q_web_ingest_docs,  # new r4: composite html->clean->dedup plan
     "source_overlap_docs": q_source_overlap_docs,  # new r4: cross-source shingle overlap
     "link_graph_docs": q_link_graph_docs,  # new r4: outlinks -> domain graph
     "normalize_text_docs": q_normalize_text_docs,  # new r4: unicode cleanup
@@ -5834,7 +5921,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorize_order_totals": q_winsorize_order_totals,  # new r4
     "dedup_pair_audit": q_dedup_pair_audit,  # new r4
     "stratified_sample_langs": q_stratified_sample_langs,  # md5 value-level oracle, driver last saw rows-only
-    "gopher_quality": q_gopher_quality,
     "pii_scrub": q_pii_scrub,
     "decontaminate_docs": q_decontaminate_docs,
     "dsir_select_docs": q_dsir_select_docs,  # new r4, never driver-checked: value-level oracle
@@ -5848,6 +5934,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_js_drift": q_snapshot_js_drift,  # new r4: value-level oracle
     "stream_drift_hourly": q_stream_drift_hourly,  # new r4: value-level oracle
     # ---- below the 50-slot driver window from here down ----
+    "gopher_quality": q_gopher_quality,  # r2-green + replica tests; local sweep covers
     "repetition_stats": q_repetition_stats,  # r2-green + replica tests; local sweep covers
     "stream_tumbling_events": q_stream_tumbling_events,  # r2-green; local sweep covers
     "stream_sliding_events": q_stream_sliding_events,  # r2-green; local sweep covers
@@ -5967,6 +6054,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _ORACLES: dict[str, str] = {
+    "web_ingest_docs": SQL_WEB_INGEST,
     "source_overlap_docs": SQL_SOURCE_OVERLAP,
     "link_graph_docs": SQL_LINK_GRAPH,
     "normalize_text_docs": SQL_NORMALIZE_TEXT,

@@ -134,6 +134,7 @@ HEADLINE = [
     "fuzzy_part_names",
     "link_graph_docs",
     "source_overlap_docs",
+    "web_ingest_docs",
 ]
 
 
