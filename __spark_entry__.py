@@ -5866,6 +5866,41 @@ ORDER BY doc_id
 """
 
 
+def q_training_shards_manifest(spark, sf_dir):
+    """Training-shard export read-back (sources/sinks.py
+    ``write_training_shards``): the documents corpus is written as 8
+    deterministic shards + manifest to a scratch dir, then the DURABLE
+    manifest is read back from disk.  Shard assignment and the
+    order-insensitive content key are engine-portable md5 arithmetic,
+    so the oracle recomputes both from the raw table — proving what
+    reached disk is exactly the deterministic mapping."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.sinks import write_training_shards
+
+    out = tempfile.mkdtemp(prefix="wps_shards_q_") + "/shards"
+    d = _t(spark, sf_dir, "documents")
+    write_training_shards(d, out, id_col="doc_id", num_shards=8, seed=42)
+    man = spark.read.parquet(out + "/_shard_manifest")
+    return (man.select(F.col("shard").cast("long").alias("shard"),
+                       "n_rows", "content_key")
+            .orderBy("shard"))
+
+
+SQL_TRAINING_SHARDS = """
+WITH keyed AS (
+  SELECT ('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 12))::BIGINT AS u48
+  FROM documents
+)
+SELECT (u48 % 8)::BIGINT AS shard,
+  COUNT(*)::BIGINT AS n_rows,
+  (CAST(SUM(u48) AS HUGEINT) % 281474976710656)::BIGINT AS content_key
+FROM keyed
+GROUP BY shard
+ORDER BY shard
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5883,6 +5918,7 @@ ORDER BY doc_id
 # their r3 hash-green rows, and entry() + bench.py exercise them every
 # round regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "training_shards_manifest": q_training_shards_manifest,  # new r4: shard export read-back
     "web_ingest_docs": q_web_ingest_docs,  # new r4: composite html->clean->dedup plan
     "source_overlap_docs": q_source_overlap_docs,  # new r4: cross-source shingle overlap
     "link_graph_docs": q_link_graph_docs,  # new r4: outlinks -> domain graph
@@ -5921,7 +5957,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorize_order_totals": q_winsorize_order_totals,  # new r4
     "dedup_pair_audit": q_dedup_pair_audit,  # new r4
     "stratified_sample_langs": q_stratified_sample_langs,  # md5 value-level oracle, driver last saw rows-only
-    "pii_scrub": q_pii_scrub,
     "decontaminate_docs": q_decontaminate_docs,
     "dsir_select_docs": q_dsir_select_docs,  # new r4, never driver-checked: value-level oracle
     "bpe_merges_docs": q_bpe_merges_docs,  # new r4, never driver-checked (rows-only by design)
@@ -5934,6 +5969,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_js_drift": q_snapshot_js_drift,  # new r4: value-level oracle
     "stream_drift_hourly": q_stream_drift_hourly,  # new r4: value-level oracle
     # ---- below the 50-slot driver window from here down ----
+    "pii_scrub": q_pii_scrub,  # r2-green + unit tests; local sweep covers
     "gopher_quality": q_gopher_quality,  # r2-green + replica tests; local sweep covers
     "repetition_stats": q_repetition_stats,  # r2-green + replica tests; local sweep covers
     "stream_tumbling_events": q_stream_tumbling_events,  # r2-green; local sweep covers
@@ -6054,6 +6090,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _ORACLES: dict[str, str] = {
+    "training_shards_manifest": SQL_TRAINING_SHARDS,
     "web_ingest_docs": SQL_WEB_INGEST,
     "source_overlap_docs": SQL_SOURCE_OVERLAP,
     "link_graph_docs": SQL_LINK_GRAPH,

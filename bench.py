@@ -135,6 +135,7 @@ HEADLINE = [
     "link_graph_docs",
     "source_overlap_docs",
     "web_ingest_docs",
+    "training_shards_manifest",
 ]
 
 

@@ -320,3 +320,45 @@ def test_read_binary_files_glob(spark, tmp_path):
     out = read_binary_files(spark, str(d), glob="*.bin").collect()
     assert len(out) == 1
     assert out[0].content == b"\x00\x01\x02" and out[0].length == 3
+
+
+def test_training_shards_roundtrip_and_validate(spark, tables, tmp_path):
+    from wrangle_pypes_spark.sources.sinks import (
+        validate_shards, write_training_shards)
+    docs = spark.read.parquet(os.path.join(
+        os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+        "documents.parquet"))
+    out = str(tmp_path / "shards")
+    man = write_training_shards(docs, out, id_col="doc_id", num_shards=8)
+    rows = man.collect()
+    assert [r.shard for r in rows] == list(range(8))
+    assert sum(r.n_rows for r in rows) == docs.count()
+    # one data file per shard directory
+    for k in range(8):
+        files = [f for f in glob.glob(os.path.join(out, f"shard={k}", "*"))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, files
+    # validation from files alone agrees with the manifest
+    v = validate_shards(spark, out, id_col="doc_id").collect()
+    assert all(r.rows_ok and r.content_ok for r in v)
+    # deterministic: rewriting yields the identical manifest
+    man2 = write_training_shards(docs, str(tmp_path / "shards2"),
+                                 id_col="doc_id", num_shards=8)
+    assert sorted(map(tuple, man.collect())) == sorted(
+        map(tuple, man2.collect()))
+
+
+def test_training_shards_detect_tamper(spark, tmp_path):
+    from wrangle_pypes_spark.sources.sinks import (
+        validate_shards, write_training_shards)
+    df = spark.range(200).withColumnRenamed("id", "k") \
+        .withColumn("payload", F.col("k") * 2)
+    out = str(tmp_path / "sh")
+    write_training_shards(df, out, id_col="k", num_shards=4, seed=7)
+    # drop one shard's file: both checks must flag that shard only
+    import shutil
+    shutil.rmtree(os.path.join(out, "shard=2"))
+    v = {r.shard: r for r in validate_shards(
+        spark, out, id_col="k", seed=7).collect()}
+    assert not v[2].rows_ok and not v[2].content_ok
+    assert all(v[k].rows_ok and v[k].content_ok for k in (0, 1, 3))

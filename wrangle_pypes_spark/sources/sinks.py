@@ -327,3 +327,80 @@ def upsert_parquet(df: DataFrame, path: str, keys: Sequence[str], *,
     fsutil.rename(path, bak, spark=spark)
     fsutil.rename(tmp, path, spark=spark)
     fsutil.delete(bak, spark=spark)
+
+
+def write_training_shards(df: DataFrame, path: str, *, id_col: str,
+                          num_shards: int, seed: int = 42,
+                          mode: str = "overwrite") -> DataFrame:
+    """Export a corpus as ``num_shards`` deterministic training shards
+    plus a durable manifest — the hand-off from curation to a training
+    job.
+
+    Shard assignment is ``md5("{seed}:{id}") mod num_shards`` (the
+    engine-portable 48-bit key of operators/sampling.py), so the SAME
+    rows land in the SAME shards on every run, any cluster size, any
+    partitioning — and an external engine can recompute the mapping
+    bit-for-bit.  Rows are hash-repartitioned on the shard id (each
+    shard's rows land in exactly one task → one file per shard
+    directory) and sorted within by a seed-keyed md5 order + id, so a
+    reader streaming ``shard=K`` sees a reproducible permutation.
+
+    The manifest (``<path>/_shard_manifest``, parquet) records per
+    shard: row count and an order-insensitive content key — the sum of
+    the rows' 48-bit md5 keys mod 2^48 (decimal-summed, so no overflow
+    at any corpus size).  A reader can re-derive both from the shard
+    files alone and compare; a mismatch means a torn write or a
+    mixed-seed append.  Returns the manifest DataFrame (shard ordered).
+
+    Scale: ONE data-sized shuffle (the repartition); the manifest
+    aggregate rides the same pass shape (shard-keyed, map-side
+    partials); the manifest itself is ``num_shards`` rows.
+    """
+    from pyspark.sql import functions as F
+    from ..operators.sampling import _md5_u48_key, _md5_unit_key
+
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    u48 = _md5_u48_key(id_col, seed)
+    keyed = df.withColumn("shard", F.pmod(u48, F.lit(num_shards))
+                          .cast("int"))
+    (keyed.repartition(num_shards, "shard")
+          .sortWithinPartitions("shard", _md5_unit_key(id_col, seed),
+                                F.col(id_col))
+          .write.mode(mode).partitionBy("shard").parquet(path))
+    manifest = (keyed.groupBy("shard")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.pmod(F.sum(u48.cast("decimal(38,0)")),
+                            F.lit(2 ** 48).cast("decimal(38,0)"))
+                      .cast("long").alias("content_key"))
+                .orderBy("shard"))
+    (manifest.coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(path, "_shard_manifest")))
+    return manifest
+
+
+def validate_shards(spark, path: str, *, id_col: str, seed: int = 42
+                    ) -> DataFrame:
+    """Recompute each shard's row count and content key from the shard
+    FILES and compare against the stored manifest: returns one row per
+    shard with ``rows_ok`` / ``content_ok`` booleans (plus a row for
+    any shard present on only one side).  The read-back half of
+    :func:`write_training_shards`'s exactly-what-was-written contract.
+    """
+    from pyspark.sql import functions as F
+    from ..operators.sampling import _md5_u48_key
+
+    data = spark.read.parquet(path)
+    u48 = _md5_u48_key(id_col, seed)
+    actual = (data.groupBy("shard")
+              .agg(F.count(F.lit(1)).alias("a_rows"),
+                   F.pmod(F.sum(u48.cast("decimal(38,0)")),
+                          F.lit(2 ** 48).cast("decimal(38,0)"))
+                     .cast("long").alias("a_key")))
+    manifest = spark.read.parquet(os.path.join(path, "_shard_manifest"))
+    return (manifest.join(actual, "shard", "full_outer")
+            .select("shard", "n_rows", "a_rows",
+                    (F.col("n_rows") == F.col("a_rows")).alias("rows_ok"),
+                    (F.col("content_key") == F.col("a_key"))
+                      .alias("content_ok"))
+            .orderBy("shard"))
