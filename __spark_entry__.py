@@ -5901,6 +5901,53 @@ ORDER BY shard
 """
 
 
+def q_incremental_ingest_orders(spark, sf_dir):
+    """Exactly-once incremental file ingestion (sources/ingest.py):
+    orders land in two waves; each wave is discovered by ledger
+    anti-join, processed, and committed.  The union of the two ingested
+    batches must equal one full read — which is what the oracle checks
+    (per-status count + totals).  Ledger decisions are DataFrame
+    anti-joins (distributed), never a driver-side set."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.ingest import (
+        commit_ingest, ingest_new_files)
+
+    root = tempfile.mkdtemp(prefix="wps_ingest_q_")
+    land, ledger = root + "/landing", root + "/ledger"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1) \
+     .write.parquet(land + "/wave1")
+    pat = land + "/*/*.parquet"
+
+    got = []
+    df1, new1 = ingest_new_files(spark, pat, ledger_path=ledger)
+    got.append(df1)
+    commit_ingest(spark, new1, ledger_path=ledger, batch_id="w1")
+
+    o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1) \
+     .write.parquet(land + "/wave2")
+    df2, new2 = ingest_new_files(spark, pat, ledger_path=ledger)
+    got.append(df2)  # wave-1 files must NOT resurface here
+    commit_ingest(spark, new2, ledger_path=ledger, batch_id="w2")
+
+    all_ingested = got[0].unionByName(got[1])
+    return (all_ingested.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("o_orderstatus"))
+
+
+SQL_INCREMENTAL_INGEST = """
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+  round(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5918,6 +5965,7 @@ ORDER BY shard
 # their r3 hash-green rows, and entry() + bench.py exercise them every
 # round regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "incremental_ingest_orders": q_incremental_ingest_orders,  # new r4: ledger ingest read-back
     "training_shards_manifest": q_training_shards_manifest,  # new r4: shard export read-back
     "web_ingest_docs": q_web_ingest_docs,  # new r4: composite html->clean->dedup plan
     "source_overlap_docs": q_source_overlap_docs,  # new r4: cross-source shingle overlap
@@ -5957,7 +6005,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorize_order_totals": q_winsorize_order_totals,  # new r4
     "dedup_pair_audit": q_dedup_pair_audit,  # new r4
     "stratified_sample_langs": q_stratified_sample_langs,  # md5 value-level oracle, driver last saw rows-only
-    "decontaminate_docs": q_decontaminate_docs,
     "dsir_select_docs": q_dsir_select_docs,  # new r4, never driver-checked: value-level oracle
     "bpe_merges_docs": q_bpe_merges_docs,  # new r4, never driver-checked (rows-only by design)
     "ccnet_buckets_docs": q_ccnet_buckets_docs,  # new r4: value-level oracle
@@ -5969,6 +6016,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_js_drift": q_snapshot_js_drift,  # new r4: value-level oracle
     "stream_drift_hourly": q_stream_drift_hourly,  # new r4: value-level oracle
     # ---- below the 50-slot driver window from here down ----
+    "decontaminate_docs": q_decontaminate_docs,  # r2-green + unit tests; local sweep covers
     "pii_scrub": q_pii_scrub,  # r2-green + unit tests; local sweep covers
     "gopher_quality": q_gopher_quality,  # r2-green + replica tests; local sweep covers
     "repetition_stats": q_repetition_stats,  # r2-green + replica tests; local sweep covers
@@ -6090,6 +6138,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _ORACLES: dict[str, str] = {
+    "incremental_ingest_orders": SQL_INCREMENTAL_INGEST,
     "training_shards_manifest": SQL_TRAINING_SHARDS,
     "web_ingest_docs": SQL_WEB_INGEST,
     "source_overlap_docs": SQL_SOURCE_OVERLAP,

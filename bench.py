@@ -136,6 +136,7 @@ HEADLINE = [
     "source_overlap_docs",
     "web_ingest_docs",
     "training_shards_manifest",
+    "incremental_ingest_orders",
 ]
 
 

@@ -1,0 +1,122 @@
+"""Incremental file ingestion with a durable ledger — batch
+exactly-once ingest over a growing directory (the batch sibling of
+Structured Streaming's file source / checkpointed listing).
+
+A production corpus lands as files over time; each pipeline run must
+process exactly the files it has not seen.  The ledger is a parquet
+table of processed files; discovery anti-joins the current listing
+against it, so the decision is DISTRIBUTED (a million-file ledger never
+collects to the driver).
+
+Two-phase contract (crash-safe, at-least-once):
+
+1. ``discover_new_files`` — list the directory (Hadoop FS glob, the
+   same listing Spark's own scan planner does), anti-join the ledger,
+   return the new files' paths as a DataFrame.
+2. caller processes those files (idempotently — e.g. keyed
+   ``upsert_parquet`` from sources/sinks.py, or an append partitioned
+   by batch id that replay overwrites);
+3. ``commit_ingest`` — append the batch's rows to the ledger.
+
+A crash between 2 and 3 re-surfaces the same files on the next run
+(at-least-once); exactly-once end-to-end follows when step 2 is
+idempotent, which is the same contract the durable streaming
+maintainers document (streaming/windows.py).  ``commit_ingest`` itself
+is replay-safe: it re-anti-joins the ledger before appending, so a
+double commit never duplicates ledger rows.
+
+Reference analog: none — the reference reads in-memory sequences; this
+is ingest infrastructure the north star's 100 TB pipeline needs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LEDGER_SCHEMA = ("file string, size_bytes long, mtime_ms long, "
+                  "batch_id string")
+
+
+def _list_files(spark: SparkSession, pattern: str):
+    """(file, size, mtime) for every file matching the glob — the
+    driver-side Hadoop listing every Spark scan already performs."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = p.getFileSystem(conf)
+    statuses = fs.globStatus(p)
+    out = []
+    if statuses is not None:
+        for st in statuses:
+            if st.isFile():
+                out.append((st.getPath().toString(), st.getLen(),
+                            st.getModificationTime()))
+    return out
+
+
+def read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
+    """The ledger table (empty with the right schema when absent)."""
+    from .. import fsutil
+    if not fsutil.dir_exists(ledger_path, spark):
+        return spark.createDataFrame([], _LEDGER_SCHEMA)
+    return spark.read.parquet(ledger_path)
+
+
+def discover_new_files(spark: SparkSession, pattern: str, *,
+                       ledger_path: str) -> DataFrame:
+    """Files matching ``pattern`` that the ledger has not recorded:
+    (file, size_bytes, mtime_ms).  A re-landed file with the same path
+    but different size is treated as NEW (partial-upload repair);
+    same path + same size is considered processed regardless of mtime
+    (copies/rsyncs touch mtimes).
+    """
+    listing = spark.createDataFrame(
+        _list_files(spark, pattern) or [],
+        "file string, size_bytes long, mtime_ms long")
+    seen = read_ledger(spark, ledger_path).select("file", "size_bytes")
+    return listing.join(seen, ["file", "size_bytes"], "left_anti")
+
+
+def commit_ingest(spark: SparkSession, new_files: DataFrame, *,
+                  ledger_path: str, batch_id: str) -> int:
+    """Record ``new_files`` (the DataFrame from
+    :func:`discover_new_files`, or any (file, size_bytes, mtime_ms)
+    set) as processed.  Replay-safe: rows already in the ledger are
+    dropped before the append, so committing the same batch twice is a
+    no-op.  Returns the number of ledger rows actually appended.
+    """
+    seen = read_ledger(spark, ledger_path).select("file", "size_bytes")
+    fresh = (new_files.select("file", "size_bytes", "mtime_ms")
+             .dropDuplicates(["file", "size_bytes"])
+             .join(seen, ["file", "size_bytes"], "left_anti")
+             .withColumn("batch_id", F.lit(batch_id)))
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(ledger_path)
+    return n
+
+
+def ingest_new_files(spark: SparkSession, pattern: str, *,
+                     ledger_path: str, format: str = "parquet",
+                     schema: Optional[str] = None
+                     ) -> tuple[Optional[DataFrame], DataFrame]:
+    """One-call convenience: (data, new_files) where ``data`` is the
+    not-yet-processed files loaded with ``format`` (None when nothing
+    is new) and ``new_files`` is the listing to pass to
+    :func:`commit_ingest` AFTER the data is durably processed.  The
+    load pins the exact file list discovered — files landing between
+    discovery and load are left for the next run, keeping batch
+    boundaries stable.
+    """
+    new = discover_new_files(spark, pattern, ledger_path=ledger_path)
+    paths = [r.file for r in new.select("file").collect()]
+    if not paths:
+        return None, new
+    reader = spark.read.format(format)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(paths), new
