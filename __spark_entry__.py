@@ -5948,6 +5948,47 @@ ORDER BY o_orderstatus
 """
 
 
+def q_classifier_score_docs(spark, sf_dir):
+    """Classifier-based quality scoring (operators/quality.py
+    ``linear_text_scorer``): hashed bag-of-words linear inference over
+    the corpus with a deterministic synthetic weight table (bucket
+    weights mirror in the oracle; a real pipeline hands over trained
+    coefficients).  JVM-only: explode → (doc,bucket) partial agg →
+    broadcast weight join → doc-keyed sum → sigmoid."""
+    from wrangle_pypes_spark.operators.quality import linear_text_scorer
+    d = _t(spark, sf_dir, "documents")
+    weights = spark.range(65536).select(
+        F.col("id").alias("bucket"),
+        (((F.col("id") % 13) - 6) / 10.0).alias("weight"))
+    return (linear_text_scorer(d, weights, bias=0.1, round_digits=4)
+            .orderBy("doc_id"))
+
+
+SQL_CLASSIFIER_SCORE = """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '')) AS tok
+  FROM documents
+), per_bucket AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(tok), 1, 4))::BIGINT AS b,
+    COUNT(*) AS c
+  FROM toks GROUP BY doc_id, b
+), scored AS (
+  SELECT doc_id,
+    SUM(c)::BIGINT AS n_tokens,
+    0.1 + SUM(c * (((b % 13) - 6) / 10.0)) AS raw
+  FROM per_bucket GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+  round(raw, 4) AS raw_score,
+  round(1.0 / (1.0 + exp(-raw)), 4) AS prob
+FROM scored
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5965,6 +6006,7 @@ ORDER BY o_orderstatus
 # their r3 hash-green rows, and entry() + bench.py exercise them every
 # round regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "classifier_score_docs": q_classifier_score_docs,  # new r4: linear classifier inference
     "incremental_ingest_orders": q_incremental_ingest_orders,  # new r4: ledger ingest read-back
     "training_shards_manifest": q_training_shards_manifest,  # new r4: shard export read-back
     "web_ingest_docs": q_web_ingest_docs,  # new r4: composite html->clean->dedup plan
@@ -6004,7 +6046,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_zscore_events": q_stream_zscore_events,  # new r4
     "winsorize_order_totals": q_winsorize_order_totals,  # new r4
     "dedup_pair_audit": q_dedup_pair_audit,  # new r4
-    "stratified_sample_langs": q_stratified_sample_langs,  # md5 value-level oracle, driver last saw rows-only
     "dsir_select_docs": q_dsir_select_docs,  # new r4, never driver-checked: value-level oracle
     "bpe_merges_docs": q_bpe_merges_docs,  # new r4, never driver-checked (rows-only by design)
     "ccnet_buckets_docs": q_ccnet_buckets_docs,  # new r4: value-level oracle
@@ -6016,6 +6057,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_js_drift": q_snapshot_js_drift,  # new r4: value-level oracle
     "stream_drift_hourly": q_stream_drift_hourly,  # new r4: value-level oracle
     # ---- below the 50-slot driver window from here down ----
+    "stratified_sample_langs": q_stratified_sample_langs,  # r3-code md5 oracle; local sweep covers
     "decontaminate_docs": q_decontaminate_docs,  # r2-green + unit tests; local sweep covers
     "pii_scrub": q_pii_scrub,  # r2-green + unit tests; local sweep covers
     "gopher_quality": q_gopher_quality,  # r2-green + replica tests; local sweep covers
@@ -6138,6 +6180,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _ORACLES: dict[str, str] = {
+    "classifier_score_docs": SQL_CLASSIFIER_SCORE,
     "incremental_ingest_orders": SQL_INCREMENTAL_INGEST,
     "training_shards_manifest": SQL_TRAINING_SHARDS,
     "web_ingest_docs": SQL_WEB_INGEST,

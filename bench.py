@@ -137,6 +137,7 @@ HEADLINE = [
     "web_ingest_docs",
     "training_shards_manifest",
     "incremental_ingest_orders",
+    "classifier_score_docs",
 ]
 
 

@@ -582,3 +582,38 @@ def test_distribution_drift_replica_and_novel_keys(spark):
     with pytest.raises(ValueError, match="empty reference"):
         distribution_drift(counts, ref.filter("n < 0"),
                            window_col="win", key_col="k")
+
+
+def test_linear_text_scorer_exact_and_plan(spark):
+    import hashlib
+    import math
+
+    from pyspark.sql import Row
+    from wrangle_pypes_spark.operators.quality import linear_text_scorer
+    from wrangle_pypes_spark.plans import audit
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16)
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="good good stuff"),
+        Row(doc_id=2, text="bad unseen"),
+        Row(doc_id=3, text=""),
+    ])
+    weights = spark.createDataFrame(
+        [Row(bucket=bucket("good"), weight=2.0),
+         Row(bucket=bucket("stuff"), weight=0.5),
+         Row(bucket=bucket("bad"), weight=-3.0)])
+    out = linear_text_scorer(docs, weights, bias=0.25)
+    rows = {r.doc_id: r for r in out.collect()}
+    raw1 = 0.25 + 2 * 2.0 + 0.5
+    assert rows[1].raw_score == pytest.approx(raw1, abs=1e-6)
+    assert rows[1].prob == pytest.approx(1 / (1 + math.exp(-raw1)), abs=1e-6)
+    assert rows[1].n_tokens == 3
+    # unseen token contributes 0
+    assert rows[2].raw_score == pytest.approx(0.25 - 3.0, abs=1e-6)
+    # empty doc has no token rows at all (explode drops it)
+    assert 3 not in rows
+    rep = audit(out)
+    assert rep.jvm_only()
+    assert rep.broadcast_joins >= 1

@@ -916,3 +916,68 @@ def distribution_drift(counts: DataFrame, reference: DataFrame, *,
                      F.count(F.when(F.col("_pref").isNull(), 1)) == 0,
                      F.round(F.sum(term), round_digits))
                  .alias("kl_nats")))
+
+
+def linear_text_scorer(docs: DataFrame, weights: DataFrame, *,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       bucket_col: str = "bucket",
+                       weight_col: str = "weight",
+                       bias: float = 0.0,
+                       n_buckets: int = 65_536,
+                       hash_scheme: str = "md5",
+                       round_digits: int = 6) -> DataFrame:
+    """Hashed bag-of-words LINEAR classifier inference — the
+    "quality classifier" stage of modern curation pipelines
+    (fastText-style score over hashed unigram features), run entirely
+    JVM-side: no model runtime, no Python in the hot path.
+
+    ``weights`` is the trained model: (bucket, weight) rows, one per
+    non-zero feature (train anywhere — sklearn, fastText, a previous
+    Spark job — and hand the coefficients over as a table).  Each doc's
+    score is ``sigmoid(bias + Σ_tokens w[h(token)])`` where ``h`` is
+    the first-4-hex-chars-of-md5 bucket (bit-identical in any engine,
+    value-level checkable; ``hash_scheme="xxhash64"`` is the cheaper
+    engine-private twin, same contract as :func:`dsir_importance`).
+
+    Scale shape: explode tokens → per-(doc, bucket) counts (map-side
+    partial agg collapses repeated tokens BEFORE the join) → broadcast
+    hash join against the ≤ ``n_buckets``-row weight table → one
+    doc-keyed sum.  Two shuffles total (doc-bucket agg + doc agg), both
+    keyed on the doc id; the model never exceeds broadcast size by
+    construction.  Unseen buckets contribute 0 (left join, coalesce).
+
+    Output: (id, n_tokens, raw_score, prob) — filter on ``prob`` for
+    classifier-based selection, keep ``raw_score`` for calibration.
+    """
+    from ..functions.text import tokens as _tokens
+
+    if hash_scheme == "md5":
+        def h(col):
+            return F.conv(F.substring(F.md5(col), 1, 4), 16, 10) \
+                    .cast("long")
+    elif hash_scheme == "xxhash64":
+        def h(col):
+            return F.pmod(F.xxhash64(col), F.lit(n_buckets))
+    else:
+        raise ValueError(f"unknown hash_scheme {hash_scheme!r}")
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(_tokens(F.col(text_col))).alias("_tok"))
+    per_bucket = (toks.withColumn("_b", h(F.col("_tok")))
+                  .groupBy(id_col, "_b")
+                  .agg(F.count(F.lit(1)).alias("_c")))
+    w = F.broadcast(weights.select(
+        F.col(bucket_col).cast("long").alias("_b"),
+        F.col(weight_col).cast("double").alias("_w")))
+    scored = (per_bucket.join(w, "_b", "left")
+              .groupBy(id_col)
+              .agg(F.sum("_c").cast("long").alias("n_tokens"),
+                   (F.lit(bias) + F.sum(
+                       F.col("_c") * F.coalesce(F.col("_w"), F.lit(0.0))))
+                   .alias("_raw")))
+    return scored.select(
+        id_col, "n_tokens",
+        F.round("_raw", round_digits).alias("raw_score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_raw"))),
+                round_digits).alias("prob"))
