@@ -5989,6 +5989,40 @@ ORDER BY doc_id
 """
 
 
+def q_quantize_embeddings_int8(spark, sf_dir):
+    """int8 embedding quantization (operators/similarity.py
+    ``quantize_embeddings``): symmetric per-vector scale, values
+    clamped to [-127,127] — the 4× storage/shuffle cut for a 100 TB
+    embedding table.  Map-only; the roundtrip error bound and the
+    top-k recall cost are pinned in tests."""
+    from wrangle_pypes_spark.operators.similarity import quantize_embeddings
+    e = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e, "embedding", round_scale_digits=6)
+    return q.select("vec_id", "q_scale", "q_embedding").orderBy("vec_id")
+
+
+SQL_QUANTIZE_EMB = """
+WITH v AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), scaled AS (
+  SELECT vec_id, vec,
+    list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+  FROM v
+)
+SELECT vec_id,
+  round(scale, 6) AS q_scale,
+  CASE WHEN scale = 0
+    THEN list_transform(vec, x -> 0::INT)
+    ELSE list_transform(vec, x ->
+      greatest(-127, least(127, round(x / scale)::INT))::INT)
+  END AS q_embedding
+FROM scaled
+ORDER BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6006,6 +6040,7 @@ ORDER BY doc_id
 # their r3 hash-green rows, and entry() + bench.py exercise them every
 # round regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "quantize_embeddings_int8": q_quantize_embeddings_int8,  # new r4: int8 quantization
     "classifier_score_docs": q_classifier_score_docs,  # new r4: linear classifier inference
     "incremental_ingest_orders": q_incremental_ingest_orders,  # new r4: ledger ingest read-back
     "training_shards_manifest": q_training_shards_manifest,  # new r4: shard export read-back
@@ -6044,7 +6079,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # new r4 (rows-only by design)
     "bm25_search_docs": q_bm25_search_docs,  # new r4
     "stream_zscore_events": q_stream_zscore_events,  # new r4
-    "winsorize_order_totals": q_winsorize_order_totals,  # new r4
     "dedup_pair_audit": q_dedup_pair_audit,  # new r4
     "dsir_select_docs": q_dsir_select_docs,  # new r4, never driver-checked: value-level oracle
     "bpe_merges_docs": q_bpe_merges_docs,  # new r4, never driver-checked (rows-only by design)
@@ -6057,6 +6091,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_js_drift": q_snapshot_js_drift,  # new r4: value-level oracle
     "stream_drift_hourly": q_stream_drift_hourly,  # new r4: value-level oracle
     # ---- below the 50-slot driver window from here down ----
+    "winsorize_order_totals": q_winsorize_order_totals,  # r4; exact-cut oracle green locally; local sweep covers
     "stratified_sample_langs": q_stratified_sample_langs,  # r3-code md5 oracle; local sweep covers
     "decontaminate_docs": q_decontaminate_docs,  # r2-green + unit tests; local sweep covers
     "pii_scrub": q_pii_scrub,  # r2-green + unit tests; local sweep covers
@@ -6180,6 +6215,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _ORACLES: dict[str, str] = {
+    "quantize_embeddings_int8": SQL_QUANTIZE_EMB,
     "classifier_score_docs": SQL_CLASSIFIER_SCORE,
     "incremental_ingest_orders": SQL_INCREMENTAL_INGEST,
     "training_shards_manifest": SQL_TRAINING_SHARDS,

@@ -138,6 +138,7 @@ HEADLINE = [
     "training_shards_manifest",
     "incremental_ingest_orders",
     "classifier_score_docs",
+    "quantize_embeddings_int8",
 ]
 
 

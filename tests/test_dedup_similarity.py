@@ -555,3 +555,63 @@ def test_source_overlap_arg_validation(spark):
     with pytest.raises(ValueError):
         source_overlap(df, source_col="src", text_col="fp",
                        fingerprint_col="fp")
+
+
+def test_quantize_roundtrip_error_bound(spark, sf_dir):
+    from wrangle_pypes_spark.operators.similarity import (
+        dequantize_embeddings, quantize_embeddings)
+    import os
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = quantize_embeddings(emb, "embedding")
+    back = dequantize_embeddings(q, out_col="recon")
+    err = back.select(F.aggregate(
+        F.zip_with("embedding", "recon",
+                   lambda a, b: F.abs(a.cast("double") - b)),
+        F.lit(0.0), lambda acc, x: F.greatest(acc, x)).alias("max_err"),
+        (F.col("q_scale") / 2 + 1e-12).alias("bound"))
+    bad = err.filter(F.col("max_err") > F.col("bound")).count()
+    assert bad == 0
+    # int8 range respected
+    rng = q.select(F.aggregate(
+        "q_embedding", F.lit(0),
+        lambda acc, x: F.greatest(acc, F.abs(x))).alias("m"))
+    assert rng.agg(F.max("m")).first()[0] <= 127
+
+
+def test_quantize_zero_vector_and_plan(spark):
+    from pyspark.sql import Row
+    from wrangle_pypes_spark.operators.similarity import (
+        dequantize_embeddings, quantize_embeddings)
+    from wrangle_pypes_spark.plans import audit
+    df = spark.createDataFrame([Row(v=[0.0, 0.0]), Row(v=[1.0, -2.0])])
+    q = quantize_embeddings(df, "v")
+    rows = q.collect()
+    assert rows[0].q_embedding == [0, 0] and rows[0].q_scale == 0.0
+    assert rows[1].q_embedding[1] == -127
+    back = dequantize_embeddings(q, out_col="r").collect()
+    assert back[0].r == [0.0, 0.0]
+    rep = audit(q)
+    assert rep.jvm_only() and rep.shuffle_count() == 0
+
+
+def test_quantized_cosine_topk_recall(spark, sf_dir):
+    """int8 top-k vs exact top-k: recall@5 stays high — the pinned
+    cost of the 4x storage cut."""
+    import os
+    from wrangle_pypes_spark.operators.similarity import (
+        cosine_topk, dequantize_embeddings, quantize_embeddings)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, vec_col="embedding",
+                        id_col="vec_id", k=5)
+    recon = dequantize_embeddings(
+        quantize_embeddings(emb, "embedding"), out_col="embedding_r") \
+        .select("vec_id", F.col("embedding_r").alias("embedding"), "label")
+    approx = cosine_topk(recon, queries, vec_col="embedding",
+                         id_col="vec_id", k=5)
+    e = {(r[0], r[1]) for r in exact.select(exact.columns[0],
+                                            exact.columns[1]).collect()}
+    a = {(r[0], r[1]) for r in approx.select(approx.columns[0],
+                                             approx.columns[1]).collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, (recall, len(e))
