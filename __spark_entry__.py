@@ -6023,6 +6023,55 @@ ORDER BY vec_id
 """
 
 
+def q_anchor_text_docs(spark, sf_dir):
+    """Anchor-text harvesting (functions/text.py
+    ``extract_links_with_text``): (href, anchor) pairs from synthetic
+    HTML — weak supervision for retrieval training (anchor text
+    describes the TARGET page).  Map-only: two regexp passes zipped
+    into structs, one explode."""
+    from wrangle_pypes_spark.functions.text import extract_links_with_text
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<p><a href="https://t'), (did % 9).cast("string"),
+        F.lit('.com/p?i='), did.cast("string"),
+        F.lit('">Read about topic '), (did % 9).cast("string"),
+        F.lit("</a> mid <a class='z' href='/local/"),
+        did.cast("string"),
+        F.lit("'>more <b>details</b></a></p>"))
+    pairs = d.select(
+        "doc_id",
+        F.explode(extract_links_with_text(html)).alias("p"))
+    return (pairs.select("doc_id", F.col("p.href").alias("href"),
+                         F.col("p.anchor").alias("anchor"))
+            .orderBy("doc_id", "href"))
+
+
+SQL_ANCHOR_TEXT = """
+WITH pages AS (
+  SELECT doc_id,
+    '<p><a href="https://t' || CAST(doc_id % 9 AS VARCHAR)
+    || '.com/p?i=' || CAST(doc_id AS VARCHAR)
+    || '">Read about topic ' || CAST(doc_id % 9 AS VARCHAR)
+    || '</a> mid <a class=''z'' href=''/local/'
+    || CAST(doc_id AS VARCHAR)
+    || '''>more <b>details</b></a></p>' AS html
+  FROM documents
+), ext AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(html,
+      '(?is)<a[^>]*\\shref\\s*=\\s*["'']?([^"''\\s>]+)[^>]*>(.*?)</a\\s*>',
+      1)) AS href,
+    unnest(regexp_extract_all(html,
+      '(?is)<a[^>]*\\shref\\s*=\\s*["'']?([^"''\\s>]+)[^>]*>(.*?)</a\\s*>',
+      2)) AS anchor
+  FROM pages
+)
+SELECT doc_id, href, anchor FROM ext
+ORDER BY doc_id, href
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6040,6 +6089,7 @@ ORDER BY vec_id
 # their r3 hash-green rows, and entry() + bench.py exercise them every
 # round regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "anchor_text_docs": q_anchor_text_docs,  # new r4: anchor-text harvesting
     "quantize_embeddings_int8": q_quantize_embeddings_int8,  # new r4: int8 quantization
     "classifier_score_docs": q_classifier_score_docs,  # new r4: linear classifier inference
     "incremental_ingest_orders": q_incremental_ingest_orders,  # new r4: ledger ingest read-back
@@ -6067,7 +6117,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_zscore_events": q_rolling_zscore_events,  # new r4
     "weighted_sample_docs": q_weighted_sample_docs,  # new r4
     "topp_quality_per_source": q_topp_quality_per_source,  # new r4
-    "bucketize_order_totals": q_bucketize_order_totals,  # new r4
     "merge_intervals_user": q_merge_intervals_user,  # new r4
     "snapshot_diff_docs": q_snapshot_diff_docs,  # new r4
     "rolling_median_orders": q_rolling_median_orders,  # new r4
@@ -6091,6 +6140,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_js_drift": q_snapshot_js_drift,  # new r4: value-level oracle
     "stream_drift_hourly": q_stream_drift_hourly,  # new r4: value-level oracle
     # ---- below the 50-slot driver window from here down ----
+    "bucketize_order_totals": q_bucketize_order_totals,  # r4; exact-cut oracle green locally; local sweep covers
     "winsorize_order_totals": q_winsorize_order_totals,  # r4; exact-cut oracle green locally; local sweep covers
     "stratified_sample_langs": q_stratified_sample_langs,  # r3-code md5 oracle; local sweep covers
     "decontaminate_docs": q_decontaminate_docs,  # r2-green + unit tests; local sweep covers
@@ -6215,6 +6265,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _ORACLES: dict[str, str] = {
+    "anchor_text_docs": SQL_ANCHOR_TEXT,
     "quantize_embeddings_int8": SQL_QUANTIZE_EMB,
     "classifier_score_docs": SQL_CLASSIFIER_SCORE,
     "incremental_ingest_orders": SQL_INCREMENTAL_INGEST,

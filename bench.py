@@ -139,6 +139,7 @@ HEADLINE = [
     "incremental_ingest_orders",
     "classifier_score_docs",
     "quantize_embeddings_int8",
+    "anchor_text_docs",
 ]
 
 

@@ -120,3 +120,16 @@ def test_extract_links_quoting_styles(spark):
     [r] = spark.createDataFrame([Row(h=html)]).select(
         extract_links(F.col("h")).alias("l")).collect()
     assert r.l == ["https://a.com/p", "/rel", "http://b.org/q?z=1"]
+
+
+def test_extract_links_with_text(spark):
+    from wrangle_pypes_spark.functions.text import extract_links_with_text
+    html = ('<p><a href="https://a.com/p">First link</a> and '
+            "<a class='x' href='/rel'>second <b>bold</b></a>"
+            '<a name=skip>no href</a></p>')
+    [r] = spark.createDataFrame([Row(h=html)]).select(
+        extract_links_with_text(F.col("h")).alias("l")).collect()
+    assert [(x.href, x.anchor) for x in r.l] == [
+        ("https://a.com/p", "First link"),
+        ("/rel", "second <b>bold</b>"),
+    ]

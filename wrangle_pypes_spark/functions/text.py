@@ -622,6 +622,28 @@ def extract_links(html: Column) -> Column:
     return F.regexp_extract_all(html, F.lit(pat), F.lit(1))
 
 
+def extract_links_with_text(html: Column) -> Column:
+    """(href, anchor_text) struct pairs in document order — anchor text
+    is a classic relevance/label signal (it describes the TARGET page,
+    so harvesting it builds weak supervision for retrieval training).
+
+    Two ``regexp_extract_all`` passes over the SAME pattern (one per
+    capture group — the engine extracts one group per call), zipped
+    into structs; the match sets are identical by construction, so the
+    zip never misaligns.  Anchor text is the raw inner HTML of the
+    ``<a>`` element (may itself contain tags — run
+    :func:`html_to_text` over it for plain text); non-``<a>``-wrapped
+    urls are not matched, same contract as :func:`extract_links`.
+    """
+    pat = (r"""(?is)<a[^>]*\shref\s*=\s*["']?([^"'\s>]+)[^>]*>"""
+           r"""(.*?)</a\s*>""")
+    hrefs = F.regexp_extract_all(html, F.lit(pat), F.lit(1))
+    texts = F.regexp_extract_all(html, F.lit(pat), F.lit(2))
+    return F.zip_with(hrefs, texts,
+                      lambda h, t: F.struct(h.alias("href"),
+                                            t.alias("anchor")))
+
+
 def bigram_logprob_score(docs: DataFrame, text_col: str = "text", *,
                          id_col: str = "doc_id",
                          alpha: float = 1.0,
