@@ -6072,6 +6072,18 @@ ORDER BY doc_id, href
 """
 
 
+def q_compression_ratio_docs(spark, sf_dir):
+    """Compression-ratio quality signal (operators/quality.py
+    ``compression_ratio``): per-doc zlib ratio via the engine's one
+    deliberate Arrow-batched pandas UDF (no JVM DEFLATE expression
+    exists).  Rows-only by design: compressed size is zlib-build
+    specific, so cross-engine value checks are wrong by construction;
+    the in-process replica test pins the exact arithmetic."""
+    from wrangle_pypes_spark.operators.quality import compression_ratio
+    d = _t(spark, sf_dir, "documents")
+    return compression_ratio(d).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6089,6 +6101,7 @@ ORDER BY doc_id, href
 # their r3 hash-green rows, and entry() + bench.py exercise them every
 # round regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "compression_ratio_docs": q_compression_ratio_docs,  # new r4: rows-only by design (zlib)
     "anchor_text_docs": q_anchor_text_docs,  # new r4: anchor-text harvesting
     "quantize_embeddings_int8": q_quantize_embeddings_int8,  # new r4: int8 quantization
     "classifier_score_docs": q_classifier_score_docs,  # new r4: linear classifier inference
@@ -6117,7 +6130,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_zscore_events": q_rolling_zscore_events,  # new r4
     "weighted_sample_docs": q_weighted_sample_docs,  # new r4
     "topp_quality_per_source": q_topp_quality_per_source,  # new r4
-    "merge_intervals_user": q_merge_intervals_user,  # new r4
     "snapshot_diff_docs": q_snapshot_diff_docs,  # new r4
     "rolling_median_orders": q_rolling_median_orders,  # new r4
     "pagerank_trade_graph": q_pagerank_trade_graph,  # new r4 (rows-only by design)
@@ -6140,6 +6152,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_js_drift": q_snapshot_js_drift,  # new r4: value-level oracle
     "stream_drift_hourly": q_stream_drift_hourly,  # new r4: value-level oracle
     # ---- below the 50-slot driver window from here down ----
+    "merge_intervals_user": q_merge_intervals_user,  # r4; exact-integer oracle green locally; local sweep covers
     "bucketize_order_totals": q_bucketize_order_totals,  # r4; exact-cut oracle green locally; local sweep covers
     "winsorize_order_totals": q_winsorize_order_totals,  # r4; exact-cut oracle green locally; local sweep covers
     "stratified_sample_langs": q_stratified_sample_langs,  # r3-code md5 oracle; local sweep covers

@@ -140,6 +140,7 @@ HEADLINE = [
     "classifier_score_docs",
     "quantize_embeddings_int8",
     "anchor_text_docs",
+    "compression_ratio_docs",
 ]
 
 

@@ -617,3 +617,32 @@ def test_linear_text_scorer_exact_and_plan(spark):
     rep = audit(out)
     assert rep.jvm_only()
     assert rep.broadcast_joins >= 1
+
+
+def test_compression_ratio_signal_and_replica(spark):
+    import zlib
+
+    from pyspark.sql import Row
+    from wrangle_pypes_spark.operators.quality import compression_ratio
+
+    rep = "spam " * 200
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "wanders toward a entirely different meadow full of words")
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=rep),
+        Row(doc_id=2, text=prose),
+        Row(doc_id=3, text=""),
+        Row(doc_id=4, text=None),
+    ])
+    rows = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    # repetitive text compresses far below prose
+    assert rows[1].ratio < rows[2].ratio
+    # in-process replica pins the exact arithmetic
+    for did, t in ((1, rep), (2, prose)):
+        b = t.encode()
+        assert rows[did].n_bytes == len(b)
+        assert rows[did].n_compressed == len(zlib.compress(b, 6))
+        assert rows[did].ratio == pytest.approx(
+            round(len(zlib.compress(b, 6)) / len(b), 4))
+    assert rows[3].n_bytes == 0 and rows[3].ratio is None
+    assert rows[4].n_bytes is None and rows[4].ratio is None
