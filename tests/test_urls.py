@@ -71,7 +71,33 @@ def test_canonical_url(urls_df):
 def test_host_suffix_set(spark):
     df = spark.createDataFrame([Row(h="a.b.co.uk")])
     [r] = df.select(host_suffix_set(F.col("h")).alias("s")).collect()
-    assert r.s == ["a.b.co.uk", "b.co.uk", "co.uk", "uk"]
+    assert r.s == ["uk", "co.uk", "b.co.uk", "a.b.co.uk"]
+
+
+def test_host_suffix_set_deep_host_keeps_short_suffixes(spark):
+    # a 10-label host must still match a registrable-domain block:
+    # the bound drops LONG suffixes, never the short ones
+    deep = ".".join(f"s{i}" for i in range(8)) + ".evil.co.uk"
+    df = spark.createDataFrame([Row(h=deep)])
+    [r] = df.select(host_suffix_set(F.col("h"), 8).alias("s")).collect()
+    assert len(r.s) == 8
+    assert r.s[0] == "uk" and r.s[1] == "co.uk"
+    assert "evil.co.uk" in r.s
+
+
+def test_blocklist_filter_deep_subdomain_cannot_evade(spark):
+    deep = ".".join(f"s{i}" for i in range(12)) + ".evil.co.uk"
+    df = spark.createDataFrame([Row(i=0, host=deep), Row(i=1, host="ok.org")])
+    bl = spark.createDataFrame([Row(domain="evil.co.uk")])
+    kept = {r.i for r in blocklist_filter(
+        df, host_col="host", blocklist=bl).collect()}
+    assert kept == {1}
+
+
+def test_canonical_url_non_url_is_null(spark):
+    df = spark.createDataFrame([Row(u="not a url"), Row(u="https://x.com/a")])
+    rows = df.select(canonical_url(F.col("u")).alias("c")).collect()
+    assert rows[0].c is None and rows[1].c == "https://x.com/a"
 
 
 def test_blocklist_filter_semantics(spark, urls_df):

@@ -109,20 +109,27 @@ def canonical_url(url: Column,
     path_norm = F.when(path.isin("", "/"), F.lit("")) \
                  .otherwise(F.regexp_replace(path, "/$", ""))
     base = F.concat(scheme, F.lit("://"), host, path_norm)
-    return F.when(sorted_q == "", base) \
+    # non-URL input (no extractable host) canonicalizes to NULL, not
+    # a junk "://" string that would collide in URL-level dedup
+    return F.when(host == "", F.lit(None).cast("string")) \
+            .when(sorted_q == "", base) \
             .otherwise(F.concat(base, F.lit("?"), sorted_q))
 
 
 def host_suffix_set(host: Column, max_labels: int = 8) -> Column:
-    """All dot-suffixes of a host, longest first: ``a.b.co.uk`` →
-    ``[a.b.co.uk, b.co.uk, co.uk, uk]``.  Bounded at ``max_labels``
-    entries, so the explode fan-out in ``blocklist_filter`` is a small
-    constant regardless of corpus size."""
+    """Dot-suffixes of a host, SHORTEST first: ``a.b.co.uk`` →
+    ``[uk, co.uk, b.co.uk, a.b.co.uk]``.  Bounded at ``max_labels``
+    entries so the probe fan-out in ``blocklist_filter`` is a small
+    constant — and anchored at the END of the host: when a host has
+    more labels than the bound, the LONG suffixes are the ones dropped,
+    never the short registrable ones a blocklist actually lists (a
+    10-label host must still match a ``co.uk``-level block; generating
+    from the front would let stacked subdomains evade the list)."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    idx = F.sequence(F.lit(1), F.least(n, F.lit(max_labels)))
+    ks = F.sequence(F.lit(1), F.least(n, F.lit(max_labels)))
     return F.transform(
-        idx, lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."))
+        ks, lambda k: F.array_join(F.slice(labels, n - k + 1, k), "."))
 
 
 def blocklist_filter(df: DataFrame, *, host_col: str,
