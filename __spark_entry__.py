@@ -5981,10 +5981,14 @@ WITH toks AS (
     0.1 + SUM(c * (((b % 13) - 6) / 10.0)) AS raw
   FROM per_bucket GROUP BY doc_id
 )
-SELECT doc_id, n_tokens,
-  round(raw, 4) AS raw_score,
-  round(1.0 / (1.0 + exp(-raw)), 4) AS prob
-FROM scored
+-- token-less docs score sigmoid(bias), mirroring linear_text_scorer's
+-- re-anchor on the distinct id set
+SELECT d.doc_id,
+  coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+  round(coalesce(raw, 0.1), 4) AS raw_score,
+  round(1.0 / (1.0 + exp(-coalesce(raw, 0.1))), 4) AS prob
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN scored USING (doc_id)
 ORDER BY doc_id
 """
 
@@ -6004,7 +6008,8 @@ def q_quantize_embeddings_int8(spark, sf_dir):
 SQL_QUANTIZE_EMB = """
 WITH v AS (
   SELECT vec_id,
-    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+    list_transform(embedding,
+                   x -> coalesce(CAST(x AS DOUBLE), 0.0)) AS vec
   FROM embeddings
 ), scaled AS (
   SELECT vec_id, vec,
@@ -6058,6 +6063,9 @@ WITH pages AS (
     || '''>more <b>details</b></a></p>' AS html
   FROM documents
 ), ext AS (
+  -- the operator additionally sentinel-marks anchor opens so UNCLOSED
+  -- anchors yield no pair; this synthetic HTML closes every anchor,
+  -- where the marked and unmarked patterns match identically
   SELECT doc_id,
     unnest(regexp_extract_all(html,
       '(?is)<a[^>]*\\shref\\s*=\\s*["'']?([^"''\\s>]+)[^>]*>(.*?)</a\\s*>',
@@ -6101,7 +6109,13 @@ def q_compression_ratio_docs(spark, sf_dir):
 # their r3 hash-green rows, and entry() + bench.py exercise them every
 # round regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "compression_ratio_docs": q_compression_ratio_docs,  # new r4: rows-only by design (zlib)
+    # Window policy: value-level oracles the driver has never hash-
+    # confirmed outrank rows-only-by-design queries (whose driver row
+    # only proves the query runs — the local sweep proves the same).
+    "merge_intervals_user": q_merge_intervals_user,  # r4: exact-integer oracle, never driver-checked
+    "bucketize_order_totals": q_bucketize_order_totals,  # r4: exact-cut oracle, never driver-checked
+    "winsorize_order_totals": q_winsorize_order_totals,  # r4: exact-cut oracle, never driver-checked
+    "stratified_sample_langs": q_stratified_sample_langs,  # r3 md5 oracle, driver last saw rows-only
     "anchor_text_docs": q_anchor_text_docs,  # new r4: anchor-text harvesting
     "quantize_embeddings_int8": q_quantize_embeddings_int8,  # new r4: int8 quantization
     "classifier_score_docs": q_classifier_score_docs,  # new r4: linear classifier inference
@@ -6132,17 +6146,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topp_quality_per_source": q_topp_quality_per_source,  # new r4
     "snapshot_diff_docs": q_snapshot_diff_docs,  # new r4
     "rolling_median_orders": q_rolling_median_orders,  # new r4
-    "pagerank_trade_graph": q_pagerank_trade_graph,  # new r4 (rows-only by design)
     "ngram_containment_docs": q_ngram_containment_docs,  # new r4
     "standardize_orders": q_standardize_orders,  # new r4
     "rollup_hist_percentiles": q_rollup_hist_percentiles,  # new r4
     "span_dedup_docs": q_span_dedup_docs,  # new r4
-    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # new r4 (rows-only by design)
     "bm25_search_docs": q_bm25_search_docs,  # new r4
     "stream_zscore_events": q_stream_zscore_events,  # new r4
     "dedup_pair_audit": q_dedup_pair_audit,  # new r4
     "dsir_select_docs": q_dsir_select_docs,  # new r4, never driver-checked: value-level oracle
-    "bpe_merges_docs": q_bpe_merges_docs,  # new r4, never driver-checked (rows-only by design)
     "ccnet_buckets_docs": q_ccnet_buckets_docs,  # new r4: value-level oracle
     "zipf_fit_corpus": q_zipf_fit_corpus,  # new r4: value-level oracle
     "corpus_data_card": q_corpus_data_card,  # new r4: value-level oracle
@@ -6152,10 +6163,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_js_drift": q_snapshot_js_drift,  # new r4: value-level oracle
     "stream_drift_hourly": q_stream_drift_hourly,  # new r4: value-level oracle
     # ---- below the 50-slot driver window from here down ----
-    "merge_intervals_user": q_merge_intervals_user,  # r4; exact-integer oracle green locally; local sweep covers
-    "bucketize_order_totals": q_bucketize_order_totals,  # r4; exact-cut oracle green locally; local sweep covers
-    "winsorize_order_totals": q_winsorize_order_totals,  # r4; exact-cut oracle green locally; local sweep covers
-    "stratified_sample_langs": q_stratified_sample_langs,  # r3-code md5 oracle; local sweep covers
+    "compression_ratio_docs": q_compression_ratio_docs,  # new r4 rows-only by design (zlib); local sweep covers; rotate r5
+    "pagerank_trade_graph": q_pagerank_trade_graph,  # new r4 rows-only by design; local sweep covers; rotate r5
+    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # new r4 rows-only by design; local sweep covers; rotate r5
+    "bpe_merges_docs": q_bpe_merges_docs,  # new r4 rows-only by design; local sweep covers; rotate r5
     "decontaminate_docs": q_decontaminate_docs,  # r2-green + unit tests; local sweep covers
     "pii_scrub": q_pii_scrub,  # r2-green + unit tests; local sweep covers
     "gopher_quality": q_gopher_quality,  # r2-green + replica tests; local sweep covers

@@ -44,6 +44,26 @@ def test_exact_dedup_deterministic(spark):
     assert sorted(r.id for r in out.collect()) == [1, 2]
 
 
+def test_dedup_null_keys_keep(spark):
+    # NULL key means "unknown" (e.g. canonical_url of a non-URL) —
+    # with null_keys="keep" those rows pass through instead of
+    # collapsing corpus-wide into one NULL group
+    from wrangle_pypes_spark.operators.dedup import dedup_keep_best
+    df = spark.createDataFrame(
+        [(1, "x", 5), (2, "x", 9), (3, None, 1), (4, None, 2)],
+        "id long, canon string, score long")
+    grouped = exact_dedup(df, ["canon"], tie_breaker="id")
+    assert sorted(r.id for r in grouped.collect()) == [1, 3]
+    kept = exact_dedup(df, ["canon"], tie_breaker="id",
+                       null_keys="keep")
+    assert sorted(r.id for r in kept.collect()) == [1, 3, 4]
+    best = dedup_keep_best(df, ["canon"], ["score"],
+                           null_keys="keep")
+    assert sorted(r.id for r in best.collect()) == [2, 3, 4]
+    with pytest.raises(ValueError, match="null_keys"):
+        exact_dedup(df, ["canon"], null_keys="drop")
+
+
 def test_shingles(spark):
     df = spark.createDataFrame([("a b c d",)], "t string")
     out = df.select(shingles(F.col("t"), 3).alias("sh")).collect()[0].sh
@@ -592,6 +612,29 @@ def test_quantize_zero_vector_and_plan(spark):
     assert back[0].r == [0.0, 0.0]
     rep = audit(q)
     assert rep.jvm_only() and rep.shuffle_count() == 0
+
+
+def test_quantize_null_element_is_zero_not_127(spark):
+    # Spark least/greatest skip NULLs, so without the coalesce a NULL
+    # element would clamp to +127 — a fabricated max-magnitude value
+    from pyspark.sql import Row
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+    from wrangle_pypes_spark.operators.similarity import (
+        dequantize_embeddings, quantize_embeddings)
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", ArrayType(DoubleType()))])
+    df = spark.createDataFrame(
+        [(1, [None, 2.0]), (2, None)], schema)
+    q = quantize_embeddings(df, "v").orderBy("id")
+    rows = q.collect()
+    # NULL element quantizes to 0 and the scale comes from 2.0 alone
+    assert rows[0].q_embedding == [0, 127]
+    assert rows[0].q_scale == pytest.approx(2.0 / 127.0)
+    back = dequantize_embeddings(q, out_col="r").orderBy("id").collect()
+    assert back[0].r[0] == 0.0
+    # NULL vector stays NULL
+    assert rows[1].q_embedding is None and rows[1].q_scale is None
 
 
 def test_quantized_cosine_topk_recall(spark, sf_dir):

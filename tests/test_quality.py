@@ -612,11 +612,34 @@ def test_linear_text_scorer_exact_and_plan(spark):
     assert rows[1].n_tokens == 3
     # unseen token contributes 0
     assert rows[2].raw_score == pytest.approx(0.25 - 3.0, abs=1e-6)
-    # empty doc has no token rows at all (explode drops it)
-    assert 3 not in rows
+    # token-less doc is NOT dropped: scores sigmoid(bias) explicitly
+    assert rows[3].n_tokens == 0
+    assert rows[3].raw_score == pytest.approx(0.25, abs=1e-6)
+    assert rows[3].prob == pytest.approx(1 / (1 + math.exp(-0.25)),
+                                         abs=1e-6)
     rep = audit(out)
     assert rep.jvm_only()
     assert rep.broadcast_joins >= 1
+
+
+def test_linear_text_scorer_honors_n_buckets(spark):
+    # md5 scheme must fold buckets by n_buckets — a model trained over
+    # a small bucket space may not silently lose 98% of its features
+    import hashlib
+
+    from pyspark.sql import Row
+    from wrangle_pypes_spark.operators.quality import linear_text_scorer
+
+    nb = 64
+    b_good = int(hashlib.md5(b"good").hexdigest()[:4], 16) % nb
+    docs = spark.createDataFrame([Row(doc_id=1, text="good good")])
+    weights = spark.createDataFrame([Row(bucket=b_good, weight=1.5)])
+    out = linear_text_scorer(docs, weights, bias=0.0, n_buckets=nb)
+    row = out.collect()[0]
+    assert row.raw_score == pytest.approx(3.0, abs=1e-6)
+
+    with pytest.raises(ValueError, match="hash_scheme"):
+        linear_text_scorer(docs, weights, hash_scheme="sha1").collect()
 
 
 def test_compression_ratio_signal_and_replica(spark):

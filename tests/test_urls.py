@@ -159,3 +159,17 @@ def test_extract_links_with_text(spark):
         ("https://a.com/p", "First link"),
         ("/rel", "second <b>bold</b>"),
     ]
+
+
+def test_extract_links_with_text_unclosed_anchor(spark):
+    # an unclosed <a> may not swallow the NEXT anchor's href as its
+    # "text" — the broken anchor yields no pair, the closed one does
+    from wrangle_pypes_spark.functions.text import (extract_links,
+                                                    extract_links_with_text)
+    html = '<a href=/x>broken <a href=/y>ok</a>'
+    df = spark.createDataFrame([Row(h=html)])
+    [r] = df.select(extract_links_with_text(F.col("h")).alias("l")).collect()
+    assert [(x.href, x.anchor) for x in r.l] == [("/y", "ok")]
+    # extract_links still surfaces both hrefs for the link graph
+    [r2] = df.select(extract_links(F.col("h")).alias("l")).collect()
+    assert r2.l == ["/x", "/y"]

@@ -631,14 +631,27 @@ def extract_links_with_text(html: Column) -> Column:
     capture group — the engine extracts one group per call), zipped
     into structs; the match sets are identical by construction, so the
     zip never misaligns.  Anchor text is the raw inner HTML of the
-    ``<a>`` element (may itself contain tags — run
+    ``<a>`` element (may itself contain non-anchor tags — run
     :func:`html_to_text` over it for plain text); non-``<a>``-wrapped
     urls are not matched, same contract as :func:`extract_links`.
+
+    UNCLOSED anchors (common in real web HTML) yield NO pair here —
+    their hrefs still appear in :func:`extract_links`.  Every anchor
+    open is first marked with a ``\\x01`` sentinel and inner text
+    matches ``[^\\x01]*?``, so a broken ``<a href=X>`` can never
+    swallow the next anchor's href into its "text" (a bare lazy
+    ``(.*?)</a>`` would span across the following ``<a``).  The
+    sentinel needs no regex lookaround, so the contract is
+    reproducible in RE2-based oracle engines; input text containing a
+    literal ``\\x01`` control char (invalid in HTML) may drop that
+    one anchor.
     """
-    pat = (r"""(?is)<a[^>]*\shref\s*=\s*["']?([^"'\s>]+)[^>]*>"""
-           r"""(.*?)</a\s*>""")
-    hrefs = F.regexp_extract_all(html, F.lit(pat), F.lit(1))
-    texts = F.regexp_extract_all(html, F.lit(pat), F.lit(2))
+    marked = F.regexp_replace(html, r"(?i)(<a[\s>])", "\x01$1")
+    pat = ("(?is)\x01<a[^>\x01]*\\shref\\s*=\\s*[\"']?"
+           "([^\"'\\s>]+)[^>\x01]*>"
+           "([^\x01]*?)</a\\s*>")
+    hrefs = F.regexp_extract_all(marked, F.lit(pat), F.lit(1))
+    texts = F.regexp_extract_all(marked, F.lit(pat), F.lit(2))
     return F.zip_with(hrefs, texts,
                       lambda h, t: F.struct(h.alias("href"),
                                             t.alias("anchor")))

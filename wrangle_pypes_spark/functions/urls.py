@@ -95,7 +95,14 @@ def canonical_url(url: Column,
 
     All JVM Column ops (split → filter → sort_array → array_join), so
     canonicalizing 100 TB of URLs stays inside whole-stage codegen.
-    Dedup on the result with ``exact_dedup``/``dedup_keep_best``.
+
+    Non-URL input (no extractable host) canonicalizes to NULL — the
+    explicit "not a URL" signal.  CONTRACT for URL-level dedup: Spark
+    groups NULL keys together, so deduping on the raw result would
+    collapse ALL non-URL rows to one survivor.  Dedup with
+    ``exact_dedup(df, ["canon"], null_keys="keep")`` /
+    ``dedup_keep_best(..., null_keys="keep")`` (NULL-keyed rows pass
+    through untouched), or filter ``canon IS NOT NULL`` first.
     """
     scheme = url_scheme(url)
     host = url_host(url)

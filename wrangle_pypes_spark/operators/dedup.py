@@ -23,24 +23,55 @@ from pyspark.sql import functions as F
 # exact
 # ---------------------------------------------------------------------------
 
+def _split_null_keys(df: DataFrame, key_cols: Sequence[str],
+                     null_keys: str):
+    """Shared NULL-key policy for the exact-dedup family.  Spark's
+    ``dropDuplicates``/``groupBy`` treat NULL keys as EQUAL, so a key
+    like ``canonical_url`` (NULL = "not a URL") would collapse every
+    NULL-keyed row corpus-wide.  ``"group"`` keeps that Spark-native
+    behavior; ``"keep"`` routes rows with ANY NULL key past the dedup
+    untouched (NULL = key unknown, not key equal) — the split is a
+    map-only filter on each branch, no extra shuffle."""
+    if null_keys not in ("group", "keep"):
+        raise ValueError(f"null_keys must be 'group' or 'keep', "
+                         f"got {null_keys!r}")
+    if null_keys == "group":
+        return df, None
+    any_null = None
+    for c in key_cols:
+        n = F.col(c).isNull()
+        any_null = n if any_null is None else (any_null | n)
+    return df.filter(~any_null), df.filter(any_null)
+
+
 def exact_dedup(df: DataFrame, cols: Sequence[str],
-                tie_breaker: Optional[str] = None) -> DataFrame:
+                tie_breaker: Optional[str] = None, *,
+                null_keys: str = "group") -> DataFrame:
     """Exact deduplication on ``cols``.
 
     With ``tie_breaker`` the kept row is deterministic (min tie_breaker
     per duplicate group) — required for oracle comparison and for
     reproducible pipelines; plain ``dropDuplicates`` keeps an arbitrary
     row.  One shuffle on ``cols`` either way.
+
+    ``null_keys="keep"`` passes rows with a NULL dedup key through
+    untouched instead of collapsing them into one NULL group — required
+    when the key means "unknown" for some rows (e.g. ``canonical_url``
+    is NULL for non-URLs).
     """
+    df, passthrough = _split_null_keys(df, cols, null_keys)
     if tie_breaker is None:
-        return df.dropDuplicates(list(cols))
-    w = Window.partitionBy(*cols).orderBy(F.col(tie_breaker).asc())
-    return (df.withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") == 1).drop("_rn"))
+        out = df.dropDuplicates(list(cols))
+    else:
+        w = Window.partitionBy(*cols).orderBy(F.col(tie_breaker).asc())
+        out = (df.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1).drop("_rn"))
+    return out if passthrough is None else out.unionByName(passthrough)
 
 
 def dedup_keep_best(df: DataFrame, key_cols: Sequence[str],
-                    order_cols: Sequence[Column | str]) -> DataFrame:
+                    order_cols: Sequence[Column | str], *,
+                    null_keys: str = "group") -> DataFrame:
     """One row per ``key_cols`` group: the row MAXIMIZING ``order_cols``
     (lexicographic; include a unique column last for a deterministic
     pick — e.g. keep the LONGEST document per content fingerprint with
@@ -55,13 +86,19 @@ def dedup_keep_best(df: DataFrame, key_cols: Sequence[str],
     HashAggregate — the reduction still happens before the shuffle,
     which is what matters at scale.)  The same aggregate is what a
     streaming/incremental refresh would merge.
+
+    ``null_keys="keep"`` passes rows with a NULL group key through
+    untouched (see :func:`exact_dedup`).
     """
+    df, passthrough = _split_null_keys(df, key_cols, null_keys)
     ordkey = F.struct(*[F.col(c) if isinstance(c, str) else c
                         for c in order_cols])
     payload = F.struct(*[F.col(c) for c in df.columns])
     best = (df.groupBy(*key_cols)
             .agg(F.max_by(payload, ordkey).alias("_best")))
-    return best.select(*[F.col(f"_best.{c}").alias(c) for c in df.columns])
+    out = best.select(*[F.col(f"_best.{c}").alias(c)
+                        for c in df.columns])
+    return out if passthrough is None else out.unionByName(passthrough)
 
 
 # ---------------------------------------------------------------------------

@@ -350,6 +350,27 @@ def quantile_filter(df: DataFrame, score_col: str, *,
     return df.filter(F.col(score_col) > F.lit(cut))
 
 
+def _feature_bucket(col: Column, hash_scheme: str,
+                    n_buckets: int) -> Column:
+    """Hashed-feature bucket id in ``[0, n_buckets)`` as a LONG — the
+    ONE bucketing contract shared by :func:`dsir_importance` and
+    :func:`linear_text_scorer` (a single definition so the two ops'
+    buckets can never drift apart).  ``"md5"``: first 4 hex chars of
+    md5, decoded to an int then ``pmod``-folded — bit-identical in any
+    engine, so value-level checkable (for ``n_buckets = 65536`` the
+    fold is the identity and the bucket IS the 16-bit md5 prefix).
+    ``"xxhash64"``: ``pmod(xxhash64, n_buckets)`` — ~2× cheaper per
+    gram, engine-private."""
+    if hash_scheme == "md5":
+        raw16 = F.conv(F.substring(F.md5(col), 1, 4), 16, 10) \
+                 .cast("long")
+        return F.pmod(raw16, F.lit(n_buckets))
+    if hash_scheme == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(n_buckets))
+    raise ValueError(f"unknown hash_scheme {hash_scheme!r} "
+                     "(expected 'md5' or 'xxhash64')")
+
+
 def dsir_importance(raw: DataFrame, target: DataFrame,
                     text_col: str = "text", *, id_col: str = "doc_id",
                     smoothing: float = 1.0,
@@ -390,15 +411,9 @@ def dsir_importance(raw: DataFrame, target: DataFrame,
     (caller unpersists, the contract used elsewhere).
     """
     B = 65536
-    if hash_scheme == "md5":
-        def bucket(gram):
-            return F.substring(F.md5(gram), 1, 4)
-    elif hash_scheme == "xxhash64":
-        def bucket(gram):
-            return F.pmod(F.xxhash64(gram), F.lit(B))
-    else:
-        raise ValueError(f"unknown hash_scheme {hash_scheme!r} "
-                         "(expected 'md5' or 'xxhash64')")
+
+    def bucket(gram):
+        return _feature_bucket(gram, hash_scheme, B)
 
     def grams(df: DataFrame):
         g = F.concat(_word_ngrams(F.col(text_col), 1),
@@ -936,9 +951,14 @@ def linear_text_scorer(docs: DataFrame, weights: DataFrame, *,
     non-zero feature (train anywhere — sklearn, fastText, a previous
     Spark job — and hand the coefficients over as a table).  Each doc's
     score is ``sigmoid(bias + Σ_tokens w[h(token)])`` where ``h`` is
-    the first-4-hex-chars-of-md5 bucket (bit-identical in any engine,
-    value-level checkable; ``hash_scheme="xxhash64"`` is the cheaper
-    engine-private twin, same contract as :func:`dsir_importance`).
+    :func:`_feature_bucket` — the SAME bucketing contract as
+    :func:`dsir_importance`, honoring ``n_buckets`` under BOTH schemes
+    (md5 is bit-identical in any engine, value-level checkable;
+    ``hash_scheme="xxhash64"`` is the cheaper engine-private twin).
+    Token-less documents (empty or NULL text) are NOT dropped: they
+    come back with ``n_tokens = 0`` and ``prob = sigmoid(bias)``, so a
+    downstream ``prob > t`` filter makes an explicit decision on them
+    instead of silently losing the rows.
 
     Scale shape: explode tokens → per-(doc, bucket) counts (map-side
     partial agg collapses repeated tokens BEFORE the join) → broadcast
@@ -950,22 +970,12 @@ def linear_text_scorer(docs: DataFrame, weights: DataFrame, *,
     Output: (id, n_tokens, raw_score, prob) — filter on ``prob`` for
     classifier-based selection, keep ``raw_score`` for calibration.
     """
-    from ..functions.text import tokens as _tokens
-
-    if hash_scheme == "md5":
-        def h(col):
-            return F.conv(F.substring(F.md5(col), 1, 4), 16, 10) \
-                    .cast("long")
-    elif hash_scheme == "xxhash64":
-        def h(col):
-            return F.pmod(F.xxhash64(col), F.lit(n_buckets))
-    else:
-        raise ValueError(f"unknown hash_scheme {hash_scheme!r}")
-
     toks = docs.select(
         F.col(id_col),
         F.explode(_tokens(F.col(text_col))).alias("_tok"))
-    per_bucket = (toks.withColumn("_b", h(F.col("_tok")))
+    per_bucket = (toks.withColumn(
+                      "_b", _feature_bucket(F.col("_tok"),
+                                            hash_scheme, n_buckets))
                   .groupBy(id_col, "_b")
                   .agg(F.count(F.lit(1)).alias("_c")))
     w = F.broadcast(weights.select(
@@ -977,10 +987,18 @@ def linear_text_scorer(docs: DataFrame, weights: DataFrame, *,
                    (F.lit(bias) + F.sum(
                        F.col("_c") * F.coalesce(F.col("_w"), F.lit(0.0))))
                    .alias("_raw")))
+    # token-less docs vanish at the explode; re-anchor on the distinct
+    # id set so they score sigmoid(bias) instead of disappearing (the
+    # distinct shares the doc-id shuffle key with the aggregate above)
+    ids = docs.select(F.col(id_col)).distinct()
+    scored = ids.join(scored, id_col, "left")
+    raw = F.coalesce(F.col("_raw"), F.lit(float(bias)))
     return scored.select(
-        id_col, "n_tokens",
-        F.round("_raw", round_digits).alias("raw_score"),
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_raw"))),
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+         .alias("n_tokens"),
+        F.round(raw, round_digits).alias("raw_score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)),
                 round_digits).alias("prob"))
 
 
