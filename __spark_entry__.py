@@ -3447,6 +3447,171 @@ WINDOW w2 AS (PARTITION BY o_custkey
 """
 
 
+def q_cdc_apply_orders(spark, sf_dir):
+    """CDC apply (operators/cdc.py ``cdc_apply``): a synthetic
+    insert/update/delete feed over orders — per key only the LATEST
+    change counts (seq 2 update supersedes seq 1; a seq 3 delete wins
+    over both, so keys divisible by 35 vanish), deletes remove,
+    updates/inserts upsert, untouched keys pass through.  One max_by
+    compaction aggregate + one full-outer key join; multiplies by
+    2 / 0.5 keep the doubles binary-exact for the cross-engine hash."""
+    from wrangle_pypes_spark.operators.cdc import cdc_apply
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    upd1 = base.filter(k % 5 == 0).select(
+        "o_orderkey", F.lit("U").alias("op"), F.lit(1).alias("seq"),
+        "o_custkey", (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit("U1").alias("o_orderstatus"))
+    upd2 = base.filter(k % 5 == 0).select(
+        "o_orderkey", F.lit("U").alias("op"), F.lit(2).alias("seq"),
+        "o_custkey",
+        (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+        F.lit("UPD").alias("o_orderstatus"))
+    dels = base.filter(k % 7 == 0).select(
+        "o_orderkey", F.lit("D").alias("op"), F.lit(3).alias("seq"),
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("string").alias("o_orderstatus"))
+    ins = base.filter(k % 1000 == 0).select(
+        (k + 10_000_000).alias("o_orderkey"),
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+        "o_custkey", "o_totalprice",
+        F.lit("NEW").alias("o_orderstatus"))
+    feed = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+    out = cdc_apply(base, feed, key_cols=["o_orderkey"],
+                    seq_col="seq")
+    return out.orderBy("o_orderkey")
+
+
+SQL_CDC_APPLY = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+), changes AS (
+  SELECT o_orderkey, 'U' AS op, 1 AS seq, o_custkey,
+         o_totalprice * 2 AS o_totalprice, 'U1' AS o_orderstatus
+  FROM base WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, 'U', 2, o_custkey, o_totalprice * 0.5, 'UPD'
+  FROM base WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, 'D', 3, NULL::BIGINT, NULL::DOUBLE, NULL::VARCHAR
+  FROM base WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'I', 1, o_custkey, o_totalprice, 'NEW'
+  FROM base WHERE o_orderkey % 1000 = 0
+), latest AS (
+  SELECT * FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY seq DESC) AS rn
+    FROM changes c) WHERE rn = 1
+)
+SELECT o_orderkey,
+  CASE WHEN l.op IS NOT NULL THEN l.o_custkey
+       ELSE b.o_custkey END AS o_custkey,
+  CASE WHEN l.op IS NOT NULL THEN l.o_totalprice
+       ELSE b.o_totalprice END AS o_totalprice,
+  CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus
+       ELSE b.o_orderstatus END AS o_orderstatus
+FROM base b FULL OUTER JOIN latest l USING (o_orderkey)
+WHERE l.op IS NULL OR l.op <> 'D'
+ORDER BY o_orderkey
+"""
+
+
+def q_key_skew_orders(spark, sf_dir):
+    """Key-skew profiling (operators/relational.py
+    ``key_skew_profile``): top-25 heaviest customer keys in orders with
+    per-key share and cumulative share — the pre-shuffle measurement
+    that decides between salting, AQE skew-join, and broadcast.  One
+    groupBy + a TakeOrdered top-k; no global sort materializes."""
+    from wrangle_pypes_spark.operators.relational import key_skew_profile
+    o = _t(spark, sf_dir, "orders")
+    out = key_skew_profile(o, ["o_custkey"], k=25)
+    return out.select(F.col("rank").cast("long").alias("rank"),
+                      "o_custkey", "n", "share", "cume_share")
+
+
+SQL_KEY_SKEW = """
+WITH counts AS (
+  SELECT o_custkey, count(*)::BIGINT AS n FROM orders GROUP BY o_custkey
+), tot AS (
+  SELECT sum(n)::DOUBLE AS t FROM counts
+), ranked AS (
+  SELECT o_custkey, n,
+         row_number() OVER (ORDER BY n DESC, o_custkey ASC) AS rank
+  FROM counts
+)
+SELECT rank::BIGINT AS rank, o_custkey, n,
+  round(n / t, 6) AS share,
+  round(sum(n) OVER (ORDER BY rank
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) / t, 6) AS cume_share
+FROM ranked CROSS JOIN tot
+WHERE rank <= 25
+ORDER BY rank
+"""
+
+
+def q_script_mix_docs(spark, sf_dir):
+    """Unicode-script composition (functions/text.py ``script_mix``):
+    per-document character fractions by script.  The corpus is ASCII,
+    so each doc is augmented with a deterministic doc_id-keyed
+    multi-script suffix (Cyrillic/Han/Arabic/Hangul+Kana+Greek) to
+    exercise every class; the oracle mirrors the same augmentation
+    with RE2 ``\\p{Script}`` character classes.  Map-only."""
+    from wrangle_pypes_spark.functions.text import script_mix
+    d = _t(spark, sf_dir, "documents")
+    sample = F.element_at(
+        F.array(F.lit("мир мир"), F.lit("你好 世界"),
+                F.lit("مرحبا"), F.lit("안녕 かな καλά")),
+        (F.col("doc_id") % 4 + 1).cast("int"))
+    m = script_mix(F.concat_ws(" ", F.col("text"), sample))
+    return (d.select("doc_id", m.alias("m"))
+            .select("doc_id",
+                    F.col("m.n_chars").cast("long").alias("n_chars"),
+                    "m.latin", "m.cyrillic", "m.han", "m.arabic",
+                    "m.hangul", "m.kana", "m.greek", "m.other")
+            .orderBy("doc_id"))
+
+
+SQL_SCRIPT_MIX = """
+WITH aug AS (
+  SELECT doc_id,
+    concat_ws(' ', text, CASE doc_id % 4
+      WHEN 0 THEN 'мир мир'
+      WHEN 1 THEN '你好 世界'
+      WHEN 2 THEN 'مرحبا'
+      ELSE '안녕 かな καλά' END) AS t
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    length(regexp_replace(t, '\\s', '', 'g'))::BIGINT AS n_chars,
+    length(t) - length(regexp_replace(t, '\\p{Latin}', '', 'g')) AS la,
+    length(t) - length(regexp_replace(t, '\\p{Cyrillic}', '', 'g')) AS cy,
+    length(t) - length(regexp_replace(t, '\\p{Han}', '', 'g')) AS ha,
+    length(t) - length(regexp_replace(t, '\\p{Arabic}', '', 'g')) AS ar,
+    length(t) - length(regexp_replace(t, '\\p{Hangul}', '', 'g')) AS hg,
+    length(t) - length(regexp_replace(t,
+      '[\\p{Hiragana}\\p{Katakana}]', '', 'g')) AS ka,
+    length(t) - length(regexp_replace(t, '\\p{Greek}', '', 'g')) AS gr
+  FROM aug
+)
+SELECT doc_id, n_chars,
+  round(la / greatest(n_chars, 1), 4) AS latin,
+  round(cy / greatest(n_chars, 1), 4) AS cyrillic,
+  round(ha / greatest(n_chars, 1), 4) AS han,
+  round(ar / greatest(n_chars, 1), 4) AS arabic,
+  round(hg / greatest(n_chars, 1), 4) AS hangul,
+  round(ka / greatest(n_chars, 1), 4) AS kana,
+  round(gr / greatest(n_chars, 1), 4) AS greek,
+  round((n_chars - la - cy - ha - ar - hg - ka - gr)
+        / greatest(n_chars, 1), 4) AS other
+FROM c
+ORDER BY doc_id
+"""
+
+
 def q_compact_roundtrip_orders(spark, sf_dir):
     """Small-file compaction (sources/sinks.py ``compact_parquet``):
     a 17-file Hive-partitioned store is rewritten size-targeted and
@@ -6116,6 +6281,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucketize_order_totals": q_bucketize_order_totals,  # r4: exact-cut oracle, never driver-checked
     "winsorize_order_totals": q_winsorize_order_totals,  # r4: exact-cut oracle, never driver-checked
     "stratified_sample_langs": q_stratified_sample_langs,  # r3 md5 oracle, driver last saw rows-only
+    "cdc_apply_orders": q_cdc_apply_orders,  # new r4: CDC compact+apply merge
+    "key_skew_orders": q_key_skew_orders,  # new r4: skew profiler top-k
+    "script_mix_docs": q_script_mix_docs,  # new r4: unicode script fractions
     "anchor_text_docs": q_anchor_text_docs,  # new r4: anchor-text harvesting
     "quantize_embeddings_int8": q_quantize_embeddings_int8,  # new r4: int8 quantization
     "classifier_score_docs": q_classifier_score_docs,  # new r4: linear classifier inference
@@ -6320,6 +6488,9 @@ _ORACLES: dict[str, str] = {
     "q17_small_quantity_revenue": SQL_Q17,
     "q20_bulk_suppliers": SQL_Q20,
     "scd2_customer_history": SQL_SCD2,
+    "cdc_apply_orders": SQL_CDC_APPLY,
+    "key_skew_orders": SQL_KEY_SKEW,
+    "script_mix_docs": SQL_SCRIPT_MIX,
     "compact_roundtrip_orders": SQL_COMPACT_ROUNDTRIP,
     # the heal contract IS "equals scd2_build over the full log" —
     # the streaming-SCD2 ground-truth SQL is the oracle

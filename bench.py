@@ -141,6 +141,9 @@ HEADLINE = [
     "quantize_embeddings_int8",
     "anchor_text_docs",
     "compression_ratio_docs",
+    "cdc_apply_orders",
+    "key_skew_orders",
+    "script_mix_docs",
 ]
 
 

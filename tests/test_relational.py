@@ -593,3 +593,20 @@ def test_bucketize_winsorize_empty_and_all_null_inputs(spark):
     assert [r.bucket for r in bucketize(nulls, "v").collect()] == [None, None]
     assert [r.v_winsor for r in winsorize(nulls, "v").collect()] == \
         [None, None]
+
+
+def test_key_skew_profile(spark):
+    from wrangle_pypes_spark.operators.relational import key_skew_profile
+    rows = ([("hot",)] * 60 + [("warm",)] * 30 + [("a",)] * 5 +
+            [("b",)] * 5)
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_profile(df, ["k"], k=3).collect()
+    assert [(r.rank, r.k, r.n) for r in out] == \
+        [(1, "hot", 60), (2, "warm", 30), (3, "a", 5)]
+    assert out[0].share == 0.6
+    assert out[1].cume_share == 0.9
+    assert out[2].cume_share == 0.95
+    # top-k must plan as TakeOrdered, not a global sort
+    top_plan = key_skew_profile(df, ["k"], k=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in top_plan

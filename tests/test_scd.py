@@ -228,3 +228,64 @@ def test_scd2_rebuild_store_carries_tiebreak_column(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     # seq=2 wins the current interval
     assert [r.status for r in got if r.is_current] == ["B"]
+
+
+# ---------------------------------------------------------------------------
+# CDC apply
+# ---------------------------------------------------------------------------
+
+def test_cdc_apply_semantics(spark):
+    """Latest-per-key change wins; D removes, U/I upsert, untouched
+    keys pass through; update-for-missing-key inserts."""
+    from wrangle_pypes_spark.operators.cdc import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "id int, name string, v int")
+    changes = spark.createDataFrame(
+        [(1, "U", 1, "a1", 11),   # superseded by seq 2
+         (1, "U", 2, "a2", 12),   # latest for key 1
+         (2, "D", 1, None, None),  # delete key 2
+         (5, "I", 1, "e", 50),    # brand-new key
+         (6, "U", 1, "f", 60),    # update for unseen key -> upsert
+         (3, "I", 1, "c1", 31),   # insert superseded by delete
+         (3, "D", 2, None, None)],
+        "id int, op string, seq int, name string, v int")
+    out = cdc_apply(base, changes, key_cols=["id"], seq_col="seq")
+    rows = {r.id: (r.name, r.v) for r in out.collect()}
+    assert rows == {1: ("a2", 12), 4: ("d", 40),
+                    5: ("e", 50), 6: ("f", 60)}
+
+
+def test_cdc_apply_rejects_unknown_op_and_missing_cols(spark):
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+    from wrangle_pypes_spark.operators.cdc import cdc_apply
+
+    base = spark.createDataFrame([(1, 10)], "id int, v int")
+    bad_op = spark.createDataFrame([(1, "X", 1, 11)],
+                                   "id int, op string, seq int, v int")
+    with pytest.raises(SparkRuntimeException, match="unknown op code"):
+        cdc_apply(base, bad_op, key_cols=["id"], seq_col="seq").collect()
+
+    no_payload = spark.createDataFrame([(1, "U", 1)],
+                                       "id int, op string, seq int")
+    with pytest.raises(ValueError, match="missing columns"):
+        cdc_apply(base, no_payload, key_cols=["id"], seq_col="seq")
+
+
+def test_cdc_apply_idempotent_and_plan(spark):
+    from wrangle_pypes_spark.operators.cdc import cdc_apply
+    from wrangle_pypes_spark.plans import audit
+
+    base = spark.createDataFrame([(i, i * 10) for i in range(100)],
+                                 "id int, v int")
+    changes = spark.createDataFrame(
+        [(i, "U" if i % 2 else "D", 1, i * 100) for i in range(0, 100, 5)],
+        "id int, op string, seq int, v int")
+    once = cdc_apply(base, changes, key_cols=["id"], seq_col="seq")
+    twice = cdc_apply(once, changes, key_cols=["id"], seq_col="seq")
+    assert sorted(map(tuple, once.collect())) == \
+        sorted(map(tuple, twice.collect()))
+    rep = audit(once)
+    assert rep.jvm_only()

@@ -173,3 +173,22 @@ def test_extract_links_with_text_unclosed_anchor(spark):
     # extract_links still surfaces both hrefs for the link graph
     [r2] = df.select(extract_links(F.col("h")).alias("l")).collect()
     assert r2.l == ["/x", "/y"]
+
+
+def test_script_mix(spark):
+    from wrangle_pypes_spark.functions.text import script_mix
+    df = spark.createDataFrame(
+        [(1, "hello мир 你好 123"), (2, ""), (3, None)],
+        "id long, t string")
+    rows = {r.id: r.m for r in df.select(
+        "id", script_mix(F.col("t")).alias("m")).collect()}
+    m = rows[1]
+    # 13 non-space chars: 5 latin, 3 cyrillic, 2 han, 3 digits(other)
+    assert m.n_chars == 13
+    assert m.latin == round(5 / 13, 4)
+    assert m.cyrillic == round(3 / 13, 4)
+    assert m.han == round(2 / 13, 4)
+    assert m.other == round(3 / 13, 4)
+    assert m.arabic == 0.0 and m.hangul == 0.0 and m.kana == 0.0
+    assert rows[2].n_chars == 0 and rows[2].latin == 0.0
+    assert rows[3].n_chars is None

@@ -33,6 +33,7 @@ from .text import (
     lang_id,
     normalize_text,
     quality_score,
+    script_mix,
     token_count,
     token_pmi_pairs,
     tokens,
@@ -45,7 +46,8 @@ __all__ = ("STOPWORDS", "bigram_logprob_score", "bm25_scores", "bpe_induce", "bp
            "chunk_documents",
            "corpus_top_ngrams", "html_to_text",
            "doc_fingerprint", "extract_links", "inverted_index", "lang_id", "quality_score",
-           "token_count", "token_pmi_pairs", "tokens", "normalize_text",
+           "script_mix", "token_count", "token_pmi_pairs", "tokens",
+           "normalize_text",
            "unigram_logprob_score", "word_ngrams", "zipf_fit",
            "blocklist_filter", "canonical_url", "domain_stats",
            "host_suffix_set", "registered_domain", "url_host", "url_path",

@@ -106,6 +106,47 @@ def lang_id(text: Column) -> Column:
                   best.getField("lang")).otherwise(F.lit("und"))
 
 
+_SCRIPT_CLASSES = (
+    ("latin", r"\p{IsLatin}"),
+    ("cyrillic", r"\p{IsCyrillic}"),
+    ("han", r"\p{IsHan}"),
+    ("arabic", r"\p{IsArabic}"),
+    ("hangul", r"\p{IsHangul}"),
+    ("kana", r"[\p{IsHiragana}\p{IsKatakana}]"),
+    ("greek", r"\p{IsGreek}"),
+)
+
+
+def script_mix(text: Column, *, round_digits: int = 4) -> Column:
+    """Unicode-script composition of a document: struct of
+    ``n_chars`` (non-whitespace characters) plus per-script character
+    fractions (latin, cyrillic, han, arabic, hangul, kana, greek,
+    other).  The script histogram is the cheap complement to
+    :func:`lang_id`: stopword voting only covers languages with a
+    stopword table, while the script mix flags CJK/Cyrillic/Arabic
+    content, mixed-script spam (e.g. Cyrillic homoglyphs inside Latin
+    text), and mojibake — before any tokenizer touches the bytes.
+
+    ``other`` covers digits, punctuation, and symbols (Unicode
+    "Common" script — deliberately not a listed class).  Empty text
+    → all fractions 0 with ``n_chars`` 0; NULL text → NULL struct
+    fields.  Pure ``regexp_count`` Column expressions — map-only,
+    whole-stage codegen; RE2-based oracle engines express the same
+    classes as ``\\p{Latin}`` etc.
+    """
+    n = F.regexp_count(text, F.lit(r"\S"))
+    denom = F.greatest(n, F.lit(1))
+    fields = [n.alias("n_chars")]
+    counted = None
+    for name, pat in _SCRIPT_CLASSES:
+        c = F.regexp_count(text, F.lit(pat))
+        counted = c if counted is None else counted + c
+        fields.append(F.round(c / denom, round_digits).alias(name))
+    fields.append(F.round((n - counted) / denom, round_digits)
+                  .alias("other"))
+    return F.struct(*fields)
+
+
 def word_ngrams(text: Column, n: int) -> Column:
     """Word ``n``-grams as space-joined strings (empty array when the
     document has fewer than ``n`` tokens).

@@ -264,6 +264,49 @@ def salted_join(left: DataFrame, right: DataFrame, on: str, *,
     return out.drop("_salt")
 
 
+def key_skew_profile(df: DataFrame, key_cols: Sequence[str], *,
+                     k: int = 20, round_digits: int = 6) -> DataFrame:
+    """Top-``k`` heaviest keys with their share of the table — the
+    measurement that decides whether a join/agg needs
+    :func:`salted_join`, AQE skew handling, or a broadcast instead.
+    At 100 TB you profile BEFORE you shuffle: one hot key discovered
+    in production costs a re-run; discovered here it costs one
+    aggregate.
+
+    Output per heavy key: ``(rank, *key_cols, n, share, cume_share)``
+    — ``share`` is the key's fraction of all rows, ``cume_share`` the
+    running total over the ranked heavy keys (top-k rows covering 80%
+    of the table = salt those keys; top key at 1/partitions = data is
+    fine).  Rank ties break by key value, so the output is
+    deterministic and value-level checkable.
+
+    Plan shape: one groupBy shuffle on the keys, a 1-row total
+    aggregate broadcast back, and a TakeOrdered top-k (no global sort
+    materializes — Spark plans orderBy+limit as a per-partition heap +
+    driver merge of k·partitions rows).
+    """
+    keys = list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("_tot"))
+    top = (counts.join(F.broadcast(total))
+           .orderBy(F.col("n").desc(), *[F.col(c).asc() for c in keys])
+           .limit(k))
+    w = (Window.orderBy(F.col("n").desc(),
+                        *[F.col(c).asc() for c in keys])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return top.select(
+        F.row_number().over(
+            Window.orderBy(F.col("n").desc(),
+                           *[F.col(c).asc() for c in keys]))
+        .alias("rank"),
+        *keys,
+        F.col("n"),
+        F.round(F.col("n") / F.col("_tot"), round_digits)
+         .alias("share"),
+        F.round(F.sum("n").over(w) / F.col("_tot"), round_digits)
+         .alias("cume_share"))
+
+
 def zorder_col(df: DataFrame, cols: Sequence[str], *, bits: int = 16,
                out_col: str = "_zorder") -> DataFrame:
     """Add a Z-order (Morton) value interleaving ``cols``' bits.
