@@ -3519,6 +3519,60 @@ ORDER BY o_orderkey
 """
 
 
+def q_stream_cdc_store(spark, sf_dir):
+    """Durable streaming CDC (streaming/windows.py
+    ``foreach_batch_cdc_apply``): an I/U/D feed over orders drained in
+    two micro-batches — seq-2 updates supersede the seq-1 images,
+    seq-3 deletes tombstone their keys.  The max_by merge is
+    order-independent and idempotent, so the final store equals the
+    one-shot latest-image semantics the oracle expresses directly.
+    Multiplies by 2 / 0.5 keep doubles binary-exact cross-engine."""
+    import tempfile
+
+    from wrangle_pypes_spark.streaming import (foreach_batch_cdc_apply,
+                                               read_cdc_store)
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    img1 = base.select(
+        "o_orderkey", F.lit("U").alias("op"), F.lit(1).alias("seq"),
+        "o_custkey", (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit("V1").alias("o_orderstatus"))
+    img2 = base.filter(k % 3 == 0).select(
+        "o_orderkey", F.lit("U").alias("op"), F.lit(2).alias("seq"),
+        "o_custkey",
+        (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+        F.lit("V2").alias("o_orderstatus"))
+    dels = base.filter(k % 7 == 0).select(
+        "o_orderkey", F.lit("D").alias("op"), F.lit(3).alias("seq"),
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("string").alias("o_orderstatus"))
+    src = tempfile.mkdtemp(prefix="wps_cdc_feed_")
+    img1.coalesce(1).write.mode("append").parquet(src)
+    img2.unionByName(dels).coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(img1.schema)
+              .option("maxFilesPerTrigger", "1")
+              .format("parquet").load(src))
+    store = tempfile.mkdtemp(prefix="wps_cdc_store_") + "/state"
+    q = foreach_batch_cdc_apply(stream, store,
+                                key_cols=["o_orderkey"], seq_col="seq")
+    q.awaitTermination()
+    return read_cdc_store(spark, store).orderBy("o_orderkey")
+
+
+SQL_STREAM_CDC = """
+SELECT o_orderkey, o_custkey,
+  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 0.5
+       ELSE o_totalprice * 2 END AS o_totalprice,
+  CASE WHEN o_orderkey % 3 = 0 THEN 'V2' ELSE 'V1' END AS o_orderstatus
+FROM orders
+WHERE o_orderkey % 7 <> 0
+ORDER BY o_orderkey
+"""
+
+
 def q_key_skew_orders(spark, sf_dir):
     """Key-skew profiling (operators/relational.py
     ``key_skew_profile``): top-25 heaviest customer keys in orders with
@@ -6282,6 +6336,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorize_order_totals": q_winsorize_order_totals,  # r4: exact-cut oracle, never driver-checked
     "stratified_sample_langs": q_stratified_sample_langs,  # r3 md5 oracle, driver last saw rows-only
     "cdc_apply_orders": q_cdc_apply_orders,  # new r4: CDC compact+apply merge
+    "stream_cdc_store": q_stream_cdc_store,  # new r4: durable streaming CDC
     "key_skew_orders": q_key_skew_orders,  # new r4: skew profiler top-k
     "script_mix_docs": q_script_mix_docs,  # new r4: unicode script fractions
     "anchor_text_docs": q_anchor_text_docs,  # new r4: anchor-text harvesting
@@ -6489,6 +6544,7 @@ _ORACLES: dict[str, str] = {
     "q20_bulk_suppliers": SQL_Q20,
     "scd2_customer_history": SQL_SCD2,
     "cdc_apply_orders": SQL_CDC_APPLY,
+    "stream_cdc_store": SQL_STREAM_CDC,
     "key_skew_orders": SQL_KEY_SKEW,
     "script_mix_docs": SQL_SCRIPT_MIX,
     "compact_roundtrip_orders": SQL_COMPACT_ROUNDTRIP,

@@ -142,6 +142,7 @@ HEADLINE = [
     "anchor_text_docs",
     "compression_ratio_docs",
     "cdc_apply_orders",
+    "stream_cdc_store",
     "key_skew_orders",
     "script_mix_docs",
 ]

@@ -658,3 +658,77 @@ def test_quantized_cosine_topk_recall(spark, sf_dir):
                                              approx.columns[1]).collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.9, (recall, len(e))
+
+
+def test_streaming_cdc_apply_tombstones_and_replay(spark, tmp_path):
+    """Two micro-batches of I/U/D images, deliberately OUT OF ORDER
+    across batches: the store must equal the one-shot latest-image
+    semantics, a late stale update must NOT resurrect a deleted key
+    (tombstone), and replaying the feed leaves the store unchanged."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from wrangle_pypes_spark.streaming import (foreach_batch_cdc_apply,
+                                               read_cdc_store)
+
+    # batch A carries the LATER images, batch B the earlier ones
+    batch_a = spark.createDataFrame(
+        [(1, "U", 3, "v3"), (2, "D", 5, None), (3, "I", 1, "c1")],
+        "id int, op string, seq int, val string")
+    batch_b = spark.createDataFrame(
+        [(1, "U", 2, "v2"),   # stale: loses to seq 3 already applied
+         (2, "U", 4, "zomb"),  # stale update AFTER delete seq 5 applied
+         (4, "I", 1, "d1")],
+        "id int, op string, seq int, val string")
+    src = str(tmp_path / "cdc_src")
+    for i, b in enumerate((batch_a, batch_b)):
+        b.coalesce(1).write.parquet(f"{src}/{i}")
+    files = [f for i in (0, 1)
+             for f in sorted(glob.glob(f"{src}/{i}/*.parquet"))]
+    for i, f in enumerate(files):
+        shutil.move(f, f"{src}/part-{i}.parquet")
+    shutil.rmtree(f"{src}/0"), shutil.rmtree(f"{src}/1")
+
+    schema = batch_a.schema
+    store = str(tmp_path / "cdc_store")
+
+    def drain():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .format("parquet").load(src))
+        q = foreach_batch_cdc_apply(stream, store, key_cols=["id"],
+                                    seq_col="seq")
+        q.awaitTermination()
+
+    drain()
+    cur = {r.id: r.val for r in read_cdc_store(spark, store).collect()}
+    # key 1: seq-3 image wins over the late seq-2; key 2 stays deleted
+    assert cur == {1: "v3", 3: "c1", 4: "d1"}
+    raw = {r.id: (r._cdc_seq, r._cdc_deleted)
+           for r in spark.read.parquet(store).collect()}
+    assert raw[2] == (5, True)  # tombstone retained with applied seq
+
+    before = sorted(map(tuple, spark.read.parquet(store).collect()))
+    drain()  # at-least-once replay of the whole feed
+    after = sorted(map(tuple, spark.read.parquet(store).collect()))
+    assert before == after
+
+
+def test_streaming_cdc_apply_rejects_unknown_op(spark, tmp_path):
+    from wrangle_pypes_spark.streaming import foreach_batch_cdc_apply
+
+    bad = spark.createDataFrame([(1, "Z", 1, "x")],
+                                "id int, op string, seq int, val string")
+    src = str(tmp_path / "bad_src")
+    bad.coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema(bad.schema)
+              .format("parquet").load(src))
+    store = str(tmp_path / "bad_store")
+    import pytest
+    from pyspark.errors import StreamingQueryException
+    q = foreach_batch_cdc_apply(stream, store, key_cols=["id"],
+                                seq_col="seq")
+    with pytest.raises(StreamingQueryException, match="unknown op code"):
+        q.awaitTermination()

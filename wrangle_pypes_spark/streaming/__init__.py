@@ -17,11 +17,13 @@ from .windows import (
     stream_table,
     stream_stream_interval_join,
     tumbling_window_agg,
+    foreach_batch_cdc_apply,
     foreach_batch_get_or_create,
     foreach_batch_get_or_create_upsert,
     foreach_batch_dedup_keep_best,
     foreach_batch_rollup_upsert,
     foreach_batch_scd2_merge,
+    read_cdc_store,
     stream_static_enrich,
 )
 
@@ -36,10 +38,12 @@ __all__ = (
     "stream_dedup",
     "stream_stream_interval_join",
     "run_available_now_to_memory",
+    "foreach_batch_cdc_apply",
     "foreach_batch_get_or_create",
     "foreach_batch_get_or_create_upsert",
     "foreach_batch_dedup_keep_best",
     "foreach_batch_rollup_upsert",
     "foreach_batch_scd2_merge",
+    "read_cdc_store",
     "stream_static_enrich",
 )

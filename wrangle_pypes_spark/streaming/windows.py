@@ -423,6 +423,88 @@ def foreach_batch_dedup_keep_best(stream_df: DataFrame, store_path: str, *,
     return writer.start()
 
 
+def foreach_batch_cdc_apply(stream_df: DataFrame, store_path: str, *,
+                            key_cols: Sequence[str], seq_col: str,
+                            op_col: str = "op", insert_op: str = "I",
+                            update_op: str = "U", delete_op: str = "D",
+                            tiebreak_cols: Sequence[str] = (),
+                            checkpoint: Optional[str] = None):
+    """Durable streaming CDC: maintain a base table from a stream of
+    insert/update/delete change images — the streaming twin of
+    ``operators.cdc.cdc_apply`` for feeds that arrive as micro-batches
+    (Debezium topics, binlog shippers, upstream curation re-emits).
+
+    The store keeps one row per key EVER seen: the winning image by
+    ``(seq, *tiebreaks)`` plus two bookkeeping columns, ``_cdc_seq``
+    (the applied sequence) and ``_cdc_deleted`` (tombstone flag).
+    Tombstones are the point: a delete must outlive the row it
+    deletes, or a LATE stale update (out-of-order across batches —
+    normal for partitioned CDC transports) would resurrect the key.
+    Read the current table with :func:`read_cdc_store`, which hides
+    tombstones and bookkeeping.
+
+    Correctness without an epoch marker: per key the merge is
+    ``max_by`` under a total order — associative, commutative,
+    idempotent — so the store after any batch boundaries, replays
+    (foreachBatch is at-least-once), or cross-batch reordering equals
+    the one-shot ``cdc_compact`` over the whole feed.  Same argument
+    as :func:`foreach_batch_dedup_keep_best`; equal-seq conflicts need
+    ``tiebreak_cols`` to stay deterministic.  Unknown op codes fail
+    the batch (``raise_error``) before anything merges.
+
+    Per batch: one map-side-partial ``max_by`` over the batch, a
+    broadcast semi-join pulling only touched keys from the store, one
+    merge aggregate, one keyed upsert.  Steady-state cost scales with
+    batch size, not store size.  Tombstones accumulate by design —
+    at 100 TB give deletes a retention sweep (filter tombstones older
+    than the transport's max disorder) or use a table format.
+    """
+    from ..operators.dedup import dedup_keep_best
+    from ..sources.sinks import recover_upsert_backup, upsert_parquet
+
+    keys = list(key_cols)
+    order = [F.col("_cdc_seq"),
+             *[F.col(c) for c in tiebreak_cols]]
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        payload = [c for c in batch_df.columns
+                   if c not in (*keys, seq_col, op_col)]
+        op = F.col(op_col)
+        deleted = F.when(
+            op.isin(insert_op, update_op, delete_op), op == delete_op
+        ).otherwise(F.raise_error(F.concat(
+            F.lit("foreach_batch_cdc_apply: unknown op code "), op)))
+        img = batch_df.select(
+            *keys, *payload,
+            F.col(seq_col).alias("_cdc_seq"),
+            deleted.alias("_cdc_deleted"))
+        best = dedup_keep_best(img, keys, order)
+        if recover_upsert_backup(store_path, spark=spark):
+            stored = spark.read.parquet(store_path)
+            touched = stored.join(
+                F.broadcast(best.select(*keys).distinct()),
+                keys, "left_semi")
+            best = dedup_keep_best(
+                touched.unionByName(best), keys, order)
+        best = best.localCheckpoint(eager=True)
+        upsert_parquet(best, store_path, keys, dedup_incoming=False)
+
+    writer = stream_df.writeStream.foreachBatch(_batch) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_cdc_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Current state of a :func:`foreach_batch_cdc_apply` store:
+    tombstoned keys hidden, bookkeeping columns dropped."""
+    df = spark.read.parquet(store_path)
+    return df.filter(~F.col("_cdc_deleted")) \
+             .drop("_cdc_seq", "_cdc_deleted")
+
+
 def foreach_batch_get_or_create(stream_df: DataFrame, pipeline, model: type,
                                 dim_holder: dict,
                                 match_targets: Sequence[str],
