@@ -3519,6 +3519,33 @@ ORDER BY o_orderkey
 """
 
 
+def q_curriculum_order_docs(spark, sf_dir):
+    """Curriculum data layout (operators/sampling.py
+    ``curriculum_order``): documents banded into 4 equal-frequency
+    length bands (short → long as an easy → hard proxy), shuffled
+    within each band by the engine-portable md5 key.  Band cuts are
+    exact quantiles rounded 6dp, so band membership AND the total
+    (band, key, id) order are value-level checkable."""
+    from wrangle_pypes_spark.operators.sampling import curriculum_order
+    d = _t(spark, sf_dir, "documents")
+    out = curriculum_order(d, "n_chars", id_col="doc_id", n_bands=4)
+    return out.select("doc_id", "band", "shuffle_key")
+
+
+SQL_CURRICULUM = """
+WITH cuts AS (
+  SELECT list_transform(quantile_cont(n_chars, [0.25, 0.5, 0.75]),
+                        c -> round(c, 6)) AS l
+  FROM documents
+)
+SELECT doc_id,
+  len(list_filter(cuts.l, c -> n_chars > c))::INT AS band,
+  substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS shuffle_key
+FROM documents, cuts
+ORDER BY band, shuffle_key, doc_id
+"""
+
+
 def q_stream_cdc_store(spark, sf_dir):
     """Durable streaming CDC (streaming/windows.py
     ``foreach_batch_cdc_apply``): an I/U/D feed over orders drained in
@@ -6337,6 +6364,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample_langs": q_stratified_sample_langs,  # r3 md5 oracle, driver last saw rows-only
     "cdc_apply_orders": q_cdc_apply_orders,  # new r4: CDC compact+apply merge
     "stream_cdc_store": q_stream_cdc_store,  # new r4: durable streaming CDC
+    "curriculum_order_docs": q_curriculum_order_docs,  # new r4: banded curriculum layout
     "key_skew_orders": q_key_skew_orders,  # new r4: skew profiler top-k
     "script_mix_docs": q_script_mix_docs,  # new r4: unicode script fractions
     "anchor_text_docs": q_anchor_text_docs,  # new r4: anchor-text harvesting
@@ -6545,6 +6573,7 @@ _ORACLES: dict[str, str] = {
     "scd2_customer_history": SQL_SCD2,
     "cdc_apply_orders": SQL_CDC_APPLY,
     "stream_cdc_store": SQL_STREAM_CDC,
+    "curriculum_order_docs": SQL_CURRICULUM,
     "key_skew_orders": SQL_KEY_SKEW,
     "script_mix_docs": SQL_SCRIPT_MIX,
     "compact_roundtrip_orders": SQL_COMPACT_ROUNDTRIP,

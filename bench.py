@@ -143,6 +143,7 @@ HEADLINE = [
     "compression_ratio_docs",
     "cdc_apply_orders",
     "stream_cdc_store",
+    "curriculum_order_docs",
     "key_skew_orders",
     "script_mix_docs",
 ]

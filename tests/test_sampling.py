@@ -404,3 +404,46 @@ def test_gumbel_topk_properties(spark):
         df, "score", key_col="doc_id", k=2,
         temperature=1e-9).collect()}
     assert cold == {1000, 1001}     # near-argmax at low temperature
+
+
+def test_curriculum_order(spark):
+    from wrangle_pypes_spark.operators.sampling import curriculum_order
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                               "id long, score double")
+    out = curriculum_order(df, "score", id_col="id", n_bands=4,
+                           num_partitions=4)
+    rows = out.collect()  # collect preserves partition order
+    assert len(rows) == 100
+    # equal-frequency bands
+    from collections import Counter
+    c = Counter(r.band for r in rows)
+    assert c == {0: 25, 1: 25, 2: 25, 3: 25}
+    # global order is band-major, shuffle-key minor
+    seen = [(r.band, r.shuffle_key, r.id) for r in rows]
+    assert seen == sorted(seen)
+    # banding respects the score: all band-0 scores < all band-3 scores
+    max_b0 = max(r.score for r in rows if r.band == 0)
+    min_b3 = min(r.score for r in rows if r.band == 3)
+    assert max_b0 < min_b3
+    # shuffled within band: not id-ordered inside band 0
+    b0_ids = [r.id for r in rows if r.band == 0]
+    assert b0_ids != sorted(b0_ids)
+    # deterministic across runs; new seed reshuffles, same membership
+    again = [(r.band, r.shuffle_key, r.id)
+             for r in curriculum_order(df, "score", id_col="id",
+                                       n_bands=4,
+                                       num_partitions=4).collect()]
+    assert again == seen
+    reseed = curriculum_order(df, "score", id_col="id", n_bands=4,
+                              seed=7, num_partitions=4).collect()
+    assert [r.id for r in reseed] != [r.id for r in rows]
+    assert {(r.id, r.band) for r in reseed} == \
+        {(r.id, r.band) for r in rows}
+    # anti-curriculum reverses the band order
+    desc = curriculum_order(df, "score", id_col="id", n_bands=4,
+                            ascending=False, num_partitions=4).collect()
+    assert [r.band for r in desc] == sorted(
+        [r.band for r in desc], reverse=True)
+    import pytest
+    with pytest.raises(ValueError, match="n_bands"):
+        curriculum_order(df, "score", id_col="id", n_bands=1)

@@ -470,3 +470,53 @@ def gumbel_topk(df: DataFrame, score_col: str, *, key_col: str,
             .orderBy(F.col("_gumbel_key").desc(), F.col(key_col))
             .limit(k)
             .drop("_gumbel_key"))
+
+
+def curriculum_order(df: DataFrame, score_col: str, *, id_col: str,
+                     n_bands: int = 10, seed: int = 42,
+                     ascending: bool = True, exact: bool = True,
+                     band_col: str = "band",
+                     key_col: str = "shuffle_key",
+                     num_partitions: Optional[int] = None) -> DataFrame:
+    """Curriculum training order: band the corpus by ``score_col``
+    quantile (equal-frequency bands via
+    :func:`~wrangle_pypes_spark.operators.relational.bucketize`), then
+    deterministically shuffle WITHIN each band — the standard
+    curriculum-learning data layout (easy → hard by band, no ordering
+    signal inside a band that the model could exploit).
+
+    The output is range-partitioned + sorted by ``(band, shuffle_key,
+    id)`` — a total order across output files without a
+    single-partition window, exactly the :func:`deterministic_shuffle`
+    mechanism with the band as the major key.  ``ascending=False``
+    reverses the band order (hard → easy, anti-curriculum).  Same
+    ``seed`` reproduces the layout byte-for-byte; a new seed reshuffles
+    within bands but keeps band membership.
+
+    ``exact=True`` computes exact quantile cuts (value-level
+    oracle-checkable); ``exact=False`` is the
+    ``approx_percentile`` 100 TB path.  Rows with a NULL score get a
+    NULL band and sort FIRST (Spark NULLS FIRST) — filter them out
+    beforehand if that is not the intended warm-up data.
+
+    Scale shape: one k-cut aggregate (k scalars to the driver), a
+    map-only band/key assignment, and ONE range-partition shuffle that
+    both places and sorts the output.
+    """
+    from .relational import bucketize
+
+    if n_bands < 2:
+        raise ValueError("n_bands must be at least 2")
+    probs = [i / n_bands for i in range(1, n_bands)]
+    banded = bucketize(df, score_col, probs=probs, exact=exact,
+                       out_col=band_col)
+    keyed = banded.withColumn(key_col, _md5_unit_key(id_col, seed))
+    order_band = (F.col(band_col) if ascending
+                  else (F.lit(n_bands - 1) - F.col(band_col)))
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions")
+    return (keyed.withColumn("_band_ord", order_band)
+            .repartitionByRange(int(n), F.col("_band_ord"),
+                                F.col(key_col), F.col(id_col))
+            .sortWithinPartitions("_band_ord", key_col, id_col)
+            .drop("_band_ord"))
