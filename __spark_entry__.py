@@ -3519,6 +3519,52 @@ ORDER BY o_orderkey
 """
 
 
+def q_token_fertility_lang(spark, sf_dir):
+    """Tokenizer-fertility audit by language (functions/text.py
+    ``token_count`` + ``subword_token_estimate``): per-lang corpus
+    totals and the two budgeting ratios — subwords-per-word (fertility:
+    how much a BPE-ish tokenizer inflates this language) and
+    chars-per-subword (byte efficiency).  Drives per-language token
+    accounting in mixture planning.  One partial-aggregated groupBy."""
+    from wrangle_pypes_spark.functions.text import (
+        subword_token_estimate, token_count)
+    d = _t(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        token_count(F.col("text")).cast("long").alias("w"),
+        subword_token_estimate(F.col("text")).alias("s"),
+        F.col("n_chars"))
+    return (per.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("w").alias("words"),
+                 F.sum("s").alias("subwords"),
+                 F.round(F.sum("s") / F.sum("w"), 6).alias("fertility"),
+                 F.round(F.sum("n_chars") / F.sum("s"), 6)
+                  .alias("chars_per_subword"))
+            .orderBy("lang"))
+
+
+SQL_TOKEN_FERTILITY = r"""
+WITH per AS (
+  SELECT lang, n_chars,
+    len(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> ''))::BIGINT AS w,
+    (list_sum(list_transform(
+        list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> ''),
+        t -> 1 + greatest(ceil((length(t) - 4) / 4.0), 0)))::BIGINT
+     + length(text)
+     - length(regexp_replace(text, '[^\w\s]', '', 'g')))::BIGINT AS s
+  FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+  sum(w)::BIGINT AS words, sum(s)::BIGINT AS subwords,
+  round(sum(s) / sum(w), 6) AS fertility,
+  round(sum(n_chars) / sum(s), 6) AS chars_per_subword
+FROM per GROUP BY lang ORDER BY lang
+"""
+
+
 def q_curriculum_order_docs(spark, sf_dir):
     """Curriculum data layout (operators/sampling.py
     ``curriculum_order``): documents banded into 4 equal-frequency
@@ -6365,6 +6411,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_apply_orders": q_cdc_apply_orders,  # new r4: CDC compact+apply merge
     "stream_cdc_store": q_stream_cdc_store,  # new r4: durable streaming CDC
     "curriculum_order_docs": q_curriculum_order_docs,  # new r4: banded curriculum layout
+    "token_fertility_lang": q_token_fertility_lang,  # new r4: per-lang token accounting
     "key_skew_orders": q_key_skew_orders,  # new r4: skew profiler top-k
     "script_mix_docs": q_script_mix_docs,  # new r4: unicode script fractions
     "anchor_text_docs": q_anchor_text_docs,  # new r4: anchor-text harvesting
@@ -6574,6 +6621,7 @@ _ORACLES: dict[str, str] = {
     "cdc_apply_orders": SQL_CDC_APPLY,
     "stream_cdc_store": SQL_STREAM_CDC,
     "curriculum_order_docs": SQL_CURRICULUM,
+    "token_fertility_lang": SQL_TOKEN_FERTILITY,
     "key_skew_orders": SQL_KEY_SKEW,
     "script_mix_docs": SQL_SCRIPT_MIX,
     "compact_roundtrip_orders": SQL_COMPACT_ROUNDTRIP,

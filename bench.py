@@ -144,6 +144,7 @@ HEADLINE = [
     "cdc_apply_orders",
     "stream_cdc_store",
     "curriculum_order_docs",
+    "token_fertility_lang",
     "key_skew_orders",
     "script_mix_docs",
 ]
