@@ -3519,6 +3519,47 @@ ORDER BY o_orderkey
 """
 
 
+def q_group_split_sources(spark, sf_dir):
+    """Leakage-safe GROUP-level splitting (operators/sampling.py
+    ``split_assign`` keyed on the GROUP column): every document of one
+    source lands in the same split, so near-identical pages within a
+    site can never straddle train/test — the split granularity near-dup
+    contamination actually requires.  Output is the (split, source)
+    membership matrix; disjointness is structural (one hash per
+    source).  Map-only, same md5-threshold mechanism as the doc-level
+    split."""
+    from wrangle_pypes_spark.operators import split_assign
+    d = _t(spark, sf_dir, "documents")
+    return (split_assign(d, "source",
+                         splits=(("train", 0.8), ("val", 0.1),
+                                 ("test", 0.1)))
+            .groupBy("split", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("split", "source"))
+
+
+def _group_split_bounds() -> tuple[str, str]:
+    b1 = format(min(int(0.8 * 16**8), 16**8 - 1), "08x")
+    b2 = format(min(int(0.9 * 16**8), 16**8 - 1), "08x")
+    return b1, b2
+
+
+_GB1, _GB2 = _group_split_bounds()
+
+SQL_GROUP_SPLIT = f"""
+WITH k AS (
+  SELECT source,
+         substr(md5('42:' || source), 1, 8) AS h
+  FROM documents
+)
+SELECT CASE WHEN h < '{_GB1}' THEN 'train'
+            WHEN h < '{_GB2}' THEN 'val'
+            ELSE 'test' END AS split,
+       source, count(*)::BIGINT AS n_docs
+FROM k GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_token_fertility_lang(spark, sf_dir):
     """Tokenizer-fertility audit by language (functions/text.py
     ``token_count`` + ``subword_token_estimate``): per-lang corpus
@@ -6412,6 +6453,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_cdc_store": q_stream_cdc_store,  # new r4: durable streaming CDC
     "curriculum_order_docs": q_curriculum_order_docs,  # new r4: banded curriculum layout
     "token_fertility_lang": q_token_fertility_lang,  # new r4: per-lang token accounting
+    "group_split_sources": q_group_split_sources,  # new r4: leakage-safe group split
     "key_skew_orders": q_key_skew_orders,  # new r4: skew profiler top-k
     "script_mix_docs": q_script_mix_docs,  # new r4: unicode script fractions
     "anchor_text_docs": q_anchor_text_docs,  # new r4: anchor-text harvesting
@@ -6622,6 +6664,7 @@ _ORACLES: dict[str, str] = {
     "stream_cdc_store": SQL_STREAM_CDC,
     "curriculum_order_docs": SQL_CURRICULUM,
     "token_fertility_lang": SQL_TOKEN_FERTILITY,
+    "group_split_sources": SQL_GROUP_SPLIT,
     "key_skew_orders": SQL_KEY_SKEW,
     "script_mix_docs": SQL_SCRIPT_MIX,
     "compact_roundtrip_orders": SQL_COMPACT_ROUNDTRIP,

@@ -145,6 +145,7 @@ HEADLINE = [
     "stream_cdc_store",
     "curriculum_order_docs",
     "token_fertility_lang",
+    "group_split_sources",
     "key_skew_orders",
     "script_mix_docs",
 ]
