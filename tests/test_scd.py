@@ -289,3 +289,46 @@ def test_cdc_apply_idempotent_and_plan(spark):
         sorted(map(tuple, twice.collect()))
     rep = audit(once)
     assert rep.jvm_only()
+
+
+def test_cdc_vacuum_tombstone_retention(spark, tmp_path):
+    """Vacuum drops only tombstones below the horizon; live rows and
+    young tombstones survive; a kept tombstone still blocks a late
+    stale update from resurrecting the key."""
+    import glob
+    import shutil
+
+    from wrangle_pypes_spark.operators.cdc import cdc_vacuum
+    from wrangle_pypes_spark.streaming import (foreach_batch_cdc_apply,
+                                               read_cdc_store)
+
+    feed = spark.createDataFrame(
+        [(1, "U", 10, "live"), (2, "D", 3, None), (3, "D", 9, None)],
+        "id int, op string, seq int, val string")
+    src = str(tmp_path / "src")
+    feed.coalesce(1).write.parquet(src)
+    store = str(tmp_path / "store")
+    stream = (spark.readStream.schema(feed.schema)
+              .format("parquet").load(src))
+    foreach_batch_cdc_apply(stream, store, key_cols=["id"],
+                            seq_col="seq").awaitTermination()
+
+    # horizon 5: only key 2's tombstone (seq 3) is past retention
+    assert cdc_vacuum(spark, store, min_seq=5) == 1
+    raw = {r.id: (r._cdc_seq, r._cdc_deleted)
+           for r in spark.read.parquet(store).collect()}
+    assert set(raw) == {1, 3}
+    assert raw[3] == (9, True)  # young tombstone kept
+    assert cdc_vacuum(spark, store, min_seq=5) == 0  # idempotent
+
+    # the kept tombstone still wins against a late stale update
+    late = spark.createDataFrame([(3, "U", 7, "zombie")],
+                                 "id int, op string, seq int, val string")
+    src2 = str(tmp_path / "src2")
+    late.coalesce(1).write.parquet(src2)
+    stream2 = (spark.readStream.schema(late.schema)
+               .format("parquet").load(src2))
+    foreach_batch_cdc_apply(stream2, store, key_cols=["id"],
+                            seq_col="seq").awaitTermination()
+    cur = {r.id: r.val for r in read_cdc_store(spark, store).collect()}
+    assert cur == {1: "live"}

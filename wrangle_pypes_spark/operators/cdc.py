@@ -33,7 +33,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ("cdc_compact", "cdc_apply")
+__all__ = ("cdc_compact", "cdc_apply", "cdc_vacuum")
 
 _IMG = "_cdc_img"
 
@@ -100,3 +100,42 @@ def cdc_apply(base: DataFrame, changes: DataFrame, *,
             [F.when(op.isNotNull(), F.col(f"{_IMG}.{c}"))
               .otherwise(F.col(f"b.{c}")).alias(c) for c in payload])
     return out.select(*cols)
+
+
+def cdc_vacuum(spark, store_path: str, *, min_seq) -> int:
+    """Retention sweep for a :func:`~wrangle_pypes_spark.streaming.
+    foreach_batch_cdc_apply` store: physically drop tombstones whose
+    applied sequence is BELOW ``min_seq``, and return how many were
+    dropped.
+
+    A tombstone must outlive the transport's maximum disorder — a late
+    update with ``seq < min_seq`` can no longer arrive once the feed
+    has advanced past that horizon (Kafka retention, binlog purge), so
+    the marker is dead weight.  Dropping one EARLY re-opens the
+    resurrection window the maintainer exists to close, which is why
+    the horizon is the caller's explicit statement, never a default.
+    Live rows are untouched at any ``min_seq``.
+
+    The rewrite goes through the same backup-rename swap as
+    ``upsert_parquet`` (crash-recoverable); cost is one full-store
+    rewrite — schedule it like compaction, not per batch.
+    """
+    from ..sources.sinks import recover_upsert_backup
+    from .. import fsutil
+
+    recover_upsert_backup(store_path, spark=spark)
+    df = spark.read.parquet(store_path)
+    dead = F.col("_cdc_deleted") & (F.col("_cdc_seq") < F.lit(min_seq))
+    n_dead = df.filter(dead).count()
+    if n_dead == 0:
+        return 0
+    kept = df.filter(~dead).localCheckpoint(eager=True)
+    tmp = store_path.rstrip("/") + "._vacuum_tmp"
+    bak = store_path.rstrip("/") + "._upsert_bak"
+    fsutil.delete(tmp, spark=spark)
+    fsutil.delete(bak, spark=spark)
+    kept.write.mode("overwrite").parquet(tmp)
+    fsutil.rename(store_path, bak, spark=spark)
+    fsutil.rename(tmp, store_path, spark=spark)
+    fsutil.delete(bak, spark=spark)
+    return n_dead
