@@ -3519,6 +3519,39 @@ ORDER BY o_orderkey
 """
 
 
+def q_random_projection_emb(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection (operators/similarity.py
+    ``random_projection``): 64-dim embeddings sketched to 8 dims with
+    md5-derived Rademacher signs — no projection matrix exists
+    anywhere, signs recompute inside codegen, map-only.  6dp rounding
+    absorbs cross-engine summation-order ulps."""
+    from wrangle_pypes_spark.operators.similarity import random_projection
+    e = _t(spark, sf_dir, "embeddings")
+    out = random_projection(e, "embedding", out_dim=8,
+                            hash_scheme="md5", round_digits=6)
+    return out.select("vec_id", "rp_embedding").orderBy("vec_id")
+
+
+SQL_RANDOM_PROJECTION = """
+WITH v AS (
+  SELECT vec_id,
+    list_transform(embedding,
+                   x -> coalesce(CAST(x AS DOUBLE), 0.0)) AS vec
+  FROM embeddings
+)
+SELECT vec_id,
+  [ round(list_sum(list_transform(range(len(vec)), i ->
+      vec[i + 1] * CASE WHEN
+        ('0x' || substr(md5('42:' || CAST(i AS VARCHAR) || ':'
+                             || CAST(j AS VARCHAR)), 1, 1))::INT
+        % 2 = 0
+      THEN 1.0 ELSE -1.0 END)) * (1.0 / sqrt(8.0)), 6)
+    FOR j IN range(8) ] AS rp_embedding
+FROM v
+ORDER BY vec_id
+"""
+
+
 def q_group_split_sources(spark, sf_dir):
     """Leakage-safe GROUP-level splitting (operators/sampling.py
     ``split_assign`` keyed on the GROUP column): every document of one
@@ -6454,6 +6487,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_order_docs": q_curriculum_order_docs,  # new r4: banded curriculum layout
     "token_fertility_lang": q_token_fertility_lang,  # new r4: per-lang token accounting
     "group_split_sources": q_group_split_sources,  # new r4: leakage-safe group split
+    "random_projection_emb": q_random_projection_emb,  # new r4: JL sketch
     "key_skew_orders": q_key_skew_orders,  # new r4: skew profiler top-k
     "script_mix_docs": q_script_mix_docs,  # new r4: unicode script fractions
     "anchor_text_docs": q_anchor_text_docs,  # new r4: anchor-text harvesting
@@ -6665,6 +6699,7 @@ _ORACLES: dict[str, str] = {
     "curriculum_order_docs": SQL_CURRICULUM,
     "token_fertility_lang": SQL_TOKEN_FERTILITY,
     "group_split_sources": SQL_GROUP_SPLIT,
+    "random_projection_emb": SQL_RANDOM_PROJECTION,
     "key_skew_orders": SQL_KEY_SKEW,
     "script_mix_docs": SQL_SCRIPT_MIX,
     "compact_roundtrip_orders": SQL_COMPACT_ROUNDTRIP,

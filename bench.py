@@ -146,6 +146,7 @@ HEADLINE = [
     "curriculum_order_docs",
     "token_fertility_lang",
     "group_split_sources",
+    "random_projection_emb",
     "key_skew_orders",
     "script_mix_docs",
 ]

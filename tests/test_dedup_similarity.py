@@ -732,3 +732,57 @@ def test_streaming_cdc_apply_rejects_unknown_op(spark, tmp_path):
                                 seq_col="seq")
     with pytest.raises(StreamingQueryException, match="unknown op code"):
         q.awaitTermination()
+
+
+def test_random_projection_jl_property(spark, sf_dir):
+    """Projected pairwise distances track true distances (JL): with
+    d'=32 the relative error on real embeddings stays bounded, and the
+    projection is deterministic + map-only."""
+    import itertools
+    import math
+
+    from wrangle_pypes_spark.operators.similarity import random_projection
+    from wrangle_pypes_spark.plans import audit
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .filter(F.col("vec_id") < 30))
+    out = random_projection(emb, "embedding", out_dim=32)
+    rep = audit(out)
+    assert rep.jvm_only() and rep.shuffle_count() == 0
+    rows = {r.vec_id: (r.embedding, r.rp_embedding)
+            for r in out.collect()}
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    errs = []
+    for a, b in itertools.combinations(sorted(rows), 2):
+        d_true = dist(rows[a][0], rows[b][0])
+        d_proj = dist(rows[a][1], rows[b][1])
+        if d_true > 0:
+            errs.append(abs(d_proj - d_true) / d_true)
+    assert sum(errs) / len(errs) < 0.25, sum(errs) / len(errs)
+    assert max(errs) < 0.7, max(errs)
+
+    # deterministic; md5 scheme agrees with itself across runs
+    again = {r.vec_id: r.rp_embedding for r in random_projection(
+        emb, "embedding", out_dim=32).collect()}
+    assert all(again[k] == rows[k][1] for k in rows)
+
+
+def test_random_projection_null_and_errors(spark):
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+    from wrangle_pypes_spark.operators.similarity import random_projection
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", ArrayType(DoubleType()))])
+    df = spark.createDataFrame([(1, [1.0, None]), (2, None)], schema)
+    rows = {r.id: r.rp for r in random_projection(
+        df, "v", out_dim=4, out_col="rp").collect()}
+    assert rows[2] is None              # NULL vector stays NULL
+    assert all(x is not None for x in rows[1])  # NULL element -> 0.0
+    import pytest
+    with pytest.raises(ValueError, match="out_dim"):
+        random_projection(df, "v", out_dim=0)
+    with pytest.raises(ValueError, match="hash_scheme"):
+        random_projection(df, "v", out_dim=2, hash_scheme="sha")

@@ -360,3 +360,73 @@ def dequantize_embeddings(df: DataFrame, *, q_col: str = "q_embedding",
     s = F.col(scale_col)
     return df.withColumn(
         out_col, F.transform(F.col(q_col), lambda x: x * s))
+
+
+def random_projection(df: DataFrame, vec_col: str, *, out_dim: int,
+                      seed: int = 42, hash_scheme: str = "xxhash64",
+                      out_col: str = "rp_embedding",
+                      round_digits: Optional[int] = None) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: ``y_j = (1/sqrt(d'))
+    Σ_i x_i · s_ij`` with Rademacher signs ``s_ij ∈ {+1, −1}`` derived
+    per (i, j, seed) from a hash — dimensionality reduction that
+    preserves pairwise distances within ``±eps`` for ``d' ≈
+    O(log n / eps²)``, the standard pre-step that makes brute-force /
+    LSH / IVF search cheaper on a 100 TB embedding table (project
+    once, search in d' dims, refine survivors in full dims).
+
+    No projection matrix exists anywhere — signs are recomputed from
+    the hash inside whole-stage codegen, so the op is map-only with
+    zero driver state and works for ANY input dimension without
+    refitting.  ``hash_scheme="xxhash64"`` (default) is the cheap
+    engine-private path; ``"md5"`` is bit-identical across engines for
+    value-level oracle checks.  NULL vector elements count as 0.0; a
+    NULL vector stays NULL.  Determinism: a pure function of (seed,
+    positions), so re-runs and incremental batches project
+    identically — the property that keeps a persisted ANN index valid.
+
+    The projection unrolls to ``out_dim`` fold expressions (each a
+    zip_with + aggregate over the input array) — sized for sketch
+    targets (d' ≤ ~64).  For large d', batch through numpy instead
+    (``mapInPandas`` with a seed-derived matrix) — the hash-sign
+    contract here stays the oracle-able reference semantics.
+
+    Sizing d': distances carry a ~``sqrt(2/(pi*d'))`` mean relative
+    distortion (pinned in tests).  Nearest-NEIGHBOR fidelity in the
+    sketch additionally depends on the corpus's cosine margins —
+    near-uniform vectors with hair-thin top-k margins need a larger
+    d' (or sketch-candidates → full-dim re-rank) to keep recall.
+    """
+    if out_dim <= 0:
+        raise ValueError("out_dim must be positive")
+    v = F.transform(F.col(vec_col),
+                    lambda x: F.coalesce(x.cast("double"), F.lit(0.0)))
+    idx = F.sequence(F.lit(0), F.size(v) - F.lit(1))
+    inv = 1.0 / math.sqrt(out_dim)
+    if hash_scheme == "xxhash64":
+        def sgn(i, j):
+            return F.when(
+                F.pmod(F.xxhash64(F.lit(seed), i, F.lit(j)), 2) == 0,
+                F.lit(1.0)).otherwise(F.lit(-1.0))
+    elif hash_scheme == "md5":
+        def sgn(i, j):
+            h = F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.lit(str(seed)), i.cast("string"),
+                F.lit(str(j)))), 1, 1), 16, 10).cast("int")
+            return F.when(F.pmod(h, 2) == 0,
+                          F.lit(1.0)).otherwise(F.lit(-1.0))
+    else:
+        raise ValueError(f"unknown hash_scheme {hash_scheme!r} "
+                         "(expected 'xxhash64' or 'md5')")
+    comps = []
+    for j in range(out_dim):
+        signed = F.zip_with(v, idx, lambda x, i: x * sgn(i, j))
+        comps.append(
+            F.aggregate(signed, F.lit(0.0), lambda a, b: a + b)
+            * F.lit(inv))
+    y = F.array(*comps)
+    if round_digits is not None:
+        y = F.transform(y, lambda x: F.round(x, round_digits))
+    # a NULL input vector must give a NULL output vector, not an
+    # array of NULL components
+    y = F.when(F.col(vec_col).isNotNull(), y)
+    return df.withColumn(out_col, y)
