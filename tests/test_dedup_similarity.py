@@ -786,3 +786,14 @@ def test_random_projection_null_and_errors(spark):
         random_projection(df, "v", out_dim=0)
     with pytest.raises(ValueError, match="hash_scheme"):
         random_projection(df, "v", out_dim=2, hash_scheme="sha")
+
+
+def test_random_projection_empty_vector_is_zeros(spark):
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+    from wrangle_pypes_spark.operators.similarity import random_projection
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", ArrayType(DoubleType()))])
+    df = spark.createDataFrame([(1, [])], schema)
+    [r] = random_projection(df, "v", out_dim=4, out_col="rp").collect()
+    assert r.rp == [0.0, 0.0, 0.0, 0.0]

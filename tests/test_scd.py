@@ -268,6 +268,13 @@ def test_cdc_apply_rejects_unknown_op_and_missing_cols(spark):
     with pytest.raises(SparkRuntimeException, match="unknown op code"):
         cdc_apply(base, bad_op, key_cols=["id"], seq_col="seq").collect()
 
+    # NULL op is malformed too — it must fail, not read as "no change"
+    null_op = spark.createDataFrame([(1, None, 1, 11)],
+                                    "id int, op string, seq int, v int")
+    with pytest.raises(SparkRuntimeException, match="unknown op code"):
+        cdc_apply(base, null_op, key_cols=["id"],
+                  seq_col="seq").collect()
+
     no_payload = spark.createDataFrame([(1, "U", 1)],
                                        "id int, op string, seq int")
     with pytest.raises(ValueError, match="missing columns"):
@@ -295,9 +302,6 @@ def test_cdc_vacuum_tombstone_retention(spark, tmp_path):
     """Vacuum drops only tombstones below the horizon; live rows and
     young tombstones survive; a kept tombstone still blocks a late
     stale update from resurrecting the key."""
-    import glob
-    import shutil
-
     from wrangle_pypes_spark.operators.cdc import cdc_vacuum
     from wrangle_pypes_spark.streaming import (foreach_batch_cdc_apply,
                                                read_cdc_store)

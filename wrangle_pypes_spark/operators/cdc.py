@@ -30,12 +30,21 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ("cdc_compact", "cdc_apply", "cdc_vacuum")
 
 _IMG = "_cdc_img"
+
+
+def _checked_op(op: Column, valid_ops: Sequence[str],
+                ctx: str) -> Column:
+    """``op`` unchanged when it is one of ``valid_ops``; any other
+    value — including NULL — fails the job with ``raise_error``."""
+    return F.when(op.isin(*valid_ops), op).otherwise(F.raise_error(
+        F.concat(F.lit(f"{ctx}: unknown op code "),
+                 F.coalesce(op, F.lit("NULL")))))
 
 
 def cdc_compact(changes: DataFrame, *, key_cols: Sequence[str],
@@ -86,16 +95,19 @@ def cdc_apply(base: DataFrame, changes: DataFrame, *,
     if missing:
         raise ValueError(f"cdc_apply: changes is missing columns "
                          f"{missing}")
-    latest = cdc_compact(changes, key_cols=keys, seq_col=seq_col,
+    # validate EVERY feed row before compaction: post-join a NULL op is
+    # indistinguishable from "key had no changes", so a malformed row
+    # would otherwise be silently dropped instead of failing the job
+    checked = changes.withColumn(
+        op_col, _checked_op(F.col(op_col),
+                            (insert_op, update_op, delete_op),
+                            "cdc_apply"))
+    latest = cdc_compact(checked, key_cols=keys, seq_col=seq_col,
                          op_col=op_col, payload_cols=payload,
                          tiebreak_cols=tiebreak_cols)
     merged = base.alias("b").join(latest, keys, "full_outer")
     op = F.col(f"{_IMG}._op")
-    guarded = F.when(
-        op.isNull() | op.isin(insert_op, update_op, delete_op), op
-    ).otherwise(F.raise_error(
-        F.concat(F.lit("cdc_apply: unknown op code "), op)))
-    out = merged.filter(guarded.isNull() | (guarded != delete_op))
+    out = merged.filter(op.isNull() | (op != delete_op))
     cols = ([F.col(k) for k in keys] +
             [F.when(op.isNotNull(), F.col(f"{_IMG}.{c}"))
               .otherwise(F.col(f"b.{c}")).alias(c) for c in payload])

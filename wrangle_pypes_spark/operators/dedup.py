@@ -23,25 +23,32 @@ from pyspark.sql import functions as F
 # exact
 # ---------------------------------------------------------------------------
 
-def _split_null_keys(df: DataFrame, key_cols: Sequence[str],
-                     null_keys: str):
+_NULL_TAG = "_wps_null_tag"
+
+
+def _null_key_tag(df: DataFrame, key_cols: Sequence[str],
+                  null_keys: str):
     """Shared NULL-key policy for the exact-dedup family.  Spark's
     ``dropDuplicates``/``groupBy`` treat NULL keys as EQUAL, so a key
     like ``canonical_url`` (NULL = "not a URL") would collapse every
     NULL-keyed row corpus-wide.  ``"group"`` keeps that Spark-native
-    behavior; ``"keep"`` routes rows with ANY NULL key past the dedup
-    untouched (NULL = key unknown, not key equal) — the split is a
-    map-only filter on each branch, no extra shuffle."""
+    behavior; ``"keep"`` makes each NULL-keyed row its OWN group
+    (NULL = key unknown, not key equal) by tagging it with a unique
+    surrogate that joins the dedup key — a map-only column on the ONE
+    existing scan and shuffle, not a second pass over the input.
+    Returns (df, extra_key_cols)."""
     if null_keys not in ("group", "keep"):
         raise ValueError(f"null_keys must be 'group' or 'keep', "
                          f"got {null_keys!r}")
     if null_keys == "group":
-        return df, None
+        return df, []
     any_null = None
     for c in key_cols:
         n = F.col(c).isNull()
         any_null = n if any_null is None else (any_null | n)
-    return df.filter(~any_null), df.filter(any_null)
+    tag = F.when(any_null, F.monotonically_increasing_id()) \
+           .otherwise(F.lit(-1))
+    return df.withColumn(_NULL_TAG, tag), [_NULL_TAG]
 
 
 def exact_dedup(df: DataFrame, cols: Sequence[str],
@@ -59,14 +66,15 @@ def exact_dedup(df: DataFrame, cols: Sequence[str],
     when the key means "unknown" for some rows (e.g. ``canonical_url``
     is NULL for non-URLs).
     """
-    df, passthrough = _split_null_keys(df, cols, null_keys)
+    keyed, extra = _null_key_tag(df, cols, null_keys)
+    keys = list(cols) + extra
     if tie_breaker is None:
-        out = df.dropDuplicates(list(cols))
+        out = keyed.dropDuplicates(keys)
     else:
-        w = Window.partitionBy(*cols).orderBy(F.col(tie_breaker).asc())
-        out = (df.withColumn("_rn", F.row_number().over(w))
-                 .filter(F.col("_rn") == 1).drop("_rn"))
-    return out if passthrough is None else out.unionByName(passthrough)
+        w = Window.partitionBy(*keys).orderBy(F.col(tie_breaker).asc())
+        out = (keyed.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1).drop("_rn"))
+    return out.drop(*extra) if extra else out
 
 
 def dedup_keep_best(df: DataFrame, key_cols: Sequence[str],
@@ -90,15 +98,15 @@ def dedup_keep_best(df: DataFrame, key_cols: Sequence[str],
     ``null_keys="keep"`` passes rows with a NULL group key through
     untouched (see :func:`exact_dedup`).
     """
-    df, passthrough = _split_null_keys(df, key_cols, null_keys)
+    out_cols = list(df.columns)
+    keyed, extra = _null_key_tag(df, key_cols, null_keys)
     ordkey = F.struct(*[F.col(c) if isinstance(c, str) else c
                         for c in order_cols])
-    payload = F.struct(*[F.col(c) for c in df.columns])
-    best = (df.groupBy(*key_cols)
+    payload = F.struct(*[F.col(c) for c in out_cols])
+    best = (keyed.groupBy(*key_cols, *extra)
             .agg(F.max_by(payload, ordkey).alias("_best")))
-    out = best.select(*[F.col(f"_best.{c}").alias(c)
-                        for c in df.columns])
-    return out if passthrough is None else out.unionByName(passthrough)
+    return best.select(*[F.col(f"_best.{c}").alias(c)
+                         for c in out_cols])
 
 
 # ---------------------------------------------------------------------------

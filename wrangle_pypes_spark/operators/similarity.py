@@ -400,7 +400,11 @@ def random_projection(df: DataFrame, vec_col: str, *, out_dim: int,
         raise ValueError("out_dim must be positive")
     v = F.transform(F.col(vec_col),
                     lambda x: F.coalesce(x.cast("double"), F.lit(0.0)))
-    idx = F.sequence(F.lit(0), F.size(v) - F.lit(1))
+    # sequence(0, -1) counts DOWN to [0, -1]; an empty vector needs an
+    # empty index list so each component folds to 0.0, not NULL
+    idx = F.when(F.size(v) > 0,
+                 F.sequence(F.lit(0), F.size(v) - F.lit(1))) \
+           .otherwise(F.array().cast("array<int>"))
     inv = 1.0 / math.sqrt(out_dim)
     if hash_scheme == "xxhash64":
         def sgn(i, j):

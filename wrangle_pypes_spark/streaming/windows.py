@@ -470,11 +470,11 @@ def foreach_batch_cdc_apply(stream_df: DataFrame, store_path: str, *,
         spark = batch_df.sparkSession
         payload = [c for c in batch_df.columns
                    if c not in (*keys, seq_col, op_col)]
-        op = F.col(op_col)
-        deleted = F.when(
-            op.isin(insert_op, update_op, delete_op), op == delete_op
-        ).otherwise(F.raise_error(F.concat(
-            F.lit("foreach_batch_cdc_apply: unknown op code "), op)))
+        from ..operators.cdc import _checked_op
+        op = _checked_op(F.col(op_col),
+                         (insert_op, update_op, delete_op),
+                         "foreach_batch_cdc_apply")
+        deleted = op == delete_op
         img = batch_df.select(
             *keys, *payload,
             F.col(seq_col).alias("_cdc_seq"),
