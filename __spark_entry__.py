@@ -3519,6 +3519,30 @@ ORDER BY o_orderkey
 """
 
 
+def q_sequential_ids_orders(spark, sf_dir):
+    """Distributed dense enumeration (operators/relational.py
+    ``assign_sequential_ids``): global 0..n-1 ids in
+    (o_orderdate, o_orderkey) order via the two-pass offset scheme —
+    range-partition sort + per-partition counts prefix-summed
+    driver-side — never the single-task ``row_number() OVER (ORDER
+    BY)`` global window.  The oracle IS that single-task formulation,
+    proving the distributed scheme computes the same function."""
+    from wrangle_pypes_spark.operators.relational import (
+        assign_sequential_ids)
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    out = assign_sequential_ids(o, ["o_orderdate", "o_orderkey"])
+    return out.select("o_orderkey", "seq_id").orderBy("seq_id")
+
+
+SQL_SEQUENTIAL_IDS = """
+SELECT o_orderkey,
+       (row_number() OVER (ORDER BY o_orderdate, o_orderkey)
+        - 1)::BIGINT AS seq_id
+FROM orders
+ORDER BY seq_id
+"""
+
+
 def q_random_projection_emb(spark, sf_dir):
     """Johnson–Lindenstrauss random projection (operators/similarity.py
     ``random_projection``): 64-dim embeddings sketched to 8 dims with
@@ -6488,6 +6512,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_fertility_lang": q_token_fertility_lang,  # new r4: per-lang token accounting
     "group_split_sources": q_group_split_sources,  # new r4: leakage-safe group split
     "random_projection_emb": q_random_projection_emb,  # new r4: JL sketch
+    "sequential_ids_orders": q_sequential_ids_orders,  # new r4: distributed enumeration
     "key_skew_orders": q_key_skew_orders,  # new r4: skew profiler top-k
     "script_mix_docs": q_script_mix_docs,  # new r4: unicode script fractions
     "anchor_text_docs": q_anchor_text_docs,  # new r4: anchor-text harvesting
@@ -6700,6 +6725,7 @@ _ORACLES: dict[str, str] = {
     "token_fertility_lang": SQL_TOKEN_FERTILITY,
     "group_split_sources": SQL_GROUP_SPLIT,
     "random_projection_emb": SQL_RANDOM_PROJECTION,
+    "sequential_ids_orders": SQL_SEQUENTIAL_IDS,
     "key_skew_orders": SQL_KEY_SKEW,
     "script_mix_docs": SQL_SCRIPT_MIX,
     "compact_roundtrip_orders": SQL_COMPACT_ROUNDTRIP,

@@ -147,6 +147,7 @@ HEADLINE = [
     "token_fertility_lang",
     "group_split_sources",
     "random_projection_emb",
+    "sequential_ids_orders",
     "key_skew_orders",
     "script_mix_docs",
 ]

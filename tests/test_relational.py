@@ -610,3 +610,29 @@ def test_key_skew_profile(spark):
     top_plan = key_skew_profile(df, ["k"], k=3)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in top_plan
+
+
+def test_assign_sequential_ids(spark):
+    from wrangle_pypes_spark.operators.relational import (
+        assign_sequential_ids)
+    from wrangle_pypes_spark.plans import audit
+    import random
+    vals = list(range(500))
+    random.Random(7).shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    out = assign_sequential_ids(df, ["x"], num_partitions=8)
+    rows = {r.x: r.seq_id for r in out.collect()}
+    # dense 0..n-1, exactly the rank of x
+    assert rows == {v: v for v in range(500)}
+    # start offset
+    out2 = assign_sequential_ids(df, ["x"], start=1000,
+                                 num_partitions=8)
+    assert {r.seq_id for r in out2.collect()} == \
+        set(range(1000, 1500))
+    # no single-partition global-sort window in the plan (the
+    # checkpointed range-sorted input appears as an ExistingRDD scan)
+    rep = audit(out)
+    assert rep.jvm_only()
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "singlepartition" not in plan
+    assert "existingrdd" in plan

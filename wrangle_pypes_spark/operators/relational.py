@@ -630,3 +630,61 @@ def winsorize(df: DataFrame, value_col: str, *,
         F.least(F.greatest(F.col(value_col).cast("double"), F.lit(lo)),
                 F.lit(hi)))
     return df.withColumn(out_col or f"{value_col}_winsor", clipped)
+
+
+def assign_sequential_ids(df: DataFrame, order_cols: Sequence[str], *,
+                          out_col: str = "seq_id", start: int = 0,
+                          num_partitions: Optional[int] = None
+                          ) -> DataFrame:
+    """Dense global sequential ids (``start``, ``start+1``, …) in
+    ``order_cols`` order — WITHOUT the single-partition window that
+    ``row_number() OVER (ORDER BY …)`` plans (one task sorting the
+    whole table is the canonical 100 TB anti-pattern), and without
+    ``monotonically_increasing_id``'s gaps and partition-layout
+    dependence.
+
+    Two-pass offset scheme (the standard distributed enumeration):
+
+    1. range-partition + sort by ``order_cols`` (one shuffle — the
+       global sort an ordered enumeration needs anyway);
+    2. count rows per partition (a k-row aggregate), prefix-sum the
+       counts driver-side (k scalars, not data), broadcast the offsets
+       back, and add each row's partition-local ``row_number`` (the
+       window partitions by ``spark_partition_id`` over data already
+       sorted — no second shuffle).
+
+    ``order_cols`` should be a total order (include a unique column
+    last) or equal rows get an engine-arbitrary relative id.  The ids
+    are DENSE and DETERMINISTIC for a total order; unlike a hash
+    surrogate they change when rows are inserted upstream — use a hash
+    key where stability-under-growth matters, this where downstream
+    needs compact 0..n-1 ids (tensor row indices, shard offsets,
+    matrix factorization).
+    """
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions")
+    ordered = (df.repartitionByRange(int(n),
+                                     *[F.col(c) for c in order_cols])
+               .sortWithinPartitions(*order_cols)
+               .withColumn("_pid", F.spark_partition_id()))
+    # PIN one physical partitioning: the counts job and the final job
+    # must see identical partitions, but an un-materialized
+    # repartitionByRange re-SAMPLES its boundaries per job — offsets
+    # from one sampling applied to another silently corrupt the ids
+    ordered = ordered.localCheckpoint(eager=True)
+    counts = (ordered.groupBy("_pid")
+              .agg(F.count(F.lit(1)).alias("_n")).collect())
+    offsets, acc = {}, int(start)
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["_n"]
+    spark = df.sparkSession
+    off = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (ordered.join(F.broadcast(off), "_pid")
+            .withColumn(out_col,
+                        (F.col("_off") + F.row_number().over(w)
+                         - F.lit(1)).cast("long"))
+            .drop("_pid", "_off"))
