@@ -240,6 +240,33 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_flatten_nested_customer(spark, sf_dir):
+    """Generic struct flattening (operators/relational.py
+    ``flatten_structs``): the wrangle nested-customer build run through
+    the recursive path-name flattener — the inverse of ``Create`` for
+    flat sinks/BI layers.  Pure projection: the flatten is one select
+    list, so pruning still reaches the scan."""
+    from wrangle_pypes_spark.operators.relational import flatten_structs
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(customer),
+                         orders.o_custkey == customer.c_custkey, "inner")
+    nested = _nested_pipeline().create_multiple(NestedOrderM, joined)
+    return flatten_structs(nested).orderBy("orderkey")
+
+
+SQL_FLATTEN_NESTED = """
+SELECT o_orderkey AS orderkey,
+       round(o_totalprice, 2) AS total,
+       c_custkey AS customer_key,
+       c_name AS customer_name,
+       CASE WHEN c_mktsegment IS NULL OR c_mktsegment = '' THEN 'NONE'
+            ELSE c_mktsegment END AS customer_segment
+FROM orders JOIN customer ON o_custkey = c_custkey
+ORDER BY orderkey
+"""
+
+
 def q_wrangle_get_or_create(spark, sf_dir):
     customer = _t(spark, sf_dir, "customer")
     dim = (customer.filter(F.col("c_custkey") < 100)
@@ -6513,6 +6540,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_split_sources": q_group_split_sources,  # new r4: leakage-safe group split
     "random_projection_emb": q_random_projection_emb,  # new r4: JL sketch
     "sequential_ids_orders": q_sequential_ids_orders,  # new r4: distributed enumeration
+    "flatten_nested_customer": q_flatten_nested_customer,  # new r4: recursive struct flatten
     "key_skew_orders": q_key_skew_orders,  # new r4: skew profiler top-k
     "script_mix_docs": q_script_mix_docs,  # new r4: unicode script fractions
     "anchor_text_docs": q_anchor_text_docs,  # new r4: anchor-text harvesting
@@ -6726,6 +6754,7 @@ _ORACLES: dict[str, str] = {
     "group_split_sources": SQL_GROUP_SPLIT,
     "random_projection_emb": SQL_RANDOM_PROJECTION,
     "sequential_ids_orders": SQL_SEQUENTIAL_IDS,
+    "flatten_nested_customer": SQL_FLATTEN_NESTED,
     "key_skew_orders": SQL_KEY_SKEW,
     "script_mix_docs": SQL_SCRIPT_MIX,
     "compact_roundtrip_orders": SQL_COMPACT_ROUNDTRIP,

@@ -148,6 +148,7 @@ HEADLINE = [
     "group_split_sources",
     "random_projection_emb",
     "sequential_ids_orders",
+    "flatten_nested_customer",
     "key_skew_orders",
     "script_mix_docs",
 ]

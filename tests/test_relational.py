@@ -636,3 +636,29 @@ def test_assign_sequential_ids(spark):
     plan = out._jdf.queryExecution().executedPlan().toString().lower()
     assert "singlepartition" not in plan
     assert "existingrdd" in plan
+
+
+def test_flatten_structs(spark):
+    from wrangle_pypes_spark.operators.relational import flatten_structs
+    df = spark.sql("""
+      SELECT 1 AS id,
+             named_struct('name', 'a',
+                          'addr', named_struct('city', 'x', 'zip', 7),
+                          'tags', array(1, 2)) AS cust,
+             CAST(NULL AS struct<a:int, b:string>) AS opt,
+             array(named_struct('k', 1)) AS arr
+    """)
+    out = flatten_structs(df)
+    assert out.columns == ["id", "cust_name", "cust_addr_city",
+                           "cust_addr_zip", "cust_tags", "opt_a",
+                           "opt_b", "arr"]
+    r = out.collect()[0]
+    assert (r.cust_addr_city, r.cust_addr_zip) == ("x", 7)
+    assert r.cust_tags == [1, 2]          # arrays pass through whole
+    assert r.opt_a is None and r.opt_b is None  # NULL struct -> NULLs
+    assert r.arr == [{"k": 1}] or r.arr[0].k == 1
+
+    import pytest
+    clash = spark.sql("SELECT named_struct('b', 1) AS a, 2 AS a_b")
+    with pytest.raises(ValueError, match="collide"):
+        flatten_structs(clash)

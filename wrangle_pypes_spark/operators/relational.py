@@ -688,3 +688,48 @@ def assign_sequential_ids(df: DataFrame, order_cols: Sequence[str], *,
                         (F.col("_off") + F.row_number().over(w)
                          - F.lit(1)).cast("long"))
             .drop("_pid", "_off"))
+
+
+def flatten_structs(df: DataFrame, *, sep: str = "_",
+                    max_depth: int = 16) -> DataFrame:
+    """Recursively flatten every struct column into top-level columns
+    with ``sep``-joined path names (``customer.address.city`` →
+    ``customer_address_city``) — the generic inverse of the wrangle
+    ``Create``/nested-model builders, for sinks and BI layers that
+    want flat relational schemas.  Arrays and maps are NOT entered
+    (flattening across an array changes cardinality — explode first
+    if that is intended); a NULL struct yields NULLs in all its
+    leaves, matching SQL's ``s.f`` semantics.
+
+    Pure projection — one select list, map-only, no UDF; column
+    pruning still pushes into the parquet scan because the select is
+    ordinary field access.  Name collisions after joining raise
+    rather than silently shadowing.  ``max_depth`` guards against
+    pathological recursive schemas.
+    """
+    from pyspark.sql import types as T
+
+    cols: list = []
+    names: list = []
+
+    def walk(col, name: str, dtype, depth: int):
+        if isinstance(dtype, T.StructType) and depth < max_depth:
+            for f in dtype.fields:
+                walk(col[f.name], f"{name}{sep}{f.name}",
+                     f.dataType, depth + 1)
+        else:
+            cols.append(col.alias(name))
+            names.append(name)
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.StructType):
+            walk(F.col(f.name), f.name, f.dataType, 1)
+        else:
+            cols.append(F.col(f.name))
+            names.append(f.name)
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(
+            f"flatten_structs: flattened names collide: {sorted(dupes)}"
+            f" — use a different sep or rename before flattening")
+    return df.select(*cols)
