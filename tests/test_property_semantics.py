@@ -177,3 +177,55 @@ def test_resample_grid_and_fill_invariants(spark, obs):
         if not r.is_gap:
             last = r.sum_v
         assert r.filled == last
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: random feeds vs a dict-based reference interpreter
+# ---------------------------------------------------------------------------
+
+_cdc_change = st.tuples(
+    st.integers(0, 9),                        # key
+    st.sampled_from(["I", "U", "D"]),         # op
+    st.integers(0, 20),                       # seq
+    st.integers(-100, 100),                   # payload v
+)
+
+
+def _cdc_reference(base_rows, changes):
+    """Latest-image semantics in ~10 lines of Python: per key the
+    lexicographically maximal (seq, op, v) change wins — the same
+    total order as max_by(struct) with tiebreak_cols=["op", "v"];
+    delete removes, others upsert."""
+    latest = {}
+    for k, op, seq, v in changes:
+        cand = (seq, op, v)
+        if k not in latest or cand > latest[k]:
+            latest[k] = cand
+    table = dict(base_rows)
+    for k, (seq, op, v) in latest.items():
+        if op == "D":
+            table.pop(k, None)
+        else:
+            table[k] = v
+    return table
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(changes=st.lists(_cdc_change, min_size=0, max_size=40))
+def test_cdc_apply_matches_reference_model(spark, changes):
+    base_rows = {k: k * 10 for k in range(0, 10, 2)}  # keys 0,2,4,6,8
+    base = spark.createDataFrame(
+        [(k, v) for k, v in base_rows.items()], "id int, v int")
+    if changes:
+        feed = spark.createDataFrame(
+            [(k, op, seq, v) for k, op, seq, v in changes],
+            "id int, op string, seq int, v int")
+    else:
+        feed = spark.createDataFrame(
+            [], "id int, op string, seq int, v int")
+    from wrangle_pypes_spark.operators.cdc import cdc_apply
+    out = cdc_apply(base, feed, key_cols=["id"], seq_col="seq",
+                    tiebreak_cols=["op", "v"])
+    got = {r.id: r.v for r in out.collect()}
+    assert got == _cdc_reference(base_rows, changes)
