@@ -240,6 +240,44 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_binary_ingest_docs(spark, sf_dir):
+    """Opaque binary ingest (sources/tables.py ``read_binary_files``,
+    Spark's ``binaryFile`` source): one .bin file per document (utf-8
+    text bytes — a deterministic stand-in for image/audio payloads),
+    read back as (name, length, md5).  The fixture write is driver-side
+    by construction (40 small files); the READ is the real source —
+    listing-time glob pruning, no splitting.  The oracle recomputes
+    the same bytes from the documents table, so the md5s prove the
+    source delivered every payload intact."""
+    import os
+    import tempfile
+
+    from wrangle_pypes_spark.sources import read_binary_files
+
+    d = _t(spark, sf_dir, "documents")
+    rows = d.filter(F.col("doc_id") < 40) \
+            .select("doc_id", "text").collect()
+    root = tempfile.mkdtemp(prefix="wps_bin_q_")
+    for r in rows:
+        with open(os.path.join(root, f"{r.doc_id}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    files = read_binary_files(spark, root, glob="*.bin")
+    return (files.select(
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+        F.col("length"),
+        F.md5("content").alias("content_md5"))
+        .orderBy("name"))
+
+
+SQL_BINARY_INGEST = """
+SELECT CAST(doc_id AS VARCHAR) || '.bin' AS name,
+       strlen(text)::BIGINT AS length,  -- byte length of the utf-8 text
+       md5(text) AS content_md5
+FROM documents WHERE doc_id < 40
+ORDER BY name
+"""
+
+
 def q_flatten_nested_customer(spark, sf_dir):
     """Generic struct flattening (operators/relational.py
     ``flatten_structs``): the wrangle nested-customer build run through
@@ -6541,6 +6579,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "random_projection_emb": q_random_projection_emb,  # new r4: JL sketch
     "sequential_ids_orders": q_sequential_ids_orders,  # new r4: distributed enumeration
     "flatten_nested_customer": q_flatten_nested_customer,  # new r4: recursive struct flatten
+    "binary_ingest_docs": q_binary_ingest_docs,  # new r4: binaryFile source read-back
     "key_skew_orders": q_key_skew_orders,  # new r4: skew profiler top-k
     "script_mix_docs": q_script_mix_docs,  # new r4: unicode script fractions
     "anchor_text_docs": q_anchor_text_docs,  # new r4: anchor-text harvesting
@@ -6755,6 +6794,7 @@ _ORACLES: dict[str, str] = {
     "random_projection_emb": SQL_RANDOM_PROJECTION,
     "sequential_ids_orders": SQL_SEQUENTIAL_IDS,
     "flatten_nested_customer": SQL_FLATTEN_NESTED,
+    "binary_ingest_docs": SQL_BINARY_INGEST,
     "key_skew_orders": SQL_KEY_SKEW,
     "script_mix_docs": SQL_SCRIPT_MIX,
     "compact_roundtrip_orders": SQL_COMPACT_ROUNDTRIP,

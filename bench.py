@@ -149,6 +149,7 @@ HEADLINE = [
     "random_projection_emb",
     "sequential_ids_orders",
     "flatten_nested_customer",
+    "binary_ingest_docs",
     "key_skew_orders",
     "script_mix_docs",
 ]
