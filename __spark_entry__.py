@@ -240,6 +240,105 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_split_leakage_audit(spark, sf_dir):
+    """Split-leakage AUDIT (composition: ``doc_fingerprint`` ×
+    ``split_assign``): for every duplicated content fingerprint, how
+    many docs carry it and how many DISTINCT splits they landed in —
+    ``n_splits > 1`` is eval contamination a doc-id-keyed split cannot
+    prevent (the reason `group_split_sources` exists).  One explode-free
+    map pass + one fingerprint-keyed aggregate."""
+    from wrangle_pypes_spark.functions import doc_fingerprint
+    from wrangle_pypes_spark.operators import split_assign
+    d = _t(spark, sf_dir, "documents")
+    tagged = split_assign(d, "doc_id").select(
+        doc_fingerprint(F.col("text")).alias("fingerprint"), "split")
+    return (tagged.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct("split").alias("n_splits"),
+                 F.concat_ws(",", F.array_sort(
+                     F.collect_set("split"))).alias("splits"))
+            .filter(F.col("n_docs") > 1)
+            .orderBy("fingerprint"))
+
+
+# same float math as sampling.split_assign's defaults (the module-level
+# _B1/_B2 twins are defined further down, after their own query)
+_LK1 = format(min(int(0.98 * 16**8), 16**8 - 1), "08x")
+_LK2 = format(min(int((0.98 + 0.01) * 16**8), 16**8 - 1), "08x")
+
+SQL_SPLIT_LEAKAGE = f"""
+WITH k AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> ''))), ' ')) AS fingerprint,
+         CASE WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '{_LK1}' THEN 'train'
+              WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '{_LK2}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT fingerprint, count(*)::BIGINT AS n_docs,
+       count(DISTINCT split)::BIGINT AS n_splits,
+       array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
+FROM k GROUP BY fingerprint
+HAVING count(*) > 1
+ORDER BY fingerprint
+"""
+
+
+def q_vocab_diversity_sources(spark, sf_dir):
+    """Per-source vocabulary diversity: token count, type count,
+    type-token ratio, Shannon entropy of the token distribution
+    (nats), and the top token's share — the lexical-richness signals
+    that flag template farms (low entropy, high top-share) vs prose
+    sources.  Two key-partitioned aggregates: (source, token) counts
+    with map-side partials, then one source-keyed reduction."""
+    from wrangle_pypes_spark.functions.text import tokens as _tok
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(_tok(F.col("text"))).alias("t"))
+    per = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).alias("c"))
+    # per-source total as a window over the (source, token) counts —
+    # shares the source partitioning with the final aggregate
+    per = per.withColumn(
+        "_n", F.sum("c").over(Window.partitionBy("source"))
+               .cast("double"))
+    p = F.col("c") / F.col("_n")
+    return (per.groupBy("source")
+            .agg(F.sum("c").cast("long").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("long").alias("n_types"),
+                 F.round(F.count(F.lit(1)) / F.sum("c"), 6)
+                  .alias("type_token_ratio"),
+                 F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+                 F.round(F.max("c") / F.sum("c"), 6)
+                  .alias("top_token_share"))
+            .orderBy("source"))
+
+
+SQL_VOCAB_DIVERSITY = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+), per AS (
+  SELECT source, t, count(*)::BIGINT AS c FROM tok GROUP BY source, t
+), tot AS (
+  SELECT source, sum(c)::DOUBLE AS n FROM per GROUP BY source
+)
+SELECT per.source,
+       sum(c)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_types,
+       round(count(*) / sum(c), 6) AS type_token_ratio,
+       round(-sum((c / n) * ln(c / n)), 6) AS entropy_nats,
+       round(max(c) / sum(c), 6) AS top_token_share
+FROM per JOIN tot ON per.source = tot.source
+GROUP BY per.source, n
+ORDER BY per.source
+"""
+
+
 def q_binary_ingest_docs(spark, sf_dir):
     """Opaque binary ingest (sources/tables.py ``read_binary_files``,
     Spark's ``binaryFile`` source): one .bin file per document (utf-8
@@ -6580,6 +6679,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequential_ids_orders": q_sequential_ids_orders,  # new r4: distributed enumeration
     "flatten_nested_customer": q_flatten_nested_customer,  # new r4: recursive struct flatten
     "binary_ingest_docs": q_binary_ingest_docs,  # new r4: binaryFile source read-back
+    "split_leakage_audit": q_split_leakage_audit,  # new r4: contamination audit
+    "vocab_diversity_sources": q_vocab_diversity_sources,  # new r4: lexical richness
     "key_skew_orders": q_key_skew_orders,  # new r4: skew profiler top-k
     "script_mix_docs": q_script_mix_docs,  # new r4: unicode script fractions
     "anchor_text_docs": q_anchor_text_docs,  # new r4: anchor-text harvesting
@@ -6795,6 +6896,8 @@ _ORACLES: dict[str, str] = {
     "sequential_ids_orders": SQL_SEQUENTIAL_IDS,
     "flatten_nested_customer": SQL_FLATTEN_NESTED,
     "binary_ingest_docs": SQL_BINARY_INGEST,
+    "split_leakage_audit": SQL_SPLIT_LEAKAGE,
+    "vocab_diversity_sources": SQL_VOCAB_DIVERSITY,
     "key_skew_orders": SQL_KEY_SKEW,
     "script_mix_docs": SQL_SCRIPT_MIX,
     "compact_roundtrip_orders": SQL_COMPACT_ROUNDTRIP,

@@ -150,6 +150,8 @@ HEADLINE = [
     "sequential_ids_orders",
     "flatten_nested_customer",
     "binary_ingest_docs",
+    "split_leakage_audit",
+    "vocab_diversity_sources",
     "key_skew_orders",
     "script_mix_docs",
 ]
