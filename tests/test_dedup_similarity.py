@@ -797,3 +797,33 @@ def test_random_projection_empty_vector_is_zeros(spark):
     df = spark.createDataFrame([(1, [])], schema)
     [r] = random_projection(df, "v", out_dim=4, out_col="rp").collect()
     assert r.rp == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_random_projection_pandas_equals_expr_path(spark, sf_dir):
+    """The BLAS path must compute the SAME function as the md5-scheme
+    expression path (identical signs; summation-order ulps absorbed by
+    rounding), including NULL-vector rows."""
+    from wrangle_pypes_spark.operators.similarity import (
+        random_projection, random_projection_pandas)
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .filter(F.col("vec_id") < 50)
+           .withColumn("embedding",
+                       F.when(F.col("vec_id") % 17 == 0, None)
+                        .otherwise(F.col("embedding"))))
+    a = {r.vec_id: r.rp for r in random_projection(
+        emb, "embedding", out_dim=8, hash_scheme="md5",
+        round_digits=6, out_col="rp").collect()}
+    b = {r.vec_id: r.rp for r in random_projection_pandas(
+        emb, "embedding", in_dim=64, out_dim=8,
+        round_digits=6, out_col="rp").collect()}
+    assert set(a) == set(b)
+    for k in a:
+        if a[k] is None:
+            assert b[k] is None
+        else:
+            assert a[k] == b[k], (k, a[k], b[k])
+
+    import pytest
+    with pytest.raises(ValueError, match="out_dim"):
+        random_projection_pandas(emb, "embedding", in_dim=64, out_dim=0)

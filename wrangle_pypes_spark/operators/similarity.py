@@ -386,9 +386,10 @@ def random_projection(df: DataFrame, vec_col: str, *, out_dim: int,
 
     The projection unrolls to ``out_dim`` fold expressions (each a
     zip_with + aggregate over the input array) — sized for sketch
-    targets (d' ≤ ~64).  For large d', batch through numpy instead
-    (``mapInPandas`` with a seed-derived matrix) — the hash-sign
-    contract here stays the oracle-able reference semantics.
+    targets (d' ≤ ~64).  For large d' use
+    :func:`random_projection_pandas` — one BLAS matmul per Arrow
+    batch under the SAME md5 sign contract (equality pinned in
+    tests), so this path stays the oracle-able reference semantics.
 
     Sizing d': distances carry a ~``sqrt(2/(pi*d'))`` mean relative
     distortion (pinned in tests).  Nearest-NEIGHBOR fidelity in the
@@ -434,3 +435,66 @@ def random_projection(df: DataFrame, vec_col: str, *, out_dim: int,
     # array of NULL components
     y = F.when(F.col(vec_col).isNotNull(), y)
     return df.withColumn(out_col, y)
+
+
+def random_projection_pandas(df: DataFrame, vec_col: str, *,
+                             in_dim: int, out_dim: int, seed: int = 42,
+                             out_col: str = "rp_embedding",
+                             round_digits: Optional[int] = None
+                             ) -> DataFrame:
+    """The batched-numpy twin of :func:`random_projection` for LARGE
+    sketch targets: one sign matrix built ONCE (xxhash64-compatible
+    signs are engine-private JVM state, so this path derives its
+    Rademacher signs from md5 — the SAME ``md5(f"{seed}:{i}:{j}")``
+    first-hex-digit parity contract as ``hash_scheme="md5"``), then one
+    ``X @ S`` matmul per Arrow batch via ``mapInPandas``.  Per-row cost
+    is a BLAS matmul instead of ``out_dim`` interpreted fold
+    expressions — the right trade once ``in_dim × out_dim`` passes a
+    few thousand.
+
+    Same semantics as the expression path on the same scheme: identical
+    signs, identical NULL handling (NULL elements → 0.0, NULL/empty
+    vectors → NULL/zeros); only float SUMMATION ORDER differs (BLAS
+    pairwise vs left fold), so compare after rounding.  ``in_dim`` must
+    be given explicitly — the matrix is built before any data is seen.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    if out_dim <= 0 or in_dim <= 0:
+        raise ValueError("in_dim and out_dim must be positive")
+    S = np.empty((in_dim, out_dim), dtype=np.float64)
+    for i in range(in_dim):
+        for j in range(out_dim):
+            h = hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()
+            S[i, j] = 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+    S /= math.sqrt(out_dim)
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    out_schema = f"{fields}, {out_col} array<double>"
+
+    def project(batches):
+        for pdf in batches:
+            col = pdf[vec_col]
+            mask = col.notna()
+            out = [None] * len(pdf)
+            if mask.any():
+                rows = col[mask]
+                X = np.zeros((len(rows), in_dim), dtype=np.float64)
+                for r, v in enumerate(rows):
+                    a = np.asarray(v, dtype=np.float64)
+                    a = np.nan_to_num(a, nan=0.0)
+                    X[r, :len(a)] = a[:in_dim]
+                Y = X @ S
+                if round_digits is not None:
+                    Y = np.round(Y, round_digits)
+                for r, pos in enumerate(np.flatnonzero(mask.to_numpy())):
+                    out[pos] = Y[r].tolist()
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    return df.mapInPandas(project, schema=out_schema)
