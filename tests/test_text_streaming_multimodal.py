@@ -668,3 +668,44 @@ def test_bpe_induce_matches_python_replica(spark):
         .collect()[0].s
     assert "low" in seg                  # 'l'+'o'(+'w') merged back up
     assert got == bpe_induce(df, num_merges=4)   # deterministic
+
+
+def test_stream_metrics_collector(spark, sf_dir):
+    """The listener harvests per-batch progress incl. state rows for a
+    stateful (dedup) query, and detach stops collection."""
+    import time
+
+    from wrangle_pypes_spark.streaming import (StreamMetricsCollector,
+                                               run_available_now_to_memory,
+                                               stream_dedup,
+                                               stream_events)
+
+    mc = StreamMetricsCollector.attach(spark)
+    try:
+        ev = stream_events(spark, sf_dir)
+        deduped = stream_dedup(ev, ["user_id", "event_type"])
+        run_available_now_to_memory(deduped, "metrics_probe",
+                                    state_partitions=2)
+        # listener delivery is async; wait until events stop arriving
+        last = -1
+        for _ in range(40):
+            if mc.progress and len(mc.progress) == last:
+                break
+            last = len(mc.progress)
+            time.sleep(0.5)
+    finally:
+        mc.detach()
+    assert mc.progress, "no progress events collected"
+    total_in = sum(p["num_input_rows"] for p in mc.progress)
+    assert total_in > 0
+    assert any(p["state_rows_total"] > 0 for p in mc.progress)
+    df = mc.to_df(spark)
+    assert df.count() == len(mc.progress)
+    assert "batch_duration_ms" in df.columns
+    n_before = len(mc.progress)
+    # after detach, further queries add nothing
+    run_available_now_to_memory(
+        stream_dedup(stream_events(spark, sf_dir), ["event_id"]),
+        "metrics_probe2", state_partitions=2)
+    time.sleep(1.0)
+    assert len(mc.progress) == n_before

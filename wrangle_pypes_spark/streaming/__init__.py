@@ -25,6 +25,7 @@ from .windows import (
     foreach_batch_scd2_merge,
     read_cdc_store,
     stream_static_enrich,
+    StreamMetricsCollector,
 )
 
 __all__ = (
@@ -46,4 +47,5 @@ __all__ = (
     "foreach_batch_scd2_merge",
     "read_cdc_store",
     "stream_static_enrich",
+    "StreamMetricsCollector",
 )

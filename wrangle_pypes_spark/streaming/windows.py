@@ -606,3 +606,84 @@ def foreach_batch_get_or_create_upsert(stream_df: DataFrame, pipeline,
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+class StreamMetricsCollector:
+    """Streaming observability: a ``StreamingQueryListener`` that
+    harvests every micro-batch's progress into plain dicts, plus a
+    ``to_df`` view for SQL over the run — input/processed rates, batch
+    durations, and per-stateful-operator state-store row counts.  This
+    is the signal that catches unbounded state growth (a missing
+    watermark) or a falling processed-rate BEFORE the job dies at
+    100× scale; in production the same rows ship to a metrics sink.
+
+    Usage::
+
+        mc = StreamMetricsCollector.attach(spark)
+        try:
+            q = ...writeStream...start(); q.awaitTermination()
+        finally:
+            mc.detach()
+        mc.to_df(spark).show()
+
+    The listener is process-wide — ``attach`` registers it, ``detach``
+    removes it; collect windows should bracket exactly the queries
+    under observation.  Metric rows are driver-side by nature
+    (progress objects ARE driver state, a handful per micro-batch).
+    """
+
+    def __init__(self):
+        self.progress: list[dict] = []
+
+    @classmethod
+    def attach(cls, spark: SparkSession) -> "StreamMetricsCollector":
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        self = cls()
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(s, event):
+                pass
+
+            def onQueryProgress(s, event):
+                p = event.progress
+                total_state_rows = sum(
+                    (op.numRowsTotal or 0)
+                    for op in (p.stateOperators or []))
+                self.progress.append({
+                    "query_id": str(p.id),
+                    "batch_id": int(p.batchId),
+                    "timestamp": p.timestamp,
+                    "num_input_rows": int(p.numInputRows or 0),
+                    "input_rows_per_sec":
+                        float(p.inputRowsPerSecond or 0.0),
+                    "processed_rows_per_sec":
+                        float(p.processedRowsPerSecond or 0.0),
+                    "batch_duration_ms": int(
+                        (p.durationMs or {}).get("triggerExecution", 0)),
+                    "state_rows_total": int(total_state_rows),
+                })
+
+            def onQueryTerminated(s, event):
+                pass
+
+            def onQueryIdle(s, event):
+                pass
+
+        self._listener = _L()
+        self._spark = spark
+        spark.streams.addListener(self._listener)
+        return self
+
+    def detach(self) -> None:
+        self._spark.streams.removeListener(self._listener)
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        schema = ("query_id string, batch_id long, timestamp string, "
+                  "num_input_rows long, input_rows_per_sec double, "
+                  "processed_rows_per_sec double, "
+                  "batch_duration_ms long, state_rows_total long")
+        if not self.progress:
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(
+            [tuple(d.values()) for d in self.progress], schema)
