@@ -3908,6 +3908,71 @@ ORDER BY o_orderkey
 """
 
 
+def q_cdc_vacuum_store(spark, sf_dir):
+    """CDC tombstone retention (operators/cdc.py ``cdc_vacuum``) as a
+    read-back: a feed with TWO delete generations (seq 3 and seq 9)
+    is maintained into a durable store, then vacuumed at horizon 5 —
+    old tombstones vanish, young ones survive with their applied seq,
+    live rows are untouched.  The oracle expresses the whole
+    feed→latest-image→retention pipeline as one CASE chain."""
+    import tempfile
+
+    from wrangle_pypes_spark.operators.cdc import cdc_vacuum
+    from wrangle_pypes_spark.streaming import foreach_batch_cdc_apply
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    img1 = base.select("o_orderkey", F.lit("U").alias("op"),
+                       F.lit(1).alias("seq"),
+                       (F.col("o_totalprice") * 2).alias("o_totalprice"))
+    img2 = base.filter(k % 3 == 0).select(
+        "o_orderkey", F.lit("U").alias("op"), F.lit(2).alias("seq"),
+        (F.col("o_totalprice") * 0.5).alias("o_totalprice"))
+    dels_old = base.filter(k % 7 == 0).select(
+        "o_orderkey", F.lit("D").alias("op"), F.lit(3).alias("seq"),
+        F.lit(None).cast("double").alias("o_totalprice"))
+    dels_new = base.filter(k % 11 == 0).select(
+        "o_orderkey", F.lit("D").alias("op"), F.lit(9).alias("seq"),
+        F.lit(None).cast("double").alias("o_totalprice"))
+    feed = (img1.unionByName(img2).unionByName(dels_old)
+            .unionByName(dels_new))
+    src = tempfile.mkdtemp(prefix="wps_cdcv_feed_")
+    feed.coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(feed.schema)
+              .format("parquet").load(src))
+    store = tempfile.mkdtemp(prefix="wps_cdcv_store_") + "/state"
+    foreach_batch_cdc_apply(stream, store, key_cols=["o_orderkey"],
+                            seq_col="seq").awaitTermination()
+    cdc_vacuum(spark, store, min_seq=5)
+    raw = spark.read.parquet(store)
+    return raw.select("o_orderkey", "o_totalprice",
+                      F.col("_cdc_seq").cast("long").alias("cdc_seq"),
+                      F.col("_cdc_deleted").alias("cdc_deleted")) \
+              .orderBy("o_orderkey")
+
+
+SQL_CDC_VACUUM = """
+WITH latest AS (
+  SELECT o_orderkey, o_totalprice,
+    CASE WHEN o_orderkey % 11 = 0 THEN 9
+         WHEN o_orderkey % 7 = 0 THEN 3
+         WHEN o_orderkey % 3 = 0 THEN 2
+         ELSE 1 END AS cdc_seq,
+    (o_orderkey % 11 = 0 OR o_orderkey % 7 = 0) AS cdc_deleted
+  FROM orders
+)
+SELECT o_orderkey,
+  CASE WHEN cdc_deleted THEN NULL
+       WHEN o_orderkey % 3 = 0 THEN o_totalprice * 0.5
+       ELSE o_totalprice * 2 END AS o_totalprice,
+  cdc_seq::BIGINT AS cdc_seq, cdc_deleted
+FROM latest
+WHERE NOT (cdc_deleted AND cdc_seq < 5)
+ORDER BY o_orderkey
+"""
+
+
 def q_key_skew_orders(spark, sf_dir):
     """Key-skew profiling (operators/relational.py
     ``key_skew_profile``): top-25 heaviest customer keys in orders with
@@ -6672,6 +6737,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample_langs": q_stratified_sample_langs,  # r3 md5 oracle, driver last saw rows-only
     "cdc_apply_orders": q_cdc_apply_orders,  # new r4: CDC compact+apply merge
     "stream_cdc_store": q_stream_cdc_store,  # new r4: durable streaming CDC
+    "cdc_vacuum_store": q_cdc_vacuum_store,  # new r4: tombstone retention read-back
     "curriculum_order_docs": q_curriculum_order_docs,  # new r4: banded curriculum layout
     "token_fertility_lang": q_token_fertility_lang,  # new r4: per-lang token accounting
     "group_split_sources": q_group_split_sources,  # new r4: leakage-safe group split
@@ -6715,6 +6781,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_median_orders": q_rolling_median_orders,  # new r4
     "ngram_containment_docs": q_ngram_containment_docs,  # new r4
     "standardize_orders": q_standardize_orders,  # new r4
+    # ---- below the 50-slot driver window from here down ----
     "rollup_hist_percentiles": q_rollup_hist_percentiles,  # new r4
     "span_dedup_docs": q_span_dedup_docs,  # new r4
     "bm25_search_docs": q_bm25_search_docs,  # new r4
@@ -6729,7 +6796,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_kl_drift": q_source_kl_drift,  # new r4: value-level oracle
     "snapshot_js_drift": q_snapshot_js_drift,  # new r4: value-level oracle
     "stream_drift_hourly": q_stream_drift_hourly,  # new r4: value-level oracle
-    # ---- below the 50-slot driver window from here down ----
     "compression_ratio_docs": q_compression_ratio_docs,  # new r4 rows-only by design (zlib); local sweep covers; rotate r5
     "pagerank_trade_graph": q_pagerank_trade_graph,  # new r4 rows-only by design; local sweep covers; rotate r5
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # new r4 rows-only by design; local sweep covers; rotate r5
@@ -6889,6 +6955,7 @@ _ORACLES: dict[str, str] = {
     "scd2_customer_history": SQL_SCD2,
     "cdc_apply_orders": SQL_CDC_APPLY,
     "stream_cdc_store": SQL_STREAM_CDC,
+    "cdc_vacuum_store": SQL_CDC_VACUUM,
     "curriculum_order_docs": SQL_CURRICULUM,
     "token_fertility_lang": SQL_TOKEN_FERTILITY,
     "group_split_sources": SQL_GROUP_SPLIT,

@@ -143,6 +143,7 @@ HEADLINE = [
     "compression_ratio_docs",
     "cdc_apply_orders",
     "stream_cdc_store",
+    "cdc_vacuum_store",
     "curriculum_order_docs",
     "token_fertility_lang",
     "group_split_sources",
