@@ -261,10 +261,15 @@ def q_split_leakage_audit(spark, sf_dir):
             .orderBy("fingerprint"))
 
 
-# same float math as sampling.split_assign's defaults (the module-level
-# _B1/_B2 twins are defined further down, after their own query)
-_LK1 = format(min(int(0.98 * 16**8), 16**8 - 1), "08x")
-_LK2 = format(min(int((0.98 + 0.01) * 16**8), 16**8 - 1), "08x")
+def _split_bounds() -> tuple[str, str]:
+    # identical float math to sampling.split_assign's defaults — the
+    # ONE definition every split oracle in this file reuses
+    b1 = format(min(int(0.98 * 16**8), 16**8 - 1), "08x")
+    b2 = format(min(int((0.98 + 0.01) * 16**8), 16**8 - 1), "08x")
+    return b1, b2
+
+
+_B1, _B2 = _split_bounds()
 
 SQL_SPLIT_LEAKAGE = f"""
 WITH k AS (
@@ -272,9 +277,9 @@ WITH k AS (
            list_filter(string_split_regex(lower(text), '\\s+'),
                        x -> x <> ''))), ' ')) AS fingerprint,
          CASE WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
-                   < '{_LK1}' THEN 'train'
+                   < '{_B1}' THEN 'train'
               WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
-                   < '{_LK2}' THEN 'val'
+                   < '{_B2}' THEN 'val'
               ELSE 'test' END AS split
   FROM documents
 )
@@ -299,18 +304,18 @@ def q_vocab_diversity_sources(spark, sf_dir):
     tok = d.select("source", F.explode(_tok(F.col("text"))).alias("t"))
     per = tok.groupBy("source", "t").agg(
         F.count(F.lit(1)).alias("c"))
-    # per-source total as a window over the (source, token) counts —
-    # shares the source partitioning with the final aggregate
-    per = per.withColumn(
-        "_n", F.sum("c").over(Window.partitionBy("source"))
-               .cast("double"))
-    p = F.col("c") / F.col("_n")
+    # entropy via the identity H = ln N − (Σ c·ln c)/N — both sums
+    # live in the ONE source-keyed aggregate, no window pass over the
+    # (source, token) table just to form p = c/N
+    n = F.sum("c").cast("double")
     return (per.groupBy("source")
             .agg(F.sum("c").cast("long").alias("n_tokens"),
                  F.count(F.lit(1)).cast("long").alias("n_types"),
                  F.round(F.count(F.lit(1)) / F.sum("c"), 6)
                   .alias("type_token_ratio"),
-                 F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+                 F.round(F.log(n) -
+                         F.sum(F.col("c") * F.log("c")) / n, 6)
+                  .alias("entropy_nats"),
                  F.round(F.max("c") / F.sum("c"), 6)
                   .alias("top_token_share"))
             .orderBy("source"))
@@ -324,18 +329,18 @@ WITH tok AS (
   FROM documents
 ), per AS (
   SELECT source, t, count(*)::BIGINT AS c FROM tok GROUP BY source, t
-), tot AS (
-  SELECT source, sum(c)::DOUBLE AS n FROM per GROUP BY source
 )
-SELECT per.source,
+SELECT source,
        sum(c)::BIGINT AS n_tokens,
        count(*)::BIGINT AS n_types,
        round(count(*) / sum(c), 6) AS type_token_ratio,
-       round(-sum((c / n) * ln(c / n)), 6) AS entropy_nats,
+       -- H = ln N - (sum c ln c) / N, mirroring the engine
+       round(ln(sum(c)::DOUBLE)
+             - sum(c * ln(c::DOUBLE)) / sum(c)::DOUBLE, 6)
+         AS entropy_nats,
        round(max(c) / sum(c), 6) AS top_token_share
-FROM per JOIN tot ON per.source = tot.source
-GROUP BY per.source, n
-ORDER BY per.source
+FROM per GROUP BY source
+ORDER BY source
 """
 
 
@@ -2639,15 +2644,6 @@ def q_train_val_test_split(spark, sf_dir):
             .orderBy("split"))
 
 
-def _split_bounds() -> tuple[str, str]:
-    # identical float math to sampling.split_assign's defaults
-    b1 = format(min(int(0.98 * 16**8), 16**8 - 1), "08x")
-    b2 = format(min(int((0.98 + 0.01) * 16**8), 16**8 - 1), "08x")
-    return b1, b2
-
-
-_B1, _B2 = _split_bounds()
-
 SQL_TVT_SPLIT = f"""
 WITH k AS (
   SELECT n_chars,
@@ -3722,9 +3718,11 @@ def q_random_projection_emb(spark, sf_dir):
 
 SQL_RANDOM_PROJECTION = """
 WITH v AS (
+  -- NULL *and NaN* elements count as 0.0 (the operator's contract)
   SELECT vec_id,
     list_transform(embedding,
-                   x -> coalesce(CAST(x AS DOUBLE), 0.0)) AS vec
+      x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 0.0
+                ELSE CAST(x AS DOUBLE) END) AS vec
   FROM embeddings
 )
 SELECT vec_id,

@@ -827,3 +827,31 @@ def test_random_projection_pandas_equals_expr_path(spark, sf_dir):
     import pytest
     with pytest.raises(ValueError, match="out_dim"):
         random_projection_pandas(emb, "embedding", in_dim=64, out_dim=0)
+
+
+def test_random_projection_pandas_guards(spark):
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+    from wrangle_pypes_spark.operators.similarity import (
+        random_projection, random_projection_pandas)
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", ArrayType(DoubleType()))])
+    # over-length vector must raise, never silently truncate
+    long_df = spark.createDataFrame([(1, [1.0] * 5)], schema)
+    out = random_projection_pandas(long_df, "v", in_dim=3, out_dim=2)
+    import pytest
+    with pytest.raises(Exception, match="exceeds in_dim"):
+        out.collect()
+    # NaN elements count as 0.0 on BOTH paths (NaN can't be told from
+    # NULL once Arrow hands the array to numpy)
+    nan_df = spark.createDataFrame([(1, [float("nan"), 2.0])], schema)
+    a = random_projection(nan_df, "v", out_dim=4, hash_scheme="md5",
+                          round_digits=6, out_col="rp").first().rp
+    b = random_projection_pandas(nan_df, "v", in_dim=2, out_dim=4,
+                                 round_digits=6,
+                                 out_col="rp").first().rp
+    zero = random_projection(
+        spark.createDataFrame([(1, [0.0, 2.0])], schema), "v",
+        out_dim=4, hash_scheme="md5", round_digits=6,
+        out_col="rp").first().rp
+    assert a == b == zero

@@ -629,13 +629,16 @@ def test_assign_sequential_ids(spark):
                                  num_partitions=8)
     assert {r.seq_id for r in out2.collect()} == \
         set(range(1000, 1500))
-    # no single-partition global-sort window in the plan (the
-    # checkpointed range-sorted input appears as an ExistingRDD scan)
+    # no single-partition global-sort window, and no SECOND shuffle
+    # after the checkpointed range sort (the ExistingRDD scan feeds a
+    # broadcast join + projection only)
     rep = audit(out)
     assert rep.jvm_only()
     plan = out._jdf.queryExecution().executedPlan().toString().lower()
     assert "singlepartition" not in plan
     assert "existingrdd" in plan
+    assert "exchange hashpartitioning" not in plan
+    assert "window" not in plan
 
 
 def test_flatten_structs(spark):

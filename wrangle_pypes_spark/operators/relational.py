@@ -649,9 +649,11 @@ def assign_sequential_ids(df: DataFrame, order_cols: Sequence[str], *,
        global sort an ordered enumeration needs anyway);
     2. count rows per partition (a k-row aggregate), prefix-sum the
        counts driver-side (k scalars, not data), broadcast the offsets
-       back, and add each row's partition-local ``row_number`` (the
-       window partitions by ``spark_partition_id`` over data already
-       sorted — no second shuffle).
+       back, and add each row's partition-local record index — read
+       from ``monotonically_increasing_id``'s documented layout
+       (partition id in the upper 31 bits, record number within the
+       partition in the lower 33), so NO second shuffle and no window:
+       the post-shuffle plan is a broadcast join plus a projection.
 
     ``order_cols`` should be a total order (include a unique column
     last) or equal rows get an engine-arbitrary relative id.  The ids
@@ -682,12 +684,19 @@ def assign_sequential_ids(df: DataFrame, order_cols: Sequence[str], *,
     off = spark.createDataFrame(
         [(int(p), int(o)) for p, o in offsets.items()],
         "_pid int, _off long")
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (ordered.join(F.broadcast(off), "_pid")
+    # partition-local record index WITHOUT a window (a window
+    # partitioned by _pid would re-shuffle the whole table — the
+    # ExistingRDD scan carries no distribution info Catalyst could
+    # reuse): monotonically_increasing_id is documented as
+    # (partition id << 33) | record-number-within-partition, and the
+    # checkpointed partitions iterate in their stored (sorted) order
+    local_idx = F.monotonically_increasing_id() \
+        .bitwiseAND(F.lit((1 << 33) - 1))
+    return (ordered.withColumn("_lidx", local_idx)
+            .join(F.broadcast(off), "_pid")
             .withColumn(out_col,
-                        (F.col("_off") + F.row_number().over(w)
-                         - F.lit(1)).cast("long"))
-            .drop("_pid", "_off"))
+                        (F.col("_off") + F.col("_lidx")).cast("long"))
+            .drop("_pid", "_off", "_lidx"))
 
 
 def flatten_structs(df: DataFrame, *, sep: str = "_",

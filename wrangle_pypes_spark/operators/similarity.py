@@ -379,7 +379,8 @@ def random_projection(df: DataFrame, vec_col: str, *, out_dim: int,
     zero driver state and works for ANY input dimension without
     refitting.  ``hash_scheme="xxhash64"`` (default) is the cheap
     engine-private path; ``"md5"`` is bit-identical across engines for
-    value-level oracle checks.  NULL vector elements count as 0.0; a
+    value-level oracle checks.  NULL and NaN vector elements count as
+    0.0; a
     NULL vector stays NULL.  Determinism: a pure function of (seed,
     positions), so re-runs and incremental batches project
     identically — the property that keeps a persisted ANN index valid.
@@ -399,8 +400,14 @@ def random_projection(df: DataFrame, vec_col: str, *, out_dim: int,
     """
     if out_dim <= 0:
         raise ValueError("out_dim must be positive")
+    # NULL *and NaN* elements count as 0.0 — NaN must not poison the
+    # fold, and the Arrow path cannot distinguish the two anyway (a
+    # NULL array element arrives in numpy as NaN), so both paths pin
+    # the same rule
     v = F.transform(F.col(vec_col),
-                    lambda x: F.coalesce(x.cast("double"), F.lit(0.0)))
+                    lambda x: F.coalesce(F.nanvl(x.cast("double"),
+                                                 F.lit(0.0)),
+                                         F.lit(0.0)))
     # sequence(0, -1) counts DOWN to [0, -1]; an empty vector needs an
     # empty index list so each component folds to 0.0, not NULL
     idx = F.when(F.size(v) > 0,
@@ -453,10 +460,14 @@ def random_projection_pandas(df: DataFrame, vec_col: str, *,
     few thousand.
 
     Same semantics as the expression path on the same scheme: identical
-    signs, identical NULL handling (NULL elements → 0.0, NULL/empty
-    vectors → NULL/zeros); only float SUMMATION ORDER differs (BLAS
-    pairwise vs left fold), so compare after rounding.  ``in_dim`` must
-    be given explicitly — the matrix is built before any data is seen.
+    signs, identical NULL/NaN handling (NULL and NaN elements → 0.0,
+    NULL/empty vectors → NULL/zeros), and the same HALF_UP rounding
+    rule as Spark's ``round``; only float SUMMATION ORDER differs
+    (BLAS pairwise vs left fold), so boundary-exact equality is up to
+    that ulp.  ``in_dim`` must be given explicitly — the matrix is
+    built before any data is seen; a vector LONGER than ``in_dim``
+    raises rather than silently truncating (shorter vectors zero-pad,
+    matching the fold over their actual length).
     """
     import hashlib
 
@@ -486,11 +497,20 @@ def random_projection_pandas(df: DataFrame, vec_col: str, *,
                 X = np.zeros((len(rows), in_dim), dtype=np.float64)
                 for r, v in enumerate(rows):
                     a = np.asarray(v, dtype=np.float64)
+                    if len(a) > in_dim:
+                        raise ValueError(
+                            f"random_projection_pandas: vector of "
+                            f"length {len(a)} exceeds in_dim={in_dim}")
                     a = np.nan_to_num(a, nan=0.0)
-                    X[r, :len(a)] = a[:in_dim]
+                    X[r, :len(a)] = a
                 Y = X @ S
                 if round_digits is not None:
-                    Y = np.round(Y, round_digits)
+                    # HALF_UP away from zero, matching Spark's round
+                    # (np.round is half-even and would disagree on
+                    # exact .5 boundaries)
+                    s10 = 10.0 ** round_digits
+                    Y = np.sign(Y) * np.floor(np.abs(Y) * s10 + 0.5) \
+                        / s10
                 for r, pos in enumerate(np.flatnonzero(mask.to_numpy())):
                     out[pos] = Y[r].tolist()
             pdf = pdf.copy()
