@@ -362,3 +362,26 @@ def test_training_shards_detect_tamper(spark, tmp_path):
         spark, out, id_col="k", seed=7).collect()}
     assert not v[2].rows_ok and not v[2].content_ok
     assert all(v[k].rows_ok and v[k].content_ok for k in (0, 1, 3))
+
+
+def test_audit_parquet_layout_drives_compaction(spark, tmp_path):
+    """The audit reports the fragmented layout, compact_parquet fixes
+    it, and the audit confirms — content unchanged throughout."""
+    from wrangle_pypes_spark.sources import (audit_parquet_layout,
+                                             compact_parquet)
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(path)
+
+    before = audit_parquet_layout(spark, path).collect()[0]
+    assert before.n_files == 40
+    assert before.total_rows == 10_000
+    assert before.n_small_files == 40          # all tiny
+    assert before.min_rows_per_file >= 1
+    assert abs(before.avg_rows_per_file - 250.0) < 1e-9
+
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    after = audit_parquet_layout(spark, path).collect()[0]
+    assert after.n_files < before.n_files
+    assert after.total_rows == 10_000

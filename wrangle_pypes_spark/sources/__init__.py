@@ -7,7 +7,8 @@ engine's conventions (explicit schemas, star-schema loading, JSON-string
 payload parsing for dynamic columns).
 """
 
-from .sinks import (compact_parquet, read_orc, recover_upsert_backup,
+from .sinks import (audit_parquet_layout, compact_parquet, read_orc,
+                    recover_upsert_backup,
                     upsert_parquet,
                     write_bucketed_table,
                     write_csv, write_json, write_orc, write_parquet)
@@ -17,7 +18,7 @@ from .tables import (TABLES, ensure_session_confs, infer_json_schema,
 
 __all__ = ("TABLES", "ensure_session_confs", "infer_json_schema",
            "load_star_schema", "load_table", "parse_json_col",
-           "compact_parquet",
+           "audit_parquet_layout", "compact_parquet",
            "read_binary_files", "read_csv", "read_jsonl", "read_orc",
            "read_text", "recover_upsert_backup",
            "upsert_parquet",

@@ -404,3 +404,37 @@ def validate_shards(spark, path: str, *, id_col: str, seed: int = 42
                     (F.col("content_key") == F.col("a_key"))
                       .alias("content_ok"))
             .orderBy("shard"))
+
+
+def audit_parquet_layout(spark, path: str, *,
+                         small_file_bytes: int = 32 * 1024 * 1024
+                         ) -> "DataFrame":
+    """One-row layout health report for a parquet table: file count,
+    byte totals, rows-per-file distribution, and how many files fall
+    under ``small_file_bytes`` — the measurement that decides when
+    :func:`compact_parquet` is worth a rewrite (thousands of tiny
+    files slow scan planning and fragment row groups below the size
+    where statistics and vectorized reads pay off).
+
+    Reads Spark's ``_metadata`` hidden column — per-file path and size
+    come from the scan itself, so the audit is fully distributed (one
+    (file, size) aggregate; no driver-side listing) and costs a
+    metadata-only scan of one column.
+    """
+    from pyspark.sql import functions as F
+
+    per_file = (spark.read.parquet(path)
+                .select(F.col("_metadata.file_path").alias("_f"),
+                        F.col("_metadata.file_size").alias("_b"))
+                .groupBy("_f")
+                .agg(F.first("_b").alias("_bytes"),
+                     F.count(F.lit(1)).alias("_rows")))
+    return per_file.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("_bytes").cast("long").alias("total_bytes"),
+        F.sum("_rows").cast("long").alias("total_rows"),
+        F.min("_rows").cast("long").alias("min_rows_per_file"),
+        F.max("_rows").cast("long").alias("max_rows_per_file"),
+        F.round(F.avg("_rows"), 2).alias("avg_rows_per_file"),
+        F.sum((F.col("_bytes") < small_file_bytes).cast("long"))
+         .cast("long").alias("n_small_files"))
