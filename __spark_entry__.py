@@ -3971,6 +3971,33 @@ ORDER BY o_orderkey
 """
 
 
+def q_stream_minhash_index(spark, sf_dir):
+    """Continuously maintained LSH dedup index (streaming/windows.py
+    ``foreach_batch_minhash_index``): drain documents as a stream,
+    maintaining a durable banded-signature index + near-dup pair store
+    (within-batch pairs ∪ batch-vs-index pairs, canonicalized, keyed
+    upserts).  Rows-only by design: signatures are engine-private
+    xxhash64 state; the store ≡ one-shot batch equivalence is pinned
+    in tests/test_dedup_similarity.py."""
+    import tempfile
+
+    from wrangle_pypes_spark.streaming import (
+        foreach_batch_minhash_index, stream_table)
+
+    docs = stream_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text")
+    index = tempfile.mkdtemp(prefix="wps_mhidx_") + "/index"
+    pairs = tempfile.mkdtemp(prefix="wps_mhidx_") + "/pairs"
+    q = foreach_batch_minhash_index(
+        docs, index, text_col="text", id_col="doc_id",
+        pairs_path=pairs, jaccard_threshold=0.8)
+    q.awaitTermination()
+    return (spark.read.parquet(pairs)
+            .select("id_a", "id_b",
+                    F.round("est_jaccard", 4).alias("est_jaccard"))
+            .orderBy("id_a", "id_b"))
+
+
 def q_key_skew_orders(spark, sf_dir):
     """Key-skew profiling (operators/relational.py
     ``key_skew_profile``): top-25 heaviest customer keys in orders with
@@ -6794,6 +6821,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_kl_drift": q_source_kl_drift,  # new r4: value-level oracle
     "snapshot_js_drift": q_snapshot_js_drift,  # new r4: value-level oracle
     "stream_drift_hourly": q_stream_drift_hourly,  # new r4: value-level oracle
+    "stream_minhash_index": q_stream_minhash_index,  # new r4 rows-only by design (LSH); batch-equivalence test covers
     "compression_ratio_docs": q_compression_ratio_docs,  # new r4 rows-only by design (zlib); local sweep covers; rotate r5
     "pagerank_trade_graph": q_pagerank_trade_graph,  # new r4 rows-only by design; local sweep covers; rotate r5
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # new r4 rows-only by design; local sweep covers; rotate r5

@@ -144,6 +144,7 @@ HEADLINE = [
     "cdc_apply_orders",
     "stream_cdc_store",
     "cdc_vacuum_store",
+    "stream_minhash_index",
     "curriculum_order_docs",
     "token_fertility_lang",
     "group_split_sources",

@@ -855,3 +855,59 @@ def test_random_projection_pandas_guards(spark):
         out_dim=4, hash_scheme="md5", round_digits=6,
         out_col="rp").first().rp
     assert a == b == zero
+
+
+def test_streaming_minhash_index_equals_batch(spark, dup_corpus,
+                                              tmp_path):
+    """Drain the dup corpus in two arbitrary batches through the LSH
+    index maintainer: the durable index must equal the one-shot banded
+    build, and the accumulated pairs must equal the one-shot LSH pairs
+    — regardless of which batch a pair's docs arrived in."""
+    import glob
+    import shutil
+
+    from wrangle_pypes_spark.operators.dedup import (
+        minhash_banded, minhash_lsh_dup_pairs)
+    from wrangle_pypes_spark.streaming import foreach_batch_minhash_index
+
+    d = dup_corpus  # originals + perturbed near-dup copies
+    src = str(tmp_path / "mh_src")
+    # split so most near-dup pairs STRADDLE the two batches
+    for tag, half in (("a", d.filter(F.col("doc_id") < 1000000)),
+                      ("b", d.filter(F.col("doc_id") >= 1000000))):
+        half.coalesce(1).write.parquet(f"{src}/{tag}")
+    files = [f for t in ("a", "b")
+             for f in sorted(glob.glob(f"{src}/{t}/*.parquet"))]
+    for i, f in enumerate(files):
+        shutil.move(f, f"{src}/part-{i}.parquet")
+    shutil.rmtree(f"{src}/a"), shutil.rmtree(f"{src}/b")
+
+    index = str(tmp_path / "mh_index")
+    pairs = str(tmp_path / "mh_pairs")
+    stream = (spark.readStream.schema(d.schema)
+              .option("maxFilesPerTrigger", "1")
+              .format("parquet").load(src))
+    q = foreach_batch_minhash_index(
+        stream, index, text_col="text", id_col="doc_id",
+        pairs_path=pairs, jaccard_threshold=0.5)
+    q.awaitTermination()
+
+    got_idx = sorted(map(tuple, spark.read.parquet(index)
+                         .select("doc_id", "band", "bhash").collect()))
+    want_idx = sorted(map(tuple, minhash_banded(
+        d, "text", id_col="doc_id")
+        .select("doc_id", "band", "bhash").collect()))
+    assert got_idx == want_idx
+
+    got_pairs = {(r.id_a, r.id_b) for r in
+                 spark.read.parquet(pairs).collect()}
+    want_pairs = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+                  for r in minhash_lsh_dup_pairs(
+                      d, "text", id_col="doc_id",
+                      jaccard_threshold=0.5).collect()}
+    assert got_pairs == want_pairs
+    assert len(got_pairs) > 50
+    # most pairs straddled the batch boundary (found via the index)
+    straddle = sum(1 for a, b in got_pairs
+                   if (a < 1000000) != (b < 1000000))
+    assert straddle > len(got_pairs) / 2

@@ -19,6 +19,7 @@ from .windows import (
     tumbling_window_agg,
     foreach_batch_cdc_apply,
     foreach_batch_get_or_create,
+    foreach_batch_minhash_index,
     foreach_batch_get_or_create_upsert,
     foreach_batch_dedup_keep_best,
     foreach_batch_rollup_upsert,
@@ -41,6 +42,7 @@ __all__ = (
     "run_available_now_to_memory",
     "foreach_batch_cdc_apply",
     "foreach_batch_get_or_create",
+    "foreach_batch_minhash_index",
     "foreach_batch_get_or_create_upsert",
     "foreach_batch_dedup_keep_best",
     "foreach_batch_rollup_upsert",

@@ -687,3 +687,69 @@ class StreamMetricsCollector:
             return spark.createDataFrame([], schema)
         return spark.createDataFrame(
             [tuple(d.values()) for d in self.progress], schema)
+
+
+def foreach_batch_minhash_index(stream_df: DataFrame, index_path: str, *,
+                                text_col: str, id_col: str,
+                                pairs_path: Optional[str] = None,
+                                num_hashes: int = 64, bands: int = 16,
+                                shingle_n: int = 3,
+                                jaccard_threshold: float = 0.8,
+                                checkpoint: Optional[str] = None):
+    """Continuously maintained MinHash/LSH dedup index: per
+    micro-batch, (1) find near-dup pairs WITHIN the batch, (2) find
+    pairs of the batch AGAINST the existing index (only the new docs
+    are shingled — the corpus text is never re-read), (3) upsert the
+    batch's banded signatures into the durable index keyed on
+    (id, band).  After draining, the index equals ``minhash_banded``
+    over everything ever seen, and the accumulated pairs equal the
+    one-shot ``minhash_lsh_dup_pairs`` over the full corpus REGARDLESS
+    of batch boundaries: a pair (x, y) with x in batch i surfaces
+    within-batch when y co-arrives, or against the index when y is
+    already resident.
+
+    Pairs are canonicalized (id_a < id_b) and written to
+    ``pairs_path`` via the keyed upsert, so at-least-once replays
+    re-merge the same pairs idempotently; the signature upsert is
+    idempotent on (id, band) the same way.  Steady-state cost per
+    batch: shingle+hash linear in BATCH size, one banded equi-join
+    against the index, two keyed upserts — the 100 TB ingest-dedup
+    topology (partition the index store by band for big corpora).
+    """
+    from ..operators.dedup import (minhash_banded, minhash_lsh_dup_pairs,
+                                   minhash_lsh_pairs_against)
+    from ..sources.sinks import recover_upsert_backup, upsert_parquet
+
+    kw = dict(num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        pairs = minhash_lsh_dup_pairs(
+            batch_df, text_col, id_col=id_col,
+            jaccard_threshold=jaccard_threshold, **kw)
+        canon = pairs.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "est_jaccard")
+        if recover_upsert_backup(index_path, spark=spark):
+            idx = spark.read.parquet(index_path)
+            cross = minhash_lsh_pairs_against(
+                batch_df, idx, text_col, id_col=id_col,
+                jaccard_threshold=jaccard_threshold, **kw)
+            canon = canon.unionByName(cross.select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                "est_jaccard")).dropDuplicates(["id_a", "id_b"])
+        if pairs_path is not None:
+            upsert_parquet(canon.localCheckpoint(eager=True),
+                           pairs_path, ["id_a", "id_b"])
+        sigs = minhash_banded(batch_df, text_col, id_col=id_col, **kw)
+        upsert_parquet(sigs.localCheckpoint(eager=True),
+                       index_path, [id_col, "band"])
+
+    writer = stream_df.writeStream.foreachBatch(_batch) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
