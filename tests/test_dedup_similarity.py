@@ -911,3 +911,59 @@ def test_streaming_minhash_index_equals_batch(spark, dup_corpus,
     straddle = sum(1 for a, b in got_pairs
                    if (a < 1000000) != (b < 1000000))
     assert straddle > len(got_pairs) / 2
+
+
+def test_streaming_minhash_index_recovery_and_accumulation(
+        spark, tmp_path):
+    """Checkpointed restart must NOT duplicate stores (same run tag +
+    source offsets), while a separate UNcheckpointed drain of NEW docs
+    must accumulate into the same store (fresh run tag — raw epoch ids
+    restart at 0 per query and would otherwise collide)."""
+    from pyspark.sql import functions as F
+
+    from wrangle_pypes_spark.streaming import foreach_batch_minhash_index
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta zeta"),
+         (3, "totally different words entirely here")],
+        "doc_id long, text string")
+    src = str(tmp_path / "replay_src")
+    docs.coalesce(1).write.parquet(src)
+    index = str(tmp_path / "replay_idx")
+    pairs = str(tmp_path / "replay_pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(path, checkpoint):
+        s = (spark.readStream.schema(docs.schema)
+             .format("parquet").load(path))
+        foreach_batch_minhash_index(
+            s, index, text_col="text", id_col="doc_id",
+            pairs_path=pairs, jaccard_threshold=0.5,
+            checkpoint=checkpoint).awaitTermination()
+
+    drain(src, ckpt)
+    p1 = sorted(map(tuple, spark.read.parquet(pairs)
+                    .select("id_a", "id_b").collect()))
+    i1 = sorted(map(tuple, spark.read.parquet(index)
+                    .select("doc_id", "band", "bhash").collect()))
+    assert p1 == [(1, 2)]
+    drain(src, ckpt)  # restart from the same checkpoint: no-op
+    p2 = sorted(map(tuple, spark.read.parquet(pairs)
+                    .select("id_a", "id_b").collect()))
+    i2 = sorted(map(tuple, spark.read.parquet(index)
+                    .select("doc_id", "band", "bhash").collect()))
+    assert p2 == p1 and i2 == i1
+
+    # a later, uncheckpointed run with a NEW near-dup accumulates
+    more = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon omega")],
+        "doc_id long, text string")
+    src2 = str(tmp_path / "more_src")
+    more.coalesce(1).write.parquet(src2)
+    drain(src2, None)
+    p3 = {tuple(r) for r in spark.read.parquet(pairs)
+          .select("id_a", "id_b").collect()}
+    assert (1, 9) in p3 and (1, 2) in p3  # old pairs kept, new found
+    assert spark.read.parquet(index).select("doc_id") \
+        .distinct().count() == 4

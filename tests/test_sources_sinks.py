@@ -385,3 +385,27 @@ def test_audit_parquet_layout_drives_compaction(spark, tmp_path):
     after = audit_parquet_layout(spark, path).collect()[0]
     assert after.n_files < before.n_files
     assert after.total_rows == 10_000
+
+
+def test_audit_parquet_layout_counts_empty_files(spark, tmp_path):
+    """Zero-row part files are invisible to _metadata but ARE the
+    small-file pathology — the listing-based counts must include them."""
+    import shutil
+
+    from wrangle_pypes_spark.sources import audit_parquet_layout
+
+    path = str(tmp_path / "with_empty")
+    spark.range(100).write.parquet(path)
+    # plant an empty-but-valid parquet part file
+    empty_src = str(tmp_path / "empty_src")
+    spark.range(0).write.parquet(empty_src)
+    import glob
+    [empty_part] = glob.glob(empty_src + "/part-*.parquet")
+    shutil.copy(empty_part, path + "/part-99999-empty.parquet")
+
+    r = audit_parquet_layout(spark, path).collect()[0]
+    files = glob.glob(path + "/part-*.parquet")
+    assert r.n_files == len(files)           # empty file counted
+    assert r.total_rows == 100
+    assert r.min_rows_per_file == 0          # flags the empty file
+    assert r.n_small_files == r.n_files

@@ -416,25 +416,64 @@ def audit_parquet_layout(spark, path: str, *,
     files slow scan planning and fragment row groups below the size
     where statistics and vectorized reads pay off).
 
-    Reads Spark's ``_metadata`` hidden column — per-file path and size
-    come from the scan itself, so the audit is fully distributed (one
-    (file, size) aggregate; no driver-side listing) and costs a
-    metadata-only scan of one column.
+    File facts (count, bytes, small-file tally) come from a
+    FILESYSTEM LISTING of ``*.parquet`` data files — the same
+    O(files) metadata walk scan planning pays, on any
+    Hadoop-addressable store — so ZERO-ROW part files are counted
+    (they are invisible to ``_metadata``, which only has rows for
+    files that yield rows, yet they are exactly the small-file
+    pathology crashed/empty writes leave behind).  Rows-per-file
+    stats come from the ``_metadata`` hidden column, computed
+    distributed; ``min_rows_per_file`` reports 0 when empty files
+    exist.
     """
+    import os
+
     from pyspark.sql import functions as F
 
-    per_file = (spark.read.parquet(path)
-                .select(F.col("_metadata.file_path").alias("_f"),
-                        F.col("_metadata.file_size").alias("_b"))
-                .groupBy("_f")
-                .agg(F.first("_b").alias("_bytes"),
-                     F.count(F.lit(1)).alias("_rows")))
-    return per_file.agg(
-        F.count(F.lit(1)).cast("long").alias("n_files"),
-        F.sum("_bytes").cast("long").alias("total_bytes"),
-        F.sum("_rows").cast("long").alias("total_rows"),
-        F.min("_rows").cast("long").alias("min_rows_per_file"),
-        F.max("_rows").cast("long").alias("max_rows_per_file"),
-        F.round(F.avg("_rows"), 2).alias("avg_rows_per_file"),
-        F.sum((F.col("_bytes") < small_file_bytes).cast("long"))
-         .cast("long").alias("n_small_files"))
+    from .. import fsutil
+
+    def _is_data(name: str) -> bool:
+        return name.endswith(".parquet") and not name.startswith(("_", "."))
+
+    sizes = []
+    if fsutil.is_local(path):
+        p = fsutil._strip_file_scheme(path)
+        if os.path.isfile(p):
+            sizes = [os.path.getsize(p)]
+        else:
+            for root, _dirs, names in os.walk(p):
+                sizes += [os.path.getsize(os.path.join(root, nm))
+                          for nm in names if _is_data(nm)]
+    else:
+        fs, jpath, _jvm = fsutil._hadoop(
+            fsutil._require_spark(spark, path), path)
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            st = it.next()
+            if _is_data(st.getPath().getName()):
+                sizes.append(int(st.getLen()))
+    n_files = len(sizes)
+    total_bytes = int(sum(sizes))
+    n_small = sum(1 for b in sizes if b < small_file_bytes)
+
+    row = (spark.read.parquet(path)
+           .groupBy(F.col("_metadata.file_path").alias("_f"))
+           .agg(F.count(F.lit(1)).alias("_rows"))
+           .agg(F.count(F.lit(1)).alias("nf"),
+                F.sum("_rows").alias("tr"),
+                F.min("_rows").alias("mn"),
+                F.max("_rows").alias("mx")).collect()[0])
+    files_with_rows = int(row["nf"] or 0)
+    total_rows = int(row["tr"] or 0)
+    min_rows = int(row["mn"]) if row["mn"] is not None else 0
+    if n_files > files_with_rows:
+        min_rows = 0  # empty part files exist
+    max_rows = int(row["mx"] or 0)
+    avg = round(total_rows / n_files, 2) if n_files else 0.0
+    return spark.createDataFrame(
+        [(n_files, total_bytes, total_rows, min_rows, max_rows,
+          avg, n_small)],
+        "n_files long, total_bytes long, total_rows long, "
+        "min_rows_per_file long, max_rows_per_file long, "
+        "avg_rows_per_file double, n_small_files long")

@@ -708,45 +708,71 @@ def foreach_batch_minhash_index(stream_df: DataFrame, index_path: str, *,
     within-batch when y co-arrives, or against the index when y is
     already resident.
 
-    Pairs are canonicalized (id_a < id_b) and written to
-    ``pairs_path`` via the keyed upsert, so at-least-once replays
-    re-merge the same pairs idempotently; the signature upsert is
-    idempotent on (id, band) the same way.  Steady-state cost per
-    batch: shingle+hash linear in BATCH size, one banded equi-join
-    against the index, two keyed upserts — the 100 TB ingest-dedup
-    topology (partition the index store by band for big corpora).
+    Both stores are PARTITIONED BY BATCH (``_epoch=<run>-<batch>``)
+    and written with dynamic partition overwrite: every batch writes
+    ONLY its own partition, so per-batch write cost is truly linear
+    in batch size (never a store rewrite), and an at-least-once
+    redelivery of a batch overwrites that same partition.  The run
+    component makes partitions unique ACROSS queries feeding one
+    store: derived from the checkpoint path when given (stable across
+    crash-restarts, so recovery overwrites rather than duplicates),
+    random otherwise (separate drains accumulate; Structured
+    Streaming epoch ids alone restart at 0 per query and would
+    collide).  Pair partitions are disjoint by construction (a pair
+    surfaces exactly when its LATER document arrives, and the cross
+    join excludes the current batch's own partition), so no
+    cross-partition dedup is needed.  Pairs are canonicalized
+    (id_a < id_b).  Per-batch read cost: one banded equi-join against
+    the accumulated index — the 100 TB ingest-dedup topology.  When
+    ``pairs_path`` is None only the index is maintained and no pair
+    plan is built at all.
     """
+    import hashlib
+    import uuid
+
+    from .. import fsutil
     from ..operators.dedup import (minhash_banded, minhash_lsh_dup_pairs,
                                    minhash_lsh_pairs_against)
-    from ..sources.sinks import recover_upsert_backup, upsert_parquet
 
     kw = dict(num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
+    run_tag = (hashlib.md5(checkpoint.encode()).hexdigest()[:8]
+               if checkpoint else uuid.uuid4().hex[:8])
+
+    def _canon(p: DataFrame) -> DataFrame:
+        return p.select(F.least("id_a", "id_b").alias("id_a"),
+                        F.greatest("id_a", "id_b").alias("id_b"),
+                        "est_jaccard")
+
+    def _write_epoch(df: DataFrame, path: str, tag: str) -> None:
+        (df.withColumn("_epoch", F.lit(tag))
+           .write.mode("overwrite")
+           .option("partitionOverwriteMode", "dynamic")
+           .partitionBy("_epoch").parquet(path))
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)
-        pairs = minhash_lsh_dup_pairs(
-            batch_df, text_col, id_col=id_col,
-            jaccard_threshold=jaccard_threshold, **kw)
-        canon = pairs.select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-            "est_jaccard")
-        if recover_upsert_backup(index_path, spark=spark):
-            idx = spark.read.parquet(index_path)
-            cross = minhash_lsh_pairs_against(
-                batch_df, idx, text_col, id_col=id_col,
-                jaccard_threshold=jaccard_threshold, **kw)
-            canon = canon.unionByName(cross.select(
-                F.least("id_a", "id_b").alias("id_a"),
-                F.greatest("id_a", "id_b").alias("id_b"),
-                "est_jaccard")).dropDuplicates(["id_a", "id_b"])
+        tag = f"{run_tag}-{int(epoch_id)}"
+        have_index = fsutil.dir_exists(index_path, spark=spark)
         if pairs_path is not None:
-            upsert_parquet(canon.localCheckpoint(eager=True),
-                           pairs_path, ["id_a", "id_b"])
+            canon = _canon(minhash_lsh_dup_pairs(
+                batch_df, text_col, id_col=id_col,
+                jaccard_threshold=jaccard_threshold, persist=False,
+                **kw))
+            if have_index:
+                # exclude THIS batch's own partition (partition-
+                # pruned): on a redelivery the index already holds
+                # this batch's signatures, which would re-emit every
+                # within-batch pair a second time via the cross join
+                idx = spark.read.parquet(index_path) \
+                    .filter(F.col("_epoch") != tag)
+                canon = canon.unionByName(_canon(
+                    minhash_lsh_pairs_against(
+                        batch_df, idx, text_col, id_col=id_col,
+                        jaccard_threshold=jaccard_threshold, **kw)))
+            _write_epoch(canon, pairs_path, tag)
         sigs = minhash_banded(batch_df, text_col, id_col=id_col, **kw)
-        upsert_parquet(sigs.localCheckpoint(eager=True),
-                       index_path, [id_col, "band"])
+        _write_epoch(sigs, index_path, tag)
 
     writer = stream_df.writeStream.foreachBatch(_batch) \
         .trigger(availableNow=True)
