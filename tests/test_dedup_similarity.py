@@ -967,3 +967,50 @@ def test_streaming_minhash_index_recovery_and_accumulation(
     assert (1, 9) in p3 and (1, 2) in p3  # old pairs kept, new found
     assert spark.read.parquet(index).select("doc_id") \
         .distinct().count() == 4
+
+
+def test_streaming_embedding_index_equals_batch(spark, sf_dir,
+                                                tmp_path):
+    """Semantic twin of the MinHash maintainer test: originals in
+    batch 1, positively-scaled copies (cosine exactly 1, identical
+    sign codes) in batch 2 — every planted pair straddles the
+    boundary, so all must be found via the resident index; the final
+    pair set must equal the one-shot batch LSH op."""
+    from pyspark.sql import functions as F
+
+    from wrangle_pypes_spark.operators.dedup import (
+        embedding_near_dup_pairs)
+    from wrangle_pypes_spark.streaming import (
+        foreach_batch_embedding_index)
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding").filter(F.col("vec_id") < 100))
+    copies = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: (x * F.lit(1.5)).cast("float"))
+         .alias("embedding"))
+    full = emb.unionByName(copies)
+
+    index = str(tmp_path / "emb_idx")
+    pairs = str(tmp_path / "emb_pairs")
+    for i, gen in enumerate((emb, copies)):
+        src = str(tmp_path / f"emb_src{i}")
+        gen.coalesce(1).write.parquet(src)
+        s = (spark.readStream.schema(emb.schema)
+             .format("parquet").load(src))
+        foreach_batch_embedding_index(
+            s, index, vec_col="embedding", id_col="vec_id", dim=64,
+            pairs_path=pairs, threshold=0.95).awaitTermination()
+
+    got = {(r.id_a, r.id_b) for r in
+           spark.read.parquet(pairs).collect()}
+    want = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+            for r in embedding_near_dup_pairs(
+                full, "embedding", id_col="vec_id",
+                threshold=0.95, method="lsh").collect()}
+    assert got == want
+    # every planted (x, x+100000) pair found — all straddle batches
+    planted = {(r.vec_id, r.vec_id + 100000) for r in emb.collect()}
+    assert planted <= got
+    assert spark.read.parquet(index).count() == full.count()

@@ -18,6 +18,7 @@ from .windows import (
     stream_stream_interval_join,
     tumbling_window_agg,
     foreach_batch_cdc_apply,
+    foreach_batch_embedding_index,
     foreach_batch_get_or_create,
     foreach_batch_minhash_index,
     foreach_batch_get_or_create_upsert,
@@ -41,6 +42,7 @@ __all__ = (
     "stream_stream_interval_join",
     "run_available_now_to_memory",
     "foreach_batch_cdc_apply",
+    "foreach_batch_embedding_index",
     "foreach_batch_get_or_create",
     "foreach_batch_minhash_index",
     "foreach_batch_get_or_create_upsert",

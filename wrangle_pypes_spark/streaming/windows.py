@@ -689,6 +689,30 @@ class StreamMetricsCollector:
             [tuple(d.values()) for d in self.progress], schema)
 
 
+
+def _store_run_tag(checkpoint: Optional[str]) -> str:
+    """Run component of the epoch-partition tag for batch-partitioned
+    stores: checkpoint-derived (stable across crash-restarts, so
+    recovery overwrites its own partitions) or random (separate drains
+    into one store accumulate — raw Structured Streaming epoch ids
+    restart at 0 per query and would collide)."""
+    import hashlib
+    import uuid
+
+    return (hashlib.md5(checkpoint.encode()).hexdigest()[:8]
+            if checkpoint else uuid.uuid4().hex[:8])
+
+
+def _write_epoch_partition(df: DataFrame, path: str, tag: str) -> None:
+    """Write ONLY this batch's ``_epoch=<tag>`` partition (dynamic
+    overwrite): per-batch cost linear in batch size, redelivery of the
+    same tag overwrites itself."""
+    (df.withColumn("_epoch", F.lit(tag))
+       .write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy("_epoch").parquet(path))
+
+
 def foreach_batch_minhash_index(stream_df: DataFrame, index_path: str, *,
                                 text_col: str, id_col: str,
                                 pairs_path: Optional[str] = None,
@@ -727,27 +751,17 @@ def foreach_batch_minhash_index(stream_df: DataFrame, index_path: str, *,
     ``pairs_path`` is None only the index is maintained and no pair
     plan is built at all.
     """
-    import hashlib
-    import uuid
-
     from .. import fsutil
     from ..operators.dedup import (minhash_banded, minhash_lsh_dup_pairs,
                                    minhash_lsh_pairs_against)
 
     kw = dict(num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
-    run_tag = (hashlib.md5(checkpoint.encode()).hexdigest()[:8]
-               if checkpoint else uuid.uuid4().hex[:8])
+    run_tag = _store_run_tag(checkpoint)
 
     def _canon(p: DataFrame) -> DataFrame:
         return p.select(F.least("id_a", "id_b").alias("id_a"),
                         F.greatest("id_a", "id_b").alias("id_b"),
                         "est_jaccard")
-
-    def _write_epoch(df: DataFrame, path: str, tag: str) -> None:
-        (df.withColumn("_epoch", F.lit(tag))
-           .write.mode("overwrite")
-           .option("partitionOverwriteMode", "dynamic")
-           .partitionBy("_epoch").parquet(path))
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -770,9 +784,90 @@ def foreach_batch_minhash_index(stream_df: DataFrame, index_path: str, *,
                     minhash_lsh_pairs_against(
                         batch_df, idx, text_col, id_col=id_col,
                         jaccard_threshold=jaccard_threshold, **kw)))
-            _write_epoch(canon, pairs_path, tag)
+            _write_epoch_partition(canon, pairs_path, tag)
         sigs = minhash_banded(batch_df, text_col, id_col=id_col, **kw)
-        _write_epoch(sigs, index_path, tag)
+        _write_epoch_partition(sigs, index_path, tag)
+
+    writer = stream_df.writeStream.foreachBatch(_batch) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def foreach_batch_embedding_index(stream_df: DataFrame, index_path: str,
+                                  *, vec_col: str, id_col: str, dim: int,
+                                  pairs_path: Optional[str] = None,
+                                  n_planes: int = 8, seed: int = 42,
+                                  threshold: float = 0.95,
+                                  checkpoint: Optional[str] = None):
+    """Continuously maintained SEMANTIC dedup index — the embedding
+    twin of :func:`foreach_batch_minhash_index`: per micro-batch,
+    (1) near-dup pairs WITHIN the batch via hyperplane-LSH code
+    blocking + exact cosine verify, (2) pairs of the batch AGAINST
+    the resident index (code equi-join — only the new vectors are
+    hashed), (3) the batch's (id, normalized vector, code) rows land
+    in the index.  Stores are batch-partitioned exactly like the
+    MinHash maintainer (``_epoch=<run>-<batch>`` dynamic overwrite —
+    linear per-batch write cost, redelivery overwrites itself,
+    separate runs accumulate, the cross join excludes the current
+    batch's own partition).
+
+    Vectors are L2-normalized ONCE at ingest so every verification is
+    a single dot product; the index stores normalized vectors because
+    the verify stage needs them — that IS the vector index, sized
+    like the corpus embeddings.  ``dim`` fixes the hyperplanes up
+    front: every batch and every run must hash with the SAME planes
+    (same dim/n_planes/seed) or codes stop being comparable.
+    Pair recall is the documented hyperplane-LSH trade
+    (agree-per-bit prob 1 − θ/π) — audited against exact in
+    tests/test_dedup_similarity.py, never silent.
+    """
+    from .. import fsutil
+    from ..operators.similarity import _hyperplanes, lsh_code_expr
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    run_tag = _store_run_tag(checkpoint)
+
+    def _dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tag = f"{run_tag}-{int(epoch_id)}"
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        norm = F.sqrt(F.aggregate(v, F.lit(0.0),
+                                  lambda acc, x: acc + x * x))
+        base = batch_df.select(
+            F.col(id_col).alias("_id"),
+            F.transform(v, lambda x: x / norm).alias("_v"),
+            lsh_code_expr(F.col(vec_col), planes).alias("_code"))
+        base = base.localCheckpoint(eager=True)
+        have_index = fsutil.dir_exists(index_path, spark=spark)
+        if pairs_path is not None:
+            a, b = base.alias("a"), base.alias("b")
+            pairs = (a.join(b, (F.col("a._code") == F.col("b._code")) &
+                               (F.col("a._id") < F.col("b._id")))
+                     .select(F.col("a._id").alias("id_a"),
+                             F.col("b._id").alias("id_b"),
+                             _dot(F.col("a._v"),
+                                  F.col("b._v")).alias("cosine")))
+            if have_index:
+                idx = spark.read.parquet(index_path) \
+                    .filter(F.col("_epoch") != tag)
+                cross = (base.alias("n").join(
+                    idx.alias("i"),
+                    (F.col("n._code") == F.col("i._code")) &
+                    (F.col("n._id") != F.col("i._id")))
+                    .select(F.least("n._id", "i._id").alias("id_a"),
+                            F.greatest("n._id", "i._id").alias("id_b"),
+                            _dot(F.col("n._v"),
+                                 F.col("i._v")).alias("cosine")))
+                pairs = pairs.unionByName(cross)
+            pairs = pairs.filter(F.col("cosine") >= threshold)
+            _write_epoch_partition(pairs, pairs_path, tag)
+        _write_epoch_partition(base, index_path, tag)
 
     writer = stream_df.writeStream.foreachBatch(_batch) \
         .trigger(availableNow=True)
