@@ -1014,3 +1014,73 @@ def test_streaming_embedding_index_equals_batch(spark, sf_dir,
     planted = {(r.vec_id, r.vec_id + 100000) for r in emb.collect()}
     assert planted <= got
     assert spark.read.parquet(index).count() == full.count()
+
+
+def test_streaming_index_maintainers_survive_empty_batch(spark,
+                                                         tmp_path):
+    """An EMPTY first batch must not poison the store: an empty
+    partitioned write would create a zero-file directory that kills
+    the next batch's index read with UNABLE_TO_INFER_SCHEMA."""
+    from pyspark.sql import functions as F
+
+    from wrangle_pypes_spark.streaming import (
+        foreach_batch_embedding_index, foreach_batch_minhash_index)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        "doc_id long, text string")
+    src = str(tmp_path / "eb_src")
+    # file 1 carries ZERO rows, file 2 the real docs -> batch 0 empty
+    docs.filter("doc_id < 0").coalesce(1).write.parquet(f"{src}/0")
+    docs.coalesce(1).write.parquet(f"{src}/1")
+    import glob
+    import shutil
+    files = [f for t in ("0", "1")
+             for f in sorted(glob.glob(f"{src}/{t}/*.parquet"))]
+    for i, f in enumerate(files):
+        shutil.move(f, f"{src}/part-{i}.parquet")
+    shutil.rmtree(f"{src}/0"), shutil.rmtree(f"{src}/1")
+
+    index = str(tmp_path / "eb_idx")
+    pairs = str(tmp_path / "eb_pairs")
+    s = (spark.readStream.schema(docs.schema)
+         .option("maxFilesPerTrigger", "1")
+         .format("parquet").load(src))
+    foreach_batch_minhash_index(
+        s, index, text_col="text", id_col="doc_id",
+        pairs_path=pairs, jaccard_threshold=0.5).awaitTermination()
+    assert {(r.id_a, r.id_b) for r in
+            spark.read.parquet(pairs).collect()} == {(1, 2)}
+
+    # zero-norm embedding indexes as zeros and never pairs
+    emb = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, [0.0] * 8), (3, [1.0] * 8),
+         (4, [2.0] * 8)],
+        "vec_id long, embedding array<float>")
+    esrc = str(tmp_path / "ez_src")
+    emb.coalesce(1).write.parquet(esrc)
+    eidx = str(tmp_path / "ez_idx")
+    epairs = str(tmp_path / "ez_pairs")
+    s2 = (spark.readStream.schema(emb.schema)
+          .format("parquet").load(esrc))
+    foreach_batch_embedding_index(
+        s2, eidx, vec_col="embedding", id_col="vec_id", dim=8,
+        pairs_path=epairs, threshold=0.9).awaitTermination()
+    got = {(r.id_a, r.id_b) for r in
+           spark.read.parquet(epairs).collect()}
+    assert got == {(3, 4)}  # zero vectors never match, 3-4 colinear
+    idx = spark.read.parquet(eidx)
+    assert idx.count() == 4  # zero vectors indexed, not poisoned
+    zrows = idx.filter(F.col("_id").isin(1, 2)).collect()
+    assert all(all(x == 0.0 for x in r._v) for r in zrows)
+
+    # wrong dim fails loud instead of silently collapsing all codes
+    import pytest
+    from pyspark.errors import StreamingQueryException
+    s3 = (spark.readStream.schema(emb.schema)
+          .format("parquet").load(esrc))
+    q = foreach_batch_embedding_index(
+        s3, str(tmp_path / "wd_idx"), vec_col="embedding",
+        id_col="vec_id", dim=16)
+    with pytest.raises(StreamingQueryException, match="!= dim"):
+        q.awaitTermination()

@@ -706,7 +706,13 @@ def _store_run_tag(checkpoint: Optional[str]) -> str:
 def _write_epoch_partition(df: DataFrame, path: str, tag: str) -> None:
     """Write ONLY this batch's ``_epoch=<tag>`` partition (dynamic
     overwrite): per-batch cost linear in batch size, redelivery of the
-    same tag overwrites itself."""
+    same tag overwrites itself.  An EMPTY batch writes nothing — an
+    empty partitioned write would create the store directory with zero
+    data files, and the next batch's ``spark.read.parquet`` on it
+    would die with UNABLE_TO_INFER_SCHEMA."""
+    df = df.localCheckpoint(eager=True)
+    if df.isEmpty():
+        return
     (df.withColumn("_epoch", F.lit(tag))
        .write.mode("overwrite")
        .option("partitionOverwriteMode", "dynamic")
@@ -767,8 +773,8 @@ def foreach_batch_minhash_index(stream_df: DataFrame, index_path: str, *,
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)
         tag = f"{run_tag}-{int(epoch_id)}"
-        have_index = fsutil.dir_exists(index_path, spark=spark)
         if pairs_path is not None:
+            have_index = fsutil.dir_exists(index_path, spark=spark)
             canon = _canon(minhash_lsh_dup_pairs(
                 batch_df, text_col, id_col=id_col,
                 jaccard_threshold=jaccard_threshold, persist=False,
@@ -824,28 +830,36 @@ def foreach_batch_embedding_index(stream_df: DataFrame, index_path: str,
     tests/test_dedup_similarity.py, never silent.
     """
     from .. import fsutil
-    from ..operators.similarity import _hyperplanes, lsh_code_expr
+    from ..operators.similarity import (_dot, _hyperplanes, _norm,
+                                        lsh_code_expr)
 
     planes = _hyperplanes(dim, n_planes, seed)
     run_tag = _store_run_tag(checkpoint)
 
-    def _dot(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                           F.lit(0.0), lambda acc, x: acc + x)
-
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         tag = f"{run_tag}-{int(epoch_id)}"
-        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        norm = F.sqrt(F.aggregate(v, F.lit(0.0),
-                                  lambda acc, x: acc + x * x))
+        # a wrong dim would zip_with-pad the plane dot to NULL and
+        # collapse EVERY code to 0 — one silent O(n^2) block; fail loud
+        checked = F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col))                    .otherwise(F.raise_error(F.concat(
+                       F.lit("foreach_batch_embedding_index: vector of "
+                             "length "),
+                       F.size(F.col(vec_col)).cast("string"),
+                       F.lit(f" != dim={dim}"))))
+        v = F.transform(checked, lambda x: x.cast("double"))
+        norm = _norm(v)
+        # zero-norm vectors (upstream failure sentinels) index as
+        # zeros: they never match anything (cosine undefined), instead
+        # of poisoning the store with all-NULL arrays
+        unit = F.when(norm > 0,
+                      F.transform(v, lambda x: x / norm))                 .otherwise(F.transform(v, lambda x: x * 0.0))
         base = batch_df.select(
             F.col(id_col).alias("_id"),
-            F.transform(v, lambda x: x / norm).alias("_v"),
-            lsh_code_expr(F.col(vec_col), planes).alias("_code"))
+            unit.alias("_v"),
+            lsh_code_expr(checked, planes).alias("_code"))
         base = base.localCheckpoint(eager=True)
-        have_index = fsutil.dir_exists(index_path, spark=spark)
         if pairs_path is not None:
+            have_index = fsutil.dir_exists(index_path, spark=spark)
             a, b = base.alias("a"), base.alias("b")
             pairs = (a.join(b, (F.col("a._code") == F.col("b._code")) &
                                (F.col("a._id") < F.col("b._id")))
