@@ -3998,6 +3998,39 @@ def q_stream_minhash_index(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_stream_embedding_index(spark, sf_dir):
+    """Continuously maintained semantic dedup index
+    (streaming/windows.py ``foreach_batch_embedding_index``): drain
+    the embeddings table as a stream into a durable
+    normalized-vector index, collecting hyperplane-LSH-blocked
+    cosine≥0.99 pairs.  Rows-only by design (engine-private plane
+    codes); streaming ≡ one-shot batch LSH is pinned in
+    tests/test_dedup_similarity.py."""
+    import tempfile
+
+    from wrangle_pypes_spark.streaming import (
+        foreach_batch_embedding_index, stream_table)
+
+    emb = stream_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    index = tempfile.mkdtemp(prefix="wps_embidx_") + "/index"
+    pairs = tempfile.mkdtemp(prefix="wps_embidx_") + "/pairs"
+    q = foreach_batch_embedding_index(
+        emb, index, vec_col="embedding", id_col="vec_id", dim=64,
+        pairs_path=pairs, threshold=0.99)
+    q.awaitTermination()
+    from wrangle_pypes_spark import fsutil
+    idx = spark.read.parquet(index)
+    # no cosine>=0.99 pairs means the pairs store was never created
+    # (empty partitions are deliberately not written) — report 0
+    n_pairs = (spark.read.parquet(pairs).count()
+               if fsutil.dir_exists(pairs, spark=spark) else 0)
+    return idx.agg(
+        F.count(F.lit(1)).alias("n_indexed"),
+        F.count_distinct("_code").alias("n_blocks"),
+        F.lit(n_pairs).cast("long").alias("n_pairs"))
+
+
 def q_key_skew_orders(spark, sf_dir):
     """Key-skew profiling (operators/relational.py
     ``key_skew_profile``): top-25 heaviest customer keys in orders with
@@ -6822,6 +6855,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_js_drift": q_snapshot_js_drift,  # new r4: value-level oracle
     "stream_drift_hourly": q_stream_drift_hourly,  # new r4: value-level oracle
     "stream_minhash_index": q_stream_minhash_index,  # new r4 rows-only by design (LSH); batch-equivalence test covers
+    "stream_embedding_index": q_stream_embedding_index,  # new r4 rows-only by design (LSH); batch-equivalence test covers
     "compression_ratio_docs": q_compression_ratio_docs,  # new r4 rows-only by design (zlib); local sweep covers; rotate r5
     "pagerank_trade_graph": q_pagerank_trade_graph,  # new r4 rows-only by design; local sweep covers; rotate r5
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # new r4 rows-only by design; local sweep covers; rotate r5

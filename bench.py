@@ -145,6 +145,7 @@ HEADLINE = [
     "stream_cdc_store",
     "cdc_vacuum_store",
     "stream_minhash_index",
+    "stream_embedding_index",
     "curriculum_order_docs",
     "token_fertility_lang",
     "group_split_sources",
