@@ -6840,6 +6840,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment_docs": q_ngram_containment_docs,  # new r4
     "standardize_orders": q_standardize_orders,  # new r4
     # ---- below the 50-slot driver window from here down ----
+    # Round-5 rotation plan: promote, in order, (1) the r4
+    # value-level queries the driver has never hash-checked —
+    # rollup_hist_percentiles .. stream_drift_hourly and the
+    # 14 demoted mid-r4 entries (paragraph_dedup_docs ..
+    # standardize_orders); (2) the rows-only-by-design group
+    # for their weaker driver rows; (3) then resume the r1/r2
+    # re-rotation.  Keep the marker at EXACTLY 50 entries —
+    # tests/test_bare_session.py pins it.
     "rollup_hist_percentiles": q_rollup_hist_percentiles,  # new r4
     "span_dedup_docs": q_span_dedup_docs,  # new r4
     "bm25_search_docs": q_bm25_search_docs,  # new r4
