@@ -326,16 +326,21 @@ def quantize_embeddings(df: DataFrame, vec_col: str, *,
     Pure Column expressions (one ``aggregate`` fold for the max-abs,
     one ``transform`` for the rounding) — map-only, no shuffle.  An
     all-zero vector quantizes to zeros with scale 0 and dequantizes
-    back to zeros.  NULL *elements* are treated as 0.0 (they neither
-    contribute to the scale nor survive as fabricated values — without
-    the coalesce, Spark's NULL-skipping ``least``/``greatest`` would
+    back to zeros.  NULL *and NaN* elements are treated as 0.0 —
+    matching :func:`random_projection`'s contract.  Without the
+    coalesce, Spark's NULL-skipping ``least``/``greatest`` would
     clamp a NULL element to +127, injecting a spurious max-magnitude
-    coordinate); a NULL *vector* stays NULL.  ``round_scale_digits``
-    rounds the stored scale for cross-engine float comparison only —
-    leave None in production.
+    coordinate; without the nanvl, a single NaN element poisons the
+    max-abs fold, propagates NaN into the scale, and
+    ``round(x/scale).cast('int')`` throws CAST_OVERFLOW under ANSI
+    mode, killing the whole job for one bad vector.  A NULL *vector*
+    stays NULL.  ``round_scale_digits`` rounds the stored scale for
+    cross-engine float comparison only — leave None in production.
     """
     v = F.transform(F.col(vec_col),
-                    lambda x: F.coalesce(x.cast("double"), F.lit(0.0)))
+                    lambda x: F.coalesce(F.nanvl(x.cast("double"),
+                                                 F.lit(0.0)),
+                                         F.lit(0.0)))
     max_abs = F.aggregate(v, F.lit(0.0),
                           lambda acc, x: F.greatest(acc, F.abs(x)))
     scale = max_abs / F.lit(127.0)
