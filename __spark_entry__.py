@@ -3708,12 +3708,18 @@ def q_random_projection_emb(spark, sf_dir):
     ``random_projection``): 64-dim embeddings sketched to 8 dims with
     md5-derived Rademacher signs — no projection matrix exists
     anywhere, signs recompute inside codegen, map-only.  6dp rounding
-    absorbs cross-engine summation-order ulps."""
+    absorbs cross-engine summation-order ulps.  Output is posexploded
+    to scalar (vec_id, pos, rp_value) rows — the driver canonicalizer
+    hashes scalar cells only (r4/r5: ``array<double>`` columns crash
+    its pandas ``factorize``); same flattening as
+    ``embedding_label_centroids``."""
     from wrangle_pypes_spark.operators.similarity import random_projection
     e = _t(spark, sf_dir, "embeddings")
     out = random_projection(e, "embedding", out_dim=8,
                             hash_scheme="md5", round_digits=6)
-    return out.select("vec_id", "rp_embedding").orderBy("vec_id")
+    return (out.select("vec_id",
+                       F.posexplode("rp_embedding").alias("pos", "rp_value"))
+            .orderBy("vec_id", "pos"))
 
 
 SQL_RANDOM_PROJECTION = """
@@ -3724,17 +3730,22 @@ WITH v AS (
       x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 0.0
                 ELSE CAST(x AS DOUBLE) END) AS vec
   FROM embeddings
+), proj AS (
+  SELECT vec_id,
+    [ round(list_sum(list_transform(range(len(vec)), i ->
+        vec[i + 1] * CASE WHEN
+          ('0x' || substr(md5('42:' || CAST(i AS VARCHAR) || ':'
+                               || CAST(j AS VARCHAR)), 1, 1))::INT
+          % 2 = 0
+        THEN 1.0 ELSE -1.0 END)) * (1.0 / sqrt(8.0)), 6)
+      FOR j IN range(8) ] AS rp_embedding
+  FROM v
 )
 SELECT vec_id,
-  [ round(list_sum(list_transform(range(len(vec)), i ->
-      vec[i + 1] * CASE WHEN
-        ('0x' || substr(md5('42:' || CAST(i AS VARCHAR) || ':'
-                             || CAST(j AS VARCHAR)), 1, 1))::INT
-        % 2 = 0
-      THEN 1.0 ELSE -1.0 END)) * (1.0 / sqrt(8.0)), 6)
-    FOR j IN range(8) ] AS rp_embedding
-FROM v
-ORDER BY vec_id
+  CAST(generate_subscripts(rp_embedding, 1) - 1 AS INT) AS pos,
+  unnest(rp_embedding) AS rp_value
+FROM proj
+ORDER BY vec_id, pos
 """
 
 
@@ -6675,33 +6686,46 @@ def q_quantize_embeddings_int8(spark, sf_dir):
     ``quantize_embeddings``): symmetric per-vector scale, values
     clamped to [-127,127] — the 4× storage/shuffle cut for a 100 TB
     embedding table.  Map-only; the roundtrip error bound and the
-    top-k recall cost are pinned in tests."""
+    top-k recall cost are pinned in tests.  Output is posexploded to
+    scalar (vec_id, q_scale, pos, q_value) rows — the driver
+    canonicalizer hashes scalar cells only (r4/r5: ``array<int>``
+    columns crash its pandas ``factorize``); same flattening as
+    ``embedding_label_centroids``."""
     from wrangle_pypes_spark.operators.similarity import quantize_embeddings
     e = _t(spark, sf_dir, "embeddings")
     q = quantize_embeddings(e, "embedding", round_scale_digits=6)
-    return q.select("vec_id", "q_scale", "q_embedding").orderBy("vec_id")
+    return (q.select("vec_id", "q_scale",
+                     F.posexplode("q_embedding").alias("pos", "q_value"))
+            .orderBy("vec_id", "pos"))
 
 
 SQL_QUANTIZE_EMB = """
 WITH v AS (
+  -- NULL *and NaN* elements count as 0.0 (the operator's contract)
   SELECT vec_id,
     list_transform(embedding,
-                   x -> coalesce(CAST(x AS DOUBLE), 0.0)) AS vec
+      x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 0.0
+                ELSE CAST(x AS DOUBLE) END) AS vec
   FROM embeddings
 ), scaled AS (
   SELECT vec_id, vec,
     list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
   FROM v
+), quant AS (
+  SELECT vec_id,
+    round(scale, 6) AS q_scale,
+    CASE WHEN scale = 0
+      THEN list_transform(vec, x -> 0::INT)
+      ELSE list_transform(vec, x ->
+        greatest(-127, least(127, round(x / scale)::INT))::INT)
+    END AS q_embedding
+  FROM scaled
 )
-SELECT vec_id,
-  round(scale, 6) AS q_scale,
-  CASE WHEN scale = 0
-    THEN list_transform(vec, x -> 0::INT)
-    ELSE list_transform(vec, x ->
-      greatest(-127, least(127, round(x / scale)::INT))::INT)
-  END AS q_embedding
-FROM scaled
-ORDER BY vec_id
+SELECT vec_id, q_scale,
+  CAST(generate_subscripts(q_embedding, 1) - 1 AS INT) AS pos,
+  unnest(q_embedding) AS q_value
+FROM quant
+ORDER BY vec_id, pos
 """
 
 

@@ -99,6 +99,22 @@ def type_mismatches(scols, sdtypes, dcols, ddtypes):
     return out
 
 
+def complex_value_oracle_cols(sdtypes):
+    """Columns the DRIVER's canonicalizer cannot hash.
+
+    The driver canonicalizes results with pandas ``sort_values`` →
+    ``factorize``, which throws ``unhashable type: 'list'`` on
+    array/map/struct cells (r4/r5: ``random_projection_emb``,
+    ``quantize_embeddings_int8`` burned two window slots per round
+    this way).  This local replica used to tuple-ize lists (``canon``
+    above), so it green-lit exactly the queries the driver then
+    crashed on.  Any value-oracle query with a complex output column
+    must be posexploded to scalar rows or registered rows-only.
+    """
+    return [c for c, t in sdtypes
+            if t.startswith(("array<", "map<", "struct<"))]
+
+
 def df_to_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     canoned = [tuple(canon(r[i]) for i in idx) for r in rows]
@@ -154,6 +170,14 @@ def main():
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s) — no oracle")
+            continue
+        complex_cols = complex_value_oracle_cols(sdf.dtypes)
+        if complex_cols:
+            failures.append(name)
+            print(f"FAIL {name}: value-oracle query returns complex "
+                  f"columns {complex_cols} — the driver canonicalizer "
+                  f"crashes on array/map/struct cells; posexplode to "
+                  f"scalar rows or register rows-only")
             continue
         try:
             # relation API: .types gives concrete types (BIGINT vs HUGEINT);
