@@ -6107,8 +6107,14 @@ def _doc_url(spark, sf_dir):
           .when(did % 5 == 3, F.lit("?b=2&a=1&fbclid=xyz")) \
           .otherwise(F.lit("?a=0&gclid=1"))
     frag = F.when(did % 2 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    # r6: explicit ports — :8443 must SURVIVE canonicalization (a
+    # non-default port is a different origin), :443 must be stripped
+    # (default for https); exercises the canonical_url port fix
+    port = F.when(did % 7 == 3, F.lit(":8443")) \
+            .when(did % 7 == 5, F.lit(":443")) \
+            .otherwise(F.lit(""))
     url = F.concat(F.lit("https://"), sub, F.col("source"),
-                   F.lit("-hub"), suffix, F.lit("/articles/"),
+                   F.lit("-hub"), suffix, port, F.lit("/articles/"),
                    did.cast("string"), qs, frag)
     return d.withColumn("url", url)
 
@@ -6122,6 +6128,7 @@ _SQL_DOC_URL = """
     || source || '-hub'
     || CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
                        WHEN 2 THEN '.org' ELSE '.com.au' END
+    || CASE doc_id % 7 WHEN 3 THEN ':8443' WHEN 5 THEN ':443' ELSE '' END
     || '/articles/' || CAST(doc_id AS VARCHAR)
     || CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN '?utm_source=rss&z=9&a=1'
                        WHEN 2 THEN '?id=' || CAST(doc_id AS VARCHAR)
@@ -6194,6 +6201,9 @@ parsed AS (
 )
 SELECT doc_id, scheme, host, domain, path, qs, tld,
   'https://' || host
+  -- non-default ports survive canonicalization; :443 (https default)
+  -- was stripped — mirrors canonical_url's port contract
+  || CASE WHEN doc_id % 7 = 3 THEN ':8443' ELSE '' END
   || CASE WHEN path IN ('', '/') THEN ''
           ELSE regexp_replace(path, '/$', '') END
   || CASE WHEN sorted_q = '' THEN '' ELSE '?' || sorted_q END AS canon

@@ -6,7 +6,8 @@ from pyspark.sql import functions as F
 
 from wrangle_pypes_spark.functions.urls import (
     blocklist_filter, canonical_url, domain_stats, host_suffix_set,
-    registered_domain, url_host, url_path, url_query, url_scheme, url_tld,
+    registered_domain, url_host, url_path, url_port, url_query, url_scheme,
+    url_tld,
 )
 from wrangle_pypes_spark.plans import audit
 
@@ -66,6 +67,34 @@ def test_canonical_url(urls_df):
     assert rows[1] == "http://sub.blog.example.com/post/42?id=7"
     # bare "/" path and trailing slash both collapse
     assert rows[2] == "https://example.com"
+    # default https:443 stripped (row 0 above); NON-default port kept —
+    # :8080 is a different origin and must not merge in URL dedup
+    assert rows[4] == "https://localhost:8080/admin"
+
+
+def test_canonical_url_port_handling(spark):
+    cases = [
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("https://example.com:80/a", "https://example.com:80/a"),
+        ("http://user@example.com:8080/a", "http://example.com:8080/a"),
+        ("ftp://files.example.org:21/pub", "ftp://files.example.org/pub"),
+    ]
+    df = spark.createDataFrame([Row(u=u) for u, _ in cases])
+    got = [r.c for r in
+           df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_port_extraction(spark):
+    df = spark.createDataFrame([
+        Row(u="https://example.com:8443/a?x=1:2"),
+        Row(u="https://user:pw@example.com:9000/a"),
+        Row(u="https://example.com/a"),
+    ])
+    got = [r.p for r in df.select(url_port(F.col("u")).alias("p")).collect()]
+    assert got == ["8443", "9000", ""]
 
 
 def test_host_suffix_set(spark):

@@ -13,6 +13,7 @@ from .urls import (
     host_suffix_set,
     registered_domain,
     url_host,
+    url_port,
     url_path,
     url_query,
     url_scheme,
@@ -51,4 +52,4 @@ __all__ = ("STOPWORDS", "bigram_logprob_score", "bm25_scores", "bpe_induce", "bp
            "unigram_logprob_score", "word_ngrams", "zipf_fit",
            "blocklist_filter", "canonical_url", "domain_stats",
            "host_suffix_set", "registered_domain", "url_host", "url_path",
-           "url_query", "url_scheme", "url_tld")
+           "url_port", "url_query", "url_scheme", "url_tld")

@@ -49,6 +49,22 @@ def url_host(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, _HOST_RE, 1))
 
 
+_PORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/:?#]+:(\d+)"
+
+# scheme → default port; canonical_url strips ONLY these (RFC 3986 §6.2.3:
+# an explicit default port is equivalent to no port; any other port names
+# a DIFFERENT origin and must survive canonicalization)
+_DEFAULT_PORTS: tuple[tuple[str, str], ...] = (
+    ("http", "80"), ("https", "443"), ("ftp", "21"), ("ws", "80"),
+    ("wss", "443"),
+)
+
+
+def url_port(url: Column) -> Column:
+    """Explicit port as a string ('' when absent)."""
+    return F.regexp_extract(url, _PORT_RE, 1)
+
+
 def url_path(url: Column) -> Column:
     """Path component ('' when absent; query/fragment excluded)."""
     return F.regexp_extract(url, _PATH_RE, 1)
@@ -90,8 +106,12 @@ def canonical_url(url: Column,
                                                 "utm_content", "fbclid",
                                                 "gclid")) -> Column:
     """Canonical form for URL-level dedup: lowercase scheme+host, strip
-    the fragment and default ports, drop tracking query params, sort the
-    surviving params, strip a trailing slash on a bare path.
+    the fragment and DEFAULT ports only (http:80, https:443, ftp:21,
+    ws:80, wss:443 — an explicit non-default port names a different
+    origin, so ``http://example.com:8080/a`` must NOT merge with
+    ``http://example.com/a`` in URL-level dedup), drop tracking query
+    params, sort the surviving params, strip a trailing slash on a bare
+    path.
 
     All JVM Column ops (split → filter → sort_array → array_join), so
     canonicalizing 100 TB of URLs stays inside whole-stage codegen.
@@ -115,7 +135,13 @@ def canonical_url(url: Column,
     sorted_q = F.array_join(F.sort_array(params), "&")
     path_norm = F.when(path.isin("", "/"), F.lit("")) \
                  .otherwise(F.regexp_replace(path, "/$", ""))
-    base = F.concat(scheme, F.lit("://"), host, path_norm)
+    port = url_port(url)
+    is_default = F.lit(False)
+    for sch, p in _DEFAULT_PORTS:
+        is_default = is_default | ((scheme == sch) & (port == p))
+    port_norm = F.when((port == "") | is_default, F.lit("")) \
+                 .otherwise(F.concat(F.lit(":"), port))
+    base = F.concat(scheme, F.lit("://"), host, port_norm, path_norm)
     # non-URL input (no extractable host) canonicalizes to NULL, not
     # a junk "://" string that would collide in URL-level dedup
     return F.when(host == "", F.lit(None).cast("string")) \
