@@ -11,13 +11,19 @@ levenshtein on surviving candidates.  The equi-join is a hash join
 sum-of-block-sizes², not |L|×|R|.
 
 Recall contract (documented, not silent): prefix blocking misses pairs
-whose edits change the first ``block_len`` characters; suffix blocking
-mirrors that at the end; ``block="both"`` unions the two candidate
-sets (a pair must then keep its first OR last ``block_len`` characters
-intact — still not exhaustive for d ≥ 1, but the standard
-cost/recall trade).  For guaranteed recall on *substitution-only*
-distance, use d+1 segment blocks (see ``simhash`` pigeonhole blocking
-in operators/dedup.py:339 for that construction on hashes).
+whose edits change the first ``min(len, block_len)`` characters;
+suffix blocking mirrors that at the end; ``block="both"`` unions the
+two candidate sets (a pair must then keep its first OR last
+``min(len, block_len)`` characters intact — still not exhaustive for
+d ≥ 1, but the standard cost/recall trade).  Strings SHORTER than
+``block_len`` use their whole value as the block key, and longer
+strings additionally emit length-banded truncated keys that may only
+meet such short-string keys (never each other), so pairs like
+``('a', 'ab')`` at distance 1 are found without collapsing long
+strings into short-prefix mega-blocks.  For guaranteed recall on
+*substitution-only* distance, use d+1 segment blocks (see ``simhash``
+pigeonhole blocking in operators/dedup.py:339 for that construction
+on hashes).
 
 Reference analog: none — the reference (pipeline.py) has no join
 surface at all; this is part of the engine's relational battery.
@@ -29,12 +35,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _block_key(col, block: str, block_len: int):
+def _block_keys(col, block: str, block_len: int, max_distance: int):
+    """Array of ``(k, nat)`` block-key structs for one value.
+
+    The NATURAL key (``nat=true``) is the prefix/suffix of length
+    ``min(len, block_len)`` — plain blocking.  SUPPLEMENTAL keys
+    (``nat=false``; lengths ``k0-max_distance .. k0-1``) exist only so
+    longer strings can meet the natural key of a string shorter than
+    ``block_len`` (whose whole value IS its key): the join condition
+    requires at least one side natural, so supplemental keys never
+    pair two long strings through a short shared prefix — block sizes
+    stay at the ``block_len`` granularity except where a genuinely
+    short string is involved, and the length band bounds the extra
+    keys at ``max_distance`` per value.
+    """
     if block == "prefix":
-        return F.substring(col, 1, block_len)
-    if block == "suffix":
-        return F.substring(col, -block_len, block_len)
-    raise ValueError(f"unknown block strategy: {block!r}")
+        def cut(L):
+            return col.substr(F.lit(1), L)
+    elif block == "suffix":
+        def cut(L):
+            return col.substr(F.length(col) - L + F.lit(1), L)
+    else:
+        raise ValueError(f"unknown block strategy: {block!r}")
+    k0 = F.least(F.length(col), F.lit(block_len))
+    lo = F.greatest(F.lit(1), k0 - F.lit(max_distance))
+    keys = F.transform(F.sequence(lo, k0),
+                       lambda L: F.struct(cut(L).alias("k"),
+                                          (L == k0).alias("nat")))
+    # empty strings block-match nothing (and sequence(1, 0) would
+    # generate a DESCENDING range); NULL arrays are dropped by explode
+    return F.when(F.length(col) > 0, keys)
 
 
 def fuzzy_string_pairs(left: DataFrame, right: DataFrame, *,
@@ -76,19 +106,31 @@ def fuzzy_string_pairs(left: DataFrame, right: DataFrame, *,
     rval = F.col(right_col)
     if lowercase:
         lval, rval = F.lower(lval), F.lower(rval)
-    lv = left.select(lval.alias("_lval")).distinct() \
-             .withColumn("_blk", _block_key(F.col("_lval"), block, block_len)) \
-             .withColumn("_llen", F.length("_lval"))
-    rv = right.select(rval.alias("_rval")).distinct() \
-              .withColumn("_blk", _block_key(F.col("_rval"), block, block_len)) \
-              .withColumn("_rlen", F.length("_rval"))
-    cond = (lv["_blk"] == rv["_blk"]) & \
+    lv = (left.select(lval.alias("_lval")).distinct()
+          .withColumn("_llen", F.length("_lval"))
+          .select("_lval", "_llen",
+                  F.explode(_block_keys(F.col("_lval"), block, block_len,
+                                        max_distance)).alias("_lk"))
+          .select("_lval", "_llen", F.col("_lk.k").alias("_lblk"),
+                  F.col("_lk.nat").alias("_lnat")))
+    rv = (right.select(rval.alias("_rval")).distinct()
+          .withColumn("_rlen", F.length("_rval"))
+          .select("_rval", "_rlen",
+                  F.explode(_block_keys(F.col("_rval"), block, block_len,
+                                        max_distance)).alias("_rk"))
+          .select("_rval", "_rlen", F.col("_rk.k").alias("_rblk"),
+                  F.col("_rk.nat").alias("_rnat")))
+    # equi-join on the key (hash join); supplemental×supplemental
+    # excluded so truncated keys only ever meet short-string naturals
+    cond = (lv["_lblk"] == rv["_rblk"]) & \
+           (lv["_lnat"] | rv["_rnat"]) & \
            (F.abs(lv["_llen"] - rv["_rlen"]) <= max_distance)
     if dedup_self_pairs:
         cond = cond & (lv["_lval"] < rv["_rval"])
     # thresholded levenshtein: the JVM impl early-exits (returns -1)
     # once the running distance exceeds the bound — O(d·len) not len²
     pairs = (lv.join(rv, cond)
+               .dropDuplicates(["_lval", "_rval"])
                .withColumn("distance", F.levenshtein(
                    "_lval", "_rval", threshold=max_distance))
                .filter(F.col("distance") >= 0)
