@@ -637,6 +637,26 @@ def test_quantize_null_element_is_zero_not_127(spark):
     assert rows[1].q_embedding is None and rows[1].q_scale is None
 
 
+def test_quantize_nan_element_is_zero_not_poison(spark):
+    # r5 fix regression guard: a single NaN element must quantize to 0,
+    # not poison the max-abs fold (NaN scale → CAST_OVERFLOW under ANSI
+    # when rounding x/scale to int, killing the whole job for one row)
+    from pyspark.sql import Row
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+    from wrangle_pypes_spark.operators.similarity import quantize_embeddings
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", ArrayType(DoubleType()))])
+    df = spark.createDataFrame(
+        [(1, [float("nan"), 2.0]), (2, [float("nan")])], schema)
+    rows = quantize_embeddings(df, "v").orderBy("id").collect()
+    assert rows[0].q_embedding == [0, 127]
+    assert rows[0].q_scale == pytest.approx(2.0 / 127.0)
+    # all-NaN vector behaves like all-zero: scale 0, zeros out
+    assert rows[1].q_embedding == [0]
+    assert rows[1].q_scale == 0.0
+
+
 def test_quantized_cosine_topk_recall(spark, sf_dir):
     """int8 top-k vs exact top-k: recall@5 stays high — the pinned
     cost of the 4x storage cut."""

@@ -33,7 +33,6 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-import pandas as pd  # hint resolution for the one pandas-UDF op below
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1024,10 +1023,15 @@ def compression_ratio(docs: DataFrame, text_col: str = "text", *,
     Output: (id, n_bytes, n_compressed, ratio) with
     ``ratio = n_compressed / n_bytes`` (NULL for empty/NULL text).
     """
+    # local import: keeps pandas out of the package's import graph —
+    # only this one pandas-UDF op needs it.  The eval-type annotations
+    # are attached as REAL class objects because the module-wide
+    # `from __future__ import annotations` stringizes inline hints,
+    # which then can't resolve 'pd' from module globals.
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("long")
-    def _compressed_len(texts: pd.Series) -> pd.Series:
+    def _raw(texts):
         import zlib
 
         def one(t):
@@ -1035,6 +1039,9 @@ def compression_ratio(docs: DataFrame, text_col: str = "text", *,
                 return None
             return len(zlib.compress(t.encode("utf-8"), level))
         return texts.map(one, na_action=None).astype("Int64")
+
+    _raw.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _compressed_len = pandas_udf(_raw, "long")
 
     sized = docs.select(
         F.col(id_col),
