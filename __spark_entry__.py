@@ -6820,43 +6820,155 @@ def q_compression_ratio_docs(spark, sf_dir):
 # their r3 hash-green rows, and entry() + bench.py exercise them every
 # round regardless.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # Window policy: value-level oracles the driver has never hash-
-    # confirmed outrank rows-only-by-design queries (whose driver row
-    # only proves the query runs — the local sweep proves the same).
-    "merge_intervals_user": q_merge_intervals_user,  # r4: exact-integer oracle, never driver-checked
-    "bucketize_order_totals": q_bucketize_order_totals,  # r4: exact-cut oracle, never driver-checked
-    "winsorize_order_totals": q_winsorize_order_totals,  # r4: exact-cut oracle, never driver-checked
-    "stratified_sample_langs": q_stratified_sample_langs,  # r3 md5 oracle, driver last saw rows-only
+    # ---- the 50-slot driver verification window ----
+    # Round-6 rotation (VERDICT r5 #1): (1) queries whose CODE or
+    # registration changed this round, (2) the 14 value-oracle +
+    # 5 rows-only queries the driver has NEVER checked, (3) the
+    # oldest r1/r2-vintage greens.  Every registered query has now
+    # been inside the window at least once when this window runs.
+    "random_projection_emb": q_random_projection_emb,
+    # ^ r6: re-registered — posexploded scalar output (r4/r5 canonicalizer crash)
+    "quantize_embeddings_int8": q_quantize_embeddings_int8,
+    # ^ r6: re-registered — posexploded scalar output (r4/r5 canonicalizer crash)
+    "url_parse_docs": q_url_parse_docs,
+    # ^ r6: canonical_url port fix + :8443/:443 URL slices
+    "url_blocklist_docs": q_url_blocklist_docs,
+    # ^ r6: synthetic URL gained port slices
+    "domain_stats_docs": q_domain_stats_docs,
+    # ^ r6: synthetic URL gained port slices
+    "link_graph_docs": q_link_graph_docs,
+    # ^ r6: synthetic URL gained port slices
+    "fuzzy_part_names": q_fuzzy_part_names,
+    # ^ r6: short-string block-key fix in operators/fuzzy.py
+    "incremental_ingest_orders": q_incremental_ingest_orders,
+    # ^ r6: ingest wave cap landed in sources/ingest.py
+    "compression_ratio_docs": q_compression_ratio_docs,
+    # ^ r6: lazy pandas import; rows-only, never driver-checked
+    # never driver-checked, value-level oracles (rotation debt)
+    "rollup_hist_percentiles": q_rollup_hist_percentiles,
+    # ^ r4 value oracle, first driver check
+    "span_dedup_docs": q_span_dedup_docs,
+    # ^ r4 value oracle, first driver check
+    "bm25_search_docs": q_bm25_search_docs,
+    # ^ r4 value oracle, first driver check
+    "stream_zscore_events": q_stream_zscore_events,
+    # ^ r4 value oracle, first driver check
+    "dedup_pair_audit": q_dedup_pair_audit,
+    # ^ r4 value oracle, first driver check
+    "dsir_select_docs": q_dsir_select_docs,
+    # ^ r4 value oracle, first driver check
+    "ccnet_buckets_docs": q_ccnet_buckets_docs,
+    # ^ r4 value oracle, first driver check
+    "zipf_fit_corpus": q_zipf_fit_corpus,
+    # ^ r4 value oracle, first driver check
+    "corpus_data_card": q_corpus_data_card,
+    # ^ r4 value oracle, first driver check
+    "html_extract_docs": q_html_extract_docs,
+    # ^ r4 value oracle, first driver check
+    "bigram_logprob": q_bigram_logprob,  # r4 value oracle, first driver check
+    "source_kl_drift": q_source_kl_drift,
+    # ^ r4 value oracle, first driver check
+    "snapshot_js_drift": q_snapshot_js_drift,
+    # ^ r4 value oracle, first driver check
+    "stream_drift_hourly": q_stream_drift_hourly,
+    # ^ r4 value oracle, first driver check
+    # never driver-checked, rows-only by design
+    "stream_minhash_index": q_stream_minhash_index,
+    # ^ rows-only, first driver check
+    "stream_embedding_index": q_stream_embedding_index,
+    # ^ rows-only, first driver check
+    "pagerank_trade_graph": q_pagerank_trade_graph,
+    # ^ rows-only, first driver check
+    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+    # ^ rows-only, first driver check
+    "bpe_merges_docs": q_bpe_merges_docs,  # rows-only, first driver check
+    # oldest-vintage greens: last driver rows date to r1/r2 code
+    "decontaminate_docs": q_decontaminate_docs,
+    # ^ r2-green + unit tests; local sweep covers
+    "pii_scrub": q_pii_scrub,  # r2-green + unit tests; local sweep covers
+    "gopher_quality": q_gopher_quality,
+    # ^ r2-green + replica tests; local sweep covers
+    "repetition_stats": q_repetition_stats,
+    # ^ r2-green + replica tests; local sweep covers
+    "stream_tumbling_events": q_stream_tumbling_events,
+    # ^ r2-green; local sweep covers
+    "stream_sliding_events": q_stream_sliding_events,
+    # ^ r2-green; local sweep covers
+    "stream_session_events": q_stream_session_events,
+    # ^ r2-green; local sweep covers
+    "stream_stateful_counts": q_stream_stateful_counts,
+    # ^ r2-green; r3 rotation green; local sweep covers
+    "stream_stream_join": q_stream_stream_join,  # r2-green; local sweep covers
+    "stream_dedup_events": q_stream_dedup_events,
+    # ^ r2-green; local sweep covers
+    "pack_sequences": q_pack_sequences,  # r2-green; local sweep covers
+    "zorder_col": q_zorder_col,  # r2-green expression op; local sweep covers
+    "histogram_acctbal": q_histogram_acctbal,
+    # ^ r2-green trivial agg; local sweep covers
+    "q10_returned_revenue": q_q10_returned_revenue,
+    # ^ r1-green; local sweep covers
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    # ^ r1-green; local sweep covers
+    "q14_promo_revenue": q_q14_promo_revenue,  # r1-green; local sweep covers
+    "q18_large_volume_orders": q_q18_large_volume_orders,
+    # ^ r1-green; local sweep covers
+    "q19_bracketed_revenue": q_q19_bracketed_revenue,
+    # ^ r1-green; local sweep covers
+    "customers_without_orders": q_customers_without_orders,
+    # ^ r1-green; local sweep covers
+    "topk_orders_per_customer": q_topk_orders_per_customer,
+    # ^ r1-green; local sweep covers
+    "window_running_total": q_window_running_total,
+    "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
+    # ---- below the 50-slot driver window from here down ----
+    # r4/r5 hash-green rows, code untouched since; the local sweep
+    # (scripts/check_oracle.py) still covers everything below.
+    "merge_intervals_user": q_merge_intervals_user,
+    # ^ r4: exact-integer oracle, never driver-checked
+    "bucketize_order_totals": q_bucketize_order_totals,
+    # ^ r4: exact-cut oracle, never driver-checked
+    "winsorize_order_totals": q_winsorize_order_totals,
+    # ^ r4: exact-cut oracle, never driver-checked
+    "stratified_sample_langs": q_stratified_sample_langs,
+    # ^ r3 md5 oracle, driver last saw rows-only
     "cdc_apply_orders": q_cdc_apply_orders,  # new r4: CDC compact+apply merge
     "stream_cdc_store": q_stream_cdc_store,  # new r4: durable streaming CDC
-    "cdc_vacuum_store": q_cdc_vacuum_store,  # new r4: tombstone retention read-back
-    "curriculum_order_docs": q_curriculum_order_docs,  # new r4: banded curriculum layout
-    "token_fertility_lang": q_token_fertility_lang,  # new r4: per-lang token accounting
-    "group_split_sources": q_group_split_sources,  # new r4: leakage-safe group split
-    "random_projection_emb": q_random_projection_emb,  # new r4: JL sketch
-    "sequential_ids_orders": q_sequential_ids_orders,  # new r4: distributed enumeration
-    "flatten_nested_customer": q_flatten_nested_customer,  # new r4: recursive struct flatten
-    "binary_ingest_docs": q_binary_ingest_docs,  # new r4: binaryFile source read-back
-    "split_leakage_audit": q_split_leakage_audit,  # new r4: contamination audit
-    "vocab_diversity_sources": q_vocab_diversity_sources,  # new r4: lexical richness
+    "cdc_vacuum_store": q_cdc_vacuum_store,
+    # ^ new r4: tombstone retention read-back
+    "curriculum_order_docs": q_curriculum_order_docs,
+    # ^ new r4: banded curriculum layout
+    "token_fertility_lang": q_token_fertility_lang,
+    # ^ new r4: per-lang token accounting
+    "group_split_sources": q_group_split_sources,
+    # ^ new r4: leakage-safe group split
+    "sequential_ids_orders": q_sequential_ids_orders,
+    # ^ new r4: distributed enumeration
+    "flatten_nested_customer": q_flatten_nested_customer,
+    # ^ new r4: recursive struct flatten
+    "binary_ingest_docs": q_binary_ingest_docs,
+    # ^ new r4: binaryFile source read-back
+    "split_leakage_audit": q_split_leakage_audit,
+    # ^ new r4: contamination audit
+    "vocab_diversity_sources": q_vocab_diversity_sources,
+    # ^ new r4: lexical richness
     "key_skew_orders": q_key_skew_orders,  # new r4: skew profiler top-k
     "script_mix_docs": q_script_mix_docs,  # new r4: unicode script fractions
     "anchor_text_docs": q_anchor_text_docs,  # new r4: anchor-text harvesting
-    "quantize_embeddings_int8": q_quantize_embeddings_int8,  # new r4: int8 quantization
-    "classifier_score_docs": q_classifier_score_docs,  # new r4: linear classifier inference
-    "incremental_ingest_orders": q_incremental_ingest_orders,  # new r4: ledger ingest read-back
-    "training_shards_manifest": q_training_shards_manifest,  # new r4: shard export read-back
-    "web_ingest_docs": q_web_ingest_docs,  # new r4: composite html->clean->dedup plan
-    "source_overlap_docs": q_source_overlap_docs,  # new r4: cross-source shingle overlap
-    "link_graph_docs": q_link_graph_docs,  # new r4: outlinks -> domain graph
+    "classifier_score_docs": q_classifier_score_docs,
+    # ^ new r4: linear classifier inference
+    "training_shards_manifest": q_training_shards_manifest,
+    # ^ new r4: shard export read-back
+    "web_ingest_docs": q_web_ingest_docs,
+    # ^ new r4: composite html->clean->dedup plan
+    "source_overlap_docs": q_source_overlap_docs,
+    # ^ new r4: cross-source shingle overlap
     "normalize_text_docs": q_normalize_text_docs,  # new r4: unicode cleanup
-    "fuzzy_part_names": q_fuzzy_part_names,  # new r4: blocked levenshtein pairs
-    "url_parse_docs": q_url_parse_docs,  # new r4: URL battery parse/canonicalize
-    "url_blocklist_docs": q_url_blocklist_docs,  # new r4: subdomain-aware blocklist
-    "domain_stats_docs": q_domain_stats_docs,  # new r4: per-domain stats
-    "compact_roundtrip_orders": q_compact_roundtrip_orders,  # new r4: compact_parquet read-back
-    "scd2_rebuild_heal": q_scd2_rebuild_heal,  # new r4: scd2_rebuild_store heal read-back
-    "token_pmi_pairs": q_token_pmi_pairs,  # r4: enforced top-M bound + folded N
+    "compact_roundtrip_orders": q_compact_roundtrip_orders,
+    # ^ new r4: compact_parquet read-back
+    "scd2_rebuild_heal": q_scd2_rebuild_heal,
+    # ^ new r4: scd2_rebuild_store heal read-back
+    "token_pmi_pairs": q_token_pmi_pairs,
+    # ^ r4: enforced top-M bound + folded N
     "inverted_index_stats": q_inverted_index_stats,  # r4: sharded postings
     "funnel_events": q_funnel_events,  # r4: max_events_per_key cap
     "paragraph_dedup_docs": q_paragraph_dedup_docs,  # new r4
@@ -6873,57 +6985,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_median_orders": q_rolling_median_orders,  # new r4
     "ngram_containment_docs": q_ngram_containment_docs,  # new r4
     "standardize_orders": q_standardize_orders,  # new r4
-    # ---- below the 50-slot driver window from here down ----
-    # Round-5 rotation plan: promote, in order, (1) the r4
-    # value-level queries the driver has never hash-checked —
-    # rollup_hist_percentiles .. stream_drift_hourly and the
-    # 14 demoted mid-r4 entries (paragraph_dedup_docs ..
-    # standardize_orders); (2) the rows-only-by-design group
-    # for their weaker driver rows; (3) then resume the r1/r2
-    # re-rotation.  Keep the marker at EXACTLY 50 entries —
-    # tests/test_bare_session.py pins it.
-    "rollup_hist_percentiles": q_rollup_hist_percentiles,  # new r4
-    "span_dedup_docs": q_span_dedup_docs,  # new r4
-    "bm25_search_docs": q_bm25_search_docs,  # new r4
-    "stream_zscore_events": q_stream_zscore_events,  # new r4
-    "dedup_pair_audit": q_dedup_pair_audit,  # new r4
-    "dsir_select_docs": q_dsir_select_docs,  # new r4, never driver-checked: value-level oracle
-    "ccnet_buckets_docs": q_ccnet_buckets_docs,  # new r4: value-level oracle
-    "zipf_fit_corpus": q_zipf_fit_corpus,  # new r4: value-level oracle
-    "corpus_data_card": q_corpus_data_card,  # new r4: value-level oracle
-    "html_extract_docs": q_html_extract_docs,  # new r4: value-level oracle
-    "bigram_logprob": q_bigram_logprob,  # new r4: value-level oracle
-    "source_kl_drift": q_source_kl_drift,  # new r4: value-level oracle
-    "snapshot_js_drift": q_snapshot_js_drift,  # new r4: value-level oracle
-    "stream_drift_hourly": q_stream_drift_hourly,  # new r4: value-level oracle
-    "stream_minhash_index": q_stream_minhash_index,  # new r4 rows-only by design (LSH); batch-equivalence test covers
-    "stream_embedding_index": q_stream_embedding_index,  # new r4 rows-only by design (LSH); batch-equivalence test covers
-    "compression_ratio_docs": q_compression_ratio_docs,  # new r4 rows-only by design (zlib); local sweep covers; rotate r5
-    "pagerank_trade_graph": q_pagerank_trade_graph,  # new r4 rows-only by design; local sweep covers; rotate r5
-    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # new r4 rows-only by design; local sweep covers; rotate r5
-    "bpe_merges_docs": q_bpe_merges_docs,  # new r4 rows-only by design; local sweep covers; rotate r5
-    "decontaminate_docs": q_decontaminate_docs,  # r2-green + unit tests; local sweep covers
-    "pii_scrub": q_pii_scrub,  # r2-green + unit tests; local sweep covers
-    "gopher_quality": q_gopher_quality,  # r2-green + replica tests; local sweep covers
-    "repetition_stats": q_repetition_stats,  # r2-green + replica tests; local sweep covers
-    "stream_tumbling_events": q_stream_tumbling_events,  # r2-green; local sweep covers
-    "stream_sliding_events": q_stream_sliding_events,  # r2-green; local sweep covers
-    "stream_session_events": q_stream_session_events,  # r2-green; local sweep covers
-    "stream_stateful_counts": q_stream_stateful_counts,  # r2-green; r3 rotation green; local sweep covers
-    "stream_stream_join": q_stream_stream_join,  # r2-green; local sweep covers
-    "stream_dedup_events": q_stream_dedup_events,  # r2-green; local sweep covers
-    "pack_sequences": q_pack_sequences,  # r2-green; local sweep covers
-    "zorder_col": q_zorder_col,  # r2-green expression op; local sweep covers
-    "histogram_acctbal": q_histogram_acctbal,  # r2-green trivial agg; local sweep covers
-    "q10_returned_revenue": q_q10_returned_revenue,  # r1-green; local sweep covers
-    "q6_forecast_revenue": q_q6_forecast_revenue,  # r1-green; local sweep covers
-    "q14_promo_revenue": q_q14_promo_revenue,  # r1-green; local sweep covers
-    "q18_large_volume_orders": q_q18_large_volume_orders,  # r1-green; local sweep covers
-    "q19_bracketed_revenue": q_q19_bracketed_revenue,  # r1-green; local sweep covers
-    "customers_without_orders": q_customers_without_orders,  # r1-green; local sweep covers
-    "topk_orders_per_customer": q_topk_orders_per_customer,  # r1-green; local sweep covers
-    "window_running_total": q_window_running_total,
-    "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
     "json_extract_events": q_json_extract_events,
     "sessionize_events": q_sessionize_events,
     "asof_latest_order_per_event": q_asof_latest_order_per_event,

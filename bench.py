@@ -161,10 +161,15 @@ HEADLINE = [
 
 
 def main() -> None:
+    # --all: time EVERY registered query (registry order) so each of
+    # the 189 operators has a recorded wall time; the default headline
+    # set stays fixed for round-over-round comparability.
+    run_all = "--all" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_session("wrangle-bench", cpus=cpus)
     qs = entrymod.queries()
+    names = list(qs) if run_all else HEADLINE
 
     # untimed warmup: init scan/codegen/shuffle machinery once
     warm = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
@@ -172,7 +177,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total_rows = 0
-    for name in HEADLINE:
+    for name in names:
         fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
@@ -189,7 +194,8 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     record = json.dumps({
-        "metric": "headline_queries_total_sec",
+        "metric": ("all_queries_total_sec" if run_all
+                   else "headline_queries_total_sec"),
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -204,7 +210,8 @@ def main() -> None:
     sidecar = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_local.json"))
+                     "BENCH_local_all.json" if run_all
+                     else "BENCH_local.json"))
     try:
         with open(sidecar, "w") as f:
             f.write(record + "\n")
