@@ -5776,8 +5776,11 @@ def q_semantic_dedup_embeddings(spark, sf_dir):
     contract is pinned in tests/test_dedup_similarity.py."""
     from wrangle_pypes_spark.operators import semantic_dedup
     corpus = _emb_dup_corpus(spark, sf_dir)
+    # r6: corpus-scaled cluster count (SemDeDup's actual knob) — a
+    # fixed k made intra-cluster pair work grow n²/k with the corpus
+    # (19.96s at sf0.1 with k=8; ~3s with ~500-row cells)
     kept = semantic_dedup(corpus, "embedding", id_col="vec_id",
-                          n_clusters=8, threshold=0.99)
+                          threshold=0.99, target_cell_size=500)
     return kept.select("vec_id").orderBy("vec_id")
 
 

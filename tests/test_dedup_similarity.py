@@ -528,6 +528,29 @@ def test_semantic_dedup_keeps_one_per_cluster_of_near_dups(spark):
     assert again == ids
 
 
+def test_semantic_dedup_target_cell_size_scales_clusters(spark):
+    """target_cell_size derives n_clusters from the corpus size (the
+    SemDeDup scaling knob) and still dedups correctly; bad values
+    raise."""
+    import pytest
+
+    from wrangle_pypes_spark.operators import semantic_dedup
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(60)]
+    rows += [(100, [9.0, 0.0, 0.0]), (101, [9.0000001, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, "embedding", id_col="vec_id",
+                         threshold=0.999999, target_cell_size=10)
+    ids = sorted(r.vec_id for r in out.collect())
+    # the two colinear vectors collapse to the min id; count shrinks
+    assert 100 in ids and 101 not in ids
+    with pytest.raises(ValueError):
+        semantic_dedup(df, "embedding", id_col="vec_id",
+                       target_cell_size=0)
+    with pytest.raises(ValueError):
+        semantic_dedup(df, "embedding", id_col="vec_id", n_clusters=None)
+
+
 def test_pair_metrics_counts_and_ratios(spark):
     """Canonicalization (order, duplicates) is applied before counting;
     precision/recall/f1 match hand math; empty sides yield NULL ratios

@@ -187,17 +187,24 @@ def blocklist_filter(df: DataFrame, *, host_col: str,
     bl = blocklist.select(
         F.lower(F.col(domain_col)).alias("_bl_dom")).distinct() \
         .localCheckpoint(eager=True)
+    # ONE probe frame shared by every position.  (Measured: Spark's
+    # ReuseExchange still re-builds the broadcast per join — self-join
+    # dedup re-instances the checkpoint RDD scan, defeating exchange
+    # canonicalization — so this costs max_labels broadcast builds of
+    # ONE dim table.  That stays the right trade at scale: the
+    # alternative single-join shape explodes the 100 TB fact side
+    # max_labels-fold before the join.)
+    probe = F.broadcast(bl.withColumn("_bl_hit", F.lit(True)))
     cur = df.withColumn("_sfx_arr",
                         host_suffix_set(F.col(host_col), max_labels))
     hit_cols = []
     for i in range(1, max_labels + 1):
         k, h = f"_k{i}", f"_h{i}"
-        probe = F.broadcast(bl.select(F.col("_bl_dom").alias(k),
-                                      F.lit(True).alias(h)))
         # try_element_at past the array end is NULL (ANSI-safe) → null
         # key never joins
-        cur = cur.withColumn(k, F.try_element_at("_sfx_arr", F.lit(i))) \
-                 .join(probe, on=k, how="left")
+        cur = (cur.withColumn(k, F.try_element_at("_sfx_arr", F.lit(i)))
+               .join(probe, F.col(k) == probe["_bl_dom"], "left")
+               .withColumnRenamed("_bl_hit", h).drop("_bl_dom"))
         hit_cols.append(F.col(h))
     hit = F.coalesce(*hit_cols, F.lit(False))
     cur = cur.filter(hit if keep else ~hit)

@@ -766,9 +766,11 @@ def span_dedup(docs: DataFrame, text_col: str = "text", *,
 
 
 def semantic_dedup(df: DataFrame, vec_col: str, *, id_col: str,
-                   n_clusters: int = 16, threshold: float = 0.95,
+                   n_clusters: Optional[int] = 16,
+                   threshold: float = 0.95,
                    iters: int = 2, seed: int = 42,
-                   max_iter_cc: int = 20) -> DataFrame:
+                   max_iter_cc: int = 20,
+                   target_cell_size: Optional[int] = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (the public
     cluster-then-compare recipe): k-means cluster the embeddings (the
     deterministic Lloyd fit from ``operators.similarity``), compare
@@ -789,9 +791,25 @@ def semantic_dedup(df: DataFrame, vec_col: str, *, id_col: str,
     quadratic term — the 100 TB knob is ``n_clusters`` ∝ corpus size),
     then components + canonical selection as in
     :func:`fuzzy_dedup_keep_canonical`.
+
+    ``target_cell_size`` is the scale-correct way to set that knob:
+    ``n_clusters = max(16, n_rows / target_cell_size)`` from one cheap
+    count, so intra-cluster pair cost stays ~``n · target_cell_size``
+    (linear in the corpus) instead of ``n² / k`` silently degrading as
+    the corpus grows past a FIXED ``k`` — a fixed default of 16 on a
+    10× corpus is 10× the pair work per cell.  Per-corpus-size cluster
+    counts are exactly how the published SemDeDup configuration scales
+    (~100k clusters at billions of docs).
     """
     from .similarity import _nearest_cells_udf, cosine_expr, kmeans_fit
 
+    if target_cell_size is not None:
+        if target_cell_size <= 0:
+            raise ValueError("target_cell_size must be positive")
+        n_rows = df.count()
+        n_clusters = max(16, -(-n_rows // target_cell_size))
+    elif n_clusters is None:
+        raise ValueError("pass n_clusters or target_cell_size")
     centroids = kmeans_fit(df, vec_col, id_col=id_col, k=n_clusters,
                            iters=iters, seed=seed)
     assign = _nearest_cells_udf(centroids, 1)
