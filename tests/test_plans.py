@@ -234,6 +234,24 @@ def test_q9_star_join_prunes_lineitem(spark, sf_dir):
                     "l_extendedprice", "l_discount"}, cols
 
 
+def test_random_projection_literal_signs_fold_out_of_plan(spark, sf_dir):
+    """dim= pre-folds the md5 Rademacher signs driver-side: the
+    physical plan must contain NO md5 call (the whole point — 512
+    per-row hashes become plan literals) and no Python eval nodes."""
+    from wrangle_pypes_spark.operators.similarity import random_projection
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = plan_of(random_projection(e, "embedding", out_dim=8,
+                                  hash_scheme="md5", dim=64))
+    assert "md5" not in p, "signs were not folded into literals"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the hash path keeps md5 at runtime — the contract the literal
+    # path is verified against
+    p_hash = plan_of(random_projection(e, "embedding", out_dim=8,
+                                       hash_scheme="md5"))
+    assert "md5" in p_hash
+
+
 def test_scd2_single_shuffle(spark, sf_dir):
     """SCD2 build: both window passes share ONE key-partitioned
     exchange (same partitioning, no re-shuffle between passes)."""
