@@ -98,6 +98,57 @@ def test_fuzzy_short_strings_suffix_and_empty(spark):
     assert ("a", "az") not in pairs
 
 
+def _lev(a, b):
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.mark.parametrize("block,block_len,d", [
+    ("prefix", 2, 1), ("prefix", 3, 2), ("suffix", 2, 1),
+])
+def test_fuzzy_blocking_contract_exhaustive(spark, block, block_len, d):
+    """Exhaustive check over every string of length ≤3 on {a,b}: a pair
+    is returned EXACTLY when lev ≤ d, the length band holds, both sides
+    are non-empty, and the first (prefix) / last (suffix)
+    min(|x|, |y|, block_len) characters agree — the closed-form recall
+    contract of natural+supplemental key blocking."""
+    universe = [""]
+    for L in (1, 2, 3):
+        from itertools import product
+        universe += ["".join(p) for p in product("ab", repeat=L)]
+    df = spark.createDataFrame([Row(name=n) for n in universe])
+    out = fuzzy_string_pairs(
+        df, df, left_col="name", right_col="name",
+        max_distance=d, block=block, block_len=block_len,
+        dedup_self_pairs=True)
+    got = {(r.name_l, r.name_r) for r in out.collect()}
+
+    def core(s, m):
+        return s[:m] if block == "prefix" else s[-m:] if m else ""
+
+    want = set()
+    for x in universe:
+        for y in universe:
+            if not (x and y and x < y):
+                continue
+            if abs(len(x) - len(y)) > d or _lev(x, y) > d:
+                continue
+            m = min(len(x), len(y), block_len)
+            if core(x, m) == core(y, m):
+                want.add((x, y))
+    assert got == want
+
+
 def test_fuzzy_two_table_and_plan(spark, names):
     other = spark.createDataFrame([Row(label="red midget"),
                                    Row(label="zzz")])

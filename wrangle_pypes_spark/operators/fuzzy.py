@@ -10,20 +10,21 @@ levenshtein on surviving candidates.  The equi-join is a hash join
 (broadcastable when one side is dim-scale), so cost is
 sum-of-block-sizes², not |L|×|R|.
 
-Recall contract (documented, not silent): prefix blocking misses pairs
-whose edits change the first ``min(len, block_len)`` characters;
-suffix blocking mirrors that at the end; ``block="both"`` unions the
-two candidate sets (a pair must then keep its first OR last
-``min(len, block_len)`` characters intact — still not exhaustive for
-d ≥ 1, but the standard cost/recall trade).  Strings SHORTER than
-``block_len`` use their whole value as the block key, and longer
-strings additionally emit length-banded truncated keys that may only
-meet such short-string keys (never each other), so pairs like
-``('a', 'ab')`` at distance 1 are found without collapsing long
-strings into short-prefix mega-blocks.  For guaranteed recall on
-*substitution-only* distance, use d+1 segment blocks (see ``simhash``
-pigeonhole blocking in operators/dedup.py:339 for that construction
-on hashes).
+Recall contract (closed form, pinned EXHAUSTIVELY in
+tests/test_fuzzy_normalize.py): a pair (x, y) within the distance and
+length band is returned iff both are non-empty and their first
+(prefix) / last (suffix) ``min(|x|, |y|, block_len)`` characters
+agree; ``block="both"`` unions the two candidate sets.  Still not
+exhaustive for d ≥ 1 — an edit inside the blocked region hides the
+pair — but the standard cost/recall trade, and now uniform across
+lengths: strings SHORTER than ``block_len`` use their whole value as
+the block key, and longer strings additionally emit length-banded
+truncated keys that may only meet such short-string keys (never each
+other), so pairs like ``('a', 'ab')`` at distance 1 are found without
+collapsing long strings into short-prefix mega-blocks.  For
+guaranteed recall on *substitution-only* distance, use d+1 segment
+blocks (see ``simhash`` pigeonhole blocking in operators/dedup.py:339
+for that construction on hashes).
 
 Reference analog: none — the reference (pipeline.py) has no join
 surface at all; this is part of the engine's relational battery.
