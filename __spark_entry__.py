@@ -6960,6 +6960,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ^ r1-green; local sweep covers
     "window_running_total": q_window_running_total,
     # ---- below the 50-slot driver window from here down ----
+    # Round-7 rotation plan: once CORRECTNESS_r06 lands, every
+    # registered query has a driver row (scripts/rotation_report.py
+    # verifies).  The r7 window should hold (1) any query whose code
+    # changes in r7, then (2) the oldest-vintage rows by last-checked
+    # round — the r4-vintage block directly below this marker first,
+    # then the remaining r2/r3 greens.  Keep the marker at EXACTLY 50
+    # entries — tests/test_bare_session.py pins it.
     # r4/r5 hash-green rows, code untouched since; the local sweep
     # (scripts/check_oracle.py) still covers everything below.
     "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
