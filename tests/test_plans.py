@@ -77,6 +77,43 @@ PURE_JVM_QUERIES = [
     "span_dedup_docs",
     "bm25_search_docs",
     "winsorize_order_totals",
+    # r6 additions: the rest of the r6 verification window that must
+    # stay UDF-free (excluded: write-path read-backs, stream_*, the
+    # documented pandas ops — compression_ratio, semantic kmeans,
+    # grouped_ewma)
+    "url_parse_docs",
+    "url_blocklist_docs",
+    "domain_stats_docs",
+    "link_graph_docs",
+    "fuzzy_part_names",
+    "random_projection_emb",
+    "quantize_embeddings_int8",
+    "dedup_pair_audit",
+    "dsir_select_docs",
+    "ccnet_buckets_docs",
+    "zipf_fit_corpus",
+    "corpus_data_card",
+    "html_extract_docs",
+    "bigram_logprob",
+    "source_kl_drift",
+    "snapshot_js_drift",
+    "normalize_text_docs",
+    "anchor_text_docs",
+    "script_mix_docs",
+    "vocab_diversity_sources",
+    "key_skew_orders",
+    "split_leakage_audit",
+    "sequential_ids_orders",
+    "flatten_nested_customer",
+    "curriculum_order_docs",
+    "token_fertility_lang",
+    "group_split_sources",
+    "classifier_score_docs",
+    "cap_per_source",
+    "quality_quantile_filter",
+    "paragraph_dedup_docs",
+    "dsir_weights_docs",
+    "source_overlap_docs",
 ]
 
 
