@@ -4294,6 +4294,41 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_rollup_acid_store(spark, sf_dir):
+    """NEW r6: the same durable streaming rollup on the
+    versioned-snapshot ACID store (sources/acid.py via
+    ``store_format="acid"``): each micro-batch commits a full snapshot
+    whose atomic pointer write carries the epoch WITH the data —
+    closing the swap store's one-batch double-merge crash window
+    natively (the seam a Delta/Iceberg MERGE would fill; no such jars
+    in this environment).  The drained store must equal the batch
+    rollup — same oracle as ``stream_rollup_events``; the
+    crash-injection and exactly-once proofs live in
+    tests/test_acid.py."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.acid import acid_read, acid_vacuum
+    from wrangle_pypes_spark.streaming import foreach_batch_rollup_upsert
+
+    metrics = {"n": ("count", "*"), "sum_value": ("sum", "value"),
+               "min_value": ("min", "value"), "max_value": ("max", "value")}
+    store = tempfile.mkdtemp(prefix="wps_rollup_acid_") + "/state"
+    ev = stream_events(spark, sf_dir).select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type", "value")
+    q = foreach_batch_rollup_upsert(ev, store,
+                                    group_cols=["hour", "event_type"],
+                                    metrics=metrics, store_format="acid")
+    q.awaitTermination()
+    acid_vacuum(store, keep=1)  # drop superseded snapshots, keep head
+    return (acid_read(spark, store)
+            .select(F.col("hour").cast("timestamp_ntz").alias("hour"),
+                    "event_type", "n",
+                    F.round("sum_value", 4).alias("sum_value"),
+                    F.round("min_value", 4).alias("min_value"),
+                    F.round("max_value", 4).alias("max_value")))
+
+
 def q_stream_scd2_user_status(spark, sf_dir):
     """Durable streaming SCD2 (streaming/windows.py
     ``foreach_batch_scd2_merge``): each user's event-type history as
@@ -6885,6 +6920,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ^ r6: ingest wave cap landed in sources/ingest.py
     "ingest_waves_orders": q_ingest_waves_orders,
     # ^ NEW r6: capped multi-wave backlog drain read-back
+    "stream_rollup_acid_store": q_stream_rollup_acid_store,
+    # ^ NEW r6: ACID snapshot-store rollup maintainer read-back
     "compression_ratio_docs": q_compression_ratio_docs,
     # ^ r6: lazy pandas import; rows-only, never driver-checked
     # never driver-checked, value-level oracles (rotation debt)
@@ -6961,7 +6998,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ^ r1-green; local sweep covers
     "topk_orders_per_customer": q_topk_orders_per_customer,
     # ^ r1-green; local sweep covers
-    "window_running_total": q_window_running_total,
     # ---- below the 50-slot driver window from here down ----
     # Round-7 rotation plan: once CORRECTNESS_r06 lands, every
     # registered query has a driver row (scripts/rotation_report.py
@@ -6972,6 +7008,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # entries — tests/test_bare_session.py pins it.
     # r4/r5 hash-green rows, code untouched since; the local sweep
     # (scripts/check_oracle.py) still covers everything below.
+    "window_running_total": q_window_running_total,
     "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
     "merge_intervals_user": q_merge_intervals_user,
     # ^ r4: exact-integer oracle, never driver-checked
@@ -7261,6 +7298,8 @@ _ORACLES: dict[str, str] = {
     "stream_dedup_events": SQL_STREAM_DEDUP,
     "stream_static_enrich": SQL_STREAM_ENRICH,
     "stream_rollup_events": SQL_STREAM_ROLLUP,
+    # the acid-store twin drains the same rows into the same metrics
+    "stream_rollup_acid_store": SQL_STREAM_ROLLUP,
     "stream_scd2_user_status": SQL_STREAM_SCD2,
     "embedding_near_dup": SQL_EMB_NEAR_DUP,
     # embedding_near_dup_lsh / ivf_ann_top5 / lsh_ann_top5: approximate →

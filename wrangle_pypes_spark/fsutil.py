@@ -144,6 +144,17 @@ def delete(path: str, *, recursive: bool = True, spark=None) -> None:
         fs.delete(jpath, recursive)
 
 
+def list_dir(path: str, spark=None) -> list[str]:
+    """Child names (not paths) of a directory; [] when it is missing."""
+    if is_local(path):
+        p = _strip_file_scheme(path)
+        return sorted(os.listdir(p)) if os.path.isdir(p) else []
+    fs, jpath, _ = _hadoop(_require_spark(spark, path), path)
+    if not fs.exists(jpath):
+        return []
+    return sorted(st.getPath().getName() for st in fs.listStatus(jpath))
+
+
 def rename(src: str, dst: str, spark=None) -> None:
     """Move a file or directory (atomic namespace op on POSIX/HDFS)."""
     if is_local(src) and is_local(dst):

@@ -7,6 +7,7 @@ engine's conventions (explicit schemas, star-schema loading, JSON-string
 payload parsing for dynamic columns).
 """
 
+from .acid import (acid_commit, acid_current, acid_read, acid_vacuum)
 from .sinks import (audit_parquet_layout, compact_parquet, read_orc,
                     recover_upsert_backup,
                     upsert_parquet,
@@ -16,7 +17,8 @@ from .tables import (TABLES, ensure_session_confs, infer_json_schema,
                      load_star_schema, load_table, parse_json_col,
                      read_binary_files, read_csv, read_jsonl, read_text)
 
-__all__ = ("TABLES", "ensure_session_confs", "infer_json_schema",
+__all__ = ("TABLES", "acid_commit", "acid_current", "acid_read",
+           "acid_vacuum", "ensure_session_confs", "infer_json_schema",
            "load_star_schema", "load_table", "parse_json_col",
            "audit_parquet_layout", "compact_parquet",
            "read_binary_files", "read_csv", "read_jsonl", "read_orc",

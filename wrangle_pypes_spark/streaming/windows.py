@@ -229,7 +229,8 @@ def foreach_batch_rollup_upsert(stream_df: DataFrame, store_path: str, *,
                                 group_cols: Sequence[str],
                                 metrics,
                                 checkpoint: Optional[str] = None,
-                                store_partition_by: Sequence[str] = ()):
+                                store_partition_by: Sequence[str] = (),
+                                store_format: str = "swap"):
     """Durable continuous-aggregate maintenance: every micro-batch is
     rolled up to mergeable state (``operators.rollup.rollup_build``) and
     MERGED into a parquet rollup store keyed by the group columns.
@@ -250,10 +251,17 @@ def foreach_batch_rollup_upsert(stream_df: DataFrame, store_path: str, *,
 
     Rollup merge is ADDITIVE, so foreachBatch's at-least-once
     redelivery would double-merge a replayed batch; an epoch marker
-    beside the store skips epochs already merged.  The marker commits
-    after the store swap — a crash exactly between the two leaves ONE
-    batch that will double-merge on recovery (the table-format MERGE
-    closes that window transactionally; parquet alone cannot).
+    beside the store skips epochs already merged.  With the default
+    ``store_format="swap"`` the marker commits after the store swap —
+    a crash exactly between the two leaves ONE batch that will
+    double-merge on recovery.  ``store_format="acid"`` closes that
+    window natively: the store becomes a versioned-snapshot table
+    (``sources.acid``) whose atomic pointer commit carries the epoch
+    WITH the data, so data and epoch can never disagree — a crash
+    before the pointer leaves an orphan snapshot and the replay merges
+    onto the old version exactly once.  (This is the transactional
+    seam a Delta/Iceberg MERGE would fill; the acid store implements
+    the needed part without their jars.)
 
     The epoch guard is only sound when epoch ids are MONOTONIC across
     runs, which requires a ``checkpoint`` location: without one, batch
@@ -268,12 +276,23 @@ def foreach_batch_rollup_upsert(stream_df: DataFrame, store_path: str, *,
     import warnings
 
     from ..operators.rollup import rollup_build, rollup_merge
+    from ..sources.acid import acid_commit, acid_current, acid_read
     from ..sources.sinks import recover_upsert_backup, upsert_parquet
 
+    if store_format not in ("swap", "acid"):
+        raise ValueError(f"unknown store_format {store_format!r} "
+                         "(expected 'swap' or 'acid')")
     keys = list(group_cols)
     session = stream_df.sparkSession
+
+    def _committed_epoch(spark) -> int:
+        if store_format == "acid":
+            cur = acid_current(store_path, spark=spark)
+            return cur[1] if cur is not None else -1
+        return _read_epoch(store_path, spark=spark)
+
     if (checkpoint is None
-            and _read_epoch(store_path, spark=session) >= 0):
+            and _committed_epoch(session) >= 0):
         warnings.warn(
             "foreach_batch_rollup_upsert: resuming an existing rollup "
             f"store ({store_path!r}) WITHOUT a checkpoint location — "
@@ -285,10 +304,27 @@ def foreach_batch_rollup_upsert(stream_df: DataFrame, store_path: str, *,
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        if epoch_id <= _read_epoch(store_path, spark=spark):
+        if epoch_id <= _committed_epoch(spark):
             return  # checkpoint replay of an already-merged batch
         batch_state = rollup_build(batch_df, group_cols=keys,
                                    metrics=metrics)
+        if store_format == "acid":
+            stored = acid_read(spark, store_path)
+            if stored is not None:
+                bkeys = F.broadcast(batch_state.select(*keys).distinct())
+                touched = stored.join(bkeys, keys, "left_semi")
+                untouched = stored.join(bkeys, keys, "left_anti")
+                merged = rollup_merge(touched, batch_state,
+                                      group_cols=keys, metrics=metrics) \
+                    .unionByName(untouched)
+            else:
+                merged = batch_state
+            # snapshot commit: data + epoch publish in ONE atomic
+            # pointer write; the new version dir is disjoint from the
+            # one being read, so no localCheckpoint is needed
+            acid_commit(merged, store_path, epoch_id=epoch_id,
+                        partition_by=list(store_partition_by))
+            return
         if recover_upsert_backup(store_path, spark=spark):
             stored = spark.read.parquet(store_path)
             touched = (stored.join(
