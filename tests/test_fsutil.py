@@ -102,3 +102,20 @@ def test_epoch_marker_through_hadoop_fs(spark, tmp_path, monkeypatch):
     assert W._read_epoch(store, spark=spark) == 3
     W._write_epoch(store, 4, spark=spark)
     assert W._read_epoch(store, spark=spark) == 4
+
+
+def test_list_dir_local_and_hadoop(spark, tmp_path, monkeypatch):
+    """list_dir returns sorted child NAMES on both dispatch paths and
+    [] for missing directories (the acid store's version discovery)."""
+    d = tmp_path / "t"
+    d.mkdir()
+    (d / "_v000002").mkdir()
+    (d / "_v000001").mkdir()
+    (d / "_ptr.json").write_text("{}")
+    assert fsutil.list_dir(str(d)) == ["_ptr.json", "_v000001", "_v000002"]
+    assert fsutil.list_dir(str(tmp_path / "missing")) == []
+    _force_hadoop(monkeypatch)
+    assert fsutil.list_dir("file:" + str(d), spark=spark) == \
+        ["_ptr.json", "_v000001", "_v000002"]
+    assert fsutil.list_dir("file:" + str(tmp_path / "missing"),
+                           spark=spark) == []
