@@ -247,17 +247,24 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
                                k=n_centroids, iters=iters, seed=seed)
     assign1 = _nearest_cells_udf(centroids, 1)
     assign_p = _nearest_cells_udf(centroids, n_probe)
+    # per-ROW norms hoisted out of the per-PAIR expression (pair count
+    # dwarfs row count at scale); same in-order arithmetic as
+    # cosine_expr
+    cv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"),
+        F.col(id_col).alias("neighbor_id"), cv.alias("_cvec"),
+        _norm(cv).alias("_cn"),
         assign1(F.col(vec_col))[0].alias("_cell"))
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"),
+        F.col(id_col).alias("query_id"), cv.alias("_qvec"),
+        _norm(cv).alias("_qn"),
         F.explode(assign_p(F.col(vec_col))).alias("_cell"))
     cand = c.join(q, "_cell", "inner").filter(
         F.col("neighbor_id") != F.col("query_id"))
     scored = cand.select(
         "query_id", "neighbor_id",
-        cosine_expr(F.col("_qvec"), F.col("_cvec")).alias("cosine"))
+        (_dot(F.col("_qvec"), F.col("_cvec"))
+         / (F.col("_qn") * F.col("_cn"))).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("_rn", F.row_number().over(w))
@@ -285,11 +292,13 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, *,
         sample = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = int(sample["d"])
     planes = _hyperplanes(dim, n_planes, seed)
+    # per-ROW norms hoisted out of the per-PAIR scoring (see ivf_topk)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("_cvec"),
+                      v.alias("_cvec"), _norm(v).alias("_cn"),
                       lsh_code_expr(F.col(vec_col), planes).alias("_code"))
     qbase = queries.select(F.col(id_col).alias("query_id"),
-                           F.col(vec_col).alias("_qvec"),
+                           v.alias("_qvec"), _norm(v).alias("_qn"),
                            lsh_code_expr(F.col(vec_col), planes).alias("_c0"))
     probe_codes = [F.col("_c0")]
     if probes >= 1:
@@ -304,8 +313,10 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, *,
     cand = c.join(q, "_code", "inner").filter(
         F.col("neighbor_id") != F.col("query_id")) \
         .dropDuplicates(["query_id", "neighbor_id"])
-    scored = cand.select("query_id", "neighbor_id",
-                         cosine_expr(F.col("_qvec"), F.col("_cvec")).alias("cosine"))
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        (_dot(F.col("_qvec"), F.col("_cvec"))
+         / (F.col("_qn") * F.col("_cn"))).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("_rn", F.row_number().over(w))
