@@ -826,16 +826,21 @@ def semantic_dedup(df: DataFrame, vec_col: str, *, id_col: str,
     centroids = kmeans_fit(df, vec_col, id_col=id_col, k=n_clusters,
                            iters=iters, seed=seed)
     assign = _nearest_cells_udf(centroids, 1)
+    # per-ROW norm hoisted out of the per-PAIR cosine (the
+    # intra-cluster pair count is the quadratic term); same in-order
+    # arithmetic as cosine_expr
+    from .similarity import _dot, _norm
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cells = df.select(F.col(id_col).alias("_id"),
-                      F.col(vec_col).alias("_v"),
+                      v.alias("_v"), _norm(v).alias("_n"),
                       assign(F.col(vec_col))[0].alias("_cell"))
     a, b = cells.alias("a"), cells.alias("b")
     pairs = (a.join(b, (F.col("a._cell") == F.col("b._cell")) &
                     (F.col("a._id") < F.col("b._id")))
              .select(F.col("a._id").alias("id_a"),
                      F.col("b._id").alias("id_b"),
-                     cosine_expr(F.col("a._v"), F.col("b._v"))
-                     .alias("cosine"))
+                     (_dot(F.col("a._v"), F.col("b._v"))
+                      / (F.col("a._n") * F.col("b._n"))).alias("cosine"))
              .filter(F.col("cosine") >= threshold)
              .select("id_a", "id_b"))
     return fuzzy_dedup_keep_canonical(df, pairs, id_col=id_col,

@@ -98,15 +98,21 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, *,
     """
     qid = query_id_col or id_col
     qvec = query_vec_col or vec_col
+    # per-ROW norms hoisted out of the per-PAIR expression; same
+    # in-order arithmetic as cosine_expr, so scores (and the value
+    # oracle's hash) are bit-identical
+    qv = F.transform(F.col(qvec), lambda x: x.cast("double"))
+    cv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     q = queries.select(F.col(qid).alias("query_id"),
-                       F.col(qvec).alias("_qvec"))
+                       qv.alias("_qvec"), _norm(qv).alias("_qn"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("_cvec"))
+                      cv.alias("_cvec"), _norm(cv).alias("_cn"))
     joined = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id"))
     scored = joined.select(
         "query_id", "neighbor_id",
-        cosine_expr(F.col("_qvec"), F.col("_cvec")).alias("cosine"))
+        (_dot(F.col("_qvec"), F.col("_cvec"))
+         / (F.col("_qn") * F.col("_cn"))).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("_rn", F.row_number().over(w))
