@@ -327,14 +327,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, *, id_col: str,
         shingles(F.col(text_col), shingle_n).alias("_sh"),
         F.slice(tokens_col(F.col(text_col)), 1,
                 prefilter_tokens).alias("_block"))
-    base = base.withColumn("_bkey", F.concat_ws(" ", F.col("_block")))
+    # shingles() returns DISTINCT sets, so |A ∪ B| = |A| + |B| − |A ∩ B|
+    # exactly — per-row sizes hoisted, one set intersection per pair
+    # instead of intersect + union
+    base = base.withColumn("_bkey", F.concat_ws(" ", F.col("_block"))) \
+               .withColumn("_sz", F.size("_sh"))
     if persist:  # shingle sets are recomputed per join side otherwise
         base = base.persist()
     a, b = base.alias("a"), base.alias("b")
     cand = a.join(b, (F.col("a._bkey") == F.col("b._bkey")) &
                      (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")), "inner")
     inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
-    union = F.size(F.array_union(F.col("a._sh"), F.col("b._sh")))
+    union = F.col("a._sz") + F.col("b._sz") - inter
     jac = inter.cast("double") / union.cast("double")
     return (cand.select(F.col(f"a.{id_col}").alias("id_a"),
                         F.col(f"b.{id_col}").alias("id_b"),
