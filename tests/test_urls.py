@@ -221,3 +221,25 @@ def test_script_mix(spark):
     assert m.arabic == 0.0 and m.hangul == 0.0 and m.kana == 0.0
     assert rows[2].n_chars == 0 and rows[2].latin == 0.0
     assert rows[3].n_chars is None
+
+
+def test_canonical_url_is_idempotent(spark):
+    """canonical_url's output is itself a URL in canonical form, so a
+    second pass must be a fixed point — the property URL-level dedup
+    relies on when canon forms from different pipeline stages meet."""
+    cases = [
+        "https://News.Example.co.uk:443/World/politics/?b=2&utm_source=x&a=1#frag",
+        "http://user:pw@sub.blog.example.com:8080/post/42?id=7",
+        "https://example.com/",
+        "https://localhost:8080/admin",
+        "ftp://files.example.org:2121/pub/data.csv",
+        "https://example.com/a/b/?z=1&y=2&fbclid=x#f",
+        "http://example.com:80/",
+        "wss://hub.example.com:9443/socket?b=1&a=2",
+    ]
+    df = spark.createDataFrame([Row(u=u) for u in cases])
+    once = df.select(canonical_url(F.col("u")).alias("c1"))
+    twice = once.select(F.col("c1"),
+                        canonical_url(F.col("c1")).alias("c2"))
+    for r in twice.collect():
+        assert r.c1 == r.c2, (r.c1, r.c2)
