@@ -27,6 +27,15 @@ onto the OLD snapshot, exactly once.  Readers resolve the pointer and
 read one immutable snapshot directory, so they are never exposed to a
 half-written table and never block writers (MVCC-by-directory).
 
+Cost model, stated honestly: every commit writes a FULL snapshot, so
+the per-batch write cost is O(store size) regardless of how little
+changed.  That is the right trade for COMPACT stores — rollup/aggregate
+state, dimension tables, manifests — where the store is orders of
+magnitude smaller than the stream it summarizes and the crash-window
+correctness is worth a small rewrite.  For a huge keyed store, use the
+partitioned swap path (touched-partitions-only rewrite, idempotent
+merge) or a real table format whose log commits file-level deltas.
+
 Single-writer by contract, like every swap store here (streaming
 ``foreachBatch`` guarantees one instance per sink).  Control files go
 through :mod:`wrangle_pypes_spark.fsutil`: POSIX/HDFS renames are
