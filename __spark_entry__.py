@@ -6897,278 +6897,233 @@ def q_compression_ratio_docs(spark, sf_dir):
 # rotate below: entry() + bench.py exercise them every round anyway.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- the 50-slot driver verification window ----
-    # Round-6 rotation (VERDICT r5 #1): (1) queries whose CODE or
-    # registration changed this round, (2) the 14 value-oracle +
-    # 5 rows-only queries the driver has NEVER checked, (3) the
-    # oldest r1/r2-vintage greens.  Every registered query has now
-    # been inside the window at least once when this window runs.
-    "random_projection_emb": q_random_projection_emb,
-    # ^ r6: re-registered — posexploded scalar output (r4/r5 canonicalizer crash)
-    "quantize_embeddings_int8": q_quantize_embeddings_int8,
-    # ^ r6: re-registered — posexploded scalar output (r4/r5 canonicalizer crash)
-    "url_parse_docs": q_url_parse_docs,
-    # ^ r6: canonical_url port fix + :8443/:443 URL slices
-    "url_blocklist_docs": q_url_blocklist_docs,
-    # ^ r6: synthetic URL gained port slices
-    "domain_stats_docs": q_domain_stats_docs,
-    # ^ r6: synthetic URL gained port slices
-    "link_graph_docs": q_link_graph_docs,
-    # ^ r6: synthetic URL gained port slices
-    "fuzzy_part_names": q_fuzzy_part_names,
-    # ^ r6: short-string block-key fix in operators/fuzzy.py
-    "incremental_ingest_orders": q_incremental_ingest_orders,
-    # ^ r6: ingest wave cap landed in sources/ingest.py
-    "ingest_waves_orders": q_ingest_waves_orders,
-    # ^ NEW r6: capped multi-wave backlog drain read-back
-    "stream_rollup_acid_store": q_stream_rollup_acid_store,
-    # ^ NEW r6: ACID snapshot-store rollup maintainer read-back
-    "compression_ratio_docs": q_compression_ratio_docs,
-    # ^ r6: lazy pandas import; rows-only, never driver-checked
-    # never driver-checked, value-level oracles (rotation debt)
-    "rollup_hist_percentiles": q_rollup_hist_percentiles,
-    # ^ r4 value oracle, first driver check
-    "span_dedup_docs": q_span_dedup_docs,
-    # ^ r4 value oracle, first driver check
-    "bm25_search_docs": q_bm25_search_docs,
-    # ^ r4 value oracle, first driver check
-    "stream_zscore_events": q_stream_zscore_events,
-    # ^ r4 value oracle, first driver check
-    "dedup_pair_audit": q_dedup_pair_audit,
-    # ^ r4 value oracle, first driver check
-    "dsir_select_docs": q_dsir_select_docs,
-    # ^ r4 value oracle, first driver check
-    "ccnet_buckets_docs": q_ccnet_buckets_docs,
-    # ^ r4 value oracle, first driver check
-    "zipf_fit_corpus": q_zipf_fit_corpus,
-    # ^ r4 value oracle, first driver check
-    "corpus_data_card": q_corpus_data_card,
-    # ^ r4 value oracle, first driver check
-    "html_extract_docs": q_html_extract_docs,
-    # ^ r4 value oracle, first driver check
-    "bigram_logprob": q_bigram_logprob,  # r4 value oracle, first driver check
-    "source_kl_drift": q_source_kl_drift,
-    # ^ r4 value oracle, first driver check
-    "snapshot_js_drift": q_snapshot_js_drift,
-    # ^ r4 value oracle, first driver check
-    "stream_drift_hourly": q_stream_drift_hourly,
-    # ^ r4 value oracle, first driver check
-    # never driver-checked, rows-only by design
-    "stream_minhash_index": q_stream_minhash_index,
-    # ^ rows-only, first driver check
-    "stream_embedding_index": q_stream_embedding_index,
-    # ^ rows-only, first driver check
-    "pagerank_trade_graph": q_pagerank_trade_graph,
-    # ^ rows-only, first driver check
-    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
-    # ^ rows-only, first driver check
-    "bpe_merges_docs": q_bpe_merges_docs,  # rows-only, first driver check
-    # oldest-vintage greens: last driver rows date to r1/r2 code
-    "decontaminate_docs": q_decontaminate_docs,
-    # ^ r2-green + unit tests; local sweep covers
-    "pii_scrub": q_pii_scrub,  # r2-green + unit tests; local sweep covers
-    "gopher_quality": q_gopher_quality,
-    # ^ r2-green + replica tests; local sweep covers
-    "repetition_stats": q_repetition_stats,
-    # ^ r2-green + replica tests; local sweep covers
-    "stream_tumbling_events": q_stream_tumbling_events,
-    # ^ r2-green; local sweep covers
-    "stream_sliding_events": q_stream_sliding_events,
-    # ^ r2-green; local sweep covers
-    "stream_session_events": q_stream_session_events,
-    # ^ r2-green; local sweep covers
-    "stream_stateful_counts": q_stream_stateful_counts,
-    # ^ r2-green; r3 rotation green; local sweep covers
-    "stream_stream_join": q_stream_stream_join,  # r2-green; local sweep covers
-    "stream_dedup_events": q_stream_dedup_events,
-    # ^ r2-green; local sweep covers
-    "pack_sequences": q_pack_sequences,  # r2-green; local sweep covers
-    "zorder_col": q_zorder_col,  # r2-green expression op; local sweep covers
-    "histogram_acctbal": q_histogram_acctbal,
-    # ^ r2-green trivial agg; local sweep covers
-    "q10_returned_revenue": q_q10_returned_revenue,
-    # ^ r1-green; local sweep covers
-    "q6_forecast_revenue": q_q6_forecast_revenue,
-    # ^ r1-green; local sweep covers
-    "q14_promo_revenue": q_q14_promo_revenue,  # r1-green; local sweep covers
-    "q18_large_volume_orders": q_q18_large_volume_orders,
-    # ^ r1-green; local sweep covers
-    "q19_bracketed_revenue": q_q19_bracketed_revenue,
-    # ^ r1-green; local sweep covers
-    "customers_without_orders": q_customers_without_orders,
-    # ^ r1-green; local sweep covers
-    "topk_orders_per_customer": q_topk_orders_per_customer,
-    # ^ r1-green; local sweep covers
-    # ---- below the 50-slot driver window from here down ----
-    # Round-7 rotation plan: once CORRECTNESS_r06 lands, every
-    # registered query has a driver row (scripts/rotation_report.py
-    # verifies).  The r7 window should hold (1) any query whose code
-    # changes in r7, then (2) the oldest-vintage rows by last-checked
-    # round — the r4-vintage block directly below this marker first,
-    # then the remaining r2/r3 greens.  Keep the marker at EXACTLY 50
-    # entries — tests/test_bare_session.py pins it.
-    # r4/r5 hash-green rows, code untouched since; the local sweep
-    # (scripts/check_oracle.py) still covers everything below.
-    "window_running_total": q_window_running_total,
-    "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
-    "merge_intervals_user": q_merge_intervals_user,
-    # ^ r4: exact-integer oracle, never driver-checked
-    "bucketize_order_totals": q_bucketize_order_totals,
-    # ^ r4: exact-cut oracle, never driver-checked
-    "winsorize_order_totals": q_winsorize_order_totals,
-    # ^ r4: exact-cut oracle, never driver-checked
-    "stratified_sample_langs": q_stratified_sample_langs,
-    # ^ r3 md5 oracle, driver last saw rows-only
-    "cdc_apply_orders": q_cdc_apply_orders,  # new r4: CDC compact+apply merge
-    "stream_cdc_store": q_stream_cdc_store,  # new r4: durable streaming CDC
-    "cdc_vacuum_store": q_cdc_vacuum_store,
-    # ^ new r4: tombstone retention read-back
-    "curriculum_order_docs": q_curriculum_order_docs,
-    # ^ new r4: banded curriculum layout
-    "token_fertility_lang": q_token_fertility_lang,
-    # ^ new r4: per-lang token accounting
-    "group_split_sources": q_group_split_sources,
-    # ^ new r4: leakage-safe group split
-    "sequential_ids_orders": q_sequential_ids_orders,
-    # ^ new r4: distributed enumeration
-    "flatten_nested_customer": q_flatten_nested_customer,
-    # ^ new r4: recursive struct flatten
-    "binary_ingest_docs": q_binary_ingest_docs,
-    # ^ new r4: binaryFile source read-back
-    "split_leakage_audit": q_split_leakage_audit,
-    # ^ new r4: contamination audit
-    "vocab_diversity_sources": q_vocab_diversity_sources,
-    # ^ new r4: lexical richness
-    "key_skew_orders": q_key_skew_orders,  # new r4: skew profiler top-k
-    "script_mix_docs": q_script_mix_docs,  # new r4: unicode script fractions
-    "anchor_text_docs": q_anchor_text_docs,  # new r4: anchor-text harvesting
-    "classifier_score_docs": q_classifier_score_docs,
-    # ^ new r4: linear classifier inference
-    "training_shards_manifest": q_training_shards_manifest,
-    # ^ new r4: shard export read-back
-    "web_ingest_docs": q_web_ingest_docs,
-    # ^ new r4: composite html->clean->dedup plan
-    "source_overlap_docs": q_source_overlap_docs,
-    # ^ new r4: cross-source shingle overlap
-    "normalize_text_docs": q_normalize_text_docs,  # new r4: unicode cleanup
-    "compact_roundtrip_orders": q_compact_roundtrip_orders,
-    # ^ new r4: compact_parquet read-back
-    "scd2_rebuild_heal": q_scd2_rebuild_heal,
-    # ^ new r4: scd2_rebuild_store heal read-back
-    "token_pmi_pairs": q_token_pmi_pairs,
-    # ^ r4: enforced top-M bound + folded N
-    "inverted_index_stats": q_inverted_index_stats,  # r4: sharded postings
-    "funnel_events": q_funnel_events,  # r4: max_events_per_key cap
-    "paragraph_dedup_docs": q_paragraph_dedup_docs,  # new r4
-    "dsir_weights_docs": q_dsir_weights_docs,  # new r4
-    "stream_dedup_keep_best": q_stream_dedup_keep_best,  # new r4
-    "cap_per_source": q_cap_per_source,  # new r4
-    "quality_quantile_filter": q_quality_quantile_filter,  # new r4
-    "boilerplate_lines_docs": q_boilerplate_lines_docs,  # new r4
-    "resample_user_6h": q_resample_user_6h,  # new r4
-    "rolling_zscore_events": q_rolling_zscore_events,  # new r4
-    "weighted_sample_docs": q_weighted_sample_docs,  # new r4
-    "topp_quality_per_source": q_topp_quality_per_source,  # new r4
-    "snapshot_diff_docs": q_snapshot_diff_docs,  # new r4
-    "rolling_median_orders": q_rolling_median_orders,  # new r4
-    "ngram_containment_docs": q_ngram_containment_docs,  # new r4
-    "standardize_orders": q_standardize_orders,  # new r4
-    "json_extract_events": q_json_extract_events,
-    "sessionize_events": q_sessionize_events,
-    "asof_latest_order_per_event": q_asof_latest_order_per_event,
-    "range_join_event_pairs": q_range_join_event_pairs,
-    "wrangle_map_ops": q_wrangle_map_ops,
-    "wrangle_create_multiple": q_wrangle_create_multiple,
-    "wrangle_attr_id": q_wrangle_attr_id,
-    "wrangle_get_or_create_arrays": q_wrangle_get_or_create_arrays,
-    "cube_orders": q_cube_orders,
-    "semi_join_customers": q_semi_join_customers,
-    "percentiles_by_segment": q_percentiles_by_segment,
-    "string_agg_priorities": q_string_agg_priorities,
-    "orders_above_cust_avg": q_orders_above_cust_avg,
-    "salted_join_revenue": q_salted_join_revenue,
-    "full_outer_daily_activity": q_full_outer_daily_activity,
-    "grouping_sets_orders": q_grouping_sets_orders,
-    "wrangle_conditional_gather": q_wrangle_conditional_gather,
-    "wrangle_flatten": q_wrangle_flatten,
-    "wrangle_fold_ops": q_wrangle_fold_ops,
-    "sql_api_top_nations": q_sql_api_top_nations,
-    "data_quality_violations": q_data_quality_violations,
-    "wrangle_lenient_audit": q_wrangle_lenient_audit,
-    "udtf_chunk_text": q_udtf_chunk_text,
-    "corpus_clean_pipeline": q_corpus_clean_pipeline,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "wrangle_foreach_custom": q_wrangle_foreach_custom,
-    "fuzzy_dedup_canonical": q_fuzzy_dedup_canonical,
-    "async_enrich_tags": q_async_enrich_tags,
-    "async_get_or_create_dim": q_async_get_or_create_dim,
-    "window_lag_gap": q_window_lag_gap,
-    "rollup_status_priority": q_rollup_status_priority,
-    "set_ops_custkeys": q_set_ops_custkeys,
-    "distinct_counts_by_segment": q_distinct_counts_by_segment,
-    "scalar_functions_part": q_scalar_functions_part,
-    "orders_by_month": q_orders_by_month,
-    "unpivot_part_measures": q_unpivot_part_measures,
-    "doc_fingerprint": q_doc_fingerprint,
-    "lang_id": q_lang_id,
-    "embedding_norms": q_embedding_norms,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    # Round-7 rotation (VERDICT r6 #1/#2): (1) the 6 dedup/similarity
+    # queries whose scoring expressions were rewritten in r6 AFTER their
+    # last driver check (commits e0a0550/4cf737d/991c763/c529b9f) —
+    # 'stale-green', the only unverified-code surface on the board;
+    # (2) the 7 queries whose code changed THIS round (the URL-port and
+    # rollup-maintainer ADVICE fixes) so no new stale-greens are minted;
+    # (3) every remaining r1-vintage row (value oracles, then rows-only);
+    # (4) r2-vintage value-oracle greens to fill 50.  Deferred to r8:
+    # cube_orders, semi_join_customers, percentiles_by_segment,
+    # string_agg_priorities, orders_above_cust_avg, salted_join_revenue,
+    # resize_images, sample_frames (r2) + grouped_ewma /
+    # approx_distinct_users (r2 rows-only), then the r3 block.
     "embedding_near_dup": q_embedding_near_dup,
-    "resize_images": q_resize_images,
-    "sample_frames": q_sample_frames,
-    "wrangle_flat_orders": q_wrangle_flat_orders,
-    "wrangle_nested_customer": q_wrangle_nested_customer,
-    "q1_pricing_summary": q_q1_pricing_summary,
-    "q2_min_cost_supplier": q_q2_min_cost_supplier,
-    "q3_topk_revenue": q_q3_topk_revenue,
-    "q4_late_order_priority": q_q4_late_order_priority,
-    "q5_revenue_by_nation": q_q5_revenue_by_nation,
-    "q7_volume_shipping": q_q7_volume_shipping,
-    "q8_market_share": q_q8_market_share,
-    "q9_profit_by_nation": q_q9_profit_by_nation,
-    "q11_important_parts": q_q11_important_parts,
-    "q13_order_distribution": q_q13_order_distribution,
-    "q15_top_supplier": q_q15_top_supplier,
-    "q16_supplier_part_counts": q_q16_supplier_part_counts,
-    "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
-    "q20_bulk_suppliers": q_q20_bulk_suppliers,
-    "q21_suppliers_kept_waiting": q_q21_suppliers_kept_waiting,
-    "q22_sales_opportunity": q_q22_sales_opportunity,
-    "stream_static_enrich": q_stream_static_enrich,
-    "stream_rollup_events": q_stream_rollup_events,
-    "stream_scd2_user_status": q_stream_scd2_user_status,
-    "mix_corpus_sources": q_mix_corpus_sources,
-    "temperature_mix_sources": q_temperature_mix_sources,
-    "scd2_customer_history": q_scd2_customer_history,
-    "profile_customer": q_profile_customer,
-    "rollup_events_hourly": q_rollup_events_hourly,
-    "window_rank_family": q_window_rank_family,
-    "window_trailing_30d": q_window_trailing_30d,
-    "date_functions_orders": q_date_functions_orders,
-    "string_functions_customer": q_string_functions_customer,
-    "c4_clean_docs": q_c4_clean_docs,
-    "unigram_logprob": q_unigram_logprob,
-    "cohort_retention_weekly": q_cohort_retention_weekly,
-    "embedding_label_centroids": q_embedding_label_centroids,
-    "top_ngrams_corpus": q_top_ngrams_corpus,
-    "dedup_keep_longest": q_dedup_keep_longest,
-    "dedup_exact": q_dedup_exact,
-    "chunk_documents_overlap": q_chunk_documents_overlap,
-    "train_val_test_split": q_train_val_test_split,
-    "shuffle_documents": q_shuffle_documents,
-    "wrangle_get_or_create": q_wrangle_get_or_create,
+    # ^ r1-green; near-dup expr rewritten r6 (c529b9f) after last check
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    # ^ r1-green; Jaccard union expr rewritten r6 (e0a0550) after last check
     "knn_cosine_top5": q_knn_cosine_top5,
-    "text_stats": q_text_stats,
-    "multimodal_features": q_multimodal_features,
-    "wrangle_array_ops": q_wrangle_array_ops,
-    "pivot_status_priority": q_pivot_status_priority,
-    "grouped_ewma": q_grouped_ewma,
-    "approx_distinct_users": q_approx_distinct_users,
-    "profile_customer_approx": q_profile_customer_approx,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "simhash_pairs": q_simhash_pairs,
-    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-    "ivf_ann_top5": q_ivf_ann_top5,
+    # ^ r3-green; kNN scoring rewritten r6 (4cf737d) after last check
     "lsh_ann_top5": q_lsh_ann_top5,
+    # ^ rows-only r1; candidate scoring rewritten r6 (991c763) after last check
+    "ivf_ann_top5": q_ivf_ann_top5,
+    # ^ rows-only r1; candidate scoring rewritten r6 (991c763) after last check
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    # ^ rows-only r1; candidate scoring rewritten r6 (991c763) after last check
+    # code changed in r7 (ADVICE fixes) — re-verify before anything else
+    "url_parse_docs": q_url_parse_docs,
+    # ^ r6-green; _PORT_RE authority-terminating lookahead (r7 ADVICE fix)
+    "url_blocklist_docs": q_url_blocklist_docs,
+    # ^ r6-green; _PORT_RE change (r7)
+    "domain_stats_docs": q_domain_stats_docs,
+    # ^ r6-green; _PORT_RE change (r7)
+    "link_graph_docs": q_link_graph_docs,
+    # ^ r6-green; _PORT_RE change (r7)
+    "stream_rollup_acid_store": q_stream_rollup_acid_store,
+    # ^ r6-green; maintainer gained snapshot schema-align (r7 ADVICE fix)
+    "stream_rollup_events": q_stream_rollup_events,
+    # ^ r3-green; maintainer gained snapshot schema-align (r7)
+    "stream_drift_hourly": q_stream_drift_hourly,
+    # ^ r6-green; maintainer gained snapshot schema-align (r7)
+    # r1-vintage value-oracle greens, code untouched; freshness rotation
+    "window_running_total": q_window_running_total,  # r1 hash-green
+    "window_lag_gap": q_window_lag_gap,  # r1 hash-green
+    "rollup_status_priority": q_rollup_status_priority,  # r1 hash-green
+    "set_ops_custkeys": q_set_ops_custkeys,  # r1 hash-green
+    "distinct_counts_by_segment": q_distinct_counts_by_segment,  # r1 hash-green
+    "scalar_functions_part": q_scalar_functions_part,  # r1 hash-green
+    "orders_by_month": q_orders_by_month,  # r1 hash-green
+    "unpivot_part_measures": q_unpivot_part_measures,  # r1 hash-green
+    "doc_fingerprint": q_doc_fingerprint,  # r1 hash-green
+    "lang_id": q_lang_id,  # r1 hash-green
+    "embedding_norms": q_embedding_norms,  # r1 hash-green
+    # r1-vintage rows-only (approx ops; recall tests in tests/)
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,  # rows-only ran (r1)
+    "simhash_pairs": q_simhash_pairs,  # rows-only ran (r1)
+    # r2-vintage value-oracle greens, code untouched; freshness rotation
+    "q12_late_lines_by_flag": q_q12_late_lines_by_flag,  # r2 hash-green
+    "json_extract_events": q_json_extract_events,  # r2 hash-green
+    "sessionize_events": q_sessionize_events,  # r2 hash-green
+    "asof_latest_order_per_event": q_asof_latest_order_per_event,  # r2 hash-green
+    "range_join_event_pairs": q_range_join_event_pairs,  # r2 hash-green
+    "wrangle_map_ops": q_wrangle_map_ops,  # r2 hash-green
+    "wrangle_create_multiple": q_wrangle_create_multiple,  # r2 hash-green
+    "wrangle_attr_id": q_wrangle_attr_id,  # r2 hash-green
+    "wrangle_get_or_create_arrays": q_wrangle_get_or_create_arrays,  # r2 hash-green
+    "full_outer_daily_activity": q_full_outer_daily_activity,  # r2 hash-green
+    "grouping_sets_orders": q_grouping_sets_orders,  # r2 hash-green
+    "wrangle_conditional_gather": q_wrangle_conditional_gather,  # r2 hash-green
+    "wrangle_flatten": q_wrangle_flatten,  # r2 hash-green
+    "wrangle_fold_ops": q_wrangle_fold_ops,  # r2 hash-green
+    "sql_api_top_nations": q_sql_api_top_nations,  # r2 hash-green
+    "data_quality_violations": q_data_quality_violations,  # r2 hash-green
+    "wrangle_lenient_audit": q_wrangle_lenient_audit,  # r2 hash-green
+    "udtf_chunk_text": q_udtf_chunk_text,  # r2 hash-green
+    "corpus_clean_pipeline": q_corpus_clean_pipeline,  # r2 hash-green
+    "tfidf_top_terms": q_tfidf_top_terms,  # r2 hash-green
+    "wrangle_foreach_custom": q_wrangle_foreach_custom,  # r2 hash-green
+    "fuzzy_dedup_canonical": q_fuzzy_dedup_canonical,  # r2 hash-green
+    "async_enrich_tags": q_async_enrich_tags,  # r2 hash-green
+    "async_get_or_create_dim": q_async_get_or_create_dim,  # r2 hash-green
+    # ---- below the 50-slot driver window from here down ----
+    # Round-8 rotation plan: queries whose code changes in r8 first,
+    # then oldest-vintage by last-checked round — the deferred r2 block
+    # listed above, then the r3-vintage block, then r4/r5.
+    # scripts/rotation_report.py prints the live vintage table; keep
+    # the marker at EXACTLY 50 entries — tests/test_bare_session.py
+    # pins it.
+    "random_projection_emb": q_random_projection_emb,  # r6 hash-green
+    "quantize_embeddings_int8": q_quantize_embeddings_int8,  # r6 hash-green
+    "fuzzy_part_names": q_fuzzy_part_names,  # r6 hash-green
+    "incremental_ingest_orders": q_incremental_ingest_orders,  # r6 hash-green
+    "ingest_waves_orders": q_ingest_waves_orders,  # r6 hash-green
+    "compression_ratio_docs": q_compression_ratio_docs,  # rows-only ran (r6)
+    "rollup_hist_percentiles": q_rollup_hist_percentiles,  # r6 hash-green
+    "span_dedup_docs": q_span_dedup_docs,  # r6 hash-green
+    "bm25_search_docs": q_bm25_search_docs,  # r6 hash-green
+    "stream_zscore_events": q_stream_zscore_events,  # r6 hash-green
+    "dedup_pair_audit": q_dedup_pair_audit,  # r6 hash-green
+    "dsir_select_docs": q_dsir_select_docs,  # r6 hash-green
+    "ccnet_buckets_docs": q_ccnet_buckets_docs,  # r6 hash-green
+    "zipf_fit_corpus": q_zipf_fit_corpus,  # r6 hash-green
+    "corpus_data_card": q_corpus_data_card,  # r6 hash-green
+    "html_extract_docs": q_html_extract_docs,  # r6 hash-green
+    "bigram_logprob": q_bigram_logprob,  # r6 hash-green
+    "source_kl_drift": q_source_kl_drift,  # r6 hash-green
+    "snapshot_js_drift": q_snapshot_js_drift,  # r6 hash-green
+    "stream_minhash_index": q_stream_minhash_index,  # rows-only ran (r6)
+    "stream_embedding_index": q_stream_embedding_index,  # rows-only ran (r6)
+    "pagerank_trade_graph": q_pagerank_trade_graph,  # rows-only ran (r6)
+    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # rows-only ran (r6)
+    "bpe_merges_docs": q_bpe_merges_docs,  # rows-only ran (r6)
+    "decontaminate_docs": q_decontaminate_docs,  # r6 hash-green
+    "pii_scrub": q_pii_scrub,  # r6 hash-green
+    "gopher_quality": q_gopher_quality,  # r6 hash-green
+    "repetition_stats": q_repetition_stats,  # r6 hash-green
+    "stream_tumbling_events": q_stream_tumbling_events,  # r6 hash-green
+    "stream_sliding_events": q_stream_sliding_events,  # r6 hash-green
+    "stream_session_events": q_stream_session_events,  # r6 hash-green
+    "stream_stateful_counts": q_stream_stateful_counts,  # r6 hash-green
+    "stream_stream_join": q_stream_stream_join,  # r6 hash-green
+    "stream_dedup_events": q_stream_dedup_events,  # r6 hash-green
+    "pack_sequences": q_pack_sequences,  # r6 hash-green
+    "zorder_col": q_zorder_col,  # r6 hash-green
+    "histogram_acctbal": q_histogram_acctbal,  # r6 hash-green
+    "q10_returned_revenue": q_q10_returned_revenue,  # r6 hash-green
+    "q6_forecast_revenue": q_q6_forecast_revenue,  # r6 hash-green
+    "q14_promo_revenue": q_q14_promo_revenue,  # r6 hash-green
+    "q18_large_volume_orders": q_q18_large_volume_orders,  # r6 hash-green
+    "q19_bracketed_revenue": q_q19_bracketed_revenue,  # r6 hash-green
+    "customers_without_orders": q_customers_without_orders,  # r6 hash-green
+    "topk_orders_per_customer": q_topk_orders_per_customer,  # r6 hash-green
+    "merge_intervals_user": q_merge_intervals_user,  # r5 hash-green
+    "bucketize_order_totals": q_bucketize_order_totals,  # r5 hash-green
+    "winsorize_order_totals": q_winsorize_order_totals,  # r5 hash-green
+    "stratified_sample_langs": q_stratified_sample_langs,  # r5 hash-green
+    "cdc_apply_orders": q_cdc_apply_orders,  # r5 hash-green
+    "stream_cdc_store": q_stream_cdc_store,  # r5 hash-green
+    "cdc_vacuum_store": q_cdc_vacuum_store,  # r5 hash-green
+    "curriculum_order_docs": q_curriculum_order_docs,  # r5 hash-green
+    "token_fertility_lang": q_token_fertility_lang,  # r5 hash-green
+    "group_split_sources": q_group_split_sources,  # r5 hash-green
+    "sequential_ids_orders": q_sequential_ids_orders,  # r5 hash-green
+    "flatten_nested_customer": q_flatten_nested_customer,  # r5 hash-green
+    "binary_ingest_docs": q_binary_ingest_docs,  # r5 hash-green
+    "split_leakage_audit": q_split_leakage_audit,  # r5 hash-green
+    "vocab_diversity_sources": q_vocab_diversity_sources,  # r5 hash-green
+    "key_skew_orders": q_key_skew_orders,  # r5 hash-green
+    "script_mix_docs": q_script_mix_docs,  # r5 hash-green
+    "anchor_text_docs": q_anchor_text_docs,  # r5 hash-green
+    "classifier_score_docs": q_classifier_score_docs,  # r5 hash-green
+    "training_shards_manifest": q_training_shards_manifest,  # r5 hash-green
+    "web_ingest_docs": q_web_ingest_docs,  # r5 hash-green
+    "source_overlap_docs": q_source_overlap_docs,  # r5 hash-green
+    "normalize_text_docs": q_normalize_text_docs,  # r5 hash-green
+    "compact_roundtrip_orders": q_compact_roundtrip_orders,  # r5 hash-green
+    "scd2_rebuild_heal": q_scd2_rebuild_heal,  # r5 hash-green
+    "token_pmi_pairs": q_token_pmi_pairs,  # r5 hash-green
+    "inverted_index_stats": q_inverted_index_stats,  # r5 hash-green
+    "funnel_events": q_funnel_events,  # r5 hash-green
+    "paragraph_dedup_docs": q_paragraph_dedup_docs,  # r5 hash-green
+    "dsir_weights_docs": q_dsir_weights_docs,  # r5 hash-green
+    "stream_dedup_keep_best": q_stream_dedup_keep_best,  # r5 hash-green
+    "cap_per_source": q_cap_per_source,  # r5 hash-green
+    "quality_quantile_filter": q_quality_quantile_filter,  # r5 hash-green
+    "boilerplate_lines_docs": q_boilerplate_lines_docs,  # r5 hash-green
+    "resample_user_6h": q_resample_user_6h,  # r5 hash-green
+    "rolling_zscore_events": q_rolling_zscore_events,  # r5 hash-green
+    "weighted_sample_docs": q_weighted_sample_docs,  # r5 hash-green
+    "topp_quality_per_source": q_topp_quality_per_source,  # r5 hash-green
+    "snapshot_diff_docs": q_snapshot_diff_docs,  # r5 hash-green
+    "rolling_median_orders": q_rolling_median_orders,  # r5 hash-green
+    "ngram_containment_docs": q_ngram_containment_docs,  # r5 hash-green
+    "standardize_orders": q_standardize_orders,  # r5 hash-green
+    "cube_orders": q_cube_orders,  # r2 hash-green
+    "semi_join_customers": q_semi_join_customers,  # r2 hash-green
+    "percentiles_by_segment": q_percentiles_by_segment,  # r2 hash-green
+    "string_agg_priorities": q_string_agg_priorities,  # r2 hash-green
+    "orders_above_cust_avg": q_orders_above_cust_avg,  # r2 hash-green
+    "salted_join_revenue": q_salted_join_revenue,  # r2 hash-green
+    "resize_images": q_resize_images,  # r2 hash-green
+    "sample_frames": q_sample_frames,  # r2 hash-green
+    "wrangle_flat_orders": q_wrangle_flat_orders,  # r3 hash-green
+    "wrangle_nested_customer": q_wrangle_nested_customer,  # r3 hash-green
+    "q1_pricing_summary": q_q1_pricing_summary,  # r3 hash-green
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,  # r3 hash-green
+    "q3_topk_revenue": q_q3_topk_revenue,  # r3 hash-green
+    "q4_late_order_priority": q_q4_late_order_priority,  # r3 hash-green
+    "q5_revenue_by_nation": q_q5_revenue_by_nation,  # r3 hash-green
+    "q7_volume_shipping": q_q7_volume_shipping,  # r3 hash-green
+    "q8_market_share": q_q8_market_share,  # r3 hash-green
+    "q9_profit_by_nation": q_q9_profit_by_nation,  # r3 hash-green
+    "q11_important_parts": q_q11_important_parts,  # r3 hash-green
+    "q13_order_distribution": q_q13_order_distribution,  # r3 hash-green
+    "q15_top_supplier": q_q15_top_supplier,  # r3 hash-green
+    "q16_supplier_part_counts": q_q16_supplier_part_counts,  # r3 hash-green
+    "q17_small_quantity_revenue": q_q17_small_quantity_revenue,  # r3 hash-green
+    "q20_bulk_suppliers": q_q20_bulk_suppliers,  # r3 hash-green
+    "q21_suppliers_kept_waiting": q_q21_suppliers_kept_waiting,  # r3 hash-green
+    "q22_sales_opportunity": q_q22_sales_opportunity,  # r3 hash-green
+    "stream_static_enrich": q_stream_static_enrich,  # r3 hash-green
+    "stream_scd2_user_status": q_stream_scd2_user_status,  # r3 hash-green
+    "mix_corpus_sources": q_mix_corpus_sources,  # r3 hash-green
+    "temperature_mix_sources": q_temperature_mix_sources,  # r3 hash-green
+    "scd2_customer_history": q_scd2_customer_history,  # r3 hash-green
+    "profile_customer": q_profile_customer,  # r3 hash-green
+    "rollup_events_hourly": q_rollup_events_hourly,  # r3 hash-green
+    "window_rank_family": q_window_rank_family,  # r3 hash-green
+    "window_trailing_30d": q_window_trailing_30d,  # r3 hash-green
+    "date_functions_orders": q_date_functions_orders,  # r3 hash-green
+    "string_functions_customer": q_string_functions_customer,  # r3 hash-green
+    "c4_clean_docs": q_c4_clean_docs,  # r3 hash-green
+    "unigram_logprob": q_unigram_logprob,  # r3 hash-green
+    "cohort_retention_weekly": q_cohort_retention_weekly,  # r3 hash-green
+    "embedding_label_centroids": q_embedding_label_centroids,  # r3 hash-green
+    "top_ngrams_corpus": q_top_ngrams_corpus,  # r3 hash-green
+    "dedup_keep_longest": q_dedup_keep_longest,  # r3 hash-green
+    "dedup_exact": q_dedup_exact,  # r3 hash-green
+    "chunk_documents_overlap": q_chunk_documents_overlap,  # r3 hash-green
+    "train_val_test_split": q_train_val_test_split,  # r3 hash-green
+    "shuffle_documents": q_shuffle_documents,  # r3 hash-green
+    "wrangle_get_or_create": q_wrangle_get_or_create,  # r3 hash-green
+    "text_stats": q_text_stats,  # r3 hash-green
+    "multimodal_features": q_multimodal_features,  # r3 hash-green
+    "wrangle_array_ops": q_wrangle_array_ops,  # r3 hash-green
+    "pivot_status_priority": q_pivot_status_priority,  # r3 hash-green
+    "grouped_ewma": q_grouped_ewma,  # rows-only ran (r2)
+    "approx_distinct_users": q_approx_distinct_users,  # rows-only ran (r2)
+    "profile_customer_approx": q_profile_customer_approx,  # rows-only ran (r3)
 }
 
 _ORACLES: dict[str, str] = {

@@ -829,6 +829,11 @@ def test_random_projection_null_and_errors(spark):
         random_projection(df, "v", out_dim=0)
     with pytest.raises(ValueError, match="hash_scheme"):
         random_projection(df, "v", out_dim=2, hash_scheme="sha")
+    # dim= promises pre-folded plan-literal signs, which only md5 has a
+    # driver-side hash replica for — with xxhash64 it must raise, not
+    # silently fall through to the per-row-hash path
+    with pytest.raises(ValueError, match="dim= requires"):
+        random_projection(df, "v", out_dim=2, dim=3, hash_scheme="xxhash64")
 
 
 def test_random_projection_empty_vector_is_zeros(spark):

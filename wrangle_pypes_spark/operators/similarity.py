@@ -464,6 +464,14 @@ def random_projection(df: DataFrame, vec_col: str, *, out_dim: int,
     else:
         raise ValueError(f"unknown hash_scheme {hash_scheme!r} "
                          "(expected 'xxhash64' or 'md5')")
+    # dim= promises plan-literal pre-folded signs, which only the md5
+    # scheme supports — silently falling through to the per-row-hash
+    # path would make the knob a no-op with no signal to the caller
+    if dim is not None and hash_scheme != "md5":
+        raise ValueError(
+            f"dim= requires hash_scheme='md5' (got {hash_scheme!r}): "
+            "sign pre-folding needs a driver-side replica of the hash, "
+            "and only the md5 scheme has one")
     comps = []
     if dim is not None and hash_scheme == "md5":
         # plan-literal signs: hashlib.md5 of the SAME strings Spark's

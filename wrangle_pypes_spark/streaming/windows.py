@@ -308,9 +308,23 @@ def foreach_batch_rollup_upsert(stream_df: DataFrame, store_path: str, *,
             return  # checkpoint replay of an already-merged batch
         batch_state = rollup_build(batch_df, group_cols=keys,
                                    metrics=metrics)
+
+        def _align(stored: DataFrame) -> DataFrame:
+            # with store_partition_by set, the snapshot read-back gets
+            # its partition columns from DIRECTORY-value type inference
+            # and reordered to the end — a group column whose type
+            # round-trips differently (e.g. a truncated-timestamp
+            # bucket read back as string/date) would silently mismatch
+            # batch_state in the semi/anti joins and rollup_merge's
+            # unionByName; pin the store to batch_state's exact schema
+            return stored.select(*[
+                F.col(f.name).cast(f.dataType)
+                for f in batch_state.schema.fields])
+
         if store_format == "acid":
             stored = acid_read(spark, store_path)
             if stored is not None:
+                stored = _align(stored)
                 bkeys = F.broadcast(batch_state.select(*keys).distinct())
                 touched = stored.join(bkeys, keys, "left_semi")
                 untouched = stored.join(bkeys, keys, "left_anti")
@@ -326,7 +340,7 @@ def foreach_batch_rollup_upsert(stream_df: DataFrame, store_path: str, *,
                         partition_by=list(store_partition_by))
             return
         if recover_upsert_backup(store_path, spark=spark):
-            stored = spark.read.parquet(store_path)
+            stored = _align(spark.read.parquet(store_path))
             touched = (stored.join(
                 F.broadcast(batch_state.select(*keys).distinct()),
                 keys, "left_semi"))
