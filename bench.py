@@ -6,7 +6,23 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Timing methodology: one warm shared SparkSession (session startup is
 excluded — it is per-cluster fixed cost, not per-query), each query
-timed over plan-build + full execution to a count/collect action.
+timed over plan-build + full execution.  Two honesty rules:
+
+1. CONSUME EVERYTHING (r7): the timed action is a write to Spark's
+   no-op sink, which materializes EVERY output column with zero write
+   cost.  A ``count()`` action lets Catalyst column-prune the expensive
+   projections right out of a map-only query — r5's
+   ``quantize_embeddings_int8`` benched at 0.16 s because its int8
+   column was never computed.  The no-op sink makes a pruned-work bench
+   structurally impossible (tests/test_bench_honesty.py pins this with
+   an accumulator probe: count() skips the expensive column, the bench
+   consumer evaluates it row-for-row).
+2. MEDIAN OF N WARM RUNS (r7): single-run timings swing ±30% on this
+   host (cold vs warm page cache / JIT); each headline query runs
+   ``--runs`` times (default 3) and the median is recorded, so
+   round-over-round regression triage stops chasing noise.  Raw
+   per-run timings go to the ``*_runs.json`` sidecar.
+
 A small untimed warmup job runs first so the first timed query does not
 absorb one-time JVM/JIT/scan-machinery initialization (the BASELINE.md
 reference numbers likewise exclude interpreter startup); steady-state
@@ -160,11 +176,34 @@ HEADLINE = [
 ]
 
 
+def _consume(df) -> None:
+    """The timed action: materialize EVERY output column via the no-op
+    sink.  count() would let Catalyst prune unconsumed expensive columns
+    (the r5 bench-honesty hole); the no-op sink computes the full result
+    and discards the bytes JVM-side — the standard Spark benchmarking
+    idiom.  tests/test_bench_honesty.py pins the force-all-columns
+    property with an accumulator probe."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
 def main() -> None:
     # --all: time EVERY registered query (registry order) so each of
-    # the 189 operators has a recorded wall time; the default headline
+    # the operators has a recorded wall time; the default headline
     # set stays fixed for round-over-round comparability.
-    run_all = "--all" in sys.argv[1:]
+    # --runs N: warm repeats per query (headline default 3, --all
+    # default 1 to keep the full sweep's wall time bounded).
+    argv = sys.argv[1:]
+    run_all = "--all" in argv
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS",
+                              "1" if run_all else "3"))
+    if "--runs" in argv:
+        runs = int(argv[argv.index("--runs") + 1])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_session("wrangle-bench", cpus=cpus)
@@ -176,20 +215,23 @@ def main() -> None:
     warm.groupBy("o_orderstatus").count().count()
 
     timings: dict[str, float] = {}
-    total_rows = 0
+    raw_runs: dict[str, list[float]] = {}
     for name in names:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        total_rows += n
-        # untimed inter-query hygiene: queries that persist intermediates
-        # (LSH/minhash/near-dup) would otherwise accumulate cached blocks
-        # and GC pressure that bleeds into NEIGHBORS' timings; each query
-        # is timed from a clean cache (its own persists still apply
-        # within its timed region).
-        spark.catalog.clearCache()
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            _consume(fn(spark, sf_dir))
+            samples.append(round(time.perf_counter() - t0, 3))
+            # untimed hygiene between runs AND queries: queries that
+            # persist intermediates (LSH/minhash/near-dup) would
+            # otherwise accumulate cached blocks and GC pressure that
+            # bleeds into the next timing; every timed run starts from
+            # a clean executor cache (its own persists still apply
+            # within its timed region).
+            spark.catalog.clearCache()
+        timings[name] = _median(samples)
+        raw_runs[name] = samples
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -201,7 +243,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
-        "total_result_rows": total_rows,
+        "runs_per_query": runs,
+        "aggregation": "median" if runs > 1 else "single",
+        "consume": "noop_sink_all_columns",
         "cpus": cpus,
     })
     # sidecar copy: the driver's stdout tail-capture truncated the
@@ -215,6 +259,9 @@ def main() -> None:
     try:
         with open(sidecar, "w") as f:
             f.write(record + "\n")
+        if runs > 1:
+            with open(sidecar.replace(".json", "_runs.json"), "w") as f:
+                json.dump({"runs_per_query": runs, "runs": raw_runs}, f)
     except OSError:
         pass  # a read-only checkout must not fail the bench itself
     print(record)
