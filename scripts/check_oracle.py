@@ -115,6 +115,50 @@ def complex_value_oracle_cols(sdtypes):
             if t.startswith(("array<", "map<", "struct<"))]
 
 
+# Queries where a BroadcastNestedLoopJoin is the RIGHT plan, with the
+# justification the gate demands.  Two legitimate shapes:
+#   * scalar-broadcast: the broadcast side is a 1-row aggregate (corpus
+#     total / average / cutoff), so the "nested loop" is a constant-fold
+#     against every row — O(N) at any scale;
+#   * bounded-broadcast: the broadcast side is contractually tiny
+#     (a query set, a baseline variant), and the quadratic term is the
+#     operator's documented exact-baseline semantics whose scale path is
+#     a separate blocked/LSH query.
+# Everything else must join hash- or sort-merge-style; a
+# CartesianProduct is never acceptable.
+NLJ_BROADCAST_OK: dict[str, str] = {
+    "q11_important_parts": "scalar-broadcast: 1-row avg(part value) "
+        "HAVING threshold cross-joined onto the per-part aggregate",
+    "q22_sales_opportunity": "scalar-broadcast: 1-row avg(c_acctbal) "
+        "threshold cross-joined onto customer",
+    "key_skew_orders": "scalar-broadcast: 1-row total-count frame "
+        "cross-joined onto the top-25 key counts",
+    "knn_cosine_top5": "bounded-broadcast: brute-force exact-kNN "
+        "baseline broadcasts the 10-query set against the corpus; "
+        "documented O(|Q|*N) with |Q| small by contract — the scale "
+        "path is lsh_ann_top5 / ivf_ann_top5",
+    "embedding_near_dup": "bounded-broadcast: exact all-pairs near-dup "
+        "baseline (non-equi id_a < id_b self-join); documented "
+        "quadratic oracle twin — the scale path is "
+        "embedding_near_dup_lsh's bucketed equi-join",
+}
+
+
+def plan_hazards(sdf, name: str) -> list[str]:
+    """Scale-killer scan of the FINAL executed plan: a CartesianProduct
+    or an unexpected BroadcastNestedLoopJoin in any registered query is
+    a silent quadratic at 100 TB — fail the local gate, don't wait for
+    the cluster to hang."""
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    haz = []
+    if "CartesianProduct" in plan:
+        haz.append("CartesianProduct")
+    if ("BroadcastNestedLoopJoin" in plan
+            and name not in NLJ_BROADCAST_OK):
+        haz.append("BroadcastNestedLoopJoin")
+    return haz
+
+
 def df_to_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     canoned = [tuple(canon(r[i]) for i in idx) for r in rows]
@@ -167,6 +211,13 @@ def main():
             # intermediates (dsir, LSH, unigram) would otherwise pile
             # cached blocks across the 150-query sweep
             spark.catalog.clearCache()
+        hazards = plan_hazards(sdf, name)
+        if hazards:
+            failures.append(name)
+            print(f"FAIL {name}: plan hazard {hazards} — quadratic "
+                  f"join shape; fix the plan or add an NLJ_BROADCAST_OK "
+                  f"entry with a scalar-/bounded-broadcast justification")
+            continue
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s) — no oracle")
