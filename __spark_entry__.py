@@ -4329,6 +4329,46 @@ def q_stream_rollup_acid_store(spark, sf_dir):
                     F.round("max_value", 4).alias("max_value")))
 
 
+def q_stream_rollup_manifest_store(spark, sf_dir):
+    """NEW r7: the durable streaming rollup on the bucketed
+    copy-on-write MANIFEST store (sources/manifest.py via
+    ``store_format="manifest"``): same atomic pointer commit as the
+    acid store — data, manifest, epoch publish together — but the
+    store is hash-bucketed by the group keys, so each micro-batch
+    rewrites only the buckets its groups hash into and every other
+    bucket's files carry over by reference.  Per-batch write cost is
+    O(touched buckets), not O(store) — the file-level-delta behaviour
+    of a Delta/Iceberg MERGE, built on parquet + JSON (no jars in this
+    environment).  Drained store must equal the batch rollup — same
+    oracle as ``stream_rollup_events``; crash-injection, carry-over,
+    and vacuum proofs live in tests/test_manifest.py."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.manifest import (manifest_read,
+                                                      manifest_vacuum)
+    from wrangle_pypes_spark.streaming import foreach_batch_rollup_upsert
+
+    metrics = {"n": ("count", "*"), "sum_value": ("sum", "value"),
+               "min_value": ("min", "value"), "max_value": ("max", "value")}
+    store = tempfile.mkdtemp(prefix="wps_rollup_man_") + "/state"
+    ev = stream_events(spark, sf_dir).select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type", "value")
+    q = foreach_batch_rollup_upsert(ev, store,
+                                    group_cols=["hour", "event_type"],
+                                    metrics=metrics,
+                                    store_format="manifest",
+                                    store_buckets=32)
+    q.awaitTermination()
+    manifest_vacuum(store, keep=1)  # drop superseded bucket rewrites
+    return (manifest_read(spark, store)
+            .select(F.col("hour").cast("timestamp_ntz").alias("hour"),
+                    "event_type", "n",
+                    F.round("sum_value", 4).alias("sum_value"),
+                    F.round("min_value", 4).alias("min_value"),
+                    F.round("max_value", 4).alias("max_value")))
+
+
 def q_stream_scd2_user_status(spark, sf_dir):
     """Durable streaming SCD2 (streaming/windows.py
     ``foreach_batch_scd2_merge``): each user's event-type history as
@@ -7124,6 +7164,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouped_ewma": q_grouped_ewma,  # rows-only ran (r2)
     "approx_distinct_users": q_approx_distinct_users,  # rows-only ran (r2)
     "profile_customer_approx": q_profile_customer_approx,  # rows-only ran (r3)
+    "stream_rollup_manifest_store": q_stream_rollup_manifest_store,
+    # ^ NEW r7: O(touched-buckets) copy-on-write keyed store — promote
+    #   into the r8 window (never driver-checked)
 }
 
 _ORACLES: dict[str, str] = {
@@ -7255,6 +7298,8 @@ _ORACLES: dict[str, str] = {
     "stream_rollup_events": SQL_STREAM_ROLLUP,
     # the acid-store twin drains the same rows into the same metrics
     "stream_rollup_acid_store": SQL_STREAM_ROLLUP,
+    # the manifest store drains the same stream to the same state
+    "stream_rollup_manifest_store": SQL_STREAM_ROLLUP,
     "stream_scd2_user_status": SQL_STREAM_SCD2,
     "embedding_near_dup": SQL_EMB_NEAR_DUP,
     # embedding_near_dup_lsh / ivf_ann_top5 / lsh_ann_top5: approximate →

@@ -1,0 +1,297 @@
+"""Bucketed copy-on-write manifest store: file-level delta commits
+with an atomic pointer (sources/manifest.py) — O(touched buckets) per
+merge instead of the acid store's O(store) full snapshot."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrangle_pypes_spark.sources.manifest import (
+    manifest_current, manifest_merge, manifest_read, manifest_vacuum)
+
+BUCKETS = 8
+
+
+def _man(store, version):
+    with open(os.path.join(store, f"_m{version:06d}.json")) as f:
+        return json.load(f)
+
+
+def _kv(spark, store):
+    return {r.k: r.val for r in manifest_read(spark, store).collect()}
+
+
+def test_merge_read_roundtrip_and_upsert_semantics(spark, tmp_path):
+    store = str(tmp_path / "man")
+    assert manifest_read(spark, store) is None
+    assert manifest_current(store) is None
+
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(20)],
+                                 "k int, val string")
+    v1 = manifest_merge(base, store, ["k"], epoch_id=0,
+                        n_buckets=BUCKETS)
+    assert v1 == 1 and manifest_current(store) == (1, 0)
+    assert _kv(spark, store) == {i: f"v{i}" for i in range(20)}
+
+    upd = spark.createDataFrame(
+        [(3, "NEW", False), (100, "x", False), (5, None, True)],
+        "k int, val string, dead boolean")
+    v2 = manifest_merge(upd, store, ["k"], epoch_id=1,
+                        n_buckets=BUCKETS, tombstone_col="dead")
+    assert v2 == 2 and manifest_current(store) == (2, 1)
+    got = _kv(spark, store)
+    assert got[3] == "NEW" and got[100] == "x" and 5 not in got
+    assert len(got) == 20  # 20 - 1 deleted + 1 inserted
+
+
+def test_untouched_buckets_carry_over_by_reference(spark, tmp_path):
+    """The whole point of the format: a merge rewrites ONLY the buckets
+    its keys hash into — every other bucket's manifest entry (and so
+    its files) is carried over verbatim from the previous version."""
+    store = str(tmp_path / "man")
+    base = spark.createDataFrame([(i, i * 10) for i in range(200)],
+                                 "k int, val int")
+    manifest_merge(base, store, ["k"], epoch_id=0, n_buckets=BUCKETS)
+    manifest_merge(
+        spark.createDataFrame([(7, -1)], "k int, val int"),
+        store, ["k"], epoch_id=1, n_buckets=BUCKETS)
+    m1, m2 = _man(store, 1), _man(store, 2)
+    changed = [b for b in m2["buckets"]
+               if m1["buckets"].get(b) != m2["buckets"][b]]
+    assert len(changed) == 1  # exactly the one bucket k=7 hashes into
+    carried = [b for b in m2["buckets"]
+               if m1["buckets"].get(b) == m2["buckets"][b]]
+    assert len(carried) == len(m1["buckets"]) - 1
+    # carried entries still point into v000001's directory tree
+    assert all(m2["buckets"][b].startswith("data/v000001/")
+               for b in carried)
+    assert _kv(spark, store) == {
+        **{i: i * 10 for i in range(200)}, 7: -1}
+
+
+def test_additive_mode_equals_batch_sum(spark, tmp_path):
+    store = str(tmp_path / "man_add")
+    batches = [
+        [("a", 1.0), ("b", 2.0), ("a", 3.0)],
+        [("a", 10.0), ("c", 5.0)],
+        [("b", -2.0), ("c", 0.5)],
+    ]
+    for e, rows in enumerate(batches):
+        manifest_merge(
+            spark.createDataFrame(rows, "g string, s double"),
+            store, ["g"], epoch_id=e, mode="additive",
+            value_cols=["s"], n_buckets=4)
+    got = {r.g: r.s for r in manifest_read(spark, store).collect()}
+    assert got == {"a": 14.0, "b": 0.0, "c": 5.5}
+
+
+def test_crashed_commit_is_invisible_and_never_reused(spark, tmp_path):
+    """Crash after data write (and even after manifest write) but
+    before the pointer: readers see the old store, the epoch is
+    unchanged so the batch replays exactly once, and the recovery
+    commit skips the orphan's version number."""
+    store = str(tmp_path / "man")
+    manifest_merge(spark.createDataFrame([(1, "a")], "k int, val string"),
+                   store, ["k"], epoch_id=0, n_buckets=BUCKETS)
+    # crashed commit: data dir AND manifest for v2 exist, pointer says 1
+    spark.range(9).write.parquet(os.path.join(store, "data/v000002/bkt=0"))
+    with open(os.path.join(store, "_m000002.json"), "w") as f:
+        json.dump({"version": 2, "epoch": 1, "n_buckets": BUCKETS,
+                   "key_cols": ["k"], "hash": "xxhash64",
+                   "buckets": {"0": "data/v000002/bkt=0"}}, f)
+    assert manifest_current(store) == (1, 0)
+    assert _kv(spark, store) == {1: "a"}
+    # recovery (the replayed batch) must not collide with the orphan
+    v = manifest_merge(
+        spark.createDataFrame([(2, "b")], "k int, val string"),
+        store, ["k"], epoch_id=1, n_buckets=BUCKETS)
+    assert v == 3
+    assert _kv(spark, store) == {1: "a", 2: "b"}
+    # vacuum removes the orphan manifest + its unreferenced data dir
+    manifest_vacuum(store, keep=1)
+    assert not os.path.exists(os.path.join(store, "_m000002.json"))
+    assert not os.path.exists(os.path.join(store, "data/v000002"))
+    assert _kv(spark, store) == {1: "a", 2: "b"}
+
+
+def test_torn_pointer_reads_as_uncommitted(spark, tmp_path):
+    store = str(tmp_path / "man")
+    manifest_merge(spark.createDataFrame([(1, "a")], "k int, val string"),
+                   store, ["k"], epoch_id=5, n_buckets=BUCKETS)
+    with open(os.path.join(store, "_ptr.json"), "w") as f:
+        f.write('{"vers')
+    assert manifest_current(store) is None
+    assert manifest_read(spark, store) is None
+
+
+def test_vacuum_keeps_referenced_old_version_dirs(spark, tmp_path):
+    """The difference from the acid store's vacuum: an OLD version's
+    bucket directory stays alive as long as the committed manifest
+    still references it — only unreferenced directories go."""
+    store = str(tmp_path / "man")
+    base = spark.createDataFrame([(i, i) for i in range(200)],
+                                 "k int, val int")
+    manifest_merge(base, store, ["k"], epoch_id=0, n_buckets=BUCKETS)
+    for e in range(1, 4):  # three single-key merges, same key
+        manifest_merge(
+            spark.createDataFrame([(7, -e)], "k int, val int"),
+            store, ["k"], epoch_id=e, n_buckets=BUCKETS)
+    removed = manifest_vacuum(store, keep=1)
+    assert removed > 0
+    # v000001 still holds the 7 untouched buckets -> must survive
+    assert os.path.exists(os.path.join(store, "data/v000001"))
+    # superseded rewrites of k=7's bucket (v2, v3) are gone
+    assert not os.path.exists(os.path.join(store, "data/v000002"))
+    assert not os.path.exists(os.path.join(store, "data/v000003"))
+    got = _kv(spark, store)
+    assert got[7] == -3 and len(got) == 200
+    assert manifest_vacuum(store, keep=1) == 0  # idempotent
+    with pytest.raises(ValueError):
+        manifest_vacuum(store, keep=0)
+
+
+def test_empty_batch_still_advances_epoch(spark, tmp_path):
+    store = str(tmp_path / "man")
+    df = spark.createDataFrame([(1, "a")], "k int, val string")
+    manifest_merge(df, store, ["k"], epoch_id=0, n_buckets=BUCKETS)
+    v = manifest_merge(df.filter(F.lit(False)), store, ["k"],
+                       epoch_id=1, n_buckets=BUCKETS)
+    assert manifest_current(store) == (v, 1)  # replay guard advances
+    assert _kv(spark, store) == {1: "a"}
+
+
+def test_deleting_every_key_in_a_bucket_drops_its_entry(spark, tmp_path):
+    store = str(tmp_path / "man")
+    df = spark.createDataFrame([(1, "a")], "k int, val string")
+    manifest_merge(df, store, ["k"], epoch_id=0, n_buckets=BUCKETS)
+    manifest_merge(
+        spark.createDataFrame([(1, None, True)],
+                              "k int, val string, dead boolean"),
+        store, ["k"], epoch_id=1, n_buckets=BUCKETS,
+        tombstone_col="dead")
+    assert _man(store, 2)["buckets"] == {}
+    assert manifest_read(spark, store) is None  # empty store
+
+
+def test_validation_errors(spark, tmp_path):
+    store = str(tmp_path / "man")
+    df = spark.createDataFrame([(1, "a")], "k int, val string")
+    manifest_merge(df, store, ["k"], epoch_id=0, n_buckets=BUCKETS)
+    with pytest.raises(ValueError, match="n_buckets"):
+        manifest_merge(df, store, ["k"], n_buckets=BUCKETS * 2)
+    with pytest.raises(ValueError, match="keyed by"):
+        manifest_merge(df, store, ["val"], n_buckets=BUCKETS)
+    with pytest.raises(ValueError, match="key columns"):
+        manifest_merge(df.drop("k"), str(tmp_path / "x"), ["k"])
+    with pytest.raises(ValueError, match="reserved"):
+        manifest_merge(df.withColumn("bkt", F.lit(1)),
+                       str(tmp_path / "x"), ["k"])
+    with pytest.raises(ValueError, match="mode"):
+        manifest_merge(df, str(tmp_path / "x"), ["k"], mode="merge")
+    with pytest.raises(ValueError, match="value_cols"):
+        manifest_merge(df, str(tmp_path / "x"), ["k"], mode="additive")
+    with pytest.raises(ValueError, match="non-empty"):
+        manifest_merge(df, str(tmp_path / "x"), [])
+    with pytest.raises(ValueError, match="merge_fn result"):
+        manifest_merge(df, str(tmp_path / "x"), ["k"],
+                       merge_fn=lambda stored, upd: upd.drop("k"))
+
+
+# --- the streaming rollup maintainer on the manifest store ----------
+
+def _two_file_stream(spark, events, tmp_path):
+    import glob
+    import shutil
+
+    src_dir = str(tmp_path / "stream_src")
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1) \
+        .write.parquet(src_dir + "/a")
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1) \
+        .write.parquet(src_dir + "/b")
+    files = [f for d in ("a", "b")
+             for f in glob.glob(f"{src_dir}/{d}/*.parquet")]
+    for i, f in enumerate(files):
+        shutil.move(f, f"{src_dir}/part-{i}.parquet")
+    shutil.rmtree(src_dir + "/a"), shutil.rmtree(src_dir + "/b")
+    return (spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet").load(src_dir)
+            .select("bucket", "event_type", "value", "user_id"))
+
+
+@pytest.fixture()
+def events(spark, tables):
+    from wrangle_pypes_spark.operators.rollup import time_bucket
+    return tables["events"].withColumn("bucket",
+                                       time_bucket(F.col("ts"), "hour"))
+
+
+METRICS = {"n": ("count", "*"), "total": ("sum", "value")}
+
+
+def _state(spark, store):
+    return {(r.bucket, r.event_type): (r.n, round(r.total, 9))
+            for r in manifest_read(spark, store).collect()}
+
+
+def test_streaming_rollup_manifest_store_equals_batch_and_survives_crash(
+        spark, events, tmp_path):
+    """The manifest-backed rollup maintainer matches the one-shot
+    rollup, skips re-delivered epochs, and recovers EXACTLY-ONCE from
+    a crash between the data/manifest writes and the pointer publish —
+    while rewriting only touched buckets per batch."""
+    from wrangle_pypes_spark.operators.rollup import rollup_build
+    from wrangle_pypes_spark.streaming import foreach_batch_rollup_upsert
+
+    stream = _two_file_stream(spark, events, tmp_path)
+    store = str(tmp_path / "rollup_man")
+    q = foreach_batch_rollup_upsert(
+        stream, store, group_cols=["bucket", "event_type"],
+        metrics=METRICS, store_format="manifest", store_buckets=16)
+    q.awaitTermination()
+
+    want = {(r.bucket, r.event_type): (r.n, round(r.total, 9))
+            for r in rollup_build(
+                events, group_cols=["bucket", "event_type"],
+                metrics=METRICS).collect()}
+    assert _state(spark, store) == want
+
+    # byte-identical re-drain: epochs <= committed epoch are skipped
+    with pytest.warns(UserWarning, match="WITHOUT a checkpoint"):
+        q2 = foreach_batch_rollup_upsert(
+            stream, store, group_cols=["bucket", "event_type"],
+            metrics=METRICS, store_format="manifest", store_buckets=16)
+    q2.awaitTermination()
+    assert _state(spark, store) == want
+
+    # crash injection: data + manifest written, pointer never published
+    ver, epoch = manifest_current(store)
+    spark.range(1).write.parquet(
+        os.path.join(store, f"data/v{ver + 1:06d}/bkt=0"))
+    with open(os.path.join(store, f"_m{ver + 1:06d}.json"), "w") as f:
+        json.dump({"version": ver + 1, "epoch": epoch + 1,
+                   "n_buckets": 16, "key_cols": ["bucket", "event_type"],
+                   "hash": "xxhash64",
+                   "buckets": {"0": f"data/v{ver + 1:06d}/bkt=0"}}, f)
+    with pytest.warns(UserWarning, match="WITHOUT a checkpoint"):
+        q3 = foreach_batch_rollup_upsert(
+            stream, store, group_cols=["bucket", "event_type"],
+            metrics=METRICS, store_format="manifest", store_buckets=16)
+    q3.awaitTermination()
+    assert _state(spark, store) == want
+    manifest_vacuum(store, keep=1)
+    assert _state(spark, store) == want
+
+
+def test_rollup_manifest_rejects_store_partition_by(spark, events,
+                                                    tmp_path):
+    from wrangle_pypes_spark.streaming import foreach_batch_rollup_upsert
+
+    stream = _two_file_stream(spark, events, tmp_path)
+    with pytest.raises(ValueError, match="store_partition_by"):
+        foreach_batch_rollup_upsert(
+            stream, str(tmp_path / "x"), group_cols=["bucket"],
+            metrics=METRICS, store_format="manifest",
+            store_partition_by=["bucket"])

@@ -1,0 +1,344 @@
+"""Bucketed copy-on-write keyed store with file-level delta commits —
+the O(changed-data) companion to :mod:`wrangle_pypes_spark.sources.acid`.
+
+The acid store's pointer commit closes the data-vs-epoch crash window,
+but every commit rewrites a FULL snapshot — the right trade for compact
+state, the wrong one for a data-sized keyed store.  Table formats
+(Delta/Iceberg) solve this with a transaction log that commits
+file-level deltas; none of their jars exist in this environment, so
+this module implements that essential idea directly on parquet + JSON:
+
+```
+store/
+  _ptr.json           {"version": N, "epoch": E}    <- the ONE commit point
+  _m000001.json       manifest: bucket id -> data directory (relative)
+  _m000002.json
+  data/
+    v000001/bkt=0/    parquet, the rows whose key hashes to bucket 0
+    v000001/bkt=1/
+    v000002/bkt=1/    bucket 1 as rewritten by commit 2
+```
+
+Rows are hash-bucketed by their key columns (``pmod(xxhash64(keys),
+n_buckets)`` — recorded in the manifest and immutable for the store's
+lifetime).  A merge rewrites ONLY the buckets its updates hash into:
+untouched buckets keep their existing directories, byte-identical, and
+the new manifest simply repeats their entries.  Write cost per commit
+is therefore O(touched buckets) ~ O(batch * store/n_buckets), not
+O(store) — with enough buckets, a small batch against a huge store
+rewrites a small fraction of it, which is exactly the file-level-delta
+behaviour a Delta/Iceberg MERGE gives.
+
+Commit protocol (the correctness argument, same shape as the acid
+store's): (1) the touched buckets' new directories are written
+completely under ``data/vN/`` (N = one past the highest version ever
+used, committed or orphaned), (2) the new manifest ``_mN.json`` is
+written — still invisible, (3) ``_ptr.json`` is renamed into place with
+``{version: N, epoch: E}``.  Step 3 is the only visible state change
+and it carries the epoch WITH the data mapping, so a crash anywhere
+earlier leaves orphan files and the OLD store: the replayed batch
+merges exactly once.  Readers resolve the pointer, load one immutable
+manifest, and read immutable directories — MVCC, never a half-written
+table, never blocked by the writer.
+
+Scale notes: the manifest is ~``n_buckets`` lines of JSON on the
+driver — size it like a partition count (64–4096), not like the data.
+Touched-bucket discovery is a ``distinct().collect()`` bounded by
+``n_buckets``.  Each bucket rewrite re-compacts that bucket (one job,
+``repartition(touched, bucket)``), so file counts stay bounded at
+~1 file per bucket instead of accreting per commit.  Skewed keys skew
+buckets; xxhash64 spreads keys uniformly, and a hot single KEY is a
+store-design problem no format solves — pre-aggregate upstream.
+
+Single-writer by contract (streaming ``foreachBatch`` guarantees one
+instance per sink).  Control files go through ``fsutil``: atomic rename
+on POSIX/HDFS; on S3-like stores the pointer write is copy+delete of
+one tiny object (fsutil's docstring states the same caveat).
+
+Reference analog: none — the reference (pipeline.py:33) hands
+persistence to the caller's ``lookup`` store; this is the keyed-store
+contract a 100 TB incremental pipeline needs under crash recovery.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Callable, Mapping, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import fsutil
+
+_PTR = "_ptr.json"
+_BKT = "bkt"  # partition dir prefix; NOT underscore-led (Spark hides those)
+_MANIFEST_RE = re.compile(r"^_m(\d{6})\.json$")
+_DATA_V_RE = re.compile(r"^v(\d{6})$")
+_HASH = "xxhash64"  # recorded in the manifest; immutable per store
+
+
+def _join(path: str, rel: str) -> str:
+    return path.rstrip("/") + "/" + rel
+
+
+def _manifest_name(version: int) -> str:
+    return f"_m{version:06d}.json"
+
+
+def _bucket_col(key_cols: Sequence[str], n_buckets: int) -> Column:
+    return F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]),
+                  F.lit(n_buckets)).cast("int")
+
+
+def manifest_current(path: str, spark=None) -> Optional[Tuple[int, int]]:
+    """(version, epoch) of the committed manifest, None if no commit
+    ever happened (missing or torn pointer)."""
+    txt = fsutil.read_text(_join(path, _PTR), spark=spark)
+    if txt is None:
+        return None
+    try:
+        doc = json.loads(txt)
+        return int(doc["version"]), int(doc["epoch"])
+    except (ValueError, KeyError, TypeError):
+        return None
+
+
+def _load_manifest(path: str, version: int, spark=None) -> dict:
+    txt = fsutil.read_text(_join(path, _manifest_name(version)),
+                           spark=spark)
+    if txt is None:
+        raise FileNotFoundError(
+            f"manifest store {path!r}: pointer names version {version} "
+            f"but {_manifest_name(version)} is missing — the store was "
+            "vacuumed with keep too small or tampered with")
+    return json.loads(txt)
+
+
+def manifest_read(spark: SparkSession, path: str) -> Optional[DataFrame]:
+    """The committed store content, None when nothing was ever
+    committed or every bucket is empty.  One immutable manifest, only
+    immutable directories — never a half-written view."""
+    cur = manifest_current(path, spark=spark)
+    if cur is None:
+        return None
+    man = _load_manifest(path, cur[0], spark=spark)
+    dirs = [_join(path, rel) for rel in man["buckets"].values()]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
+def _used_versions(path: str, spark=None) -> list[int]:
+    """Every version number ever used — committed, superseded, or
+    orphaned by a crash — so the next commit never reuses one."""
+    out = set()
+    for name in fsutil.list_dir(path, spark=spark):
+        m = _MANIFEST_RE.match(name)
+        if m:
+            out.add(int(m.group(1)))
+    for name in fsutil.list_dir(_join(path, "data"), spark=spark):
+        m = _DATA_V_RE.match(name)
+        if m:
+            out.add(int(m.group(1)))
+    return sorted(out)
+
+
+def _merge_upsert(stored: Optional[DataFrame], updates: DataFrame,
+                  key_cols: Sequence[str],
+                  tombstone_col: Optional[str]) -> DataFrame:
+    keys = list(key_cols)
+    if tombstone_col is not None:
+        alive = updates.filter(
+            ~F.coalesce(F.col(tombstone_col), F.lit(False))) \
+            .drop(tombstone_col)
+    else:
+        alive = updates
+    if stored is None:
+        return alive
+    upd_keys = F.broadcast(updates.select(*keys).distinct())
+    survivors = stored.join(upd_keys, keys, "left_anti")
+    return survivors.unionByName(alive)
+
+
+def _merge_additive(stored: Optional[DataFrame], updates: DataFrame,
+                    key_cols: Sequence[str],
+                    value_cols: Sequence[str]) -> DataFrame:
+    keys, vals = list(key_cols), list(value_cols)
+    upd = updates.select(*keys, *vals)
+    both = upd if stored is None else \
+        stored.select(*keys, *vals).unionByName(upd)
+    return both.groupBy(*keys).agg(
+        *[F.sum(v).alias(v) for v in vals])
+
+
+def manifest_merge(updates: DataFrame, path: str,
+                   key_cols: Sequence[str], *, epoch_id: int = -1,
+                   mode: str = "upsert", n_buckets: int = 64,
+                   value_cols: Sequence[str] = (),
+                   tombstone_col: Optional[str] = None,
+                   merge_fn: Optional[
+                       Callable[[Optional[DataFrame], DataFrame],
+                                DataFrame]] = None,
+                   compression: str = "zstd") -> int:
+    """MERGE ``updates`` into the store, rewriting only the buckets the
+    updates' keys hash into; returns the committed version.
+
+    Modes:
+
+    * ``"upsert"`` — last-writer-wins by key.  Contract: at most one
+      row per key per batch (pre-collapse with ``cdc_compact``); with
+      ``tombstone_col`` (boolean), true rows DELETE their key.
+    * ``"additive"`` — ``value_cols`` are summed into the stored row
+      per key (counter / running-total state).  Replay-safe only
+      behind the epoch guard, which the atomic pointer commit makes
+      exact: data and epoch publish together.
+    * ``merge_fn(stored, updates) -> DataFrame`` — escape hatch for
+      mergeable-state stores (rollup sketches).  ``stored`` is every
+      stored row of the TOUCHED buckets (None on first commit) —
+      including same-bucket keys the batch did not update, so the
+      function must carry them through: its return value REPLACES
+      those buckets' content entirely.
+
+    ``n_buckets`` and ``key_cols`` are fixed at the store's first
+    commit (recorded in the manifest); later calls must match.
+    """
+    if mode not in ("upsert", "additive"):
+        raise ValueError(f"unknown mode {mode!r} "
+                         "(expected 'upsert' or 'additive')")
+    if mode == "additive" and not value_cols and merge_fn is None:
+        raise ValueError("additive mode needs value_cols")
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    missing = [k for k in keys if k not in updates.columns]
+    if missing:
+        raise ValueError(f"updates lack key columns {missing}")
+    if _BKT in updates.columns:
+        raise ValueError(
+            f"updates must not contain a column named {_BKT!r} "
+            "(reserved for the store's bucket layout)")
+
+    spark = updates.sparkSession
+    cur = manifest_current(path, spark=spark)
+    man = _load_manifest(path, cur[0], spark=spark) if cur else None
+    if man is not None:
+        if int(man["n_buckets"]) != int(n_buckets):
+            raise ValueError(
+                f"store {path!r} was created with n_buckets="
+                f"{man['n_buckets']}, got {n_buckets} — the bucket "
+                "function is immutable for the store's lifetime")
+        if list(man["key_cols"]) != keys:
+            raise ValueError(
+                f"store {path!r} is keyed by {man['key_cols']}, "
+                f"got {keys}")
+
+    bcol = _bucket_col(keys, n_buckets)
+    touched = sorted(
+        r[0] for r in updates.select(bcol.alias(_BKT)).distinct()
+        .collect())
+
+    stored = None
+    if man is not None and touched:
+        dirs = [_join(path, man["buckets"][str(b)])
+                for b in touched if str(b) in man["buckets"]]
+        if dirs:
+            stored = spark.read.parquet(*dirs)
+
+    if merge_fn is not None:
+        out = merge_fn(stored, updates)
+        lacking = [k for k in keys if k not in out.columns]
+        if lacking:
+            raise ValueError(
+                f"merge_fn result lacks key columns {lacking}")
+    elif mode == "additive":
+        out = _merge_additive(stored, updates, keys, value_cols)
+    else:
+        out = _merge_upsert(stored, updates, keys, tombstone_col)
+
+    used = _used_versions(path, spark=spark) \
+        if fsutil.dir_exists(path, spark=spark) else []
+    version = (used[-1] + 1) if used else 1
+    staging = _join(path, f"data/v{version:06d}")
+    if touched:
+        # one job rewrites (and re-compacts) every touched bucket:
+        # repartition by the bucket column so each bucket lands in ~one
+        # task -> ~one file, bounding file counts across commits
+        (out.withColumn(_BKT, _bucket_col(keys, n_buckets))
+            .repartition(len(touched), F.col(_BKT))
+            .write.mode("errorifexists")
+            .option("compression", compression)
+            .partitionBy(_BKT).parquet(staging))
+        written = set()
+        for name in fsutil.list_dir(staging, spark=spark):
+            if name.startswith(_BKT + "="):
+                written.add(int(name.split("=", 1)[1]))
+    else:
+        written = set()
+
+    buckets = dict(man["buckets"]) if man is not None else {}
+    for b in touched:
+        if b in written:
+            buckets[str(b)] = f"data/v{version:06d}/{_BKT}={b}"
+        else:
+            # the merge emptied this bucket (every key deleted)
+            buckets.pop(str(b), None)
+
+    fsutil.write_text_atomic(
+        _join(path, _manifest_name(version)),
+        json.dumps({"version": version, "epoch": int(epoch_id),
+                    "n_buckets": int(n_buckets), "key_cols": keys,
+                    "hash": _HASH, "buckets": buckets},
+                   sort_keys=True),
+        spark=spark)
+    fsutil.write_text_atomic(
+        _join(path, _PTR),
+        json.dumps({"version": version, "epoch": int(epoch_id)}),
+        spark=spark)
+    return version
+
+
+def manifest_vacuum(path: str, *, keep: int = 1, spark=None) -> int:
+    """Delete manifests outside the committed window and every bucket
+    directory no kept manifest references (superseded rewrites AND
+    orphans from crashed commits — both unreferenced by construction).
+    Returns the number of paths deleted.  Safe any time under the
+    single-writer contract: readers resolve the pointer first, and the
+    committed window's references are never touched."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    cur = manifest_current(path, spark=spark)
+    if cur is None:
+        return 0
+    committed = cur[0]
+    kept = [v for v in (_used_versions(path, spark=spark))
+            if committed - keep < v <= committed
+            and fsutil.read_text(_join(path, _manifest_name(v)),
+                                 spark=spark) is not None]
+    referenced = set()
+    for v in kept:
+        referenced.update(_load_manifest(path, v, spark=spark)
+                          ["buckets"].values())
+    removed = 0
+    for name in fsutil.list_dir(path, spark=spark):
+        m = _MANIFEST_RE.match(name)
+        if m and int(m.group(1)) not in kept:
+            fsutil.delete(_join(path, name), spark=spark)
+            removed += 1
+    data_root = _join(path, "data")
+    for vdir in fsutil.list_dir(data_root, spark=spark):
+        if not _DATA_V_RE.match(vdir):
+            continue
+        children = fsutil.list_dir(_join(data_root, vdir), spark=spark)
+        for child in children:
+            rel = f"data/{vdir}/{child}"
+            if child.startswith(_BKT + "=") and rel not in referenced:
+                fsutil.delete(_join(path, rel), spark=spark)
+                removed += 1
+        if not any(f"data/{vdir}/{c}" in referenced
+                   for c in fsutil.list_dir(_join(data_root, vdir),
+                                            spark=spark)):
+            # version dir now holds no referenced buckets (only
+            # _SUCCESS / empty) — drop the husk
+            fsutil.delete(_join(data_root, vdir), spark=spark)
+    return removed
