@@ -3909,6 +3909,54 @@ def q_stream_cdc_store(spark, sf_dir):
     return read_cdc_store(spark, store).orderBy("o_orderkey")
 
 
+def q_stream_cdc_manifest_store(spark, sf_dir):
+    """NEW r7: the same durable streaming CDC on the bucketed
+    copy-on-write MANIFEST store (``store_format="manifest"``) — the
+    data-sized keyed-store case the full-snapshot/swap stores state as
+    their limit.  Each micro-batch's max_by merge rewrites only the
+    buckets its keys hash into; untouched buckets' files carry over by
+    reference (sources/manifest.py).  Same one-shot latest-image
+    oracle as ``stream_cdc_store``; tombstone / replay / carry-over /
+    vacuum proofs live in tests/test_manifest.py."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.manifest import manifest_vacuum
+    from wrangle_pypes_spark.streaming import (foreach_batch_cdc_apply,
+                                               read_cdc_store)
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    img1 = base.select(
+        "o_orderkey", F.lit("U").alias("op"), F.lit(1).alias("seq"),
+        "o_custkey", (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit("V1").alias("o_orderstatus"))
+    img2 = base.filter(k % 3 == 0).select(
+        "o_orderkey", F.lit("U").alias("op"), F.lit(2).alias("seq"),
+        "o_custkey",
+        (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+        F.lit("V2").alias("o_orderstatus"))
+    dels = base.filter(k % 7 == 0).select(
+        "o_orderkey", F.lit("D").alias("op"), F.lit(3).alias("seq"),
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("string").alias("o_orderstatus"))
+    src = tempfile.mkdtemp(prefix="wps_cdcm_feed_")
+    img1.coalesce(1).write.mode("append").parquet(src)
+    img2.unionByName(dels).coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(img1.schema)
+              .option("maxFilesPerTrigger", "1")
+              .format("parquet").load(src))
+    store = tempfile.mkdtemp(prefix="wps_cdcm_store_") + "/state"
+    q = foreach_batch_cdc_apply(stream, store,
+                                key_cols=["o_orderkey"], seq_col="seq",
+                                store_format="manifest",
+                                store_buckets=32)
+    q.awaitTermination()
+    manifest_vacuum(store, keep=1)
+    return read_cdc_store(spark, store).orderBy("o_orderkey")
+
+
 SQL_STREAM_CDC = """
 SELECT o_orderkey, o_custkey,
   CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 0.5
@@ -7167,6 +7215,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_rollup_manifest_store": q_stream_rollup_manifest_store,
     # ^ NEW r7: O(touched-buckets) copy-on-write keyed store — promote
     #   into the r8 window (never driver-checked)
+    "stream_cdc_manifest_store": q_stream_cdc_manifest_store,
+    # ^ NEW r7: streaming CDC on the manifest store — promote into the
+    #   r8 window (never driver-checked)
 }
 
 _ORACLES: dict[str, str] = {
@@ -7206,6 +7257,9 @@ _ORACLES: dict[str, str] = {
     "scd2_customer_history": SQL_SCD2,
     "cdc_apply_orders": SQL_CDC_APPLY,
     "stream_cdc_store": SQL_STREAM_CDC,
+    # the manifest-backed CDC store applies the same feed to the same
+    # latest image
+    "stream_cdc_manifest_store": SQL_STREAM_CDC,
     "cdc_vacuum_store": SQL_CDC_VACUUM,
     "curriculum_order_docs": SQL_CURRICULUM,
     "token_fertility_lang": SQL_TOKEN_FERTILITY,

@@ -285,6 +285,88 @@ def test_streaming_rollup_manifest_store_equals_batch_and_survives_crash(
     assert _state(spark, store) == want
 
 
+def test_streaming_cdc_manifest_store_tombstones_replay_and_carryover(
+        spark, tmp_path):
+    """foreach_batch_cdc_apply(store_format='manifest'): out-of-order
+    I/U/D batches converge to the one-shot latest image, a late stale
+    update cannot resurrect a tombstoned key, replaying the feed is a
+    no-op, and batches rewrite only the buckets their keys hash into."""
+    import glob
+    import shutil
+
+    from wrangle_pypes_spark.streaming import (foreach_batch_cdc_apply,
+                                               read_cdc_store)
+
+    batch_a = spark.createDataFrame(
+        [(1, "U", 3, "v3"), (2, "D", 5, None), (3, "I", 1, "c1")],
+        "id int, op string, seq int, val string")
+    batch_b = spark.createDataFrame(
+        [(1, "U", 2, "v2"),    # stale: loses to applied seq 3
+         (2, "U", 4, "zomb"),  # stale update after delete seq 5
+         (4, "I", 1, "d1")],
+        "id int, op string, seq int, val string")
+    src = str(tmp_path / "cdc_src")
+    for i, b in enumerate((batch_a, batch_b)):
+        b.coalesce(1).write.parquet(f"{src}/{i}")
+    files = [f for i in (0, 1)
+             for f in sorted(glob.glob(f"{src}/{i}/*.parquet"))]
+    for i, f in enumerate(files):
+        shutil.move(f, f"{src}/part-{i}.parquet")
+    shutil.rmtree(f"{src}/0"), shutil.rmtree(f"{src}/1")
+
+    schema = batch_a.schema
+    store = str(tmp_path / "cdc_man")
+
+    def drain():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .format("parquet").load(src))
+        q = foreach_batch_cdc_apply(stream, store, key_cols=["id"],
+                                    seq_col="seq",
+                                    store_format="manifest",
+                                    store_buckets=BUCKETS)
+        q.awaitTermination()
+
+    drain()
+    cur = {r.id: r.val for r in read_cdc_store(spark, store).collect()}
+    assert cur == {1: "v3", 3: "c1", 4: "d1"}
+    raw = {r.id: (r._cdc_seq, r._cdc_deleted)
+           for r in manifest_read(spark, store).collect()}
+    assert raw[2] == (5, True)  # tombstone retained with applied seq
+
+    # batch 2 touched only the buckets ids {1, 2, 4} hash into — every
+    # other bucket entry carried over from the batch-1 manifest
+    m1, m2 = _man(store, 1), _man(store, 2)
+    changed = {b for b in m2["buckets"]
+               if m1["buckets"].get(b) != m2["buckets"][b]}
+    assert 0 < len(changed) <= 3
+
+    before = sorted(map(tuple,
+                        manifest_read(spark, store).collect()))
+    drain()  # at-least-once replay of the whole feed: max_by idempotent
+    after = sorted(map(tuple, manifest_read(spark, store).collect()))
+    assert before == after
+
+    manifest_vacuum(store, keep=1)
+    assert {r.id: r.val
+            for r in read_cdc_store(spark, store).collect()} == cur
+
+
+def test_cdc_store_format_validation(spark, tmp_path):
+    from wrangle_pypes_spark.streaming import foreach_batch_cdc_apply
+
+    df = spark.createDataFrame([(1, "I", 1, "x")],
+                               "id int, op string, seq int, val string")
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    stream = (spark.readStream.schema(df.schema)
+              .format("parquet").load(src))
+    with pytest.raises(ValueError, match="store_format"):
+        foreach_batch_cdc_apply(stream, str(tmp_path / "x"),
+                                key_cols=["id"], seq_col="seq",
+                                store_format="delta")
+
+
 def test_rollup_manifest_rejects_store_partition_by(spark, events,
                                                     tmp_path):
     from wrangle_pypes_spark.streaming import foreach_batch_rollup_upsert

@@ -515,7 +515,9 @@ def foreach_batch_cdc_apply(stream_df: DataFrame, store_path: str, *,
                             op_col: str = "op", insert_op: str = "I",
                             update_op: str = "U", delete_op: str = "D",
                             tiebreak_cols: Sequence[str] = (),
-                            checkpoint: Optional[str] = None):
+                            checkpoint: Optional[str] = None,
+                            store_format: str = "swap",
+                            store_buckets: int = 64):
     """Durable streaming CDC: maintain a base table from a stream of
     insert/update/delete change images — the streaming twin of
     ``operators.cdc.cdc_apply`` for feeds that arrive as micro-batches
@@ -541,14 +543,26 @@ def foreach_batch_cdc_apply(stream_df: DataFrame, store_path: str, *,
 
     Per batch: one map-side-partial ``max_by`` over the batch, a
     broadcast semi-join pulling only touched keys from the store, one
-    merge aggregate, one keyed upsert.  Steady-state cost scales with
-    batch size, not store size.  Tombstones accumulate by design —
-    at 100 TB give deletes a retention sweep (filter tombstones older
-    than the transport's max disorder) or use a table format.
+    merge aggregate, one keyed upsert.  Steady-state COMPUTE scales
+    with batch size, not store size; with the default
+    ``store_format="swap"`` the parquet table swap still REWRITES the
+    whole file set, so for a data-sized store pass
+    ``store_format="manifest"``: the store becomes a bucketed
+    copy-on-write manifest table (``sources.manifest``, hash-bucketed
+    by ``key_cols`` into ``store_buckets``) and each batch rewrites
+    only the buckets its keys hash into — write cost O(touched
+    buckets), the file-level-delta behaviour of a table-format MERGE.
+    Tombstones accumulate by design — at 100 TB give deletes a
+    retention sweep (filter tombstones older than the transport's max
+    disorder).
     """
     from ..operators.dedup import dedup_keep_best
+    from ..sources.manifest import manifest_merge
     from ..sources.sinks import recover_upsert_backup, upsert_parquet
 
+    if store_format not in ("swap", "manifest"):
+        raise ValueError(f"unknown store_format {store_format!r} "
+                         "(expected 'swap' or 'manifest')")
     keys = list(key_cols)
     order = [F.col("_cdc_seq"),
              *[F.col(c) for c in tiebreak_cols]]
@@ -567,6 +581,25 @@ def foreach_batch_cdc_apply(stream_df: DataFrame, store_path: str, *,
             F.col(seq_col).alias("_cdc_seq"),
             deleted.alias("_cdc_deleted"))
         best = dedup_keep_best(img, keys, order)
+        if store_format == "manifest":
+            def _merge(stored: Optional[DataFrame],
+                       batch_best: DataFrame) -> DataFrame:
+                # stored = every row of the touched buckets; the
+                # max_by merge needs only the batch's keys — carry the
+                # rest verbatim.  Idempotent under replay even without
+                # the epoch guard (same argument as the swap path).
+                if stored is None:
+                    return batch_best
+                bkeys = F.broadcast(batch_best.select(*keys).distinct())
+                touched = stored.join(bkeys, keys, "left_semi")
+                carried = stored.join(bkeys, keys, "left_anti")
+                return dedup_keep_best(
+                    touched.unionByName(batch_best), keys, order) \
+                    .unionByName(carried)
+
+            manifest_merge(best, store_path, keys, epoch_id=epoch_id,
+                           merge_fn=_merge, n_buckets=store_buckets)
+            return
         if recover_upsert_backup(store_path, spark=spark):
             stored = spark.read.parquet(store_path)
             touched = stored.join(
@@ -586,8 +619,16 @@ def foreach_batch_cdc_apply(stream_df: DataFrame, store_path: str, *,
 
 def read_cdc_store(spark: SparkSession, store_path: str) -> DataFrame:
     """Current state of a :func:`foreach_batch_cdc_apply` store:
-    tombstoned keys hidden, bookkeeping columns dropped."""
-    df = spark.read.parquet(store_path)
+    tombstoned keys hidden, bookkeeping columns dropped.  Detects the
+    store's layout by its pointer file: a manifest store
+    (``store_format="manifest"``) resolves through its committed
+    manifest, a swap store reads the parquet directory."""
+    from ..sources.manifest import manifest_current, manifest_read
+
+    if manifest_current(store_path, spark=spark) is not None:
+        df = manifest_read(spark, store_path)
+    else:
+        df = spark.read.parquet(store_path)
     return df.filter(~F.col("_cdc_deleted")) \
              .drop("_cdc_seq", "_cdc_deleted")
 
