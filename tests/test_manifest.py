@@ -175,6 +175,52 @@ def test_deleting_every_key_in_a_bucket_drops_its_entry(spark, tmp_path):
     assert manifest_read(spark, store) is None  # empty store
 
 
+def test_time_travel_reads_retained_versions(spark, tmp_path):
+    """Manifests and data dirs are immutable, so any version inside
+    the vacuum window reads exactly as committed; versions newer than
+    the pointer (crash orphans) are refused."""
+    store = str(tmp_path / "man")
+    manifest_merge(spark.createDataFrame([(1, "a")], "k int, val string"),
+                   store, ["k"], epoch_id=0, n_buckets=BUCKETS)
+    manifest_merge(spark.createDataFrame([(1, "b"), (2, "c")],
+                                         "k int, val string"),
+                   store, ["k"], epoch_id=1, n_buckets=BUCKETS)
+    as_of_1 = {r.k: r.val for r in
+               manifest_read(spark, store, version=1).collect()}
+    assert as_of_1 == {1: "a"}
+    assert _kv(spark, store) == {1: "b", 2: "c"}
+    with pytest.raises(ValueError, match="never committed"):
+        manifest_read(spark, store, version=3)
+    manifest_vacuum(store, keep=1)
+    with pytest.raises(FileNotFoundError):
+        manifest_read(spark, store, version=1)  # outside keep window
+
+
+def test_rebucket_preserves_content_and_changes_layout(spark, tmp_path):
+    from wrangle_pypes_spark.sources.manifest import manifest_rebucket
+
+    store = str(tmp_path / "man")
+    base = spark.createDataFrame([(i, i * 2) for i in range(100)],
+                                 "k int, val int")
+    manifest_merge(base, store, ["k"], epoch_id=7, n_buckets=4)
+    v = manifest_rebucket(spark, store, 16)
+    assert manifest_current(store) == (v, 7)  # epoch unchanged
+    assert _man(store, v)["n_buckets"] == 16
+    assert {r.k: r.val for r in manifest_read(spark, store).collect()} \
+        == {i: i * 2 for i in range(100)}
+    # merges keep working under the new layout (old count now rejected)
+    with pytest.raises(ValueError, match="n_buckets"):
+        manifest_merge(base, store, ["k"], n_buckets=4)
+    manifest_merge(spark.createDataFrame([(5, -1)], "k int, val int"),
+                   store, ["k"], epoch_id=8, n_buckets=16)
+    got = {r.k: r.val for r in manifest_read(spark, store).collect()}
+    assert got[5] == -1 and len(got) == 100
+    manifest_vacuum(store, keep=1)
+    assert not os.path.exists(os.path.join(store, "data/v000001"))
+    assert len({r.k for r in manifest_read(spark, store).collect()}) \
+        == 100
+
+
 def test_validation_errors(spark, tmp_path):
     store = str(tmp_path / "man")
     df = spark.createDataFrame([(1, "a")], "k int, val string")

@@ -115,14 +115,28 @@ def _load_manifest(path: str, version: int, spark=None) -> dict:
     return json.loads(txt)
 
 
-def manifest_read(spark: SparkSession, path: str) -> Optional[DataFrame]:
+def manifest_read(spark: SparkSession, path: str, *,
+                  version: Optional[int] = None) -> Optional[DataFrame]:
     """The committed store content, None when nothing was ever
     committed or every bucket is empty.  One immutable manifest, only
-    immutable directories — never a half-written view."""
+    immutable directories — never a half-written view.
+
+    ``version=`` time-travels to an earlier committed state: manifests
+    are immutable and reference immutable directories, so any version
+    the vacuum window still retains (``manifest_vacuum(keep=K)`` keeps
+    the last K) reads exactly as it was committed.  Versions newer
+    than the pointer are refused — they are crash orphans, not
+    commits."""
     cur = manifest_current(path, spark=spark)
     if cur is None:
         return None
-    man = _load_manifest(path, cur[0], spark=spark)
+    if version is None:
+        version = cur[0]
+    elif version > cur[0]:
+        raise ValueError(
+            f"version {version} was never committed (head is {cur[0]}) "
+            "— newer on-disk versions are crash orphans")
+    man = _load_manifest(path, version, spark=spark)
     dirs = [_join(path, rel) for rel in man["buckets"].values()]
     if not dirs:
         return None
@@ -259,7 +273,20 @@ def manifest_merge(updates: DataFrame, path: str,
     used = _used_versions(path, spark=spark) \
         if fsutil.dir_exists(path, spark=spark) else []
     version = (used[-1] + 1) if used else 1
+    return _commit_version(
+        spark, path, out, keys, n_buckets, version,
+        base_buckets=dict(man["buckets"]) if man is not None else {},
+        touched=touched, epoch_id=epoch_id, compression=compression)
+
+
+def _commit_version(spark, path: str, out: DataFrame,
+                    keys: Sequence[str], n_buckets: int, version: int,
+                    *, base_buckets: dict, touched: Sequence[int],
+                    epoch_id: int, compression: str) -> int:
+    """Write the touched buckets under ``data/vN``, then publish the
+    manifest and pointer — the shared tail of merge and rebucket."""
     staging = _join(path, f"data/v{version:06d}")
+    written = set()
     if touched:
         # one job rewrites (and re-compacts) every touched bucket:
         # repartition by the bucket column so each bucket lands in ~one
@@ -269,14 +296,11 @@ def manifest_merge(updates: DataFrame, path: str,
             .write.mode("errorifexists")
             .option("compression", compression)
             .partitionBy(_BKT).parquet(staging))
-        written = set()
         for name in fsutil.list_dir(staging, spark=spark):
             if name.startswith(_BKT + "="):
                 written.add(int(name.split("=", 1)[1]))
-    else:
-        written = set()
 
-    buckets = dict(man["buckets"]) if man is not None else {}
+    buckets = dict(base_buckets)
     for b in touched:
         if b in written:
             buckets[str(b)] = f"data/v{version:06d}/{_BKT}={b}"
@@ -296,6 +320,37 @@ def manifest_merge(updates: DataFrame, path: str,
         json.dumps({"version": version, "epoch": int(epoch_id)}),
         spark=spark)
     return version
+
+
+def manifest_rebucket(spark: SparkSession, path: str,
+                      n_buckets: int, *,
+                      compression: str = "zstd") -> int:
+    """Re-hash the store into a different bucket count — the scale
+    path when a store outgrows (or shrank far below) its layout: more
+    buckets shrink the per-commit rewrite fraction and the per-bucket
+    file size.  This is a deliberate FULL rewrite, committed like any
+    other version (one atomic pointer publish, epoch unchanged since
+    no data changed) — run it out-of-band at the cadence you would run
+    a table-format compaction, not per batch."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    cur = manifest_current(path, spark=spark)
+    if cur is None:
+        raise ValueError(f"nothing committed at {path!r} to rebucket")
+    man = _load_manifest(path, cur[0], spark=spark)
+    keys = list(man["key_cols"])
+    df = manifest_read(spark, path)
+    used = _used_versions(path, spark=spark)
+    version = (used[-1] + 1) if used else 1
+    if df is None:  # empty store: just flip the recorded layout
+        return _commit_version(
+            spark, path, None, keys, n_buckets, version,
+            base_buckets={}, touched=(), epoch_id=cur[1],
+            compression=compression)
+    return _commit_version(
+        spark, path, df, keys, n_buckets, version,
+        base_buckets={}, touched=list(range(n_buckets)),
+        epoch_id=cur[1], compression=compression)
 
 
 def manifest_vacuum(path: str, *, keep: int = 1, spark=None) -> int:
