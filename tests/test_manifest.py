@@ -398,6 +398,113 @@ def test_streaming_cdc_manifest_store_tombstones_replay_and_carryover(
             for r in read_cdc_store(spark, store).collect()} == cur
 
 
+def test_streaming_scd2_manifest_store_equals_batch_and_replays(
+        spark, tmp_path):
+    """foreach_batch_scd2_merge(store_format='manifest'): the drained
+    bucketed dimension equals the one-shot scd2_build, replay is a
+    no-op, and a key's whole version history lands in one bucket."""
+    import glob
+    import shutil
+
+    from wrangle_pypes_spark.operators.scd import scd2_build
+    from wrangle_pypes_spark.streaming import foreach_batch_scd2_merge
+
+    obs = spark.createDataFrame(
+        [(1, "a", 1), (1, "a", 2), (1, "b", 3), (1, "a", 5),
+         (2, "x", 1), (2, "x", 4), (3, "q", 2), (3, "r", 6)],
+        "id int, status string, t int").select(
+        "id", "status", F.timestamp_seconds(F.col("t") * 3600).alias("ts"))
+    # split by time so per-key ts order is non-decreasing across batches
+    early = obs.filter(F.col("ts") < F.timestamp_seconds(F.lit(4 * 3600)))
+    late = obs.filter(F.col("ts") >= F.timestamp_seconds(F.lit(4 * 3600)))
+    src = str(tmp_path / "scd_src")
+    for i, b in enumerate((early, late)):
+        b.coalesce(1).write.parquet(f"{src}/{i}")
+    files = [f for i in (0, 1)
+             for f in sorted(glob.glob(f"{src}/{i}/*.parquet"))]
+    for i, f in enumerate(files):
+        shutil.move(f, f"{src}/part-{i}.parquet")
+    shutil.rmtree(f"{src}/0"), shutil.rmtree(f"{src}/1")
+
+    dim = str(tmp_path / "scd_man")
+
+    def drain():
+        stream = (spark.readStream.schema(obs.schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .format("parquet").load(src))
+        q = foreach_batch_scd2_merge(stream, dim, key_cols=["id"],
+                                     ts_col="ts", attr_cols=["status"],
+                                     tiebreak_cols=["status"],
+                                     store_format="manifest",
+                                     store_buckets=BUCKETS)
+        q.awaitTermination()
+
+    drain()
+    want = sorted(map(tuple, scd2_build(
+        obs, key_cols=["id"], ts_col="ts", attr_cols=["status"],
+        tiebreak_cols=["status"]).collect()))
+    got_df = manifest_read(spark, dim)
+    want_cols = [f.name for f in scd2_build(
+        obs, key_cols=["id"], ts_col="ts", attr_cols=["status"],
+        tiebreak_cols=["status"]).schema.fields]
+    got = sorted(map(tuple, got_df.select(*want_cols).collect()))
+    assert got == want
+
+    drain()  # replay: already-applied observations change nothing
+    assert sorted(map(tuple, manifest_read(spark, dim)
+                      .select(*want_cols).collect())) == want
+
+    # a key's version rows never straddle buckets
+    man = _man(dim, manifest_current(dim)[0])
+    ids_per_dir = {}
+    for rel in man["buckets"].values():
+        for r in spark.read.parquet(os.path.join(dim, rel)).collect():
+            ids_per_dir.setdefault(r.id, set()).add(rel)
+    assert all(len(dirs) == 1 for dirs in ids_per_dir.values())
+
+
+def test_streaming_dedup_keep_best_manifest_store(spark, tmp_path):
+    """foreach_batch_dedup_keep_best(store_format='manifest') keeps the
+    best row per fingerprint across batches, idempotent under replay."""
+    import glob
+    import shutil
+
+    from wrangle_pypes_spark.streaming import foreach_batch_dedup_keep_best
+
+    batch_a = spark.createDataFrame(
+        [("f1", 1, 5), ("f2", 2, 3)], "fp string, doc int, score int")
+    batch_b = spark.createDataFrame(
+        [("f1", 3, 9), ("f3", 4, 1)], "fp string, doc int, score int")
+    src = str(tmp_path / "ded_src")
+    for i, b in enumerate((batch_a, batch_b)):
+        b.coalesce(1).write.parquet(f"{src}/{i}")
+    files = [f for i in (0, 1)
+             for f in sorted(glob.glob(f"{src}/{i}/*.parquet"))]
+    for i, f in enumerate(files):
+        shutil.move(f, f"{src}/part-{i}.parquet")
+    shutil.rmtree(f"{src}/0"), shutil.rmtree(f"{src}/1")
+
+    store = str(tmp_path / "ded_man")
+
+    def drain():
+        stream = (spark.readStream.schema(batch_a.schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .format("parquet").load(src))
+        q = foreach_batch_dedup_keep_best(
+            stream, store, key_cols=["fp"],
+            order_cols=[F.col("score"), F.col("doc")],
+            store_format="manifest", store_buckets=BUCKETS)
+        q.awaitTermination()
+
+    drain()
+    got = {r.fp: (r.doc, r.score)
+           for r in manifest_read(spark, store).collect()}
+    assert got == {"f1": (3, 9), "f2": (2, 3), "f3": (4, 1)}
+    drain()  # replay no-op
+    assert {r.fp: (r.doc, r.score)
+            for r in manifest_read(spark, store).collect()} == got
+
+
 def test_cdc_store_format_validation(spark, tmp_path):
     from wrangle_pypes_spark.streaming import foreach_batch_cdc_apply
 

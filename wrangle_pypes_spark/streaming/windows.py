@@ -402,7 +402,9 @@ def foreach_batch_scd2_merge(stream_df: DataFrame, dim_path: str, *,
                              key_cols: Sequence[str], ts_col: str,
                              attr_cols: Sequence[str],
                              tiebreak_cols: Sequence[str] = (),
-                             checkpoint: Optional[str] = None):
+                             checkpoint: Optional[str] = None,
+                             store_format: str = "swap",
+                             store_buckets: int = 64):
     """Durable streaming SCD2 maintenance: each micro-batch of attribute
     observations re-collapses the version history of the keys it
     touches and keyed-MERGEs them into a parquet dimension — untouched
@@ -426,15 +428,49 @@ def foreach_batch_scd2_merge(stream_df: DataFrame, dim_path: str, *,
     in tests/test_scd.py).  Completes the durable-streaming trio:
     ``foreach_batch_get_or_create_upsert`` (dims),
     ``foreach_batch_rollup_upsert`` (aggregates), this (history).
+
+    ``store_format="manifest"`` swaps the parquet-table rewrite for
+    the bucketed copy-on-write manifest layout (``sources.manifest``,
+    hash-bucketed by ``key_cols`` into ``store_buckets``): a key's
+    whole version history hashes to one bucket, so each batch rewrites
+    only the buckets its keys touch — the data-sized-dimension path.
+    Read such a dimension with ``sources.manifest.manifest_read``.
     """
     from ..operators.scd import scd2_build, scd2_merge
+    from ..sources.manifest import manifest_merge
     from ..sources.sinks import recover_upsert_backup, upsert_parquet
 
+    if store_format not in ("swap", "manifest"):
+        raise ValueError(f"unknown store_format {store_format!r} "
+                         "(expected 'swap' or 'manifest')")
     keys = list(key_cols)
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         obs = batch_df.select(*keys, *attr_cols, ts_col)
+        if store_format == "manifest":
+            def _merge(stored: Optional[DataFrame],
+                       obs_batch: DataFrame) -> DataFrame:
+                # stored = every version row of the touched buckets;
+                # re-collapse only the batch's keys, carry the rest
+                if stored is None:
+                    return scd2_build(obs_batch, key_cols=keys,
+                                      ts_col=ts_col,
+                                      attr_cols=list(attr_cols),
+                                      tiebreak_cols=list(tiebreak_cols))
+                bkeys = F.broadcast(obs_batch.select(*keys).distinct())
+                touched = stored.join(bkeys, keys, "left_semi")
+                carried = stored.join(bkeys, keys, "left_anti")
+                rebuilt = scd2_merge(touched, obs_batch, key_cols=keys,
+                                     ts_col=ts_col,
+                                     attr_cols=list(attr_cols),
+                                     tiebreak_cols=list(tiebreak_cols),
+                                     include_untouched=False)
+                return rebuilt.unionByName(carried)
+
+            manifest_merge(obs, dim_path, keys, epoch_id=epoch_id,
+                           merge_fn=_merge, n_buckets=store_buckets)
+            return
         if recover_upsert_backup(dim_path, spark=spark):
             dim = spark.read.parquet(dim_path)
             rebuilt = scd2_merge(dim, obs, key_cols=keys, ts_col=ts_col,
@@ -460,13 +496,18 @@ def foreach_batch_scd2_merge(stream_df: DataFrame, dim_path: str, *,
 def foreach_batch_dedup_keep_best(stream_df: DataFrame, store_path: str, *,
                                   key_cols: Sequence[str],
                                   order_cols: Sequence,
-                                  checkpoint: Optional[str] = None):
+                                  checkpoint: Optional[str] = None,
+                                  store_format: str = "swap",
+                                  store_buckets: int = 64):
     """Durable streaming corpus dedup: maintain a parquet store holding,
     for every content fingerprint (``key_cols``) ever seen, the single
     BEST row — max by ``order_cols`` (include a unique tiebreak, e.g.
     ``[F.col("n_chars"), -F.col("doc_id")]`` for keep-longest).  The
     ingest-time twin of ``operators.dedup.dedup_keep_best``, for
-    corpora that arrive incrementally.
+    corpora that arrive incrementally.  ``store_format="manifest"``
+    gives the store the bucketed copy-on-write layout
+    (``sources.manifest``) — touched-buckets-only rewrites for
+    corpus-sized fingerprint stores; read it with ``manifest_read``.
 
     Correctness without an epoch marker: ``max_by`` under a
     deterministic total order is associative, commutative, and
@@ -485,14 +526,34 @@ def foreach_batch_dedup_keep_best(stream_df: DataFrame, store_path: str, *,
     for huge stores, as with the other maintainers).
     """
     from ..operators.dedup import dedup_keep_best
+    from ..sources.manifest import manifest_merge
     from ..sources.sinks import recover_upsert_backup, upsert_parquet
 
+    if store_format not in ("swap", "manifest"):
+        raise ValueError(f"unknown store_format {store_format!r} "
+                         "(expected 'swap' or 'manifest')")
     keys = list(key_cols)
     order = list(order_cols)
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         best = dedup_keep_best(batch_df, keys, order)
+        if store_format == "manifest":
+            def _merge(stored, batch_best):
+                # same max_by idempotent-merge argument; carry the
+                # touched buckets' other fingerprints verbatim
+                if stored is None:
+                    return batch_best
+                bkeys = F.broadcast(batch_best.select(*keys).distinct())
+                touched = stored.join(bkeys, keys, "left_semi")
+                carried = stored.join(bkeys, keys, "left_anti")
+                return dedup_keep_best(
+                    touched.unionByName(batch_best), keys, order) \
+                    .unionByName(carried)
+
+            manifest_merge(best, store_path, keys, epoch_id=epoch_id,
+                           merge_fn=_merge, n_buckets=store_buckets)
+            return
         if recover_upsert_backup(store_path, spark=spark):
             stored = spark.read.parquet(store_path)
             touched = stored.join(
