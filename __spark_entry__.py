@@ -6997,6 +6997,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # string_agg_priorities, orders_above_cust_avg, salted_join_revenue,
     # resize_images, sample_frames (r2) + grouped_ewma /
     # approx_distinct_users (r2 rows-only), then the r3 block.
+    # Round-8 rotation should lead with the two NEVER-CHECKED r7
+    # additions (stream_rollup_manifest_store, stream_cdc_manifest_store,
+    # registered at the registry tail) and any query whose code changes
+    # in r7 after this round's driver run, then continue the deferred
+    # list above.
     "embedding_near_dup": q_embedding_near_dup,
     # ^ r1-green; near-dup expr rewritten r6 (c529b9f) after last check
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

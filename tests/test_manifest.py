@@ -221,6 +221,48 @@ def test_rebucket_preserves_content_and_changes_layout(spark, tmp_path):
         == 100
 
 
+def test_additive_schema_evolution(spark, tmp_path):
+    """evolve_schema=True widens the store: the new column lands in
+    the rewritten buckets' files and the manifest's recorded schema;
+    buckets not yet rewritten null-fill it on read.  Off by default —
+    drift fails loudly."""
+    store = str(tmp_path / "man")
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(50)],
+                                 "k int, val string")
+    manifest_merge(base, store, ["k"], epoch_id=0, n_buckets=BUCKETS)
+    widened = spark.createDataFrame([(3, "NEW", 0.9)],
+                                    "k int, val string, score double")
+    # default: loud failure on drift
+    with pytest.raises(Exception):
+        manifest_merge(widened, store, ["k"], epoch_id=1,
+                       n_buckets=BUCKETS)
+    v = manifest_merge(widened, store, ["k"], epoch_id=1,
+                       n_buckets=BUCKETS, evolve_schema=True)
+    got = manifest_read(spark, store)
+    assert set(got.columns) == {"k", "val", "score"}
+    rows = {r.k: (r.val, r.score) for r in got.collect()}
+    assert rows[3] == ("NEW", 0.9)
+    assert rows[7] == ("v7", None)  # untouched bucket null-fills
+    assert len(rows) == 50
+    # the widened schema is recorded in the manifest, so later merges
+    # of OLD-shaped updates must also opt in (their rows null-fill)
+    with pytest.raises(Exception):
+        manifest_merge(spark.createDataFrame([(9, "x")],
+                                             "k int, val string"),
+                       store, ["k"], epoch_id=2, n_buckets=BUCKETS)
+    manifest_merge(spark.createDataFrame([(9, "x")],
+                                         "k int, val string"),
+                   store, ["k"], epoch_id=2, n_buckets=BUCKETS,
+                   evolve_schema=True)
+    rows = {r.k: (r.val, r.score)
+            for r in manifest_read(spark, store).collect()}
+    assert rows[9] == ("x", None) and rows[3] == ("NEW", 0.9)
+    with pytest.raises(ValueError, match="upsert mode only"):
+        manifest_merge(widened, store, ["k"], mode="additive",
+                       value_cols=["score"], evolve_schema=True,
+                       n_buckets=BUCKETS)
+
+
 def test_validation_errors(spark, tmp_path):
     store = str(tmp_path / "man")
     df = spark.createDataFrame([(1, "a")], "k int, val string")

@@ -137,10 +137,31 @@ def manifest_read(spark: SparkSession, path: str, *,
             f"version {version} was never committed (head is {cur[0]}) "
             "— newer on-disk versions are crash orphans")
     man = _load_manifest(path, version, spark=spark)
-    dirs = [_join(path, rel) for rel in man["buckets"].values()]
-    if not dirs:
+    return _read_buckets(spark, path, man)
+
+
+def _read_buckets(spark: SparkSession, path: str, man: dict,
+                  bucket_ids: Optional[Sequence[int]] = None
+                  ) -> Optional[DataFrame]:
+    """Read (a subset of) a manifest's bucket directories under the
+    manifest's recorded schema.  The schema in the manifest is
+    authoritative: after additive schema evolution only the buckets
+    rewritten since carry the new columns in their files — the
+    explicit schema makes the parquet reader null-fill them everywhere
+    else, without a footer-merging pass."""
+    from pyspark.sql import types as T
+
+    if bucket_ids is None:
+        rels = list(man["buckets"].values())
+    else:
+        rels = [man["buckets"][str(b)] for b in bucket_ids
+                if str(b) in man["buckets"]]
+    if not rels:
         return None
-    return spark.read.parquet(*dirs)
+    reader = spark.read
+    if man.get("schema") is not None:
+        reader = reader.schema(T.StructType.fromJson(man["schema"]))
+    return reader.parquet(*[_join(path, rel) for rel in rels])
 
 
 def _used_versions(path: str, spark=None) -> list[int]:
@@ -160,7 +181,8 @@ def _used_versions(path: str, spark=None) -> list[int]:
 
 def _merge_upsert(stored: Optional[DataFrame], updates: DataFrame,
                   key_cols: Sequence[str],
-                  tombstone_col: Optional[str]) -> DataFrame:
+                  tombstone_col: Optional[str],
+                  evolve_schema: bool) -> DataFrame:
     keys = list(key_cols)
     if tombstone_col is not None:
         alive = updates.filter(
@@ -172,6 +194,13 @@ def _merge_upsert(stored: Optional[DataFrame], updates: DataFrame,
         return alive
     upd_keys = F.broadcast(updates.select(*keys).distinct())
     survivors = stored.join(upd_keys, keys, "left_anti")
+    if evolve_schema:
+        # additive schema evolution, table-format style: a column only
+        # one side carries is null-filled on the other.  Only the
+        # TOUCHED buckets rewrite with the widened schema this commit;
+        # readers see the union schema because parquet schema-merging
+        # across bucket directories null-fills the rest on read.
+        return survivors.unionByName(alive, allowMissingColumns=True)
     return survivors.unionByName(alive)
 
 
@@ -194,6 +223,7 @@ def manifest_merge(updates: DataFrame, path: str,
                    merge_fn: Optional[
                        Callable[[Optional[DataFrame], DataFrame],
                                 DataFrame]] = None,
+                   evolve_schema: bool = False,
                    compression: str = "zstd") -> int:
     """MERGE ``updates`` into the store, rewriting only the buckets the
     updates' keys hash into; returns the committed version.
@@ -214,6 +244,13 @@ def manifest_merge(updates: DataFrame, path: str,
       function must carry them through: its return value REPLACES
       those buckets' content entirely.
 
+    ``evolve_schema=True`` (upsert mode) allows ADDITIVE schema
+    evolution: updates may carry columns the store lacks and vice
+    versa — the union null-fills either side, the commit records the
+    widened schema in the manifest, and reads apply that schema so
+    buckets not yet rewritten null-fill the new columns.  Off by
+    default: a schema drift you did not opt into should fail loudly.
+
     ``n_buckets`` and ``key_cols`` are fixed at the store's first
     commit (recorded in the manifest); later calls must match.
     """
@@ -222,6 +259,10 @@ def manifest_merge(updates: DataFrame, path: str,
                          "(expected 'upsert' or 'additive')")
     if mode == "additive" and not value_cols and merge_fn is None:
         raise ValueError("additive mode needs value_cols")
+    if evolve_schema and (mode != "upsert" or merge_fn is not None):
+        raise ValueError("evolve_schema applies to upsert mode only "
+                         "(additive sums fixed value_cols; a merge_fn "
+                         "controls its own output schema)")
     keys = list(key_cols)
     if not keys:
         raise ValueError("key_cols must be non-empty")
@@ -254,10 +295,7 @@ def manifest_merge(updates: DataFrame, path: str,
 
     stored = None
     if man is not None and touched:
-        dirs = [_join(path, man["buckets"][str(b)])
-                for b in touched if str(b) in man["buckets"]]
-        if dirs:
-            stored = spark.read.parquet(*dirs)
+        stored = _read_buckets(spark, path, man, bucket_ids=touched)
 
     if merge_fn is not None:
         out = merge_fn(stored, updates)
@@ -268,21 +306,28 @@ def manifest_merge(updates: DataFrame, path: str,
     elif mode == "additive":
         out = _merge_additive(stored, updates, keys, value_cols)
     else:
-        out = _merge_upsert(stored, updates, keys, tombstone_col)
+        out = _merge_upsert(stored, updates, keys, tombstone_col,
+                            evolve_schema)
 
     used = _used_versions(path, spark=spark) \
         if fsutil.dir_exists(path, spark=spark) else []
     version = (used[-1] + 1) if used else 1
+    if touched:
+        schema_json = out.schema.jsonValue()
+    else:  # nothing written: the store (and its schema) are unchanged
+        schema_json = man.get("schema") if man is not None \
+            else out.schema.jsonValue()
     return _commit_version(
         spark, path, out, keys, n_buckets, version,
         base_buckets=dict(man["buckets"]) if man is not None else {},
-        touched=touched, epoch_id=epoch_id, compression=compression)
+        touched=touched, epoch_id=epoch_id, schema_json=schema_json,
+        compression=compression)
 
 
-def _commit_version(spark, path: str, out: DataFrame,
+def _commit_version(spark, path: str, out: Optional[DataFrame],
                     keys: Sequence[str], n_buckets: int, version: int,
                     *, base_buckets: dict, touched: Sequence[int],
-                    epoch_id: int, compression: str) -> int:
+                    epoch_id: int, schema_json, compression: str) -> int:
     """Write the touched buckets under ``data/vN``, then publish the
     manifest and pointer — the shared tail of merge and rebucket."""
     staging = _join(path, f"data/v{version:06d}")
@@ -312,7 +357,8 @@ def _commit_version(spark, path: str, out: DataFrame,
         _join(path, _manifest_name(version)),
         json.dumps({"version": version, "epoch": int(epoch_id),
                     "n_buckets": int(n_buckets), "key_cols": keys,
-                    "hash": _HASH, "buckets": buckets},
+                    "hash": _HASH, "schema": schema_json,
+                    "buckets": buckets},
                    sort_keys=True),
         spark=spark)
     fsutil.write_text_atomic(
@@ -346,11 +392,12 @@ def manifest_rebucket(spark: SparkSession, path: str,
         return _commit_version(
             spark, path, None, keys, n_buckets, version,
             base_buckets={}, touched=(), epoch_id=cur[1],
-            compression=compression)
+            schema_json=man.get("schema"), compression=compression)
     return _commit_version(
         spark, path, df, keys, n_buckets, version,
         base_buckets={}, touched=list(range(n_buckets)),
-        epoch_id=cur[1], compression=compression)
+        epoch_id=cur[1], schema_json=df.schema.jsonValue(),
+        compression=compression)
 
 
 def manifest_vacuum(path: str, *, keep: int = 1, spark=None) -> int:
