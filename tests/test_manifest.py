@@ -221,6 +221,26 @@ def test_rebucket_preserves_content_and_changes_layout(spark, tmp_path):
         == 100
 
 
+def test_stats_reports_buckets_and_versions(spark, tmp_path):
+    from wrangle_pypes_spark.sources.manifest import manifest_stats
+
+    store = str(tmp_path / "man")
+    assert manifest_stats(spark, store) is None
+    base = spark.createDataFrame([(i, i) for i in range(100)],
+                                 "k int, val int")
+    manifest_merge(base, store, ["k"], epoch_id=0, n_buckets=4)
+    manifest_merge(spark.createDataFrame([(7, -1)], "k int, val int"),
+                   store, ["k"], epoch_id=1, n_buckets=4)
+    st = manifest_stats(spark, store)
+    got = {r.bucket: (r.rows, r.written_version, r.files)
+           for r in st.collect()}
+    assert sum(r for r, _, _ in got.values()) == 100
+    # exactly one bucket was rewritten at version 2 (and re-compacted)
+    assert sorted(v for _, v, _ in got.values()).count(2) == 1
+    assert all(f >= 1 for _, _, f in got.values())
+    assert st.filter(F.col("bytes") <= 0).count() == 0
+
+
 def test_additive_schema_evolution(spark, tmp_path):
     """evolve_schema=True widens the store: the new column lands in
     the rewritten buckets' files and the manifest's recorded schema;

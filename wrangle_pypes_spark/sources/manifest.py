@@ -400,6 +400,56 @@ def manifest_rebucket(spark: SparkSession, path: str,
         compression=compression)
 
 
+def manifest_stats(spark: SparkSession, path: str) -> Optional[DataFrame]:
+    """Per-bucket health report of the committed store — the
+    measurement that drives :func:`manifest_rebucket` and vacuum
+    cadence decisions: one row per NON-EMPTY bucket with its data
+    directory, the version that last rewrote it, row count, file
+    count, and bytes.  Row counts come from ONE Spark job over the
+    whole store (per-file attribution via ``input_file_name``); file
+    stats from a driver-side listing bounded by ``n_buckets``.
+
+    Read the skew off ``rows``/``bytes``: a bucket holding a large
+    multiple of the median means a hot key (fix upstream); uniformly
+    oversized buckets mean the store outgrew ``n_buckets`` — rebucket.
+    """
+    cur = manifest_current(path, spark=spark)
+    if cur is None:
+        return None
+    man = _load_manifest(path, cur[0], spark=spark)
+    if not man["buckets"]:
+        return None
+    # row counts: ONE job over every bucket directory, attributed back
+    # to its directory via input_file_name — not one count() per bucket
+    # (that would be n_buckets driver-synchronous jobs)
+    per_dir = dict(
+        _read_buckets(spark, path, man)
+        .groupBy(F.regexp_extract(F.input_file_name(),
+                                  r"(data/v\d{6}/" + _BKT + r"=\d+)/", 1)
+                 .alias("rel"))
+        .count().collect())
+    rows = []
+    for b, rel in sorted(man["buckets"].items(), key=lambda kv: int(kv[0])):
+        full = _join(path, rel)
+        files = [n for n in fsutil.list_dir(full, spark=spark)
+                 if n.endswith(".parquet")]
+        if fsutil.is_local(full):
+            import os as _os
+            d = full[len("file:"):] if full.startswith("file:") else full
+            nbytes = sum(_os.path.getsize(_os.path.join(d, n))
+                         for n in files)
+        else:
+            fs, jpath, _ = fsutil._hadoop(spark, full)
+            nbytes = sum(st.getLen() for st in fs.listStatus(jpath)
+                         if st.getPath().getName().endswith(".parquet"))
+        version = int(rel.split("/")[1][1:])
+        rows.append((int(b), rel, version, int(per_dir.get(rel, 0)),
+                     len(files), nbytes))
+    return spark.createDataFrame(
+        rows, "bucket int, dir string, written_version int, "
+              "rows bigint, files int, bytes bigint")
+
+
 def manifest_vacuum(path: str, *, keep: int = 1, spark=None) -> int:
     """Delete manifests outside the committed window and every bucket
     directory no kept manifest references (superseded rewrites AND
