@@ -6997,11 +6997,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # string_agg_priorities, orders_above_cust_avg, salted_join_revenue,
     # resize_images, sample_frames (r2) + grouped_ewma /
     # approx_distinct_users (r2 rows-only), then the r3 block.
-    # Round-8 rotation should lead with the two NEVER-CHECKED r7
-    # additions (stream_rollup_manifest_store, stream_cdc_manifest_store,
-    # registered at the registry tail) and any query whose code changes
-    # in r7 after this round's driver run, then continue the deferred
-    # list above.
+    # The two NEW r7 queries (stream_rollup_manifest_store,
+    # stream_cdc_manifest_store) sit at the window's tail — policy (1)
+    # displaced the last two r2-vintage fills (async_enrich_tags,
+    # async_get_or_create_dim), which lead the r8 fills instead.
     "embedding_near_dup": q_embedding_near_dup,
     # ^ r1-green; near-dup expr rewritten r6 (c529b9f) after last check
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -7067,9 +7066,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,  # r2 hash-green
     "wrangle_foreach_custom": q_wrangle_foreach_custom,  # r2 hash-green
     "fuzzy_dedup_canonical": q_fuzzy_dedup_canonical,  # r2 hash-green
-    "async_enrich_tags": q_async_enrich_tags,  # r2 hash-green
-    "async_get_or_create_dim": q_async_get_or_create_dim,  # r2 hash-green
+    "stream_rollup_manifest_store": q_stream_rollup_manifest_store,
+    # ^ NEW r7 (sources/manifest.py): never driver-checked — window
+    #   policy (1) outranks the r2-vintage fills it displaced
+    "stream_cdc_manifest_store": q_stream_cdc_manifest_store,
+    # ^ NEW r7: never driver-checked
     # ---- below the 50-slot driver window from here down ----
+    "async_enrich_tags": q_async_enrich_tags,  # r2 hash-green
+    "async_get_or_create_dim": q_async_get_or_create_dim,
+    # ^ r2 hash-green pair displaced from the r7 window by the two NEW
+    #   r7 manifest-store queries — first fills for the r8 window
     # Round-8 rotation plan: queries whose code changes in r8 first,
     # then oldest-vintage by last-checked round — the deferred r2 block
     # listed above, then the r3-vintage block, then r4/r5.
@@ -7217,12 +7223,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouped_ewma": q_grouped_ewma,  # rows-only ran (r2)
     "approx_distinct_users": q_approx_distinct_users,  # rows-only ran (r2)
     "profile_customer_approx": q_profile_customer_approx,  # rows-only ran (r3)
-    "stream_rollup_manifest_store": q_stream_rollup_manifest_store,
-    # ^ NEW r7: O(touched-buckets) copy-on-write keyed store — promote
-    #   into the r8 window (never driver-checked)
-    "stream_cdc_manifest_store": q_stream_cdc_manifest_store,
-    # ^ NEW r7: streaming CDC on the manifest store — promote into the
-    #   r8 window (never driver-checked)
 }
 
 _ORACLES: dict[str, str] = {
