@@ -169,10 +169,17 @@ def word_ngrams(text: Column, n: int) -> Column:
         return F.coalesce(F.zip_with(
             F.slice(toks, 1, k), F.slice(toks, 2, k),
             lambda a, b: F.concat(a, F.lit(" "), b)), empty)
-    return F.when(wc >= n, F.transform(
-        F.sequence(F.lit(1), wc - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )).otherwise(empty)
+    # n-step zip_with chain over shifted slices, NOT an index lambda
+    # over sequence(): a lambda that reads the outer token array
+    # (slice(toks, i, n) inside transform) re-evaluates the
+    # tokenization per element in the interpreted HOF path — O(wc²)
+    # per document.  Every slice below is a HOF child, evaluated once.
+    k = F.greatest(wc - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, k)
+    for j in range(2, n + 1):
+        grams = F.zip_with(grams, F.slice(toks, j, k),
+                           lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(wc >= n, grams).otherwise(empty)
 
 
 def corpus_top_ngrams(docs: DataFrame, text_col: str = "text", *,
@@ -729,12 +736,14 @@ def bigram_logprob_score(docs: DataFrame, text_col: str = "text", *,
     """
     toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_ts"))
     ts = F.col("_ts")
+    kk = F.greatest(F.size(ts) - 1, F.lit(0))
     pairs_arr = F.when(
         F.size(ts) >= 2,
-        F.transform(F.sequence(F.lit(1), F.size(ts) - 1),
-                    lambda i: F.struct(
-                        F.element_at(ts, i).alias("w1"),
-                        F.element_at(ts, i + 1).alias("w2")))
+        # zip of shifted slices, not element_at indexing: even though
+        # _ts is a projected column, CollapseProject can inline the
+        # tokenization into a consuming lambda, going O(wc²) per doc
+        F.zip_with(F.slice(ts, 1, kk), F.slice(ts, 2, kk),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     bi = (toks.select(F.col(id_col), F.explode(pairs_arr).alias("_p"))
           .select(F.col(id_col), F.col("_p.w1").alias("_w1"),

@@ -175,8 +175,14 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     sorting the token array and folding a longest-equal-run accumulator
     over it — a per-row O(n log n) instead of the explode → groupBy →
     max-per-doc topology, which would shuffle the whole exploded corpus
-    twice.  ``dup_bigram_frac`` uses an index-sequence transform (the
-    adjacent-pair construction of ``operators.dedup``'s shingles).
+    twice.  ``dup_bigram_frac`` zips the token array against itself
+    shifted by one (``zip_with`` over two ``slice``s).  The zip form
+    is load-bearing, not style: a lambda that references an OUTER
+    array expression (``element_at(toks, i)`` inside ``transform``)
+    re-evaluates that expression per element in Spark's interpreted
+    higher-order-function path — O(tokens²) per document, measured
+    20× slower at sf0.1.  HOF lambdas here only touch their own
+    arguments; outer arrays enter once, as HOF children.
     """
     text = F.col(text_col)
     toks = _tokens(text)
@@ -184,11 +190,9 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     wc_d = F.greatest(wc, F.lit(1)).cast("double")
     distinct_frac = F.size(F.array_distinct(toks)).cast("double") / wc_d
 
-    bigrams = F.when(wc >= 2, F.transform(
-        F.sequence(F.lit(0), wc - 2),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
-                              F.element_at(toks, i + 2)),
-    )).otherwise(F.array().cast("array<string>"))
+    nb1 = F.greatest(wc - 1, F.lit(0))
+    bigrams = F.zip_with(F.slice(toks, 1, nb1), F.slice(toks, 2, nb1),
+                         lambda a, b: F.concat_ws(" ", a, b))
     nb = F.size(bigrams)
     dup_bigram_frac = F.when(nb > 0,
                              (nb - F.size(F.array_distinct(bigrams)))

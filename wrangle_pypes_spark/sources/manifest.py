@@ -253,6 +253,9 @@ def manifest_merge(updates: DataFrame, path: str,
 
     ``n_buckets`` and ``key_cols`` are fixed at the store's first
     commit (recorded in the manifest); later calls must match.
+    Key columns must be NON-NULL (the contract of every keyed store
+    here): the equi-joins of the built-in modes drop null keys, so a
+    null-keyed row could never be updated or deleted once written.
     """
     if mode not in ("upsert", "additive"):
         raise ValueError(f"unknown mode {mode!r} "
