@@ -4377,6 +4377,34 @@ def q_stream_rollup_acid_store(spark, sf_dir):
                     F.round("max_value", 4).alias("max_value")))
 
 
+def q_bloom_dedup_docs(spark, sf_dir):
+    """NEW r7: dedup-against-history via a native Bloom pre-filter
+    (operators/dedup.py ``bloom_dedup_against``): the filter is a
+    bitmap TABLE (word -> bits, <= n_bits/64 rows) built with one
+    ``bit_or`` aggregate over the history and broadcast to probes, so
+    rows whose fingerprints the filter rejects (Bloom has no false
+    negatives) never reach the anti-join; the surviving candidates go
+    through exact verification, so the result equals the plain
+    anti-join the oracle runs.  History = every doc_id % 3 == 0
+    fingerprint."""
+    from wrangle_pypes_spark.operators import bloom_dedup_against
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fp"))
+    hist = d.filter(F.col("doc_id") % 3 == 0)
+    out = bloom_dedup_against(d, hist, "fp", n_bits=1 << 18, n_hashes=5)
+    return out.select("doc_id", "fp").orderBy("doc_id")
+
+
+SQL_BLOOM_DEDUP = """
+WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+hist AS (SELECT fp FROM d WHERE doc_id % 3 = 0)
+SELECT doc_id, fp FROM d
+WHERE fp NOT IN (SELECT fp FROM hist)
+ORDER BY doc_id
+"""
+
+
 def q_stream_rollup_manifest_store(spark, sf_dir):
     """NEW r7: the durable streaming rollup on the bucketed
     copy-on-write MANIFEST store (sources/manifest.py via
@@ -7065,17 +7093,20 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_clean_pipeline": q_corpus_clean_pipeline,  # r2 hash-green
     "tfidf_top_terms": q_tfidf_top_terms,  # r2 hash-green
     "wrangle_foreach_custom": q_wrangle_foreach_custom,  # r2 hash-green
-    "fuzzy_dedup_canonical": q_fuzzy_dedup_canonical,  # r2 hash-green
+    "bloom_dedup_docs": q_bloom_dedup_docs,
+    # ^ NEW r7 (Bloom pre-filter + exact verify): never driver-checked
     "stream_rollup_manifest_store": q_stream_rollup_manifest_store,
     # ^ NEW r7 (sources/manifest.py): never driver-checked — window
     #   policy (1) outranks the r2-vintage fills it displaced
     "stream_cdc_manifest_store": q_stream_cdc_manifest_store,
     # ^ NEW r7: never driver-checked
     # ---- below the 50-slot driver window from here down ----
+    "fuzzy_dedup_canonical": q_fuzzy_dedup_canonical,  # r2 hash-green
     "async_enrich_tags": q_async_enrich_tags,  # r2 hash-green
     "async_get_or_create_dim": q_async_get_or_create_dim,
-    # ^ r2 hash-green pair displaced from the r7 window by the two NEW
-    #   r7 manifest-store queries — first fills for the r8 window
+    # ^ r2 hash-green trio displaced from the r7 window by the three
+    #   NEW r7 queries (bloom + two manifest stores) — first fills for
+    #   the r8 window
     # Round-8 rotation plan: queries whose code changes in r8 first,
     # then oldest-vintage by last-checked round — the deferred r2 block
     # listed above, then the r3-vintage block, then r4/r5.
@@ -7265,6 +7296,7 @@ _ORACLES: dict[str, str] = {
     # the manifest-backed CDC store applies the same feed to the same
     # latest image
     "stream_cdc_manifest_store": SQL_STREAM_CDC,
+    "bloom_dedup_docs": SQL_BLOOM_DEDUP,
     "cdc_vacuum_store": SQL_CDC_VACUUM,
     "curriculum_order_docs": SQL_CURRICULUM,
     "token_fertility_lang": SQL_TOKEN_FERTILITY,

@@ -1176,3 +1176,51 @@ def test_streaming_index_maintainers_survive_empty_batch(spark,
         id_col="vec_id", dim=16)
     with pytest.raises(StreamingQueryException, match="!= dim"):
         q.awaitTermination()
+
+
+def test_bloom_dedup_against_exact_and_approx(spark, sf_dir):
+    """Bloom pre-filter + exact verify == plain anti-join; approx mode
+    never keeps a true duplicate (no false negatives in the filter)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from wrangle_pypes_spark.operators import (bloom_bitmap,
+                                               bloom_dedup_against)
+
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .select("doc_id", F.md5("text").alias("fp")))
+    hist = d.filter(F.col("doc_id") % 3 == 0)
+    out = bloom_dedup_against(d, hist, "fp", n_bits=1 << 16)
+    want = d.join(hist.select("fp").distinct(), "fp", "left_anti")
+    assert out.select("doc_id").exceptAll(want.select("doc_id")).count() == 0
+    assert want.select("doc_id").exceptAll(out.select("doc_id")).count() == 0
+
+    ap = bloom_dedup_against(d, hist, "fp", n_bits=1 << 16,
+                             exact_verify=False)
+    # approximate mode: subset of the exact result, zero duplicates
+    assert ap.join(hist.select("fp").distinct(), "fp",
+                   "left_semi").count() == 0
+    assert ap.select("doc_id").exceptAll(want.select("doc_id")).count() == 0
+
+    bm = bloom_bitmap(hist, "fp", n_bits=1 << 16, n_hashes=5)
+    assert bm.count() <= (1 << 16) // 64
+    with pytest.raises(ValueError):
+        bloom_bitmap(hist, "fp", n_bits=32)
+    with pytest.raises(ValueError):
+        bloom_bitmap(hist, "fp", n_hashes=0)
+
+
+def test_bloom_dedup_tiny_filter_still_exact(spark):
+    """A deliberately undersized filter (high fpp) must still produce
+    the exact result under exact_verify — false positives only grow
+    the candidate set, never change the answer."""
+    from pyspark.sql import functions as F
+
+    from wrangle_pypes_spark.operators import bloom_dedup_against
+
+    new = spark.range(2000).select(F.concat(F.lit("k"), "id").alias("k"))
+    hist = spark.range(0, 2000, 2).select(
+        F.concat(F.lit("k"), "id").alias("k"))
+    out = bloom_dedup_against(new, hist, "k", n_bits=64, n_hashes=2)
+    assert out.count() == 1000
+    assert out.join(hist, "k", "left_semi").count() == 0

@@ -915,6 +915,93 @@ def pair_metrics(pred: DataFrame, truth: DataFrame, *,
         F.round(f1, round_digits).alias("f1"))
 
 
+def bloom_bitmap(history: DataFrame, key_col: str, *,
+                 n_bits: int = 1 << 22, n_hashes: int = 5) -> DataFrame:
+    """Build a Bloom filter over ``history[key_col]`` as a BITMAP
+    TABLE: one row per non-zero 64-bit word, ``(word bigint, bits
+    bigint)`` — at most ``n_bits / 64`` rows regardless of history
+    size, built in one pass (explode k positions → one ``bit_or``
+    aggregate with map-side partials).
+
+    A table, not a driver-side sketch, on purpose: PySpark exposes no
+    executor-usable Bloom object, and a plan-literal bitmap stops
+    scaling when ``n_bits`` outgrows the plan.  The table broadcasts
+    to probes like any small dim.  Size ``n_bits ≈ 10–15 ×
+    |distinct keys|`` for ~1% false positives with 5 hashes (the
+    standard m/n ≈ 1.44·log2(1/p) sizing); positions are
+    ``pmod(xxhash64(seed_i, key), n_bits)``.
+    """
+    if n_bits < 64:
+        raise ValueError("n_bits must be >= 64")
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be >= 1")
+    shl = lambda c, i: F.call_function("shiftleft", c, i)  # noqa: E731
+    pos = F.explode(F.array(*[
+        F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(n_bits))
+        for i in range(n_hashes)])).alias("_p")
+    return (history.select(pos)
+            .groupBy((F.col("_p") / 64).cast("bigint").alias("word"))
+            .agg(F.bit_or(shl(F.lit(1).cast("long"),
+                              F.pmod(F.col("_p"), F.lit(64)).cast("int")))
+                 .alias("bits")))
+
+
+def bloom_dedup_against(new: DataFrame, history: DataFrame,
+                        key_col: str, *, n_bits: int = 1 << 22,
+                        n_hashes: int = 5,
+                        exact_verify: bool = True) -> DataFrame:
+    """Rows of ``new`` whose ``key_col`` does NOT appear in
+    ``history`` — the dedup-against-history topology where history is
+    far larger than the batch (continuous corpus ingest against years
+    of crawl).
+
+    Why not a plain anti-join: at 100 TB of history the anti-join
+    shuffles-or-probes every new row against the whole keyed store.
+    The Bloom pre-filter is a ``n_bits/64``-row broadcast table, so
+    rows whose keys the filter rejects (guaranteed absent — Bloom has
+    no false negatives) never reach the expensive path at all.  With
+    ``exact_verify=True`` (default) the surviving candidates — actual
+    duplicates plus the ~fpp false positives — go through the exact
+    anti-join, so the RESULT is exact and the anti-join's probe side
+    shrank from |new| to |dups + fpp·new|.  ``exact_verify=False``
+    skips the join: never emits a true duplicate, silently drops
+    ~fpp of genuinely-new rows — the cheap mode for sampling-tolerant
+    pipelines.
+
+    Cost: one pass over history (build), one k-position explode +
+    broadcast join + key aggregate over new (probe), one key-partition
+    shuffle of new (membership join-back), plus the candidate-only
+    anti-join under exact_verify.
+    """
+    shl = lambda c, i: F.call_function("shiftleft", c, i)  # noqa: E731
+    bitmap = F.broadcast(bloom_bitmap(history, key_col,
+                                      n_bits=n_bits, n_hashes=n_hashes))
+    pos = F.explode(F.array(*[
+        F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(n_bits))
+        for i in range(n_hashes)])).alias("_p")
+    probes = (new.select(key_col).distinct()
+              .select(key_col, pos)
+              .select(key_col,
+                      (F.col("_p") / 64).cast("bigint").alias("word"),
+                      shl(F.lit(1).cast("long"),
+                          F.pmod(F.col("_p"), F.lit(64)).cast("int"))
+                      .alias("_mask")))
+    membership = (probes.join(bitmap, "word", "left")
+                  .groupBy(key_col)
+                  .agg(F.bool_and(
+                      F.col("bits").isNotNull() &
+                      (F.col("bits").bitwiseAND(F.col("_mask")) != 0))
+                      .alias("_maybe")))
+    tagged = new.join(membership, key_col)
+    fresh = tagged.filter(~F.col("_maybe")).drop("_maybe")
+    if not exact_verify:
+        return fresh
+    cand = tagged.filter(F.col("_maybe")).drop("_maybe")
+    verified = cand.join(history.select(key_col).distinct(),
+                         key_col, "left_anti")
+    return fresh.unionByName(verified)
+
+
 def source_overlap(df: DataFrame, *, source_col: str,
                    text_col: Optional[str] = None,
                    fingerprint_col: Optional[str] = None,
