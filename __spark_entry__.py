@@ -4405,6 +4405,63 @@ ORDER BY doc_id
 """
 
 
+def q_stream_bloom_dedup_docs(spark, sf_dir):
+    """NEW r7: memory-bounded streaming ingest dedup
+    (streaming/windows.py ``foreach_batch_bloom_dedup``): seen-key
+    state is a Bloom bitmap in the acid store — O(n_bits), not
+    O(keys) — and each batch appends only provably-unseen rows.
+    Two deterministic batches (even doc_ids then odd); accepted set =
+    first-batch-wins keep-longest per fingerprint, which the oracle
+    expresses directly (the well-sized filter is deterministic and
+    collision-free on this corpus, so the fpp-lossy path loses
+    nothing here; the loss contract is tested in
+    tests/test_dedup_similarity.py)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from wrangle_pypes_spark.streaming import foreach_batch_bloom_dedup
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fp"),
+        F.length("text").cast("bigint").alias("n_chars"))
+    src = tempfile.mkdtemp(prefix="wps_bloom_feed_")
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.parquet(src + "/a")
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.parquet(src + "/b")
+    files = [f for part in ("a", "b")
+             for f in sorted(glob.glob(f"{src}/{part}/*.parquet"))]
+    for i, f in enumerate(files):
+        shutil.move(f, f"{src}/part-{i}.parquet")
+    shutil.rmtree(src + "/a"), shutil.rmtree(src + "/b")
+    stream = (spark.readStream.schema(d.schema)
+              .option("maxFilesPerTrigger", "1")
+              .format("parquet").load(src))
+    store = tempfile.mkdtemp(prefix="wps_bloom_store_") + "/state"
+    accepted = tempfile.mkdtemp(prefix="wps_bloom_acc_") + "/rows"
+    q = foreach_batch_bloom_dedup(
+        stream, store, key_col="fp", accepted_path=accepted,
+        order_cols=[F.col("n_chars"), -F.col("doc_id")],
+        n_bits=1 << 18, n_hashes=5)
+    q.awaitTermination()
+    return (spark.read.parquet(accepted)
+            .select("doc_id", "fp", "n_chars").orderBy("doc_id"))
+
+
+SQL_STREAM_BLOOM = """
+WITH d AS (
+  SELECT doc_id, md5(text) AS fp, length(text)::BIGINT AS n_chars,
+         doc_id % 2 AS b
+  FROM documents
+)
+SELECT doc_id, fp, n_chars FROM d
+QUALIFY row_number() OVER (
+    PARTITION BY fp ORDER BY b ASC, n_chars DESC, doc_id ASC) = 1
+ORDER BY doc_id
+"""
+
+
 def q_stream_rollup_manifest_store(spark, sf_dir):
     """NEW r7: the durable streaming rollup on the bucketed
     copy-on-write MANIFEST store (sources/manifest.py via
@@ -7254,6 +7311,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouped_ewma": q_grouped_ewma,  # rows-only ran (r2)
     "approx_distinct_users": q_approx_distinct_users,  # rows-only ran (r2)
     "profile_customer_approx": q_profile_customer_approx,  # rows-only ran (r3)
+    "stream_bloom_dedup_docs": q_stream_bloom_dedup_docs,
+    # ^ NEW r7 (registered after the window was finalized): promote to
+    #   the FRONT of the r8 window — never driver-checked
 }
 
 _ORACLES: dict[str, str] = {
@@ -7297,6 +7357,7 @@ _ORACLES: dict[str, str] = {
     # latest image
     "stream_cdc_manifest_store": SQL_STREAM_CDC,
     "bloom_dedup_docs": SQL_BLOOM_DEDUP,
+    "stream_bloom_dedup_docs": SQL_STREAM_BLOOM,
     "cdc_vacuum_store": SQL_CDC_VACUUM,
     "curriculum_order_docs": SQL_CURRICULUM,
     "token_fertility_lang": SQL_TOKEN_FERTILITY,

@@ -1224,3 +1224,69 @@ def test_bloom_dedup_tiny_filter_still_exact(spark):
     out = bloom_dedup_against(new, hist, "k", n_bits=64, n_hashes=2)
     assert out.count() == 1000
     assert out.join(hist, "k", "left_semi").count() == 0
+
+
+def test_streaming_bloom_dedup_equals_first_seen_and_replays(spark, tmp_path):
+    """foreach_batch_bloom_dedup: accepted set across batches equals
+    the exact first-seen dedup (deterministic hashes; the well-sized
+    filter has no collisions on this corpus), replay is a no-op, and
+    the seen-key state is a compact bitmap, not a keyed store."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from wrangle_pypes_spark.sources.acid import acid_read
+    from wrangle_pypes_spark.streaming import foreach_batch_bloom_dedup
+
+    batch_a = spark.createDataFrame(
+        [("u1", 1, 10), ("u2", 2, 5), ("u1", 3, 7)],
+        "url string, doc int, score int")
+    batch_b = spark.createDataFrame(
+        [("u2", 4, 99), ("u3", 5, 1), ("u4", 6, 2)],
+        "url string, doc int, score int")
+    src = str(tmp_path / "bl_src")
+    for i, b in enumerate((batch_a, batch_b)):
+        b.coalesce(1).write.parquet(f"{src}/{i}")
+    files = [f for i in (0, 1)
+             for f in sorted(glob.glob(f"{src}/{i}/*.parquet"))]
+    for i, f in enumerate(files):
+        shutil.move(f, f"{src}/part-{i}.parquet")
+    shutil.rmtree(f"{src}/0"), shutil.rmtree(f"{src}/1")
+
+    store = str(tmp_path / "bl_store")
+    accepted = str(tmp_path / "bl_accepted")
+
+    def drain():
+        stream = (spark.readStream.schema(batch_a.schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .format("parquet").load(src))
+        q = foreach_batch_bloom_dedup(
+            stream, store, key_col="url", accepted_path=accepted,
+            order_cols=[F.col("score"), F.col("doc")],
+            n_bits=1 << 12, n_hashes=5)
+        q.awaitTermination()
+
+    drain()
+    got = {r.url: r.doc for r in spark.read.parquet(accepted).collect()}
+    # u1: batch-internal keep-best (score 10 -> doc 1); u2 first seen
+    # in batch A (doc 2) — batch B's higher-score u2 is a DUP, dropped
+    assert got == {"u1": 1, "u2": 2, "u3": 5, "u4": 6}
+    # seen-state is a bitmap table, bounded by n_bits/64 rows
+    bm = acid_read(spark, store)
+    assert set(bm.columns) == {"word", "bits"}
+    assert bm.count() <= (1 << 12) // 64
+
+    before = sorted(map(tuple, spark.read.parquet(accepted).collect()))
+    drain()  # replay: epoch guard + idempotent OR + partition overwrite
+    assert sorted(map(tuple,
+                      spark.read.parquet(accepted).collect())) == before
+
+    # hash-family immutability
+    import pytest
+    stream = (spark.readStream.schema(batch_a.schema)
+              .format("parquet").load(src))
+    with pytest.raises(ValueError, match="immutable"):
+        foreach_batch_bloom_dedup(
+            stream, store, key_col="url", accepted_path=accepted,
+            order_cols=[F.col("score")], n_bits=1 << 13, n_hashes=5)

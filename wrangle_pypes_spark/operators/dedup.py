@@ -946,6 +946,50 @@ def bloom_bitmap(history: DataFrame, key_col: str, *,
                  .alias("bits")))
 
 
+def bloom_probe(keys_df: DataFrame, bitmap: DataFrame, key_col: str, *,
+                n_bits: int = 1 << 22, n_hashes: int = 5) -> DataFrame:
+    """Membership test of ``keys_df[key_col]`` (one row per key)
+    against a :func:`bloom_bitmap` table: returns ``(key_col, _maybe
+    boolean)``.  ``_maybe = false`` is a GUARANTEE of absence (Bloom
+    has no false negatives); ``_maybe = true`` is \"present or a
+    ~fpp false positive\".  The bitmap broadcasts; the probe is a
+    k-position explode + broadcast hash join + key aggregate.
+    ``n_bits``/``n_hashes`` must match the values the bitmap was
+    built with — they define the hash family.
+    """
+    shl = lambda c, i: F.call_function("shiftleft", c, i)  # noqa: E731
+    pos = F.explode(F.array(*[
+        F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(n_bits))
+        for i in range(n_hashes)])).alias("_p")
+    probes = (keys_df
+              .select(key_col, pos)
+              .select(key_col,
+                      (F.col("_p") / 64).cast("bigint").alias("word"),
+                      shl(F.lit(1).cast("long"),
+                          F.pmod(F.col("_p"), F.lit(64)).cast("int"))
+                      .alias("_mask")))
+    return (probes.join(F.broadcast(bitmap), "word", "left")
+            .groupBy(key_col)
+            .agg(F.bool_and(
+                F.col("bits").isNotNull() &
+                (F.col("bits").bitwiseAND(F.col("_mask")) != 0))
+                .alias("_maybe")))
+
+
+def bloom_merge_bitmaps(*bitmaps: DataFrame) -> DataFrame:
+    """Union Bloom bitmap tables into one (bitwise OR per word) —
+    Bloom union is exact, so incremental build ≡ one-shot build over
+    the concatenated key sets.  Associative, commutative, idempotent:
+    the merge-shaped state that makes a streaming maintainer
+    replay-safe."""
+    if not bitmaps:
+        raise ValueError("need at least one bitmap")
+    out = bitmaps[0]
+    for b in bitmaps[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
 def bloom_dedup_against(new: DataFrame, history: DataFrame,
                         key_col: str, *, n_bits: int = 1 << 22,
                         n_hashes: int = 5,
@@ -973,25 +1017,10 @@ def bloom_dedup_against(new: DataFrame, history: DataFrame,
     shuffle of new (membership join-back), plus the candidate-only
     anti-join under exact_verify.
     """
-    shl = lambda c, i: F.call_function("shiftleft", c, i)  # noqa: E731
-    bitmap = F.broadcast(bloom_bitmap(history, key_col,
-                                      n_bits=n_bits, n_hashes=n_hashes))
-    pos = F.explode(F.array(*[
-        F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(n_bits))
-        for i in range(n_hashes)])).alias("_p")
-    probes = (new.select(key_col).distinct()
-              .select(key_col, pos)
-              .select(key_col,
-                      (F.col("_p") / 64).cast("bigint").alias("word"),
-                      shl(F.lit(1).cast("long"),
-                          F.pmod(F.col("_p"), F.lit(64)).cast("int"))
-                      .alias("_mask")))
-    membership = (probes.join(bitmap, "word", "left")
-                  .groupBy(key_col)
-                  .agg(F.bool_and(
-                      F.col("bits").isNotNull() &
-                      (F.col("bits").bitwiseAND(F.col("_mask")) != 0))
-                      .alias("_maybe")))
+    bitmap = bloom_bitmap(history, key_col,
+                          n_bits=n_bits, n_hashes=n_hashes)
+    membership = bloom_probe(new.select(key_col).distinct(), bitmap,
+                             key_col, n_bits=n_bits, n_hashes=n_hashes)
     tagged = new.join(membership, key_col)
     fresh = tagged.filter(~F.col("_maybe")).drop("_maybe")
     if not exact_verify:

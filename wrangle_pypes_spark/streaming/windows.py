@@ -908,6 +908,101 @@ def _write_epoch_partition(df: DataFrame, path: str, tag: str) -> None:
        .partitionBy("_epoch").parquet(path))
 
 
+def foreach_batch_bloom_dedup(stream_df: DataFrame, store_path: str, *,
+                              key_col: str, accepted_path: str,
+                              order_cols: Sequence,
+                              n_bits: int = 1 << 22, n_hashes: int = 5,
+                              checkpoint: Optional[str] = None):
+    """Memory-bounded streaming ingest dedup: keep the FIRST-ACCEPTED
+    row per key ever seen, with seen-key state held as a Bloom BITMAP
+    table (``operators.dedup.bloom_bitmap``) instead of a data-sized
+    keyed store — the web-crawler seen-URL topology, where the key set
+    outgrows any exact store but a fixed ``n_bits`` budget suffices.
+
+    Per batch: collapse the batch to one row per key (``max_by`` over
+    ``order_cols``), probe those keys against the resident bitmap
+    (broadcast join — ``_maybe = false`` keys are GUARANTEED unseen),
+    append only the unseen rows to ``accepted_path`` (epoch-partition
+    dynamic overwrite, so a redelivered batch overwrites itself), then
+    commit ``OR(resident, bitmap(accepted))`` to the versioned acid
+    store — the pointer carries the epoch WITH the bits, closing the
+    double-ingest window.  Bloom union is idempotent, so replay
+    converges even without the epoch guard; the guard makes the
+    accepted output exactly-once too.
+
+    Honest semantics: a false positive (~fpp for a well-sized filter)
+    drops a GENUINELY-NEW key's rows forever — this maintainer trades
+    a bounded, configurable loss rate for O(n_bits) state.  Size
+    ``n_bits ≈ 10-15 × expected distinct keys``; use
+    ``foreach_batch_dedup_keep_best`` when exactness matters more
+    than state size.  ``n_bits``/``n_hashes`` are fixed at the
+    store's creation (validated from a sidecar); keys must be
+    non-null.
+    """
+    import json as _json
+
+    from .. import fsutil
+    from ..operators.dedup import (bloom_bitmap, bloom_merge_bitmaps,
+                                   bloom_probe, dedup_keep_best)
+    from ..sources.acid import acid_commit, acid_current, acid_read
+
+    if n_bits < 64:
+        raise ValueError("n_bits must be >= 64")
+    params_path = store_path.rstrip("/") + "/_bloom.json"
+    session = stream_df.sparkSession
+    prior = fsutil.read_text(params_path, spark=session)
+    if prior is not None:
+        doc = _json.loads(prior)
+        if (int(doc["n_bits"]), int(doc["n_hashes"])) != (n_bits,
+                                                          n_hashes):
+            raise ValueError(
+                f"bloom store {store_path!r} was built with n_bits="
+                f"{doc['n_bits']}, n_hashes={doc['n_hashes']}; got "
+                f"({n_bits}, {n_hashes}) — the hash family is "
+                "immutable for the store's lifetime")
+    tag_run = _store_run_tag(checkpoint)
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = acid_current(store_path, spark=spark)
+        if cur is not None and epoch_id <= cur[1]:
+            return  # replayed batch already ingested
+        best = dedup_keep_best(batch_df, [key_col], list(order_cols))
+        resident = acid_read(spark, store_path)
+        if resident is not None:
+            member = bloom_probe(best.select(key_col), resident,
+                                 key_col, n_bits=n_bits,
+                                 n_hashes=n_hashes)
+            accepted = (best.join(member, key_col)
+                        .filter(~F.col("_maybe")).drop("_maybe"))
+        else:
+            accepted = best
+        # pin before the dependent writes (probe lineage reads the
+        # store the commit below replaces)
+        accepted = accepted.localCheckpoint(eager=True)
+        _write_epoch_partition(accepted, accepted_path,
+                               f"{tag_run}-{epoch_id}")
+        add = bloom_bitmap(accepted, key_col, n_bits=n_bits,
+                           n_hashes=n_hashes)
+        merged = add if resident is None \
+            else bloom_merge_bitmaps(resident, add)
+        acid_commit(merged, store_path, epoch_id=epoch_id)
+        # after the commit: the store directory now exists, and a
+        # crash landing between commit and sidecar merely skips one
+        # resume-time validation, never corrupts state
+        if fsutil.read_text(params_path, spark=spark) is None:
+            fsutil.write_text_atomic(
+                params_path,
+                _json.dumps({"n_bits": n_bits, "n_hashes": n_hashes}),
+                spark=spark)
+
+    writer = stream_df.writeStream.foreachBatch(_batch) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def foreach_batch_minhash_index(stream_df: DataFrame, index_path: str, *,
                                 text_col: str, id_col: str,
                                 pairs_path: Optional[str] = None,
