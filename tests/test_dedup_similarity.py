@@ -1290,3 +1290,47 @@ def test_streaming_bloom_dedup_equals_first_seen_and_replays(spark, tmp_path):
         foreach_batch_bloom_dedup(
             stream, store, key_col="url", accepted_path=accepted,
             order_cols=[F.col("score")], n_bits=1 << 13, n_hashes=5)
+
+
+def test_streaming_bloom_dedup_crash_between_append_and_commit(
+        spark, tmp_path):
+    """Crash window proof: accepted rows appended but the bitmap
+    pointer never published -> the replay reprocesses the batch,
+    OVERWRITES its own accepted partition (identical content — the
+    resident bitmap it probes against is unchanged), and commits once.
+    Nothing double-ingests, nothing is lost."""
+    from pyspark.sql import functions as F
+
+    from wrangle_pypes_spark.sources.acid import acid_current
+    from wrangle_pypes_spark.streaming import foreach_batch_bloom_dedup
+
+    feed = spark.createDataFrame(
+        [("k1", 1, 5), ("k2", 2, 3)], "k string, doc int, s int")
+    src = str(tmp_path / "src")
+    feed.coalesce(1).write.parquet(src)
+    store = str(tmp_path / "store")
+    accepted = str(tmp_path / "accepted")
+
+    # simulate the crash: run the batch body manually up to (and
+    # including) the accepted append, but never commit the bitmap
+    checkpoint = str(tmp_path / "ck")
+    from wrangle_pypes_spark.operators.dedup import dedup_keep_best
+    from wrangle_pypes_spark.streaming.windows import (
+        _store_run_tag, _write_epoch_partition)
+    tag_run = _store_run_tag(checkpoint)
+    best = dedup_keep_best(feed, ["k"], [F.col("s"), F.col("doc")])
+    _write_epoch_partition(best, accepted, f"{tag_run}-0")
+    assert acid_current(store) is None  # pointer never published
+
+    # recovery: the real maintainer drains the same source with the
+    # same checkpoint-derived tag
+    stream = (spark.readStream.schema(feed.schema)
+              .format("parquet").load(src))
+    q = foreach_batch_bloom_dedup(
+        stream, store, key_col="k", accepted_path=accepted,
+        order_cols=[F.col("s"), F.col("doc")],
+        n_bits=1 << 12, n_hashes=5, checkpoint=checkpoint)
+    q.awaitTermination()
+    rows = {(r.k, r.doc) for r in spark.read.parquet(accepted).collect()}
+    assert rows == {("k1", 1), ("k2", 2)}  # exactly once
+    assert acid_current(store) is not None
