@@ -4405,6 +4405,50 @@ ORDER BY doc_id
 """
 
 
+def q_manifest_time_travel_orders(spark, sf_dir):
+    """NEW r7: MVCC time travel on the manifest store
+    (sources/manifest.py ``manifest_read(version=)``): commit orders
+    as version 1, merge a doubled-price update for every tenth key as
+    version 2, then aggregate BOTH versions — the old version reads
+    exactly as committed because manifests and bucket directories are
+    immutable.  The oracle recomputes both states from the raw
+    table."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.manifest import (manifest_merge,
+                                                      manifest_read)
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    store = tempfile.mkdtemp(prefix="wps_tt_") + "/dim"
+    manifest_merge(o, store, ["o_orderkey"], epoch_id=0, n_buckets=32)
+    upd = (o.filter(F.col("o_orderkey") % 10 == 0)
+           .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    manifest_merge(upd, store, ["o_orderkey"], epoch_id=1, n_buckets=32)
+
+    def _agg(df, version):
+        return df.agg(
+            F.lit(version).cast("int").alias("version"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"))
+
+    return (_agg(manifest_read(spark, store, version=1), 1)
+            .unionByName(_agg(manifest_read(spark, store), 2))
+            .orderBy("version"))
+
+
+SQL_MANIFEST_TT = """
+SELECT 1::INTEGER AS version, count(*)::BIGINT AS n_rows,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+UNION ALL
+SELECT 2::INTEGER, count(*)::BIGINT,
+       round(sum(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END), 2)
+FROM orders
+ORDER BY version
+"""
+
+
 def q_stream_bloom_dedup_docs(spark, sf_dir):
     """NEW r7: memory-bounded streaming ingest dedup
     (streaming/windows.py ``foreach_batch_bloom_dedup``): seen-key
@@ -7312,8 +7356,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": q_approx_distinct_users,  # rows-only ran (r2)
     "profile_customer_approx": q_profile_customer_approx,  # rows-only ran (r3)
     "stream_bloom_dedup_docs": q_stream_bloom_dedup_docs,
-    # ^ NEW r7 (registered after the window was finalized): promote to
-    #   the FRONT of the r8 window — never driver-checked
+    "manifest_time_travel_orders": q_manifest_time_travel_orders,
+    # ^ two NEW r7 queries registered after the window was finalized:
+    #   promote both to the FRONT of the r8 window — never
+    #   driver-checked
 }
 
 _ORACLES: dict[str, str] = {
@@ -7358,6 +7404,7 @@ _ORACLES: dict[str, str] = {
     "stream_cdc_manifest_store": SQL_STREAM_CDC,
     "bloom_dedup_docs": SQL_BLOOM_DEDUP,
     "stream_bloom_dedup_docs": SQL_STREAM_BLOOM,
+    "manifest_time_travel_orders": SQL_MANIFEST_TT,
     "cdc_vacuum_store": SQL_CDC_VACUUM,
     "curriculum_order_docs": SQL_CURRICULUM,
     "token_fertility_lang": SQL_TOKEN_FERTILITY,
