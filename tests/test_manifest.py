@@ -592,3 +592,48 @@ def test_rollup_manifest_rejects_store_partition_by(spark, events,
             stream, str(tmp_path / "x"), group_cols=["bucket"],
             metrics=METRICS, store_format="manifest",
             store_partition_by=["bucket"])
+
+
+# --- property: random batch sequences vs a dict model ----------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_batch_strategy = st.lists(
+    st.lists(st.tuples(st.integers(0, 30),          # key
+                       st.integers(-100, 100),      # value
+                       st.booleans()),              # tombstone
+             min_size=0, max_size=8),
+    min_size=1, max_size=4)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(batches=_batch_strategy)
+def test_property_upsert_matches_dict_model(spark, tmp_path_factory,
+                                            batches):
+    """Any sequence of upsert/delete batches drains to exactly what a
+    per-key dict would hold: last batch to touch a key wins, a
+    tombstone removes it.  Within a batch, keys are pre-collapsed to
+    one row (the documented contract) keeping the LAST occurrence."""
+    store = str(tmp_path_factory.mktemp("prop") / "man")
+    model: dict[int, int] = {}
+    for e, rows in enumerate(batches):
+        collapsed: dict[int, tuple[int, bool]] = {}
+        for k, v, dead in rows:
+            collapsed[k] = (v, dead)     # last occurrence wins
+        for k, (v, dead) in collapsed.items():
+            if dead:
+                model.pop(k, None)
+            else:
+                model[k] = v
+        batch = [(k, v, dead) for k, (v, dead) in collapsed.items()]
+        df = spark.createDataFrame(
+            batch or [(None, None, None)],
+            "k int, v int, dead boolean").filter(F.col("k").isNotNull())
+        manifest_merge(df, store, ["k"], epoch_id=e, n_buckets=4,
+                       tombstone_col="dead")
+    got_df = manifest_read(spark, store)
+    got = {} if got_df is None else \
+        {r.k: r.v for r in got_df.collect()}
+    assert got == model

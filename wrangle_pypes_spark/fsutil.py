@@ -122,6 +122,17 @@ def write_text_atomic(path: str, text: str, spark=None) -> None:
     fc.rename(tmp, jpath, arr)
 
 
+def ensure_dir(path: str, spark=None) -> None:
+    """Create a directory (and parents) if missing — the seam a store
+    needs before its first control-file write when no data write has
+    created the directory yet (e.g. an empty first batch)."""
+    if is_local(path):
+        os.makedirs(_strip_file_scheme(path), exist_ok=True)
+        return
+    fs, jpath, _ = _hadoop(_require_spark(spark, path), path)
+    fs.mkdirs(jpath)
+
+
 def dir_exists(path: str, spark=None) -> bool:
     if is_local(path):
         return os.path.isdir(_strip_file_scheme(path))

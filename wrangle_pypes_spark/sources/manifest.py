@@ -356,6 +356,11 @@ def _commit_version(spark, path: str, out: Optional[DataFrame],
             # the merge emptied this bucket (every key deleted)
             buckets.pop(str(b), None)
 
+    # an empty or fully-deleting first commit writes no data files, so
+    # nothing has created the store directory yet — the manifest/
+    # pointer writes still need it (found by the property test: an
+    # empty first batch must still commit its epoch)
+    fsutil.ensure_dir(path, spark=spark)
     fsutil.write_text_atomic(
         _join(path, _manifest_name(version)),
         json.dumps({"version": version, "epoch": int(epoch_id),
