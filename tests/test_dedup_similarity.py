@@ -1334,3 +1334,92 @@ def test_streaming_bloom_dedup_crash_between_append_and_commit(
     rows = {(r.k, r.doc) for r in spark.read.parquet(accepted).collect()}
     assert rows == {("k1", 1), ("k2", 2)}  # exactly once
     assert acid_current(store) is not None
+
+
+def test_bloom_dedup_against_null_keys_pass_through(spark):
+    """Null-keyed rows of `new` come out as fresh — exactly the plain
+    anti-join this function replaces (SQL nulls never equal anything,
+    including history's own nulls); the membership inner-join must not
+    silently swallow them."""
+    from pyspark.sql import functions as F
+
+    from wrangle_pypes_spark.operators import bloom_dedup_against
+
+    new = spark.createDataFrame(
+        [("a", 1), (None, 2), ("b", 3), (None, 4)], "k string, v int")
+    hist = spark.createDataFrame([("a", 0), (None, 9)], "k string, v int")
+    got = {(r.k, r.v) for r in
+           bloom_dedup_against(new, hist, "k", n_bits=1 << 10).collect()}
+    # plain anti-join ground truth
+    want = {(r.k, r.v) for r in
+            new.join(hist.select("k"), ["k"], "left_anti").collect()}
+    assert got == want == {(None, 2), ("b", 3), (None, 4)}
+    # approx mode passes nulls through too
+    ap = bloom_dedup_against(new, hist, "k", n_bits=1 << 10,
+                             exact_verify=False)
+    assert ap.filter(F.col("k").isNull()).count() == 2
+
+
+def test_bloom_occupancy_counts_and_fpp(spark):
+    """Occupancy = popcount / n_bits over the bitmap table, in one
+    aggregate; est_fpp = occupancy ** n_hashes.  Verified against a
+    hand-built bitmap with a known bit population."""
+    from wrangle_pypes_spark.operators import (bloom_bitmap,
+                                               bloom_occupancy)
+
+    # hand-built: two words, 3 + 1 bits set, n_bits = 256
+    bm = spark.createDataFrame([(0, 0b1011), (3, -(1 << 63))],
+                               "word bigint, bits bigint")
+    row = bloom_occupancy(bm, n_bits=256, n_hashes=2).collect()[0]
+    assert row.set_bits == 4 and row.n_bits == 256
+    assert abs(row.occupancy - 4 / 256) < 1e-12
+    assert abs(row.est_fpp - (4 / 256) ** 2) < 1e-12
+    # on a real filter: k distinct keys set at most k*n_hashes bits
+    keys = spark.range(100).selectExpr("cast(id as string) as k")
+    bm2 = bloom_bitmap(keys, "k", n_bits=1 << 12, n_hashes=5)
+    occ = bloom_occupancy(bm2, n_bits=1 << 12).collect()[0]
+    assert 0 < occ.set_bits <= 500
+    # empty bitmap -> zero occupancy, not null
+    empty = bloom_occupancy(bm.limit(0), n_bits=64).collect()[0]
+    assert empty.set_bits == 0 and empty.occupancy == 0.0
+
+
+def test_bloom_store_occupancy_and_resume_warning(spark, tmp_path):
+    """The maintainer's capacity gauge reads the committed bitmap +
+    sidecar in one aggregate; resuming an existing store WITHOUT a
+    checkpoint warns (epoch guard needs monotonic batch ids — new
+    leading batches would be silently dropped otherwise)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from wrangle_pypes_spark.streaming import (bloom_store_occupancy,
+                                               foreach_batch_bloom_dedup)
+
+    store = str(tmp_path / "store")
+    accepted = str(tmp_path / "accepted")
+    assert bloom_store_occupancy(spark, store) is None
+
+    feed = spark.createDataFrame(
+        [(f"k{i}", i, i) for i in range(50)], "k string, doc int, s int")
+    src = str(tmp_path / "src")
+    feed.coalesce(1).write.parquet(src)
+
+    def drain():
+        stream = (spark.readStream.schema(feed.schema)
+                  .format("parquet").load(src))
+        q = foreach_batch_bloom_dedup(
+            stream, store, key_col="k", accepted_path=accepted,
+            order_cols=[F.col("s")], n_bits=1 << 12, n_hashes=5)
+        q.awaitTermination()
+
+    drain()  # fresh store: no warning path exercised
+    row = bloom_store_occupancy(spark, store).collect()[0]
+    assert 0 < row.set_bits <= 250 and row.n_bits == 1 << 12
+    assert 0 < row.occupancy < 0.1
+    assert abs(row.est_fpp - row.occupancy ** 5) < 1e-12
+    # byte-identical re-drain without checkpoint: allowed but warned
+    with _pytest.warns(UserWarning, match="WITHOUT a checkpoint"):
+        drain()
+    # state unchanged by the warned replay
+    row2 = bloom_store_occupancy(spark, store).collect()[0]
+    assert row2.set_bits == row.set_bits

@@ -637,3 +637,136 @@ def test_property_upsert_matches_dict_model(spark, tmp_path_factory,
     got = {} if got_df is None else \
         {r.k: r.v for r in got_df.collect()}
     assert got == model
+
+
+def test_vacuum_never_touches_versions_above_pointer(spark, tmp_path):
+    """A writer mid-commit stages data/vN + _mN.json with N above the
+    committed pointer — byte-identical to a crash orphan.  Vacuum must
+    leave BOTH alone (deleting them would let the in-flight pointer
+    publish commit a manifest whose files are gone); the orphan is
+    reclaimed only after a later commit supersedes its number."""
+    store = str(tmp_path / "man")
+    manifest_merge(spark.createDataFrame([(1, "a")], "k int, val string"),
+                   store, ["k"], epoch_id=0, n_buckets=BUCKETS)
+    # in-flight commit: staging for v2 exists, pointer still at v1
+    spark.range(5).write.parquet(os.path.join(store, "data/v000002/bkt=3"))
+    with open(os.path.join(store, "_m000002.json"), "w") as f:
+        json.dump({"version": 2, "epoch": 1, "n_buckets": BUCKETS,
+                   "key_cols": ["k"], "hash": "xxhash64", "schema": None,
+                   "buckets": {"3": "data/v000002/bkt=3"}}, f)
+    manifest_vacuum(store, keep=1)
+    assert os.path.exists(os.path.join(store, "data/v000002/bkt=3"))
+    assert os.path.exists(os.path.join(store, "_m000002.json"))
+    # had the writer published now, its staged commit would be intact;
+    # instead it CRASHES (never publishes), making v2 a true orphan.
+    # A later commit supersedes v2's number (commits never reuse one)
+    # -> the pointer moves past it and NOW vacuum reclaims it.
+    v = manifest_merge(
+        spark.createDataFrame([(1, "b")], "k int, val string"),
+        store, ["k"], epoch_id=1, n_buckets=BUCKETS)
+    assert v == 3  # skipped the orphan's number
+    manifest_vacuum(store, keep=1)
+    assert not os.path.exists(os.path.join(store, "data/v000002"))
+    assert not os.path.exists(os.path.join(store, "_m000002.json"))
+    assert _kv(spark, store) == {1: "b"}
+
+
+def test_vacuum_concurrent_reader_soak(spark, tmp_path):
+    """Manifest twin of the acid store's soak test: a maintainer loop
+    committing many epochs with a vacuum cadence keeps manifests
+    bounded by keep, never breaks a current reader, and a reader
+    pinned to an OLD version keeps working exactly until the keep
+    horizon passes it."""
+    import glob as _glob
+
+    store = str(tmp_path / "man_soak")
+    keep, vacuum_every = 2, 4
+    base = spark.createDataFrame([(i, 0) for i in range(200)],
+                                 "k int, val int")
+    manifest_merge(base, store, ["k"], epoch_id=0, n_buckets=BUCKETS)
+    pinned = None  # (version, expected k=7 value)
+    for e in range(1, 20):
+        manifest_merge(
+            spark.createDataFrame([(7, e)], "k int, val int"),
+            store, ["k"], epoch_id=e, n_buckets=BUCKETS)
+        ver = manifest_current(store)[0]
+        if pinned is None and e == 5:
+            pinned = (ver, e)
+        # a concurrent current-version reader always sees a whole store
+        got = _kv(spark, store)
+        assert len(got) == 200 and got[7] == e
+        if pinned is not None and ver - keep < pinned[0] <= ver:
+            # still inside the keep window -> time travel works
+            old = {r.k: r.val for r in
+                   manifest_read(spark, store, version=pinned[0])
+                   .collect()}
+            assert old[7] == pinned[1]
+        if e % vacuum_every == 0:
+            manifest_vacuum(store, keep=keep)
+            manifests = _glob.glob(os.path.join(store, "_m*.json"))
+            assert len(manifests) <= keep
+            got = _kv(spark, store)
+            assert len(got) == 200 and got[7] == e
+    # the pinned version is long past the horizon now
+    with pytest.raises(FileNotFoundError):
+        manifest_read(spark, store, version=pinned[0])
+    # v1 still alive: it holds the buckets never rewritten since
+    assert os.path.exists(os.path.join(store, "data/v000001"))
+
+
+def test_merge_fn_out_of_bucket_rows_raise(spark, tmp_path):
+    """The merge_fn contract (return rows only for the touched
+    buckets) is a checked invariant: rows hashing elsewhere would be
+    written but never referenced by the manifest — silent data loss.
+    The bad commit must fail BEFORE the pointer publishes."""
+    store = str(tmp_path / "man")
+    base = spark.createDataFrame([(i, i) for i in range(50)],
+                                 "k int, val int")
+    manifest_merge(base, store, ["k"], epoch_id=0, n_buckets=BUCKETS)
+
+    def bad_merge(stored, updates):
+        # injects keys 0..49 no matter which buckets the batch touched
+        return base
+
+    with pytest.raises(ValueError, match="touched bucket set"):
+        manifest_merge(
+            spark.createDataFrame([(7, -1)], "k int, val int"),
+            store, ["k"], epoch_id=1, n_buckets=BUCKETS,
+            merge_fn=bad_merge)
+    # no commit was published; the store still reads as of epoch 0
+    assert manifest_current(store) == (1, 0)
+    assert _kv(spark, store) == {i: i for i in range(50)}
+    # a lawful merge_fn is unaffected
+    manifest_merge(
+        spark.createDataFrame([(7, -1)], "k int, val int"),
+        store, ["k"], epoch_id=1, n_buckets=BUCKETS,
+        merge_fn=lambda stored, updates:
+            stored.join(updates.select("k"), ["k"], "left_anti")
+            .unionByName(updates))
+    assert _kv(spark, store)[7] == -1
+
+
+def test_rebucket_under_skew_from_stats(spark, tmp_path):
+    """The operational loop manifest_stats is for: a store whose
+    buckets grew uniformly oversized (outgrew n_buckets) is measured,
+    rebucketed to a wider layout, and the stats confirm the rows
+    spread while content is untouched."""
+    from wrangle_pypes_spark.sources.manifest import (manifest_rebucket,
+                                                      manifest_stats)
+
+    store = str(tmp_path / "man")
+    big = spark.createDataFrame([(i, i % 97) for i in range(4000)],
+                                "k int, val int")
+    manifest_merge(big, store, ["k"], epoch_id=0, n_buckets=2)
+    st0 = {r.bucket: r.rows for r in manifest_stats(spark, store).collect()}
+    assert sum(st0.values()) == 4000
+    assert max(st0.values()) > 4000 // 4  # 2 buckets: each ~2000 rows
+    v = manifest_rebucket(spark, store, 32)
+    st1 = manifest_stats(spark, store)
+    rows1 = {r.bucket: r.rows for r in st1.collect()}
+    assert sum(rows1.values()) == 4000
+    assert len(rows1) > 16  # spread across the new layout
+    assert max(rows1.values()) < max(st0.values())  # skew reduced
+    assert all(r.written_version == v for r in st1.collect())
+    got = {r.k: r.val for r in manifest_read(spark, store).collect()}
+    assert got == {i: i % 97 for i in range(4000)}

@@ -976,6 +976,36 @@ def bloom_probe(keys_df: DataFrame, bitmap: DataFrame, key_col: str, *,
                 .alias("_maybe")))
 
 
+def bloom_occupancy(bitmap: DataFrame, *, n_bits: int,
+                    n_hashes: Optional[int] = None) -> DataFrame:
+    """Saturation report of a :func:`bloom_bitmap` table — ONE
+    aggregate row ``(set_bits, n_bits, occupancy[, est_fpp])``:
+    population count over the bitmap words divided by the bit budget,
+    and (when ``n_hashes`` is given) the implied false-positive rate
+    ``occupancy ** n_hashes`` — for a filter at occupancy q, a probe
+    false-positives only when all k positions are set.
+
+    This is the capacity gauge for the streaming Bloom maintainer:
+    occupancy crossing ~50% (est_fpp ≈ 3% at k=5) means the store has
+    outgrown ``n_bits``.  The hash family is immutable, so the remedy
+    is a RESIZE-VIA-REBUILD: build a fresh store with larger
+    ``n_bits`` by re-running :func:`bloom_bitmap` over the accepted
+    output's keys (the exact key set the filter is supposed to
+    remember), then point the maintainer at the new store.  Cost: one
+    pass over accepted — the same price as any table-format rewrite.
+    """
+    row = bitmap.agg(
+        F.coalesce(F.sum(F.bit_count("bits")), F.lit(0))
+        .cast("bigint").alias("set_bits"))
+    row = row.select(
+        "set_bits", F.lit(int(n_bits)).cast("bigint").alias("n_bits"),
+        (F.col("set_bits") / F.lit(float(n_bits))).alias("occupancy"))
+    if n_hashes is not None:
+        row = row.withColumn(
+            "est_fpp", F.pow(F.col("occupancy"), F.lit(int(n_hashes))))
+    return row
+
+
 def bloom_merge_bitmaps(*bitmaps: DataFrame) -> DataFrame:
     """Union Bloom bitmap tables into one (bitwise OR per word) —
     Bloom union is exact, so incremental build ≡ one-shot build over
@@ -1016,19 +1046,28 @@ def bloom_dedup_against(new: DataFrame, history: DataFrame,
     broadcast join + key aggregate over new (probe), one key-partition
     shuffle of new (membership join-back), plus the candidate-only
     anti-join under exact_verify.
+
+    NULL keys: rows of ``new`` with a null ``key_col`` pass through as
+    fresh — exactly what the plain anti-join this function replaces
+    would do (SQL nulls never equal anything, including history's own
+    nulls), so ``exact_verify=True`` stays a drop-in equivalent.  The
+    membership inner-join would otherwise silently drop them.
     """
+    null_keyed = new.filter(F.col(key_col).isNull())
+    keyed = new.filter(F.col(key_col).isNotNull())
     bitmap = bloom_bitmap(history, key_col,
                           n_bits=n_bits, n_hashes=n_hashes)
-    membership = bloom_probe(new.select(key_col).distinct(), bitmap,
+    membership = bloom_probe(keyed.select(key_col).distinct(), bitmap,
                              key_col, n_bits=n_bits, n_hashes=n_hashes)
-    tagged = new.join(membership, key_col)
+    tagged = keyed.join(membership, key_col)
     fresh = tagged.filter(~F.col("_maybe")).drop("_maybe")
     if not exact_verify:
-        return fresh
+        return fresh.unionByName(null_keyed.select(fresh.columns))
     cand = tagged.filter(F.col("_maybe")).drop("_maybe")
     verified = cand.join(history.select(key_col).distinct(),
                          key_col, "left_anti")
-    return fresh.unionByName(verified)
+    return (fresh.unionByName(verified)
+            .unionByName(null_keyed.select(fresh.columns)))
 
 
 def source_overlap(df: DataFrame, *, source_col: str,

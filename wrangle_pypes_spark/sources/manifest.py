@@ -256,6 +256,13 @@ def manifest_merge(updates: DataFrame, path: str,
     Key columns must be NON-NULL (the contract of every keyed store
     here): the equi-joins of the built-in modes drop null keys, so a
     null-keyed row could never be updated or deleted once written.
+
+    ``updates`` is evaluated TWICE — once for touched-bucket discovery
+    (a distinct on the bucket hash) and once inside the merge write.
+    foreachBatch maintainers pass an already-materialized micro-batch,
+    so this is free there; a direct caller whose ``updates`` is an
+    expensive plan should ``updates.localCheckpoint(eager=True)``
+    first to avoid recomputing it.
     """
     if mode not in ("upsert", "additive"):
         raise ValueError(f"unknown mode {mode!r} "
@@ -347,6 +354,20 @@ def _commit_version(spark, path: str, out: Optional[DataFrame],
         for name in fsutil.list_dir(staging, spark=spark):
             if name.startswith(_BKT + "="):
                 written.add(int(name.split("=", 1)[1]))
+        stray = written - set(touched)
+        if stray:
+            # only the TOUCHED buckets enter the new manifest below, so
+            # rows hashing elsewhere would be silently unreferenced —
+            # turn the documented merge_fn contract (return rows for
+            # the touched buckets only) into a checked invariant.  The
+            # staging dir is left as an orphan; vacuum reclaims it
+            # after the next successful commit.
+            raise ValueError(
+                f"merge result contains keys outside the touched "
+                f"bucket set (buckets {sorted(stray)} vs touched "
+                f"{sorted(touched)}): a merge_fn must only return "
+                "rows for the buckets the batch's updates hash into "
+                "— no commit was published")
 
     buckets = dict(base_buckets)
     for b in touched:
@@ -461,10 +482,20 @@ def manifest_stats(spark: SparkSession, path: str) -> Optional[DataFrame]:
 def manifest_vacuum(path: str, *, keep: int = 1, spark=None) -> int:
     """Delete manifests outside the committed window and every bucket
     directory no kept manifest references (superseded rewrites AND
-    orphans from crashed commits — both unreferenced by construction).
-    Returns the number of paths deleted.  Safe any time under the
-    single-writer contract: readers resolve the pointer first, and the
-    committed window's references are never touched."""
+    orphans from CRASHED commits — both unreferenced by construction).
+    Returns the number of paths deleted.
+
+    Safe to run CONCURRENTLY with readers and with an in-flight
+    ``manifest_merge``: only versions ``<= the committed pointer`` are
+    ever touched.  A writer mid-commit stages ``data/vN`` and
+    ``_mN.json`` with N strictly ABOVE the pointer, which to a naive
+    sweep looks exactly like a crash orphan — deleting it would let
+    the writer's subsequent pointer publish commit a manifest whose
+    files are gone (a corrupted committed store).  Leaving
+    above-pointer versions alone costs nothing: a true orphan's
+    number is below the pointer as soon as any later commit lands
+    (commits never reuse version numbers), so the NEXT vacuum after
+    the next commit reclaims it."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
     cur = manifest_current(path, spark=spark)
@@ -482,12 +513,16 @@ def manifest_vacuum(path: str, *, keep: int = 1, spark=None) -> int:
     removed = 0
     for name in fsutil.list_dir(path, spark=spark):
         m = _MANIFEST_RE.match(name)
-        if m and int(m.group(1)) not in kept:
+        if m and int(m.group(1)) not in kept and int(m.group(1)) <= committed:
             fsutil.delete(_join(path, name), spark=spark)
             removed += 1
     data_root = _join(path, "data")
     for vdir in fsutil.list_dir(data_root, spark=spark):
-        if not _DATA_V_RE.match(vdir):
+        mv = _DATA_V_RE.match(vdir)
+        if not mv or int(mv.group(1)) > committed:
+            # above the pointer: either an in-flight commit's staging
+            # or a crash orphan that a future commit will supersede —
+            # indistinguishable from here, so never deleted
             continue
         children = fsutil.list_dir(_join(data_root, vdir), spark=spark)
         for child in children:

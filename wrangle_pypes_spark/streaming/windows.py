@@ -938,8 +938,25 @@ def foreach_batch_bloom_dedup(stream_df: DataFrame, store_path: str, *,
     than state size.  ``n_bits``/``n_hashes`` are fixed at the
     store's creation (validated from a sidecar); keys must be
     non-null.
+
+    The epoch guard requires MONOTONIC batch ids, which only a
+    ``checkpoint`` location provides: without one, batch ids restart
+    at 0 every run, so re-draining a source that has GROWN since the
+    last drain silently skips the genuinely-new leading batches
+    (``epoch <= committed`` → return) and their accepted rows are
+    lost forever — worse than the rollup maintainer's double-merge,
+    because nothing downstream can detect the gap.  The only safe
+    no-checkpoint replay is a byte-identical re-drain; resuming an
+    existing store without a checkpoint warns for exactly this
+    reason (same contract as ``foreach_batch_rollup_upsert``).
+
+    Call :func:`bloom_store_occupancy` on a cadence to watch filter
+    saturation — past ~50% occupancy the false-positive rate grows
+    quickly, and the remedy is a resize-via-rebuild (new store with
+    larger ``n_bits`` rebuilt from the accepted output's keys).
     """
     import json as _json
+    import warnings
 
     from .. import fsutil
     from ..operators.dedup import (bloom_bitmap, bloom_merge_bitmaps,
@@ -961,6 +978,18 @@ def foreach_batch_bloom_dedup(stream_df: DataFrame, store_path: str, *,
                 f"({n_bits}, {n_hashes}) — the hash family is "
                 "immutable for the store's lifetime")
     tag_run = _store_run_tag(checkpoint)
+    if (checkpoint is None
+            and acid_current(store_path, spark=session) is not None):
+        warnings.warn(
+            "foreach_batch_bloom_dedup: resuming an existing bloom "
+            f"store ({store_path!r}) WITHOUT a checkpoint location — "
+            "batch ids restart at 0 each run, so the epoch guard "
+            "skips any batch id the store has already committed. If "
+            "the source has grown since the last run, the new leading "
+            "batches are silently dropped and their accepted rows "
+            "are permanently lost. Pass checkpoint= for incremental "
+            "use; only a byte-identical re-drain is safe without it.",
+            stacklevel=2)
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1001,6 +1030,39 @@ def foreach_batch_bloom_dedup(stream_df: DataFrame, store_path: str, *,
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def bloom_store_occupancy(spark, store_path: str):
+    """Saturation gauge of a :func:`foreach_batch_bloom_dedup` store:
+    one-row DataFrame ``(set_bits, n_bits, occupancy, est_fpp)`` from
+    ONE aggregate over the committed bitmap table, with the hash
+    family read from the store's ``_bloom.json`` sidecar.  ``None``
+    when nothing was ever committed.
+
+    Run on a maintenance cadence (not per batch): occupancy past
+    ~50% means the filter outgrew its bit budget and the
+    false-positive loss rate is no longer the one it was sized for —
+    time for the resize-via-rebuild documented on
+    :func:`operators.dedup.bloom_occupancy`.
+    """
+    import json as _json
+
+    from .. import fsutil
+    from ..operators.dedup import bloom_occupancy
+    from ..sources.acid import acid_read
+
+    bitmap = acid_read(spark, store_path)
+    if bitmap is None:
+        return None
+    txt = fsutil.read_text(store_path.rstrip("/") + "/_bloom.json",
+                           spark=spark)
+    if txt is None:
+        raise FileNotFoundError(
+            f"bloom store {store_path!r} has commits but no "
+            "_bloom.json sidecar — cannot recover n_bits/n_hashes")
+    doc = _json.loads(txt)
+    return bloom_occupancy(bitmap, n_bits=int(doc["n_bits"]),
+                           n_hashes=int(doc["n_hashes"]))
 
 
 def foreach_batch_minhash_index(stream_df: DataFrame, index_path: str, *,
