@@ -3968,6 +3968,68 @@ ORDER BY o_orderkey
 """
 
 
+def q_stream_cdc_manifest_evolve(spark, sf_dir):
+    """NEW r8: mid-stream ADDITIVE schema evolution end-to-end through
+    the CDC manifest maintainer (streaming/windows.py
+    ``foreach_batch_cdc_apply`` with ``evolve_schema=True``): a first
+    drain populates the store from the V1-schema feed; a second
+    drain's feed carries a NEW payload column (``price_band``) for a
+    third of the keys — the merge widens only the buckets those keys
+    hash into, the commit records the widened schema in the manifest,
+    and every untouched bucket null-fills the column on read (the
+    table-format evolution contract, sources/manifest.py).  The oracle
+    states the final image directly: the two update generations' CASE
+    chain plus a band only where generation 2 touched.  Multiplies by
+    2 / 0.5 keep doubles binary-exact cross-engine."""
+    import tempfile
+
+    from wrangle_pypes_spark.streaming import (foreach_batch_cdc_apply,
+                                               read_cdc_store)
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    img1 = base.select(
+        "o_orderkey", F.lit("U").alias("op"), F.lit(1).alias("seq"),
+        "o_custkey", (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit("V1").alias("o_orderstatus"))
+    # generation 2 arrives AFTER the upstream schema widened: same
+    # image shape plus price_band — only for keys % 3 == 0
+    img2 = base.filter(k % 3 == 0).select(
+        "o_orderkey", F.lit("U").alias("op"), F.lit(2).alias("seq"),
+        "o_custkey",
+        (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+        F.lit("V2").alias("o_orderstatus"),
+        (k % 10).cast("int").alias("price_band"))
+    store = tempfile.mkdtemp(prefix="wps_cdce_store_") + "/state"
+    for feed in (img1, img2):  # two drains = two source schemas
+        src = tempfile.mkdtemp(prefix="wps_cdce_feed_")
+        feed.coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema(feed.schema)
+                  .format("parquet").load(src))
+        q = foreach_batch_cdc_apply(
+            stream, store, key_cols=["o_orderkey"], seq_col="seq",
+            store_format="manifest", store_buckets=32,
+            evolve_schema=True)
+        q.awaitTermination()
+    return (read_cdc_store(spark, store)
+            .select("o_orderkey", "o_custkey", "o_totalprice",
+                    "o_orderstatus", "price_band")
+            .orderBy("o_orderkey"))
+
+
+SQL_STREAM_CDC_EVOLVE = """
+SELECT o_orderkey, o_custkey,
+  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 0.5
+       ELSE o_totalprice * 2 END AS o_totalprice,
+  CASE WHEN o_orderkey % 3 = 0 THEN 'V2' ELSE 'V1' END AS o_orderstatus,
+  CASE WHEN o_orderkey % 3 = 0
+       THEN CAST(o_orderkey % 10 AS INT) END AS price_band
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 def q_cdc_vacuum_store(spark, sf_dir):
     """CDC tombstone retention (operators/cdc.py ``cdc_vacuum``) as a
     read-back: a feed with TWO delete generations (seq 3 and seq 9)
@@ -7114,22 +7176,89 @@ def q_compression_ratio_docs(spark, sf_dir):
 # rotate below: entry() + bench.py exercise them every round anyway.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- the 50-slot driver verification window ----
-    # Round-7 rotation (VERDICT r6 #1/#2): (1) the 6 dedup/similarity
-    # queries whose scoring expressions were rewritten in r6 AFTER their
-    # last driver check (commits e0a0550/4cf737d/991c763/c529b9f) —
-    # 'stale-green', the only unverified-code surface on the board;
-    # (2) the 7 queries whose code changed THIS round (the URL-port and
-    # rollup-maintainer ADVICE fixes) so no new stale-greens are minted;
-    # (3) every remaining r1-vintage row (value oracles, then rows-only);
-    # (4) r2-vintage value-oracle greens to fill 50.  Deferred to r8:
-    # cube_orders, semi_join_customers, percentiles_by_segment,
-    # string_agg_priorities, orders_above_cust_avg, salted_join_revenue,
-    # resize_images, sample_frames (r2) + grouped_ewma /
-    # approx_distinct_users (r2 rows-only), then the r3 block.
-    # The two NEW r7 queries (stream_rollup_manifest_store,
-    # stream_cdc_manifest_store) sit at the window's tail — policy (1)
-    # displaced the last two r2-vintage fills (async_enrich_tags,
-    # async_get_or_create_dim), which lead the r8 fills instead.
+    # Round-8 rotation (VERDICT r7 #1): (1) the 2 never-checked
+    # queries + everything whose implementing code changed in r7
+    # AFTER its last driver check (the n-gram rewrite 6661a1a and
+    # the maintainer refactors) or changes THIS round (the bloom/
+    # manifest ADVICE fixes + the new schema-evolution query);
+    # (2) the r2-vintage fills displaced from the r7 window; (3)
+    # the deferred r2 block; (4) r3-vintage greens to fill 50.
+    # scripts/rotation_report.py --stale now computes (1)
+    # mechanically from git history; keep the marker at EXACTLY
+    # 50 entries — tests/test_bare_session.py pins it.
+    "bloom_dedup_docs": q_bloom_dedup_docs,
+    # ^ r7-green; bloom_dedup_against gained null-key passthrough (r8)
+    "stream_bloom_dedup_docs": q_stream_bloom_dedup_docs,
+    # ^ NEVER driver-checked (registered after the r7 window froze);
+    #   maintainer gained the resume-without-checkpoint warning (r8)
+    "manifest_time_travel_orders": q_manifest_time_travel_orders,
+    # ^ NEVER driver-checked; manifest vacuum/commit hardened r8
+    "stream_cdc_manifest_evolve": q_stream_cdc_manifest_evolve,
+    # ^ NEW r8: mid-stream additive schema evolution through the CDC
+    #   manifest maintainer (evolve_schema=True)
+    "stream_cdc_manifest_store": q_stream_cdc_manifest_store,
+    # ^ r7-green; CDC manifest merge + vacuum semantics changed r8
+    "stream_rollup_manifest_store": q_stream_rollup_manifest_store,
+    # ^ r7-green; manifest commit/vacuum changed r8
+    "top_ngrams_corpus": q_top_ngrams_corpus,
+    # ^ r3-green; n-gram build rewritten r7 (6661a1a) AFTER last check
+    "ngram_containment_docs": q_ngram_containment_docs,
+    # ^ r5-green; n-gram rewrite r7 after last check
+    "source_overlap_docs": q_source_overlap_docs,
+    # ^ r5-green; n-gram rewrite r7 after last check
+    "decontaminate_docs": q_decontaminate_docs,
+    # ^ r6-green; n-gram rewrite r7 after last check
+    "repetition_stats": q_repetition_stats,
+    # ^ r6-green; zip_with rewrite r7 (25->1.8s) after last check
+    "bigram_logprob": q_bigram_logprob,
+    # ^ r6-green; bigram build rewritten r7 after last check
+    "stream_scd2_user_status": q_stream_scd2_user_status,
+    # ^ r3-green; maintainer refactors b24f724/a989e0c after last check
+    "stream_dedup_keep_best": q_stream_dedup_keep_best,
+    # ^ r5-green; maintainer refactor r7 after last check
+    "stream_cdc_store": q_stream_cdc_store,
+    # ^ r5-green; maintainer refactor r7 after last check
+    "stream_minhash_index": q_stream_minhash_index,
+    # ^ rows-only (r6); shingle path changed r7 after last run
+    "fuzzy_dedup_canonical": q_fuzzy_dedup_canonical,
+    # ^ r2-green; displaced from the r7 window — oldest-vintage fill
+    "async_enrich_tags": q_async_enrich_tags,
+    # ^ r2-green fill
+    "async_get_or_create_dim": q_async_get_or_create_dim,
+    # ^ r2-green fill
+    "cube_orders": q_cube_orders,  # r2 hash-green
+    "semi_join_customers": q_semi_join_customers,  # r2 hash-green
+    "percentiles_by_segment": q_percentiles_by_segment,  # r2 hash-green
+    "string_agg_priorities": q_string_agg_priorities,  # r2 hash-green
+    "orders_above_cust_avg": q_orders_above_cust_avg,  # r2 hash-green
+    "salted_join_revenue": q_salted_join_revenue,  # r2 hash-green
+    "resize_images": q_resize_images,  # r2 hash-green
+    "sample_frames": q_sample_frames,  # r2 hash-green
+    "grouped_ewma": q_grouped_ewma,  # rows-only ran (r2)
+    "approx_distinct_users": q_approx_distinct_users,  # rows-only ran (r2)
+    "wrangle_flat_orders": q_wrangle_flat_orders,  # r3 hash-green
+    "wrangle_nested_customer": q_wrangle_nested_customer,  # r3 hash-green
+    "q1_pricing_summary": q_q1_pricing_summary,  # r3 hash-green
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,  # r3 hash-green
+    "q3_topk_revenue": q_q3_topk_revenue,  # r3 hash-green
+    "q4_late_order_priority": q_q4_late_order_priority,  # r3 hash-green
+    "q5_revenue_by_nation": q_q5_revenue_by_nation,  # r3 hash-green
+    "q7_volume_shipping": q_q7_volume_shipping,  # r3 hash-green
+    "q8_market_share": q_q8_market_share,  # r3 hash-green
+    "q9_profit_by_nation": q_q9_profit_by_nation,  # r3 hash-green
+    "q11_important_parts": q_q11_important_parts,  # r3 hash-green
+    "q13_order_distribution": q_q13_order_distribution,  # r3 hash-green
+    "q15_top_supplier": q_q15_top_supplier,  # r3 hash-green
+    "q16_supplier_part_counts": q_q16_supplier_part_counts,  # r3 hash-green
+    "q17_small_quantity_revenue": q_q17_small_quantity_revenue,  # r3 hash-green
+    "q20_bulk_suppliers": q_q20_bulk_suppliers,  # r3 hash-green
+    "q21_suppliers_kept_waiting": q_q21_suppliers_kept_waiting,  # r3 hash-green
+    "q22_sales_opportunity": q_q22_sales_opportunity,  # r3 hash-green
+    "stream_static_enrich": q_stream_static_enrich,  # r3 hash-green
+    "mix_corpus_sources": q_mix_corpus_sources,  # r3 hash-green
+    "temperature_mix_sources": q_temperature_mix_sources,  # r3 hash-green
+    # ---- below the 50-slot driver window from here down ----
+    # (ordering preserved; vintage tags show last driver check)
     "embedding_near_dup": q_embedding_near_dup,
     # ^ r1-green; near-dup expr rewritten r6 (c529b9f) after last check
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -7142,7 +7271,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ^ rows-only r1; candidate scoring rewritten r6 (991c763) after last check
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     # ^ rows-only r1; candidate scoring rewritten r6 (991c763) after last check
-    # code changed in r7 (ADVICE fixes) — re-verify before anything else
     "url_parse_docs": q_url_parse_docs,
     # ^ r6-green; _PORT_RE authority-terminating lookahead (r7 ADVICE fix)
     "url_blocklist_docs": q_url_blocklist_docs,
@@ -7157,7 +7285,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ^ r3-green; maintainer gained snapshot schema-align (r7)
     "stream_drift_hourly": q_stream_drift_hourly,
     # ^ r6-green; maintainer gained snapshot schema-align (r7)
-    # r1-vintage value-oracle greens, code untouched; freshness rotation
     "window_running_total": q_window_running_total,  # r1 hash-green
     "window_lag_gap": q_window_lag_gap,  # r1 hash-green
     "rollup_status_priority": q_rollup_status_priority,  # r1 hash-green
@@ -7169,10 +7296,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,  # r1 hash-green
     "lang_id": q_lang_id,  # r1 hash-green
     "embedding_norms": q_embedding_norms,  # r1 hash-green
-    # r1-vintage rows-only (approx ops; recall tests in tests/)
     "minhash_lsh_pairs": q_minhash_lsh_pairs,  # rows-only ran (r1)
     "simhash_pairs": q_simhash_pairs,  # rows-only ran (r1)
-    # r2-vintage value-oracle greens, code untouched; freshness rotation
     "q12_late_lines_by_flag": q_q12_late_lines_by_flag,  # r2 hash-green
     "json_extract_events": q_json_extract_events,  # r2 hash-green
     "sessionize_events": q_sessionize_events,  # r2 hash-green
@@ -7194,26 +7319,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_clean_pipeline": q_corpus_clean_pipeline,  # r2 hash-green
     "tfidf_top_terms": q_tfidf_top_terms,  # r2 hash-green
     "wrangle_foreach_custom": q_wrangle_foreach_custom,  # r2 hash-green
-    "bloom_dedup_docs": q_bloom_dedup_docs,
-    # ^ NEW r7 (Bloom pre-filter + exact verify): never driver-checked
-    "stream_rollup_manifest_store": q_stream_rollup_manifest_store,
-    # ^ NEW r7 (sources/manifest.py): never driver-checked — window
-    #   policy (1) outranks the r2-vintage fills it displaced
-    "stream_cdc_manifest_store": q_stream_cdc_manifest_store,
-    # ^ NEW r7: never driver-checked
-    # ---- below the 50-slot driver window from here down ----
-    "fuzzy_dedup_canonical": q_fuzzy_dedup_canonical,  # r2 hash-green
-    "async_enrich_tags": q_async_enrich_tags,  # r2 hash-green
-    "async_get_or_create_dim": q_async_get_or_create_dim,
-    # ^ r2 hash-green trio displaced from the r7 window by the three
-    #   NEW r7 queries (bloom + two manifest stores) — first fills for
-    #   the r8 window
-    # Round-8 rotation plan: queries whose code changes in r8 first,
-    # then oldest-vintage by last-checked round — the deferred r2 block
-    # listed above, then the r3-vintage block, then r4/r5.
-    # scripts/rotation_report.py prints the live vintage table; keep
-    # the marker at EXACTLY 50 entries — tests/test_bare_session.py
-    # pins it.
     "random_projection_emb": q_random_projection_emb,  # r6 hash-green
     "quantize_embeddings_int8": q_quantize_embeddings_int8,  # r6 hash-green
     "fuzzy_part_names": q_fuzzy_part_names,  # r6 hash-green
@@ -7230,18 +7335,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_fit_corpus": q_zipf_fit_corpus,  # r6 hash-green
     "corpus_data_card": q_corpus_data_card,  # r6 hash-green
     "html_extract_docs": q_html_extract_docs,  # r6 hash-green
-    "bigram_logprob": q_bigram_logprob,  # r6 hash-green
     "source_kl_drift": q_source_kl_drift,  # r6 hash-green
     "snapshot_js_drift": q_snapshot_js_drift,  # r6 hash-green
-    "stream_minhash_index": q_stream_minhash_index,  # rows-only ran (r6)
     "stream_embedding_index": q_stream_embedding_index,  # rows-only ran (r6)
     "pagerank_trade_graph": q_pagerank_trade_graph,  # rows-only ran (r6)
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # rows-only ran (r6)
     "bpe_merges_docs": q_bpe_merges_docs,  # rows-only ran (r6)
-    "decontaminate_docs": q_decontaminate_docs,  # r6 hash-green
     "pii_scrub": q_pii_scrub,  # r6 hash-green
     "gopher_quality": q_gopher_quality,  # r6 hash-green
-    "repetition_stats": q_repetition_stats,  # r6 hash-green
     "stream_tumbling_events": q_stream_tumbling_events,  # r6 hash-green
     "stream_sliding_events": q_stream_sliding_events,  # r6 hash-green
     "stream_session_events": q_stream_session_events,  # r6 hash-green
@@ -7263,7 +7364,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorize_order_totals": q_winsorize_order_totals,  # r5 hash-green
     "stratified_sample_langs": q_stratified_sample_langs,  # r5 hash-green
     "cdc_apply_orders": q_cdc_apply_orders,  # r5 hash-green
-    "stream_cdc_store": q_stream_cdc_store,  # r5 hash-green
     "cdc_vacuum_store": q_cdc_vacuum_store,  # r5 hash-green
     "curriculum_order_docs": q_curriculum_order_docs,  # r5 hash-green
     "token_fertility_lang": q_token_fertility_lang,  # r5 hash-green
@@ -7279,7 +7379,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_score_docs": q_classifier_score_docs,  # r5 hash-green
     "training_shards_manifest": q_training_shards_manifest,  # r5 hash-green
     "web_ingest_docs": q_web_ingest_docs,  # r5 hash-green
-    "source_overlap_docs": q_source_overlap_docs,  # r5 hash-green
     "normalize_text_docs": q_normalize_text_docs,  # r5 hash-green
     "compact_roundtrip_orders": q_compact_roundtrip_orders,  # r5 hash-green
     "scd2_rebuild_heal": q_scd2_rebuild_heal,  # r5 hash-green
@@ -7288,7 +7387,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_events": q_funnel_events,  # r5 hash-green
     "paragraph_dedup_docs": q_paragraph_dedup_docs,  # r5 hash-green
     "dsir_weights_docs": q_dsir_weights_docs,  # r5 hash-green
-    "stream_dedup_keep_best": q_stream_dedup_keep_best,  # r5 hash-green
     "cap_per_source": q_cap_per_source,  # r5 hash-green
     "quality_quantile_filter": q_quality_quantile_filter,  # r5 hash-green
     "boilerplate_lines_docs": q_boilerplate_lines_docs,  # r5 hash-green
@@ -7298,38 +7396,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topp_quality_per_source": q_topp_quality_per_source,  # r5 hash-green
     "snapshot_diff_docs": q_snapshot_diff_docs,  # r5 hash-green
     "rolling_median_orders": q_rolling_median_orders,  # r5 hash-green
-    "ngram_containment_docs": q_ngram_containment_docs,  # r5 hash-green
     "standardize_orders": q_standardize_orders,  # r5 hash-green
-    "cube_orders": q_cube_orders,  # r2 hash-green
-    "semi_join_customers": q_semi_join_customers,  # r2 hash-green
-    "percentiles_by_segment": q_percentiles_by_segment,  # r2 hash-green
-    "string_agg_priorities": q_string_agg_priorities,  # r2 hash-green
-    "orders_above_cust_avg": q_orders_above_cust_avg,  # r2 hash-green
-    "salted_join_revenue": q_salted_join_revenue,  # r2 hash-green
-    "resize_images": q_resize_images,  # r2 hash-green
-    "sample_frames": q_sample_frames,  # r2 hash-green
-    "wrangle_flat_orders": q_wrangle_flat_orders,  # r3 hash-green
-    "wrangle_nested_customer": q_wrangle_nested_customer,  # r3 hash-green
-    "q1_pricing_summary": q_q1_pricing_summary,  # r3 hash-green
-    "q2_min_cost_supplier": q_q2_min_cost_supplier,  # r3 hash-green
-    "q3_topk_revenue": q_q3_topk_revenue,  # r3 hash-green
-    "q4_late_order_priority": q_q4_late_order_priority,  # r3 hash-green
-    "q5_revenue_by_nation": q_q5_revenue_by_nation,  # r3 hash-green
-    "q7_volume_shipping": q_q7_volume_shipping,  # r3 hash-green
-    "q8_market_share": q_q8_market_share,  # r3 hash-green
-    "q9_profit_by_nation": q_q9_profit_by_nation,  # r3 hash-green
-    "q11_important_parts": q_q11_important_parts,  # r3 hash-green
-    "q13_order_distribution": q_q13_order_distribution,  # r3 hash-green
-    "q15_top_supplier": q_q15_top_supplier,  # r3 hash-green
-    "q16_supplier_part_counts": q_q16_supplier_part_counts,  # r3 hash-green
-    "q17_small_quantity_revenue": q_q17_small_quantity_revenue,  # r3 hash-green
-    "q20_bulk_suppliers": q_q20_bulk_suppliers,  # r3 hash-green
-    "q21_suppliers_kept_waiting": q_q21_suppliers_kept_waiting,  # r3 hash-green
-    "q22_sales_opportunity": q_q22_sales_opportunity,  # r3 hash-green
-    "stream_static_enrich": q_stream_static_enrich,  # r3 hash-green
-    "stream_scd2_user_status": q_stream_scd2_user_status,  # r3 hash-green
-    "mix_corpus_sources": q_mix_corpus_sources,  # r3 hash-green
-    "temperature_mix_sources": q_temperature_mix_sources,  # r3 hash-green
     "scd2_customer_history": q_scd2_customer_history,  # r3 hash-green
     "profile_customer": q_profile_customer,  # r3 hash-green
     "rollup_events_hourly": q_rollup_events_hourly,  # r3 hash-green
@@ -7341,7 +7408,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob": q_unigram_logprob,  # r3 hash-green
     "cohort_retention_weekly": q_cohort_retention_weekly,  # r3 hash-green
     "embedding_label_centroids": q_embedding_label_centroids,  # r3 hash-green
-    "top_ngrams_corpus": q_top_ngrams_corpus,  # r3 hash-green
     "dedup_keep_longest": q_dedup_keep_longest,  # r3 hash-green
     "dedup_exact": q_dedup_exact,  # r3 hash-green
     "chunk_documents_overlap": q_chunk_documents_overlap,  # r3 hash-green
@@ -7352,14 +7418,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,  # r3 hash-green
     "wrangle_array_ops": q_wrangle_array_ops,  # r3 hash-green
     "pivot_status_priority": q_pivot_status_priority,  # r3 hash-green
-    "grouped_ewma": q_grouped_ewma,  # rows-only ran (r2)
-    "approx_distinct_users": q_approx_distinct_users,  # rows-only ran (r2)
     "profile_customer_approx": q_profile_customer_approx,  # rows-only ran (r3)
-    "stream_bloom_dedup_docs": q_stream_bloom_dedup_docs,
-    "manifest_time_travel_orders": q_manifest_time_travel_orders,
-    # ^ two NEW r7 queries registered after the window was finalized:
-    #   promote both to the FRONT of the r8 window — never
-    #   driver-checked
 }
 
 _ORACLES: dict[str, str] = {
@@ -7402,6 +7461,7 @@ _ORACLES: dict[str, str] = {
     # the manifest-backed CDC store applies the same feed to the same
     # latest image
     "stream_cdc_manifest_store": SQL_STREAM_CDC,
+    "stream_cdc_manifest_evolve": SQL_STREAM_CDC_EVOLVE,
     "bloom_dedup_docs": SQL_BLOOM_DEDUP,
     "stream_bloom_dedup_docs": SQL_STREAM_BLOOM,
     "manifest_time_travel_orders": SQL_MANIFEST_TT,

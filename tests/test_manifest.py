@@ -770,3 +770,67 @@ def test_rebucket_under_skew_from_stats(spark, tmp_path):
     assert all(r.written_version == v for r in st1.collect())
     got = {r.k: r.val for r in manifest_read(spark, store).collect()}
     assert got == {i: i % 97 for i in range(4000)}
+
+
+def test_cdc_manifest_mid_stream_schema_evolution(spark, tmp_path):
+    """A CDC feed whose LATER batches carry a new payload column
+    (schema-registry style topic evolution) widens the manifest store
+    end-to-end through the maintainer: touched keys get the column,
+    untouched keys null-fill it on read, and a late stale image
+    without the column cannot clobber it (max_by keeps the winner)."""
+    import glob as _glob
+    import shutil
+
+    from wrangle_pypes_spark.streaming import (foreach_batch_cdc_apply,
+                                               read_cdc_store)
+
+    def _drain(feed, store, fmt="manifest", **kw):
+        src = str(tmp_path / f"src_{abs(hash(feed.schema.json())) % 997}")
+        shutil.rmtree(src, ignore_errors=True)
+        feed.coalesce(1).write.parquet(src)
+        stream = (spark.readStream.schema(feed.schema)
+                  .format("parquet").load(src))
+        q = foreach_batch_cdc_apply(
+            stream, store, key_cols=["k"], seq_col="seq",
+            store_format=fmt, store_buckets=8, **kw)
+        q.awaitTermination()
+
+    store = str(tmp_path / "store")
+    v1 = spark.createDataFrame(
+        [(i, "U", 1, f"v{i}") for i in range(20)],
+        "k int, op string, seq int, val string")
+    _drain(v1, store)
+
+    # evolution OFF: a widened batch fails loudly at the union
+    v2 = spark.createDataFrame(
+        [(3, "U", 2, "NEW", 99), (100, "U", 2, "ins", 7)],
+        "k int, op string, seq int, val string, extra int")
+    with pytest.raises(Exception):
+        _drain(v2, store)
+
+    # evolution ON: the store widens additively
+    _drain(v2, store, evolve_schema=True)
+    got = {r.k: (r.val, r.extra)
+           for r in read_cdc_store(spark, store).collect()}
+    assert got[3] == ("NEW", 99) and got[100] == ("ins", 7)
+    assert got[5] == ("v5", None)  # untouched bucket null-fills
+    assert len(got) == 21
+
+    # a LATE stale image without the column loses the max_by and the
+    # widened row survives intact
+    stale = spark.createDataFrame(
+        [(3, "U", 1, "stale")], "k int, op string, seq int, val string")
+    _drain(stale, store, evolve_schema=True)
+    got = {r.k: (r.val, r.extra)
+           for r in read_cdc_store(spark, store).collect()}
+    assert got[3] == ("NEW", 99)
+
+    # validation: evolve_schema needs the manifest store
+    empty_src = str(tmp_path / "empty_src")
+    os.makedirs(empty_src)
+    with pytest.raises(ValueError, match="manifest"):
+        foreach_batch_cdc_apply(
+            spark.readStream.schema(v1.schema)
+            .format("parquet").load(empty_src),
+            store, key_cols=["k"], seq_col="seq",
+            store_format="swap", evolve_schema=True)

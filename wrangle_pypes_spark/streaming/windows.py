@@ -578,7 +578,8 @@ def foreach_batch_cdc_apply(stream_df: DataFrame, store_path: str, *,
                             tiebreak_cols: Sequence[str] = (),
                             checkpoint: Optional[str] = None,
                             store_format: str = "swap",
-                            store_buckets: int = 64):
+                            store_buckets: int = 64,
+                            evolve_schema: bool = False):
     """Durable streaming CDC: maintain a base table from a stream of
     insert/update/delete change images — the streaming twin of
     ``operators.cdc.cdc_apply`` for feeds that arrive as micro-batches
@@ -616,6 +617,18 @@ def foreach_batch_cdc_apply(stream_df: DataFrame, store_path: str, *,
     Tombstones accumulate by design — at 100 TB give deletes a
     retention sweep (filter tombstones older than the transport's max
     disorder).
+
+    ``evolve_schema=True`` (manifest store only) allows ADDITIVE
+    mid-stream schema evolution: when the upstream source starts
+    emitting a new payload column (schema registries version CDC
+    topics exactly this way), batches carrying it widen the store —
+    the merge null-fills the column on the stored side, the commit
+    records the widened schema in the manifest, and buckets not yet
+    rewritten null-fill it on read.  A LATE stale image without the
+    column that loses the max_by keeps the stored row (new column
+    intact); if it wins, the new column is honestly null for that
+    key — last-writer-wins applies to the whole image.  Off by
+    default: unannounced drift fails loudly at the union.
     """
     from ..operators.dedup import dedup_keep_best
     from ..sources.manifest import manifest_merge
@@ -624,6 +637,11 @@ def foreach_batch_cdc_apply(stream_df: DataFrame, store_path: str, *,
     if store_format not in ("swap", "manifest"):
         raise ValueError(f"unknown store_format {store_format!r} "
                          "(expected 'swap' or 'manifest')")
+    if evolve_schema and store_format != "manifest":
+        raise ValueError(
+            "evolve_schema requires store_format='manifest' — only "
+            "the manifest store records an authoritative schema that "
+            "null-fills not-yet-rewritten buckets on read")
     keys = list(key_cols)
     order = [F.col("_cdc_seq"),
              *[F.col(c) for c in tiebreak_cols]]
@@ -649,14 +667,19 @@ def foreach_batch_cdc_apply(stream_df: DataFrame, store_path: str, *,
                 # max_by merge needs only the batch's keys — carry the
                 # rest verbatim.  Idempotent under replay even without
                 # the epoch guard (same argument as the swap path).
+                # Under evolve_schema the unions null-fill whichever
+                # side lacks a column (additive widening only).
                 if stored is None:
                     return batch_best
                 bkeys = F.broadcast(batch_best.select(*keys).distinct())
                 touched = stored.join(bkeys, keys, "left_semi")
                 carried = stored.join(bkeys, keys, "left_anti")
                 return dedup_keep_best(
-                    touched.unionByName(batch_best), keys, order) \
-                    .unionByName(carried)
+                    touched.unionByName(
+                        batch_best, allowMissingColumns=evolve_schema),
+                    keys, order) \
+                    .unionByName(carried,
+                                 allowMissingColumns=evolve_schema)
 
             manifest_merge(best, store_path, keys, epoch_id=epoch_id,
                            merge_fn=_merge, n_buckets=store_buckets)
