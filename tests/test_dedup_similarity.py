@@ -1423,3 +1423,75 @@ def test_bloom_store_occupancy_and_resume_warning(spark, tmp_path):
     # state unchanged by the warned replay
     row2 = bloom_store_occupancy(spark, store).collect()[0]
     assert row2.set_bits == row.set_bits
+
+
+def test_bloom_maintainer_occupancy_warning_and_resize(spark, tmp_path):
+    """A deliberately undersized filter trips the in-maintainer
+    saturation warning; bloom_resize_store rebuilds the filter at a
+    larger size from the accepted output's exact key set (no inherited
+    false positives) and the maintainer resumes under the new family,
+    refusing the old one."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from wrangle_pypes_spark.streaming import (bloom_resize_store,
+                                               bloom_store_occupancy,
+                                               foreach_batch_bloom_dedup)
+
+    import glob as _glob
+    import shutil
+
+    store = str(tmp_path / "store")
+    accepted = str(tmp_path / "accepted")
+    ck = str(tmp_path / "ck")  # ONE checkpoint: monotonic batch ids
+    feed = spark.createDataFrame(
+        [(f"k{i}", i, i) for i in range(60)], "k string, doc int, s int")
+    src = str(tmp_path / "src")
+
+    def add_files(df):
+        stage = str(tmp_path / "stage")
+        shutil.rmtree(stage, ignore_errors=True)
+        df.coalesce(1).write.parquet(stage)
+        for i, f in enumerate(_glob.glob(f"{stage}/*.parquet")):
+            shutil.move(f, f"{src}/add-{abs(hash(f)) % 10**9}-{i}.parquet")
+
+    def drain(**kw):
+        stream = (spark.readStream.schema(feed.schema)
+                  .format("parquet").load(src))
+        q = foreach_batch_bloom_dedup(
+            stream, store, key_col="k", accepted_path=accepted,
+            order_cols=[F.col("s")], checkpoint=ck, **kw)
+        q.awaitTermination()
+
+    import os as _os
+    _os.makedirs(src)
+    add_files(feed)
+    # 64 bits for 60 keys: saturated -> the per-commit probe warns
+    with _pytest.warns(UserWarning, match="occupied"):
+        drain(n_bits=64, n_hashes=2)
+    occ = bloom_store_occupancy(spark, store).collect()[0]
+    assert occ.occupancy >= 0.5
+
+    # resize-via-rebuild from the accepted keys, 64 -> 4096 bits
+    bloom_resize_store(spark, store, accepted, key_col="k",
+                       n_bits=1 << 12, n_hashes=5)
+    occ2 = bloom_store_occupancy(spark, store).collect()[0]
+    assert occ2.n_bits == 1 << 12 and occ2.occupancy < 0.1
+
+    # maintainer resumes under the NEW family (same checkpoint, so
+    # the next batch id is genuinely new); old family refused
+    add_files(spark.createDataFrame([("k5", 99, 99), ("new1", 1, 1)],
+                                    feed.schema))
+    with _pytest.raises(ValueError, match="immutable"):
+        drain(n_bits=64, n_hashes=2)
+    drain(n_bits=1 << 12, n_hashes=5)
+    got = {r.k for r in spark.read.parquet(accepted).collect()}
+    # k5 was already accepted (rebuilt filter remembers it exactly);
+    # new1 is genuinely new
+    assert "new1" in got
+    assert sum(1 for r in
+               spark.read.parquet(accepted).collect() if r.k == "k5") == 1
+    # resize of a never-committed store refuses
+    with _pytest.raises(ValueError, match="nothing committed"):
+        bloom_resize_store(spark, str(tmp_path / "nope"), accepted,
+                           key_col="k", n_bits=1 << 12)

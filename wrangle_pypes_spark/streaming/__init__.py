@@ -20,6 +20,7 @@ from .windows import (
     foreach_batch_cdc_apply,
     foreach_batch_embedding_index,
     foreach_batch_get_or_create,
+    bloom_resize_store,
     bloom_store_occupancy,
     foreach_batch_bloom_dedup,
     foreach_batch_minhash_index,
@@ -46,6 +47,7 @@ __all__ = (
     "foreach_batch_cdc_apply",
     "foreach_batch_embedding_index",
     "foreach_batch_get_or_create",
+    "bloom_resize_store",
     "bloom_store_occupancy",
     "foreach_batch_bloom_dedup",
     "foreach_batch_minhash_index",

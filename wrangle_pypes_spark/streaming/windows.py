@@ -935,6 +935,7 @@ def foreach_batch_bloom_dedup(stream_df: DataFrame, store_path: str, *,
                               key_col: str, accepted_path: str,
                               order_cols: Sequence,
                               n_bits: int = 1 << 22, n_hashes: int = 5,
+                              occupancy_warn: Optional[float] = 0.5,
                               checkpoint: Optional[str] = None):
     """Memory-bounded streaming ingest dedup: keep the FIRST-ACCEPTED
     row per key ever seen, with seen-key state held as a Bloom BITMAP
@@ -973,10 +974,15 @@ def foreach_batch_bloom_dedup(stream_df: DataFrame, store_path: str, *,
     existing store without a checkpoint warns for exactly this
     reason (same contract as ``foreach_batch_rollup_upsert``).
 
-    Call :func:`bloom_store_occupancy` on a cadence to watch filter
-    saturation — past ~50% occupancy the false-positive rate grows
-    quickly, and the remedy is a resize-via-rebuild (new store with
-    larger ``n_bits`` rebuilt from the accepted output's keys).
+    Capacity: each commit also measures the merged bitmap's occupancy
+    (one extra aggregate over ≤ n_bits/64 rows — noise next to the
+    batch work) and warns once it crosses ``occupancy_warn`` (default
+    0.5, where est. fpp ≈ 3% at k=5 and climbing fast); pass ``None``
+    to skip the probe.  The remedy is :func:`bloom_resize_store` — a
+    rebuild of the filter at a larger ``n_bits`` from the accepted
+    output's keys (the exact key set the filter is supposed to
+    remember); :func:`bloom_store_occupancy` is the same gauge as an
+    out-of-band health check.
     """
     import json as _json
     import warnings
@@ -1039,6 +1045,20 @@ def foreach_batch_bloom_dedup(stream_df: DataFrame, store_path: str, *,
         merged = add if resident is None \
             else bloom_merge_bitmaps(resident, add)
         acid_commit(merged, store_path, epoch_id=epoch_id)
+        if occupancy_warn is not None:
+            from ..operators.dedup import bloom_occupancy
+            occ = bloom_occupancy(
+                acid_read(spark, store_path), n_bits=n_bits,
+                n_hashes=n_hashes).collect()[0]
+            if occ.occupancy >= occupancy_warn:
+                warnings.warn(
+                    f"foreach_batch_bloom_dedup: bloom store "
+                    f"{store_path!r} is {occ.occupancy:.0%} occupied "
+                    f"(est. false-positive rate {occ.est_fpp:.2%}) — "
+                    "the filter has outgrown n_bits and is silently "
+                    "dropping ~that fraction of genuinely-new keys. "
+                    "Rebuild at a larger size with bloom_resize_store.",
+                    stacklevel=2)
         # after the commit: the store directory now exists, and a
         # crash landing between commit and sidecar merely skips one
         # resume-time validation, never corrupts state
@@ -1086,6 +1106,50 @@ def bloom_store_occupancy(spark, store_path: str):
     doc = _json.loads(txt)
     return bloom_occupancy(bitmap, n_bits=int(doc["n_bits"]),
                            n_hashes=int(doc["n_hashes"]))
+
+
+def bloom_resize_store(spark, store_path: str, accepted_path: str, *,
+                       key_col: str, n_bits: int,
+                       n_hashes: int = 5) -> int:
+    """Rebuild a :func:`foreach_batch_bloom_dedup` store's filter at a
+    different size — the remedy when :func:`bloom_store_occupancy`
+    shows saturation.  The Bloom hash family is immutable (old bits
+    cannot be re-hashed), but the ACCEPTED output holds the exact key
+    set the filter is supposed to remember, so the rebuild is one
+    ``bloom_bitmap`` pass over ``distinct(accepted.key_col)`` — an
+    EXACT reconstruction (no inherited false positives), at the same
+    cost as any table-format rewrite.  Run it out-of-band between
+    drains (single-writer contract), then resume the maintainer with
+    the NEW ``n_bits``/``n_hashes``.
+
+    Commit order is deliberately loud-on-crash: the new bitmap
+    commits first (epoch preserved — no data ingested), the sidecar
+    rewrites second; a crash between the two leaves a store whose
+    sidecar mismatches, which the maintainer REFUSES at resume
+    (re-run the resize to heal) — never a silently mis-probed filter.
+    Returns the committed version."""
+    import json as _json
+
+    from .. import fsutil
+    from ..operators.dedup import bloom_bitmap
+    from ..sources.acid import acid_commit, acid_current
+
+    if n_bits < 64:
+        raise ValueError("n_bits must be >= 64")
+    cur = acid_current(store_path, spark=spark)
+    if cur is None:
+        raise ValueError(
+            f"nothing committed at {store_path!r} to resize")
+    keys = (spark.read.parquet(accepted_path)
+            .select(key_col).distinct())
+    bitmap = bloom_bitmap(keys, key_col, n_bits=n_bits,
+                          n_hashes=n_hashes)
+    version = acid_commit(bitmap, store_path, epoch_id=cur[1])
+    fsutil.write_text_atomic(
+        store_path.rstrip("/") + "/_bloom.json",
+        _json.dumps({"n_bits": n_bits, "n_hashes": n_hashes}),
+        spark=spark)
+    return version
 
 
 def foreach_batch_minhash_index(stream_df: DataFrame, index_path: str, *,
