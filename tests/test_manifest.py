@@ -834,3 +834,44 @@ def test_cdc_manifest_mid_stream_schema_evolution(spark, tmp_path):
             .format("parquet").load(empty_src),
             store, key_cols=["k"], seq_col="seq",
             store_format="swap", evolve_schema=True)
+
+
+def test_concurrent_writer_detected_before_publish(spark, tmp_path):
+    """Optimistic-concurrency guard: a second writer publishing
+    between a merge's base read and its pointer publish makes the
+    merge's base stale — publishing would silently erase the other
+    writer's commit, so the merge must abort loudly, leaving the
+    interloper's commit intact and only vacuumable orphans behind."""
+    store = str(tmp_path / "man")
+    base = spark.createDataFrame([(i, i) for i in range(20)],
+                                 "k int, val int")
+    manifest_merge(base, store, ["k"], epoch_id=0, n_buckets=BUCKETS)
+
+    def racing_merge(stored, updates):
+        # driver-side side effect DURING the outer merge: another
+        # writer lands a commit on the same store
+        manifest_merge(
+            updates.sparkSession.createDataFrame(
+                [(7, -100)], "k int, val int"),
+            store, ["k"], epoch_id=1, n_buckets=BUCKETS)
+        if stored is None:
+            return updates
+        return stored.join(updates.select("k"), ["k"], "left_anti") \
+            .unionByName(updates)
+
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        manifest_merge(
+            spark.createDataFrame([(3, 999)], "k int, val int"),
+            store, ["k"], epoch_id=2, n_buckets=BUCKETS,
+            merge_fn=racing_merge)
+    # the interloper's commit is the surviving head; the aborted
+    # merge published nothing
+    got = _kv(spark, store)
+    assert got[7] == -100 and got.get(3) == 3
+    # the store keeps working; orphans are reclaimed after the next
+    # commit supersedes their version numbers
+    manifest_merge(spark.createDataFrame([(3, 999)], "k int, val int"),
+                   store, ["k"], epoch_id=2, n_buckets=BUCKETS)
+    assert _kv(spark, store)[3] == 999
+    manifest_vacuum(store, keep=1)
+    assert _kv(spark, store)[3] == 999

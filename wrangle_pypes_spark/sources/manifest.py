@@ -331,15 +331,28 @@ def manifest_merge(updates: DataFrame, path: str,
         spark, path, out, keys, n_buckets, version,
         base_buckets=dict(man["buckets"]) if man is not None else {},
         touched=touched, epoch_id=epoch_id, schema_json=schema_json,
-        compression=compression)
+        compression=compression,
+        expected_version=cur[0] if cur is not None else None)
 
 
 def _commit_version(spark, path: str, out: Optional[DataFrame],
                     keys: Sequence[str], n_buckets: int, version: int,
                     *, base_buckets: dict, touched: Sequence[int],
-                    epoch_id: int, schema_json, compression: str) -> int:
+                    epoch_id: int, schema_json, compression: str,
+                    expected_version: Optional[int] = None) -> int:
     """Write the touched buckets under ``data/vN``, then publish the
-    manifest and pointer — the shared tail of merge and rebucket."""
+    manifest and pointer — the shared tail of merge and rebucket.
+
+    ``expected_version`` is the committed version the caller's merge
+    was BASED on: re-checked immediately before the pointer publish
+    (optimistic-concurrency detection, table-format style).  Two
+    writers racing the single-writer contract would otherwise
+    silently lose the first writer's commit — its buckets replaced
+    by a manifest built from the stale base.  The check is
+    best-effort (rename is not a conditional CAS, so a sub-
+    millisecond race can still slip through), but it converts every
+    practical double-writer mistake into a loud abort with only
+    orphan files on disk."""
     staging = _join(path, f"data/v{version:06d}")
     written = set()
     if touched:
@@ -376,6 +389,21 @@ def _commit_version(spark, path: str, out: Optional[DataFrame],
         else:
             # the merge emptied this bucket (every key deleted)
             buckets.pop(str(b), None)
+
+    # last-moment lost-update check: if another writer published while
+    # this merge was computing, our base (and base_buckets) are stale
+    # and publishing would erase their commit — abort, leaving only
+    # orphans for vacuum
+    now = manifest_current(path, spark=spark)
+    now_v = now[0] if now is not None else None
+    if now_v != expected_version:
+        raise RuntimeError(
+            f"concurrent writer detected on manifest store {path!r}: "
+            f"this merge was based on committed version "
+            f"{expected_version}, but the pointer now says {now_v}. "
+            "Publishing would silently discard the other writer's "
+            "commit. The store is single-writer by contract — nothing "
+            "was published (staging files become vacuumable orphans).")
 
     # an empty or fully-deleting first commit writes no data files, so
     # nothing has created the store directory yet — the manifest/
@@ -421,12 +449,13 @@ def manifest_rebucket(spark: SparkSession, path: str,
         return _commit_version(
             spark, path, None, keys, n_buckets, version,
             base_buckets={}, touched=(), epoch_id=cur[1],
-            schema_json=man.get("schema"), compression=compression)
+            schema_json=man.get("schema"), compression=compression,
+            expected_version=cur[0])
     return _commit_version(
         spark, path, df, keys, n_buckets, version,
         base_buckets={}, touched=list(range(n_buckets)),
         epoch_id=cur[1], schema_json=df.schema.jsonValue(),
-        compression=compression)
+        compression=compression, expected_version=cur[0])
 
 
 def manifest_stats(spark: SparkSession, path: str) -> Optional[DataFrame]:
