@@ -875,3 +875,31 @@ def test_concurrent_writer_detected_before_publish(spark, tmp_path):
     assert _kv(spark, store)[3] == 999
     manifest_vacuum(store, keep=1)
     assert _kv(spark, store)[3] == 999
+
+
+def test_history_lists_exactly_the_travelable_versions(spark, tmp_path):
+    """manifest_history rows == the versions manifest_read(version=)
+    can serve: committed + retained only — staged/orphaned versions
+    above the pointer and vacuumed versions below it are excluded."""
+    from wrangle_pypes_spark.sources.manifest import manifest_history
+
+    store = str(tmp_path / "man")
+    assert manifest_history(spark, store) is None
+    for e in range(3):
+        manifest_merge(
+            spark.createDataFrame([(7, e)], "k int, val int"),
+            store, ["k"], epoch_id=e, n_buckets=BUCKETS)
+    # a staged in-flight/orphan version above the pointer: not a commit
+    with open(os.path.join(store, "_m000009.json"), "w") as f:
+        json.dump({"version": 9, "epoch": 9, "n_buckets": BUCKETS,
+                   "key_cols": ["k"], "hash": "xxhash64",
+                   "schema": None, "buckets": {}}, f)
+    h = {r.version: (r.epoch, r.is_head)
+         for r in manifest_history(spark, store).collect()}
+    assert h == {1: (0, False), 2: (1, False), 3: (2, True)}
+    for v in h:
+        assert manifest_read(spark, store, version=v) is not None
+    os.remove(os.path.join(store, "_m000009.json"))
+    manifest_vacuum(store, keep=2)
+    h2 = sorted(r.version for r in manifest_history(spark, store).collect())
+    assert h2 == [2, 3]  # the keep-window survivors, nothing else

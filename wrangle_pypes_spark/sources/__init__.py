@@ -9,7 +9,8 @@ payload parsing for dynamic columns).
 
 from .acid import (acid_commit, acid_current, acid_read, acid_vacuum)
 from .manifest import (manifest_current, manifest_merge, manifest_read,
-                       manifest_rebucket, manifest_stats, manifest_vacuum)
+                       manifest_history, manifest_rebucket,
+                       manifest_stats, manifest_vacuum)
 from .sinks import (audit_parquet_layout, compact_parquet, read_orc,
                     recover_upsert_backup,
                     upsert_parquet,
@@ -23,7 +24,8 @@ __all__ = ("TABLES", "acid_commit", "acid_current", "acid_read",
            "acid_vacuum", "ensure_session_confs", "infer_json_schema",
            "load_star_schema", "load_table",
            "manifest_current", "manifest_merge", "manifest_read",
-           "manifest_rebucket", "manifest_stats", "manifest_vacuum",
+           "manifest_history", "manifest_rebucket", "manifest_stats",
+           "manifest_vacuum",
            "parse_json_col",
            "audit_parquet_layout", "compact_parquet",
            "read_binary_files", "read_csv", "read_jsonl", "read_orc",

@@ -508,6 +508,35 @@ def manifest_stats(spark: SparkSession, path: str) -> Optional[DataFrame]:
               "rows bigint, files int, bytes bigint")
 
 
+def manifest_history(spark: SparkSession, path: str) -> Optional[DataFrame]:
+    """Time-travel discovery: one row per RETAINED manifest —
+    ``(version, epoch, n_buckets, n_nonempty_buckets, is_head)`` —
+    i.e. exactly the versions ``manifest_read(version=)`` can still
+    serve (committed, at or below the pointer, manifest file present;
+    staged/orphaned versions above the pointer are not commits and
+    are excluded).  ``None`` when nothing was ever committed.  Driver
+    cost: one tiny JSON read per retained version, bounded by the
+    vacuum keep-window."""
+    cur = manifest_current(path, spark=spark)
+    if cur is None:
+        return None
+    rows = []
+    for v in _used_versions(path, spark=spark):
+        if v > cur[0]:
+            continue
+        txt = fsutil.read_text(_join(path, _manifest_name(v)),
+                               spark=spark)
+        if txt is None:
+            continue  # vacuumed or data-dir-only orphan
+        man = json.loads(txt)
+        rows.append((int(man["version"]), int(man["epoch"]),
+                     int(man["n_buckets"]), len(man["buckets"]),
+                     v == cur[0]))
+    return spark.createDataFrame(
+        rows, "version int, epoch int, n_buckets int, "
+              "n_nonempty_buckets int, is_head boolean")
+
+
 def manifest_vacuum(path: str, *, keep: int = 1, spark=None) -> int:
     """Delete manifests outside the committed window and every bucket
     directory no kept manifest references (superseded rewrites AND
