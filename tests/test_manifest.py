@@ -903,3 +903,57 @@ def test_history_lists_exactly_the_travelable_versions(spark, tmp_path):
     manifest_vacuum(store, keep=2)
     h2 = sorted(r.version for r in manifest_history(spark, store).collect())
     assert h2 == [2, 3]  # the keep-window survivors, nothing else
+
+
+_evolve_strategy = st.lists(
+    st.tuples(
+        st.booleans(),                               # batch carries x?
+        st.lists(st.tuples(st.integers(0, 20),       # key
+                           st.integers(-50, 50),     # value
+                           st.integers(0, 9),        # x (if carried)
+                           st.booleans()),           # tombstone
+                 min_size=0, max_size=6)),
+    min_size=1, max_size=4)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(batches=_evolve_strategy)
+def test_property_evolve_schema_matches_dict_model(spark, tmp_path_factory,
+                                                   batches):
+    """Random batch sequences where only SOME batches carry the extra
+    column: upsert under evolve_schema replaces the WHOLE image (a
+    later batch without the column nulls it — last-writer-wins applies
+    to the full row), keys never rewritten since the widening read
+    back null, and the store always equals the dict model."""
+    store = str(tmp_path_factory.mktemp("prop_ev") / "man")
+    model: dict[int, tuple[int, object]] = {}
+    for e, (has_x, rows) in enumerate(batches):
+        collapsed: dict[int, tuple[int, object, bool]] = {}
+        for k, v, x, dead in rows:
+            collapsed[k] = (v, x if has_x else None, dead)
+        for k, (v, x, dead) in collapsed.items():
+            if dead:
+                model.pop(k, None)
+            else:
+                model[k] = (v, x)
+        if has_x:
+            batch = [(k, v, x, dead)
+                     for k, (v, x, dead) in collapsed.items()]
+            schema = "k int, v int, x int, dead boolean"
+        else:
+            batch = [(k, v, dead)
+                     for k, (v, _, dead) in collapsed.items()]
+            schema = "k int, v int, dead boolean"
+        df = spark.createDataFrame(batch, schema) if batch else \
+            spark.createDataFrame([], schema)
+        manifest_merge(df, store, ["k"], epoch_id=e, n_buckets=4,
+                       tombstone_col="dead", evolve_schema=True)
+    got_df = manifest_read(spark, store)
+    if got_df is None:
+        assert model == {}
+        return
+    cols = set(got_df.columns)
+    got = {r.k: (r.v, r.x if "x" in cols else None)
+           for r in got_df.collect()}
+    assert got == model
