@@ -4511,6 +4511,43 @@ ORDER BY version
 """
 
 
+def q_manifest_lookup_orders(spark, sf_dir):
+    """NEW r8: serving-side point/keyset reads on the manifest store
+    (sources/manifest.py ``manifest_lookup``): commit orders, merge a
+    doubled-price update for every 300th key, then look up every
+    150th key — the lookup hashes the probe keys, scans ONLY the
+    buckets they land in (~min(k, n_buckets) directories regardless
+    of store size), and broadcast-semi-joins the probes.  The oracle
+    is the plain keyed WHERE over the latest image."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.manifest import (manifest_lookup,
+                                                      manifest_merge)
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    store = tempfile.mkdtemp(prefix="wps_lkp_") + "/dim"
+    manifest_merge(o, store, ["o_orderkey"], epoch_id=0, n_buckets=64)
+    upd = (o.filter(F.col("o_orderkey") % 300 == 7)
+           .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    manifest_merge(upd, store, ["o_orderkey"], epoch_id=1, n_buckets=64)
+    probe = (_t(spark, sf_dir, "orders")
+             .filter(F.col("o_orderkey") % 150 == 7)
+             .select("o_orderkey"))
+    return (manifest_lookup(spark, store, probe)
+            .orderBy("o_orderkey"))
+
+
+SQL_MANIFEST_LOOKUP = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 300 = 7 THEN o_totalprice * 2
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+WHERE o_orderkey % 150 = 7
+ORDER BY o_orderkey
+"""
+
+
 def q_stream_bloom_dedup_docs(spark, sf_dir):
     """NEW r7: memory-bounded streaming ingest dedup
     (streaming/windows.py ``foreach_batch_bloom_dedup``): seen-key
@@ -7193,6 +7230,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   maintainer gained the resume-without-checkpoint warning (r8)
     "manifest_time_travel_orders": q_manifest_time_travel_orders,
     # ^ NEVER driver-checked; manifest vacuum/commit hardened r8
+    "manifest_lookup_orders": q_manifest_lookup_orders,
+    # ^ NEW r8: bucket-pruned point/keyset reads (manifest_lookup)
     "stream_cdc_manifest_evolve": q_stream_cdc_manifest_evolve,
     # ^ NEW r8: mid-stream additive schema evolution through the CDC
     #   manifest maintainer (evolve_schema=True)
@@ -7256,8 +7295,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_sales_opportunity": q_q22_sales_opportunity,  # r3 hash-green
     "stream_static_enrich": q_stream_static_enrich,  # r3 hash-green
     "mix_corpus_sources": q_mix_corpus_sources,  # r3 hash-green
-    "temperature_mix_sources": q_temperature_mix_sources,  # r3 hash-green
     # ---- below the 50-slot driver window from here down ----
+    "temperature_mix_sources": q_temperature_mix_sources,  # r3 hash-green
+    # ^ displaced from the r8 window by manifest_lookup_orders
     # (ordering preserved; vintage tags show last driver check)
     "embedding_near_dup": q_embedding_near_dup,
     # ^ r1-green; near-dup expr rewritten r6 (c529b9f) after last check
@@ -7465,6 +7505,7 @@ _ORACLES: dict[str, str] = {
     "bloom_dedup_docs": SQL_BLOOM_DEDUP,
     "stream_bloom_dedup_docs": SQL_STREAM_BLOOM,
     "manifest_time_travel_orders": SQL_MANIFEST_TT,
+    "manifest_lookup_orders": SQL_MANIFEST_LOOKUP,
     "cdc_vacuum_store": SQL_CDC_VACUUM,
     "curriculum_order_docs": SQL_CURRICULUM,
     "token_fertility_lang": SQL_TOKEN_FERTILITY,

@@ -957,3 +957,44 @@ def test_property_evolve_schema_matches_dict_model(spark, tmp_path_factory,
     got = {r.k: (r.v, r.x if "x" in cols else None)
            for r in got_df.collect()}
     assert got == model
+
+
+def test_lookup_reads_only_touched_buckets(spark, tmp_path):
+    """manifest_lookup == a keyed filter of the full store, but scans
+    only the buckets the probe keys hash into; works across versions
+    (time-travel) and respects the multi-column key."""
+    store = str(tmp_path / "man")
+    base = spark.createDataFrame([(i, i % 3, i * 10) for i in range(300)],
+                                 "k int, g int, val int")
+    manifest_merge(base, store, ["k", "g"], epoch_id=0, n_buckets=16)
+    manifest_merge(
+        spark.createDataFrame([(7, 1, -1)], "k int, g int, val int"),
+        store, ["k", "g"], epoch_id=1, n_buckets=16)
+
+    from wrangle_pypes_spark.sources.manifest import manifest_lookup
+    probe = spark.createDataFrame(
+        [(7, 1), (20, 2), (999, 0)], "k int, g int")
+    got = {(r.k, r.g): r.val
+           for r in manifest_lookup(spark, store, probe).collect()}
+    assert got == {(7, 1): -1, (20, 2): 200}  # 999 absent
+    # time-travel: version 1 predates the k=7 rewrite
+    old = {(r.k, r.g): r.val
+           for r in manifest_lookup(spark, store, probe,
+                                    version=1).collect()}
+    assert old[(7, 1)] == 70
+    # the scan is pruned: the lookup's input files lie in at most
+    # len(probe-buckets) bucket dirs
+    import re as _re
+    looked = manifest_lookup(spark, store, probe)
+    dirs = {(_re.search(r"(data/v\d+/bkt=\d+)", f) or [None, None])[1]
+            for f in looked.withColumn(
+                "_f", F.input_file_name()).select("_f").distinct()
+            .rdd.map(lambda r: r[0]).collect()}
+    assert len(dirs) <= 3
+    # validation: probe lacking a key column
+    with pytest.raises(ValueError, match="key columns"):
+        manifest_lookup(spark, store,
+                        spark.createDataFrame([(1,)], "k int"))
+    # empty store
+    assert manifest_lookup(
+        spark, str(tmp_path / "nope"), probe) is None

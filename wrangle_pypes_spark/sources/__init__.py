@@ -9,7 +9,8 @@ payload parsing for dynamic columns).
 
 from .acid import (acid_commit, acid_current, acid_read, acid_vacuum)
 from .manifest import (manifest_current, manifest_merge, manifest_read,
-                       manifest_history, manifest_rebucket,
+                       manifest_history, manifest_lookup,
+                       manifest_rebucket,
                        manifest_stats, manifest_vacuum)
 from .sinks import (audit_parquet_layout, compact_parquet, read_orc,
                     recover_upsert_backup,
@@ -24,7 +25,8 @@ __all__ = ("TABLES", "acid_commit", "acid_current", "acid_read",
            "acid_vacuum", "ensure_session_confs", "infer_json_schema",
            "load_star_schema", "load_table",
            "manifest_current", "manifest_merge", "manifest_read",
-           "manifest_history", "manifest_rebucket", "manifest_stats",
+           "manifest_history", "manifest_lookup", "manifest_rebucket",
+           "manifest_stats",
            "manifest_vacuum",
            "parse_json_col",
            "audit_parquet_layout", "compact_parquet",

@@ -508,6 +508,49 @@ def manifest_stats(spark: SparkSession, path: str) -> Optional[DataFrame]:
               "rows bigint, files int, bytes bigint")
 
 
+def manifest_lookup(spark: SparkSession, path: str,
+                    keys: DataFrame, *,
+                    version: Optional[int] = None) -> Optional[DataFrame]:
+    """Serving-side point/keyset reads: the stored rows whose key
+    columns match a row of ``keys`` — touching ONLY the buckets those
+    keys hash into.  This is the read-path payoff of the bucketed
+    layout: a lookup of k keys against a store of any size scans at
+    most ``min(k, n_buckets)`` bucket directories (each ~1 file), not
+    the table — the O(1-ish) primary-key GET a huge keyed store needs
+    for feature serving, audit sampling, or targeted backfills.
+
+    ``keys`` must carry exactly the store's key columns (extra
+    columns are ignored); matching is by equality on all of them.
+    ``version=`` time-travels the lookup like :func:`manifest_read`.
+    Returns None when nothing is committed or no bucket matches.
+    Cost: one tiny job to hash the keys (collect bounded by
+    ``n_buckets``), one pruned scan, one broadcast semi-join.
+    """
+    cur = manifest_current(path, spark=spark)
+    if cur is None:
+        return None
+    if version is None:
+        version = cur[0]
+    elif version > cur[0]:
+        raise ValueError(
+            f"version {version} was never committed (head is {cur[0]}) "
+            "— newer on-disk versions are crash orphans")
+    man = _load_manifest(path, version, spark=spark)
+    kcols = list(man["key_cols"])
+    missing = [k for k in kcols if k not in keys.columns]
+    if missing:
+        raise ValueError(
+            f"keys lack the store's key columns {missing}")
+    want = keys.select(*kcols).distinct()
+    bcol = _bucket_col(kcols, int(man["n_buckets"]))
+    touched = sorted(r[0] for r in
+                     want.select(bcol.alias(_BKT)).distinct().collect())
+    stored = _read_buckets(spark, path, man, bucket_ids=touched)
+    if stored is None:
+        return None
+    return stored.join(F.broadcast(want), kcols, "left_semi")
+
+
 def manifest_history(spark: SparkSession, path: str) -> Optional[DataFrame]:
     """Time-travel discovery: one row per RETAINED manifest —
     ``(version, epoch, n_buckets, n_nonempty_buckets, is_head)`` —
