@@ -523,3 +523,45 @@ def test_js_divergence_merges_vocab_not_corpus(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     for c in reg:
         c.unpersist()
+
+
+def test_bloom_probe_is_broadcast_and_jvm_only(spark, sf_dir):
+    """The bloom path's whole point at scale: the bitmap table joins
+    by BROADCAST (never shuffling the probe side by word) and every
+    expression stays JVM-side."""
+    from wrangle_pypes_spark import plans
+    from wrangle_pypes_spark.operators import bloom_bitmap, bloom_probe
+
+    hist = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    bm = bloom_bitmap(hist, "doc_id", n_bits=1 << 14)
+    probed = bloom_probe(hist.limit(100), bm, "doc_id",
+                         n_bits=1 << 14)
+    rep = plans.audit(probed)
+    assert rep.python_eval_nodes == []
+    assert rep.broadcast_joins >= 1
+    assert rep.sortmerge_joins == 0
+
+
+def test_manifest_lookup_prunes_and_broadcasts(spark, sf_dir, tmp_path):
+    """manifest_lookup must plan a broadcast semi-join of the probe
+    keys (never a shuffle of the store side) and its scan must list
+    only the touched buckets' directories."""
+    from wrangle_pypes_spark import plans
+    from wrangle_pypes_spark.sources import manifest_lookup, manifest_merge
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_totalprice")
+    store = str(tmp_path / "dim")
+    manifest_merge(orders, store, ["o_orderkey"], epoch_id=0,
+                   n_buckets=32)
+    probe = spark.createDataFrame([(1,), (7,)], "o_orderkey bigint")
+    out = manifest_lookup(spark, store, probe)
+    rep = plans.audit(out)
+    assert rep.python_eval_nodes == []
+    assert rep.broadcast_joins >= 1 and rep.sortmerge_joins == 0
+    assert "LeftSemi" in rep.plan
+    # scan location covers at most the two probed buckets
+    import re as _re
+    locs = _re.findall(r"Location:[^\n]*", rep.plan)
+    assert locs and all("bkt=" in loc or "dim" in loc for loc in locs)
