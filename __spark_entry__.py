@@ -4548,6 +4548,75 @@ ORDER BY o_orderkey
 """
 
 
+def _semantic_decontam_fixture(spark, sf_dir):
+    """(train, eval) for semantic decontamination: eval = every 50th
+    embedding; train = the rest ∪ PERTURBED copies of the eval rows
+    (first component +0.05, id shifted +1e6) — the planted leaks that
+    must flag contaminated while everything else stays clean."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"),
+                    lambda x: x.cast("double")).alias("embedding"))
+    ev = emb.filter(F.col("vec_id") % 50 == 0)
+    v = F.col("embedding")
+    leaked = ev.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(F.array(v[0] + F.lit(0.05)),
+                 F.slice(v, 2, F.size(v) - 1)).alias("embedding"))
+    train = emb.filter(F.col("vec_id") % 50 != 0).unionByName(leaked)
+    return train, ev
+
+
+def q_semantic_decontam_emb(spark, sf_dir):
+    """NEW r8: embedding-space benchmark decontamination
+    (operators/quality.py ``semantic_decontaminate``, exact mode) —
+    the semantic complement of `decontaminate_docs`' n-gram overlap:
+    per train doc, max cosine against ANY eval embedding + a flag at
+    0.9.  Eval broadcasts (benchmark suites are tiny next to the
+    corpus); the planted perturbed eval copies must flag, nothing
+    else does.  The NLJ is the documented exact baseline (whitelisted
+    with justification); the scale path is `semantic_decontam_lsh`."""
+    from wrangle_pypes_spark.operators import semantic_decontaminate
+    train, ev = _semantic_decontam_fixture(spark, sf_dir)
+    return (semantic_decontaminate(train, ev, vec_col="embedding",
+                                   id_col="vec_id", threshold=0.9)
+            .orderBy("vec_id"))
+
+
+def q_semantic_decontam_lsh(spark, sf_dir):
+    """NEW r8: the LSH-bucketed scale path of semantic
+    decontamination — only code-equal (hyperplane-LSH) pairs score,
+    so compute drops from |train|·|eval| to the bucket collision
+    rate.  Approximate → rows-only; recall on the planted leaks is
+    pinned in tests/test_quality.py."""
+    from wrangle_pypes_spark.operators import semantic_decontaminate
+    train, ev = _semantic_decontam_fixture(spark, sf_dir)
+    return (semantic_decontaminate(train, ev, vec_col="embedding",
+                                   id_col="vec_id", threshold=0.9,
+                                   method="lsh", n_planes=8)
+            .orderBy("vec_id"))
+
+
+SQL_SEMANTIC_DECONTAM = """
+WITH ev AS (
+  SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id % 50 = 0),
+train AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e
+  FROM embeddings WHERE vec_id % 50 <> 0
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_concat([embedding[1]::DOUBLE + 0.05],
+                     (embedding::DOUBLE[])[2:])
+  FROM embeddings WHERE vec_id % 50 = 0),
+m AS (
+  SELECT t.vec_id, max(list_cosine_similarity(t.e, ev.e)) AS mx
+  FROM train t CROSS JOIN ev GROUP BY t.vec_id)
+SELECT vec_id, round(mx, 6) AS max_eval_sim,
+       mx >= 0.9 AS contaminated
+FROM m ORDER BY vec_id
+"""
+
+
 def q_stream_bloom_dedup_docs(spark, sf_dir):
     """NEW r7: memory-bounded streaming ingest dedup
     (streaming/windows.py ``foreach_batch_bloom_dedup``): seen-key
@@ -7232,6 +7301,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ^ NEVER driver-checked; manifest vacuum/commit hardened r8
     "manifest_lookup_orders": q_manifest_lookup_orders,
     # ^ NEW r8: bucket-pruned point/keyset reads (manifest_lookup)
+    "semantic_decontam_emb": q_semantic_decontam_emb,
+    # ^ NEW r8: embedding-space decontamination, exact baseline
+    "semantic_decontam_lsh": q_semantic_decontam_lsh,
+    # ^ NEW r8: LSH-bucketed scale path (rows-only by design)
     "stream_cdc_manifest_evolve": q_stream_cdc_manifest_evolve,
     # ^ NEW r8: mid-stream additive schema evolution through the CDC
     #   manifest maintainer (evolve_schema=True)
@@ -7293,9 +7366,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_bulk_suppliers": q_q20_bulk_suppliers,  # r3 hash-green
     "q21_suppliers_kept_waiting": q_q21_suppliers_kept_waiting,  # r3 hash-green
     "q22_sales_opportunity": q_q22_sales_opportunity,  # r3 hash-green
+    # ---- below the 50-slot driver window from here down ----
     "stream_static_enrich": q_stream_static_enrich,  # r3 hash-green
     "mix_corpus_sources": q_mix_corpus_sources,  # r3 hash-green
-    # ---- below the 50-slot driver window from here down ----
+    # ^ displaced from the r8 window by the semantic-decontam pair
     "temperature_mix_sources": q_temperature_mix_sources,  # r3 hash-green
     # ^ displaced from the r8 window by manifest_lookup_orders
     # (ordering preserved; vintage tags show last driver check)
@@ -7506,6 +7580,9 @@ _ORACLES: dict[str, str] = {
     "stream_bloom_dedup_docs": SQL_STREAM_BLOOM,
     "manifest_time_travel_orders": SQL_MANIFEST_TT,
     "manifest_lookup_orders": SQL_MANIFEST_LOOKUP,
+    "semantic_decontam_emb": SQL_SEMANTIC_DECONTAM,
+    # semantic_decontam_lsh: approximate -> rows-only; recall pinned
+    # in tests/test_quality.py
     "cdc_vacuum_store": SQL_CDC_VACUUM,
     "curriculum_order_docs": SQL_CURRICULUM,
     "token_fertility_lang": SQL_TOKEN_FERTILITY,

@@ -137,6 +137,11 @@ NLJ_BROADCAST_OK: dict[str, str] = {
         "baseline broadcasts the 10-query set against the corpus; "
         "documented O(|Q|*N) with |Q| small by contract — the scale "
         "path is lsh_ann_top5 / ivf_ann_top5",
+    "semantic_decontam_emb": "bounded-broadcast: exact semantic-"
+        "decontamination baseline broadcasts the (contractually tiny) "
+        "eval embedding set against the corpus; documented "
+        "O(|train|*|eval|) — the scale path is semantic_decontam_lsh's "
+        "code equi-join",
     "embedding_near_dup": "bounded-broadcast: exact all-pairs near-dup "
         "baseline (non-equi id_a < id_b self-join); documented "
         "quadratic oracle twin — the scale path is "

@@ -669,3 +669,98 @@ def test_compression_ratio_signal_and_replica(spark):
             round(len(zlib.compress(b, 6)) / len(b), 4))
     assert rows[3].n_bytes == 0 and rows[3].ratio is None
     assert rows[4].n_bytes is None and rows[4].ratio is None
+
+
+def test_semantic_decontaminate_exact_flags_planted_leaks(spark, sf_dir):
+    """Perturbed copies of eval embeddings must flag contaminated
+    (cosine ~0.999); untouched corpus vectors must not; the sim of a
+    vector IN the eval set is exactly 1.0."""
+    from wrangle_pypes_spark.operators import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    ev = emb.filter(F.col("vec_id") % 50 == 0)
+    v = F.col("embedding")
+    leaked = ev.select(
+        (F.col("vec_id") + 10**6).alias("vec_id"),
+        F.concat(F.array(v[0] + F.lit(0.05)),
+                 F.slice(v, 2, F.size(v) - 1)).alias("embedding"))
+    train = emb.filter(F.col("vec_id") % 50 != 0) \
+        .unionByName(leaked).unionByName(ev)
+    out = semantic_decontaminate(train, ev, vec_col="embedding",
+                                 id_col="vec_id", threshold=0.9)
+    rows = {r.vec_id: (r.max_eval_sim, r.contaminated)
+            for r in out.collect()}
+    n_ev = ev.count()
+    assert n_ev > 0
+    for r in ev.collect():
+        assert rows[r.vec_id] == (1.0, True)          # itself
+        sim, flag = rows[r.vec_id + 10**6]            # planted leak
+        assert flag and sim > 0.99
+    clean = [vid for vid, (s, f) in rows.items()
+             if vid < 10**6 and vid % 50 != 0]
+    assert clean and not any(rows[v][1] for v in clean)
+    # output is one row per train row
+    assert out.count() == train.count()
+
+    with pytest.raises(ValueError, match="method"):
+        semantic_decontaminate(train, ev, method="cosine-ish")
+
+
+def test_semantic_decontaminate_lsh_recall_and_unmatched_nulls(
+        spark, sf_dir):
+    """The LSH path must (a) never flag a doc the exact path calls
+    clean (within-bucket scoring is exact cosine), (b) catch nearly
+    all planted leaks (perturbed copies share codes overwhelmingly),
+    and (c) report null sim for bucket-miss docs."""
+    from wrangle_pypes_spark.operators import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    ev = emb.filter(F.col("vec_id") % 50 == 0)
+    v = F.col("embedding")
+    leaked = ev.select(
+        (F.col("vec_id") + 10**6).alias("vec_id"),
+        F.concat(F.array(v[0] + F.lit(0.05)),
+                 F.slice(v, 2, F.size(v) - 1)).alias("embedding"))
+    train = emb.filter(F.col("vec_id") % 50 != 0).unionByName(leaked)
+    exact = {r.vec_id: r.contaminated for r in
+             semantic_decontaminate(train, ev, vec_col="embedding",
+                                    id_col="vec_id").collect()}
+    lsh = {r.vec_id: (r.max_eval_sim, r.contaminated) for r in
+           semantic_decontaminate(train, ev, vec_col="embedding",
+                                  id_col="vec_id", method="lsh",
+                                  n_planes=8).collect()}
+    assert set(lsh) == set(exact)
+    # no false flags vs exact
+    assert not any(f for vid, (_, f) in lsh.items() if not exact[vid])
+    # recall on the planted leaks
+    planted = [vid for vid in exact if vid >= 10**6]
+    caught = sum(1 for vid in planted if lsh[vid][1])
+    assert caught / len(planted) >= 0.8
+    # at 8 planes most clean docs miss every eval bucket -> null sim
+    assert any(s is None for s, _ in lsh.values())
+
+    with pytest.raises(ValueError, match="empty"):
+        semantic_decontaminate(train, ev.limit(0), vec_col="embedding",
+                               id_col="vec_id", method="lsh")
+
+
+def test_semantic_decontaminate_exact_plan_broadcasts_eval(spark, sf_dir):
+    from wrangle_pypes_spark import plans
+    from wrangle_pypes_spark.operators import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    ev = emb.filter(F.col("vec_id") % 50 == 0)
+    rep = plans.audit(semantic_decontaminate(
+        emb, ev, vec_col="embedding", id_col="vec_id"))
+    assert rep.python_eval_nodes == []
+    assert "BroadcastNestedLoopJoin" in rep.plan  # documented baseline
+    assert rep.partial_aggregates >= 1            # map-side max

@@ -291,6 +291,68 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, *,
             .drop("_contaminated"))
 
 
+def semantic_decontaminate(train: DataFrame, eval_df: DataFrame, *,
+                           vec_col: str = "embedding",
+                           id_col: str = "doc_id",
+                           threshold: float = 0.9,
+                           method: str = "exact", n_planes: int = 8,
+                           round_digits: int = 6) -> DataFrame:
+    """Embedding-space benchmark decontamination: for every training
+    document, its maximum cosine similarity against ANY eval-set
+    embedding, plus a ``contaminated`` flag at ``threshold`` — the
+    semantic complement of the word-n-gram :func:`decontaminate`
+    (catches paraphrased/translated eval leakage that shares no exact
+    n-gram).  Returns ``(id_col, max_eval_sim, contaminated)``, one
+    row per train row.
+
+    * ``method="exact"`` — the eval set (benchmark suites: 10²–10⁵
+      rows, tiny next to a 100 TB corpus) BROADCASTS; every train
+      vector scores against all of it and a map-side-partial max
+      collapses to one row per doc before the only shuffle.  The
+      nested-loop term is O(|train|·|eval|) compute by DESIGN — the
+      documented exact baseline, same contract as ``knn`` /
+      ``embedding_near_dup``.
+    * ``method="lsh"`` — both sides take a hyperplane-LSH code
+      (``similarity.lsh_code_expr``); only code-equal pairs score
+      (broadcast equi-join), so compute drops to the bucket
+      collision rate.  Approximate: a leaked doc whose code differs
+      from every eval code is missed (recall audited in tests);
+      unmatched docs report ``max_eval_sim`` null and flag False.
+    """
+    from .similarity import _hyperplanes, cosine_expr, lsh_code_expr
+
+    if method not in ("exact", "lsh"):
+        raise ValueError(f"unknown method {method!r} "
+                         "(expected 'exact' or 'lsh')")
+    ev = eval_df.select(F.col(vec_col).alias("_ev"))
+    pairs = train.select(id_col, vec_col)
+    if method == "lsh":
+        first = eval_df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("eval_df is empty — nothing to screen "
+                             "against")
+        planes = _hyperplanes(int(first["d"]), n_planes)
+        ev = ev.select("_ev",
+                       lsh_code_expr(F.col("_ev"), planes).alias("_c"))
+        pairs = pairs.withColumn(
+            "_c", lsh_code_expr(F.col(vec_col), planes))
+        scored = pairs.join(F.broadcast(ev), "_c")
+    else:
+        scored = pairs.crossJoin(F.broadcast(ev))
+    sims = (scored
+            .select(id_col,
+                    cosine_expr(F.col(vec_col), F.col("_ev"))
+                    .alias("_s"))
+            .groupBy(id_col)
+            .agg(F.max("_s").alias("_max")))
+    return (train.select(id_col).join(sims, id_col, "left")
+            .select(id_col,
+                    F.round(F.col("_max"), round_digits)
+                    .alias("max_eval_sim"),
+                    F.coalesce(F.col("_max") >= F.lit(threshold),
+                               F.lit(False)).alias("contaminated")))
+
+
 def quantile_filter(df: DataFrame, score_col: str, *,
                     quantile: float,
                     group_cols: Sequence[str] = (),
