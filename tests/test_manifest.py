@@ -998,3 +998,31 @@ def test_lookup_reads_only_touched_buckets(spark, tmp_path):
     # empty store
     assert manifest_lookup(
         spark, str(tmp_path / "nope"), probe) is None
+
+
+def test_cdc_store_lookup_hides_tombstones_and_prunes(spark, tmp_path):
+    """The serving GET on a CDC manifest store: probed live keys
+    return their current image, tombstoned keys are absent, and the
+    swap-store case refuses (no bucket layout to prune)."""
+    from wrangle_pypes_spark.streaming import (cdc_store_lookup,
+                                               foreach_batch_cdc_apply)
+
+    feed = spark.createDataFrame(
+        [(1, "U", 1, "a"), (2, "U", 1, "b"), (3, "U", 1, "c"),
+         (2, "D", 2, None), (3, "U", 2, "c2")],
+        "k int, op string, seq int, val string")
+    src = str(tmp_path / "src")
+    feed.coalesce(1).write.parquet(src)
+    store = str(tmp_path / "store")
+    q = foreach_batch_cdc_apply(
+        spark.readStream.schema(feed.schema).format("parquet").load(src),
+        store, key_cols=["k"], seq_col="seq",
+        store_format="manifest", store_buckets=8)
+    q.awaitTermination()
+
+    probe = spark.createDataFrame([(1,), (2,), (3,), (9,)], "k int")
+    got = {r.k: r.val for r in
+           cdc_store_lookup(spark, store, probe).collect()}
+    assert got == {1: "a", 3: "c2"}  # 2 tombstoned, 9 never existed
+    with pytest.raises(ValueError, match="manifest"):
+        cdc_store_lookup(spark, str(tmp_path / "swapstore"), probe)

@@ -21,6 +21,7 @@ from .windows import (
     foreach_batch_embedding_index,
     foreach_batch_get_or_create,
     bloom_resize_store,
+    cdc_store_lookup,
     bloom_store_occupancy,
     foreach_batch_bloom_dedup,
     foreach_batch_minhash_index,
@@ -48,6 +49,7 @@ __all__ = (
     "foreach_batch_embedding_index",
     "foreach_batch_get_or_create",
     "bloom_resize_store",
+    "cdc_store_lookup",
     "bloom_store_occupancy",
     "foreach_batch_bloom_dedup",
     "foreach_batch_minhash_index",

@@ -717,6 +717,29 @@ def read_cdc_store(spark: SparkSession, store_path: str) -> DataFrame:
              .drop("_cdc_seq", "_cdc_deleted")
 
 
+def cdc_store_lookup(spark: SparkSession, store_path: str,
+                     keys: DataFrame) -> DataFrame:
+    """Serving-side keyed GET against a manifest-backed CDC store:
+    the CURRENT image of the probed keys only — tombstoned keys
+    absent, bookkeeping dropped — scanning only the buckets the
+    probe keys hash into (``sources.manifest.manifest_lookup``).
+    This is the online read path of the maintained base table:
+    O(probed buckets) whatever the store has grown to, vs
+    :func:`read_cdc_store`'s full-table view.  Requires
+    ``store_format="manifest"`` (a swap store has no bucket layout
+    to prune — read and filter the table instead)."""
+    from ..sources.manifest import manifest_current, manifest_lookup
+
+    if manifest_current(store_path, spark=spark) is None:
+        raise ValueError(
+            f"{store_path!r} is not a committed manifest store — "
+            "bucket-pruned lookups need store_format='manifest'; for "
+            "a swap store, filter read_cdc_store() instead")
+    df = manifest_lookup(spark, store_path, keys)
+    return df.filter(~F.col("_cdc_deleted")) \
+             .drop("_cdc_seq", "_cdc_deleted")
+
+
 def foreach_batch_get_or_create(stream_df: DataFrame, pipeline, model: type,
                                 dim_holder: dict,
                                 match_targets: Sequence[str],
