@@ -1026,3 +1026,32 @@ def test_cdc_store_lookup_hides_tombstones_and_prunes(spark, tmp_path):
     assert got == {1: "a", 3: "c2"}  # 2 tombstoned, 9 never existed
     with pytest.raises(ValueError, match="manifest"):
         cdc_store_lookup(spark, str(tmp_path / "swapstore"), probe)
+
+
+def test_schema_never_narrows_on_empty_bucket_batch(spark, tmp_path):
+    """Regression (found by the property soak): a batch WITHOUT the
+    evolved column whose keys land only in EMPTY buckets used to
+    record `out`'s narrow schema in the manifest, silently hiding the
+    widened column of every carried-over bucket.  The recorded schema
+    must never narrow; and in strict mode the same drifted batch must
+    fail loudly even though the strict union never fires (stored is
+    None for an empty bucket)."""
+    store = str(tmp_path / "man")
+    manifest_merge(
+        spark.createDataFrame([(1, 0, 0)], "k int, val int, x int"),
+        store, ["k"], epoch_id=0, n_buckets=8)
+    # key 0 hashes to a different (empty) bucket than key 1 at 8
+    # buckets (pinned by the assertion below), and its batch lacks x
+    narrow = spark.createDataFrame([(0, 0)], "k int, val int")
+    b = lambda df: {r[0] for r in df.selectExpr(  # noqa: E731
+        "pmod(xxhash64(k), 8)").distinct().collect()}
+    assert b(narrow) != b(spark.createDataFrame([(1,)], "k int"))
+    with pytest.raises(ValueError, match="schema drift"):
+        manifest_merge(narrow, store, ["k"], epoch_id=1, n_buckets=8)
+    manifest_merge(narrow, store, ["k"], epoch_id=1, n_buckets=8,
+                   evolve_schema=True)
+    got = {r.k: (r.val, r.x) for r in manifest_read(spark, store).collect()}
+    assert got == {1: (0, 0), 0: (0, None)}  # x SURVIVES for key 1
+    names = [f["name"] for f in
+             _man(store, manifest_current(store)[0])["schema"]["fields"]]
+    assert names == ["k", "val", "x"]

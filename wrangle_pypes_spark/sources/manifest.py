@@ -297,6 +297,24 @@ def manifest_merge(updates: DataFrame, path: str,
             raise ValueError(
                 f"store {path!r} is keyed by {man['key_cols']}, "
                 f"got {keys}")
+        if (mode == "upsert" and merge_fn is None
+                and man.get("schema")):
+            # schema drift must fail loudly EVEN when the batch's keys
+            # all land in empty buckets: without this check the strict
+            # unionByName never fires there (stored is None) and the
+            # drifted batch would commit — and before the r8
+            # never-narrow rule below, even RECORD a narrowed schema
+            # that silently hid the store's widened columns
+            old_names = {f["name"] for f in man["schema"]["fields"]}
+            upd_names = {c for c in updates.columns
+                         if c != tombstone_col}
+            if upd_names != old_names and not evolve_schema:
+                raise ValueError(
+                    f"store {path!r} has columns "
+                    f"{sorted(old_names)} but updates carry "
+                    f"{sorted(upd_names)} — schema drift fails "
+                    "loudly by default; pass evolve_schema=True for "
+                    "additive widening")
 
     bcol = _bucket_col(keys, n_buckets)
     touched = sorted(
@@ -324,6 +342,20 @@ def manifest_merge(updates: DataFrame, path: str,
     version = (used[-1] + 1) if used else 1
     if touched:
         schema_json = out.schema.jsonValue()
+        if man is not None and man.get("schema"):
+            # the recorded schema NEVER narrows (found by the property
+            # soak): a batch without an evolved column whose keys land
+            # in empty buckets produces an `out` lacking that column,
+            # and recording out's schema verbatim would drop it from
+            # the manifest — hiding the carried-over buckets' data.
+            # Union: old fields keep their position and type; fields
+            # new in this commit append.
+            old = man["schema"]
+            old_names = {f["name"] for f in old["fields"]}
+            schema_json = dict(old)
+            schema_json["fields"] = list(old["fields"]) + [
+                f for f in out.schema.jsonValue()["fields"]
+                if f["name"] not in old_names]
     else:  # nothing written: the store (and its schema) are unchanged
         schema_json = man.get("schema") if man is not None \
             else out.schema.jsonValue()
