@@ -1055,3 +1055,64 @@ def test_schema_never_narrows_on_empty_bucket_batch(spark, tmp_path):
     names = [f["name"] for f in
              _man(store, manifest_current(store)[0])["schema"]["fields"]]
     assert names == ["k", "val", "x"]
+
+
+@pytest.mark.parametrize("seed", [101971533, 402457795, 7])
+def test_cdc_random_feed_equals_latest_image_model(spark, tmp_path, seed):
+    """Deterministic slice of the randomized CDC soak: random
+    out-of-order I/U/D ops across random batch boundaries with
+    mid-stream schema widening must equal the one-shot latest-image
+    dict model — winner by max seq, delete removes, the winner's own
+    batch decides whether it carries the widened column."""
+    import random
+
+    from wrangle_pypes_spark.streaming import (foreach_batch_cdc_apply,
+                                               read_cdc_store)
+
+    rng = random.Random(seed)
+    events = []
+    for k in range(rng.randint(1, 10)):
+        for s in rng.sample(range(1, 50), rng.randint(0, 4)):
+            events.append((k, rng.choice(["U", "U", "I", "D"]), s,
+                           rng.randint(0, 99)))
+    rng.shuffle(events)
+    cut = sorted(rng.sample(range(len(events) + 1),
+                            min(rng.randint(0, 2), len(events))))
+    batches, prev = [], 0
+    for c in cut + [len(events)]:
+        batches.append(events[prev:c]); prev = c
+    widen_from = rng.randint(0, len(batches))
+
+    store = str(tmp_path / "state")
+    for bi, batch in enumerate(batches):
+        if bi >= widen_from:
+            rows = [(k, op, s, v, v % 7) for k, op, s, v in batch]
+            schema = "k int, op string, seq int, val int, x int"
+        else:
+            rows, schema = batch, "k int, op string, seq int, val int"
+        feed = spark.createDataFrame(rows, schema) if rows else \
+            spark.createDataFrame([], schema)
+        src = str(tmp_path / f"src{bi}")
+        feed.coalesce(1).write.parquet(src)
+        q = foreach_batch_cdc_apply(
+            spark.readStream.schema(feed.schema)
+            .format("parquet").load(src),
+            store, key_cols=["k"], seq_col="seq",
+            store_format="manifest", store_buckets=4,
+            evolve_schema=True)
+        q.awaitTermination()
+
+    win = {}
+    for bi, batch in enumerate(batches):
+        for k, op, s, v in batch:
+            if k not in win or s > win[k][0]:
+                win[k] = (s, op, v,
+                          (v % 7) if bi >= widen_from else None)
+    want = {k: (v, x) for k, (s, op, v, x) in win.items() if op != "D"}
+    got = {}
+    if events:
+        out = read_cdc_store(spark, store)
+        cols = set(out.columns)
+        got = {r.k: (r.val, r.x if "x" in cols else None)
+               for r in out.collect()}
+    assert got == want
