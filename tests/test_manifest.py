@@ -1116,3 +1116,39 @@ def test_cdc_random_feed_equals_latest_image_model(spark, tmp_path, seed):
         got = {r.k: (r.val, r.x if "x" in cols else None)
                for r in out.collect()}
     assert got == want
+
+
+def test_lookup_all_probes_miss_returns_empty_not_none(spark, tmp_path):
+    """Regression (self-audit): probe keys that hash only to EMPTY
+    buckets must yield an empty DataFrame under the store schema, not
+    None — cdc_store_lookup chains a filter on the result and would
+    crash on None."""
+    from wrangle_pypes_spark.sources.manifest import manifest_lookup
+    from wrangle_pypes_spark.streaming import (cdc_store_lookup,
+                                               foreach_batch_cdc_apply)
+
+    store = str(tmp_path / "man")
+    manifest_merge(spark.createDataFrame([(1, "a")], "k int, val string"),
+                   store, ["k"], epoch_id=0, n_buckets=64)
+    # find a probe key hashing to a DIFFERENT (empty) bucket than k=1
+    probe_key = next(
+        k for k in range(2, 200)
+        if spark.sql(f"SELECT pmod(xxhash64({k}), 64) <> "
+                     "pmod(xxhash64(1), 64)").first()[0])
+    probe = spark.createDataFrame([(probe_key,)], "k int")
+    out = manifest_lookup(spark, store, probe)
+    assert out is not None and out.count() == 0
+    assert set(out.columns) == {"k", "val"}
+
+    # end-to-end: the CDC serving GET tolerates all-miss probes
+    feed = spark.createDataFrame([(1, "U", 1, "a")],
+                                 "k int, op string, seq int, val string")
+    src = str(tmp_path / "src")
+    feed.coalesce(1).write.parquet(src)
+    cstore = str(tmp_path / "cstore")
+    q = foreach_batch_cdc_apply(
+        spark.readStream.schema(feed.schema).format("parquet").load(src),
+        cstore, key_cols=["k"], seq_col="seq",
+        store_format="manifest", store_buckets=64)
+    q.awaitTermination()
+    assert cdc_store_lookup(spark, cstore, probe).count() == 0

@@ -554,9 +554,12 @@ def manifest_lookup(spark: SparkSession, path: str,
     ``keys`` must carry exactly the store's key columns (extra
     columns are ignored); matching is by equality on all of them.
     ``version=`` time-travels the lookup like :func:`manifest_read`.
-    Returns None when nothing is committed or no bucket matches.
-    Cost: one tiny job to hash the keys (collect bounded by
-    ``n_buckets``), one pruned scan, one broadcast semi-join.
+    Returns None only when nothing was ever committed; a committed
+    store whose buckets hold none of the probed keys returns an
+    EMPTY DataFrame under the store's recorded schema (so callers
+    can filter/select it without a None branch).  Cost: one tiny job
+    to hash the keys (collect bounded by ``n_buckets``), one pruned
+    scan, one broadcast semi-join.
     """
     cur = manifest_current(path, spark=spark)
     if cur is None:
@@ -579,7 +582,15 @@ def manifest_lookup(spark: SparkSession, path: str,
                      want.select(bcol.alias(_BKT)).distinct().collect())
     stored = _read_buckets(spark, path, man, bucket_ids=touched)
     if stored is None:
-        return None
+        # committed store, but every probed bucket is empty: an empty
+        # result under the recorded schema, not None — callers chain
+        # filters/selects without a None branch
+        from pyspark.sql import types as T
+
+        if man.get("schema") is None:
+            return None  # pre-schema legacy manifest: shape unknown
+        return spark.createDataFrame(
+            [], T.StructType.fromJson(man["schema"]))
     return stored.join(F.broadcast(want), kcols, "left_semi")
 
 
