@@ -524,6 +524,14 @@ def foreach_batch_dedup_keep_best(stream_df: DataFrame, store_path: str, *,
     upsert.  Steady-state cost scales with batch size, not store size
     (modulo the parquet-swap rewrite — partition or use a table format
     for huge stores, as with the other maintainers).
+
+    No ``evolve_schema`` here, deliberately: keep-best's correctness
+    rests on ONE deterministic total order over every row ever seen,
+    and a mid-stream column addition makes cross-generation ``max_by``
+    comparisons ill-defined (old rows null-fill a column the order may
+    reference).  A feed whose schema versions is CDC-shaped — use
+    ``foreach_batch_cdc_apply(evolve_schema=True)`` with a sequence
+    column, where last-writer-wins is well-defined across generations.
     """
     from ..operators.dedup import dedup_keep_best
     from ..sources.manifest import manifest_merge
