@@ -4714,6 +4714,124 @@ def q_stream_rollup_manifest_store(spark, sf_dir):
                     F.round("max_value", 4).alias("max_value")))
 
 
+def q_pmanifest_prune_orders(spark, sf_dir):
+    """NEW r8: the partition-pruned manifest store
+    (sources/partitioned.py): value partitioning by order YEAR over
+    per-partition hash-bucketed manifest sub-stores.  Hash buckets
+    give O(touched-bucket) MERGE cost but scramble every value axis,
+    so a year-range read of the plain manifest store scans all of it;
+    here the read prunes whole partition directories from the layout
+    first (``pmanifest_read(lo=, hi=)``) — the Hive/Delta/Iceberg
+    partition-pruning mechanism, the difference between reading three
+    years and reading 100 TB.  Commit N=0 loads orders, commit N=1
+    doubles every 100th order's price (touching each year's
+    sub-store's few buckets); the pruned 1994–1996 read must equal
+    the oracle's filtered aggregate."""
+    import datetime
+    import tempfile
+
+    from wrangle_pypes_spark.sources.partitioned import (pmanifest_merge,
+                                                         pmanifest_read)
+
+    # 1993–1997 -> 5 partition sub-stores; each merge is evaluated
+    # once per touched partition, so pin the scan with a
+    # localCheckpoint (the documented ad-hoc-caller contract)
+    o = (_t(spark, sf_dir, "orders")
+         .select("o_orderkey",
+                 F.trunc("o_orderdate", "year").alias("o_year"),
+                 "o_orderpriority", "o_totalprice")
+         .filter(F.col("o_year").between("1993-01-01", "1997-12-31"))
+         .localCheckpoint(eager=True))
+    store = tempfile.mkdtemp(prefix="wps_pman_") + "/orders"
+    pmanifest_merge(o, store, "o_year", ["o_orderkey"], epoch_id=0,
+                    n_buckets=4)
+    upd = (o.filter((F.col("o_orderkey") % 100 == 0)
+                    & F.col("o_year").between("1994-01-01",
+                                              "1996-12-31"))
+           .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+           .localCheckpoint(eager=True))
+    pmanifest_merge(upd, store, "o_year", ["o_orderkey"], epoch_id=1,
+                    n_buckets=4)
+    # prunes 1993 and 1997 from the layout before planning a file
+    pruned = pmanifest_read(spark, store,
+                            lo=datetime.date(1994, 1, 1),
+                            hi=datetime.date(1996, 1, 1))
+    return (pruned.groupBy("o_year", "o_orderpriority")
+            .agg(F.count("*").cast("bigint").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .withColumn("o_year", F.col("o_year").cast("date"))
+            .orderBy("o_year", "o_orderpriority"))
+
+
+SQL_PMANIFEST_PRUNE = """
+SELECT date_trunc('year', o_orderdate)::DATE AS o_year,
+       o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       round(sum(CASE WHEN o_orderkey % 100 = 0
+                       AND date_trunc('year', o_orderdate)::DATE
+                           BETWEEN DATE '1994-01-01' AND DATE '1996-12-31'
+                      THEN o_totalprice * 2
+                      ELSE o_totalprice END), 2) AS revenue
+FROM orders
+WHERE date_trunc('year', o_orderdate)::DATE
+      BETWEEN DATE '1994-01-01' AND DATE '1996-01-01'
+GROUP BY 1, 2
+ORDER BY o_year, o_orderpriority
+"""
+
+
+def q_stream_rollup_pmanifest_store(spark, sf_dir):
+    """NEW r8: the durable streaming rollup on the PARTITIONED
+    manifest store (``store_format="manifest"`` +
+    ``store_partition_by=["week"]``): the store lays out as one
+    manifest sub-store per ISO week, each hash-bucketed by the
+    remaining group identity.  Every micro-batch merges per touched
+    partition (per-partition atomic pointer commits carrying the
+    epoch — exactly-once per partition under replay, the mid-batch-
+    crash convergence proof lives in tests/test_partitioned.py), and
+    the final read PRUNES to weeks >= Jan 15 before a single file is
+    planned — the time-partitioned continuous-aggregate shape a
+    100 TB metrics store needs.  Oracle: the filtered batch rollup."""
+    import datetime
+    import tempfile
+
+    from wrangle_pypes_spark.sources.partitioned import pmanifest_read
+    from wrangle_pypes_spark.streaming import foreach_batch_rollup_upsert
+
+    metrics = {"n": ("count", "*"), "sum_value": ("sum", "value"),
+               "max_value": ("max", "value")}
+    store = tempfile.mkdtemp(prefix="wps_rollup_pman_") + "/state"
+    ev = stream_events(spark, sf_dir).select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        "event_type", "value")
+    q = foreach_batch_rollup_upsert(ev, store,
+                                    group_cols=["week", "event_type"],
+                                    metrics=metrics,
+                                    store_format="manifest",
+                                    store_partition_by=["week"],
+                                    store_buckets=4)
+    q.awaitTermination()
+    pruned = pmanifest_read(spark, store, lo=datetime.date(2024, 1, 15))
+    return (pruned
+            .select(F.col("week").cast("date").alias("week"),
+                    "event_type", "n",
+                    F.round("sum_value", 4).alias("sum_value"),
+                    F.round("max_value", 4).alias("max_value"))
+            .orderBy("week", "event_type"))
+
+
+SQL_STREAM_ROLLUP_PMAN = """
+SELECT date_trunc('week', ts)::DATE AS week, event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value,
+       round(max(value), 4) AS max_value
+FROM events
+WHERE date_trunc('week', ts)::DATE >= DATE '2024-01-15'
+GROUP BY 1, 2
+ORDER BY week, event_type
+"""
+
+
 def q_stream_scd2_user_status(spark, sf_dir):
     """Durable streaming SCD2 (streaming/windows.py
     ``foreach_batch_scd2_merge``): each user's event-type history as
@@ -7312,6 +7430,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ^ r7-green; CDC manifest merge + vacuum semantics changed r8
     "stream_rollup_manifest_store": q_stream_rollup_manifest_store,
     # ^ r7-green; manifest commit/vacuum changed r8
+    "pmanifest_prune_orders": q_pmanifest_prune_orders,
+    # ^ NEW r8: partition-pruned manifest store, batch merge + range read
+    "stream_rollup_pmanifest_store": q_stream_rollup_pmanifest_store,
+    # ^ NEW r8: streaming rollup on the partitioned manifest store
     "top_ngrams_corpus": q_top_ngrams_corpus,
     # ^ r3-green; n-gram build rewritten r7 (6661a1a) AFTER last check
     "ngram_containment_docs": q_ngram_containment_docs,
@@ -7364,9 +7486,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_supplier_part_counts": q_q16_supplier_part_counts,  # r3 hash-green
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,  # r3 hash-green
     "q20_bulk_suppliers": q_q20_bulk_suppliers,  # r3 hash-green
+    # ---- below the 50-slot driver window from here down ----
     "q21_suppliers_kept_waiting": q_q21_suppliers_kept_waiting,  # r3 hash-green
     "q22_sales_opportunity": q_q22_sales_opportunity,  # r3 hash-green
-    # ---- below the 50-slot driver window from here down ----
+    # ^ displaced from the r8 window by the pmanifest pair
     "stream_static_enrich": q_stream_static_enrich,  # r3 hash-green
     "mix_corpus_sources": q_mix_corpus_sources,  # r3 hash-green
     # ^ displaced from the r8 window by the semantic-decontam pair
@@ -7677,6 +7800,8 @@ _ORACLES: dict[str, str] = {
     "stream_rollup_acid_store": SQL_STREAM_ROLLUP,
     # the manifest store drains the same stream to the same state
     "stream_rollup_manifest_store": SQL_STREAM_ROLLUP,
+    "pmanifest_prune_orders": SQL_PMANIFEST_PRUNE,
+    "stream_rollup_pmanifest_store": SQL_STREAM_ROLLUP_PMAN,
     "stream_scd2_user_status": SQL_STREAM_SCD2,
     "embedding_near_dup": SQL_EMB_NEAR_DUP,
     # embedding_near_dup_lsh / ivf_ann_top5 / lsh_ann_top5: approximate →

@@ -1,0 +1,275 @@
+"""Partition-pruned manifest store (sources/partitioned.py): value
+partitioning composed over unmodified per-partition manifest stores —
+prune decision, merge/read roundtrip, per-partition epoch guard
+(mid-batch-crash convergence), epoch time travel, vacuum."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrangle_pypes_spark.sources.manifest import manifest_current
+from wrangle_pypes_spark.sources.partitioned import (
+    _encode_pval, pmanifest_merge, pmanifest_partitions,
+    pmanifest_read, pmanifest_vacuum, select_partitions)
+
+
+def _rows(spark, triples):
+    return spark.createDataFrame(triples, "k int, day date, val string")
+
+
+def _d(s):
+    return dt.date.fromisoformat(s)
+
+
+def _kv(spark, store, **kw):
+    df = pmanifest_read(spark, store, **kw)
+    return {} if df is None else {r.k: (r.day, r.val)
+                                  for r in df.collect()}
+
+
+# ---------------------------------------------------------------- prune
+
+def test_select_partitions_range_typed_and_explicit():
+    toks = [_encode_pval(v) for v in (1, 2, 9, 10, 30)]
+    # typed int comparison: 9 < 10 numerically, not lexically
+    assert select_partitions(toks, lo=2, hi=10) == ["2", "9", "10"]
+    days = [_encode_pval(_d(s)) for s in
+            ("2024-01-01", "2024-02-01", "2024-03-01")]
+    assert select_partitions(days, lo=_d("2024-01-15")) == \
+        ["2024-02-01", "2024-03-01"]
+    assert select_partitions(days, partitions=[_d("2024-02-01")]) == \
+        ["2024-02-01"]
+    # a token that doesn't decode under the probe type is KEPT (safe)
+    assert select_partitions(["2024-01-01", "junk"],
+                             lo=_d("2024-01-02")) == ["junk"]
+
+
+def test_encode_rejects_null_bool_and_unknown_types():
+    for bad in (None, True, 1.5):
+        with pytest.raises(TypeError):
+            _encode_pval(bad)
+    # strings with separators can never break the dir layout
+    assert "/" not in _encode_pval("a/b=c")
+
+
+# ----------------------------------------------------- merge/read basics
+
+def test_merge_read_roundtrip_with_pruning(spark, tmp_path):
+    store = str(tmp_path / "pstore")
+    assert pmanifest_read(spark, store) is None
+    base = _rows(spark, [
+        (1, _d("2024-01-01"), "a"), (2, _d("2024-01-01"), "b"),
+        (3, _d("2024-02-01"), "c"), (4, _d("2024-03-01"), "d")])
+    committed = pmanifest_merge(base, store, "day", ["k"],
+                                epoch_id=0, n_buckets=4)
+    assert set(committed) == {"2024-01-01", "2024-02-01", "2024-03-01"}
+    assert _kv(spark, store) == {
+        1: (_d("2024-01-01"), "a"), 2: (_d("2024-01-01"), "b"),
+        3: (_d("2024-02-01"), "c"), 4: (_d("2024-03-01"), "d")}
+    # range prune reads only the selected partitions
+    assert _kv(spark, store, lo=_d("2024-01-15"), hi=_d("2024-02-15")) \
+        == {3: (_d("2024-02-01"), "c")}
+    # upsert within a partition; untouched partitions not re-committed
+    upd = _rows(spark, [(2, _d("2024-01-01"), "B2")])
+    committed = pmanifest_merge(upd, store, "day", ["k"],
+                                epoch_id=1, n_buckets=4)
+    assert set(committed) == {"2024-01-01"}
+    assert _kv(spark, store)[2] == (_d("2024-01-01"), "B2")
+    # directory layout: one complete sub-store per partition value
+    assert sorted(p for p in os.listdir(store)) == \
+        ["p=2024-01-01", "p=2024-02-01", "p=2024-03-01"]
+    assert manifest_current(os.path.join(store, "p=2024-02-01")) == (1, 0)
+    assert manifest_current(os.path.join(store, "p=2024-01-01")) == (2, 1)
+
+
+def test_merge_contract_violations(spark, tmp_path):
+    store = str(tmp_path / "pbad")
+    withnull = spark.createDataFrame(
+        [(1, None, "a")], "k int, day date, val string")
+    with pytest.raises(ValueError, match="NULL in partition column"):
+        pmanifest_merge(withnull, store, "day", ["k"])
+    ok = _rows(spark, [(1, _d("2024-01-01"), "a")])
+    with pytest.raises(ValueError, match="lack partition column"):
+        pmanifest_merge(ok, store, "nope", ["k"])
+    with pytest.raises(ValueError, match="must not repeat a key"):
+        pmanifest_merge(ok, store, "day", ["day", "k"])
+
+
+# ------------------------------------------------- epoch guard / replay
+
+def test_per_partition_epoch_guard_converges_after_midbatch_crash(
+        spark, tmp_path):
+    """Crash simulation: batch 1 commits partition A then dies before
+    partition B.  The replay must skip A (already at epoch 1) and
+    apply B — converging to the uncrashed outcome, exactly once per
+    partition."""
+    store = str(tmp_path / "pcrash")
+    pmanifest_merge(_rows(spark, [
+        (1, _d("2024-01-01"), "a"), (2, _d("2024-02-01"), "b")]),
+        store, "day", ["k"], epoch_id=0, n_buckets=4)
+    # batch 1 touches both partitions, but "crashes" after A: simulate
+    # by merging only A's slice under epoch 1
+    batch1 = _rows(spark, [
+        (1, _d("2024-01-01"), "A1"), (2, _d("2024-02-01"), "B1")])
+    pmanifest_merge(batch1.filter(F.col("k") == 1), store, "day",
+                    ["k"], epoch_id=1, n_buckets=4)
+    # replay of the FULL batch 1: A skips, B applies
+    committed = pmanifest_merge(batch1, store, "day", ["k"],
+                                epoch_id=1, n_buckets=4)
+    assert set(committed) == {"2024-02-01"}
+    assert _kv(spark, store) == {
+        1: (_d("2024-01-01"), "A1"), 2: (_d("2024-02-01"), "B1")}
+    # a second full replay is a no-op everywhere
+    assert pmanifest_merge(batch1, store, "day", ["k"], epoch_id=1,
+                           n_buckets=4) == {}
+    # ad-hoc merges (epoch_id=-1) never engage the guard
+    adhoc = _rows(spark, [(1, _d("2024-01-01"), "ADHOC")])
+    assert set(pmanifest_merge(adhoc, store, "day", ["k"],
+                               n_buckets=4)) == {"2024-01-01"}
+
+
+# ------------------------------------------------------ epoch as-of read
+
+def test_epoch_asof_reads_consistent_cross_partition_snapshot(
+        spark, tmp_path):
+    store = str(tmp_path / "pasof")
+    pmanifest_merge(_rows(spark, [(1, _d("2024-01-01"), "a")]),
+                    store, "day", ["k"], epoch_id=0, n_buckets=4)
+    pmanifest_merge(_rows(spark, [(2, _d("2024-02-01"), "b")]),
+                    store, "day", ["k"], epoch_id=1, n_buckets=4)
+    pmanifest_merge(_rows(spark, [(1, _d("2024-01-01"), "a2"),
+                                  (3, _d("2024-03-01"), "c")]),
+                    store, "day", ["k"], epoch_id=2, n_buckets=4)
+    # as of epoch 0: only the first partition, original value
+    assert _kv(spark, store, epoch=0) == {1: (_d("2024-01-01"), "a")}
+    # as of epoch 1: partition 3 (first committed at epoch 2) absent
+    assert _kv(spark, store, epoch=1) == {
+        1: (_d("2024-01-01"), "a"), 2: (_d("2024-02-01"), "b")}
+    # head
+    assert _kv(spark, store) == {
+        1: (_d("2024-01-01"), "a2"), 2: (_d("2024-02-01"), "b"),
+        3: (_d("2024-03-01"), "c")}
+    # discovery surface
+    parts = {r.partition: (r.version, r.epoch) for r in
+             pmanifest_partitions(spark, store).collect()}
+    assert parts == {"2024-01-01": (2, 2), "2024-02-01": (1, 1),
+                     "2024-03-01": (1, 2)}
+
+
+# ------------------------------------------------------------ vacuum
+
+def test_vacuum_spans_substores_and_preserves_head(spark, tmp_path):
+    store = str(tmp_path / "pvac")
+    for e in range(3):
+        pmanifest_merge(_rows(spark, [
+            (1, _d("2024-01-01"), f"v{e}"),
+            (2, _d("2024-02-01"), f"w{e}")]),
+            store, "day", ["k"], epoch_id=e, n_buckets=4)
+    reclaimed = pmanifest_vacuum(store, keep=1)
+    assert reclaimed >= 2  # at least one old version per sub-store
+    assert _kv(spark, store) == {
+        1: (_d("2024-01-01"), "v2"), 2: (_d("2024-02-01"), "w2")}
+
+
+# ----------------------------------------- schema drift across partitions
+
+def test_read_tolerates_per_partition_schema_drift(spark, tmp_path):
+    store = str(tmp_path / "pdrift")
+    pmanifest_merge(_rows(spark, [(1, _d("2024-01-01"), "a")]),
+                    store, "day", ["k"], epoch_id=0, n_buckets=4)
+    widened = spark.createDataFrame(
+        [(2, _d("2024-02-01"), "b", 9)],
+        "k int, day date, val string, extra int")
+    pmanifest_merge(widened, store, "day", ["k"], epoch_id=1,
+                    n_buckets=4, evolve_schema=True)
+    rows = {r.k: r.asDict() for r in
+            pmanifest_read(spark, store).collect()}
+    assert rows[1]["extra"] is None and rows[2]["extra"] == 9
+
+
+# ------------------------------- streaming rollup over a pmanifest store
+
+def test_streaming_rollup_partitioned_manifest_equals_batch(
+        spark, tables, tmp_path):
+    """foreach_batch_rollup_upsert with store_format='manifest' +
+    store_partition_by=[time grain] lays the store out as value
+    partitions over hash-bucketed sub-stores: the drained store must
+    equal the one-shot rollup, a partition-range read must equal the
+    filtered rollup, and a re-drain must not double-merge (per-
+    partition epoch guard)."""
+    import glob
+    import shutil
+
+    from wrangle_pypes_spark.operators import rollup_build, time_bucket
+    from wrangle_pypes_spark.streaming import foreach_batch_rollup_upsert
+
+    events = tables["events"].withColumn(
+        "day", F.to_date(time_bucket(F.col("ts"), "day")))
+    metrics = {"n": ("count", "*"), "sum_value": ("sum", "value")}
+
+    src_dir = str(tmp_path / "psrc")
+    for i, half in enumerate((events.filter(F.col("event_id") % 2 == 0),
+                              events.filter(F.col("event_id") % 2 == 1))):
+        half.coalesce(1).write.parquet(f"{src_dir}/h{i}")
+    files = sorted(glob.glob(f"{src_dir}/h*/*.parquet"))
+    for i, f in enumerate(files):
+        shutil.move(f, f"{src_dir}/part-{i}.parquet")
+    for i in range(2):
+        shutil.rmtree(f"{src_dir}/h{i}")
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", "1")
+              .format("parquet").load(src_dir)
+              .select("day", "event_type", "value"))
+    store = str(tmp_path / "prollup")
+    q = foreach_batch_rollup_upsert(
+        stream, store, group_cols=["day", "event_type"],
+        metrics=metrics, store_format="manifest",
+        store_partition_by=["day"], store_buckets=4)
+    q.awaitTermination()
+
+    # layout: one sub-store per day
+    days = sorted(r[0] for r in events.select("day").distinct().collect())
+    assert sorted(os.listdir(store)) == \
+        [f"p={d.isoformat()}" for d in days]
+
+    def _rows(df):
+        return sorted((r.day, r.event_type, r.n,
+                       round(r.sum_value, 6)) for r in df.collect())
+
+    want = rollup_build(events, group_cols=["day", "event_type"],
+                        metrics=metrics)
+    assert _rows(pmanifest_read(spark, store)) == _rows(want)
+
+    # partition-range read equals the filtered rollup
+    mid = days[len(days) // 2]
+    assert _rows(pmanifest_read(spark, store, lo=mid)) == \
+        _rows(want.filter(F.col("day") >= F.lit(mid)))
+
+    # byte-identical re-drain: per-partition guard skips every epoch
+    with pytest.warns(UserWarning, match="WITHOUT a checkpoint"):
+        q2 = foreach_batch_rollup_upsert(
+            stream, store, group_cols=["day", "event_type"],
+            metrics=metrics, store_format="manifest",
+            store_partition_by=["day"], store_buckets=4)
+    q2.awaitTermination()
+    assert _rows(pmanifest_read(spark, store)) == _rows(want)
+
+
+def test_rollup_partition_col_must_be_group_col(spark, tables, tmp_path):
+    from wrangle_pypes_spark.streaming import foreach_batch_rollup_upsert
+
+    stream = (spark.readStream.schema(tables["events"].schema)
+              .format("parquet").load(str(tmp_path)))
+    with pytest.raises(ValueError, match="must be one of the group"):
+        foreach_batch_rollup_upsert(
+            stream, str(tmp_path / "s"), group_cols=["event_type"],
+            metrics={"n": ("count", "*")}, store_format="manifest",
+            store_partition_by=["day"])
+    with pytest.raises(ValueError, match="exactly one partition"):
+        foreach_batch_rollup_upsert(
+            stream, str(tmp_path / "s"), group_cols=["a", "b"],
+            metrics={"n": ("count", "*")}, store_format="manifest",
+            store_partition_by=["a", "b"])

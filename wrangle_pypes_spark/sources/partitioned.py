@@ -1,0 +1,314 @@
+"""Partition-pruned manifest store — value-based partitioning ON TOP
+of :mod:`wrangle_pypes_spark.sources.manifest`'s hash-bucketed
+file-level-delta store.
+
+The manifest store's buckets are ``hash(key) % n`` — perfect for keyed
+MERGE cost (O(touched buckets) per batch) and point lookups, but hash
+scrambles every value axis, so a range predicate (``WHERE day BETWEEN
+…``) must still read every bucket.  Table formats solve this with
+value partitioning: data is laid out by a low-cardinality derived
+column (day, month, source) and the reader prunes whole partitions
+from the transaction log before touching a file.  This module adds
+that layer as pure composition:
+
+```
+store/
+  p=2024-01/      <- a complete, independent manifest store
+  p=2024-02/         (its own _ptr.json / manifests / data/)
+  ...
+```
+
+Each partition directory is an unmodified ``manifest`` store, so every
+property already proven for it — atomic pointer commit, MVCC reads,
+O(touched-bucket) merges, vacuum, schema evolution — holds per
+partition, and nothing in ``manifest.py`` changes.
+
+**Commit semantics.**  A batch touching P partitions performs P
+independent sub-store commits; atomicity is per PARTITION, not per
+batch.  Exactly-once per partition still holds under foreachBatch
+replay because each sub-store's pointer carries the epoch: on replay,
+partitions whose committed epoch already covers the batch skip, the
+rest apply (``epoch_id >= 0`` engages the guard).  A crash mid-batch
+therefore converges to the same store the uncrashed run produces —
+the same contract a multi-partition writer gets from Hive-style
+commits, one notch weaker than Delta's single-log batch atomicity,
+and stated here rather than hidden.
+
+**Partition column contract.**  ``partition_col`` must be (a)
+NON-NULL, (b) low-cardinality (dirs and driver loops are O(distinct
+values) — size it like a date grain, not like a key), and (c)
+FUNCTIONALLY DEPENDENT on the key columns — i.e. a key's partition
+value never changes across updates (creation date, source id).  An
+update that moved a key across partitions would upsert the new
+partition and leave the stale image in the old one; nothing can
+detect that without a global key index, so it is a contract, loudly
+documented, exactly as table formats document it.
+
+Reference analog: none — the reference (pipeline.py:33) hands
+persistence to the caller; this is the partition-pruning read path a
+100 TB store needs so a day-range query reads days, not the table.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import urllib.parse
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import fsutil
+from . import manifest as _m
+
+_P = "p"  # partition dir prefix, e.g. p=2024-01
+
+
+def _encode_pval(v) -> str:
+    """Partition value -> directory token.  ISO dates/timestamps and
+    zero-padding-free ints are kept readable; strings are URL-quoted
+    so separators and '=' can never break the layout."""
+    if isinstance(v, bool) or v is None:
+        raise TypeError(f"unsupported partition value {v!r} "
+                        "(partition_col is non-null by contract; "
+                        "bool is not a partition type)")
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return v.isoformat()
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return urllib.parse.quote(v, safe="")
+    raise TypeError(f"unsupported partition value type "
+                    f"{type(v).__name__} (int, str, date, datetime)")
+
+
+def _decode_like(token: str, probe):
+    """Decode a directory token using the PROBE's type so range
+    comparisons are typed (int '9' < int '10', not string).  Returns
+    None when the token does not parse as the probe's type — the
+    caller must treat that as 'cannot prune' and keep the
+    partition."""
+    try:
+        if isinstance(probe, _dt.datetime):
+            return _dt.datetime.fromisoformat(token)
+        if isinstance(probe, _dt.date):
+            return _dt.date.fromisoformat(token)
+        if isinstance(probe, int) and not isinstance(probe, bool):
+            return int(token)
+        if isinstance(probe, str):
+            return urllib.parse.unquote(token)
+    except ValueError:
+        return None
+    return None
+
+
+def _sub(path: str, token: str) -> str:
+    return path.rstrip("/") + f"/{_P}={token}"
+
+
+def _list_tokens(path: str, spark=None) -> list[str]:
+    if not fsutil.dir_exists(path, spark=spark):
+        return []
+    out = []
+    for name in fsutil.list_dir(path, spark=spark):
+        if name.startswith(_P + "="):
+            out.append(name.split("=", 1)[1])
+    return sorted(out)
+
+
+def select_partitions(tokens: Sequence[str], *, partitions=None,
+                      lo=None, hi=None) -> list[str]:
+    """The prune decision, factored out so tests can pin it: which of
+    ``tokens`` survive an explicit value list and/or an inclusive
+    [lo, hi] range on the partition value.  A token that fails to
+    decode under the probes' type is KEPT (pruning must never drop
+    data it cannot reason about)."""
+    keep = list(tokens)
+    if partitions is not None:
+        wanted = {_encode_pval(p) for p in partitions}
+        keep = [t for t in keep if t in wanted]
+    probe = lo if lo is not None else hi
+    if probe is not None:
+        kept = []
+        for t in keep:
+            v = _decode_like(t, probe)
+            if v is None:
+                kept.append(t)  # unprunable -> safe side
+                continue
+            if lo is not None and v < lo:
+                continue
+            if hi is not None and v > hi:
+                continue
+            kept.append(t)
+        keep = kept
+    return keep
+
+
+def _version_asof_epoch(sub_path: str, epoch: int,
+                        spark=None) -> Optional[int]:
+    """Largest committed version of one sub-store whose epoch <= the
+    requested epoch; None when the sub-store did not exist yet at
+    that epoch.  Driver cost: one tiny JSON per retained version,
+    bounded by the vacuum keep-window (same bound as
+    manifest_history)."""
+    cur = _m.manifest_current(sub_path, spark=spark)
+    if cur is None:
+        return None
+    best = None
+    for v in _m._used_versions(sub_path, spark=spark):
+        if v > cur[0]:
+            continue  # crash orphan, not a commit
+        try:
+            man = _m._load_manifest(sub_path, v, spark=spark)
+        except FileNotFoundError:
+            continue  # vacuumed
+        if int(man["epoch"]) <= epoch and (best is None or v > best):
+            best = v
+    return best
+
+
+def pmanifest_merge(updates: DataFrame, path: str, partition_col: str,
+                    key_cols: Sequence[str], *, epoch_id: int = -1,
+                    mode: str = "upsert", n_buckets: int = 16,
+                    value_cols: Sequence[str] = (),
+                    tombstone_col: Optional[str] = None,
+                    merge_fn=None,
+                    evolve_schema: bool = False,
+                    guard_epochs: bool = True,
+                    max_concurrency: int = 4,
+                    compression: str = "zstd") -> dict:
+    """MERGE ``updates`` into the partitioned store: split by
+    ``partition_col``, then one ``manifest_merge`` per touched
+    partition into its sub-store.  Returns {token: committed version}
+    for the partitions this call actually committed (guard-skipped
+    partitions are absent).
+
+    With ``epoch_id >= 0`` the per-partition epoch guard makes replay
+    exactly-once per partition (see module docstring for the
+    mid-batch-crash convergence argument); ``epoch_id=-1`` (ad-hoc
+    merges) never skips.  ``guard_epochs=False`` records the epoch in
+    each commit but never skips — for maintainers whose merge is
+    already idempotent (CDC max_by), where skipping on a REUSED batch
+    id (resume without checkpoint) would lose data the idempotent
+    merge would have applied correctly.
+
+    ``updates`` is evaluated once for partition discovery plus twice
+    per touched partition (manifest_merge's documented double-eval) —
+    foreachBatch hands over materialized micro-batches so this is
+    cheap there; ad-hoc callers with expensive plans should
+    ``localCheckpoint(eager=True)`` first.
+    """
+    if partition_col not in updates.columns:
+        raise ValueError(f"updates lack partition column "
+                         f"{partition_col!r}")
+    if partition_col in key_cols:
+        raise ValueError(
+            f"partition_col {partition_col!r} must not repeat a key "
+            "column: the sub-store is already scoped to one partition "
+            "value, key it by the remaining identity")
+    pvals = [r[0] for r in
+             updates.select(partition_col).distinct().collect()]
+    if any(p is None for p in pvals):
+        raise ValueError(
+            f"updates carry NULL in partition column "
+            f"{partition_col!r} — partition values are non-null by "
+            "contract (a null row could never be read back by any "
+            "partition predicate)")
+
+    def _one(pval):
+        token = _encode_pval(pval)
+        sub_path = _sub(path, token)
+        if guard_epochs and epoch_id >= 0:
+            cur = _m.manifest_current(sub_path, spark=updates.sparkSession)
+            if cur is not None and cur[1] >= epoch_id:
+                return None  # replay: this partition already has the batch
+        part = updates.filter(F.col(partition_col) == F.lit(pval))
+        return token, _m.manifest_merge(
+            part, sub_path, key_cols, epoch_id=epoch_id, mode=mode,
+            n_buckets=n_buckets, value_cols=value_cols,
+            tombstone_col=tombstone_col, merge_fn=merge_fn,
+            evolve_schema=evolve_schema, compression=compression)
+
+    ordered = sorted(pvals, key=_encode_pval)
+    # sub-stores are DISJOINT directories, so their commits are
+    # independent: run them concurrently (Spark schedules jobs from
+    # multiple driver threads natively) — per-batch wall time stops
+    # being serial in the partition count.  Single-writer-per-
+    # SUB-store still holds: one thread per partition value.
+    if max_concurrency > 1 and len(ordered) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(
+                max_workers=min(max_concurrency, len(ordered))) as ex:
+            results = list(ex.map(_one, ordered))
+    else:
+        results = [_one(p) for p in ordered]
+    return dict(r for r in results if r is not None)
+
+
+def pmanifest_read(spark: SparkSession, path: str, *,
+                   partitions: Optional[Sequence] = None,
+                   lo=None, hi=None,
+                   epoch: Optional[int] = None
+                   ) -> Optional[DataFrame]:
+    """The committed store content, PRUNED to the partitions selected
+    by ``partitions`` (explicit values) and/or the inclusive
+    ``[lo, hi]`` range on the partition value — unselected partition
+    directories are never listed, opened, or planned, which is the
+    entire point: a day-range read of a year-partitioned 100 TB store
+    plans ~days' worth of files.
+
+    ``epoch=`` time-travels the WHOLE store to 'as of epoch E': each
+    surviving sub-store is read at its largest version whose epoch
+    <= E (partitions first committed after E read as absent) — a
+    consistent cross-partition snapshot as long as epochs are
+    monotonic across batches, which the foreachBatch contract
+    provides.  Returns None when nothing selected was ever committed.
+    Per-partition schema drift under ``evolve_schema`` is tolerated:
+    sub-frames union by name with null-fill."""
+    tokens = select_partitions(_list_tokens(path, spark=spark),
+                               partitions=partitions, lo=lo, hi=hi)
+    frames = []
+    for t in tokens:
+        sub_path = _sub(path, t)
+        if epoch is not None:
+            v = _version_asof_epoch(sub_path, epoch, spark=spark)
+            if v is None:
+                continue
+            df = _m.manifest_read(spark, sub_path, version=v)
+        else:
+            df = _m.manifest_read(spark, sub_path)
+        if df is not None:
+            frames.append(df)
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def pmanifest_partitions(spark: SparkSession, path: str
+                         ) -> Optional[DataFrame]:
+    """One row per partition — ``(partition, version, epoch)`` of its
+    committed head — the discovery surface for operational checks
+    (which days exist, how far each has ingested).  None when the
+    store has no committed partition."""
+    rows = []
+    for t in _list_tokens(path, spark=spark):
+        cur = _m.manifest_current(_sub(path, t), spark=spark)
+        if cur is not None:
+            rows.append((urllib.parse.unquote(t), cur[0], cur[1]))
+    if not rows:
+        return None
+    return spark.createDataFrame(
+        rows, "partition string, version int, epoch int")
+
+
+def pmanifest_vacuum(path: str, *, keep: int = 1, spark=None) -> int:
+    """Vacuum every sub-store (each with manifest_vacuum's
+    pointer-bounded safety); returns the total number of paths
+    (superseded manifests + unreferenced bucket dirs) deleted."""
+    n = 0
+    for t in _list_tokens(path, spark=spark):
+        n += _m.manifest_vacuum(_sub(path, t), keep=keep, spark=spark)
+    return n

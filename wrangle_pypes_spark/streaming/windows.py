@@ -292,11 +292,26 @@ def foreach_batch_rollup_upsert(stream_df: DataFrame, store_path: str, *,
     if store_format not in ("swap", "acid", "manifest"):
         raise ValueError(f"unknown store_format {store_format!r} "
                          "(expected 'swap', 'acid' or 'manifest')")
-    if store_format == "manifest" and store_partition_by:
-        raise ValueError(
-            "store_format='manifest' lays the store out by key-hash "
-            "buckets; store_partition_by does not apply")
     keys = list(group_cols)
+    pcol = None
+    if store_format == "manifest" and store_partition_by:
+        # partitioned manifest store (sources/partitioned.py): value
+        # partitioning by ONE group column (the time grain) over
+        # per-partition hash-bucketed sub-stores — reads of a
+        # day-range prune whole partitions from the layout before
+        # bucket pruning even starts, the natural shape for a
+        # time-partitioned continuous aggregate
+        if len(store_partition_by) != 1:
+            raise ValueError(
+                "store_format='manifest' supports exactly one "
+                f"partition column, got {list(store_partition_by)}")
+        pcol = store_partition_by[0]
+        if pcol not in keys:
+            raise ValueError(
+                f"partition column {pcol!r} must be one of the group "
+                f"columns {keys} — rollup state is keyed by the group "
+                "columns, so partitioning on anything else would "
+                "split a group across partitions")
     session = stream_df.sparkSession
 
     def _committed_epoch(spark) -> int:
@@ -304,6 +319,19 @@ def foreach_batch_rollup_upsert(stream_df: DataFrame, store_path: str, *,
             cur = acid_current(store_path, spark=spark)
             return cur[1] if cur is not None else -1
         if store_format == "manifest":
+            if pcol is not None:
+                # partitioned: a batch is fully applied only when EVERY
+                # sub-store has it, so the whole-store floor is the MIN
+                # committed epoch; stragglers (a crash mid-batch) fall
+                # to pmanifest_merge's per-partition guard
+                from ..sources.partitioned import _list_tokens, _sub
+                epochs = []
+                for t in _list_tokens(store_path, spark=spark):
+                    cur = manifest_current(_sub(store_path, t),
+                                           spark=spark)
+                    if cur is not None:
+                        epochs.append(cur[1])
+                return min(epochs) if epochs else -1
             cur = manifest_current(store_path, spark=spark)
             return cur[1] if cur is not None else -1
         return _read_epoch(store_path, spark=spark)
@@ -354,9 +382,17 @@ def foreach_batch_rollup_upsert(stream_df: DataFrame, store_path: str, *,
                 return rollup_merge(touched, batch, group_cols=keys,
                                     metrics=metrics).unionByName(carried)
 
-            manifest_merge(batch_state, store_path, keys,
-                           epoch_id=epoch_id, merge_fn=_merge,
-                           n_buckets=store_buckets)
+            if pcol is not None:
+                from ..sources.partitioned import pmanifest_merge
+                pmanifest_merge(
+                    batch_state, store_path, pcol,
+                    [k for k in keys if k != pcol],
+                    epoch_id=epoch_id, merge_fn=_merge,
+                    n_buckets=store_buckets)
+            else:
+                manifest_merge(batch_state, store_path, keys,
+                               epoch_id=epoch_id, merge_fn=_merge,
+                               n_buckets=store_buckets)
             return
         if store_format == "acid":
             stored = acid_read(spark, store_path)
