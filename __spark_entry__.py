@@ -4832,6 +4832,72 @@ ORDER BY week, event_type
 """
 
 
+def q_cms_heavy_hitters_custkey(spark, sf_dir):
+    """NEW r8: count-min-sketch heavy hitters
+    (operators/sketches.py): frequency state bounded at depth × width
+    counter rows however many distinct keys exist.  Candidates come
+    from the sketch (estimate >= true count ALWAYS, so no true heavy
+    hitter is lost), then one exact aggregate over only the
+    semi-join-pruned candidate rows removes the collision-inflated
+    false positives — the output is EXACT, which is why this is a
+    value-oracle query: the oracle is the plain GROUP BY/HAVING.  At
+    100 TB the full-cardinality groupBy never happens; state is the
+    40k-row sketch plus the candidates' rows."""
+    from wrangle_pypes_spark.operators import (cms_build,
+                                               cms_heavy_hitters_against)
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    cms = cms_build(o, "o_custkey", depth=5, width=4096)
+    return (cms_heavy_hitters_against(cms, o, "o_custkey",
+                                      threshold=18, depth=5,
+                                      width=4096)
+            .orderBy("o_custkey"))
+
+
+SQL_CMS_HH = """
+SELECT o_custkey, count(*)::BIGINT AS cnt
+FROM orders GROUP BY 1 HAVING count(*) >= 18
+ORDER BY o_custkey
+"""
+
+
+def q_stream_cms_user_hitters(spark, sf_dir):
+    """NEW r8: the streaming count-min maintainer
+    (streaming/windows.py ``foreach_batch_cms``): the sketch is
+    merged additively per micro-batch into an acid store (cell-wise
+    integer addition is exactly associative, so the drained store
+    CELL-EXACTLY equals the one-shot sketch — pinned in
+    tests/test_sketches.py), with the epoch in the pointer making the
+    additive merge exactly-once under replay.  Heavy hitters are then
+    answered sketch-first off the STORE with an exact verify pass —
+    the bounded-state streaming frequency topology (top-talkers,
+    crawl-frontier hot keys) whose full-cardinality alternative is a
+    groupBy held as state forever."""
+    import tempfile
+
+    from wrangle_pypes_spark.operators import cms_heavy_hitters_against
+    from wrangle_pypes_spark.streaming import cms_store, foreach_batch_cms
+
+    store = tempfile.mkdtemp(prefix="wps_cms_") + "/state"
+    ev = stream_events(spark, sf_dir).select("user_id")
+    q = foreach_batch_cms(ev, store, key_col="user_id", depth=5,
+                          width=2048)
+    q.awaitTermination()
+    sketch, depth, width = cms_store(spark, store)
+    events = _t(spark, sf_dir, "events").select("user_id")
+    return (cms_heavy_hitters_against(sketch, events, "user_id",
+                                      threshold=80, depth=depth,
+                                      width=width)
+            .orderBy("user_id"))
+
+
+SQL_STREAM_CMS = """
+SELECT user_id, count(*)::BIGINT AS cnt
+FROM events GROUP BY 1 HAVING count(*) >= 80
+ORDER BY user_id
+"""
+
+
 def q_stream_scd2_user_status(spark, sf_dir):
     """Durable streaming SCD2 (streaming/windows.py
     ``foreach_batch_scd2_merge``): each user's event-type history as
@@ -7434,6 +7500,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ^ NEW r8: partition-pruned manifest store, batch merge + range read
     "stream_rollup_pmanifest_store": q_stream_rollup_pmanifest_store,
     # ^ NEW r8: streaming rollup on the partitioned manifest store
+    "cms_heavy_hitters_custkey": q_cms_heavy_hitters_custkey,
+    # ^ NEW r8: count-min sketch, sketch-first exact heavy hitters
+    "stream_cms_user_hitters": q_stream_cms_user_hitters,
+    # ^ NEW r8: streaming CMS maintainer (additive acid-store merges)
     "top_ngrams_corpus": q_top_ngrams_corpus,
     # ^ r3-green; n-gram build rewritten r7 (6661a1a) AFTER last check
     "ngram_containment_docs": q_ngram_containment_docs,
@@ -7484,12 +7554,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_order_distribution": q_q13_order_distribution,  # r3 hash-green
     "q15_top_supplier": q_q15_top_supplier,  # r3 hash-green
     "q16_supplier_part_counts": q_q16_supplier_part_counts,  # r3 hash-green
+    # ---- below the 50-slot driver window from here down ----
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,  # r3 hash-green
     "q20_bulk_suppliers": q_q20_bulk_suppliers,  # r3 hash-green
-    # ---- below the 50-slot driver window from here down ----
     "q21_suppliers_kept_waiting": q_q21_suppliers_kept_waiting,  # r3 hash-green
     "q22_sales_opportunity": q_q22_sales_opportunity,  # r3 hash-green
-    # ^ displaced from the r8 window by the pmanifest pair
+    # ^ displaced from the r8 window by the pmanifest + cms pairs
     "stream_static_enrich": q_stream_static_enrich,  # r3 hash-green
     "mix_corpus_sources": q_mix_corpus_sources,  # r3 hash-green
     # ^ displaced from the r8 window by the semantic-decontam pair
@@ -7802,6 +7872,8 @@ _ORACLES: dict[str, str] = {
     "stream_rollup_manifest_store": SQL_STREAM_ROLLUP,
     "pmanifest_prune_orders": SQL_PMANIFEST_PRUNE,
     "stream_rollup_pmanifest_store": SQL_STREAM_ROLLUP_PMAN,
+    "cms_heavy_hitters_custkey": SQL_CMS_HH,
+    "stream_cms_user_hitters": SQL_STREAM_CMS,
     "stream_scd2_user_status": SQL_STREAM_SCD2,
     "embedding_near_dup": SQL_EMB_NEAR_DUP,
     # embedding_near_dup_lsh / ivf_ann_top5 / lsh_ann_top5: approximate →

@@ -23,7 +23,9 @@ from .windows import (
     bloom_resize_store,
     cdc_store_lookup,
     bloom_store_occupancy,
+    cms_store,
     foreach_batch_bloom_dedup,
+    foreach_batch_cms,
     foreach_batch_minhash_index,
     foreach_batch_get_or_create_upsert,
     foreach_batch_dedup_keep_best,
@@ -51,7 +53,9 @@ __all__ = (
     "bloom_resize_store",
     "cdc_store_lookup",
     "bloom_store_occupancy",
+    "cms_store",
     "foreach_batch_bloom_dedup",
+    "foreach_batch_cms",
     "foreach_batch_minhash_index",
     "foreach_batch_get_or_create_upsert",
     "foreach_batch_dedup_keep_best",

@@ -1219,6 +1219,111 @@ def bloom_resize_store(spark, store_path: str, accepted_path: str, *,
     return version
 
 
+def foreach_batch_cms(stream_df: DataFrame, store_path: str, *,
+                      key_col: str, depth: int = 5, width: int = 8192,
+                      weight_col: Optional[str] = None,
+                      checkpoint: Optional[str] = None):
+    """Memory-bounded streaming frequency state: maintain a count-min
+    sketch (``operators.sketches``) over ``key_col`` across
+    micro-batches — the frequency twin of
+    :func:`foreach_batch_bloom_dedup`'s membership bitmap.  State is
+    <= depth * width counter rows however many distinct keys the
+    stream has carried; the merged store equals the one-shot sketch
+    of every row ever drained (cell-wise integer addition is exactly
+    associative), so downstream heavy-hitter queries
+    (``cms_heavy_hitters_against``) read the store instead of holding
+    a full-cardinality groupBy as state.
+
+    Per batch: one ``cms_build`` over the batch, one ``cms_merge``
+    with the resident sketch, one acid snapshot commit.  The sketch
+    is COMPACT state by construction, so the acid store's full-
+    snapshot-per-commit is the right trade (the manifest store's
+    file-level deltas pay off for data-sized state; a sketch that
+    big means ``width`` was sized like a table — rethink it).
+    The pointer carries the epoch WITH the counters, so the additive
+    merge is exactly-once under replay; like every additive
+    maintainer here, the guard needs MONOTONIC batch ids (a
+    ``checkpoint``), and resuming an existing store without one
+    warns — a reused batch id would silently skip a genuinely-new
+    batch's counts.  ``depth``/``width`` define the hash family and
+    are immutable for the store's lifetime (``_cms.json`` sidecar,
+    validated at resume — same contract as the bloom store)."""
+    import json as _json
+    import warnings
+
+    from .. import fsutil
+    from ..operators.sketches import cms_build, cms_merge
+    from ..sources.acid import acid_commit, acid_current, acid_read
+
+    params_path = store_path.rstrip("/") + "/_cms.json"
+    session = stream_df.sparkSession
+    prior = fsutil.read_text(params_path, spark=session)
+    if prior is not None:
+        doc = _json.loads(prior)
+        if (int(doc["depth"]), int(doc["width"])) != (depth, width):
+            raise ValueError(
+                f"cms store {store_path!r} was built with depth="
+                f"{doc['depth']}, width={doc['width']}; got "
+                f"({depth}, {width}) — the hash family is immutable "
+                "for the store's lifetime")
+    if (checkpoint is None
+            and acid_current(store_path, spark=session) is not None):
+        warnings.warn(
+            "foreach_batch_cms: resuming an existing cms store "
+            f"({store_path!r}) WITHOUT a checkpoint location — batch "
+            "ids restart at 0 each run, so the epoch guard skips any "
+            "batch id the store has already committed and those "
+            "batches' counts are silently lost. Pass checkpoint= for "
+            "incremental use; only a byte-identical re-drain is safe "
+            "without it.", stacklevel=2)
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = acid_current(store_path, spark=spark)
+        if cur is not None and epoch_id <= cur[1]:
+            return  # replayed batch already counted
+        add = cms_build(batch_df, key_col, depth=depth, width=width,
+                        weight_col=weight_col)
+        resident = acid_read(spark, store_path)
+        merged = add if resident is None else cms_merge(resident, add)
+        acid_commit(merged, store_path, epoch_id=epoch_id)
+        if fsutil.read_text(params_path, spark=spark) is None:
+            fsutil.write_text_atomic(
+                params_path,
+                _json.dumps({"depth": depth, "width": width}),
+                spark=spark)
+
+    writer = stream_df.writeStream.foreachBatch(_batch) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def cms_store(spark, store_path: str):
+    """The committed sketch of a :func:`foreach_batch_cms` store plus
+    its pinned hash family: ``(sketch DataFrame, depth, width)`` —
+    hand these straight to ``cms_estimate`` /
+    ``cms_heavy_hitters_against``.  ``None`` when nothing was ever
+    committed."""
+    import json as _json
+
+    from .. import fsutil
+    from ..sources.acid import acid_read
+
+    sketch = acid_read(spark, store_path)
+    if sketch is None:
+        return None
+    txt = fsutil.read_text(store_path.rstrip("/") + "/_cms.json",
+                           spark=spark)
+    if txt is None:
+        raise FileNotFoundError(
+            f"cms store {store_path!r} has commits but no _cms.json "
+            "sidecar — cannot recover depth/width")
+    doc = _json.loads(txt)
+    return sketch, int(doc["depth"]), int(doc["width"])
+
+
 def foreach_batch_minhash_index(stream_df: DataFrame, index_path: str, *,
                                 text_col: str, id_col: str,
                                 pairs_path: Optional[str] = None,
