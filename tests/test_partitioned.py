@@ -78,7 +78,8 @@ def test_merge_read_roundtrip_with_pruning(spark, tmp_path):
     assert set(committed) == {"2024-01-01"}
     assert _kv(spark, store)[2] == (_d("2024-01-01"), "B2")
     # directory layout: one complete sub-store per partition value
-    assert sorted(p for p in os.listdir(store)) == \
+    assert sorted(p for p in os.listdir(store)
+                  if p.startswith("p=")) == \
         ["p=2024-01-01", "p=2024-02-01", "p=2024-03-01"]
     assert manifest_current(os.path.join(store, "p=2024-02-01")) == (1, 0)
     assert manifest_current(os.path.join(store, "p=2024-01-01")) == (2, 1)
@@ -189,6 +190,41 @@ def test_read_tolerates_per_partition_schema_drift(spark, tmp_path):
     assert rows[1]["extra"] is None and rows[2]["extra"] == 9
 
 
+# --------------------------------------------------- double-pruned lookup
+
+def test_lookup_double_pruned_and_pcol_immutable(spark, tmp_path):
+    from wrangle_pypes_spark.sources.partitioned import pmanifest_lookup
+
+    store = str(tmp_path / "plkp")
+    base = _rows(spark, [
+        (1, _d("2024-01-01"), "a"), (2, _d("2024-01-01"), "b"),
+        (3, _d("2024-02-01"), "c"), (4, _d("2024-03-01"), "d")])
+    pmanifest_merge(base, store, "day", ["k"], epoch_id=0, n_buckets=4)
+    # probes WITH the partition column: only their partitions open
+    probe = spark.createDataFrame(
+        [(1, _d("2024-01-01")), (3, _d("2024-02-01")),
+         (99, _d("2024-02-01")), (4, None)],
+        "k int, day date")
+    got = {r.k: r.val for r in
+           pmanifest_lookup(spark, store, probe).collect()}
+    assert got == {1: "a", 3: "c"}  # 99 absent; null-day probe matches nothing
+    # probes WITHOUT the partition column: every partition probed,
+    # key matches in exactly one
+    bare = spark.createDataFrame([(2,), (4,)], "k int")
+    got = {r.k: r.val for r in
+           pmanifest_lookup(spark, store, bare).collect()}
+    assert got == {2: "b", 4: "d"}
+    # range restriction composes with the bare-key path
+    got = pmanifest_lookup(spark, store, bare, hi=_d("2024-02-28"))
+    assert {r.k for r in got.collect()} == {2}
+    # nothing selected -> None
+    assert pmanifest_lookup(spark, store, bare,
+                            lo=_d("2030-01-01")) is None
+    # the partition column is pinned at first commit
+    with pytest.raises(ValueError, match="immutable"):
+        pmanifest_merge(base, store, "val", ["k"], n_buckets=4)
+
+
 # ------------------------------- streaming rollup over a pmanifest store
 
 def test_streaming_rollup_partitioned_manifest_equals_batch(
@@ -232,7 +268,8 @@ def test_streaming_rollup_partitioned_manifest_equals_batch(
 
     # layout: one sub-store per day
     days = sorted(r[0] for r in events.select("day").distinct().collect())
-    assert sorted(os.listdir(store)) == \
+    assert sorted(p for p in os.listdir(store)
+                  if p.startswith("p=")) == \
         [f"p={d.isoformat()}" for d in days]
 
     def _rows(df):

@@ -12,9 +12,9 @@ from .manifest import (manifest_current, manifest_merge, manifest_read,
                        manifest_history, manifest_lookup,
                        manifest_rebucket,
                        manifest_stats, manifest_vacuum)
-from .partitioned import (pmanifest_merge, pmanifest_partitions,
-                          pmanifest_read, pmanifest_vacuum,
-                          select_partitions)
+from .partitioned import (pmanifest_lookup, pmanifest_merge,
+                          pmanifest_partitions, pmanifest_read,
+                          pmanifest_vacuum, select_partitions)
 from .sinks import (audit_parquet_layout, compact_parquet, read_orc,
                     recover_upsert_backup,
                     upsert_parquet,
@@ -32,8 +32,8 @@ __all__ = ("TABLES", "acid_commit", "acid_current", "acid_read",
            "manifest_stats",
            "manifest_vacuum",
            "parse_json_col",
-           "pmanifest_merge", "pmanifest_partitions", "pmanifest_read",
-           "pmanifest_vacuum", "select_partitions",
+           "pmanifest_lookup", "pmanifest_merge", "pmanifest_partitions",
+           "pmanifest_read", "pmanifest_vacuum", "select_partitions",
            "audit_parquet_layout", "compact_parquet",
            "read_binary_files", "read_csv", "read_jsonl", "read_orc",
            "read_text", "recover_upsert_backup",

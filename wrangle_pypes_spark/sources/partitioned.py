@@ -52,6 +52,7 @@ persistence to the caller; this is the partition-pruning read path a
 from __future__ import annotations
 
 import datetime as _dt
+import json as _json
 import urllib.parse
 from typing import Optional, Sequence
 
@@ -62,6 +63,7 @@ from .. import fsutil
 from . import manifest as _m
 
 _P = "p"  # partition dir prefix, e.g. p=2024-01
+_META = "_pstore.json"  # parent-level sidecar: the partition column
 
 
 def _encode_pval(v) -> str:
@@ -104,6 +106,13 @@ def _decode_like(token: str, probe):
 
 def _sub(path: str, token: str) -> str:
     return path.rstrip("/") + f"/{_P}={token}"
+
+
+def _recorded_pcol(path: str, spark=None) -> Optional[str]:
+    txt = fsutil.read_text(path.rstrip("/") + "/" + _META, spark=spark)
+    if txt is None:
+        return None
+    return _json.loads(txt)["partition_col"]
 
 
 def _list_tokens(path: str, spark=None) -> list[str]:
@@ -206,6 +215,12 @@ def pmanifest_merge(updates: DataFrame, path: str, partition_col: str,
             f"partition_col {partition_col!r} must not repeat a key "
             "column: the sub-store is already scoped to one partition "
             "value, key it by the remaining identity")
+    prior = _recorded_pcol(path, spark=updates.sparkSession)
+    if prior is not None and prior != partition_col:
+        raise ValueError(
+            f"store {path!r} is partitioned by {prior!r}, got "
+            f"{partition_col!r} — the partition column is immutable "
+            "for the store's lifetime")
     pvals = [r[0] for r in
              updates.select(partition_col).distinct().collect()]
     if any(p is None for p in pvals):
@@ -242,6 +257,14 @@ def pmanifest_merge(updates: DataFrame, path: str, partition_col: str,
             results = list(ex.map(_one, ordered))
     else:
         results = [_one(p) for p in ordered]
+    if prior is None and ordered:
+        # first commit: pin the partition column (a crash between a
+        # sub-commit and this write merely re-pins at the next merge)
+        fsutil.ensure_dir(path, spark=updates.sparkSession)
+        fsutil.write_text_atomic(
+            path.rstrip("/") + "/" + _META,
+            _json.dumps({"partition_col": partition_col}),
+            spark=updates.sparkSession)
     return dict(r for r in results if r is not None)
 
 
@@ -302,6 +325,55 @@ def pmanifest_partitions(spark: SparkSession, path: str
         return None
     return spark.createDataFrame(
         rows, "partition string, version int, epoch int")
+
+
+def pmanifest_lookup(spark: SparkSession, path: str, keys: DataFrame,
+                     *, partitions: Optional[Sequence] = None,
+                     lo=None, hi=None) -> Optional[DataFrame]:
+    """Serving-side keyed GET with DOUBLE pruning: partition dirs are
+    pruned first (explicit list / typed range / — when ``keys``
+    carries the store's partition column — the probes' own partition
+    values), then each surviving sub-store scans only the buckets its
+    probes hash into (``manifest_lookup``).  A k-key probe against a
+    year-partitioned 100 TB store therefore opens ~|probed
+    partitions| × min(k, n_buckets) bucket dirs, not the table.
+
+    When ``keys`` includes the partition column (recorded at the
+    store's first commit), each sub-store receives ONLY its own
+    partition's keys — the precise path; null partition values in the
+    probes match nothing (store partition values are non-null by
+    contract).  Without it, every surviving partition is probed with
+    the full key set — correct, since a key's partition value is
+    functionally dependent on the key, so it matches in at most one.
+    Returns None when no selected partition was ever committed."""
+    tokens = select_partitions(_list_tokens(path, spark=spark),
+                               partitions=partitions, lo=lo, hi=hi)
+    pcol = _recorded_pcol(path, spark=spark)
+    frames = []
+    if pcol is not None and pcol in keys.columns:
+        pvals = [r[0] for r in
+                 keys.select(pcol).distinct().collect()]
+        for pval in pvals:
+            if pval is None:
+                continue
+            token = _encode_pval(pval)
+            if token not in tokens:
+                continue
+            sub_keys = keys.filter(F.col(pcol) == F.lit(pval))
+            df = _m.manifest_lookup(spark, _sub(path, token), sub_keys)
+            if df is not None:
+                frames.append(df)
+    else:
+        for t in tokens:
+            df = _m.manifest_lookup(spark, _sub(path, t), keys)
+            if df is not None:
+                frames.append(df)
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
 
 
 def pmanifest_vacuum(path: str, *, keep: int = 1, spark=None) -> int:
