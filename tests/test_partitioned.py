@@ -225,6 +225,63 @@ def test_lookup_double_pruned_and_pcol_immutable(spark, tmp_path):
         pmanifest_merge(base, store, "val", ["k"], n_buckets=4)
 
 
+# --------------- property: random partitioned batches vs a dict model
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PDAYS = [_d("2024-01-01"), _d("2024-02-01"), _d("2024-03-01")]
+
+_pbatch_strategy = st.lists(
+    st.lists(st.tuples(st.integers(0, 12),          # key (within partition)
+                       st.integers(0, 2),           # partition index
+                       st.integers(-50, 50),        # value
+                       st.booleans()),              # tombstone
+             min_size=0, max_size=8),
+    min_size=1, max_size=4)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(batches=_pbatch_strategy)
+def test_property_partitioned_upsert_matches_dict_model(
+        spark, tmp_path_factory, batches):
+    """Any sequence of partitioned upsert/delete batches drains to
+    what a per-(partition, key) dict holds — the composed layer must
+    not change the sub-store's upsert/tombstone semantics, and a
+    full read must equal the union of the partitions.  Also checks
+    range reads against the model filtered by partition."""
+    store = str(tmp_path_factory.mktemp("pprop") / "pman")
+    model: dict[tuple, int] = {}
+    for e, rows in enumerate(batches):
+        collapsed: dict[tuple, tuple] = {}
+        for k, pi, v, dead in rows:
+            collapsed[(k, _PDAYS[pi])] = (v, dead)  # last occurrence wins
+        for (k, day), (v, dead) in collapsed.items():
+            if dead:
+                model.pop((k, day), None)
+            else:
+                model[(k, day)] = v
+        batch = [(k, day, v, dead)
+                 for (k, day), (v, dead) in collapsed.items()]
+        df = spark.createDataFrame(
+            batch or [(None, None, None, None)],
+            "k int, day date, v int, dead boolean") \
+            .filter(F.col("k").isNotNull())
+        pmanifest_merge(df, store, "day", ["k"], epoch_id=e,
+                        n_buckets=4, tombstone_col="dead")
+    got_df = pmanifest_read(spark, store)
+    got = {} if got_df is None else \
+        {(r.k, r.day): r.v for r in got_df.collect()}
+    assert got == model
+    # range read == model filtered by partition value
+    got_df = pmanifest_read(spark, store, lo=_PDAYS[1])
+    got = {} if got_df is None else \
+        {(r.k, r.day): r.v for r in got_df.collect()}
+    assert got == {kd: v for kd, v in model.items()
+                   if kd[1] >= _PDAYS[1]}
+
+
 # ------------------------------- streaming rollup over a pmanifest store
 
 def test_streaming_rollup_partitioned_manifest_equals_batch(
