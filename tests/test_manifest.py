@@ -582,16 +582,31 @@ def test_cdc_store_format_validation(spark, tmp_path):
                                 store_format="delta")
 
 
-def test_rollup_manifest_rejects_store_partition_by(spark, events,
-                                                    tmp_path):
+def test_rollup_manifest_partition_by_routes_to_pmanifest(
+        spark, events, tmp_path):
+    """store_format='manifest' + store_partition_by no longer rejects
+    (r8): it routes to the PARTITIONED manifest store — one sub-store
+    per grain value.  The layout proves the routing; equivalence and
+    guard semantics are pinned in tests/test_partitioned.py."""
+    import os
+
+    from wrangle_pypes_spark.operators.rollup import time_bucket
     from wrangle_pypes_spark.streaming import foreach_batch_rollup_upsert
 
-    stream = _two_file_stream(spark, events, tmp_path)
-    with pytest.raises(ValueError, match="store_partition_by"):
-        foreach_batch_rollup_upsert(
-            stream, str(tmp_path / "x"), group_cols=["bucket"],
-            metrics=METRICS, store_format="manifest",
-            store_partition_by=["bucket"])
+    # week grain: a handful of sub-stores, not one per hour
+    weekly = events.withColumn("bucket",
+                               time_bucket(F.col("ts"), "week"))
+    stream = _two_file_stream(spark, weekly, tmp_path)
+    store = str(tmp_path / "proll")
+    q = foreach_batch_rollup_upsert(
+        stream, store, group_cols=["bucket", "event_type"],
+        metrics=METRICS, store_format="manifest",
+        store_partition_by=["bucket"], store_buckets=4)
+    q.awaitTermination()
+    parts = [p for p in os.listdir(store) if p.startswith("p=")]
+    assert len(parts) > 1
+    # each partition dir is a complete manifest sub-store
+    assert os.path.exists(os.path.join(store, parts[0], "_ptr.json"))
 
 
 # --- property: random batch sequences vs a dict model ----------------

@@ -352,6 +352,92 @@ def test_streaming_rollup_partitioned_manifest_equals_batch(
     assert _rows(pmanifest_read(spark, store)) == _rows(want)
 
 
+def test_streaming_cdc_partitioned_store_converges_and_lookups(
+        spark, tmp_path):
+    """foreach_batch_cdc_apply(store_format='manifest',
+    store_partition_col='day'): out-of-order I/U/D batches converge
+    to the one-shot latest image laid out one sub-store per day
+    (partition value immutable per key — the stated contract),
+    replay is a no-op (idempotent max_by, guard disabled on purpose),
+    read_cdc_store detects the layout, and cdc_store_lookup
+    double-prunes when the probes carry the day."""
+    import glob
+    import shutil
+
+    from wrangle_pypes_spark.streaming import (cdc_store_lookup,
+                                               foreach_batch_cdc_apply,
+                                               read_cdc_store)
+
+    d1, d2 = _d("2024-01-01"), _d("2024-02-01")
+    batch_a = spark.createDataFrame(
+        [(1, "U", 3, d1, "v3"), (2, "D", 5, d1, None),
+         (3, "I", 1, d2, "c1")],
+        "id int, op string, seq int, day date, val string")
+    batch_b = spark.createDataFrame(
+        [(1, "U", 2, d1, "v2"),    # stale: loses to applied seq 3
+         (2, "U", 4, d1, "zomb"),  # stale update after delete seq 5
+         (4, "I", 1, d2, "d1")],
+        "id int, op string, seq int, day date, val string")
+    src = str(tmp_path / "pcdc_src")
+    for i, b in enumerate((batch_a, batch_b)):
+        b.coalesce(1).write.parquet(f"{src}/{i}")
+    files = [f for i in (0, 1)
+             for f in sorted(glob.glob(f"{src}/{i}/*.parquet"))]
+    for i, f in enumerate(files):
+        shutil.move(f, f"{src}/part-{i}.parquet")
+    shutil.rmtree(f"{src}/0"), shutil.rmtree(f"{src}/1")
+
+    store = str(tmp_path / "pcdc_store")
+
+    def drain():
+        stream = (spark.readStream.schema(batch_a.schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .format("parquet").load(src))
+        q = foreach_batch_cdc_apply(
+            stream, store, key_cols=["id"], seq_col="seq",
+            store_format="manifest", store_buckets=4,
+            store_partition_col="day")
+        q.awaitTermination()
+
+    drain()
+    assert sorted(p for p in os.listdir(store)
+                  if p.startswith("p=")) == \
+        ["p=2024-01-01", "p=2024-02-01"]
+    cur = {r.id: (r.day, r.val)
+           for r in read_cdc_store(spark, store).collect()}
+    assert cur == {1: (d1, "v3"), 3: (d2, "c1"), 4: (d2, "d1")}
+
+    before = sorted(map(tuple, read_cdc_store(spark, store).collect()))
+    drain()  # full replay: idempotent, not skipped
+    assert sorted(map(tuple,
+                      read_cdc_store(spark, store).collect())) == before
+
+    # double-pruned GET: probes carry the partition value
+    probe = spark.createDataFrame([(1, d1), (2, d1), (3, d2)],
+                                  "id int, day date")
+    got = {r.id: r.val
+           for r in cdc_store_lookup(spark, store, probe).collect()}
+    assert got == {1: "v3", 3: "c1"}  # 2 tombstoned
+    # bare-key probes still resolve (every partition probed)
+    bare = spark.createDataFrame([(4,)], "id int")
+    assert {r.id for r in
+            cdc_store_lookup(spark, store, bare).collect()} == {4}
+
+    # contract validations
+    with pytest.raises(ValueError, match="payload column"):
+        foreach_batch_cdc_apply(
+            spark.readStream.schema(batch_a.schema)
+            .format("parquet").load(src),
+            store, key_cols=["id"], seq_col="seq",
+            store_format="manifest", store_partition_col="id")
+    with pytest.raises(ValueError, match="store_format='manifest'"):
+        foreach_batch_cdc_apply(
+            spark.readStream.schema(batch_a.schema)
+            .format("parquet").load(src),
+            store, key_cols=["id"], seq_col="seq",
+            store_partition_col="day")
+
+
 def test_rollup_partition_col_must_be_group_col(spark, tables, tmp_path):
     from wrangle_pypes_spark.streaming import foreach_batch_rollup_upsert
 

@@ -623,6 +623,7 @@ def foreach_batch_cdc_apply(stream_df: DataFrame, store_path: str, *,
                             checkpoint: Optional[str] = None,
                             store_format: str = "swap",
                             store_buckets: int = 64,
+                            store_partition_col: Optional[str] = None,
                             evolve_schema: bool = False):
     """Durable streaming CDC: maintain a base table from a stream of
     insert/update/delete change images — the streaming twin of
@@ -662,6 +663,21 @@ def foreach_batch_cdc_apply(stream_df: DataFrame, store_path: str, *,
     retention sweep (filter tombstones older than the transport's max
     disorder).
 
+    ``store_partition_col`` (manifest store only) lays the base table
+    out as a PARTITIONED manifest store (``sources.partitioned``):
+    one hash-bucketed sub-store per value of the named payload column
+    — the Delta/Iceberg partitioned-MERGE shape.  Reads then prune
+    whole partitions (``pmanifest_read(lo=, hi=)``) and serving GETs
+    double-prune (``pmanifest_lookup``).  The column must be
+    FUNCTIONALLY DEPENDENT on the key (creation date, source id — a
+    key whose partition value changed across images would leave its
+    stale image live in the old partition; nothing can detect that
+    without a global key index, so it is a stated contract, exactly
+    as table formats state it), non-null, and low-cardinality.  The
+    max_by merge stays idempotent per partition, so replay converges
+    without epoch skipping (``guard_epochs=False`` — a reused batch
+    id must re-APPLY, not skip, matching the swap path's contract).
+
     ``evolve_schema=True`` (manifest store only) allows ADDITIVE
     mid-stream schema evolution: when the upstream source starts
     emitting a new payload column (schema registries version CDC
@@ -686,7 +702,15 @@ def foreach_batch_cdc_apply(stream_df: DataFrame, store_path: str, *,
             "evolve_schema requires store_format='manifest' — only "
             "the manifest store records an authoritative schema that "
             "null-fills not-yet-rewritten buckets on read")
+    if store_partition_col is not None and store_format != "manifest":
+        raise ValueError(
+            "store_partition_col requires store_format='manifest' — "
+            "the partitioned layout is built over manifest sub-stores")
     keys = list(key_cols)
+    if store_partition_col in (*keys, seq_col, op_col):
+        raise ValueError(
+            f"store_partition_col {store_partition_col!r} must be a "
+            "payload column, not a key/seq/op column")
     order = [F.col("_cdc_seq"),
              *[F.col(c) for c in tiebreak_cols]]
 
@@ -725,8 +749,20 @@ def foreach_batch_cdc_apply(stream_df: DataFrame, store_path: str, *,
                     .unionByName(carried,
                                  allowMissingColumns=evolve_schema)
 
-            manifest_merge(best, store_path, keys, epoch_id=epoch_id,
-                           merge_fn=_merge, n_buckets=store_buckets)
+            if store_partition_col is not None:
+                from ..sources.partitioned import pmanifest_merge
+                # max_by is idempotent, so replay must RE-APPLY (not
+                # skip): a reused batch id with the guard on would
+                # silently drop a genuinely-new batch
+                pmanifest_merge(best, store_path, store_partition_col,
+                                keys, epoch_id=epoch_id,
+                                merge_fn=_merge,
+                                n_buckets=store_buckets,
+                                guard_epochs=False)
+            else:
+                manifest_merge(best, store_path, keys,
+                               epoch_id=epoch_id, merge_fn=_merge,
+                               n_buckets=store_buckets)
             return
         if recover_upsert_backup(store_path, spark=spark):
             stored = spark.read.parquet(store_path)
@@ -748,13 +784,17 @@ def foreach_batch_cdc_apply(stream_df: DataFrame, store_path: str, *,
 def read_cdc_store(spark: SparkSession, store_path: str) -> DataFrame:
     """Current state of a :func:`foreach_batch_cdc_apply` store:
     tombstoned keys hidden, bookkeeping columns dropped.  Detects the
-    store's layout by its pointer file: a manifest store
+    store's layout by its control files: a manifest store
     (``store_format="manifest"``) resolves through its committed
-    manifest, a swap store reads the parquet directory."""
+    manifest, a partitioned one (``store_partition_col``) through its
+    sub-stores' manifests, a swap store reads the parquet directory."""
     from ..sources.manifest import manifest_current, manifest_read
+    from ..sources.partitioned import _recorded_pcol, pmanifest_read
 
     if manifest_current(store_path, spark=spark) is not None:
         df = manifest_read(spark, store_path)
+    elif _recorded_pcol(store_path, spark=spark) is not None:
+        df = pmanifest_read(spark, store_path)
     else:
         df = spark.read.parquet(store_path)
     return df.filter(~F.col("_cdc_deleted")) \
@@ -771,15 +811,26 @@ def cdc_store_lookup(spark: SparkSession, store_path: str,
     O(probed buckets) whatever the store has grown to, vs
     :func:`read_cdc_store`'s full-table view.  Requires
     ``store_format="manifest"`` (a swap store has no bucket layout
-    to prune — read and filter the table instead)."""
+    to prune — read and filter the table instead).  A PARTITIONED
+    store (``store_partition_col``) double-prunes via
+    ``pmanifest_lookup``: include the partition column in ``keys``
+    to open only the probes' own partitions."""
     from ..sources.manifest import manifest_current, manifest_lookup
+    from ..sources.partitioned import _recorded_pcol, pmanifest_lookup
 
-    if manifest_current(store_path, spark=spark) is None:
+    if manifest_current(store_path, spark=spark) is not None:
+        df = manifest_lookup(spark, store_path, keys)
+    elif _recorded_pcol(store_path, spark=spark) is not None:
+        df = pmanifest_lookup(spark, store_path, keys)
+    else:
         raise ValueError(
             f"{store_path!r} is not a committed manifest store — "
             "bucket-pruned lookups need store_format='manifest'; for "
             "a swap store, filter read_cdc_store() instead")
-    df = manifest_lookup(spark, store_path, keys)
+    if df is None:
+        raise ValueError(
+            f"{store_path!r} has no committed partition for the "
+            "probed keys' partition values")
     return df.filter(~F.col("_cdc_deleted")) \
              .drop("_cdc_seq", "_cdc_deleted")
 
