@@ -174,6 +174,34 @@ def test_vacuum_spans_substores_and_preserves_head(spark, tmp_path):
         1: (_d("2024-01-01"), "v2"), 2: (_d("2024-02-01"), "w2")}
 
 
+# -------------------------------------------------- ops: stats + rebucket
+
+def test_stats_and_partial_rebucket(spark, tmp_path):
+    from wrangle_pypes_spark.sources.manifest import _load_manifest
+    from wrangle_pypes_spark.sources.partitioned import (
+        pmanifest_rebucket, pmanifest_stats)
+
+    store = str(tmp_path / "pops")
+    base = _rows(spark, [
+        (i, _d("2024-01-01") if i % 2 else _d("2024-02-01"), f"v{i}")
+        for i in range(20)])
+    pmanifest_merge(base, store, "day", ["k"], epoch_id=0, n_buckets=2)
+    st = pmanifest_stats(spark, store)
+    assert set(r.partition for r in st.collect()) == \
+        {"2024-01-01", "2024-02-01"}
+    assert st.agg(F.sum("rows")).collect()[0][0] == 20
+    # rebucket ONLY one partition: bucket counts diverge by design
+    done = pmanifest_rebucket(spark, store, 8,
+                              partitions=[_d("2024-01-01")])
+    assert set(done) == {"2024-01-01"}
+    m1 = _load_manifest(str(tmp_path / "pops" / "p=2024-01-01"), done["2024-01-01"])
+    assert int(m1["n_buckets"]) == 8
+    # content unchanged, reads span mixed layouts fine
+    assert _kv(spark, store) == {i: ((_d("2024-01-01") if i % 2
+                                      else _d("2024-02-01")), f"v{i}")
+                                 for i in range(20)}
+
+
 # ----------------------------------------- schema drift across partitions
 
 def test_read_tolerates_per_partition_schema_drift(spark, tmp_path):

@@ -14,6 +14,7 @@ from .manifest import (manifest_current, manifest_merge, manifest_read,
                        manifest_stats, manifest_vacuum)
 from .partitioned import (pmanifest_lookup, pmanifest_merge,
                           pmanifest_partitions, pmanifest_read,
+                          pmanifest_rebucket, pmanifest_stats,
                           pmanifest_vacuum, select_partitions)
 from .sinks import (audit_parquet_layout, compact_parquet, read_orc,
                     recover_upsert_backup,
@@ -33,7 +34,8 @@ __all__ = ("TABLES", "acid_commit", "acid_current", "acid_read",
            "manifest_vacuum",
            "parse_json_col",
            "pmanifest_lookup", "pmanifest_merge", "pmanifest_partitions",
-           "pmanifest_read", "pmanifest_vacuum", "select_partitions",
+           "pmanifest_read", "pmanifest_rebucket", "pmanifest_stats",
+           "pmanifest_vacuum", "select_partitions",
            "audit_parquet_layout", "compact_parquet",
            "read_binary_files", "read_csv", "read_jsonl", "read_orc",
            "read_text", "recover_upsert_backup",

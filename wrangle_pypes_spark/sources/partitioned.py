@@ -384,3 +384,47 @@ def pmanifest_vacuum(path: str, *, keep: int = 1, spark=None) -> int:
     for t in _list_tokens(path, spark=spark):
         n += _m.manifest_vacuum(_sub(path, t), keep=keep, spark=spark)
     return n
+
+
+def pmanifest_stats(spark: SparkSession, path: str
+                    ) -> Optional[DataFrame]:
+    """Per-(partition, bucket) health report — ``manifest_stats`` of
+    every committed sub-store with a leading ``partition`` column.
+    Read partition skew off the per-partition row totals (a hot day
+    means the GRAIN is too coarse — repartition the layout) and
+    bucket skew within a partition exactly as for a flat store.
+    None when nothing was ever committed."""
+    frames = []
+    for t in _list_tokens(path, spark=spark):
+        st = _m.manifest_stats(spark, _sub(path, t))
+        if st is not None:
+            frames.append(st.select(
+                F.lit(urllib.parse.unquote(t)).alias("partition"), "*"))
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def pmanifest_rebucket(spark: SparkSession, path: str,
+                       n_buckets: int, *,
+                       partitions: Optional[Sequence] = None,
+                       compression: str = "zstd") -> dict:
+    """Re-hash sub-stores into a different bucket count —
+    ``manifest_rebucket`` per partition, optionally restricted to an
+    explicit partition list (rebucket only the days that outgrew
+    their layout; each sub-store's bucket count is independent, so a
+    partial rollout is safe).  Out-of-band like any compaction;
+    returns {partition token: committed version}."""
+    tokens = select_partitions(_list_tokens(path, spark=spark),
+                               partitions=partitions)
+    out = {}
+    for t in tokens:
+        sub = _sub(path, t)
+        if _m.manifest_current(sub, spark=spark) is None:
+            continue
+        out[t] = _m.manifest_rebucket(spark, sub, n_buckets,
+                                      compression=compression)
+    return out
