@@ -201,6 +201,15 @@ def pmanifest_merge(updates: DataFrame, path: str, partition_col: str,
     id (resume without checkpoint) would lose data the idempotent
     merge would have applied correctly.
 
+    Partial-failure honesty: a flat ``manifest_merge`` either commits
+    or doesn't; this call makes P independent commits, so an
+    exception can leave SOME partitions committed.  Retrying the same
+    call converges for upsert/max_by modes (idempotent) and for any
+    mode under ``epoch_id >= 0`` (the guard skips the committed
+    partitions) — but an AD-HOC additive merge (``epoch_id=-1``)
+    retried after a partial failure double-sums the partitions that
+    had committed first.  Give additive merges an epoch.
+
     ``updates`` is evaluated once for partition discovery plus twice
     per touched partition (manifest_merge's documented double-eval) —
     foreachBatch hands over materialized micro-batches so this is
