@@ -156,3 +156,44 @@ def test_streaming_cms_equals_oneshot_and_replay_skips(
     with pytest.raises(ValueError, match="immutable"):
         foreach_batch_cms(stream, store, key_col="user_id",
                           depth=4, width=2048)
+
+
+def test_streaming_cms_incremental_resume_with_checkpoint(
+        spark, tables, tmp_path):
+    """Grown-source resume done RIGHT: one checkpoint + one source
+    dir, files appended between drains, so batch ids stay monotonic
+    and the epoch guard skips exactly the already-counted prefix.
+    After both drains the store equals the one-shot sketch of ALL
+    rows — no skipped counts, no double counts."""
+    from wrangle_pypes_spark.streaming import cms_store, foreach_batch_cms
+
+    events = tables["events"].select("user_id")
+    first = events.filter(F.col("user_id") % 2 == 0)
+    second = events.filter(F.col("user_id") % 2 == 1)
+    src = str(tmp_path / "inc_src")
+    ckpt = str(tmp_path / "inc_ckpt")
+    store = str(tmp_path / "inc_store")
+
+    def _append(df, name):
+        df.coalesce(1).write.parquet(f"{src}/_stage_{name}")
+        f = glob.glob(f"{src}/_stage_{name}/*.parquet")[0]
+        shutil.move(f, f"{src}/{name}.parquet")
+        shutil.rmtree(f"{src}/_stage_{name}")
+
+    def _drain():
+        stream = (spark.readStream.schema(events.schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .format("parquet").load(src))
+        q = foreach_batch_cms(stream, store, key_col="user_id",
+                              depth=3, width=512, checkpoint=ckpt)
+        q.awaitTermination()
+
+    _append(first, "a")
+    _drain()
+    _append(second, "b")
+    _drain()  # resumes from the checkpoint: only file b is new
+
+    sketch, _, _ = cms_store(spark, store)
+    oneshot = cms_build(events, "user_id", depth=3, width=512)
+    assert sorted(map(tuple, sketch.collect())) == \
+        sorted(map(tuple, oneshot.collect()))
