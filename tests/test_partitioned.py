@@ -466,6 +466,52 @@ def test_streaming_cdc_partitioned_store_converges_and_lookups(
             store_partition_col="day")
 
 
+def test_cdc_vacuum_sweeps_manifest_and_partitioned_stores(
+        spark, tmp_path):
+    """cdc_vacuum detects the store layout: on a manifest store it
+    merges tombstone deletes for exactly the expired keys (only their
+    buckets rewrite, epoch preserved); on a partitioned store it
+    sweeps each sub-store, leaving partitions without expired
+    tombstones untouched.  Tombstones at or above the horizon stay —
+    dropping them early would re-open the resurrection window."""
+    from wrangle_pypes_spark.operators.cdc import cdc_vacuum
+    from wrangle_pypes_spark.sources.manifest import (manifest_current,
+                                                      manifest_merge,
+                                                      manifest_read)
+
+    # ---- flat manifest store with old + fresh tombstones
+    store = str(tmp_path / "vman")
+    img = spark.createDataFrame(
+        [(1, "a", 10, False), (2, None, 3, True),   # expired tombstone
+         (3, None, 20, True),                       # fresh tombstone
+         (4, "d", 5, False)],
+        "id int, val string, _cdc_seq int, _cdc_deleted boolean")
+    manifest_merge(img, store, ["id"], epoch_id=7, n_buckets=4)
+    assert cdc_vacuum(spark, store, min_seq=15) == 1
+    left = {r.id: r._cdc_deleted
+            for r in manifest_read(spark, store).collect()}
+    assert left == {1: False, 3: True, 4: False}  # only key 2 swept
+    assert manifest_current(store)[1] == 7  # epoch preserved
+    assert cdc_vacuum(spark, store, min_seq=15) == 0  # idempotent
+
+    # ---- partitioned store: only the partition with expired dead keys
+    pstore = str(tmp_path / "vpman")
+    pimg = spark.createDataFrame(
+        [(1, _d("2024-01-01"), 2, True),    # expired, Jan
+         (2, _d("2024-02-01"), 9, False)],  # live, Feb
+        "id int, day date, _cdc_seq int, _cdc_deleted boolean")
+    pmanifest_merge(pimg, pstore, "day", ["id"], epoch_id=3,
+                    n_buckets=2)
+    feb_v_before = manifest_current(
+        os.path.join(pstore, "p=2024-02-01"))[0]
+    assert cdc_vacuum(spark, pstore, min_seq=5) == 1
+    assert {r.id for r in
+            pmanifest_read(spark, pstore).collect()} == {2}
+    # the clean partition committed nothing new
+    assert manifest_current(
+        os.path.join(pstore, "p=2024-02-01"))[0] == feb_v_before
+
+
 def test_rollup_partition_col_must_be_group_col(spark, tables, tmp_path):
     from wrangle_pypes_spark.streaming import foreach_batch_rollup_upsert
 

@@ -128,12 +128,32 @@ def cdc_vacuum(spark, store_path: str, *, min_seq) -> int:
     the horizon is the caller's explicit statement, never a default.
     Live rows are untouched at any ``min_seq``.
 
-    The rewrite goes through the same backup-rename swap as
-    ``upsert_parquet`` (crash-recoverable); cost is one full-store
-    rewrite — schedule it like compaction, not per batch.
+    Layout-aware: a swap store rewrites through the same backup-rename
+    swap as ``upsert_parquet`` (crash-recoverable, one FULL rewrite —
+    schedule like compaction); a MANIFEST store
+    (``store_format="manifest"``) sweeps by MERGING tombstone deletes
+    for exactly the dead keys, so only the buckets that held an
+    expired tombstone rewrite — O(touched buckets), the same cost
+    asymmetry that justified the manifest layout in the first place;
+    a PARTITIONED store sweeps each committed sub-store the same way
+    (partitions with no expired tombstone are untouched).  The
+    manifest sweep preserves the store's committed epoch (no data
+    ingested — same contract as ``manifest_rebucket``).
     """
+    from ..sources.manifest import manifest_current
+    from ..sources.partitioned import _list_tokens, _recorded_pcol, _sub
     from ..sources.sinks import recover_upsert_backup
     from .. import fsutil
+
+    if manifest_current(store_path, spark=spark) is not None:
+        return _cdc_vacuum_manifest(spark, store_path, min_seq)
+    if _recorded_pcol(store_path, spark=spark) is not None:
+        n = 0
+        for t in _list_tokens(store_path, spark=spark):
+            sub = _sub(store_path, t)
+            if manifest_current(sub, spark=spark) is not None:
+                n += _cdc_vacuum_manifest(spark, sub, min_seq)
+        return n
 
     recover_upsert_backup(store_path, spark=spark)
     df = spark.read.parquet(store_path)
@@ -150,4 +170,31 @@ def cdc_vacuum(spark, store_path: str, *, min_seq) -> int:
     fsutil.rename(store_path, bak, spark=spark)
     fsutil.rename(tmp, store_path, spark=spark)
     fsutil.delete(bak, spark=spark)
+    return n_dead
+
+
+def _cdc_vacuum_manifest(spark, store_path: str, min_seq) -> int:
+    """The manifest-store tombstone sweep: merge tombstone DELETEs for
+    exactly the expired keys — updates are the dead rows themselves
+    (full image, so the store's schema-drift check sees no drift) with
+    a delete flag, so ``manifest_merge`` rewrites only their buckets
+    and carries every other bucket by reference.  Epoch preserved."""
+    from ..sources.manifest import (_load_manifest, manifest_current,
+                                    manifest_merge, manifest_read)
+
+    cur = manifest_current(store_path, spark=spark)
+    stored = manifest_read(spark, store_path)
+    if stored is None:
+        return 0
+    dead = stored.filter(
+        F.col("_cdc_deleted") & (F.col("_cdc_seq") < F.lit(min_seq)))
+    n_dead = dead.count()
+    if n_dead == 0:
+        return 0
+    man = _load_manifest(store_path, cur[0], spark=spark)
+    updates = dead.withColumn("_cdc_drop", F.lit(True)) \
+        .localCheckpoint(eager=True)
+    manifest_merge(updates, store_path, list(man["key_cols"]),
+                   epoch_id=cur[1], n_buckets=int(man["n_buckets"]),
+                   tombstone_col="_cdc_drop")
     return n_dead
