@@ -466,6 +466,59 @@ def test_streaming_cdc_partitioned_store_converges_and_lookups(
             store_partition_col="day")
 
 
+def test_streaming_keep_best_partitioned_equals_batch(spark, tmp_path):
+    """foreach_batch_dedup_keep_best(store_partition_col='src'):
+    fingerprints arrive across two micro-batches; the partitioned
+    store equals the one-shot dedup_keep_best, laid out one sub-store
+    per source, and a replay converges (idempotent max_by)."""
+    import glob
+    import shutil
+
+    from wrangle_pypes_spark.operators.dedup import dedup_keep_best
+    from wrangle_pypes_spark.streaming import foreach_batch_dedup_keep_best
+
+    rows_a = [(1, "s1", 5, "x5"), (2, "s2", 3, "y3")]
+    rows_b = [(1, "s1", 9, "x9"),   # better duplicate of fp 1
+              (2, "s2", 1, "y1"),   # worse duplicate of fp 2
+              (3, "s1", 2, "z2")]
+    schema = "fp int, src string, score int, doc string"
+    src_dir = str(tmp_path / "kb_src")
+    for i, rows in enumerate((rows_a, rows_b)):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(f"{src_dir}/{i}")
+    files = [f for i in (0, 1)
+             for f in sorted(glob.glob(f"{src_dir}/{i}/*.parquet"))]
+    for i, f in enumerate(files):
+        shutil.move(f, f"{src_dir}/part-{i}.parquet")
+    shutil.rmtree(f"{src_dir}/0"), shutil.rmtree(f"{src_dir}/1")
+
+    store = str(tmp_path / "kb_store")
+
+    def drain():
+        stream = (spark.readStream.schema(
+            spark.createDataFrame([], schema).schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet").load(src_dir))
+        q = foreach_batch_dedup_keep_best(
+            stream, store, key_cols=["fp"],
+            order_cols=[F.col("score")],
+            store_format="manifest", store_buckets=4,
+            store_partition_col="src")
+        q.awaitTermination()
+
+    drain()
+    assert sorted(p for p in os.listdir(store)
+                  if p.startswith("p=")) == ["p=s1", "p=s2"]
+    want = sorted(map(tuple, dedup_keep_best(
+        spark.createDataFrame(rows_a + rows_b, schema),
+        ["fp"], [F.col("score")]).collect()))
+    got = sorted(map(tuple, pmanifest_read(spark, store).collect()))
+    assert got == want
+    drain()  # replay converges
+    assert sorted(map(tuple,
+                      pmanifest_read(spark, store).collect())) == want
+
+
 def test_cdc_vacuum_sweeps_manifest_and_partitioned_stores(
         spark, tmp_path):
     """cdc_vacuum detects the store layout: on a manifest store it

@@ -534,7 +534,9 @@ def foreach_batch_dedup_keep_best(stream_df: DataFrame, store_path: str, *,
                                   order_cols: Sequence,
                                   checkpoint: Optional[str] = None,
                                   store_format: str = "swap",
-                                  store_buckets: int = 64):
+                                  store_buckets: int = 64,
+                                  store_partition_col: Optional[str]
+                                  = None):
     """Durable streaming corpus dedup: maintain a parquet store holding,
     for every content fingerprint (``key_cols``) ever seen, the single
     BEST row — max by ``order_cols`` (include a unique tiebreak, e.g.
@@ -561,6 +563,16 @@ def foreach_batch_dedup_keep_best(stream_df: DataFrame, store_path: str, *,
     (modulo the parquet-swap rewrite — partition or use a table format
     for huge stores, as with the other maintainers).
 
+    ``store_partition_col`` (manifest only) gives the fingerprint
+    store the partitioned layout (``sources.partitioned``) — one
+    sub-store per value of a payload column that is FUNCTIONALLY
+    DEPENDENT on the fingerprint (source id, shard family): reads
+    prune whole partitions and serving GETs double-prune.  A
+    fingerprint whose partition value varied across rows would leave
+    a duplicate live in the other partition, so the dependence is a
+    stated contract (same as the CDC maintainer's).  Replay stays
+    idempotent-not-skipped (``guard_epochs=False``).
+
     No ``evolve_schema`` here, deliberately: keep-best's correctness
     rests on ONE deterministic total order over every row ever seen,
     and a mid-stream column addition makes cross-generation ``max_by``
@@ -576,7 +588,15 @@ def foreach_batch_dedup_keep_best(stream_df: DataFrame, store_path: str, *,
     if store_format not in ("swap", "manifest"):
         raise ValueError(f"unknown store_format {store_format!r} "
                          "(expected 'swap' or 'manifest')")
+    if store_partition_col is not None and store_format != "manifest":
+        raise ValueError(
+            "store_partition_col requires store_format='manifest' — "
+            "the partitioned layout is built over manifest sub-stores")
     keys = list(key_cols)
+    if store_partition_col in keys:
+        raise ValueError(
+            f"store_partition_col {store_partition_col!r} must be a "
+            "payload column, not a key column")
     order = list(order_cols)
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -595,8 +615,17 @@ def foreach_batch_dedup_keep_best(stream_df: DataFrame, store_path: str, *,
                     touched.unionByName(batch_best), keys, order) \
                     .unionByName(carried)
 
-            manifest_merge(best, store_path, keys, epoch_id=epoch_id,
-                           merge_fn=_merge, n_buckets=store_buckets)
+            if store_partition_col is not None:
+                from ..sources.partitioned import pmanifest_merge
+                pmanifest_merge(best, store_path, store_partition_col,
+                                keys, epoch_id=epoch_id,
+                                merge_fn=_merge,
+                                n_buckets=store_buckets,
+                                guard_epochs=False)
+            else:
+                manifest_merge(best, store_path, keys,
+                               epoch_id=epoch_id, merge_fn=_merge,
+                               n_buckets=store_buckets)
             return
         if recover_upsert_backup(store_path, spark=spark):
             stored = spark.read.parquet(store_path)
