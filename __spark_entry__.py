@@ -4548,6 +4548,96 @@ ORDER BY o_orderkey
 """
 
 
+def q_zonemap_prune_lineitem(spark, sf_dir):
+    """NEW r8: zone-map file skipping (sources/zonemap.py) — write
+    lineitem range-clustered by l_shipdate with a per-file min/max
+    sidecar, then read ONE quarter through the pruned scan: the
+    sidecar drops every file whose [min,max] misses the range
+    driver-side (no listing, no footer reads) and the residual filter
+    keeps the result exact.  A RuntimeError guard pins that files
+    were genuinely skipped — at 100 TB this is "scan the quarter",
+    not "scan the table".  Oracle = full scan + WHERE."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.zonemap import (
+        zonemap_files, zonemap_read, zonemap_write)
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_returnflag", "l_quantity", "l_extendedprice")
+    path = tempfile.mkdtemp(prefix="wps_zm_") + "/li"
+    zonemap_write(li, path, cluster_by=["l_shipdate"],
+                  target_files=24)
+    pred = {"l_shipdate": ("1996-01-01", "1996-03-31")}
+    kept, total = zonemap_files(path, between=pred)
+    if not kept or len(kept) >= total:
+        raise RuntimeError(
+            f"zone map skipped nothing ({len(kept)}/{total} files "
+            "kept) — the clustered layout is broken")
+    return (zonemap_read(spark, path, between=pred)
+            .groupBy("l_returnflag")
+            .agg(F.count("*").cast("bigint").alias("n_lines"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+            .orderBy("l_returnflag"))
+
+
+SQL_ZONEMAP_PRUNE = """
+SELECT l_returnflag, count(*)::BIGINT AS n_lines,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                     AND TIMESTAMP '1996-03-31 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_zorder_prune_orders(spark, sf_dir):
+    """NEW r8: multi-dimensional skipping via Z-order clustering
+    (sources/zonemap.py + operators/relational.py ``zorder_col``) —
+    orders laid out by the Morton interleave of (o_custkey,
+    o_totalprice), so BOTH columns keep file-level locality and a 2-D
+    box predicate prunes on each: the Delta ``OPTIMIZE ZORDER BY``
+    pattern.  The custkey bound scales with the data (max/8) so the
+    box stays selective at every SF; the residual filter keeps the
+    result exact.  Oracle = full scan + the same box."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.zonemap import (
+        zonemap_files, zonemap_read, zonemap_write)
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderpriority")
+    path = tempfile.mkdtemp(prefix="wps_zz_") + "/ord"
+    zonemap_write(o, path, cluster_by=["o_custkey", "o_totalprice"],
+                  target_files=16)
+    cust_hi = o.agg(F.max("o_custkey")).first()[0] / 8
+    pred = {"o_custkey": (None, cust_hi),
+            "o_totalprice": (None, 100000.0)}
+    kept, total = zonemap_files(path, between=pred)
+    if not kept or len(kept) >= total:
+        raise RuntimeError(
+            f"Z-order map skipped nothing ({len(kept)}/{total} files "
+            "kept) — the clustered layout is broken")
+    return (zonemap_read(spark, path, between=pred)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("bigint").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("o_orderpriority"))
+
+
+SQL_ZORDER_PRUNE = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_custkey <= (SELECT max(o_custkey) / 8 FROM orders)
+  AND o_totalprice <= 100000.0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def _semantic_decontam_fixture(spark, sf_dir):
     """(train, eval) for semantic decontamination: eval = every 50th
     embedding; train = the rest ∪ PERTURBED copies of the eval rows
@@ -7504,6 +7594,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ^ NEW r8: count-min sketch, sketch-first exact heavy hitters
     "stream_cms_user_hitters": q_stream_cms_user_hitters,
     # ^ NEW r8: streaming CMS maintainer (additive acid-store merges)
+    "zonemap_prune_lineitem": q_zonemap_prune_lineitem,
+    # ^ NEW r8: zone-map file skipping (range-clustered parquet +
+    #   per-file min/max sidecar)
+    "zorder_prune_orders": q_zorder_prune_orders,
+    # ^ NEW r8: Z-order multi-dimensional skipping on the same layout
     "top_ngrams_corpus": q_top_ngrams_corpus,
     # ^ r3-green; n-gram build rewritten r7 (6661a1a) AFTER last check
     "ngram_containment_docs": q_ngram_containment_docs,
@@ -7552,9 +7647,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q9_profit_by_nation": q_q9_profit_by_nation,  # r3 hash-green
     "q11_important_parts": q_q11_important_parts,  # r3 hash-green
     "q13_order_distribution": q_q13_order_distribution,  # r3 hash-green
+    # ---- below the 50-slot driver window from here down ----
     "q15_top_supplier": q_q15_top_supplier,  # r3 hash-green
     "q16_supplier_part_counts": q_q16_supplier_part_counts,  # r3 hash-green
-    # ---- below the 50-slot driver window from here down ----
+    # ^ displaced from the r8 window by the zonemap/zorder pair
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,  # r3 hash-green
     "q20_bulk_suppliers": q_q20_bulk_suppliers,  # r3 hash-green
     "q21_suppliers_kept_waiting": q_q21_suppliers_kept_waiting,  # r3 hash-green
@@ -7773,6 +7869,8 @@ _ORACLES: dict[str, str] = {
     "stream_bloom_dedup_docs": SQL_STREAM_BLOOM,
     "manifest_time_travel_orders": SQL_MANIFEST_TT,
     "manifest_lookup_orders": SQL_MANIFEST_LOOKUP,
+    "zonemap_prune_lineitem": SQL_ZONEMAP_PRUNE,
+    "zorder_prune_orders": SQL_ZORDER_PRUNE,
     "semantic_decontam_emb": SQL_SEMANTIC_DECONTAM,
     # semantic_decontam_lsh: approximate -> rows-only; recall pinned
     # in tests/test_quality.py

@@ -1,0 +1,192 @@
+"""Zone-map clustered tables (sources/zonemap.py): range/Z-order
+clustering + per-file min/max sidecar + driver-side file skipping.
+The invariant under test everywhere: pruning NEVER changes results —
+zonemap_read(pred) == full scan + filter — while zonemap_files proves
+files were actually skipped."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from wrangle_pypes_spark.sources.zonemap import (
+    zonemap_files, zonemap_read, zonemap_stats, zonemap_write)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_roundtrip_and_linear_prune(spark, tmp_path):
+    path = str(tmp_path / "zm")
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("v"))
+    n = zonemap_write(df, path, cluster_by=["k"], target_files=16)
+    assert n == 16
+
+    # full read == original content
+    assert _rows(zonemap_read(spark, path), "k", "v") == \
+        _rows(df, "k", "v")
+
+    # a 10% range predicate keeps ~10% of files, never the whole table
+    kept, total = zonemap_files(path, between={"k": (4000, 4999)})
+    assert total == 16 and 1 <= len(kept) <= 4
+
+    got = zonemap_read(spark, path, between={"k": (4000, 4999)})
+    exp = df.filter(F.col("k").between(4000, 4999))
+    assert _rows(got, "k", "v") == _rows(exp, "k", "v")
+
+    # open-ended bounds
+    got = zonemap_read(spark, path, between={"k": (9500, None)})
+    assert got.count() == 500
+    got = zonemap_read(spark, path, between={"k": (None, 99)})
+    assert got.count() == 100
+
+
+def test_eq_prune_and_empty_result_schema(spark, tmp_path):
+    path = str(tmp_path / "zm")
+    df = spark.range(1000).select(F.col("id").alias("k"),
+                                  F.lit("x").alias("s"))
+    zonemap_write(df, path, cluster_by=["k"], target_files=8)
+    got = zonemap_read(spark, path, eq={"k": 17})
+    assert [r.k for r in got.collect()] == [17]
+    kept, total = zonemap_files(path, eq={"k": 17})
+    assert len(kept) == 1 and total == 8
+
+    # predicate outside the domain: zero files, EMPTY frame with the
+    # recorded schema (not None, not a crash)
+    out = zonemap_read(spark, path, eq={"k": -5})
+    assert out.count() == 0
+    assert out.columns == ["k", "s"]
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    path = str(tmp_path / "zz")
+    df = spark.range(20_000).select(
+        (F.col("id") % 141).alias("x"),
+        (F.col("id") % 139).alias("y"),
+        F.col("id").alias("payload"))
+    zonemap_write(df, path, cluster_by=["x", "y"], target_files=16)
+
+    for pred in ({"x": (0, 17)}, {"y": (120, 138)},
+                 {"x": (0, 17), "y": (120, 138)}):
+        kept, total = zonemap_files(path, between=pred)
+        assert total == 16
+        assert len(kept) < total, f"no pruning for {pred}"
+        got = zonemap_read(spark, path, between=pred)
+        exp = df
+        for c, (lo, hi) in pred.items():
+            exp = exp.filter(F.col(c).between(lo, hi))
+        assert _rows(got, "x", "y", "payload") == \
+            _rows(exp, "x", "y", "payload")
+
+    # the 2-D box prunes harder than either 1-D band: that is the
+    # Z-order payoff over linear clustering
+    kx, _ = zonemap_files(path, between={"x": (0, 17)})
+    kxy, _ = zonemap_files(path, between={"x": (0, 17),
+                                          "y": (120, 138)})
+    assert len(kxy) <= len(kx)
+
+
+def test_date_timestamp_decimal_bounds(spark, tmp_path):
+    path = str(tmp_path / "zd")
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [Row(d=(base + dt.timedelta(days=i)).date(),
+             ts=base + dt.timedelta(hours=i),
+             i=i)
+         for i in range(400)])
+    zonemap_write(df, path, cluster_by=["d"], stats_cols=["d", "ts"],
+                  target_files=8)
+
+    # date bounds as date objects AND as ISO strings
+    for lo, hi in ((dt.date(2024, 2, 1), dt.date(2024, 2, 29)),
+                   ("2024-02-01", "2024-02-29")):
+        got = zonemap_read(spark, path, between={"d": (lo, hi)})
+        assert got.count() == 29
+        kept, total = zonemap_files(path, between={"d": (lo, hi)})
+        assert len(kept) < total
+
+    # timestamp equality at a second boundary: a bare-seconds bound
+    # must not lexicographically mis-prune against stored microseconds
+    kept, _ = zonemap_files(path, between={
+        "ts": ("2024-01-01 05:00:00", "2024-01-01 05:00:00")})
+    assert kept  # the file holding hour 5 survives
+    got = zonemap_read(
+        spark, path,
+        between={"ts": (dt.datetime(2024, 1, 1, 5),
+                        dt.datetime(2024, 1, 1, 5))})
+    assert got.count() == 1
+
+
+def test_all_null_stats_column_prunes_file(spark, tmp_path):
+    path = str(tmp_path / "zn")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 50, F.col("id")).alias("maybe"))
+    zonemap_write(df, path, cluster_by=["k"],
+                  stats_cols=["k", "maybe"], target_files=4)
+    # files where `maybe` is entirely NULL can never match a range
+    kept, total = zonemap_files(path, between={"maybe": (0, 200)})
+    assert len(kept) < total
+    got = zonemap_read(spark, path, between={"maybe": (0, 200)})
+    assert got.count() == 50
+
+
+def test_validation_errors(spark, tmp_path):
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.array(F.col("id")).alias("arr"),
+        F.lit("s").alias("s"))
+    with pytest.raises(ValueError, match="non-empty"):
+        zonemap_write(df, str(tmp_path / "a"), cluster_by=[])
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        zonemap_write(df, str(tmp_path / "b"), cluster_by=["nope"])
+    with pytest.raises(ValueError, match="orderable atomic"):
+        zonemap_write(df, str(tmp_path / "c"), cluster_by=["arr"])
+    with pytest.raises(ValueError, match="numeric"):
+        zonemap_write(df, str(tmp_path / "d"), cluster_by=["k", "s"])
+    path = str(tmp_path / "e")
+    zonemap_write(df, path, cluster_by=["k"], target_files=2)
+    with pytest.raises(ValueError, match="no zone-map stats"):
+        zonemap_read(spark, path, between={"s": ("a", "b")})
+    with pytest.raises(ValueError, match="both between= and eq="):
+        zonemap_read(spark, path, between={"k": (1, 2)}, eq={"k": 1})
+    with pytest.raises(FileNotFoundError, match="not a zonemap table"):
+        zonemap_read(spark, str(tmp_path / "missing"))
+    # second write to the same path fails unless overwrite
+    with pytest.raises(Exception):
+        zonemap_write(df, path, cluster_by=["k"], target_files=2)
+    zonemap_write(df, path, cluster_by=["k"], target_files=3,
+                  mode="overwrite")
+    kept, total = zonemap_files(path)
+    assert total == 3 and len(kept) == 3
+
+
+def test_pruned_plan_scans_only_kept_files(spark, tmp_path):
+    """The skip is real at the PLAN level: the scan's file index holds
+    exactly the surviving files (counted, per the explain-truncation
+    pitfall), not the whole table."""
+    path = str(tmp_path / "zp")
+    df = spark.range(50_000).select(F.col("id").alias("k"))
+    zonemap_write(df, path, cluster_by=["k"], target_files=20)
+    kept, total = zonemap_files(path, between={"k": (0, 2499)})
+    assert len(kept) < total
+    plan = (zonemap_read(spark, path, between={"k": (0, 2499)})
+            ._jdf.queryExecution().executedPlan().toString())
+    assert f"InMemoryFileIndex({len(kept)} paths)" in plan
+
+
+def test_stats_view(spark, tmp_path):
+    path = str(tmp_path / "zs")
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    zonemap_write(df, path, cluster_by=["k"], target_files=5)
+    st = zonemap_stats(spark, path)
+    rows = st.collect()
+    assert len(rows) == 5 and sum(r.rows for r in rows) == 1000
+    # files tile the range: max of one file < min of the next
+    ordered = sorted(((int(r.min), int(r.max)) for r in rows))
+    for (aa, ab), (ba, _bb) in zip(ordered, ordered[1:]):
+        assert aa <= ab < ba

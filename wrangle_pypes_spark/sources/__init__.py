@@ -21,6 +21,8 @@ from .sinks import (audit_parquet_layout, compact_parquet, read_orc,
                     upsert_parquet,
                     write_bucketed_table,
                     write_csv, write_json, write_orc, write_parquet)
+from .zonemap import (zonemap_files, zonemap_read, zonemap_stats,
+                      zonemap_write)
 from .tables import (TABLES, ensure_session_confs, infer_json_schema,
                      load_star_schema, load_table, parse_json_col,
                      read_binary_files, read_csv, read_jsonl, read_text)
@@ -41,4 +43,6 @@ __all__ = ("TABLES", "acid_commit", "acid_current", "acid_read",
            "read_text", "recover_upsert_backup",
            "upsert_parquet",
            "write_bucketed_table", "write_csv", "write_json", "write_orc",
-           "write_parquet")
+           "write_parquet",
+           "zonemap_files", "zonemap_read", "zonemap_stats",
+           "zonemap_write")

@@ -1,0 +1,334 @@
+"""Zone-map clustered tables: file-level data skipping on plain parquet.
+
+The repo's other layouts prune by KEY (the manifest store's hash
+buckets) or by partition VALUE (the partitioned manifest store) —
+neither helps a RANGE predicate over an ordered column, because hash
+bucketing deliberately destroys value locality.  This module is the
+third layout: rows are range-clustered by the cluster columns (linear
+``repartitionByRange`` for one column, Z-order interleaving via
+:func:`~wrangle_pypes_spark.operators.relational.zorder_col` for
+several), written as parquet, and a JSON sidecar records per-FILE
+min/max/null stats for the stats columns:
+
+```
+table/
+  _zonemap.json      {"cluster_by": [...], "schema": ...,
+                      "files": {"part-...parquet":
+                                {"rows": N,
+                                 "stats": {"col": {"min": .., "max": ..,
+                                                   "nulls": N}}}}}
+  part-*.parquet     range-clustered data files
+```
+
+A read with a range/equality predicate prunes the file list DRIVER-side
+against the sidecar (cost: one tiny JSON read — no file listing, no
+footer fetches), hands Spark only the surviving files, and re-applies
+the predicate exactly, so pruning is a pure I/O optimization and the
+result is identical to a full scan + filter.  At 100 TB this is the
+difference between "scan the table" and "scan the week you asked for":
+a predicate selecting f of the cluster-column's range reads ~f of the
+files (+1 boundary file per edge).  Parquet's own row-group stats give
+the same skip INSIDE a file; the sidecar avoids opening the other
+files' footers at all — the same division of labour as Delta/Iceberg
+file stats over parquet row groups.
+
+Zone maps only pay for themselves when the layout correlates with the
+predicate column — that is exactly what :func:`zonemap_write` enforces
+by clustering before writing.  Pruning on a NON-cluster stats column
+still works but degrades toward "keep everything" as that column
+decorrelates from the layout; ``zonemap_files`` measures the actual
+skip rate so callers can verify their layout serves their queries.
+
+This is a WRITE-ONCE snapshot layout (like training shards), not an
+incremental store: re-cluster by rewriting (the table-format
+``OPTIMIZE`` cadence).  For incremental keyed state use the manifest
+store; for value-partitioned state the pmanifest store.
+
+Reference analog: none — the reference (pipeline.py:33) holds data in
+caller-provided dict stores; clustered layouts are a scale concern its
+record-at-a-time model never meets.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal as _decimal
+import json
+from typing import Mapping, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import fsutil
+
+_SIDECAR = "_zonemap.json"
+_ZV = "_zm_zorder"  # transient cluster column for the multi-column path
+_TS_FMT = "%Y-%m-%d %H:%M:%S.%f"  # fixed width -> lexicographic == chrono
+
+# stats are recorded only for orderable ATOMIC types whose min/max
+# survive a JSON round-trip exactly; everything else must be excluded
+# from stats_cols (cluster_by additionally requires these types)
+_STATS_TYPES = ("tinyint", "smallint", "int", "bigint", "float",
+                "double", "string", "date", "timestamp",
+                "timestamp_ntz")
+
+
+def _join(path: str, rel: str) -> str:
+    return path.rstrip("/") + "/" + rel
+
+
+def _type_name(df: DataFrame, col: str) -> str:
+    t = dict(df.dtypes)[col]
+    return "decimal" if t.startswith("decimal") else t
+
+
+def _to_json(v, type_name: str):
+    """One JSON-safe, ORDER-preserving encoding per supported type:
+    numerics stay numbers, strings stay strings, date/timestamp become
+    fixed-width ISO strings (lexicographic order == chronological),
+    decimals become exact digit strings (compared as Decimal again on
+    the prune side)."""
+    if v is None:
+        return None
+    if type_name == "date":
+        return v.isoformat()
+    if type_name in ("timestamp", "timestamp_ntz"):
+        return v.strftime(_TS_FMT)
+    if type_name == "decimal":
+        return str(v)
+    return v
+
+
+def _bound(v, type_name: str):
+    """Coerce a caller-supplied predicate bound (or a sidecar value)
+    into the comparison domain of :func:`_to_json`."""
+    if v is None:
+        return None
+    if type_name == "date":
+        if isinstance(v, _dt.datetime):
+            v = v.date()
+        return v.isoformat() if isinstance(v, _dt.date) else str(v)
+    if type_name in ("timestamp", "timestamp_ntz"):
+        if isinstance(v, _dt.datetime):
+            return v.strftime(_TS_FMT)
+        # "YYYY-MM-DD[ HH:MM[:SS[.ffffff]]]" -> fixed width
+        s = str(v)
+        pad = "0001-01-01 00:00:00.000000"
+        return s + pad[len(s):] if len(s) < len(pad) else s
+    if type_name == "decimal":
+        return _decimal.Decimal(str(v))
+    return v
+
+
+def zonemap_write(df: DataFrame, path: str, *,
+                  cluster_by: Sequence[str],
+                  stats_cols: Optional[Sequence[str]] = None,
+                  target_files: int = 32, zorder_bits: int = 16,
+                  mode: str = "errorifexists",
+                  compression: str = "zstd") -> int:
+    """Write ``df`` range-clustered by ``cluster_by`` with a per-file
+    min/max sidecar; returns the number of data files written.
+
+    One cluster column: ``repartitionByRange`` + in-file sort — files
+    tile the column's value range, so a range predicate touches the
+    overlapping files only.  Several: a Z-order (Morton) value is
+    interleaved from the columns and the table is range-clustered by
+    it — every listed column keeps locality, so min/max prunes
+    multi-dimensional predicates (the Delta ``OPTIMIZE ZORDER BY``
+    layout).
+
+    ``stats_cols`` (default: ``cluster_by``) may add non-cluster
+    columns; their stats are recorded but prune well only as far as
+    they correlate with the layout.  Stats require orderable atomic
+    types; anything else raises.  Cost beyond the write itself: ONE
+    column-pruned scan of the written files computing all stats in a
+    single aggregate — no per-file jobs, no footer reads.
+    """
+    cluster = list(cluster_by)
+    if not cluster:
+        raise ValueError("cluster_by must be non-empty")
+    stats = list(stats_cols) if stats_cols is not None else list(cluster)
+    for c in dict.fromkeys(cluster + stats):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame "
+                             f"(has {df.columns})")
+        t = _type_name(df, c)
+        if t not in _STATS_TYPES and t != "decimal":
+            raise ValueError(
+                f"column {c!r} has type {t!r} — zone-map stats need an "
+                f"orderable atomic type ({', '.join(_STATS_TYPES)}, "
+                "decimal)")
+    if len(cluster) > 1:
+        numeric = ("tinyint", "smallint", "int", "bigint", "float",
+                   "double", "decimal")
+        bad = [c for c in cluster if _type_name(df, c) not in numeric]
+        if bad:
+            raise ValueError(
+                f"multi-column clustering Z-orders the columns, which "
+                f"needs numeric types; {bad} are not (pre-encode "
+                "strings/dates, e.g. unix_date / xxhash64)")
+    if _ZV in df.columns:
+        raise ValueError(f"{_ZV!r} is reserved for the Z-order layout")
+    if target_files < 1:
+        raise ValueError("target_files must be >= 1")
+    if mode not in ("errorifexists", "overwrite"):
+        raise ValueError(f"mode {mode!r}: use 'errorifexists' or "
+                         "'overwrite'")
+
+    spark = df.sparkSession
+    if mode == "overwrite":
+        fsutil.delete(path, spark=spark)
+
+    if len(cluster) == 1:
+        clustered = (df.repartitionByRange(target_files, cluster[0])
+                       .sortWithinPartitions(cluster[0]))
+    else:
+        from ..operators.relational import zorder_col
+        clustered = (zorder_col(df, cluster, bits=zorder_bits,
+                                out_col=_ZV)
+                     .repartitionByRange(target_files, _ZV)
+                     .sortWithinPartitions(_ZV)
+                     .drop(_ZV))
+    (clustered.write.mode("errorifexists")
+     .option("compression", compression).parquet(path))
+
+    # per-file stats: ONE job over the written files, reading only the
+    # stats columns (column-pruned scan), attributed via the file name
+    schema_json = df.schema.jsonValue()
+    types = {c: _type_name(df, c) for c in stats}
+    written = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for i, c in enumerate(stats):
+        aggs += [F.min(c).alias(f"_lo{i}"), F.max(c).alias(f"_hi{i}"),
+                 F.sum(F.col(c).isNull().cast("long")).alias(f"_nl{i}")]
+    per_file = (written
+                .groupBy(F.element_at(F.split(F.input_file_name(), "/"),
+                                      -1).alias("_file"))
+                .agg(*aggs).collect())
+    files = {}
+    for r in per_file:
+        files[r["_file"]] = {
+            "rows": int(r["_rows"]),
+            "stats": {c: {"min": _to_json(r[f"_lo{i}"], types[c]),
+                          "max": _to_json(r[f"_hi{i}"], types[c]),
+                          "nulls": int(r[f"_nl{i}"])}
+                      for i, c in enumerate(stats)}}
+    fsutil.write_text_atomic(
+        _join(path, _SIDECAR),
+        json.dumps({"version": 1, "cluster_by": cluster,
+                    "stats_cols": stats, "types": types,
+                    "schema": schema_json, "files": files},
+                   sort_keys=True),
+        spark=spark)
+    return len(files)
+
+
+def _load_sidecar(path: str, spark=None) -> dict:
+    txt = fsutil.read_text(_join(path, _SIDECAR), spark=spark)
+    if txt is None:
+        raise FileNotFoundError(
+            f"{path!r} has no {_SIDECAR} — not a zonemap table "
+            "(write it with zonemap_write)")
+    return json.loads(txt)
+
+
+def _normalize_preds(side: dict,
+                     between: Optional[Mapping] = None,
+                     eq: Optional[Mapping] = None) -> dict:
+    """-> {col: (lo, hi)} in the sidecar's comparison domain; either
+    bound may be None (open)."""
+    preds = {}
+    for col, (lo, hi) in (between or {}).items():
+        preds[col] = (lo, hi)
+    for col, v in (eq or {}).items():
+        if col in preds:
+            raise ValueError(f"column {col!r} in both between= and eq=")
+        preds[col] = (v, v)
+    out = {}
+    for col, (lo, hi) in preds.items():
+        if col not in side["stats_cols"]:
+            raise ValueError(
+                f"no zone-map stats for column {col!r} (stats cover "
+                f"{side['stats_cols']}); re-write with stats_cols=")
+        t = side["types"][col]
+        out[col] = (_bound(lo, t), _bound(hi, t))
+    return out
+
+
+def zonemap_files(path: str, *, between: Optional[Mapping] = None,
+                  eq: Optional[Mapping] = None,
+                  spark=None) -> Tuple[list, int]:
+    """(surviving file names, total file count) for the predicates —
+    the measurement half: ``1 - len(kept)/total`` is the skip rate a
+    layout actually delivers for a query shape.  Driver cost: one JSON
+    read; no file listing, no Spark job."""
+    side = _load_sidecar(path, spark=spark)
+    preds = _normalize_preds(side, between, eq)
+    kept = []
+    for fname, meta in sorted(side["files"].items()):
+        ok = True
+        for col, (lo, hi) in preds.items():
+            st = meta["stats"][col]
+            t = side["types"][col]
+            mn, mx = _bound(st["min"], t), _bound(st["max"], t)
+            if mn is None:  # every value in this file is NULL:
+                ok = False  # no range/eq predicate can match
+                break
+            if (lo is not None and lo > mx) or \
+                    (hi is not None and hi < mn):
+                ok = False
+                break
+        if ok:
+            kept.append(fname)
+    return kept, len(side["files"])
+
+
+def zonemap_read(spark: SparkSession, path: str, *,
+                 between: Optional[Mapping] = None,
+                 eq: Optional[Mapping] = None) -> DataFrame:
+    """Read the table with file-level skipping: prune the file list
+    against the sidecar, scan only the survivors under the recorded
+    schema, and re-apply the predicates exactly.  Identical rows to a
+    full scan + filter — pruning is purely an I/O win.  ``between``
+    maps column -> (lo, hi) (either side None = open, bounds
+    inclusive, SQL BETWEEN semantics); ``eq`` maps column -> value.
+    No predicates = plain full read."""
+    from pyspark.sql import types as T
+
+    side = _load_sidecar(path, spark=spark)
+    schema = T.StructType.fromJson(side["schema"])
+    kept, _total = zonemap_files(path, between=between, eq=eq,
+                                 spark=spark)
+    if not kept:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(
+        *[_join(path, f) for f in kept])
+    for col, (lo, hi) in (between or {}).items():
+        if lo is not None and hi is not None:
+            df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+        elif lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        elif hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+    for col, v in (eq or {}).items():
+        df = df.filter(F.col(col) == F.lit(v))
+    return df
+
+
+def zonemap_stats(spark: SparkSession, path: str) -> DataFrame:
+    """The sidecar as a DataFrame: one row per (file, stats column)
+    with rows/min/max/nulls (min/max in their JSON encoding) — the
+    ops view for verifying a layout's health (overlapping ranges
+    between files mean the clustering decayed; rewrite)."""
+    side = _load_sidecar(path, spark=spark)
+    rows = []
+    for fname, meta in sorted(side["files"].items()):
+        for col in side["stats_cols"]:
+            st = meta["stats"][col]
+            rows.append((fname, int(meta["rows"]), col,
+                         None if st["min"] is None else str(st["min"]),
+                         None if st["max"] is None else str(st["max"]),
+                         int(st["nulls"])))
+    return spark.createDataFrame(
+        rows, "file string, rows bigint, col string, "
+              "min string, max string, nulls bigint")
