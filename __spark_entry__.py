@@ -4638,6 +4638,61 @@ ORDER BY o_orderpriority
 """
 
 
+def q_manifest_cdf_orders(spark, sf_dir):
+    """NEW r8: change data feed off the manifest store
+    (sources/manifest.py ``manifest_changes``) — the Delta/Iceberg
+    ``table_changes`` read, derived from the bucket layout: commit
+    orders as v1, merge one batch of updates (every 10th key ≡3,
+    price doubled), deletes (every 10th key ≡7, tombstones) and
+    inserts (every 500th key ≡2, shifted +10M) as v2, then diff the
+    versions.  Only buckets the batch rewrote are read on either side
+    (byte-identical manifest entries are skipped driver-side), so the
+    feed costs O(changed data) however big the store.  The oracle
+    reconstructs the same insert/update/delete rows from the raw
+    table."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.manifest import (manifest_changes,
+                                                      manifest_merge)
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    store = tempfile.mkdtemp(prefix="wps_cdf_") + "/dim"
+    manifest_merge(o, store, ["o_orderkey"], epoch_id=0, n_buckets=64)
+    batch = (
+        o.filter(F.col("o_orderkey") % 10 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("dead", F.lit(False))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 10 == 7)
+            .withColumn("dead", F.lit(True)))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 500 == 2)
+            .select((F.col("o_orderkey") + 10000000)
+                    .alias("o_orderkey"),
+                    (F.col("o_totalprice") + 1).alias("o_totalprice"))
+            .withColumn("dead", F.lit(False))))
+    manifest_merge(batch, store, ["o_orderkey"], epoch_id=1,
+                   n_buckets=64, tombstone_col="dead")
+    return (manifest_changes(spark, store, from_version=1)
+            .orderBy("o_orderkey"))
+
+
+SQL_MANIFEST_CDF = """
+SELECT * FROM (
+  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+         'update' AS change_op
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 'delete'
+  FROM orders WHERE o_orderkey % 10 = 7
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice + 1, 'insert'
+  FROM orders WHERE o_orderkey % 500 = 2
+)
+ORDER BY o_orderkey
+"""
+
+
 def _semantic_decontam_fixture(spark, sf_dir):
     """(train, eval) for semantic decontamination: eval = every 50th
     embedding; train = the rest ∪ PERTURBED copies of the eval rows
@@ -7599,6 +7654,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   per-file min/max sidecar)
     "zorder_prune_orders": q_zorder_prune_orders,
     # ^ NEW r8: Z-order multi-dimensional skipping on the same layout
+    "manifest_cdf_orders": q_manifest_cdf_orders,
+    # ^ NEW r8: change data feed diffing two manifest versions,
+    #   O(changed buckets) per side
     "top_ngrams_corpus": q_top_ngrams_corpus,
     # ^ r3-green; n-gram build rewritten r7 (6661a1a) AFTER last check
     "ngram_containment_docs": q_ngram_containment_docs,
@@ -7646,11 +7704,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q8_market_share": q_q8_market_share,  # r3 hash-green
     "q9_profit_by_nation": q_q9_profit_by_nation,  # r3 hash-green
     "q11_important_parts": q_q11_important_parts,  # r3 hash-green
-    "q13_order_distribution": q_q13_order_distribution,  # r3 hash-green
     # ---- below the 50-slot driver window from here down ----
+    "q13_order_distribution": q_q13_order_distribution,  # r3 hash-green
     "q15_top_supplier": q_q15_top_supplier,  # r3 hash-green
     "q16_supplier_part_counts": q_q16_supplier_part_counts,  # r3 hash-green
-    # ^ displaced from the r8 window by the zonemap/zorder pair
+    # ^ displaced from the r8 window by the zonemap/zorder/cdf trio
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,  # r3 hash-green
     "q20_bulk_suppliers": q_q20_bulk_suppliers,  # r3 hash-green
     "q21_suppliers_kept_waiting": q_q21_suppliers_kept_waiting,  # r3 hash-green
@@ -7871,6 +7929,7 @@ _ORACLES: dict[str, str] = {
     "manifest_lookup_orders": SQL_MANIFEST_LOOKUP,
     "zonemap_prune_lineitem": SQL_ZONEMAP_PRUNE,
     "zorder_prune_orders": SQL_ZORDER_PRUNE,
+    "manifest_cdf_orders": SQL_MANIFEST_CDF,
     "semantic_decontam_emb": SQL_SEMANTIC_DECONTAM,
     # semantic_decontam_lsh: approximate -> rows-only; recall pinned
     # in tests/test_quality.py

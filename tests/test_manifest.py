@@ -1167,3 +1167,129 @@ def test_lookup_all_probes_miss_returns_empty_not_none(spark, tmp_path):
         store_format="manifest", store_buckets=64)
     q.awaitTermination()
     assert cdc_store_lookup(spark, cstore, probe).count() == 0
+
+
+# -------------------------------------------------- change data feed
+
+def test_changes_classifies_insert_update_delete(spark, tmp_path):
+    from wrangle_pypes_spark.sources.manifest import manifest_changes
+
+    store = str(tmp_path / "cdf")
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(30)],
+                                 "k int, val string")
+    manifest_merge(base, store, ["k"], epoch_id=0, n_buckets=BUCKETS)
+    upd = spark.createDataFrame(
+        [(3, "NEW", False), (100, "x", False), (5, None, True),
+         (7, "v7", False)],  # 7 rewritten with the SAME value: no change
+        "k int, val string, dead boolean")
+    manifest_merge(upd, store, ["k"], epoch_id=1, n_buckets=BUCKETS,
+                   tombstone_col="dead")
+
+    ch = {r.k: (r.val, r.change_op)
+          for r in manifest_changes(spark, store,
+                                    from_version=1).collect()}
+    assert ch == {3: ("NEW", "update"), 100: ("x", "insert"),
+                  5: ("v5", "delete")}  # delete carries the PRE-image
+
+    # from_version=0: the full to-side as inserts
+    boot = manifest_changes(spark, store, from_version=0, to_version=1)
+    assert sorted((r.k, r.change_op) for r in boot.collect()) == \
+        [(i, "insert") for i in range(30)]
+
+    # identical versions: empty feed
+    assert manifest_changes(spark, store, from_version=2,
+                            to_version=2).count() == 0
+
+    # the CDF replays: v1 + changes == v2
+    v1 = {r.k: r.val for r in
+          manifest_read(spark, store, version=1).collect()}
+    for k, (val, op) in ch.items():
+        if op == "delete":
+            v1.pop(k)
+        else:
+            v1[k] = val
+    assert v1 == _kv(spark, store)
+
+
+def test_changes_reads_only_rewritten_buckets(spark, tmp_path):
+    """The pruning claim at the PLAN level: a one-key update against a
+    many-bucket store diffs exactly one bucket directory per side."""
+    from wrangle_pypes_spark.sources.manifest import manifest_changes
+
+    store = str(tmp_path / "cdfp")
+    base = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("val"))
+    manifest_merge(base, store, ["k"], epoch_id=0, n_buckets=64)
+    one = spark.createDataFrame([(77, -1)], "k bigint, val bigint")
+    manifest_merge(one, store, ["k"], epoch_id=1, n_buckets=64)
+
+    df = manifest_changes(spark, store, from_version=1)
+    assert [(r.k, r.val, r.change_op) for r in df.collect()] == \
+        [(77, -1, "update")]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both sides scan exactly one bucket directory: every file index
+    # in the plan holds 1 path, never the store's 64
+    import re
+    counts = re.findall(r"InMemoryFileIndex\((\d+) paths?\)", plan)
+    assert len(counts) >= 2 and set(counts) == {"1"}
+
+
+def test_changes_across_schema_evolution(spark, tmp_path):
+    """A version-2 column: carried rows (null-filled on the old side)
+    never report as changed; updated rows carry the new column."""
+    from wrangle_pypes_spark.sources.manifest import manifest_changes
+
+    store = str(tmp_path / "cdfe")
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(10)],
+                                 "k int, val string")
+    manifest_merge(base, store, ["k"], epoch_id=0, n_buckets=4)
+    upd = spark.createDataFrame([(3, "NEW", "extra3")],
+                                "k int, val string, note string")
+    manifest_merge(upd, store, ["k"], epoch_id=1, n_buckets=4,
+                   evolve_schema=True)
+
+    rows = manifest_changes(spark, store, from_version=1).collect()
+    assert [(r.k, r.val, r.note, r.change_op) for r in rows] == \
+        [(3, "NEW", "extra3", "update")]
+
+
+def test_changes_after_rebucket_falls_back_to_full_compare(
+        spark, tmp_path):
+    from wrangle_pypes_spark.sources.manifest import (manifest_changes,
+                                                      manifest_rebucket)
+
+    store = str(tmp_path / "cdfr")
+    base = spark.createDataFrame([(i, i) for i in range(50)],
+                                 "k int, val int")
+    manifest_merge(base, store, ["k"], epoch_id=0, n_buckets=4)
+    manifest_rebucket(spark, store, 16)  # v2: layout change, no data change
+    upd = spark.createDataFrame([(9, -9)], "k int, val int")
+    manifest_merge(upd, store, ["k"], epoch_id=1, n_buckets=16)  # v3
+
+    # across the rebucket: layout noise must NOT read as data changes
+    assert manifest_changes(spark, store, from_version=1,
+                            to_version=2).count() == 0
+    got = manifest_changes(spark, store, from_version=1).collect()
+    assert [(r.k, r.val, r.change_op) for r in got] == \
+        [(9, -9, "update")]
+
+
+def test_changes_validation_and_vacuumed_versions(spark, tmp_path):
+    from wrangle_pypes_spark.sources.manifest import manifest_changes
+
+    store = str(tmp_path / "cdfv")
+    with pytest.raises(ValueError, match="nothing committed"):
+        manifest_changes(spark, store, from_version=0)
+    df = spark.createDataFrame([(1, 1)], "k int, val int")
+    manifest_merge(df, store, ["k"], epoch_id=0, n_buckets=2)
+    manifest_merge(spark.createDataFrame([(1, 2)], "k int, val int"),
+                   store, ["k"], epoch_id=1, n_buckets=2)
+    with pytest.raises(ValueError, match="from_version"):
+        manifest_changes(spark, store, from_version=3)
+    with pytest.raises(ValueError, match="from_version"):
+        manifest_changes(spark, store, from_version=2, to_version=1)
+    manifest_merge(spark.createDataFrame([(1, 3)], "k int, val int"),
+                   store, ["k"], epoch_id=2, n_buckets=2)
+    manifest_vacuum(store, keep=1)
+    with pytest.raises(ValueError, match="retained"):
+        manifest_changes(spark, store, from_version=1)

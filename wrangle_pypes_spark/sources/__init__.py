@@ -8,7 +8,8 @@ payload parsing for dynamic columns).
 """
 
 from .acid import (acid_commit, acid_current, acid_read, acid_vacuum)
-from .manifest import (manifest_current, manifest_merge, manifest_read,
+from .manifest import (manifest_changes, manifest_current,
+                       manifest_merge, manifest_read,
                        manifest_history, manifest_lookup,
                        manifest_rebucket,
                        manifest_stats, manifest_vacuum)
@@ -30,6 +31,7 @@ from .tables import (TABLES, ensure_session_confs, infer_json_schema,
 __all__ = ("TABLES", "acid_commit", "acid_current", "acid_read",
            "acid_vacuum", "ensure_session_confs", "infer_json_schema",
            "load_star_schema", "load_table",
+           "manifest_changes",
            "manifest_current", "manifest_merge", "manifest_read",
            "manifest_history", "manifest_lookup", "manifest_rebucket",
            "manifest_stats",

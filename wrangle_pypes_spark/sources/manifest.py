@@ -623,6 +623,127 @@ def manifest_history(spark: SparkSession, path: str) -> Optional[DataFrame]:
               "n_nonempty_buckets int, is_head boolean")
 
 
+def manifest_changes(spark: SparkSession, path: str, *,
+                     from_version: int,
+                     to_version: Optional[int] = None,
+                     op_col: str = "change_op") -> Optional[DataFrame]:
+    """Change data feed between two committed versions: one row per
+    key whose stored image differs, labelled ``op_col`` in
+    ``('insert', 'update', 'delete')`` — the Delta/Iceberg
+    ``table_changes`` read, derived from the layout instead of a
+    logged feed.  Inserts and updates carry the POST-image, deletes
+    the PRE-image (the row as it was last seen).
+
+    The bucketed layout makes this O(changed data), not O(store):
+    bucket directories are immutable, so any bucket whose manifest
+    entry is BYTE-IDENTICAL in both versions cannot contain a change
+    and is skipped driver-side — only rewritten buckets are read (on
+    both sides) and value-compared.  A store where one batch touched
+    3 of 4096 buckets diffs 3 buckets, whatever the table holds.
+    Exception: if the store was REBUCKETED between the versions the
+    bucket ids are incomparable and both versions are read in full
+    (correct, just unpruned).
+
+    Key-identity is the store's key; value comparison is null-safe
+    over the union of both versions' columns (additive schema
+    evolution null-fills the older side, so a carried row never
+    reports as changed).  ``from_version=0`` means "before the first
+    commit": every stored key of ``to_version`` comes back as an
+    insert.  Both versions must still be retained (``manifest_vacuum``
+    keep-window); ``to_version=None`` reads the head.  Two versions
+    with no rewritten buckets between them return an EMPTY feed under
+    the store's schema.
+    """
+    from pyspark.sql import types as T
+
+    cur = manifest_current(path, spark=spark)
+    if cur is None:
+        raise ValueError(f"nothing committed at {path!r}")
+    head = cur[0]
+    if to_version is None:
+        to_version = head
+    if not (0 <= from_version <= to_version <= head):
+        raise ValueError(
+            f"need 0 <= from_version <= to_version <= head "
+            f"({from_version}, {to_version}, head {head})")
+    try:
+        man_to = _load_manifest(path, to_version, spark=spark)
+        man_from = _load_manifest(path, from_version, spark=spark) \
+            if from_version > 0 else None
+    except FileNotFoundError as e:
+        raise ValueError(
+            f"version no longer retained (vacuumed?): {e}") from e
+    keys = list(man_to["key_cols"])
+
+    fb = man_from["buckets"] if man_from is not None else {}
+    tb = man_to["buckets"]
+    if man_from is not None and \
+            int(man_from["n_buckets"]) != int(man_to["n_buckets"]):
+        changed = set(fb) | set(tb)  # rebucketed: ids incomparable
+    else:
+        changed = {b for b in set(fb) | set(tb)
+                   if fb.get(b) != tb.get(b)}
+    f_ids = sorted(int(b) for b in changed if b in fb)
+    t_ids = sorted(int(b) for b in changed if b in tb)
+    df_f = _read_buckets(spark, path, man_from, bucket_ids=f_ids) \
+        if man_from is not None and f_ids else None
+    df_t = _read_buckets(spark, path, man_to, bucket_ids=t_ids) \
+        if t_ids else None
+
+    # align to the union of columns (additive evolution: the older
+    # side null-fills), in to-side order with from-only extras last
+    def _fields(man):
+        return [] if man is None or man.get("schema") is None else \
+            T.StructType.fromJson(man["schema"]).fields
+    by_name = {f.name: f for f in _fields(man_from) + _fields(man_to)}
+    ordered = [f.name for f in _fields(man_to)] + \
+        [f.name for f in _fields(man_from)
+         if f.name not in {x.name for x in _fields(man_to)}]
+    vals = [c for c in ordered if c not in keys]
+
+    def _aligned(df):
+        if df is None:
+            return None
+        return df.select(*[
+            (F.col(c) if c in df.columns
+             else F.lit(None).cast(by_name[c].dataType)).alias(c)
+            for c in ordered])
+
+    df_f, df_t = _aligned(df_f), _aligned(df_t)
+    if df_f is None and df_t is None:
+        # no rewritten buckets between the versions: an EMPTY feed
+        # under the proper schema (not None — callers chain filters)
+        if not by_name:
+            return None  # pre-schema legacy store: shape unknown
+        return spark.createDataFrame([], T.StructType(
+            [by_name[c] for c in ordered]
+            + [T.StructField(op_col, T.StringType(), False)]))
+    if df_f is None:
+        return df_t.select(*ordered, F.lit("insert").alias(op_col))
+    if df_t is None:
+        return df_f.select(*ordered, F.lit("delete").alias(op_col))
+
+    f_side = df_f.select(
+        *keys, F.lit(True).alias("_f_present"),
+        *[F.col(c).alias(f"_f_{c}") for c in vals])
+    t_side = df_t.select(
+        *keys, F.lit(True).alias("_t_present"), *vals)
+    j = f_side.join(t_side, keys, "full_outer")
+    f_here = F.coalesce(F.col("_f_present"), F.lit(False))
+    t_here = F.coalesce(F.col("_t_present"), F.lit(False))
+    same = F.lit(True)
+    for c in vals:
+        same = same & F.col(f"_f_{c}").eqNullSafe(F.col(c))
+    op = (F.when(~f_here, F.lit("insert"))
+           .when(~t_here, F.lit("delete"))
+           .otherwise(F.lit("update")))
+    return (j.filter(~(f_here & t_here & same))
+            .select(*keys,
+                    *[F.when(~t_here, F.col(f"_f_{c}"))
+                       .otherwise(F.col(c)).alias(c) for c in vals],
+                    op.alias(op_col)))
+
+
 def manifest_vacuum(path: str, *, keep: int = 1, spark=None) -> int:
     """Delete manifests outside the committed window and every bucket
     directory no kept manifest references (superseded rewrites AND
