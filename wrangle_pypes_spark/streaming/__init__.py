@@ -27,6 +27,7 @@ from .windows import (
     foreach_batch_bloom_dedup,
     foreach_batch_cms,
     foreach_batch_minhash_index,
+    foreach_batch_text_index,
     foreach_batch_get_or_create_upsert,
     foreach_batch_dedup_keep_best,
     foreach_batch_rollup_upsert,
@@ -57,6 +58,7 @@ __all__ = (
     "foreach_batch_bloom_dedup",
     "foreach_batch_cms",
     "foreach_batch_minhash_index",
+    "foreach_batch_text_index",
     "foreach_batch_get_or_create_upsert",
     "foreach_batch_dedup_keep_best",
     "foreach_batch_rollup_upsert",

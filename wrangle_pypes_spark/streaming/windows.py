@@ -1404,6 +1404,68 @@ def cms_store(spark, store_path: str):
     return sketch, int(doc["depth"]), int(doc["width"])
 
 
+def foreach_batch_text_index(stream_df: DataFrame, store_path: str, *,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             n_buckets: int = 64,
+                             stop_tokens: Sequence[str] = (),
+                             checkpoint: Optional[str] = None):
+    """Continuously maintained inverted token index
+    (``operators.textindex``): per micro-batch, tokenize ONLY the
+    batch's documents into postings rows and merge them into the
+    manifest-store index — per-token postings concatenate, df and the
+    corpus totals (N, Σdl) update, all published by the store's one
+    atomic pointer-with-epoch commit, so after draining the store
+    equals ``build_text_index`` over everything ever seen and
+    ``text_index_search`` serves BM25 without touching the corpus.
+
+    Cost per batch: O(batch tokens) to build + O(touched tokens'
+    buckets) to rewrite — never a store rewrite.  Contract: the
+    stream is APPEND-ONLY and each doc_id arrives in exactly ONE
+    batch (the same contract as the MinHash index maintainer);
+    updated documents need a rebuild.  Replay is exactly-once via the
+    manifest epoch guard, which (like every additive maintainer here)
+    needs MONOTONIC batch ids: resuming an existing store without a
+    ``checkpoint`` warns, because restarted batch ids would silently
+    skip genuinely-new batches."""
+    import warnings
+
+    from ..operators.textindex import merge_postings, postings_frame
+    from ..sources.manifest import manifest_current, manifest_merge
+
+    session = stream_df.sparkSession
+    if (checkpoint is None
+            and manifest_current(store_path, spark=session) is not None):
+        warnings.warn(
+            "foreach_batch_text_index: resuming an existing index "
+            f"({store_path!r}) WITHOUT a checkpoint location — batch "
+            "ids restart at 0 each run, so the epoch guard skips any "
+            "batch id the store has already committed and those "
+            "batches' documents are silently never indexed. Pass "
+            "checkpoint= for incremental use; only a byte-identical "
+            "re-drain is safe without it.", stacklevel=2)
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = manifest_current(store_path, spark=spark)
+        if cur is not None and epoch_id <= cur[1]:
+            return  # replayed batch: already indexed
+        frame = postings_frame(batch_df, text_col=text_col,
+                               id_col=id_col, stop_tokens=stop_tokens)
+        # materialize once: manifest_merge evaluates updates twice
+        # and the tokenize is the expensive part
+        frame = frame.localCheckpoint(eager=True)
+        manifest_merge(frame, store_path, ["token"],
+                       epoch_id=epoch_id, n_buckets=n_buckets,
+                       merge_fn=merge_postings)
+
+    writer = stream_df.writeStream.foreachBatch(_batch) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def foreach_batch_minhash_index(stream_df: DataFrame, index_path: str, *,
                                 text_col: str, id_col: str,
                                 pairs_path: Optional[str] = None,
