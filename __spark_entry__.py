@@ -4742,6 +4742,68 @@ def q_stream_text_index_docs(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_pmanifest_cdf_orders(spark, sf_dir):
+    """NEW r8: epoch-based change data feed on the PARTITIONED
+    manifest store (sources/partitioned.py ``pmanifest_changes``):
+    orders laid out by o_orderpriority, one batch of
+    updates/deletes/inserts at epoch 1, then "what changed in the
+    URGENT and HIGH partitions since epoch 0" — partitions outside
+    the list are never opened, partitions with no commits between the
+    epochs skip on a driver-side JSON fact, and within each diffed
+    partition only rewritten buckets are read.  The oracle
+    reconstructs the same I/U/D rows for those priorities from the
+    raw table."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.partitioned import (
+        pmanifest_changes, pmanifest_merge)
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    store = tempfile.mkdtemp(prefix="wps_pcdf_") + "/dim"
+    pmanifest_merge(o, store, "o_orderpriority", ["o_orderkey"],
+                    epoch_id=0, n_buckets=16)
+    batch = (
+        o.filter(F.col("o_orderkey") % 10 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("dead", F.lit(False))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 10 == 7)
+            .withColumn("dead", F.lit(True)))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 500 == 2)
+            .select((F.col("o_orderkey") + 10000000)
+                    .alias("o_orderkey"),
+                    "o_orderpriority",
+                    (F.col("o_totalprice") + 1).alias("o_totalprice"))
+            .withColumn("dead", F.lit(False))))
+    pmanifest_merge(batch, store, "o_orderpriority", ["o_orderkey"],
+                    epoch_id=1, n_buckets=16, tombstone_col="dead")
+    return (pmanifest_changes(spark, store, from_epoch=0,
+                              partitions=["1-URGENT", "2-HIGH"])
+            .orderBy("o_orderkey"))
+
+
+SQL_PMANIFEST_CDF = """
+SELECT * FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice * 2 AS o_totalprice,
+         'update' AS change_op
+  FROM orders WHERE o_orderkey % 10 = 3
+    AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, o_totalprice, 'delete'
+  FROM orders WHERE o_orderkey % 10 = 7
+    AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderpriority, o_totalprice + 1,
+         'insert'
+  FROM orders WHERE o_orderkey % 500 = 2
+    AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+)
+ORDER BY o_orderkey
+"""
+
+
 def _semantic_decontam_fixture(spark, sf_dir):
     """(train, eval) for semantic decontamination: eval = every 50th
     embedding; train = the rest ∪ PERTURBED copies of the eval rows
@@ -7710,6 +7772,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ^ NEW r8: inverted token index — BM25 from the index alone
     "stream_text_index_docs": q_stream_text_index_docs,
     # ^ NEW r8: streaming index maintainer, same value oracle
+    "pmanifest_cdf_orders": q_pmanifest_cdf_orders,
+    # ^ NEW r8: epoch-based CDF on the partitioned store
     "top_ngrams_corpus": q_top_ngrams_corpus,
     # ^ r3-green; n-gram build rewritten r7 (6661a1a) AFTER last check
     "ngram_containment_docs": q_ngram_containment_docs,
@@ -7754,8 +7818,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q4_late_order_priority": q_q4_late_order_priority,  # r3 hash-green
     "q5_revenue_by_nation": q_q5_revenue_by_nation,  # r3 hash-green
     "q7_volume_shipping": q_q7_volume_shipping,  # r3 hash-green
-    "q8_market_share": q_q8_market_share,  # r3 hash-green
     # ---- below the 50-slot driver window from here down ----
+    "q8_market_share": q_q8_market_share,  # r3 hash-green
     "q9_profit_by_nation": q_q9_profit_by_nation,  # r3 hash-green
     "q11_important_parts": q_q11_important_parts,  # r3 hash-green
     # ^ displaced from the r8 window by the text-index pair
@@ -7988,6 +8052,7 @@ _ORACLES: dict[str, str] = {
     # BM25, so they share its oracle (plus a deterministic order)
     "text_index_search_docs": SQL_BM25 + " ORDER BY doc_id",
     "stream_text_index_docs": SQL_BM25 + " ORDER BY doc_id",
+    "pmanifest_cdf_orders": SQL_PMANIFEST_CDF,
     "semantic_decontam_emb": SQL_SEMANTIC_DECONTAM,
     # semantic_decontam_lsh: approximate -> rows-only; recall pinned
     # in tests/test_quality.py

@@ -580,3 +580,70 @@ def test_rollup_partition_col_must_be_group_col(spark, tables, tmp_path):
             stream, str(tmp_path / "s"), group_cols=["a", "b"],
             metrics={"n": ("count", "*")}, store_format="manifest",
             store_partition_by=["a", "b"])
+
+
+# -------------------------------------------------- change data feed
+
+def test_pchanges_epoch_diff_and_replay_invariant(spark, tmp_path):
+    from wrangle_pypes_spark.sources.partitioned import pmanifest_changes
+
+    store = str(tmp_path / "pcdf")
+    # epoch 0: two days
+    pmanifest_merge(_rows(spark, [
+        (1, _d("2024-01-01"), "a"), (2, _d("2024-01-01"), "b"),
+        (3, _d("2024-01-02"), "c")]), store, "day", ["k"], epoch_id=0)
+    # epoch 1: update day-1, delete one day-1 key, new day-3 partition
+    upd = spark.createDataFrame(
+        [(1, _d("2024-01-01"), "A", False),
+         (2, _d("2024-01-01"), None, True),
+         (9, _d("2024-01-03"), "z", False)],
+        "k int, day date, val string, dead boolean")
+    pmanifest_merge(upd, store, "day", ["k"], epoch_id=1,
+                    tombstone_col="dead")
+
+    feed = pmanifest_changes(spark, store, from_epoch=0)
+    got = {(r.k, r.change_op) for r in feed.collect()}
+    assert got == {(1, "update"), (2, "delete"), (9, "insert")}
+    # untouched day-2 contributed nothing (skipped driver-side)
+    assert all(r.day != _d("2024-01-02") for r in feed.collect())
+
+    # replay invariant: as-of(0) + feed == as-of(1) key-wise
+    base = _kv(spark, store, epoch=0)
+    for r in feed.collect():
+        if r.change_op == "delete":
+            base.pop(r.k)
+        else:
+            base[r.k] = (r.day, r.val)
+    assert base == _kv(spark, store, epoch=1)
+
+    # bootstrap: from before the first epoch, everything is an insert
+    boot = pmanifest_changes(spark, store, from_epoch=-1, to_epoch=0)
+    assert sorted((r.k, r.change_op) for r in boot.collect()) == \
+        [(1, "insert"), (2, "insert"), (3, "insert")]
+
+    # same epoch twice: nothing selected changed -> None (no feeds)
+    assert pmanifest_changes(spark, store, from_epoch=1) is None
+
+
+def test_pchanges_partition_prune_and_validation(spark, tmp_path):
+    from wrangle_pypes_spark.sources.partitioned import pmanifest_changes
+
+    store = str(tmp_path / "pcdf2")
+    pmanifest_merge(_rows(spark, [
+        (1, _d("2024-01-01"), "a"), (2, _d("2024-02-01"), "b")]),
+        store, "day", ["k"], epoch_id=0)
+    upd = _rows(spark, [(1, _d("2024-01-01"), "A"),
+                        (2, _d("2024-02-01"), "B")])
+    pmanifest_merge(upd, store, "day", ["k"], epoch_id=1)
+
+    # range prune: only January's feed
+    feed = pmanifest_changes(spark, store, from_epoch=0,
+                             lo=_d("2024-01-01"), hi=_d("2024-01-31"))
+    assert [(r.k, r.change_op) for r in feed.collect()] == \
+        [(1, "update")]
+
+    with pytest.raises(ValueError, match="from_epoch"):
+        pmanifest_changes(spark, store, from_epoch=2, to_epoch=1)
+    # nothing committed at all
+    assert pmanifest_changes(spark, str(tmp_path / "nope"),
+                             from_epoch=0) is None

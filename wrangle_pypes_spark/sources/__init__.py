@@ -13,7 +13,8 @@ from .manifest import (manifest_changes, manifest_current,
                        manifest_history, manifest_lookup,
                        manifest_rebucket,
                        manifest_stats, manifest_vacuum)
-from .partitioned import (pmanifest_lookup, pmanifest_merge,
+from .partitioned import (pmanifest_changes,
+                          pmanifest_lookup, pmanifest_merge,
                           pmanifest_partitions, pmanifest_read,
                           pmanifest_rebucket, pmanifest_stats,
                           pmanifest_vacuum, select_partitions)
@@ -37,6 +38,7 @@ __all__ = ("TABLES", "acid_commit", "acid_current", "acid_read",
            "manifest_stats",
            "manifest_vacuum",
            "parse_json_col",
+           "pmanifest_changes",
            "pmanifest_lookup", "pmanifest_merge", "pmanifest_partitions",
            "pmanifest_read", "pmanifest_rebucket", "pmanifest_stats",
            "pmanifest_vacuum", "select_partitions",
