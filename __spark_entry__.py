@@ -4804,6 +4804,57 @@ ORDER BY o_orderkey
 """
 
 
+def q_merge_into_orders(spark, sf_dir):
+    """NEW r8: conditional MERGE INTO on the manifest store
+    (sources/manifest.py ``manifest_merge_into``) — the Delta/Iceberg
+    MERGE clause model: source rows match stored rows by key via ONE
+    bucket-pruned lookup (the store is never scanned), then
+    WHEN MATCHED AND price<30k DELETE, WHEN MATCHED UPDATE
+    price = stored + source (addressing both sides of the pair),
+    WHEN NOT MATCHED INSERT.  The oracle reconstructs the final image
+    with the same CASE logic."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.manifest import (
+        manifest_merge, manifest_merge_into, manifest_read)
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    store = tempfile.mkdtemp(prefix="wps_mi_") + "/dim"
+    manifest_merge(o, store, ["o_orderkey"], epoch_id=0, n_buckets=64)
+    src = (o.filter(F.col("o_orderkey") % 5 == 0)
+           .unionByName(
+               o.filter(F.col("o_orderkey") % 1000 == 1)
+               .select((F.col("o_orderkey") + 10000000)
+                       .alias("o_orderkey"),
+                       (F.col("o_totalprice") + 1)
+                       .alias("o_totalprice"),
+                       "o_orderstatus")))
+    manifest_merge_into(
+        src, store, epoch_id=1,
+        when_matched_delete=F.col("o_totalprice") < 30000,
+        when_matched_update={
+            "o_totalprice": F.col("_stored_o_totalprice")
+            + F.col("o_totalprice")})
+    return manifest_read(spark, store).orderBy("o_orderkey")
+
+
+SQL_MERGE_INTO = """
+SELECT * FROM (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders
+  WHERE NOT (o_orderkey % 5 = 0 AND o_totalprice < 30000)
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice + 1, o_orderstatus
+  FROM orders WHERE o_orderkey % 1000 = 1
+)
+ORDER BY o_orderkey
+"""
+
+
 def _semantic_decontam_fixture(spark, sf_dir):
     """(train, eval) for semantic decontamination: eval = every 50th
     embedding; train = the rest ∪ PERTURBED copies of the eval rows
@@ -7774,6 +7825,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ^ NEW r8: streaming index maintainer, same value oracle
     "pmanifest_cdf_orders": q_pmanifest_cdf_orders,
     # ^ NEW r8: epoch-based CDF on the partitioned store
+    "merge_into_orders": q_merge_into_orders,
+    # ^ NEW r8: conditional MERGE INTO (Delta clause model) on the
+    #   manifest store, bucket-pruned matching
     "top_ngrams_corpus": q_top_ngrams_corpus,
     # ^ r3-green; n-gram build rewritten r7 (6661a1a) AFTER last check
     "ngram_containment_docs": q_ngram_containment_docs,
@@ -7817,9 +7871,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_topk_revenue": q_q3_topk_revenue,  # r3 hash-green
     "q4_late_order_priority": q_q4_late_order_priority,  # r3 hash-green
     "q5_revenue_by_nation": q_q5_revenue_by_nation,  # r3 hash-green
-    "q7_volume_shipping": q_q7_volume_shipping,  # r3 hash-green
     # ---- below the 50-slot driver window from here down ----
+    "q7_volume_shipping": q_q7_volume_shipping,  # r3 hash-green
     "q8_market_share": q_q8_market_share,  # r3 hash-green
+    # ^ displaced from the r8 window by merge_into/pmanifest_cdf
     "q9_profit_by_nation": q_q9_profit_by_nation,  # r3 hash-green
     "q11_important_parts": q_q11_important_parts,  # r3 hash-green
     # ^ displaced from the r8 window by the text-index pair
@@ -8053,6 +8108,7 @@ _ORACLES: dict[str, str] = {
     "text_index_search_docs": SQL_BM25 + " ORDER BY doc_id",
     "stream_text_index_docs": SQL_BM25 + " ORDER BY doc_id",
     "pmanifest_cdf_orders": SQL_PMANIFEST_CDF,
+    "merge_into_orders": SQL_MERGE_INTO,
     "semantic_decontam_emb": SQL_SEMANTIC_DECONTAM,
     # semantic_decontam_lsh: approximate -> rows-only; recall pinned
     # in tests/test_quality.py

@@ -1293,3 +1293,84 @@ def test_changes_validation_and_vacuumed_versions(spark, tmp_path):
     manifest_vacuum(store, keep=1)
     with pytest.raises(ValueError, match="retained"):
         manifest_changes(spark, store, from_version=1)
+
+
+# -------------------------------------------------- MERGE INTO
+
+def test_merge_into_clause_semantics(spark, tmp_path):
+    from wrangle_pypes_spark.sources.manifest import manifest_merge_into
+
+    store = str(tmp_path / "mi")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(20)],
+        "k int, val string, qty int")
+    manifest_merge(base, store, ["k"], epoch_id=0, n_buckets=BUCKETS)
+
+    src = spark.createDataFrame(
+        [(3, "S3", 5),    # matched, qty<50 -> delete clause fires
+         (7, "S7", 500),  # matched, qty>=50 -> update clause
+         (99, "S99", 1),  # unmatched -> insert
+         (11, "S11", 50)],  # matched, boundary: update
+        "k int, val string, qty int")
+    v = manifest_merge_into(
+        src, store, epoch_id=1,
+        when_matched_delete=F.col("qty") < 50,
+        # update only val from the source; qty keeps the STORED value
+        when_matched_update={"val": F.concat(F.col("_stored_val"),
+                                             F.lit("+"),
+                                             F.col("val"))})
+    assert v == 2
+    got = {r.k: (r.val, r.qty)
+           for r in manifest_read(spark, store).collect()}
+    assert 3 not in got                      # deleted
+    assert got[7] == ("v7+S7", 70)           # updated val, stored qty
+    assert got[11] == ("v11+S11", 110)
+    assert got[99] == ("S99", 1)             # inserted as-is
+    assert got[5] == ("v5", 50)              # untouched key carries
+    assert len(got) == 20 - 1 + 1
+
+
+def test_merge_into_insert_disabled_and_no_update_clause(
+        spark, tmp_path):
+    from wrangle_pypes_spark.sources.manifest import manifest_merge_into
+
+    store = str(tmp_path / "mi2")
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k int, qty int")
+    manifest_merge(base, store, ["k"], epoch_id=0, n_buckets=4)
+
+    # delete-only MERGE: matched non-deleted and unmatched rows are
+    # no-ops
+    src = spark.createDataFrame([(1, 0), (2, 99), (3, 7)],
+                                "k int, qty int")
+    manifest_merge_into(src, store, epoch_id=1,
+                        when_matched_delete=F.col("qty") == 0,
+                        when_not_matched_insert=False)
+    got = {r.k: r.qty for r in manifest_read(spark, store).collect()}
+    assert got == {2: 20}  # 1 deleted, 2 untouched (no update clause),
+    #                        3 NOT inserted
+
+
+def test_merge_into_validation(spark, tmp_path):
+    from wrangle_pypes_spark.sources.manifest import manifest_merge_into
+
+    store = str(tmp_path / "mi3")
+    src = spark.createDataFrame([(1, 1)], "k int, qty int")
+    with pytest.raises(ValueError, match="bootstrap"):
+        manifest_merge_into(src, store)
+    manifest_merge(src, store, ["k"], epoch_id=0, n_buckets=2)
+    with pytest.raises(ValueError, match="no clauses"):
+        manifest_merge_into(src, store, when_not_matched_insert=False)
+    with pytest.raises(ValueError, match="key columns"):
+        manifest_merge_into(
+            spark.createDataFrame([(1,)], "x int"), store)
+    with pytest.raises(ValueError, match="updatable columns"):
+        manifest_merge_into(src, store,
+                            when_matched_update={"k": F.lit(9)})
+    with pytest.raises(ValueError, match="lacks store columns"):
+        manifest_merge_into(
+            spark.createDataFrame([(1,)], "k int"), store)
+    # key-only source is fine when inserts are off
+    manifest_merge_into(spark.createDataFrame([(1,)], "k int"), store,
+                        when_matched_delete=F.lit(True),
+                        when_not_matched_insert=False)
+    assert manifest_read(spark, store) is None  # single key deleted

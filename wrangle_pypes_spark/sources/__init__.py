@@ -9,7 +9,8 @@ payload parsing for dynamic columns).
 
 from .acid import (acid_commit, acid_current, acid_read, acid_vacuum)
 from .manifest import (manifest_changes, manifest_current,
-                       manifest_merge, manifest_read,
+                       manifest_merge, manifest_merge_into,
+                       manifest_read,
                        manifest_history, manifest_lookup,
                        manifest_rebucket,
                        manifest_stats, manifest_vacuum)
@@ -33,7 +34,8 @@ __all__ = ("TABLES", "acid_commit", "acid_current", "acid_read",
            "acid_vacuum", "ensure_session_confs", "infer_json_schema",
            "load_star_schema", "load_table",
            "manifest_changes",
-           "manifest_current", "manifest_merge", "manifest_read",
+           "manifest_current", "manifest_merge", "manifest_merge_into",
+           "manifest_read",
            "manifest_history", "manifest_lookup", "manifest_rebucket",
            "manifest_stats",
            "manifest_vacuum",

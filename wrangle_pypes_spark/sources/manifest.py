@@ -623,6 +623,125 @@ def manifest_history(spark: SparkSession, path: str) -> Optional[DataFrame]:
               "n_nonempty_buckets int, is_head boolean")
 
 
+def manifest_merge_into(source: DataFrame, path: str, *,
+                        epoch_id: int = -1,
+                        when_matched_update: Optional[
+                            Mapping[str, Column]] = None,
+                        when_matched_delete: Optional[Column] = None,
+                        when_not_matched_insert: bool = True,
+                        compression: str = "zstd") -> int:
+    """Conditional MERGE, Delta/Iceberg ``MERGE INTO`` style, on the
+    manifest store: for each source row matched by key against the
+    stored image —
+
+    * ``when_matched_delete`` (a boolean Column over the matched
+      pair: source columns by name, stored columns as
+      ``_stored_<c>``) deletes the key where it holds — evaluated
+      FIRST, like SQL MERGE's clause ordering;
+    * ``when_matched_update`` maps store column -> value Column over
+      the same pair, applied where the delete clause didn't fire
+      (columns not mapped keep their STORED value);
+    * unmatched source keys insert as-is when
+      ``when_not_matched_insert`` (else they are ignored).
+
+    Returns the committed version.  Cost: ONE bucket-pruned read of
+    the source keys' buckets (``manifest_lookup``) to evaluate the
+    clauses — the store is never scanned — then one ordinary
+    ``manifest_merge`` upsert of the resulting change set, so the
+    whole MERGE is O(source + touched buckets) like every other
+    commit here.  First commit on an empty store: matched clauses
+    are vacuous, inserts (if enabled) create the store.  Contract:
+    at most one source row per key (pre-collapse with
+    ``cdc_compact``); key columns are the store's and must be
+    non-null; source must carry every store column when inserting
+    (unmatched rows have no stored half to fall back on).
+    """
+    from pyspark.sql import types as T
+
+    if when_matched_update is None and when_matched_delete is None \
+            and not when_not_matched_insert:
+        raise ValueError("no clauses: nothing to do")
+    spark = source.sparkSession
+    cur = manifest_current(path, spark=spark)
+    if cur is None:
+        raise ValueError(
+            f"nothing committed at {path!r} — MERGE INTO cannot "
+            "infer key columns from an empty store; bootstrap it "
+            "with one manifest_merge first")
+    man = _load_manifest(path, cur[0], spark=spark)
+    keys = list(man["key_cols"])
+    missing = [k for k in keys if k not in source.columns]
+    if missing:
+        raise ValueError(
+            f"source lacks the store's key columns {missing}")
+    fields = {f.name: f for f in
+              T.StructType.fromJson(man["schema"]).fields} \
+        if man.get("schema") else \
+        {f.name: f for f in source.schema.fields}
+    vals = [c for c in fields if c not in keys]
+    if when_matched_update is not None:
+        unknown = [c for c in when_matched_update if c not in vals]
+        if unknown:
+            raise ValueError(
+                f"when_matched_update targets {unknown} — updatable "
+                f"columns are the store's non-key columns {vals}")
+    if when_not_matched_insert:
+        lacking = [c for c in vals if c not in source.columns]
+        if lacking:
+            raise ValueError(
+                f"source lacks store columns {lacking}; inserts need "
+                "the full row — disable when_not_matched_insert or "
+                "project them")
+
+    # ONE bucket-pruned read of the source keys' buckets gives the
+    # matched pair; stored columns join in as _stored_<c>, plus a
+    # constant-true tag for null-safe match detection
+    stored = manifest_lookup(spark, path, source.select(*keys))
+    pair = source.join(
+        stored.select(*keys, F.lit(True).alias("_mi_hit"),
+                      *[F.col(c).alias(f"_stored_{c}") for c in vals]),
+        keys, "left")
+    hit = F.coalesce(F.col("_mi_hit"), F.lit(False))
+    del_cond = F.lit(False) if when_matched_delete is None \
+        else F.coalesce(when_matched_delete, F.lit(False))
+
+    def _null(c):
+        return F.lit(None).cast(fields[c].dataType).alias(c)
+
+    # keys are cast to the STORE's types so a wider-typed source
+    # cannot drift the written schema under the name-level check
+    kcols = [F.col(k).cast(fields[k].dataType).alias(k)
+             for k in keys] if man.get("schema") else \
+        [F.col(k) for k in keys]
+    changes = [pair.filter(hit & del_cond).select(
+        *kcols, *[_null(c) for c in vals],
+        F.lit(True).alias("_mi_dead"))]
+    if when_matched_update is not None:
+        changes.append(pair.filter(hit & ~del_cond).select(
+            *kcols,
+            *[(when_matched_update[c].cast(fields[c].dataType)
+               if c in when_matched_update
+               else F.col(f"_stored_{c}")).alias(c) for c in vals],
+            F.lit(False).alias("_mi_dead")))
+    if when_not_matched_insert:
+        changes.append(pair.filter(~hit).select(
+            *kcols,
+            *[F.col(c).cast(fields[c].dataType).alias(c)
+              for c in vals],
+            F.lit(False).alias("_mi_dead")))
+    out = changes[0]
+    for c in changes[1:]:
+        out = out.unionByName(c)
+    # keys matched by NO firing clause are absent from `out`: their
+    # stored image carries over untouched (they still count as
+    # "touched bucket" rows only if a same-bucket key changed)
+    return manifest_merge(out.localCheckpoint(eager=True), path, keys,
+                          epoch_id=epoch_id,
+                          n_buckets=int(man["n_buckets"]),
+                          tombstone_col="_mi_dead",
+                          compression=compression)
+
+
 def manifest_changes(spark: SparkSession, path: str, *,
                      from_version: int,
                      to_version: Optional[int] = None,
