@@ -1,0 +1,58 @@
+"""Store catalog (sources/catalog.py): layout detection + the uniform
+metadata row, for all four layouts, without any data scan."""
+
+from pyspark.sql import functions as F
+
+from wrangle_pypes_spark.sources import describe_store, store_kind
+from wrangle_pypes_spark.sources.acid import acid_commit
+from wrangle_pypes_spark.sources.manifest import manifest_merge
+from wrangle_pypes_spark.sources.partitioned import pmanifest_merge
+from wrangle_pypes_spark.sources.zonemap import zonemap_write
+
+
+def test_detect_and_describe_all_layouts(spark, tmp_path):
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("part"),
+        (F.col("id") * 2).alias("val"))
+
+    acid = str(tmp_path / "acid")
+    acid_commit(df, acid, epoch_id=7)
+    man = str(tmp_path / "man")
+    manifest_merge(df.drop("part"), man, ["k"], epoch_id=3,
+                   n_buckets=8)
+    manifest_merge(
+        df.drop("part").withColumn("val", F.col("val") + 1),
+        man, ["k"], epoch_id=4, n_buckets=8)
+    pman = str(tmp_path / "pman")
+    pmanifest_merge(df, pman, "part", ["k"], epoch_id=5, n_buckets=4)
+    zm = str(tmp_path / "zm")
+    zonemap_write(df, zm, cluster_by=["k"], target_files=4)
+
+    assert store_kind(acid) == "acid"
+    assert store_kind(man) == "manifest"
+    assert store_kind(pman) == "pmanifest"
+    assert store_kind(zm) == "zonemap"
+    assert store_kind(str(tmp_path / "nothing")) is None
+    assert describe_store(spark, str(tmp_path / "nothing")) is None
+
+    a = describe_store(spark, acid).collect()[0]
+    assert (a.kind, a.version, a.epoch) == ("acid", 1, 7)
+
+    m = describe_store(spark, man).collect()[0]
+    assert (m.kind, m.version, m.epoch, m.n_buckets) == \
+        ("manifest", 2, 4, 8)
+    assert m.n_versions_retained == 2 and "keys=k" in m.detail
+
+    p = describe_store(spark, pman).collect()[0]
+    assert (p.kind, p.n_partitions, p.epoch) == ("pmanifest", 3, 5)
+    assert "partition_col=part" in p.detail
+
+    z = describe_store(spark, zm).collect()[0]
+    assert (z.kind, z.n_files) == ("zonemap", 4)
+    assert "cluster_by=k" in z.detail and "zorder" not in z.detail
+
+
+def test_plain_parquet_is_not_a_store(spark, tmp_path):
+    path = str(tmp_path / "plain")
+    spark.range(10).write.parquet(path)
+    assert store_kind(path) is None

@@ -190,3 +190,53 @@ def test_stats_view(spark, tmp_path):
     ordered = sorted(((int(r.min), int(r.max)) for r in rows))
     for (aa, ab), (ba, _bb) in zip(ordered, ordered[1:]):
         assert aa <= ab < ba
+
+
+def test_append_overlap_compact_lifecycle(spark, tmp_path):
+    from wrangle_pypes_spark.sources.zonemap import (
+        zonemap_append, zonemap_compact, zonemap_overlap)
+
+    path = str(tmp_path / "life")
+    full = spark.range(12_000).select(F.col("id").alias("k"),
+                                      (F.col("id") % 7).alias("v"))
+    a = full.filter(F.col("k") < 4000)
+    b = full.filter(F.col("k").between(4000, 7999))
+    c = full.filter(F.col("k") >= 8000)
+
+    zonemap_write(a, path, cluster_by=["k"], target_files=4)
+    base_overlap = zonemap_overlap(path)
+    assert 0.9 <= base_overlap <= 1.2  # clean tiling
+
+    # two appends: reads stay EXACT while clustering decays
+    assert zonemap_append(b, path, target_files=4) == 4
+    assert zonemap_append(c, path, target_files=4) == 4
+    got = zonemap_read(spark, path, between={"k": (3500, 4500)})
+    exp = full.filter(F.col("k").between(3500, 4500))
+    assert sorted(r.k for r in got.collect()) == \
+        sorted(r.k for r in exp.collect())
+    # disjoint appends keep tiling ~1 here; the gauge's job is the
+    # OVERLAPPING case:
+    overlap_append = spark.createDataFrame(
+        [(i, 0) for i in range(0, 12_000, 3)], "k bigint, v bigint")
+    zonemap_append(overlap_append, path, target_files=4)
+    assert zonemap_overlap(path) > 1.5  # decay is visible
+
+    # compact restores clustering AND content
+    n = zonemap_compact(spark, path, target_files=8)
+    assert n == 8
+    assert 0.9 <= zonemap_overlap(path) <= 1.2
+    total = full.count() + overlap_append.count()
+    assert zonemap_read(spark, path).count() == total
+    kept, tot = zonemap_files(path, between={"k": (0, 1499)})
+    assert tot == 8 and len(kept) <= 2  # pruning is sharp again
+
+
+def test_append_schema_mismatch_raises(spark, tmp_path):
+    from wrangle_pypes_spark.sources.zonemap import zonemap_append
+
+    path = str(tmp_path / "mis")
+    zonemap_write(spark.range(100).select(F.col("id").alias("k")),
+                  path, cluster_by=["k"], target_files=2)
+    with pytest.raises(ValueError, match="append schema"):
+        zonemap_append(spark.range(5).select(
+            F.col("id").alias("k"), F.lit(1).alias("extra")), path)

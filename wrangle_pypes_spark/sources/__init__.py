@@ -8,6 +8,7 @@ payload parsing for dynamic columns).
 """
 
 from .acid import (acid_commit, acid_current, acid_read, acid_vacuum)
+from .catalog import describe_store, store_kind
 from .manifest import (manifest_changes, manifest_current,
                        manifest_merge, manifest_merge_into,
                        manifest_read,
@@ -24,14 +25,16 @@ from .sinks import (audit_parquet_layout, compact_parquet, read_orc,
                     upsert_parquet,
                     write_bucketed_table,
                     write_csv, write_json, write_orc, write_parquet)
-from .zonemap import (zonemap_files, zonemap_read, zonemap_stats,
+from .zonemap import (zonemap_append, zonemap_compact, zonemap_files,
+                      zonemap_overlap, zonemap_read, zonemap_stats,
                       zonemap_write)
 from .tables import (TABLES, ensure_session_confs, infer_json_schema,
                      load_star_schema, load_table, parse_json_col,
                      read_binary_files, read_csv, read_jsonl, read_text)
 
 __all__ = ("TABLES", "acid_commit", "acid_current", "acid_read",
-           "acid_vacuum", "ensure_session_confs", "infer_json_schema",
+           "acid_vacuum", "describe_store",
+           "ensure_session_confs", "infer_json_schema",
            "load_star_schema", "load_table",
            "manifest_changes",
            "manifest_current", "manifest_merge", "manifest_merge_into",
@@ -49,6 +52,8 @@ __all__ = ("TABLES", "acid_commit", "acid_current", "acid_read",
            "read_text", "recover_upsert_backup",
            "upsert_parquet",
            "write_bucketed_table", "write_csv", "write_json", "write_orc",
+           "store_kind",
            "write_parquet",
-           "zonemap_files", "zonemap_read", "zonemap_stats",
-           "zonemap_write")
+           "zonemap_append", "zonemap_compact",
+           "zonemap_files", "zonemap_overlap", "zonemap_read",
+           "zonemap_stats", "zonemap_write")

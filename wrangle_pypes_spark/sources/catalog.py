@@ -1,0 +1,123 @@
+"""Store catalog: one ops surface over the engine's four storage
+layouts.
+
+The engine grew four on-disk layouts, each the right answer to a
+different access pattern — acid (compact full-snapshot state),
+manifest (hash-bucketed keyed data, file-level deltas), pmanifest
+(value partitions over manifest sub-stores), zonemap (range/Z-order
+clustered write-once tables).  An operator staring at a path should
+not need to know which one it is to ask "what is this, how current is
+it, how big is its layout": :func:`store_kind` detects the layout
+from its control files, and :func:`describe_store` returns one
+uniform metadata row per store — driver-side JSON/listing reads only,
+NO data scan (per-layout deep health lives in the layout's own stats
+function: ``manifest_stats`` / ``pmanifest_stats`` / ``zonemap_stats``
+/ ``audit_parquet_layout``).
+
+Reference analog: none — the reference (pipeline.py:33) has no
+storage; this is the operability layer a multi-layout 100 TB
+deployment needs.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import fsutil
+
+_MANIFEST_RE = re.compile(r"^_m(\d{6})\.json$")
+_ACID_V_RE = re.compile(r"^_v(\d{6})$")
+
+KINDS = ("pmanifest", "manifest", "acid", "zonemap")
+
+
+def store_kind(path: str, spark=None) -> Optional[str]:
+    """Which layout lives at ``path``: ``'acid'``, ``'manifest'``,
+    ``'pmanifest'``, ``'zonemap'``, or None when no layout's control
+    files are present.  Detection order matters where markers
+    coexist: a pmanifest parent holds ``_pstore.json`` (its
+    sub-stores are manifests); acid and manifest stores both publish
+    ``_ptr.json`` and are told apart by their version artifacts
+    (``_mNNNNNN.json`` manifests vs ``_vNNNNNN`` snapshot dirs)."""
+    if not fsutil.dir_exists(path, spark=spark):
+        return None
+    names = set(fsutil.list_dir(path, spark=spark))
+    if "_pstore.json" in names:
+        return "pmanifest"
+    if "_zonemap.json" in names:
+        return "zonemap"
+    if any(_MANIFEST_RE.match(n) for n in names):
+        return "manifest"
+    if "_ptr.json" in names and (any(_ACID_V_RE.match(n)
+                                     for n in names)
+                                 or len(names) == 1):
+        return "acid"
+    return None
+
+
+def describe_store(spark: SparkSession, path: str) -> Optional[DataFrame]:
+    """One metadata row for the store at ``path``:
+    ``(path, kind, version, epoch, n_buckets, n_partitions,
+    n_versions_retained, n_files, detail)`` — fields a layout lacks
+    are null.  Driver cost: control-file JSON reads and directory
+    listings bounded by the layout (versions, buckets, partitions) —
+    never a data scan.  None when ``path`` holds no known layout."""
+    kind = store_kind(path, spark=spark)
+    if kind is None:
+        return None
+    version = epoch = n_buckets = n_parts = n_kept = n_files = None
+    detail = ""
+    if kind == "acid":
+        from .acid import _existing_versions, acid_current
+
+        cur = acid_current(path, spark=spark)
+        if cur is not None:
+            version, epoch = cur
+        n_kept = len(_existing_versions(path, spark=spark))
+        detail = "full-snapshot-per-commit"
+    elif kind == "manifest":
+        from .manifest import (_load_manifest, _used_versions,
+                               manifest_current)
+
+        cur = manifest_current(path, spark=spark)
+        if cur is not None:
+            version, epoch = cur
+            man = _load_manifest(path, cur[0], spark=spark)
+            n_buckets = int(man["n_buckets"])
+            n_files = len(man["buckets"])
+            detail = "keys=" + ",".join(man["key_cols"])
+        n_kept = sum(
+            1 for v in _used_versions(path, spark=spark)
+            if version is not None and v <= version
+            and fsutil.read_text(
+                path.rstrip("/") + f"/_m{v:06d}.json",
+                spark=spark) is not None)
+    elif kind == "pmanifest":
+        from .manifest import manifest_current
+        from .partitioned import _list_tokens, _recorded_pcol, _sub
+
+        tokens = _list_tokens(path, spark=spark)
+        n_parts = len(tokens)
+        heads = [manifest_current(_sub(path, t), spark=spark)
+                 for t in tokens]
+        epochs = [h[1] for h in heads if h is not None]
+        if epochs:
+            epoch = max(epochs)  # most-recent batch any partition saw
+        detail = "partition_col=" + str(_recorded_pcol(path,
+                                                       spark=spark))
+    else:  # zonemap
+        side = json.loads(fsutil.read_text(
+            path.rstrip("/") + "/_zonemap.json", spark=spark))
+        n_files = len(side["files"])
+        detail = ("cluster_by=" + ",".join(side["cluster_by"])
+                  + ("|zorder" if len(side["cluster_by"]) > 1 else ""))
+    return spark.createDataFrame(
+        [(path, kind, version, epoch, n_buckets, n_parts, n_kept,
+          n_files, detail)],
+        "path string, kind string, version int, epoch int, "
+        "n_buckets int, n_partitions int, n_versions_retained int, "
+        "n_files int, detail string")

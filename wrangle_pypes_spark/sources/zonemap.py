@@ -315,6 +315,141 @@ def zonemap_read(spark: SparkSession, path: str, *,
     return df
 
 
+def zonemap_append(df: DataFrame, path: str, *,
+                   target_files: int = 4,
+                   compression: str = "zstd") -> int:
+    """Append a batch to an existing zonemap table: the BATCH is
+    clustered by the table's recorded cluster columns and written as
+    new files whose stats join the sidecar — reads stay exact and
+    still prune, but global clustering DECAYS (each append tiles its
+    own value range, so ranges now overlap across appends).  Measure
+    the decay with :func:`zonemap_overlap` and restore it with
+    :func:`zonemap_compact` — the append → measure → OPTIMIZE
+    lifecycle of any clustered table format.  Returns the number of
+    files appended.  Single-writer by contract (the sidecar is
+    read-modify-write)."""
+    spark = df.sparkSession
+    side = _load_sidecar(path, spark=spark)
+    cluster, stats_cols = side["cluster_by"], side["stats_cols"]
+    from pyspark.sql import types as T
+    want = T.StructType.fromJson(side["schema"])
+    if df.columns != [f.name for f in want.fields]:
+        raise ValueError(
+            f"append schema {df.columns} != table schema "
+            f"{[f.name for f in want.fields]} (zonemap tables do not "
+            "evolve; rewrite instead)")
+
+    before = {n for n in fsutil.list_dir(path, spark=spark)
+              if n.endswith(".parquet")}
+    if len(cluster) == 1:
+        clustered = (df.repartitionByRange(target_files, cluster[0])
+                       .sortWithinPartitions(cluster[0]))
+    else:
+        from ..operators.relational import zorder_col
+        clustered = (zorder_col(df, cluster, out_col=_ZV)
+                     .repartitionByRange(target_files, _ZV)
+                     .sortWithinPartitions(_ZV).drop(_ZV))
+    (clustered.write.mode("append")
+     .option("compression", compression).parquet(path))
+    new = sorted({n for n in fsutil.list_dir(path, spark=spark)
+                  if n.endswith(".parquet")} - before)
+    if not new:
+        return 0
+    written = spark.read.schema(want).parquet(
+        *[_join(path, n) for n in new])
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for i, c in enumerate(stats_cols):
+        aggs += [F.min(c).alias(f"_lo{i}"), F.max(c).alias(f"_hi{i}"),
+                 F.sum(F.col(c).isNull().cast("long")).alias(f"_nl{i}")]
+    per_file = (written
+                .groupBy(F.element_at(F.split(F.input_file_name(), "/"),
+                                      -1).alias("_file"))
+                .agg(*aggs).collect())
+    types = side["types"]
+    for r in per_file:
+        side["files"][r["_file"]] = {
+            "rows": int(r["_rows"]),
+            "stats": {c: {"min": _to_json(r[f"_lo{i}"], types[c]),
+                          "max": _to_json(r[f"_hi{i}"], types[c]),
+                          "nulls": int(r[f"_nl{i}"])}
+                      for i, c in enumerate(stats_cols)}}
+    fsutil.write_text_atomic(_join(path, _SIDECAR),
+                             json.dumps(side, sort_keys=True),
+                             spark=spark)
+    return len(new)
+
+
+def zonemap_overlap(path: str, col: Optional[str] = None,
+                    spark=None) -> float:
+    """Clustering-decay gauge: the sum of per-file range widths over
+    the global range width, for ``col`` (default: the first cluster
+    column).  A perfect tiling scores ~1.0 (each point of the domain
+    covered by one file); K independent appends push it toward K —
+    at 2–3, reads still return exact rows but prune K× worse than
+    they could, which is the :func:`zonemap_compact` trigger.
+    Driver-side sidecar arithmetic only; numeric/date/timestamp
+    columns (strings have no width)."""
+    side = _load_sidecar(path, spark=spark)
+    col = col or side["cluster_by"][0]
+    if col not in side["stats_cols"]:
+        raise ValueError(f"no stats for {col!r}")
+    t = side["types"][col]
+
+    def _num(v):
+        if t == "date":
+            import datetime as _d
+            return _d.date.fromisoformat(v).toordinal()
+        if t in ("timestamp", "timestamp_ntz"):
+            import datetime as _d
+            return _d.datetime.strptime(v, _TS_FMT).timestamp()
+        if t == "decimal":
+            return float(_decimal.Decimal(v))
+        if t == "string":
+            raise ValueError("string columns have no range width — "
+                             "pick a numeric/temporal stats column")
+        return float(v)
+
+    spans = [(_num(m["stats"][col]["min"]), _num(m["stats"][col]["max"]))
+             for m in side["files"].values()
+             if m["stats"][col]["min"] is not None]
+    if not spans:
+        return 0.0
+    lo = min(s[0] for s in spans)
+    hi = max(s[1] for s in spans)
+    width = hi - lo
+    if width <= 0:
+        return 1.0  # single-point domain: nothing to tile
+    return sum(b - a for a, b in spans) / width
+
+
+def zonemap_compact(spark: SparkSession, path: str, *,
+                    target_files: Optional[int] = None,
+                    compression: str = "zstd") -> int:
+    """Restore clustering after appends: full re-cluster rewrite (the
+    table-format OPTIMIZE).  Reads everything, rewrites a fresh
+    zonemap table in a staging dir, then swaps it into place.  The
+    swap is delete+rename (NOT atomic — a reader racing the swap can
+    see a missing table); run it in the maintenance window the
+    single-writer contract already implies.  ``target_files``
+    defaults to the current file count.  Returns the new file
+    count."""
+    side = _load_sidecar(path, spark=spark)
+    n = target_files or len(side["files"])
+    from pyspark.sql import types as T
+    schema = T.StructType.fromJson(side["schema"])
+    current = spark.read.schema(schema).parquet(
+        *[_join(path, f) for f in sorted(side["files"])])
+    staging = path.rstrip("/") + "__compact_staging"
+    fsutil.delete(staging, spark=spark)
+    out = zonemap_write(current, staging,
+                        cluster_by=side["cluster_by"],
+                        stats_cols=side["stats_cols"],
+                        target_files=n, compression=compression)
+    fsutil.delete(path, spark=spark)
+    fsutil.rename(staging, path, spark=spark)
+    return out
+
+
 def zonemap_stats(spark: SparkSession, path: str) -> DataFrame:
     """The sidecar as a DataFrame: one row per (file, stats column)
     with rows/min/max/nulls (min/max in their JSON encoding) — the
