@@ -4855,6 +4855,53 @@ ORDER BY o_orderkey
 """
 
 
+def q_stream_zonemap_events(spark, sf_dir):
+    """NEW r8: streaming ingest into a zone-map clustered table
+    (streaming/windows.py ``foreach_batch_zonemap_append``): drain
+    events as micro-batches — each batch clusters locally by ts and
+    publishes via the atomic sidecar write (epoch-guarded
+    exactly-once), with the OPTIMIZE (``zonemap_compact``) every 3rd
+    batch — then answer a one-week range aggregate through the pruned
+    read.  A guard pins that the week's read genuinely skipped files.
+    Oracle = the same aggregate over the raw table with the WHERE."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.zonemap import (zonemap_files,
+                                                     zonemap_read)
+    from wrangle_pypes_spark.streaming import (
+        foreach_batch_zonemap_append, stream_table)
+
+    ev = stream_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="wps_zms_") + "/events"
+    q = foreach_batch_zonemap_append(
+        ev, path, cluster_by=["ts"], target_files_per_batch=4,
+        compact_every=3, compact_target_files=16)
+    q.awaitTermination()
+    pred = {"ts": ("2024-01-08 00:00:00", "2024-01-14 23:59:59")}
+    kept, total = zonemap_files(path, between=pred)
+    if not kept or len(kept) >= total:
+        raise RuntimeError(
+            f"zone map skipped nothing ({len(kept)}/{total}) after "
+            "streaming ingest — clustering broke")
+    return (zonemap_read(spark, path, between=pred)
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .orderBy("event_type"))
+
+
+SQL_STREAM_ZONEMAP = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+             AND TIMESTAMP '2024-01-14 23:59:59'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def _semantic_decontam_fixture(spark, sf_dir):
     """(train, eval) for semantic decontamination: eval = every 50th
     embedding; train = the rest ∪ PERTURBED copies of the eval rows
@@ -7828,6 +7875,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_into_orders": q_merge_into_orders,
     # ^ NEW r8: conditional MERGE INTO (Delta clause model) on the
     #   manifest store, bucket-pruned matching
+    "stream_zonemap_events": q_stream_zonemap_events,
+    # ^ NEW r8: streaming ingest + periodic OPTIMIZE into a zone-map
+    #   clustered table; week-range read guards genuine skipping
     "top_ngrams_corpus": q_top_ngrams_corpus,
     # ^ r3-green; n-gram build rewritten r7 (6661a1a) AFTER last check
     "ngram_containment_docs": q_ngram_containment_docs,
@@ -7870,11 +7920,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q2_min_cost_supplier": q_q2_min_cost_supplier,  # r3 hash-green
     "q3_topk_revenue": q_q3_topk_revenue,  # r3 hash-green
     "q4_late_order_priority": q_q4_late_order_priority,  # r3 hash-green
-    "q5_revenue_by_nation": q_q5_revenue_by_nation,  # r3 hash-green
     # ---- below the 50-slot driver window from here down ----
+    "q5_revenue_by_nation": q_q5_revenue_by_nation,  # r3 hash-green
     "q7_volume_shipping": q_q7_volume_shipping,  # r3 hash-green
     "q8_market_share": q_q8_market_share,  # r3 hash-green
-    # ^ displaced from the r8 window by merge_into/pmanifest_cdf
+    # ^ displaced from the r8 window by merge_into/pmanifest_cdf/
+    #   stream_zonemap
     "q9_profit_by_nation": q_q9_profit_by_nation,  # r3 hash-green
     "q11_important_parts": q_q11_important_parts,  # r3 hash-green
     # ^ displaced from the r8 window by the text-index pair
@@ -8109,6 +8160,7 @@ _ORACLES: dict[str, str] = {
     "stream_text_index_docs": SQL_BM25 + " ORDER BY doc_id",
     "pmanifest_cdf_orders": SQL_PMANIFEST_CDF,
     "merge_into_orders": SQL_MERGE_INTO,
+    "stream_zonemap_events": SQL_STREAM_ZONEMAP,
     "semantic_decontam_emb": SQL_SEMANTIC_DECONTAM,
     # semantic_decontam_lsh: approximate -> rows-only; recall pinned
     # in tests/test_quality.py

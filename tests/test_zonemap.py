@@ -240,3 +240,48 @@ def test_append_schema_mismatch_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="append schema"):
         zonemap_append(spark.range(5).select(
             F.col("id").alias("k"), F.lit(1).alias("extra")), path)
+
+
+def test_streaming_append_equals_batch_and_replays(spark, tmp_path):
+    from wrangle_pypes_spark.sources.zonemap import (_load_sidecar,
+                                                     zonemap_vacuum)
+    from wrangle_pypes_spark.streaming import \
+        foreach_batch_zonemap_append
+
+    full = spark.range(6000).select(F.col("id").alias("k"),
+                                    (F.col("id") % 5).alias("v"))
+    src = str(tmp_path / "src")
+    full.repartition(3).write.parquet(src)
+    path = str(tmp_path / "zstream")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _drain():
+        stream = (spark.readStream.schema("k bigint, v bigint")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = foreach_batch_zonemap_append(
+            stream, path, cluster_by=["k"],
+            target_files_per_batch=3, compact_every=2,
+            compact_target_files=6, checkpoint=ckpt)
+        q.awaitTermination()
+
+    _drain()
+    got = zonemap_read(spark, path)
+    assert got.count() == 6000
+    pred = {"k": (1000, 1999)}
+    assert zonemap_read(spark, path, between=pred).count() == 1000
+    kept, total = zonemap_files(path, between=pred)
+    assert len(kept) < total  # still prunes after streaming ingest
+
+    # replay with the same checkpoint: nothing doubles
+    side_before = _load_sidecar(path)
+    _drain()
+    assert _load_sidecar(path) == side_before
+    assert zonemap_read(spark, path).count() == 6000
+
+    # orphan hygiene: an unreferenced parquet file gets vacuumed
+    import shutil
+    some = sorted(side_before["files"])[0]
+    orphan = str(tmp_path / "zstream" / "part-orphan.parquet")
+    shutil.copy(str(tmp_path / "zstream" / some), orphan)
+    assert zonemap_vacuum(path) == 1
+    assert zonemap_read(spark, path).count() == 6000

@@ -125,6 +125,7 @@ def zonemap_write(df: DataFrame, path: str, *,
                   stats_cols: Optional[Sequence[str]] = None,
                   target_files: int = 32, zorder_bits: int = 16,
                   mode: str = "errorifexists",
+                  epoch_id: int = -1,
                   compression: str = "zstd") -> int:
     """Write ``df`` range-clustered by ``cluster_by`` with a per-file
     min/max sidecar; returns the number of data files written.
@@ -217,6 +218,7 @@ def zonemap_write(df: DataFrame, path: str, *,
         _join(path, _SIDECAR),
         json.dumps({"version": 1, "cluster_by": cluster,
                     "stats_cols": stats, "types": types,
+                    "epoch": int(epoch_id),
                     "schema": schema_json, "files": files},
                    sort_keys=True),
         spark=spark)
@@ -317,6 +319,7 @@ def zonemap_read(spark: SparkSession, path: str, *,
 
 def zonemap_append(df: DataFrame, path: str, *,
                    target_files: int = 4,
+                   epoch_id: int = -1,
                    compression: str = "zstd") -> int:
     """Append a batch to an existing zonemap table: the BATCH is
     clustered by the table's recorded cluster columns and written as
@@ -330,6 +333,11 @@ def zonemap_append(df: DataFrame, path: str, *,
     read-modify-write)."""
     spark = df.sparkSession
     side = _load_sidecar(path, spark=spark)
+    if epoch_id >= 0 and int(side.get("epoch", -1)) >= epoch_id:
+        return 0  # replayed batch: the sidecar publish is the commit
+        # point, so a crash AFTER the parquet write but BEFORE it
+        # leaves only orphans (invisible to reads, reclaimed by
+        # zonemap_vacuum) and the replay appends exactly once
     cluster, stats_cols = side["cluster_by"], side["stats_cols"]
     from pyspark.sql import types as T
     want = T.StructType.fromJson(side["schema"])
@@ -373,6 +381,8 @@ def zonemap_append(df: DataFrame, path: str, *,
                           "max": _to_json(r[f"_hi{i}"], types[c]),
                           "nulls": int(r[f"_nl{i}"])}
                       for i, c in enumerate(stats_cols)}}
+    if epoch_id >= 0:
+        side["epoch"] = int(epoch_id)
     fsutil.write_text_atomic(_join(path, _SIDECAR),
                              json.dumps(side, sort_keys=True),
                              spark=spark)
@@ -444,10 +454,29 @@ def zonemap_compact(spark: SparkSession, path: str, *,
     out = zonemap_write(current, staging,
                         cluster_by=side["cluster_by"],
                         stats_cols=side["stats_cols"],
-                        target_files=n, compression=compression)
+                        target_files=n,
+                        epoch_id=int(side.get("epoch", -1)),
+                        compression=compression)
     fsutil.delete(path, spark=spark)
     fsutil.rename(staging, path, spark=spark)
     return out
+
+
+def zonemap_vacuum(path: str, spark=None) -> int:
+    """Delete parquet files the sidecar does not reference — orphans
+    from an append that crashed between the parquet write and the
+    sidecar publish (reads never see them: the sidecar's file list IS
+    the table).  Returns the number of files removed.  Safe anytime
+    under the single-writer contract: a concurrent append's files are
+    only unreferenced until its sidecar write, so like every vacuum
+    here, run it from the writer, not beside it."""
+    side = _load_sidecar(path, spark=spark)
+    removed = 0
+    for name in fsutil.list_dir(path, spark=spark):
+        if name.endswith(".parquet") and name not in side["files"]:
+            fsutil.delete(_join(path, name), spark=spark)
+            removed += 1
+    return removed
 
 
 def zonemap_stats(spark: SparkSession, path: str) -> DataFrame:

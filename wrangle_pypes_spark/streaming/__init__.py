@@ -28,6 +28,7 @@ from .windows import (
     foreach_batch_cms,
     foreach_batch_minhash_index,
     foreach_batch_text_index,
+    foreach_batch_zonemap_append,
     foreach_batch_get_or_create_upsert,
     foreach_batch_dedup_keep_best,
     foreach_batch_rollup_upsert,
@@ -59,6 +60,7 @@ __all__ = (
     "foreach_batch_cms",
     "foreach_batch_minhash_index",
     "foreach_batch_text_index",
+    "foreach_batch_zonemap_append",
     "foreach_batch_get_or_create_upsert",
     "foreach_batch_dedup_keep_best",
     "foreach_batch_rollup_upsert",

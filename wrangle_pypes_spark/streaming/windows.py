@@ -1404,6 +1404,81 @@ def cms_store(spark, store_path: str):
     return sketch, int(doc["depth"]), int(doc["width"])
 
 
+def foreach_batch_zonemap_append(stream_df: DataFrame, path: str, *,
+                                 cluster_by: Sequence[str],
+                                 stats_cols: Optional[
+                                     Sequence[str]] = None,
+                                 target_files_per_batch: int = 4,
+                                 compact_every: int = 0,
+                                 compact_target_files: int = 32,
+                                 checkpoint: Optional[str] = None):
+    """Streaming ingest into a zone-map clustered table
+    (``sources.zonemap``): the first batch creates the table, later
+    batches ``zonemap_append`` — each batch clusters LOCALLY and
+    publishes by the atomic sidecar write, so reads are always exact
+    and prune within every batch's files, while GLOBAL clustering
+    decays with the append count.  ``compact_every=N`` runs the
+    OPTIMIZE (``zonemap_compact``, full re-cluster to
+    ``compact_target_files``) after every Nth batch — the standard
+    streaming-ingest-plus-compaction table-format loop; leave it 0
+    and drive compaction off ``zonemap_overlap`` out-of-band instead.
+
+    Exactly-once: the sidecar carries the last committed epoch and
+    ``zonemap_append`` skips batches at or below it; a crash between
+    the parquet append and the sidecar publish leaves only orphan
+    files (invisible to readers, reclaimed by ``zonemap_vacuum``) and
+    the replay appends exactly once.  Like every epoch-guarded
+    maintainer here the guard needs MONOTONIC batch ids — resuming an
+    existing table without a ``checkpoint`` warns."""
+    import warnings
+
+    from ..sources.zonemap import (_load_sidecar, zonemap_append,
+                                   zonemap_compact, zonemap_write)
+
+    session = stream_df.sparkSession
+    try:
+        side = _load_sidecar(path, spark=session)
+    except FileNotFoundError:
+        side = None
+    if checkpoint is None and side is not None \
+            and int(side.get("epoch", -1)) >= 0:
+        warnings.warn(
+            "foreach_batch_zonemap_append: resuming an existing table "
+            f"({path!r}) WITHOUT a checkpoint location — batch ids "
+            "restart at 0 each run, so the epoch guard skips any "
+            "batch id the table has already committed and those "
+            "batches' rows are silently lost. Pass checkpoint= for "
+            "incremental use; only a byte-identical re-drain is safe "
+            "without it.", stacklevel=2)
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            _load_sidecar(path, spark=spark)
+            exists = True
+        except FileNotFoundError:
+            exists = False
+        if not exists:
+            zonemap_write(batch_df, path, cluster_by=cluster_by,
+                          stats_cols=stats_cols,
+                          target_files=target_files_per_batch,
+                          epoch_id=epoch_id)
+        else:
+            zonemap_append(batch_df, path,
+                           target_files=target_files_per_batch,
+                           epoch_id=epoch_id)
+        if compact_every > 0 and epoch_id % compact_every == \
+                compact_every - 1:
+            zonemap_compact(spark, path,
+                            target_files=compact_target_files)
+
+    writer = stream_df.writeStream.foreachBatch(_batch) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def foreach_batch_text_index(stream_df: DataFrame, store_path: str, *,
                              text_col: str = "text",
                              id_col: str = "doc_id",
