@@ -1374,3 +1374,41 @@ def test_merge_into_validation(spark, tmp_path):
                         when_matched_delete=F.lit(True),
                         when_not_matched_insert=False)
     assert manifest_read(spark, store) is None  # single key deleted
+
+
+def test_cdc_quarantine_dead_letter_path(spark, tmp_path):
+    """quarantine_path diverts contract-violating CDC rows (unknown
+    op, null key, null seq) to a tagged dead-letter table while the
+    clean rows apply; default behavior (fail-loud) is untouched."""
+    from wrangle_pypes_spark.streaming.windows import (
+        foreach_batch_cdc_apply, read_cdc_store)
+
+    src = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(1, "I", 1, "a"), (2, "I", 1, "b"),
+         (2, "X", 2, "bad-op"),          # unknown op
+         (None, "U", 3, "bad-key"),      # null key
+         (1, "U", None, "bad-seq"),      # null seq
+         (1, "U", 4, "A")],              # clean late update
+        "k int, op string, seq int, val string") \
+        .coalesce(1).write.parquet(src)
+    store = str(tmp_path / "store")
+    quar = str(tmp_path / "quarantine")
+    stream = (spark.readStream
+              .schema("k int, op string, seq int, val string")
+              .parquet(src))
+    q = foreach_batch_cdc_apply(
+        stream, store, key_cols=["k"], seq_col="seq",
+        store_format="manifest", store_buckets=4,
+        quarantine_path=quar,
+        checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = {r.k: r.val for r in read_cdc_store(spark, store).collect()}
+    assert got == {1: "A", 2: "b"}  # clean rows applied, bad ignored
+
+    bad = spark.read.parquet(quar)
+    reasons = {(r.k, r._quarantine_reason) for r in bad.collect()}
+    assert reasons == {(2, "unknown_op"), (None, "null_key"),
+                       (1, "null_seq")}
+    assert all(r._quarantine_epoch >= 0 for r in bad.collect())

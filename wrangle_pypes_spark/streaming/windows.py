@@ -653,7 +653,8 @@ def foreach_batch_cdc_apply(stream_df: DataFrame, store_path: str, *,
                             store_format: str = "swap",
                             store_buckets: int = 64,
                             store_partition_col: Optional[str] = None,
-                            evolve_schema: bool = False):
+                            evolve_schema: bool = False,
+                            quarantine_path: Optional[str] = None):
     """Durable streaming CDC: maintain a base table from a stream of
     insert/update/delete change images — the streaming twin of
     ``operators.cdc.cdc_apply`` for feeds that arrive as micro-batches
@@ -675,7 +676,12 @@ def foreach_batch_cdc_apply(stream_df: DataFrame, store_path: str, *,
     the one-shot ``cdc_compact`` over the whole feed.  Same argument
     as :func:`foreach_batch_dedup_keep_best`; equal-seq conflicts need
     ``tiebreak_cols`` to stay deterministic.  Unknown op codes fail
-    the batch (``raise_error``) before anything merges.
+    the batch (``raise_error``) before anything merges — unless
+    ``quarantine_path`` is set, in which case contract-violating rows
+    (unknown op, NULL key, NULL seq) divert to a dead-letter parquet
+    table tagged with ``_quarantine_reason``/``_quarantine_epoch``
+    and the rest of the batch applies normally (quarantine appends
+    are at-least-once; the store merge stays exactly-once).
 
     Per batch: one map-side-partial ``max_by`` over the batch, a
     broadcast semi-join pulling only touched keys from the store, one
@@ -747,10 +753,41 @@ def foreach_batch_cdc_apply(stream_df: DataFrame, store_path: str, *,
         spark = batch_df.sparkSession
         payload = [c for c in batch_df.columns
                    if c not in (*keys, seq_col, op_col)]
-        from ..operators.cdc import _checked_op
-        op = _checked_op(F.col(op_col),
-                         (insert_op, update_op, delete_op),
-                         "foreach_batch_cdc_apply")
+        if quarantine_path is not None:
+            # dead-letter path: contract-violating rows (unknown op,
+            # null key, null seq) divert to the quarantine table with
+            # a reason + epoch instead of failing the stream.  The
+            # quarantine is OBSERVABILITY data, not state: its append
+            # is at-least-once (a crash between it and the store
+            # commit re-appends on replay) — dedupe downstream by
+            # (epoch, content) if exactness matters there.  The
+            # default (no quarantine) stays fail-loud.
+            null_key = F.lit(False)
+            for k in keys:
+                null_key = null_key | F.col(k).isNull()
+            reason = (
+                F.when(~F.coalesce(
+                    F.col(op_col).isin(insert_op, update_op,
+                                       delete_op), F.lit(False)),
+                       F.lit("unknown_op"))
+                .when(null_key, F.lit("null_key"))
+                .when(F.col(seq_col).isNull(), F.lit("null_seq")))
+            tagged = batch_df.withColumn("_q_reason", reason) \
+                .localCheckpoint(eager=True)
+            (tagged.filter(F.col("_q_reason").isNotNull())
+             .select(*batch_df.columns,
+                     F.col("_q_reason").alias("_quarantine_reason"),
+                     F.lit(int(epoch_id)).cast("long")
+                     .alias("_quarantine_epoch"))
+             .write.mode("append").parquet(quarantine_path))
+            batch_df = tagged.filter(F.col("_q_reason").isNull()) \
+                .drop("_q_reason")
+            op = F.col(op_col)  # survivors are valid by construction
+        else:
+            from ..operators.cdc import _checked_op
+            op = _checked_op(F.col(op_col),
+                             (insert_op, update_op, delete_op),
+                             "foreach_batch_cdc_apply")
         deleted = op == delete_op
         img = batch_df.select(
             *keys, *payload,
