@@ -647,3 +647,42 @@ def test_pchanges_partition_prune_and_validation(spark, tmp_path):
     # nothing committed at all
     assert pmanifest_changes(spark, str(tmp_path / "nope"),
                              from_epoch=0) is None
+
+
+# -------------------------------------------------- MERGE INTO
+
+def test_pmerge_into_routes_clauses_per_partition(spark, tmp_path):
+    from wrangle_pypes_spark.sources.partitioned import \
+        pmanifest_merge_into
+
+    store = str(tmp_path / "pmi")
+    pmanifest_merge(_rows(spark, [
+        (1, _d("2024-01-01"), "a"), (2, _d("2024-01-01"), "b"),
+        (3, _d("2024-01-02"), "c")]), store, "day", ["k"], epoch_id=0)
+
+    src = spark.createDataFrame(
+        [(1, _d("2024-01-01"), "DEL"),   # delete clause fires
+         (2, _d("2024-01-01"), "B2"),    # update
+         (9, _d("2024-01-02"), "new")],  # insert (existing partition)
+        "k int, day date, val string")
+    out = pmanifest_merge_into(
+        src, store, epoch_id=1,
+        when_matched_delete=F.col("val") == "DEL",
+        when_matched_update={"val": F.upper(F.col("val"))})
+    assert set(out) == {"2024-01-01", "2024-01-02"}
+
+    got = _kv(spark, store)
+    assert 1 not in got
+    assert got[2] == (_d("2024-01-01"), "B2")
+    assert got[3] == (_d("2024-01-02"), "c")   # untouched carries
+    assert got[9] == (_d("2024-01-02"), "new")
+
+    # a source partition with no committed sub-store refuses loudly
+    import pytest as _pt
+    bad = spark.createDataFrame([(5, _d("2024-03-01"), "x")],
+                                "k int, day date, val string")
+    with _pt.raises(ValueError, match="no\ncommitted sub-store"
+                    .replace("\n", " ")):
+        pmanifest_merge_into(bad, store)
+    with _pt.raises(ValueError, match="bootstrap"):
+        pmanifest_merge_into(src, str(tmp_path / "none"))

@@ -17,6 +17,7 @@ from .manifest import (manifest_changes, manifest_current,
                        manifest_stats, manifest_vacuum)
 from .partitioned import (pmanifest_changes,
                           pmanifest_lookup, pmanifest_merge,
+                          pmanifest_merge_into,
                           pmanifest_partitions, pmanifest_read,
                           pmanifest_rebucket, pmanifest_stats,
                           pmanifest_vacuum, select_partitions)
@@ -44,7 +45,8 @@ __all__ = ("TABLES", "acid_commit", "acid_current", "acid_read",
            "manifest_vacuum",
            "parse_json_col",
            "pmanifest_changes",
-           "pmanifest_lookup", "pmanifest_merge", "pmanifest_partitions",
+           "pmanifest_lookup", "pmanifest_merge", "pmanifest_merge_into",
+           "pmanifest_partitions",
            "pmanifest_read", "pmanifest_rebucket", "pmanifest_stats",
            "pmanifest_vacuum", "select_partitions",
            "audit_parquet_layout", "compact_parquet",

@@ -495,3 +495,72 @@ def pmanifest_changes(spark: SparkSession, path: str, *,
     for f in feeds[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
     return out
+
+
+def pmanifest_merge_into(source: DataFrame, path: str, *,
+                         epoch_id: int = -1,
+                         when_matched_update=None,
+                         when_matched_delete=None,
+                         when_not_matched_insert: bool = True,
+                         max_concurrency: int = 4,
+                         compression: str = "zstd") -> dict:
+    """Conditional MERGE INTO on the partitioned store: split
+    ``source`` by the store's partition column, then
+    ``manifest_merge_into`` per touched sub-store — each match costs
+    one bucket-pruned lookup within its partition, so the whole MERGE
+    is O(source + touched buckets) and untouched partitions are never
+    opened.  Clause semantics are the flat store's
+    (:func:`~wrangle_pypes_spark.sources.manifest.manifest_merge_into`
+    — delete-where first, per-column update expressions over the
+    source/``_stored_<c>`` pair, optional insert).  Returns
+    {partition token: committed version} for partitions that
+    committed.
+
+    Same partial-failure honesty as :func:`pmanifest_merge`: P
+    independent commits, and the clause model is NOT idempotent in
+    general (an update like ``stored+source`` double-applies on
+    retry) — retry a partial failure only under ``epoch_id >= 0``
+    once maintainers drive this, or make clauses idempotent.
+    Contract: every source partition value must already have a
+    committed sub-store (MERGE INTO cannot bootstrap — same as the
+    flat store); inserts for genuinely NEW partitions go through
+    ``pmanifest_merge``."""
+    pcol = _recorded_pcol(path, spark=source.sparkSession)
+    if pcol is None:
+        raise ValueError(
+            f"nothing committed at {path!r} — bootstrap with "
+            "pmanifest_merge first")
+    if pcol not in source.columns:
+        raise ValueError(f"source lacks partition column {pcol!r}")
+    pvals = [r[0] for r in source.select(pcol).distinct().collect()]
+    if any(p is None for p in pvals):
+        raise ValueError(f"source carries NULL in {pcol!r}")
+    missing = [p for p in pvals
+               if _m.manifest_current(_sub(path, _encode_pval(p)),
+                                      spark=source.sparkSession)
+               is None]
+    if missing:
+        raise ValueError(
+            f"partitions {sorted(map(str, missing))} have no "
+            "committed sub-store — MERGE INTO cannot bootstrap; "
+            "insert new partitions via pmanifest_merge")
+
+    def _one(pval):
+        token = _encode_pval(pval)
+        part = source.filter(F.col(pcol) == F.lit(pval))
+        return token, _m.manifest_merge_into(
+            part, _sub(path, token), epoch_id=epoch_id,
+            when_matched_update=when_matched_update,
+            when_matched_delete=when_matched_delete,
+            when_not_matched_insert=when_not_matched_insert,
+            compression=compression)
+
+    ordered = sorted(pvals, key=_encode_pval)
+    if max_concurrency > 1 and len(ordered) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(
+                max_workers=min(max_concurrency, len(ordered))) as ex:
+            results = list(ex.map(_one, ordered))
+    else:
+        results = [_one(p) for p in ordered]
+    return dict(results)
