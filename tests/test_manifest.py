@@ -1412,3 +1412,53 @@ def test_cdc_quarantine_dead_letter_path(spark, tmp_path):
     assert reasons == {(2, "unknown_op"), (None, "null_key"),
                        (1, "null_seq")}
     assert all(r._quarantine_epoch >= 0 for r in bad.collect())
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_property_merge_into_matches_dict_model(spark, tmp_path_factory,
+                                                seed):
+    """Randomized MERGE INTO rounds vs an in-process dict model: the
+    clause semantics (delete-first, partial update with stored
+    fallback, optional insert) must agree with the obvious
+    interpretation for any interleaving."""
+    import random
+
+    from wrangle_pypes_spark.sources.manifest import manifest_merge_into
+
+    rng = random.Random(seed)
+    store = str(tmp_path_factory.mktemp("pmi") / "store")
+    model = {k: (k % 5, k * 10) for k in range(30)}
+    base = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in model.items()],
+        "k int, a int, b int")
+    manifest_merge(base, store, ["k"], epoch_id=0, n_buckets=4)
+
+    for rnd in range(4):
+        n = rng.randint(1, 12)
+        src_rows = [(rng.randint(0, 45), rng.randint(0, 9),
+                     rng.randint(0, 99)) for _ in range(n)]
+        # one row per key per batch (the documented contract)
+        src_rows = list({r[0]: r for r in src_rows}.values())
+        mod = rng.randint(2, 5)
+        insert = rng.random() < 0.7
+        src = spark.createDataFrame(src_rows, "k int, a int, b int")
+        manifest_merge_into(
+            src, store, epoch_id=rnd + 1,
+            when_matched_delete=F.col("a") % mod == 0,
+            # a updates from source; b = stored + source
+            when_matched_update={"a": F.col("a"),
+                                 "b": F.col("_stored_b")
+                                 + F.col("b")},
+            when_not_matched_insert=insert)
+        for k, a, b in src_rows:
+            if k in model:
+                if a % mod == 0:
+                    del model[k]
+                else:
+                    model[k] = (a, model[k][1] + b)
+            elif insert:
+                model[k] = (a, b)
+        got = {r.k: (r.a, r.b)
+               for r in manifest_read(spark, store).collect()} \
+            if manifest_read(spark, store) is not None else {}
+        assert got == model, f"diverged at round {rnd}"
