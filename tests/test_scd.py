@@ -336,3 +336,42 @@ def test_cdc_vacuum_tombstone_retention(spark, tmp_path):
                             seq_col="seq").awaitTermination()
     cur = {r.id: r.val for r in read_cdc_store(spark, store).collect()}
     assert cur == {1: "live"}
+
+
+def test_temporal_join_boundaries_and_left(spark):
+    from wrangle_pypes_spark.operators.scd import (scd2_build,
+                                                   scd2_temporal_join)
+
+    obs = spark.createDataFrame(
+        [(1, "bronze", 10), (1, "silver", 20), (1, "gold", 30),
+         (2, "basic", 15)],
+        "k int, tier string, ts int")
+    dim = scd2_build(obs, key_cols=["k"], ts_col="ts",
+                     attr_cols=["tier"], tiebreak_cols=["tier"])
+    facts = spark.createDataFrame(
+        [(100, 1, 10),   # exactly at valid_from -> bronze
+         (101, 1, 19),   # mid-interval -> bronze
+         (102, 1, 20),   # half-open boundary -> silver, not bronze
+         (103, 1, 99),   # open current interval -> gold
+         (104, 1, 5),    # before every version -> no match
+         (105, 2, 15)],  # second key isolated
+        "fid int, k int, ts int")
+
+    inner = {r.fid: r.tier for r in scd2_temporal_join(
+        facts, dim, key_cols=["k"], ts_col="ts").collect()}
+    assert inner == {100: "bronze", 101: "bronze", 102: "silver",
+                     103: "gold", 105: "basic"}
+
+    left = {r.fid: r.tier for r in scd2_temporal_join(
+        facts, dim, key_cols=["k"], ts_col="ts", how="left").collect()}
+    assert left[104] is None and len(left) == 6
+    # each fact matched at most once (disjoint intervals)
+    assert scd2_temporal_join(facts, dim, key_cols=["k"],
+                              ts_col="ts", how="left").count() == 6
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="collide"):
+        scd2_temporal_join(facts.withColumn("tier", F.lit("x")), dim,
+                           key_cols=["k"], ts_col="ts")
+    with _pt.raises(ValueError, match="lacks column"):
+        scd2_temporal_join(facts, obs, key_cols=["k"], ts_col="ts")

@@ -166,3 +166,56 @@ def scd2_snapshot(dim: DataFrame, as_of, *,
     if ts_col:
         out = out.withColumn(ts_col, F.lit(as_of))
     return out
+
+
+def scd2_temporal_join(facts: DataFrame, dim: DataFrame, *,
+                       key_cols: Sequence[str], ts_col: str,
+                       how: str = "inner") -> DataFrame:
+    """Join each fact row to the dimension VERSION valid at the
+    fact's own timestamp — the point-in-time enrich of star-schema
+    ETL ("the customer's priority as of the order date") without
+    materializing a :func:`scd2_snapshot` per distinct date.
+    Intervals are half-open ``[valid_from, valid_to)`` and disjoint
+    per key, so each fact matches at most one version;
+    ``how="left"`` keeps facts whose timestamp precedes every
+    version (dimension columns null).
+
+    Output: every fact column, plus the dimension's attribute
+    columns and ``valid_from``/``valid_to``/``is_current``
+    (attribute names must not collide with fact columns — rename
+    upstream, loudly checked here).
+
+    Scale shape: Catalyst plans the key equality as the join
+    (broadcast or sort-merge on the key) and the interval test as a
+    post-join filter, so cost is the keyed join with per-key version
+    count as the fan-in bound — never a range cross product.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}: use 'inner' or 'left'")
+    keys = list(key_cols)
+    for req in (*keys, _VALID_FROM, _VALID_TO, _IS_CURRENT):
+        if req not in dim.columns:
+            raise ValueError(f"dim lacks column {req!r} — build it "
+                             "with scd2_build/scd2_merge")
+    if ts_col not in facts.columns:
+        raise ValueError(f"facts lack ts column {ts_col!r}")
+    attrs = [c for c in dim.columns
+             if c not in (*keys, _VALID_FROM, _VALID_TO, _IS_CURRENT)]
+    clash = [c for c in (*attrs, _VALID_FROM, _VALID_TO, _IS_CURRENT)
+             if c in facts.columns]
+    if clash:
+        raise ValueError(
+            f"fact columns {clash} collide with dimension output "
+            "columns — rename one side first")
+    d = dim.alias("_scd_dim")
+    f = facts.alias("_scd_facts")
+    cond = None
+    for k in keys:
+        c = f[k] == d[k]
+        cond = c if cond is None else (cond & c)
+    cond = cond & (f[ts_col] >= d[_VALID_FROM]) \
+        & (d[_VALID_TO].isNull() | (f[ts_col] < d[_VALID_TO]))
+    return f.join(d, cond, how).select(
+        *[f[c] for c in facts.columns],
+        *[d[c] for c in attrs],
+        d[_VALID_FROM], d[_VALID_TO], d[_IS_CURRENT])
