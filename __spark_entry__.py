@@ -3666,6 +3666,56 @@ ORDER BY o.o_orderkey
 """
 
 
+def q_bks_quantile_orders(spark, sf_dir):
+    """NEW r8: mergeable bottom-k-sample quantile state
+    (operators/sketches.py ``bks_build``/``bks_quantiles``) — the
+    quantile sibling of the CMS: per priority, the 256 orders with
+    the smallest md5 draws form a uniform sample whose merge is
+    EXACT (bottom-k of unions == bottom-k of bottom-ks), and
+    quantiles interpolate over the sample (~sqrt(p(1-p)/k) rank
+    error; exact for groups ≤ k).  md5 makes the state — and hence
+    the estimates — bit-identical across engines, so this
+    value-oracles where a KLL/t-digest could not."""
+    from wrangle_pypes_spark.operators.sketches import (bks_build,
+                                                        bks_quantiles)
+
+    o = _t(spark, sf_dir, "orders")
+    st = bks_build(o, value_col="o_totalprice", id_col="o_orderkey",
+                   k=256, by=["o_orderpriority"])
+    return (bks_quantiles(st, [0.25, 0.5, 0.75],
+                          by=["o_orderpriority"])
+            .orderBy("o_orderpriority", "p"))
+
+
+SQL_BKS_QUANTILES = """
+WITH draws AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         substr(md5('42:' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS h
+  FROM orders
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY h, o_orderkey) AS rn
+  FROM draws
+),
+s AS (SELECT o_orderpriority, o_totalprice FROM ranked WHERE rn <= 256)
+SELECT * FROM (
+  SELECT o_orderpriority, 0.25::DOUBLE AS p,
+         round(quantile_cont(o_totalprice, 0.25), 4) AS q
+  FROM s GROUP BY o_orderpriority
+  UNION ALL
+  SELECT o_orderpriority, 0.5::DOUBLE,
+         round(quantile_cont(o_totalprice, 0.5), 4)
+  FROM s GROUP BY o_orderpriority
+  UNION ALL
+  SELECT o_orderpriority, 0.75::DOUBLE,
+         round(quantile_cont(o_totalprice, 0.75), 4)
+  FROM s GROUP BY o_orderpriority
+)
+ORDER BY o_orderpriority, p
+"""
+
+
 def q_cdc_apply_orders(spark, sf_dir):
     """CDC apply (operators/cdc.py ``cdc_apply``): a synthetic
     insert/update/delete feed over orders — per key only the LATEST
@@ -7939,6 +7989,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   clustered table; week-range read guards genuine skipping
     "scd2_temporal_join_orders": q_scd2_temporal_join_orders,
     # ^ NEW r8: point-in-time fact-to-SCD2-version join
+    "bks_quantile_orders": q_bks_quantile_orders,
+    # ^ NEW r8: mergeable bottom-k-sample quantile sketch
     "top_ngrams_corpus": q_top_ngrams_corpus,
     # ^ r3-green; n-gram build rewritten r7 (6661a1a) AFTER last check
     "ngram_containment_docs": q_ngram_containment_docs,
@@ -7979,8 +8031,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wrangle_nested_customer": q_wrangle_nested_customer,  # r3 hash-green
     "q1_pricing_summary": q_q1_pricing_summary,  # r3 hash-green
     "q2_min_cost_supplier": q_q2_min_cost_supplier,  # r3 hash-green
-    "q3_topk_revenue": q_q3_topk_revenue,  # r3 hash-green
     # ---- below the 50-slot driver window from here down ----
+    "q3_topk_revenue": q_q3_topk_revenue,  # r3 hash-green
+    # ^ displaced from the r8 window by bks_quantile_orders
     "q4_late_order_priority": q_q4_late_order_priority,  # r3 hash-green
     # ^ displaced from the r8 window by scd2_temporal_join_orders
     "q5_revenue_by_nation": q_q5_revenue_by_nation,  # r3 hash-green
@@ -8224,6 +8277,7 @@ _ORACLES: dict[str, str] = {
     "merge_into_orders": SQL_MERGE_INTO,
     "stream_zonemap_events": SQL_STREAM_ZONEMAP,
     "scd2_temporal_join_orders": SQL_SCD2_TEMPORAL,
+    "bks_quantile_orders": SQL_BKS_QUANTILES,
     "semantic_decontam_emb": SQL_SEMANTIC_DECONTAM,
     # semantic_decontam_lsh: approximate -> rows-only; recall pinned
     # in tests/test_quality.py

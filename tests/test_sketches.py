@@ -197,3 +197,101 @@ def test_streaming_cms_incremental_resume_with_checkpoint(
     oneshot = cms_build(events, "user_id", depth=3, width=512)
     assert sorted(map(tuple, sketch.collect())) == \
         sorted(map(tuple, oneshot.collect()))
+
+
+# ---------------------------------------------------------------- BKS
+
+def test_bks_merge_is_exact_and_small_groups_are_exact(spark):
+    from wrangle_pypes_spark.operators.sketches import (
+        bks_build, bks_merge, bks_quantiles)
+
+    df = spark.range(5000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("rid"),
+        (F.col("id") % 997).cast("double").alias("x"))
+    a = df.filter(F.col("id") < 2000)
+    b = df.filter(F.col("id") >= 2000)
+
+    one = bks_build(df, value_col="x", id_col="rid", k=64, by=["g"])
+    merged = bks_merge(bks_build(a, value_col="x", id_col="rid",
+                                 k=64, by=["g"]),
+                       bks_build(b, value_col="x", id_col="rid",
+                                 k=64, by=["g"]),
+                       k=64, by=["g"])
+    assert sorted(map(tuple, one.collect())) == \
+        sorted(map(tuple, merged.collect()))  # EXACT merge identity
+
+    # a group the sample holds entirely -> exact quantiles
+    tiny = spark.range(40).select(
+        F.lit(0).alias("g"), F.col("id").alias("rid"),
+        F.col("id").cast("double").alias("x"))
+    st = bks_build(tiny, value_col="x", id_col="rid", k=64, by=["g"])
+    qs = {r.p: r.q for r in
+          bks_quantiles(st, [0.0, 0.5, 1.0], by=["g"]).collect()}
+    assert qs == {0.0: 0.0, 0.5: 19.5, 1.0: 39.0}
+
+
+def test_bks_accuracy_and_determinism(spark):
+    from wrangle_pypes_spark.operators.sketches import (bks_build,
+                                                        bks_quantiles)
+
+    n = 40_000
+    df = spark.range(n).select(F.lit("all").alias("g"),
+                               F.col("id").alias("rid"),
+                               F.col("id").cast("double").alias("x"))
+    st = bks_build(df, value_col="x", id_col="rid", k=1024, by=["g"])
+    assert st.select(F.size("bks")).first()[0] == 1024
+    got = {r.p: r.q for r in
+           bks_quantiles(st, [0.25, 0.5, 0.9], by=["g"]).collect()}
+    for p, q in got.items():
+        rank_err = abs(q / (n - 1) - p)
+        assert rank_err < 0.06, (p, q, rank_err)  # ~4 sigma at k=1024
+
+    # state is a pure function of (seed, ids): partitioning-independent
+    st2 = bks_build(df.repartition(17), value_col="x", id_col="rid",
+                    k=1024, by=["g"])
+    assert sorted(map(tuple, st.collect())) == \
+        sorted(map(tuple, st2.collect()))
+
+
+def test_bks_streaming_equals_one_shot_and_replays(spark, tmp_path):
+    from wrangle_pypes_spark.operators.sketches import (bks_build,
+                                                        bks_quantiles)
+    from wrangle_pypes_spark.sources.manifest import (manifest_current,
+                                                      manifest_read)
+    from wrangle_pypes_spark.streaming import foreach_batch_bks
+
+    df = spark.range(9000).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("rid"),
+        (F.col("id") % 617).cast("double").alias("x"))
+    src = str(tmp_path / "src")
+    df.repartition(3).write.parquet(src)
+    store = str(tmp_path / "bks")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _drain():
+        stream = (spark.readStream
+                  .schema("g bigint, rid bigint, x double")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = foreach_batch_bks(stream, store, value_col="x",
+                              id_col="rid", k=128, by=["g"],
+                              store_buckets=4, checkpoint=ckpt)
+        q.awaitTermination()
+
+    _drain()
+    got = manifest_read(spark, store)
+    exp = bks_build(df, value_col="x", id_col="rid", k=128, by=["g"])
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, exp.collect()))  # streaming == one-shot
+    # quantiles read straight off the store
+    qdf = bks_quantiles(got, [0.5], by=["g"])
+    assert qdf.count() == 4
+
+    before = manifest_current(store)
+    _drain()  # same checkpoint: nothing new
+    assert manifest_current(store) == before
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="by"):
+        foreach_batch_bks(
+            spark.readStream.schema("g bigint, rid bigint, x double")
+            .parquet(src), store, value_col="x", id_col="rid")

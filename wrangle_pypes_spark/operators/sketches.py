@@ -42,7 +42,8 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["cms_build", "cms_merge", "cms_estimate",
+__all__ = ["bks_build", "bks_merge", "bks_quantiles",
+           "cms_build", "cms_merge", "cms_estimate",
            "cms_heavy_hitters_against", "cms_depth_width"]
 
 
@@ -154,3 +155,90 @@ def cms_heavy_hitters_against(cms: DataFrame, df: DataFrame,
             .groupBy(key_col)
             .agg(F.sum(w).alias("cnt"))
             .filter(F.col("cnt") >= threshold))
+
+
+# ---------------------------------------------------------------- BKS
+# bottom-k-sample quantile state: the quantile sibling of the CMS.
+# A KLL/t-digest needs sequential compaction (a poor fit for
+# DataFrame ops); a BOTTOM-K HASH SAMPLE gives mergeable quantile
+# state with pure Column operators and an exactness property the
+# fancier sketches lack: bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪
+# bottom-k(B)) EXACTLY, because membership depends only on each row's
+# own deterministic md5 draw.  The sample is a uniform k-subset
+# without replacement, so quantile error is the classic sampling
+# bound (~sqrt(p(1-p)/k) in rank space — k=1024 gives ~1.5 rank
+# points at the median); groups with <= k rows are EXACT.  md5 makes
+# the state bit-identical across engines (same contract as
+# sampling._md5_unit_key), so even the sketch CONTENT value-oracles.
+
+def bks_build(df: DataFrame, *, value_col: str, id_col: str,
+              k: int = 1024, by: Sequence[str] = (),
+              seed: int = 42) -> DataFrame:
+    """Quantile state: one row per group — ``(by..., bks)`` where
+    ``bks`` is the group's k rows with the smallest md5 draws, as a
+    draw-sorted ``array<struct<h, id, v>>`` (≤ k elements, the
+    bounded-state guarantee).  ``id_col`` must be unique per row (the
+    draw is a pure function of it).  Cost: one key shuffle + sort
+    (row_number window) over the input, then a k-BOUNDED collect per
+    group — the unbounded-collect_list trap does not apply because
+    rows are capped BEFORE aggregation."""
+    from pyspark.sql import Window
+
+    from .sampling import _md5_unit_key
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cols = list(by)
+    draw = _md5_unit_key(id_col, seed)
+    w = Window.partitionBy(*[F.col(c) for c in cols]) \
+        .orderBy(draw, F.col(id_col))
+    capped = (df.withColumn("_bks_rn", F.row_number().over(w))
+              .filter(F.col("_bks_rn") <= k))
+    return (capped.groupBy(*cols)
+            .agg(F.array_sort(F.collect_list(F.struct(
+                draw.alias("h"),
+                F.col(id_col).cast("string").alias("id"),
+                F.col(value_col).cast("double").alias("v"))))
+                .alias("bks")))
+
+
+def bks_merge(*states: DataFrame, k: int,
+              by: Sequence[str] = ()) -> DataFrame:
+    """Merge quantile states: per group, concatenate the samples,
+    re-sort by draw, keep the k smallest — EXACTLY the state a
+    one-shot :func:`bks_build` over the union of the inputs would
+    produce (pinned by tests).  Pure aggregate; arrays stay
+    k-bounded throughout.  Entries dedupe on merge (set semantics),
+    so merging a state with itself — an at-least-once replay — is a
+    no-op: the merge is IDEMPOTENT as well as exact."""
+    cols = list(by)
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return (out.groupBy(*cols)
+            .agg(F.slice(F.array_sort(F.array_distinct(F.flatten(
+                F.collect_list("bks")))), 1, k).alias("bks")))
+
+
+def bks_quantiles(state: DataFrame, probs: Sequence[float], *,
+                  by: Sequence[str] = (),
+                  round_digits: int = 4) -> DataFrame:
+    """Quantile estimates off the state: one row per (group, p) with
+    the linearly-interpolated percentile of the SAMPLE values —
+    exact for groups the sample holds entirely (≤ k rows), a
+    ~sqrt(p(1-p)/k) rank-error estimate beyond.  Output columns:
+    ``by..., p, q``."""
+    cols = list(by)
+    ps = [float(p) for p in probs]
+    if not ps or any(not (0.0 <= p <= 1.0) for p in ps):
+        raise ValueError("probs must be non-empty, each in [0, 1]")
+    vals = state.select(
+        *cols, F.explode(F.col("bks.v")).alias("_v"))
+    agg = vals.groupBy(*cols).agg(
+        F.percentile(F.col("_v"),
+                     F.array(*[F.lit(p) for p in ps])).alias("_qs"))
+    pairs = F.arrays_zip(F.array(*[F.lit(p) for p in ps]).alias("p"),
+                         F.col("_qs").alias("q"))
+    return (agg.select(*cols, F.explode(pairs).alias("_pq"))
+            .select(*cols, F.col("_pq.p").alias("p"),
+                    F.round(F.col("_pq.q"), round_digits).alias("q")))

@@ -25,6 +25,7 @@ from .windows import (
     bloom_store_occupancy,
     cms_store,
     foreach_batch_bloom_dedup,
+    foreach_batch_bks,
     foreach_batch_cms,
     foreach_batch_minhash_index,
     foreach_batch_text_index,
@@ -57,6 +58,7 @@ __all__ = (
     "bloom_store_occupancy",
     "cms_store",
     "foreach_batch_bloom_dedup",
+    "foreach_batch_bks",
     "foreach_batch_cms",
     "foreach_batch_minhash_index",
     "foreach_batch_text_index",

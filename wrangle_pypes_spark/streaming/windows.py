@@ -1578,6 +1578,57 @@ def foreach_batch_text_index(stream_df: DataFrame, store_path: str, *,
     return writer.start()
 
 
+def foreach_batch_bks(stream_df: DataFrame, store_path: str, *,
+                      value_col: str, id_col: str, k: int = 1024,
+                      by: Sequence[str] = (), seed: int = 42,
+                      store_buckets: int = 16,
+                      checkpoint: Optional[str] = None):
+    """Streaming quantile state with bounded memory: maintain a
+    bottom-k-sample sketch (``operators.sketches.bks_build``) per
+    group across micro-batches in the manifest store — ≤ k sample
+    entries per group however many rows the stream has carried, and
+    after draining the store EQUALS the one-shot ``bks_build`` over
+    everything ever seen (the bottom-k merge identity), so
+    ``bks_quantiles`` over the store matches the batch computation
+    exactly.  The merge dedupes entries (set semantics), so an
+    at-least-once replay is a no-op even past the epoch guard —
+    belt and braces.  Contract: ``id_col`` unique across the WHOLE
+    stream (it is the sampling draw)."""
+    from ..operators.sketches import bks_build
+    from ..sources.manifest import manifest_current, manifest_merge
+
+    cols = list(by)
+    if not cols:
+        raise ValueError(
+            "streaming BKS needs at least one `by` column (it keys "
+            "the manifest store); for a global sketch add a constant "
+            "group column")
+
+    def _merge(stored, batch_state):
+        both = batch_state if stored is None \
+            else stored.unionByName(batch_state)
+        return (both.groupBy(*cols)
+                .agg(F.slice(F.array_sort(F.array_distinct(F.flatten(
+                    F.collect_list("bks")))), 1, k).alias("bks")))
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = manifest_current(store_path, spark=spark)
+        if cur is not None and epoch_id <= cur[1]:
+            return  # replay (and the merge is idempotent anyway)
+        state = bks_build(batch_df, value_col=value_col,
+                          id_col=id_col, k=k, by=cols, seed=seed) \
+            .localCheckpoint(eager=True)
+        manifest_merge(state, store_path, cols, epoch_id=epoch_id,
+                       n_buckets=store_buckets, merge_fn=_merge)
+
+    writer = stream_df.writeStream.foreachBatch(_batch) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def foreach_batch_minhash_index(stream_df: DataFrame, index_path: str, *,
                                 text_col: str, id_col: str,
                                 pairs_path: Optional[str] = None,
