@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -206,6 +207,16 @@ def main() -> None:
         runs = int(argv[argv.index("--runs") + 1])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # sweep OUR OWN abandoned per-query temp stores (tempfile.mkdtemp
+    # prefixes "wps_*") before timing: thousands of them accumulate in
+    # /tmp over a round and the small-file I/O tax lands exactly on
+    # the job-count-heavy streaming queries, skewing round-over-round
+    # comparisons.  Only the wps_ prefix — never spark-*/temporary-*,
+    # which may belong to live sessions.
+    import glob
+    import shutil
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), "wps_*")):
+        shutil.rmtree(d, ignore_errors=True)
     spark = get_session("wrangle-bench", cpus=cpus)
     qs = entrymod.queries()
     names = list(qs) if run_all else HEADLINE
