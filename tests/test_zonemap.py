@@ -316,3 +316,34 @@ def test_randomized_predicates_never_change_results(spark, tmp_path):
                if (lo is None or kv[0] >= lo)
                and (hi is None or kv[0] <= hi)}
         assert got == exp, f"mismatch for [{lo}, {hi}]"
+
+
+def test_recover_compact_heals_the_crash_window(spark, tmp_path):
+    """Simulate compact's one dangerous crash window (table deleted,
+    staging complete-but-unrenamed): recovery renames staging into
+    place and the table reads back whole; with the table intact,
+    recovery is a no-op that leaves the orphan staging alone."""
+    import shutil
+
+    from wrangle_pypes_spark.sources.zonemap import (
+        zonemap_recover_compact)
+
+    path = str(tmp_path / "rc")
+    df = spark.range(500).select(F.col("id").alias("k"))
+    zonemap_write(df, path, cluster_by=["k"], target_files=4)
+
+    # intact table + stray staging: no-op
+    staging = path + "__compact_staging"
+    shutil.copytree(path, staging)
+    assert zonemap_recover_compact(path) is False
+    assert zonemap_read(spark, path).count() == 500
+
+    # the crash window: table gone, staging complete
+    shutil.rmtree(path)
+    assert zonemap_recover_compact(path) is True
+    assert zonemap_read(spark, path).count() == 500
+    # and it is idempotent / quiet afterwards
+    assert zonemap_recover_compact(path) is False
+
+    # nothing anywhere: no-op
+    assert zonemap_recover_compact(str(tmp_path / "void")) is False

@@ -27,8 +27,9 @@ from .sinks import (audit_parquet_layout, compact_parquet, read_orc,
                     write_bucketed_table,
                     write_csv, write_json, write_orc, write_parquet)
 from .zonemap import (zonemap_append, zonemap_compact, zonemap_files,
-                      zonemap_overlap, zonemap_read, zonemap_stats,
-                      zonemap_write)
+                      zonemap_overlap, zonemap_read,
+                      zonemap_recover_compact, zonemap_stats,
+                      zonemap_vacuum, zonemap_write)
 from .tables import (TABLES, ensure_session_confs, infer_json_schema,
                      load_star_schema, load_table, parse_json_col,
                      read_binary_files, read_csv, read_jsonl, read_text)
@@ -58,4 +59,5 @@ __all__ = ("TABLES", "acid_commit", "acid_current", "acid_read",
            "write_parquet",
            "zonemap_append", "zonemap_compact",
            "zonemap_files", "zonemap_overlap", "zonemap_read",
-           "zonemap_stats", "zonemap_write")
+           "zonemap_recover_compact", "zonemap_stats",
+           "zonemap_vacuum", "zonemap_write")

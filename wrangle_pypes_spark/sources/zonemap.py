@@ -439,8 +439,11 @@ def zonemap_compact(spark: SparkSession, path: str, *,
     table-format OPTIMIZE).  Reads everything, rewrites a fresh
     zonemap table in a staging dir, then swaps it into place.  The
     swap is delete+rename (NOT atomic — a reader racing the swap can
-    see a missing table); run it in the maintenance window the
-    single-writer contract already implies.  ``target_files``
+    see a missing table, and a crash between the two leaves the table
+    missing with the staging complete; heal with
+    :func:`zonemap_recover_compact` at writer startup); run it in the
+    maintenance window the single-writer contract already implies.
+    ``target_files``
     defaults to the current file count.  Returns the new file
     count."""
     side = _load_sidecar(path, spark=spark)
@@ -449,7 +452,7 @@ def zonemap_compact(spark: SparkSession, path: str, *,
     schema = T.StructType.fromJson(side["schema"])
     current = spark.read.schema(schema).parquet(
         *[_join(path, f) for f in sorted(side["files"])])
-    staging = path.rstrip("/") + "__compact_staging"
+    staging = _staging_path(path)
     fsutil.delete(staging, spark=spark)
     out = zonemap_write(current, staging,
                         cluster_by=side["cluster_by"],
@@ -460,6 +463,33 @@ def zonemap_compact(spark: SparkSession, path: str, *,
     fsutil.delete(path, spark=spark)
     fsutil.rename(staging, path, spark=spark)
     return out
+
+
+def _staging_path(path: str) -> str:
+    return path.rstrip("/") + "__compact_staging"
+
+
+def zonemap_recover_compact(path: str, spark=None) -> bool:
+    """Heal a compact that crashed in its one dangerous window (table
+    deleted, staging not yet renamed): if ``path`` has no sidecar but
+    the staging dir holds a complete one, rename staging into place
+    and return True.  A crash BEFORE the delete needs no healing (the
+    original is intact and the next compact clears the staging
+    orphan); call this at writer startup, the same place the upsert
+    sink calls ``recover_upsert_backup``.  False = nothing to do."""
+    staging = _staging_path(path)
+    try:
+        _load_sidecar(path, spark=spark)
+        return False  # table intact; staging (if any) is an orphan
+    except FileNotFoundError:
+        pass
+    try:
+        _load_sidecar(staging, spark=spark)
+    except FileNotFoundError:
+        return False  # no complete staging either: nothing to heal
+    fsutil.delete(path, spark=spark)  # husk dirs from a partial swap
+    fsutil.rename(staging, path, spark=spark)
+    return True
 
 
 def zonemap_vacuum(path: str, spark=None) -> int:
