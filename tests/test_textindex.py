@@ -152,3 +152,27 @@ def test_streaming_maintainer_equals_one_shot(spark, tmp_path):
                    .option("maxFilesPerTrigger", 1).parquet(src))
         q3 = foreach_batch_text_index(stream3, store, n_buckets=8)
         q3.awaitTermination()
+
+
+def test_search_max_df_skips_hot_terms(spark, tmp_path):
+    """A stopword-grade query term is skipped by max_df BEFORE its
+    postings explode: scores equal a query without the term, and
+    n_terms_hit excludes it."""
+    docs = spark.createDataFrame(
+        [(i, f"common tok{i}") for i in range(50)],
+        "doc_id int, text string")
+    store = str(tmp_path / "hot")
+    build_text_index(docs, store, n_buckets=8)
+
+    with_hot = _rows(text_index_search(spark, store,
+                                       ["common", "tok7"], max_df=10))
+    without = _rows(text_index_search(spark, store, ["tok7"]))
+    assert with_hot == without  # 'common' (df=50) skipped entirely
+
+    # no cap: the hot term participates for every doc
+    full = text_index_search(spark, store, ["common", "tok7"])
+    assert full.count() == 50
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_df"):
+        text_index_search(spark, store, ["x"], max_df=0)

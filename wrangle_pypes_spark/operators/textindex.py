@@ -135,15 +135,26 @@ def build_text_index(docs: DataFrame, store_path: str, *,
 def text_index_search(spark: SparkSession, store_path: str,
                       query_terms: Sequence[str], *,
                       id_name: str = "doc_id", k1: float = 1.2,
-                      b: float = 0.75,
-                      round_digits: int = 4) -> DataFrame:
+                      b: float = 0.75, round_digits: int = 4,
+                      max_df: Optional[int] = None) -> DataFrame:
     """Okapi BM25 over the index: identical output contract (and
     values) to ``bm25_scores(corpus, terms)`` — ``(id, n_terms_hit,
     bm25)`` for docs matching ≥1 term — at index-lookup cost: the
     probed tokens' buckets (+1 for the stats row) are the only data
-    read; the corpus is never touched."""
+    read; the corpus is never touched.
+
+    ``max_df`` skips query terms whose document frequency exceeds it
+    BEFORE their postings explode — the search-side answer to the
+    hot-posting hazard: a stopword-grade term contributes ~zero idf
+    anyway, but its O(N) postings row dominates the read.  Search-
+    time pruning keeps semantics stable under incremental builds
+    (unlike build-time df pruning, where a term's df is only known
+    per batch); terms skipped this way simply do not count toward
+    ``n_terms_hit``."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    if max_df is not None and max_df < 1:
+        raise ValueError("max_df must be >= 1")
     terms = sorted({t.lower() for t in query_terms})
     probes = spark.createDataFrame(
         [(t,) for t in terms + [STATS_KEY]], "token string")
@@ -158,7 +169,10 @@ def text_index_search(spark: SparkSession, store_path: str,
             "not built by build_text_index?")
     n_docs = int(stat[0]["n_docs"])
     avgdl = float(stat[0]["sum_dl"]) / max(n_docs, 1)
-    hits = (rows.filter(F.col("token") != STATS_KEY)
+    toks = rows.filter(F.col("token") != STATS_KEY)
+    if max_df is not None:
+        toks = toks.filter(F.col("df") <= max_df)
+    hits = (toks
             .select("df", F.explode("postings").alias("p"))
             .select("df", F.col("p.doc").alias("_doc"),
                     F.col("p.tf").alias("_tf"),
