@@ -56,3 +56,31 @@ def test_plain_parquet_is_not_a_store(spark, tmp_path):
     path = str(tmp_path / "plain")
     spark.range(10).write.parquet(path)
     assert store_kind(path) is None
+
+
+def test_describe_surfaces_sidecars_and_streamed_epoch(spark, tmp_path):
+    from wrangle_pypes_spark.sources.zonemap import zonemap_append
+    from wrangle_pypes_spark.streaming.windows import foreach_batch_cms
+
+    # CMS store: acid kind, sidecar surfaced in detail
+    src = str(tmp_path / "feed")
+    spark.range(100).select((F.col("id") % 9).alias("k")) \
+        .coalesce(1).write.parquet(src)
+    store = str(tmp_path / "cms")
+    q = foreach_batch_cms(
+        spark.readStream.schema("k bigint").parquet(src), store,
+        key_col="k", depth=3, width=64,
+        checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination()
+    row = describe_store(spark, store).collect()[0]
+    assert row.kind == "acid" and "_cms.json" in row.detail
+
+    # streamed zonemap: the sidecar epoch surfaces
+    zm = str(tmp_path / "zm")
+    df = spark.range(100).select(F.col("id").alias("k"))
+    zonemap_write(df, zm, cluster_by=["k"], target_files=2,
+                  epoch_id=0)
+    zonemap_append(df.withColumn("k", F.col("k") + 100), zm,
+                   epoch_id=3)
+    z = describe_store(spark, zm).collect()[0]
+    assert z.kind == "zonemap" and z.epoch == 3

@@ -79,6 +79,10 @@ def describe_store(spark: SparkSession, path: str) -> Optional[DataFrame]:
             version, epoch = cur
         n_kept = len(_existing_versions(path, spark=spark))
         detail = "full-snapshot-per-commit"
+        side = [n for n in fsutil.list_dir(path, spark=spark)
+                if n in ("_cms.json", "_bloom.json")]
+        if side:
+            detail += "|" + ",".join(sorted(side))
     elif kind == "manifest":
         from .manifest import (_load_manifest, _used_versions,
                                manifest_current)
@@ -113,6 +117,8 @@ def describe_store(spark: SparkSession, path: str) -> Optional[DataFrame]:
         side = json.loads(fsutil.read_text(
             path.rstrip("/") + "/_zonemap.json", spark=spark))
         n_files = len(side["files"])
+        if int(side.get("epoch", -1)) >= 0:  # streaming-ingested
+            epoch = int(side["epoch"])
         detail = ("cluster_by=" + ",".join(side["cluster_by"])
                   + ("|zorder" if len(side["cluster_by"]) > 1 else ""))
     return spark.createDataFrame(
