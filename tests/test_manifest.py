@@ -1462,3 +1462,27 @@ def test_property_merge_into_matches_dict_model(spark, tmp_path_factory,
                for r in manifest_read(spark, store).collect()} \
             if manifest_read(spark, store) is not None else {}
         assert got == model, f"diverged at round {rnd}"
+
+
+def test_changes_and_merge_into_reserved_name_guards(spark, tmp_path):
+    from wrangle_pypes_spark.sources.manifest import (manifest_changes,
+                                                      manifest_merge_into)
+
+    store = str(tmp_path / "rg")
+    df = spark.createDataFrame([(1, "x")], "k int, change_op string")
+    manifest_merge(df, store, ["k"], epoch_id=0, n_buckets=2)
+    manifest_merge(spark.createDataFrame([(1, "y")],
+                                         "k int, change_op string"),
+                   store, ["k"], epoch_id=1, n_buckets=2)
+    with pytest.raises(ValueError, match="collides with a stored"):
+        manifest_changes(spark, store, from_version=1)
+    # a different op_col name works
+    assert manifest_changes(spark, store, from_version=1,
+                            op_col="cdc_op").count() == 1
+
+    with pytest.raises(ValueError, match="reserved names"):
+        manifest_merge_into(
+            spark.createDataFrame([(1, "y", True)],
+                                  "k int, change_op string, "
+                                  "_mi_dead boolean"),
+            store)

@@ -679,6 +679,13 @@ def manifest_merge_into(source: DataFrame, path: str, *,
         if man.get("schema") else \
         {f.name: f for f in source.schema.fields}
     vals = [c for c in fields if c not in keys]
+    reserved = [c for c in source.columns
+                if c in ("_mi_hit", "_mi_dead")
+                or c.startswith("_stored_")]
+    if reserved:
+        raise ValueError(
+            f"source columns {reserved} use the MERGE pair's "
+            "reserved names (_mi_*, _stored_*) — rename them first")
     if when_matched_update is not None:
         unknown = [c for c in when_matched_update if c not in vals]
         if unknown:
@@ -819,6 +826,10 @@ def manifest_changes(spark: SparkSession, path: str, *,
         [f.name for f in _fields(man_from)
          if f.name not in {x.name for x in _fields(man_to)}]
     vals = [c for c in ordered if c not in keys]
+    if op_col in ordered:
+        raise ValueError(
+            f"op_col {op_col!r} collides with a stored column — pass "
+            "a different op_col=")
 
     def _aligned(df):
         if df is None:
