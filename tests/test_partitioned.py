@@ -686,3 +686,26 @@ def test_pmerge_into_routes_clauses_per_partition(spark, tmp_path):
         pmanifest_merge_into(bad, store)
     with _pt.raises(ValueError, match="bootstrap"):
         pmanifest_merge_into(src, str(tmp_path / "none"))
+
+
+def test_pchanges_refuses_vacuumed_bootstrap(spark, tmp_path):
+    """An all-inserts bootstrap is only sound when version 1 is still
+    retained; once the pre-epoch versions are vacuumed the as-of
+    state is unknowable and the feed must refuse, not fabricate."""
+    from wrangle_pypes_spark.sources.partitioned import (
+        pmanifest_changes, pmanifest_vacuum)
+
+    store = str(tmp_path / "pv")
+    for e in range(3):
+        pmanifest_merge(
+            _rows(spark, [(e * 10, _d("2024-01-01"), f"v{e}")]),
+            store, "day", ["k"], epoch_id=e)
+    # before vacuum: bootstrap from pre-history is provably sound
+    assert pmanifest_changes(spark, store, from_epoch=-1,
+                             to_epoch=0).count() == 1
+    pmanifest_vacuum(store, keep=1)  # only version 3 retained
+    with pytest.raises(ValueError, match="retained version window"):
+        pmanifest_changes(spark, store, from_epoch=-1)
+    # diffing between RETAINED states still works: epoch 2 == head,
+    # no commits between -> no feeds -> None by contract
+    assert pmanifest_changes(spark, store, from_epoch=2) is None

@@ -484,6 +484,26 @@ def pmanifest_changes(spark: SparkSession, path: str, *,
             _version_asof_epoch(sub, to_epoch, spark=spark)
         if v_to is None or (v_from or 0) == v_to:
             continue  # absent at both epochs, or no commits between
+        if v_from is None:
+            # sound all-inserts bootstrap requires PROOF the partition
+            # had no commit at from_epoch: version 1's manifest still
+            # retained (commits never reuse numbers, so a retained v1
+            # with epoch > from_epoch certifies it).  An older window
+            # start means pre-epoch versions MAY have been vacuumed —
+            # diffing against "empty" would fabricate inserts.
+            retained = [v for v in _m._used_versions(sub, spark=spark)
+                        if v <= cur[0]
+                        and fsutil.read_text(
+                            sub.rstrip("/") + f"/_m{v:06d}.json",
+                            spark=spark) is not None]
+            if not retained or retained[0] != 1:
+                raise ValueError(
+                    f"partition {t!r}: epoch {from_epoch} predates "
+                    "the retained version window (earlier versions "
+                    "were vacuumed or orphaned) — the as-of state is "
+                    "unknowable, so the feed cannot be derived. Keep "
+                    "a larger pmanifest_vacuum window or diff from a "
+                    "retained epoch.")
         feed = _m.manifest_changes(spark, sub,
                                    from_version=v_from or 0,
                                    to_version=v_to, op_col=op_col)
