@@ -709,3 +709,22 @@ def test_pchanges_refuses_vacuumed_bootstrap(spark, tmp_path):
     # diffing between RETAINED states still works: epoch 2 == head,
     # no commits between -> no feeds -> None by contract
     assert pmanifest_changes(spark, store, from_epoch=2) is None
+
+
+def test_asof_read_refuses_vacuumed_epoch(spark, tmp_path):
+    """pmanifest_read(epoch=) inherits the same proof rule: a
+    partition whose pre-epoch versions were vacuumed must raise, not
+    silently read as absent-at-E."""
+    from wrangle_pypes_spark.sources.partitioned import pmanifest_vacuum
+
+    store = str(tmp_path / "pae")
+    for e in range(3):
+        pmanifest_merge(
+            _rows(spark, [(e, _d("2024-01-01"), f"v{e}")]),
+            store, "day", ["k"], epoch_id=e)
+    assert _kv(spark, store, epoch=0) == {0: (_d("2024-01-01"), "v0")}
+    pmanifest_vacuum(store, keep=1)
+    with pytest.raises(ValueError, match="retained version window"):
+        pmanifest_read(spark, store, epoch=0)
+    # the retained head still reads
+    assert len(_kv(spark, store, epoch=2)) == 3

@@ -156,14 +156,22 @@ def select_partitions(tokens: Sequence[str], *, partitions=None,
 def _version_asof_epoch(sub_path: str, epoch: int,
                         spark=None) -> Optional[int]:
     """Largest committed version of one sub-store whose epoch <= the
-    requested epoch; None when the sub-store did not exist yet at
-    that epoch.  Driver cost: one tiny JSON per retained version,
-    bounded by the vacuum keep-window (same bound as
-    manifest_history)."""
+    requested epoch; None when the sub-store PROVABLY did not exist
+    yet at that epoch.  "Provably" is load-bearing: when every
+    retained version's epoch exceeds the request, "the partition
+    didn't exist" and "its pre-epoch versions were vacuumed" are
+    different answers — the first is None, the second RAISES, and
+    they are told apart by whether version 1's manifest is still
+    retained (commit numbers are never reused).  Without the check,
+    an as-of read would silently drop a partition that existed, and
+    a change feed would fabricate inserts.  Driver cost: one tiny
+    JSON per retained version, bounded by the vacuum keep-window
+    (same bound as manifest_history)."""
     cur = _m.manifest_current(sub_path, spark=spark)
     if cur is None:
         return None
     best = None
+    min_retained = None
     for v in _m._used_versions(sub_path, spark=spark):
         if v > cur[0]:
             continue  # crash orphan, not a commit
@@ -171,8 +179,16 @@ def _version_asof_epoch(sub_path: str, epoch: int,
             man = _m._load_manifest(sub_path, v, spark=spark)
         except FileNotFoundError:
             continue  # vacuumed
+        if min_retained is None or v < min_retained:
+            min_retained = v
         if int(man["epoch"]) <= epoch and (best is None or v > best):
             best = v
+    if best is None and min_retained != 1:
+        raise ValueError(
+            f"{sub_path!r}: epoch {epoch} predates the retained "
+            "version window (earlier versions were vacuumed or "
+            "orphaned) — the as-of state is unknowable. Keep a "
+            "larger pmanifest_vacuum window or use a retained epoch.")
     return best
 
 
@@ -484,26 +500,10 @@ def pmanifest_changes(spark: SparkSession, path: str, *,
             _version_asof_epoch(sub, to_epoch, spark=spark)
         if v_to is None or (v_from or 0) == v_to:
             continue  # absent at both epochs, or no commits between
-        if v_from is None:
-            # sound all-inserts bootstrap requires PROOF the partition
-            # had no commit at from_epoch: version 1's manifest still
-            # retained (commits never reuse numbers, so a retained v1
-            # with epoch > from_epoch certifies it).  An older window
-            # start means pre-epoch versions MAY have been vacuumed —
-            # diffing against "empty" would fabricate inserts.
-            retained = [v for v in _m._used_versions(sub, spark=spark)
-                        if v <= cur[0]
-                        and fsutil.read_text(
-                            sub.rstrip("/") + f"/_m{v:06d}.json",
-                            spark=spark) is not None]
-            if not retained or retained[0] != 1:
-                raise ValueError(
-                    f"partition {t!r}: epoch {from_epoch} predates "
-                    "the retained version window (earlier versions "
-                    "were vacuumed or orphaned) — the as-of state is "
-                    "unknowable, so the feed cannot be derived. Keep "
-                    "a larger pmanifest_vacuum window or diff from a "
-                    "retained epoch.")
+        # v_from None is TRUSTWORTHY here: _version_asof_epoch raises
+        # when the epoch predates the retained window, so an
+        # all-inserts bootstrap only happens with proof (version 1
+        # retained) that no pre-epoch commit ever existed
         feed = _m.manifest_changes(spark, sub,
                                    from_version=v_from or 0,
                                    to_version=v_to, op_col=op_col)
