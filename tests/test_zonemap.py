@@ -347,3 +347,26 @@ def test_recover_compact_heals_the_crash_window(spark, tmp_path):
 
     # nothing anywhere: no-op
     assert zonemap_recover_compact(str(tmp_path / "void")) is False
+
+
+def test_streaming_first_batch_crash_replay_recovers(spark, tmp_path):
+    """A first batch that crashed between its parquet write and the
+    sidecar publish leaves a sidecar-less dir; the replay must clear
+    it and index cleanly instead of wedging on 'path exists'."""
+    from wrangle_pypes_spark.streaming import \
+        foreach_batch_zonemap_append
+
+    full = spark.range(300).select(F.col("id").alias("k"))
+    src = str(tmp_path / "src")
+    full.coalesce(1).write.parquet(src)
+    path = str(tmp_path / "ztab")
+    # simulate the crash debris: parquet files, NO _zonemap.json
+    full.limit(10).write.parquet(path)
+
+    stream = (spark.readStream.schema("k bigint")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = foreach_batch_zonemap_append(stream, path, cluster_by=["k"],
+                                     target_files_per_batch=2,
+                                     checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination()
+    assert zonemap_read(spark, path).count() == 300  # debris gone

@@ -1496,10 +1496,16 @@ def foreach_batch_zonemap_append(stream_df: DataFrame, path: str, *,
         except FileNotFoundError:
             exists = False
         if not exists:
+            # mode="overwrite", NOT errorifexists: a first batch that
+            # crashed between its parquet write and the sidecar
+            # publish leaves a sidecar-less directory, and the replay
+            # must clear it rather than wedge on "path exists" — the
+            # sidecar is the commit point, so nothing published is
+            # ever overwritten
             zonemap_write(batch_df, path, cluster_by=cluster_by,
                           stats_cols=stats_cols,
                           target_files=target_files_per_batch,
-                          epoch_id=epoch_id)
+                          epoch_id=epoch_id, mode="overwrite")
         else:
             zonemap_append(batch_df, path,
                            target_files=target_files_per_batch,
