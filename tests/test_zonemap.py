@@ -370,3 +370,34 @@ def test_streaming_first_batch_crash_replay_recovers(spark, tmp_path):
                                      checkpoint=str(tmp_path / "ck"))
     q.awaitTermination()
     assert zonemap_read(spark, path).count() == 300  # debris gone
+
+
+def test_streaming_heals_compact_crash_before_appending(spark, tmp_path):
+    """A compact_every OPTIMIZE that crashed mid-swap (table gone,
+    staging complete) must be healed by the next batch — NOT replaced
+    by a table built from that batch alone."""
+    import shutil
+
+    from wrangle_pypes_spark.streaming import \
+        foreach_batch_zonemap_append
+
+    history = spark.range(1000).select(F.col("id").alias("k"))
+    path = str(tmp_path / "zheal")
+    # ad-hoc epoch (-1): the fresh stream's batch 0 must not collide
+    # with the pre-seeded history (a real resume shares the
+    # checkpoint lineage, so its batch ids are already past the
+    # sidecar's epoch)
+    zonemap_write(history, path, cluster_by=["k"], target_files=4)
+    # simulate the compact crash window
+    shutil.move(path, path + "__compact_staging")
+
+    newdata = spark.range(1000, 1100).select(F.col("id").alias("k"))
+    src = str(tmp_path / "src")
+    newdata.coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema("k bigint")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = foreach_batch_zonemap_append(stream, path, cluster_by=["k"],
+                                     checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination()
+    # history healed AND the batch appended
+    assert zonemap_read(spark, path).count() == 1100

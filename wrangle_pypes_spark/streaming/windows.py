@@ -1470,7 +1470,9 @@ def foreach_batch_zonemap_append(stream_df: DataFrame, path: str, *,
     import warnings
 
     from ..sources.zonemap import (_load_sidecar, zonemap_append,
-                                   zonemap_compact, zonemap_write)
+                                   zonemap_compact,
+                                   zonemap_recover_compact,
+                                   zonemap_write)
 
     session = stream_df.sparkSession
     try:
@@ -1490,6 +1492,11 @@ def foreach_batch_zonemap_append(stream_df: DataFrame, path: str, *,
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # a compact_every OPTIMIZE may have crashed mid-swap (table
+        # deleted, staging complete): heal BEFORE the exists check,
+        # or this batch would recreate the table from itself alone
+        # and orphan everything staged
+        zonemap_recover_compact(path, spark=spark)
         try:
             _load_sidecar(path, spark=spark)
             exists = True
