@@ -180,6 +180,14 @@ def main():
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    # same hygiene as bench.py: clear OUR abandoned per-query temp
+    # stores (wps_* only) so repeated sweeps don't pile small-file
+    # I/O tax onto later timings
+    import glob
+    import shutil
+    import tempfile
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), "wps_*")):
+        shutil.rmtree(d, ignore_errors=True)
     if bare:
         from pyspark.sql import SparkSession
         spark = (SparkSession.builder.master(f"local[{cpus}]")
