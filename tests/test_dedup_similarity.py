@@ -1495,3 +1495,112 @@ def test_bloom_maintainer_occupancy_warning_and_resize(spark, tmp_path):
     with _pytest.raises(ValueError, match="nothing committed"):
         bloom_resize_store(spark, str(tmp_path / "nope"), accepted,
                            key_col="k", n_bits=1 << 12)
+
+
+def test_bloom_resize_crash_window_refused_and_healed(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r8 (medium): bloom_resize_store committed the resized
+    bitmap BEFORE rewriting _bloom.json, so a crash in between left
+    the OLD sidecar describing a NEW-family bitmap — a maintainer
+    resumed with the old params passed validation and silently mixed
+    hash families.  The resize now stages _bloom.json.next BEFORE the
+    commit; while the marker exists, both the maintainer and
+    bloom_store_occupancy REFUSE, and re-running the resize heals."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from wrangle_pypes_spark.sources import acid as acid_mod
+    from wrangle_pypes_spark.streaming import (bloom_resize_store,
+                                               bloom_store_occupancy,
+                                               foreach_batch_bloom_dedup)
+
+    store = str(tmp_path / "store")
+    accepted = str(tmp_path / "acc")
+    src = str(tmp_path / "src")
+    feed = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(30)], "k string, s int")
+    feed.coalesce(1).write.parquet(src)
+
+    def drain(n_bits):
+        stream = (spark.readStream.schema(feed.schema)
+                  .format("parquet").load(src))
+        q = foreach_batch_bloom_dedup(
+            stream, store, key_col="k", accepted_path=accepted,
+            order_cols=[F.col("s")], n_bits=n_bits, n_hashes=5,
+            checkpoint=str(tmp_path / "ck"))
+        q.awaitTermination()
+
+    drain(1 << 10)
+    # crash INSIDE the resize, after the .next stage, before commit
+    real_commit = acid_mod.acid_commit
+
+    def _boom(*a, **kw):
+        raise RuntimeError("injected crash mid-resize")
+
+    monkeypatch.setattr(acid_mod, "acid_commit", _boom)
+    with _pytest.raises(RuntimeError, match="injected"):
+        bloom_resize_store(spark, store, accepted, key_col="k",
+                           n_bits=1 << 12, n_hashes=5)
+    monkeypatch.setattr(acid_mod, "acid_commit", real_commit)
+    # the staged marker survives the crash -> every reader refuses
+    with _pytest.raises(RuntimeError, match="_bloom.json.next"):
+        bloom_store_occupancy(spark, store)
+    with _pytest.raises(RuntimeError, match="_bloom.json.next"):
+        drain(1 << 10)
+    # the OTHER crash window (bitmap committed, sidecar still old)
+    # leaves the same marker, so the same refusal covers it; re-run
+    # of the resize heals either state
+    bloom_resize_store(spark, store, accepted, key_col="k",
+                       n_bits=1 << 12, n_hashes=5)
+    occ = bloom_store_occupancy(spark, store).collect()[0]
+    assert occ.n_bits == 1 << 12
+    drain(1 << 12)  # maintainer resumes under the new family
+
+
+def test_bloom_sidecar_pinned_before_first_commit(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r8 twin of the cms finding: the _bloom.json sidecar is
+    written BEFORE the first acid commit, so a crash in the first
+    batch can never leave committed bits whose hash family a later
+    resume cannot validate."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from wrangle_pypes_spark.sources import acid as acid_mod
+    from wrangle_pypes_spark.streaming import foreach_batch_bloom_dedup
+
+    store = str(tmp_path / "store")
+    src = str(tmp_path / "src")
+    feed = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(10)], "k string, s int")
+    feed.coalesce(1).write.parquet(src)
+
+    def drain(n_bits):
+        stream = (spark.readStream.schema(feed.schema)
+                  .format("parquet").load(src))
+        q = foreach_batch_bloom_dedup(
+            stream, store, key_col="k",
+            accepted_path=str(tmp_path / "acc"),
+            order_cols=[F.col("s")], n_bits=n_bits, n_hashes=5,
+            checkpoint=str(tmp_path / f"ck{n_bits}"))
+        q.awaitTermination()
+
+    def _boom(*a, **kw):
+        raise RuntimeError("injected crash before first commit")
+
+    real_commit = acid_mod.acid_commit
+    monkeypatch.setattr(acid_mod, "acid_commit", _boom)
+    with _pytest.raises(Exception, match="injected"):
+        drain(1 << 10)
+    # crash landed between sidecar and commit: params pinned, no bits
+    assert os.path.exists(os.path.join(store, "_bloom.json"))
+    assert acid_mod.acid_current(store) is None
+    # a resume with DIFFERENT params now fails validation instead of
+    # silently building a store the sidecar misdescribes
+    monkeypatch.setattr(acid_mod, "acid_commit", real_commit)
+    with _pytest.raises(ValueError, match="immutable"):
+        drain(1 << 11)
+    drain(1 << 10)  # original params replay cleanly
+    assert acid_mod.acid_current(store) is not None

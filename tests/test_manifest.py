@@ -1330,6 +1330,34 @@ def test_merge_into_clause_semantics(spark, tmp_path):
     assert len(got) == 20 - 1 + 1
 
 
+def test_merge_into_legacy_preschema_empty_buckets(spark, tmp_path):
+    """ADVICE r8: on a pre-schema legacy store (manifest 'schema':
+    None) whose probed buckets are all empty, manifest_lookup returns
+    None and merge_into crashed with AttributeError('NoneType').  The
+    matched clauses are vacuous there; inserts must still work."""
+    from wrangle_pypes_spark.sources.manifest import manifest_merge_into
+
+    store = str(tmp_path / "legacy")
+    manifest_merge(spark.createDataFrame([(1, "a")], "k int, val string"),
+                   store, ["k"], epoch_id=0, n_buckets=BUCKETS)
+    # rewrite the head manifest as the pre-schema format with no
+    # surviving buckets (what an old writer's empty store looks like)
+    with open(os.path.join(store, "_m000001.json")) as f:
+        man = json.load(f)
+    man["schema"] = None
+    man["buckets"] = {}
+    with open(os.path.join(store, "_m000001.json"), "w") as f:
+        json.dump(man, f)
+
+    src = spark.createDataFrame([(2, "b")], "k int, val string")
+    v = manifest_merge_into(
+        src, store, epoch_id=1,
+        when_matched_update={"val": F.col("val")})
+    assert v == 2
+    got = {r.k: r.val for r in manifest_read(spark, store).collect()}
+    assert got == {2: "b"}  # insert path; no AttributeError
+
+
 def test_merge_into_insert_disabled_and_no_update_clause(
         spark, tmp_path):
     from wrangle_pypes_spark.sources.manifest import manifest_merge_into

@@ -44,6 +44,11 @@ def test_select_partitions_range_typed_and_explicit():
     # a token that doesn't decode under the probe type is KEPT (safe)
     assert select_partitions(["2024-01-01", "junk"],
                              lo=_d("2024-01-02")) == ["junk"]
+    # ADVICE r8: mixed-type bounds used to decode under lo's type and
+    # blow up mid-comparison on `v > hi`; now a clear up-front error
+    with pytest.raises(TypeError, match="same type"):
+        select_partitions(["2024-01-01"], lo=_d("2024-01-01"),
+                          hi="2024-02-01")
 
 
 def test_encode_rejects_null_bool_and_unknown_types():

@@ -199,6 +199,54 @@ def test_streaming_cms_incremental_resume_with_checkpoint(
         sorted(map(tuple, oneshot.collect()))
 
 
+def test_cms_sidecar_pinned_before_first_commit(
+        spark, tables, tmp_path, monkeypatch):
+    """ADVICE r8: _cms.json was written only AFTER the first commit;
+    a crash in that window followed by a resume with different
+    depth/width skipped validation (sidecar absent) and cms_merge
+    silently summed counters from two incompatible hash families.
+    The sidecar is written BEFORE the first commit now — params are
+    pinned once any counters exist."""
+    import os
+
+    import pytest as _pytest
+
+    from wrangle_pypes_spark.sources import acid as acid_mod
+    from wrangle_pypes_spark.streaming import foreach_batch_cms
+
+    events = tables["events"].select("user_id")
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    events.coalesce(1).write.parquet(src)
+
+    def _drain(width, ck):
+        stream = (spark.readStream.schema(events.schema)
+                  .format("parquet").load(src))
+        q = foreach_batch_cms(stream, store, key_col="user_id",
+                              depth=3, width=width,
+                              checkpoint=str(tmp_path / ck))
+        q.awaitTermination()
+
+    def _boom(*a, **kw):
+        raise RuntimeError("injected crash before first commit")
+
+    real_commit = acid_mod.acid_commit
+    monkeypatch.setattr(acid_mod, "acid_commit", _boom)
+    with _pytest.raises(Exception, match="injected"):
+        _drain(512, "ck1")
+    # crash landed between sidecar write and commit: params pinned,
+    # zero counters committed
+    assert os.path.exists(os.path.join(store, "_cms.json"))
+    assert acid_mod.acid_current(store) is None
+    monkeypatch.setattr(acid_mod, "acid_commit", real_commit)
+    # a resume with a DIFFERENT family now fails validation instead
+    # of silently mixing hash families
+    with _pytest.raises(ValueError, match="immutable"):
+        _drain(1024, "ck2")
+    _drain(512, "ck3")  # original params replay cleanly
+    assert acid_mod.acid_current(store) is not None
+
+
 # ---------------------------------------------------------------- BKS
 
 def test_bks_merge_is_exact_and_small_groups_are_exact(spark):

@@ -242,6 +242,28 @@ def test_append_schema_mismatch_raises(spark, tmp_path):
             F.col("id").alias("k"), F.lit(1).alias("extra")), path)
 
 
+def test_append_type_drift_raises_before_writing(spark, tmp_path):
+    """ADVICE r8: names/order alone passed the schema check, so a
+    type-drifted batch wrote parquet whose physical types mismatched
+    the sidecar and only failed at read time — AFTER the files were
+    on disk.  Types are validated up front now, and nothing lands."""
+    import os
+
+    from wrangle_pypes_spark.sources.zonemap import zonemap_append
+
+    path = str(tmp_path / "drift")
+    zonemap_write(spark.range(100).select(F.col("id").alias("k")),
+                  path, cluster_by=["k"], target_files=2)
+    before = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    with pytest.raises(ValueError, match="types drifted"):
+        zonemap_append(spark.range(5).select(
+            F.col("id").cast("string").alias("k")), path)
+    after = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    assert after == before  # the failed append left no files behind
+    # and reads still work
+    assert spark.read.parquet(path).count() == 100
+
+
 def test_streaming_append_equals_batch_and_replays(spark, tmp_path):
     from wrangle_pypes_spark.sources.zonemap import (_load_sidecar,
                                                      zonemap_vacuum)

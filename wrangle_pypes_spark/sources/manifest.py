@@ -704,6 +704,17 @@ def manifest_merge_into(source: DataFrame, path: str, *,
     # matched pair; stored columns join in as _stored_<c>, plus a
     # constant-true tag for null-safe match detection
     stored = manifest_lookup(spark, path, source.select(*keys))
+    if stored is None:
+        # manifest_lookup returns None only when every probed bucket
+        # is empty AND the store predates the recorded-schema format
+        # (no schema to build an empty frame from).  Don't fall
+        # through to stored.select(...) -> AttributeError; on such a
+        # legacy store the matched clauses are vacuous, so build the
+        # empty stored half from the SOURCE's columns (validated
+        # above to carry every store column when inserting).
+        stored = spark.createDataFrame(
+            [], T.StructType([source.schema[c] for c in keys]
+                             + [fields[c] for c in vals]))
     pair = source.join(
         stored.select(*keys, F.lit(True).alias("_mi_hit"),
                       *[F.col(c).alias(f"_stored_{c}") for c in vals]),

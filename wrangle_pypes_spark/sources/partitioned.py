@@ -137,6 +137,13 @@ def select_partitions(tokens: Sequence[str], *, partitions=None,
         wanted = {_encode_pval(p) for p in partitions}
         keep = [t for t in keep if t in wanted]
     probe = lo if lo is not None else hi
+    if lo is not None and hi is not None and type(lo) is not type(hi):
+        # mixed-type bounds would otherwise decode under lo's type and
+        # raise TypeError mid-comparison on `v > hi` — a caller bug,
+        # surfaced up front instead of from inside the loop
+        raise TypeError(
+            f"select_partitions: lo and hi must be the same type, got "
+            f"lo={type(lo).__name__} hi={type(hi).__name__}")
     if probe is not None:
         kept = []
         for t in keep:

@@ -346,6 +346,18 @@ def zonemap_append(df: DataFrame, path: str, *,
             f"append schema {df.columns} != table schema "
             f"{[f.name for f in want.fields]} (zonemap tables do not "
             "evolve; rewrite instead)")
+    # types too, BEFORE any file lands: a type-drifted batch would
+    # write parquet whose physical types mismatch the sidecar schema
+    # and only fail at read time, after the files are already on disk
+    drift = [(f.name, g.dataType.simpleString(), f.dataType.simpleString())
+             for f, g in zip(want.fields, df.schema.fields)
+             if f.dataType != g.dataType]
+    if drift:
+        raise ValueError(
+            "append column types drifted from the table schema "
+            f"(zonemap tables do not evolve; rewrite instead): "
+            + ", ".join(f"{n}: batch {got} != table {exp}"
+                        for n, got, exp in drift))
 
     before = {n for n in fsutil.list_dir(path, spark=spark)
               if n.endswith(".parquet")}

@@ -1115,6 +1115,26 @@ def _write_epoch_partition(df: DataFrame, path: str, tag: str) -> None:
        .partitionBy("_epoch").parquet(path))
 
 
+def _refuse_interrupted_resize(store_path: str, *, spark) -> None:
+    """Refuse to touch a bloom store whose ``_bloom.json.next``
+    staging marker exists: a :func:`bloom_resize_store` crashed
+    mid-resize, so the committed bitmap's hash family may not match
+    the ``_bloom.json`` sidecar.  Probing or merging through the
+    sidecar params would silently mix hash families (false negatives
+    → duplicate keys accepted); re-running the resize heals."""
+    from .. import fsutil
+
+    next_path = store_path.rstrip("/") + "/_bloom.json.next"
+    if fsutil.read_text(next_path, spark=spark) is not None:
+        raise RuntimeError(
+            f"bloom store {store_path!r} has a staged "
+            "_bloom.json.next marker — a bloom_resize_store was "
+            "interrupted mid-resize and the committed bitmap's hash "
+            "family may not match the _bloom.json sidecar. Re-run "
+            "bloom_resize_store (the rebuild is idempotent and "
+            "clears the marker) before resuming this store.")
+
+
 def foreach_batch_bloom_dedup(stream_df: DataFrame, store_path: str, *,
                               key_col: str, accepted_path: str,
                               order_cols: Sequence,
@@ -1180,6 +1200,7 @@ def foreach_batch_bloom_dedup(stream_df: DataFrame, store_path: str, *,
         raise ValueError("n_bits must be >= 64")
     params_path = store_path.rstrip("/") + "/_bloom.json"
     session = stream_df.sparkSession
+    _refuse_interrupted_resize(store_path, spark=session)
     prior = fsutil.read_text(params_path, spark=session)
     if prior is not None:
         doc = _json.loads(prior)
@@ -1228,6 +1249,17 @@ def foreach_batch_bloom_dedup(stream_df: DataFrame, store_path: str, *,
                            n_hashes=n_hashes)
         merged = add if resident is None \
             else bloom_merge_bitmaps(resident, add)
+        # sidecar BEFORE the first commit (publish-last-pointer
+        # discipline): params are pinned once any bits exist, so a
+        # crash in between leaves a sidecar with zero commits (a
+        # resume re-validates and replays), never committed bits
+        # whose hash family a later resume can't validate
+        if fsutil.read_text(params_path, spark=spark) is None:
+            fsutil.ensure_dir(store_path, spark=spark)
+            fsutil.write_text_atomic(
+                params_path,
+                _json.dumps({"n_bits": n_bits, "n_hashes": n_hashes}),
+                spark=spark)
         acid_commit(merged, store_path, epoch_id=epoch_id)
         if occupancy_warn is not None:
             from ..operators.dedup import bloom_occupancy
@@ -1243,14 +1275,6 @@ def foreach_batch_bloom_dedup(stream_df: DataFrame, store_path: str, *,
                     "dropping ~that fraction of genuinely-new keys. "
                     "Rebuild at a larger size with bloom_resize_store.",
                     stacklevel=2)
-        # after the commit: the store directory now exists, and a
-        # crash landing between commit and sidecar merely skips one
-        # resume-time validation, never corrupts state
-        if fsutil.read_text(params_path, spark=spark) is None:
-            fsutil.write_text_atomic(
-                params_path,
-                _json.dumps({"n_bits": n_bits, "n_hashes": n_hashes}),
-                spark=spark)
 
     writer = stream_df.writeStream.foreachBatch(_batch) \
         .trigger(availableNow=True)
@@ -1278,6 +1302,7 @@ def bloom_store_occupancy(spark, store_path: str):
     from ..operators.dedup import bloom_occupancy
     from ..sources.acid import acid_read
 
+    _refuse_interrupted_resize(store_path, spark=spark)
     bitmap = acid_read(spark, store_path)
     if bitmap is None:
         return None
@@ -1306,11 +1331,17 @@ def bloom_resize_store(spark, store_path: str, accepted_path: str, *,
     drains (single-writer contract), then resume the maintainer with
     the NEW ``n_bits``/``n_hashes``.
 
-    Commit order is deliberately loud-on-crash: the new bitmap
-    commits first (epoch preserved — no data ingested), the sidecar
-    rewrites second; a crash between the two leaves a store whose
-    sidecar mismatches, which the maintainer REFUSES at resume
-    (re-run the resize to heal) — never a silently mis-probed filter.
+    Commit order is loud-on-crash in EVERY window: the new params are
+    staged to ``_bloom.json.next`` BEFORE the bitmap commit, the
+    sidecar rewrites after it, and the staging file is removed last.
+    A crash anywhere mid-resize leaves the ``.next`` marker behind,
+    and both the maintainer and :func:`bloom_store_occupancy` REFUSE
+    while it exists (re-run the resize to heal — the rebuild is
+    idempotent and the final delete clears the marker) — never a
+    silently mis-probed filter.  Without the staged marker, a crash
+    between commit and sidecar rewrite would leave the OLD sidecar
+    next to the NEW-family bitmap, and a maintainer resumed with the
+    old params would pass validation and merge mixed hash families.
     Returns the committed version."""
     import json as _json
 
@@ -1328,11 +1359,13 @@ def bloom_resize_store(spark, store_path: str, accepted_path: str, *,
             .select(key_col).distinct())
     bitmap = bloom_bitmap(keys, key_col, n_bits=n_bits,
                           n_hashes=n_hashes)
+    doc = _json.dumps({"n_bits": n_bits, "n_hashes": n_hashes})
+    next_path = store_path.rstrip("/") + "/_bloom.json.next"
+    fsutil.write_text_atomic(next_path, doc, spark=spark)
     version = acid_commit(bitmap, store_path, epoch_id=cur[1])
     fsutil.write_text_atomic(
-        store_path.rstrip("/") + "/_bloom.json",
-        _json.dumps({"n_bits": n_bits, "n_hashes": n_hashes}),
-        spark=spark)
+        store_path.rstrip("/") + "/_bloom.json", doc, spark=spark)
+    fsutil.delete(next_path, spark=spark)
     return version
 
 
@@ -1403,12 +1436,19 @@ def foreach_batch_cms(stream_df: DataFrame, store_path: str, *,
                         weight_col=weight_col)
         resident = acid_read(spark, store_path)
         merged = add if resident is None else cms_merge(resident, add)
-        acid_commit(merged, store_path, epoch_id=epoch_id)
+        # sidecar BEFORE the first commit (publish-last-pointer
+        # discipline): a crash between first commit and a trailing
+        # sidecar write would leave committed counters with no pinned
+        # hash family — a resume with different depth/width would
+        # skip validation and cms_merge would silently sum counters
+        # from two incompatible families
         if fsutil.read_text(params_path, spark=spark) is None:
+            fsutil.ensure_dir(store_path, spark=spark)
             fsutil.write_text_atomic(
                 params_path,
                 _json.dumps({"depth": depth, "width": width}),
                 spark=spark)
+        acid_commit(merged, store_path, epoch_id=epoch_id)
 
     writer = stream_df.writeStream.foreachBatch(_batch) \
         .trigger(availableNow=True)
