@@ -4851,6 +4851,29 @@ def q_stream_text_index_docs(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_text_index_blocked_docs(spark, sf_dir):
+    """NEW r9 (VERDICT r8 #2): the block-split postings path — the
+    same index/search as `text_index_search_docs`, built with a
+    block_limit small enough that every common term's postings SPLIT
+    into multiple bounded rows (no O(corpus) hot-posting row can
+    exist in this store), then the same 3-term BM25 query served
+    from the blocked store.  Sharing the full-scan SQL oracle pins
+    the block mechanism's bit-identity claim: blocks partition the
+    exact (doc, tf, dl) set and every row carries the token-total
+    df, so scores cannot drift."""
+    import tempfile
+
+    from wrangle_pypes_spark.operators.textindex import (
+        build_text_index, text_index_search)
+
+    d = _t(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="wps_tidxb_") + "/idx"
+    build_text_index(d, store, n_buckets=64, block_limit=64)
+    return (text_index_search(spark, store,
+                              ["spark", "shuffle", "window"])
+            .orderBy("doc_id"))
+
+
 def q_pmanifest_cdf_orders(spark, sf_dir):
     """NEW r8: epoch-based change data feed on the PARTITIONED
     manifest store (sources/partitioned.py ``pmanifest_changes``):
@@ -7987,8 +8010,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_fertility_lang": q_token_fertility_lang,  # last driver check: r5
     "group_split_sources": q_group_split_sources,  # last driver check: r5
     "sequential_ids_orders": q_sequential_ids_orders,  # last driver check: r5
-    "flatten_nested_customer": q_flatten_nested_customer,  # last driver check: r5
+    "text_index_blocked_docs": q_text_index_blocked_docs,  # NEW r9: block-split postings
     # ---- below the 50-slot driver window from here down ----
+    "flatten_nested_customer": q_flatten_nested_customer,  # r5 (displaced by the r9 entry above)
     # (r8-vintage greens first -- checked last round; then r6/r7.)
     "bloom_dedup_docs": q_bloom_dedup_docs,  # r8
     "stream_bloom_dedup_docs": q_stream_bloom_dedup_docs,  # r8
@@ -8207,6 +8231,7 @@ _ORACLES: dict[str, str] = {
     # the index queries' results are defined to EQUAL the full-scan
     # BM25, so they share its oracle (plus a deterministic order)
     "text_index_search_docs": SQL_BM25 + " ORDER BY doc_id",
+    "text_index_blocked_docs": SQL_BM25 + " ORDER BY doc_id",
     "stream_text_index_docs": SQL_BM25 + " ORDER BY doc_id",
     "pmanifest_cdf_orders": SQL_PMANIFEST_CDF,
     "merge_into_orders": SQL_MERGE_INTO,

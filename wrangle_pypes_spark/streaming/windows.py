@@ -1574,6 +1574,7 @@ def foreach_batch_text_index(stream_df: DataFrame, store_path: str, *,
                              id_col: str = "doc_id",
                              n_buckets: int = 64,
                              stop_tokens: Sequence[str] = (),
+                             block_limit: Optional[int] = None,
                              checkpoint: Optional[str] = None):
     """Continuously maintained inverted token index
     (``operators.textindex``): per micro-batch, tokenize ONLY the
@@ -1592,12 +1593,18 @@ def foreach_batch_text_index(stream_df: DataFrame, store_path: str, *,
     manifest epoch guard, which (like every additive maintainer here)
     needs MONOTONIC batch ids: resuming an existing store without a
     ``checkpoint`` warns, because restarted batch ids would silently
-    skip genuinely-new batches."""
+    skip genuinely-new batches.  ``block_limit`` (default
+    ``textindex.DEFAULT_BLOCK_LIMIT``) bounds every stored postings
+    row — use the same value across resumes of one store."""
     import warnings
+    from functools import partial
 
-    from ..operators.textindex import merge_postings, postings_frame
+    from ..operators.textindex import (DEFAULT_BLOCK_LIMIT,
+                                       merge_postings, postings_frame)
     from ..sources.manifest import manifest_current, manifest_merge
 
+    if block_limit is None:
+        block_limit = DEFAULT_BLOCK_LIMIT
     session = stream_df.sparkSession
     if (checkpoint is None
             and manifest_current(store_path, spark=session) is not None):
@@ -1616,13 +1623,15 @@ def foreach_batch_text_index(stream_df: DataFrame, store_path: str, *,
         if cur is not None and epoch_id <= cur[1]:
             return  # replayed batch: already indexed
         frame = postings_frame(batch_df, text_col=text_col,
-                               id_col=id_col, stop_tokens=stop_tokens)
+                               id_col=id_col, stop_tokens=stop_tokens,
+                               block_limit=block_limit)
         # materialize once: manifest_merge evaluates updates twice
         # and the tokenize is the expensive part
         frame = frame.localCheckpoint(eager=True)
         manifest_merge(frame, store_path, ["token"],
                        epoch_id=epoch_id, n_buckets=n_buckets,
-                       merge_fn=merge_postings)
+                       merge_fn=partial(merge_postings,
+                                        block_limit=block_limit))
 
     writer = stream_df.writeStream.foreachBatch(_batch) \
         .trigger(availableNow=True)
