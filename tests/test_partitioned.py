@@ -733,3 +733,165 @@ def test_asof_read_refuses_vacuumed_epoch(spark, tmp_path):
         pmanifest_read(spark, store, epoch=0)
     # the retained head still reads
     assert len(_kv(spark, store, epoch=2)) == 3
+
+
+# ----------------------------------------------------- root pointer
+
+def test_root_pointer_mid_batch_crash_reader_sees_old_view(
+        spark, tmp_path, monkeypatch):
+    """VERDICT r8 #3: batch atomicity via the root pointer.  A crash
+    after SOME partitions' sub-commits but before the root publish
+    must leave every reader on the OLD consistent view of EVERY
+    partition; the replay converges and publishes the batch."""
+    from wrangle_pypes_spark.sources import manifest as man_mod
+    from wrangle_pypes_spark.sources.partitioned import (
+        pmanifest_lookup, root_current)
+
+    store = str(tmp_path / "root")
+    pmanifest_merge(
+        _rows(spark, [(1, _d("2024-01-01"), "a"),
+                      (2, _d("2024-02-01"), "b")]),
+        store, "day", ["k"], epoch_id=0, n_buckets=2,
+        max_concurrency=1)
+    v0 = _kv(spark, store)
+    root0 = root_current(store)
+    assert root0 is not None and root0[1] == 0
+
+    # crash injection: first partition's sub-commit lands, then boom
+    real_merge = man_mod.manifest_merge
+    calls = {"n": 0}
+
+    def _flaky(updates, path, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash mid-batch")
+        return real_merge(updates, path, *a, **kw)
+
+    import wrangle_pypes_spark.sources.partitioned as p_mod
+    monkeypatch.setattr(p_mod._m, "manifest_merge", _flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        pmanifest_merge(
+            _rows(spark, [(1, _d("2024-01-01"), "A2"),
+                          (2, _d("2024-02-01"), "B2")]),
+            store, "day", ["k"], epoch_id=1, n_buckets=2,
+            max_concurrency=1)
+    monkeypatch.setattr(p_mod._m, "manifest_merge", real_merge)
+
+    # the Jan sub-store HAS a staged commit...
+    assert manifest_current(os.path.join(store, "p=2024-01-01"))[1] == 1
+    # ...but every reader still sees the OLD consistent view
+    assert root_current(store) == root0
+    assert _kv(spark, store) == v0
+    probe = spark.createDataFrame([(1,), (2,)], "k int")
+    got = {r.k: r.val
+           for r in pmanifest_lookup(spark, store, probe).collect()}
+    assert got == {1: "a", 2: "b"}
+    parts = {r.partition: (r.version, r.epoch)
+             for r in pmanifest_partitions(spark, store).collect()}
+    assert parts == {"2024-01-01": (1, 0), "2024-02-01": (1, 0)}
+    # as-of the crashed epoch: still the old view, not a torn one
+    assert _kv(spark, store, epoch=1) == v0
+
+    # replay: Jan guard-skips, Feb commits, root publishes the batch
+    pmanifest_merge(
+        _rows(spark, [(1, _d("2024-01-01"), "A2"),
+                      (2, _d("2024-02-01"), "B2")]),
+        store, "day", ["k"], epoch_id=1, n_buckets=2,
+        max_concurrency=1)
+    assert root_current(store)[1] == 1
+    assert _kv(spark, store) == {1: (_d("2024-01-01"), "A2"),
+                                 2: (_d("2024-02-01"), "B2")}
+
+
+def test_root_vacuum_keeps_referenced_versions(spark, tmp_path,
+                                               monkeypatch):
+    """Two reader guarantees under vacuum: (1) a partition untouched
+    for many root commits keeps its old-but-still-referenced version
+    past a keep=1 window; (2) a crash-staged sub commit does not let
+    vacuum reclaim the root-referenced version under the reader."""
+    from wrangle_pypes_spark.sources import manifest as man_mod
+    import wrangle_pypes_spark.sources.partitioned as p_mod
+
+    store = str(tmp_path / "vac")
+    pmanifest_merge(
+        _rows(spark, [(1, _d("2024-01-01"), "a"),
+                      (2, _d("2024-02-01"), "b")]),
+        store, "day", ["k"], epoch_id=0, n_buckets=2,
+        max_concurrency=1)
+    # many commits touching ONLY Jan; Feb's v1 stays referenced
+    for e in range(1, 4):
+        pmanifest_merge(
+            _rows(spark, [(1, _d("2024-01-01"), f"a{e}")]),
+            store, "day", ["k"], epoch_id=e, n_buckets=2,
+            max_concurrency=1)
+    pmanifest_vacuum(store, keep=1)
+    assert _kv(spark, store) == {1: (_d("2024-01-01"), "a3"),
+                                 2: (_d("2024-02-01"), "b")}
+
+    # crash-staged Jan commit, then vacuum keep=1: the staged head
+    # must not evict the root-referenced version from under readers
+    real_merge = man_mod.manifest_merge
+    calls = {"n": 0}
+
+    def _flaky(updates, path, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("boom")
+        return real_merge(updates, path, *a, **kw)
+
+    monkeypatch.setattr(p_mod._m, "manifest_merge", _flaky)
+    with pytest.raises(RuntimeError, match="boom"):
+        pmanifest_merge(
+            _rows(spark, [(1, _d("2024-01-01"), "a4"),
+                          (2, _d("2024-02-01"), "b4")]),
+            store, "day", ["k"], epoch_id=4, n_buckets=2,
+            max_concurrency=1)
+    monkeypatch.setattr(p_mod._m, "manifest_merge", real_merge)
+    pmanifest_vacuum(store, keep=1)
+    assert _kv(spark, store) == {1: (_d("2024-01-01"), "a3"),
+                                 2: (_d("2024-02-01"), "b")}
+    # replay heals and the vacuumed store serves the new batch
+    pmanifest_merge(
+        _rows(spark, [(1, _d("2024-01-01"), "a4"),
+                      (2, _d("2024-02-01"), "b4")]),
+        store, "day", ["k"], epoch_id=4, n_buckets=2,
+        max_concurrency=1)
+    assert _kv(spark, store) == {1: (_d("2024-01-01"), "a4"),
+                                 2: (_d("2024-02-01"), "b4")}
+
+
+def test_legacy_store_without_root_reads_heads_then_upgrades(
+        spark, tmp_path):
+    """A pre-root (r8) store has no _rptr.json: readers fall back to
+    each sub-store's head; the next merge publishes a root covering
+    ALL partitions, not just the touched one."""
+    import glob
+
+    from wrangle_pypes_spark.sources.partitioned import root_current
+
+    store = str(tmp_path / "legacy")
+    pmanifest_merge(
+        _rows(spark, [(1, _d("2024-01-01"), "a"),
+                      (2, _d("2024-02-01"), "b")]),
+        store, "day", ["k"], epoch_id=0, n_buckets=2,
+        max_concurrency=1)
+    # strip the root layer: what an r8-written store looks like
+    for f in glob.glob(os.path.join(store, "_r*.json")):
+        os.remove(f)
+    os.remove(os.path.join(store, "_rptr.json")) \
+        if os.path.exists(os.path.join(store, "_rptr.json")) else None
+    assert root_current(store) is None
+    assert _kv(spark, store) == {1: (_d("2024-01-01"), "a"),
+                                 2: (_d("2024-02-01"), "b")}
+    # next merge (touching only Jan) publishes a root naming BOTH
+    pmanifest_merge(
+        _rows(spark, [(1, _d("2024-01-01"), "a2")]),
+        store, "day", ["k"], epoch_id=1, n_buckets=2,
+        max_concurrency=1)
+    root = root_current(store)
+    assert root is not None
+    from wrangle_pypes_spark.sources.partitioned import _load_root
+    assert set(_load_root(store, root[0])["parts"]) == \
+        {"2024-01-01", "2024-02-01"}
+    assert _kv(spark, store) == {1: (_d("2024-01-01"), "a2"),
+                                 2: (_d("2024-02-01"), "b")}

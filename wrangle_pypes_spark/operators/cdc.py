@@ -148,11 +148,21 @@ def cdc_vacuum(spark, store_path: str, *, min_seq) -> int:
     if manifest_current(store_path, spark=spark) is not None:
         return _cdc_vacuum_manifest(spark, store_path, min_seq)
     if _recorded_pcol(store_path, spark=spark) is not None:
+        from ..sources.partitioned import (_publish_root_from_heads,
+                                           root_current)
         n = 0
         for t in _list_tokens(store_path, spark=spark):
             sub = _sub(store_path, t)
             if manifest_current(sub, spark=spark) is not None:
                 n += _cdc_vacuum_manifest(spark, sub, min_seq)
+        if n:
+            # the sweep moved sub heads; readers resolve through the
+            # ROOT pointer, so publish one naming the swept versions
+            # (epoch preserved — no data ingested)
+            root = root_current(store_path, spark=spark)
+            _publish_root_from_heads(
+                store_path, root[1] if root is not None else -1,
+                spark=spark)
         return n
 
     recover_upsert_backup(store_path, spark=spark)

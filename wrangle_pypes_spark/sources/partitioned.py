@@ -23,16 +23,22 @@ property already proven for it — atomic pointer commit, MVCC reads,
 O(touched-bucket) merges, vacuum, schema evolution — holds per
 partition, and nothing in ``manifest.py`` changes.
 
-**Commit semantics.**  A batch touching P partitions performs P
-independent sub-store commits; atomicity is per PARTITION, not per
-batch.  Exactly-once per partition still holds under foreachBatch
-replay because each sub-store's pointer carries the epoch: on replay,
-partitions whose committed epoch already covers the batch skip, the
-rest apply (``epoch_id >= 0`` engages the guard).  A crash mid-batch
-therefore converges to the same store the uncrashed run produces —
-the same contract a multi-partition writer gets from Hive-style
-commits, one notch weaker than Delta's single-log batch atomicity,
-and stated here rather than hidden.
+**Commit semantics (root pointer, r9).**  A batch touching P
+partitions performs P sub-store commits, then publishes ONE root
+manifest (``_rNNNNNN.json`` + atomic ``_rptr.json`` pointer — the
+flat store's pointer machinery, one level up) recording every
+partition's sub-store version.  READERS resolve partitions through
+the committed root, so the whole batch becomes visible atomically:
+a crash after some sub-commits but before the root publish leaves
+those sub versions as invisible staging — a reader between crash
+and replay sees the OLD consistent view of EVERY partition (Delta's
+single-log batch atomicity, recovered by composition).  Replay then
+converges: each sub-store's pointer carries the epoch, so
+already-committed partitions skip (``epoch_id >= 0`` engages the
+guard), the rest apply, and the root publish at the end makes the
+batch visible.  Stores created before the root layer read through
+each sub-store's own head (legacy fallback) until their next merge
+publishes a root covering all partitions.
 
 **Partition column contract.**  ``partition_col`` must be (a)
 NON-NULL, (b) low-cardinality (dirs and driver loops are O(distinct
@@ -53,6 +59,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import json as _json
+import re as _re
 import urllib.parse
 from typing import Optional, Sequence
 
@@ -161,7 +168,8 @@ def select_partitions(tokens: Sequence[str], *, partitions=None,
 
 
 def _version_asof_epoch(sub_path: str, epoch: int,
-                        spark=None) -> Optional[int]:
+                        spark=None, *,
+                        cap: Optional[int] = None) -> Optional[int]:
     """Largest committed version of one sub-store whose epoch <= the
     requested epoch; None when the sub-store PROVABLY did not exist
     yet at that epoch.  "Provably" is load-bearing: when every
@@ -173,15 +181,21 @@ def _version_asof_epoch(sub_path: str, epoch: int,
     an as-of read would silently drop a partition that existed, and
     a change feed would fabricate inserts.  Driver cost: one tiny
     JSON per retained version, bounded by the vacuum keep-window
-    (same bound as manifest_history)."""
+    (same bound as manifest_history).
+
+    ``cap`` (the root-referenced version, when the store has a root
+    pointer) bounds the candidates BELOW the sub head: sub commits a
+    crashed batch staged but never root-published are not part of
+    any consistent view, so the as-of read must not see them."""
     cur = _m.manifest_current(sub_path, spark=spark)
     if cur is None:
         return None
+    head = cur[0] if cap is None else min(cur[0], cap)
     best = None
     min_retained = None
     for v in _m._used_versions(sub_path, spark=spark):
-        if v > cur[0]:
-            continue  # crash orphan, not a commit
+        if v > head:
+            continue  # crash orphan / unpublished staging, not a commit
         try:
             man = _m._load_manifest(sub_path, v, spark=spark)
         except FileNotFoundError:
@@ -197,6 +211,113 @@ def _version_asof_epoch(sub_path: str, epoch: int,
             "orphaned) — the as-of state is unknowable. Keep a "
             "larger pmanifest_vacuum window or use a retained epoch.")
     return best
+
+
+# ------------------------------------------------------- root pointer
+#
+# One committed mapping {partition token -> sub-store version} for the
+# whole store, published by the same write-manifest-then-rename-pointer
+# discipline as the flat store: sub-store commits above the referenced
+# version are invisible staging until a root publish names them.
+
+_RPTR = "_rptr.json"
+_ROOT_RE = _re.compile(r"^_r(\d{6})\.json$")
+
+
+def _root_name(version: int) -> str:
+    return f"_r{version:06d}.json"
+
+
+def root_current(path: str, spark=None) -> Optional[tuple]:
+    """(version, epoch) of the committed ROOT manifest; None for a
+    store with no root (pre-r9 layout, or nothing ever committed) —
+    readers then fall back to each sub-store's own head."""
+    txt = fsutil.read_text(path.rstrip("/") + "/" + _RPTR, spark=spark)
+    if txt is None:
+        return None
+    try:
+        doc = _json.loads(txt)
+        return int(doc["version"]), int(doc["epoch"])
+    except (ValueError, KeyError, TypeError):
+        return None
+
+
+def _load_root(path: str, version: int, spark=None) -> dict:
+    txt = fsutil.read_text(
+        path.rstrip("/") + "/" + _root_name(version), spark=spark)
+    if txt is None:
+        raise FileNotFoundError(
+            f"partitioned store {path!r}: root pointer names version "
+            f"{version} but {_root_name(version)} is missing — "
+            "vacuumed with keep too small or tampered with")
+    return _json.loads(txt)
+
+
+def _root_used(path: str, spark=None) -> list[int]:
+    out = []
+    for name in fsutil.list_dir(path, spark=spark):
+        m = _ROOT_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _publish_root(path: str, parts: dict, epoch_id: int,
+                  expected: Optional[int], spark=None) -> int:
+    """Write the next root manifest, then swing the pointer — with the
+    flat store's optimistic re-check (a racing writer aborts loudly
+    instead of silently erasing this batch's sub-commits from the
+    published view)."""
+    used = _root_used(path, spark=spark)
+    version = (used[-1] + 1) if used else 1
+    fsutil.ensure_dir(path, spark=spark)
+    fsutil.write_text_atomic(
+        path.rstrip("/") + "/" + _root_name(version),
+        _json.dumps({"version": version, "epoch": int(epoch_id),
+                     "parts": dict(sorted(parts.items()))}),
+        spark=spark)
+    now = root_current(path, spark=spark)
+    if (now[0] if now is not None else None) != expected:
+        raise RuntimeError(
+            f"partitioned store {path!r}: root pointer moved from "
+            f"{expected} to {now} during this merge — another writer "
+            "violated the single-writer contract; this batch's root "
+            f"manifest {_root_name(version)} is an orphan")
+    fsutil.write_text_atomic(
+        path.rstrip("/") + "/" + _RPTR,
+        _json.dumps({"version": version, "epoch": int(epoch_id)}),
+        spark=spark)
+    return version
+
+
+def _root_parts(path: str, spark=None) -> Optional[dict]:
+    """The committed {token: sub version} mapping, None when the store
+    has no root pointer (legacy fallback: read sub heads)."""
+    root = root_current(path, spark=spark)
+    if root is None:
+        return None
+    return _load_root(path, root[0], spark=spark)["parts"]
+
+
+def _publish_root_from_heads(path: str, epoch_id: int, spark=None,
+                             *, force: bool = False) -> Optional[int]:
+    """Publish a root naming every partition's current sub head; the
+    shared tail of every writer.  Skips the write when an identical
+    mapping is already committed (no-op replay) unless ``force``."""
+    parts = {}
+    for t in _list_tokens(path, spark=spark):
+        cur = _m.manifest_current(_sub(path, t), spark=spark)
+        if cur is not None:
+            parts[t] = cur[0]
+    if not parts:
+        return None
+    root = root_current(path, spark=spark)
+    if root is not None and not force:
+        if _load_root(path, root[0], spark=spark)["parts"] == parts:
+            return None  # replay with nothing new: keep the root
+    return _publish_root(path, parts, epoch_id,
+                         expected=root[0] if root else None,
+                         spark=spark)
 
 
 def pmanifest_merge(updates: DataFrame, path: str, partition_col: str,
@@ -224,12 +345,16 @@ def pmanifest_merge(updates: DataFrame, path: str, partition_col: str,
     id (resume without checkpoint) would lose data the idempotent
     merge would have applied correctly.
 
-    Partial-failure honesty: a flat ``manifest_merge`` either commits
-    or doesn't; this call makes P independent commits, so an
-    exception can leave SOME partitions committed.  Retrying the same
-    call converges for upsert/max_by modes (idempotent) and for any
-    mode under ``epoch_id >= 0`` (the guard skips the committed
-    partitions) — but an AD-HOC additive merge (``epoch_id=-1``)
+    Batch atomicity (r9): the P sub-commits are STAGING until the
+    single root-pointer publish at the end of this call — a reader
+    resolves partitions through the committed root, so it sees
+    either the whole batch or none of it (module docstring).  A
+    partial failure (exception or crash mid-call) therefore never
+    exposes a torn view; it leaves sub-commits invisible.  Retrying
+    the same call converges for upsert/max_by modes (idempotent) and
+    for any mode under ``epoch_id >= 0`` (the guard skips the
+    committed partitions; the retry's root publish makes the batch
+    visible) — but an AD-HOC additive merge (``epoch_id=-1``)
     retried after a partial failure double-sums the partitions that
     had committed first.  Give additive merges an epoch.
 
@@ -297,6 +422,12 @@ def pmanifest_merge(updates: DataFrame, path: str, partition_col: str,
             path.rstrip("/") + "/" + _META,
             _json.dumps({"partition_col": partition_col}),
             spark=updates.sparkSession)
+    # the batch's ONE commit point: publish the root naming every
+    # partition's sub head.  Also heals a prior crash: a replay whose
+    # sub-commits all guard-skip still finds the heads differ from
+    # the committed root and publishes the missing root.
+    _publish_root_from_heads(path, epoch_id,
+                             spark=updates.sparkSession)
     return dict(r for r in results if r is not None)
 
 
@@ -319,19 +450,32 @@ def pmanifest_read(spark: SparkSession, path: str, *,
     monotonic across batches, which the foreachBatch contract
     provides.  Returns None when nothing selected was ever committed.
     Per-partition schema drift under ``evolve_schema`` is tolerated:
-    sub-frames union by name with null-fill."""
+    sub-frames union by name with null-fill.
+
+    Consistency: partitions resolve through the committed ROOT
+    pointer (module docstring) — sub-store commits a crashed batch
+    staged but never published are invisible, for plain reads and
+    ``epoch=`` reads alike.  Stores without a root (pre-r9) read
+    each sub-store's own head."""
     tokens = select_partitions(_list_tokens(path, spark=spark),
                                partitions=partitions, lo=lo, hi=hi)
+    parts = _root_parts(path, spark=spark)
+    if parts is not None:
+        tokens = [t for t in tokens if t in parts]
     frames = []
     for t in tokens:
         sub_path = _sub(path, t)
         if epoch is not None:
-            v = _version_asof_epoch(sub_path, epoch, spark=spark)
+            v = _version_asof_epoch(sub_path, epoch, spark=spark,
+                                    cap=None if parts is None
+                                    else parts[t])
             if v is None:
                 continue
             df = _m.manifest_read(spark, sub_path, version=v)
         else:
-            df = _m.manifest_read(spark, sub_path)
+            df = _m.manifest_read(
+                spark, sub_path,
+                version=None if parts is None else parts[t])
         if df is not None:
             frames.append(df)
     if not frames:
@@ -347,10 +491,22 @@ def pmanifest_partitions(spark: SparkSession, path: str
     """One row per partition — ``(partition, version, epoch)`` of its
     committed head — the discovery surface for operational checks
     (which days exist, how far each has ingested).  None when the
-    store has no committed partition."""
+    store has no committed partition.  Root-consistent: versions and
+    epochs are the ROOT-referenced ones, so a crash-staged partition
+    does not appear until its batch's root publishes."""
+    parts = _root_parts(path, spark=spark)
     rows = []
     for t in _list_tokens(path, spark=spark):
-        cur = _m.manifest_current(_sub(path, t), spark=spark)
+        sub = _sub(path, t)
+        if parts is not None:
+            if t not in parts:
+                continue
+            v = parts[t]
+            man = _m._load_manifest(sub, v, spark=spark)
+            rows.append((urllib.parse.unquote(t), v,
+                         int(man["epoch"])))
+            continue
+        cur = _m.manifest_current(sub, spark=spark)
         if cur is not None:
             rows.append((urllib.parse.unquote(t), cur[0], cur[1]))
     if not rows:
@@ -377,9 +533,14 @@ def pmanifest_lookup(spark: SparkSession, path: str, keys: DataFrame,
     contract).  Without it, every surviving partition is probed with
     the full key set — correct, since a key's partition value is
     functionally dependent on the key, so it matches in at most one.
-    Returns None when no selected partition was ever committed."""
+    Returns None when no selected partition was ever committed.
+    Root-consistent like ``pmanifest_read``: probes resolve each
+    partition at its root-referenced version."""
     tokens = select_partitions(_list_tokens(path, spark=spark),
                                partitions=partitions, lo=lo, hi=hi)
+    parts = _root_parts(path, spark=spark)
+    if parts is not None:
+        tokens = [t for t in tokens if t in parts]
     pcol = _recorded_pcol(path, spark=spark)
     frames = []
     if pcol is not None and pcol in keys.columns:
@@ -392,12 +553,16 @@ def pmanifest_lookup(spark: SparkSession, path: str, keys: DataFrame,
             if token not in tokens:
                 continue
             sub_keys = keys.filter(F.col(pcol) == F.lit(pval))
-            df = _m.manifest_lookup(spark, _sub(path, token), sub_keys)
+            df = _m.manifest_lookup(
+                spark, _sub(path, token), sub_keys,
+                version=None if parts is None else parts[token])
             if df is not None:
                 frames.append(df)
     else:
         for t in tokens:
-            df = _m.manifest_lookup(spark, _sub(path, t), keys)
+            df = _m.manifest_lookup(
+                spark, _sub(path, t), keys,
+                version=None if parts is None else parts[t])
             if df is not None:
                 frames.append(df)
     if not frames:
@@ -410,11 +575,50 @@ def pmanifest_lookup(spark: SparkSession, path: str, keys: DataFrame,
 
 def pmanifest_vacuum(path: str, *, keep: int = 1, spark=None) -> int:
     """Vacuum every sub-store (each with manifest_vacuum's
-    pointer-bounded safety); returns the total number of paths
-    (superseded manifests + unreferenced bucket dirs) deleted."""
+    pointer-bounded safety) plus the root manifests outside the keep
+    window; returns the total number of paths deleted.
+
+    Root-aware: each sub-store's keep window WIDENS to cover every
+    version a retained root still references — a partition untouched
+    for many root commits keeps its old (still-referenced) version
+    even when a plain ``keep`` window would have dropped it, and the
+    reader guarantee (any retained root resolves fully) survives the
+    vacuum.  Only root versions ``<= the committed root pointer`` are
+    touched (in-flight root publishes look like staging, exactly as
+    in the flat store)."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
     n = 0
+    root = root_current(path, spark=spark)
+    min_ref: dict = {}
+    if root is not None:
+        committed = root[0]
+        kept_roots = []
+        for v in _root_used(path, spark=spark):
+            if not committed - keep < v <= committed:
+                continue
+            try:
+                doc = _load_root(path, v, spark=spark)
+            except FileNotFoundError:
+                continue
+            kept_roots.append(v)
+            for t, sv in doc["parts"].items():
+                min_ref[t] = min(min_ref.get(t, sv), sv)
+        for name in fsutil.list_dir(path, spark=spark):
+            m = _ROOT_RE.match(name)
+            if m and int(m.group(1)) not in kept_roots \
+                    and int(m.group(1)) <= committed:
+                fsutil.delete(path.rstrip("/") + "/" + name,
+                              spark=spark)
+                n += 1
     for t in _list_tokens(path, spark=spark):
-        n += _m.manifest_vacuum(_sub(path, t), keep=keep, spark=spark)
+        sub = _sub(path, t)
+        k = keep
+        if t in min_ref:
+            cur = _m.manifest_current(sub, spark=spark)
+            if cur is not None:
+                k = max(keep, cur[0] - min_ref[t] + 1)
+        n += _m.manifest_vacuum(sub, keep=k, spark=spark)
     return n
 
 
@@ -459,6 +663,15 @@ def pmanifest_rebucket(spark: SparkSession, path: str,
             continue
         out[t] = _m.manifest_rebucket(spark, sub, n_buckets,
                                       compression=compression)
+    if out:
+        # layout rewrites change no data but DO move sub heads; the
+        # root must name the rebucketed versions or readers would
+        # keep resolving the pre-rebucket layout (and a vacuum could
+        # then reclaim it from under the root)
+        root = root_current(path, spark=spark)
+        _publish_root_from_heads(path,
+                                 root[1] if root is not None else -1,
+                                 spark=spark)
     return out
 
 
@@ -496,15 +709,21 @@ def pmanifest_changes(spark: SparkSession, path: str, *,
             f"need from_epoch <= to_epoch ({from_epoch}, {to_epoch})")
     tokens = select_partitions(_list_tokens(path, spark=spark),
                                partitions=partitions, lo=lo, hi=hi)
+    parts = _root_parts(path, spark=spark)
+    if parts is not None:
+        tokens = [t for t in tokens if t in parts]
     feeds = []
     for t in tokens:
         sub = _sub(path, t)
         cur = _m.manifest_current(sub, spark=spark)
         if cur is None:
             continue
-        v_from = _version_asof_epoch(sub, from_epoch, spark=spark)
-        v_to = cur[0] if to_epoch is None else \
-            _version_asof_epoch(sub, to_epoch, spark=spark)
+        cap = None if parts is None else parts[t]
+        v_from = _version_asof_epoch(sub, from_epoch, spark=spark,
+                                     cap=cap)
+        v_to = (cur[0] if cap is None else cap) \
+            if to_epoch is None else \
+            _version_asof_epoch(sub, to_epoch, spark=spark, cap=cap)
         if v_to is None or (v_from or 0) == v_to:
             continue  # absent at both epochs, or no commits between
         # v_from None is TRUSTWORTHY here: _version_asof_epoch raises
@@ -590,4 +809,8 @@ def pmanifest_merge_into(source: DataFrame, path: str, *,
             results = list(ex.map(_one, ordered))
     else:
         results = [_one(p) for p in ordered]
+    # same single commit point as pmanifest_merge: the MERGE's
+    # sub-commits become visible together when the root publishes
+    _publish_root_from_heads(path, epoch_id,
+                             spark=source.sparkSession)
     return dict(results)
