@@ -240,6 +240,106 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+@dataclass
+class NestedLinesM:
+    orderkey: int
+    total: float
+    customer: CustomerM
+    lines: list
+    n_lines: int
+    line_rev_e4: int
+
+
+def q_wrangle_nested_lineitems(spark, sf_dir):
+    """NEW r9 (VERDICT r8 #4): the nested-build amortization proof.
+    `wrangle_nested_customer` sits at ~2x the reference's per-record
+    time at 15k rows because a Spark job's fixed scheduling floor
+    (~0.3-0.5 s) dominates; per-record cost amortizes with row count,
+    and this query DEMONSTRATES it instead of arguing it: the same
+    wrangle compile surface over orders x lineitem — per order, a
+    customer STRUCT (Create) plus a lineitems ARRAY whose per-element
+    revenue is computed by the wrangle Map operator (JVM F.transform,
+    never Python) and folded with F.aggregate — 150k nested orders /
+    600k array elements at sf0.1, 10-50x the nested baseline's row
+    count, one shuffle (the lineitem group), one broadcast (customer).
+    The oracle sees the struct and array flattened to scalars (driver
+    canonicalizer contract)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    # prune to the 5 consumed columns BEFORE the explicit repartition
+    # (a repartition ships whole rows; pruning first keeps l_comment
+    # and friends out of the shuffle), then hash-partition on the
+    # group key at full parallelism: the testdata ships lineitem as
+    # ~3 files, so without this the struct build runs in 3 tasks.
+    # The aggregate reuses this exact partitioning (no second
+    # exchange); at real scale file count >> cores and Catalyst
+    # would reuse the same shuffle anyway.
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    lineitem = (_t(spark, sf_dir, "lineitem")
+                .select("l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount")
+                .repartition(shuffle_n, "l_orderkey"))
+    lines = (lineitem.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("l_linenumber").alias("ln"),
+            F.col("l_quantity").alias("qty"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_discount").alias("disc")))).alias("_lines")))
+    joined = (orders
+              .join(lines, orders.o_orderkey == lines.l_orderkey)
+              .join(F.broadcast(customer),
+                    orders.o_custkey == customer.c_custkey))
+    # per-line revenue in exact 1e-4 units: price and discount are
+    # 2dp decimals, so price*(1-disc) is an EXACT 4dp decimal whose
+    # float sum ties at 2dp-rounding boundaries ~1% of the time —
+    # summing BIGINT ten-thousandths is tie-free and engine-portable
+    rev = (Get("_lines")
+           | Map(lambda x: F.round(
+               x.getField("price")
+               * (F.lit(1.0) - x.getField("disc")) * 10000, 0)
+               .cast("long"))
+           | Expr(lambda c: F.aggregate(
+               c, F.lit(0).cast("long"), lambda a, v: a + v)))
+    p = Pipeline({
+        NestedLinesM: {
+            "orderkey": Get("o_orderkey"),
+            "total": Get("o_totalprice") | Expr(lambda c: F.round(c, 2)),
+            "customer": Create(CustomerM),
+            "lines": Get("_lines"),
+            "n_lines": Get("_lines")
+                       | Expr(lambda c: F.size(c).cast("long")),
+            "line_rev_e4": rev,
+        },
+        CustomerM: {
+            "key": Get("c_custkey"),
+            "name": Get("c_name"),
+            "segment": Get("c_mktsegment") | Default("NONE"),
+        },
+    })
+    nested = p.create_multiple(NestedLinesM, joined)
+    return nested.select(
+        "orderkey", "total",
+        F.col("customer").getField("key").alias("cust_key"),
+        F.col("customer").getField("segment").alias("cust_segment"),
+        "n_lines", "line_rev_e4")
+
+
+SQL_WRANGLE_NESTED_LINES = """
+SELECT o_orderkey AS orderkey,
+       round(o_totalprice, 2) AS total,
+       c_custkey AS cust_key,
+       CASE WHEN c_mktsegment IS NULL OR c_mktsegment = '' THEN 'NONE'
+            ELSE c_mktsegment END AS cust_segment,
+       count(*)::BIGINT AS n_lines,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                AS BIGINT))::BIGINT AS line_rev_e4
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_split_leakage_audit(spark, sf_dir):
     """Split-leakage AUDIT (composition: ``doc_fingerprint`` ×
     ``split_assign``): for every duplicated content fingerprint, how
@@ -8009,9 +8109,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_order_docs": q_curriculum_order_docs,  # last driver check: r5
     "token_fertility_lang": q_token_fertility_lang,  # last driver check: r5
     "group_split_sources": q_group_split_sources,  # last driver check: r5
-    "sequential_ids_orders": q_sequential_ids_orders,  # last driver check: r5
+    "wrangle_nested_lineitems": q_wrangle_nested_lineitems,  # NEW r9: nested amortization
     "text_index_blocked_docs": q_text_index_blocked_docs,  # NEW r9: block-split postings
     # ---- below the 50-slot driver window from here down ----
+    "sequential_ids_orders": q_sequential_ids_orders,  # r5 (displaced by the r9 entry above)
     "flatten_nested_customer": q_flatten_nested_customer,  # r5 (displaced by the r9 entry above)
     # (r8-vintage greens first -- checked last round; then r6/r7.)
     "bloom_dedup_docs": q_bloom_dedup_docs,  # r8
@@ -8232,6 +8333,7 @@ _ORACLES: dict[str, str] = {
     # BM25, so they share its oracle (plus a deterministic order)
     "text_index_search_docs": SQL_BM25 + " ORDER BY doc_id",
     "text_index_blocked_docs": SQL_BM25 + " ORDER BY doc_id",
+    "wrangle_nested_lineitems": SQL_WRANGLE_NESTED_LINES,
     "stream_text_index_docs": SQL_BM25 + " ORDER BY doc_id",
     "pmanifest_cdf_orders": SQL_PMANIFEST_CDF,
     "merge_into_orders": SQL_MERGE_INTO,

@@ -73,6 +73,7 @@ HEADLINE = [
     "resize_images",
     "sample_frames",
     "zorder_col",
+    "wrangle_nested_lineitems",
     "wrangle_array_ops",
     "cube_orders",
     "corpus_clean_pipeline",
@@ -225,6 +226,27 @@ def main() -> None:
     warm = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     warm.groupBy("o_orderstatus").count().count()
 
+    # host calibration probe (r9, VERDICT r8 #6): the same fixed query
+    # (q1) timed CAL_RUNS times before the sweep.  r8's +7.4% headline
+    # "regression" was host drift (the idle-host q1 probe moved
+    # 0.40 -> 0.54 s with zero code churn under it); recording the
+    # probe with every bench makes drift measurable instead of argued.
+    # host_factor = probe_median / reference (r7 idle-host 0.40 s);
+    # queries_normalized divides raw times by it for round-over-round
+    # comparison on a drifted host.  The probe runs are NOT part of
+    # the timed totals.
+    CAL_REFERENCE_SEC = 0.40  # r7 idle-host q1 median, the fixed anchor
+    CAL_RUNS = 5
+    cal_fn = qs["q1_pricing_summary"]
+    cal_samples = []
+    for _ in range(CAL_RUNS):
+        t0 = time.perf_counter()
+        _consume(cal_fn(spark, sf_dir))
+        cal_samples.append(round(time.perf_counter() - t0, 3))
+        spark.catalog.clearCache()
+    cal_median = _median(cal_samples)
+    host_factor = round(cal_median / CAL_REFERENCE_SEC, 3)
+
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     for name in names:
@@ -258,6 +280,16 @@ def main() -> None:
         "aggregation": "median" if runs > 1 else "single",
         "consume": "noop_sink_all_columns",
         "cpus": cpus,
+        "calibration": {
+            "probe": "q1_pricing_summary",
+            "runs": cal_samples,
+            "median_sec": cal_median,
+            "reference_sec": CAL_REFERENCE_SEC,
+            "host_factor": host_factor,
+        },
+        "queries_normalized": {
+            n: round(t / host_factor, 3) if host_factor > 0 else t
+            for n, t in timings.items()},
     })
     # sidecar copy: the driver's stdout tail-capture truncated the
     # one-line JSON once (BENCH_r03 "parsed": null) — the file is the

@@ -1604,3 +1604,63 @@ def test_bloom_sidecar_pinned_before_first_commit(
         drain(1 << 11)
     drain(1 << 10)  # original params replay cleanly
     assert acid_mod.acid_current(store) is not None
+
+
+def test_lsh_hot_bucket_skew_guard(spark):
+    """VERDICT r8 #7: a degenerate corpus where many docs share one
+    boilerplate shingle run (one (band, bhash) bucket holds them all)
+    must not explode into quadratic candidate pairs: the guard drops
+    the hot buckets LOUDLY, the candidate count stays bounded, and
+    genuinely near-dup pairs still surface through their other
+    bands."""
+    import pytest as _pytest
+
+    from wrangle_pypes_spark.operators.dedup import (
+        _drop_hot_lsh_buckets, minhash_banded, minhash_lsh_dup_pairs,
+        minhash_lsh_pairs_against)
+
+    boiler = "all rights reserved contact us terms of service apply"
+    rows = [(i, f"unique token{i} alpha{i % 7} " + boiler)
+            for i in range(200)]
+    # plus one genuine near-dup pair with distinct text
+    rows += [(900, "the quick brown fox jumps over the lazy dog today"),
+             (901, "the quick brown fox jumps over the lazy dog now")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    # ungated: the boilerplate bucket alone yields O(200^2) candidates
+    banded = minhash_banded(docs, "text", id_col="doc_id")
+    top = (banded.groupBy("band", "bhash").count()
+           .agg(F.max("count")).collect()[0][0])
+    assert top >= 100  # the planted hot bucket exists (unique
+    # leading tokens win some docs' band minima, so not all 200 land)
+
+    with _pytest.warns(UserWarning, match="hot LSH bucket"):
+        pairs = minhash_lsh_dup_pairs(
+            docs, "text", id_col="doc_id", jaccard_threshold=0.5,
+            max_bucket=50).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (900, 901) in found  # genuine pair survives the guard
+    # bounded: nothing near the 200^2/2 ~ 20k the hot bucket implies
+    assert len(pairs) < 1000
+
+    # incremental twin: the corpus-side hot bucket is dropped too
+    idx = minhash_banded(docs, "text", id_col="doc_id")
+    probe = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id int, text string")
+    with _pytest.warns(UserWarning, match="hot LSH bucket"):
+        inc = minhash_lsh_pairs_against(
+            probe.unionByName(spark.createDataFrame(
+                [(2000, "fresh text " + boiler)],
+                "doc_id int, text string")),
+            idx, "text", id_col="doc_id", jaccard_threshold=0.5,
+            max_bucket=50).collect()
+    assert {(r.id_a, r.id_b) for r in inc} >= {(1000, 900), (1000, 901)}
+
+    # guard off: quadratic candidates really do come back (the thing
+    # the guard exists to stop), and validation rejects max_bucket<2
+    nog = minhash_lsh_dup_pairs(docs, "text", id_col="doc_id",
+                                jaccard_threshold=0.0, max_bucket=None)
+    assert nog.count() > 15000
+    with _pytest.raises(ValueError, match="max_bucket"):
+        _drop_hot_lsh_buckets(banded, 1, "x")

@@ -235,6 +235,49 @@ def minhash_banded(df: DataFrame, text_col: str, *, id_col: str,
     ).select(id_col, "signature", "lsh.band", "lsh.bhash")
 
 
+def _drop_hot_lsh_buckets(banded: DataFrame, max_bucket: Optional[int],
+                          context: str) -> DataFrame:
+    """Skew guard for the banded equi-join (VERDICT r8 #7): a
+    boilerplate-grade shingle run makes one (band, bhash) bucket hold
+    k docs and the join emit O(k²) candidate pairs — the same hazard
+    class as the text index's hot-posting row, at the join instead of
+    the row.  Buckets holding more than ``max_bucket`` rows are
+    DROPPED from candidate generation, LOUDLY (one warning carrying
+    the bucket and row counts — never silently): a bucket that hot is
+    non-discriminative boilerplate, the affected docs' genuine
+    near-dups still surface through their other ``bands - 1`` buckets
+    (which only all collide together for actual near-dups), and
+    byte-identical boilerplate is exact/paragraph dedup's job anyway.
+    ``max_bucket=None`` disables the guard.  Cost when enabled: one
+    count aggregate over the banded table plus a broadcast anti-join
+    of the (few) hot bucket keys."""
+    if max_bucket is None:
+        return banded
+    if max_bucket < 2:
+        raise ValueError(
+            "max_bucket must be >= 2 (a 1-doc bucket emits no pairs)")
+    import warnings
+
+    hot = (banded.groupBy("band", "bhash")
+           .agg(F.count(F.lit(1)).alias("_bk"))
+           .filter(F.col("_bk") > max_bucket))
+    stat = hot.agg(F.count(F.lit(1)).alias("nb"),
+                   F.sum("_bk").alias("nr")).collect()[0]
+    if not stat["nb"]:
+        return banded
+    warnings.warn(
+        f"{context}: dropping {stat['nb']} hot LSH bucket(s) holding "
+        f"{stat['nr']} banded rows from candidate generation (over "
+        f"max_bucket={max_bucket} docs in one (band, bhash) bucket — "
+        "boilerplate-grade shingles whose candidate pairs would be "
+        "quadratic). Affected docs' near-dups can still surface via "
+        "their other bands; use exact/paragraph dedup for "
+        "byte-identical boilerplate, or raise max_bucket.",
+        stacklevel=3)
+    return banded.join(F.broadcast(hot.select("band", "bhash")),
+                       ["band", "bhash"], "left_anti")
+
+
 def _verified_pairs(cand: DataFrame, num_hashes: int,
                     jaccard_threshold: float) -> DataFrame:
     est = (F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
@@ -250,7 +293,9 @@ def minhash_lsh_pairs_against(new_df: DataFrame, banded_corpus: DataFrame,
                               text_col: str, *, id_col: str,
                               num_hashes: int = 64, bands: int = 16,
                               shingle_n: int = 3,
-                              jaccard_threshold: float = 0.8) -> DataFrame:
+                              jaccard_threshold: float = 0.8,
+                              max_bucket: Optional[int] = 4096
+                              ) -> DataFrame:
     """Incremental near-dup detection: NEW batch vs an EXISTING banded
     signature table (from ``minhash_banded``, same parameters).
 
@@ -264,6 +309,13 @@ def minhash_lsh_pairs_against(new_df: DataFrame, banded_corpus: DataFrame,
     banded_new = minhash_banded(new_df, text_col, id_col=id_col,
                                 num_hashes=num_hashes, bands=bands,
                                 shingle_n=shingle_n)
+    # skew guard on BOTH join sides (a bucket hot on either side makes
+    # the cross product explode); the guard never filters what a
+    # caller stores — only what joins here
+    banded_new = _drop_hot_lsh_buckets(
+        banded_new, max_bucket, "minhash_lsh_pairs_against[batch]")
+    banded_corpus = _drop_hot_lsh_buckets(
+        banded_corpus, max_bucket, "minhash_lsh_pairs_against[corpus]")
     a = banded_new.alias("a")
     b = banded_corpus.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
@@ -281,7 +333,8 @@ def minhash_lsh_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
                           num_hashes: int = 64, bands: int = 16,
                           shingle_n: int = 3,
                           jaccard_threshold: float = 0.8,
-                          persist: bool = True) -> DataFrame:
+                          persist: bool = True,
+                          max_bucket: Optional[int] = 4096) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard) via MinHash LSH.
 
     Pipeline: signatures -> split into ``bands`` -> explode one row per
@@ -300,12 +353,20 @@ def minhash_lsh_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
     runs TWICE (measured 2x wall).  Signatures are ~0.1% of corpus
     bytes, so persisting them is the right call at any scale (at 100 TB
     you would write them to a table and join from there).
+
+    ``max_bucket`` is the skew guard (``_drop_hot_lsh_buckets``):
+    (band, bhash) buckets holding more docs than it — boilerplate-
+    grade shingle collisions — are dropped from candidate generation
+    with a loud warning, bounding any one bucket's pair fan-out at
+    max_bucket² instead of corpus².  ``None`` disables.
     """
     banded = minhash_banded(df, text_col, id_col=id_col,
                             num_hashes=num_hashes, bands=bands,
                             shingle_n=shingle_n)
     if persist:
         banded = banded.persist()
+    banded = _drop_hot_lsh_buckets(banded, max_bucket,
+                                   "minhash_lsh_dup_pairs")
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -1697,6 +1697,7 @@ def foreach_batch_minhash_index(stream_df: DataFrame, index_path: str, *,
                                 num_hashes: int = 64, bands: int = 16,
                                 shingle_n: int = 3,
                                 jaccard_threshold: float = 0.8,
+                                max_bucket: Optional[int] = 4096,
                                 checkpoint: Optional[str] = None):
     """Continuously maintained MinHash/LSH dedup index: per
     micro-batch, (1) find near-dup pairs WITHIN the batch, (2) find
@@ -1727,7 +1728,10 @@ def foreach_batch_minhash_index(stream_df: DataFrame, index_path: str, *,
     (id_a < id_b).  Per-batch read cost: one banded equi-join against
     the accumulated index — the 100 TB ingest-dedup topology.  When
     ``pairs_path`` is None only the index is maintained and no pair
-    plan is built at all.
+    plan is built at all.  ``max_bucket`` is the banded-join skew
+    guard (``operators.dedup._drop_hot_lsh_buckets``): it bounds
+    candidate fan-out at pair time and NEVER filters what the index
+    stores — every signature is retained.
     """
     from .. import fsutil
     from ..operators.dedup import (minhash_banded, minhash_lsh_dup_pairs,
@@ -1750,7 +1754,7 @@ def foreach_batch_minhash_index(stream_df: DataFrame, index_path: str, *,
             canon = _canon(minhash_lsh_dup_pairs(
                 batch_df, text_col, id_col=id_col,
                 jaccard_threshold=jaccard_threshold, persist=False,
-                **kw))
+                max_bucket=max_bucket, **kw))
             if have_index:
                 # exclude THIS batch's own partition (partition-
                 # pruned): on a redelivery the index already holds
@@ -1761,7 +1765,8 @@ def foreach_batch_minhash_index(stream_df: DataFrame, index_path: str, *,
                 canon = canon.unionByName(_canon(
                     minhash_lsh_pairs_against(
                         batch_df, idx, text_col, id_col=id_col,
-                        jaccard_threshold=jaccard_threshold, **kw)))
+                        jaccard_threshold=jaccard_threshold,
+                        max_bucket=max_bucket, **kw)))
             _write_epoch_partition(canon, pairs_path, tag)
         sigs = minhash_banded(batch_df, text_col, id_col=id_col, **kw)
         _write_epoch_partition(sigs, index_path, tag)
