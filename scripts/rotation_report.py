@@ -3,7 +3,7 @@
 its latest CORRECTNESS_r*.json status and round, flagging rotation
 debt (never driver-checked) and the current window contents.
 
-Usage: python scripts/rotation_report.py [repo_dir] [--stale]
+Usage: python scripts/rotation_report.py [repo_dir] [--stale] [--census]
 
 ``--stale`` additionally computes, from git history, every query
 whose IMPLEMENTING CODE changed after its last driver check — the
@@ -255,7 +255,8 @@ def _stale_analysis(repo: str, qs: dict, latest: dict):
 def main() -> int:
     args = [a for a in sys.argv[1:]]
     want_stale = "--stale" in args
-    args = [a for a in args if a != "--stale"]
+    want_census = "--census" in args
+    args = [a for a in args if a not in ("--stale", "--census")]
     repo = args[0] if args else \
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
@@ -265,6 +266,22 @@ def main() -> int:
     names = list(qs)
     oracles = set(entry.oracle_sql())
     window = set(names[:WINDOW_SIZE])
+
+    if want_census:
+        # the SURVEY census paragraph, generated from the registry so
+        # the load-bearing counts can never go stale again (VERDICT
+        # r8 #5): paste the output over the "registered queries"
+        # sentence in SURVEY.md
+        n_total = len(names)
+        n_val = sum(1 for n in names if n in oracles)
+        rows_only = [n for n in names if n not in oracles]
+        print(f"{n_total} registered queries; {n_val} with value-level "
+              f"oracles (the {len(rows_only)} rows-only ones:")
+        for n in rows_only:
+            print(f"  {n}")
+        print(")")
+        return 0
+
     latest = _latest_statuses(repo, oracles)
 
     counts: dict[str, int] = {}
