@@ -5349,6 +5349,70 @@ def q_pmanifest_prune_orders(spark, sf_dir):
             .orderBy("o_year", "o_orderpriority"))
 
 
+def q_pmanifest_root_travel_orders(spark, sf_dir):
+    """NEW r9: root-pointer time travel on the partitioned store
+    (VERDICT r8 #3 follow-through): every pmanifest batch now
+    publishes ONE root manifest naming all partitions' sub versions,
+    so the store has true cross-partition VERSION AS OF —
+    ``pmanifest_read(root_version=)`` reads the exact snapshot a
+    retained root named, and ``pmanifest_history`` lists them.  Three
+    epoch commits (load → double %100 keys in 1994-96 → halve %50
+    keys everywhere); the query reads root_version=2 — the mid
+    snapshot — whose state the oracle recomputes from raw orders.
+    The third commit's changes must be invisible at that root."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.partitioned import (
+        pmanifest_history, pmanifest_merge, pmanifest_read)
+
+    o = (_t(spark, sf_dir, "orders")
+         .select("o_orderkey",
+                 F.trunc("o_orderdate", "year").alias("o_year"),
+                 "o_orderpriority", "o_totalprice")
+         .filter(F.col("o_year").between("1993-01-01", "1997-12-31"))
+         .localCheckpoint(eager=True))
+    store = tempfile.mkdtemp(prefix="wps_proot_") + "/orders"
+    pmanifest_merge(o, store, "o_year", ["o_orderkey"], epoch_id=0,
+                    n_buckets=4)
+    upd1 = (o.filter((F.col("o_orderkey") % 100 == 0)
+                     & F.col("o_year").between("1994-01-01",
+                                               "1996-12-31"))
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .localCheckpoint(eager=True))
+    pmanifest_merge(upd1, store, "o_year", ["o_orderkey"], epoch_id=1,
+                    n_buckets=4)
+    upd2 = (o.filter(F.col("o_orderkey") % 50 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") / 2)
+            .localCheckpoint(eager=True))
+    pmanifest_merge(upd2, store, "o_year", ["o_orderkey"], epoch_id=2,
+                    n_buckets=4)
+    # sanity the discovery surface inside the query: 3 retained roots
+    assert pmanifest_history(spark, store).count() == 3
+    asof = pmanifest_read(spark, store, root_version=2)
+    return (asof.groupBy("o_year", "o_orderpriority")
+            .agg(F.count("*").cast("bigint").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .withColumn("o_year", F.col("o_year").cast("date"))
+            .orderBy("o_year", "o_orderpriority"))
+
+
+SQL_PMANIFEST_ROOT_TRAVEL = """
+SELECT date_trunc('year', o_orderdate)::DATE AS o_year,
+       o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       round(sum(CASE WHEN o_orderkey % 100 = 0
+                       AND date_trunc('year', o_orderdate)::DATE
+                           BETWEEN DATE '1994-01-01' AND DATE '1996-12-31'
+                      THEN o_totalprice * 2
+                      ELSE o_totalprice END), 2) AS revenue
+FROM orders
+WHERE date_trunc('year', o_orderdate)::DATE
+      BETWEEN DATE '1993-01-01' AND DATE '1997-12-31'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 SQL_PMANIFEST_PRUNE = """
 SELECT date_trunc('year', o_orderdate)::DATE AS o_year,
        o_orderpriority,
@@ -8108,10 +8172,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_vacuum_store": q_cdc_vacuum_store,  # last driver check: r5
     "curriculum_order_docs": q_curriculum_order_docs,  # last driver check: r5
     "token_fertility_lang": q_token_fertility_lang,  # last driver check: r5
-    "group_split_sources": q_group_split_sources,  # last driver check: r5
+    "pmanifest_root_travel_orders": q_pmanifest_root_travel_orders,  # NEW r9: root VERSION AS OF
     "wrangle_nested_lineitems": q_wrangle_nested_lineitems,  # NEW r9: nested amortization
     "text_index_blocked_docs": q_text_index_blocked_docs,  # NEW r9: block-split postings
     # ---- below the 50-slot driver window from here down ----
+    "group_split_sources": q_group_split_sources,  # r5 (displaced by the r9 entry above)
     "sequential_ids_orders": q_sequential_ids_orders,  # r5 (displaced by the r9 entry above)
     "flatten_nested_customer": q_flatten_nested_customer,  # r5 (displaced by the r9 entry above)
     # (r8-vintage greens first -- checked last round; then r6/r7.)
@@ -8438,6 +8503,7 @@ _ORACLES: dict[str, str] = {
     # the manifest store drains the same stream to the same state
     "stream_rollup_manifest_store": SQL_STREAM_ROLLUP,
     "pmanifest_prune_orders": SQL_PMANIFEST_PRUNE,
+    "pmanifest_root_travel_orders": SQL_PMANIFEST_ROOT_TRAVEL,
     "stream_rollup_pmanifest_store": SQL_STREAM_ROLLUP_PMAN,
     "cms_heavy_hitters_custkey": SQL_CMS_HH,
     "stream_cms_user_hitters": SQL_STREAM_CMS,

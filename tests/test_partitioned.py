@@ -895,3 +895,41 @@ def test_legacy_store_without_root_reads_heads_then_upgrades(
         {"2024-01-01", "2024-02-01"}
     assert _kv(spark, store) == {1: (_d("2024-01-01"), "a2"),
                                  2: (_d("2024-02-01"), "b")}
+
+
+def test_root_history_and_version_asof_read(spark, tmp_path):
+    """pmanifest_history lists retained root commits; root_version=
+    reads the exact cross-partition snapshot each one named."""
+    from wrangle_pypes_spark.sources.partitioned import pmanifest_history
+
+    store = str(tmp_path / "hist")
+    pmanifest_merge(
+        _rows(spark, [(1, _d("2024-01-01"), "a")]),
+        store, "day", ["k"], epoch_id=0, n_buckets=2)
+    pmanifest_merge(
+        _rows(spark, [(2, _d("2024-02-01"), "b")]),
+        store, "day", ["k"], epoch_id=1, n_buckets=2)
+    pmanifest_merge(
+        _rows(spark, [(1, _d("2024-01-01"), "a2")]),
+        store, "day", ["k"], epoch_id=2, n_buckets=2)
+
+    h = {r.version: (r.epoch, r.n_partitions, r.is_head)
+         for r in pmanifest_history(spark, store).collect()}
+    assert h == {1: (0, 1, False), 2: (1, 2, False), 3: (2, 2, True)}
+    assert _kv(spark, store, root_version=1) == \
+        {1: (_d("2024-01-01"), "a")}
+    assert _kv(spark, store, root_version=2) == \
+        {1: (_d("2024-01-01"), "a"), 2: (_d("2024-02-01"), "b")}
+    assert _kv(spark, store, root_version=3) == _kv(spark, store)
+
+    with pytest.raises(ValueError, match="never committed"):
+        pmanifest_read(spark, store, root_version=9)
+    with pytest.raises(ValueError, match="not both"):
+        pmanifest_read(spark, store, root_version=1, epoch=0)
+    # vacuum shrinks the travelable window, loudly
+    pmanifest_vacuum(store, keep=1)
+    assert sorted(r.version for r in
+                  pmanifest_history(spark, store).collect()) == [3]
+    with pytest.raises(ValueError, match="retained window"):
+        pmanifest_read(spark, store, root_version=1)
+    assert pmanifest_history(spark, str(tmp_path / "none")) is None

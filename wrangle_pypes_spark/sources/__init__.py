@@ -15,7 +15,7 @@ from .manifest import (manifest_changes, manifest_current,
                        manifest_history, manifest_lookup,
                        manifest_rebucket,
                        manifest_stats, manifest_vacuum)
-from .partitioned import (pmanifest_changes,
+from .partitioned import (pmanifest_changes, pmanifest_history,
                           pmanifest_lookup, pmanifest_merge,
                           pmanifest_merge_into,
                           pmanifest_partitions, pmanifest_read,
@@ -45,7 +45,7 @@ __all__ = ("TABLES", "acid_commit", "acid_current", "acid_read",
            "manifest_stats",
            "manifest_vacuum",
            "parse_json_col",
-           "pmanifest_changes",
+           "pmanifest_changes", "pmanifest_history",
            "pmanifest_lookup", "pmanifest_merge", "pmanifest_merge_into",
            "pmanifest_partitions",
            "pmanifest_read", "pmanifest_rebucket", "pmanifest_stats",

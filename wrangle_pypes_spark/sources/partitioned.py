@@ -320,6 +320,33 @@ def _publish_root_from_heads(path: str, epoch_id: int, spark=None,
                          spark=spark)
 
 
+def pmanifest_history(spark: SparkSession, path: str
+                      ) -> Optional[DataFrame]:
+    """Time-travel discovery for the partitioned store: one row per
+    RETAINED root manifest — ``(version, epoch, n_partitions,
+    is_head)`` — exactly the cross-partition snapshots
+    ``pmanifest_read(root_version=)`` can still serve.  ``None`` for
+    a store with no root (pre-root layout: use per-sub
+    ``manifest_history``).  Driver cost: one tiny JSON per retained
+    root, bounded by the vacuum keep-window."""
+    root = root_current(path, spark=spark)
+    if root is None:
+        return None
+    rows = []
+    for v in _root_used(path, spark=spark):
+        if v > root[0]:
+            continue  # staged/orphaned above the pointer
+        try:
+            doc = _load_root(path, v, spark=spark)
+        except FileNotFoundError:
+            continue  # vacuumed
+        rows.append((v, int(doc["epoch"]), len(doc["parts"]),
+                     v == root[0]))
+    return spark.createDataFrame(
+        rows, "version int, epoch int, n_partitions int, "
+              "is_head boolean")
+
+
 def pmanifest_merge(updates: DataFrame, path: str, partition_col: str,
                     key_cols: Sequence[str], *, epoch_id: int = -1,
                     mode: str = "upsert", n_buckets: int = 16,
@@ -434,7 +461,8 @@ def pmanifest_merge(updates: DataFrame, path: str, partition_col: str,
 def pmanifest_read(spark: SparkSession, path: str, *,
                    partitions: Optional[Sequence] = None,
                    lo=None, hi=None,
-                   epoch: Optional[int] = None
+                   epoch: Optional[int] = None,
+                   root_version: Optional[int] = None
                    ) -> Optional[DataFrame]:
     """The committed store content, PRUNED to the partitions selected
     by ``partitions`` (explicit values) and/or the inclusive
@@ -456,10 +484,39 @@ def pmanifest_read(spark: SparkSession, path: str, *,
     pointer (module docstring) — sub-store commits a crashed batch
     staged but never published are invisible, for plain reads and
     ``epoch=`` reads alike.  Stores without a root (pre-r9) read
-    each sub-store's own head."""
+    each sub-store's own head.
+
+    ``root_version=`` time-travels the WHOLE store to an earlier
+    retained root commit (``pmanifest_history`` lists them) — the
+    VERSION-AS-OF twin of ``epoch=``, reading every partition at
+    exactly the sub version that root named (partitions absent from
+    it read as absent).  Mutually exclusive with ``epoch``."""
+    if root_version is not None and epoch is not None:
+        raise ValueError("pass either root_version= or epoch=, "
+                         "not both")
     tokens = select_partitions(_list_tokens(path, spark=spark),
                                partitions=partitions, lo=lo, hi=hi)
-    parts = _root_parts(path, spark=spark)
+    if root_version is not None:
+        root = root_current(path, spark=spark)
+        if root is None:
+            raise ValueError(
+                f"store {path!r} has no root pointer — "
+                "root_version time travel needs the r9 layout")
+        if root_version > root[0]:
+            raise ValueError(
+                f"root version {root_version} was never committed "
+                f"(head is {root[0]}) — newer on-disk roots are "
+                "crash orphans")
+        try:
+            parts = _load_root(path, root_version,
+                               spark=spark)["parts"]
+        except FileNotFoundError:
+            raise ValueError(
+                f"root version {root_version} is outside the "
+                "retained window (vacuumed) — keep a larger "
+                "pmanifest_vacuum window or use a retained version")
+    else:
+        parts = _root_parts(path, spark=spark)
     if parts is not None:
         tokens = [t for t in tokens if t in parts]
     frames = []
