@@ -2387,6 +2387,93 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_hard_negatives_emb(spark, sf_dir):
+    """NEW r9: hard-negative mining (operators/similarity.py
+    ``hard_negatives``) — per query embedding, the top-5 most-similar
+    DIFFERENT-label vectors: the near-miss examples contrastive /
+    embedding-model training learns most from.  Exact
+    bounded-broadcast baseline (queries are the small side), the
+    whitelisted twin of ``hard_negatives_lsh``'s bucketed equi-join
+    scale path (recall-audited in tests)."""
+    from wrangle_pypes_spark.operators import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = hard_negatives(emb, id_col="vec_id", vec_col="embedding",
+                         label_col="label", k=5,
+                         queries=emb.filter(F.col("vec_id") < 20))
+    return out.select("query_id", "query_label", "neighbor_id",
+                      "neighbor_label",
+                      F.round(F.col("cosine"), 6).alias("cosine"))
+
+
+SQL_HARD_NEG = """
+SELECT q.vec_id AS query_id, q.label AS query_label,
+       c.vec_id AS neighbor_id, c.label AS neighbor_label,
+       round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings q, embeddings c
+WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id AND c.label <> q.label
+QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[])
+             DESC, c.vec_id) <= 5
+"""
+
+
+def q_mine_triplets_emb(spark, sf_dir):
+    """NEW r9: hardest-triplet mining (``mine_triplets``) — per
+    anchor, the hardest positive (same label, least similar) and
+    hardest negative (different label, most similar) with the margin
+    between them; negative margins are the loss-violating triplets a
+    triplet-margin trainer feeds on.  Margin is emitted in exact 1e-6
+    units as BIGINT (two rounded doubles subtract tie-free)."""
+    from wrangle_pypes_spark.operators import mine_triplets
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = mine_triplets(emb, id_col="vec_id", vec_col="embedding",
+                        label_col="label",
+                        queries=emb.filter(F.col("vec_id") < 30))
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    return (out.select(
+        "anchor_id", "anchor_label", "pos_id",
+        r6(F.col("pos_cosine")).alias("pos_cosine"),
+        "neg_id", r6(F.col("neg_cosine")).alias("neg_cosine"),
+        (F.round(F.col("pos_cosine") * 1e6, 0).cast("long")
+         - F.round(F.col("neg_cosine") * 1e6, 0).cast("long"))
+        .alias("margin_e6"))
+        .orderBy("anchor_id"))
+
+
+SQL_MINE_TRIPLETS = """
+WITH pairs AS (
+  SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+         c.vec_id AS cid, c.label AS clabel,
+         list_cosine_similarity(q.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]) AS cos
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 30 AND c.vec_id <> q.vec_id
+), pos AS (
+  SELECT anchor_id, anchor_label, cid AS pos_id, cos AS pos_cos
+  FROM pairs WHERE clabel = anchor_label
+  QUALIFY row_number() OVER (PARTITION BY anchor_id
+                             ORDER BY cos ASC, cid ASC) = 1
+), neg AS (
+  SELECT anchor_id, cid AS neg_id, cos AS neg_cos
+  FROM pairs WHERE clabel <> anchor_label
+  QUALIFY row_number() OVER (PARTITION BY anchor_id
+                             ORDER BY cos DESC, cid ASC) = 1
+)
+SELECT pos.anchor_id, pos.anchor_label, pos.pos_id,
+       round(pos.pos_cos, 6) AS pos_cosine,
+       neg.neg_id, round(neg.neg_cos, 6) AS neg_cosine,
+       (CAST(round(pos.pos_cos * 1e6, 0) AS BIGINT)
+        - CAST(round(neg.neg_cos * 1e6, 0) AS BIGINT)) AS margin_e6
+FROM pos JOIN neg USING (anchor_id)
+ORDER BY pos.anchor_id
+"""
+
+
 def q_embedding_norms(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -8170,12 +8257,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample_langs": q_stratified_sample_langs,  # last driver check: r5
     "cdc_apply_orders": q_cdc_apply_orders,  # last driver check: r5
     "cdc_vacuum_store": q_cdc_vacuum_store,  # last driver check: r5
-    "curriculum_order_docs": q_curriculum_order_docs,  # last driver check: r5
-    "token_fertility_lang": q_token_fertility_lang,  # last driver check: r5
+    "hard_negatives_emb": q_hard_negatives_emb,  # NEW r9: hard-negative mining
+    "mine_triplets_emb": q_mine_triplets_emb,  # NEW r9: hardest-triplet mining
     "pmanifest_root_travel_orders": q_pmanifest_root_travel_orders,  # NEW r9: root VERSION AS OF
     "wrangle_nested_lineitems": q_wrangle_nested_lineitems,  # NEW r9: nested amortization
     "text_index_blocked_docs": q_text_index_blocked_docs,  # NEW r9: block-split postings
     # ---- below the 50-slot driver window from here down ----
+    "curriculum_order_docs": q_curriculum_order_docs,  # r5 (displaced by r9 entries)
+    "token_fertility_lang": q_token_fertility_lang,  # r5 (displaced by r9 entries)
     "group_split_sources": q_group_split_sources,  # r5 (displaced by the r9 entry above)
     "sequential_ids_orders": q_sequential_ids_orders,  # r5 (displaced by the r9 entry above)
     "flatten_nested_customer": q_flatten_nested_customer,  # r5 (displaced by the r9 entry above)
@@ -8464,6 +8553,8 @@ _ORACLES: dict[str, str] = {
     "text_stats": SQL_TEXT_STATS,
     "lang_id": SQL_LANG_ID,
     "knn_cosine_top5": SQL_KNN,
+    "hard_negatives_emb": SQL_HARD_NEG,
+    "mine_triplets_emb": SQL_MINE_TRIPLETS,
     "embedding_norms": SQL_NORMS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "top_ngrams_corpus": SQL_TOP_NGRAMS,

@@ -64,6 +64,8 @@ HEADLINE = [
     "text_stats",
     "lang_id",
     "knn_cosine_top5",
+    "hard_negatives_emb",
+    "mine_triplets_emb",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "embedding_near_dup_lsh",

@@ -142,6 +142,15 @@ NLJ_BROADCAST_OK: dict[str, str] = {
         "eval embedding set against the corpus; documented "
         "O(|train|*|eval|) — the scale path is semantic_decontam_lsh's "
         "code equi-join",
+    "hard_negatives_emb": "bounded-broadcast: exact hard-negative "
+        "mining baseline broadcasts the 20-anchor query set against "
+        "the corpus; documented O(|Q|*N) with |Q| small by contract — "
+        "the scale path is hard_negatives_lsh's code equi-join "
+        "(recall-audited in tests)",
+    "mine_triplets_emb": "bounded-broadcast: hardest-triplet mining "
+        "broadcasts the 30-anchor set against the corpus; documented "
+        "O(|Q|*N) with |Q| small by contract — candidates at scale "
+        "come from hard_negatives_lsh buckets",
     "embedding_near_dup": "bounded-broadcast: exact all-pairs near-dup "
         "baseline (non-equi id_a < id_b self-join); documented "
         "quadratic oracle twin — the scale path is "

@@ -1664,3 +1664,79 @@ def test_lsh_hot_bucket_skew_guard(spark):
     assert nog.count() > 15000
     with _pytest.raises(ValueError, match="max_bucket"):
         _drop_hot_lsh_buckets(banded, 1, "x")
+
+
+def test_hard_negatives_semantics_and_lsh_recall(spark, tables):
+    """NEW r9 mining ops: every mined negative really has a different
+    label; the exact miner matches a label-filtered cosine_topk; the
+    LSH scale path's recall vs exact is audited, not silent."""
+    from wrangle_pypes_spark.operators import (cosine_topk,
+                                               hard_negatives,
+                                               hard_negatives_lsh)
+
+    emb = tables["embeddings"].cache()
+    q = emb.filter(F.col("vec_id") < 20)
+    out = hard_negatives(emb, id_col="vec_id", vec_col="embedding",
+                         label_col="label", k=5, queries=q).collect()
+    assert len(out) == 20 * 5
+    assert all(r.neighbor_label != r.query_label for r in out)
+    # consistency with cosine_topk over a pre-filtered corpus: for a
+    # single query's label, mining == topk over the other labels
+    lbl = [r for r in q.select("vec_id", "label").collect()
+           if r.vec_id == 0][0].label
+    topk = cosine_topk(emb.filter(F.col("label") != lbl),
+                       q.filter(F.col("vec_id") == 0),
+                       id_col="vec_id", vec_col="embedding",
+                       k=5).collect()
+    mined0 = sorted((r.neighbor_id, r.cosine) for r in out
+                    if r.query_id == 0)
+    assert mined0 == sorted((r.neighbor_id, r.cosine) for r in topk)
+
+    approx = hard_negatives_lsh(emb, id_col="vec_id",
+                                vec_col="embedding", label_col="label",
+                                k=5, n_planes=4, probes=2,
+                                queries=q).collect()
+    assert all(r.neighbor_label != r.query_label for r in approx)
+    t = {(r.query_id, r.neighbor_id) for r in out}
+    a = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(t & a) / len(t)
+    assert recall >= 0.7, f"hard-negative LSH recall {recall:.2f}"
+
+
+def test_mine_triplets_extremes_and_margin(spark, tables):
+    """The mined triplet really is the per-anchor extreme pair, and
+    anchors lacking a positive or negative drop out."""
+    from wrangle_pypes_spark.operators import mine_triplets
+
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10)
+    out = {r.anchor_id: r for r in
+           mine_triplets(emb, id_col="vec_id", vec_col="embedding",
+                         label_col="label", queries=q).collect()}
+    assert set(out) == set(range(10))
+    r0 = out[0]
+    assert abs(r0.margin - (r0.pos_cosine - r0.neg_cosine)) < 1e-12
+    # brute-force check anchor 0's extremes
+    rows = emb.collect()
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(x * x for x in b)))
+    a0 = [r for r in rows if r.vec_id == 0][0]
+    pos = min(((cos(a0.embedding, r.embedding), r.vec_id)
+               for r in rows if r.vec_id != 0 and r.label == a0.label))
+    neg = max(((cos(a0.embedding, r.embedding), -r.vec_id)
+               for r in rows if r.label != a0.label))
+    assert r0.pos_id == pos[1] and abs(r0.pos_cosine - pos[0]) < 1e-9
+    assert r0.neg_id == -neg[1] and abs(r0.neg_cosine - neg[0]) < 1e-9
+
+    # an anchor whose label is unique has no positive: drops out
+    solo = emb.withColumn(
+        "label", F.when(F.col("vec_id") == 0, F.lit(999999))
+        .otherwise(F.col("label")))
+    got = mine_triplets(solo, id_col="vec_id", vec_col="embedding",
+                        label_col="label",
+                        queries=solo.filter(F.col("vec_id") < 3))
+    assert {r.anchor_id for r in got.collect()} == {1, 2}

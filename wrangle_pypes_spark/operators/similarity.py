@@ -119,6 +119,145 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, *,
                   .filter(F.col("_rn") <= k).drop("_rn"))
 
 
+def hard_negatives(df: DataFrame, *, id_col: str, vec_col: str,
+                   label_col: str, k: int = 5,
+                   queries: Optional[DataFrame] = None) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: per
+    query row, the ``k`` most-cosine-similar rows with a DIFFERENT
+    label — the near-miss examples a margin loss learns most from.
+    Output: (query_id, query_label, neighbor_id, neighbor_label,
+    cosine), ties broken on neighbor_id.
+
+    Exact bounded-broadcast baseline (``queries`` must be the small
+    side — default: the whole frame, so pass a subset at scale); the
+    bucketed scale path is :func:`hard_negatives_lsh`, recall-audited
+    against this in tests.  Same hoisted-norm arithmetic as
+    :func:`cosine_topk`, so scores are bit-identical to it."""
+    queries = df if queries is None else queries
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(label_col).alias("query_label"),
+                       v.alias("_qvec"), _norm(v).alias("_qn"))
+    c = df.select(F.col(id_col).alias("neighbor_id"),
+                  F.col(label_col).alias("neighbor_label"),
+                  v.alias("_cvec"), _norm(v).alias("_cn"))
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("neighbor_label") != F.col("query_label")))
+    scored = joined.select(
+        "query_id", "query_label", "neighbor_id", "neighbor_label",
+        (_dot(F.col("_qvec"), F.col("_cvec"))
+         / (F.col("_qn") * F.col("_cn"))).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def hard_negatives_lsh(df: DataFrame, *, id_col: str, vec_col: str,
+                       label_col: str, k: int = 5,
+                       n_planes: int = 4, dim: Optional[int] = None,
+                       seed: int = 42, probes: int = 2,
+                       queries: Optional[DataFrame] = None
+                       ) -> DataFrame:
+    """The 100 TB twin of :func:`hard_negatives`: hyperplane-LSH code
+    blocking (one map-only coding pass per side, one equi-join on the
+    code — the :func:`lsh_bucket_topk` mechanics) with the
+    different-label filter applied at candidate time, then exact
+    cosine re-ranking.  Approximate (recall floor pinned in tests);
+    multi-probe (``probes``) recovers sign-LSH's boundary losses."""
+    queries = df if queries is None else queries
+    if dim is None:
+        sample = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(sample["d"])
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    c = df.select(F.col(id_col).alias("neighbor_id"),
+                  F.col(label_col).alias("neighbor_label"),
+                  v.alias("_cvec"), _norm(v).alias("_cn"),
+                  lsh_code_expr(F.col(vec_col), planes).alias("_code"))
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        v.alias("_qvec"), _norm(v).alias("_qn"),
+        lsh_code_expr(F.col(vec_col), planes).alias("_c0"))
+    probe_codes = [F.col("_c0")]
+    if probes >= 1:
+        probe_codes += [F.col("_c0").bitwiseXOR(F.lit(1 << i))
+                        for i in range(n_planes)]
+    if probes >= 2:
+        probe_codes += [
+            F.col("_c0").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_planes) for j in range(i + 1, n_planes)]
+    q = qbase.withColumn("_code", F.explode(F.array(*probe_codes))) \
+             .drop("_c0")
+    cand = (c.join(q, "_code", "inner")
+            .filter((F.col("neighbor_id") != F.col("query_id"))
+                    & (F.col("neighbor_label")
+                       != F.col("query_label")))
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    scored = cand.select(
+        "query_id", "query_label", "neighbor_id", "neighbor_label",
+        (_dot(F.col("_qvec"), F.col("_cvec"))
+         / (F.col("_qn") * F.col("_cn"))).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def mine_triplets(df: DataFrame, *, id_col: str, vec_col: str,
+                  label_col: str,
+                  queries: Optional[DataFrame] = None) -> DataFrame:
+    """Hardest-triplet mining: per anchor, the HARDEST POSITIVE (same
+    label, LEAST similar — the stretched-apart pair) and the HARDEST
+    NEGATIVE (different label, MOST similar — the near-collision),
+    the canonical batch construction for triplet-margin training.
+    Output: (anchor_id, anchor_label, pos_id, pos_cosine, neg_id,
+    neg_cosine, margin) with margin = pos_cosine - neg_cosine
+    (negative margin = the loss-violating triplets worth mining).
+    Anchors with no same-label peer or no different-label row drop
+    out (no triplet exists).  Ties break on candidate id.
+
+    One broadcast pass scores all (anchor, candidate) pairs, two
+    windows pick the extremes — the exact baseline; at corpus scale
+    feed ``queries`` batches of anchors, or mine candidates from
+    :func:`hard_negatives_lsh` buckets first."""
+    queries = df if queries is None else queries
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = queries.select(F.col(id_col).alias("anchor_id"),
+                       F.col(label_col).alias("anchor_label"),
+                       v.alias("_qvec"), _norm(v).alias("_qn"))
+    c = df.select(F.col(id_col).alias("_cid"),
+                  F.col(label_col).alias("_clabel"),
+                  v.alias("_cvec"), _norm(v).alias("_cn"))
+    pairs = (c.crossJoin(F.broadcast(q))
+             .filter(F.col("_cid") != F.col("anchor_id"))
+             .select("anchor_id", "anchor_label", "_cid", "_clabel",
+                     (_dot(F.col("_qvec"), F.col("_cvec"))
+                      / (F.col("_qn") * F.col("_cn"))).alias("_cos")))
+    wp = Window.partitionBy("anchor_id").orderBy(
+        F.col("_cos").asc(), F.col("_cid").asc())
+    pos = (pairs.filter(F.col("_clabel") == F.col("anchor_label"))
+           .withColumn("_rn", F.row_number().over(wp))
+           .filter(F.col("_rn") == 1)
+           .select("anchor_id", "anchor_label",
+                   F.col("_cid").alias("pos_id"),
+                   F.col("_cos").alias("pos_cosine")))
+    wn = Window.partitionBy("anchor_id").orderBy(
+        F.col("_cos").desc(), F.col("_cid").asc())
+    neg = (pairs.filter(F.col("_clabel") != F.col("anchor_label"))
+           .withColumn("_rn", F.row_number().over(wn))
+           .filter(F.col("_rn") == 1)
+           .select(F.col("anchor_id").alias("_aid"),
+                   F.col("_cid").alias("neg_id"),
+                   F.col("_cos").alias("neg_cosine")))
+    return (pos.join(neg, pos.anchor_id == neg._aid, "inner")
+            .drop("_aid")
+            .withColumn("margin",
+                        F.col("pos_cosine") - F.col("neg_cosine")))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (pure python LCG —
     no numpy dependency at plan-build time; literals are baked into the
