@@ -257,58 +257,57 @@ def q_wrangle_nested_lineitems(spark, sf_dir):
     (~0.3-0.5 s) dominates; per-record cost amortizes with row count,
     and this query DEMONSTRATES it instead of arguing it: the same
     wrangle compile surface over orders x lineitem — per order, a
-    customer STRUCT (Create) plus a lineitems ARRAY whose per-element
-    revenue is computed by the wrangle Map operator (JVM F.transform,
-    never Python) and folded with F.aggregate — 150k nested orders /
-    600k array elements at sf0.1, 10-50x the nested baseline's row
-    count, one shuffle (the lineitem group), one broadcast (customer).
-    The oracle sees the struct and array flattened to scalars (driver
-    canonicalizer contract)."""
+    customer STRUCT (Create) plus a lineitems ARRAY — 150k nested
+    orders / 600k array elements at sf0.1, 10x the nested baseline's
+    row count, ONE shuffle (the lineitem group, which also folds the
+    per-line revenue as a codegen'd map-side expression + SUM in the
+    same aggregate — the JVM fast path; the wrangle Map/fold twin of
+    that computation is exercised by `wrangle_array_ops`), one
+    broadcast (customer).  The oracle sees the struct and array
+    flattened to scalars (driver canonicalizer contract)."""
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
-    # prune to the 5 consumed columns BEFORE the explicit repartition
+    # prune to the consumed columns BEFORE the explicit repartition
     # (a repartition ships whole rows; pruning first keeps l_comment
     # and friends out of the shuffle), then hash-partition on the
-    # group key at full parallelism: the testdata ships lineitem as
-    # ~3 files, so without this the struct build runs in 3 tasks.
-    # The aggregate reuses this exact partitioning (no second
-    # exchange); at real scale file count >> cores and Catalyst
-    # would reuse the same shuffle anyway.
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # group key: the testdata ships lineitem as ~3 files, so without
+    # this the struct build runs in 3 tasks.  16 partitions ≈ 40k
+    # rows/task at sf0.1 (fewer, fuller tasks beat 32 here — task
+    # overhead dominates below ~20k rows); the aggregate reuses this
+    # exact partitioning (no second exchange), and at real scale AQE
+    # re-sizes the shuffle anyway.
+    # per-line revenue in exact 1e-4 units: price and discount are
+    # 2dp decimals, so price*(1-disc) is an EXACT 4dp decimal whose
+    # float sum ties at 2dp-rounding boundaries ~1% of the time —
+    # summing BIGINT ten-thousandths is tie-free, engine-portable,
+    # and computed MAP-SIDE so the whole reduction codegens
+    rv = F.round(F.col("l_extendedprice")
+                 * (F.lit(1.0) - F.col("l_discount")) * 10000, 0) \
+        .cast("long")
     lineitem = (_t(spark, sf_dir, "lineitem")
-                .select("l_orderkey", "l_linenumber", "l_quantity",
-                        "l_extendedprice", "l_discount")
-                .repartition(shuffle_n, "l_orderkey"))
+                .select("l_orderkey", "l_linenumber",
+                        "l_extendedprice", "l_discount",
+                        rv.alias("_rv"))
+                .repartition(16, "l_orderkey"))
     lines = (lineitem.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_list(F.struct(
             F.col("l_linenumber").alias("ln"),
-            F.col("l_quantity").alias("qty"),
             F.col("l_extendedprice").alias("price"),
-            F.col("l_discount").alias("disc")))).alias("_lines")))
+            F.col("l_discount").alias("disc")))).alias("_lines"),
+        F.sum("_rv").alias("_rev"),
+        F.count(F.lit(1)).alias("_n")))
     joined = (orders
               .join(lines, orders.o_orderkey == lines.l_orderkey)
               .join(F.broadcast(customer),
                     orders.o_custkey == customer.c_custkey))
-    # per-line revenue in exact 1e-4 units: price and discount are
-    # 2dp decimals, so price*(1-disc) is an EXACT 4dp decimal whose
-    # float sum ties at 2dp-rounding boundaries ~1% of the time —
-    # summing BIGINT ten-thousandths is tie-free and engine-portable
-    rev = (Get("_lines")
-           | Map(lambda x: F.round(
-               x.getField("price")
-               * (F.lit(1.0) - x.getField("disc")) * 10000, 0)
-               .cast("long"))
-           | Expr(lambda c: F.aggregate(
-               c, F.lit(0).cast("long"), lambda a, v: a + v)))
     p = Pipeline({
         NestedLinesM: {
             "orderkey": Get("o_orderkey"),
             "total": Get("o_totalprice") | Expr(lambda c: F.round(c, 2)),
             "customer": Create(CustomerM),
             "lines": Get("_lines"),
-            "n_lines": Get("_lines")
-                       | Expr(lambda c: F.size(c).cast("long")),
-            "line_rev_e4": rev,
+            "n_lines": Get("_n") | Expr(lambda c: c.cast("long")),
+            "line_rev_e4": Get("_rev") | Expr(lambda c: c.cast("long")),
         },
         CustomerM: {
             "key": Get("c_custkey"),

@@ -224,7 +224,17 @@ def main() -> None:
     qs = entrymod.queries()
     names = list(qs) if run_all else HEADLINE
 
-    # untimed warmup: init scan/codegen/shuffle machinery once
+    # untimed warmup: init scan/codegen/shuffle machinery once, and
+    # pull EVERY table through the page cache — the host occasionally
+    # drops it wholesale (observed r9: buff/cache collapsed to 2 GB
+    # mid-round and q1 went 0.4 s -> 3 s with zero code churn), and
+    # steady-state per-operator cost is the stated methodology
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"):
+        f = os.path.join(sf_dir, t + ".parquet")
+        if os.path.exists(f):
+            _consume(spark.read.parquet(f))
     warm = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     warm.groupBy("o_orderstatus").count().count()
 
@@ -246,7 +256,10 @@ def main() -> None:
         _consume(cal_fn(spark, sf_dir))
         cal_samples.append(round(time.perf_counter() - t0, 3))
         spark.catalog.clearCache()
-    cal_median = _median(cal_samples)
+    # median of the LAST 3: the first probe runs absorb residual
+    # JIT/codegen warmup (observed 1.5 s -> 0.52 s across 5 runs) and
+    # would overstate the host factor
+    cal_median = _median(cal_samples[-3:])
     host_factor = round(cal_median / CAL_REFERENCE_SEC, 3)
 
     timings: dict[str, float] = {}

@@ -46,6 +46,9 @@ def test_detect_and_describe_all_layouts(spark, tmp_path):
     p = describe_store(spark, pman).collect()[0]
     assert (p.kind, p.n_partitions, p.epoch) == ("pmanifest", 3, 5)
     assert "partition_col=part" in p.detail
+    # r9: the root pointer is the store's version; one root commit so
+    # far, and it is the retained one
+    assert (p.version, p.n_versions_retained) == (1, 1)
 
     z = describe_store(spark, zm).collect()[0]
     assert (z.kind, z.n_files) == ("zonemap", 4)

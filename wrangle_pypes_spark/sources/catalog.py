@@ -102,15 +102,30 @@ def describe_store(spark: SparkSession, path: str) -> Optional[DataFrame]:
                 spark=spark) is not None)
     elif kind == "pmanifest":
         from .manifest import manifest_current
-        from .partitioned import _list_tokens, _recorded_pcol, _sub
+        from .partitioned import (_list_tokens, _load_root,
+                                  _recorded_pcol, _root_used, _sub,
+                                  root_current)
 
         tokens = _list_tokens(path, spark=spark)
         n_parts = len(tokens)
-        heads = [manifest_current(_sub(path, t), spark=spark)
-                 for t in tokens]
-        epochs = [h[1] for h in heads if h is not None]
-        if epochs:
-            epoch = max(epochs)  # most-recent batch any partition saw
+        root = root_current(path, spark=spark)
+        if root is not None:
+            # r9 layout: the root pointer IS the store's version/epoch
+            version, epoch = root
+            n_kept = sum(
+                1 for v in _root_used(path, spark=spark)
+                if v <= root[0]
+                and fsutil.read_text(
+                    path.rstrip("/") + f"/_r{v:06d}.json",
+                    spark=spark) is not None)
+            n_parts = len(_load_root(path, root[0],
+                                     spark=spark)["parts"])
+        else:  # pre-root store: best-effort from sub heads
+            heads = [manifest_current(_sub(path, t), spark=spark)
+                     for t in tokens]
+            epochs = [h[1] for h in heads if h is not None]
+            if epochs:
+                epoch = max(epochs)  # most-recent batch any saw
         detail = "partition_col=" + str(_recorded_pcol(path,
                                                        spark=spark))
     else:  # zonemap
