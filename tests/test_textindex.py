@@ -301,3 +301,59 @@ def test_derive_stop_tokens(spark, tmp_path):
                          spark, store, max_df_frac=0.9))
     toks = {r.token for r in index_stats(spark, store2, top=100).collect()}
     assert "common" not in toks and "semi" in toks
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# random batch sequences over a tiny vocabulary: doc text = words
+# drawn from 6 tokens, docs split across 1-4 batches
+_doc_strategy = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+             min_size=0, max_size=8),
+    min_size=1, max_size=14).map(
+        lambda docs: [(i, " ".join(ws)) for i, ws in enumerate(docs)])
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_doc_strategy, cuts=st.lists(st.integers(1, 13),
+                                         max_size=3),
+       block_limit=st.sampled_from([1, 2, 3, 5]))
+def test_property_blocked_incremental_equals_one_shot(
+        spark, tmp_path_factory, docs, cuts, block_limit):
+    """Random docs / batch boundaries / block limits: the incremental
+    blocked index always equals the one-shot build AND the full-scan
+    BM25, every stored row stays within block_limit, and at most one
+    underfull block per token survives each merge."""
+    from wrangle_pypes_spark.sources.manifest import manifest_read
+
+    base = tmp_path_factory.mktemp("prop_tidx")
+    frame = spark.createDataFrame(docs, "doc_id int, text string")
+    bounds = sorted({c for c in cuts if c < len(docs)})
+    slices = []
+    prev = 0
+    for b in bounds + [len(docs)]:
+        if b > prev:
+            slices.append((prev, b))
+            prev = b
+    inc = str(base / "inc")
+    for e, (lo, hi) in enumerate(slices):
+        build_text_index(
+            frame.filter((F.col("doc_id") >= lo)
+                         & (F.col("doc_id") < hi)),
+            inc, n_buckets=4, block_limit=block_limit, epoch_id=e)
+
+    rows = manifest_read(spark, inc).collect()
+    per_tok: dict = {}
+    for r in rows:
+        assert len(r.postings) <= block_limit, (r.token, r.block)
+        per_tok.setdefault(r.token, []).append(len(r.postings))
+    for tok, sizes in per_tok.items():
+        if tok != STATS_KEY:
+            assert sum(1 for s in sizes if s < block_limit) <= 1, \
+                (tok, sizes)
+
+    terms = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    got = _rows(text_index_search(spark, inc, terms))
+    assert got == _rows(bm25_scores(frame, terms))
