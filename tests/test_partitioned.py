@@ -933,3 +933,68 @@ def test_root_history_and_version_asof_read(spark, tmp_path):
     with pytest.raises(ValueError, match="retained window"):
         pmanifest_read(spark, store, root_version=1)
     assert pmanifest_history(spark, str(tmp_path / "none")) is None
+
+
+def test_root_pointer_vacuum_reader_soak(spark, tmp_path):
+    """Partitioned twin of the flat store's vacuum soak, one level up:
+    a maintainer loop committing many epochs across skewed partitions
+    (one hot, one cold) with a vacuum cadence keeps root manifests
+    bounded by keep, a current reader always sees a whole consistent
+    store, a reader pinned to an old ROOT version works exactly until
+    the keep horizon passes it, and the cold partition's old-but-
+    root-referenced sub version survives every vacuum."""
+    import glob as _glob
+
+    from wrangle_pypes_spark.sources.partitioned import (
+        pmanifest_history, pmanifest_lookup)
+
+    store = str(tmp_path / "root_soak")
+    keep, vacuum_every = 2, 4
+    pmanifest_merge(
+        _rows(spark, [(1, _d("2024-01-01"), "h0"),
+                      (2, _d("2024-02-01"), "cold")]),
+        store, "day", ["k"], epoch_id=0, n_buckets=2,
+        max_concurrency=1)
+    pinned = None  # (root version, expected hot value)
+    for e in range(1, 14):
+        # only the HOT partition commits; the cold one's sub version
+        # stays referenced by every new root
+        pmanifest_merge(
+            _rows(spark, [(1, _d("2024-01-01"), f"h{e}")]),
+            store, "day", ["k"], epoch_id=e, n_buckets=2,
+            max_concurrency=1)
+        from wrangle_pypes_spark.sources.partitioned import root_current
+        ver = root_current(store)[0]
+        if pinned is None and e == 4:
+            pinned = (ver, f"h{e}")
+        got = _kv(spark, store)
+        assert got == {1: (_d("2024-01-01"), f"h{e}"),
+                       2: (_d("2024-02-01"), "cold")}
+        probe = spark.createDataFrame([(1,), (2,)], "k int")
+        lk = {r.k: r.val for r in
+              pmanifest_lookup(spark, store, probe).collect()}
+        assert lk == {1: f"h{e}", 2: "cold"}
+        if pinned is not None and ver - keep < pinned[0] <= ver:
+            old = _kv(spark, store, root_version=pinned[0])
+            assert old == {1: (_d("2024-01-01"), pinned[1]),
+                           2: (_d("2024-02-01"), "cold")}
+            oldlk = {r.k: r.val for r in
+                     pmanifest_lookup(spark, store, probe,
+                                      root_version=pinned[0])
+                     .collect()}
+            assert oldlk == {1: pinned[1], 2: "cold"}
+        if e % vacuum_every == 0:
+            pmanifest_vacuum(store, keep=keep)
+            roots = _glob.glob(os.path.join(store, "_r0*.json"))
+            assert len(roots) <= keep
+            hist = sorted(r.version for r in
+                          pmanifest_history(spark, store).collect())
+            assert len(hist) <= keep and hist[-1] == ver
+            got = _kv(spark, store)
+            assert got[1] == (_d("2024-01-01"), f"h{e}")
+            assert got[2] == (_d("2024-02-01"), "cold")
+    # pinned root long past the horizon now
+    with pytest.raises(ValueError, match="retained window"):
+        pmanifest_read(spark, store, root_version=pinned[0])
+    # cold sub-store was never rewritten: still at version 1, alive
+    assert manifest_current(os.path.join(store, "p=2024-02-01"))[0] == 1

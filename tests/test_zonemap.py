@@ -494,3 +494,55 @@ def test_inloop_compact_crash_cadence_soak(spark, tmp_path, monkeypatch):
     got = {r.k for r in zm.zonemap_read(spark, path).collect()}
     assert got == expected
     assert len(overlaps_after_compact) == 4
+
+
+def test_append_evolve_schema_additive_widening(spark, tmp_path):
+    """r9: evolve_schema=True mirrors the manifest store's additive
+    contract — a batch carrying a NEW column widens the recorded
+    schema atomically with the stats publish, pre-widening files
+    null-fill on read, narrowing/type-drift still fail loudly, and
+    pruning semantics are unchanged (the new column has no stats)."""
+    from wrangle_pypes_spark.sources.zonemap import zonemap_append
+
+    path = str(tmp_path / "ev")
+    zonemap_write(spark.range(100).select(F.col("id").alias("k")),
+                  path, cluster_by=["k"], target_files=2)
+    # off by default: extra column fails loudly
+    widened = spark.range(100, 150).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("extra"))
+    with pytest.raises(ValueError, match="evolve_schema"):
+        zonemap_append(widened, path)
+    n = zonemap_append(widened, path, evolve_schema=True)
+    assert n > 0
+    got = zonemap_read(spark, path)
+    assert got.columns == ["k", "extra"]
+    rows = {r.k: r.extra for r in got.collect()}
+    assert len(rows) == 150
+    assert rows[5] is None          # pre-widening file null-fills
+    assert rows[120] == 240
+    # pruning on the cluster column still works across the widening
+    kept, total = zonemap_files(path, between={"k": (0, 49)})
+    assert len(kept) < total
+    assert zonemap_read(spark, path,
+                        between={"k": (0, 49)}).count() == 50
+    # the new column has no stats: range-pruning it raises, as for
+    # any non-stats column
+    with pytest.raises(ValueError, match="no zone-map stats"):
+        zonemap_read(spark, path, between={"extra": (0, 10)})
+    # post-widening: a batch missing the recorded column narrows ->
+    # refuse, even with evolve_schema
+    with pytest.raises(ValueError, match="never narrows"):
+        zonemap_append(spark.range(5).select(F.col("id").alias("k")),
+                       path, evolve_schema=True)
+    # type drift still refused on the evolve path
+    with pytest.raises(ValueError, match="types never change"):
+        zonemap_append(
+            spark.range(5).select(F.col("id").cast("string").alias("k"),
+                                  F.col("id").alias("extra")),
+            path, evolve_schema=True)
+    # a later plain append carrying the widened schema is ordinary
+    assert zonemap_append(
+        spark.range(150, 160).select(F.col("id").alias("k"),
+                                     (F.col("id") * 2).alias("extra")),
+        path) > 0
+    assert zonemap_read(spark, path).count() == 160

@@ -574,7 +574,9 @@ def pmanifest_partitions(spark: SparkSession, path: str
 
 def pmanifest_lookup(spark: SparkSession, path: str, keys: DataFrame,
                      *, partitions: Optional[Sequence] = None,
-                     lo=None, hi=None) -> Optional[DataFrame]:
+                     lo=None, hi=None,
+                     root_version: Optional[int] = None
+                     ) -> Optional[DataFrame]:
     """Serving-side keyed GET with DOUBLE pruning: partition dirs are
     pruned first (explicit list / typed range / — when ``keys``
     carries the store's partition column — the probes' own partition
@@ -592,10 +594,29 @@ def pmanifest_lookup(spark: SparkSession, path: str, keys: DataFrame,
     functionally dependent on the key, so it matches in at most one.
     Returns None when no selected partition was ever committed.
     Root-consistent like ``pmanifest_read``: probes resolve each
-    partition at its root-referenced version."""
+    partition at its root-referenced version, and ``root_version=``
+    serves the GET against an earlier retained root snapshot."""
     tokens = select_partitions(_list_tokens(path, spark=spark),
                                partitions=partitions, lo=lo, hi=hi)
-    parts = _root_parts(path, spark=spark)
+    if root_version is not None:
+        root = root_current(path, spark=spark)
+        if root is None:
+            raise ValueError(
+                f"store {path!r} has no root pointer — "
+                "root_version lookup needs the r9 layout")
+        if root_version > root[0]:
+            raise ValueError(
+                f"root version {root_version} was never committed "
+                f"(head is {root[0]})")
+        try:
+            parts = _load_root(path, root_version,
+                               spark=spark)["parts"]
+        except FileNotFoundError:
+            raise ValueError(
+                f"root version {root_version} is outside the "
+                "retained window (vacuumed)")
+    else:
+        parts = _root_parts(path, spark=spark)
     if parts is not None:
         tokens = [t for t in tokens if t in parts]
     pcol = _recorded_pcol(path, spark=spark)

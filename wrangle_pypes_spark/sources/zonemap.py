@@ -320,6 +320,7 @@ def zonemap_read(spark: SparkSession, path: str, *,
 def zonemap_append(df: DataFrame, path: str, *,
                    target_files: int = 4,
                    epoch_id: int = -1,
+                   evolve_schema: bool = False,
                    compression: str = "zstd") -> int:
     """Append a batch to an existing zonemap table: the BATCH is
     clustered by the table's recorded cluster columns and written as
@@ -330,7 +331,19 @@ def zonemap_append(df: DataFrame, path: str, *,
     :func:`zonemap_compact` — the append → measure → OPTIMIZE
     lifecycle of any clustered table format.  Returns the number of
     files appended.  Single-writer by contract (the sidecar is
-    read-modify-write)."""
+    read-modify-write).
+
+    ``evolve_schema=True`` allows ADDITIVE widening (the manifest
+    store's contract, r9): the batch may carry columns the table
+    lacks — the widened schema is recorded in the sidecar atomically
+    with the stats update, and reads null-fill the new columns for
+    files written before the widening (the read schema comes from
+    the sidecar, and parquet resolves by name).  The batch must
+    still carry every RECORDED column at its recorded type (no
+    narrowing, no type drift), and the new columns get no zone-map
+    stats (``stats_cols`` is fixed at creation — pruning on them
+    needs a rewrite).  Off by default: schema drift you did not opt
+    into fails loudly."""
     spark = df.sparkSession
     side = _load_sidecar(path, spark=spark)
     if epoch_id >= 0 and int(side.get("epoch", -1)) >= epoch_id:
@@ -341,23 +354,42 @@ def zonemap_append(df: DataFrame, path: str, *,
     cluster, stats_cols = side["cluster_by"], side["stats_cols"]
     from pyspark.sql import types as T
     want = T.StructType.fromJson(side["schema"])
-    if df.columns != [f.name for f in want.fields]:
-        raise ValueError(
-            f"append schema {df.columns} != table schema "
-            f"{[f.name for f in want.fields]} (zonemap tables do not "
-            "evolve; rewrite instead)")
-    # types too, BEFORE any file lands: a type-drifted batch would
-    # write parquet whose physical types mismatch the sidecar schema
-    # and only fail at read time, after the files are already on disk
-    drift = [(f.name, g.dataType.simpleString(), f.dataType.simpleString())
-             for f, g in zip(want.fields, df.schema.fields)
-             if f.dataType != g.dataType]
+    want_names = [f.name for f in want.fields]
+    extras = [c for c in df.columns if c not in set(want_names)]
+    if evolve_schema:
+        missing = [n for n in want_names if n not in df.columns]
+        if missing:
+            raise ValueError(
+                f"append batch lacks recorded columns {missing} — "
+                "evolve_schema widens additively, never narrows")
+        batch_fields = {f.name: f for f in df.schema.fields}
+        drift = [(n, batch_fields[n].dataType.simpleString(),
+                  f.dataType.simpleString())
+                 for n, f in ((f.name, f) for f in want.fields)
+                 if batch_fields[n].dataType != f.dataType]
+    else:
+        if df.columns != want_names:
+            raise ValueError(
+                f"append schema {df.columns} != table schema "
+                f"{want_names} (pass evolve_schema=True for additive "
+                "widening; anything else needs a rewrite)")
+        # types too, BEFORE any file lands: a type-drifted batch
+        # would write parquet whose physical types mismatch the
+        # sidecar schema and only fail at read time, after the files
+        # are already on disk
+        drift = [(f.name, g.dataType.simpleString(),
+                  f.dataType.simpleString())
+                 for f, g in zip(want.fields, df.schema.fields)
+                 if f.dataType != g.dataType]
     if drift:
         raise ValueError(
             "append column types drifted from the table schema "
-            f"(zonemap tables do not evolve; rewrite instead): "
+            "(types never change, with or without evolve_schema): "
             + ", ".join(f"{n}: batch {got} != table {exp}"
                         for n, got, exp in drift))
+    if extras:  # evolve path: widen (recorded order first, new last)
+        want = T.StructType(list(want.fields)
+                            + [df.schema[c] for c in extras])
 
     before = {n for n in fsutil.list_dir(path, spark=spark)
               if n.endswith(".parquet")}
@@ -395,6 +427,11 @@ def zonemap_append(df: DataFrame, path: str, *,
                       for i, c in enumerate(stats_cols)}}
     if epoch_id >= 0:
         side["epoch"] = int(epoch_id)
+    if extras:
+        # widened schema publishes atomically WITH the stats: a crash
+        # before this leaves the new files as unreferenced orphans
+        # (reads never see them; zonemap_vacuum reclaims)
+        side["schema"] = want.jsonValue()
     fsutil.write_text_atomic(_join(path, _SIDECAR),
                              json.dumps(side, sort_keys=True),
                              spark=spark)

@@ -1488,6 +1488,7 @@ def foreach_batch_zonemap_append(stream_df: DataFrame, path: str, *,
                                  target_files_per_batch: int = 4,
                                  compact_every: int = 0,
                                  compact_target_files: int = 32,
+                                 evolve_schema: bool = False,
                                  checkpoint: Optional[str] = None):
     """Streaming ingest into a zone-map clustered table
     (``sources.zonemap``): the first batch creates the table, later
@@ -1556,7 +1557,8 @@ def foreach_batch_zonemap_append(stream_df: DataFrame, path: str, *,
         else:
             zonemap_append(batch_df, path,
                            target_files=target_files_per_batch,
-                           epoch_id=epoch_id)
+                           epoch_id=epoch_id,
+                           evolve_schema=evolve_schema)
         if compact_every > 0 and epoch_id % compact_every == \
                 compact_every - 1:
             zonemap_compact(spark, path,
