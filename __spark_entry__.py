@@ -5435,6 +5435,29 @@ def q_pmanifest_prune_orders(spark, sf_dir):
             .orderBy("o_year", "o_orderpriority"))
 
 
+def q_text_index_topk_docs(spark, sf_dir):
+    """NEW r9: exact top-k BM25 serving with block-max pruning
+    (operators/textindex.py ``text_index_topk``) — Block-Max WAND
+    re-shaped for a batch engine over the block-split postings: the
+    rarest query term's postings bootstrap a safe threshold, stored
+    per-block (max_tf, min_dl, doc-range) metadata upper-bounds every
+    other block WITHOUT reading its postings, and only surviving
+    blocks explode into exact scoring.  Pruning is exact (never a
+    recall trade): the oracle is the full-scan BM25 sorted and cut at
+    k — identical rows or the query fails."""
+    import tempfile
+
+    from wrangle_pypes_spark.operators.textindex import (
+        build_text_index, text_index_topk)
+
+    d = _t(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="wps_tidxk_") + "/idx"
+    build_text_index(d, store, n_buckets=64, block_limit=64)
+    return (text_index_topk(spark, store,
+                            ["spark", "shuffle", "window"], 25)
+            .orderBy(F.col("bm25").desc(), "doc_id"))
+
+
 def q_pmanifest_root_travel_orders(spark, sf_dir):
     """NEW r9: root-pointer time travel on the partitioned store
     (VERDICT r8 #3 follow-through): every pmanifest batch now
@@ -7168,6 +7191,15 @@ GROUP BY tf.doc_id
 """
 
 
+SQL_TEXT_TOPK = """
+SELECT * FROM (
+""" + SQL_BM25 + """
+) t ORDER BY bm25 DESC, doc_id LIMIT 25
+"""
+
+
+
+
 
 
 def q_stream_zscore_events(spark, sf_dir):
@@ -8253,7 +8285,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_intervals_user": q_merge_intervals_user,  # last driver check: r5
     "bucketize_order_totals": q_bucketize_order_totals,  # last driver check: r5
     "winsorize_order_totals": q_winsorize_order_totals,  # last driver check: r5
-    "stratified_sample_langs": q_stratified_sample_langs,  # last driver check: r5
+    "text_index_topk_docs": q_text_index_topk_docs,  # NEW r9: block-max exact top-k
     "cdc_apply_orders": q_cdc_apply_orders,  # last driver check: r5
     "cdc_vacuum_store": q_cdc_vacuum_store,  # last driver check: r5
     "hard_negatives_emb": q_hard_negatives_emb,  # NEW r9: hard-negative mining
@@ -8262,6 +8294,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wrangle_nested_lineitems": q_wrangle_nested_lineitems,  # NEW r9: nested amortization
     "text_index_blocked_docs": q_text_index_blocked_docs,  # NEW r9: block-split postings
     # ---- below the 50-slot driver window from here down ----
+    "stratified_sample_langs": q_stratified_sample_langs,  # r5 (displaced by r9 entry)
     "curriculum_order_docs": q_curriculum_order_docs,  # r5 (displaced by r9 entries)
     "token_fertility_lang": q_token_fertility_lang,  # r5 (displaced by r9 entries)
     "group_split_sources": q_group_split_sources,  # r5 (displaced by the r9 entry above)
@@ -8486,6 +8519,7 @@ _ORACLES: dict[str, str] = {
     # BM25, so they share its oracle (plus a deterministic order)
     "text_index_search_docs": SQL_BM25 + " ORDER BY doc_id",
     "text_index_blocked_docs": SQL_BM25 + " ORDER BY doc_id",
+    "text_index_topk_docs": SQL_TEXT_TOPK,
     "wrangle_nested_lineitems": SQL_WRANGLE_NESTED_LINES,
     "stream_text_index_docs": SQL_BM25 + " ORDER BY doc_id",
     "pmanifest_cdf_orders": SQL_PMANIFEST_CDF,

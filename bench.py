@@ -92,6 +92,7 @@ HEADLINE = [
     "c4_clean_docs",
     "unigram_logprob",
     "inverted_index_stats",
+    "text_index_topk_docs",
     "funnel_events",
     "cohort_retention_weekly",
     "embedding_label_centroids",

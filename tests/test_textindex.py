@@ -357,3 +357,118 @@ def test_property_blocked_incremental_equals_one_shot(
     terms = ["aa", "bb", "cc", "dd", "ee", "ff"]
     got = _rows(text_index_search(spark, inc, terms))
     assert got == _rows(bm25_scores(frame, terms))
+
+
+# --------------------------------------------------- block-max top-k
+
+def _topk_expected(docs, terms, k):
+    """Full-scan reference: bm25_scores sorted by (rounded bm25 desc,
+    doc asc), first k — the contract text_index_topk must match."""
+    rows = bm25_scores(docs, terms).collect()
+    rows.sort(key=lambda r: (-r.bm25, r.doc_id))
+    return [tuple(r) for r in rows[:k]]
+
+
+def test_topk_exact_vs_full_search_with_hot_token(spark, tmp_path):
+    """Block-max pruning is exact, never a recall trade: identical
+    rows to the full search's sorted top-k, on a corpus with a
+    planted stopword-grade token and a block_limit forcing splits."""
+    docs = spark.createDataFrame(
+        [(i, f"common tok{i % 23} rare{i % 97}") for i in range(400)],
+        "doc_id int, text string")
+    store = str(tmp_path / "tk")
+    build_text_index(docs, store, n_buckets=8, block_limit=16)
+    from wrangle_pypes_spark.operators.textindex import text_index_topk
+
+    for terms, k in ((["common", "tok3"], 5),
+                     (["common", "rare7", "tok3"], 10),
+                     (["rare13"], 3),
+                     (["common"], 7),
+                     (["nosuch", "tok5"], 4)):
+        got = [tuple(r) for r in
+               text_index_topk(spark, store, terms, k).collect()]
+        got.sort(key=lambda r: (-r[2], r[0]))
+        assert got == _topk_expected(docs, terms, k), (terms, k)
+
+    # k exceeding the match count: every matching doc returned
+    got = text_index_topk(spark, store, ["rare13"], 1000).collect()
+    assert len(got) == len(_topk_expected(docs, ["rare13"], 1000))
+
+
+def test_topk_planner_prunes_hot_blocks(spark, tmp_path):
+    """The pruning is REAL: with a discriminative rare term setting a
+    high theta, most of the hot term's bounded blocks drop; and the
+    planner's bound logic is safe (every kept-set score run equals
+    the unpruned run)."""
+    import math
+
+    from wrangle_pypes_spark.operators.textindex import (
+        _plan_topk_blocks, text_index_topk)
+    from wrangle_pypes_spark.sources.manifest import manifest_read
+
+    # hot term everywhere; rare term in 5 docs which also carry a
+    # high-tf discriminator
+    docs = spark.createDataFrame(
+        [(i, "common " + ("special special special " if i < 5 else "")
+          + f"filler{i % 11}") for i in range(600)],
+        "doc_id int, text string")
+    store = str(tmp_path / "pl")
+    build_text_index(docs, store, n_buckets=8, block_limit=32)
+
+    rows = manifest_read(spark, store).collect()
+    metas = [{"token": r.token, "block": r.block, "df": r.df,
+              "max_tf": r.max_tf, "min_dl": r.min_dl,
+              "min_doc": r.min_doc, "max_doc": r.max_doc}
+             for r in rows if r.token in ("common", "special")]
+    n_docs = next(r.n_docs for r in rows if r.token == "")
+    avgdl = next(r.sum_dl for r in rows if r.token == "") / n_docs
+    # theta at the level only special-carrying docs can reach
+    idf_s = math.log(1 + (n_docs - 5 + 0.5) / (5 + 0.5))
+    theta = idf_s  # well above any common-only doc's possible total
+    kept, pruned = _plan_topk_blocks(metas, theta, k1=1.2, b=0.75,
+                                     n_docs=n_docs, avgdl=avgdl)
+    n_common = sum(1 for m in metas if m["token"] == "common")
+    kept_common = sum(1 for t, _ in kept if t == "common")
+    assert pruned > 0 and kept_common < n_common
+    # the blocks covering the special docs' range survive for scoring
+    assert any(t == "common" for t, _ in kept)
+
+    # end-to-end: the pruned path equals the full search's sorted cut
+    got = [tuple(r) for r in
+           text_index_topk(spark, store, ["common", "special"],
+                           5).collect()]
+    got.sort(key=lambda r: (-r[2], r[0]))
+    assert got == _topk_expected(docs, ["common", "special"], 5)
+    assert all(r[0] < 5 for r in got)  # the special docs win
+
+
+def test_topk_legacy_store_and_validation(spark, tmp_path):
+    """A store committed before the block-meta columns derives them on
+    read; argument validation fails loudly."""
+    from wrangle_pypes_spark.operators.textindex import text_index_topk
+    from wrangle_pypes_spark.sources.manifest import (manifest_merge,
+                                                      manifest_read)
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta tok{i % 5}") for i in range(60)],
+        "doc_id int, text string")
+    store = str(tmp_path / "lg")
+    build_text_index(docs, store, n_buckets=4, block_limit=8)
+    # strip the meta columns, as an r9-early store would look
+    legacy = manifest_read(spark, store).select(
+        "token", "block", "postings", "df", "n_docs", "sum_dl") \
+        .localCheckpoint()
+    store2 = str(tmp_path / "lg2")
+    manifest_merge(legacy, store2, ["token"], n_buckets=4)
+    got = [tuple(r) for r in
+           text_index_topk(spark, store2, ["alpha", "tok2"],
+                           4).collect()]
+    got.sort(key=lambda r: (-r[2], r[0]))
+    assert got == _topk_expected(docs, ["alpha", "tok2"], 4)
+
+    with pytest.raises(ValueError, match="k must be"):
+        text_index_topk(spark, store, ["x"], 0)
+    with pytest.raises(ValueError, match="non-empty"):
+        text_index_topk(spark, store, [], 5)
+    with pytest.raises(ValueError, match="no index"):
+        text_index_topk(spark, str(tmp_path / "none"), ["x"], 5)

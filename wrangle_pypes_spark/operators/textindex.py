@@ -70,9 +70,29 @@ DEFAULT_BLOCK_LIMIT = 1 << 16  # postings per stored row, ~a few MB
 
 _COLS = ["token", "block", "postings", "df", "n_docs", "sum_dl"]
 
+
+def _block_meta(postings) -> list:
+    """Per-block score-bound metadata: max tf, min dl, and the doc
+    range of the block's (doc-sorted) postings.  BM25's per-posting
+    score is increasing in tf and decreasing in dl, so
+    ``score(max_tf, min_dl)`` upper-bounds every posting in the block
+    — the block-max invariant :func:`text_index_topk` prunes with;
+    the doc range tightens the cross-term bound (blocks of different
+    terms can only share a doc where their ranges overlap).  NULL on
+    the empty stats block (F.get is null out-of-bounds, ANSI-safe)."""
+    return [
+        F.array_max(F.transform(postings, lambda p: p.getField("tf")))
+        .alias("max_tf"),
+        F.array_min(F.transform(postings, lambda p: p.getField("dl")))
+        .alias("min_dl"),
+        F.get(postings, F.lit(0)).getField("doc").alias("min_doc"),
+        F.get(postings, F.size(postings) - 1).getField("doc")
+        .alias("max_doc"),
+    ]
+
 __all__ = ["STATS_KEY", "DEFAULT_BLOCK_LIMIT", "build_text_index",
            "derive_stop_tokens", "index_stats", "postings_frame",
-           "merge_postings", "text_index_search"]
+           "merge_postings", "text_index_search", "text_index_topk"]
 
 
 def postings_frame(docs: DataFrame, *, text_col: str = "text",
@@ -188,14 +208,17 @@ def merge_postings(stored: Optional[DataFrame], updates: DataFrame,
                    "token", "postings", "n_docs", "sum_dl",
                    F.lit(1).alias("_ord"),
                    F.col("_sub").cast("long"))))
+    # block renumber AND the token-total df come from the SAME
+    # token-partitioned window pass — one shuffle, no groupBy+join
     wtok = Window.partitionBy("token").orderBy("_ord", "_sub")
-    renum = unioned.withColumn(
-        "block", (F.row_number().over(wtok) - 1).cast("int"))
-    totals = renum.groupBy("token").agg(
-        F.sum(F.size("postings")).cast("long").alias("df"))
-    return (renum.join(totals, "token")
-            .select("token", "block", "postings", "df",
-                    "n_docs", "sum_dl"))
+    wall = Window.partitionBy("token")
+    return (unioned.select(
+        "token",
+        (F.row_number().over(wtok) - 1).cast("int").alias("block"),
+        "postings",
+        F.sum(F.size("postings")).over(wall).cast("long").alias("df"),
+        "n_docs", "sum_dl",
+        *_block_meta(F.col("postings"))))
 
 
 def build_text_index(docs: DataFrame, store_path: str, *,
@@ -283,6 +306,185 @@ def text_index_search(spark: SparkSession, store_path: str,
             .groupBy("_doc")
             .agg(F.count("*").cast("long").alias("n_terms_hit"),
                  F.round(F.sum("_s"), round_digits).alias("bm25"))
+            .select(F.col("_doc").alias(id_name), "n_terms_hit",
+                    "bm25"))
+
+
+def _plan_topk_blocks(metas: Sequence, theta: float, *, k1: float,
+                      b: float, n_docs: int, avgdl: float
+                      ) -> tuple[set, int]:
+    """The block-max pruning decision (driver-side, pure — tested
+    directly): which (token, block) survive for an exact top-k whose
+    k-th best total score is known to be >= ``theta``.
+
+    Bound per block ``x`` of term ``t``: ``ub(x)`` (the block-max
+    score ``score(max_tf, min_dl)``, valid because BM25's per-posting
+    score is increasing in tf and decreasing in dl) plus, for every
+    OTHER query term, the max ub among its blocks whose doc range
+    intersects ``x``'s (a doc in ``x`` can only collect that term's
+    contribution from such a block; ranges within a term are disjoint
+    and sorted, so the overlap is a contiguous run).  Any doc in a
+    pruned block has true total < theta, hence cannot be in the
+    top-k; it may surface downstream with a PARTIAL score, but that
+    partial is < theta <= every true top-k doc's exact score, so the
+    final top-k selection is exact (the Block-Max WAND invariant,
+    re-shaped for a two-phase batch engine).  Returns (kept
+    (token, block) keys, number pruned)."""
+    import bisect
+    import math
+
+    def idf(df_):
+        return math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+
+    def ub(m):
+        return (idf(m["df"]) * (m["max_tf"] * (k1 + 1))
+                / (m["max_tf"] + k1 * (1 - b + b * m["min_dl"]
+                                       / max(avgdl, 1e-12))))
+
+    by_term: dict = {}
+    for m in metas:
+        by_term.setdefault(m["token"], []).append(m)
+    for t, ms in by_term.items():
+        ms.sort(key=lambda m: m["min_doc"])
+    bounds = {t: {"min": [m["min_doc"] for m in ms],
+                  "max": [m["max_doc"] for m in ms],
+                  "ub": [ub(m) for m in ms],
+                  "gmax": max(ub(m) for m in ms)}
+              for t, ms in by_term.items()}
+
+    def overlap_max(t, lo, hi):
+        tb = bounds[t]
+        i0 = bisect.bisect_left(tb["max"], lo)   # first max_doc >= lo
+        i1 = bisect.bisect_right(tb["min"], hi)  # past last min_doc <= hi
+        if i0 >= i1:
+            return 0.0
+        if i1 - i0 > 64:  # long run: the global term max is still
+            return tb["gmax"]  # a valid (looser) upper bound
+        return max(tb["ub"][i0:i1])
+
+    kept, pruned = set(), 0
+    for t, ms in by_term.items():
+        for i, m in enumerate(ms):
+            bound = bounds[t]["ub"][i] + sum(
+                overlap_max(t2, m["min_doc"], m["max_doc"])
+                for t2 in by_term if t2 != t)
+            if bound < theta:
+                pruned += 1
+            else:
+                kept.add((t, m["block"]))
+    return kept, pruned
+
+
+def text_index_topk(spark: SparkSession, store_path: str,
+                    query_terms: Sequence[str], k: int = 10, *,
+                    id_name: str = "doc_id", k1: float = 1.2,
+                    b: float = 0.75, round_digits: int = 4,
+                    max_df: Optional[int] = None) -> DataFrame:
+    """EXACT top-k BM25 from the index with block-max pruning —
+    Block-Max WAND (Ding & Suel) re-shaped for a batch engine as two
+    phases over the block-split postings:
+
+    1. *bootstrap*: the RAREST query term's postings score fully
+       (cheap — it is the discriminative term); the k-th best of
+       those single-term partials lower-bounds the k-th best total;
+    2. *prune + score*: per-block metadata (max_tf, min_dl, doc
+       range — stored at merge time, so this phase reads NO postings
+       for the blocks it drops) upper-bounds each block's possible
+       contribution; blocks that cannot reach the bound are skipped
+       and only the survivors explode into exact scoring.
+
+    The result is IDENTICAL to ``text_index_search(...)`` sorted by
+    (bm25 desc, id) and cut at ``k`` — pruning is exact, never a
+    recall trade (pinned in tests): a doc touching any pruned block
+    scores strictly below theta, and theta lower-bounds every true
+    top-k doc's score.  The payoff grows with the corpus: a
+    stopword-grade term contributes ~zero idf, so virtually all of
+    its bounded blocks prune and the query costs ~the rare terms'
+    postings, not the hot term's."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if max_df is not None and max_df < 1:
+        raise ValueError("max_df must be >= 1")
+    terms = sorted({t.lower() for t in query_terms})
+    probes = spark.createDataFrame(
+        [(t,) for t in terms + [STATS_KEY]], "token string")
+    rows = manifest_lookup(spark, store_path, probes)
+    if rows is None:
+        raise ValueError(f"no index committed at {store_path!r}")
+    stat = rows.filter(F.col("token") == STATS_KEY) \
+        .select("n_docs", "sum_dl").collect()
+    if not stat:
+        raise ValueError(
+            f"index at {store_path!r} lacks its corpus-stats row — "
+            "not built by build_text_index?")
+    n_docs = int(stat[0]["n_docs"])
+    avgdl = float(stat[0]["sum_dl"]) / max(n_docs, 1)
+    toks = rows.filter(F.col("token") != STATS_KEY)
+    if max_df is not None:
+        toks = toks.filter(F.col("df") <= max_df)
+    if "max_tf" not in toks.columns or "min_doc" not in toks.columns:
+        # store written before the block-meta format: derive on read
+        toks = toks.select("token", "block", "postings", "df",
+                           *_block_meta(F.col("postings")))
+    # deliberately NOT cached/checkpointed: each phase re-plans the
+    # bucket-pruned lookup so parquet column pruning applies — the
+    # meta collect below never reads a postings byte, the bootstrap
+    # reads only the rarest term's, the final scan only the survivors'
+    metas = [r.asDict() for r in
+             toks.select("token", "block", "df", "max_tf", "min_dl",
+                         "min_doc", "max_doc").collect()]
+    if not metas:
+        empty = text_index_search(spark, store_path, terms,
+                                  id_name=id_name)
+        return empty.limit(0)
+
+    idf = F.log(F.lit(1.0) +
+                (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    score = (idf * (F.col("_tf") * (k1 + 1))
+             / (F.col("_tf") + F.lit(k1)
+                * (1 - b + F.lit(b) * F.col("_dl")
+                   / F.lit(avgdl))))
+
+    def _explode(df):
+        return (df.select("df", F.explode("postings").alias("p"))
+                .select("df", F.col("p.doc").alias("_doc"),
+                        F.col("p.tf").alias("_tf"),
+                        F.col("p.dl").alias("_dl")))
+
+    # phase 1: theta from the rarest surviving term's own postings —
+    # kth best single-term partial <= kth best total, so it is a
+    # SAFE pruning threshold (k-1 rows when fewer match: no pruning)
+    rarest = min({m["token"] for m in metas},
+                 key=lambda t: next(m["df"] for m in metas
+                                    if m["token"] == t))
+    boot = (_explode(toks.filter(F.col("token") == rarest))
+            .select(score.alias("_s"))
+            .orderBy(F.col("_s").desc()).limit(k).collect())
+    theta = float(boot[k - 1]["_s"]) if len(boot) >= k \
+        else float("-inf")
+    # one rounding quantum of slack: the output orders by the ROUNDED
+    # score (the SQL contract), and a partially-scored doc within a
+    # quantum of theta could otherwise round onto the k-boundary and
+    # win the id tie-break; with the margin, every partial score sits
+    # strictly below every >=theta exact score even after rounding
+    theta -= 10.0 ** (-round_digits)
+
+    kept, _ = _plan_topk_blocks(metas, theta, k1=k1, b=b,
+                                n_docs=n_docs, avgdl=avgdl)
+    keep_df = spark.createDataFrame(
+        [(t, blk) for t, blk in sorted(kept)], "token string, block int")
+    hits = _explode(toks.join(F.broadcast(keep_df),
+                              ["token", "block"], "left_semi"))
+    scored = (hits.select("_doc", score.alias("_s"))
+              .groupBy("_doc")
+              .agg(F.count("*").cast("long").alias("n_terms_hit"),
+                   F.round(F.sum("_s"), round_digits).alias("bm25")))
+    w = Window.orderBy(F.col("bm25").desc(), F.col("_doc").asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn")
             .select(F.col("_doc").alias(id_name), "n_terms_hit",
                     "bm25"))
 
