@@ -472,3 +472,32 @@ def test_topk_legacy_store_and_validation(spark, tmp_path):
         text_index_topk(spark, store, [], 5)
     with pytest.raises(ValueError, match="no index"):
         text_index_topk(spark, str(tmp_path / "none"), ["x"], 5)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_doc_strategy,
+       k=st.integers(1, 8),
+       block_limit=st.sampled_from([1, 2, 4]),
+       terms=st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "zz"]),
+                      min_size=1, max_size=4))
+def test_property_topk_equals_full_sorted_cut(
+        spark, tmp_path_factory, docs, k, block_limit, terms):
+    """Fuzz the block-max exactness claim: random corpora, ks, block
+    limits, and term sets (including absent terms) — the pruned top-k
+    always equals the full search sorted by (bm25 desc, id) cut at
+    k."""
+    from wrangle_pypes_spark.operators.textindex import text_index_topk
+
+    base = tmp_path_factory.mktemp("prop_topk")
+    frame = spark.createDataFrame(docs, "doc_id int, text string")
+    store = str(base / "idx")
+    build_text_index(frame, store, n_buckets=4,
+                     block_limit=block_limit)
+    full = [tuple(r) for r in
+            text_index_search(spark, store, terms).collect()]
+    full.sort(key=lambda r: (-r[2], r[0]))
+    got = [tuple(r) for r in
+           text_index_topk(spark, store, terms, k).collect()]
+    got.sort(key=lambda r: (-r[2], r[0]))
+    assert got == full[:k], (terms, k, block_limit)
