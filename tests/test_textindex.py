@@ -135,6 +135,13 @@ def test_streaming_maintainer_equals_one_shot(spark, tmp_path):
     terms = ["spark", "shuffle", "window", "cats"]
     assert _rows(text_index_search(spark, store, terms)) == \
         _rows(bm25_scores(docs, terms))
+    # the streamed store carries block metadata too: block-max top-k
+    # over it equals the full-scan sorted cut
+    from wrangle_pypes_spark.operators.textindex import text_index_topk
+    got = [tuple(r) for r in
+           text_index_topk(spark, store, terms, 3).collect()]
+    got.sort(key=lambda r: (-r[2], r[0]))
+    assert got == _topk_expected(docs, terms, 3)
 
     # replay with the SAME checkpoint: nothing new, store unchanged
     from wrangle_pypes_spark.sources.manifest import manifest_current
