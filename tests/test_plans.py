@@ -568,3 +568,40 @@ def test_manifest_lookup_prunes_and_broadcasts(spark, sf_dir, tmp_path):
     counts = [int(m) for m in
               _re.findall(r"InMemoryFileIndex\((\d+) paths?\)", rep.plan)]
     assert counts and all(c <= 2 for c in counts)
+
+
+def test_nested_lineitems_single_shuffle_two_broadcasts(spark, sf_dir):
+    """The r9 nested-amortization query's plan IS the plan: one
+    exchange (the lineitem group, which the explicit repartition
+    pre-positions and the aggregate reuses), orders and customer
+    broadcast, zero sort-merge joins, no Python anywhere."""
+    import __spark_entry__ as entry
+    from wrangle_pypes_spark import plans
+
+    out = entry.queries()["wrangle_nested_lineitems"](spark, sf_dir)
+    rep = plans.audit(out)
+    assert rep.python_eval_nodes == []
+    assert rep.sortmerge_joins == 0
+    assert rep.broadcast_joins >= 2
+    # one repartition exchange; AQE may add a read-side coalesce but
+    # never a second hash shuffle of the data
+    hash_ex = [e for e in rep.exchanges if "hashpartitioning" in e]
+    assert len(hash_ex) <= 1, rep.exchanges
+
+
+def test_hard_negatives_lsh_is_equi_join(spark, sf_dir):
+    """The mining scale path joins on the LSH code — a plain
+    broadcast/shuffle EQUI join, never a nested-loop cross product;
+    the exact twin is the whitelisted bounded-broadcast baseline."""
+    from wrangle_pypes_spark import plans
+    from wrangle_pypes_spark.operators import hard_negatives_lsh
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = hard_negatives_lsh(emb, id_col="vec_id", vec_col="embedding",
+                             label_col="label", k=5,
+                             queries=emb.filter(F.col("vec_id") < 10))
+    rep = plans.audit(out)
+    assert rep.python_eval_nodes == []
+    assert "CartesianProduct" not in rep.plan
+    assert "BroadcastNestedLoopJoin" not in rep.plan
