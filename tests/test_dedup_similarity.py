@@ -1607,16 +1607,17 @@ def test_bloom_sidecar_pinned_before_first_commit(
 
 
 def test_lsh_hot_bucket_skew_guard(spark):
-    """VERDICT r8 #7: a degenerate corpus where many docs share one
-    boilerplate shingle run (one (band, bhash) bucket holds them all)
-    must not explode into quadratic candidate pairs: the guard drops
-    the hot buckets LOUDLY, the candidate count stays bounded, and
-    genuinely near-dup pairs still surface through their other
-    bands."""
+    """VERDICT r8 #7 + ADVICE r10: a degenerate corpus where many docs
+    share one boilerplate shingle run (one (band, bhash) bucket holds
+    them all) must not explode into quadratic candidate pairs: the
+    guard caps hot buckets to their exemplar LOUDLY, the candidate
+    count stays bounded at linear exemplar pairs — AND (the r10 recall
+    fix) cluster membership survives: members of the oversized
+    near-dup cluster still pair against the exemplar."""
     import pytest as _pytest
 
     from wrangle_pypes_spark.operators.dedup import (
-        _drop_hot_lsh_buckets, minhash_banded, minhash_lsh_dup_pairs,
+        _cap_hot_lsh_buckets, minhash_banded, minhash_lsh_dup_pairs,
         minhash_lsh_pairs_against)
 
     boiler = "all rights reserved contact us terms of service apply"
@@ -1642,8 +1643,15 @@ def test_lsh_hot_bucket_skew_guard(spark):
     assert (900, 901) in found  # genuine pair survives the guard
     # bounded: nothing near the 200^2/2 ~ 20k the hot bucket implies
     assert len(pairs) < 1000
+    # ADVICE r10 recall fix: the oversized boilerplate cluster keeps
+    # its MEMBERSHIP — (nearly) every member meets the exemplar hub,
+    # instead of the whole cluster's pairs vanishing with the bucket
+    cluster_ids = {i for p in found for i in p if i < 200}
+    assert len(cluster_ids) >= 150
 
-    # incremental twin: the corpus-side hot bucket is dropped too
+    # incremental twin: the corpus-side hot bucket is capped to its
+    # exemplar, so a new boilerplate doc still matches the cluster
+    # representative (old drop semantics matched nothing)
     idx = minhash_banded(docs, "text", id_col="doc_id")
     probe = spark.createDataFrame(
         [(1000, "the quick brown fox jumps over the lazy dog today")],
@@ -1655,7 +1663,12 @@ def test_lsh_hot_bucket_skew_guard(spark):
                 "doc_id int, text string")),
             idx, "text", id_col="doc_id", jaccard_threshold=0.5,
             max_bucket=50).collect()
-    assert {(r.id_a, r.id_b) for r in inc} >= {(1000, 900), (1000, 901)}
+    inc_found = {(r.id_a, r.id_b) for r in inc}
+    assert inc_found >= {(1000, 900), (1000, 901)}
+    assert any(a == 2000 and b < 200 for a, b in inc_found), inc_found
+    # linear, not quadratic: the new boiler doc pairs with the
+    # exemplar(s), not the whole 200-doc bucket
+    assert sum(1 for a, _ in inc_found if a == 2000) < 50
 
     # guard off: quadratic candidates really do come back (the thing
     # the guard exists to stop), and validation rejects max_bucket<2
@@ -1663,7 +1676,7 @@ def test_lsh_hot_bucket_skew_guard(spark):
                                 jaccard_threshold=0.0, max_bucket=None)
     assert nog.count() > 15000
     with _pytest.raises(ValueError, match="max_bucket"):
-        _drop_hot_lsh_buckets(banded, 1, "x")
+        _cap_hot_lsh_buckets(banded, 1, "x", "doc_id")
 
 
 def test_hard_negatives_semantics_and_lsh_recall(spark, tables):

@@ -998,3 +998,79 @@ def test_root_pointer_vacuum_reader_soak(spark, tmp_path):
         pmanifest_read(spark, store, root_version=pinned[0])
     # cold sub-store was never rewritten: still at version 1, alive
     assert manifest_current(os.path.join(store, "p=2024-02-01"))[0] == 1
+
+
+def test_unreplayed_crashed_batch_stays_invisible(spark, tmp_path,
+                                                  monkeypatch):
+    """ADVICE r10: a batch crashes after SOME sub-commits and is never
+    replayed.  A later merge to OTHER partitions (and a rebucket)
+    must not sweep the crashed batch's staging into the published
+    view — the old from-heads root publish did exactly that."""
+    import warnings as _warnings
+
+    from wrangle_pypes_spark.sources import manifest as man_mod
+    from wrangle_pypes_spark.sources.partitioned import (
+        _root_parts, pmanifest_rebucket, root_current)
+
+    store = str(tmp_path / "ghost")
+    pmanifest_merge(
+        _rows(spark, [(1, _d("2024-01-01"), "a"),
+                      (2, _d("2024-02-01"), "b")]),
+        store, "day", ["k"], epoch_id=0, n_buckets=2,
+        max_concurrency=1)
+    v0 = _kv(spark, store)
+
+    # epoch 1 crashes after Jan's sub-commit, before Feb's
+    real_merge = man_mod.manifest_merge
+    calls = {"n": 0}
+
+    def _flaky(updates, path, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash mid-batch")
+        return real_merge(updates, path, *a, **kw)
+
+    import wrangle_pypes_spark.sources.partitioned as p_mod
+    monkeypatch.setattr(p_mod._m, "manifest_merge", _flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        pmanifest_merge(
+            _rows(spark, [(1, _d("2024-01-01"), "GHOST"),
+                          (2, _d("2024-02-01"), "GHOST")]),
+            store, "day", ["k"], epoch_id=1, n_buckets=2,
+            max_concurrency=1)
+    monkeypatch.setattr(p_mod._m, "manifest_merge", real_merge)
+    assert manifest_current(os.path.join(store, "p=2024-01-01"))[1] == 1
+
+    # epoch 2: an UNRELATED merge to March only — the crashed Jan
+    # staging must stay invisible, at head publish it leaked here
+    pmanifest_merge(
+        _rows(spark, [(3, _d("2024-03-01"), "c")]),
+        store, "day", ["k"], epoch_id=2, n_buckets=2,
+        max_concurrency=1)
+    expect = dict(v0)
+    expect[3] = (_d("2024-03-01"), "c")
+    assert _kv(spark, store) == expect
+    assert _root_parts(store)["2024-01-01"] == 1  # pinned pre-crash
+    assert root_current(store)[1] == 2
+
+    # rebucket must not rewrite-and-publish the staged head either:
+    # the staged partition is skipped loudly, the rest rebucket
+    # (same count — layout is irrelevant here, the skip is the point)
+    with pytest.warns(UserWarning, match="staged sub-commits"):
+        out = pmanifest_rebucket(spark, store, 2)
+    assert "2024-01-01" not in out and "2024-03-01" in out
+    assert _kv(spark, store) == expect
+
+    # and the crashed batch's REPLAY still converges and publishes it
+    # (Jan guard-skips its staged commit, Feb commits fresh)... with
+    # the epoch-2 root already ahead, replaying an older epoch is
+    # out-of-order delivery — streaming recovery replays in order, so
+    # replay the batch as the NEXT epoch instead
+    pmanifest_merge(
+        _rows(spark, [(1, _d("2024-01-01"), "A3"),
+                      (2, _d("2024-02-01"), "B3")]),
+        store, "day", ["k"], epoch_id=3, n_buckets=2,
+        max_concurrency=1)
+    got = _kv(spark, store)
+    assert got[1] == (_d("2024-01-01"), "A3")
+    assert got[2] == (_d("2024-02-01"), "B3")

@@ -449,6 +449,98 @@ def test_topk_planner_prunes_hot_blocks(spark, tmp_path):
     assert all(r[0] < 5 for r in got)  # the special docs win
 
 
+def test_topk_planner_overlapping_ranges_bound(spark):
+    """ADVICE r10: a term's block doc ranges OVERLAP after incremental
+    merges (the re-chunked underfull tail spans the passed-through
+    full blocks), so the max_doc list sorted by min_doc is NOT
+    sorted.  The planner must still include the wide block's ub in
+    the cross-term bound — the old bisect-on-max under-bounded and
+    pruned a block holding a true top-k posting."""
+    import math
+
+    from wrangle_pypes_spark.operators.textindex import _plan_topk_blocks
+
+    n_docs, avgdl, k1, b = 1000, 10.0, 1.2, 0.75
+
+    def idf(df_):
+        return math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+
+    def ub(df_, max_tf, min_dl):
+        return (idf(df_) * (max_tf * (k1 + 1))
+                / (max_tf + k1 * (1 - b + b * min_dl / avgdl)))
+
+    # t2's blocks sorted by min_doc: a WIDE re-chunked block (0..1000,
+    # high ub) followed by a narrow full block (10..20, low ub) — the
+    # max_doc list [1000, 20] is unsorted, the old bisect for
+    # lo=500 skipped the wide block entirely
+    metas = [
+        {"token": "t1", "block": 0, "df": 50, "max_tf": 1,
+         "min_dl": 10, "min_doc": 500, "max_doc": 600},
+        {"token": "t2", "block": 1, "df": 100, "max_tf": 5,
+         "min_dl": 5, "min_doc": 0, "max_doc": 1000},
+        {"token": "t2", "block": 0, "df": 100, "max_tf": 1,
+         "min_dl": 10, "min_doc": 10, "max_doc": 20},
+    ]
+    ub1 = ub(50, 1, 10)
+    ub_wide = ub(100, 5, 5)
+    # theta between t1-alone and t1 + the wide overlapping t2 block:
+    # correct planning must KEEP t1's block (a doc in 500..600 can
+    # reach ub1 + ub_wide); under-bounding pruned it
+    theta = ub1 + 0.5 * ub_wide
+    kept, _ = _plan_topk_blocks(metas, theta, k1=k1, b=b,
+                                n_docs=n_docs, avgdl=avgdl)
+    assert ("t1", 0) in kept
+    # and a genuinely unreachable block still prunes (theta above
+    # everything t1 + t2 could ever sum to)
+    kept2, pruned2 = _plan_topk_blocks(
+        metas, ub1 + ub_wide + ub(100, 1, 10) + 1.0, k1=k1, b=b,
+        n_docs=n_docs, avgdl=avgdl)
+    assert ("t1", 0) not in kept2 and pruned2 > 0
+
+
+def test_topk_incremental_overlapping_blocks(spark, tmp_path):
+    """ADVICE r10 end-to-end: build the index INCREMENTALLY with
+    interleaved, non-monotonic doc ids so merge_postings really
+    produces overlapping block ranges, then pin the exactness claim
+    against the full-scan cut on that store."""
+    from wrangle_pypes_spark.operators.textindex import text_index_topk
+    from wrangle_pypes_spark.sources.manifest import manifest_read
+
+    def _text(i):
+        return (f"aa tok{i % 7} {'cc' if i % 3 == 0 else 'dd'} "
+                f"rare{i % 53}")
+
+    b1 = spark.createDataFrame(
+        [(i, _text(i)) for i in range(0, 400, 2)],
+        "doc_id int, text string")
+    b2 = spark.createDataFrame(
+        [(i, _text(i)) for i in range(1, 400, 2)],
+        "doc_id int, text string")
+    store = str(tmp_path / "ovl")
+    build_text_index(b1, store, n_buckets=4, block_limit=8, epoch_id=0)
+    build_text_index(b2, store, n_buckets=4, block_limit=8, epoch_id=1)
+
+    # the hazard precondition really holds: the hot term's block doc
+    # ranges overlap (batch 2's odd ids interleave batch 1's evens)
+    ranges = sorted(
+        (r.min_doc, r.max_doc) for r in
+        manifest_read(spark, store).filter(F.col("token") == "aa")
+        .select("min_doc", "max_doc").collect())
+    assert len(ranges) > 2
+    assert any(ranges[i][1] >= ranges[i + 1][0]
+               for i in range(len(ranges) - 1)), ranges
+
+    docs = b1.unionByName(b2)
+    for terms, k in ((["aa", "rare7"], 5),
+                     (["aa", "cc", "tok3"], 10),
+                     (["cc", "rare13"], 7),
+                     (["aa"], 4)):
+        got = [tuple(r) for r in
+               text_index_topk(spark, store, terms, k).collect()]
+        got.sort(key=lambda r: (-r[2], r[0]))
+        assert got == _topk_expected(docs, terms, k), (terms, k)
+
+
 def test_topk_legacy_store_and_validation(spark, tmp_path):
     """A store committed before the block-meta columns derives them on
     read; argument validation fails loudly."""
@@ -469,6 +561,25 @@ def test_topk_legacy_store_and_validation(spark, tmp_path):
     manifest_merge(legacy, store2, ["token"], n_buckets=4)
     got = [tuple(r) for r in
            text_index_topk(spark, store2, ["alpha", "tok2"],
+                           4).collect()]
+    got.sort(key=lambda r: (-r[2], r[0]))
+    assert got == _topk_expected(docs, ["alpha", "tok2"], 4)
+
+    # a TRUE pre-block (r8) store also lacks the 'block' column: the
+    # shim must default it, not raise (ADVICE r10).  Its single row
+    # per token requires re-flattening postings into one array.
+    pre = (manifest_read(spark, store)
+           .groupBy("token")
+           .agg(F.array_sort(F.flatten(F.collect_list("postings")))
+                .alias("postings"),
+                F.max("df").alias("df"),
+                F.max("n_docs").alias("n_docs"),
+                F.max("sum_dl").alias("sum_dl"))
+           .localCheckpoint())
+    store3 = str(tmp_path / "lg3")
+    manifest_merge(pre, store3, ["token"], n_buckets=4)
+    got = [tuple(r) for r in
+           text_index_topk(spark, store3, ["alpha", "tok2"],
                            4).collect()]
     got.sort(key=lambda r: (-r[2], r[0]))
     assert got == _topk_expected(docs, ["alpha", "tok2"], 4)

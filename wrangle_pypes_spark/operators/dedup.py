@@ -235,47 +235,84 @@ def minhash_banded(df: DataFrame, text_col: str, *, id_col: str,
     ).select(id_col, "signature", "lsh.band", "lsh.bhash")
 
 
-def _drop_hot_lsh_buckets(banded: DataFrame, max_bucket: Optional[int],
-                          context: str) -> DataFrame:
-    """Skew guard for the banded equi-join (VERDICT r8 #7): a
-    boilerplate-grade shingle run makes one (band, bhash) bucket hold
-    k docs and the join emit O(k²) candidate pairs — the same hazard
-    class as the text index's hot-posting row, at the join instead of
-    the row.  Buckets holding more than ``max_bucket`` rows are
-    DROPPED from candidate generation, LOUDLY (one warning carrying
-    the bucket and row counts — never silently): a bucket that hot is
-    non-discriminative boilerplate, the affected docs' genuine
-    near-dups still surface through their other ``bands - 1`` buckets
-    (which only all collide together for actual near-dups), and
-    byte-identical boilerplate is exact/paragraph dedup's job anyway.
-    ``max_bucket=None`` disables the guard.  Cost when enabled: one
-    count aggregate over the banded table plus a broadcast anti-join
-    of the (few) hot bucket keys."""
+def _cap_hot_lsh_buckets(banded: DataFrame, max_bucket: Optional[int],
+                         context: str, id_col: str, *,
+                         emit_member_pairs: bool = False,
+                         materialize: bool = True
+                         ) -> tuple[DataFrame, Optional[DataFrame]]:
+    """Skew guard for the banded equi-join (VERDICT r8 #7, recall fix
+    ADVICE r10): a boilerplate-grade shingle run makes one
+    (band, bhash) bucket hold k docs and the join emit O(k²)
+    candidate pairs.  Buckets holding more than ``max_bucket`` rows
+    are CAPPED to one EXEMPLAR row (the bucket's min id) — loudly,
+    with one warning carrying the bucket and row counts.
+
+    Capping (not dropping) preserves cluster membership for exactly
+    the case the old drop semantics lost: a near-dup CLUSTER larger
+    than ``max_bucket`` makes every band's bucket hot, so the cluster
+    had no surviving candidates at all.  Now every other row of a hot
+    bucket still meets the bucket's exemplar:
+
+    * ``emit_member_pairs=True`` (the self-join case) additionally
+      returns the (exemplar, member) candidate pairs — id_a the
+      exemplar (the bucket min, so id_a < id_b holds), with both
+      signatures for the usual verification — linear in the hot
+      rows, so a size-k cluster costs k-1 pairs instead of k²/2;
+    * in the new-vs-corpus case the CORPUS side is capped, so every
+      new doc in a hot bucket pairs against the corpus exemplar via
+      the normal equi-join (linear), and no extra frame is needed.
+
+    Returns ``(banded_capped, extra_candidates_or_None)``.
+    ``max_bucket=None`` disables the guard (returns the input and
+    None).  ``materialize`` localCheckpoints the banded frame FIRST
+    (VERDICT r9 #2: the guard's count aggregate, the cold/hot splits
+    and the downstream join otherwise re-evaluate the expensive
+    shingle+minhash plan 2-3×); pass False when the input is a cheap
+    re-readable scan (a stored signature table)."""
     if max_bucket is None:
-        return banded
+        return banded, None
     if max_bucket < 2:
         raise ValueError(
             "max_bucket must be >= 2 (a 1-doc bucket emits no pairs)")
     import warnings
 
+    if materialize:
+        banded = banded.localCheckpoint(eager=True)
     hot = (banded.groupBy("band", "bhash")
            .agg(F.count(F.lit(1)).alias("_bk"))
            .filter(F.col("_bk") > max_bucket))
     stat = hot.agg(F.count(F.lit(1)).alias("nb"),
                    F.sum("_bk").alias("nr")).collect()[0]
     if not stat["nb"]:
-        return banded
+        return banded, None
     warnings.warn(
-        f"{context}: dropping {stat['nb']} hot LSH bucket(s) holding "
-        f"{stat['nr']} banded rows from candidate generation (over "
+        f"{context}: capping {stat['nb']} hot LSH bucket(s) holding "
+        f"{stat['nr']} banded rows to their min-id exemplar (over "
         f"max_bucket={max_bucket} docs in one (band, bhash) bucket — "
         "boilerplate-grade shingles whose candidate pairs would be "
-        "quadratic). Affected docs' near-dups can still surface via "
-        "their other bands; use exact/paragraph dedup for "
-        "byte-identical boilerplate, or raise max_bucket.",
+        "quadratic). Members still pair against the exemplar "
+        "(linear), and genuine near-dups also surface via their "
+        "other bands; raise max_bucket to widen the cap.",
         stacklevel=3)
-    return banded.join(F.broadcast(hot.select("band", "bhash")),
-                       ["band", "bhash"], "left_anti")
+    hotk = F.broadcast(hot.select("band", "bhash"))
+    cold = banded.join(hotk, ["band", "bhash"], "left_anti")
+    w = Window.partitionBy("band", "bhash").orderBy(F.col(id_col).asc())
+    ranked = (banded.join(hotk, ["band", "bhash"], "left_semi")
+              .withColumn("_rn", F.row_number().over(w)))
+    exemplars = ranked.filter(F.col("_rn") == 1).drop("_rn")
+    capped = cold.unionByName(exemplars)
+    extra = None
+    if emit_member_pairs:
+        ex = exemplars.select(
+            "band", "bhash", F.col(id_col).alias("id_a"),
+            F.col("signature").alias("sig_a"))
+        extra = (ranked.filter(F.col("_rn") > 1)
+                 .select("band", "bhash", F.col(id_col).alias("id_b"),
+                         F.col("signature").alias("sig_b"))
+                 .join(F.broadcast(ex), ["band", "bhash"])
+                 .select("id_a", "id_b", "sig_a", "sig_b")
+                 .dropDuplicates(["id_a", "id_b"]))
+    return capped, extra
 
 
 def _verified_pairs(cand: DataFrame, num_hashes: int,
@@ -309,13 +346,18 @@ def minhash_lsh_pairs_against(new_df: DataFrame, banded_corpus: DataFrame,
     banded_new = minhash_banded(new_df, text_col, id_col=id_col,
                                 num_hashes=num_hashes, bands=bands,
                                 shingle_n=shingle_n)
-    # skew guard on BOTH join sides (a bucket hot on either side makes
-    # the cross product explode); the guard never filters what a
-    # caller stores — only what joins here
-    banded_new = _drop_hot_lsh_buckets(
-        banded_new, max_bucket, "minhash_lsh_pairs_against[batch]")
-    banded_corpus = _drop_hot_lsh_buckets(
-        banded_corpus, max_bucket, "minhash_lsh_pairs_against[corpus]")
+    # skew guard on the CORPUS side only: a hot corpus bucket is
+    # capped to its exemplar, so each new doc in it emits ONE pair
+    # (cluster membership preserved at linear cost — ADVICE r10); a
+    # hot NEW-side bucket then fans out at most max_bucket corpus
+    # rows per new doc (the same per-bucket bound as a cold bucket),
+    # so the batch side needs no cap — and keeps every new doc's own
+    # dedup decision.  The guard never filters what a caller stores —
+    # only what joins here.  materialize=False: the corpus side is
+    # normally a stored signature table (re-reads beat copying it).
+    banded_corpus, _ = _cap_hot_lsh_buckets(
+        banded_corpus, max_bucket, "minhash_lsh_pairs_against[corpus]",
+        id_col, materialize=False)
     a = banded_new.alias("a")
     b = banded_corpus.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
@@ -354,19 +396,29 @@ def minhash_lsh_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
     bytes, so persisting them is the right call at any scale (at 100 TB
     you would write them to a table and join from there).
 
-    ``max_bucket`` is the skew guard (``_drop_hot_lsh_buckets``):
+    ``max_bucket`` is the skew guard (``_cap_hot_lsh_buckets``):
     (band, bhash) buckets holding more docs than it — boilerplate-
-    grade shingle collisions — are dropped from candidate generation
-    with a loud warning, bounding any one bucket's pair fan-out at
-    max_bucket² instead of corpus².  ``None`` disables.
+    grade shingle collisions — are capped to their min-id EXEMPLAR,
+    with every other member emitted as an (exemplar, member)
+    candidate instead (loud warning): any one bucket's pair fan-out
+    is bounded at max_bucket² + linear exemplar pairs instead of
+    corpus², and a near-dup cluster larger than max_bucket keeps its
+    membership through the exemplar hub (ADVICE r10 — drop semantics
+    lost exactly the largest clusters).  ``None`` disables.
     """
     banded = minhash_banded(df, text_col, id_col=id_col,
                             num_hashes=num_hashes, bands=bands,
                             shingle_n=shingle_n)
-    if persist:
+    extra = None
+    if max_bucket is not None:
+        # the guard localCheckpoints (its count pass + splits + the
+        # self-join would re-run shingle+minhash 2-3× otherwise), so
+        # the persist flag only matters with the guard off
+        banded, extra = _cap_hot_lsh_buckets(
+            banded, max_bucket, "minhash_lsh_dup_pairs", id_col,
+            emit_member_pairs=True)
+    elif persist:
         banded = banded.persist()
-    banded = _drop_hot_lsh_buckets(banded, max_bucket,
-                                   "minhash_lsh_dup_pairs")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -378,6 +430,9 @@ def minhash_lsh_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
                      F.col("a.signature").alias("sig_a"),
                      F.col("b.signature").alias("sig_b"))
              .dropDuplicates(["id_a", "id_b"]))
+    if extra is not None:
+        cand = (cand.unionByName(extra)
+                .dropDuplicates(["id_a", "id_b"]))
     return _verified_pairs(cand, num_hashes, jaccard_threshold)
 
 

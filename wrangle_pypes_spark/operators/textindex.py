@@ -322,14 +322,25 @@ def _plan_topk_blocks(metas: Sequence, theta: float, *, k1: float,
     score is increasing in tf and decreasing in dl) plus, for every
     OTHER query term, the max ub among its blocks whose doc range
     intersects ``x``'s (a doc in ``x`` can only collect that term's
-    contribution from such a block; ranges within a term are disjoint
-    and sorted, so the overlap is a contiguous run).  Any doc in a
-    pruned block has true total < theta, hence cannot be in the
-    top-k; it may surface downstream with a PARTIAL score, but that
-    partial is < theta <= every true top-k doc's exact score, so the
-    final top-k selection is exact (the Block-Max WAND invariant,
-    re-shaped for a two-phase batch engine).  Returns (kept
-    (token, block) keys, number pruned)."""
+    contribution from such a block).  Any doc in a pruned block has
+    true total < theta, hence cannot be in the top-k; it may surface
+    downstream with a PARTIAL score, but that partial is
+    < theta <= every true top-k doc's exact score, so the final top-k
+    selection is exact (the Block-Max WAND invariant, re-shaped for a
+    two-phase batch engine).
+
+    A term's block doc ranges are NOT assumed disjoint: incremental
+    ``merge_postings`` re-chunks the underfull tail with the new
+    batch, and with non-monotonic doc ids across batches the
+    re-chunked block's range can span the passed-through full blocks.
+    So the overlap scan bisects only lists that are sorted BY
+    CONSTRUCTION — ``min_doc`` (the block sort key) and the running
+    cummax of ``max_doc`` — and bounds over the superset of blocks
+    those cuts admit: every truly overlapping block is inside
+    ``[j, i1)`` (a block before ``j`` has max_doc <= cummax < lo; a
+    block at/after ``i1`` has min_doc > hi), so ``max(ub[j:i1])`` is
+    a valid (possibly looser) upper bound and pruning stays exact.
+    Returns (kept (token, block) keys, number pruned)."""
     import bisect
     import math
 
@@ -346,21 +357,28 @@ def _plan_topk_blocks(metas: Sequence, theta: float, *, k1: float,
         by_term.setdefault(m["token"], []).append(m)
     for t, ms in by_term.items():
         ms.sort(key=lambda m: m["min_doc"])
-    bounds = {t: {"min": [m["min_doc"] for m in ms],
-                  "max": [m["max_doc"] for m in ms],
-                  "ub": [ub(m) for m in ms],
-                  "gmax": max(ub(m) for m in ms)}
-              for t, ms in by_term.items()}
+    bounds = {}
+    for t, ms in by_term.items():
+        cmax, run = [], None
+        for m in ms:
+            run = m["max_doc"] if run is None else max(run, m["max_doc"])
+            cmax.append(run)
+        bounds[t] = {"min": [m["min_doc"] for m in ms],
+                     "cmax": cmax,
+                     "ub": [ub(m) for m in ms],
+                     "gmax": max(ub(m) for m in ms)}
 
     def overlap_max(t, lo, hi):
         tb = bounds[t]
-        i0 = bisect.bisect_left(tb["max"], lo)   # first max_doc >= lo
         i1 = bisect.bisect_right(tb["min"], hi)  # past last min_doc <= hi
-        if i0 >= i1:
+        # first index whose running max_doc reaches lo: everything
+        # before it has max_doc < lo, so it cannot overlap [lo, hi]
+        j = bisect.bisect_left(tb["cmax"], lo, 0, i1)
+        if j >= i1:
             return 0.0
-        if i1 - i0 > 64:  # long run: the global term max is still
+        if i1 - j > 64:  # long run: the global term max is still
             return tb["gmax"]  # a valid (looser) upper bound
-        return max(tb["ub"][i0:i1])
+        return max(tb["ub"][j:i1])
 
     kept, pruned = set(), 0
     for t, ms in by_term.items():
@@ -424,6 +442,11 @@ def text_index_topk(spark: SparkSession, store_path: str,
     toks = rows.filter(F.col("token") != STATS_KEY)
     if max_df is not None:
         toks = toks.filter(F.col("df") <= max_df)
+    if "block" not in toks.columns:
+        # pre-block-split store (r8 format): one row per token — the
+        # same block-0 default merge_postings applies on its first
+        # post-upgrade merge
+        toks = toks.withColumn("block", F.lit(0).cast("int"))
     if "max_tf" not in toks.columns or "min_doc" not in toks.columns:
         # store written before the block-meta format: derive on read
         toks = toks.select("token", "block", "postings", "df",

@@ -300,18 +300,38 @@ def _root_parts(path: str, spark=None) -> Optional[dict]:
 
 
 def _publish_root_from_heads(path: str, epoch_id: int, spark=None,
-                             *, force: bool = False) -> Optional[int]:
-    """Publish a root naming every partition's current sub head; the
-    shared tail of every writer.  Skips the write when an identical
-    mapping is already committed (no-op replay) unless ``force``."""
-    parts = {}
-    for t in _list_tokens(path, spark=spark):
-        cur = _m.manifest_current(_sub(path, t), spark=spark)
-        if cur is not None:
-            parts[t] = cur[0]
+                             *, force: bool = False,
+                             committed_tokens: Optional[Sequence[str]]
+                             = None) -> Optional[int]:
+    """Publish the next root; the shared tail of every writer.  Skips
+    the write when an identical mapping is already committed (no-op
+    replay) unless ``force``.
+
+    ``committed_tokens`` scopes the advance (ADVICE r10): when given
+    AND a prior root exists, the new root is the PRIOR ROOT's parts
+    overridden by the current sub heads of exactly those tokens — so
+    a different batch's crashed, never-replayed sub-commits stay
+    staged (invisible) instead of being swept into visibility by the
+    next unrelated merge's publish.  With no prior root (first
+    publish / pre-root-layout upgrade) or ``committed_tokens=None``
+    (explicit full-store publishes), every partition's current head
+    is named — everything at head predates root accounting and was
+    legitimately committed."""
+    root = root_current(path, spark=spark)
+    if committed_tokens is not None and root is not None:
+        parts = dict(_load_root(path, root[0], spark=spark)["parts"])
+        for t in committed_tokens:
+            cur = _m.manifest_current(_sub(path, t), spark=spark)
+            if cur is not None:
+                parts[t] = cur[0]
+    else:
+        parts = {}
+        for t in _list_tokens(path, spark=spark):
+            cur = _m.manifest_current(_sub(path, t), spark=spark)
+            if cur is not None:
+                parts[t] = cur[0]
     if not parts:
         return None
-    root = root_current(path, spark=spark)
     if root is not None and not force:
         if _load_root(path, root[0], spark=spark)["parts"] == parts:
             return None  # replay with nothing new: keep the root
@@ -385,6 +405,15 @@ def pmanifest_merge(updates: DataFrame, path: str, partition_col: str,
     retried after a partial failure double-sums the partitions that
     had committed first.  Give additive merges an epoch.
 
+    The root publish advances ONLY this call's partitions (committed
+    here, or guard-skipped as already holding this epoch), so a
+    DIFFERENT batch's crashed, never-replayed staging in other
+    partitions stays invisible.  One stated residual: a later merge
+    into the SAME partition builds on that partition's sub head —
+    staged rows included — so its commit carries the crashed batch's
+    rows for that partition into view.  Replay crashed batches (the
+    normal streaming recovery) rather than abandoning them.
+
     ``updates`` is evaluated once for partition discovery plus twice
     per touched partition (manifest_merge's documented double-eval) —
     foreachBatch hands over materialized micro-batches so this is
@@ -420,7 +449,10 @@ def pmanifest_merge(updates: DataFrame, path: str, partition_col: str,
         if guard_epochs and epoch_id >= 0:
             cur = _m.manifest_current(sub_path, spark=updates.sparkSession)
             if cur is not None and cur[1] >= epoch_id:
-                return None  # replay: this partition already has the batch
+                # replay: this partition already holds the batch — no
+                # new commit, but its head legitimately belongs in the
+                # root (the crashed first attempt committed it)
+                return token, None
         part = updates.filter(F.col(partition_col) == F.lit(pval))
         return token, _m.manifest_merge(
             part, sub_path, key_cols, epoch_id=epoch_id, mode=mode,
@@ -449,13 +481,16 @@ def pmanifest_merge(updates: DataFrame, path: str, partition_col: str,
             path.rstrip("/") + "/" + _META,
             _json.dumps({"partition_col": partition_col}),
             spark=updates.sparkSession)
-    # the batch's ONE commit point: publish the root naming every
-    # partition's sub head.  Also heals a prior crash: a replay whose
-    # sub-commits all guard-skip still finds the heads differ from
-    # the committed root and publishes the missing root.
+    # the batch's ONE commit point: publish the root advancing exactly
+    # THIS batch's partitions — committed here, or guard-skipped
+    # because a crashed first attempt already committed them (so a
+    # replay still heals the missing root).  Partitions staged by a
+    # DIFFERENT unreplayed crashed batch stay invisible (ADVICE r10:
+    # publishing raw heads quietly exposed them).
     _publish_root_from_heads(path, epoch_id,
-                             spark=updates.sparkSession)
-    return dict(r for r in results if r is not None)
+                             spark=updates.sparkSession,
+                             committed_tokens=[t for t, _ in results])
+    return {t: v for t, v in results if v is not None}
 
 
 def pmanifest_read(spark: SparkSession, path: str, *,
@@ -734,10 +769,29 @@ def pmanifest_rebucket(spark: SparkSession, path: str,
     returns {partition token: committed version}."""
     tokens = select_partitions(_list_tokens(path, spark=spark),
                                partitions=partitions)
+    parts = _root_parts(path, spark=spark)
+    if parts is not None:
+        # only COMMITTED partitions rebucket: a staged sub-store from
+        # an unreplayed crashed batch must stay invisible, not get
+        # rewritten and published here
+        tokens = [t for t in tokens if t in parts]
     out = {}
     for t in tokens:
         sub = _sub(path, t)
-        if _m.manifest_current(sub, spark=spark) is None:
+        cur = _m.manifest_current(sub, spark=spark)
+        if cur is None:
+            continue
+        if parts is not None and cur[0] != parts[t]:
+            # manifest_rebucket rewrites from the sub HEAD; a head
+            # above the root is a crashed batch's staging — folding
+            # it in would publish the unreplayed batch (ADVICE r10)
+            import warnings
+            warnings.warn(
+                f"pmanifest_rebucket: partition {t!r} has staged "
+                f"sub-commits above the committed root (head "
+                f"v{cur[0]} vs root v{parts[t]}) — skipped; replay "
+                "the crashed batch before rebucketing it",
+                stacklevel=2)
             continue
         out[t] = _m.manifest_rebucket(spark, sub, n_buckets,
                                       compression=compression)
@@ -749,7 +803,8 @@ def pmanifest_rebucket(spark: SparkSession, path: str,
         root = root_current(path, spark=spark)
         _publish_root_from_heads(path,
                                  root[1] if root is not None else -1,
-                                 spark=spark)
+                                 spark=spark,
+                                 committed_tokens=list(out))
     return out
 
 
@@ -888,7 +943,9 @@ def pmanifest_merge_into(source: DataFrame, path: str, *,
     else:
         results = [_one(p) for p in ordered]
     # same single commit point as pmanifest_merge: the MERGE's
-    # sub-commits become visible together when the root publishes
+    # sub-commits become visible together when the root publishes —
+    # scoped to the partitions THIS merge touched (ADVICE r10)
     _publish_root_from_heads(path, epoch_id,
-                             spark=source.sparkSession)
+                             spark=source.sparkSession,
+                             committed_tokens=[t for t, _ in results])
     return dict(results)

@@ -1731,9 +1731,10 @@ def foreach_batch_minhash_index(stream_df: DataFrame, index_path: str, *,
     the accumulated index — the 100 TB ingest-dedup topology.  When
     ``pairs_path`` is None only the index is maintained and no pair
     plan is built at all.  ``max_bucket`` is the banded-join skew
-    guard (``operators.dedup._drop_hot_lsh_buckets``): it bounds
-    candidate fan-out at pair time and NEVER filters what the index
-    stores — every signature is retained.
+    guard (``operators.dedup._cap_hot_lsh_buckets``): hot buckets are
+    capped to an exemplar at pair time (members pair against it, so
+    oversized dup clusters keep their membership) and the index
+    stores are NEVER filtered — every signature is retained.
     """
     from .. import fsutil
     from ..operators.dedup import (minhash_banded, minhash_lsh_dup_pairs,
