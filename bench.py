@@ -288,6 +288,13 @@ def main() -> None:
         "metric": ("all_queries_total_sec" if run_all
                    else "headline_queries_total_sec"),
         "value": total,
+        # the round-comparison number (VERDICT r9 #5): total divided
+        # by the measured host drift factor, so a raw-vs-raw diff
+        # against a differently-loaded host stops reading as a
+        # phantom regression — compare value_normalized across rounds
+        "value_normalized": round(total / host_factor, 3)
+        if host_factor > 0 else total,
+        "host_factor": host_factor,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

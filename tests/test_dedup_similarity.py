@@ -1753,3 +1753,54 @@ def test_mine_triplets_extremes_and_margin(spark, tables):
                         label_col="label",
                         queries=solo.filter(F.col("vec_id") < 3))
     assert {r.anchor_id for r in got.collect()} == {1, 2}
+
+
+def test_ann_hot_code_bucket_guard(spark):
+    """VERDICT r9 #6: a degenerate corpus — many identical vectors
+    collapsing into ONE sign code — must not make every probe's
+    candidate set corpus-sized.  The guard caps hot codes to a
+    deterministic sample, LOUDLY; genuine neighbors in cold codes
+    are untouched, and the capped result is reproducible."""
+    import pytest as _pytest
+
+    from wrangle_pypes_spark.operators.similarity import (
+        _cap_hot_code_buckets, lsh_bucket_topk)
+
+    dim = 8
+    # 300 byte-identical vectors (one code) + a distinctive pair
+    hot_vec = [1.0] + [0.0] * (dim - 1)
+    rows = [(i, hot_vec) for i in range(300)]
+    rows += [(900, [0.0] * (dim - 1) + [1.0]),
+             (901, [0.0] * (dim - 2) + [0.1, 1.0])]
+    corpus = spark.createDataFrame(
+        rows, "vid int, emb array<double>")
+    q = corpus.filter(F.col("vid").isin(900, 0))
+
+    with _pytest.warns(UserWarning, match="hot LSH code"):
+        got = lsh_bucket_topk(
+            corpus, q, id_col="vid", vec_col="emb", k=3,
+            n_planes=4, probes=0, max_bucket=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    # the cold-code query still finds its genuine neighbor
+    assert any(r.neighbor_id == 901 for r in by_q.get(900, []))
+    # the hot-code query gets candidates from the SAMPLE, k rows max
+    assert 0 < len(by_q.get(0, [])) <= 3
+    # deterministic: same inputs, same capped sample, same rows
+    with _pytest.warns(UserWarning, match="hot LSH code"):
+        again = lsh_bucket_topk(
+            corpus, q, id_col="vid", vec_col="emb", k=3,
+            n_planes=4, probes=0, max_bucket=10).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    # guard off: the hot bucket really is corpus-sized fan-out (the
+    # hazard), and validation rejects nonsense
+    planes_cand = lsh_bucket_topk(
+        corpus, q, id_col="vid", vec_col="emb", k=1000,
+        n_planes=4, probes=0, max_bucket=None)
+    assert planes_cand.count() > 250
+    coded = corpus.select(F.col("vid").alias("neighbor_id"),
+                          F.lit(0).alias("_code"))
+    with _pytest.raises(ValueError, match="max_bucket"):
+        _cap_hot_code_buckets(coded, 0, "x", "neighbor_id")

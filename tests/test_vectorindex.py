@@ -1,0 +1,170 @@
+"""Persisted IVF vector index (operators/vectorindex.py): full-probe
+serving must equal ``cosine_topk`` bit-for-bit, incremental builds
+must equal one-shot builds, probes must read only the probed cells'
+buckets, and the n_probe recall dial is audited, never silent."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrangle_pypes_spark.operators.similarity import cosine_topk
+from wrangle_pypes_spark.operators.vectorindex import (
+    build_vector_index, vector_index_stats, vector_index_topk)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, tables):
+    return (tables["embeddings"]
+            .select("vec_id", "embedding").cache())
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_full_probe_equals_exact_cosine_topk(spark, emb, tmp_path):
+    store = str(tmp_path / "vx")
+    build_vector_index(emb, store, n_centroids=8, n_buckets=8)
+    q = emb.filter(F.col("vec_id") < 15)
+    got = vector_index_topk(spark, store, q, k=5, n_probe=8)
+    exp = cosine_topk(emb, q, id_col="vec_id", vec_col="embedding",
+                      k=5)
+    assert _rows(got) == _rows(exp)  # bit-identical, incl. ties
+
+
+def test_incremental_build_equals_one_shot(spark, emb, tmp_path):
+    one = str(tmp_path / "one")
+    inc = str(tmp_path / "inc")
+    build_vector_index(emb, one, n_centroids=8, n_buckets=8)
+    # the incremental store must pin the SAME quantizer the one-shot
+    # fitted, or cells differ trivially: reuse its centroids — the
+    # production path (fit once on a sample, reuse per batch)
+    import json
+
+    side = json.loads(open(f"{one}/_vindex.json").read())
+    cents = side["centroids"]
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    build_vector_index(b1, inc, n_centroids=8, n_buckets=8,
+                       centroids=cents, epoch_id=0)
+    build_vector_index(b2, inc, n_centroids=8, n_buckets=8,
+                       centroids=cents, epoch_id=1)
+    q = emb.filter(F.col("vec_id") < 10)
+    for probe in (2, 8):
+        assert _rows(vector_index_topk(spark, inc, q, k=5,
+                                       n_probe=probe)) == \
+            _rows(vector_index_topk(spark, one, q, k=5,
+                                    n_probe=probe))
+
+
+def test_probe_reads_only_probed_cells_buckets(spark, emb, tmp_path):
+    """The serving payoff: a probe plans only the probed cells'
+    bucket directories, never the whole store."""
+    store = str(tmp_path / "pr")
+    build_vector_index(emb, store, n_centroids=16, n_buckets=16)
+    q = emb.filter(F.col("vec_id") == 3)
+    out = vector_index_topk(spark, store, q, k=5, n_probe=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    counts = {int(n) for n in
+              re.findall(r"InMemoryFileIndex\((\d+) paths?\)", plan)}
+    assert counts and max(counts) <= 2  # <= n_probe bucket dirs
+
+
+def test_recall_at_small_n_probe_audited(spark, emb, tmp_path):
+    """ANN honesty: recall@5 of the pruned probe vs the exact
+    baseline has a pinned floor — quality loss is measured, never
+    silent."""
+    store = str(tmp_path / "rc")
+    build_vector_index(emb, store, n_centroids=16, n_buckets=8)
+    q = emb.filter(F.col("vec_id") < 40)
+    exact = {(r.query_id, r.neighbor_id) for r in
+             cosine_topk(emb, q, id_col="vec_id",
+                         vec_col="embedding", k=5).collect()}
+    ann = {(r.query_id, r.neighbor_id) for r in
+           vector_index_topk(spark, store, q, k=5,
+                             n_probe=4).collect()}
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.55, recall
+    # probing more cells strictly helps
+    ann8 = {(r.query_id, r.neighbor_id) for r in
+            vector_index_topk(spark, store, q, k=5,
+                              n_probe=8).collect()}
+    assert len(ann8 & exact) >= len(ann & exact)
+
+
+def test_quantized_store_roundtrip_recall(spark, emb, tmp_path):
+    """int8 cells: 4x smaller store; the re-rank runs on the
+    dequantized reconstruction and stays near-exact."""
+    store = str(tmp_path / "q8")
+    build_vector_index(emb, store, n_centroids=8, n_buckets=8,
+                       quantize=True)
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id) for r in
+             cosine_topk(emb, q, id_col="vec_id",
+                         vec_col="embedding", k=5).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in
+           vector_index_topk(spark, store, q, k=5,
+                             n_probe=8).collect()}
+    assert len(got & exact) / len(exact) >= 0.9
+    # the stored vectors really are int8 + scale, not doubles
+    from wrangle_pypes_spark.sources.manifest import manifest_read
+
+    sch = dict((f.name, f.dataType.simpleString())
+               for f in manifest_read(spark, store).schema.fields)
+    assert sch["qvec"] == "array<tinyint>" and "vec" not in sch
+
+
+def test_layout_immutable_and_validation(spark, emb, tmp_path):
+    store = str(tmp_path / "im")
+    build_vector_index(emb, store, n_centroids=8, n_buckets=8)
+    with pytest.raises(ValueError, match="immutable"):
+        build_vector_index(emb, store, n_centroids=16, n_buckets=8)
+    with pytest.raises(ValueError, match="immutable"):
+        build_vector_index(emb, store, n_centroids=8, n_buckets=8,
+                           quantize=True)
+    with pytest.raises(ValueError, match="centroids"):
+        build_vector_index(emb, store, n_centroids=8, n_buckets=8,
+                           centroids=[[0.0] * 8] * 8)
+    q = emb.limit(3)
+    with pytest.raises(ValueError, match="no vector index"):
+        vector_index_topk(spark, str(tmp_path / "none"), q)
+    with pytest.raises(ValueError, match="k must be"):
+        vector_index_topk(spark, store, q, k=0)
+    st = vector_index_stats(spark, store)
+    stats = st.collect()
+    assert sum(r.n_vectors for r in stats) == emb.count()
+    assert all(r.n_centroids == 8 for r in stats)
+
+
+def test_sidecar_pinned_before_first_commit(spark, emb, tmp_path,
+                                            monkeypatch):
+    """Crash between sidecar write and first commit: the quantizer is
+    pinned, no vectors are visible, and a re-run with the SAME params
+    converges (different params fail the immutability check)."""
+    import os
+
+    import wrangle_pypes_spark.operators.vectorindex as vx_mod
+
+    store = str(tmp_path / "crash")
+
+    def _boom(*a, **kw):
+        raise RuntimeError("injected crash before first commit")
+
+    real = vx_mod.manifest_merge
+    monkeypatch.setattr(vx_mod, "manifest_merge", _boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        build_vector_index(emb, store, n_centroids=8, n_buckets=8)
+    assert os.path.exists(os.path.join(store, "_vindex.json"))
+    q = emb.limit(2)
+    with pytest.raises(ValueError, match="committed"):
+        vector_index_topk(spark, store, q, k=3)
+    monkeypatch.setattr(vx_mod, "manifest_merge", real)
+    with pytest.raises(ValueError, match="immutable"):
+        build_vector_index(emb, store, n_centroids=16, n_buckets=8)
+    build_vector_index(emb, store, n_centroids=8, n_buckets=8)
+    got = vector_index_topk(spark, store, q, k=3, n_probe=8)
+    exp = cosine_topk(emb, q, id_col="vec_id", vec_col="embedding",
+                      k=3)
+    assert _rows(got) == _rows(exp)

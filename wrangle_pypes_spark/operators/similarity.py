@@ -158,14 +158,17 @@ def hard_negatives_lsh(df: DataFrame, *, id_col: str, vec_col: str,
                        label_col: str, k: int = 5,
                        n_planes: int = 4, dim: Optional[int] = None,
                        seed: int = 42, probes: int = 2,
-                       queries: Optional[DataFrame] = None
+                       queries: Optional[DataFrame] = None,
+                       max_bucket: Optional[int] = 65536
                        ) -> DataFrame:
     """The 100 TB twin of :func:`hard_negatives`: hyperplane-LSH code
     blocking (one map-only coding pass per side, one equi-join on the
     code — the :func:`lsh_bucket_topk` mechanics) with the
     different-label filter applied at candidate time, then exact
     cosine re-ranking.  Approximate (recall floor pinned in tests);
-    multi-probe (``probes``) recovers sign-LSH's boundary losses."""
+    multi-probe (``probes``) recovers sign-LSH's boundary losses.
+    ``max_bucket`` caps hot corpus codes to a deterministic sample
+    (:func:`_cap_hot_code_buckets`), loudly."""
     queries = df if queries is None else queries
     if dim is None:
         sample = df.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -176,6 +179,8 @@ def hard_negatives_lsh(df: DataFrame, *, id_col: str, vec_col: str,
                   F.col(label_col).alias("neighbor_label"),
                   v.alias("_cvec"), _norm(v).alias("_cn"),
                   lsh_code_expr(F.col(vec_col), planes).alias("_code"))
+    c = _cap_hot_code_buckets(c, max_bucket, "hard_negatives_lsh",
+                              "neighbor_id")
     qbase = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("query_label"),
@@ -287,6 +292,52 @@ def lsh_code_expr(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
                      F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
         code = code.bitwiseOR(bit)
     return code
+
+
+def _cap_hot_code_buckets(coded: DataFrame, max_bucket: Optional[int],
+                          context: str, id_col: str) -> DataFrame:
+    """Skew guard for the ANN code equi-join (VERDICT r9 #6 — the
+    embedding twin of dedup's banded-bucket cap): a degenerate corpus
+    (many identical / near-zero vectors sharing one sign code) makes
+    one ``_code`` bucket O(corpus) and every probing query's
+    candidate fan-out O(corpus) with it.  Codes holding more than
+    ``max_bucket`` rows are capped to a DETERMINISTIC
+    ``max_bucket``-row sample (smallest ``xxhash64(id)`` — a stable
+    pseudo-random subset, better neighbor diversity than min-ids),
+    LOUDLY: a code that hot is non-discriminative by definition
+    (raise ``n_planes`` to split it), and the sample keeps the
+    bucket usable instead of dropping it.  ``max_bucket=None``
+    disables.  Cost when it fires: one count aggregate + one
+    window over the hot rows only."""
+    if max_bucket is None:
+        return coded
+    if max_bucket < 1:
+        raise ValueError("max_bucket must be >= 1")
+    import warnings
+
+    hot = (coded.groupBy("_code")
+           .agg(F.count(F.lit(1)).alias("_bk"))
+           .filter(F.col("_bk") > max_bucket))
+    stat = hot.agg(F.count(F.lit(1)).alias("nb"),
+                   F.sum("_bk").alias("nr")).collect()[0]
+    if not stat["nb"]:
+        return coded
+    warnings.warn(
+        f"{context}: capping {stat['nb']} hot LSH code bucket(s) "
+        f"holding {stat['nr']} rows to a deterministic {max_bucket}-"
+        "row sample each (identical/degenerate vectors sharing one "
+        "sign code would make every probe's candidate set corpus-"
+        "sized). Raise n_planes to split the bucket, or raise "
+        "max_bucket.", stacklevel=3)
+    hotk = F.broadcast(hot.select("_code"))
+    cold = coded.join(hotk, "_code", "left_anti")
+    w = Window.partitionBy("_code").orderBy(
+        F.xxhash64(F.lit(0x5EED), F.col(id_col)).asc(),
+        F.col(id_col).asc())
+    capped = (coded.join(hotk, "_code", "left_semi")
+              .withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+    return cold.unionByName(capped)
 
 
 def _nearest_cells_udf(centroids: Sequence[Sequence[float]], n_probe: int = 1):
@@ -419,7 +470,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, *,
                     id_col: str, vec_col: str, k: int = 5,
                     n_planes: int = 4, dim: Optional[int] = None,
-                    seed: int = 42, probes: int = 2) -> DataFrame:
+                    seed: int = 42, probes: int = 2,
+                    max_bucket: Optional[int] = 65536) -> DataFrame:
     """Approximate top-k cosine neighbors via random-hyperplane LSH.
 
     Both sides get an ``n_planes``-bit sign code; the QUERY side is
@@ -432,6 +484,11 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, *,
 
     Scale: corpus is coded once (map-only) and shuffled once on the code;
     the probe explosion multiplies only the (small) query side.
+    ``max_bucket`` is the hot-code skew guard
+    (:func:`_cap_hot_code_buckets`): corpus codes holding more rows
+    are capped to a deterministic sample, loudly — bounding every
+    probe's candidate fan-out at max_bucket per probed code even on
+    a degenerate (identical-vector) corpus.
     """
     if dim is None:
         sample = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -442,6 +499,8 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, *,
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       v.alias("_cvec"), _norm(v).alias("_cn"),
                       lsh_code_expr(F.col(vec_col), planes).alias("_code"))
+    c = _cap_hot_code_buckets(c, max_bucket, "lsh_bucket_topk",
+                              "neighbor_id")
     qbase = queries.select(F.col(id_col).alias("query_id"),
                            v.alias("_qvec"), _norm(v).alias("_qn"),
                            lsh_code_expr(F.col(vec_col), planes).alias("_c0"))
