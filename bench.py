@@ -93,6 +93,8 @@ HEADLINE = [
     "unigram_logprob",
     "inverted_index_stats",
     "text_index_topk_docs",
+    "text_index_topk_served_docs",
+    "vector_index_topk_emb",
     "funnel_events",
     "cohort_retention_weekly",
     "embedding_label_centroids",

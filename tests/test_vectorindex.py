@@ -168,3 +168,40 @@ def test_sidecar_pinned_before_first_commit(spark, emb, tmp_path,
     exp = cosine_topk(emb, q, id_col="vec_id", vec_col="embedding",
                       k=3)
     assert _rows(got) == _rows(exp)
+
+
+def test_streaming_maintainer_equals_one_shot(spark, emb, tmp_path):
+    """Drain the embeddings as micro-batches into the index with a
+    pre-fitted quantizer; the streamed store must serve exactly what
+    the one-shot build serves — batch boundaries are invisible."""
+    from wrangle_pypes_spark.operators.similarity import kmeans_fit
+    from wrangle_pypes_spark.streaming import foreach_batch_vector_index
+
+    cents = kmeans_fit(emb, "embedding", id_col="vec_id", k=8)
+    one = str(tmp_path / "one")
+    build_vector_index(emb, one, n_centroids=8, n_buckets=8,
+                       centroids=cents)
+
+    src = str(tmp_path / "src")
+    emb.repartition(3).write.parquet(src)
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    store = str(tmp_path / "sidx")
+    ckpt = str(tmp_path / "ckpt")
+    q = foreach_batch_vector_index(stream, store, n_centroids=8,
+                                   n_buckets=8, centroids=cents,
+                                   checkpoint=ckpt)
+    q.awaitTermination()
+
+    probe = emb.filter(F.col("vec_id") < 10)
+    for n_probe in (2, 8):
+        assert _rows(vector_index_topk(spark, store, probe, k=5,
+                                       n_probe=n_probe)) == \
+            _rows(vector_index_topk(spark, one, probe, k=5,
+                                    n_probe=n_probe))
+    # full probe over the streamed store == exact brute force
+    assert _rows(vector_index_topk(spark, store, probe, k=5,
+                                   n_probe=8)) == \
+        _rows(cosine_topk(emb, probe, id_col="vec_id",
+                          vec_col="embedding", k=5))

@@ -1642,6 +1642,66 @@ def foreach_batch_text_index(stream_df: DataFrame, store_path: str, *,
     return writer.start()
 
 
+def foreach_batch_vector_index(stream_df: DataFrame, store_path: str,
+                               *, vec_col: str = "embedding",
+                               id_col: str = "vec_id",
+                               n_centroids: int = 16,
+                               n_buckets: int = 16,
+                               quantize: bool = False,
+                               centroids=None,
+                               checkpoint: Optional[str] = None):
+    """Continuously maintained IVF vector index
+    (``operators.vectorindex``): per micro-batch, cell-assign ONLY
+    the batch's vectors under the store's pinned quantizer and merge
+    them into the cell-keyed manifest store — published by the one
+    atomic pointer-with-epoch commit, so after draining the store
+    equals ``build_vector_index`` over everything ever seen and
+    ``vector_index_topk`` serves ANN without touching the corpus.
+
+    The coarse quantizer must be FIXED before vectors accumulate
+    (cells are immutable): pass ``centroids`` (the production path —
+    fit once on a representative sample), point at a store whose
+    sidecar already pins them, or let the FIRST batch serve as the
+    fit sample (standard IVF practice; fine when batch one is
+    representative, documented here so it is a choice, not a
+    surprise).  Contract and replay semantics match the text-index
+    maintainer: append-only ids, one batch per id, exactly-once via
+    the manifest epoch guard, monotonic batch ids (resume an
+    existing store WITH its checkpoint)."""
+    import warnings
+
+    from ..operators.vectorindex import build_vector_index
+    from ..sources.manifest import manifest_current
+
+    session = stream_df.sparkSession
+    if (checkpoint is None
+            and manifest_current(store_path, spark=session) is not None):
+        warnings.warn(
+            "foreach_batch_vector_index: resuming an existing index "
+            f"({store_path!r}) WITHOUT a checkpoint location — batch "
+            "ids restart at 0 each run, so the epoch guard skips any "
+            "batch id the store has already committed and those "
+            "batches' vectors are silently never indexed. Pass "
+            "checkpoint= for incremental use; only a byte-identical "
+            "re-drain is safe without it.", stacklevel=2)
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = manifest_current(store_path, spark=spark)
+        if cur is not None and epoch_id <= cur[1]:
+            return  # replayed batch: already indexed
+        build_vector_index(batch_df, store_path, vec_col=vec_col,
+                           id_col=id_col, n_centroids=n_centroids,
+                           n_buckets=n_buckets, quantize=quantize,
+                           centroids=centroids, epoch_id=epoch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_batch) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def foreach_batch_bks(stream_df: DataFrame, store_path: str, *,
                       value_col: str, id_col: str, k: int = 1024,
                       by: Sequence[str] = (), seed: int = 42,
