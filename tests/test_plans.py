@@ -605,3 +605,32 @@ def test_hard_negatives_lsh_is_equi_join(spark, sf_dir):
     assert rep.python_eval_nodes == []
     assert "CartesianProduct" not in rep.plan
     assert "BroadcastNestedLoopJoin" not in rep.plan
+
+
+def test_vector_index_probe_plan(spark, sf_dir, tmp_path):
+    """The IVF serving probe (r10): candidate join is a broadcast
+    EQUI join on the cell id — no cross product — and the only
+    Python-eval node is the deliberate Arrow cell-assignment UDF on
+    the (small) query side, never on the stored candidates."""
+    from pyspark.sql import functions as F
+
+    from wrangle_pypes_spark import plans
+    from wrangle_pypes_spark.operators import (build_vector_index,
+                                               vector_index_topk)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    store = str(tmp_path / "vxplan")
+    build_vector_index(emb, store, vec_col="embedding",
+                       id_col="vec_id", n_centroids=8, n_buckets=8)
+    out = vector_index_topk(spark, store,
+                            emb.filter(F.col("vec_id") < 5),
+                            k=5, n_probe=2)
+    rep = plans.audit(out)
+    assert "CartesianProduct" not in rep.plan
+    assert "BroadcastNestedLoopJoin" not in rep.plan
+    assert rep.broadcast_joins >= 1  # queries broadcast into the join
+    # the stored-candidate side is JVM-only: the probe frame was
+    # checkpointed AFTER its Arrow assignment, so the executed plan
+    # re-ranks without any Python eval over candidates
+    assert rep.python_eval_nodes == []
