@@ -431,8 +431,29 @@ def text_index_topk(spark: SparkSession, store_path: str,
     rows = manifest_lookup(spark, store_path, probes)
     if rows is None:
         raise ValueError(f"no index committed at {store_path!r}")
-    stat = rows.filter(F.col("token") == STATS_KEY) \
-        .select("n_docs", "sum_dl").collect()
+    if "block" not in rows.columns:
+        # pre-block-split store (r8 format): one row per token — the
+        # same block-0 default merge_postings applies on its first
+        # post-upgrade merge
+        rows = rows.withColumn("block", F.lit(0).cast("int"))
+    if "max_tf" not in rows.columns or "min_doc" not in rows.columns:
+        # store written before the block-meta format: derive on read
+        # (postings stay selected — the phases below explode them;
+        # only for this legacy shape does the meta collect read them)
+        rows = rows.select("token", "block", "postings", "df",
+                           "n_docs", "sum_dl",
+                           *_block_meta(F.col("postings")))
+    # deliberately NOT cached/checkpointed: each phase re-plans the
+    # bucket-pruned lookup so parquet column pruning applies — the
+    # meta collect below (ONE job for stats row + block metadata,
+    # serving-latency-critical) never reads a postings byte, the
+    # bootstrap reads only the rarest term's, the final scan only
+    # the survivors'
+    all_meta = [r.asDict() for r in
+                rows.select("token", "block", "df", "max_tf",
+                            "min_dl", "min_doc", "max_doc", "n_docs",
+                            "sum_dl").collect()]
+    stat = [m for m in all_meta if m["token"] == STATS_KEY]
     if not stat:
         raise ValueError(
             f"index at {store_path!r} lacks its corpus-stats row — "
@@ -442,22 +463,9 @@ def text_index_topk(spark: SparkSession, store_path: str,
     toks = rows.filter(F.col("token") != STATS_KEY)
     if max_df is not None:
         toks = toks.filter(F.col("df") <= max_df)
-    if "block" not in toks.columns:
-        # pre-block-split store (r8 format): one row per token — the
-        # same block-0 default merge_postings applies on its first
-        # post-upgrade merge
-        toks = toks.withColumn("block", F.lit(0).cast("int"))
-    if "max_tf" not in toks.columns or "min_doc" not in toks.columns:
-        # store written before the block-meta format: derive on read
-        toks = toks.select("token", "block", "postings", "df",
-                           *_block_meta(F.col("postings")))
-    # deliberately NOT cached/checkpointed: each phase re-plans the
-    # bucket-pruned lookup so parquet column pruning applies — the
-    # meta collect below never reads a postings byte, the bootstrap
-    # reads only the rarest term's, the final scan only the survivors'
-    metas = [r.asDict() for r in
-             toks.select("token", "block", "df", "max_tf", "min_dl",
-                         "min_doc", "max_doc").collect()]
+    metas = [m for m in all_meta
+             if m["token"] != STATS_KEY
+             and (max_df is None or m["df"] <= max_df)]
     if not metas:
         empty = text_index_search(spark, store_path, terms,
                                   id_name=id_name)
