@@ -619,3 +619,37 @@ def test_property_topk_equals_full_sorted_cut(
            text_index_topk(spark, store, terms, k).collect()]
     got.sort(key=lambda r: (-r[2], r[0]))
     assert got == full[:k], (terms, k, block_limit)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_doc_strategy,
+       k=st.integers(1, 6),
+       block_limit=st.sampled_from([1, 2, 3]),
+       parity=st.integers(2, 3),
+       terms=st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "zz"]),
+                      min_size=1, max_size=3))
+def test_property_topk_exact_on_incremental_stores(
+        spark, tmp_path_factory, docs, k, block_limit, parity, terms):
+    """Fuzz the ADVICE r10 fix: split random corpora into interleaved
+    batches (doc_id % parity), so incremental merges re-chunk
+    underfull tails into blocks whose doc ranges OVERLAP the
+    passed-through full blocks.  The pruned top-k over the resulting
+    store must still equal the full search's sorted cut — for every
+    random corpus, split, block limit, and term set."""
+    from wrangle_pypes_spark.operators.textindex import text_index_topk
+
+    base = tmp_path_factory.mktemp("prop_topk_inc")
+    frame = spark.createDataFrame(docs, "doc_id int, text string")
+    store = str(base / "idx")
+    for i in range(parity):
+        batch = frame.filter(F.col("doc_id") % parity == i)
+        build_text_index(batch, store, n_buckets=4,
+                         block_limit=block_limit, epoch_id=i)
+    full = [tuple(r) for r in
+            text_index_search(spark, store, terms).collect()]
+    full.sort(key=lambda r: (-r[2], r[0]))
+    got = [tuple(r) for r in
+           text_index_topk(spark, store, terms, k).collect()]
+    got.sort(key=lambda r: (-r[2], r[0]))
+    assert got == full[:k], (terms, k, block_limit, parity)

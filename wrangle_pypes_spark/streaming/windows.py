@@ -1794,7 +1794,13 @@ def foreach_batch_minhash_index(stream_df: DataFrame, index_path: str, *,
     guard (``operators.dedup._cap_hot_lsh_buckets``): hot buckets are
     capped to an exemplar at pair time (members pair against it, so
     oversized dup clusters keep their membership) and the index
-    stores are NEVER filtered — every signature is retained.
+    stores are NEVER filtered — every signature is retained.  One
+    stated caveat: the batch≡one-shot PAIR equality above is exact
+    for corpora where the guard never fires; when it does, a bucket
+    can be hot in the one-shot run but split below ``max_bucket``
+    across batches (or vice versa), so the two paths may pick
+    different exemplars — both keep cluster membership, but the pair
+    SETS can differ on guard-affected buckets.
     """
     from .. import fsutil
     from ..operators.dedup import (minhash_banded, minhash_lsh_dup_pairs,
