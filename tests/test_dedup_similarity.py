@@ -1804,3 +1804,46 @@ def test_ann_hot_code_bucket_guard(spark):
                           F.lit(0).alias("_code"))
     with _pytest.raises(ValueError, match="max_bucket"):
         _cap_hot_code_buckets(coded, 0, "x", "neighbor_id")
+
+
+def test_embedding_near_dup_hot_code_guard(spark):
+    """VERDICT r9 #6 (dedup side): hundreds of identical embeddings
+    share one sign code; the self-join must not go quadratic — the
+    guard caps the bucket to its exemplar AND keeps the cluster's
+    membership through (exemplar, member) pairs at cosine 1.0."""
+    import pytest as _pytest
+
+    from wrangle_pypes_spark.operators.dedup import (
+        embedding_near_dup_pairs)
+
+    dim = 8
+    hot = [1.0] + [0.0] * (dim - 1)
+    rows = [(i, hot) for i in range(300)]
+    rows += [(900, [0.0] * (dim - 1) + [1.0]),
+             (901, [0.0] * (dim - 2) + [0.01, 1.0])]
+    df = spark.createDataFrame(rows, "vid int, emb array<double>")
+
+    with _pytest.warns(UserWarning, match="hot LSH code"):
+        pairs = embedding_near_dup_pairs(
+            df, "emb", id_col="vid", threshold=0.95, method="lsh",
+            max_bucket=50).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # linear, not quadratic: ~299 exemplar pairs, nothing near 300²/2
+    assert len(pairs) < 600
+    # EVERY member of the giant identical cluster is still paired
+    # (via the exemplar hub, cosine exactly 1.0)
+    cluster = {i for p in found for i in p if i < 300}
+    assert len(cluster) == 300
+    assert all(abs(r.cosine - 1.0) < 1e-9 for r in pairs
+               if r.id_a < 300 and r.id_b < 300)
+    # the genuine near-dup pair in a cold code survives
+    assert (900, 901) in found
+
+    # guard off: the quadratic candidate set really is the hazard
+    nog = embedding_near_dup_pairs(df, "emb", id_col="vid",
+                                   threshold=0.95, method="lsh",
+                                   max_bucket=None)
+    assert nog.count() > 40000
+    with _pytest.raises(ValueError, match="max_bucket"):
+        embedding_near_dup_pairs(df, "emb", id_col="vid",
+                                 method="lsh", max_bucket=1).collect()

@@ -625,7 +625,9 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, *, id_col: str,
                              threshold: float = 0.95,
                              method: str = "lsh",
                              n_planes: int = 8,
-                             seed: int = 42) -> DataFrame:
+                             seed: int = 42,
+                             max_bucket: Optional[int] = 4096
+                             ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, cosine) over an embedding
     column, ``cosine >= threshold``.
 
@@ -638,7 +640,14 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, *, id_col: str,
     candidates; high-cosine pairs agree on each bit with probability
     1 - theta/pi, so recall for cosine >= 0.95 with 8 planes is ~0.93;
     audited against exact in tests, never silent).  Shuffle is linear
-    in corpus size on a uniform key.
+    in corpus size on a uniform key.  ``max_bucket`` is the hot-code
+    skew guard (VERDICT r9 #6, same semantics as the minhash side):
+    a code bucket holding more rows — identical/degenerate vectors —
+    is capped to its min-id EXEMPLAR with every member emitted as an
+    (exemplar, member) candidate instead, loudly: an oversized
+    near-dup cluster keeps its membership at linear cost instead of
+    exploding the self-join quadratically.  ``None`` disables
+    (the exact method never needs it).
     """
     from .similarity import cosine_expr, lsh_code_expr, _hyperplanes
 
@@ -671,6 +680,51 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, *, id_col: str,
                          F.transform(v, lambda x: x / norm).alias("_v"),
                          lsh_code_expr(F.col(vec_col), planes).alias("_code"))
         base = base.persist()  # avoid recomputing codes per join side
+        extra = None
+        if max_bucket is not None:
+            if max_bucket < 2:
+                raise ValueError("max_bucket must be >= 2")
+            hot = (base.groupBy("_code")
+                   .agg(F.count(F.lit(1)).alias("_bk"))
+                   .filter(F.col("_bk") > max_bucket))
+            stat = hot.agg(F.count(F.lit(1)).alias("nb"),
+                           F.sum("_bk").alias("nr")).collect()[0]
+            if stat["nb"]:
+                import warnings
+
+                warnings.warn(
+                    f"embedding_near_dup_pairs: capping {stat['nb']} "
+                    f"hot LSH code bucket(s) holding {stat['nr']} "
+                    "rows to their min-id exemplar (over "
+                    f"max_bucket={max_bucket} vectors in one sign "
+                    "code — identical/degenerate embeddings whose "
+                    "candidate pairs would be quadratic). Members "
+                    "still pair against the exemplar (linear); raise "
+                    "n_planes to split the bucket.", stacklevel=2)
+                hotk = F.broadcast(hot.select("_code"))
+                cold = base.join(hotk, "_code", "left_anti")
+                w = Window.partitionBy("_code").orderBy(
+                    F.col("_id").asc())
+                ranked = (base.join(hotk, "_code", "left_semi")
+                          .withColumn("_rn", F.row_number().over(w)))
+                ex = ranked.filter(F.col("_rn") == 1).drop("_rn")
+                base = cold.unionByName(ex)
+                extra = (ranked.filter(F.col("_rn") > 1)
+                         .select("_code", F.col("_id").alias("_mid"),
+                                 F.col("_v").alias("_mv"))
+                         .join(F.broadcast(ex.select(
+                             "_code", F.col("_id").alias("_eid"),
+                             F.col("_v").alias("_ev"))), "_code")
+                         .select(  # exemplar = bucket min, so a < b
+                             F.col("_eid").alias("id_a"),
+                             F.col("_mid").alias("id_b"),
+                             F.aggregate(
+                                 F.zip_with(F.col("_ev"),
+                                            F.col("_mv"),
+                                            lambda x, y: x * y),
+                                 F.lit(0.0),
+                                 lambda acc, x: acc + x)
+                             .alias("cosine")))
         a, b = base.alias("a"), base.alias("b")
         cand = (a.join(b, (F.col("a._code") == F.col("b._code")) &
                           (F.col("a._id") < F.col("b._id")), "inner"))
@@ -687,10 +741,15 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, *, id_col: str,
         # arithmetic (and hence every rounded value) is unchanged
         cos = _dot(F.col("a._v"), F.col("b._v")) \
             / (F.col("a._n") * F.col("b._n"))
-    return (cand.select(F.col("a._id").alias("id_a"),
-                        F.col("b._id").alias("id_b"),
-                        cos.alias("cosine"))
-                .filter(F.col("cosine") >= threshold))
+    out = (cand.select(F.col("a._id").alias("id_a"),
+                       F.col("b._id").alias("id_b"),
+                       cos.alias("cosine")))
+    if method == "lsh" and extra is not None:
+        # a vector lives in exactly ONE code, and the members were
+        # removed from the join side, so the exemplar pairs cannot
+        # also arrive via the self-join — a plain union suffices
+        out = out.unionByName(extra)
+    return out.filter(F.col("cosine") >= threshold)
 
 
 def simhash_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
