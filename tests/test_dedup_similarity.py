@@ -1847,3 +1847,46 @@ def test_embedding_near_dup_hot_code_guard(spark):
     with _pytest.raises(ValueError, match="max_bucket"):
         embedding_near_dup_pairs(df, "emb", id_col="vid",
                                  method="lsh", max_bucket=1).collect()
+
+
+def test_stream_embedding_index_hot_code_guard(spark, tmp_path):
+    """VERDICT r9 #6 (streaming side): drain batches containing an
+    oversized identical-vector cluster — the maintainer's joins cap
+    hot codes to exemplars (loudly) but cluster MEMBERSHIP survives
+    in the accumulated pairs, the pair count stays linear, and the
+    index store itself retains every vector."""
+    import pytest as _pytest
+
+    from wrangle_pypes_spark.streaming import (
+        foreach_batch_embedding_index)
+
+    dim = 8
+    hot = [1.0] + [0.0] * (dim - 1)
+    rows = [(i, hot) for i in range(120)]
+    rows += [(900, [0.0] * (dim - 1) + [1.0]),
+             (901, [0.0] * (dim - 2) + [0.01, 1.0])]
+    df = spark.createDataFrame(rows, "vid long, emb array<double>")
+    src = str(tmp_path / "src")
+    df.repartition(2).write.parquet(src)
+    stream = (spark.readStream.schema("vid long, emb array<double>")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    idx = str(tmp_path / "idx")
+    prs = str(tmp_path / "prs")
+    with _pytest.warns(UserWarning, match="hot LSH code"):
+        q = foreach_batch_embedding_index(
+            stream, idx, vec_col="emb", id_col="vid", dim=dim,
+            pairs_path=prs, threshold=0.95, max_bucket=20,
+            checkpoint=str(tmp_path / "ckpt"))
+        q.awaitTermination()
+
+    # index stores EVERY vector — the guard filters joins only
+    assert spark.read.parquet(idx).count() == 122
+    pairs = spark.read.parquet(prs).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # linear bound: nothing near the 120^2/2 the hot code implies
+    assert len(pairs) < 500
+    # every member of the identical cluster appears in some pair
+    cluster = {i for p in found for i in p if i < 120}
+    assert len(cluster) == 120
+    # the genuine cold-code near-dup pair survives
+    assert (900, 901) in found

@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 from typing import Callable, Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1852,6 +1852,7 @@ def foreach_batch_embedding_index(stream_df: DataFrame, index_path: str,
                                   pairs_path: Optional[str] = None,
                                   n_planes: int = 8, seed: int = 42,
                                   threshold: float = 0.95,
+                                  max_bucket: Optional[int] = 4096,
                                   checkpoint: Optional[str] = None):
     """Continuously maintained SEMANTIC dedup index — the embedding
     twin of :func:`foreach_batch_minhash_index`: per micro-batch,
@@ -1874,13 +1875,52 @@ def foreach_batch_embedding_index(stream_df: DataFrame, index_path: str,
     Pair recall is the documented hyperplane-LSH trade
     (agree-per-bit prob 1 − θ/π) — audited against exact in
     tests/test_dedup_similarity.py, never silent.
+
+    ``max_bucket`` is the hot-code skew guard (VERDICT r9 #6, the
+    embedding twin of the minhash maintainer's): a sign-code bucket
+    holding more rows than it — identical/degenerate vectors — is
+    capped at JOIN time to its min-id exemplar on both the
+    within-batch self-join and the index side of the cross join,
+    with every batch member still paired against the exemplar
+    (cluster membership at linear cost, loud warning).  The INDEX
+    STORE is never filtered — every vector is retained.  The index-
+    side count costs one column-pruned scan per batch, cheap next to
+    the cross join that already reads the index.
     """
+    import warnings
+
     from .. import fsutil
     from ..operators.similarity import (_dot, _hyperplanes, _norm,
                                         lsh_code_expr)
 
     planes = _hyperplanes(dim, n_planes, seed)
     run_tag = _store_run_tag(checkpoint)
+
+    def _cap(frame: DataFrame, context: str):
+        """(capped frame, exemplar-member ranked rows or None)."""
+        if max_bucket is None:
+            return frame, None
+        hot = (frame.groupBy("_code")
+               .agg(F.count(F.lit(1)).alias("_bk"))
+               .filter(F.col("_bk") > max_bucket))
+        stat = hot.agg(F.count(F.lit(1)).alias("nb"),
+                       F.sum("_bk").alias("nr")).collect()[0]
+        if not stat["nb"]:
+            return frame, None
+        warnings.warn(
+            f"foreach_batch_embedding_index[{context}]: capping "
+            f"{stat['nb']} hot LSH code bucket(s) holding "
+            f"{stat['nr']} rows to their min-id exemplar (over "
+            f"max_bucket={max_bucket} vectors in one sign code). "
+            "Members still pair against the exemplar; the index "
+            "store keeps every vector.", stacklevel=3)
+        hotk = F.broadcast(hot.select("_code"))
+        cold = frame.join(hotk, "_code", "left_anti")
+        w = Window.partitionBy("_code").orderBy(F.col("_id").asc())
+        ranked = (frame.join(hotk, "_code", "left_semi")
+                  .withColumn("_rn", F.row_number().over(w)))
+        ex = ranked.filter(F.col("_rn") == 1).drop("_rn")
+        return cold.unionByName(ex), ranked
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1906,18 +1946,37 @@ def foreach_batch_embedding_index(stream_df: DataFrame, index_path: str,
         base = base.localCheckpoint(eager=True)
         if pairs_path is not None:
             have_index = fsutil.dir_exists(index_path, spark=spark)
-            a, b = base.alias("a"), base.alias("b")
+            base_j, ranked = _cap(base, "batch")
+            a, b = base_j.alias("a"), base_j.alias("b")
             pairs = (a.join(b, (F.col("a._code") == F.col("b._code")) &
                                (F.col("a._id") < F.col("b._id")))
                      .select(F.col("a._id").alias("id_a"),
                              F.col("b._id").alias("id_b"),
                              _dot(F.col("a._v"),
                                   F.col("b._v")).alias("cosine")))
+            if ranked is not None:
+                # exemplar-member pairs keep the capped cluster's
+                # within-batch membership (exemplar = bucket min id)
+                ex = ranked.filter(F.col("_rn") == 1).select(
+                    "_code", F.col("_id").alias("id_a"),
+                    F.col("_v").alias("_ev"))
+                extra = (ranked.filter(F.col("_rn") > 1)
+                         .select("_code", F.col("_id").alias("id_b"),
+                                 F.col("_v").alias("_mv"))
+                         .join(F.broadcast(ex), "_code")
+                         .select("id_a", "id_b",
+                                 _dot(F.col("_ev"),
+                                      F.col("_mv")).alias("cosine")))
+                pairs = pairs.unionByName(extra)
             if have_index:
                 idx = spark.read.parquet(index_path) \
                     .filter(F.col("_epoch") != tag)
+                # cap the INDEX side only: every batch row still gets
+                # its own decision against the bucket exemplar
+                idx_j, _ = _cap(idx.select("_id", "_v", "_code"),
+                                "index")
                 cross = (base.alias("n").join(
-                    idx.alias("i"),
+                    idx_j.alias("i"),
                     (F.col("n._code") == F.col("i._code")) &
                     (F.col("n._id") != F.col("i._id")))
                     .select(F.least("n._id", "i._id").alias("id_a"),
