@@ -1890,3 +1890,36 @@ def test_stream_embedding_index_hot_code_guard(spark, tmp_path):
     assert len(cluster) == 120
     # the genuine cold-code near-dup pair survives
     assert (900, 901) in found
+
+
+def test_simhash_hot_chunk_guard(spark):
+    """The simhash pigeonhole join shares the banded-join hazard: an
+    identical-simhash cluster makes EVERY chunk bucket hot.  Capping
+    keeps membership (hamming 0 pairs against the exemplar) at
+    linear cost."""
+    import pytest as _pytest
+
+    from wrangle_pypes_spark.operators.dedup import simhash_dup_pairs
+
+    boiler = ("terms of service apply all rights reserved contact "
+              "us for more information about this website")
+    rows = [(i, boiler) for i in range(200)]
+    # the genuine pair is byte-identical (hamming 0 — inside the
+    # pigeonhole guarantee), in its own small cold bucket
+    rows += [(900, "the quick brown fox jumps over the lazy dog"),
+             (901, "the quick brown fox jumps over the lazy dog")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    with _pytest.warns(UserWarning, match="hot LSH bucket"):
+        pairs = simhash_dup_pairs(docs, "text", id_col="doc_id",
+                                  max_hamming=3,
+                                  max_bucket=50).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert len(pairs) < 600  # linear, not 200^2/2
+    cluster = {i for p in found for i in p if i < 200}
+    assert len(cluster) == 200  # full membership via the exemplar
+    assert (900, 901) in found  # genuine cold-bucket pair survives
+    # guard off: the quadratic join really is the hazard
+    assert simhash_dup_pairs(docs, "text", id_col="doc_id",
+                             max_hamming=3,
+                             max_bucket=None).count() > 15000

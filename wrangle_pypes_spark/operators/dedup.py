@@ -754,13 +754,22 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, *, id_col: str,
 
 def simhash_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
                       shingle_n: int = 2, max_hamming: int = 3,
-                      chunks: int = 4, persist: bool = True) -> DataFrame:
+                      chunks: int = 4, persist: bool = True,
+                      max_bucket: Optional[int] = 4096) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
 
     Pigeonhole blocking: split the 64-bit hash into ``chunks`` chunks —
     any pair within distance < chunks must share at least one exact
     chunk, so candidates come from ``chunks`` equi-joins (linear
     shuffle), then the exact popcount filter verifies.
+
+    ``max_bucket`` is the same skew guard as the minhash side
+    (:func:`_cap_hot_lsh_buckets`, the block key here is (chunk idx,
+    chunk value) instead of (band, bhash)): a boilerplate corpus where
+    thousands of docs share a chunk value caps to the bucket's min-id
+    exemplar with (exemplar, member) candidates emitted instead —
+    identical-simhash clusters keep their membership at linear cost,
+    never a quadratic join.  ``None`` disables.
     """
     width = 64 // chunks
     h = simhash_signatures(df, text_col, id_col=id_col, shingle_n=shingle_n)
@@ -771,18 +780,34 @@ def simhash_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
                  F.shiftright(F.col("simhash"), c * width)
                   .bitwiseAND(F.lit((1 << width) - 1)).alias("v"))
         for c in range(chunks)])
+    # the guard's expected shape: (id, signature, band, bhash) — the
+    # simhash IS the signature, the chunk (idx, value) IS the bucket
     blocked = h.select(id_col, "simhash",
                        F.explode(chunk_arr).alias("ch")) \
-               .select(id_col, "simhash", "ch.c", "ch.v")
+               .select(F.col(id_col),
+                       F.col("simhash").alias("signature"),
+                       F.col("ch.c").alias("band"),
+                       F.col("ch.v").alias("bhash"))
+    # materialize=False: blocked derives from the persisted 8-byte
+    # hashes — re-deriving it is a cached map, cheaper than copying
+    blocked, extra = _cap_hot_lsh_buckets(
+        blocked, max_bucket, "simhash_dup_pairs", id_col,
+        emit_member_pairs=True, materialize=False)
     a, b = blocked.alias("a"), blocked.alias("b")
-    cand = (a.join(b, (F.col("a.c") == F.col("b.c")) &
-                      (F.col("a.v") == F.col("b.v")) &
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                      (F.col("a.bhash") == F.col("b.bhash")) &
                       (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")), "inner")
              .select(F.col(f"a.{id_col}").alias("id_a"),
                      F.col(f"b.{id_col}").alias("id_b"),
-                     F.col("a.simhash").alias("h_a"),
-                     F.col("b.simhash").alias("h_b"))
+                     F.col("a.signature").alias("h_a"),
+                     F.col("b.signature").alias("h_b"))
              .dropDuplicates(["id_a", "id_b"]))
+    if extra is not None:
+        cand = (cand.unionByName(
+                    extra.select("id_a", "id_b",
+                                 F.col("sig_a").alias("h_a"),
+                                 F.col("sig_b").alias("h_b")))
+                .dropDuplicates(["id_a", "id_b"]))
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (cand.withColumn("hamming", hamming)
                 .filter(F.col("hamming") <= max_hamming)
