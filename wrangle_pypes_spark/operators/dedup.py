@@ -452,6 +452,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, *, id_col: str,
     is an equi-join, then exact Jaccard on shingle sets verifies.  For a
     full-corpus exact run at scale, swap the blocking key for the LSH
     candidates above; this operator is the *verifier* of that pipeline.
+    Stated limit of the demo blocking key: a corpus where thousands of
+    docs share the same leading tokens makes that prefix bucket
+    quadratic — the same skew class ``_cap_hot_lsh_buckets`` guards in
+    the minhash/simhash joins; at scale use THIS operator only on
+    pre-blocked candidates (its intended role), not raw prefixes.
     """
     base = spread_small_input(df).select(
         F.col(id_col),
