@@ -267,8 +267,13 @@ def _cap_hot_lsh_buckets(banded: DataFrame, max_bucket: Optional[int],
     None).  ``materialize`` localCheckpoints the banded frame FIRST
     (VERDICT r9 #2: the guard's count aggregate, the cold/hot splits
     and the downstream join otherwise re-evaluate the expensive
-    shingle+minhash plan 2-3×); pass False when the input is a cheap
-    re-readable scan (a stored signature table)."""
+    shingle+minhash plan 2-3×).  Checkpoint, not persist — measured
+    A/B at sf0.1 (4 warm runs each, same session): checkpoint
+    ~2.0-2.3 s end-to-end vs ~3.1 s with persist; the truncated
+    lineage lets the downstream self-join plan against a plain
+    materialized scan, where the cached-plan path re-analyzed worse.
+    Pass False when the input is a cheap re-readable scan (a stored
+    signature table)."""
     if max_bucket is None:
         return banded, None
     if max_bucket < 2:
