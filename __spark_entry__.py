@@ -5506,6 +5506,46 @@ def q_text_index_topk_served_docs(spark, sf_dir):
             .orderBy(F.col("bm25").desc(), "doc_id"))
 
 
+def q_text_index_phrase_docs(spark, sf_dir):
+    """NEW r10: exact phrase search from the POSITIONAL index
+    (operators/textindex.py ``text_index_phrase``): postings carry
+    each term's sorted token positions, so a phrase query is a
+    manifest lookup of the phrase's terms (≤ |terms| bucket dirs),
+    an equi-join of their postings on the doc id, and one JVM array
+    pass verifying adjacency — the corpus is never read or
+    re-tokenized.  n_occurrences counts every (possibly overlapping)
+    start position; the oracle recomputes it by brute force over the
+    tokenized corpus in SQL."""
+    from wrangle_pypes_spark.operators.textindex import (
+        build_text_index, text_index_phrase)
+
+    def _build(p):
+        build_text_index(_t(spark, sf_dir, "documents"), p,
+                         n_buckets=64, with_positions=True)
+
+    store = _session_store("tixp", sf_dir, _build)
+    return (text_index_phrase(spark, store, "slow hash batch")
+            .orderBy("doc_id"))
+
+
+SQL_PHRASE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         len(list_filter(generate_series(1, greatest(len(toks) - 2, 0)),
+             i -> toks[i] = 'slow' AND toks[i+1] = 'hash'
+                  AND toks[i+2] = 'batch'))::BIGINT AS n_occurrences
+  FROM t
+)
+SELECT doc_id, n_occurrences FROM c
+WHERE n_occurrences > 0 ORDER BY doc_id
+"""
+
+
 def q_vector_index_topk_emb(spark, sf_dir):
     """NEW r10 (VERDICT r9 #3): persisted IVF vector index
     (operators/vectorindex.py) — the embedding twin of the text
@@ -8323,6 +8363,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # entries -- tests/test_bare_session.py pins it.
     "vector_index_topk_emb": q_vector_index_topk_emb,  # NEW r10: persisted IVF serving
     "text_index_topk_served_docs": q_text_index_topk_served_docs,  # NEW r10: probe-only top-k
+    "text_index_phrase_docs": q_text_index_phrase_docs,  # NEW r10: positional phrase search
     "text_index_topk_docs": q_text_index_topk_docs,  # r9 green; planner rewritten r10
     "text_index_search_docs": q_text_index_search_docs,  # r8; textindex.py changed r10
     "stream_text_index_docs": q_stream_text_index_docs,  # r8; textindex.py changed r10
@@ -8372,8 +8413,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compression_ratio_docs": q_compression_ratio_docs,  # last driver check: r6
     "span_dedup_docs": q_span_dedup_docs,  # r6; dedup.py changed r10
     "bm25_search_docs": q_bm25_search_docs,  # last driver check: r6
-    "stream_zscore_events": q_stream_zscore_events,  # last driver check: r6
     # ---- below the 50-slot driver window from here down ----
+    "stream_zscore_events": q_stream_zscore_events,  # r6 (displaced by the r10 phrase query)
     "dedup_pair_audit": q_dedup_pair_audit,  # last driver check: r6
     "dsir_select_docs": q_dsir_select_docs,  # last driver check: r6
     "ccnet_buckets_docs": q_ccnet_buckets_docs,  # last driver check: r6
@@ -8611,6 +8652,7 @@ _ORACLES: dict[str, str] = {
     # full-probe IVF serving is bit-identical to brute-force cosine
     # top-k: the knn oracle applies verbatim
     "vector_index_topk_emb": SQL_KNN,
+    "text_index_phrase_docs": SQL_PHRASE,
     "wrangle_nested_lineitems": SQL_WRANGLE_NESTED_LINES,
     "stream_text_index_docs": SQL_BM25 + " ORDER BY doc_id",
     "pmanifest_cdf_orders": SQL_PMANIFEST_CDF,

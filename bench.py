@@ -94,6 +94,7 @@ HEADLINE = [
     "inverted_index_stats",
     "text_index_topk_docs",
     "text_index_topk_served_docs",
+    "text_index_phrase_docs",
     "vector_index_topk_emb",
     "funnel_events",
     "cohort_retention_weekly",

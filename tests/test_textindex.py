@@ -653,3 +653,78 @@ def test_property_topk_exact_on_incremental_stores(
            text_index_topk(spark, store, terms, k).collect()]
     got.sort(key=lambda r: (-r[2], r[0]))
     assert got == full[:k], (terms, k, block_limit, parity)
+
+
+# ------------------------------------------------------ phrase search
+
+def _phrase_expected(docs, phrase):
+    """Brute-force reference: count consecutive-token occurrences in
+    the lowercased whitespace token stream of every doc."""
+    want = [t.lower() for t in phrase.split()]
+    out = {}
+    for doc_id, text in docs:
+        toks = [t for t in text.lower().split() if t != ""]
+        n = sum(1 for i in range(len(toks) - len(want) + 1)
+                if toks[i:i + len(want)] == want)
+        if n > 0:
+            out[doc_id] = n
+    return out
+
+
+def test_phrase_search_exact_counts(spark, tmp_path):
+    docs = [
+        (1, "spark shuffles data and spark shuffles data again"),
+        (2, "shuffles spark data"),
+        (3, "spark spark shuffles data"),
+        (4, "spark shuffles"),
+        (5, ""),
+        (6, "the spark shuffles data the spark shuffles data"),
+    ]
+    frame = spark.createDataFrame(docs, "doc_id int, text string")
+    store = str(tmp_path / "ph")
+    build_text_index(frame, store, n_buckets=8, with_positions=True,
+                     block_limit=4)
+    from wrangle_pypes_spark.operators.textindex import (
+        text_index_phrase)
+
+    for phrase in ("spark shuffles data", "spark shuffles",
+                   "spark spark", "shuffles data again",
+                   "data spark", "nosuch phrase"):
+        got = {r.doc_id: r.n_occurrences for r in
+               text_index_phrase(spark, store, phrase).collect()}
+        assert got == _phrase_expected(docs, phrase), phrase
+    # single-token phrase = tf
+    got = {r.doc_id: r.n_occurrences for r in
+           text_index_phrase(spark, store, "spark").collect()}
+    assert got == _phrase_expected(docs, "spark")
+
+
+def test_phrase_search_incremental_and_validation(spark, tmp_path):
+    docs = [(i, f"alpha beta gamma tok{i % 5} alpha beta")
+            for i in range(60)]
+    frame = spark.createDataFrame(docs, "doc_id int, text string")
+    store = str(tmp_path / "phi")
+    build_text_index(frame.filter(F.col("doc_id") % 2 == 0), store,
+                     n_buckets=4, with_positions=True, block_limit=8,
+                     epoch_id=0)
+    build_text_index(frame.filter(F.col("doc_id") % 2 == 1), store,
+                     n_buckets=4, with_positions=True, block_limit=8,
+                     epoch_id=1)
+    from wrangle_pypes_spark.operators.textindex import (
+        text_index_phrase)
+
+    got = {r.doc_id: r.n_occurrences for r in
+           text_index_phrase(spark, store, "alpha beta").collect()}
+    assert got == _phrase_expected(docs, "alpha beta")
+    assert all(v == 2 for v in got.values()) and len(got) == 60
+    # positional layout does not disturb BM25 serving on the store
+    assert _rows(text_index_search(spark, store, ["alpha", "tok3"])) \
+        == _rows(bm25_scores(frame, ["alpha", "tok3"]))
+
+    # a non-positional store refuses phrase queries loudly
+    store2 = str(tmp_path / "nopos")
+    build_text_index(frame, store2, n_buckets=4)
+    with pytest.raises(ValueError, match="no positions"):
+        text_index_phrase(spark, store2, "alpha beta")
+    with pytest.raises(ValueError, match="at least one token"):
+        text_index_phrase(spark, store, "   ")

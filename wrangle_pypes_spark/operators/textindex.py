@@ -92,13 +92,15 @@ def _block_meta(postings) -> list:
 
 __all__ = ["STATS_KEY", "DEFAULT_BLOCK_LIMIT", "build_text_index",
            "derive_stop_tokens", "index_stats", "postings_frame",
-           "merge_postings", "text_index_search", "text_index_topk"]
+           "merge_postings", "text_index_phrase", "text_index_search",
+           "text_index_topk"]
 
 
 def postings_frame(docs: DataFrame, *, text_col: str = "text",
                    id_col: str = "doc_id",
                    stop_tokens: Sequence[str] = (),
-                   block_limit: int = DEFAULT_BLOCK_LIMIT) -> DataFrame:
+                   block_limit: int = DEFAULT_BLOCK_LIMIT,
+                   with_positions: bool = False) -> DataFrame:
     """One batch of documents → index rows: per token, postings
     chunked into blocks of ≤ ``block_limit`` entries (each block
     sorted by doc), plus the reserved corpus-stats row (``token=''``,
@@ -109,7 +111,17 @@ def postings_frame(docs: DataFrame, *, text_col: str = "text",
     partitionBy(token) sort that Spark spills for hot tokens, never
     an in-memory O(corpus) array.  The per-row ``df`` here is the
     BLOCK's size; :func:`merge_postings` (which every commit path
-    runs through) recomputes the token-total df on every row."""
+    runs through) recomputes the token-total df on every row.
+
+    ``with_positions=True`` adds each posting's sorted 0-based token
+    positions (``pos array<int>`` in the posting struct) — the
+    POSITIONAL index :func:`text_index_phrase` serves exact phrase
+    queries from.  Positions refer to the ORIGINAL token sequence
+    (recorded before the stop-token filter, so adjacency survives
+    around a removed stopword the way real positional indexes do it).
+    Layout choice per store: mixing positional and non-positional
+    batches in one store fails the merge (schema mismatch), by
+    design."""
     if block_limit < 1:
         raise ValueError("block_limit must be >= 1")
     L = int(block_limit)
@@ -117,20 +129,25 @@ def postings_frame(docs: DataFrame, *, text_col: str = "text",
     base = docs.select(F.col(id_col).alias("doc"), toks.alias("_toks"),
                        F.size(toks).cast("long").alias("_dl"))
     tok_rows = base.select("doc", "_dl",
-                           F.explode("_toks").alias("token"))
+                           F.posexplode("_toks").alias("_p", "token"))
     if stop_tokens:
         tok_rows = tok_rows.filter(
             ~F.col("token").isin([t.lower() for t in stop_tokens]))
+    pos_aggs = [F.array_sort(F.collect_list("_p")).alias("_pos")] \
+        if with_positions else []
     tf = tok_rows.groupBy("token", "doc", "_dl").agg(
-        F.count("*").cast("long").alias("tf"))
+        F.count("*").cast("long").alias("tf"), *pos_aggs)
     w = Window.partitionBy("token").orderBy("doc")
+    struct_fields = [F.col("doc"), F.col("tf"),
+                     F.col("_dl").alias("dl")]
+    if with_positions:
+        struct_fields.append(F.col("_pos").alias("pos"))
     posts = (tf.withColumn(
                  "block",
                  F.floor((F.row_number().over(w) - 1) / L).cast("int"))
              .groupBy("token", "block")
              .agg(F.array_sort(F.collect_list(F.struct(
-                 F.col("doc"), F.col("tf"),
-                 F.col("_dl").alias("dl")))).alias("postings"))
+                 *struct_fields))).alias("postings"))
              .withColumn("df", F.size("postings").cast("long")))
     ptype = posts.schema["postings"].dataType
     stats = base.agg(
@@ -226,6 +243,7 @@ def build_text_index(docs: DataFrame, store_path: str, *,
                      n_buckets: int = 64,
                      stop_tokens: Sequence[str] = (),
                      block_limit: int = DEFAULT_BLOCK_LIMIT,
+                     with_positions: bool = False,
                      epoch_id: int = -1) -> int:
     """(Incrementally) index ``docs`` into the manifest store at
     ``store_path``; returns the committed version.  Calling again
@@ -234,10 +252,13 @@ def build_text_index(docs: DataFrame, store_path: str, *,
     append-only contract (duplicate postings, no error) — the
     streaming maintainer's epoch guard is the replay protection.
     ``block_limit`` bounds every stored row's postings array and is
-    part of the store's layout: use the same value on every call."""
+    part of the store's layout, as is ``with_positions`` (the
+    positional layout :func:`text_index_phrase` needs): use the same
+    values on every call to one store."""
     frame = postings_frame(docs, text_col=text_col, id_col=id_col,
                            stop_tokens=stop_tokens,
-                           block_limit=block_limit)
+                           block_limit=block_limit,
+                           with_positions=with_positions)
     # materialized once: manifest_merge evaluates updates twice
     # (bucket discovery + merge) and tokenizing the corpus is the
     # expensive part of this plan
@@ -518,6 +539,65 @@ def text_index_topk(spark: SparkSession, store_path: str,
             .filter(F.col("_rn") <= k).drop("_rn")
             .select(F.col("_doc").alias(id_name), "n_terms_hit",
                     "bm25"))
+
+
+def text_index_phrase(spark: SparkSession, store_path: str,
+                      phrase: Sequence[str] | str, *,
+                      id_name: str = "doc_id") -> DataFrame:
+    """EXACT phrase search from a POSITIONAL index (built with
+    ``with_positions=True``): the docs containing the phrase's tokens
+    at consecutive positions, as ``(id, n_occurrences)`` with
+    ``n_occurrences`` counting every (possibly overlapping) start
+    position.
+
+    Cost model is the serving one: ``manifest_lookup`` of the
+    phrase's (distinct) terms — ≤ |terms| bucket dirs — then an
+    equi-join of the terms' postings on the doc id (candidates =
+    docs holding ALL terms, the standard positional-intersection
+    plan) and one JVM array pass verifying adjacency:
+    ``pos_0`` entries p where every later term i has ``p + i`` in
+    its positions.  The corpus is never read or re-tokenized.
+    Duplicate terms in the phrase are fine (each instance checks its
+    own offset against the same postings row)."""
+    terms = phrase.split() if isinstance(phrase, str) else list(phrase)
+    terms = [t.lower() for t in terms if str(t).strip() != ""]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    probes = spark.createDataFrame(
+        [(t,) for t in sorted(set(terms))], "token string")
+    rows = manifest_lookup(spark, store_path, probes)
+    if rows is None:
+        raise ValueError(f"no index committed at {store_path!r}")
+    ptype = rows.schema["postings"].dataType.elementType
+    if "pos" not in [f.name for f in ptype.fields]:
+        raise ValueError(
+            f"index at {store_path!r} has no positions — rebuild "
+            "with build_text_index(..., with_positions=True) to "
+            "serve phrase queries")
+    base = (rows.filter(F.col("token") != STATS_KEY)
+            .select("token", F.explode("postings").alias("p"))
+            .select("token", F.col("p.doc").alias("_doc"),
+                    F.col("p.pos").alias("_pos")))
+    joined = None
+    for i, t in enumerate(terms):
+        dfi = (base.filter(F.col("token") == t)
+               .select(F.col("_doc"),
+                       F.col("_pos").alias(f"_pos{i}")))
+        joined = dfi if joined is None else joined.join(dfi, "_doc")
+    if len(terms) == 1:
+        n = F.size(F.col("_pos0"))
+    else:
+        def adjacent(p):
+            cond = F.lit(True)
+            for i in range(1, len(terms)):
+                cond = cond & F.array_contains(F.col(f"_pos{i}"),
+                                               p + i)
+            return cond
+
+        n = F.size(F.filter(F.col("_pos0"), adjacent))
+    out = joined.select(F.col("_doc").alias(id_name),
+                        n.cast("long").alias("n_occurrences"))
+    return out.filter(F.col("n_occurrences") > 0)
 
 
 def index_stats(spark: SparkSession, store_path: str,

@@ -1577,6 +1577,7 @@ def foreach_batch_text_index(stream_df: DataFrame, store_path: str, *,
                              n_buckets: int = 64,
                              stop_tokens: Sequence[str] = (),
                              block_limit: Optional[int] = None,
+                             with_positions: bool = False,
                              checkpoint: Optional[str] = None):
     """Continuously maintained inverted token index
     (``operators.textindex``): per micro-batch, tokenize ONLY the
@@ -1626,7 +1627,8 @@ def foreach_batch_text_index(stream_df: DataFrame, store_path: str, *,
             return  # replayed batch: already indexed
         frame = postings_frame(batch_df, text_col=text_col,
                                id_col=id_col, stop_tokens=stop_tokens,
-                               block_limit=block_limit)
+                               block_limit=block_limit,
+                               with_positions=with_positions)
         # materialize once: manifest_merge evaluates updates twice
         # and the tokenize is the expensive part
         frame = frame.localCheckpoint(eager=True)
