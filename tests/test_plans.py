@@ -634,3 +634,29 @@ def test_vector_index_probe_plan(spark, sf_dir, tmp_path):
     # checkpointed AFTER its Arrow assignment, so the executed plan
     # re-ranks without any Python eval over candidates
     assert rep.python_eval_nodes == []
+
+
+def test_phrase_search_plan(spark, sf_dir, tmp_path):
+    """Phrase serving (r10): postings equi-join on doc, no cross
+    product, no Python eval, and the lookup plans only the phrase
+    terms' bucket dirs."""
+    import re
+
+    from wrangle_pypes_spark import plans
+    from wrangle_pypes_spark.operators import (build_text_index,
+                                               text_index_phrase)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    store = str(tmp_path / "phplan")
+    build_text_index(docs, store, n_buckets=32, with_positions=True)
+    out = text_index_phrase(spark, store, "slow hash batch")
+    rep = plans.audit(out)
+    assert rep.python_eval_nodes == []
+    assert "CartesianProduct" not in rep.plan
+    assert "BroadcastNestedLoopJoin" not in rep.plan
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    counts = {int(n) for n in
+              re.findall(r"InMemoryFileIndex\((\d+) paths?\)", plan)}
+    assert counts and max(counts) <= 3  # <= |distinct terms| buckets
