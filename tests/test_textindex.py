@@ -728,3 +728,31 @@ def test_phrase_search_incremental_and_validation(spark, tmp_path):
         text_index_phrase(spark, store2, "alpha beta")
     with pytest.raises(ValueError, match="at least one token"):
         text_index_phrase(spark, store, "   ")
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_doc_strategy,
+       parity=st.integers(1, 3),
+       phrase=st.lists(st.sampled_from(["aa", "bb", "cc", "zz"]),
+                       min_size=1, max_size=3))
+def test_property_phrase_counts_match_brute_force(
+        spark, tmp_path_factory, docs, parity, phrase):
+    """Fuzz the phrase-exactness claim: random corpora, batch splits,
+    and phrases (including repeated and absent tokens) — the
+    positional index's occurrence counts always equal the Python
+    brute force over the token stream."""
+    from wrangle_pypes_spark.operators.textindex import (
+        text_index_phrase)
+
+    base = tmp_path_factory.mktemp("prop_phrase")
+    frame = spark.createDataFrame(docs, "doc_id int, text string")
+    store = str(base / "idx")
+    for i in range(parity):
+        build_text_index(frame.filter(F.col("doc_id") % parity == i),
+                         store, n_buckets=4, block_limit=2,
+                         with_positions=True, epoch_id=i)
+    got = {r.doc_id: r.n_occurrences for r in
+           text_index_phrase(spark, store, phrase).collect()}
+    assert got == _phrase_expected(docs, " ".join(phrase)), \
+        (phrase, parity)
