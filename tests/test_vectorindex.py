@@ -205,3 +205,45 @@ def test_streaming_maintainer_equals_one_shot(spark, emb, tmp_path):
                                    n_probe=8)) == \
         _rows(cosine_topk(emb, probe, id_col="vec_id",
                           vec_col="embedding", k=5))
+
+
+def test_filtered_ann_exact_at_full_probe(spark, tables, tmp_path):
+    """Filtered ANN (r10): meta columns live on the index rows and a
+    `where` predicate prunes candidates BEFORE the re-rank — at full
+    probe the filtered result equals brute force over the filtered
+    corpus, row for row, with k fully filled from the filtered set."""
+    emb3 = tables["embeddings"].select("vec_id", "embedding", "label")
+    store = str(tmp_path / "fvx")
+    build_vector_index(emb3, store, n_centroids=8, n_buckets=8,
+                       meta_cols=["label"])
+    q = emb3.filter(F.col("vec_id") < 12)
+    got = vector_index_topk(spark, store, q, k=5, n_probe=8,
+                            where="label = 2")
+    exp = cosine_topk(emb3.filter(F.col("label") == 2), q,
+                      id_col="vec_id", vec_col="embedding", k=5)
+    assert _rows(got) == _rows(exp)
+    # every neighbor really satisfies the predicate
+    labels = {r.label for r in
+              emb3.join(got.select(F.col("neighbor_id")
+                                   .alias("vec_id")), "vec_id")
+              .select("label").collect()}
+    assert labels == {2}
+
+    # validation: filtered query against a meta-less store refuses
+    bare = str(tmp_path / "bare")
+    build_vector_index(emb3.select("vec_id", "embedding"), bare,
+                       n_centroids=8, n_buckets=8)
+    with pytest.raises(ValueError, match="meta_cols"):
+        vector_index_topk(spark, bare, q, where="label = 2")
+    # reserved/missing meta col names fail loudly at build
+    with pytest.raises(ValueError, match="reserved"):
+        build_vector_index(emb3.withColumnRenamed("label", "norm"),
+                           str(tmp_path / "x1"), n_centroids=8,
+                           meta_cols=["norm"])
+    with pytest.raises(ValueError, match="lacks meta_cols"):
+        build_vector_index(emb3, str(tmp_path / "x2"), n_centroids=8,
+                           meta_cols=["nope"])
+    # layout immutability covers meta_cols too
+    with pytest.raises(ValueError, match="immutable"):
+        build_vector_index(emb3, store, n_centroids=8, n_buckets=8,
+                           meta_cols=[])

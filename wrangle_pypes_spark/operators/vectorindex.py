@@ -80,6 +80,7 @@ def build_vector_index(corpus: DataFrame, store_path: str, *,
                        seed: int = 42, fit_fraction: float = 1.0,
                        n_buckets: int = 16,
                        quantize: bool = False,
+                       meta_cols: Sequence[str] = (),
                        centroids: Optional[Sequence[Sequence[float]]]
                        = None,
                        epoch_id: int = -1) -> int:
@@ -91,12 +92,18 @@ def build_vector_index(corpus: DataFrame, store_path: str, *,
     dedicated sample) and pins it, with the layout params, in the
     sidecar BEFORE the first commit.  Later calls REUSE the pinned
     centroids and fold the new batch in at O(touched cells' buckets);
-    their ``n_centroids/iters/seed/quantize`` arguments must not
-    contradict the sidecar (immutable layout — loud error, the
-    manifest n_buckets rule).  Re-submitting already-indexed ids
+    their ``n_centroids/iters/seed/quantize/meta_cols`` arguments
+    must not contradict the sidecar (immutable layout — loud error,
+    the manifest n_buckets rule).  Re-submitting already-indexed ids
     violates the append-only contract (duplicate candidates, no
     error); a streaming maintainer's epoch guard is the replay
-    protection, as with the text index."""
+    protection, as with the text index.
+
+    ``meta_cols`` stores those corpus columns on every index row —
+    the FILTERED-ANN path: :func:`vector_index_topk`'s ``where``
+    predicate evaluates against them on the probed candidates BEFORE
+    the exact re-rank, so a filtered query costs the probed cells'
+    buckets, never a corpus join."""
     spark = corpus.sparkSession
     side = _load_sidecar(store_path, spark=spark)
     if side is not None:
@@ -110,8 +117,9 @@ def build_vector_index(corpus: DataFrame, store_path: str, *,
         mism = {k: (v, side[k]) for k, v in
                 (("n_centroids", int(n_centroids)),
                  ("quantize", bool(quantize)),
-                 ("vec_col", vec_col), ("id_col", id_col))
-                if side.get(k) != v}
+                 ("vec_col", vec_col), ("id_col", id_col),
+                 ("meta_cols", list(meta_cols)))
+                if side.get(k, [] if k == "meta_cols" else None) != v}
         if mism:
             raise ValueError(
                 f"vector index at {store_path!r} layout is immutable; "
@@ -140,15 +148,25 @@ def build_vector_index(corpus: DataFrame, store_path: str, *,
                         "dim": len(cents[0]) if cents else 0,
                         "seed": int(seed),
                         "quantize": bool(quantize),
+                        "meta_cols": list(meta_cols),
                         "vec_col": vec_col, "id_col": id_col}),
             spark=spark)
+    reserved = {"cell", "id", "vec", "norm", "qvec", "qscale"}
+    clash = [c for c in meta_cols if c in reserved]
+    if clash:
+        raise ValueError(f"meta_cols {clash} collide with the "
+                         "index's reserved column names")
+    missing = [c for c in meta_cols if c not in corpus.columns]
+    if missing:
+        raise ValueError(f"corpus lacks meta_cols {missing}")
     assign1 = _nearest_cells_udf(cents, 1)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     rows = corpus.select(
         assign1(F.col(vec_col))[0].alias("cell"),
         F.col(id_col).alias("id"),
         v.alias("vec"),
-        _norm(v).alias("norm"))
+        _norm(v).alias("norm"),
+        *[F.col(c) for c in meta_cols])
     if quantize:
         rows = (quantize_embeddings(rows, "vec", q_col="qvec",
                                     scale_col="qscale")
@@ -173,6 +191,7 @@ def build_vector_index(corpus: DataFrame, store_path: str, *,
 def vector_index_topk(spark: SparkSession, store_path: str,
                       queries: DataFrame, *, k: int = 5,
                       n_probe: int = 4,
+                      where: Optional[str] = None,
                       query_id_col: Optional[str] = None,
                       query_vec_col: Optional[str] = None) -> DataFrame:
     """Top-k cosine neighbors for each query row, served FROM THE
@@ -185,7 +204,15 @@ def vector_index_topk(spark: SparkSession, store_path: str,
     ``n_probe >= n_centroids`` the result IS ``cosine_topk``'s, row
     for row (pinned in tests); below that it is ANN with the recall
     the tests audit.  Queries must be the small side (they broadcast
-    into the candidate join), the serving topology's usual shape."""
+    into the candidate join), the serving topology's usual shape.
+
+    ``where`` is FILTERED ANN: a SQL predicate over the store's
+    ``meta_cols`` (e.g. ``"label = 2 AND lang = 'en'"``), applied to
+    the probed candidates BEFORE the exact re-rank — post-filtering a
+    top-k would under-fill k; pre-filtering candidates keeps k exact
+    over the filtered corpus (and at full probe, exactly
+    ``cosine_topk`` over ``corpus.filter(where)``, pinned in
+    tests)."""
     if k < 1:
         raise ValueError("k must be >= 1")
     if n_probe < 1:
@@ -212,6 +239,13 @@ def vector_index_topk(spark: SparkSession, store_path: str,
     cand = manifest_lookup(spark, store_path, probes)
     if cand is None:
         raise ValueError(f"no vector index committed at {store_path!r}")
+    if where is not None:
+        if not side.get("meta_cols"):
+            raise ValueError(
+                f"index at {store_path!r} stores no meta_cols — "
+                "rebuild with build_vector_index(meta_cols=...) to "
+                "serve filtered queries")
+        cand = cand.filter(F.expr(where))
     if side.get("quantize"):
         recon = F.transform(F.col("qvec"),
                             lambda x: x.cast("double") * F.col("qscale"))
