@@ -87,3 +87,36 @@ def test_describe_surfaces_sidecars_and_streamed_epoch(spark, tmp_path):
                    epoch_id=3)
     z = describe_store(spark, zm).collect()[0]
     assert z.kind == "zonemap" and z.epoch == 3
+
+
+def test_vector_index_store_kind_and_describe(spark, tables, tmp_path):
+    """The IVF vector index is a manifest store plus the quantizer
+    sidecar — its own catalog kind, described with cell/dim/meta
+    detail from control files alone."""
+    from pyspark.sql import functions as F
+
+    from wrangle_pypes_spark.operators import build_vector_index
+
+    emb = tables["embeddings"].select("vec_id", "embedding", "label")
+    store = str(tmp_path / "vx")
+    build_vector_index(emb, store, n_centroids=8, n_buckets=4,
+                       meta_cols=["label"])
+    assert store_kind(store) == "vectorindex"
+    row = describe_store(spark, store).collect()[0]
+    assert row.kind == "vectorindex" and row.n_buckets == 4
+    assert "cells=8" in row.detail and "meta=label" in row.detail
+    assert row.version == 1
+
+    # sidecar-first rule: a crashed pre-commit store still identifies
+    import json as _json
+    import os
+
+    bare = str(tmp_path / "bare")
+    os.makedirs(bare)
+    with open(os.path.join(bare, "_vindex.json"), "w") as f:
+        _json.dump({"centroids": [], "n_centroids": 0, "dim": 0,
+                    "seed": 1, "quantize": False, "meta_cols": [],
+                    "vec_col": "v", "id_col": "i"}, f)
+    assert store_kind(bare) == "vectorindex"
+    row = describe_store(spark, bare).collect()[0]
+    assert row.kind == "vectorindex" and row.version is None

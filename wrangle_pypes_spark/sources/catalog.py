@@ -32,7 +32,7 @@ from .. import fsutil
 _MANIFEST_RE = re.compile(r"^_m(\d{6})\.json$")
 _ACID_V_RE = re.compile(r"^_v(\d{6})$")
 
-KINDS = ("pmanifest", "manifest", "acid", "zonemap")
+KINDS = ("pmanifest", "vectorindex", "manifest", "acid", "zonemap")
 
 
 def store_kind(path: str, spark=None) -> Optional[str]:
@@ -50,6 +50,11 @@ def store_kind(path: str, spark=None) -> Optional[str]:
         return "pmanifest"
     if "_zonemap.json" in names:
         return "zonemap"
+    if "_vindex.json" in names:
+        # an IVF vector index is a manifest store plus the pinned
+        # quantizer sidecar; the sidecar makes it its own kind (it may
+        # exist BEFORE the first manifest commit — sidecar-first rule)
+        return "vectorindex"
     if any(_MANIFEST_RE.match(n) for n in names):
         return "manifest"
     if "_ptr.json" in names and (any(_ACID_V_RE.match(n)
@@ -83,7 +88,7 @@ def describe_store(spark: SparkSession, path: str) -> Optional[DataFrame]:
                 if n in ("_cms.json", "_bloom.json")]
         if side:
             detail += "|" + ",".join(sorted(side))
-    elif kind == "manifest":
+    elif kind in ("manifest", "vectorindex"):
         from .manifest import (_load_manifest, _used_versions,
                                manifest_current)
 
@@ -94,6 +99,13 @@ def describe_store(spark: SparkSession, path: str) -> Optional[DataFrame]:
             n_buckets = int(man["n_buckets"])
             n_files = len(man["buckets"])
             detail = "keys=" + ",".join(man["key_cols"])
+        if kind == "vectorindex":
+            side = json.loads(fsutil.read_text(
+                path.rstrip("/") + "/_vindex.json", spark=spark))
+            detail = (f"cells={side['n_centroids']}|dim={side['dim']}"
+                      + ("|int8" if side.get("quantize") else "")
+                      + (("|meta=" + ",".join(side["meta_cols"]))
+                         if side.get("meta_cols") else ""))
         n_kept = sum(
             1 for v in _used_versions(path, spark=spark)
             if version is not None and v <= version
