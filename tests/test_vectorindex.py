@@ -247,3 +247,22 @@ def test_filtered_ann_exact_at_full_probe(spark, tables, tmp_path):
     with pytest.raises(ValueError, match="immutable"):
         build_vector_index(emb3, store, n_centroids=8, n_buckets=8,
                            meta_cols=[])
+
+
+def test_rejected_build_pins_no_sidecar(spark, tables, tmp_path):
+    """Validation precedes the sidecar write: a rejected build leaves
+    NO pinned layout, so the corrected retry builds cleanly instead
+    of tripping the immutability check on a garbage sidecar."""
+    import os
+
+    emb3 = tables["embeddings"].select("vec_id", "embedding", "label")
+    store = str(tmp_path / "rj")
+    with pytest.raises(ValueError, match="lacks meta_cols"):
+        build_vector_index(emb3, store, n_centroids=8,
+                           meta_cols=["nope"])
+    assert not os.path.exists(os.path.join(store, "_vindex.json"))
+    build_vector_index(emb3, store, n_centroids=8, n_buckets=8,
+                       meta_cols=["label"])
+    got = vector_index_topk(spark, store, emb3.limit(3), k=3,
+                            n_probe=8, where="label = 0")
+    assert got.count() > 0

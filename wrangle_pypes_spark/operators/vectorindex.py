@@ -105,6 +105,16 @@ def build_vector_index(corpus: DataFrame, store_path: str, *,
     the exact re-rank, so a filtered query costs the probed cells'
     buckets, never a corpus join."""
     spark = corpus.sparkSession
+    # argument validation BEFORE any sidecar write: a rejected build
+    # must not pin a layout the caller immediately has to live with
+    reserved = {"cell", "id", "vec", "norm", "qvec", "qscale"}
+    clash = [c for c in meta_cols if c in reserved]
+    if clash:
+        raise ValueError(f"meta_cols {clash} collide with the "
+                         "index's reserved column names")
+    missing = [c for c in meta_cols if c not in corpus.columns]
+    if missing:
+        raise ValueError(f"corpus lacks meta_cols {missing}")
     side = _load_sidecar(store_path, spark=spark)
     if side is not None:
         if centroids is not None and \
@@ -151,14 +161,6 @@ def build_vector_index(corpus: DataFrame, store_path: str, *,
                         "meta_cols": list(meta_cols),
                         "vec_col": vec_col, "id_col": id_col}),
             spark=spark)
-    reserved = {"cell", "id", "vec", "norm", "qvec", "qscale"}
-    clash = [c for c in meta_cols if c in reserved]
-    if clash:
-        raise ValueError(f"meta_cols {clash} collide with the "
-                         "index's reserved column names")
-    missing = [c for c in meta_cols if c not in corpus.columns]
-    if missing:
-        raise ValueError(f"corpus lacks meta_cols {missing}")
     assign1 = _nearest_cells_udf(cents, 1)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     rows = corpus.select(
