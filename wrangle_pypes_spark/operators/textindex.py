@@ -56,17 +56,20 @@ mandate adds.
 
 from __future__ import annotations
 
+import json as _json
 from functools import partial
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import fsutil
 from ..functions.text import tokens
 from ..sources.manifest import manifest_lookup, manifest_merge
 
 STATS_KEY = ""  # reserved token: tokens() never yields an empty string
 DEFAULT_BLOCK_LIMIT = 1 << 16  # postings per stored row, ~a few MB
+_SIDECAR = "_tindex.json"  # pinned build layout (r11): stop list etc.
 
 _COLS = ["token", "block", "postings", "df", "n_docs", "sum_dl"]
 
@@ -96,6 +99,50 @@ __all__ = ["STATS_KEY", "DEFAULT_BLOCK_LIMIT", "build_text_index",
            "text_index_topk"]
 
 
+def _load_layout(store_path: str, spark=None) -> Optional[dict]:
+    """The store's pinned build layout, None for a store that pre-dates
+    the sidecar (r10 and earlier — every build param defaulted to the
+    same-values-per-store contract with nothing recording them)."""
+    txt = fsutil.read_text(store_path.rstrip("/") + "/" + _SIDECAR,
+                           spark=spark)
+    return None if txt is None else _json.loads(txt)
+
+
+def _pin_layout(store_path: str, spark, *, stop_tokens: Sequence[str],
+                block_limit: int, with_positions: bool) -> dict:
+    """Pin (or validate against) the store's build-layout sidecar.
+
+    The layout params were always per-store constants by documented
+    contract ("use the same values on every call"); the sidecar makes
+    the contract CHECKED, and — the r10 VERDICT edge — makes the stop
+    list VISIBLE to the serving side: :func:`text_index_phrase` must
+    refuse a phrase containing a stop-excluded term (its postings were
+    never stored) instead of silently returning empty.  Written BEFORE
+    the first commit, like the vector index's quantizer sidecar: a
+    crash in between leaves a pinned layout and no data — re-running
+    converges.  A legacy store (commits, no sidecar) adopts the
+    current call's params, which the contract says are the ones it was
+    built with."""
+    stops = sorted({str(t).lower() for t in stop_tokens})
+    mine = {"stop_tokens": stops, "block_limit": int(block_limit),
+            "with_positions": bool(with_positions)}
+    side = _load_layout(store_path, spark=spark)
+    if side is not None:
+        mism = {k: (mine[k], side.get(k)) for k in mine
+                if side.get(k) != mine[k]}
+        if mism:
+            raise ValueError(
+                f"text index at {store_path!r} pins its build layout; "
+                f"mismatched params (got, stored): {mism} — stop "
+                "list, block_limit and with_positions are immutable "
+                "for a store's lifetime (rebuild to change them)")
+        return side
+    fsutil.ensure_dir(store_path, spark=spark)
+    fsutil.write_text_atomic(store_path.rstrip("/") + "/" + _SIDECAR,
+                             _json.dumps(mine), spark=spark)
+    return mine
+
+
 def postings_frame(docs: DataFrame, *, text_col: str = "text",
                    id_col: str = "doc_id",
                    stop_tokens: Sequence[str] = (),
@@ -117,8 +164,11 @@ def postings_frame(docs: DataFrame, *, text_col: str = "text",
     positions (``pos array<int>`` in the posting struct) — the
     POSITIONAL index :func:`text_index_phrase` serves exact phrase
     queries from.  Positions refer to the ORIGINAL token sequence
-    (recorded before the stop-token filter, so adjacency survives
-    around a removed stopword the way real positional indexes do it).
+    (recorded before the stop-token filter), so positions stay
+    stable if the store is later rebuilt with a different stop list —
+    but a stop-excluded term stores NO postings at all, so a phrase
+    can neither include nor bridge a removed stopword;
+    :func:`text_index_phrase` refuses such phrases loudly (r11).
     Layout choice per store: mixing positional and non-positional
     batches in one store fails the merge (schema mismatch), by
     design."""
@@ -252,9 +302,15 @@ def build_text_index(docs: DataFrame, store_path: str, *,
     append-only contract (duplicate postings, no error) — the
     streaming maintainer's epoch guard is the replay protection.
     ``block_limit`` bounds every stored row's postings array and is
-    part of the store's layout, as is ``with_positions`` (the
-    positional layout :func:`text_index_phrase` needs): use the same
-    values on every call to one store."""
+    part of the store's layout, as are ``with_positions`` (the
+    positional layout :func:`text_index_phrase` needs) and
+    ``stop_tokens``: all three are pinned in a ``_tindex.json``
+    sidecar on the first build (before the first commit, so a crash
+    in between converges on re-run) and a later call with different
+    values raises instead of silently mixing layouts."""
+    _pin_layout(store_path, docs.sparkSession,
+                stop_tokens=stop_tokens, block_limit=block_limit,
+                with_positions=with_positions)
     frame = postings_frame(docs, text_col=text_col, id_col=id_col,
                            stop_tokens=stop_tokens,
                            block_limit=block_limit,
@@ -558,11 +614,29 @@ def text_index_phrase(spark: SparkSession, store_path: str,
     ``pos_0`` entries p where every later term i has ``p + i`` in
     its positions.  The corpus is never read or re-tokenized.
     Duplicate terms in the phrase are fine (each instance checks its
-    own offset against the same postings row)."""
+    own offset against the same postings row).
+
+    A phrase term in the store's pinned ``stop_tokens`` RAISES
+    (VERDICT r10): its postings were never stored, so the result
+    would be silently empty — indistinguishable from "phrase absent"
+    — and positions being recorded pre-filter doesn't help an exact
+    +1 adjacency check bridge the gap.  Stores built before the
+    layout sidecar (r10 and earlier) can't be checked; they keep the
+    documented silent-empty behavior."""
     terms = phrase.split() if isinstance(phrase, str) else list(phrase)
     terms = [t.lower() for t in terms if str(t).strip() != ""]
     if not terms:
         raise ValueError("phrase must contain at least one token")
+    layout = _load_layout(store_path, spark=spark)
+    if layout is not None:
+        stopped = sorted(set(terms) & set(layout.get("stop_tokens", ())))
+        if stopped:
+            raise ValueError(
+                f"phrase terms {stopped} are in the index's build-time "
+                f"stop_tokens ({store_path!r}): their postings were "
+                "never stored, so every phrase containing them would "
+                "return empty regardless of the corpus. Rebuild "
+                "without those stop tokens to serve this phrase.")
     probes = spark.createDataFrame(
         [(t,) for t in sorted(set(terms))], "token string")
     rows = manifest_lookup(spark, store_path, probes)

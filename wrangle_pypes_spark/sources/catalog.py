@@ -32,7 +32,8 @@ from .. import fsutil
 _MANIFEST_RE = re.compile(r"^_m(\d{6})\.json$")
 _ACID_V_RE = re.compile(r"^_v(\d{6})$")
 
-KINDS = ("pmanifest", "vectorindex", "manifest", "acid", "zonemap")
+KINDS = ("pmanifest", "vectorindex", "textindex", "manifest", "acid",
+         "zonemap")
 
 
 def store_kind(path: str, spark=None) -> Optional[str]:
@@ -55,6 +56,11 @@ def store_kind(path: str, spark=None) -> Optional[str]:
         # quantizer sidecar; the sidecar makes it its own kind (it may
         # exist BEFORE the first manifest commit — sidecar-first rule)
         return "vectorindex"
+    if "_tindex.json" in names:
+        # an inverted text index: a manifest store plus the pinned
+        # build-layout sidecar (stop list / block_limit / positions),
+        # same sidecar-first rule as the vector index
+        return "textindex"
     if any(_MANIFEST_RE.match(n) for n in names):
         return "manifest"
     if "_ptr.json" in names and (any(_ACID_V_RE.match(n)
@@ -88,7 +94,7 @@ def describe_store(spark: SparkSession, path: str) -> Optional[DataFrame]:
                 if n in ("_cms.json", "_bloom.json")]
         if side:
             detail += "|" + ",".join(sorted(side))
-    elif kind in ("manifest", "vectorindex"):
+    elif kind in ("manifest", "vectorindex", "textindex"):
         from .manifest import (_load_manifest, _used_versions,
                                manifest_current)
 
@@ -106,6 +112,14 @@ def describe_store(spark: SparkSession, path: str) -> Optional[DataFrame]:
                       + ("|int8" if side.get("quantize") else "")
                       + (("|meta=" + ",".join(side["meta_cols"]))
                          if side.get("meta_cols") else ""))
+        elif kind == "textindex":
+            side = json.loads(fsutil.read_text(
+                path.rstrip("/") + "/_tindex.json", spark=spark))
+            detail = (f"block_limit={side['block_limit']}"
+                      + ("|positions" if side.get("with_positions")
+                         else "")
+                      + (f"|stops={len(side['stop_tokens'])}"
+                         if side.get("stop_tokens") else ""))
         n_kept = sum(
             1 for v in _used_versions(path, spark=spark)
             if version is not None and v <= version

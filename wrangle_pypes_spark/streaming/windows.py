@@ -1602,13 +1602,18 @@ def foreach_batch_text_index(stream_df: DataFrame, store_path: str, *,
     import warnings
     from functools import partial
 
-    from ..operators.textindex import (DEFAULT_BLOCK_LIMIT,
+    from ..operators.textindex import (DEFAULT_BLOCK_LIMIT, _pin_layout,
                                        merge_postings, postings_frame)
     from ..sources.manifest import manifest_current, manifest_merge
 
     if block_limit is None:
         block_limit = DEFAULT_BLOCK_LIMIT
     session = stream_df.sparkSession
+    # pin (or validate) the store's build layout up front, driver-side:
+    # a resume with a different stop list / block_limit / positional
+    # flag fails HERE, before any batch commits under the wrong layout
+    _pin_layout(store_path, session, stop_tokens=stop_tokens,
+                block_limit=block_limit, with_positions=with_positions)
     if (checkpoint is None
             and manifest_current(store_path, spark=session) is not None):
         warnings.warn(
