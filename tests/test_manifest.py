@@ -1514,3 +1514,32 @@ def test_changes_and_merge_into_reserved_name_guards(spark, tmp_path):
                                   "k int, change_op string, "
                                   "_mi_dead boolean"),
             store)
+
+
+def test_manifest_rollback_restores_version_and_epoch(spark, tmp_path):
+    """r11: manifest_rollback swings the pointer back to a retained
+    version (epoch included); orphans above refuse to serve; a new
+    merge after rollback commits above the orphan numbers."""
+    from wrangle_pypes_spark.sources.manifest import manifest_rollback
+
+    store = str(tmp_path / "rb")
+    for i, val in enumerate(["a", "b", "c"]):
+        manifest_merge(
+            spark.createDataFrame([(1, val)], "k int, val string"),
+            store, ["k"], epoch_id=i, n_buckets=BUCKETS)
+    assert manifest_current(store) == (3, 2)
+    manifest_rollback(store, 1)
+    assert manifest_current(store) == (1, 0)
+    assert _kv(spark, store) == {1: "a"}
+    # no-op rollback to the head; forward rollback refuses
+    manifest_rollback(store, 1)
+    with pytest.raises(ValueError, match="FORWARD"):
+        manifest_rollback(store, 3)
+    with pytest.raises(ValueError, match="no manifest store"):
+        manifest_rollback(str(tmp_path / "missing"), 1)
+    # a merge after rollback versions past the orphans (no overwrite)
+    manifest_merge(
+        spark.createDataFrame([(2, "d")], "k int, val string"),
+        store, ["k"], epoch_id=7, n_buckets=BUCKETS)
+    assert manifest_current(store) == (4, 7)
+    assert _kv(spark, store) == {1: "a", 2: "d"}

@@ -1061,16 +1061,171 @@ def test_unreplayed_crashed_batch_stays_invisible(spark, tmp_path,
     assert "2024-01-01" not in out and "2024-03-01" in out
     assert _kv(spark, store) == expect
 
-    # and the crashed batch's REPLAY still converges and publishes it
-    # (Jan guard-skips its staged commit, Feb commits fresh)... with
-    # the epoch-2 root already ahead, replaying an older epoch is
-    # out-of-order delivery — streaming recovery replays in order, so
-    # replay the batch as the NEXT epoch instead
-    pmanifest_merge(
-        _rows(spark, [(1, _d("2024-01-01"), "A3"),
-                      (2, _d("2024-02-01"), "B3")]),
-        store, "day", ["k"], epoch_id=3, n_buckets=2,
-        max_concurrency=1)
+    # a LATER batch into the staged partition refuses by default
+    # (r11: the staged-head residual is now a loud error, not a
+    # silent adopt) ...
+    with pytest.raises(RuntimeError, match="staged sub-commits"):
+        pmanifest_merge(
+            _rows(spark, [(1, _d("2024-01-01"), "A3"),
+                          (2, _d("2024-02-01"), "B3")]),
+            store, "day", ["k"], epoch_id=3, n_buckets=2,
+            max_concurrency=1)
+    # ... and on_staged='adopt' keeps the pre-r11 behavior: build on
+    # the staged head and publish it, loudly
+    with pytest.warns(UserWarning, match="on_staged='adopt'"):
+        pmanifest_merge(
+            _rows(spark, [(1, _d("2024-01-01"), "A3"),
+                          (2, _d("2024-02-01"), "B3")]),
+            store, "day", ["k"], epoch_id=3, n_buckets=2,
+            max_concurrency=1, on_staged="adopt")
     got = _kv(spark, store)
     assert got[1] == (_d("2024-01-01"), "A3")
     assert got[2] == (_d("2024-02-01"), "B3")
+
+
+def _crash_after_first_subcommit(monkeypatch):
+    """Monkeypatch manifest_merge to die after its first call in the
+    NEXT pmanifest_merge — the canonical mid-batch crash."""
+    from wrangle_pypes_spark.sources import manifest as man_mod
+    import wrangle_pypes_spark.sources.partitioned as p_mod
+
+    real_merge = man_mod.manifest_merge
+    calls = {"n": 0}
+
+    def _flaky(updates, path, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected crash mid-batch")
+        return real_merge(updates, path, *a, **kw)
+
+    monkeypatch.setattr(p_mod._m, "manifest_merge", _flaky)
+    return lambda: monkeypatch.setattr(p_mod._m, "manifest_merge",
+                                       real_merge)
+
+
+def test_staged_head_rollback_discards_orphan_rows(spark, tmp_path,
+                                                   monkeypatch):
+    """r11 (VERDICT r10 #3): crash batch N after its Jan sub-commit,
+    never replay it, run batch N+1 into the SAME partition — the
+    orphan's rows must never become root-visible.  Default refuses
+    (covered in the unreplayed-crash test); on_staged='rollback'
+    heals by discarding the staging and merging on committed state."""
+    from wrangle_pypes_spark.sources.partitioned import _root_parts
+
+    store = str(tmp_path / "heal")
+    pmanifest_merge(
+        _rows(spark, [(1, _d("2024-01-01"), "a"),
+                      (2, _d("2024-02-01"), "b")]),
+        store, "day", ["k"], epoch_id=0, n_buckets=2,
+        max_concurrency=1)
+
+    # epoch 1: key 9 (GHOST) into Jan commits, Feb crashes — Jan's
+    # sub head is now staged (v2) above the root (v1), never replayed
+    restore = _crash_after_first_subcommit(monkeypatch)
+    with pytest.raises(RuntimeError, match="injected"):
+        pmanifest_merge(
+            _rows(spark, [(9, _d("2024-01-01"), "GHOST"),
+                          (2, _d("2024-02-01"), "GHOST")]),
+            store, "day", ["k"], epoch_id=1, n_buckets=2,
+            max_concurrency=1)
+    restore()
+    assert manifest_current(os.path.join(store, "p=2024-01-01")) == (2, 1)
+
+    # batch 2 into Jan with rollback: the staging is discarded, the
+    # merge builds on the committed v1, and GHOST never appears
+    with pytest.warns(UserWarning, match="rolled partition"):
+        pmanifest_merge(
+            _rows(spark, [(1, _d("2024-01-01"), "A2")]),
+            store, "day", ["k"], epoch_id=2, n_buckets=2,
+            max_concurrency=1, on_staged="rollback")
+    got = _kv(spark, store)
+    assert got[1] == (_d("2024-01-01"), "A2")
+    assert 9 not in got, "orphan rows became visible"
+    # the rolled-back sub re-committed on top of the orphan's number
+    sub = os.path.join(store, "p=2024-01-01")
+    assert manifest_current(sub) == (3, 2)
+    assert _root_parts(store)["2024-01-01"] == 3
+    # and a full un-pruned read agrees (no torn view anywhere)
+    assert _kv(spark, store)[2] == (_d("2024-02-01"), "b")
+
+
+def test_staged_new_partition_rollback_deletes_substore(
+        spark, tmp_path, monkeypatch):
+    """A crashed batch that CREATED a partition (no root entry at all)
+    leaves a whole staged sub-store; rollback has no committed version
+    to return to, so the heal deletes the sub-store and merges fresh."""
+    store = str(tmp_path / "newpart")
+    pmanifest_merge(_rows(spark, [(1, _d("2024-01-01"), "a")]),
+                    store, "day", ["k"], epoch_id=0, n_buckets=2,
+                    max_concurrency=1)
+    # epoch 1 touches ONLY the new Feb partition and crashes at the
+    # root publish: Feb's sub-store exists with a commit the root
+    # never names
+    import wrangle_pypes_spark.sources.partitioned as p_mod
+
+    real_pub = p_mod._publish_root_from_heads
+
+    def _boom(*a, **kw):
+        raise RuntimeError("injected crash before root publish")
+
+    monkeypatch.setattr(p_mod, "_publish_root_from_heads", _boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        pmanifest_merge(_rows(spark, [(7, _d("2024-02-01"), "GHOST")]),
+                        store, "day", ["k"], epoch_id=1, n_buckets=2,
+                        max_concurrency=1)
+    monkeypatch.setattr(p_mod, "_publish_root_from_heads", real_pub)
+    # Feb exists on disk but the root never named it: invisible
+    assert manifest_current(os.path.join(store, "p=2024-02-01")) == (1, 1)
+    assert 7 not in _kv(spark, store)
+
+    # a later batch into Feb: default refuses, rollback deletes the
+    # orphan sub-store and commits fresh
+    with pytest.raises(RuntimeError, match="staged sub-commits"):
+        pmanifest_merge(_rows(spark, [(8, _d("2024-02-01"), "real")]),
+                        store, "day", ["k"], epoch_id=2, n_buckets=2,
+                        max_concurrency=1)
+    with pytest.warns(UserWarning):
+        pmanifest_merge(_rows(spark, [(8, _d("2024-02-01"), "real")]),
+                        store, "day", ["k"], epoch_id=2, n_buckets=2,
+                        max_concurrency=1, on_staged="rollback")
+    got = _kv(spark, store)
+    assert got[8] == (_d("2024-02-01"), "real") and 7 not in got
+    assert manifest_current(os.path.join(store, "p=2024-02-01")) == (1, 2)
+
+
+def test_older_epoch_replay_never_publishes_newer_staging(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r11 (partitioned.py:455): the epoch guard used to treat
+    cur_epoch >= epoch_id as committed-BY-THIS-BATCH and advance the
+    partition's root entry to its head — so replaying an OLDER batch
+    against a partition whose head is a NEWER crashed batch's staging
+    published that staging.  Now only cur_epoch == epoch_id counts."""
+    from wrangle_pypes_spark.sources.partitioned import _root_parts
+
+    store = str(tmp_path / "older")
+    pmanifest_merge(_rows(spark, [(1, _d("2024-01-01"), "a")]),
+                    store, "day", ["k"], epoch_id=0, n_buckets=2,
+                    max_concurrency=1)
+    # epoch 5 stages Jan (crash at root publish), never replayed
+    import wrangle_pypes_spark.sources.partitioned as p_mod
+
+    real_pub = p_mod._publish_root_from_heads
+    monkeypatch.setattr(
+        p_mod, "_publish_root_from_heads",
+        lambda *a, **kw: (_ for _ in ()).throw(
+            RuntimeError("injected crash before root publish")))
+    with pytest.raises(RuntimeError, match="injected"):
+        pmanifest_merge(_rows(spark, [(9, _d("2024-01-01"), "GHOST")]),
+                        store, "day", ["k"], epoch_id=5, n_buckets=2,
+                        max_concurrency=1)
+    monkeypatch.setattr(p_mod, "_publish_root_from_heads", real_pub)
+    assert _root_parts(store)["2024-01-01"] == 1  # staging invisible
+
+    # an OLDER epoch replays against Jan (no-checkpoint restart):
+    # guard-skips (nothing to apply) AND must not advance the root
+    pmanifest_merge(_rows(spark, [(1, _d("2024-01-01"), "OLD")]),
+                    store, "day", ["k"], epoch_id=3, n_buckets=2,
+                    max_concurrency=1)
+    assert _root_parts(store)["2024-01-01"] == 1
+    got = _kv(spark, store)
+    assert got[1] == (_d("2024-01-01"), "a") and 9 not in got

@@ -115,6 +115,36 @@ def _load_manifest(path: str, version: int, spark=None) -> dict:
     return json.loads(txt)
 
 
+def manifest_rollback(path: str, version: int, spark=None) -> None:
+    """Swing the pointer BACK to an earlier retained ``version`` (its
+    recorded epoch comes back with it — each version's manifest pins
+    the epoch it committed under).  The versions above it become
+    unreferenced orphans: readers refuse them (above the pointer) and
+    ``manifest_vacuum`` reclaims them once later commits pass their
+    numbers.  This is the partitioned store's staged-head HEAL (r11):
+    a crashed batch's sub-commit that will never be replayed is rolled
+    back to the root-committed version so the next merge can't build
+    on (and publish) the orphan's rows.  Copy-on-write makes it safe:
+    the target version's manifest references only files it owns.
+    Single-writer contract applies, as with any pointer write."""
+    cur = manifest_current(path, spark=spark)
+    if cur is None:
+        raise ValueError(f"no manifest store at {path!r}")
+    if version == cur[0]:
+        return
+    if version > cur[0]:
+        raise ValueError(
+            f"cannot roll {path!r} FORWARD to version {version} "
+            f"(head is {cur[0]}): versions above the pointer are "
+            "crash orphans, not commits")
+    doc = _load_manifest(path, version, spark=spark)  # raises if gone
+    fsutil.write_text_atomic(
+        _join(path, _PTR),
+        json.dumps({"version": int(version),
+                    "epoch": int(doc["epoch"])}),
+        spark=spark)
+
+
 def manifest_read(spark: SparkSession, path: str, *,
                   version: Optional[int] = None) -> Optional[DataFrame]:
     """The committed store content, None when nothing was ever

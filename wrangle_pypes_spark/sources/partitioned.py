@@ -376,6 +376,7 @@ def pmanifest_merge(updates: DataFrame, path: str, partition_col: str,
                     evolve_schema: bool = False,
                     guard_epochs: bool = True,
                     max_concurrency: int = 4,
+                    on_staged: str = "error",
                     compression: str = "zstd") -> dict:
     """MERGE ``updates`` into the partitioned store: split by
     ``partition_col``, then one ``manifest_merge`` per touched
@@ -405,14 +406,29 @@ def pmanifest_merge(updates: DataFrame, path: str, partition_col: str,
     retried after a partial failure double-sums the partitions that
     had committed first.  Give additive merges an epoch.
 
-    The root publish advances ONLY this call's partitions (committed
-    here, or guard-skipped as already holding this epoch), so a
-    DIFFERENT batch's crashed, never-replayed staging in other
-    partitions stays invisible.  One stated residual: a later merge
-    into the SAME partition builds on that partition's sub head —
-    staged rows included — so its commit carries the crashed batch's
-    rows for that partition into view.  Replay crashed batches (the
-    normal streaming recovery) rather than abandoning them.
+    The root publish advances ONLY this call's partitions — committed
+    here, or guard-skipped because THIS epoch's crashed first attempt
+    already committed them (``cur epoch == epoch_id``; a partition
+    whose sub epoch is NEWER than this batch is skipped WITHOUT
+    advancing its root entry, since that newer head may itself be an
+    unreplayed crashed batch's staging) — so a different batch's
+    crashed, never-replayed staging stays invisible.
+
+    ``on_staged`` closes the r10 residual: a merge into a partition
+    whose sub HEAD is staged (above what the committed root names —
+    an unreplayed crashed batch) would otherwise build on, and then
+    publish, the orphan's rows.  ``"error"`` (default) refuses
+    loudly — replay the crashed batch (the normal streaming
+    recovery) or choose a heal; ``"rollback"`` discards the staging
+    (``manifest_rollback`` to the root-named version — a never-
+    root-committed partition's sub-store is deleted whole) and
+    merges on the committed state; ``"adopt"`` keeps the pre-r11
+    behavior (build on the staged head, publishing its rows) with a
+    warning.  The check never fires on THIS batch's own staging
+    (epoch match — that replay is the documented convergence), and
+    an ad-hoc merge (``epoch_id=-1``) onto ad-hoc staging warns and
+    adopts: a retried partial ad-hoc merge is indistinguishable from
+    an abandoned one, and retry-converges for the idempotent modes.
 
     ``updates`` is evaluated once for partition discovery plus twice
     per touched partition (manifest_merge's documented double-eval) —
@@ -443,22 +459,85 @@ def pmanifest_merge(updates: DataFrame, path: str, partition_col: str,
             "contract (a null row could never be read back by any "
             "partition predicate)")
 
+    if on_staged not in ("error", "rollback", "adopt"):
+        raise ValueError(f"on_staged must be 'error', 'rollback' or "
+                         f"'adopt', got {on_staged!r}")
+    rparts = _root_parts(path, spark=updates.sparkSession)
+
     def _one(pval):
+        import warnings
+
         token = _encode_pval(pval)
         sub_path = _sub(path, token)
-        if guard_epochs and epoch_id >= 0:
-            cur = _m.manifest_current(sub_path, spark=updates.sparkSession)
-            if cur is not None and cur[1] >= epoch_id:
-                # replay: this partition already holds the batch — no
+        cur = _m.manifest_current(sub_path, spark=updates.sparkSession)
+        if guard_epochs and epoch_id >= 0 and cur is not None:
+            if cur[1] == epoch_id:
+                # replay: this partition already holds THIS batch — no
                 # new commit, but its head legitimately belongs in the
                 # root (the crashed first attempt committed it)
-                return token, None
+                return token, None, True
+            if cur[1] > epoch_id:
+                # an older batch replayed against a partition a NEWER
+                # batch already advanced: nothing to apply, and the
+                # head must NOT enter the root through this call — it
+                # may be that newer batch's unreplayed crashed staging
+                # (ADVICE r10)
+                return token, None, False
+        base_v = rparts.get(token) if rparts is not None else None
+        staged = (cur is not None and rparts is not None
+                  and cur[0] != base_v)
+        if staged and cur[1] == epoch_id:
+            # this merge's OWN prior attempt (guard_epochs=False
+            # idempotent replay, or an ad-hoc retry): building on
+            # one's own staging is the documented convergence
+            if epoch_id < 0:
+                warnings.warn(
+                    f"pmanifest_merge: partition {token!r} has ad-hoc "
+                    f"staged sub-commits (head v{cur[0]} vs root "
+                    f"{base_v}) — assuming this call retries the "
+                    "crashed merge and building on them (ad-hoc "
+                    "stagings carry no epoch to tell retries from "
+                    "abandonment)", stacklevel=3)
+        elif staged:
+            if on_staged == "error":
+                raise RuntimeError(
+                    f"pmanifest_merge: partition {token!r} has staged "
+                    f"sub-commits above the committed root (head "
+                    f"v{cur[0]} epoch {cur[1]} vs root "
+                    f"{base_v}) — a crashed batch that was never "
+                    "replayed. Merging would build on (and publish) "
+                    "its orphaned rows. Replay the crashed batch, or "
+                    "pass on_staged='rollback' to discard the staging "
+                    "/ 'adopt' to publish it.")
+            if on_staged == "rollback":
+                if base_v is None:
+                    # the whole sub-store is the crashed batch's
+                    # staging (a partition the root never named):
+                    # discard it and merge fresh
+                    fsutil.delete(sub_path,
+                                  spark=updates.sparkSession)
+                else:
+                    _m.manifest_rollback(sub_path, base_v,
+                                         spark=updates.sparkSession)
+                warnings.warn(
+                    f"pmanifest_merge: rolled partition {token!r} "
+                    f"back from staged head v{cur[0]} (epoch "
+                    f"{cur[1]}) to root-committed {base_v} — the "
+                    "crashed batch's rows are discarded",
+                    stacklevel=3)
+            else:  # adopt
+                warnings.warn(
+                    f"pmanifest_merge: partition {token!r} builds on "
+                    f"staged head v{cur[0]} (epoch {cur[1]}) above "
+                    f"root {base_v} — the crashed batch's rows "
+                    "become visible with this commit (on_staged="
+                    "'adopt')", stacklevel=3)
         part = updates.filter(F.col(partition_col) == F.lit(pval))
         return token, _m.manifest_merge(
             part, sub_path, key_cols, epoch_id=epoch_id, mode=mode,
             n_buckets=n_buckets, value_cols=value_cols,
             tombstone_col=tombstone_col, merge_fn=merge_fn,
-            evolve_schema=evolve_schema, compression=compression)
+            evolve_schema=evolve_schema, compression=compression), True
 
     ordered = sorted(pvals, key=_encode_pval)
     # sub-stores are DISJOINT directories, so their commits are
@@ -483,14 +562,15 @@ def pmanifest_merge(updates: DataFrame, path: str, partition_col: str,
             spark=updates.sparkSession)
     # the batch's ONE commit point: publish the root advancing exactly
     # THIS batch's partitions — committed here, or guard-skipped
-    # because a crashed first attempt already committed them (so a
-    # replay still heals the missing root).  Partitions staged by a
-    # DIFFERENT unreplayed crashed batch stay invisible (ADVICE r10:
-    # publishing raw heads quietly exposed them).
-    _publish_root_from_heads(path, epoch_id,
-                             spark=updates.sparkSession,
-                             committed_tokens=[t for t, _ in results])
-    return {t: v for t, v in results if v is not None}
+    # because THIS epoch's crashed first attempt already committed
+    # them (so a replay still heals the missing root).  Partitions
+    # staged by a DIFFERENT unreplayed crashed batch stay invisible
+    # (ADVICE r10), including when an OLDER epoch replays against a
+    # newer sub head (the include flag excludes those).
+    _publish_root_from_heads(
+        path, epoch_id, spark=updates.sparkSession,
+        committed_tokens=[t for t, _, inc in results if inc])
+    return {t: v for t, v, _ in results if v is not None}
 
 
 def pmanifest_read(spark: SparkSession, path: str, *,
