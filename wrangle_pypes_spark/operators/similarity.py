@@ -168,7 +168,11 @@ def hard_negatives_lsh(df: DataFrame, *, id_col: str, vec_col: str,
     cosine re-ranking.  Approximate (recall floor pinned in tests);
     multi-probe (``probes``) recovers sign-LSH's boundary losses.
     ``max_bucket`` caps hot corpus codes to a deterministic sample
-    (:func:`_cap_hot_code_buckets`), loudly."""
+    (:func:`_cap_hot_code_buckets`), loudly — queries probing a
+    capped code re-rank the sample, so their recall can dip below
+    the pinned floor (the warning is the signal); the hot-code set
+    is memoized per plan, so serving pays the count once per
+    process."""
     queries = df if queries is None else queries
     if dim is None:
         sample = df.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -294,6 +298,17 @@ def lsh_code_expr(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
     return code
 
 
+_HOT_CODE_CACHE: dict = {}
+_HOT_CODE_CACHE_MAX = 32
+
+
+def clear_hot_code_cache() -> None:
+    """Drop the per-process hot-code memo (see
+    :func:`_cap_hot_code_buckets`) — call after mutating, in place, a
+    corpus a serving loop keeps re-planning identically."""
+    _HOT_CODE_CACHE.clear()
+
+
 def _cap_hot_code_buckets(coded: DataFrame, max_bucket: Optional[int],
                           context: str, id_col: str) -> DataFrame:
     """Skew guard for the ANN code equi-join (VERDICT r9 #6 — the
@@ -307,34 +322,59 @@ def _cap_hot_code_buckets(coded: DataFrame, max_bucket: Optional[int],
     LOUDLY: a code that hot is non-discriminative by definition
     (raise ``n_planes`` to split it), and the sample keeps the
     bucket usable instead of dropping it.  ``max_bucket=None``
-    disables.  Cost when it fires: one count aggregate + one
-    window over the hot rows only."""
+    disables.
+
+    The hot-code set is MEMOIZED per (semantic plan, max_bucket) for
+    the process (ADVICE r10: the guard's eager count aggregate added
+    one whole corpus job to every serving call even when nothing was
+    hot) — a serving loop probing one corpus pays the count once; the
+    common no-hot-bucket case then adds zero jobs and returns the
+    input plan untouched.  The memo assumes the data under an
+    IDENTICAL plan is immutable within the process (the serving
+    topology's contract — an index store rebuild gets a new path and
+    so a new plan); :func:`clear_hot_code_cache` resets it after an
+    in-place mutation, and ``max_bucket=None`` bypasses everything."""
     if max_bucket is None:
         return coded
     if max_bucket < 1:
         raise ValueError("max_bucket must be >= 1")
     import warnings
 
-    hot = (coded.groupBy("_code")
-           .agg(F.count(F.lit(1)).alias("_bk"))
-           .filter(F.col("_bk") > max_bucket))
-    stat = hot.agg(F.count(F.lit(1)).alias("nb"),
-                   F.sum("_bk").alias("nr")).collect()[0]
-    if not stat["nb"]:
+    try:
+        key = (coded.semanticHash(), int(max_bucket))
+    except Exception:  # pragma: no cover - semanticHash is stable API
+        key = None
+    hit = key is not None and key in _HOT_CODE_CACHE
+    if hit:
+        hot_codes, nr = _HOT_CODE_CACHE[key]
+    else:
+        rows = (coded.groupBy("_code")
+                .agg(F.count(F.lit(1)).alias("_bk"))
+                .filter(F.col("_bk") > max_bucket).collect())
+        hot_codes = sorted(r["_code"] for r in rows)
+        nr = sum(r["_bk"] for r in rows)
+        if key is not None:
+            if len(_HOT_CODE_CACHE) >= _HOT_CODE_CACHE_MAX:
+                _HOT_CODE_CACHE.pop(next(iter(_HOT_CODE_CACHE)))
+            _HOT_CODE_CACHE[key] = (hot_codes, nr)
+    if not hot_codes:
         return coded
     warnings.warn(
-        f"{context}: capping {stat['nb']} hot LSH code bucket(s) "
-        f"holding {stat['nr']} rows to a deterministic {max_bucket}-"
+        f"{context}: capping {len(hot_codes)} hot LSH code bucket(s) "
+        f"holding {nr} rows to a deterministic {max_bucket}-"
         "row sample each (identical/degenerate vectors sharing one "
         "sign code would make every probe's candidate set corpus-"
         "sized). Raise n_planes to split the bucket, or raise "
-        "max_bucket.", stacklevel=3)
-    hotk = F.broadcast(hot.select("_code"))
-    cold = coded.join(hotk, "_code", "left_anti")
+        "max_bucket. Results for queries probing a capped code can "
+        "dip below the pinned recall floor (the sample is the "
+        "documented trade).", stacklevel=3)
+    # driver-side literal codes: no broadcast frame, no extra job
+    is_hot = F.col("_code").isin(list(hot_codes))
+    cold = coded.filter(~is_hot)
     w = Window.partitionBy("_code").orderBy(
         F.xxhash64(F.lit(0x5EED), F.col(id_col)).asc(),
         F.col(id_col).asc())
-    capped = (coded.join(hotk, "_code", "left_semi")
+    capped = (coded.filter(is_hot)
               .withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") <= max_bucket).drop("_rn"))
     return cold.unionByName(capped)
@@ -488,7 +528,13 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, *,
     (:func:`_cap_hot_code_buckets`): corpus codes holding more rows
     are capped to a deterministic sample, loudly — bounding every
     probe's candidate fan-out at max_bucket per probed code even on
-    a degenerate (identical-vector) corpus.
+    a degenerate (identical-vector) corpus.  Caveat (ADVICE r10): a
+    query probing a CAPPED code re-ranks the sample, not the bucket,
+    so its recall can dip below the floor the tests pin for healthy
+    corpora — the runtime warning is the signal; ``None`` restores
+    exhaustive buckets at quadratic risk.  The hot-code set is
+    memoized per plan for the process, so steady-state serving pays
+    the guard's count once, not per query batch.
     """
     if dim is None:
         sample = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
