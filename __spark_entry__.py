@@ -5577,6 +5577,49 @@ def q_vector_index_topk_emb(spark, sf_dir):
                       F.round(F.col("cosine"), 6).alias("cosine"))
 
 
+def q_vector_index_filtered_emb(spark, sf_dir):
+    """NEW r11 (VERDICT r10 #4): FILTERED ANN from the persisted IVF
+    index — the index stores ``meta_cols`` (here: label) on every
+    row, and ``vector_index_topk(where=...)`` applies the SQL
+    predicate to the probed candidates BEFORE the exact re-rank, so
+    k stays exact over the filtered corpus (post-filtering a top-k
+    would under-fill it) and a filtered query still reads only the
+    probed cells' buckets.  Full probe makes the result bit-identical
+    to brute-force ``cosine_topk`` over ``corpus.filter(where)`` —
+    hence the full value oracle (SQL_KNN restricted to the same
+    label predicate)."""
+    from wrangle_pypes_spark.operators.vectorindex import (
+        build_vector_index, vector_index_topk)
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def _build(p):
+        build_vector_index(emb.select("vec_id", "embedding", "label"),
+                           p, vec_col="embedding", id_col="vec_id",
+                           n_centroids=16, n_buckets=16,
+                           meta_cols=["label"])
+
+    store = _session_store("vixf", sf_dir, _build)
+    out = vector_index_topk(spark, store,
+                            emb.filter(F.col("vec_id") < 10),
+                            k=5, n_probe=16, where="label >= 5")
+    return out.select("query_id", "neighbor_id",
+                      F.round(F.col("cosine"), 6).alias("cosine"))
+
+
+SQL_KNN_FILTERED = """
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]),
+             6) AS cosine
+FROM embeddings q, embeddings c
+WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id AND c.label >= 5
+QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+             DESC, c.vec_id) <= 5
+"""
+
+
 def q_pmanifest_root_travel_orders(spark, sf_dir):
     """NEW r9: root-pointer time travel on the partitioned store
     (VERDICT r8 #3 follow-through): every pmanifest batch now
@@ -8353,68 +8396,20 @@ def q_compression_ratio_docs(spark, sf_dir):
 # rotate below: entry() + bench.py exercise them every round anyway.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- the 50-slot driver verification window ----
-    # Round-10 rotation (VERDICT r9 #1): drain the stale-check debt —
-    # lead with the NEW r10 queries and the queries whose implementing
-    # modules CHANGED this round (textindex planner rewrite, dedup
-    # guard cap semantics, partitioned root publish), then the r5
-    # block oldest-first, then the oldest r6 entries.  Every r9-window
-    # query went green in CORRECTNESS_r09.json; the displaced ones sit
-    # directly below the marker.  Keep the marker at EXACTLY 50
-    # entries -- tests/test_bare_session.py pins it.
-    "vector_index_topk_emb": q_vector_index_topk_emb,  # NEW r10: persisted IVF serving
-    "text_index_topk_served_docs": q_text_index_topk_served_docs,  # NEW r10: probe-only top-k
-    "text_index_phrase_docs": q_text_index_phrase_docs,  # NEW r10: positional phrase search
-    "text_index_topk_docs": q_text_index_topk_docs,  # r9 green; planner rewritten r10
-    "text_index_search_docs": q_text_index_search_docs,  # r8; textindex.py changed r10
-    "stream_text_index_docs": q_stream_text_index_docs,  # r8; textindex.py changed r10
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,  # r7; guard capped (not dropped) r10
-    "stream_minhash_index": q_stream_minhash_index,  # r8; guard semantics changed r10
-    "pmanifest_prune_orders": q_pmanifest_prune_orders,  # r8; root publish scoped r10
-    "pmanifest_cdf_orders": q_pmanifest_cdf_orders,  # r8; root publish scoped r10
-    "stream_rollup_pmanifest_store": q_stream_rollup_pmanifest_store,  # r8; partitioned.py changed r10
-    # -- the r5-vintage stale block (VERDICT r9 #1), oldest first --
-    "stratified_sample_langs": q_stratified_sample_langs,  # last driver check: r5
-    "curriculum_order_docs": q_curriculum_order_docs,  # last driver check: r5
-    "token_fertility_lang": q_token_fertility_lang,  # last driver check: r5
-    "group_split_sources": q_group_split_sources,  # last driver check: r5
-    "sequential_ids_orders": q_sequential_ids_orders,  # last driver check: r5
-    "flatten_nested_customer": q_flatten_nested_customer,  # last driver check: r5
-    "binary_ingest_docs": q_binary_ingest_docs,  # last driver check: r5
-    "split_leakage_audit": q_split_leakage_audit,  # last driver check: r5
-    "vocab_diversity_sources": q_vocab_diversity_sources,  # last driver check: r5
-    "script_mix_docs": q_script_mix_docs,  # last driver check: r5
-    "anchor_text_docs": q_anchor_text_docs,  # last driver check: r5
-    "classifier_score_docs": q_classifier_score_docs,  # last driver check: r5
-    "training_shards_manifest": q_training_shards_manifest,  # last driver check: r5
-    "web_ingest_docs": q_web_ingest_docs,  # last driver check: r5
-    "normalize_text_docs": q_normalize_text_docs,  # last driver check: r5
-    "compact_roundtrip_orders": q_compact_roundtrip_orders,  # last driver check: r5
-    "scd2_rebuild_heal": q_scd2_rebuild_heal,  # last driver check: r5
-    "token_pmi_pairs": q_token_pmi_pairs,  # last driver check: r5
-    "inverted_index_stats": q_inverted_index_stats,  # last driver check: r5
-    "funnel_events": q_funnel_events,  # last driver check: r5
-    "paragraph_dedup_docs": q_paragraph_dedup_docs,  # last driver check: r5
-    "dsir_weights_docs": q_dsir_weights_docs,  # last driver check: r5
-    "cap_per_source": q_cap_per_source,  # last driver check: r5
-    "quality_quantile_filter": q_quality_quantile_filter,  # last driver check: r5
-    "boilerplate_lines_docs": q_boilerplate_lines_docs,  # last driver check: r5
-    "resample_user_6h": q_resample_user_6h,  # last driver check: r5
-    "rolling_zscore_events": q_rolling_zscore_events,  # last driver check: r5
-    "weighted_sample_docs": q_weighted_sample_docs,  # last driver check: r5
-    "topp_quality_per_source": q_topp_quality_per_source,  # last driver check: r5
-    "snapshot_diff_docs": q_snapshot_diff_docs,  # last driver check: r5
-    "rolling_median_orders": q_rolling_median_orders,  # last driver check: r5
-    "standardize_orders": q_standardize_orders,  # last driver check: r5
-    # -- oldest r6-vintage fills --
-    "random_projection_emb": q_random_projection_emb,  # last driver check: r6
-    "quantize_embeddings_int8": q_quantize_embeddings_int8,  # last driver check: r6
-    "incremental_ingest_orders": q_incremental_ingest_orders,  # last driver check: r6
-    "ingest_waves_orders": q_ingest_waves_orders,  # last driver check: r6
-    "compression_ratio_docs": q_compression_ratio_docs,  # last driver check: r6
-    "span_dedup_docs": q_span_dedup_docs,  # r6; dedup.py changed r10
-    "bm25_search_docs": q_bm25_search_docs,  # last driver check: r6
-    # ---- below the 50-slot driver window from here down ----
-    "stream_zscore_events": q_stream_zscore_events,  # r6 (displaced by the r10 phrase query)
+    # Round-11 rotation (VERDICT r10 #1): drain the stale-check debt —
+    # the one r5-vintage green (key_skew_orders), ALL 33 r6-vintage,
+    # and the r7 block starting with the modules changed this round
+    # (dedup prefix guard, similarity hot-code memo, textindex layout
+    # sidecar, partitioned staged-head guard), plus the NEW r11
+    # filtered-ANN query.  Every r10-window query went green in
+    # CORRECTNESS_r10.json; displaced entries sit directly below the
+    # marker.  Keep the marker at EXACTLY 50 entries --
+    # tests/test_bare_session.py pins it.
+    "vector_index_filtered_emb": q_vector_index_filtered_emb,  # NEW r11: filtered ANN from the IVF index
+    "text_index_phrase_docs": q_text_index_phrase_docs,  # r10 green; textindex.py changed r11 (layout sidecar)
+    "stream_rollup_pmanifest_store": q_stream_rollup_pmanifest_store,  # r10 green; partitioned.py changed r11 (staged guard)
+    "key_skew_orders": q_key_skew_orders,  # last driver check: r5 (the stalest query)
+    "stream_zscore_events": q_stream_zscore_events,  # last driver check: r6
     "dedup_pair_audit": q_dedup_pair_audit,  # last driver check: r6
     "dsir_select_docs": q_dsir_select_docs,  # last driver check: r6
     "ccnet_buckets_docs": q_ccnet_buckets_docs,  # last driver check: r6
@@ -8423,174 +8418,220 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract_docs": q_html_extract_docs,  # last driver check: r6
     "source_kl_drift": q_source_kl_drift,  # last driver check: r6
     "snapshot_js_drift": q_snapshot_js_drift,  # last driver check: r6
-    # (r6-vintage entries trimmed from the r10 window to keep it at 50;
-    #  lead candidates for r11 along with the rest of the r6 block.)
-    # (r9-window greens displaced after their r9 driver pass.)
-    "q3_topk_revenue": q_q3_topk_revenue,  # r9
-    "q4_late_order_priority": q_q4_late_order_priority,  # r9
-    "q5_revenue_by_nation": q_q5_revenue_by_nation,  # r9
-    "q7_volume_shipping": q_q7_volume_shipping,  # r9
-    "q8_market_share": q_q8_market_share,  # r9
-    "q9_profit_by_nation": q_q9_profit_by_nation,  # r9
-    "q11_important_parts": q_q11_important_parts,  # r9
-    "q13_order_distribution": q_q13_order_distribution,  # r9
-    "q15_top_supplier": q_q15_top_supplier,  # r9
-    "q16_supplier_part_counts": q_q16_supplier_part_counts,  # r9
-    "q17_small_quantity_revenue": q_q17_small_quantity_revenue,  # r9
-    "q20_bulk_suppliers": q_q20_bulk_suppliers,  # r9
-    "q21_suppliers_kept_waiting": q_q21_suppliers_kept_waiting,  # r9
-    "q22_sales_opportunity": q_q22_sales_opportunity,  # r9
-    "stream_static_enrich": q_stream_static_enrich,  # r9
-    "mix_corpus_sources": q_mix_corpus_sources,  # r9
-    "temperature_mix_sources": q_temperature_mix_sources,  # r9
-    "scd2_customer_history": q_scd2_customer_history,  # r9
-    "profile_customer": q_profile_customer,  # r9
-    "rollup_events_hourly": q_rollup_events_hourly,  # r9
-    "window_rank_family": q_window_rank_family,  # r9
-    "window_trailing_30d": q_window_trailing_30d,  # r9
-    "date_functions_orders": q_date_functions_orders,  # r9
-    "string_functions_customer": q_string_functions_customer,  # r9
-    "c4_clean_docs": q_c4_clean_docs,  # r9
-    "unigram_logprob": q_unigram_logprob,  # r9
-    "cohort_retention_weekly": q_cohort_retention_weekly,  # r9
-    "embedding_label_centroids": q_embedding_label_centroids,  # r9
-    "dedup_keep_longest": q_dedup_keep_longest,  # r9
-    "dedup_exact": q_dedup_exact,  # r9
-    "chunk_documents_overlap": q_chunk_documents_overlap,  # r9
-    "train_val_test_split": q_train_val_test_split,  # r9
-    "shuffle_documents": q_shuffle_documents,  # r9
-    "wrangle_get_or_create": q_wrangle_get_or_create,  # r9
-    "text_stats": q_text_stats,  # r9
-    "multimodal_features": q_multimodal_features,  # r9
-    "wrangle_array_ops": q_wrangle_array_ops,  # r9
-    "pivot_status_priority": q_pivot_status_priority,  # r9
-    "profile_customer_approx": q_profile_customer_approx,  # r9
-    "merge_intervals_user": q_merge_intervals_user,  # r9
-    "bucketize_order_totals": q_bucketize_order_totals,  # r9
-    "winsorize_order_totals": q_winsorize_order_totals,  # r9
-    "cdc_apply_orders": q_cdc_apply_orders,  # r9
-    "cdc_vacuum_store": q_cdc_vacuum_store,  # r9
-    "hard_negatives_emb": q_hard_negatives_emb,  # r9
-    "mine_triplets_emb": q_mine_triplets_emb,  # r9
-    "pmanifest_root_travel_orders": q_pmanifest_root_travel_orders,  # r9; partitioned.py changed r10
-    "wrangle_nested_lineitems": q_wrangle_nested_lineitems,  # r9
-    "text_index_blocked_docs": q_text_index_blocked_docs,  # r9
-    # (r8-vintage greens first -- checked last round; then r6/r7.)
-    "bloom_dedup_docs": q_bloom_dedup_docs,  # r8
-    "stream_bloom_dedup_docs": q_stream_bloom_dedup_docs,  # r8
-    "manifest_time_travel_orders": q_manifest_time_travel_orders,  # r8
-    "manifest_lookup_orders": q_manifest_lookup_orders,  # r8
-    "semantic_decontam_emb": q_semantic_decontam_emb,  # r8
-    "semantic_decontam_lsh": q_semantic_decontam_lsh,  # r8
-    "stream_cdc_manifest_evolve": q_stream_cdc_manifest_evolve,  # r8
-    "stream_cdc_manifest_store": q_stream_cdc_manifest_store,  # r8
-    "stream_rollup_manifest_store": q_stream_rollup_manifest_store,  # r8
-    "cms_heavy_hitters_custkey": q_cms_heavy_hitters_custkey,  # r8
-    "stream_cms_user_hitters": q_stream_cms_user_hitters,  # r8
-    "zonemap_prune_lineitem": q_zonemap_prune_lineitem,  # r8
-    "zorder_prune_orders": q_zorder_prune_orders,  # r8
-    "manifest_cdf_orders": q_manifest_cdf_orders,  # r8
-    "merge_into_orders": q_merge_into_orders,  # r8
-    "stream_zonemap_events": q_stream_zonemap_events,  # r8
-    "scd2_temporal_join_orders": q_scd2_temporal_join_orders,  # r8
-    "bks_quantile_orders": q_bks_quantile_orders,  # r8
-    "top_ngrams_corpus": q_top_ngrams_corpus,  # r8
-    "ngram_containment_docs": q_ngram_containment_docs,  # r8
-    "source_overlap_docs": q_source_overlap_docs,  # r8
-    "decontaminate_docs": q_decontaminate_docs,  # r8
-    "repetition_stats": q_repetition_stats,  # r8
-    "bigram_logprob": q_bigram_logprob,  # r8
-    "stream_scd2_user_status": q_stream_scd2_user_status,  # r8
-    "stream_dedup_keep_best": q_stream_dedup_keep_best,  # r8
-    "stream_cdc_store": q_stream_cdc_store,  # r8
-    "fuzzy_dedup_canonical": q_fuzzy_dedup_canonical,  # r8
-    "async_enrich_tags": q_async_enrich_tags,  # r8
-    "async_get_or_create_dim": q_async_get_or_create_dim,  # r8
-    "cube_orders": q_cube_orders,  # r8
-    "semi_join_customers": q_semi_join_customers,  # r8
-    "percentiles_by_segment": q_percentiles_by_segment,  # r8
-    "string_agg_priorities": q_string_agg_priorities,  # r8
-    "orders_above_cust_avg": q_orders_above_cust_avg,  # r8
-    "salted_join_revenue": q_salted_join_revenue,  # r8
-    "resize_images": q_resize_images,  # r8
-    "sample_frames": q_sample_frames,  # r8
-    "grouped_ewma": q_grouped_ewma,  # r8
-    "approx_distinct_users": q_approx_distinct_users,  # r8
-    "wrangle_flat_orders": q_wrangle_flat_orders,  # r8
-    "wrangle_nested_customer": q_wrangle_nested_customer,  # r8
-    "q1_pricing_summary": q_q1_pricing_summary,  # r8
-    "q2_min_cost_supplier": q_q2_min_cost_supplier,  # r8
-    "embedding_near_dup": q_embedding_near_dup,  # r7
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,  # r7
-    "knn_cosine_top5": q_knn_cosine_top5,  # r7
-    "lsh_ann_top5": q_lsh_ann_top5,  # r7
-    "ivf_ann_top5": q_ivf_ann_top5,  # r7
-    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,  # r7
-    "url_parse_docs": q_url_parse_docs,  # r7
-    "url_blocklist_docs": q_url_blocklist_docs,  # r7
-    "domain_stats_docs": q_domain_stats_docs,  # r7
-    "link_graph_docs": q_link_graph_docs,  # r7
-    "stream_rollup_acid_store": q_stream_rollup_acid_store,  # r7
-    "stream_rollup_events": q_stream_rollup_events,  # r7
-    "stream_drift_hourly": q_stream_drift_hourly,  # r7
-    "window_running_total": q_window_running_total,  # r7
-    "window_lag_gap": q_window_lag_gap,  # r7
-    "rollup_status_priority": q_rollup_status_priority,  # r7
-    "set_ops_custkeys": q_set_ops_custkeys,  # r7
-    "distinct_counts_by_segment": q_distinct_counts_by_segment,  # r7
-    "scalar_functions_part": q_scalar_functions_part,  # r7
-    "orders_by_month": q_orders_by_month,  # r7
-    "unpivot_part_measures": q_unpivot_part_measures,  # r7
-    "doc_fingerprint": q_doc_fingerprint,  # r7
-    "lang_id": q_lang_id,  # r7
-    "embedding_norms": q_embedding_norms,  # r7
-    "simhash_pairs": q_simhash_pairs,  # r7
-    "q12_late_lines_by_flag": q_q12_late_lines_by_flag,  # r7
-    "json_extract_events": q_json_extract_events,  # r7
-    "sessionize_events": q_sessionize_events,  # r7
-    "asof_latest_order_per_event": q_asof_latest_order_per_event,  # r7
-    "range_join_event_pairs": q_range_join_event_pairs,  # r7
-    "wrangle_map_ops": q_wrangle_map_ops,  # r7
-    "wrangle_create_multiple": q_wrangle_create_multiple,  # r7
-    "wrangle_attr_id": q_wrangle_attr_id,  # r7
-    "wrangle_get_or_create_arrays": q_wrangle_get_or_create_arrays,  # r7
-    "full_outer_daily_activity": q_full_outer_daily_activity,  # r7
-    "grouping_sets_orders": q_grouping_sets_orders,  # r7
-    "wrangle_conditional_gather": q_wrangle_conditional_gather,  # r7
-    "wrangle_flatten": q_wrangle_flatten,  # r7
-    "wrangle_fold_ops": q_wrangle_fold_ops,  # r7
-    "sql_api_top_nations": q_sql_api_top_nations,  # r7
-    "data_quality_violations": q_data_quality_violations,  # r7
-    "wrangle_lenient_audit": q_wrangle_lenient_audit,  # r7
-    "udtf_chunk_text": q_udtf_chunk_text,  # r7
-    "corpus_clean_pipeline": q_corpus_clean_pipeline,  # r7
-    "tfidf_top_terms": q_tfidf_top_terms,  # r7
-    "wrangle_foreach_custom": q_wrangle_foreach_custom,  # r7
-    "fuzzy_part_names": q_fuzzy_part_names,  # r6
-    "rollup_hist_percentiles": q_rollup_hist_percentiles,  # r6
-    "stream_embedding_index": q_stream_embedding_index,  # r6
-    "pagerank_trade_graph": q_pagerank_trade_graph,  # r6
-    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # r6
-    "bpe_merges_docs": q_bpe_merges_docs,  # r6
-    "pii_scrub": q_pii_scrub,  # r6
-    "gopher_quality": q_gopher_quality,  # r6
-    "stream_tumbling_events": q_stream_tumbling_events,  # r6
-    "stream_sliding_events": q_stream_sliding_events,  # r6
-    "stream_session_events": q_stream_session_events,  # r6
-    "stream_stateful_counts": q_stream_stateful_counts,  # r6
-    "stream_stream_join": q_stream_stream_join,  # r6
-    "stream_dedup_events": q_stream_dedup_events,  # r6
-    "pack_sequences": q_pack_sequences,  # r6
-    "zorder_col": q_zorder_col,  # r6
-    "histogram_acctbal": q_histogram_acctbal,  # r6
-    "q10_returned_revenue": q_q10_returned_revenue,  # r6
-    "q6_forecast_revenue": q_q6_forecast_revenue,  # r6
-    "q14_promo_revenue": q_q14_promo_revenue,  # r6
-    "q18_large_volume_orders": q_q18_large_volume_orders,  # r6
-    "q19_bracketed_revenue": q_q19_bracketed_revenue,  # r6
-    "customers_without_orders": q_customers_without_orders,  # r6
-    "topk_orders_per_customer": q_topk_orders_per_customer,  # r6
-    "key_skew_orders": q_key_skew_orders,  # r5
+    "fuzzy_part_names": q_fuzzy_part_names,  # last driver check: r6
+    "rollup_hist_percentiles": q_rollup_hist_percentiles,  # last driver check: r6
+    "stream_embedding_index": q_stream_embedding_index,  # last driver check: r6
+    "pagerank_trade_graph": q_pagerank_trade_graph,  # last driver check: r6
+    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # last driver check: r6
+    "bpe_merges_docs": q_bpe_merges_docs,  # last driver check: r6
+    "pii_scrub": q_pii_scrub,  # last driver check: r6
+    "gopher_quality": q_gopher_quality,  # last driver check: r6
+    "stream_tumbling_events": q_stream_tumbling_events,  # last driver check: r6
+    "stream_sliding_events": q_stream_sliding_events,  # last driver check: r6
+    "stream_session_events": q_stream_session_events,  # last driver check: r6
+    "stream_stateful_counts": q_stream_stateful_counts,  # last driver check: r6
+    "stream_stream_join": q_stream_stream_join,  # last driver check: r6
+    "stream_dedup_events": q_stream_dedup_events,  # last driver check: r6
+    "pack_sequences": q_pack_sequences,  # last driver check: r6
+    "zorder_col": q_zorder_col,  # last driver check: r6
+    "histogram_acctbal": q_histogram_acctbal,  # last driver check: r6
+    "q10_returned_revenue": q_q10_returned_revenue,  # last driver check: r6
+    "q6_forecast_revenue": q_q6_forecast_revenue,  # last driver check: r6
+    "q14_promo_revenue": q_q14_promo_revenue,  # last driver check: r6
+    "q18_large_volume_orders": q_q18_large_volume_orders,  # last driver check: r6
+    "q19_bracketed_revenue": q_q19_bracketed_revenue,  # last driver check: r6
+    "customers_without_orders": q_customers_without_orders,  # last driver check: r6
+    "topk_orders_per_customer": q_topk_orders_per_customer,  # last driver check: r6
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,  # r7; dedup.py prefix guard added r11
+    "embedding_near_dup": q_embedding_near_dup,  # r7; dedup.py changed r11
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,  # r7; guard path changed r11
+    "simhash_pairs": q_simhash_pairs,  # r7; dedup.py changed r11
+    "corpus_clean_pipeline": q_corpus_clean_pipeline,  # r7; dedup.py changed r11
+    "knn_cosine_top5": q_knn_cosine_top5,  # r7; similarity.py changed r11
+    "lsh_ann_top5": q_lsh_ann_top5,  # r7; hot-code memo added r11
+    "ivf_ann_top5": q_ivf_ann_top5,  # r7; similarity.py changed r11
+    "stream_rollup_acid_store": q_stream_rollup_acid_store,  # last driver check: r7
+    "stream_rollup_events": q_stream_rollup_events,  # last driver check: r7
+    "stream_drift_hourly": q_stream_drift_hourly,  # last driver check: r7
+    "url_parse_docs": q_url_parse_docs,  # last driver check: r7
+    "window_running_total": q_window_running_total,  # last driver check: r7
+    # ---- below the 50-slot driver window from here down ----
+    # (r10-window greens displaced after their r10 driver pass;
+    #  prior relative order preserved below.)
+    "vector_index_topk_emb": q_vector_index_topk_emb,
+    "text_index_topk_served_docs": q_text_index_topk_served_docs,
+    "text_index_topk_docs": q_text_index_topk_docs,
+    "text_index_search_docs": q_text_index_search_docs,
+    "stream_text_index_docs": q_stream_text_index_docs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "stream_minhash_index": q_stream_minhash_index,
+    "pmanifest_prune_orders": q_pmanifest_prune_orders,
+    "pmanifest_cdf_orders": q_pmanifest_cdf_orders,
+    "stratified_sample_langs": q_stratified_sample_langs,
+    "curriculum_order_docs": q_curriculum_order_docs,
+    "token_fertility_lang": q_token_fertility_lang,
+    "group_split_sources": q_group_split_sources,
+    "sequential_ids_orders": q_sequential_ids_orders,
+    "flatten_nested_customer": q_flatten_nested_customer,
+    "binary_ingest_docs": q_binary_ingest_docs,
+    "split_leakage_audit": q_split_leakage_audit,
+    "vocab_diversity_sources": q_vocab_diversity_sources,
+    "script_mix_docs": q_script_mix_docs,
+    "anchor_text_docs": q_anchor_text_docs,
+    "classifier_score_docs": q_classifier_score_docs,
+    "training_shards_manifest": q_training_shards_manifest,
+    "web_ingest_docs": q_web_ingest_docs,
+    "normalize_text_docs": q_normalize_text_docs,
+    "compact_roundtrip_orders": q_compact_roundtrip_orders,
+    "scd2_rebuild_heal": q_scd2_rebuild_heal,
+    "token_pmi_pairs": q_token_pmi_pairs,
+    "inverted_index_stats": q_inverted_index_stats,
+    "funnel_events": q_funnel_events,
+    "paragraph_dedup_docs": q_paragraph_dedup_docs,
+    "dsir_weights_docs": q_dsir_weights_docs,
+    "cap_per_source": q_cap_per_source,
+    "quality_quantile_filter": q_quality_quantile_filter,
+    "boilerplate_lines_docs": q_boilerplate_lines_docs,
+    "resample_user_6h": q_resample_user_6h,
+    "rolling_zscore_events": q_rolling_zscore_events,
+    "weighted_sample_docs": q_weighted_sample_docs,
+    "topp_quality_per_source": q_topp_quality_per_source,
+    "snapshot_diff_docs": q_snapshot_diff_docs,
+    "rolling_median_orders": q_rolling_median_orders,
+    "standardize_orders": q_standardize_orders,
+    "random_projection_emb": q_random_projection_emb,
+    "quantize_embeddings_int8": q_quantize_embeddings_int8,
+    "incremental_ingest_orders": q_incremental_ingest_orders,
+    "ingest_waves_orders": q_ingest_waves_orders,
+    "compression_ratio_docs": q_compression_ratio_docs,
+    "span_dedup_docs": q_span_dedup_docs,
+    "bm25_search_docs": q_bm25_search_docs,
+    "q3_topk_revenue": q_q3_topk_revenue,
+    "q4_late_order_priority": q_q4_late_order_priority,
+    "q5_revenue_by_nation": q_q5_revenue_by_nation,
+    "q7_volume_shipping": q_q7_volume_shipping,
+    "q8_market_share": q_q8_market_share,
+    "q9_profit_by_nation": q_q9_profit_by_nation,
+    "q11_important_parts": q_q11_important_parts,
+    "q13_order_distribution": q_q13_order_distribution,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q16_supplier_part_counts": q_q16_supplier_part_counts,
+    "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
+    "q20_bulk_suppliers": q_q20_bulk_suppliers,
+    "q21_suppliers_kept_waiting": q_q21_suppliers_kept_waiting,
+    "q22_sales_opportunity": q_q22_sales_opportunity,
+    "stream_static_enrich": q_stream_static_enrich,
+    "mix_corpus_sources": q_mix_corpus_sources,
+    "temperature_mix_sources": q_temperature_mix_sources,
+    "scd2_customer_history": q_scd2_customer_history,
+    "profile_customer": q_profile_customer,
+    "rollup_events_hourly": q_rollup_events_hourly,
+    "window_rank_family": q_window_rank_family,
+    "window_trailing_30d": q_window_trailing_30d,
+    "date_functions_orders": q_date_functions_orders,
+    "string_functions_customer": q_string_functions_customer,
+    "c4_clean_docs": q_c4_clean_docs,
+    "unigram_logprob": q_unigram_logprob,
+    "cohort_retention_weekly": q_cohort_retention_weekly,
+    "embedding_label_centroids": q_embedding_label_centroids,
+    "dedup_keep_longest": q_dedup_keep_longest,
+    "dedup_exact": q_dedup_exact,
+    "chunk_documents_overlap": q_chunk_documents_overlap,
+    "train_val_test_split": q_train_val_test_split,
+    "shuffle_documents": q_shuffle_documents,
+    "wrangle_get_or_create": q_wrangle_get_or_create,
+    "text_stats": q_text_stats,
+    "multimodal_features": q_multimodal_features,
+    "wrangle_array_ops": q_wrangle_array_ops,
+    "pivot_status_priority": q_pivot_status_priority,
+    "profile_customer_approx": q_profile_customer_approx,
+    "merge_intervals_user": q_merge_intervals_user,
+    "bucketize_order_totals": q_bucketize_order_totals,
+    "winsorize_order_totals": q_winsorize_order_totals,
+    "cdc_apply_orders": q_cdc_apply_orders,
+    "cdc_vacuum_store": q_cdc_vacuum_store,
+    "hard_negatives_emb": q_hard_negatives_emb,
+    "mine_triplets_emb": q_mine_triplets_emb,
+    "pmanifest_root_travel_orders": q_pmanifest_root_travel_orders,
+    "wrangle_nested_lineitems": q_wrangle_nested_lineitems,
+    "text_index_blocked_docs": q_text_index_blocked_docs,
+    "bloom_dedup_docs": q_bloom_dedup_docs,
+    "stream_bloom_dedup_docs": q_stream_bloom_dedup_docs,
+    "manifest_time_travel_orders": q_manifest_time_travel_orders,
+    "manifest_lookup_orders": q_manifest_lookup_orders,
+    "semantic_decontam_emb": q_semantic_decontam_emb,
+    "semantic_decontam_lsh": q_semantic_decontam_lsh,
+    "stream_cdc_manifest_evolve": q_stream_cdc_manifest_evolve,
+    "stream_cdc_manifest_store": q_stream_cdc_manifest_store,
+    "stream_rollup_manifest_store": q_stream_rollup_manifest_store,
+    "cms_heavy_hitters_custkey": q_cms_heavy_hitters_custkey,
+    "stream_cms_user_hitters": q_stream_cms_user_hitters,
+    "zonemap_prune_lineitem": q_zonemap_prune_lineitem,
+    "zorder_prune_orders": q_zorder_prune_orders,
+    "manifest_cdf_orders": q_manifest_cdf_orders,
+    "merge_into_orders": q_merge_into_orders,
+    "stream_zonemap_events": q_stream_zonemap_events,
+    "scd2_temporal_join_orders": q_scd2_temporal_join_orders,
+    "bks_quantile_orders": q_bks_quantile_orders,
+    "top_ngrams_corpus": q_top_ngrams_corpus,
+    "ngram_containment_docs": q_ngram_containment_docs,
+    "source_overlap_docs": q_source_overlap_docs,
+    "decontaminate_docs": q_decontaminate_docs,
+    "repetition_stats": q_repetition_stats,
+    "bigram_logprob": q_bigram_logprob,
+    "stream_scd2_user_status": q_stream_scd2_user_status,
+    "stream_dedup_keep_best": q_stream_dedup_keep_best,
+    "stream_cdc_store": q_stream_cdc_store,
+    "fuzzy_dedup_canonical": q_fuzzy_dedup_canonical,
+    "async_enrich_tags": q_async_enrich_tags,
+    "async_get_or_create_dim": q_async_get_or_create_dim,
+    "cube_orders": q_cube_orders,
+    "semi_join_customers": q_semi_join_customers,
+    "percentiles_by_segment": q_percentiles_by_segment,
+    "string_agg_priorities": q_string_agg_priorities,
+    "orders_above_cust_avg": q_orders_above_cust_avg,
+    "salted_join_revenue": q_salted_join_revenue,
+    "resize_images": q_resize_images,
+    "sample_frames": q_sample_frames,
+    "grouped_ewma": q_grouped_ewma,
+    "approx_distinct_users": q_approx_distinct_users,
+    "wrangle_flat_orders": q_wrangle_flat_orders,
+    "wrangle_nested_customer": q_wrangle_nested_customer,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "url_blocklist_docs": q_url_blocklist_docs,
+    "domain_stats_docs": q_domain_stats_docs,
+    "link_graph_docs": q_link_graph_docs,
+    "window_lag_gap": q_window_lag_gap,
+    "rollup_status_priority": q_rollup_status_priority,
+    "set_ops_custkeys": q_set_ops_custkeys,
+    "distinct_counts_by_segment": q_distinct_counts_by_segment,
+    "scalar_functions_part": q_scalar_functions_part,
+    "orders_by_month": q_orders_by_month,
+    "unpivot_part_measures": q_unpivot_part_measures,
+    "doc_fingerprint": q_doc_fingerprint,
+    "lang_id": q_lang_id,
+    "embedding_norms": q_embedding_norms,
+    "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
+    "json_extract_events": q_json_extract_events,
+    "sessionize_events": q_sessionize_events,
+    "asof_latest_order_per_event": q_asof_latest_order_per_event,
+    "range_join_event_pairs": q_range_join_event_pairs,
+    "wrangle_map_ops": q_wrangle_map_ops,
+    "wrangle_create_multiple": q_wrangle_create_multiple,
+    "wrangle_attr_id": q_wrangle_attr_id,
+    "wrangle_get_or_create_arrays": q_wrangle_get_or_create_arrays,
+    "full_outer_daily_activity": q_full_outer_daily_activity,
+    "grouping_sets_orders": q_grouping_sets_orders,
+    "wrangle_conditional_gather": q_wrangle_conditional_gather,
+    "wrangle_flatten": q_wrangle_flatten,
+    "wrangle_fold_ops": q_wrangle_fold_ops,
+    "sql_api_top_nations": q_sql_api_top_nations,
+    "data_quality_violations": q_data_quality_violations,
+    "wrangle_lenient_audit": q_wrangle_lenient_audit,
+    "udtf_chunk_text": q_udtf_chunk_text,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "wrangle_foreach_custom": q_wrangle_foreach_custom,
 }
 
 _ORACLES: dict[str, str] = {
@@ -8652,6 +8693,9 @@ _ORACLES: dict[str, str] = {
     # full-probe IVF serving is bit-identical to brute-force cosine
     # top-k: the knn oracle applies verbatim
     "vector_index_topk_emb": SQL_KNN,
+    # full-probe FILTERED ANN == brute-force cosine top-k over the
+    # filtered corpus: the knn oracle with the same label predicate
+    "vector_index_filtered_emb": SQL_KNN_FILTERED,
     "text_index_phrase_docs": SQL_PHRASE,
     "wrangle_nested_lineitems": SQL_WRANGLE_NESTED_LINES,
     "stream_text_index_docs": SQL_BM25 + " ORDER BY doc_id",
