@@ -96,6 +96,7 @@ HEADLINE = [
     "text_index_topk_served_docs",
     "text_index_phrase_docs",
     "vector_index_topk_emb",
+    "vector_index_filtered_emb",
     "funnel_events",
     "cohort_retention_weekly",
     "embedding_label_centroids",

@@ -1229,3 +1229,72 @@ def test_older_epoch_replay_never_publishes_newer_staging(
     assert _root_parts(store)["2024-01-01"] == 1
     got = _kv(spark, store)
     assert got[1] == (_d("2024-01-01"), "a") and 9 not in got
+
+
+def test_pmanifest_staged_and_bulk_heal(spark, tmp_path, monkeypatch):
+    """r11 ops surface: pmanifest_staged lists exactly the partitions
+    whose sub head the committed root doesn't name;
+    pmanifest_heal_staged bulk-discards (rollback) or publishes
+    (adopt) them so merges stop refusing."""
+    from wrangle_pypes_spark.sources.partitioned import (
+        _root_parts, pmanifest_heal_staged, pmanifest_staged)
+
+    store = str(tmp_path / "ops")
+    pmanifest_merge(
+        _rows(spark, [(1, _d("2024-01-01"), "a"),
+                      (2, _d("2024-02-01"), "b")]),
+        store, "day", ["k"], epoch_id=0, n_buckets=2,
+        max_concurrency=1)
+    st = pmanifest_staged(spark, store)
+    assert st.count() == 0  # clean store
+
+    # crash epoch 1 before the root publish: Jan staged (v2 over
+    # root v1) AND a brand-new March partition staged (no root entry)
+    import wrangle_pypes_spark.sources.partitioned as p_mod
+
+    real_pub = p_mod._publish_root_from_heads
+    monkeypatch.setattr(
+        p_mod, "_publish_root_from_heads",
+        lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("boom")))
+    with pytest.raises(RuntimeError, match="boom"):
+        pmanifest_merge(
+            _rows(spark, [(9, _d("2024-01-01"), "GHOST"),
+                          (7, _d("2024-03-01"), "GHOST")]),
+            store, "day", ["k"], epoch_id=1, n_buckets=2,
+            max_concurrency=1)
+    monkeypatch.setattr(p_mod, "_publish_root_from_heads", real_pub)
+
+    st = {r.partition: (r.head_version, r.head_epoch, r.root_version)
+          for r in pmanifest_staged(spark, store).collect()}
+    assert st == {"2024-01-01": (2, 1, 1), "2024-03-01": (1, 1, None)}
+
+    # rollback heal: Jan back to v1, March's sub-store deleted whole
+    healed = pmanifest_heal_staged(store, mode="rollback")
+    assert healed == {"2024-01-01": 1, "2024-03-01": 0}
+    assert pmanifest_staged(spark, store).count() == 0
+    got = _kv(spark, store)
+    assert 9 not in got and 7 not in got
+    assert not os.path.isdir(os.path.join(store, "p=2024-03-01"))
+    # and merges into the healed partition work again (no refusal)
+    pmanifest_merge(_rows(spark, [(1, _d("2024-01-01"), "A2")]),
+                    store, "day", ["k"], epoch_id=2, n_buckets=2,
+                    max_concurrency=1)
+    assert _kv(spark, store)[1] == (_d("2024-01-01"), "A2")
+
+    # adopt heal on a fresh staging: the orphan rows become visible
+    monkeypatch.setattr(
+        p_mod, "_publish_root_from_heads",
+        lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("boom")))
+    with pytest.raises(RuntimeError, match="boom"):
+        pmanifest_merge(
+            _rows(spark, [(8, _d("2024-02-01"), "adopted")]),
+            store, "day", ["k"], epoch_id=3, n_buckets=2,
+            max_concurrency=1)
+    monkeypatch.setattr(p_mod, "_publish_root_from_heads", real_pub)
+    healed = pmanifest_heal_staged(store, mode="adopt")
+    assert list(healed) == ["2024-02-01"]
+    assert pmanifest_staged(spark, store).count() == 0
+    assert _kv(spark, store)[8] == (_d("2024-02-01"), "adopted")
+    assert _root_parts(store)["2024-02-01"] == healed["2024-02-01"]
+    with pytest.raises(ValueError, match="rollback"):
+        pmanifest_heal_staged(store, mode="nope")

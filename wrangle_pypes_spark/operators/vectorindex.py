@@ -43,6 +43,24 @@ tests).  Contract: ids are APPEND-ONLY, each id in exactly one batch
 re-ranks on the dequantized reconstruction — approximate within one
 quantization step, the documented trade.
 
+``pq_m=m`` (r11) is PRODUCT QUANTIZATION — the memory-bounded 100 TB
+codec (Jégou et al., "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011; the FAISS IVF-PQ layout): each vector splits
+into ``m`` sub-vectors, each sub-space gets its own ≤256-centroid
+k-means codebook (fitted on the build sample, pinned in the sidecar
+with the coarse quantizer), and the store holds ONE BYTE-SIZED CODE
+per sub-vector — ``m`` smallints instead of ``dim`` doubles, a
+``dim*8/m``-fold cut (64-dim → m=8 is 64×).  The probe is ADC
+(asymmetric distance computation): per QUERY, one Arrow batch builds
+the m×256 lookup table ``lut[j][c] = dot(q_j, codebook[j][c])``, and
+each candidate scores as ``Σ_j lut[j][code_j]`` — m additions per
+pair, never a reconstruction — which equals the exact cosine against
+the RECONSTRUCTED vector (the stored ``norm`` is the
+reconstruction's, so the ratio is exact for the codec).  Approximate
+vs the raw corpus, recall-audited in tests like every approximate
+path here; mutually exclusive with ``quantize`` (one codec per
+store).
+
 Reference analog: none — the reference (transformations.py:50-266)
 has no embedding or retrieval surface; this is LLM-data tooling the
 [EXT] mandate adds.
@@ -53,6 +71,8 @@ from __future__ import annotations
 import json
 from typing import Optional, Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -73,6 +93,83 @@ def _load_sidecar(store_path: str, spark=None) -> Optional[dict]:
     return None if txt is None else json.loads(txt)
 
 
+def _fit_pq_codebooks(corpus: DataFrame, vec_col: str, id_col: str, *,
+                      m: int, dim: int, iters: int, seed: int,
+                      fit_fraction: float) -> list:
+    """One ≤256-centroid k-means codebook per sub-space, fitted with
+    the same distributed Lloyd machinery as the coarse quantizer
+    (``similarity.kmeans_fit`` — only k×sub floats ever reach the
+    driver per sub-space).  A fit set smaller than 256 yields a
+    smaller codebook (codes still index it exactly); sub-space seeds
+    differ so identical sub-distributions don't share init ties."""
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sl = corpus.select(
+            F.col(id_col).alias("_pid"),
+            F.transform(F.slice(F.col(vec_col), j * sub + 1, sub),
+                        lambda x: x.cast("double")).alias("_pv"))
+        books.append(kmeans_fit(sl, "_pv", id_col="_pid", k=256,
+                                iters=iters, seed=seed + 7 * j + 1,
+                                fit_fraction=fit_fraction))
+    return books
+
+
+def _pq_encode_udf(codebooks):
+    """Arrow-vectorized PQ encoder: per vector, the argmin-distance
+    code in each sub-space plus the RECONSTRUCTION's L2 norm (the
+    norm the ADC probe ratios against — storing the raw vector's norm
+    would make the served cosine inconsistent with the codec).  One
+    numpy matmul per (batch, sub-space)."""
+    Cs = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    c2s = [(C * C).sum(axis=1) for C in Cs]
+    m = len(Cs)
+    sub = Cs[0].shape[1]
+
+    # one flat array<double> of [code_0..code_{m-1}, rnorm] — a
+    # Series→DataFrame (struct) hint is not a supported pandas-UDF
+    # signature on Spark 4; the caller splits it expression-side
+    @F.pandas_udf("array<double>")
+    def encode(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)      # n x dim
+        n = X.shape[0]
+        out = np.empty((n, m + 1), dtype=np.float64)
+        r2 = np.zeros(n, dtype=np.float64)
+        for j in range(m):
+            Xj = X[:, j * sub:(j + 1) * sub]               # n x sub
+            d2 = c2s[j][None, :] - 2.0 * (Xj @ Cs[j].T)    # n x k_j
+            cj = d2.argmin(axis=1)
+            out[:, j] = cj
+            r2 += (Cs[j][cj] ** 2).sum(axis=1)
+        out[:, m] = np.sqrt(r2)
+        return pd.Series(list(out))
+
+    return encode
+
+
+def _pq_lut_udf(codebooks):
+    """Arrow-vectorized ADC table builder: per QUERY vector, the
+    flattened m×256 lookup ``lut[j*256 + c] = dot(q_j, codebook[j][c])``
+    (unused tail entries of a <256 codebook stay 0 and are never
+    indexed — codes are < the codebook's real size by construction).
+    16 KB per query row at m=8; queries are the broadcast side."""
+    Cs = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(Cs)
+    sub = Cs[0].shape[1]
+
+    @F.pandas_udf("array<double>")
+    def lut(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)      # n x dim
+        n = X.shape[0]
+        out = np.zeros((n, m * 256), dtype=np.float64)
+        for j in range(m):
+            Xj = X[:, j * sub:(j + 1) * sub]               # n x sub
+            out[:, j * 256:j * 256 + Cs[j].shape[0]] = Xj @ Cs[j].T
+        return pd.Series(list(out))
+
+    return lut
+
+
 def build_vector_index(corpus: DataFrame, store_path: str, *,
                        vec_col: str = "embedding",
                        id_col: str = "vec_id",
@@ -80,6 +177,7 @@ def build_vector_index(corpus: DataFrame, store_path: str, *,
                        seed: int = 42, fit_fraction: float = 1.0,
                        n_buckets: int = 16,
                        quantize: bool = False,
+                       pq_m: int = 0,
                        meta_cols: Sequence[str] = (),
                        centroids: Optional[Sequence[Sequence[float]]]
                        = None,
@@ -107,7 +205,8 @@ def build_vector_index(corpus: DataFrame, store_path: str, *,
     spark = corpus.sparkSession
     # argument validation BEFORE any sidecar write: a rejected build
     # must not pin a layout the caller immediately has to live with
-    reserved = {"cell", "id", "vec", "norm", "qvec", "qscale"}
+    reserved = {"cell", "id", "vec", "norm", "qvec", "qscale",
+                "pqcode"}
     clash = [c for c in meta_cols if c in reserved]
     if clash:
         raise ValueError(f"meta_cols {clash} collide with the "
@@ -115,6 +214,11 @@ def build_vector_index(corpus: DataFrame, store_path: str, *,
     missing = [c for c in meta_cols if c not in corpus.columns]
     if missing:
         raise ValueError(f"corpus lacks meta_cols {missing}")
+    if pq_m and quantize:
+        raise ValueError("pq_m and quantize are mutually exclusive — "
+                         "one storage codec per store")
+    if pq_m < 0:
+        raise ValueError("pq_m must be >= 0")
     side = _load_sidecar(store_path, spark=spark)
     if side is not None:
         if centroids is not None and \
@@ -130,11 +234,14 @@ def build_vector_index(corpus: DataFrame, store_path: str, *,
                  ("vec_col", vec_col), ("id_col", id_col),
                  ("meta_cols", list(meta_cols)))
                 if side.get(k, [] if k == "meta_cols" else None) != v}
+        if side.get("pq_m", 0) != int(pq_m):
+            mism["pq_m"] = (int(pq_m), side.get("pq_m", 0))
         if mism:
             raise ValueError(
                 f"vector index at {store_path!r} layout is immutable; "
                 f"mismatched params {mism}")
         cents = side["centroids"]
+        books = side.get("pq_codebooks")
     else:
         if centroids is None:
             cents = kmeans_fit(corpus, vec_col, id_col=id_col,
@@ -146,6 +253,25 @@ def build_vector_index(corpus: DataFrame, store_path: str, *,
             raise ValueError(
                 f"got {len(cents)} centroids for n_centroids="
                 f"{n_centroids}")
+        books = None
+        doc = {"centroids": cents,
+               "n_centroids": int(n_centroids),
+               "dim": len(cents[0]) if cents else 0,
+               "seed": int(seed),
+               "quantize": bool(quantize),
+               "meta_cols": list(meta_cols),
+               "vec_col": vec_col, "id_col": id_col}
+        if pq_m:
+            dim = doc["dim"]
+            if dim % int(pq_m) != 0:
+                raise ValueError(
+                    f"pq_m={pq_m} must divide the vector dim {dim}")
+            books = _fit_pq_codebooks(corpus, vec_col, id_col,
+                                      m=int(pq_m), dim=dim,
+                                      iters=iters, seed=seed,
+                                      fit_fraction=fit_fraction)
+            doc["pq_m"] = int(pq_m)
+            doc["pq_codebooks"] = books
         # sidecar BEFORE the first commit: a crash in between leaves
         # a pinned quantizer and no data — re-run converges; the
         # reverse order could publish vectors celled by a quantizer
@@ -153,16 +279,34 @@ def build_vector_index(corpus: DataFrame, store_path: str, *,
         fsutil.ensure_dir(store_path, spark=spark)
         fsutil.write_text_atomic(
             store_path.rstrip("/") + "/" + _SIDECAR,
-            json.dumps({"centroids": cents,
-                        "n_centroids": int(n_centroids),
-                        "dim": len(cents[0]) if cents else 0,
-                        "seed": int(seed),
-                        "quantize": bool(quantize),
-                        "meta_cols": list(meta_cols),
-                        "vec_col": vec_col, "id_col": id_col}),
-            spark=spark)
+            json.dumps(doc), spark=spark)
     assign1 = _nearest_cells_udf(cents, 1)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if books is not None:
+        # PQ codec: m byte-sized codes + the reconstruction's norm —
+        # the raw vector never reaches the store
+        enc = _pq_encode_udf(books)
+        m = len(books)
+        rows = (corpus.select(
+                    assign1(F.col(vec_col))[0].alias("cell"),
+                    F.col(id_col).alias("id"),
+                    enc(F.col(vec_col)).alias("_e"),
+                    *[F.col(c) for c in meta_cols])
+                .select("cell", "id",
+                        F.transform(
+                            F.slice(F.col("_e"), 1, m),
+                            lambda x: x.cast("smallint"))
+                        .alias("pqcode"),
+                        F.element_at(F.col("_e"), m + 1)
+                        .alias("norm"),
+                        *[F.col(c) for c in meta_cols]))
+        rows = rows.localCheckpoint(eager=True)
+        return manifest_merge(
+            rows, store_path, ["cell"], epoch_id=epoch_id,
+            n_buckets=n_buckets,
+            merge_fn=lambda stored, updates:
+                updates if stored is None else
+                stored.unionByName(updates))
     rows = corpus.select(
         assign1(F.col(vec_col))[0].alias("cell"),
         F.col(id_col).alias("id"),
@@ -214,7 +358,16 @@ def vector_index_topk(spark: SparkSession, store_path: str,
     top-k would under-fill k; pre-filtering candidates keeps k exact
     over the filtered corpus (and at full probe, exactly
     ``cosine_topk`` over ``corpus.filter(where)``, pinned in
-    tests)."""
+    tests).
+
+    On a PQ store (``build_vector_index(pq_m=...)``) the re-rank is
+    ADC: each query ships its m×256 dot-product table and every
+    candidate scores in m additions against its stored byte codes —
+    the served cosine is exact FOR THE CODEC (query vs the codebook
+    reconstruction, whose norm the store carries), approximate vs the
+    raw corpus even at full probe; the recall tests audit the gap.
+    ``where`` composes unchanged (meta columns are stored next to the
+    codes)."""
     if k < 1:
         raise ValueError("k must be >= 1")
     if n_probe < 1:
@@ -229,11 +382,18 @@ def vector_index_topk(spark: SparkSession, store_path: str,
     qvec = query_vec_col or side["vec_col"]
     n_probe = min(int(n_probe), len(cents))
     assign_p = _nearest_cells_udf(cents, n_probe)
+    books = side.get("pq_codebooks")
     qv = F.transform(F.col(qvec), lambda x: x.cast("double"))
-    q = queries.select(
-        F.col(qid).alias("query_id"), qv.alias("_qvec"),
-        _norm(qv).alias("_qn"),
-        F.explode(assign_p(F.col(qvec))).alias("cell")) \
+    qcols = [F.col(qid).alias("query_id"), _norm(qv).alias("_qn"),
+             F.explode(assign_p(F.col(qvec))).alias("cell")]
+    if books is not None:
+        # ADC: the per-query m×256 lookup table replaces the vector —
+        # candidates score by m table additions, never a
+        # reconstruction
+        qcols.insert(1, _pq_lut_udf(books)(F.col(qvec)).alias("_lut"))
+    else:
+        qcols.insert(1, qv.alias("_qvec"))
+    q = queries.select(*qcols) \
         .localCheckpoint(eager=True)  # assignment runs once, not per use
     # the probed cells (≤ n_centroids values — driver-bounded): the
     # ONLY thing read from the store is their buckets
@@ -254,10 +414,28 @@ def vector_index_topk(spark: SparkSession, store_path: str,
         cand = cand.select("cell", "id", recon.alias("vec"), "norm")
     joined = (cand.join(F.broadcast(q), "cell")
               .filter(F.col("id") != F.col("query_id")))
-    scored = joined.select(
-        "query_id", F.col("id").alias("neighbor_id"),
-        (_dot(F.col("_qvec"), F.col("vec"))
-         / (F.col("_qn") * F.col("norm"))).alias("cosine"))
+    if books is not None:
+        m = int(side["pq_m"])
+        # Σ_j lut[j*256 + code_j] == dot(query, reconstruction);
+        # _lut is an attribute reference, so the HOF lambda reads it
+        # once per row (the interpreted-HOF trap bites expressions,
+        # not references)
+        adc = F.aggregate(
+            F.zip_with(
+                F.col("pqcode"),
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda c, j: F.element_at(
+                    F.col("_lut"),
+                    (j * 256 + c.cast("int") + 1).cast("int"))),
+            F.lit(0.0), lambda acc, x: acc + x)
+        scored = joined.select(
+            "query_id", F.col("id").alias("neighbor_id"),
+            (adc / (F.col("_qn") * F.col("norm"))).alias("cosine"))
+    else:
+        scored = joined.select(
+            "query_id", F.col("id").alias("neighbor_id"),
+            (_dot(F.col("_qvec"), F.col("vec"))
+             / (F.col("_qn") * F.col("norm"))).alias("cosine"))
     # multi-probe duplicates are impossible (a vector lives in ONE
     # cell), so no dropDuplicates pass is needed — unlike LSH probing
     w = Window.partitionBy("query_id").orderBy(

@@ -110,6 +110,8 @@ def describe_store(spark: SparkSession, path: str) -> Optional[DataFrame]:
                 path.rstrip("/") + "/_vindex.json", spark=spark))
             detail = (f"cells={side['n_centroids']}|dim={side['dim']}"
                       + ("|int8" if side.get("quantize") else "")
+                      + (f"|pq={side['pq_m']}x256"
+                         if side.get("pq_m") else "")
                       + (("|meta=" + ",".join(side["meta_cols"]))
                          if side.get("meta_cols") else ""))
         elif kind == "textindex":

@@ -687,6 +687,87 @@ def pmanifest_partitions(spark: SparkSession, path: str
         rows, "partition string, version int, epoch int")
 
 
+def pmanifest_staged(spark: SparkSession, path: str
+                     ) -> Optional[DataFrame]:
+    """One row per partition whose sub-store HEAD is staged — above
+    (or absent from) the committed root: ``(partition, head_version,
+    head_epoch, root_version)`` with ``root_version`` null for a
+    partition the root never named.  This is the ops view behind the
+    r11 staged-head guard: ``pmanifest_merge`` refuses these
+    partitions and ``pmanifest_rebucket`` skips them, so an operator
+    reads this table to decide per batch — replay the crashed batch
+    (the normal streaming recovery) or :func:`pmanifest_heal_staged`.
+    Empty frame = clean store.  None for a store with no root (the
+    pre-root layout has no staging notion — sub heads ARE the truth).
+    Driver cost: one JSON read per partition directory."""
+    parts = _root_parts(path, spark=spark)
+    if parts is None:
+        return None
+    rows = []
+    for t in _list_tokens(path, spark=spark):
+        cur = _m.manifest_current(_sub(path, t), spark=spark)
+        if cur is None:
+            continue
+        base = parts.get(t)
+        if base is None or cur[0] != base:
+            rows.append((urllib.parse.unquote(t), cur[0], cur[1],
+                         base))
+    return spark.createDataFrame(
+        rows, "partition string, head_version int, head_epoch int, "
+              "root_version int")
+
+
+def pmanifest_heal_staged(path: str, *, mode: str = "rollback",
+                          spark=None) -> dict:
+    """Bulk-heal every staged partition (see :func:`pmanifest_staged`)
+    so merges into them stop refusing.  ``mode='rollback'`` discards
+    each staging — ``manifest_rollback`` to the root-named version,
+    whole-sub-store delete for a partition the root never named —
+    which is the right call for an ABANDONED batch that will never be
+    replayed (its data is gone from this store; re-ingest it if it
+    mattered).  ``mode='adopt'`` instead publishes a new root naming
+    the staged heads — making the crashed batch's rows visible,
+    correct only when the data is known-good and exactly-once is
+    satisfied some other way.  Returns {partition token: healed head
+    version} (after rollback, the version the partition now serves;
+    after adopt, the staged version now published).  Replaying the
+    crashed batch remains the preferred recovery; this is the
+    explicit operator decision for when replay is impossible."""
+    if mode not in ("rollback", "adopt"):
+        raise ValueError(f"mode must be 'rollback' or 'adopt', "
+                         f"got {mode!r}")
+    parts = _root_parts(path, spark=spark)
+    if parts is None:
+        raise ValueError(
+            f"store {path!r} has no root pointer — the pre-root "
+            "layout has no staging to heal")
+    healed = {}
+    for t in _list_tokens(path, spark=spark):
+        sub = _sub(path, t)
+        cur = _m.manifest_current(sub, spark=spark)
+        if cur is None:
+            continue
+        base = parts.get(t)
+        if base is not None and cur[0] == base:
+            continue  # clean
+        if mode == "adopt":
+            healed[t] = cur[0]
+            continue
+        if base is None:
+            fsutil.delete(sub, spark=spark)
+            healed[t] = 0  # partition gone entirely
+        else:
+            _m.manifest_rollback(sub, base, spark=spark)
+            healed[t] = base
+    if mode == "adopt" and healed:
+        root = root_current(path, spark=spark)
+        _publish_root_from_heads(path,
+                                 root[1] if root is not None else -1,
+                                 spark=spark,
+                                 committed_tokens=list(healed))
+    return healed
+
+
 def pmanifest_lookup(spark: SparkSession, path: str, keys: DataFrame,
                      *, partitions: Optional[Sequence] = None,
                      lo=None, hi=None,

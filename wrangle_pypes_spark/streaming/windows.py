@@ -1655,6 +1655,7 @@ def foreach_batch_vector_index(stream_df: DataFrame, store_path: str,
                                n_centroids: int = 16,
                                n_buckets: int = 16,
                                quantize: bool = False,
+                               pq_m: int = 0,
                                centroids=None,
                                checkpoint: Optional[str] = None):
     """Continuously maintained IVF vector index
@@ -1671,10 +1672,12 @@ def foreach_batch_vector_index(stream_df: DataFrame, store_path: str,
     sidecar already pins them, or let the FIRST batch serve as the
     fit sample (standard IVF practice; fine when batch one is
     representative, documented here so it is a choice, not a
-    surprise).  Contract and replay semantics match the text-index
-    maintainer: append-only ids, one batch per id, exactly-once via
-    the manifest epoch guard, monotonic batch ids (resume an
-    existing store WITH its checkpoint)."""
+    surprise).  ``pq_m`` routes the store through the PQ codec — its
+    sub-space codebooks pin with the first batch exactly like the
+    coarse quantizer.  Contract and replay semantics match the
+    text-index maintainer: append-only ids, one batch per id,
+    exactly-once via the manifest epoch guard, monotonic batch ids
+    (resume an existing store WITH its checkpoint)."""
     import warnings
 
     from ..operators.vectorindex import build_vector_index
@@ -1700,7 +1703,8 @@ def foreach_batch_vector_index(stream_df: DataFrame, store_path: str,
         build_vector_index(batch_df, store_path, vec_col=vec_col,
                            id_col=id_col, n_centroids=n_centroids,
                            n_buckets=n_buckets, quantize=quantize,
-                           centroids=centroids, epoch_id=epoch_id)
+                           pq_m=pq_m, centroids=centroids,
+                           epoch_id=epoch_id)
 
     writer = stream_df.writeStream.foreachBatch(_batch) \
         .trigger(availableNow=True)
