@@ -67,9 +67,14 @@ from wrangle_pypes_spark.operators.dedup import (
 )
 from wrangle_pypes_spark.operators.multimodal import (
     attach_binary_payload,
+    audio_stats,
+    decode_image_stats,
     extract_features,
     resize_images,
+    resize_images_real,
     sample_frames,
+    synthesize_image_corpus,
+    synthesize_wav_corpus,
 )
 from wrangle_pypes_spark.operators.quality import (
     decontaminate,
@@ -6440,6 +6445,109 @@ FROM f WHERE k * 128 < len
 """
 
 
+def q_image_decode_stats(spark, sf_dir):
+    """REAL image decode with a full value oracle: render one 16x16 RGB
+    PNG per document from the pinned pixel contract (multimodal.py —
+    r=(x+id)%256, g=(y+2id)%256, b=(x+y+3id)%256), with the scanline
+    filter CYCLING through all five PNG filter types, then decode the
+    real container bytes back (operators/codecs.py: zlib inflate +
+    unfilter) and emit exact integer pixel stats.  The DuckDB oracle
+    recomputes the same sums from a range() cross-join without touching
+    PNG at all, so any bug in the encoder, any of the five filters, or
+    the decoder breaks the value hash.  Map-only both stages — no
+    shuffle, parallelism == partition count at any scale."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    img = synthesize_image_corpus(d, id_col="doc_id", width=16,
+                                  height=16, mode="rgb", fmt="png",
+                                  filter_mode="cycle")
+    return decode_image_stats(img)
+
+
+SQL_IMAGE_DECODE = """
+WITH px AS (
+  SELECT d.doc_id,
+         (x.i + d.doc_id) % 256 AS r,
+         (y.i + 2 * d.doc_id) % 256 AS g,
+         (x.i + y.i + 3 * d.doc_id) % 256 AS b
+  FROM documents d, range(16) x(i), range(16) y(i)
+)
+SELECT doc_id AS content_id, 'png' AS fmt,
+       16::BIGINT AS width, 16::BIGINT AS height, 3::BIGINT AS channels,
+       SUM(r)::BIGINT AS sum_r, SUM(g)::BIGINT AS sum_g,
+       SUM(b)::BIGINT AS sum_b,
+       LEAST(MIN(r), MIN(g), MIN(b))::BIGINT AS pixel_min,
+       GREATEST(MAX(r), MAX(g), MAX(b))::BIGINT AS pixel_max
+FROM px GROUP BY doc_id
+"""
+
+
+def q_image_resize_bmp(spark, sf_dir):
+    """REAL decode -> nearest-neighbor resize -> BMP re-encode -> decode
+    again, value-oracled end-to-end: a 24x24 gray PNG per document is
+    resized to 10x10 (src = (dst*24)//10, SQL-expressible) and written
+    as a 24-bit BMP (gray replicated to RGB), whose decoded stats the
+    oracle recomputes from the resample formula.  Exercises the PNG
+    decoder, the resampler, and the BMP encoder+decoder in one chain.
+    Map-only, no shuffle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    img = synthesize_image_corpus(d, id_col="doc_id", width=24,
+                                  height=24, mode="gray", fmt="png",
+                                  filter_mode="cycle")
+    rz = resize_images_real(img, width=10, height=10, out_format="bmp")
+    st = decode_image_stats(rz)
+    return st.select("content_id", "fmt", "width", "height", "channels",
+                     "sum_r", "pixel_min", "pixel_max")
+
+
+SQL_IMAGE_RESIZE = """
+WITH px AS (
+  SELECT d.doc_id,
+         (((x.i * 24) // 10) + 7 * ((y.i * 24) // 10) + d.doc_id) % 256
+             AS v
+  FROM documents d, range(10) x(i), range(10) y(i)
+)
+SELECT doc_id AS content_id, 'bmp' AS fmt,
+       10::BIGINT AS width, 10::BIGINT AS height, 3::BIGINT AS channels,
+       SUM(v)::BIGINT AS sum_r,
+       MIN(v)::BIGINT AS pixel_min, MAX(v)::BIGINT AS pixel_max
+FROM px GROUP BY doc_id
+"""
+
+
+def q_audio_wav_stats(spark, sf_dir):
+    """REAL PCM16 WAV decode with a full value oracle: one 4096-sample
+    mono 8 kHz WAV per document from the pinned sample contract
+    (s(i) = ((i*((id%97)+3) + id) % 65536) - 32768), decoded via the
+    stdlib wave reader (operators/codecs.py) into exact integer signal
+    stats — sum of absolute amplitude, peak, and zero crossings under
+    the pinned sign(s):=s>=0 convention, which the oracle mirrors with
+    a LAG window over the generated samples.  Map-only."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    wav = synthesize_wav_corpus(d, id_col="doc_id", n_samples=4096,
+                                rate=8000)
+    return audio_stats(wav)
+
+
+SQL_AUDIO_WAV = """
+WITH s AS (
+  SELECT d.doc_id, t.i,
+         ((t.i * ((d.doc_id % 97) + 3) + d.doc_id) % 65536) - 32768 AS v
+  FROM documents d, range(4096) t(i)
+), lagged AS (
+  SELECT doc_id, v,
+         LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id AS content_id,
+       4096::BIGINT AS n_samples, 8000::BIGINT AS sample_rate,
+       1::BIGINT AS channels,
+       SUM(ABS(v))::BIGINT AS sum_abs, MAX(ABS(v))::BIGINT AS peak,
+       SUM(CASE WHEN pv IS NOT NULL AND ((v >= 0) != (pv >= 0))
+                THEN 1 ELSE 0 END)::BIGINT AS zero_crossings
+FROM lagged GROUP BY doc_id
+"""
+
+
 def q_zorder_col(spark, sf_dir):
     """Z-order (Morton) clustering value over two part dimensions —
     the multi-dimensional file-clustering layout (Delta OPTIMIZE ZORDER)
@@ -8434,6 +8542,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # marker.  Keep the marker at EXACTLY 50 entries --
     # tests/test_bare_session.py pins it.
     "vector_index_filtered_emb": q_vector_index_filtered_emb,  # NEW r11: filtered ANN from the IVF index
+    "image_decode_stats_docs": q_image_decode_stats,  # NEW r11: REAL PNG decode, all 5 filters, value-oracled
+    "image_resize_bmp_docs": q_image_resize_bmp,  # NEW r11: REAL decode->resize->BMP->decode chain
+    "audio_wav_stats_docs": q_audio_wav_stats,  # NEW r11: REAL PCM16 WAV decode, value-oracled
     "text_index_phrase_docs": q_text_index_phrase_docs,  # r10 green; textindex.py changed r11 (layout sidecar)
     "stream_rollup_pmanifest_store": q_stream_rollup_pmanifest_store,  # r10 green; partitioned.py changed r11 (staged guard)
     "key_skew_orders": q_key_skew_orders,  # last driver check: r5 (the stalest query)
@@ -8479,11 +8590,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_top5": q_lsh_ann_top5,  # r7; hot-code memo added r11
     "ivf_ann_top5": q_ivf_ann_top5,  # r7; similarity.py changed r11
     "stream_rollup_acid_store": q_stream_rollup_acid_store,  # last driver check: r7
-    "stream_rollup_events": q_stream_rollup_events,  # last driver check: r7
-    "stream_drift_hourly": q_stream_drift_hourly,  # last driver check: r7
-    "url_parse_docs": q_url_parse_docs,  # last driver check: r7
     "vector_index_pq_emb": q_vector_index_pq_emb,  # NEW r11: IVF-PQ ADC serving (rows-only by design)
     # ---- below the 50-slot driver window from here down ----
+    "stream_rollup_events": q_stream_rollup_events,  # r7 green; displaced for the r11 multimodal queries
+    "stream_drift_hourly": q_stream_drift_hourly,  # r7 green; displaced for the r11 multimodal queries
+    "url_parse_docs": q_url_parse_docs,  # r7 green; displaced for the r11 multimodal queries
     "window_running_total": q_window_running_total,  # r7 green; displaced for the r11 PQ query
     # (r10-window greens displaced after their r10 driver pass;
     #  prior relative order preserved below.)
@@ -8842,6 +8953,9 @@ _ORACLES: dict[str, str] = {
     # embedding_near_dup_lsh / ivf_ann_top5 / lsh_ann_top5: approximate →
     # rows-only; recall audited in tests/test_dedup_similarity.py
     "multimodal_features": SQL_MULTIMODAL,
+    "image_decode_stats_docs": SQL_IMAGE_DECODE,
+    "image_resize_bmp_docs": SQL_IMAGE_RESIZE,
+    "audio_wav_stats_docs": SQL_AUDIO_WAV,
     "wrangle_array_ops": SQL_WRANGLE_ARRAY,
     "wrangle_map_ops": SQL_WRANGLE_MAP,
     "wrangle_create_multiple": SQL_WRANGLE_CREATE_MULTIPLE,

@@ -74,6 +74,9 @@ HEADLINE = [
     "multimodal_features",
     "resize_images",
     "sample_frames",
+    "image_decode_stats_docs",
+    "image_resize_bmp_docs",
+    "audio_wav_stats_docs",
     "zorder_col",
     "wrangle_nested_lineitems",
     "wrangle_array_ops",
