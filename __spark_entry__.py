@@ -6548,6 +6548,70 @@ FROM lagged GROUP BY doc_id
 """
 
 
+def q_delta_roundtrip_orders(spark, sf_dir):
+    """Delta Lake interop (sources/delta.py — jar-less implementation
+    of the PUBLIC Delta transaction-log protocol): builds a REAL Delta
+    table in tmp — create (hive-partitioned append) → append →
+    partition-scoped replace_where overwrite → parquet checkpoint →
+    append — then reads the final snapshot back through the
+    checkpoint + tail-JSON replay path and aggregates per partition.
+    The oracle recomputes the identical final state straight from
+    orders, so every log mechanism (add/remove reconciliation,
+    partition values from the log, checkpoint replay, put-if-absent
+    commits) is value-verified.  FLOOR(x*100) cents on both sides —
+    Spark CAST truncates where DuckDB CAST rounds, FLOOR agrees.
+    Scale: log replay is O(commits), pruning happens on log metadata,
+    the data scan is the stock vectorized parquet reader."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.delta import (
+        delta_checkpoint,
+        read_delta,
+        write_delta,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_delta_") + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    write_delta(o, tbl, partition_by=["o_orderstatus"])
+    write_delta(
+        o.filter("o_orderkey % 10 = 0")
+         .withColumn("o_totalprice", F.col("o_totalprice") * 2), tbl)
+    write_delta(
+        o.filter("o_orderstatus = 'F'")
+         .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0),
+        tbl, mode="overwrite", replace_where={"o_orderstatus": "F"})
+    delta_checkpoint(spark, tbl)
+    write_delta(o.filter("o_orderkey % 97 = 0"), tbl)
+    cur = read_delta(spark, tbl)
+    return (cur.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents")))
+
+
+SQL_DELTA_ROUNDTRIP = """
+WITH extra AS (
+  SELECT o_orderstatus, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0
+), repl AS (
+  SELECT o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+  FROM orders WHERE o_orderstatus = 'F'
+), tail AS (
+  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 97 = 0
+), final AS (
+  SELECT o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderstatus <> 'F'
+  UNION ALL SELECT * FROM extra WHERE o_orderstatus <> 'F'
+  UNION ALL SELECT * FROM repl
+  UNION ALL SELECT * FROM tail
+)
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM final GROUP BY o_orderstatus
+"""
+
+
 def q_zorder_col(spark, sf_dir):
     """Z-order (Morton) clustering value over two part dimensions —
     the multi-dimensional file-clustering layout (Delta OPTIMIZE ZORDER)
@@ -8545,6 +8609,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_decode_stats_docs": q_image_decode_stats,  # NEW r11: REAL PNG decode, all 5 filters, value-oracled
     "image_resize_bmp_docs": q_image_resize_bmp,  # NEW r11: REAL decode->resize->BMP->decode chain
     "audio_wav_stats_docs": q_audio_wav_stats,  # NEW r11: REAL PCM16 WAV decode, value-oracled
+    "delta_roundtrip_orders": q_delta_roundtrip_orders,  # NEW r11: Delta-protocol interop, value-oracled
     "text_index_phrase_docs": q_text_index_phrase_docs,  # r10 green; textindex.py changed r11 (layout sidecar)
     "stream_rollup_pmanifest_store": q_stream_rollup_pmanifest_store,  # r10 green; partitioned.py changed r11 (staged guard)
     "key_skew_orders": q_key_skew_orders,  # last driver check: r5 (the stalest query)
@@ -8589,9 +8654,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine_top5": q_knn_cosine_top5,  # r7; similarity.py changed r11
     "lsh_ann_top5": q_lsh_ann_top5,  # r7; hot-code memo added r11
     "ivf_ann_top5": q_ivf_ann_top5,  # r7; similarity.py changed r11
-    "stream_rollup_acid_store": q_stream_rollup_acid_store,  # last driver check: r7
     "vector_index_pq_emb": q_vector_index_pq_emb,  # NEW r11: IVF-PQ ADC serving (rows-only by design)
     # ---- below the 50-slot driver window from here down ----
+    "stream_rollup_acid_store": q_stream_rollup_acid_store,  # r7 green; displaced for the r11 delta query
     "stream_rollup_events": q_stream_rollup_events,  # r7 green; displaced for the r11 multimodal queries
     "stream_drift_hourly": q_stream_drift_hourly,  # r7 green; displaced for the r11 multimodal queries
     "url_parse_docs": q_url_parse_docs,  # r7 green; displaced for the r11 multimodal queries
@@ -8956,6 +9021,7 @@ _ORACLES: dict[str, str] = {
     "image_decode_stats_docs": SQL_IMAGE_DECODE,
     "image_resize_bmp_docs": SQL_IMAGE_RESIZE,
     "audio_wav_stats_docs": SQL_AUDIO_WAV,
+    "delta_roundtrip_orders": SQL_DELTA_ROUNDTRIP,
     "wrangle_array_ops": SQL_WRANGLE_ARRAY,
     "wrangle_map_ops": SQL_WRANGLE_MAP,
     "wrangle_create_multiple": SQL_WRANGLE_CREATE_MULTIPLE,

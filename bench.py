@@ -121,6 +121,7 @@ HEADLINE = [
     "stream_rollup_events",
     "stream_scd2_user_status",
     "compact_roundtrip_orders",
+    "delta_roundtrip_orders",
     "scd2_rebuild_heal",
     "paragraph_dedup_docs",
     "quality_quantile_filter",

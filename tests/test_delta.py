@@ -1,0 +1,290 @@
+"""Delta interop: reader against hand-written (foreign) logs per the
+public protocol spec, writer round-trips, protocol gates, commit races.
+
+The foreign-log tests write ``_delta_log`` JSON by hand — a different
+code path from write_delta — so reader correctness doesn't rest on
+writer self-consistency.
+"""
+
+import json
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wrangle_pypes_spark.sources.delta import (
+    DeltaConcurrentWriteError,
+    DeltaProtocolError,
+    delta_checkpoint,
+    delta_snapshot,
+    read_delta,
+    write_delta,
+)
+
+
+@pytest.fixture
+def tbl(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _commit(table: str, version: int, actions: list) -> None:
+    os.makedirs(os.path.join(table, "_delta_log"), exist_ok=True)
+    p = os.path.join(table, "_delta_log", f"{version:020d}.json")
+    with open(p, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions))
+
+
+def _meta(schema, pcols=()):
+    return {"metaData": {
+        "id": str(uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(schema.jsonValue()),
+        "partitionColumns": list(pcols),
+        "configuration": {},
+    }}
+
+
+_PROTO = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+
+class TestForeignLog:
+    """Reader vs logs written by hand straight from the spec."""
+
+    def test_add_remove_reconciliation(self, spark, tbl):
+        schema = T.StructType([T.StructField("k", T.LongType()),
+                               T.StructField("v", T.StringType())])
+        os.makedirs(tbl, exist_ok=True)
+        for name, lo in (("a.parquet", 0), ("b.parquet", 10)):
+            spark.range(lo, lo + 5).select(
+                F.col("id").alias("k"),
+                F.col("id").cast("string").alias("v")) \
+                .coalesce(1).write.mode("overwrite") \
+                .parquet(os.path.join(tbl, "_stage"))
+            part = next(n for n in os.listdir(os.path.join(tbl, "_stage"))
+                        if n.endswith(".parquet"))
+            os.replace(os.path.join(tbl, "_stage", part),
+                       os.path.join(tbl, name))
+        shutil.rmtree(os.path.join(tbl, "_stage"))
+        _commit(tbl, 0, [_PROTO, _meta(schema),
+                         {"add": {"path": "a.parquet",
+                                  "partitionValues": {}, "size": 1,
+                                  "modificationTime": 0,
+                                  "dataChange": True}}])
+        _commit(tbl, 1, [{"add": {"path": "b.parquet",
+                                  "partitionValues": {}, "size": 1,
+                                  "modificationTime": 0,
+                                  "dataChange": True}}])
+        _commit(tbl, 2, [{"remove": {"path": "a.parquet",
+                                     "dataChange": True}}])
+        assert sorted(r["k"] for r in read_delta(spark, tbl).collect()) \
+            == list(range(10, 15))
+        assert sorted(r["k"] for r in
+                      read_delta(spark, tbl, version=1).collect()) \
+            == list(range(0, 5)) + list(range(10, 15))
+        assert delta_snapshot(spark, tbl).version == 2
+
+    def test_partition_columns_absent_from_data_files(self, spark, tbl):
+        """The Delta norm: data files do NOT contain partition columns;
+        values come from the log, typed per schemaString."""
+        schema = T.StructType([T.StructField("k", T.LongType()),
+                               T.StructField("pday", T.IntegerType())])
+        os.makedirs(os.path.join(tbl, "pday=7"), exist_ok=True)
+        spark.range(0, 4).select(F.col("id").alias("k")) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(tbl, "_stage"))
+        part = next(n for n in os.listdir(os.path.join(tbl, "_stage"))
+                    if n.endswith(".parquet"))
+        os.replace(os.path.join(tbl, "_stage", part),
+                   os.path.join(tbl, "pday=7", "d.parquet"))
+        shutil.rmtree(os.path.join(tbl, "_stage"))
+        _commit(tbl, 0, [_PROTO, _meta(schema, ["pday"]),
+                         {"add": {"path": "pday=7/d.parquet",
+                                  "partitionValues": {"pday": "7"},
+                                  "size": 1, "modificationTime": 0,
+                                  "dataChange": True}}])
+        out = read_delta(spark, tbl)
+        assert out.schema["pday"].dataType == T.IntegerType()
+        assert [(r["k"], r["pday"]) for r in
+                sorted(out.collect(), key=lambda r: r["k"])] \
+            == [(i, 7) for i in range(4)]
+
+    def test_null_partition_value(self, spark, tbl):
+        schema = T.StructType([T.StructField("k", T.LongType()),
+                               T.StructField("p", T.StringType())])
+        spark.range(0, 2).select(F.col("id").alias("k")) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(tbl, "_stage"))
+        part = next(n for n in os.listdir(os.path.join(tbl, "_stage"))
+                    if n.endswith(".parquet"))
+        os.replace(os.path.join(tbl, "_stage", part),
+                   os.path.join(tbl, "d.parquet"))
+        shutil.rmtree(os.path.join(tbl, "_stage"))
+        _commit(tbl, 0, [_PROTO, _meta(schema, ["p"]),
+                         {"add": {"path": "d.parquet",
+                                  "partitionValues": {"p": None},
+                                  "size": 1, "modificationTime": 0,
+                                  "dataChange": True}}])
+        assert all(r["p"] is None
+                   for r in read_delta(spark, tbl).collect())
+
+    def test_protocol_feature_gate(self, spark, tbl):
+        schema = T.StructType([T.StructField("k", T.LongType())])
+        _commit(tbl, 0, [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}},
+            _meta(schema)])
+        with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+            delta_snapshot(spark, tbl)
+
+    def test_column_mapping_gate(self, spark, tbl):
+        schema = T.StructType([T.StructField("k", T.LongType())])
+        m = _meta(schema)
+        m["metaData"]["configuration"] = {
+            "delta.columnMapping.mode": "name"}
+        _commit(tbl, 0, [_PROTO, m])
+        with pytest.raises(DeltaProtocolError, match="column mapping"):
+            delta_snapshot(spark, tbl)
+
+    def test_dv_add_gate(self, spark, tbl):
+        schema = T.StructType([T.StructField("k", T.LongType())])
+        _commit(tbl, 0, [_PROTO, _meta(schema),
+                         {"add": {"path": "x.parquet",
+                                  "partitionValues": {}, "size": 1,
+                                  "dataChange": True,
+                                  "deletionVector": {"storageType": "u"}}}])
+        with pytest.raises(DeltaProtocolError, match="deletion vectors"):
+            delta_snapshot(spark, tbl)
+
+    def test_missing_commit_is_loud(self, spark, tbl):
+        schema = T.StructType([T.StructField("k", T.LongType())])
+        _commit(tbl, 0, [_PROTO, _meta(schema)])
+        _commit(tbl, 2, [{"add": {"path": "x.parquet",
+                                  "partitionValues": {}, "size": 1,
+                                  "dataChange": True}}])
+        with pytest.raises(ValueError, match="missing commit 1"):
+            delta_snapshot(spark, tbl)
+
+    def test_not_a_table(self, spark, tbl):
+        with pytest.raises(FileNotFoundError, match="no commits"):
+            delta_snapshot(spark, tbl)
+
+    def test_bad_version_request(self, spark, tbl):
+        schema = T.StructType([T.StructField("k", T.LongType())])
+        _commit(tbl, 0, [_PROTO, _meta(schema)])
+        with pytest.raises(ValueError, match="not available"):
+            delta_snapshot(spark, tbl, version=5)
+
+
+class TestWriterRoundtrip:
+    def test_append_overwrite_replace_where(self, spark, tbl):
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("bucket"),
+            (F.col("id") * 10).alias("val"))
+        assert write_delta(df, tbl, partition_by=["bucket"]) == 0
+        extra = df.filter("k < 10")
+        assert write_delta(extra, tbl) == 1
+        assert read_delta(spark, tbl).count() == 110
+
+        repl = spark.range(1000, 1003).select(
+            F.col("id").alias("k"), F.lit("1").alias("bucket"),
+            F.lit(0).cast("long").alias("val"))
+        assert write_delta(repl, tbl, mode="overwrite",
+                           replace_where={"bucket": "1"}) == 2
+        out = read_delta(spark, tbl)
+        b1 = out.filter("bucket = '1'")
+        assert sorted(r["k"] for r in b1.collect()) == [1000, 1001, 1002]
+        n_other = 110 - (33 + 3)  # bucket1 had 33 rows (k%3==1) + 3 extras
+        assert out.filter("bucket != '1'").count() == n_other
+
+        # full overwrite
+        assert write_delta(repl, tbl, mode="overwrite") == 3
+        assert read_delta(spark, tbl).count() == 3
+        # time travel still sees every prior state
+        assert read_delta(spark, tbl, version=0).count() == 100
+
+    def test_checkpoint_replay(self, spark, tbl):
+        df = spark.range(0, 20).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("p"))
+        write_delta(df, tbl, partition_by=["p"])
+        write_delta(df.filter("k < 5"), tbl)
+        assert delta_checkpoint(spark, tbl) == 1
+        write_delta(df.filter("k >= 18"), tbl)
+        # force the checkpoint path: delete the pre-checkpoint JSONs
+        for v in (0, 1):
+            os.remove(os.path.join(tbl, "_delta_log",
+                                   f"{v:020d}.json"))
+        assert read_delta(spark, tbl).count() == 20 + 5 + 2
+        snap = delta_snapshot(spark, tbl)
+        assert snap.version == 2 and snap.partition_columns == ["p"]
+
+    def test_partition_filter_pruning(self, spark, tbl):
+        df = spark.range(0, 30).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("p"))
+        write_delta(df, tbl, partition_by=["p"])
+        snap = delta_snapshot(spark, tbl)
+        out = read_delta(spark, tbl, partition_filter={"p": "2"})
+        assert out.count() == 10
+        # the pruned plan reads strictly fewer files than the table has
+        scanned = out.select(
+            F.input_file_name().alias("f")).distinct().count()
+        assert scanned < len(snap.files)
+        with pytest.raises(ValueError, match="not partition columns"):
+            read_delta(spark, tbl, partition_filter={"k": "1"})
+
+    def test_schema_and_partition_guards(self, spark, tbl):
+        df = spark.range(0, 5).select(F.col("id").alias("k"),
+                                      F.lit("x").alias("p"))
+        write_delta(df, tbl, partition_by=["p"])
+        with pytest.raises(ValueError, match="partition_by"):
+            write_delta(df, tbl, partition_by=["k"])
+        with pytest.raises(ValueError, match="schema mismatch"):
+            write_delta(df.select("p", F.col("k").alias("other")), tbl)
+
+    @staticmethod
+    def _steal_next_commit(monkeypatch, tbl, times: int):
+        """Patch the put-if-absent publish so a concurrent writer
+        'wins' the target version `times` times BETWEEN our snapshot
+        read and our publish — the genuine race window."""
+        from wrangle_pypes_spark.sources import delta as dmod
+        real = dmod._create_exclusive
+        state = {"left": times}
+
+        def raced(path, text, spark=None):
+            if state["left"] > 0 and path.endswith(".json"):
+                state["left"] -= 1
+                with open(path, "w") as f:
+                    f.write(json.dumps(
+                        {"commitInfo": {"operation": "WRITE"}}))
+            return real(path, text, spark)
+
+        monkeypatch.setattr(dmod, "_create_exclusive", raced)
+
+    def test_append_race_retries(self, spark, tbl, monkeypatch):
+        df = spark.range(0, 6).select(F.col("id").alias("k"))
+        write_delta(df, tbl)
+        self._steal_next_commit(monkeypatch, tbl, times=2)
+        # loses versions 1 and 2 to the interloper, wins 3
+        assert write_delta(df, tbl) == 3
+        assert read_delta(spark, tbl).count() == 12
+
+    def test_overwrite_race_is_loud(self, spark, tbl, monkeypatch):
+        df = spark.range(0, 6).select(F.col("id").alias("k"))
+        write_delta(df, tbl)
+        self._steal_next_commit(monkeypatch, tbl, times=1)
+        with pytest.raises(DeltaConcurrentWriteError):
+            write_delta(df, tbl, mode="overwrite")
+
+    def test_empty_partition_filter_result(self, spark, tbl):
+        df = spark.range(0, 5).select(
+            F.col("id").alias("k"), F.lit("a").alias("p"))
+        write_delta(df, tbl, partition_by=["p"])
+        out = read_delta(spark, tbl, partition_filter={"p": "zz"})
+        assert out.count() == 0
+        assert out.schema.fieldNames() == ["k", "p"]
