@@ -6612,6 +6612,53 @@ FROM final GROUP BY o_orderstatus
 """
 
 
+def q_iceberg_roundtrip_orders(spark, sf_dir):
+    """Iceberg interop (sources/iceberg.py + the pure-Python Avro codec
+    in sources/avro_io.py): publishes orders as a spec-shaped Iceberg
+    v2 table — identity-partitioned create + append, manifests and
+    manifest lists as real Avro container files — then resolves the
+    current snapshot back through metadata JSON -> manifest-list Avro
+    -> manifest Avro and aggregates.  The hive staging drops the
+    partition column from the data files (the metadata-only case), so
+    the read path must re-attach it typed from manifest partition
+    tuples — the oracle recomputes the identical state from orders.
+    Scale: snapshot resolution is O(manifest entries), never O(rows);
+    the data scan is the stock vectorized parquet reader."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_iceberg_") + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    write_iceberg(o, tbl, partition_by=["o_orderstatus"])
+    write_iceberg(
+        o.filter("o_orderkey % 10 = 0")
+         .withColumn("o_totalprice", F.col("o_totalprice") * 2), tbl)
+    cur = read_iceberg(spark, tbl)
+    return (cur.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents")))
+
+
+SQL_ICEBERG_ROUNDTRIP = """
+WITH extra AS (
+  SELECT o_orderstatus, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0
+), final AS (
+  SELECT o_orderstatus, o_totalprice FROM orders
+  UNION ALL SELECT * FROM extra
+)
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM final GROUP BY o_orderstatus
+"""
+
+
 def q_zorder_col(spark, sf_dir):
     """Z-order (Morton) clustering value over two part dimensions —
     the multi-dimensional file-clustering layout (Delta OPTIMIZE ZORDER)
@@ -8610,6 +8657,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_resize_bmp_docs": q_image_resize_bmp,  # NEW r11: REAL decode->resize->BMP->decode chain
     "audio_wav_stats_docs": q_audio_wav_stats,  # NEW r11: REAL PCM16 WAV decode, value-oracled
     "delta_roundtrip_orders": q_delta_roundtrip_orders,  # NEW r11: Delta-protocol interop, value-oracled
+    "iceberg_roundtrip_orders": q_iceberg_roundtrip_orders,  # NEW r11: Iceberg-spec interop (own Avro codec), value-oracled
     "text_index_phrase_docs": q_text_index_phrase_docs,  # r10 green; textindex.py changed r11 (layout sidecar)
     "stream_rollup_pmanifest_store": q_stream_rollup_pmanifest_store,  # r10 green; partitioned.py changed r11 (staged guard)
     "key_skew_orders": q_key_skew_orders,  # last driver check: r5 (the stalest query)
@@ -8650,12 +8698,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,  # r7; dedup.py changed r11
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,  # r7; guard path changed r11
     "simhash_pairs": q_simhash_pairs,  # r7; dedup.py changed r11
-    "corpus_clean_pipeline": q_corpus_clean_pipeline,  # r7; dedup.py changed r11
     "knn_cosine_top5": q_knn_cosine_top5,  # r7; similarity.py changed r11
     "lsh_ann_top5": q_lsh_ann_top5,  # r7; hot-code memo added r11
     "ivf_ann_top5": q_ivf_ann_top5,  # r7; similarity.py changed r11
     "vector_index_pq_emb": q_vector_index_pq_emb,  # NEW r11: IVF-PQ ADC serving (rows-only by design)
     # ---- below the 50-slot driver window from here down ----
+    "corpus_clean_pipeline": q_corpus_clean_pipeline,  # r7 green; displaced for the r11 iceberg query
     "stream_rollup_acid_store": q_stream_rollup_acid_store,  # r7 green; displaced for the r11 delta query
     "stream_rollup_events": q_stream_rollup_events,  # r7 green; displaced for the r11 multimodal queries
     "stream_drift_hourly": q_stream_drift_hourly,  # r7 green; displaced for the r11 multimodal queries
@@ -9022,6 +9070,7 @@ _ORACLES: dict[str, str] = {
     "image_resize_bmp_docs": SQL_IMAGE_RESIZE,
     "audio_wav_stats_docs": SQL_AUDIO_WAV,
     "delta_roundtrip_orders": SQL_DELTA_ROUNDTRIP,
+    "iceberg_roundtrip_orders": SQL_ICEBERG_ROUNDTRIP,
     "wrangle_array_ops": SQL_WRANGLE_ARRAY,
     "wrangle_map_ops": SQL_WRANGLE_MAP,
     "wrangle_create_multiple": SQL_WRANGLE_CREATE_MULTIPLE,

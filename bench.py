@@ -122,6 +122,7 @@ HEADLINE = [
     "stream_scd2_user_status",
     "compact_roundtrip_orders",
     "delta_roundtrip_orders",
+    "iceberg_roundtrip_orders",
     "scd2_rebuild_heal",
     "paragraph_dedup_docs",
     "quality_quantile_filter",

@@ -120,3 +120,45 @@ def test_vector_index_store_kind_and_describe(spark, tables, tmp_path):
     assert store_kind(bare) == "vectorindex"
     row = describe_store(spark, bare).collect()[0]
     assert row.kind == "vectorindex" and row.version is None
+
+
+def test_delta_store_kind_and_describe(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from wrangle_pypes_spark.sources.catalog import (
+        describe_store,
+        store_kind,
+    )
+    from wrangle_pypes_spark.sources.delta import write_delta
+
+    tbl = str(tmp_path / "dt")
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("p"))
+    write_delta(df, tbl, partition_by=["p"])
+    write_delta(df.filter("k < 5"), tbl)
+    assert store_kind(tbl) == "delta"
+    row = describe_store(spark, tbl).collect()[0]
+    assert row.kind == "delta" and row.version == 1
+    assert row.n_partitions == 4 and row.n_files >= 4
+    assert "partition_by=p" in row.detail
+
+
+def test_iceberg_store_kind_and_describe(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from wrangle_pypes_spark.sources.catalog import (
+        describe_store,
+        store_kind,
+    )
+    from wrangle_pypes_spark.sources.iceberg import write_iceberg
+
+    tbl = str(tmp_path / "ice")
+    df = spark.range(0, 12).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p"))
+    write_iceberg(df, tbl, partition_by=["p"])
+    assert store_kind(tbl) == "iceberg"
+    row = describe_store(spark, tbl).collect()[0]
+    assert row.kind == "iceberg" and row.version == 1
+    assert row.n_partitions == 3 and row.n_files >= 3
+    assert "partition_by=p" in row.detail

@@ -1,0 +1,435 @@
+"""Iceberg read seam + the pure-Python Avro codec under it.
+
+Avro decode correctness is pinned two ways: encoder round-trips AND a
+container file assembled BY HAND from raw bytes straight out of the
+Avro 1.11 spec (magic, metadata map, zigzag varints, deflate block) —
+a path the encoder never touches.  Iceberg fixtures are spec-shaped
+(field names from the Iceberg table spec's manifest/manifest-list
+schemas) so the reader exercises the same shapes a real engine writes.
+"""
+
+import json
+import os
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wrangle_pypes_spark.sources import avro_io as A
+from wrangle_pypes_spark.sources.iceberg import (
+    IcebergProtocolError,
+    iceberg_snapshot,
+    read_iceberg,
+)
+
+
+class TestAvroSpecVectors:
+    def test_zigzag_spec_table(self):
+        # the exact example table from the Avro spec
+        for value, enc in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"),
+                           (-2, b"\x03"), (2, b"\x04"),
+                           (-64, b"\x7f"), (64, b"\x80\x01")]:
+            assert A._zigzag(value) == enc
+            assert A._Reader(enc).read_long() == value
+
+    def test_hand_assembled_container(self):
+        """Decode a container built from raw bytes only — independent
+        of our encoder."""
+        schema = {"type": "record", "name": "t", "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "string"},
+            {"name": "c", "type": ["null", "double"]}]}
+        schema_raw = json.dumps(schema).encode()
+
+        def zz(n):  # local, independent zigzag varint
+            u = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+            out = b""
+            while True:
+                byte = u & 0x7F
+                u >>= 7
+                if u:
+                    out += bytes([byte | 0x80])
+                else:
+                    return out + bytes([byte])
+
+        # two records: (3, "hi", null), (-1, "", 2.5)
+        body = (zz(3) + zz(2) + b"hi" + zz(0)
+                + zz(-1) + zz(0) + zz(1) + struct.pack("<d", 2.5))
+        comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+        payload = comp.compress(body) + comp.flush()
+        sync = bytes(range(16))
+        blob = (b"Obj\x01"
+                + zz(2)  # 2 metadata entries
+                + zz(len(b"avro.schema")) + b"avro.schema"
+                + zz(len(schema_raw)) + schema_raw
+                + zz(len(b"avro.codec")) + b"avro.codec"
+                + zz(len(b"deflate")) + b"deflate"
+                + zz(0)
+                + sync
+                + zz(2) + zz(len(payload)) + payload
+                + sync)
+        got_schema, records = A.read_container(blob)
+        assert got_schema["name"] == "t"
+        assert records == [{"a": 3, "b": "hi", "c": None},
+                           {"a": -1, "b": "", "c": 2.5}]
+
+    def test_corruption_is_loud(self):
+        schema = {"type": "record", "name": "t",
+                  "fields": [{"name": "a", "type": "long"}]}
+        blob = bytearray(A.write_container(schema, [{"a": 1}]))
+        with pytest.raises(A.AvroError, match="magic"):
+            A.read_container(b"Nope" + bytes(blob[4:]))
+        blob[-1] ^= 0xFF  # trailing sync marker
+        with pytest.raises(A.AvroError, match="sync"):
+            A.read_container(bytes(blob))
+
+    def test_unknown_codec_gates(self):
+        schema = {"type": "record", "name": "t",
+                  "fields": [{"name": "a", "type": "long"}]}
+        blob = A.write_container(schema, [{"a": 1}], codec="null")
+        blob = blob.replace(b"null", b"lzo4")
+        with pytest.raises(NotImplementedError, match="lzo4"):
+            A.read_container(blob)
+
+    def test_roundtrip_kitchen_sink(self):
+        schema = {"type": "record", "name": "ks", "fields": [
+            {"name": "i", "type": "int"},
+            {"name": "f", "type": "float"},
+            {"name": "by", "type": "bytes"},
+            {"name": "bo", "type": "boolean"},
+            {"name": "arr", "type": {"type": "array",
+                                     "items": ["null", "long"]}},
+            {"name": "mp", "type": {"type": "map", "values": "string"}},
+            {"name": "en", "type": {"type": "enum", "name": "E",
+                                    "symbols": ["X", "Y", "Z"]}},
+            {"name": "fx", "type": {"type": "fixed", "name": "F8",
+                                    "size": 8}}]}
+        recs = [{"i": -5, "f": 1.5, "by": b"\x00\xff", "bo": True,
+                 "arr": [1, None, 3], "mp": {"k": "v", "": "w"},
+                 "en": "Z", "fx": b"12345678"},
+                {"i": 0, "f": -0.5, "by": b"", "bo": False,
+                 "arr": [], "mp": {}, "en": "X", "fx": b"abcdefgh"}]
+        for codec in ("null", "deflate"):
+            _, out = A.read_container(
+                A.write_container(schema, recs, codec=codec))
+            assert out == recs
+
+
+# --------------------------------------------------------------------------
+# Iceberg fixtures (spec-shaped)
+# --------------------------------------------------------------------------
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ]}
+
+
+def _manifest_schema(partition_fields):
+    return {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102",
+                        "fields": partition_fields}},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ]}}]}
+
+
+def _one_parquet(spark, df, dest: str) -> None:
+    stage = dest + "_stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(n for n in os.listdir(stage) if n.endswith(".parquet"))
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    os.replace(os.path.join(stage, part), dest)
+    import shutil
+    shutil.rmtree(stage)
+
+
+def _write_metadata(tbl, *, schemas, specs, snapshots, current,
+                    version=1, fmt=2):
+    meta = {
+        "format-version": fmt, "table-uuid": "0" * 32, "location": tbl,
+        "last-sequence-number": len(snapshots),
+        "last-updated-ms": 0, "last-column-id": 99,
+        "current-schema-id": 0, "schemas": schemas,
+        "default-spec-id": 0, "partition-specs": specs,
+        "last-partition-id": 1000, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": current, "snapshots": snapshots,
+    }
+    mdir = os.path.join(tbl, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+
+
+_SCHEMA_KP = [{"type": "struct", "schema-id": 0, "fields": [
+    {"id": 1, "name": "k", "required": False, "type": "long"},
+    {"id": 2, "name": "p", "required": False, "type": "int"},
+]}]
+_SPEC_P = [{"spec-id": 0, "fields": [
+    {"name": "p", "transform": "identity", "source-id": 2,
+     "field-id": 1000}]}]
+
+
+def _build_table(spark, tbl, *, embed_partition_col: bool):
+    """Two snapshots: s1 adds files A+B, s2 marks B deleted and adds C.
+    Live at s2: A + C."""
+    pf = [{"name": "p", "type": ["null", "int"]}]
+    data = {}
+    for name, lo, p in (("A", 0, 1), ("B", 100, 2), ("C", 200, 1)):
+        df = spark.range(lo, lo + 5).select(
+            F.col("id").alias("k"), F.lit(p).alias("p"))
+        if not embed_partition_col:
+            df = df.select("k")
+        dest = os.path.join(tbl, "data", f"{name}.parquet")
+        _one_parquet(spark, df, dest)
+        data[name] = (dest, p)
+
+    def entry(name, status):
+        dest, p = data[name]
+        return {"status": status, "snapshot_id": None,
+                "data_file": {"content": 0, "file_path": dest,
+                              "file_format": "PARQUET",
+                              "partition": {"p": p},
+                              "record_count": 5,
+                              "file_size_in_bytes": 1}}
+
+    mdir = os.path.join(tbl, "metadata")
+    m1 = os.path.join(mdir, "m1.avro")
+    A.write_container_file(m1, _manifest_schema(pf),
+                           [entry("A", 1), entry("B", 1)])
+    m2 = os.path.join(mdir, "m2.avro")
+    A.write_container_file(m2, _manifest_schema(pf),
+                           [entry("A", 0), entry("B", 2),
+                            entry("C", 1)])
+
+    def mlist(path, manifests):
+        A.write_container_file(path, _MANIFEST_LIST_SCHEMA, [
+            {"manifest_path": m, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 0,
+             "added_snapshot_id": 1} for m in manifests])
+
+    ml1 = os.path.join(mdir, "snap-1.avro")
+    mlist(ml1, [m1])
+    ml2 = os.path.join(mdir, "snap-2.avro")
+    mlist(ml2, [m2])
+    snapshots = [
+        {"snapshot-id": 1, "sequence-number": 1, "timestamp-ms": 0,
+         "manifest-list": ml1,
+         "summary": {"operation": "append"}},
+        {"snapshot-id": 2, "sequence-number": 2, "timestamp-ms": 0,
+         "manifest-list": ml2,
+         "summary": {"operation": "overwrite"}},
+    ]
+    _write_metadata(tbl, schemas=_SCHEMA_KP, specs=_SPEC_P,
+                    snapshots=snapshots, current=2)
+
+
+class TestIcebergRead:
+    def test_snapshot_resolution_and_read(self, spark, tmp_path):
+        tbl = str(tmp_path / "ice")
+        _build_table(spark, tbl, embed_partition_col=True)
+        snap = iceberg_snapshot(spark, tbl)
+        assert snap.snapshot_id == 2 and len(snap.files) == 2
+        out = read_iceberg(spark, tbl)
+        ks = sorted(r["k"] for r in out.collect())
+        assert ks == list(range(0, 5)) + list(range(200, 205))
+        assert out.schema["p"].dataType == T.IntegerType()
+        # time travel to snapshot 1: A + B live
+        old = read_iceberg(spark, tbl, snapshot_id=1)
+        assert sorted(r["k"] for r in old.collect()) \
+            == list(range(0, 5)) + list(range(100, 105))
+
+    def test_metadata_only_partition_column(self, spark, tmp_path):
+        tbl = str(tmp_path / "ice2")
+        _build_table(spark, tbl, embed_partition_col=False)
+        out = read_iceberg(spark, tbl)
+        rows = sorted((r["k"], r["p"]) for r in out.collect())
+        assert rows == [(k, 1) for k in range(0, 5)] \
+            + [(k, 1) for k in range(200, 205)]
+        assert out.schema["p"].dataType == T.IntegerType()
+
+    def test_format_version_gate(self, spark, tmp_path):
+        tbl = str(tmp_path / "ice3")
+        _write_metadata(tbl, schemas=_SCHEMA_KP, specs=_SPEC_P,
+                        snapshots=[], current=-1, fmt=3)
+        with pytest.raises(IcebergProtocolError, match="format-version"):
+            iceberg_snapshot(spark, tbl)
+
+    def test_delete_manifest_gate(self, spark, tmp_path):
+        tbl = str(tmp_path / "ice4")
+        mdir = os.path.join(tbl, "metadata")
+        ml = os.path.join(mdir, "snap-1.avro")
+        A.write_container_file(ml, _MANIFEST_LIST_SCHEMA, [
+            {"manifest_path": "whatever.avro", "manifest_length": 1,
+             "partition_spec_id": 0, "content": 1,
+             "added_snapshot_id": 1}])
+        _write_metadata(tbl, schemas=_SCHEMA_KP, specs=_SPEC_P,
+                        snapshots=[{"snapshot-id": 1,
+                                    "sequence-number": 1,
+                                    "timestamp-ms": 0,
+                                    "manifest-list": ml,
+                                    "summary": {}}],
+                        current=1)
+        with pytest.raises(IcebergProtocolError,
+                           match="delete manifests"):
+            iceberg_snapshot(spark, tbl)
+
+    def test_delete_file_gate(self, spark, tmp_path):
+        tbl = str(tmp_path / "ice5")
+        mdir = os.path.join(tbl, "metadata")
+        pf = [{"name": "p", "type": ["null", "int"]}]
+        m1 = os.path.join(mdir, "m1.avro")
+        A.write_container_file(m1, _manifest_schema(pf), [
+            {"status": 1, "snapshot_id": None,
+             "data_file": {"content": 2, "file_path": "d.parquet",
+                           "file_format": "PARQUET",
+                           "partition": {"p": 1}, "record_count": 1,
+                           "file_size_in_bytes": 1}}])
+        ml = os.path.join(mdir, "snap-1.avro")
+        A.write_container_file(ml, _MANIFEST_LIST_SCHEMA, [
+            {"manifest_path": m1, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 0,
+             "added_snapshot_id": 1}])
+        _write_metadata(tbl, schemas=_SCHEMA_KP, specs=_SPEC_P,
+                        snapshots=[{"snapshot-id": 1,
+                                    "sequence-number": 1,
+                                    "timestamp-ms": 0,
+                                    "manifest-list": ml,
+                                    "summary": {}}],
+                        current=1)
+        with pytest.raises(IcebergProtocolError,
+                           match="delete files"):
+            iceberg_snapshot(spark, tbl)
+
+    def test_empty_table(self, spark, tmp_path):
+        tbl = str(tmp_path / "ice6")
+        _write_metadata(tbl, schemas=_SCHEMA_KP, specs=_SPEC_P,
+                        snapshots=[], current=-1)
+        out = read_iceberg(spark, tbl)
+        assert out.count() == 0
+        assert out.schema.fieldNames() == ["k", "p"]
+
+    def test_not_a_table(self, spark, tmp_path):
+        with pytest.raises(FileNotFoundError, match="metadata"):
+            iceberg_snapshot(spark, str(tmp_path / "nope"))
+
+    def test_type_conversion(self):
+        from wrangle_pypes_spark.sources.iceberg import _to_spark_type
+        ice = {"type": "struct", "fields": [
+            {"id": 1, "name": "d", "required": True,
+             "type": "decimal(10, 2)"},
+            {"id": 2, "name": "ts", "required": False,
+             "type": "timestamptz"},
+            {"id": 3, "name": "xs", "required": False,
+             "type": {"type": "list", "element-id": 4,
+                      "element": "string",
+                      "element-required": False}},
+            {"id": 5, "name": "m", "required": False,
+             "type": {"type": "map", "key-id": 6, "key": "string",
+                      "value-id": 7, "value": "double",
+                      "value-required": False}},
+            {"id": 8, "name": "fx", "required": False,
+             "type": "fixed[16]"},
+        ]}
+        st = _to_spark_type(ice)
+        assert st["d"].dataType == T.DecimalType(10, 2)
+        assert not st["d"].nullable
+        assert st["ts"].dataType == T.TimestampType()
+        assert st["xs"].dataType == T.ArrayType(T.StringType(), True)
+        assert st["m"].dataType == T.MapType(T.StringType(),
+                                             T.DoubleType(), True)
+        assert st["fx"].dataType == T.BinaryType()
+        with pytest.raises(IcebergProtocolError):
+            _to_spark_type("geometry")
+
+
+class TestIcebergWriter:
+    def test_write_read_roundtrip(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import write_iceberg
+
+        tbl = str(tmp_path / "w1")
+        df = spark.range(0, 60).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).alias("p"),
+            (F.col("id") * 2).alias("v"))
+        s1 = write_iceberg(df, tbl, partition_by=["p"])
+        assert s1 == 1
+        out = read_iceberg(spark, tbl)
+        assert out.count() == 60
+        # hive staging drops partition cols from data files; reader
+        # must reattach them typed from the manifests
+        assert out.schema["p"].dataType == T.LongType()
+        assert out.filter("p = k % 3").count() == 60
+
+        s2 = write_iceberg(df.filter("k < 10"), tbl)
+        assert s2 == 2
+        assert read_iceberg(spark, tbl).count() == 70
+        # snapshot time travel
+        assert read_iceberg(spark, tbl, snapshot_id=s1).count() == 60
+
+        s3 = write_iceberg(df.filter("k >= 50"), tbl, mode="overwrite")
+        assert read_iceberg(spark, tbl).count() == 10
+        assert read_iceberg(spark, tbl, snapshot_id=s2).count() == 70
+        snap = iceberg_snapshot(spark, tbl)
+        assert snap.snapshot_id == s3
+
+    def test_writer_guards(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import write_iceberg
+
+        tbl = str(tmp_path / "w2")
+        df = spark.range(0, 5).select(F.col("id").alias("k"),
+                                      F.lit("a").alias("p"))
+        write_iceberg(df, tbl, partition_by=["p"])
+        with pytest.raises(ValueError, match="partition_by"):
+            write_iceberg(df, tbl, partition_by=["k"])
+        with pytest.raises(ValueError, match="schema mismatch"):
+            write_iceberg(df.select("p", F.col("k").alias("x")), tbl)
+        with pytest.raises(IcebergProtocolError, match="unsupported"):
+            write_iceberg(
+                spark.range(1).select(F.array(F.lit(1)).alias("a")),
+                str(tmp_path / "w3"))
+
+    def test_commit_race_is_loud(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import write_iceberg
+
+        tbl = str(tmp_path / "w4")
+        df = spark.range(0, 5).select(F.col("id").alias("k"))
+        write_iceberg(df, tbl)
+        # steal v2.metadata.json before the writer publishes it
+        from wrangle_pypes_spark.sources import iceberg as imod
+        real = imod._create_exclusive if hasattr(
+            imod, "_create_exclusive") else None
+        from wrangle_pypes_spark.sources import delta as dmod
+        orig = dmod._create_exclusive
+
+        def steal(path, text, spark=None):
+            if path.endswith("v2.metadata.json"):
+                with open(path, "w") as f:
+                    f.write("{}")
+            return orig(path, text, spark)
+
+        import wrangle_pypes_spark.sources.delta
+        try:
+            wrangle_pypes_spark.sources.delta._create_exclusive = steal
+            with pytest.raises(RuntimeError, match="concurrent"):
+                write_iceberg(df, tbl)
+        finally:
+            wrangle_pypes_spark.sources.delta._create_exclusive = orig

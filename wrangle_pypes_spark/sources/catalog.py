@@ -33,7 +33,7 @@ _MANIFEST_RE = re.compile(r"^_m(\d{6})\.json$")
 _ACID_V_RE = re.compile(r"^_v(\d{6})$")
 
 KINDS = ("pmanifest", "vectorindex", "textindex", "manifest", "acid",
-         "zonemap")
+         "zonemap", "delta", "iceberg")
 
 
 def store_kind(path: str, spark=None) -> Optional[str]:
@@ -49,6 +49,16 @@ def store_kind(path: str, spark=None) -> Optional[str]:
     names = set(fsutil.list_dir(path, spark=spark))
     if "_pstore.json" in names:
         return "pmanifest"
+    if "_delta_log" in names:
+        # foreign-format interop (sources/delta.py): the log dir is the
+        # Delta spec's own discriminator
+        return "delta"
+    if "metadata" in names and any(
+            n.endswith(".metadata.json")
+            for n in fsutil.list_dir(path.rstrip("/") + "/metadata",
+                                     spark=spark)):
+        # foreign-format interop (sources/iceberg.py)
+        return "iceberg"
     if "_zonemap.json" in names:
         return "zonemap"
     if "_vindex.json" in names:
@@ -82,7 +92,30 @@ def describe_store(spark: SparkSession, path: str) -> Optional[DataFrame]:
         return None
     version = epoch = n_buckets = n_parts = n_kept = n_files = None
     detail = ""
-    if kind == "acid":
+    if kind == "iceberg":
+        from .iceberg import iceberg_snapshot
+
+        snap = iceberg_snapshot(spark, path)
+        version = int(snap.snapshot_id)
+        n_files = len(snap.files)
+        pcols = [f["name"] for f in snap.partition_spec]
+        n_parts = len({tuple(repr(f["partition"].get(c))
+                             for c in pcols)
+                       for f in snap.files}) if pcols else None
+        detail = "partition_by=" + ",".join(pcols or ["<none>"])
+    elif kind == "delta":
+        from .delta import delta_snapshot
+
+        snap = delta_snapshot(spark, path)
+        version = int(snap.version)
+        n_files = len(snap.files)
+        n_parts = len({tuple((a.get("partitionValues") or {}).get(c)
+                             for c in snap.partition_columns)
+                       for a in snap.files.values()}) \
+            if snap.partition_columns else None
+        detail = ("partition_by="
+                  + ",".join(snap.partition_columns or ["<none>"]))
+    elif kind == "acid":
         from .acid import _existing_versions, acid_current
 
         cur = acid_current(path, spark=spark)

@@ -1,0 +1,523 @@
+"""Apache Iceberg read interop — jar-less, against the PUBLIC Iceberg
+table spec (https://iceberg.apache.org/spec/).
+
+Companion to sources/delta.py: "a user with an existing Iceberg table
+can read it here".  Iceberg's control plane is table-metadata JSON
+(``metadata/v*.metadata.json`` + ``version-hint.text``) pointing at a
+snapshot whose *manifest list* and *manifests* are Avro container
+files — decoded with the self-contained codec in sources/avro_io.py
+(Avro files embed their writer schema, so foreign manifests decode
+without any schema input).  The resolved data files are then read by
+the stock vectorized parquet/orc scan.
+
+The read path is the point — ingesting existing lakehouse tables into
+the pipeline.  A minimal writer (append / full overwrite, identity
+partitioning, spec-shaped v2 metadata with put-if-absent
+``vN.metadata.json`` publish) exists so pipeline outputs can be
+published as Iceberg and so the reader's driver check has a full
+lifecycle to verify; rich write features (row-level deletes, schema
+evolution, compaction) stay with the engine's native stores.
+
+Honest gates (loud, never a silent wrong answer): format-version 3+,
+delete manifests / v2 delete files (position or equality — merging
+them is a row-level anti-join this seam does not implement), data
+formats other than parquet/orc, and non-identity partition columns
+whose values exist only in metadata.
+
+Scale notes: metadata resolution reads JSON + manifest Avro only —
+O(manifest entries), never O(rows) — mirroring Iceberg's own planning
+path; identity-partition columns missing from data files are attached
+per file group from manifest partition tuples (typed literals, no
+shuffle); the data scan itself is the native columnar reader, so
+predicate pushdown / column pruning / AQE all apply downstream.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import fsutil
+from .avro_io import read_container_file
+
+
+class IcebergProtocolError(NotImplementedError):
+    """Table uses spec features this reader does not implement."""
+
+
+@dataclass
+class IcebergSnapshot:
+    path: str
+    snapshot_id: int
+    schema: T.StructType
+    partition_spec: list[dict]
+    files: list[dict] = field(repr=False)  # {path,format,partition,records}
+    metadata: dict = field(default_factory=dict, repr=False)
+
+    @property
+    def file_paths(self) -> list[str]:
+        return sorted(f["path"] for f in self.files)
+
+
+_DECIMAL_RE = re.compile(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
+_FIXED_RE = re.compile(r"^fixed\[(\d+)\]$")
+
+_PRIMITIVE_TYPES = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(),
+    "string": T.StringType(),
+    "uuid": T.StringType(),
+    "binary": T.BinaryType(),
+}
+
+
+def _to_spark_type(ice) -> T.DataType:
+    if isinstance(ice, str):
+        if ice in _PRIMITIVE_TYPES:
+            return _PRIMITIVE_TYPES[ice]
+        m = _DECIMAL_RE.match(ice)
+        if m:
+            return T.DecimalType(int(m.group(1)), int(m.group(2)))
+        m = _FIXED_RE.match(ice)
+        if m:
+            return T.BinaryType()
+        raise IcebergProtocolError(f"iceberg type {ice!r} unsupported")
+    t = ice.get("type")
+    if t == "struct":
+        return T.StructType([
+            T.StructField(f["name"], _to_spark_type(f["type"]),
+                          not f.get("required", False))
+            for f in ice["fields"]])
+    if t == "list":
+        return T.ArrayType(_to_spark_type(ice["element"]),
+                           not ice.get("element-required", False))
+    if t == "map":
+        return T.MapType(_to_spark_type(ice["key"]),
+                         _to_spark_type(ice["value"]),
+                         not ice.get("value-required", False))
+    raise IcebergProtocolError(f"iceberg type {ice!r} unsupported")
+
+
+def _normalize_path(p: str, table: str) -> str:
+    if p.startswith("file:"):
+        return fsutil._strip_file_scheme(p)
+    if "://" in p or os.path.isabs(p):
+        return p
+    return os.path.join(table, p)
+
+
+def _current_metadata_file(table: str, spark) -> str:
+    meta_dir = os.path.join(table, "metadata")
+    hint = fsutil.read_text(os.path.join(meta_dir, "version-hint.text"),
+                            spark)
+    names = fsutil.list_dir(meta_dir, spark)
+    if hint is not None:
+        v = hint.strip()
+        for cand in (f"v{v}.metadata.json",):
+            if cand in names:
+                return os.path.join(meta_dir, cand)
+    # no (or stale) hint: newest by embedded version number — handles
+    # both HadoopCatalog (vN.metadata.json) and object-store layouts
+    # (NNNNN-<uuid>.metadata.json)
+    best, best_v = None, -1
+    for n in names:
+        if not n.endswith(".metadata.json"):
+            continue
+        m = re.match(r"^v?(\d+)", n)
+        v = int(m.group(1)) if m else 0
+        if v > best_v:
+            best, best_v = n, v
+    if best is None:
+        raise FileNotFoundError(
+            f"not an Iceberg table (no metadata json): {table}")
+    return os.path.join(meta_dir, best)
+
+
+def _schema_from_metadata(meta: dict) -> tuple[T.StructType, dict]:
+    """(spark schema, field-id -> name) for the CURRENT schema."""
+    if "schemas" in meta:
+        cur = meta.get("current-schema-id", 0)
+        ice = next(s for s in meta["schemas"]
+                   if s.get("schema-id", 0) == cur)
+    else:
+        ice = meta["schema"]  # format v1
+    by_id = {f["id"]: f["name"] for f in ice["fields"]}
+    return _to_spark_type(ice), by_id
+
+
+def iceberg_snapshot(spark: SparkSession, table: str, *,
+                     snapshot_id: Optional[int] = None
+                     ) -> IcebergSnapshot:
+    """Resolve an Iceberg snapshot to its live data-file list.  Reads
+    metadata JSON + manifest Avro only (O(manifest entries))."""
+    meta_file = _current_metadata_file(table, spark)
+    meta = json.loads(fsutil.read_text(meta_file, spark))
+    fv = int(meta.get("format-version", 1))
+    if fv > 2:
+        raise IcebergProtocolError(
+            f"iceberg format-version {fv} not implemented (v1/v2)")
+    schema, _ = _schema_from_metadata(meta)
+    specs = {s["spec-id"]: s["fields"]
+             for s in meta.get("partition-specs", [])}
+    if not specs and "partition-spec" in meta:  # v1 inline
+        specs = {0: meta["partition-spec"]}
+
+    snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
+    target = (int(snapshot_id) if snapshot_id is not None
+              else meta.get("current-snapshot-id"))
+    if target is None or int(target) == -1 or not snaps:
+        return IcebergSnapshot(table, -1, schema,
+                               specs.get(0, []), [], meta)
+    if int(target) not in snaps:
+        raise ValueError(f"snapshot {target} not in table metadata "
+                         f"(have {sorted(snaps)})")
+    snap = snaps[int(target)]
+
+    if "manifest-list" in snap:
+        ml_path = _normalize_path(snap["manifest-list"], table)
+        _, ml_entries = read_container_file(ml_path, spark)
+    else:  # v1 alternative: inline manifest paths
+        ml_entries = [{"manifest_path": p, "content": 0}
+                      for p in snap.get("manifests", [])]
+
+    files: list[dict] = []
+    spec_fields = specs.get(0, [])
+    for ent in ml_entries:
+        content = int(ent.get("content") or 0)
+        if content == 1:
+            raise IcebergProtocolError(
+                "delete manifests (merge-on-read v2 deletes) not "
+                "implemented — compact the table or read a snapshot "
+                "before the deletes")
+        m_path = _normalize_path(ent["manifest_path"], table)
+        _, entries = read_container_file(m_path, spark)
+        spec_fields = specs.get(
+            int(ent.get("partition_spec_id") or 0), spec_fields)
+        for e in entries:
+            status = int(e.get("status") or 0)
+            if status == 2:  # DELETED
+                continue
+            df_rec = e["data_file"]
+            if int(df_rec.get("content") or 0) != 0:
+                raise IcebergProtocolError(
+                    "v2 delete files not implemented")
+            fmt = str(df_rec.get("file_format") or "PARQUET").lower()
+            if fmt not in ("parquet", "orc"):
+                raise IcebergProtocolError(
+                    f"data file format {fmt!r} unsupported")
+            files.append({
+                "path": _normalize_path(df_rec["file_path"], table),
+                "format": fmt,
+                "partition": dict(df_rec.get("partition") or {}),
+                "records": int(df_rec.get("record_count") or 0),
+            })
+    return IcebergSnapshot(table, int(target), schema, spec_fields,
+                           files, meta)
+
+
+def read_iceberg(spark: SparkSession, table: str, *,
+                 snapshot_id: Optional[int] = None) -> DataFrame:
+    """Read an Iceberg table snapshot as a DataFrame.
+
+    Data files normally embed every column (Iceberg writers store
+    identity-partition columns in the data); when a table carries
+    metadata-only identity partition columns, they are re-attached per
+    file group from the manifest partition tuples.  Non-identity
+    transforms (bucket/truncate/days/…) never lose source columns, so
+    no reconstruction is needed for them."""
+    snap = iceberg_snapshot(spark, table, snapshot_id=snapshot_id)
+    if not snap.files:
+        return spark.createDataFrame([], snap.schema)
+    want = [f.name for f in snap.schema.fields]
+
+    out = None
+    for fmt in ("parquet", "orc"):
+        paths = [f["path"] for f in snap.files if f["format"] == fmt]
+        if not paths:
+            continue
+        d = getattr(spark.read, fmt)(*paths)
+        missing = [c for c in want if c not in d.columns]
+        if missing:
+            d = _attach_identity_partitions(
+                spark, snap, fmt, missing)
+        d = d.select(*[F.col(c).cast(snap.schema[c].dataType)
+                       for c in want])
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def _attach_identity_partitions(spark, snap: IcebergSnapshot,
+                                fmt: str, missing: list[str]):
+    """Metadata-only partition columns: group files by partition tuple
+    and attach typed literals from the manifests (mirrors the Delta
+    reader; one scan per live partition tuple)."""
+    ident = {f["name"] for f in snap.partition_spec
+             if f.get("transform") == "identity"}
+    not_identity = [c for c in missing if c not in ident]
+    if not_identity:
+        raise IcebergProtocolError(
+            f"columns {not_identity} absent from data files and not "
+            "identity partition fields — cannot reconstruct")
+    fields = {f.name: f.dataType for f in snap.schema.fields}
+    groups: dict[tuple, list[str]] = {}
+    pvals: dict[tuple, dict] = {}
+    for f in snap.files:
+        if f["format"] != fmt:
+            continue
+        key = tuple(repr(f["partition"].get(c)) for c in missing)
+        groups.setdefault(key, []).append(f["path"])
+        pvals[key] = f["partition"]
+    parts = []
+    for key in sorted(groups):
+        d = getattr(spark.read, fmt)(*groups[key])
+        for c in missing:
+            v = pvals[key].get(c)
+            d = d.withColumn(c, F.lit(v).cast(fields[c]))
+        parts.append(d)
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# minimal writer (spec-shaped v2: append / full overwrite, identity
+# partitioning) — enough to publish pipeline outputs as Iceberg and to
+# drive the reader's value-oracled check; rich write features
+# (row-level deletes, schema evolution, compaction) stay with the
+# native stores
+# ---------------------------------------------------------------------------
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ]}
+
+_SPARK_TO_ICE = {T.LongType(): "long", T.IntegerType(): "int",
+                 T.StringType(): "string", T.DoubleType(): "double",
+                 T.FloatType(): "float", T.BooleanType(): "boolean",
+                 T.DateType(): "date", T.BinaryType(): "binary"}
+_ICE_TO_AVRO = {"long": "long", "int": "int", "string": "string",
+                "double": "double", "float": "float",
+                "boolean": "boolean"}
+
+
+def _ice_schema_from_spark(schema: T.StructType) -> dict:
+    fields = []
+    for i, f in enumerate(schema.fields):
+        ice = _SPARK_TO_ICE.get(f.dataType)
+        if ice is None:
+            raise IcebergProtocolError(
+                f"write_iceberg: column {f.name!r} type "
+                f"{f.dataType.simpleString()} unsupported by the "
+                "minimal writer")
+        fields.append({"id": i + 1, "name": f.name,
+                       "required": False, "type": ice})
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def _parse_pv(raw: Optional[str], ice_type: str):
+    if raw is None:
+        return None
+    if ice_type in ("int", "long"):
+        return int(raw)
+    if ice_type == "double":
+        return float(raw)
+    if ice_type == "boolean":
+        return raw == "true"
+    return raw
+
+
+def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
+                  partition_by: Optional[list] = None) -> int:
+    """Publish a DataFrame as an Iceberg v2 snapshot; returns the
+    snapshot id.  Append adds a manifest on top of the current
+    snapshot's manifest list; overwrite starts a fresh manifest list
+    (prior snapshots stay time-travelable).  Metadata publish is
+    put-if-absent on ``v{N}.metadata.json`` (the HadoopCatalog commit
+    rule), so racing writers cannot silently clobber each other."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    spark = df.sparkSession
+    mdir = os.path.join(table, "metadata")
+    fsutil.ensure_dir(mdir, spark)
+    try:
+        meta_file = _current_metadata_file(table, spark)
+        meta = json.loads(fsutil.read_text(meta_file, spark))
+        cur_version = int(re.match(
+            r"^v?(\d+)", os.path.basename(meta_file)).group(1))
+    except FileNotFoundError:
+        meta = None
+        cur_version = 0
+
+    if meta is None:
+        partition_by = list(partition_by or [])
+        ice_schema = _ice_schema_from_spark(df.schema)
+        name_to_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
+        spec = [{"name": c, "transform": "identity",
+                 "source-id": name_to_id[c],
+                 "field-id": 1000 + i}
+                for i, c in enumerate(partition_by)]
+        meta = {"format-version": 2,
+                "table-uuid": uuid_hex(table),
+                "location": table, "last-sequence-number": 0,
+                "last-updated-ms": 0,
+                "last-column-id": len(ice_schema["fields"]),
+                "current-schema-id": 0, "schemas": [ice_schema],
+                "default-spec-id": 0,
+                "partition-specs": [{"spec-id": 0, "fields": spec}],
+                "last-partition-id": 1000 + len(spec),
+                "default-sort-order-id": 0,
+                "sort-orders": [{"order-id": 0, "fields": []}],
+                "current-snapshot-id": -1, "snapshots": []}
+    else:
+        schema_struct, _ = _schema_from_metadata(meta)
+        if [f.name for f in df.schema.fields] \
+                != [f.name for f in schema_struct.fields]:
+            raise ValueError(
+                "schema mismatch: write columns "
+                f"{df.schema.fieldNames()} vs table "
+                f"{schema_struct.fieldNames()} (no evolution support)")
+        spec = meta["partition-specs"][0]["fields"]
+        want_p = [f["name"] for f in spec]
+        if partition_by is not None and list(partition_by) != want_p:
+            raise ValueError(f"partition_by {list(partition_by)} != "
+                             f"table's {want_p}")
+        partition_by = want_p
+        ice_schema = next(s for s in meta["schemas"]
+                          if s.get("schema-id", 0)
+                          == meta.get("current-schema-id", 0))
+
+    ice_types = {f["name"]: f["type"] for f in ice_schema["fields"]}
+    # stage parquet data files (hive layout drops partition cols from
+    # the files; the reader re-attaches them from the manifests)
+    import uuid as _uuid
+    staging = os.path.join(table, f"_staging_{_uuid.uuid4().hex}")
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
+    entries = []
+    data_dir = os.path.join(table, "data")
+    fsutil.ensure_dir(data_dir, spark)
+
+    def _walk(rel: str) -> None:
+        full = os.path.join(staging, rel) if rel else staging
+        for name in fsutil.list_dir(full, spark):
+            child_rel = os.path.join(rel, name) if rel else name
+            child = os.path.join(staging, child_rel)
+            if name.endswith(".parquet"):
+                pv = {}
+                for seg in child_rel.split(os.sep)[:-1]:
+                    if "=" in seg:
+                        k, v = seg.split("=", 1)
+                        pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" \
+                            else v
+                dest = os.path.join(
+                    data_dir, f"d-{_uuid.uuid4().hex}.parquet")
+                fsutil.rename(child, dest, spark)
+                entries.append({
+                    "status": 1, "snapshot_id": None,
+                    "data_file": {
+                        "content": 0, "file_path": dest,
+                        "file_format": "PARQUET",
+                        "partition": {
+                            c: _parse_pv(pv.get(c), ice_types[c])
+                            for c in partition_by},
+                        "record_count": 0,
+                        "file_size_in_bytes": int(
+                            os.path.getsize(
+                                fsutil._strip_file_scheme(dest))
+                            if fsutil.is_local(dest) else 0),
+                    }})
+            elif "." not in name or "=" in name:
+                _walk(child_rel)
+
+    _walk("")
+    fsutil.delete(staging, spark=spark)
+
+    from .avro_io import write_container_file
+    snap_id = (max((int(s["snapshot-id"])
+                    for s in meta["snapshots"]), default=0) + 1)
+    part_avro_fields = []
+    for c in partition_by:
+        avro_t = _ICE_TO_AVRO.get(ice_types[c])
+        if avro_t is None:
+            raise IcebergProtocolError(
+                f"partition column {c!r} type {ice_types[c]!r} "
+                "unsupported by the minimal writer")
+        part_avro_fields.append({"name": c, "type": ["null", avro_t]})
+    manifest_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102",
+                        "fields": part_avro_fields}},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ]}}]}
+    m_path = os.path.join(mdir, f"m-{_uuid.uuid4().hex}.avro")
+    write_container_file(m_path, manifest_schema, entries)
+
+    prev_manifests = []
+    if mode == "append" and meta.get("current-snapshot-id", -1) != -1:
+        cur_snap = next(s for s in meta["snapshots"]
+                        if s["snapshot-id"]
+                        == meta["current-snapshot-id"])
+        _, prev = read_container_file(
+            _normalize_path(cur_snap["manifest-list"], table), spark)
+        prev_manifests = prev
+    ml_entries = prev_manifests + [{
+        "manifest_path": m_path, "manifest_length": 1,
+        "partition_spec_id": 0, "content": 0,
+        "added_snapshot_id": snap_id}]
+    ml_path = os.path.join(mdir, f"snap-{snap_id}-{_uuid.uuid4().hex}.avro")
+    write_container_file(ml_path, _MANIFEST_LIST_SCHEMA, ml_entries)
+
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    meta["snapshots"] = meta["snapshots"] + [{
+        "snapshot-id": snap_id, "sequence-number": seq,
+        "timestamp-ms": 0, "manifest-list": ml_path,
+        "summary": {"operation": mode}}]
+    meta["current-snapshot-id"] = snap_id
+    meta["last-sequence-number"] = seq
+    new_version = cur_version + 1
+    new_meta_path = os.path.join(mdir, f"v{new_version}.metadata.json")
+    from .delta import _create_exclusive
+    if not _create_exclusive(new_meta_path, json.dumps(meta), spark):
+        raise RuntimeError(
+            f"concurrent iceberg commit won v{new_version}; re-run")
+    fsutil.write_text_atomic(
+        os.path.join(mdir, "version-hint.text"), str(new_version),
+        spark)
+    return snap_id
+
+
+def uuid_hex(seed: str) -> str:
+    """Deterministic table uuid from the location (no RNG: keeps
+    fixture builds reproducible)."""
+    import hashlib
+    return hashlib.md5(seed.encode()).hexdigest()
