@@ -807,3 +807,42 @@ def test_decode_image_stats_corrupt_payload_is_loud(spark):
     bad = spark.createDataFrame([(1, bytearray(b"not an image"))], schema)
     with _pytest.raises(Exception, match="unrecognized image payload"):
         decode_image_stats(bad).collect()
+
+
+def test_extract_features_real_image_and_audio(spark):
+    """decode='auto': sniffable payloads get REAL features; unknown
+    bytes keep the pinned legacy byte-histogram."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from wrangle_pypes_spark.operators import codecs as C
+    from wrangle_pypes_spark.operators.multimodal import (
+        _byte_histogram_feature,
+        audio_feature,
+        extract_features,
+        image_feature,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (9, 13, 3)).astype(np.uint8)
+    wav = rng.randint(-32768, 32768, 512).astype(np.int16)
+    text = b"just some text bytes, not a container"
+    schema = T.StructType([
+        T.StructField("content_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    df = spark.createDataFrame(
+        [(1, bytearray(C.png_encode(img))),
+         (2, bytearray(C.wav_encode(wav, rate=8000))),
+         (3, bytearray(text))], schema)
+    rows = {r["content_id"]: r for r in extract_features(df).collect()}
+    assert np.allclose(rows[1]["feature"], image_feature(img))
+    assert len(rows[1]["feature"]) == 16
+    assert np.allclose(rows[2]["feature"], audio_feature(wav, 8000))
+    assert len(rows[2]["feature"]) == 8
+    assert rows[3]["feature"] == _byte_histogram_feature(text)
+    # decode='off' forces legacy everywhere (old behavior exactly)
+    off = {r["content_id"]: r for r in
+           extract_features(df, decode="off").collect()}
+    assert off[1]["feature"] == _byte_histogram_feature(
+        bytes(C.png_encode(img)))

@@ -62,28 +62,93 @@ def attach_binary_payload(df: DataFrame, src_col: str, *,
     )
 
 
-def extract_features(df: DataFrame, *, batch_limit: int = 1024) -> DataFrame:
+def _byte_histogram_feature(payload: bytes) -> list:
+    """Legacy fallback feature for UNRECOGNIZED payloads: byte
+    histogram folded to 8 buckets, L1-normalized.  Pinned — the
+    ``multimodal_features`` driver query hashes it."""
+    if payload is None:
+        return [0.0] * 8
+    buckets = [0] * 8
+    for by in payload:
+        buckets[by % 8] += 1
+    total = sum(buckets) or 1
+    return [b / total for b in buckets]
+
+
+def image_feature(arr) -> list:
+    """REAL 16-dim image descriptor from decoded pixels (the pre-
+    embedding signal dedup/ANN stages consume): per-channel mean and
+    std scaled to [0,1] (gray replicated), an 8-bucket luminance
+    histogram (L1-normalized), aspect w/(w+h), and channels/4."""
+    import numpy as np
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    px = arr.reshape(-1, ch).astype(np.float64)
+    means = px.mean(axis=0) / 255.0
+    stds = px.std(axis=0) / 255.0
+    if ch == 1:
+        means = np.repeat(means, 3)
+        stds = np.repeat(stds, 3)
+    lum = px.mean(axis=1)
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 256.0))
+    hist = hist / max(int(hist.sum()), 1)
+    return ([float(v) for v in means[:3]] + [float(v) for v in stds[:3]]
+            + [float(v) for v in hist]
+            + [w / (w + h), ch / 4.0])
+
+
+def audio_feature(samples, rate: int) -> list:
+    """REAL 8-dim PCM descriptor: rms/peak/mean scaled by 2^15,
+    zero-crossing rate, and 4 L1-normalized rfft band energies."""
+    import numpy as np
+    mono = samples if samples.ndim == 1 else samples[:, 0]
+    s = mono.astype(np.float64)
+    n = max(len(s), 1)
+    nn = s >= 0
+    zcr = float((nn[1:] != nn[:-1]).sum()) / max(n - 1, 1)
+    spec = np.abs(np.fft.rfft(s))
+    bands = np.array_split(spec, 4)
+    energy = np.array([float(b.sum()) for b in bands])
+    energy = energy / max(float(energy.sum()), 1e-12)
+    return [float(np.sqrt((s * s).mean()) / 32768.0),
+            float(np.abs(s).max(initial=0.0) / 32768.0),
+            float(s.mean() / 32768.0), zcr] + [float(v) for v in energy]
+
+
+def extract_features(df: DataFrame, *, batch_limit: int = 1024,
+                     decode: str = "auto") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    STUB: real decode (PIL/ffmpeg/torchvision) is unavailable in this
-    container.  The stub derives a deterministic 8-dim feature from the
-    payload bytes so the full pipeline (schema, batching, hashing,
-    downstream joins) is exercised end-to-end.  Swap ``_fake_feature``
-    for the real decoder in production — the Spark plumbing is final.
+    ``decode='auto'`` (default): payloads that sniff as a
+    container-native format get REAL features — PNG/BMP/PNM decode to
+    pixels -> :func:`image_feature` (16-dim), WAV decodes to samples ->
+    :func:`audio_feature` (8-dim) — via operators/codecs.py; anything
+    unrecognized falls back to the pinned legacy byte-histogram (8-dim),
+    which keeps the existing driver oracle byte-stable for non-media
+    payloads.  ``decode='off'`` forces the legacy path everywhere.
+    Formats needing external codec libraries (jpeg/webp) raise loudly
+    per codecs.py rather than silently degrading to the fallback.
     """
-
-    def _fake_feature(payload: bytes) -> list[float]:
-        # Deterministic stand-in for an image embedding: byte histogram
-        # folded to 8 buckets, L1-normalized.
-        if payload is None:
-            return [0.0] * 8
-        buckets = [0] * 8
-        for by in payload:
-            buckets[by % 8] += 1
-        total = sum(buckets) or 1
-        return [b / total for b in buckets]
+    if decode not in ("auto", "off"):
+        raise ValueError(f"decode must be auto|off, got {decode!r}")
 
     import hashlib
+
+    from . import codecs
+
+    def _feature(payload):
+        if payload is None or decode == "off":
+            return _byte_histogram_feature(payload)
+        fmt = codecs.sniff_format(payload)
+        if fmt in ("png", "bmp", "ppm", "pgm"):
+            return image_feature(codecs.image_decode(bytes(payload)))
+        if fmt == "wav":
+            samples, rate = codecs.wav_decode(bytes(payload))
+            return audio_feature(samples, rate)
+        if fmt in ("jpeg", "webp"):
+            codecs.image_decode(bytes(payload))  # raises the loud gate
+        return _byte_histogram_feature(payload)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -96,7 +161,7 @@ def extract_features(df: DataFrame, *, batch_limit: int = 1024) -> DataFrame:
                     "content_hash": payloads.map(
                         lambda b: hashlib.md5(b or b"").hexdigest()),
                     "byte_len": payloads.map(lambda b: len(b or b"")),
-                    "feature": payloads.map(_fake_feature),
+                    "feature": payloads.map(_feature),
                 })
 
     return df.mapInPandas(_batches, schema=FEATURE_SCHEMA)
