@@ -288,3 +288,37 @@ class TestWriterRoundtrip:
         out = read_delta(spark, tbl, partition_filter={"p": "zz"})
         assert out.count() == 0
         assert out.schema.fieldNames() == ["k", "p"]
+
+
+class TestHistoryAndVacuum:
+    def test_history_and_vacuum(self, spark, tbl):
+        df = spark.range(0, 30).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("p"))
+        write_delta(df, tbl, partition_by=["p"])
+        write_delta(df.filter("k < 6"), tbl)
+        write_delta(df.filter("k >= 24"), tbl, mode="overwrite")
+
+        from wrangle_pypes_spark.sources.delta import (
+            delta_history,
+            delta_vacuum,
+        )
+
+        hist = delta_history(spark, tbl)
+        assert [h["version"] for h in hist] == [2, 1, 0]
+        assert hist[0]["operation"] == "OVERWRITE"
+        assert hist[0]["n_removed"] > 0
+        assert hist[2]["operation"] == "WRITE"
+
+        # time travel works pre-vacuum
+        assert read_delta(spark, tbl, version=1).count() == 36
+        n_live = len(delta_snapshot(spark, tbl).files)
+        deleted = delta_vacuum(spark, tbl)
+        assert deleted > 0
+        # current snapshot unaffected; old version's files are gone
+        assert read_delta(spark, tbl).count() == 6
+        assert len(delta_snapshot(spark, tbl).files) == n_live
+        with pytest.raises(Exception):
+            read_delta(spark, tbl, version=1).count()
+        # idempotent
+        assert delta_vacuum(spark, tbl) == 0

@@ -581,3 +581,64 @@ def delta_checkpoint(spark: SparkSession, table: str) -> int:
         json.dumps({"version": snap.version, "size": len(rows)}),
         spark)
     return snap.version
+
+
+def delta_history(spark: SparkSession, table: str) -> list[dict]:
+    """Commit history, newest first (the DESCRIBE HISTORY surface):
+    one dict per version with the commitInfo action (if any) plus
+    add/remove counts.  Reads the log only."""
+    log_names = fsutil.list_dir(os.path.join(table, _LOG_DIR), spark)
+    out = []
+    for n in sorted(log_names, reverse=True):
+        if not (n.endswith(".json") and n[:20].isdigit()):
+            continue
+        text = fsutil.read_text(_log_path(table, n), spark) or ""
+        info, n_add, n_remove = {}, 0, 0
+        for line in text.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "commitInfo" in action:
+                info = action["commitInfo"]
+            elif "add" in action:
+                n_add += 1
+            elif "remove" in action:
+                n_remove += 1
+        out.append({"version": int(n[:20]),
+                    "operation": info.get("operation"),
+                    "engineInfo": info.get("engineInfo"),
+                    "n_added": n_add, "n_removed": n_remove})
+    return out
+
+
+def delta_vacuum(spark: SparkSession, table: str) -> int:
+    """Delete data files not referenced by the CURRENT snapshot —
+    removed-by-overwrite files and crash orphans from writes that
+    never committed.  Returns the number of files deleted.
+
+    Same contract as Delta's VACUUM with retention elapsed: time
+    travel to versions whose files are dropped stops working (the log
+    itself is kept, so history/metadata remain readable).  Walks the
+    table's data directories; never touches ``_delta_log``."""
+    snap = delta_snapshot(spark, table)
+    live = {a["path"] for a in snap.files.values()}
+    deleted = 0
+
+    def _walk(rel: str) -> None:
+        nonlocal deleted
+        full = os.path.join(table, rel) if rel else table
+        for name in fsutil.list_dir(full, spark):
+            if name == _LOG_DIR:
+                continue
+            child_rel = (os.path.join(rel, name) if rel else name)
+            child = os.path.join(table, child_rel)
+            if name.endswith(".parquet"):
+                if child_rel.replace(os.sep, "/") not in live:
+                    fsutil.delete(child, spark=spark)
+                    deleted += 1
+            elif "=" in name or "." not in name:
+                _walk(child_rel)
+
+    _walk("")
+    return deleted
