@@ -2077,15 +2077,38 @@ FROM customer
 
 
 def q_grouped_ewma(spark, sf_dir):
-    """Per-user EWMA over event values (applyInPandas grouped map);
-    recursive along time → not SQL-expressible → rows-only; exactness
-    vs a python replica is pinned in tests/test_relational.py."""
+    """Per-user EWMA over event values (applyInPandas grouped map).
+
+    VALUE-ORACLED as of r11: DuckDB's ``list_reduce`` lambda replays
+    the identical recursion (y_0 = x_0; y_t = a*x_t + (1-a)*y_{t-1})
+    per ordered prefix — O(n_k^2) per key, fine at oracle scale.  The
+    6-decimal rounding absorbs the last-ulp difference between
+    pandas' ewm kernel and the naive fold (~1e-16 relative vs the
+    5e-7 quantum).  The python replica in tests/test_relational.py
+    still pins the operator independently."""
     from wrangle_pypes_spark.operators.timeseries import grouped_ewma
 
     e = _t(spark, sf_dir, "events")
     out = grouped_ewma(e, key_col="user_id", ts_col="ts",
                        value_col="value", alpha=0.3)
     return out.select("user_id", "ts", F.round("ewma", 6).alias("ewma"))
+
+
+SQL_GROUPED_EWMA = """
+WITH g AS (
+  SELECT user_id,
+         list(ts ORDER BY ts, value) AS tss,
+         list(value ORDER BY ts, value) AS vs
+  FROM events GROUP BY user_id
+), x AS (
+  SELECT user_id, tss,
+         list_transform(range(1, len(vs) + 1),
+            i -> list_reduce(vs[1:i],
+                             (acc, v) -> 0.3*v + 0.7*acc)) AS es
+  FROM g
+)
+SELECT user_id, unnest(tss) AS ts, ROUND(unnest(es), 6) AS ewma FROM x
+"""
 
 
 def q_udtf_chunk_text(spark, sf_dir):
@@ -7319,10 +7342,19 @@ def q_pagerank_trade_graph(spark, sf_dir):
     """PageRank centrality (operators/graph.py ``pagerank``) over the
     customer-nation -> supplier-nation trade graph (distinct edges via
     the q7 join path).  Iterative with per-round localCheckpoint and
-    dangling-mass redistribution; float sums are reduction-order
-    dependent, so the driver check is rows-only by design — exact
-    semantics are pinned by the python-replica test in
-    tests/test_relational.py."""
+    dangling-mass redistribution.
+
+    VALUE-ORACLED as of r11: DuckDB supports aggregation inside
+    recursive CTEs, so the oracle replays the identical damped
+    iteration (dangling mass via a window over the single working-
+    table scan) for the same 50 rounds.  The 6-decimal rounding makes
+    the check robust to cross-engine float-reduction-order drift
+    (~1e-13 after 50 rounds) AND to the tol early-stop: once the L1
+    delta is below tol=1e-9, further rounds move any rank by at most
+    delta/(1-damping) ~ 7e-9, far inside the 5e-7 rounding quantum,
+    so a different stopping round cannot flip a rounded value.
+    The python-replica test in tests/test_relational.py still pins
+    the operator semantics independently."""
     from wrangle_pypes_spark.operators import pagerank
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
@@ -7343,6 +7375,48 @@ def q_pagerank_trade_graph(spark, sf_dir):
                      max_iter=50, tol=1e-9)
     return ranks.select("node", F.round("rank", 6).alias("rank_r")) \
                 .orderBy("node")
+
+SQL_PAGERANK = """
+WITH RECURSIVE
+e0 AS (
+  SELECT DISTINCT cn.n_name AS s, sn.n_name AS d
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier sup ON l.l_suppkey = sup.s_suppkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN nation sn ON sup.s_nationkey = sn.n_nationkey
+),
+outdeg AS (SELECT s, COUNT(*)::DOUBLE AS deg FROM e0 GROUP BY s),
+ewd AS (SELECT e0.s, e0.d, o.deg FROM e0 JOIN outdeg o ON e0.s = o.s),
+-- NOTE: explicit DISTINCT over UNION ALL; under WITH RECURSIVE DuckDB
+-- gives plain UNION between anchor-less selects bag semantics
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT s AS node FROM e0 UNION ALL SELECT d FROM e0)),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+it(i, node, rank) AS (
+  SELECT 0, node, 1.0/(SELECT n FROM nn) FROM nodes
+  UNION ALL
+  SELECT i2 + 1, node,
+         0.15/(SELECT n FROM nn)
+           + 0.85*(COALESCE(cv, 0.0) + dm2/(SELECT n FROM nn))
+  FROM (
+    SELECT n.node, a.cv, MAX(a.dm) OVER () AS dm2, MAX(a.i) OVER () AS i2
+    FROM nodes n LEFT JOIN (
+      SELECT d, SUM(rank / deg) AS cv, MAX(dm) AS dm, MAX(i) AS i
+      FROM (
+        SELECT c.i, c.rank, w.d, w.deg,
+               SUM(CASE WHEN w.d IS NULL THEN c.rank ELSE 0 END)
+                   OVER () AS dm
+        FROM it c LEFT JOIN ewd w ON c.node = w.s
+      ) GROUP BY d
+    ) a ON n.node = a.d
+  ) WHERE i2 < 50
+)
+SELECT node, ROUND(rank, 6) AS rank_r FROM it
+QUALIFY i = MAX(i) OVER ()
+"""
+
 
 
 
@@ -9065,6 +9139,8 @@ _ORACLES: dict[str, str] = {
     "embedding_near_dup": SQL_EMB_NEAR_DUP,
     # embedding_near_dup_lsh / ivf_ann_top5 / lsh_ann_top5: approximate →
     # rows-only; recall audited in tests/test_dedup_similarity.py
+    "pagerank_trade_graph": SQL_PAGERANK,
+    "grouped_ewma": SQL_GROUPED_EWMA,
     "multimodal_features": SQL_MULTIMODAL,
     "image_decode_stats_docs": SQL_IMAGE_DECODE,
     "image_resize_bmp_docs": SQL_IMAGE_RESIZE,
