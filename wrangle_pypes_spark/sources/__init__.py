@@ -9,6 +9,9 @@ payload parsing for dynamic columns).
 
 from .acid import (acid_commit, acid_current, acid_read, acid_vacuum)
 from .catalog import describe_store, store_kind
+from .delta import (delta_checkpoint, delta_history, delta_snapshot,
+                    delta_vacuum, read_delta, write_delta)
+from .iceberg import (iceberg_snapshot, read_iceberg, write_iceberg)
 from .manifest import (manifest_changes, manifest_current,
                        manifest_merge, manifest_merge_into,
                        manifest_read,
@@ -35,7 +38,10 @@ from .tables import (TABLES, ensure_session_confs, infer_json_schema,
                      read_binary_files, read_csv, read_jsonl, read_text)
 
 __all__ = ("TABLES", "acid_commit", "acid_current", "acid_read",
-           "acid_vacuum", "describe_store",
+           "acid_vacuum", "delta_checkpoint", "delta_history",
+           "delta_snapshot", "delta_vacuum", "describe_store",
+           "iceberg_snapshot", "read_delta", "read_iceberg",
+           "write_delta", "write_iceberg",
            "ensure_session_confs", "infer_json_schema",
            "load_star_schema", "load_table",
            "manifest_changes",
