@@ -433,3 +433,41 @@ class TestIcebergWriter:
                 write_iceberg(df, tbl)
         finally:
             wrangle_pypes_spark.sources.delta._create_exclusive = orig
+
+
+class TestAvroSnappy:
+    def test_snappy_container_decodes(self):
+        """A snappy container hand-assembled per spec (raw-snappy block
+        + CRC32 suffix) — real Iceberg writers commonly use snappy."""
+        import pyarrow as pa
+
+        schema = {"type": "record", "name": "t", "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "string"}]}
+        recs = [{"a": 1, "b": "x"}, {"a": -2, "b": "yy"}]
+        body = b"".join(
+            A._zigzag(r["a"]) + A._zigzag(len(r["b"]))
+            + r["b"].encode() for r in recs)
+        payload = (pa.Codec("snappy").compress(body, asbytes=True)
+                   + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+        schema_raw = json.dumps(schema).encode()
+        sync = bytes(range(16))
+        blob = (b"Obj\x01" + A._zigzag(2)
+                + A._zigzag(11) + b"avro.schema"
+                + A._zigzag(len(schema_raw)) + schema_raw
+                + A._zigzag(10) + b"avro.codec"
+                + A._zigzag(6) + b"snappy"
+                + A._zigzag(0) + sync
+                + A._zigzag(2) + A._zigzag(len(payload)) + payload
+                + sync)
+        _, out = A.read_container(blob)
+        assert out == recs
+
+    def test_snappy_crc_mismatch_is_loud(self):
+        import pyarrow as pa
+
+        body = b"payload bytes here"
+        bad = (pa.Codec("snappy").compress(body, asbytes=True)
+               + struct.pack(">I", 0))
+        with pytest.raises(A.AvroError, match="CRC"):
+            A._decompress(bad, "snappy")

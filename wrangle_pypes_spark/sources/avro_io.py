@@ -210,11 +210,25 @@ def _decompress(block: bytes, codec: str) -> bytes:
     if codec == "snappy":
         try:
             import pyarrow as pa
-            return pa.Codec("snappy").decompress(
-                block[:-4], as_buffer=False)
+            # raw snappy leads with the uncompressed length as a
+            # base-128 varint; pyarrow wants it passed explicitly
+            size, shift = 0, 0
+            for i, b in enumerate(block):
+                size |= (b & 0x7F) << shift
+                if not (b & 0x80):
+                    break
+                shift += 7
+            out = pa.Codec("snappy").decompress(
+                block[:-4], decompressed_size=size)
+            out = out.to_pybytes() if hasattr(out, "to_pybytes") \
+                else bytes(out)
         except Exception as e:  # pragma: no cover - env-dependent
             raise NotImplementedError(
                 f"avro snappy codec unavailable: {e}") from e
+        if zlib.crc32(out) & 0xFFFFFFFF != struct.unpack(
+                ">I", block[-4:])[0]:
+            raise AvroError("avro snappy block CRC mismatch")
+        return out
     raise NotImplementedError(f"avro codec {codec!r} not implemented")
 
 
