@@ -322,3 +322,39 @@ class TestHistoryAndVacuum:
             read_delta(spark, tbl, version=1).count()
         # idempotent
         assert delta_vacuum(spark, tbl) == 0
+
+
+class TestHiveFastPath:
+    def test_fast_path_single_scan_and_log_authority(self, spark, tbl):
+        """write_delta's hive layout takes the basePath fast path (no
+        per-partition unions in the plan); a log/path disagreement
+        falls back to the union path where the LOG wins."""
+        df = spark.range(0, 40).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("string").alias("p"))
+        write_delta(df, tbl, partition_by=["p"])
+        out = read_delta(spark, tbl)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Union" not in plan  # single scan
+        assert out.count() == 40
+        assert out.filter("p = CAST(k % 4 AS STRING)").count() == 40
+
+        # sabotage one add's partitionValues in a fresh commit: path
+        # says p=0, log says p=9 -> fast path must refuse, union path
+        # must surface the LOG value
+        snap = delta_snapshot(spark, tbl)
+        victim = next(a for a in snap.files.values()
+                      if a["partitionValues"].get("p") == "0")
+        import json as _json
+        actions = [
+            {"remove": {"path": victim["path"], "dataChange": True}},
+            {"add": {**victim, "partitionValues": {"p": "9"}}},
+        ]
+        _commit(tbl, snap.version + 1,
+                [_json.loads(_json.dumps(a)) for a in actions])
+        out2 = read_delta(spark, tbl)
+        plan2 = out2._jdf.queryExecution().executedPlan().toString()
+        assert "Union" in plan2  # fell back
+        assert out2.filter("p = '9'").count() > 0
+        assert out2.filter("p = '0'").count() \
+            < out.filter("p = '0'").count() + 1

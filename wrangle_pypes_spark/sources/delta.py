@@ -287,6 +287,31 @@ def delta_snapshot(spark: SparkSession, table: str, *,
         metadata=state["meta"])
 
 
+def _hive_consistent(adds: list, pcols: list) -> bool:
+    """True when every add's relative path carries hive segments that
+    EXACTLY match its log partitionValues for all partition columns —
+    the precondition for the single-scan basePath fast path."""
+    from urllib.parse import unquote
+    for a in adds:
+        pv = a.get("partitionValues") or {}
+        segs = {}
+        for seg in a["path"].split("/")[:-1]:
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                segs[k] = unquote(v)
+        for c in pcols:
+            sv = segs.get(c)
+            if sv is None:
+                return False
+            v = pv.get(c)
+            if sv == _HIVE_NULL:
+                if v is not None and v != _HIVE_NULL:
+                    return False
+            elif v is None or sv != str(v):
+                return False
+    return True
+
+
 def _partition_expr(value: Optional[str], dtype: T.DataType):
     """A log partitionValue (string or null) as a typed literal column
     (spec: values are serialized strings; null encodes missing)."""
@@ -328,6 +353,18 @@ def read_delta(spark: SparkSession, table: str, *,
 
     if not adds:
         return spark.createDataFrame([], snap.schema)
+
+    # Fast path: when every add's path is hive-laid-out AND the dir
+    # segments agree with the LOG's partitionValues (the log stays
+    # authoritative — any disagreement falls back), one basePath scan
+    # reads all files with partition columns inferred per the provided
+    # schema.  This is the 10k-partition-safe shape: no per-partition
+    # DataFrame unions in the driver plan.
+    if pcols and _hive_consistent(adds, pcols):
+        d = (spark.read.schema(snap.schema)
+             .option("basePath", table)
+             .parquet(*[os.path.join(table, a["path"]) for a in adds]))
+        return d.select([f.name for f in snap.schema.fields])
 
     # group by partition tuple; each group is one parquet scan with the
     # log-typed partition literals attached
