@@ -471,3 +471,20 @@ class TestAvroSnappy:
                + struct.pack(">I", 0))
         with pytest.raises(A.AvroError, match="CRC"):
             A._decompress(bad, "snappy")
+
+
+def test_iceberg_fast_path_no_unions(spark, tmp_path):
+    """Writer-produced tables (hive segments under data/) read as ONE
+    basePath scan — no per-partition unions in the driver plan."""
+    from wrangle_pypes_spark.sources.iceberg import write_iceberg
+
+    tbl = str(tmp_path / "fp")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p"))
+    write_iceberg(df, tbl, partition_by=["p"])
+    out = read_iceberg(spark, tbl)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert out.count() == 40
+    assert out.schema["p"].dataType == T.LongType()
+    assert out.filter("p = k % 4").count() == 40

@@ -259,6 +259,30 @@ def read_iceberg(spark: SparkSession, table: str, *,
     return out
 
 
+def _hive_consistent_ice(snap: IcebergSnapshot, fmt: str,
+                         missing: list) -> bool:
+    from urllib.parse import unquote
+    for f in snap.files:
+        if f["format"] != fmt:
+            continue
+        segs = {}
+        for seg in f["path"].split("/")[:-1]:
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                segs[k] = unquote(v)
+        for c in missing:
+            sv = segs.get(c)
+            v = f["partition"].get(c)
+            if sv is None:
+                return False
+            if sv == "__HIVE_DEFAULT_PARTITION__":
+                if v is not None:
+                    return False
+            elif v is None or sv != str(v):
+                return False
+    return True
+
+
 def _attach_identity_partitions(spark, snap: IcebergSnapshot,
                                 fmt: str, missing: list[str]):
     """Metadata-only partition columns: group files by partition tuple
@@ -272,6 +296,17 @@ def _attach_identity_partitions(spark, snap: IcebergSnapshot,
             f"columns {not_identity} absent from data files and not "
             "identity partition fields — cannot reconstruct")
     fields = {f.name: f.dataType for f in snap.schema.fields}
+    # single-scan fast path (mirrors sources/delta.py): when every
+    # file path carries hive segments agreeing with its manifest
+    # partition tuple, one basePath scan infers the partition columns
+    # typed per the table schema — no per-partition driver unions
+    if fmt == "parquet" and _hive_consistent_ice(snap, fmt, missing):
+        want = T.StructType(
+            [f for f in snap.schema.fields])
+        return (spark.read.schema(want)
+                .option("basePath", snap.path)
+                .parquet(*[f["path"] for f in snap.files
+                           if f["format"] == fmt]))
     groups: dict[tuple, list[str]] = {}
     pvals: dict[tuple, dict] = {}
     for f in snap.files:
@@ -430,8 +465,15 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
                         k, v = seg.split("=", 1)
                         pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" \
                             else v
+                # keep the hive segments under data/ so readers (ours
+                # included) can take a single-scan basePath fast path
+                # instead of per-partition unions
+                subdir = os.path.dirname(child_rel)
+                dest_dir = (os.path.join(data_dir, subdir) if subdir
+                            else data_dir)
+                fsutil.ensure_dir(dest_dir, spark)
                 dest = os.path.join(
-                    data_dir, f"d-{_uuid.uuid4().hex}.parquet")
+                    dest_dir, f"d-{_uuid.uuid4().hex}.parquet")
                 fsutil.rename(child, dest, spark)
                 entries.append({
                     "status": 1, "snapshot_id": None,
