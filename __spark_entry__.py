@@ -6682,6 +6682,53 @@ FROM final GROUP BY o_orderstatus
 """
 
 
+def q_stream_delta_ingest(spark, sf_dir):
+    """Streaming ingest into a Delta table with the spec's OWN
+    exactly-once mechanism (sources/delta.py txn action; maintainer
+    ``foreach_batch_delta_append``): orders drain as multi-batch
+    micro-batches into a partitioned Delta table, then the SAME stream
+    is re-drained WITHOUT a checkpoint — batch ids restart at 0 and
+    every replayed batch must be skipped by the recorded
+    ``txn(appId, version)`` guard, or the aggregate double-counts.
+    The oracle is the plain orders aggregate: any double-append or
+    dropped batch breaks the value hash."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.delta import read_delta
+    from wrangle_pypes_spark.streaming.windows import (
+        foreach_batch_delta_append,
+    )
+
+    base = tempfile.mkdtemp(prefix="wps_sdelta_")
+    src_dir = base + "/src"
+    tbl = base + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    o.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (spark.readStream.schema(o.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    q = foreach_batch_delta_append(
+        stream, tbl, partition_by=["o_orderstatus"], app_id="ingest")
+    q.awaitTermination(300)
+    # replay the whole stream with fresh batch ids: txn guard must
+    # skip every batch
+    q2 = foreach_batch_delta_append(
+        stream, tbl, partition_by=["o_orderstatus"], app_id="ingest")
+    q2.awaitTermination(300)
+    cur = read_delta(spark, tbl)
+    return (cur.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents")))
+
+
+SQL_STREAM_DELTA = """
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def q_zorder_col(spark, sf_dir):
     """Z-order (Morton) clustering value over two part dimensions —
     the multi-dimensional file-clustering layout (Delta OPTIMIZE ZORDER)
@@ -8777,6 +8824,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_top5": q_ivf_ann_top5,  # r7; similarity.py changed r11
     "vector_index_pq_emb": q_vector_index_pq_emb,  # NEW r11: IVF-PQ ADC serving (rows-only by design)
     # ---- below the 50-slot driver window from here down ----
+    "stream_delta_ingest_orders": q_stream_delta_ingest,  # NEW r11 (post-window): first in line for the r12 rotation
     "corpus_clean_pipeline": q_corpus_clean_pipeline,  # r7 green; displaced for the r11 iceberg query
     "stream_rollup_acid_store": q_stream_rollup_acid_store,  # r7 green; displaced for the r11 delta query
     "stream_rollup_events": q_stream_rollup_events,  # r7 green; displaced for the r11 multimodal queries
@@ -9147,6 +9195,7 @@ _ORACLES: dict[str, str] = {
     "audio_wav_stats_docs": SQL_AUDIO_WAV,
     "delta_roundtrip_orders": SQL_DELTA_ROUNDTRIP,
     "iceberg_roundtrip_orders": SQL_ICEBERG_ROUNDTRIP,
+    "stream_delta_ingest_orders": SQL_STREAM_DELTA,
     "wrangle_array_ops": SQL_WRANGLE_ARRAY,
     "wrangle_map_ops": SQL_WRANGLE_MAP,
     "wrangle_create_multiple": SQL_WRANGLE_CREATE_MULTIPLE,

@@ -123,6 +123,7 @@ HEADLINE = [
     "compact_roundtrip_orders",
     "delta_roundtrip_orders",
     "iceberg_roundtrip_orders",
+    "stream_delta_ingest_orders",
     "scd2_rebuild_heal",
     "paragraph_dedup_docs",
     "quality_quantile_filter",

@@ -358,3 +358,68 @@ class TestHiveFastPath:
         assert out2.filter("p = '9'").count() > 0
         assert out2.filter("p = '0'").count() \
             < out.filter("p = '0'").count() + 1
+
+
+class TestTxnIdempotence:
+    def test_txn_skips_replayed_version(self, spark, tbl):
+        df = spark.range(0, 10).select(F.col("id").alias("k"))
+        v0 = write_delta(df, tbl, txn_app_id="app", txn_version=0)
+        assert v0 == 0
+        # replay of the same batch id: skipped, rowcount unchanged
+        v_again = write_delta(df, tbl, txn_app_id="app", txn_version=0)
+        assert v_again == 0
+        assert read_delta(spark, tbl).count() == 10
+        # next batch commits
+        assert write_delta(df, tbl, txn_app_id="app",
+                           txn_version=1) == 1
+        assert read_delta(spark, tbl).count() == 20
+        # other apps are independent
+        assert write_delta(df, tbl, txn_app_id="other",
+                           txn_version=0) == 2
+        snap = delta_snapshot(spark, tbl)
+        assert snap.txns == {"app": 1, "other": 0}
+
+    def test_txn_survives_checkpoint(self, spark, tbl):
+        df = spark.range(0, 5).select(F.col("id").alias("k"))
+        write_delta(df, tbl, txn_app_id="app", txn_version=7)
+        delta_checkpoint(spark, tbl)
+        # force the checkpoint replay path
+        os.remove(os.path.join(tbl, "_delta_log",
+                               f"{0:020d}.json"))
+        snap = delta_snapshot(spark, tbl)
+        assert snap.txns == {"app": 7}
+        # replay of batch 7 after a checkpoint is still skipped
+        assert write_delta(df, tbl, txn_app_id="app",
+                           txn_version=7) == 0
+        assert read_delta(spark, tbl).count() == 5
+
+    def test_txn_guard_args(self, spark, tbl):
+        df = spark.range(0, 2).select(F.col("id").alias("k"))
+        with pytest.raises(ValueError, match="go together"):
+            write_delta(df, tbl, txn_app_id="app")
+
+    def test_streaming_maintainer_exactly_once(self, spark, tbl,
+                                               tmp_path):
+        import time
+
+        from wrangle_pypes_spark.streaming.windows import (
+            foreach_batch_delta_append,
+        )
+
+        src = str(tmp_path / "src")
+        spark.range(0, 30).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("p")) \
+            .write.mode("overwrite").parquet(src)
+        stream = (spark.readStream.schema("k long, p string")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = foreach_batch_delta_append(
+            stream, tbl, partition_by=["p"], app_id="ingest")
+        q.awaitTermination(120)
+        assert read_delta(spark, tbl).count() == 30
+        # re-drain WITHOUT a checkpoint: batch ids restart at 0 and
+        # the txn guard must skip every one of them
+        q2 = foreach_batch_delta_append(
+            stream, tbl, partition_by=["p"], app_id="ingest")
+        q2.awaitTermination(120)
+        assert read_delta(spark, tbl).count() == 30

@@ -88,6 +88,7 @@ class DeltaSnapshot:
     files: dict[str, dict] = field(repr=False)  # path -> add action
     protocol: dict = field(default_factory=dict)
     metadata: dict = field(default_factory=dict, repr=False)
+    txns: dict = field(default_factory=dict)  # appId -> last version
 
     @property
     def file_paths(self) -> list[str]:
@@ -179,7 +180,14 @@ def _replay_json_commit(text: str, state: dict) -> None:
             state["meta"] = action["metaData"]
         elif "protocol" in action:
             state["proto"] = action["protocol"]
-        # commitInfo / txn / domainMetadata are informational for reads
+        elif "txn" in action:
+            t = action["txn"]
+            app = t.get("appId")
+            if app is not None:
+                state["txns"][app] = max(
+                    int(t.get("version", -1)),
+                    int(state["txns"].get(app, -1)))
+        # commitInfo / domainMetadata are informational for reads
 
 
 def _load_checkpoint(spark: SparkSession, table: str,
@@ -193,7 +201,7 @@ def _load_checkpoint(spark: SparkSession, table: str,
     else:
         names = [_checkpoint_name(version)]
     cp = spark.read.parquet(*[_log_path(table, n) for n in names])
-    state = {"files": {}, "meta": None, "proto": None}
+    state = {"files": {}, "meta": None, "proto": None, "txns": {}}
     cols = set(cp.columns)
     if "protocol" in cols:
         for r in (cp.select("protocol.*")
@@ -207,6 +215,12 @@ def _load_checkpoint(spark: SparkSession, table: str,
         for r in cp.filter(F.col("metaData.id").isNotNull()) \
                    .select("metaData.*").collect():
             state["meta"] = r.asDict(True)
+    if "txn" in cols:
+        for r in cp.filter(F.col("txn.appId").isNotNull()) \
+                   .select("txn.appId", "txn.version").collect():
+            state["txns"][r["appId"]] = max(
+                int(r["version"]),
+                int(state["txns"].get(r["appId"], -1)))
     add_rows = cp.filter(F.col("add.path").isNotNull()) \
                  .select("add.path", "add.partitionValues", "add.size") \
                  .collect()
@@ -226,21 +240,25 @@ def delta_snapshot(spark: SparkSession, table: str, *,
     commits through the target version.  O(log), never O(data)."""
     log_names = fsutil.list_dir(os.path.join(table, _LOG_DIR), spark)
     commits = {}
+    cp_versions = set()
     for n in log_names:
         if n.endswith(".json") and n[:20].isdigit():
             commits[int(n[:20])] = n
-    if not commits:
+        elif ".checkpoint." in n and n.endswith(".parquet") \
+                and n[:20].isdigit():
+            cp_versions.add(int(n[:20]))
+    if not commits and not cp_versions:
         raise FileNotFoundError(f"not a Delta table (no commits): {table}")
-    latest = max(commits)
+    # a checkpoint-only log is valid: the spec allows cleaning JSON
+    # commits at or below the newest checkpoint
+    latest = max(set(commits) | cp_versions)
     target = latest if version is None else int(version)
-    if target not in commits and target != latest:
-        have = [v for v in commits if v <= target]
-        if not have or max(have) != target:
-            raise ValueError(
-                f"version {target} not available (latest {latest})")
+    if target > latest:
+        raise ValueError(
+            f"version {target} not available (latest {latest})")
 
     # newest checkpoint at or below target, via _last_checkpoint hint
-    # first, then a listing scan (hint can be stale/absent)
+    # first, then the listing scan (hint can be stale/absent)
     cp_version, cp_parts = -1, None
     hint = fsutil.read_text(_log_path(table, _LAST_CHECKPOINT), spark)
     if hint:
@@ -249,18 +267,20 @@ def delta_snapshot(spark: SparkSession, table: str, *,
             cp_version = int(h["version"])
             cp_parts = h.get("parts")
     if cp_version < 0:
-        for n in log_names:
-            if ".checkpoint." in n and n.endswith(".parquet") \
-                    and n[:20].isdigit():
-                v = int(n[:20])
-                if v <= target:
-                    cp_version = max(cp_version, v)
+        eligible = [v for v in cp_versions if v <= target]
+        if eligible:
+            cp_version = max(eligible)
 
     if cp_version >= 0:
         state = _load_checkpoint(spark, table, cp_version, cp_parts)
         start = cp_version + 1
     else:
-        state = {"files": {}, "meta": None, "proto": None}
+        if not commits or target < min(commits):
+            raise ValueError(
+                f"version {target} not reconstructable (no checkpoint "
+                f"at or below it and the earliest commit is "
+                f"{min(commits) if commits else 'absent'})")
+        state = {"files": {}, "meta": None, "proto": None, "txns": {}}
         start = min(commits)
 
     for v in range(start, target + 1):
@@ -284,7 +304,7 @@ def delta_snapshot(spark: SparkSession, table: str, *,
         partition_columns=list(state["meta"].get("partitionColumns")
                                or []),
         files=state["files"], protocol=state["proto"] or {},
-        metadata=state["meta"])
+        metadata=state["meta"], txns=dict(state.get("txns") or {}))
 
 
 def _hive_consistent(adds: list, pcols: list) -> bool:
@@ -469,6 +489,8 @@ def _stage_data_files(df: DataFrame, table: str,
 def write_delta(df: DataFrame, table: str, *, mode: str = "append",
                 partition_by: Optional[Sequence[str]] = None,
                 replace_where: Optional[dict] = None,
+                txn_app_id: Optional[str] = None,
+                txn_version: Optional[int] = None,
                 max_retries: int = 10) -> int:
     """Write a DataFrame as a Delta commit; returns the version.
 
@@ -479,11 +501,21 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
     files — the partition-scoped backfill idiom.  Overwrites do NOT
     retry through a race (the removed set would be stale) — they raise
     ``DeltaConcurrentWriteError`` for the caller to re-run.
+
+    ``txn_app_id``/``txn_version`` ride the spec's ``txn`` action —
+    the protocol's own idempotent-streaming mechanism: if the table
+    has already recorded this app at a version >= ``txn_version``,
+    the write is SKIPPED (current version returned), so a replayed
+    micro-batch cannot double-append.  A crash between data staging
+    and the commit leaves only orphan files (invisible; reclaimed by
+    :func:`delta_vacuum`) and the replay commits exactly once.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if replace_where and mode != "overwrite":
         raise ValueError("replace_where requires mode='overwrite'")
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version go together")
     spark = df.sparkSession
     fsutil.ensure_dir(os.path.join(table, _LOG_DIR), spark)
 
@@ -491,6 +523,11 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
         current = delta_snapshot(spark, table)
     except FileNotFoundError:
         current = None
+
+    if current is not None and txn_app_id is not None \
+            and int(current.txns.get(txn_app_id, -1)) \
+            >= int(txn_version):
+        return current.version  # idempotent replay: already committed
 
     if current is None:
         partition_by = list(partition_by or [])
@@ -534,7 +571,10 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
                                    "dataChange": True,
                                    "deletionTimestamp": 0}}
                        for a in victims]
-        actions = (base_actions + removes
+        txn_actions = ([{"txn": {"appId": txn_app_id,
+                                 "version": int(txn_version)}}]
+                       if txn_app_id is not None else [])
+        actions = (base_actions + txn_actions + removes
                    + [{"add": a} for a in adds]
                    + [{"commitInfo": {
                        "operation": ("WRITE" if mode == "append"
@@ -552,12 +592,20 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
                 f"version {next_version} was committed concurrently; "
                 "overwrite/create must re-read the table and re-run")
         current = delta_snapshot(spark, table)
+        if txn_app_id is not None \
+                and int(current.txns.get(txn_app_id, -1)) \
+                >= int(txn_version):
+            return current.version  # racer was our own replay twin
         next_version = current.version + 1
     raise DeltaConcurrentWriteError(
         f"gave up after {max_retries} commit races on {table}")
 
 
 _CHECKPOINT_SCHEMA = T.StructType([
+    T.StructField("txn", T.StructType([
+        T.StructField("appId", T.StringType()),
+        T.StructField("version", T.LongType()),
+    ])),
     T.StructField("protocol", T.StructType([
         T.StructField("minReaderVersion", T.IntegerType()),
         T.StructField("minWriterVersion", T.IntegerType()),
@@ -584,21 +632,25 @@ def delta_checkpoint(spark: SparkSession, table: str) -> int:
     publish ``_last_checkpoint``.  Readers then replay only later JSON
     commits — log replay cost stays O(commits since checkpoint)."""
     snap = delta_snapshot(spark, table)
-    rows = [{"protocol": {
+    rows = [{"txn": None, "protocol": {
                 "minReaderVersion":
                     int(snap.protocol.get("minReaderVersion", 1)),
                 "minWriterVersion":
                     int(snap.protocol.get("minWriterVersion", 2))},
              "metaData": None, "add": None},
-            {"protocol": None, "metaData": {
+            {"txn": None, "protocol": None, "metaData": {
                 "id": snap.metadata["id"],
                 "schemaString": snap.metadata["schemaString"],
                 "partitionColumns": snap.partition_columns,
                 "configuration":
                     snap.metadata.get("configuration") or {}},
              "add": None}]
+    for app, v in sorted(snap.txns.items()):
+        rows.append({"txn": {"appId": app, "version": int(v)},
+                     "protocol": None, "metaData": None, "add": None})
     for a in snap.files.values():
-        rows.append({"protocol": None, "metaData": None, "add": {
+        rows.append({"txn": None, "protocol": None, "metaData": None,
+                     "add": {
             "path": a["path"],
             "partitionValues": a.get("partitionValues") or {},
             "size": int(a.get("size") or 0),

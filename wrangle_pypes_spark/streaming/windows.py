@@ -1571,6 +1571,38 @@ def foreach_batch_zonemap_append(stream_df: DataFrame, path: str, *,
     return writer.start()
 
 
+def foreach_batch_delta_append(stream_df: DataFrame, table: str, *,
+                               partition_by=None,
+                               app_id: str,
+                               checkpoint: Optional[str] = None):
+    """Streaming ingest into a Delta table (``sources.delta``) with
+    the spec's OWN exactly-once mechanism: every micro-batch commits
+    with a ``txn`` action ``(appId=app_id, version=epoch_id)``, and
+    ``write_delta`` skips any batch whose version the table has
+    already recorded — the idempotent-streaming rule Delta readers and
+    writers agree on, so even a FOREIGN Delta engine resuming this
+    stream honors the guard.  A crash between data staging and the
+    commit leaves orphan files (invisible to readers; reclaimed by
+    ``delta_vacuum``) and the replay commits exactly once.
+
+    Like every epoch-guarded maintainer here, the guard needs
+    MONOTONIC batch ids — pass ``checkpoint=`` for incremental use
+    across restarts.
+    """
+    from ..sources.delta import write_delta
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        write_delta(batch_df, table, mode="append",
+                    partition_by=partition_by,
+                    txn_app_id=app_id, txn_version=int(epoch_id))
+
+    writer = stream_df.writeStream.foreachBatch(_batch) \
+        .trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def foreach_batch_text_index(stream_df: DataFrame, store_path: str, *,
                              text_col: str = "text",
                              id_col: str = "doc_id",
