@@ -6729,6 +6729,43 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_gif_frame_stats(spark, sf_dir):
+    """REAL animated-GIF frame sampling with a full value oracle:
+    one 6-frame 12x12 grayscale GIF per document from the pinned frame
+    contract (multimodal.py — v = (x + 7y + 11f + id) % 256), encoded
+    with a real dictionary-growing LZW encoder, then
+    ``sample_frames_real`` decodes (LZW + palette + composition) and
+    emits exact integer stats for every 2nd frame up to 3 — the
+    video-frame fan-out shape (1 row -> 3 rows), done on real
+    container bytes instead of the byte-slice stub.  The DuckDB oracle
+    recomputes the sums from the contract without any GIF knowledge.
+    Map-only, no shuffle."""
+    from wrangle_pypes_spark.operators.multimodal import (
+        sample_frames_real,
+        synthesize_gif_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    gifs = synthesize_gif_corpus(d, id_col="doc_id", width=12,
+                                 height=12, n_frames=6)
+    return sample_frames_real(gifs, every_n=2, max_frames=3)
+
+
+SQL_GIF_FRAMES = """
+WITH px AS (
+  SELECT d.doc_id, f.f,
+         (x.i + 7 * y.i + 11 * f.f + d.doc_id) % 256 AS v
+  FROM documents d, (VALUES (0), (2), (4)) f(f),
+       range(12) x(i), range(12) y(i)
+)
+SELECT doc_id AS content_id, f::BIGINT AS frame_idx,
+       12::BIGINT AS width, 12::BIGINT AS height,
+       SUM(v)::BIGINT AS sum_px,
+       MIN(v)::BIGINT AS pixel_min, MAX(v)::BIGINT AS pixel_max
+FROM px GROUP BY doc_id, f
+"""
+
+
 def q_zorder_col(spark, sf_dir):
     """Z-order (Morton) clustering value over two part dimensions —
     the multi-dimensional file-clustering layout (Delta OPTIMIZE ZORDER)
@@ -8825,6 +8862,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_index_pq_emb": q_vector_index_pq_emb,  # NEW r11: IVF-PQ ADC serving (rows-only by design)
     # ---- below the 50-slot driver window from here down ----
     "stream_delta_ingest_orders": q_stream_delta_ingest,  # NEW r11 (post-window): first in line for the r12 rotation
+    "gif_frame_stats_docs": q_gif_frame_stats,  # NEW r11 (post-window): REAL animated-GIF frame sampling
     "corpus_clean_pipeline": q_corpus_clean_pipeline,  # r7 green; displaced for the r11 iceberg query
     "stream_rollup_acid_store": q_stream_rollup_acid_store,  # r7 green; displaced for the r11 delta query
     "stream_rollup_events": q_stream_rollup_events,  # r7 green; displaced for the r11 multimodal queries
@@ -9196,6 +9234,7 @@ _ORACLES: dict[str, str] = {
     "delta_roundtrip_orders": SQL_DELTA_ROUNDTRIP,
     "iceberg_roundtrip_orders": SQL_ICEBERG_ROUNDTRIP,
     "stream_delta_ingest_orders": SQL_STREAM_DELTA,
+    "gif_frame_stats_docs": SQL_GIF_FRAMES,
     "wrangle_array_ops": SQL_WRANGLE_ARRAY,
     "wrangle_map_ops": SQL_WRANGLE_MAP,
     "wrangle_create_multiple": SQL_WRANGLE_CREATE_MULTIPLE,

@@ -124,6 +124,7 @@ HEADLINE = [
     "delta_roundtrip_orders",
     "iceberg_roundtrip_orders",
     "stream_delta_ingest_orders",
+    "gif_frame_stats_docs",
     "scd2_rebuild_heal",
     "paragraph_dedup_docs",
     "quality_quantile_filter",

@@ -229,3 +229,139 @@ class TestDispatch:
             C.image_encode(np.zeros((2, 2, 3), np.uint8), "jpeg")
         with pytest.raises(ValueError, match="unrecognized"):
             C.image_decode(b"some random bytes here")
+
+
+class TestGif:
+    def _pack_codes(self, codes, widths):
+        """Independent LSB-first bit packer (spec path, not the
+        encoder's)."""
+        acc = nbits = 0
+        out = bytearray()
+        for code, w in zip(codes, widths):
+            acc |= code << nbits
+            nbits += w
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def test_lzw_decode_hand_built_stream(self):
+        # min_code_size=2: clear=4, eoi=5; emit literals 1,2,3,0 with
+        # a mid-stream clear — all 3-bit codes, packed independently
+        codes = [4, 1, 2, 4, 3, 0, 5]
+        data = self._pack_codes(codes, [3] * len(codes))
+        assert C._lzw_decode(data, 2) == [1, 2, 3, 0]
+
+    def test_lzw_decode_dictionary_growth_per_spec(self):
+        # the classic KwKwK case: codes [clear, 1, 2, 6, eoi] where 6
+        # is defined AS IT IS USED (prev + prev[0]) -> 1,2,(2,1)? no:
+        # after (1),(2): code 6 = (2,)+(2,) first element = (2,2)
+        codes = [4, 1, 2, 7, 5]
+        # dict after "1": nothing new; after "2": 6=(1,2); code 7 is
+        # next_code -> entry = (2,)+(2,) = (2,2)
+        data = self._pack_codes(codes, [3] * len(codes))
+        assert C._lzw_decode(data, 2) == [1, 2, 2, 2]
+
+    def test_lzw_roundtrip_growth(self):
+        import numpy as np
+        rng = np.random.RandomState(5)
+        for n in (1, 10, 5000):
+            seq = rng.randint(0, 256, n).tolist()
+            assert C._lzw_decode(C._lzw_encode(seq, 8), 8) == seq
+        # low-entropy input exercises long dictionary chains
+        seq = ([7] * 1000) + list(range(16)) * 50
+        assert C._lzw_decode(C._lzw_encode(seq, 8), 8) == seq
+
+    def test_gif_roundtrip_animated(self):
+        import numpy as np
+        rng = np.random.RandomState(6)
+        frames = [rng.randint(0, 256, (9, 11)).astype(np.uint8)
+                  for _ in range(5)]
+        out = C.gif_decode(C.gif_encode(frames))
+        assert len(out) == 5
+        for fin, fout in zip(frames, out):
+            assert (fout == np.stack([fin] * 3, axis=2)).all()
+
+    def test_gif_interlaced_frame(self):
+        import numpy as np
+        # hand-build a single interlaced frame: permute rows per the
+        # 4-pass spec order and set the interlace flag
+        import struct as _s
+        h, w = 10, 3
+        img = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+        permuted = img[order]
+        g = np.arange(256, dtype=np.uint8)
+        pal = np.stack([g, g, g], axis=1)
+        out = bytearray()
+        out += b"GIF89a" + _s.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        out += pal.tobytes()
+        out += b"\x2c" + _s.pack("<HHHHB", 0, 0, w, h, 0x40)
+        out.append(8)
+        lzw = C._lzw_encode(permuted.reshape(-1).tolist(), 8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+        out += b"\x3b"
+        dec = C.gif_decode(bytes(out))
+        assert (dec[0][:, :, 0] == img).all()
+
+    def test_gif_transparency_composites_over_previous(self):
+        import numpy as np
+        import struct as _s
+        g = np.arange(256, dtype=np.uint8)
+        pal = np.stack([g, g, g], axis=1)
+        f0 = np.full((4, 4), 10, np.uint8)
+        f1 = np.full((4, 4), 99, np.uint8)
+        f1[0, 0] = 77  # 77 will be the transparent index
+        out = bytearray()
+        out += b"GIF89a" + _s.pack("<HHBBB", 4, 4, 0xF7, 0, 0)
+        out += pal.tobytes()
+        for fr, gce in ((f0, None), (f1, 77)):
+            if gce is not None:
+                out += b"\x21\xf9\x04\x01\x00\x00" + bytes([gce, 0])
+            out += b"\x2c" + _s.pack("<HHHHB", 0, 0, 4, 4, 0)
+            out.append(8)
+            lzw = C._lzw_encode(fr.reshape(-1).tolist(), 8)
+            out.append(len(lzw))
+            out += lzw
+            out.append(0)
+        out += b"\x3b"
+        frames = C.gif_decode(bytes(out))
+        assert frames[1][0, 0, 0] == 10  # transparent px kept previous
+        assert frames[1][1, 1, 0] == 99
+
+    def test_gif_disposal3_gates(self):
+        import numpy as np
+        import struct as _s
+        g = np.arange(256, dtype=np.uint8)
+        pal = np.stack([g, g, g], axis=1)
+        fr = np.zeros((2, 2), np.uint8)
+        out = bytearray()
+        out += b"GIF89a" + _s.pack("<HHBBB", 2, 2, 0xF7, 0, 0)
+        out += pal.tobytes()
+        out += b"\x21\xf9\x04" + bytes([3 << 2]) + b"\x00\x00\x00\x00"
+        out += b"\x2c" + _s.pack("<HHHHB", 0, 0, 2, 2, 0)
+        out.append(8)
+        lzw = C._lzw_encode(fr.reshape(-1).tolist(), 8)
+        out.append(len(lzw))
+        out += lzw
+        out.append(0)
+        out += b"\x3b"
+        with pytest.raises(NotImplementedError, match="disposal 3"):
+            C.gif_decode(bytes(out))
+
+    def test_sniff_and_dispatch(self):
+        import numpy as np
+        single = C.gif_encode([np.zeros((2, 2), np.uint8)])
+        multi = C.gif_encode([np.zeros((2, 2), np.uint8)] * 2)
+        assert C.sniff_format(single) == "gif"
+        assert C.image_decode(single).shape == (2, 2, 3)
+        with pytest.raises(ValueError, match="animated"):
+            C.image_decode(multi)

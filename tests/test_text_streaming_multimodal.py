@@ -846,3 +846,30 @@ def test_extract_features_real_image_and_audio(spark):
            extract_features(df, decode="off").collect()}
     assert off[1]["feature"] == _byte_histogram_feature(
         bytes(C.png_encode(img)))
+
+
+def test_gif_synthesize_and_sample_frames_real(spark):
+    import numpy as np
+
+    from wrangle_pypes_spark.operators.multimodal import (
+        sample_frames_real,
+        synthesize_gif_corpus,
+    )
+
+    docs = spark.range(0, 15).withColumnRenamed("id", "doc_id")
+    gifs = synthesize_gif_corpus(docs, id_col="doc_id", width=8,
+                                 height=10, n_frames=5)
+    rows = sample_frames_real(gifs, every_n=2, max_frames=3).collect()
+    # 5 frames, every 2nd, max 3 -> frames 0, 2, 4
+    assert len(rows) == 15 * 3
+    by_key = {(r["content_id"], r["frame_idx"]): r for r in rows}
+    x = np.arange(8, dtype=np.int64)[None, :]
+    y = np.arange(10, dtype=np.int64)[:, None]
+    for cid in (0, 7, 14):
+        for f in (0, 2, 4):
+            v = (x + 7 * y + 11 * f + cid) % 256
+            r = by_key[(cid, f)]
+            assert r["sum_px"] == int(v.sum())
+            assert r["pixel_min"] == int(v.min())
+            assert r["pixel_max"] == int(v.max())
+            assert r["width"] == 8 and r["height"] == 10

@@ -53,6 +53,8 @@ def sniff_format(data: bytes) -> str | None:
         return "pgm" if data[:2] == b"P5" else "ppm"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if data[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
@@ -428,6 +430,13 @@ def image_decode(data: bytes) -> np.ndarray:
         return bmp_decode(data)
     if fmt in ("ppm", "pgm"):
         return pnm_decode(data)
+    if fmt == "gif":
+        frames = gif_decode(data)
+        if len(frames) > 1:
+            raise ValueError(
+                "animated GIF: use gif_decode() / sample_frames_real "
+                "for the frame list (image_decode returns ONE image)")
+        return frames[0]
     if fmt in _GATED:
         raise NotImplementedError(f"{fmt} decode gated: {_GATED[fmt]}")
     raise ValueError(f"unrecognized image payload (sniffed {fmt!r})")
@@ -443,3 +452,242 @@ def image_encode(arr: np.ndarray, fmt: str, **kw) -> bytes:
     if fmt in _GATED:
         raise NotImplementedError(f"{fmt} encode gated: {_GATED[fmt]}")
     raise ValueError(f"unknown image format {fmt!r}")
+
+
+# --------------------------------------------------------------------------
+# GIF (87a/89a, LZW) — the container-native ANIMATED format, so frame
+# sampling can be REAL without ffmpeg
+# --------------------------------------------------------------------------
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list:
+    """GIF-flavor LZW: variable code width from min+1 to 12 bits,
+    CLEAR resets the dictionary, EOI terminates."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = []
+    # bit reader, LSB-first per spec
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    dict_ = {i: (i,) for i in range(clear)}
+    next_code = eoi + 1
+    prev = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream (no EOI)")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            dict_ = {i: (i,) for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = dict_[code]
+        elif code in dict_:
+            entry = dict_[code]
+            if next_code <= 4095:
+                dict_[next_code] = prev + (entry[0],)
+                next_code += 1
+        elif code == next_code:
+            entry = prev + (prev[0],)
+            if next_code <= 4095:
+                dict_[next_code] = entry
+                next_code += 1
+        else:
+            raise ValueError(f"corrupt GIF LZW code {code}")
+        if prev is not None and code in dict_ and code < next_code - 1 \
+                and next_code - 1 in dict_ and False:
+            pass  # (clarity: growth handled in the branches above)
+        out.extend(entry)
+        prev = dict_[code] if code in dict_ else entry
+        if next_code - 1 == (1 << width) - 1 and width < 12:
+            width += 1
+    raise ValueError("unreachable")
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """Real dictionary-growing GIF LZW encoder (not the
+    uncompressed-GIF trick), so decode's growth path round-trips."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    dict_ = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    seq = ()
+    for px in indices:
+        cand = seq + (int(px),)
+        if cand in dict_:
+            seq = cand
+            continue
+        emit(dict_[seq])
+        if next_code <= 4095:
+            dict_[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            dict_ = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        seq = (int(px),)
+    if seq:
+        emit(dict_[seq])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_encode(frames, *, palette=None, delay_cs: int = 4) -> bytes:
+    """Encode uint8 index frames [(H,W) arrays] as an animated GIF89a
+    with one global 256-entry palette ((256,3) uint8; default = gray
+    identity ramp).  Full-canvas frames, disposal 'draw on previous'."""
+    import numpy as np
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape
+    if palette is None:
+        g = np.arange(256, dtype=np.uint8)
+        palette = np.stack([g, g, g], axis=1)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
+    out += palette.astype(np.uint8).tobytes()
+    # netscape loop extension (real-world shape; decoder must skip it)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for fr in frames:
+        if fr.shape != (h, w):
+            raise ValueError("all frames must be full-canvas")
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) \
+            + b"\x00\x00"  # GCE: no transparency, disposal 0
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(8)  # LZW min code size
+        lzw = _lzw_encode(fr.reshape(-1).tolist(), 8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_decode(data: bytes):
+    """Decode an animated GIF to a list of full-canvas uint8 (H,W,3)
+    RGB frames.  Supports GCT/LCT, interlace, transparency, disposal
+    0/1 (draw over previous) and 2 (restore background); disposal 3
+    (restore previous) gates loudly.  Trailing NETSCAPE/comment/plain-
+    text extensions are skipped per spec."""
+    import numpy as np
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, packed, bg, _ = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos:pos + 3 * n],
+                            np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    frames = []
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg < len(gct):
+        canvas[:, :] = gct[bg]
+    transparent = None
+    disposal = 0
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = data[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                size = data[pos]
+                flags = data[pos + 1]
+                disposal = (flags >> 2) & 0x07
+                transparent = (data[pos + 4]
+                               if flags & 1 else None)
+                pos += size + 1
+            while data[pos] != 0:  # skip (remaining) sub-blocks
+                pos += data[pos] + 1
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB",
+                                                        data, pos)
+        pos += 9
+        pal = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            pal = np.frombuffer(data[pos:pos + 3 * n],
+                                np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame without any palette")
+        interlaced = bool(fpacked & 0x40)
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1:pos + 1 + ln]
+            pos += ln + 1
+        pos += 1
+        idx = np.array(_lzw_decode(bytes(lzw), min_code),
+                       dtype=np.int32)
+        if len(idx) != fw * fh:
+            raise ValueError("GIF frame pixel count mismatch")
+        idx = idx.reshape(fh, fw)
+        if interlaced:
+            de = np.empty_like(idx)
+            rows = (list(range(0, fh, 8)) + list(range(4, fh, 8))
+                    + list(range(2, fh, 4)) + list(range(1, fh, 2)))
+            de[rows] = idx
+            idx = de
+        if disposal == 3:
+            raise NotImplementedError(
+                "GIF disposal 3 (restore previous) not implemented")
+        region = canvas[top:top + fh, left:left + fw]
+        rgb = pal[np.clip(idx, 0, len(pal) - 1)]
+        if transparent is not None:
+            mask = (idx != transparent)[:, :, None]
+            region[:] = np.where(mask, rgb, region)
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        if disposal == 2:
+            bgc = pal[bg] if bg < len(pal) else 0
+            canvas[top:top + fh, left:left + fw] = bgc
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF contains no image frames")
+    return frames

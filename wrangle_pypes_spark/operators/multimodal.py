@@ -146,6 +146,8 @@ def extract_features(df: DataFrame, *, batch_limit: int = 1024,
         if fmt == "wav":
             samples, rate = codecs.wav_decode(bytes(payload))
             return audio_feature(samples, rate)
+        if fmt == "gif":
+            return image_feature(codecs.gif_decode(bytes(payload))[0])
         if fmt in ("jpeg", "webp"):
             codecs.image_decode(bytes(payload))  # raises the loud gate
         return _byte_histogram_feature(payload)
@@ -483,3 +485,88 @@ def audio_stats(df: DataFrame, *, batch_limit: int = 256) -> DataFrame:
                 yield pd.DataFrame(out)
 
     return df.mapInPandas(_batches, schema=AUDIO_STATS_SCHEMA)
+
+
+# Contract for the oracled GIF corpus (SQL-expressible, like the
+# image/wav contracts above):
+#   frame f, gray palette index: v(y, x, f, id) = (x + 7*y + 11*f + id) % 256
+
+def synthesize_gif_corpus(df: DataFrame, *, id_col: str, width: int,
+                          height: int, n_frames: int) -> DataFrame:
+    """Render one REAL animated GIF per input row from the pinned
+    frame contract (grayscale 256-entry palette, real LZW encode with
+    dictionary growth).  Map-only."""
+    import numpy as np
+
+    from . import codecs
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col]
+            payloads = []
+            x = np.arange(width, dtype=np.int64)[None, :]
+            y = np.arange(height, dtype=np.int64)[:, None]
+            for cid in ids:
+                frames = [
+                    ((x + 7 * y + 11 * f + int(cid)) % 256
+                     ).astype(np.uint8)
+                    for f in range(n_frames)]
+                payloads.append(codecs.gif_encode(frames))
+            yield pd.DataFrame({
+                "content_id": ids.astype("int64"),
+                "payload": payloads,
+                "image_meta": [
+                    {"format": "gif", "width": width, "height": height}
+                    for _ in range(len(pdf))],
+            })
+
+    return df.mapInPandas(_batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = T.StructType([
+    T.StructField("content_id", T.LongType(), True),
+    T.StructField("frame_idx", T.LongType(), True),
+    T.StructField("width", T.LongType(), True),
+    T.StructField("height", T.LongType(), True),
+    T.StructField("sum_px", T.LongType(), True),
+    T.StructField("pixel_min", T.LongType(), True),
+    T.StructField("pixel_max", T.LongType(), True),
+])
+
+
+def sample_frames_real(df: DataFrame, *, every_n: int = 2,
+                       max_frames: int = 4,
+                       batch_limit: int = 128) -> DataFrame:
+    """REAL video-frame sampling over animated GIF payloads: decode
+    (LZW + palette + composition), take every ``every_n``-th frame up
+    to ``max_frames``, and emit exact integer stats per sampled frame
+    (channel 0 of the composed RGB canvas — the gray palette value).
+    One input row fans out to <= max_frames rows (the UDTF shape);
+    map-only, no shuffle.  Decode failures raise loudly."""
+    import numpy as np
+
+    from . import codecs
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start:start + batch_limit]
+                out = {k.name: [] for k in FRAME_STATS_SCHEMA}
+                for cid, payload in zip(chunk["content_id"],
+                                        chunk["payload"]):
+                    frames = codecs.gif_decode(bytes(payload))
+                    for k in range(max_frames):
+                        fi = k * every_n
+                        if fi >= len(frames):
+                            break
+                        g = frames[fi][:, :, 0].astype(np.int64)
+                        out["content_id"].append(int(cid))
+                        out["frame_idx"].append(fi)
+                        out["width"].append(g.shape[1])
+                        out["height"].append(g.shape[0])
+                        out["sum_px"].append(int(g.sum()))
+                        out["pixel_min"].append(int(g.min()))
+                        out["pixel_max"].append(int(g.max()))
+                yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=FRAME_STATS_SCHEMA)
