@@ -6766,6 +6766,55 @@ FROM px GROUP BY doc_id, f
 """
 
 
+def q_iceberg_eq_delete_orders(spark, sf_dir):
+    """Iceberg v2 merge-on-read with a full value oracle: orders land
+    as two append snapshots (sequences 1, 2), then an EQUALITY-delete
+    snapshot (sources/iceberg.py ``write_iceberg_deletes``) retracts
+    every o_orderkey divisible by 7 — the GDPR/recall shape.  The read
+    applies the sequence-aware key join (strict data_seq < delete_seq)
+    so both older appends lose those keys; the oracle recomputes the
+    surviving set straight from orders.  Snapshot resolution and the
+    delete merge are metadata + joins — never a data rewrite."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg,
+        write_iceberg_deletes,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_icedel_") + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    write_iceberg(o, tbl, partition_by=["o_orderstatus"])
+    write_iceberg(
+        o.filter("o_orderkey % 10 = 0")
+         .withColumn("o_totalprice", F.col("o_totalprice") * 2), tbl)
+    write_iceberg_deletes(
+        o.filter("o_orderkey % 7 = 0").select("o_orderkey").distinct(),
+        tbl, equality_cols=["o_orderkey"])
+    cur = read_iceberg(spark, tbl)
+    return (cur.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents")))
+
+
+SQL_ICEBERG_EQ_DELETE = """
+WITH extra AS (
+  SELECT o_orderstatus, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 0
+), final AS (
+  SELECT o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 7 <> 0
+  UNION ALL SELECT * FROM extra
+)
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM final GROUP BY o_orderstatus
+"""
+
+
 def q_zorder_col(spark, sf_dir):
     """Z-order (Morton) clustering value over two part dimensions —
     the multi-dimensional file-clustering layout (Delta OPTIMIZE ZORDER)
@@ -8863,6 +8912,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- below the 50-slot driver window from here down ----
     "stream_delta_ingest_orders": q_stream_delta_ingest,  # NEW r11 (post-window): first in line for the r12 rotation
     "gif_frame_stats_docs": q_gif_frame_stats,  # NEW r11 (post-window): REAL animated-GIF frame sampling
+    "iceberg_eq_delete_orders": q_iceberg_eq_delete_orders,  # NEW r11 (post-window): v2 merge-on-read equality deletes
     "corpus_clean_pipeline": q_corpus_clean_pipeline,  # r7 green; displaced for the r11 iceberg query
     "stream_rollup_acid_store": q_stream_rollup_acid_store,  # r7 green; displaced for the r11 delta query
     "stream_rollup_events": q_stream_rollup_events,  # r7 green; displaced for the r11 multimodal queries
@@ -9235,6 +9285,7 @@ _ORACLES: dict[str, str] = {
     "iceberg_roundtrip_orders": SQL_ICEBERG_ROUNDTRIP,
     "stream_delta_ingest_orders": SQL_STREAM_DELTA,
     "gif_frame_stats_docs": SQL_GIF_FRAMES,
+    "iceberg_eq_delete_orders": SQL_ICEBERG_EQ_DELETE,
     "wrangle_array_ops": SQL_WRANGLE_ARRAY,
     "wrangle_map_ops": SQL_WRANGLE_MAP,
     "wrangle_create_multiple": SQL_WRANGLE_CREATE_MULTIPLE,

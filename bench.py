@@ -125,6 +125,7 @@ HEADLINE = [
     "iceberg_roundtrip_orders",
     "stream_delta_ingest_orders",
     "gif_frame_stats_docs",
+    "iceberg_eq_delete_orders",
     "scd2_rebuild_heal",
     "paragraph_dedup_docs",
     "quality_quantile_filter",

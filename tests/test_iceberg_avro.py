@@ -273,33 +273,15 @@ class TestIcebergRead:
         with pytest.raises(IcebergProtocolError, match="format-version"):
             iceberg_snapshot(spark, tbl)
 
-    def test_delete_manifest_gate(self, spark, tmp_path):
+    def test_unknown_content_gate(self, spark, tmp_path):
+        """content values beyond the v2 spec (0/1/2) gate loudly."""
         tbl = str(tmp_path / "ice4")
-        mdir = os.path.join(tbl, "metadata")
-        ml = os.path.join(mdir, "snap-1.avro")
-        A.write_container_file(ml, _MANIFEST_LIST_SCHEMA, [
-            {"manifest_path": "whatever.avro", "manifest_length": 1,
-             "partition_spec_id": 0, "content": 1,
-             "added_snapshot_id": 1}])
-        _write_metadata(tbl, schemas=_SCHEMA_KP, specs=_SPEC_P,
-                        snapshots=[{"snapshot-id": 1,
-                                    "sequence-number": 1,
-                                    "timestamp-ms": 0,
-                                    "manifest-list": ml,
-                                    "summary": {}}],
-                        current=1)
-        with pytest.raises(IcebergProtocolError,
-                           match="delete manifests"):
-            iceberg_snapshot(spark, tbl)
-
-    def test_delete_file_gate(self, spark, tmp_path):
-        tbl = str(tmp_path / "ice5")
         mdir = os.path.join(tbl, "metadata")
         pf = [{"name": "p", "type": ["null", "int"]}]
         m1 = os.path.join(mdir, "m1.avro")
         A.write_container_file(m1, _manifest_schema(pf), [
             {"status": 1, "snapshot_id": None,
-             "data_file": {"content": 2, "file_path": "d.parquet",
+             "data_file": {"content": 3, "file_path": "d.parquet",
                            "file_format": "PARQUET",
                            "partition": {"p": 1}, "record_count": 1,
                            "file_size_in_bytes": 1}}])
@@ -316,7 +298,34 @@ class TestIcebergRead:
                                     "summary": {}}],
                         current=1)
         with pytest.raises(IcebergProtocolError,
-                           match="delete files"):
+                           match="unknown data_file content"):
+            iceberg_snapshot(spark, tbl)
+
+    def test_non_parquet_delete_file_gate(self, spark, tmp_path):
+        tbl = str(tmp_path / "ice5")
+        mdir = os.path.join(tbl, "metadata")
+        pf = [{"name": "p", "type": ["null", "int"]}]
+        m1 = os.path.join(mdir, "m1.avro")
+        A.write_container_file(m1, _manifest_schema(pf), [
+            {"status": 1, "snapshot_id": None,
+             "data_file": {"content": 1, "file_path": "d.orc",
+                           "file_format": "ORC",
+                           "partition": {"p": 1}, "record_count": 1,
+                           "file_size_in_bytes": 1}}])
+        ml = os.path.join(mdir, "snap-1.avro")
+        A.write_container_file(ml, _MANIFEST_LIST_SCHEMA, [
+            {"manifest_path": m1, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 1,
+             "added_snapshot_id": 1}])
+        _write_metadata(tbl, schemas=_SCHEMA_KP, specs=_SPEC_P,
+                        snapshots=[{"snapshot-id": 1,
+                                    "sequence-number": 1,
+                                    "timestamp-ms": 0,
+                                    "manifest-list": ml,
+                                    "summary": {}}],
+                        current=1)
+        with pytest.raises(IcebergProtocolError,
+                           match="delete file format"):
             iceberg_snapshot(spark, tbl)
 
     def test_empty_table(self, spark, tmp_path):
@@ -488,3 +497,140 @@ def test_iceberg_fast_path_no_unions(spark, tmp_path):
     assert out.count() == 40
     assert out.schema["p"].dataType == T.LongType()
     assert out.filter("p = k % 4").count() == 40
+
+
+class TestRowLevelDeletes:
+    """v2 merge-on-read: position + equality deletes with sequence
+    semantics."""
+
+    def test_equality_delete_lifecycle(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import (
+            write_iceberg,
+            write_iceberg_deletes,
+        )
+
+        tbl = str(tmp_path / "eq")
+        df = spark.range(0, 20).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        write_iceberg(df, tbl)  # seq 1
+        keys = spark.range(0, 20).filter("id % 3 = 0") \
+            .select(F.col("id").alias("k"))
+        sid = write_iceberg_deletes(keys, tbl, equality_cols=["k"])
+        out = read_iceberg(spark, tbl)
+        ks = sorted(r["k"] for r in out.collect())
+        assert ks == [k for k in range(20) if k % 3 != 0]
+        # rows RE-INSERTED after the delete survive (data_seq >= del)
+        write_iceberg(df.filter("k IN (0, 3)"), tbl)  # seq 3
+        ks2 = sorted(r["k"] for r in read_iceberg(spark, tbl).collect())
+        assert 0 in ks2 and 3 in ks2 and 6 not in ks2
+        # time travel to before the delete still sees everything
+        assert read_iceberg(spark, tbl, snapshot_id=1).count() == 20
+        snap = iceberg_snapshot(spark, tbl)
+        assert len(snap.delete_files) == 1
+        assert snap.delete_files[0]["content"] == 2
+
+    def test_equality_delete_guards(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import (
+            write_iceberg,
+            write_iceberg_deletes,
+        )
+
+        tbl = str(tmp_path / "eqg")
+        df = spark.range(0, 5).select(F.col("id").alias("k"))
+        write_iceberg(df, tbl)
+        with pytest.raises(ValueError, match="not in table schema"):
+            write_iceberg_deletes(
+                df.select(F.col("k").alias("zzz")), tbl,
+                equality_cols=["zzz"])
+        with pytest.raises(ValueError, match="must equal"):
+            write_iceberg_deletes(
+                df.select(F.col("k"), F.lit(1).alias("extra")), tbl,
+                equality_cols=["k"])
+
+    def test_position_delete_with_sequence_gating(self, spark,
+                                                  tmp_path):
+        """Foreign-shaped fixture: position deletes kill (file, pos)
+        pairs only for data at or below the delete's sequence."""
+        from wrangle_pypes_spark.sources.iceberg import write_iceberg
+
+        tbl = str(tmp_path / "pos")
+        df = spark.range(0, 8).select(F.col("id").alias("k"))
+        write_iceberg(df.filter("k < 4"), tbl)   # file A, seq 1
+        write_iceberg(df.filter("k >= 4"), tbl)  # file B, seq 2
+        snap = iceberg_snapshot(spark, tbl)
+        by_seq = {f["seq"]: f["path"] for f in snap.files}
+        assert set(by_seq) == {1, 2}
+
+        # which k lives at position 0 of each file?
+        probe = (spark.read.parquet(*[f["path"] for f in snap.files])
+                 .select("k", F.col("_metadata.file_path").alias("fp"),
+                         F.col("_metadata.row_index").alias("ri"))
+                 .collect())
+        import re as _re
+        k_at = {( _re.sub("^file:/+", "/", r["fp"]), r["ri"]): r["k"]
+                for r in probe}
+        kill_a = k_at[(by_seq[1], 0)]  # applies: data seq 1 <= del 1
+        kill_b = k_at[(by_seq[2], 0)]  # must NOT apply: seq 2 > del 1
+
+        # hand-build a position-delete file + delete manifest at seq 1
+        deld = spark.createDataFrame(
+            [(by_seq[1], 0), (by_seq[2], 0)],
+            "file_path string, pos long")
+        _one_parquet(spark, deld,
+                     os.path.join(tbl, "data", "posdel.parquet"))
+        mdir = os.path.join(tbl, "metadata")
+        mdel_schema = {
+            "type": "record", "name": "manifest_entry", "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": ["null", "long"]},
+                {"name": "data_file", "type": {
+                    "type": "record", "name": "r2", "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "partition",
+                         "type": {"type": "record", "name": "r102",
+                                  "fields": []}},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes",
+                         "type": "long"}]}}]}
+        mpath = os.path.join(mdir, "m-posdel.avro")
+        A.write_container_file(mpath, mdel_schema, [{
+            "status": 1, "snapshot_id": None,
+            "data_file": {"content": 1,
+                          "file_path": os.path.join(
+                              tbl, "data", "posdel.parquet"),
+                          "file_format": "PARQUET", "partition": {},
+                          "record_count": 2,
+                          "file_size_in_bytes": 1}}])
+        # splice a snapshot 3 whose manifest list = current + deletes
+        # (delete manifest at sequence 1 — OLDER than file B's data)
+        meta = json.loads(open(os.path.join(
+            mdir, "v3.metadata.json")).read()) if os.path.exists(
+            os.path.join(mdir, "v3.metadata.json")) else None
+        import json as _json
+        mf = os.path.join(mdir, "v2.metadata.json")
+        meta = _json.loads(open(mf).read())
+        cur = next(s for s in meta["snapshots"]
+                   if s["snapshot-id"] == meta["current-snapshot-id"])
+        _, prev = A.read_container_file(cur["manifest-list"])
+        mlpath = os.path.join(mdir, "snap-3-del.avro")
+        A.write_container_file(
+            mlpath, A.read_container_file(cur["manifest-list"])[0],
+            [{"sequence_number": None, **e} for e in prev]
+            + [{"manifest_path": mpath, "manifest_length": 1,
+                "partition_spec_id": 0, "content": 1,
+                "sequence_number": 1, "added_snapshot_id": 3}])
+        meta["snapshots"].append(
+            {"snapshot-id": 3, "sequence-number": 3, "timestamp-ms": 0,
+             "manifest-list": mlpath, "summary": {"operation": "delete"}})
+        meta["current-snapshot-id"] = 3
+        with open(os.path.join(mdir, "v3.metadata.json"), "w") as f:
+            f.write(_json.dumps(meta))
+        with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+            f.write("3")
+
+        ks = sorted(r["k"] for r in read_iceberg(spark, tbl).collect())
+        expect = sorted(set(range(8)) - {kill_a})
+        assert ks == expect, (ks, kill_a, kill_b)
+        assert kill_b in ks  # survived: its data is newer than the del

@@ -11,7 +11,8 @@ from .acid import (acid_commit, acid_current, acid_read, acid_vacuum)
 from .catalog import describe_store, store_kind
 from .delta import (delta_checkpoint, delta_history, delta_snapshot,
                     delta_vacuum, read_delta, write_delta)
-from .iceberg import (iceberg_snapshot, read_iceberg, write_iceberg)
+from .iceberg import (iceberg_snapshot, read_iceberg,
+                      write_iceberg, write_iceberg_deletes)
 from .manifest import (manifest_changes, manifest_current,
                        manifest_merge, manifest_merge_into,
                        manifest_read,
@@ -41,7 +42,7 @@ __all__ = ("TABLES", "acid_commit", "acid_current", "acid_read",
            "acid_vacuum", "delta_checkpoint", "delta_history",
            "delta_snapshot", "delta_vacuum", "describe_store",
            "iceberg_snapshot", "read_delta", "read_iceberg",
-           "write_delta", "write_iceberg",
+           "write_delta", "write_iceberg", "write_iceberg_deletes",
            "ensure_session_confs", "infer_json_schema",
            "load_star_schema", "load_table",
            "manifest_changes",
