@@ -21,9 +21,14 @@ Spark DataFrame calls:
   (partition-scoped overwrite), hive-style partition layout, commits
   published with PUT-IF-ABSENT (O_EXCL locally, ``fs.create(path,
   overwrite=false)`` on HDFS) and optimistic retry for appends —
-  the same commit rule the Delta spec mandates.  ``checkpoint()``
-  writes a spec-shaped parquet checkpoint + ``_last_checkpoint`` so
-  both halves of the reader path are exercised.
+  the same commit rule the Delta spec mandates.  ``txn_app_id``/
+  ``txn_version`` ride the spec's ``txn`` action for idempotent
+  (exactly-once) streaming appends — see
+  ``streaming.foreach_batch_delta_append``.  ``delta_checkpoint``
+  writes a spec-shaped parquet checkpoint (txn state included) +
+  ``_last_checkpoint`` so both halves of the reader path are
+  exercised; ``delta_history`` / ``delta_vacuum`` cover the ops
+  surface (DESCRIBE HISTORY / VACUUM semantics).
 
 Honest gates (loud, never silent): reader-protocol features we don't
 implement (deletion vectors, column mapping) raise
