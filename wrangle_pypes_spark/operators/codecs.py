@@ -505,9 +505,6 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list:
                 next_code += 1
         else:
             raise ValueError(f"corrupt GIF LZW code {code}")
-        if prev is not None and code in dict_ and code < next_code - 1 \
-                and next_code - 1 in dict_ and False:
-            pass  # (clarity: growth handled in the branches above)
         out.extend(entry)
         prev = dict_[code] if code in dict_ else entry
         if next_code - 1 == (1 << width) - 1 and width < 12:
