@@ -8850,77 +8850,116 @@ def q_compression_ratio_docs(spark, sf_dir):
 # rotate below: entry() + bench.py exercise them every round anyway.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- the 50-slot driver verification window ----
-    # Round-11 rotation (VERDICT r10 #1): drain the stale-check debt —
-    # the one r5-vintage green (key_skew_orders), ALL 33 r6-vintage,
-    # and the r7 block starting with the modules changed this round
-    # (dedup prefix guard, similarity hot-code memo, textindex layout
-    # sidecar, partitioned staged-head guard), plus the NEW r11
-    # filtered-ANN query.  Every r10-window query went green in
-    # CORRECTNESS_r10.json; displaced entries sit directly below the
+    # Round-12 rotation (VERDICT r11 #1): the three r11 queries that
+    # registered after the window cut (never driver-checked), then ALL
+    # 39 r7-vintage greens (the stalest block), padded to 50 with the
+    # eight oldest r8-vintage greens.  Every r11-window query went
+    # green in CORRECTNESS_r11.json; displaced entries sit below the
     # marker.  Keep the marker at EXACTLY 50 entries --
     # tests/test_bare_session.py pins it.
-    "vector_index_filtered_emb": q_vector_index_filtered_emb,  # NEW r11: filtered ANN from the IVF index
-    "image_decode_stats_docs": q_image_decode_stats,  # NEW r11: REAL PNG decode, all 5 filters, value-oracled
-    "image_resize_bmp_docs": q_image_resize_bmp,  # NEW r11: REAL decode->resize->BMP->decode chain
-    "audio_wav_stats_docs": q_audio_wav_stats,  # NEW r11: REAL PCM16 WAV decode, value-oracled
-    "delta_roundtrip_orders": q_delta_roundtrip_orders,  # NEW r11: Delta-protocol interop, value-oracled
-    "iceberg_roundtrip_orders": q_iceberg_roundtrip_orders,  # NEW r11: Iceberg-spec interop (own Avro codec), value-oracled
-    "text_index_phrase_docs": q_text_index_phrase_docs,  # r10 green; textindex.py changed r11 (layout sidecar)
-    "stream_rollup_pmanifest_store": q_stream_rollup_pmanifest_store,  # r10 green; partitioned.py changed r11 (staged guard)
-    "key_skew_orders": q_key_skew_orders,  # last driver check: r5 (the stalest query)
-    "stream_zscore_events": q_stream_zscore_events,  # last driver check: r6
-    "dedup_pair_audit": q_dedup_pair_audit,  # last driver check: r6
-    "dsir_select_docs": q_dsir_select_docs,  # last driver check: r6
-    "ccnet_buckets_docs": q_ccnet_buckets_docs,  # last driver check: r6
-    "zipf_fit_corpus": q_zipf_fit_corpus,  # last driver check: r6
-    "corpus_data_card": q_corpus_data_card,  # last driver check: r6
-    "html_extract_docs": q_html_extract_docs,  # last driver check: r6
-    "source_kl_drift": q_source_kl_drift,  # last driver check: r6
-    "snapshot_js_drift": q_snapshot_js_drift,  # last driver check: r6
-    "fuzzy_part_names": q_fuzzy_part_names,  # last driver check: r6
-    "rollup_hist_percentiles": q_rollup_hist_percentiles,  # last driver check: r6
-    "stream_embedding_index": q_stream_embedding_index,  # last driver check: r6
-    "pagerank_trade_graph": q_pagerank_trade_graph,  # last driver check: r6
-    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,  # last driver check: r6
-    "bpe_merges_docs": q_bpe_merges_docs,  # last driver check: r6
-    "pii_scrub": q_pii_scrub,  # last driver check: r6
-    "gopher_quality": q_gopher_quality,  # last driver check: r6
-    "stream_tumbling_events": q_stream_tumbling_events,  # last driver check: r6
-    "stream_sliding_events": q_stream_sliding_events,  # last driver check: r6
-    "stream_session_events": q_stream_session_events,  # last driver check: r6
-    "stream_stateful_counts": q_stream_stateful_counts,  # last driver check: r6
-    "stream_stream_join": q_stream_stream_join,  # last driver check: r6
-    "stream_dedup_events": q_stream_dedup_events,  # last driver check: r6
-    "pack_sequences": q_pack_sequences,  # last driver check: r6
-    "zorder_col": q_zorder_col,  # last driver check: r6
-    "histogram_acctbal": q_histogram_acctbal,  # last driver check: r6
-    "q10_returned_revenue": q_q10_returned_revenue,  # last driver check: r6
-    "q6_forecast_revenue": q_q6_forecast_revenue,  # last driver check: r6
-    "q14_promo_revenue": q_q14_promo_revenue,  # last driver check: r6
-    "q18_large_volume_orders": q_q18_large_volume_orders,  # last driver check: r6
-    "q19_bracketed_revenue": q_q19_bracketed_revenue,  # last driver check: r6
-    "customers_without_orders": q_customers_without_orders,  # last driver check: r6
-    "topk_orders_per_customer": q_topk_orders_per_customer,  # last driver check: r6
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,  # r7; dedup.py prefix guard added r11
-    "embedding_near_dup": q_embedding_near_dup,  # r7; dedup.py changed r11
-    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,  # r7; guard path changed r11
-    "simhash_pairs": q_simhash_pairs,  # r7; dedup.py changed r11
-    "knn_cosine_top5": q_knn_cosine_top5,  # r7; similarity.py changed r11
-    "lsh_ann_top5": q_lsh_ann_top5,  # r7; hot-code memo added r11
-    "ivf_ann_top5": q_ivf_ann_top5,  # r7; similarity.py changed r11
-    "vector_index_pq_emb": q_vector_index_pq_emb,  # NEW r11: IVF-PQ ADC serving (rows-only by design)
+    "stream_delta_ingest_orders": q_stream_delta_ingest,  # NEW r11, registered post-window: never driver-checked
+    "gif_frame_stats_docs": q_gif_frame_stats,  # NEW r11, registered post-window: never driver-checked
+    "iceberg_eq_delete_orders": q_iceberg_eq_delete_orders,  # NEW r11, registered post-window: never driver-checked
+    "corpus_clean_pipeline": q_corpus_clean_pipeline,  # last driver check: r7
+    "stream_rollup_acid_store": q_stream_rollup_acid_store,  # last driver check: r7
+    "stream_rollup_events": q_stream_rollup_events,  # last driver check: r7
+    "stream_drift_hourly": q_stream_drift_hourly,  # last driver check: r7
+    "url_parse_docs": q_url_parse_docs,  # last driver check: r7
+    "window_running_total": q_window_running_total,  # last driver check: r7
+    "url_blocklist_docs": q_url_blocklist_docs,  # last driver check: r7
+    "domain_stats_docs": q_domain_stats_docs,  # last driver check: r7
+    "link_graph_docs": q_link_graph_docs,  # last driver check: r7
+    "window_lag_gap": q_window_lag_gap,  # last driver check: r7
+    "rollup_status_priority": q_rollup_status_priority,  # last driver check: r7
+    "set_ops_custkeys": q_set_ops_custkeys,  # last driver check: r7
+    "distinct_counts_by_segment": q_distinct_counts_by_segment,  # last driver check: r7
+    "scalar_functions_part": q_scalar_functions_part,  # last driver check: r7
+    "orders_by_month": q_orders_by_month,  # last driver check: r7
+    "unpivot_part_measures": q_unpivot_part_measures,  # last driver check: r7
+    "doc_fingerprint": q_doc_fingerprint,  # last driver check: r7
+    "lang_id": q_lang_id,  # last driver check: r7
+    "embedding_norms": q_embedding_norms,  # last driver check: r7
+    "q12_late_lines_by_flag": q_q12_late_lines_by_flag,  # last driver check: r7
+    "json_extract_events": q_json_extract_events,  # last driver check: r7
+    "sessionize_events": q_sessionize_events,  # last driver check: r7
+    "asof_latest_order_per_event": q_asof_latest_order_per_event,  # last driver check: r7
+    "range_join_event_pairs": q_range_join_event_pairs,  # last driver check: r7
+    "wrangle_map_ops": q_wrangle_map_ops,  # last driver check: r7
+    "wrangle_create_multiple": q_wrangle_create_multiple,  # last driver check: r7
+    "wrangle_attr_id": q_wrangle_attr_id,  # last driver check: r7
+    "wrangle_get_or_create_arrays": q_wrangle_get_or_create_arrays,  # last driver check: r7
+    "full_outer_daily_activity": q_full_outer_daily_activity,  # last driver check: r7
+    "grouping_sets_orders": q_grouping_sets_orders,  # last driver check: r7
+    "wrangle_conditional_gather": q_wrangle_conditional_gather,  # last driver check: r7
+    "wrangle_flatten": q_wrangle_flatten,  # last driver check: r7
+    "wrangle_fold_ops": q_wrangle_fold_ops,  # last driver check: r7
+    "sql_api_top_nations": q_sql_api_top_nations,  # last driver check: r7
+    "data_quality_violations": q_data_quality_violations,  # last driver check: r7
+    "wrangle_lenient_audit": q_wrangle_lenient_audit,  # last driver check: r7
+    "udtf_chunk_text": q_udtf_chunk_text,  # last driver check: r7
+    "tfidf_top_terms": q_tfidf_top_terms,  # last driver check: r7
+    "wrangle_foreach_custom": q_wrangle_foreach_custom,  # last driver check: r7
+    "bloom_dedup_docs": q_bloom_dedup_docs,  # last driver check: r8 (window pad)
+    "stream_bloom_dedup_docs": q_stream_bloom_dedup_docs,  # last driver check: r8 (window pad)
+    "manifest_time_travel_orders": q_manifest_time_travel_orders,  # last driver check: r8 (window pad)
+    "manifest_lookup_orders": q_manifest_lookup_orders,  # last driver check: r8 (window pad)
+    "semantic_decontam_emb": q_semantic_decontam_emb,  # last driver check: r8 (window pad)
+    "semantic_decontam_lsh": q_semantic_decontam_lsh,  # last driver check: r8 (window pad)
+    "stream_cdc_manifest_evolve": q_stream_cdc_manifest_evolve,  # last driver check: r8 (window pad)
+    "stream_cdc_manifest_store": q_stream_cdc_manifest_store,  # last driver check: r8 (window pad)
     # ---- below the 50-slot driver window from here down ----
-    "stream_delta_ingest_orders": q_stream_delta_ingest,  # NEW r11 (post-window): first in line for the r12 rotation
-    "gif_frame_stats_docs": q_gif_frame_stats,  # NEW r11 (post-window): REAL animated-GIF frame sampling
-    "iceberg_eq_delete_orders": q_iceberg_eq_delete_orders,  # NEW r11 (post-window): v2 merge-on-read equality deletes
-    "corpus_clean_pipeline": q_corpus_clean_pipeline,  # r7 green; displaced for the r11 iceberg query
-    "stream_rollup_acid_store": q_stream_rollup_acid_store,  # r7 green; displaced for the r11 delta query
-    "stream_rollup_events": q_stream_rollup_events,  # r7 green; displaced for the r11 multimodal queries
-    "stream_drift_hourly": q_stream_drift_hourly,  # r7 green; displaced for the r11 multimodal queries
-    "url_parse_docs": q_url_parse_docs,  # r7 green; displaced for the r11 multimodal queries
-    "window_running_total": q_window_running_total,  # r7 green; displaced for the r11 PQ query
-    # (r10-window greens displaced after their r10 driver pass;
+    # (r11-window greens displaced after their r11 driver pass;
     #  prior relative order preserved below.)
+    "vector_index_filtered_emb": q_vector_index_filtered_emb,
+    "image_decode_stats_docs": q_image_decode_stats,
+    "image_resize_bmp_docs": q_image_resize_bmp,
+    "audio_wav_stats_docs": q_audio_wav_stats,
+    "delta_roundtrip_orders": q_delta_roundtrip_orders,
+    "iceberg_roundtrip_orders": q_iceberg_roundtrip_orders,
+    "text_index_phrase_docs": q_text_index_phrase_docs,
+    "stream_rollup_pmanifest_store": q_stream_rollup_pmanifest_store,
+    "key_skew_orders": q_key_skew_orders,
+    "stream_zscore_events": q_stream_zscore_events,
+    "dedup_pair_audit": q_dedup_pair_audit,
+    "dsir_select_docs": q_dsir_select_docs,
+    "ccnet_buckets_docs": q_ccnet_buckets_docs,
+    "zipf_fit_corpus": q_zipf_fit_corpus,
+    "corpus_data_card": q_corpus_data_card,
+    "html_extract_docs": q_html_extract_docs,
+    "source_kl_drift": q_source_kl_drift,
+    "snapshot_js_drift": q_snapshot_js_drift,
+    "fuzzy_part_names": q_fuzzy_part_names,
+    "rollup_hist_percentiles": q_rollup_hist_percentiles,
+    "stream_embedding_index": q_stream_embedding_index,
+    "pagerank_trade_graph": q_pagerank_trade_graph,
+    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+    "bpe_merges_docs": q_bpe_merges_docs,
+    "pii_scrub": q_pii_scrub,
+    "gopher_quality": q_gopher_quality,
+    "stream_tumbling_events": q_stream_tumbling_events,
+    "stream_sliding_events": q_stream_sliding_events,
+    "stream_session_events": q_stream_session_events,
+    "stream_stateful_counts": q_stream_stateful_counts,
+    "stream_stream_join": q_stream_stream_join,
+    "stream_dedup_events": q_stream_dedup_events,
+    "pack_sequences": q_pack_sequences,
+    "zorder_col": q_zorder_col,
+    "histogram_acctbal": q_histogram_acctbal,
+    "q10_returned_revenue": q_q10_returned_revenue,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "q14_promo_revenue": q_q14_promo_revenue,
+    "q18_large_volume_orders": q_q18_large_volume_orders,
+    "q19_bracketed_revenue": q_q19_bracketed_revenue,
+    "customers_without_orders": q_customers_without_orders,
+    "topk_orders_per_customer": q_topk_orders_per_customer,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "simhash_pairs": q_simhash_pairs,
+    "knn_cosine_top5": q_knn_cosine_top5,
+    "lsh_ann_top5": q_lsh_ann_top5,
+    "ivf_ann_top5": q_ivf_ann_top5,
+    "vector_index_pq_emb": q_vector_index_pq_emb,
     "vector_index_topk_emb": q_vector_index_topk_emb,
     "text_index_topk_served_docs": q_text_index_topk_served_docs,
     "text_index_topk_docs": q_text_index_topk_docs,
@@ -9018,14 +9057,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmanifest_root_travel_orders": q_pmanifest_root_travel_orders,
     "wrangle_nested_lineitems": q_wrangle_nested_lineitems,
     "text_index_blocked_docs": q_text_index_blocked_docs,
-    "bloom_dedup_docs": q_bloom_dedup_docs,
-    "stream_bloom_dedup_docs": q_stream_bloom_dedup_docs,
-    "manifest_time_travel_orders": q_manifest_time_travel_orders,
-    "manifest_lookup_orders": q_manifest_lookup_orders,
-    "semantic_decontam_emb": q_semantic_decontam_emb,
-    "semantic_decontam_lsh": q_semantic_decontam_lsh,
-    "stream_cdc_manifest_evolve": q_stream_cdc_manifest_evolve,
-    "stream_cdc_manifest_store": q_stream_cdc_manifest_store,
     "stream_rollup_manifest_store": q_stream_rollup_manifest_store,
     "cms_heavy_hitters_custkey": q_cms_heavy_hitters_custkey,
     "stream_cms_user_hitters": q_stream_cms_user_hitters,
@@ -9062,39 +9093,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wrangle_nested_customer": q_wrangle_nested_customer,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
-    "url_blocklist_docs": q_url_blocklist_docs,
-    "domain_stats_docs": q_domain_stats_docs,
-    "link_graph_docs": q_link_graph_docs,
-    "window_lag_gap": q_window_lag_gap,
-    "rollup_status_priority": q_rollup_status_priority,
-    "set_ops_custkeys": q_set_ops_custkeys,
-    "distinct_counts_by_segment": q_distinct_counts_by_segment,
-    "scalar_functions_part": q_scalar_functions_part,
-    "orders_by_month": q_orders_by_month,
-    "unpivot_part_measures": q_unpivot_part_measures,
-    "doc_fingerprint": q_doc_fingerprint,
-    "lang_id": q_lang_id,
-    "embedding_norms": q_embedding_norms,
-    "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
-    "json_extract_events": q_json_extract_events,
-    "sessionize_events": q_sessionize_events,
-    "asof_latest_order_per_event": q_asof_latest_order_per_event,
-    "range_join_event_pairs": q_range_join_event_pairs,
-    "wrangle_map_ops": q_wrangle_map_ops,
-    "wrangle_create_multiple": q_wrangle_create_multiple,
-    "wrangle_attr_id": q_wrangle_attr_id,
-    "wrangle_get_or_create_arrays": q_wrangle_get_or_create_arrays,
-    "full_outer_daily_activity": q_full_outer_daily_activity,
-    "grouping_sets_orders": q_grouping_sets_orders,
-    "wrangle_conditional_gather": q_wrangle_conditional_gather,
-    "wrangle_flatten": q_wrangle_flatten,
-    "wrangle_fold_ops": q_wrangle_fold_ops,
-    "sql_api_top_nations": q_sql_api_top_nations,
-    "data_quality_violations": q_data_quality_violations,
-    "wrangle_lenient_audit": q_wrangle_lenient_audit,
-    "udtf_chunk_text": q_udtf_chunk_text,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "wrangle_foreach_custom": q_wrangle_foreach_custom,
 }
 
 _ORACLES: dict[str, str] = {
