@@ -134,11 +134,21 @@ class TestForeignLog:
         schema = T.StructType([T.StructField("k", T.LongType())])
         _commit(tbl, 0, [
             {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["typeWidening"],
+                          "writerFeatures": ["typeWidening"]}},
+            _meta(schema)])
+        with pytest.raises(DeltaProtocolError, match="typeWidening"):
+            delta_snapshot(spark, tbl)
+
+    def test_dv_reader_feature_is_supported(self, spark, tbl):
+        """deletionVectors in readerFeatures must NOT gate (r12)."""
+        schema = T.StructType([T.StructField("k", T.LongType())])
+        _commit(tbl, 0, [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                           "readerFeatures": ["deletionVectors"],
                           "writerFeatures": ["deletionVectors"]}},
             _meta(schema)])
-        with pytest.raises(DeltaProtocolError, match="deletionVectors"):
-            delta_snapshot(spark, tbl)
+        assert delta_snapshot(spark, tbl).version == 0
 
     def test_column_mapping_gate(self, spark, tbl):
         schema = T.StructType([T.StructField("k", T.LongType())])
@@ -147,16 +157,6 @@ class TestForeignLog:
             "delta.columnMapping.mode": "name"}
         _commit(tbl, 0, [_PROTO, m])
         with pytest.raises(DeltaProtocolError, match="column mapping"):
-            delta_snapshot(spark, tbl)
-
-    def test_dv_add_gate(self, spark, tbl):
-        schema = T.StructType([T.StructField("k", T.LongType())])
-        _commit(tbl, 0, [_PROTO, _meta(schema),
-                         {"add": {"path": "x.parquet",
-                                  "partitionValues": {}, "size": 1,
-                                  "dataChange": True,
-                                  "deletionVector": {"storageType": "u"}}}])
-        with pytest.raises(DeltaProtocolError, match="deletion vectors"):
             delta_snapshot(spark, tbl)
 
     def test_missing_commit_is_loud(self, spark, tbl):
@@ -313,7 +313,11 @@ class TestHistoryAndVacuum:
         # time travel works pre-vacuum
         assert read_delta(spark, tbl, version=1).count() == 36
         n_live = len(delta_snapshot(spark, tbl).files)
-        deleted = delta_vacuum(spark, tbl)
+        # default retention (7 days): freshly unreferenced files are
+        # PROTECTED — a concurrent writer may still publish them
+        assert delta_vacuum(spark, tbl) == 0
+        assert read_delta(spark, tbl, version=1).count() == 36
+        deleted = delta_vacuum(spark, tbl, retention_seconds=0)
         assert deleted > 0
         # current snapshot unaffected; old version's files are gone
         assert read_delta(spark, tbl).count() == 6
@@ -321,7 +325,20 @@ class TestHistoryAndVacuum:
         with pytest.raises(Exception):
             read_delta(spark, tbl, version=1).count()
         # idempotent
-        assert delta_vacuum(spark, tbl) == 0
+        assert delta_vacuum(spark, tbl, retention_seconds=0) == 0
+
+    def test_vacuum_skips_staging_dirs(self, spark, tbl):
+        df = spark.range(0, 4).select(F.col("id").alias("k"))
+        write_delta(df, tbl)
+        staged = os.path.join(tbl, "_staging_deadbeef")
+        os.makedirs(staged, exist_ok=True)
+        spark.range(0, 2).coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(staged, "out"))
+        from wrangle_pypes_spark.sources.delta import delta_vacuum
+        # even with zero retention, in-flight staging dirs are never
+        # touched (the ADVICE r11 writer-race fix)
+        assert delta_vacuum(spark, tbl, retention_seconds=0) == 0
+        assert os.path.isdir(staged)
 
 
 class TestHiveFastPath:
@@ -423,3 +440,238 @@ class TestTxnIdempotence:
             stream, tbl, partition_by=["p"], app_id="ingest")
         q2.awaitTermination(120)
         assert read_delta(spark, tbl).count() == 30
+
+
+class TestDeletionVectors:
+    """DV read path vs hand-written (foreign) logs AND the
+    delta_delete_where writer; the codec itself is covered in
+    tests/test_dv.py."""
+
+    def _one_file_table(self, spark, tbl, n=20):
+        schema = T.StructType([T.StructField("k", T.LongType()),
+                               T.StructField("v", T.StringType())])
+        os.makedirs(tbl, exist_ok=True)
+        spark.range(0, n).select(
+            F.col("id").alias("k"),
+            F.col("id").cast("string").alias("v")) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(tbl, "_stage"))
+        part = next(p for p in os.listdir(os.path.join(tbl, "_stage"))
+                    if p.endswith(".parquet"))
+        os.replace(os.path.join(tbl, "_stage", part),
+                   os.path.join(tbl, "d.parquet"))
+        shutil.rmtree(os.path.join(tbl, "_stage"))
+        return schema
+
+    _DV_PROTO = {"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"]}}
+
+    def test_foreign_inline_dv(self, spark, tbl):
+        from wrangle_pypes_spark.sources import dv as dvmod
+        schema = self._one_file_table(spark, tbl)
+        bitmap = dvmod.rba_serialize([0, 3, 7])
+        text, size = dvmod.inline_encode(bitmap)
+        _commit(tbl, 0, [self._DV_PROTO, _meta(schema),
+                         {"add": {"path": "d.parquet",
+                                  "partitionValues": {}, "size": 1,
+                                  "modificationTime": 0,
+                                  "dataChange": True,
+                                  "deletionVector": {
+                                      "storageType": "i",
+                                      "pathOrInlineDv": text,
+                                      "sizeInBytes": size,
+                                      "cardinality": 3}}}])
+        got = sorted(r["k"] for r in read_delta(spark, tbl).collect())
+        assert got == [k for k in range(20) if k not in (0, 3, 7)]
+
+    def test_foreign_file_dv(self, spark, tbl):
+        from wrangle_pypes_spark.sources import dv as dvmod
+        schema = self._one_file_table(spark, tbl)
+        dv_uuid = uuid.uuid4()
+        bitmap = dvmod.rba_serialize(list(range(10)))
+        data, offsets = dvmod.pack_dv_file([bitmap])
+        with open(os.path.join(
+                tbl, f"deletion_vector_{dv_uuid}.bin"), "wb") as f:
+            f.write(data)
+        _commit(tbl, 0, [self._DV_PROTO, _meta(schema),
+                         {"add": {"path": "d.parquet",
+                                  "partitionValues": {}, "size": 1,
+                                  "modificationTime": 0,
+                                  "dataChange": True,
+                                  "deletionVector": {
+                                      "storageType": "u",
+                                      "pathOrInlineDv":
+                                          dvmod.encode_uuid_path(
+                                              dv_uuid),
+                                      "offset": offsets[0],
+                                      "sizeInBytes": len(bitmap),
+                                      "cardinality": 10}}}])
+        got = sorted(r["k"] for r in read_delta(spark, tbl).collect())
+        assert got == list(range(10, 20))
+
+    def test_foreign_corrupt_dv_is_loud(self, spark, tbl):
+        from wrangle_pypes_spark.sources import dv as dvmod
+        schema = self._one_file_table(spark, tbl)
+        bitmap = dvmod.rba_serialize([1])
+        text, size = dvmod.inline_encode(bitmap)
+        _commit(tbl, 0, [self._DV_PROTO, _meta(schema),
+                         {"add": {"path": "d.parquet",
+                                  "partitionValues": {}, "size": 1,
+                                  "modificationTime": 0,
+                                  "dataChange": True,
+                                  "deletionVector": {
+                                      "storageType": "i",
+                                      "pathOrInlineDv": text,
+                                      "sizeInBytes": size,
+                                      "cardinality": 99}}}])
+        with pytest.raises(Exception, match="cardinality"):
+            read_delta(spark, tbl).collect()
+
+    def test_delete_where_roundtrip(self, spark, tbl):
+        from wrangle_pypes_spark.sources.delta import (
+            delta_delete_where,
+        )
+        df = spark.range(0, 60).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("p"),
+            (F.col("id") * 2).alias("val"))
+        write_delta(df, tbl, partition_by=["p"])
+        v = delta_delete_where(spark, tbl, "k % 5 = 0")
+        assert v == 1
+        out = read_delta(spark, tbl)
+        assert sorted(r["k"] for r in out.collect()) \
+            == [k for k in range(60) if k % 5 != 0]
+        # protocol upgraded to the DV feature
+        snap = delta_snapshot(spark, tbl)
+        assert "deletionVectors" in snap.protocol["readerFeatures"]
+        # second delete must UNION with existing vectors
+        assert delta_delete_where(spark, tbl, "k % 7 = 0") == 2
+        assert sorted(r["k"] for r in
+                      read_delta(spark, tbl).collect()) \
+            == [k for k in range(60) if k % 5 != 0 and k % 7 != 0]
+        # nothing matched -> no new commit
+        assert delta_delete_where(spark, tbl, "k = -1") == 2
+        # time travel sees the pre-delete state
+        assert read_delta(spark, tbl, version=0).count() == 60
+        # partition pruning composes with DV application
+        p1 = read_delta(spark, tbl, partition_filter={"p": "1"})
+        assert sorted(r["k"] for r in p1.collect()) \
+            == [k for k in range(60)
+                if k % 3 == 1 and k % 5 != 0 and k % 7 != 0]
+
+    def test_delete_survives_checkpoint(self, spark, tbl):
+        from wrangle_pypes_spark.sources.delta import (
+            delta_delete_where,
+        )
+        df = spark.range(0, 30).select(F.col("id").alias("k"))
+        write_delta(df, tbl)
+        delta_delete_where(spark, tbl, "k >= 20")
+        assert delta_checkpoint(spark, tbl) == 1
+        # force the checkpoint replay path
+        for v in (0, 1):
+            os.remove(os.path.join(tbl, "_delta_log",
+                                   f"{v:020d}.json"))
+        assert sorted(r["k"] for r in
+                      read_delta(spark, tbl).collect()) \
+            == list(range(20))
+
+
+class TestDistributedState:
+    """The r12 contract: snapshot file state stays a Spark plan; the
+    driver materializes only pruned file lists, and checkpoint writes
+    never build a driver-side row list."""
+
+    def _many_add_checkpoint(self, spark, tbl, n_adds=50_000):
+        """A table whose checkpoint carries n_adds synthetic add
+        actions (only partition p=real has physical files)."""
+        schema = T.StructType([T.StructField("k", T.LongType()),
+                               T.StructField("p", T.StringType())])
+        os.makedirs(os.path.join(tbl, "p=real"), exist_ok=True)
+        spark.range(0, 7).select(F.col("id").alias("k")) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(tbl, "_stage"))
+        part = next(p for p in os.listdir(os.path.join(tbl, "_stage"))
+                    if p.endswith(".parquet"))
+        os.replace(os.path.join(tbl, "_stage", part),
+                   os.path.join(tbl, "p=real", "d.parquet"))
+        shutil.rmtree(os.path.join(tbl, "_stage"))
+        meta = _meta(schema, ["p"])["metaData"]
+        from wrangle_pypes_spark.sources.delta import (
+            _CHECKPOINT_SCHEMA,
+        )
+        proto_row = (None, (1, 2, None, None), None, None, None)
+        meta_row = (None, None,
+                    (meta["id"], None, None, ("parquet", {}),
+                     meta["schemaString"], ["p"], {}, None),
+                    None, None)
+        add_rows = [
+            (None, None, None,
+             (f"p=fake{i}/f{i}.parquet", {"p": f"fake{i}"},
+              1, 0, False, None), None)
+            for i in range(n_adds - 1)]
+        real_row = (None, None, None,
+                    ("p=real/d.parquet", {"p": "real"}, 1, 0, False,
+                     None), None)
+        cp_df = spark.createDataFrame(
+            [proto_row, meta_row, real_row] + add_rows,
+            _CHECKPOINT_SCHEMA)
+        cp_dir = os.path.join(tbl, "_delta_log")
+        os.makedirs(cp_dir, exist_ok=True)
+        tmp = os.path.join(tbl, "_cp_stage")
+        cp_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp)
+                    if p.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part),
+                   os.path.join(cp_dir,
+                                f"{0:020d}.checkpoint.parquet"))
+        shutil.rmtree(tmp)
+        with open(os.path.join(cp_dir, "_last_checkpoint"), "w") as f:
+            f.write(json.dumps({"version": 0, "size": n_adds + 2}))
+        _commit(tbl, 0, [{"commitInfo": {"operation": "WRITE"}}])
+
+    def test_snapshot_is_lazy_and_prune_bounds_collect(self, spark,
+                                                       tbl):
+        self._many_add_checkpoint(spark, tbl)
+        snap = delta_snapshot(spark, tbl)
+        # resolving a snapshot materializes NO file state
+        assert snap._adds_df is None
+        assert snap.files_df.count() == 50_000
+        # a pruned read collects exactly the surviving add
+        pruned = snap.pruned_adds({"p": "real"})
+        assert [a["path"] for a in pruned] == ["p=real/d.parquet"]
+        out = read_delta(spark, tbl, partition_filter={"p": "real"})
+        assert out.count() == 7
+
+    def test_checkpoint_never_materializes_file_list(self, spark, tbl,
+                                                     monkeypatch):
+        df = spark.range(0, 12).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("p"))
+        write_delta(df, tbl, partition_by=["p"])
+        from wrangle_pypes_spark.sources import delta as dmod
+
+        def boom(self, partition_filter=None):
+            raise AssertionError(
+                "checkpoint write materialized the file list")
+
+        monkeypatch.setattr(dmod.DeltaSnapshot, "pruned_adds", boom)
+        assert delta_checkpoint(spark, tbl) == 0
+        monkeypatch.undo()
+        os.remove(os.path.join(tbl, "_delta_log", f"{0:020d}.json"))
+        assert read_delta(spark, tbl).count() == 12
+
+    def test_append_never_touches_file_state(self, spark, tbl,
+                                             monkeypatch):
+        df = spark.range(0, 9).select(F.col("id").alias("k"))
+        write_delta(df, tbl)
+        from wrangle_pypes_spark.sources import delta as dmod
+
+        def boom(self):
+            raise AssertionError("append composed the file-state plan")
+
+        monkeypatch.setattr(dmod.DeltaSnapshot, "_build", boom)
+        assert write_delta(df, tbl) == 1
+        monkeypatch.undo()
+        assert read_delta(spark, tbl).count() == 18

@@ -5,8 +5,8 @@ PROTOCOL.md).
 The container ships no delta-spark jars, but the protocol needs none:
 a Delta table is parquet data files plus ``_delta_log/`` holding
 ordered JSON commits (``%020d.json`` of newline-delimited action
-objects: ``protocol`` / ``metaData`` / ``add`` / ``remove``) and
-optional parquet checkpoints.  This module implements the seam the
+objects: ``protocol`` / ``metaData`` / ``add`` / ``remove`` / ``txn``)
+and optional parquet checkpoints.  This module implements the seam the
 north star needs — "a user with an existing Delta table can read it,
 and our outputs are readable by any Delta engine" — in pure Python +
 Spark DataFrame calls:
@@ -16,7 +16,11 @@ Spark DataFrame calls:
   from log ``partitionValues`` BEFORE touching data, and read with the
   native parquet scan.  ``metaData.schemaString`` is Spark's own JSON
   schema format, so types round-trip exactly.  Time travel via
-  ``version=``.
+  ``version=``.  **Deletion vectors** (the v3 ``deletionVectors``
+  reader feature) are fully supported: descriptors decode via the
+  pure-Python roaring codec in sources/dv.py and apply as a
+  position anti-join on ``_metadata.file_path``/``row_index`` —
+  the same shape the Iceberg reader uses for position deletes.
 - **Writer**: ``mode='append' | 'overwrite'`` + ``replace_where=``
   (partition-scoped overwrite), hive-style partition layout, commits
   published with PUT-IF-ABSENT (O_EXCL locally, ``fs.create(path,
@@ -24,27 +28,38 @@ Spark DataFrame calls:
   the same commit rule the Delta spec mandates.  ``txn_app_id``/
   ``txn_version`` ride the spec's ``txn`` action for idempotent
   (exactly-once) streaming appends — see
-  ``streaming.foreach_batch_delta_append``.  ``delta_checkpoint``
-  writes a spec-shaped parquet checkpoint (txn state included) +
-  ``_last_checkpoint`` so both halves of the reader path are
-  exercised; ``delta_history`` / ``delta_vacuum`` cover the ops
-  surface (DESCRIBE HISTORY / VACUUM semantics).
+  ``streaming.foreach_batch_delta_append``.  :func:`delta_delete_where`
+  is row-level DELETE via deletion vectors: matching row positions are
+  bitmap-encoded and written as DV files INSIDE executors (the driver
+  sees only O(affected files) descriptors), no data file rewritten.
+  ``delta_checkpoint`` writes a spec-shaped parquet checkpoint (full
+  action schema: txn, protocol incl. feature lists, metaData incl.
+  format, add incl. modificationTime + deletionVector, remove
+  tombstones) + ``_last_checkpoint``; ``delta_history`` /
+  ``delta_vacuum`` cover the ops surface (DESCRIBE HISTORY / VACUUM
+  semantics, retention window included).
 
 Honest gates (loud, never silent): reader-protocol features we don't
-implement (deletion vectors, column mapping) raise
-``NotImplementedError`` naming the feature; object stores without
-atomic create-if-absent (S3 without a commit coordinator) are exactly
-as unsupported here as in Delta itself and fail on the exclusive
-create.
+implement (column mapping) raise ``NotImplementedError`` naming the
+feature; object stores without atomic create-if-absent (S3 without a
+commit coordinator) are exactly as unsupported here as in Delta itself
+and fail on the exclusive create.
 
-Scale notes: log replay touches ONLY the log (checkpoint parquet +
-tail JSON commits — O(commits since checkpoint), independent of data
-size); partition pruning happens on log metadata so a pruned read
-never lists or opens pruned data files; the data scan is the stock
-vectorized parquet reader (pushdown/pruning/AQE all apply).  Readers
-group files by hive layout when the paths allow (single scan,
-partition columns inferred under ``basePath``) and fall back to
-per-partition-value unions for foreign layouts.
+Scale notes: snapshot state is a DATAFRAME, not driver memory — the
+checkpoint's add/remove actions stay in a Spark plan, the JSON tail
+(O(commits since checkpoint), bounded by the checkpoint cadence) is
+the only log segment replayed driver-side, and reads collect only the
+PRUNED file list after partition filters run against the plan (the
+same planning cost delta-spark pays).  Checkpoints are written from
+that plan without ever materializing a driver-side row list, so a
+10M-file table checkpoints without driver-memory risk.  Partition
+pruning happens on log metadata, so a pruned read never lists or
+opens pruned data files; the data scan is the stock vectorized
+parquet reader (pushdown/pruning/AQE all apply).  Full-table
+maintenance ops (``delta_vacuum``, ``delta_delete_where``'s scan, the
+``DeltaSnapshot.files`` compatibility dict) do materialize the file
+list they operate on — inherent to their contract and documented on
+each.
 
 Reference parity: the reference engine (wrangle_pypes) has no table
 format; this is [EXT] north-star surface alongside sources/acid.py
@@ -55,9 +70,10 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass, field
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,7 +85,8 @@ _LOG_DIR = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
 # reader features we actually implement; anything else in a v3+
 # protocol's readerFeatures is a loud gate
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "v2Checkpoint"}
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "v2Checkpoint",
+                              "deletionVectors"}
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
@@ -84,20 +101,120 @@ class DeltaConcurrentWriteError(RuntimeError):
     the operation is not safely retryable (overwrite/replace_where)."""
 
 
+_DV_STRUCT = T.StructType([
+    T.StructField("storageType", T.StringType()),
+    T.StructField("pathOrInlineDv", T.StringType()),
+    T.StructField("offset", T.IntegerType()),
+    T.StructField("sizeInBytes", T.IntegerType()),
+    T.StructField("cardinality", T.LongType()),
+])
+
+# the reconciled live-file state carried as a DataFrame
+_ADD_STATE_SCHEMA = T.StructType([
+    T.StructField("path", T.StringType()),
+    T.StructField("partitionValues",
+                  T.MapType(T.StringType(), T.StringType())),
+    T.StructField("size", T.LongType()),
+    T.StructField("modificationTime", T.LongType()),
+    T.StructField("dataChange", T.BooleanType()),
+    T.StructField("deletionVector", _DV_STRUCT),
+])
+
+_REMOVE_STATE_SCHEMA = T.StructType([
+    T.StructField("path", T.StringType()),
+    T.StructField("deletionTimestamp", T.LongType()),
+    T.StructField("dataChange", T.BooleanType()),
+])
+
+_DV_KEYS = ("storageType", "pathOrInlineDv", "offset", "sizeInBytes",
+            "cardinality")
+
+
+def _dv_tuple(dvd: Optional[dict]):
+    if not dvd:
+        return None
+    return (dvd.get("storageType"), dvd.get("pathOrInlineDv"),
+            dvd.get("offset"), dvd.get("sizeInBytes"),
+            dvd.get("cardinality"))
+
+
 @dataclass
 class DeltaSnapshot:
+    """A resolved table version.  File state lives in ``files_df`` (a
+    lazy Spark plan over the checkpoint parquet + the replayed JSON
+    tail); nothing O(live files) is held driver-side unless a caller
+    explicitly materializes (``files`` / ``pruned_adds``)."""
     path: str
     version: int
     schema: T.StructType
     partition_columns: list[str]
-    files: dict[str, dict] = field(repr=False)  # path -> add action
     protocol: dict = field(default_factory=dict)
     metadata: dict = field(default_factory=dict, repr=False)
     txns: dict = field(default_factory=dict)  # appId -> last version
+    _state: Optional[Callable] = field(default=None, repr=False)
+    _adds_df: Optional[DataFrame] = field(default=None, repr=False)
+    _tombstones_df: Optional[DataFrame] = field(default=None, repr=False)
+
+    def _build(self) -> None:
+        if self._adds_df is None:
+            self._adds_df, self._tombstones_df = self._state()
+
+    @property
+    def files_df(self) -> DataFrame:
+        """Live add actions as a DataFrame (schema
+        ``_ADD_STATE_SCHEMA``) — the scale-safe way to inspect or
+        prune the file set."""
+        self._build()
+        return self._adds_df
+
+    @property
+    def tombstones_df(self) -> DataFrame:
+        """Remove tombstones still carried for checkpoint/vacuum
+        bookkeeping (schema ``_REMOVE_STATE_SCHEMA``)."""
+        self._build()
+        return self._tombstones_df
+
+    def pruned_adds(self,
+                    partition_filter: Optional[dict] = None
+                    ) -> list[dict]:
+        """Collect add actions as dicts, AFTER applying
+        ``partition_filter`` in the Spark plan — the driver holds only
+        the pruned list (for an unfiltered call, the full list: that
+        is the planning cost of actually scanning every file)."""
+        d = self.files_df
+        if partition_filter:
+            unknown = set(partition_filter) - set(self.partition_columns)
+            if unknown:
+                raise ValueError(
+                    f"partition_filter keys {sorted(unknown)} are not "
+                    f"partition columns {self.partition_columns}")
+            for k, v in partition_filter.items():
+                d = d.filter(F.col("partitionValues").getItem(k)
+                             == str(v))
+        out = []
+        for r in d.collect():
+            a = {"path": r["path"],
+                 "partitionValues": dict(r["partitionValues"] or {}),
+                 "size": r["size"],
+                 "modificationTime": r["modificationTime"],
+                 "dataChange": r["dataChange"]}
+            dvd = r["deletionVector"]
+            if dvd is not None and dvd["storageType"] is not None:
+                a["deletionVector"] = dvd.asDict()
+            out.append(a)
+        return out
+
+    @property
+    def files(self) -> dict:
+        """Compatibility view: path -> add action dict.  MATERIALIZES
+        the whole file list in the driver — metadata-scale convenience
+        for catalogs/tests, not for hot paths."""
+        return {a["path"]: a for a in self.pruned_adds()}
 
     @property
     def file_paths(self) -> list[str]:
-        return sorted(self.files)
+        return sorted(r["path"]
+                      for r in self.files_df.select("path").collect())
 
 
 def _log_path(table: str, name: str) -> str:
@@ -161,13 +278,13 @@ def _check_metadata(meta: dict) -> None:
     if mapping not in ("none", ""):
         raise DeltaProtocolError(
             f"Delta column mapping mode {mapping!r} not implemented")
-    if conf.get("delta.enableDeletionVectors", "false") == "true":
-        raise DeltaProtocolError("Delta deletion vectors not implemented")
 
 
 def _replay_json_commit(text: str, state: dict) -> None:
-    """Apply one commit's actions to the replay state (spec: last
-    metaData/protocol wins; add/remove reconcile by path)."""
+    """Apply one commit's actions to the TAIL replay state (spec: last
+    metaData/protocol wins; add/remove reconcile by path).  Only the
+    post-checkpoint tail goes through here, so these dicts stay
+    O(commits since checkpoint)."""
     for line in text.splitlines():
         line = line.strip()
         if not line:
@@ -175,12 +292,12 @@ def _replay_json_commit(text: str, state: dict) -> None:
         action = json.loads(line)
         if "add" in action:
             a = action["add"]
-            if a.get("deletionVector"):
-                raise DeltaProtocolError(
-                    "Delta deletion vectors not implemented")
-            state["files"][a["path"]] = a
+            state["tail_adds"][a["path"]] = a
+            state["tail_removes"].pop(a["path"], None)
         elif "remove" in action:
-            state["files"].pop(action["remove"]["path"], None)
+            r = action["remove"]
+            state["tail_adds"].pop(r["path"], None)
+            state["tail_removes"][r["path"]] = r
         elif "metaData" in action:
             state["meta"] = action["metaData"]
         elif "protocol" in action:
@@ -195,10 +312,19 @@ def _replay_json_commit(text: str, state: dict) -> None:
         # commitInfo / domainMetadata are informational for reads
 
 
+def _sub(prefix: str, name: str, dtype: T.DataType, present: set):
+    """One nested checkpoint field as a column, null-typed when the
+    foreign checkpoint's schema lacks it."""
+    col = (F.col(f"{prefix}.{name}") if name in present
+           else F.lit(None))
+    return col.cast(dtype).alias(name)
+
+
 def _load_checkpoint(spark: SparkSession, table: str,
                      version: int, parts: Optional[int]) -> dict:
     """Load replay state from a parquet checkpoint (single or
-    multi-part)."""
+    multi-part).  Small singletons (protocol/metaData/txn) collect;
+    add/remove actions stay as DataFrames."""
     if parts:
         names = [
             f"{version:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
@@ -206,14 +332,15 @@ def _load_checkpoint(spark: SparkSession, table: str,
     else:
         names = [_checkpoint_name(version)]
     cp = spark.read.parquet(*[_log_path(table, n) for n in names])
-    state = {"files": {}, "meta": None, "proto": None, "txns": {}}
-    cols = set(cp.columns)
+    state = {"meta": None, "proto": None, "txns": {},
+             "tail_adds": {}, "tail_removes": {}}
+    cols = {f.name: f for f in cp.schema.fields}
     if "protocol" in cols:
-        for r in (cp.select("protocol.*")
-                  .filter(F.col("protocol").isNotNull()
-                          if "protocol" in cols else F.lit(True))
-                  .collect()):
-            d = {k: v for k, v in r.asDict(True).items() if v is not None}
+        for r in cp.filter(
+                F.col("protocol.minReaderVersion").isNotNull()) \
+                .select("protocol.*").collect():
+            d = {k: v for k, v in r.asDict(True).items()
+                 if v is not None}
             if d:
                 state["proto"] = d
     if "metaData" in cols:
@@ -226,15 +353,48 @@ def _load_checkpoint(spark: SparkSession, table: str,
             state["txns"][r["appId"]] = max(
                 int(r["version"]),
                 int(state["txns"].get(r["appId"], -1)))
-    add_rows = cp.filter(F.col("add.path").isNotNull()) \
-                 .select("add.path", "add.partitionValues", "add.size") \
-                 .collect()
-    for r in add_rows:
-        state["files"][r["path"]] = {
-            "path": r["path"],
-            "partitionValues": dict(r["partitionValues"] or {}),
-            "size": r["size"],
-        }
+
+    def _adds() -> DataFrame:
+        if "add" not in cols:
+            return spark.createDataFrame([], _ADD_STATE_SCHEMA)
+        pres = {f.name for f in cols["add"].dataType.fields}
+        dv_col = F.lit(None).cast(_DV_STRUCT)
+        if "deletionVector" in pres:
+            dpres = {f.name for f in next(
+                f for f in cols["add"].dataType.fields
+                if f.name == "deletionVector").dataType.fields}
+            dv_col = F.when(
+                F.col("add.deletionVector.storageType").isNotNull()
+                if "storageType" in dpres else F.lit(False),
+                F.struct(*[_sub("add.deletionVector", n, t, dpres)
+                           for n, t in zip(_DV_KEYS,
+                                           [f.dataType for f in
+                                            _DV_STRUCT.fields])]))
+        return (cp.filter(F.col("add.path").isNotNull())
+                .select(F.col("add.path").alias("path"),
+                        _sub("add", "partitionValues",
+                             _ADD_STATE_SCHEMA["partitionValues"]
+                             .dataType, pres),
+                        _sub("add", "size", T.LongType(), pres),
+                        _sub("add", "modificationTime", T.LongType(),
+                             pres),
+                        _sub("add", "dataChange", T.BooleanType(),
+                             pres),
+                        dv_col.alias("deletionVector")))
+
+    def _removes() -> DataFrame:
+        if "remove" not in cols:
+            return spark.createDataFrame([], _REMOVE_STATE_SCHEMA)
+        pres = {f.name for f in cols["remove"].dataType.fields}
+        return (cp.filter(F.col("remove.path").isNotNull())
+                .select(F.col("remove.path").alias("path"),
+                        _sub("remove", "deletionTimestamp",
+                             T.LongType(), pres),
+                        _sub("remove", "dataChange", T.BooleanType(),
+                             pres)))
+
+    state["cp_adds"] = _adds
+    state["cp_removes"] = _removes
     return state
 
 
@@ -242,16 +402,25 @@ def delta_snapshot(spark: SparkSession, table: str, *,
                    version: Optional[int] = None) -> DeltaSnapshot:
     """Resolve a table snapshot from the log: newest eligible
     checkpoint (skipped entirely for time travel before it), then JSON
-    commits through the target version.  O(log), never O(data)."""
+    commits through the target version.  O(log) driver work — the
+    checkpoint's file actions are referenced as a DataFrame plan, not
+    collected."""
     log_names = fsutil.list_dir(os.path.join(table, _LOG_DIR), spark)
     commits = {}
     cp_versions = set()
+    cp_multipart: dict[int, int] = {}
     for n in log_names:
         if n.endswith(".json") and n[:20].isdigit():
             commits[int(n[:20])] = n
         elif ".checkpoint." in n and n.endswith(".parquet") \
                 and n[:20].isdigit():
-            cp_versions.add(int(n[:20]))
+            v = int(n[:20])
+            cp_versions.add(v)
+            # multi-part: NNN.checkpoint.<i>.<parts>.parquet
+            mid = n[len(f"{v:020d}.checkpoint."):-len(".parquet")]
+            bits = mid.split(".")
+            if len(bits) == 2 and all(b.isdigit() for b in bits):
+                cp_multipart[v] = int(bits[1])
     if not commits and not cp_versions:
         raise FileNotFoundError(f"not a Delta table (no commits): {table}")
     # a checkpoint-only log is valid: the spec allows cleaning JSON
@@ -263,7 +432,9 @@ def delta_snapshot(spark: SparkSession, table: str, *,
             f"version {target} not available (latest {latest})")
 
     # newest checkpoint at or below target, via _last_checkpoint hint
-    # first, then the listing scan (hint can be stale/absent)
+    # first, then the listing scan (hint can be stale/absent); the
+    # listing knows each checkpoint's part count, so foreign
+    # multi-part checkpoints load without a hint
     cp_version, cp_parts = -1, None
     hint = fsutil.read_text(_log_path(table, _LAST_CHECKPOINT), spark)
     if hint:
@@ -275,6 +446,7 @@ def delta_snapshot(spark: SparkSession, table: str, *,
         eligible = [v for v in cp_versions if v <= target]
         if eligible:
             cp_version = max(eligible)
+            cp_parts = cp_multipart.get(cp_version)
 
     if cp_version >= 0:
         state = _load_checkpoint(spark, table, cp_version, cp_parts)
@@ -285,7 +457,9 @@ def delta_snapshot(spark: SparkSession, table: str, *,
                 f"version {target} not reconstructable (no checkpoint "
                 f"at or below it and the earliest commit is "
                 f"{min(commits) if commits else 'absent'})")
-        state = {"files": {}, "meta": None, "proto": None, "txns": {}}
+        state = {"meta": None, "proto": None, "txns": {},
+                 "tail_adds": {}, "tail_removes": {},
+                 "cp_adds": None, "cp_removes": None}
         start = min(commits)
 
     for v in range(start, target + 1):
@@ -304,12 +478,51 @@ def delta_snapshot(spark: SparkSession, table: str, *,
     _check_metadata(state["meta"])
     schema = T.StructType.fromJson(
         json.loads(state["meta"]["schemaString"]))
+
+    tail_adds = state["tail_adds"]
+    tail_removes = state["tail_removes"]
+    cp_adds, cp_removes = state["cp_adds"], state["cp_removes"]
+
+    def _compose() -> tuple[DataFrame, DataFrame]:
+        """(adds_df, tombstones_df): checkpoint plan minus paths the
+        tail superseded, plus the tail's own actions."""
+        add_rows = [(a["path"],
+                     dict(a.get("partitionValues") or {}),
+                     int(a.get("size") or 0),
+                     int(a.get("modificationTime") or 0),
+                     bool(a.get("dataChange", True)),
+                     _dv_tuple(a.get("deletionVector")))
+                    for a in tail_adds.values()]
+        rem_rows = [(r["path"],
+                     int(r.get("deletionTimestamp") or 0),
+                     bool(r.get("dataChange", True)))
+                    for r in tail_removes.values()]
+        tail_add_df = spark.createDataFrame(add_rows, _ADD_STATE_SCHEMA)
+        tail_rem_df = spark.createDataFrame(rem_rows,
+                                            _REMOVE_STATE_SCHEMA)
+        superseded = list(tail_adds) + list(tail_removes)
+        if cp_adds is None:
+            adds = tail_add_df
+            removes = tail_rem_df
+        else:
+            adds = cp_adds()
+            removes = cp_removes()
+            if superseded:
+                adds = adds.filter(~F.col("path").isin(superseded))
+                removes = removes.filter(
+                    ~F.col("path").isin(superseded))
+            adds = adds.unionByName(tail_add_df)
+            removes = removes.unionByName(tail_rem_df)
+        return adds, removes
+
     return DeltaSnapshot(
         path=table, version=target, schema=schema,
         partition_columns=list(state["meta"].get("partitionColumns")
                                or []),
-        files=state["files"], protocol=state["proto"] or {},
-        metadata=state["meta"], txns=dict(state.get("txns") or {}))
+        protocol=state["proto"] or {},
+        metadata=state["meta"],
+        txns=dict(state.get("txns") or {}),
+        _state=_compose)
 
 
 def _hive_consistent(adds: list, pcols: list) -> bool:
@@ -345,39 +558,32 @@ def _partition_expr(value: Optional[str], dtype: T.DataType):
     return F.lit(value).cast(dtype)
 
 
-def read_delta(spark: SparkSession, table: str, *,
-               version: Optional[int] = None,
-               partition_filter: Optional[dict] = None) -> DataFrame:
-    """Read a Delta table snapshot as a DataFrame.
+def _norm_uri(col):
+    """Canonicalize 'file:'-scheme URIs so log paths and Spark's
+    ``_metadata.file_path`` compare equal."""
+    return F.regexp_replace(col, "^file:/+", "/")
 
-    ``partition_filter`` ({col: value-string}) prunes on the LOG's
-    partitionValues before any data file is listed or opened — the
-    I/O-bound guarantee partition pruning exists for.  Data columns
-    come from the native parquet scan (schema enforced from
-    ``schemaString``); partition columns are re-attached from the log,
-    typed per the table schema, so tables whose data files omit
-    partition columns (the Delta norm) read correctly.
-    """
-    snap = delta_snapshot(spark, table, version=version)
+
+def _scan_adds(spark: SparkSession, snap: DeltaSnapshot,
+               adds: list[dict], *, with_meta: bool = False
+               ) -> DataFrame:
+    """The table-schema scan over ``adds`` (hive-consistent single
+    scan when the layout allows, else per-partition-tuple groups).
+    ``with_meta`` appends (_dl_fp, _dl_ri) row-address columns for
+    deletion-vector merging."""
     fields = {f.name: f.dataType for f in snap.schema.fields}
     pcols = snap.partition_columns
+    want = [f.name for f in snap.schema.fields]
     data_schema = T.StructType(
         [f for f in snap.schema.fields if f.name not in pcols])
 
-    adds = list(snap.files.values())
-    if partition_filter:
-        unknown = set(partition_filter) - set(pcols)
-        if unknown:
-            raise ValueError(
-                f"partition_filter keys {sorted(unknown)} are not "
-                f"partition columns {pcols}")
-        adds = [a for a in adds
-                if all((a.get("partitionValues") or {}).get(k)
-                       == str(v)
-                       for k, v in partition_filter.items())]
+    def _meta_cols(d: DataFrame) -> DataFrame:
+        return d.select(
+            "*",
+            _norm_uri(F.col("_metadata.file_path")).alias("_dl_fp"),
+            F.col("_metadata.row_index").alias("_dl_ri"))
 
-    if not adds:
-        return spark.createDataFrame([], snap.schema)
+    extra = ["_dl_fp", "_dl_ri"] if with_meta else []
 
     # Fast path: when every add's path is hive-laid-out AND the dir
     # segments agree with the LOG's partitionValues (the log stays
@@ -385,11 +591,15 @@ def read_delta(spark: SparkSession, table: str, *,
     # reads all files with partition columns inferred per the provided
     # schema.  This is the 10k-partition-safe shape: no per-partition
     # DataFrame unions in the driver plan.
-    if pcols and _hive_consistent(adds, pcols):
-        d = (spark.read.schema(snap.schema)
-             .option("basePath", table)
-             .parquet(*[os.path.join(table, a["path"]) for a in adds]))
-        return d.select([f.name for f in snap.schema.fields])
+    if not pcols or _hive_consistent(adds, pcols):
+        d = spark.read.schema(snap.schema if pcols else data_schema)
+        if pcols:
+            d = d.option("basePath", snap.path)
+        d = d.parquet(*[os.path.join(snap.path, a["path"])
+                        for a in adds])
+        if with_meta:
+            d = _meta_cols(d)
+        return d.select(*want, *extra)
 
     # group by partition tuple; each group is one parquet scan with the
     # log-typed partition literals attached
@@ -399,20 +609,106 @@ def read_delta(spark: SparkSession, table: str, *,
         pv = a.get("partitionValues") or {}
         key = tuple(pv.get(c) for c in pcols)
         groups.setdefault(key, []).append(
-            os.path.join(table, a["path"]))
+            os.path.join(snap.path, a["path"]))
         pvals[key] = pv
     parts_df = []
     for key, paths in sorted(groups.items(),
                              key=lambda kv: tuple(map(repr, kv[0]))):
         d = spark.read.schema(data_schema).parquet(*paths)
+        if with_meta:
+            d = _meta_cols(d)
         for c in pcols:
             d = d.withColumn(c, _partition_expr(pvals[key].get(c),
                                                 fields[c]))
-        parts_df.append(d.select([f.name for f in snap.schema.fields]))
+        parts_df.append(d.select(*want, *extra))
     out = parts_df[0]
     for d in parts_df[1:]:
         out = out.unionByName(d)
     return out
+
+
+def _apply_deletion_vectors(spark: SparkSession, table: str,
+                            adds: list[dict], d: DataFrame
+                            ) -> DataFrame:
+    """Drop rows whose (file, position) a deletion vector marks.
+    Descriptors expand to (path, position) rows INSIDE executors via
+    ``mapInPandas`` (sources/dv.py does the roaring decode), then one
+    anti-join on the row address removes them — the driver never holds
+    decoded positions."""
+    dv_rows = []
+    for a in adds:
+        dvd = a.get("deletionVector")
+        if dvd:
+            dv_rows.append((
+                os.path.join(table, a["path"]),
+                dvd.get("storageType"), dvd.get("pathOrInlineDv"),
+                int(dvd["offset"]) if dvd.get("offset") is not None
+                else None,
+                int(dvd["sizeInBytes"]),
+                int(dvd["cardinality"])
+                if dvd.get("cardinality") is not None else None))
+    if not dv_rows:
+        return d
+    desc_schema = ("data_path string, storageType string, "
+                   "pathOrInlineDv string, offset int, "
+                   "sizeInBytes int, cardinality long")
+    desc_df = spark.createDataFrame(dv_rows, desc_schema)
+    table_root = fsutil._strip_file_scheme(table)
+
+    def _expand(batches):
+        import pandas as pd
+
+        from . import dv as _dv
+        cache: dict = {}
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                desc = {"storageType": row.storageType,
+                        "pathOrInlineDv": row.pathOrInlineDv,
+                        "offset": row.offset,
+                        "sizeInBytes": row.sizeInBytes,
+                        "cardinality": row.cardinality}
+                pos = _dv.decode_descriptor(desc, table_root, cache)
+                yield pd.DataFrame({
+                    "_dv_fp": [row.data_path] * len(pos),
+                    "_dv_pos": pos})
+
+    n_dv = max(1, min(len(dv_rows),
+                      spark.sparkContext.defaultParallelism))
+    pos_df = (desc_df.repartition(n_dv)
+              .mapInPandas(_expand, "_dv_fp string, _dv_pos long")
+              .withColumn("_dv_fp", _norm_uri(F.col("_dv_fp"))))
+    return d.join(pos_df,
+                  (d["_dl_fp"] == pos_df["_dv_fp"])
+                  & (d["_dl_ri"] == pos_df["_dv_pos"]),
+                  "left_anti")
+
+
+def read_delta(spark: SparkSession, table: str, *,
+               version: Optional[int] = None,
+               partition_filter: Optional[dict] = None) -> DataFrame:
+    """Read a Delta table snapshot as a DataFrame.
+
+    ``partition_filter`` ({col: value-string}) prunes on the LOG's
+    partitionValues INSIDE the snapshot's file-state plan, so the
+    driver collects only the surviving file list and a pruned read
+    never lists or opens pruned data files.  Data columns come from
+    the native parquet scan (schema enforced from ``schemaString``);
+    partition columns are re-attached from the log, typed per the
+    table schema, so tables whose data files omit partition columns
+    (the Delta norm) read correctly.  Files carrying deletion vectors
+    have their deleted positions anti-joined away.
+    """
+    snap = delta_snapshot(spark, table, version=version)
+    adds = snap.pruned_adds(partition_filter)
+    if not adds:
+        return spark.createDataFrame([], snap.schema)
+    want = [f.name for f in snap.schema.fields]
+    has_dv = any(a.get("deletionVector") for a in adds)
+    d = _scan_adds(spark, snap, adds, with_meta=has_dv)
+    if has_dv:
+        d = _apply_deletion_vectors(spark, table, adds, d)
+        d = d.select(*want)
+    return d
 
 
 # ---------------------------------------------------------------------------
@@ -480,7 +776,7 @@ def _stage_data_files(df: DataFrame, table: str,
                     "path": dest_rel.replace(os.sep, "/"),
                     "partitionValues": pv,
                     "size": int(size),
-                    "modificationTime": 0,
+                    "modificationTime": int(time.time() * 1000),
                     "dataChange": True,
                 })
             elif "." not in name or "=" in name:
@@ -489,6 +785,30 @@ def _stage_data_files(df: DataFrame, table: str,
     _walk("")
     fsutil.delete(staging, spark=spark)
     return adds
+
+
+def _remove_action(a: dict) -> dict:
+    """The spec-shaped remove tombstone for a live add action."""
+    return {"remove": {"path": a["path"],
+                       "deletionTimestamp": int(time.time() * 1000),
+                       "dataChange": True,
+                       "extendedFileMetadata": True,
+                       "partitionValues":
+                           a.get("partitionValues") or {},
+                       "size": int(a.get("size") or 0)}}
+
+
+def _type_mismatches(write_schema: T.StructType,
+                     table_schema: T.StructType) -> list[str]:
+    """Column-level type disagreements (names already validated);
+    nullability is ignored — parquet carries actual nulls, the log
+    schema governs."""
+    out = []
+    for wf, tf in zip(write_schema.fields, table_schema.fields):
+        if wf.dataType.simpleString() != tf.dataType.simpleString():
+            out.append(f"{wf.name}: {wf.dataType.simpleString()} vs "
+                       f"table {tf.dataType.simpleString()}")
+    return out
 
 
 def write_delta(df: DataFrame, table: str, *, mode: str = "append",
@@ -514,6 +834,11 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
     micro-batch cannot double-append.  A crash between data staging
     and the commit leaves only orphan files (invisible; reclaimed by
     :func:`delta_vacuum`) and the replay commits exactly once.
+
+    Appends never materialize the table's file list (their commit is
+    self-contained); overwrites collect exactly the file set their
+    remove actions must name — the same size as the commit JSON they
+    publish.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -553,6 +878,11 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
                 "schema mismatch: write columns "
                 f"{df.schema.fieldNames()} vs table "
                 f"{current.schema.fieldNames()} (no evolution support)")
+        drift = _type_mismatches(df.schema, current.schema)
+        if drift:
+            raise ValueError(
+                "schema type mismatch (no evolution support): "
+                + "; ".join(drift))
         base_actions = []
         next_version = current.version + 1
 
@@ -561,21 +891,17 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
     for attempt in range(max_retries):
         removes = []
         if mode == "overwrite" and current is not None:
-            victims = current.files.values()
             if replace_where:
                 unknown = set(replace_where) - set(partition_by)
                 if unknown:
                     raise ValueError(
                         f"replace_where keys {sorted(unknown)} are not "
                         f"partition columns {list(partition_by)}")
-                victims = [
-                    a for a in victims
-                    if all((a.get("partitionValues") or {}).get(k)
-                           == str(v) for k, v in replace_where.items())]
-            removes = [{"remove": {"path": a["path"],
-                                   "dataChange": True,
-                                   "deletionTimestamp": 0}}
-                       for a in victims]
+                victims = current.pruned_adds(
+                    {k: str(v) for k, v in replace_where.items()})
+            else:
+                victims = current.pruned_adds()
+            removes = [_remove_action(a) for a in victims]
         txn_actions = ([{"txn": {"appId": txn_app_id,
                                  "version": int(txn_version)}}]
                        if txn_app_id is not None else [])
@@ -606,73 +932,247 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
         f"gave up after {max_retries} commit races on {table}")
 
 
+# ---------------------------------------------------------------------------
+# row-level DELETE via deletion vectors
+# ---------------------------------------------------------------------------
+
+_DV_RESULT_SCHEMA = ("path string, pathOrInlineDv string, offset int, "
+                     "sizeInBytes int, cardinality long")
+
+
+def delta_delete_where(spark: SparkSession, table: str,
+                       condition: str, *,
+                       partition_filter: Optional[dict] = None) -> int:
+    """Row-level DELETE: rows matching ``condition`` (a SQL boolean
+    expression over the table schema) are marked deleted through the
+    protocol's deletion vectors — no data file is rewritten.  Returns
+    the committed version (or the current version when nothing
+    matched).
+
+    Per affected file, matching row positions are roaring-bitmap
+    encoded AND written to the DV ``.bin`` file INSIDE the executor
+    (``applyInPandas`` over the row addresses); the driver collects
+    only O(affected files) descriptors for the commit JSON.  Existing
+    deletion vectors are honored: already-deleted rows can't match, and
+    a file's new vector is the union of old + new positions (the
+    spec's requirement that a DV supersedes its predecessor).
+    ``partition_filter`` narrows the scan the same way ``read_delta``
+    prunes.  Upgrades the table protocol to the ``deletionVectors``
+    reader/writer feature on first use — exactly what the spec
+    requires of engines adding DVs to a v1 table.
+    """
+    snap = delta_snapshot(spark, table)
+    adds = snap.pruned_adds(partition_filter)
+    if not adds:
+        return snap.version
+    d = _scan_adds(spark, snap, adds, with_meta=True)
+    d = _apply_deletion_vectors(spark, table, adds, d)
+    matches = (d.filter(F.expr(condition))
+               .select(F.col("_dl_fp").alias("fp"),
+                       F.col("_dl_ri").alias("pos")))
+
+    by_norm: dict[str, dict] = {}
+    for a in adds:
+        norm = os.path.join(table, a["path"])
+        norm = fsutil._strip_file_scheme(norm)
+        by_norm[norm] = a
+    table_root = fsutil._strip_file_scheme(table)
+
+    def _write_dvs(pdf):
+        import pandas as pd
+
+        from . import dv as _dv
+        fp = pdf["fp"].iloc[0]
+        add = by_norm.get(fp)
+        positions = set(int(p) for p in pdf["pos"])
+        if add is not None and add.get("deletionVector"):
+            positions |= set(
+                int(p) for p in _dv.decode_descriptor(
+                    add["deletionVector"], table_root))
+        bitmap = _dv.rba_serialize(sorted(positions))
+        dv_uuid = uuid.uuid4()
+        data, offsets = _dv.pack_dv_file([bitmap])
+        name = f"deletion_vector_{dv_uuid}.bin"
+        with open(os.path.join(table_root, name), "wb") as f:
+            f.write(data)
+        return pd.DataFrame({
+            "path": [fp],
+            "pathOrInlineDv": [_dv.encode_uuid_path(dv_uuid)],
+            "offset": [offsets[0]],
+            "sizeInBytes": [len(bitmap)],
+            "cardinality": [len(positions)]})
+
+    descs = (matches.groupBy("fp")
+             .applyInPandas(_write_dvs, _DV_RESULT_SCHEMA)
+             .collect())
+    if not descs:
+        return snap.version
+
+    actions = []
+    proto = snap.protocol or {}
+    feats = set(proto.get("readerFeatures") or [])
+    if int(proto.get("minReaderVersion", 1)) < 3 \
+            or "deletionVectors" not in feats:
+        actions.append({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": sorted(
+                feats | {"deletionVectors"}),
+            "writerFeatures": sorted(
+                set(proto.get("writerFeatures") or [])
+                | {"deletionVectors"})}})
+    n_deleted = 0
+    for r in descs:
+        a = by_norm[r["path"]]
+        old_card = int((a.get("deletionVector") or {})
+                       .get("cardinality") or 0)
+        n_deleted += int(r["cardinality"]) - old_card
+        actions.append(_remove_action(a))
+        new_add = {**{k: a[k] for k in ("path", "partitionValues",
+                                        "size", "modificationTime")},
+                   "dataChange": True,
+                   "deletionVector": {
+                       "storageType": "u",
+                       "pathOrInlineDv": r["pathOrInlineDv"],
+                       "offset": int(r["offset"]),
+                       "sizeInBytes": int(r["sizeInBytes"]),
+                       "cardinality": int(r["cardinality"])}}
+        actions.append({"add": new_add})
+    actions.append({"commitInfo": {
+        "operation": "DELETE",
+        "operationParameters": {"predicate": condition},
+        "engineInfo": "wrangle_pypes_spark-delta"}})
+    text = "\n".join(json.dumps(x, separators=(",", ":"))
+                     for x in actions)
+    next_version = snap.version + 1
+    if not _create_exclusive(_log_path(table,
+                                       _commit_name(next_version)),
+                             text, spark):
+        raise DeltaConcurrentWriteError(
+            f"version {next_version} was committed concurrently; "
+            "DELETE must re-read the table and re-run")
+    return next_version
+
+
+# ---------------------------------------------------------------------------
+# checkpoints / history / vacuum
+# ---------------------------------------------------------------------------
+
 _CHECKPOINT_SCHEMA = T.StructType([
     T.StructField("txn", T.StructType([
         T.StructField("appId", T.StringType()),
         T.StructField("version", T.LongType()),
+        T.StructField("lastUpdated", T.LongType()),
     ])),
     T.StructField("protocol", T.StructType([
         T.StructField("minReaderVersion", T.IntegerType()),
         T.StructField("minWriterVersion", T.IntegerType()),
+        T.StructField("readerFeatures",
+                      T.ArrayType(T.StringType())),
+        T.StructField("writerFeatures",
+                      T.ArrayType(T.StringType())),
     ])),
     T.StructField("metaData", T.StructType([
         T.StructField("id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("format", T.StructType([
+            T.StructField("provider", T.StringType()),
+            T.StructField("options",
+                          T.MapType(T.StringType(), T.StringType())),
+        ])),
         T.StructField("schemaString", T.StringType()),
         T.StructField("partitionColumns", T.ArrayType(T.StringType())),
         T.StructField("configuration",
                       T.MapType(T.StringType(), T.StringType())),
+        T.StructField("createdTime", T.LongType()),
     ])),
     T.StructField("add", T.StructType([
         T.StructField("path", T.StringType()),
         T.StructField("partitionValues",
                       T.MapType(T.StringType(), T.StringType())),
         T.StructField("size", T.LongType()),
+        T.StructField("modificationTime", T.LongType()),
+        T.StructField("dataChange", T.BooleanType()),
+        T.StructField("deletionVector", _DV_STRUCT),
+    ])),
+    T.StructField("remove", T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("deletionTimestamp", T.LongType()),
         T.StructField("dataChange", T.BooleanType()),
     ])),
 ])
 
 
+def _null_action(name: str):
+    return F.lit(None).cast(_CHECKPOINT_SCHEMA[name].dataType) \
+        .alias(name)
+
+
 def delta_checkpoint(spark: SparkSession, table: str) -> int:
-    """Write a spec-shaped parquet checkpoint of the CURRENT version and
-    publish ``_last_checkpoint``.  Readers then replay only later JSON
-    commits — log replay cost stays O(commits since checkpoint)."""
+    """Write a spec-shaped parquet checkpoint of the CURRENT version
+    and publish ``_last_checkpoint``.  Readers then replay only later
+    JSON commits — log replay cost stays O(commits since checkpoint).
+
+    The checkpoint carries the FULL action schema a foreign engine
+    expects (protocol incl. feature lists, metaData incl. format/
+    name/createdTime, add incl. modificationTime + deletionVector,
+    remove tombstones, txn) and is produced from the snapshot's
+    file-state PLAN — no driver-side row list, so checkpointing a
+    many-million-file table is executor work."""
     snap = delta_snapshot(spark, table)
-    rows = [{"txn": None, "protocol": {
-                "minReaderVersion":
-                    int(snap.protocol.get("minReaderVersion", 1)),
-                "minWriterVersion":
-                    int(snap.protocol.get("minWriterVersion", 2))},
-             "metaData": None, "add": None},
-            {"txn": None, "protocol": None, "metaData": {
-                "id": snap.metadata["id"],
-                "schemaString": snap.metadata["schemaString"],
-                "partitionColumns": snap.partition_columns,
-                "configuration":
-                    snap.metadata.get("configuration") or {}},
-             "add": None}]
+    proto = snap.protocol or {}
+    meta = snap.metadata
+    # (txn, protocol, metaData) tuples in exact schema field order
+    proto_tuple = (int(proto.get("minReaderVersion", 1)),
+                   int(proto.get("minWriterVersion", 2)),
+                   proto.get("readerFeatures"),
+                   proto.get("writerFeatures"))
+    fmt = meta.get("format") or {}
+    meta_tuple = (meta["id"], meta.get("name"),
+                  meta.get("description"),
+                  (fmt.get("provider", "parquet"),
+                   fmt.get("options") or {}),
+                  meta["schemaString"],
+                  list(snap.partition_columns),
+                  meta.get("configuration") or {},
+                  meta.get("createdTime"))
+    static_rows = [(None, proto_tuple, None),
+                   (None, None, meta_tuple)]
     for app, v in sorted(snap.txns.items()):
-        rows.append({"txn": {"appId": app, "version": int(v)},
-                     "protocol": None, "metaData": None, "add": None})
-    for a in snap.files.values():
-        rows.append({"txn": None, "protocol": None, "metaData": None,
-                     "add": {
-            "path": a["path"],
-            "partitionValues": a.get("partitionValues") or {},
-            "size": int(a.get("size") or 0),
-            "dataChange": False}})
+        static_rows.append(((app, int(v), None), None, None))
+    static_df = spark.createDataFrame(
+        static_rows, T.StructType(_CHECKPOINT_SCHEMA.fields[:3])) \
+        .select("txn", "protocol", "metaData",
+                _null_action("add"), _null_action("remove"))
+    adds_part = snap.files_df.select(
+        _null_action("txn"), _null_action("protocol"),
+        _null_action("metaData"),
+        F.struct("path", "partitionValues", "size",
+                 "modificationTime",
+                 F.lit(False).alias("dataChange"),
+                 "deletionVector").alias("add"),
+        _null_action("remove"))
+    removes_part = snap.tombstones_df.select(
+        _null_action("txn"), _null_action("protocol"),
+        _null_action("metaData"), _null_action("add"),
+        F.struct("path", "deletionTimestamp",
+                 "dataChange").alias("remove"))
+    cp_df = static_df.unionByName(adds_part).unionByName(removes_part)
+
     cp_tmp = os.path.join(table, _LOG_DIR,
                           f"_cp_tmp_{uuid.uuid4().hex}")
-    spark.createDataFrame(rows, _CHECKPOINT_SCHEMA) \
-        .coalesce(1).write.mode("overwrite").parquet(cp_tmp)
+    cp_df.coalesce(1).write.mode("overwrite").parquet(cp_tmp)
     part = next(n for n in fsutil.list_dir(cp_tmp, spark)
                 if n.endswith(".parquet"))
     fsutil.rename(os.path.join(cp_tmp, part),
                   _log_path(table, _checkpoint_name(snap.version)),
                   spark)
     fsutil.delete(cp_tmp, spark=spark)
+    n_actions = (len(static_rows) + snap.files_df.count()
+                 + snap.tombstones_df.count())
     fsutil.write_text_atomic(
         _log_path(table, _LAST_CHECKPOINT),
-        json.dumps({"version": snap.version, "size": len(rows)}),
+        json.dumps({"version": snap.version, "size": int(n_actions)}),
         spark)
     return snap.version
 
@@ -706,29 +1206,58 @@ def delta_history(spark: SparkSession, table: str) -> list[dict]:
     return out
 
 
-def delta_vacuum(spark: SparkSession, table: str) -> int:
+def delta_vacuum(spark: SparkSession, table: str, *,
+                 retention_seconds: float = 7 * 24 * 3600.0) -> int:
     """Delete data files not referenced by the CURRENT snapshot —
     removed-by-overwrite files and crash orphans from writes that
     never committed.  Returns the number of files deleted.
 
-    Same contract as Delta's VACUUM with retention elapsed: time
-    travel to versions whose files are dropped stops working (the log
-    itself is kept, so history/metadata remain readable).  Walks the
-    table's data directories; never touches ``_delta_log``."""
+    Only unreferenced files whose modification time is older than
+    ``retention_seconds`` (default 7 days, Delta's own default) are
+    deleted — the retention window is what makes vacuum safe to run
+    beside concurrent writers, whose freshly staged or committed-but-
+    unseen files are always younger than it.  ``_staging_*``
+    directories (in-flight writes) are skipped entirely.  Passing
+    ``retention_seconds=0`` reclaims immediately and is only safe when
+    no writer is active — the same caveat Delta documents for
+    disabling its retention check.
+
+    Time travel to versions whose files are dropped stops working (the
+    log itself is kept, so history/metadata remain readable).  Walks
+    the table's data directories — inherently O(files on disk) — and
+    never touches ``_delta_log``.  Referenced DV ``.bin`` files are
+    never candidates (only ``.parquet`` data files are examined)."""
     snap = delta_snapshot(spark, table)
-    live = {a["path"] for a in snap.files.values()}
+    live = {a["path"] for a in snap.pruned_adds()}
     deleted = 0
+    cutoff = time.time() - max(0.0, retention_seconds)
+
+    def _old_enough(path: str) -> bool:
+        if retention_seconds <= 0:
+            return True
+        try:
+            if fsutil.is_local(path):
+                mtime = os.path.getmtime(
+                    fsutil._strip_file_scheme(path))
+            else:
+                fs, jpath, _ = fsutil._hadoop(spark, path)
+                mtime = fs.getFileStatus(jpath) \
+                    .getModificationTime() / 1000.0
+        except OSError:
+            return False
+        return mtime < cutoff
 
     def _walk(rel: str) -> None:
         nonlocal deleted
         full = os.path.join(table, rel) if rel else table
         for name in fsutil.list_dir(full, spark):
-            if name == _LOG_DIR:
+            if name == _LOG_DIR or name.startswith("_staging_"):
                 continue
             child_rel = (os.path.join(rel, name) if rel else name)
             child = os.path.join(table, child_rel)
             if name.endswith(".parquet"):
-                if child_rel.replace(os.sep, "/") not in live:
+                if child_rel.replace(os.sep, "/") not in live \
+                        and _old_enough(child):
                     fsutil.delete(child, spark=spark)
                     deleted += 1
             elif "=" in name or "." not in name:
