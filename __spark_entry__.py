@@ -6635,6 +6635,61 @@ FROM final GROUP BY o_orderstatus
 """
 
 
+def q_delta_dv_orders(spark, sf_dir):
+    """Row-level DELETE via Delta deletion vectors (sources/delta.py
+    ``delta_delete_where`` + the pure-Python roaring codec in
+    sources/dv.py): publishes orders as a partitioned Delta table,
+    deletes two overlapping predicates WITHOUT rewriting data files
+    (the second delete must UNION its positions into each file's
+    existing vector), checkpoints (the checkpoint carries the DV
+    descriptors + remove tombstones), then appends a post-checkpoint
+    tail commit — so the read replays checkpoint + JSON tail and
+    anti-joins the decoded positions via ``_metadata`` row addresses.
+    The oracle recomputes the surviving row set straight from orders;
+    any dropped/extra position, bad bitmap decode, or lost DV across
+    the checkpoint breaks the value hash.  Scale: descriptors expand
+    to (file, position) rows INSIDE executors (mapInPandas over
+    metadata-sized input); the anti-join is a plain shuffle join."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.delta import (
+        delta_checkpoint,
+        delta_delete_where,
+        read_delta,
+        write_delta,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_delta_dv_") + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    write_delta(o, tbl, partition_by=["o_orderstatus"])
+    delta_delete_where(spark, tbl, "o_orderkey % 7 = 0")
+    delta_delete_where(spark, tbl, "o_totalprice > 150000.0")
+    delta_checkpoint(spark, tbl)
+    write_delta(o.filter("o_orderkey % 101 = 0"), tbl)
+    cur = read_delta(spark, tbl)
+    return (cur.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents")))
+
+
+SQL_DELTA_DV = """
+WITH survivors AS (
+  SELECT o_orderstatus, o_totalprice FROM orders
+  WHERE NOT (o_orderkey % 7 = 0) AND NOT (o_totalprice > 150000.0)
+), tail AS (
+  SELECT o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 101 = 0
+), final AS (
+  SELECT * FROM survivors UNION ALL SELECT * FROM tail
+)
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM final GROUP BY o_orderstatus
+"""
+
+
 def q_iceberg_roundtrip_orders(spark, sf_dir):
     """Iceberg interop (sources/iceberg.py + the pure-Python Avro codec
     in sources/avro_io.py): publishes orders as a spec-shaped Iceberg
@@ -8857,6 +8912,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green in CORRECTNESS_r11.json; displaced entries sit below the
     # marker.  Keep the marker at EXACTLY 50 entries --
     # tests/test_bare_session.py pins it.
+    "delta_dv_orders": q_delta_dv_orders,  # NEW r12: deletion-vector DELETE + checkpoint survival, value-oracled
     "stream_delta_ingest_orders": q_stream_delta_ingest,  # NEW r11, registered post-window: never driver-checked
     "gif_frame_stats_docs": q_gif_frame_stats,  # NEW r11, registered post-window: never driver-checked
     "iceberg_eq_delete_orders": q_iceberg_eq_delete_orders,  # NEW r11, registered post-window: never driver-checked
@@ -8906,8 +8962,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_decontam_emb": q_semantic_decontam_emb,  # last driver check: r8 (window pad)
     "semantic_decontam_lsh": q_semantic_decontam_lsh,  # last driver check: r8 (window pad)
     "stream_cdc_manifest_evolve": q_stream_cdc_manifest_evolve,  # last driver check: r8 (window pad)
-    "stream_cdc_manifest_store": q_stream_cdc_manifest_store,  # last driver check: r8 (window pad)
     # ---- below the 50-slot driver window from here down ----
+    "stream_cdc_manifest_store": q_stream_cdc_manifest_store,  # r8 green; displaced for the r12 DV query
     # (r11-window greens displaced after their r11 driver pass;
     #  prior relative order preserved below.)
     "vector_index_filtered_emb": q_vector_index_filtered_emb,
@@ -9280,6 +9336,7 @@ _ORACLES: dict[str, str] = {
     "image_resize_bmp_docs": SQL_IMAGE_RESIZE,
     "audio_wav_stats_docs": SQL_AUDIO_WAV,
     "delta_roundtrip_orders": SQL_DELTA_ROUNDTRIP,
+    "delta_dv_orders": SQL_DELTA_DV,
     "iceberg_roundtrip_orders": SQL_ICEBERG_ROUNDTRIP,
     "stream_delta_ingest_orders": SQL_STREAM_DELTA,
     "gif_frame_stats_docs": SQL_GIF_FRAMES,
