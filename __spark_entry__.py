@@ -6737,6 +6737,64 @@ FROM final GROUP BY o_orderstatus
 """
 
 
+def q_iceberg_transform_prune_orders(spark, sf_dir):
+    """Iceberg partition-transform pruning (sources/iceberg.py
+    ``eval_transform`` + ``_prune_by_partition``): publishes orders as
+    an Iceberg v2 table partitioned by ``month(o_orderdate)`` AND
+    ``bucket[4](o_custkey)`` (the spec's murmur3 bucket, validated
+    against Appendix B vectors), then answers two slices through
+    partition_filter pruning — a month slice (time-filtered read
+    opens only that month's files) and a customer slice (bucket
+    pruning opens only murmur3-bucket(custkey)'s files).  The oracle
+    recomputes both slices from raw orders, so a wrong transform
+    evaluation (bad month ordinal, bad bucket hash) silently drops
+    rows and breaks the value hash.  Scale: pruning happens on
+    manifest partition tuples before any data file is listed."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_ice_prune_") + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    write_iceberg(o, tbl, partition_by=[("month", "o_orderdate"),
+                                        ("bucket[4]", "o_custkey")])
+    month = (read_iceberg(
+        spark, tbl, partition_filter={"o_orderdate": "1995-06-15"})
+        .filter("o_orderdate >= TIMESTAMP'1995-06-01' AND "
+                "o_orderdate < TIMESTAMP'1995-07-01'")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(F.floor(F.col("o_totalprice") * 100))
+              .alias("sum_cents"))
+        .select(F.lit("month_1995_06").alias("slice"),
+                "n_orders", "sum_cents"))
+    cust = (read_iceberg(spark, tbl,
+                         partition_filter={"o_custkey": 421})
+            .filter("o_custkey = 421")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents"))
+            .select(F.lit("custkey_421").alias("slice"),
+                    "n_orders", "sum_cents"))
+    return month.unionByName(cust)
+
+
+SQL_ICEBERG_TRANSFORM_PRUNE = """
+SELECT 'month_1995_06' AS slice, COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+  AND o_orderdate < TIMESTAMP '1995-07-01'
+UNION ALL
+SELECT 'custkey_421', COUNT(*)::BIGINT,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT
+FROM orders WHERE o_custkey = 421
+"""
+
+
 def q_stream_delta_ingest(spark, sf_dir):
     """Streaming ingest into a Delta table with the spec's OWN
     exactly-once mechanism (sources/delta.py txn action; maintainer
@@ -8913,6 +8971,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # marker.  Keep the marker at EXACTLY 50 entries --
     # tests/test_bare_session.py pins it.
     "delta_dv_orders": q_delta_dv_orders,  # NEW r12: deletion-vector DELETE + checkpoint survival, value-oracled
+    "iceberg_transform_prune_orders": q_iceberg_transform_prune_orders,  # NEW r12: month+bucket transform pruning, value-oracled
     "stream_delta_ingest_orders": q_stream_delta_ingest,  # NEW r11, registered post-window: never driver-checked
     "gif_frame_stats_docs": q_gif_frame_stats,  # NEW r11, registered post-window: never driver-checked
     "iceberg_eq_delete_orders": q_iceberg_eq_delete_orders,  # NEW r11, registered post-window: never driver-checked
@@ -8961,8 +9020,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "manifest_lookup_orders": q_manifest_lookup_orders,  # last driver check: r8 (window pad)
     "semantic_decontam_emb": q_semantic_decontam_emb,  # last driver check: r8 (window pad)
     "semantic_decontam_lsh": q_semantic_decontam_lsh,  # last driver check: r8 (window pad)
-    "stream_cdc_manifest_evolve": q_stream_cdc_manifest_evolve,  # last driver check: r8 (window pad)
     # ---- below the 50-slot driver window from here down ----
+    "stream_cdc_manifest_evolve": q_stream_cdc_manifest_evolve,  # r8 green; displaced for the r12 pruning query
     "stream_cdc_manifest_store": q_stream_cdc_manifest_store,  # r8 green; displaced for the r12 DV query
     # (r11-window greens displaced after their r11 driver pass;
     #  prior relative order preserved below.)
@@ -9338,6 +9397,7 @@ _ORACLES: dict[str, str] = {
     "delta_roundtrip_orders": SQL_DELTA_ROUNDTRIP,
     "delta_dv_orders": SQL_DELTA_DV,
     "iceberg_roundtrip_orders": SQL_ICEBERG_ROUNDTRIP,
+    "iceberg_transform_prune_orders": SQL_ICEBERG_TRANSFORM_PRUNE,
     "stream_delta_ingest_orders": SQL_STREAM_DELTA,
     "gif_frame_stats_docs": SQL_GIF_FRAMES,
     "iceberg_eq_delete_orders": SQL_ICEBERG_EQ_DELETE,

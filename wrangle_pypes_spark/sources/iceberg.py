@@ -55,6 +55,140 @@ class IcebergProtocolError(NotImplementedError):
     """Table uses spec features this reader does not implement."""
 
 
+# ---------------------------------------------------------------------------
+# partition transforms (spec "Partition Transforms" + Appendix B hash)
+# ---------------------------------------------------------------------------
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (x86 variant) — the hash Iceberg's ``bucket[N]``
+    transform mandates (spec Appendix B).  Public-domain algorithm,
+    implemented from the published reference."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounded = n - (n % 4)
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _bucket_hash_bytes(value, ice_type: str) -> bytes:
+    """The byte layout Iceberg hashes per type (spec Appendix B:
+    int/long/date/time/timestamp hash their 64-bit little-endian
+    form; strings hash UTF-8; binary hashes raw bytes)."""
+    import datetime as _dt
+    if ice_type in ("int", "long"):
+        return int(value).to_bytes(8, "little", signed=True)
+    if ice_type == "date":
+        if isinstance(value, _dt.date):
+            value = (value - _dt.date(1970, 1, 1)).days
+        return int(value).to_bytes(8, "little", signed=True)
+    if ice_type in ("timestamp", "timestamptz"):
+        return int(_to_epoch_micros(value)).to_bytes(
+            8, "little", signed=True)
+    if ice_type == "string":
+        return str(value).encode("utf-8")
+    if ice_type == "binary":
+        return bytes(value)
+    raise IcebergProtocolError(
+        f"bucket transform over iceberg type {ice_type!r} unsupported")
+
+
+def _to_epoch_micros(value) -> int:
+    import datetime as _dt
+    if isinstance(value, _dt.datetime):
+        if value.tzinfo is not None:
+            value = value.astimezone(_dt.timezone.utc) \
+                .replace(tzinfo=None)
+        return int((value - _dt.datetime(1970, 1, 1)).total_seconds()
+                   * 1_000_000)
+    if isinstance(value, str):
+        return _to_epoch_micros(_dt.datetime.fromisoformat(value))
+    return int(value)  # already micros
+
+
+def _to_date(value):
+    import datetime as _dt
+    if isinstance(value, _dt.datetime):
+        return value.date()
+    if isinstance(value, _dt.date):
+        return value
+    if isinstance(value, str):
+        return _dt.date.fromisoformat(value[:10])
+    # integer: days from epoch
+    return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(value))
+
+
+_TRANSFORM_RE = re.compile(r"^(bucket|truncate)\[(\d+)\]$")
+
+
+def eval_transform(transform: str, value, ice_type: str):
+    """Apply one partition transform to a SOURCE value, producing the
+    partition-tuple value a manifest would carry (spec "Partition
+    Transforms").  Used for log-side file pruning: a filter on the
+    source column becomes an equality test against manifest partition
+    tuples, so a time-filtered read of a ``day(ts)``-partitioned table
+    opens only that day's files."""
+    import datetime as _dt
+    if value is None:
+        return None
+    t = transform.lower()
+    if t == "identity":
+        return value
+    if t == "void":
+        return None
+    m = _TRANSFORM_RE.match(t)
+    if m:
+        kind, n = m.group(1), int(m.group(2))
+        if kind == "bucket":
+            return (murmur3_32(_bucket_hash_bytes(value, ice_type))
+                    & 0x7FFFFFFF) % n
+        # truncate
+        if ice_type in ("int", "long"):
+            v = int(value)
+            return v - (((v % n) + n) % n)
+        if ice_type == "string":
+            return str(value)[:n]
+        raise IcebergProtocolError(
+            f"truncate over iceberg type {ice_type!r} unsupported")
+    if t in ("year", "years", "month", "months", "day", "days",
+             "hour", "hours"):
+        if t in ("hour", "hours"):
+            return _to_epoch_micros(value) // 3_600_000_000
+        d = _to_date(value)
+        if t in ("year", "years"):
+            return d.year - 1970
+        if t in ("month", "months"):
+            return (d.year - 1970) * 12 + (d.month - 1)
+        return (d - _dt.date(1970, 1, 1)).days
+    raise IcebergProtocolError(
+        f"partition transform {transform!r} unsupported")
+
+
 @dataclass
 class IcebergSnapshot:
     path: str
@@ -247,6 +381,7 @@ def iceberg_snapshot(spark: SparkSession, table: str, *,
                     "path": _normalize_path(df_rec["file_path"], table),
                     "content": fcontent,
                     "seq": int(seq if seq is not None else snap_seq),
+                    "partition": dict(df_rec.get("partition") or {}),
                     "equality_ids": list(
                         df_rec.get("equality_ids") or []),
                 })
@@ -257,8 +392,83 @@ def iceberg_snapshot(spark: SparkSession, table: str, *,
                            files, meta, delete_files=delete_files)
 
 
+def _ice_field_types(meta: dict) -> dict:
+    """Current-schema field name -> iceberg type (primitive string or
+    nested dict)."""
+    if "schemas" in meta:
+        cur = meta.get("current-schema-id", 0)
+        ice = next(s for s in meta["schemas"]
+                   if s.get("schema-id", 0) == cur)
+    else:
+        ice = meta["schema"]
+    return {f["name"]: f["type"] for f in ice["fields"]}
+
+
+def _pv_matches(a, b) -> bool:
+    """Tolerant partition-tuple equality (Avro decodes ints, filters
+    may carry strings)."""
+    if a == b:
+        return True
+    if a is None or b is None:
+        return False
+    return str(a) == str(b)
+
+
+def _prune_by_partition(snap: IcebergSnapshot,
+                        partition_filter: dict) -> IcebergSnapshot:
+    """Evaluate partition transforms against the filter's SOURCE
+    values and drop files whose manifest partition tuples can't match
+    — the metadata-only pruning Iceberg planning does, so a
+    day(ts)-filtered read of a day-partitioned table opens only that
+    day's files.  Keys may be source column names (the transform is
+    applied to the value) or partition field names (raw tuple match);
+    equality is the only supported predicate.  Pruning is a FILE
+    operation with superset semantics: surviving files may hold other
+    rows (bucket/truncate/temporal grouping), so callers still apply
+    their row filter."""
+    _, by_id = _schema_from_metadata(snap.metadata)
+    types = _ice_field_types(snap.metadata)
+    spec_names = {f["name"] for f in snap.partition_spec}
+    src_names = {by_id.get(f["source-id"]) for f in snap.partition_spec}
+    unknown = [k for k in partition_filter
+               if k not in spec_names and k not in src_names]
+    if unknown:
+        raise ValueError(
+            f"partition_filter keys {sorted(unknown)} match neither a "
+            f"partition field {sorted(spec_names)} nor a partition "
+            f"source column {sorted(n for n in src_names if n)}")
+    tests = []  # (partition field name, expected tuple value)
+    for f in snap.partition_spec:
+        fname, transform = f["name"], f.get("transform", "identity")
+        src = by_id.get(f["source-id"])
+        if fname in partition_filter:
+            tests.append((fname, partition_filter[fname]))
+        elif src in partition_filter:
+            ice_t = types.get(src)
+            if not isinstance(ice_t, str):
+                raise IcebergProtocolError(
+                    f"cannot prune on nested source column {src!r}")
+            tests.append((fname, eval_transform(
+                transform, partition_filter[src], ice_t)))
+    if not tests:
+        return snap
+    files = [x for x in snap.files
+             if all(_pv_matches(x["partition"].get(n), v)
+                    for n, v in tests)]
+    # delete files prune only when their tuple EXPLICITLY carries a
+    # mismatching value (global/unpartitioned deletes always apply)
+    dels = [x for x in snap.delete_files
+            if all(n not in (x.get("partition") or {})
+                   or _pv_matches(x["partition"].get(n), v)
+                   for n, v in tests)]
+    return IcebergSnapshot(snap.path, snap.snapshot_id, snap.schema,
+                           snap.partition_spec, files, snap.metadata,
+                           delete_files=dels)
+
+
 def read_iceberg(spark: SparkSession, table: str, *,
-                 snapshot_id: Optional[int] = None) -> DataFrame:
+                 snapshot_id: Optional[int] = None,
+                 partition_filter: Optional[dict] = None) -> DataFrame:
     """Read an Iceberg table snapshot as a DataFrame.
 
     Data files normally embed every column (Iceberg writers store
@@ -266,8 +476,16 @@ def read_iceberg(spark: SparkSession, table: str, *,
     metadata-only identity partition columns, they are re-attached per
     file group from the manifest partition tuples.  Non-identity
     transforms (bucket/truncate/days/…) never lose source columns, so
-    no reconstruction is needed for them."""
+    no reconstruction is needed for them.
+
+    ``partition_filter`` ({source column or partition field: value})
+    prunes files against manifest partition tuples BEFORE any data
+    file is listed or opened, evaluating the spec's transforms
+    (identity/bucket/truncate/year/month/day/hour) on source values —
+    see :func:`_prune_by_partition` for semantics."""
     snap = iceberg_snapshot(spark, table, snapshot_id=snapshot_id)
+    if partition_filter:
+        snap = _prune_by_partition(snap, partition_filter)
     if not snap.files:
         return spark.createDataFrame([], snap.schema)
     want = [f.name for f in snap.schema.fields]
@@ -465,20 +683,57 @@ def _attach_identity_partitions(spark, snap: IcebergSnapshot,
 # native stores
 # ---------------------------------------------------------------------------
 
+# Avro "field-id" props below are the spec's REQUIRED manifest field
+# ids (Iceberg spec, "Manifests" / "Manifest Lists" tables) — foreign
+# engines resolve manifest columns by id, not name.
 _MANIFEST_LIST_SCHEMA = {
     "type": "record", "name": "manifest_file", "fields": [
-        {"name": "manifest_path", "type": "string"},
-        {"name": "manifest_length", "type": "long"},
-        {"name": "partition_spec_id", "type": "int"},
-        {"name": "content", "type": "int"},
-        {"name": "sequence_number", "type": ["null", "long"]},
-        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "field-id": 515},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
     ]}
+
+
+def _manifest_avro_schema(part_avro_fields: list,
+                          with_equality_ids: bool = False) -> dict:
+    """The manifest-entry Avro schema (spec field ids included) over a
+    concrete partition-tuple record."""
+    data_file_fields = [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition", "type": {
+            "type": "record", "name": "r102",
+            "fields": part_avro_fields}, "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long",
+         "field-id": 104},
+    ]
+    if with_equality_ids:
+        data_file_fields.append(
+            {"name": "equality_ids",
+             "type": ["null", {"type": "array", "items": "int",
+                               "element-id": 136}],
+             "field-id": 135})
+    return {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "field-id": 1},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2",
+                "fields": data_file_fields}, "field-id": 2}]}
 
 _SPARK_TO_ICE = {T.LongType(): "long", T.IntegerType(): "int",
                  T.StringType(): "string", T.DoubleType(): "double",
                  T.FloatType(): "float", T.BooleanType(): "boolean",
-                 T.DateType(): "date", T.BinaryType(): "binary"}
+                 T.DateType(): "date", T.BinaryType(): "binary",
+                 T.TimestampType(): "timestamptz",
+                 T.TimestampNTZType(): "timestamp"}
 _ICE_TO_AVRO = {"long": "long", "int": "int", "string": "string",
                 "double": "double", "float": "float",
                 "boolean": "boolean"}
@@ -510,6 +765,100 @@ def _parse_pv(raw: Optional[str], ice_type: str):
     return raw
 
 
+def _normalize_partition_by(partition_by) -> list[tuple[str, str]]:
+    """User partition_by entries -> (transform, source column) pairs.
+    Strings mean identity; tuples/lists name a transform:
+    ``["o_orderstatus", ("bucket[8]", "o_custkey"),
+    ("month", "o_orderdate")]``."""
+    out = []
+    for p in (partition_by or []):
+        if isinstance(p, str):
+            out.append(("identity", p))
+        elif isinstance(p, (tuple, list)) and len(p) == 2:
+            out.append((str(p[0]).lower(), str(p[1])))
+        else:
+            raise ValueError(
+                f"partition_by entry {p!r}: want a column name or "
+                "(transform, column)")
+    return out
+
+
+def _spec_field_name(transform: str, col: str) -> str:
+    """Iceberg's conventional partition field naming (x_bucket,
+    x_trunc, x_day, ...)."""
+    t = transform.lower()
+    if t == "identity":
+        return col
+    base = t.split("[", 1)[0]
+    return f"{col}_{'trunc' if base == 'truncate' else base}"
+
+
+def _spec_tuple_type(transform: str, ice_type: str) -> str:
+    """The iceberg type of a partition-tuple value for a transform
+    (spec: bucket and the temporal transforms produce int; truncate
+    and identity keep the source type)."""
+    t = transform.lower()
+    if t == "identity" or t.startswith("truncate"):
+        return ice_type
+    return "int"
+
+
+def _transform_col(transform: str, col: str, ice_type: str):
+    """The Spark column computing a transform's partition value at
+    WRITE time (staging only — readers get values from manifests).
+    Temporal/truncate transforms are pure built-in expressions;
+    bucket needs the spec's murmur3 and rides a vectorized pandas
+    UDF (write-path only, never on reads)."""
+    t = transform.lower()
+    if t == "identity":
+        return F.col(col)
+    m = _TRANSFORM_RE.match(t)
+    if m and m.group(1) == "bucket":
+        n = int(m.group(2))
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("int")
+        def _bucket(s):
+            import pandas as pd
+            return pd.Series(
+                [None if v is None else
+                 (murmur3_32(_bucket_hash_bytes(v, ice_type))
+                  & 0x7FFFFFFF) % n
+                 for v in s], dtype="Int32")
+
+        return _bucket(F.col(col))
+    if m:  # truncate[W]
+        w = int(m.group(2))
+        if ice_type in ("int", "long"):
+            return (F.col(col)
+                    - F.pmod(F.col(col), F.lit(w))).cast("long")
+        if ice_type == "string":
+            return F.substring(F.col(col), 1, w)
+        raise IcebergProtocolError(
+            f"truncate over iceberg type {ice_type!r} unsupported")
+    if t in ("year", "years"):
+        return (F.year(col) - F.lit(1970)).cast("int")
+    if t in ("month", "months"):
+        return ((F.year(col) - F.lit(1970)) * 12
+                + F.month(col) - 1).cast("int")
+    if t in ("day", "days"):
+        return F.datediff(F.col(col), F.lit("1970-01-01")).cast("int")
+    if t in ("hour", "hours"):
+        return F.floor(F.unix_timestamp(F.col(col)) / 3600).cast("int")
+    raise IcebergProtocolError(
+        f"partition transform {transform!r} unsupported")
+
+
+def _parquet_row_count(path: str) -> int:
+    """Real record count from the parquet footer (pyarrow; local
+    staging paths only — exactly where write_iceberg runs)."""
+    import pyarrow.parquet as pq
+
+    from .. import fsutil as _fs
+    return int(pq.ParquetFile(
+        _fs._strip_file_scheme(path)).metadata.num_rows)
+
+
 def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
                   partition_by: Optional[list] = None) -> int:
     """Publish a DataFrame as an Iceberg v2 snapshot; returns the
@@ -517,7 +866,18 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
     snapshot's manifest list; overwrite starts a fresh manifest list
     (prior snapshots stay time-travelable).  Metadata publish is
     put-if-absent on ``v{N}.metadata.json`` (the HadoopCatalog commit
-    rule), so racing writers cannot silently clobber each other."""
+    rule), so racing writers cannot silently clobber each other.
+
+    ``partition_by`` entries are column names (identity) or
+    ``(transform, column)`` pairs — ``("bucket[8]", "o_custkey")``,
+    ``("month", "o_orderdate")`` — covering the spec's bucket/
+    truncate/year/month/day/hour transforms; transform staging keeps
+    source columns IN the data files (the Iceberg norm), so readers
+    need no reconstruction and transform pruning works from manifest
+    tuples.  Manifests carry REAL record counts and file sizes (from
+    parquet footers) plus the spec's Avro field-id annotations, and
+    manifest-list entries carry real manifest lengths — foreign
+    engines can trust metadata-only planning against our tables."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     spark = df.sparkSession
@@ -533,13 +893,17 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
         cur_version = 0
 
     if meta is None:
-        partition_by = list(partition_by or [])
+        pairs = _normalize_partition_by(partition_by)
         ice_schema = _ice_schema_from_spark(df.schema)
         name_to_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
-        spec = [{"name": c, "transform": "identity",
+        unknown = [c for _, c in pairs if c not in name_to_id]
+        if unknown:
+            raise ValueError(
+                f"partition_by columns {unknown} not in the schema")
+        spec = [{"name": _spec_field_name(tr, c), "transform": tr,
                  "source-id": name_to_id[c],
                  "field-id": 1000 + i}
-                for i, c in enumerate(partition_by)]
+                for i, (tr, c) in enumerate(pairs)]
         meta = {"format-version": 2,
                 "table-uuid": uuid_hex(table),
                 "location": table, "last-sequence-number": 0,
@@ -561,27 +925,48 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
                 f"{df.schema.fieldNames()} vs table "
                 f"{schema_struct.fieldNames()} (no evolution support)")
         spec = meta["partition-specs"][0]["fields"]
-        want_p = [f["name"] for f in spec]
-        if partition_by is not None and list(partition_by) != want_p:
-            raise ValueError(f"partition_by {list(partition_by)} != "
-                             f"table's {want_p}")
-        partition_by = want_p
+        if partition_by is not None:
+            _, by_id0 = _schema_from_metadata(meta)
+            want = [(f.get("transform", "identity"),
+                     by_id0.get(f["source-id"])) for f in spec]
+            if _normalize_partition_by(partition_by) != want:
+                raise ValueError(
+                    f"partition_by {list(partition_by)} != table's "
+                    f"{want}")
         ice_schema = next(s for s in meta["schemas"]
                           if s.get("schema-id", 0)
                           == meta.get("current-schema-id", 0))
 
     ice_types = {f["name"]: f["type"] for f in ice_schema["fields"]}
-    # stage parquet data files (hive layout drops partition cols from
-    # the files; the reader re-attaches them from the manifests)
+    id_to_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    # per spec field: (tuple-field name, transform, source column,
+    # tuple iceberg type)
+    spec_cols = []
+    for f in spec:
+        src = id_to_name[f["source-id"]]
+        tr = f.get("transform", "identity")
+        spec_cols.append((f["name"], tr, src,
+                          _spec_tuple_type(tr, ice_types[src])))
+
+    # stage parquet data files in hive layout keyed by the PARTITION
+    # TUPLE values; identity staging drops the source column from data
+    # files (the reader re-attaches it), transform staging drops only
+    # the computed column and keeps sources
     import uuid as _uuid
     staging = os.path.join(table, f"_staging_{_uuid.uuid4().hex}")
-    w = df.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
+    staged = df
+    for fname, tr, src, _tt in spec_cols:
+        if tr != "identity":
+            staged = staged.withColumn(
+                fname, _transform_col(tr, src, ice_types[src]))
+    w = staged.write.mode("overwrite")
+    if spec_cols:
+        w = w.partitionBy(*[fname for fname, *_ in spec_cols])
     w.parquet(staging)
     entries = []
     data_dir = os.path.join(table, "data")
     fsutil.ensure_dir(data_dir, spark)
+    tuple_types = {fname: tt for fname, _tr, _s, tt in spec_cols}
 
     def _walk(rel: str) -> None:
         full = os.path.join(staging, rel) if rel else staging
@@ -595,6 +980,7 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
                         k, v = seg.split("=", 1)
                         pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" \
                             else v
+                n_rows = _parquet_row_count(child)
                 # keep the hive segments under data/ so readers (ours
                 # included) can take a single-scan basePath fast path
                 # instead of per-partition unions
@@ -611,9 +997,10 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
                         "content": 0, "file_path": dest,
                         "file_format": "PARQUET",
                         "partition": {
-                            c: _parse_pv(pv.get(c), ice_types[c])
-                            for c in partition_by},
-                        "record_count": 0,
+                            fname: _parse_pv(pv.get(fname),
+                                             tuple_types[fname])
+                            for fname, *_ in spec_cols},
+                        "record_count": n_rows,
                         "file_size_in_bytes": int(
                             os.path.getsize(
                                 fsutil._strip_file_scheme(dest))
@@ -629,30 +1016,19 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
     snap_id = (max((int(s["snapshot-id"])
                     for s in meta["snapshots"]), default=0) + 1)
     part_avro_fields = []
-    for c in partition_by:
-        avro_t = _ICE_TO_AVRO.get(ice_types[c])
+    for f, (fname, _tr, _s, tt) in zip(spec, spec_cols):
+        avro_t = _ICE_TO_AVRO.get(tt)
         if avro_t is None:
             raise IcebergProtocolError(
-                f"partition column {c!r} type {ice_types[c]!r} "
+                f"partition field {fname!r} tuple type {tt!r} "
                 "unsupported by the minimal writer")
-        part_avro_fields.append({"name": c, "type": ["null", avro_t]})
-    manifest_schema = {
-        "type": "record", "name": "manifest_entry", "fields": [
-            {"name": "status", "type": "int"},
-            {"name": "snapshot_id", "type": ["null", "long"]},
-            {"name": "data_file", "type": {
-                "type": "record", "name": "r2", "fields": [
-                    {"name": "content", "type": "int"},
-                    {"name": "file_path", "type": "string"},
-                    {"name": "file_format", "type": "string"},
-                    {"name": "partition", "type": {
-                        "type": "record", "name": "r102",
-                        "fields": part_avro_fields}},
-                    {"name": "record_count", "type": "long"},
-                    {"name": "file_size_in_bytes", "type": "long"},
-                ]}}]}
+        part_avro_fields.append({"name": fname,
+                                 "type": ["null", avro_t],
+                                 "field-id": int(f["field-id"])})
+    manifest_schema = _manifest_avro_schema(part_avro_fields)
     m_path = os.path.join(mdir, f"m-{_uuid.uuid4().hex}.avro")
     write_container_file(m_path, manifest_schema, entries)
+    m_len = int(os.path.getsize(fsutil._strip_file_scheme(m_path)))
 
     prev_manifests = []
     if mode == "append" and meta.get("current-snapshot-id", -1) != -1:
@@ -665,7 +1041,8 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
     seq = int(meta.get("last-sequence-number", 0)) + 1
     ml_entries = ([{"sequence_number": None, **e}
                    for e in prev_manifests]
-                  + [{"manifest_path": m_path, "manifest_length": 1,
+                  + [{"manifest_path": m_path,
+                      "manifest_length": m_len,
                       "partition_spec_id": 0, "content": 0,
                       "sequence_number": seq,
                       "added_snapshot_id": snap_id}])
@@ -740,24 +1117,8 @@ def write_iceberg_deletes(keys_df: DataFrame, table: str, *,
     fsutil.rename(os.path.join(staging, part), del_path, spark)
     fsutil.delete(staging, spark=spark)
 
-    manifest_schema = {
-        "type": "record", "name": "manifest_entry", "fields": [
-            {"name": "status", "type": "int"},
-            {"name": "snapshot_id", "type": ["null", "long"]},
-            {"name": "data_file", "type": {
-                "type": "record", "name": "r2", "fields": [
-                    {"name": "content", "type": "int"},
-                    {"name": "file_path", "type": "string"},
-                    {"name": "file_format", "type": "string"},
-                    {"name": "partition", "type": {
-                        "type": "record", "name": "r102",
-                        "fields": []}},
-                    {"name": "record_count", "type": "long"},
-                    {"name": "file_size_in_bytes", "type": "long"},
-                    {"name": "equality_ids",
-                     "type": ["null", {"type": "array",
-                                       "items": "int"}]},
-                ]}}]}
+    manifest_schema = _manifest_avro_schema([],
+                                            with_equality_ids=True)
     snap_id = (max((int(s["snapshot-id"])
                     for s in meta.get("snapshots", [])), default=0) + 1)
     seq = int(meta.get("last-sequence-number", 0)) + 1
@@ -768,10 +1129,13 @@ def write_iceberg_deletes(keys_df: DataFrame, table: str, *,
         "data_file": {
             "content": 2, "file_path": del_path,
             "file_format": "PARQUET", "partition": {},
-            "record_count": 0, "file_size_in_bytes": 0,
+            "record_count": _parquet_row_count(del_path),
+            "file_size_in_bytes": int(os.path.getsize(
+                fsutil._strip_file_scheme(del_path))),
             "equality_ids": [int(name_to_id[c])
                              for c in equality_cols],
         }}])
+    m_len = int(os.path.getsize(fsutil._strip_file_scheme(m_path)))
 
     prev_manifests = []
     if meta.get("current-snapshot-id", -1) != -1:
@@ -782,7 +1146,8 @@ def write_iceberg_deletes(keys_df: DataFrame, table: str, *,
             _normalize_path(cur_snap["manifest-list"], table), spark)
     ml_entries = ([{"sequence_number": None, **e}
                    for e in prev_manifests]
-                  + [{"manifest_path": m_path, "manifest_length": 1,
+                  + [{"manifest_path": m_path,
+                      "manifest_length": m_len,
                       "partition_spec_id": 0, "content": 1,
                       "sequence_number": seq,
                       "added_snapshot_id": snap_id}])
