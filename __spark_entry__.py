@@ -6737,6 +6737,43 @@ FROM final GROUP BY o_orderstatus
 """
 
 
+def q_avro_roundtrip_orders(spark, sf_dir):
+    """Avro as a user-facing table format (sources/avro_table.py over
+    the pure-Python container codec in sources/avro_io.py): orders
+    write out as one Avro container file per partition — rows encoded
+    INSIDE executors — then read back through the executor-side
+    decoder (schema from the first file's embedded writer schema) and
+    aggregate.  The oracle recomputes the aggregate from raw orders,
+    so any encode/decode corruption (zigzag varints, unions, deflate
+    blocks, sync markers) breaks the value hash.  Scale: one task per
+    file in both directions; the driver holds only the file list."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.avro_table import (
+        read_avro,
+        write_avro,
+    )
+
+    path = tempfile.mkdtemp(prefix="wps_avro_") + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    write_avro(o.repartition(8), path)
+    back = read_avro(spark, path)
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum("o_orderkey").alias("sum_keys"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents")))
+
+
+SQL_AVRO_ROUNDTRIP = """
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders,
+       SUM(o_orderkey)::BIGINT AS sum_keys,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def q_iceberg_transform_prune_orders(spark, sf_dir):
     """Iceberg partition-transform pruning (sources/iceberg.py
     ``eval_transform`` + ``_prune_by_partition``): publishes orders as
@@ -8972,6 +9009,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tests/test_bare_session.py pins it.
     "delta_dv_orders": q_delta_dv_orders,  # NEW r12: deletion-vector DELETE + checkpoint survival, value-oracled
     "iceberg_transform_prune_orders": q_iceberg_transform_prune_orders,  # NEW r12: month+bucket transform pruning, value-oracled
+    "avro_roundtrip_orders": q_avro_roundtrip_orders,  # NEW r12: user-facing Avro source, executor-side codec, value-oracled
     "stream_delta_ingest_orders": q_stream_delta_ingest,  # NEW r11, registered post-window: never driver-checked
     "gif_frame_stats_docs": q_gif_frame_stats,  # NEW r11, registered post-window: never driver-checked
     "iceberg_eq_delete_orders": q_iceberg_eq_delete_orders,  # NEW r11, registered post-window: never driver-checked
@@ -9019,8 +9057,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "manifest_time_travel_orders": q_manifest_time_travel_orders,  # last driver check: r8 (window pad)
     "manifest_lookup_orders": q_manifest_lookup_orders,  # last driver check: r8 (window pad)
     "semantic_decontam_emb": q_semantic_decontam_emb,  # last driver check: r8 (window pad)
-    "semantic_decontam_lsh": q_semantic_decontam_lsh,  # last driver check: r8 (window pad)
     # ---- below the 50-slot driver window from here down ----
+    "semantic_decontam_lsh": q_semantic_decontam_lsh,  # r8 green; displaced for the r12 avro query
     "stream_cdc_manifest_evolve": q_stream_cdc_manifest_evolve,  # r8 green; displaced for the r12 pruning query
     "stream_cdc_manifest_store": q_stream_cdc_manifest_store,  # r8 green; displaced for the r12 DV query
     # (r11-window greens displaced after their r11 driver pass;
@@ -9398,6 +9436,7 @@ _ORACLES: dict[str, str] = {
     "delta_dv_orders": SQL_DELTA_DV,
     "iceberg_roundtrip_orders": SQL_ICEBERG_ROUNDTRIP,
     "iceberg_transform_prune_orders": SQL_ICEBERG_TRANSFORM_PRUNE,
+    "avro_roundtrip_orders": SQL_AVRO_ROUNDTRIP,
     "stream_delta_ingest_orders": SQL_STREAM_DELTA,
     "gif_frame_stats_docs": SQL_GIF_FRAMES,
     "iceberg_eq_delete_orders": SQL_ICEBERG_EQ_DELETE,

@@ -246,6 +246,10 @@ class TestWriterRoundtrip:
             write_delta(df, tbl, partition_by=["k"])
         with pytest.raises(ValueError, match="schema mismatch"):
             write_delta(df.select("p", F.col("k").alias("other")), tbl)
+        # same names, drifted type: must be rejected, not silently cast
+        with pytest.raises(ValueError, match="type mismatch"):
+            write_delta(df.select(F.col("k").cast("string").alias("k"),
+                                  "p"), tbl)
 
     @staticmethod
     def _steal_next_commit(monkeypatch, tbl, times: int):

@@ -756,3 +756,14 @@ class TestTransforms:
                      by_name["data_file"]["type"]["fields"]}
         assert df_fields["file_path"]["field-id"] == 100
         assert df_fields["record_count"]["field-id"] == 103
+
+    def test_append_type_drift_is_loud(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import write_iceberg
+        tbl = str(tmp_path / "t")
+        df = spark.range(0, 5).select(F.col("id").alias("k"),
+                                      F.lit("x").alias("p"))
+        write_iceberg(df, tbl, partition_by=["p"])
+        with pytest.raises(ValueError, match="type mismatch"):
+            write_iceberg(
+                df.select(F.col("k").cast("int").alias("k"), "p"),
+                tbl)

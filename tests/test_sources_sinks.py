@@ -4,7 +4,9 @@ pruning on read-back, jsonl/csv interchange."""
 import glob
 import os
 
+import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from wrangle_pypes_spark.sources import (
     read_csv,
@@ -409,3 +411,58 @@ def test_audit_parquet_layout_counts_empty_files(spark, tmp_path):
     assert r.total_rows == 100
     assert r.min_rows_per_file == 0          # flags the empty file
     assert r.n_small_files == r.n_files
+
+
+class TestAvroTable:
+    """User-facing Avro source (sources/avro_table.py): executor-side
+    encode/decode round trips, nulls, schema gates."""
+
+    def test_round_trip_partitioned(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.avro_table import (
+            read_avro,
+            write_avro,
+        )
+        df = spark.range(0, 500).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).cast("double").alias("x"),
+            F.concat(F.lit("s"), F.col("id")).alias("s"),
+            (F.col("id") % 2 == 0).alias("flag"))
+        p = str(tmp_path / "t")
+        n_files = write_avro(df.repartition(5), p)
+        assert n_files == 5
+        back = read_avro(spark, p)
+        assert back.schema == T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("flag", T.BooleanType())])
+        assert sorted(map(tuple, back.collect())) \
+            == sorted(map(tuple, df.collect()))
+
+    def test_nulls_and_binary(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.avro_table import (
+            read_avro,
+            write_avro,
+        )
+        df = spark.createDataFrame(
+            [(1, None, b"xy"), (None, "a", None)],
+            "k long, v string, b binary")
+        p = str(tmp_path / "t")
+        write_avro(df, p)
+        assert sorted(((r["k"], r["v"], r["b"])
+                       for r in read_avro(spark, p).collect()),
+                      key=str) \
+            == sorted([(None, "a", None), (1, None, b"xy")], key=str)
+
+    def test_unsupported_type_is_loud(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.avro_io import AvroError
+        from wrangle_pypes_spark.sources.avro_table import write_avro
+        df = spark.range(1).select(
+            F.array(F.lit(1)).alias("a"))
+        with pytest.raises(AvroError, match="unsupported"):
+            write_avro(df, str(tmp_path / "t"))
+
+    def test_missing_dir_is_loud(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.avro_table import read_avro
+        with pytest.raises(FileNotFoundError):
+            read_avro(spark, str(tmp_path / "nope"))

@@ -8,6 +8,7 @@ payload parsing for dynamic columns).
 """
 
 from .acid import (acid_commit, acid_current, acid_read, acid_vacuum)
+from .avro_table import read_avro, write_avro
 from .catalog import describe_store, store_kind
 from .delta import (delta_checkpoint, delta_delete_where,
                     delta_history, delta_snapshot,
@@ -43,7 +44,8 @@ __all__ = ("TABLES", "acid_commit", "acid_current", "acid_read",
            "acid_vacuum", "delta_checkpoint", "delta_delete_where",
            "delta_history",
            "delta_snapshot", "delta_vacuum", "describe_store",
-           "iceberg_snapshot", "read_delta", "read_iceberg",
+           "iceberg_snapshot", "read_avro", "read_delta",
+           "read_iceberg", "write_avro",
            "write_delta", "write_iceberg", "write_iceberg_deletes",
            "ensure_session_confs", "infer_json_schema",
            "load_star_schema", "load_table",

@@ -924,6 +924,16 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
                 "schema mismatch: write columns "
                 f"{df.schema.fieldNames()} vs table "
                 f"{schema_struct.fieldNames()} (no evolution support)")
+        drift = [f"{wf.name}: {wf.dataType.simpleString()} vs table "
+                 f"{tf.dataType.simpleString()}"
+                 for wf, tf in zip(df.schema.fields,
+                                   schema_struct.fields)
+                 if wf.dataType.simpleString()
+                 != tf.dataType.simpleString()]
+        if drift:
+            raise ValueError(
+                "schema type mismatch (no evolution support): "
+                + "; ".join(drift))
         spec = meta["partition-specs"][0]["fields"]
         if partition_by is not None:
             _, by_id0 = _schema_from_metadata(meta)
