@@ -767,3 +767,28 @@ class TestTransforms:
             write_iceberg(
                 df.select(F.col("k").cast("int").alias("k"), "p"),
                 tbl)
+
+    def test_parallel_manifest_decode(self, spark, tmp_path):
+        """6 appends -> >=6 manifests: planning takes the
+        executor-parallel decode path; with a filter, the driver
+        receives only the pruned entry list."""
+        from wrangle_pypes_spark.sources import iceberg as I
+        tbl = str(tmp_path / "t")
+        df = spark.range(0, 60).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("p"))
+        for i in range(6):
+            I.write_iceberg(df.filter(F.col("k") % 6 == i), tbl,
+                            partition_by=["p"] if i == 0 else None)
+        snap = I.iceberg_snapshot(spark, tbl)
+        assert len(snap.files) >= 6 * 3
+        assert I.read_iceberg(spark, tbl).count() == 60
+        pruned = I.iceberg_snapshot(spark, tbl,
+                                    partition_filter={"p": "1"})
+        assert 0 < len(pruned.files) < len(snap.files)
+        assert all(f["partition"].get("p") == "1"
+                   for f in pruned.files)
+        out = I.read_iceberg(spark, tbl, partition_filter={"p": "1"})
+        assert sorted(r["k"] for r in out.collect()) \
+            == sorted(r["k"] for r in
+                      df.filter("p = '1'").collect())

@@ -296,11 +296,93 @@ def _schema_from_metadata(meta: dict) -> tuple[T.StructType, dict]:
     return _to_spark_type(ice), by_id
 
 
+# manifests at or above this count decode in executors (below it, a
+# driver loop avoids the job-scheduling overhead for small tables)
+_PARALLEL_MANIFEST_THRESHOLD = 5
+
+
+def _manifest_partials(table: str, entries: list, content: int,
+                       ml_seq, snap_seq: int,
+                       tests: Optional[list]) -> tuple[list, list]:
+    """One manifest's live entries -> (data files, delete files),
+    applying sequence inheritance and (optionally) partition-tuple
+    pruning tests so non-matching entries never leave the decoder —
+    in the executor-parallel path that means the driver receives only
+    the PRUNED file list."""
+    files: list = []
+    dels: list = []
+    for e in entries:
+        status = int(e.get("status") or 0)
+        if status == 2:  # DELETED
+            continue
+        # sequence inheritance (spec v2): entry seq, else the
+        # manifest-list entry's.  Beyond that the fallback is
+        # ASYMMETRIC by design: seq-less DATA defaults to 0
+        # (oldest — a v1/seq-less table's rows must stay
+        # deletable), while a seq-less DELETE defaults to the
+        # snapshot's seq (newest — it was committed by some
+        # snapshot while the data was already present).
+        seq = e.get("sequence_number")
+        if seq is None:
+            seq = ml_seq
+        df_rec = e["data_file"]
+        fcontent = int(df_rec.get("content") or 0)
+        fmt = str(df_rec.get("file_format") or "PARQUET").lower()
+        pv = dict(df_rec.get("partition") or {})
+        if fcontent == 0:
+            if content != 0:
+                raise IcebergProtocolError(
+                    "data file inside a delete manifest")
+            if fmt not in ("parquet", "orc"):
+                raise IcebergProtocolError(
+                    f"data file format {fmt!r} unsupported")
+            if tests and not all(_pv_matches(pv.get(n), v)
+                                 for n, v in tests):
+                continue
+            files.append({
+                "path": _normalize_path(df_rec["file_path"], table),
+                "format": fmt,
+                "partition": pv,
+                "records": int(df_rec.get("record_count") or 0),
+                "seq": int(seq if seq is not None else 0),
+            })
+        elif fcontent in (1, 2):  # position / equality deletes
+            if fmt != "parquet":
+                raise IcebergProtocolError(
+                    f"delete file format {fmt!r} unsupported")
+            # delete files prune only when their tuple EXPLICITLY
+            # carries a mismatching value (global deletes always apply)
+            if tests and not all(n not in pv
+                                 or _pv_matches(pv.get(n), v)
+                                 for n, v in tests):
+                continue
+            dels.append({
+                "path": _normalize_path(df_rec["file_path"], table),
+                "content": fcontent,
+                "seq": int(seq if seq is not None else snap_seq),
+                "partition": pv,
+                "equality_ids": list(
+                    df_rec.get("equality_ids") or []),
+            })
+        else:
+            raise IcebergProtocolError(
+                f"unknown data_file content {fcontent}")
+    return files, dels
+
+
 def iceberg_snapshot(spark: SparkSession, table: str, *,
-                     snapshot_id: Optional[int] = None
+                     snapshot_id: Optional[int] = None,
+                     partition_filter: Optional[dict] = None
                      ) -> IcebergSnapshot:
     """Resolve an Iceberg snapshot to its live data-file list.  Reads
-    metadata JSON + manifest Avro only (O(manifest entries))."""
+    metadata JSON + manifest Avro only (O(manifest entries)).
+
+    Manifests decode IN EXECUTORS when there are enough of them to
+    matter (one task per manifest — planning parallelism scales with
+    the manifest count, mirroring Iceberg's own distributed planning);
+    with ``partition_filter`` the transform-pruning tests are pushed
+    into that decode, so the driver materializes only the pruned
+    entry list."""
     meta_file = _current_metadata_file(table, spark)
     meta = json.loads(fsutil.read_text(meta_file, spark))
     fv = int(meta.get("format-version", 1))
@@ -324,6 +406,14 @@ def iceberg_snapshot(spark: SparkSession, table: str, *,
                          f"(have {sorted(snaps)})")
     snap = snaps[int(target)]
 
+    tests_by_spec = None
+    if partition_filter:
+        default_sid = int(meta.get("default-spec-id", 0))
+        tests_by_spec = {
+            sid: _partition_tests(meta, fields, partition_filter,
+                                  strict=(sid == default_sid))
+            for sid, fields in specs.items()}
+
     if "manifest-list" in snap:
         ml_path = _normalize_path(snap["manifest-list"], table)
         _, ml_entries = read_container_file(ml_path, spark)
@@ -331,63 +421,60 @@ def iceberg_snapshot(spark: SparkSession, table: str, *,
         ml_entries = [{"manifest_path": p, "content": 0}
                       for p in snap.get("manifests", [])]
 
-    files: list[dict] = []
-    delete_files: list[dict] = []
     snap_seq = int(snap.get("sequence-number") or 0)
+    # (manifest path, content, ml seq, spec id) work list
+    work = []
     spec_fields = specs.get(0, [])
     for ent in ml_entries:
-        content = int(ent.get("content") or 0)
-        m_path = _normalize_path(ent["manifest_path"], table)
-        _, entries = read_container_file(m_path, spark)
-        spec_fields = specs.get(
-            int(ent.get("partition_spec_id") or 0), spec_fields)
-        ml_seq = ent.get("sequence_number")
-        for e in entries:
-            status = int(e.get("status") or 0)
-            if status == 2:  # DELETED
-                continue
-            # sequence inheritance (spec v2): entry seq, else the
-            # manifest-list entry's.  Beyond that the fallback is
-            # ASYMMETRIC by design: seq-less DATA defaults to 0
-            # (oldest — a v1/seq-less table's rows must stay
-            # deletable), while a seq-less DELETE defaults to the
-            # snapshot's seq (newest — it was committed by some
-            # snapshot while the data was already present).
-            seq = e.get("sequence_number")
-            if seq is None:
-                seq = ml_seq
-            df_rec = e["data_file"]
-            fcontent = int(df_rec.get("content") or 0)
-            fmt = str(df_rec.get("file_format") or "PARQUET").lower()
-            if fcontent == 0:
-                if content != 0:
-                    raise IcebergProtocolError(
-                        "data file inside a delete manifest")
-                if fmt not in ("parquet", "orc"):
-                    raise IcebergProtocolError(
-                        f"data file format {fmt!r} unsupported")
-                files.append({
-                    "path": _normalize_path(df_rec["file_path"], table),
-                    "format": fmt,
-                    "partition": dict(df_rec.get("partition") or {}),
-                    "records": int(df_rec.get("record_count") or 0),
-                    "seq": int(seq if seq is not None else 0),
-                })
-            elif fcontent in (1, 2):  # position / equality deletes
-                if fmt != "parquet":
-                    raise IcebergProtocolError(
-                        f"delete file format {fmt!r} unsupported")
-                delete_files.append({
-                    "path": _normalize_path(df_rec["file_path"], table),
-                    "content": fcontent,
-                    "seq": int(seq if seq is not None else snap_seq),
-                    "partition": dict(df_rec.get("partition") or {}),
-                    "equality_ids": list(
-                        df_rec.get("equality_ids") or []),
-                })
-            else:
-                raise IcebergProtocolError(
-                    f"unknown data_file content {fcontent}")
+        sid = int(ent.get("partition_spec_id") or 0)
+        spec_fields = specs.get(sid, spec_fields)
+        work.append((_normalize_path(ent["manifest_path"], table),
+                     int(ent.get("content") or 0),
+                     ent.get("sequence_number"), sid))
+
+    files: list[dict] = []
+    delete_files: list[dict] = []
+    if len(work) < _PARALLEL_MANIFEST_THRESHOLD:
+        for m_path, content, ml_seq, sid in work:
+            _, entries = read_container_file(m_path, spark)
+            tests = tests_by_spec.get(sid) if tests_by_spec else None
+            f, d = _manifest_partials(table, entries, content,
+                                      ml_seq, snap_seq, tests)
+            files.extend(f)
+            delete_files.extend(d)
+    else:
+        tb, tests_bc = table, tests_by_spec
+
+        def _decode(batches):
+            import pandas as pd
+            from .avro_io import read_container as _rc
+            from .avro_table import _read_bytes_anywhere as _rb
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    _, entries = _rc(_rb(row.m_path))
+                    tests = (tests_bc.get(int(row.sid))
+                             if tests_bc else None)
+                    f, d = _manifest_partials(
+                        tb, entries, int(row.content),
+                        None if pd.isna(row.ml_seq)
+                        else int(row.ml_seq),
+                        snap_seq, tests)
+                    out = ([("f", json.dumps(x)) for x in f]
+                           + [("d", json.dumps(x)) for x in d])
+                    if out:
+                        yield pd.DataFrame(out,
+                                           columns=["kind", "rec"])
+
+        wdf = spark.createDataFrame(
+            [(p, c, s, sid) for p, c, s, sid in work],
+            "m_path string, content int, ml_seq long, sid int")
+        n_tasks = max(1, min(len(work),
+                             spark.sparkContext.defaultParallelism))
+        for r in (wdf.repartition(n_tasks)
+                  .mapInPandas(_decode, "kind string, rec string")
+                  .collect()):
+            rec = json.loads(r["rec"])
+            (files if r["kind"] == "f" else delete_files).append(rec)
     return IcebergSnapshot(table, int(target), schema, spec_fields,
                            files, meta, delete_files=delete_files)
 
@@ -414,31 +501,29 @@ def _pv_matches(a, b) -> bool:
     return str(a) == str(b)
 
 
-def _prune_by_partition(snap: IcebergSnapshot,
-                        partition_filter: dict) -> IcebergSnapshot:
-    """Evaluate partition transforms against the filter's SOURCE
-    values and drop files whose manifest partition tuples can't match
-    — the metadata-only pruning Iceberg planning does, so a
-    day(ts)-filtered read of a day-partitioned table opens only that
-    day's files.  Keys may be source column names (the transform is
-    applied to the value) or partition field names (raw tuple match);
-    equality is the only supported predicate.  Pruning is a FILE
-    operation with superset semantics: surviving files may hold other
-    rows (bucket/truncate/temporal grouping), so callers still apply
-    their row filter."""
-    _, by_id = _schema_from_metadata(snap.metadata)
-    types = _ice_field_types(snap.metadata)
-    spec_names = {f["name"] for f in snap.partition_spec}
-    src_names = {by_id.get(f["source-id"]) for f in snap.partition_spec}
-    unknown = [k for k in partition_filter
-               if k not in spec_names and k not in src_names]
-    if unknown:
-        raise ValueError(
-            f"partition_filter keys {sorted(unknown)} match neither a "
-            f"partition field {sorted(spec_names)} nor a partition "
-            f"source column {sorted(n for n in src_names if n)}")
-    tests = []  # (partition field name, expected tuple value)
-    for f in snap.partition_spec:
+def _partition_tests(meta: dict, spec_fields: list,
+                     partition_filter: dict, *,
+                     strict: bool = True) -> list:
+    """The (partition field name, expected tuple value) equality tests
+    a filter implies under one partition spec.  Keys may be source
+    column names (the transform is applied to the value) or partition
+    field names (raw tuple match); equality is the only supported
+    predicate."""
+    _, by_id = _schema_from_metadata(meta)
+    types = _ice_field_types(meta)
+    if strict:
+        spec_names = {f["name"] for f in spec_fields}
+        src_names = {by_id.get(f["source-id"]) for f in spec_fields}
+        unknown = [k for k in partition_filter
+                   if k not in spec_names and k not in src_names]
+        if unknown:
+            raise ValueError(
+                f"partition_filter keys {sorted(unknown)} match "
+                f"neither a partition field {sorted(spec_names)} nor "
+                "a partition source column "
+                f"{sorted(n for n in src_names if n)}")
+    tests = []
+    for f in spec_fields:
         fname, transform = f["name"], f.get("transform", "identity")
         src = by_id.get(f["source-id"])
         if fname in partition_filter:
@@ -450,6 +535,20 @@ def _prune_by_partition(snap: IcebergSnapshot,
                     f"cannot prune on nested source column {src!r}")
             tests.append((fname, eval_transform(
                 transform, partition_filter[src], ice_t)))
+    return tests
+
+
+def _prune_by_partition(snap: IcebergSnapshot,
+                        partition_filter: dict) -> IcebergSnapshot:
+    """Evaluate partition transforms against the filter's SOURCE
+    values and drop files whose manifest partition tuples can't match
+    — the metadata-only pruning Iceberg planning does, so a
+    day(ts)-filtered read of a day-partitioned table opens only that
+    day's files.  Pruning is a FILE operation with superset
+    semantics: surviving files may hold other rows (bucket/truncate/
+    temporal grouping), so callers still apply their row filter."""
+    tests = _partition_tests(snap.metadata, snap.partition_spec,
+                             partition_filter)
     if not tests:
         return snap
     files = [x for x in snap.files
@@ -482,10 +581,12 @@ def read_iceberg(spark: SparkSession, table: str, *,
     prunes files against manifest partition tuples BEFORE any data
     file is listed or opened, evaluating the spec's transforms
     (identity/bucket/truncate/year/month/day/hour) on source values —
-    see :func:`_prune_by_partition` for semantics."""
-    snap = iceberg_snapshot(spark, table, snapshot_id=snapshot_id)
-    if partition_filter:
-        snap = _prune_by_partition(snap, partition_filter)
+    see :func:`_prune_by_partition` for semantics.  The tests are
+    pushed into the manifest decode itself, so on the
+    executor-parallel planning path the driver only ever receives the
+    pruned entry list."""
+    snap = iceberg_snapshot(spark, table, snapshot_id=snapshot_id,
+                            partition_filter=partition_filter)
     if not snap.files:
         return spark.createDataFrame([], snap.schema)
     want = [f.name for f in snap.schema.fields]
