@@ -6737,6 +6737,99 @@ FROM final GROUP BY o_orderstatus
 """
 
 
+def q_delta_column_mapping_orders(spark, sf_dir):
+    """Delta column mapping, name mode (sources/delta.py r12): builds
+    a FOREIGN-shaped mapped table — data files carry physical column
+    names (``col-<n>``), the hand-written log's schemaString maps them
+    to logical names via ``delta.columnMapping.physicalName`` field
+    metadata, and partitionValues are physical-keyed — exactly what
+    any renamed-column Delta table looks like.  The read must resolve
+    logical names/types, re-attach the partition column from
+    physical-keyed log tuples, and prune on a LOGICAL-named partition
+    filter.  The oracle recomputes both slices from raw orders, so a
+    physical/logical mix-up (wrong rename, wrong partition key
+    translation) breaks the value hash."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from wrangle_pypes_spark.sources.delta import read_delta
+
+    tbl = tempfile.mkdtemp(prefix="wps_delta_cm_") + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    statuses = [r["o_orderstatus"] for r in
+                o.select("o_orderstatus").distinct().collect()]
+    _os.makedirs(tbl, exist_ok=True)
+    adds = []
+    for st in sorted(statuses):
+        d = (o.filter(F.col("o_orderstatus") == st)
+             .select(F.col("o_orderkey").alias("col-1"),
+                     F.col("o_totalprice").alias("col-2")))
+        stage = _os.path.join(tbl, "_stage")
+        d.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(n for n in _os.listdir(stage)
+                    if n.endswith(".parquet"))
+        name = f"s-{st}.parquet"
+        _os.replace(_os.path.join(stage, part),
+                    _os.path.join(tbl, name))
+        _shutil.rmtree(stage)
+        adds.append({"add": {"path": name,
+                             "partitionValues": {"col-3": st},
+                             "size": 1, "modificationTime": 0,
+                             "dataChange": True}})
+    schema_json = {"type": "struct", "fields": [
+        {"name": "o_orderkey", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-1"}},
+        {"name": "o_totalprice", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-2"}},
+        {"name": "o_orderstatus", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-3"}}]}
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "cm-fixture", "format": {"provider": "parquet",
+                                           "options": {}},
+            "schemaString": _json.dumps(schema_json),
+            "partitionColumns": ["col-3"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+        }}] + adds
+    _os.makedirs(_os.path.join(tbl, "_delta_log"), exist_ok=True)
+    with open(_os.path.join(tbl, "_delta_log",
+                            f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in actions))
+
+    full = (read_delta(spark, tbl)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents")))
+    pruned = (read_delta(spark, tbl,
+                         partition_filter={"o_orderstatus": "F"})
+              .agg(F.count("*").alias("n_orders"),
+                   F.sum(F.floor(F.col("o_totalprice") * 100))
+                    .alias("sum_cents"))
+              .select(F.lit("F_pruned").alias("o_orderstatus"),
+                      "n_orders", "sum_cents"))
+    return full.unionByName(pruned)
+
+
+SQL_DELTA_COLUMN_MAPPING = """
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT 'F_pruned', COUNT(*)::BIGINT,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
 def q_avro_roundtrip_orders(spark, sf_dir):
     """Avro as a user-facing table format (sources/avro_table.py over
     the pure-Python container codec in sources/avro_io.py): orders
@@ -9010,6 +9103,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_dv_orders": q_delta_dv_orders,  # NEW r12: deletion-vector DELETE + checkpoint survival, value-oracled
     "iceberg_transform_prune_orders": q_iceberg_transform_prune_orders,  # NEW r12: month+bucket transform pruning, value-oracled
     "avro_roundtrip_orders": q_avro_roundtrip_orders,  # NEW r12: user-facing Avro source, executor-side codec, value-oracled
+    "delta_column_mapping_orders": q_delta_column_mapping_orders,  # NEW r12: name-mode column mapping read, value-oracled
     "stream_delta_ingest_orders": q_stream_delta_ingest,  # NEW r11, registered post-window: never driver-checked
     "gif_frame_stats_docs": q_gif_frame_stats,  # NEW r11, registered post-window: never driver-checked
     "iceberg_eq_delete_orders": q_iceberg_eq_delete_orders,  # NEW r11, registered post-window: never driver-checked
@@ -9056,8 +9150,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_bloom_dedup_docs": q_stream_bloom_dedup_docs,  # last driver check: r8 (window pad)
     "manifest_time_travel_orders": q_manifest_time_travel_orders,  # last driver check: r8 (window pad)
     "manifest_lookup_orders": q_manifest_lookup_orders,  # last driver check: r8 (window pad)
-    "semantic_decontam_emb": q_semantic_decontam_emb,  # last driver check: r8 (window pad)
     # ---- below the 50-slot driver window from here down ----
+    "semantic_decontam_emb": q_semantic_decontam_emb,  # r8 green; displaced for the r12 column-mapping query
     "semantic_decontam_lsh": q_semantic_decontam_lsh,  # r8 green; displaced for the r12 avro query
     "stream_cdc_manifest_evolve": q_stream_cdc_manifest_evolve,  # r8 green; displaced for the r12 pruning query
     "stream_cdc_manifest_store": q_stream_cdc_manifest_store,  # r8 green; displaced for the r12 DV query
@@ -9437,6 +9531,7 @@ _ORACLES: dict[str, str] = {
     "iceberg_roundtrip_orders": SQL_ICEBERG_ROUNDTRIP,
     "iceberg_transform_prune_orders": SQL_ICEBERG_TRANSFORM_PRUNE,
     "avro_roundtrip_orders": SQL_AVRO_ROUNDTRIP,
+    "delta_column_mapping_orders": SQL_DELTA_COLUMN_MAPPING,
     "stream_delta_ingest_orders": SQL_STREAM_DELTA,
     "gif_frame_stats_docs": SQL_GIF_FRAMES,
     "iceberg_eq_delete_orders": SQL_ICEBERG_EQ_DELETE,

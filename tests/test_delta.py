@@ -150,14 +150,15 @@ class TestForeignLog:
             _meta(schema)])
         assert delta_snapshot(spark, tbl).version == 0
 
-    def test_column_mapping_gate(self, spark, tbl):
+    def test_column_mapping_name_mode_is_supported(self, spark, tbl):
+        """name-mode column mapping must NOT gate (r12); id mode
+        still does — see TestColumnMapping."""
         schema = T.StructType([T.StructField("k", T.LongType())])
         m = _meta(schema)
         m["metaData"]["configuration"] = {
             "delta.columnMapping.mode": "name"}
         _commit(tbl, 0, [_PROTO, m])
-        with pytest.raises(DeltaProtocolError, match="column mapping"):
-            delta_snapshot(spark, tbl)
+        assert delta_snapshot(spark, tbl).version == 0
 
     def test_missing_commit_is_loud(self, spark, tbl):
         schema = T.StructType([T.StructField("k", T.LongType())])
@@ -679,3 +680,126 @@ class TestDistributedState:
         assert write_delta(df, tbl) == 1
         monkeypatch.undo()
         assert read_delta(spark, tbl).count() == 18
+
+
+class TestColumnMapping:
+    """Column mapping (name mode): foreign tables whose data files
+    carry physical column names (the shape any renamed-column Delta
+    table has).  Hand-written logs straight from the spec."""
+
+    def _mapped_table(self, spark, tbl):
+        """Physical layout: k->col-aaa, info(struct{v->col-ccc})->
+        col-bbb, partition p->col-ppp (absent from data files)."""
+        schema_json = {
+            "type": "struct", "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName":
+                                  "col-aaa"}},
+                {"name": "info", "nullable": True,
+                 "type": {"type": "struct", "fields": [
+                     {"name": "v", "type": "string",
+                      "nullable": True,
+                      "metadata": {"delta.columnMapping.id": 3,
+                                   "delta.columnMapping.physicalName":
+                                       "col-ccc"}}]},
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName":
+                                  "col-bbb"}},
+                {"name": "p", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 4,
+                              "delta.columnMapping.physicalName":
+                                  "col-ppp"}},
+            ]}
+        os.makedirs(tbl, exist_ok=True)
+        for pval, lo in (("x", 0), ("y", 10)):
+            d = spark.range(lo, lo + 5).select(
+                F.col("id").alias("col-aaa"),
+                F.struct(F.concat(F.lit("v"), F.col("id"))
+                         .alias("col-ccc")).alias("col-bbb"))
+            d.coalesce(1).write.mode("overwrite") \
+                .parquet(os.path.join(tbl, "_stage"))
+            part = next(n for n in os.listdir(
+                os.path.join(tbl, "_stage"))
+                if n.endswith(".parquet"))
+            os.replace(os.path.join(tbl, "_stage", part),
+                       os.path.join(tbl, f"{pval}.parquet"))
+        shutil.rmtree(os.path.join(tbl, "_stage"))
+        meta = {"metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema_json),
+            "partitionColumns": ["col-ppp"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "4"},
+        }}
+        proto = {"protocol": {"minReaderVersion": 2,
+                              "minWriterVersion": 5}}
+        _commit(tbl, 0, [proto, meta,
+                         {"add": {"path": "x.parquet",
+                                  "partitionValues": {"col-ppp": "x"},
+                                  "size": 1, "modificationTime": 0,
+                                  "dataChange": True}},
+                         {"add": {"path": "y.parquet",
+                                  "partitionValues": {"col-ppp": "y"},
+                                  "size": 1, "modificationTime": 0,
+                                  "dataChange": True}}])
+
+    def test_logical_read_and_nested_rename(self, spark, tbl):
+        self._mapped_table(spark, tbl)
+        out = read_delta(spark, tbl)
+        assert out.schema.fieldNames() == ["k", "info", "p"]
+        assert out.schema["info"].dataType.fieldNames() == ["v"]
+        rows = sorted(((r["k"], r["info"]["v"], r["p"])
+                       for r in out.collect()))
+        assert rows == [(i, f"v{i}", "x") for i in range(5)] \
+            + [(i, f"v{i}", "y") for i in range(10, 15)]
+
+    def test_partition_filter_logical_key(self, spark, tbl):
+        self._mapped_table(spark, tbl)
+        out = read_delta(spark, tbl, partition_filter={"p": "y"})
+        assert sorted(r["k"] for r in out.collect()) \
+            == list(range(10, 15))
+        # physical key works too (foreign callers may pass it)
+        out2 = read_delta(spark, tbl,
+                          partition_filter={"col-ppp": "x"})
+        assert out2.count() == 5
+        with pytest.raises(ValueError, match="not partition columns"):
+            read_delta(spark, tbl, partition_filter={"zz": "1"})
+
+    def test_dv_delete_on_mapped_table(self, spark, tbl):
+        from wrangle_pypes_spark.sources.delta import (
+            delta_delete_where,
+        )
+        self._mapped_table(spark, tbl)
+        v = delta_delete_where(spark, tbl, "k % 2 = 0")
+        assert v == 1
+        out = read_delta(spark, tbl)
+        assert sorted(r["k"] for r in out.collect()) \
+            == [k for k in list(range(5)) + list(range(10, 15))
+                if k % 2 == 1]
+        # the rewritten add actions keep PHYSICAL partition keys
+        text = open(os.path.join(
+            tbl, "_delta_log", f"{1:020d}.json")).read()
+        for line in text.splitlines():
+            a = json.loads(line)
+            if "add" in a:
+                assert set(a["add"]["partitionValues"]) == {"col-ppp"}
+
+    def test_write_into_mapped_table_is_loud(self, spark, tbl):
+        self._mapped_table(spark, tbl)
+        df = spark.range(3).select(
+            F.col("id").alias("k"),
+            F.struct(F.lit("z").alias("v")).alias("info"),
+            F.lit("x").alias("p"))
+        with pytest.raises(DeltaProtocolError, match="column-mapping"):
+            write_delta(df, tbl)
+
+    def test_id_mode_still_gates(self, spark, tbl):
+        schema = T.StructType([T.StructField("k", T.LongType())])
+        m = _meta(schema)
+        m["metaData"]["configuration"] = {
+            "delta.columnMapping.mode": "id"}
+        _commit(tbl, 0, [_PROTO, m])
+        with pytest.raises(DeltaProtocolError, match="id"):
+            delta_snapshot(spark, tbl)

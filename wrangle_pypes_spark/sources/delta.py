@@ -21,6 +21,10 @@ Spark DataFrame calls:
   pure-Python roaring codec in sources/dv.py and apply as a
   position anti-join on ``_metadata.file_path``/``row_index`` —
   the same shape the Iceberg reader uses for position deletes.
+  **Column mapping (name mode)** is read-supported: data files carry
+  physical column names, the scan reads the physical schema and
+  renames (nested included) back to the logical view, and partition
+  filters accept logical names.
 - **Writer**: ``mode='append' | 'overwrite'`` + ``replace_where=``
   (partition-scoped overwrite), hive-style partition layout, commits
   published with PUT-IF-ABSENT (O_EXCL locally, ``fs.create(path,
@@ -39,11 +43,13 @@ Spark DataFrame calls:
   ``delta_vacuum`` cover the ops surface (DESCRIBE HISTORY / VACUUM
   semantics, retention window included).
 
-Honest gates (loud, never silent): reader-protocol features we don't
-implement (column mapping) raise ``NotImplementedError`` naming the
-feature; object stores without atomic create-if-absent (S3 without a
-commit coordinator) are exactly as unsupported here as in Delta itself
-and fail on the exclusive create.
+Honest gates (loud, never silent): id-mode column mapping (parquet
+field-id matching, which the stock Spark scan cannot address) and
+data-file writes INTO column-mapping tables raise
+``NotImplementedError`` naming the feature; object stores without
+atomic create-if-absent (S3 without a commit coordinator) are exactly
+as unsupported here as in Delta itself and fail on the exclusive
+create.
 
 Scale notes: snapshot state is a DATAFRAME, not driver memory — the
 checkpoint's add/remove actions stay in a Spark plan, the JSON tail
@@ -174,30 +180,67 @@ class DeltaSnapshot:
         self._build()
         return self._tombstones_df
 
+    def column_mapping(self) -> Optional[tuple[dict, dict]]:
+        """(logical -> physical, physical -> logical) top-level name
+        maps when column mapping is active, else None."""
+        if _mapping_mode(self.metadata) != "name":
+            return None
+        log2phys = {f.name: _physical_name(f)
+                    for f in self.schema.fields}
+        return log2phys, {v: k for k, v in log2phys.items()}
+
+    @property
+    def logical_partition_columns(self) -> list[str]:
+        """Partition columns under their USER-facing names (the log's
+        partitionColumns carry physical names when column mapping is
+        active)."""
+        maps = self.column_mapping()
+        if maps is None:
+            return list(self.partition_columns)
+        _, phys2log = maps
+        return [phys2log.get(c, c) for c in self.partition_columns]
+
     def pruned_adds(self,
                     partition_filter: Optional[dict] = None
                     ) -> list[dict]:
         """Collect add actions as dicts, AFTER applying
         ``partition_filter`` in the Spark plan — the driver holds only
         the pruned list (for an unfiltered call, the full list: that
-        is the planning cost of actually scanning every file)."""
+        is the planning cost of actually scanning every file).
+
+        Under column mapping, filter keys may be logical or physical
+        names; returned ``partitionValues`` are LOGICAL-keyed, with
+        the raw physical-keyed tuple kept as
+        ``partitionValuesPhysical`` for action rewriting."""
+        maps = self.column_mapping()
+        log_pcols = self.logical_partition_columns
+        log2phys = maps[0] if maps else {}
         d = self.files_df
         if partition_filter:
-            unknown = set(partition_filter) - set(self.partition_columns)
+            unknown = [k for k in partition_filter
+                       if k not in log_pcols
+                       and k not in self.partition_columns]
             if unknown:
                 raise ValueError(
                     f"partition_filter keys {sorted(unknown)} are not "
-                    f"partition columns {self.partition_columns}")
+                    f"partition columns {log_pcols}")
             for k, v in partition_filter.items():
-                d = d.filter(F.col("partitionValues").getItem(k)
+                key = log2phys.get(k, k)
+                d = d.filter(F.col("partitionValues").getItem(key)
                              == str(v))
         out = []
+        phys2log = maps[1] if maps else {}
         for r in d.collect():
+            pv_raw = dict(r["partitionValues"] or {})
             a = {"path": r["path"],
-                 "partitionValues": dict(r["partitionValues"] or {}),
+                 "partitionValues": ({phys2log.get(k, k): v
+                                      for k, v in pv_raw.items()}
+                                     if maps else pv_raw),
                  "size": r["size"],
                  "modificationTime": r["modificationTime"],
                  "dataChange": r["dataChange"]}
+            if maps:
+                a["partitionValuesPhysical"] = pv_raw
             dvd = r["deletionVector"]
             if dvd is not None and dvd["storageType"] is not None:
                 a["deletionVector"] = dvd.asDict()
@@ -275,9 +318,41 @@ def _check_protocol(proto: dict) -> None:
 def _check_metadata(meta: dict) -> None:
     conf = meta.get("configuration") or {}
     mapping = conf.get("delta.columnMapping.mode", "none")
-    if mapping not in ("none", ""):
+    if mapping not in ("none", "", "name"):
+        # "id" matches parquet field ids, which the stock Spark scan
+        # cannot address; "name" (physical-name based) is supported
         raise DeltaProtocolError(
-            f"Delta column mapping mode {mapping!r} not implemented")
+            f"Delta column mapping mode {mapping!r} not implemented "
+            "(supported: name)")
+
+
+def _mapping_mode(meta: dict) -> str:
+    return (meta.get("configuration")
+            or {}).get("delta.columnMapping.mode", "none") or "none"
+
+
+def _physical_name(f: T.StructField) -> str:
+    return (f.metadata or {}).get("delta.columnMapping.physicalName",
+                                  f.name)
+
+
+def _physical_type(dt: T.DataType) -> T.DataType:
+    """The same type tree with every struct field renamed to its
+    column-mapping physicalName (spec: nested fields carry their own
+    mapping metadata)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(_physical_name(f),
+                          _physical_type(f.dataType), f.nullable)
+            for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_type(dt.elementType),
+                           dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_physical_type(dt.keyType),
+                         _physical_type(dt.valueType),
+                         dt.valueContainsNull)
+    return dt
 
 
 def _replay_json_commit(text: str, state: dict) -> None:
@@ -570,12 +645,28 @@ def _scan_adds(spark: SparkSession, snap: DeltaSnapshot,
     """The table-schema scan over ``adds`` (hive-consistent single
     scan when the layout allows, else per-partition-tuple groups).
     ``with_meta`` appends (_dl_fp, _dl_ri) row-address columns for
-    deletion-vector merging."""
+    deletion-vector merging.  Under column mapping (name mode) data
+    files carry PHYSICAL column names: the scan reads the physical
+    schema and renames back to logical (struct casts rename nested
+    fields positionally), and the hive fast path naturally falls back
+    to grouped scans because physical dir names can't match logical
+    partitionValues."""
+    maps = snap.column_mapping()
     fields = {f.name: f.dataType for f in snap.schema.fields}
-    pcols = snap.partition_columns
+    pcols = snap.logical_partition_columns
     want = [f.name for f in snap.schema.fields]
-    data_schema = T.StructType(
-        [f for f in snap.schema.fields if f.name not in pcols])
+    data_fields = [f for f in snap.schema.fields
+                   if f.name not in pcols]
+    if maps is None:
+        data_schema = T.StructType(data_fields)
+        rename = None
+    else:
+        data_schema = T.StructType([
+            T.StructField(maps[0].get(f.name, f.name),
+                          _physical_type(f.dataType), f.nullable)
+            for f in data_fields])
+        rename = [(maps[0].get(f.name, f.name), f.dataType, f.name)
+                  for f in data_fields]
 
     def _meta_cols(d: DataFrame) -> DataFrame:
         return d.select(
@@ -585,13 +676,19 @@ def _scan_adds(spark: SparkSession, snap: DeltaSnapshot,
 
     extra = ["_dl_fp", "_dl_ri"] if with_meta else []
 
+    def _to_logical(d: DataFrame) -> DataFrame:
+        if rename is None:
+            return d
+        cols = [F.col(p).cast(t).alias(n) for p, t, n in rename]
+        return d.select(*cols, *[c for c in extra if c in d.columns])
+
     # Fast path: when every add's path is hive-laid-out AND the dir
     # segments agree with the LOG's partitionValues (the log stays
     # authoritative — any disagreement falls back), one basePath scan
     # reads all files with partition columns inferred per the provided
     # schema.  This is the 10k-partition-safe shape: no per-partition
     # DataFrame unions in the driver plan.
-    if not pcols or _hive_consistent(adds, pcols):
+    if not pcols or (maps is None and _hive_consistent(adds, pcols)):
         d = spark.read.schema(snap.schema if pcols else data_schema)
         if pcols:
             d = d.option("basePath", snap.path)
@@ -599,6 +696,7 @@ def _scan_adds(spark: SparkSession, snap: DeltaSnapshot,
                         for a in adds])
         if with_meta:
             d = _meta_cols(d)
+        d = _to_logical(d)
         return d.select(*want, *extra)
 
     # group by partition tuple; each group is one parquet scan with the
@@ -617,6 +715,7 @@ def _scan_adds(spark: SparkSession, snap: DeltaSnapshot,
         d = spark.read.schema(data_schema).parquet(*paths)
         if with_meta:
             d = _meta_cols(d)
+        d = _to_logical(d)
         for c in pcols:
             d = d.withColumn(c, _partition_expr(pvals[key].get(c),
                                                 fields[c]))
@@ -788,13 +887,15 @@ def _stage_data_files(df: DataFrame, table: str,
 
 
 def _remove_action(a: dict) -> dict:
-    """The spec-shaped remove tombstone for a live add action."""
+    """The spec-shaped remove tombstone for a live add action (under
+    column mapping the log keeps PHYSICAL partition keys)."""
     return {"remove": {"path": a["path"],
                        "deletionTimestamp": int(time.time() * 1000),
                        "dataChange": True,
                        "extendedFileMetadata": True,
                        "partitionValues":
-                           a.get("partitionValues") or {},
+                           a.get("partitionValuesPhysical")
+                           or a.get("partitionValues") or {},
                        "size": int(a.get("size") or 0)}}
 
 
@@ -866,6 +967,13 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
         base_actions = [{"protocol": proto}, {"metaData": meta}]
         next_version = 0
     else:
+        if _mapping_mode(current.metadata) != "none":
+            # staging writes logical-named parquet; mixing that into a
+            # physical-named table would corrupt it — reads (and DV
+            # deletes, which rewrite no data) are the supported surface
+            raise DeltaProtocolError(
+                "writing data files into a column-mapping table is "
+                "not implemented (reads and delta_delete_where are)")
         if partition_by is not None \
                 and list(partition_by) != current.partition_columns:
             raise ValueError(
@@ -1027,8 +1135,12 @@ def delta_delete_where(spark: SparkSession, table: str,
                        .get("cardinality") or 0)
         n_deleted += int(r["cardinality"]) - old_card
         actions.append(_remove_action(a))
-        new_add = {**{k: a[k] for k in ("path", "partitionValues",
-                                        "size", "modificationTime")},
+        new_add = {"path": a["path"],
+                   "partitionValues":
+                       a.get("partitionValuesPhysical")
+                       or a.get("partitionValues") or {},
+                   "size": a["size"],
+                   "modificationTime": a["modificationTime"],
                    "dataChange": True,
                    "deletionVector": {
                        "storageType": "u",
