@@ -123,6 +123,10 @@ HEADLINE = [
     "compact_roundtrip_orders",
     "delta_roundtrip_orders",
     "iceberg_roundtrip_orders",
+    "delta_dv_orders",
+    "delta_column_mapping_orders",
+    "iceberg_transform_prune_orders",
+    "avro_roundtrip_orders",
     "stream_delta_ingest_orders",
     "gif_frame_stats_docs",
     "iceberg_eq_delete_orders",
