@@ -6737,6 +6737,63 @@ FROM final GROUP BY o_orderstatus
 """
 
 
+def q_delta_cdf_orders(spark, sf_dir):
+    """Delta Change Data Feed read (sources/delta.py ``delta_changes``
+    — the ``table_changes`` surface, r12): create → append →
+    deletion-vector DELETE, then read the feed for the append+delete
+    range and aggregate per (change type, commit version).  Inserts
+    derive from add actions, deletes from the DV remove+add pair as
+    exactly the NEW-minus-OLD vector positions — so a wrong position
+    diff (re-reporting already-dead rows, missing newly-dead ones)
+    breaks the value hash.  The oracle reconstructs both change sets
+    from raw orders.  Scale: only files named by in-range commits are
+    read — O(changed data), like Delta's own CDF."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.delta import (
+        delta_changes,
+        delta_delete_where,
+        write_delta,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_delta_cdf_") + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    write_delta(o, tbl, partition_by=["o_orderstatus"])
+    write_delta(o.filter("o_orderkey % 10 = 0"), tbl)
+    delta_delete_where(spark, tbl, "o_totalprice > 180000.0")
+    ch = delta_changes(spark, tbl, from_version=1)
+    return (ch.groupBy("_change_type", "_commit_version")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents"))
+            .select(F.col("_change_type").alias("change_type"),
+                    F.col("_commit_version").cast("long")
+                     .alias("commit_version"),
+                    "n_rows", "sum_cents"))
+
+
+SQL_DELTA_CDF = """
+WITH v1_ins AS (
+  SELECT o_totalprice FROM orders WHERE o_orderkey % 10 = 0
+), live_after_v1 AS (
+  SELECT o_totalprice FROM orders
+  UNION ALL SELECT o_totalprice FROM v1_ins
+), v2_del AS (
+  SELECT o_totalprice FROM live_after_v1
+  WHERE o_totalprice > 180000.0
+)
+SELECT 'insert' AS change_type, 1::BIGINT AS commit_version,
+       COUNT(*)::BIGINT AS n_rows,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM v1_ins
+UNION ALL
+SELECT 'delete', 2::BIGINT, COUNT(*)::BIGINT,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT
+FROM v2_del
+"""
+
+
 def q_delta_column_mapping_orders(spark, sf_dir):
     """Delta column mapping, name mode (sources/delta.py r12): builds
     a FOREIGN-shaped mapped table — data files carry physical column
@@ -9104,6 +9161,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iceberg_transform_prune_orders": q_iceberg_transform_prune_orders,  # NEW r12: month+bucket transform pruning, value-oracled
     "avro_roundtrip_orders": q_avro_roundtrip_orders,  # NEW r12: user-facing Avro source, executor-side codec, value-oracled
     "delta_column_mapping_orders": q_delta_column_mapping_orders,  # NEW r12: name-mode column mapping read, value-oracled
+    "delta_cdf_orders": q_delta_cdf_orders,  # NEW r12: table_changes feed incl. DV-diff deletes, value-oracled
     "stream_delta_ingest_orders": q_stream_delta_ingest,  # NEW r11, registered post-window: never driver-checked
     "gif_frame_stats_docs": q_gif_frame_stats,  # NEW r11, registered post-window: never driver-checked
     "iceberg_eq_delete_orders": q_iceberg_eq_delete_orders,  # NEW r11, registered post-window: never driver-checked
@@ -9149,8 +9207,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_dedup_docs": q_bloom_dedup_docs,  # last driver check: r8 (window pad)
     "stream_bloom_dedup_docs": q_stream_bloom_dedup_docs,  # last driver check: r8 (window pad)
     "manifest_time_travel_orders": q_manifest_time_travel_orders,  # last driver check: r8 (window pad)
-    "manifest_lookup_orders": q_manifest_lookup_orders,  # last driver check: r8 (window pad)
     # ---- below the 50-slot driver window from here down ----
+    "manifest_lookup_orders": q_manifest_lookup_orders,  # r8 green; displaced for the r12 CDF query
     "semantic_decontam_emb": q_semantic_decontam_emb,  # r8 green; displaced for the r12 column-mapping query
     "semantic_decontam_lsh": q_semantic_decontam_lsh,  # r8 green; displaced for the r12 avro query
     "stream_cdc_manifest_evolve": q_stream_cdc_manifest_evolve,  # r8 green; displaced for the r12 pruning query
@@ -9532,6 +9590,7 @@ _ORACLES: dict[str, str] = {
     "iceberg_transform_prune_orders": SQL_ICEBERG_TRANSFORM_PRUNE,
     "avro_roundtrip_orders": SQL_AVRO_ROUNDTRIP,
     "delta_column_mapping_orders": SQL_DELTA_COLUMN_MAPPING,
+    "delta_cdf_orders": SQL_DELTA_CDF,
     "stream_delta_ingest_orders": SQL_STREAM_DELTA,
     "gif_frame_stats_docs": SQL_GIF_FRAMES,
     "iceberg_eq_delete_orders": SQL_ICEBERG_EQ_DELETE,

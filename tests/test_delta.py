@@ -803,3 +803,100 @@ class TestColumnMapping:
         _commit(tbl, 0, [_PROTO, m])
         with pytest.raises(DeltaProtocolError, match="id"):
             delta_snapshot(spark, tbl)
+
+
+class TestChangeDataFeed:
+    """delta_changes (the table_changes surface): derivation from
+    add/remove actions, DV-pair delete extraction, cdc-action
+    authority, timestamp time travel."""
+
+    def test_insert_delete_derivation(self, spark, tbl):
+        from wrangle_pypes_spark.sources.delta import delta_changes
+        df = spark.range(0, 20).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("p"))
+        write_delta(df, tbl, partition_by=["p"])              # v0
+        write_delta(df.filter("k < 3"), tbl)                  # v1
+        write_delta(df.filter("k >= 18"), tbl,
+                    mode="overwrite",
+                    replace_where={"p": "1"})                 # v2
+        ch = delta_changes(spark, tbl, from_version=0)
+        got = sorted((r["k"], r["_change_type"],
+                      r["_commit_version"]) for r in ch.collect())
+        # v2 stages the full input (write_delta's replace_where does
+        # not filter rows; it scopes only the REMOVED files), so both
+        # 18 and 19 are inserts; deletes are partition p=1's old rows
+        want = sorted(
+            [(k, "insert", 0) for k in range(20)]
+            + [(k, "insert", 1) for k in range(3)]
+            + [(k, "insert", 2) for k in (18, 19)]
+            + [(k, "delete", 2) for k in range(20) if k % 2 == 1]
+            + [(k, "delete", 2) for k in range(3) if k % 2 == 1])
+        assert got == want
+        # range clipping: only v1..v2
+        ch12 = delta_changes(spark, tbl, from_version=1,
+                             to_version=1)
+        assert sorted(r["k"] for r in ch12.collect()) == [0, 1, 2]
+
+    def test_dv_delete_changes(self, spark, tbl):
+        from wrangle_pypes_spark.sources.delta import (
+            delta_changes,
+            delta_delete_where,
+        )
+        df = spark.range(0, 30).select(F.col("id").alias("k"))
+        write_delta(df, tbl)                                  # v0
+        delta_delete_where(spark, tbl, "k % 3 = 0")           # v1
+        delta_delete_where(spark, tbl, "k % 5 = 0")           # v2
+        ch = delta_changes(spark, tbl, from_version=1)
+        got = sorted((r["k"], r["_change_type"],
+                      r["_commit_version"]) for r in ch.collect())
+        # v1 deletes multiples of 3; v2 deletes multiples of 5 NOT
+        # already dead (15 and 0 were killed at v1, not re-reported)
+        want = sorted(
+            [(k, "delete", 1) for k in range(30) if k % 3 == 0]
+            + [(k, "delete", 2) for k in range(30)
+               if k % 5 == 0 and k % 3 != 0])
+        assert got == want
+
+    def test_cdc_actions_are_authoritative(self, spark, tbl):
+        from wrangle_pypes_spark.sources.delta import delta_changes
+        schema = T.StructType([T.StructField("k", T.LongType())])
+        os.makedirs(os.path.join(tbl, "_cdc"), exist_ok=True)
+        cdc_df = spark.createDataFrame(
+            [(1, "update_preimage"), (2, "update_postimage")],
+            "k long, _change_type string")
+        stage = os.path.join(tbl, "_stage")
+        cdc_df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(n for n in os.listdir(stage)
+                    if n.endswith(".parquet"))
+        os.replace(os.path.join(stage, part),
+                   os.path.join(tbl, "_cdc", "c0.parquet"))
+        shutil.rmtree(stage)
+        _commit(tbl, 0, [_PROTO, _meta(schema)])
+        _commit(tbl, 1, [
+            {"cdc": {"path": "_cdc/c0.parquet",
+                     "partitionValues": {}, "size": 1,
+                     "dataChange": False}},
+            # derivation would double-report: cdc must win
+            {"add": {"path": "ignored.parquet",
+                     "partitionValues": {}, "size": 1,
+                     "dataChange": True}}])
+        ch = delta_changes(spark, tbl, from_version=1)
+        assert sorted((r["k"], r["_change_type"])
+                      for r in ch.collect()) \
+            == [(1, "update_preimage"), (2, "update_postimage")]
+
+    def test_timestamp_time_travel(self, spark, tbl):
+        import time as _time
+        df = spark.range(0, 5).select(F.col("id").alias("k"))
+        write_delta(df, tbl)                                  # v0
+        _time.sleep(1.1)
+        mid = _time.time()
+        _time.sleep(1.1)
+        write_delta(df, tbl)                                  # v1
+        assert read_delta(spark, tbl, timestamp=mid).count() == 5
+        assert read_delta(spark, tbl).count() == 10
+        with pytest.raises(ValueError, match="no commit at or"):
+            read_delta(spark, tbl, timestamp=mid - 3600)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            read_delta(spark, tbl, version=0, timestamp=mid)

@@ -10,7 +10,8 @@ payload parsing for dynamic columns).
 from .acid import (acid_commit, acid_current, acid_read, acid_vacuum)
 from .avro_table import read_avro, write_avro
 from .catalog import describe_store, store_kind
-from .delta import (delta_checkpoint, delta_delete_where,
+from .delta import (delta_changes, delta_checkpoint,
+                    delta_delete_where,
                     delta_history, delta_snapshot,
                     delta_vacuum, read_delta, write_delta)
 from .iceberg import (iceberg_snapshot, read_iceberg,
@@ -41,7 +42,8 @@ from .tables import (TABLES, ensure_session_confs, infer_json_schema,
                      read_binary_files, read_csv, read_jsonl, read_text)
 
 __all__ = ("TABLES", "acid_commit", "acid_current", "acid_read",
-           "acid_vacuum", "delta_checkpoint", "delta_delete_where",
+           "acid_vacuum", "delta_changes", "delta_checkpoint",
+           "delta_delete_where",
            "delta_history",
            "delta_snapshot", "delta_vacuum", "describe_store",
            "iceberg_snapshot", "read_avro", "read_delta",

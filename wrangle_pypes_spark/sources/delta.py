@@ -90,9 +90,11 @@ from .. import fsutil
 _LOG_DIR = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
 # reader features we actually implement; anything else in a v3+
-# protocol's readerFeatures is a loud gate
+# protocol's readerFeatures is a loud gate ("columnMapping" is listed
+# because name mode is supported — the metadata check still gates id
+# mode, which is where the unsupported matching lives)
 _SUPPORTED_READER_FEATURES = {"timestampNtz", "v2Checkpoint",
-                              "deletionVectors"}
+                              "deletionVectors", "columnMapping"}
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
@@ -474,12 +476,20 @@ def _load_checkpoint(spark: SparkSession, table: str,
 
 
 def delta_snapshot(spark: SparkSession, table: str, *,
-                   version: Optional[int] = None) -> DeltaSnapshot:
+                   version: Optional[int] = None,
+                   timestamp=None) -> DeltaSnapshot:
     """Resolve a table snapshot from the log: newest eligible
     checkpoint (skipped entirely for time travel before it), then JSON
     commits through the target version.  O(log) driver work — the
     checkpoint's file actions are referenced as a DataFrame plan, not
-    collected."""
+    collected.  ``timestamp`` (epoch seconds or ISO string) resolves
+    TIMESTAMP AS OF via commit-file modification times — mutually
+    exclusive with ``version``."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("version and timestamp are mutually "
+                             "exclusive")
+        version = _resolve_timestamp_version(spark, table, timestamp)
     log_names = fsutil.list_dir(os.path.join(table, _LOG_DIR), spark)
     commits = {}
     cp_versions = set()
@@ -784,6 +794,7 @@ def _apply_deletion_vectors(spark: SparkSession, table: str,
 
 def read_delta(spark: SparkSession, table: str, *,
                version: Optional[int] = None,
+               timestamp=None,
                partition_filter: Optional[dict] = None) -> DataFrame:
     """Read a Delta table snapshot as a DataFrame.
 
@@ -795,9 +806,11 @@ def read_delta(spark: SparkSession, table: str, *,
     partition columns are re-attached from the log, typed per the
     table schema, so tables whose data files omit partition columns
     (the Delta norm) read correctly.  Files carrying deletion vectors
-    have their deleted positions anti-joined away.
+    have their deleted positions anti-joined away.  ``timestamp`` is
+    TIMESTAMP AS OF (see :func:`delta_snapshot`).
     """
-    snap = delta_snapshot(spark, table, version=version)
+    snap = delta_snapshot(spark, table, version=version,
+                          timestamp=timestamp)
     adds = snap.pruned_adds(partition_filter)
     if not adds:
         return spark.createDataFrame([], snap.schema)
@@ -1287,6 +1300,229 @@ def delta_checkpoint(spark: SparkSession, table: str) -> int:
         json.dumps({"version": snap.version, "size": int(n_actions)}),
         spark)
     return snap.version
+
+
+def _resolve_timestamp_version(spark: SparkSession, table: str,
+                               timestamp) -> int:
+    """Timestamp time travel: the newest version whose commit file
+    was published at or before ``timestamp`` (epoch seconds or an ISO
+    string) — the same commit-file-modification-time rule Delta's
+    TIMESTAMP AS OF uses."""
+    if isinstance(timestamp, str):
+        import datetime as _dt
+        dt = _dt.datetime.fromisoformat(timestamp)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=_dt.timezone.utc)
+        ts = dt.timestamp()
+    else:
+        ts = float(timestamp)
+    log_names = fsutil.list_dir(os.path.join(table, _LOG_DIR), spark)
+    best = -1
+    for n in log_names:
+        if not (n.endswith(".json") and n[:20].isdigit()):
+            continue
+        p = _log_path(table, n)
+        if fsutil.is_local(p):
+            mtime = os.path.getmtime(fsutil._strip_file_scheme(p))
+        else:
+            fs, jpath, _ = fsutil._hadoop(spark, p)
+            mtime = fs.getFileStatus(jpath) \
+                .getModificationTime() / 1000.0
+        if mtime <= ts:
+            best = max(best, int(n[:20]))
+    if best < 0:
+        raise ValueError(
+            f"no commit at or before timestamp {timestamp!r}")
+    return best
+
+
+def _action_to_add(a: dict, maps) -> dict:
+    """A raw log add action as the dict shape ``pruned_adds``
+    produces (logical partition keys + the raw physical tuple)."""
+    pv_raw = dict(a.get("partitionValues") or {})
+    out = {"path": a["path"],
+           "partitionValues": ({maps[1].get(k, k): v
+                                for k, v in pv_raw.items()}
+                               if maps else pv_raw),
+           "size": int(a.get("size") or 0),
+           "modificationTime": int(a.get("modificationTime") or 0),
+           "dataChange": bool(a.get("dataChange", True))}
+    if maps:
+        out["partitionValuesPhysical"] = pv_raw
+    if a.get("deletionVector"):
+        out["deletionVector"] = dict(a["deletionVector"])
+    return out
+
+
+def _dv_positions_df(spark: SparkSession, table: str,
+                     adds: list[dict]) -> Optional[DataFrame]:
+    """(_dv_fp, _dv_pos) rows for every deletion vector carried by
+    ``adds`` (decoded in executors), or None when no DVs exist."""
+    carriers = [a for a in adds if a.get("deletionVector")]
+    if not carriers:
+        return None
+    dv_rows = []
+    for a in carriers:
+        dvd = a["deletionVector"]
+        dv_rows.append((
+            os.path.join(table, a["path"]),
+            dvd.get("storageType"), dvd.get("pathOrInlineDv"),
+            int(dvd["offset"]) if dvd.get("offset") is not None
+            else None,
+            int(dvd["sizeInBytes"]),
+            int(dvd["cardinality"])
+            if dvd.get("cardinality") is not None else None))
+    desc_schema = ("data_path string, storageType string, "
+                   "pathOrInlineDv string, offset int, "
+                   "sizeInBytes int, cardinality long")
+    desc_df = spark.createDataFrame(dv_rows, desc_schema)
+    table_root = fsutil._strip_file_scheme(table)
+
+    def _expand(batches):
+        import pandas as pd
+
+        from . import dv as _dv
+        cache: dict = {}
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                desc = {"storageType": row.storageType,
+                        "pathOrInlineDv": row.pathOrInlineDv,
+                        "offset": row.offset,
+                        "sizeInBytes": row.sizeInBytes,
+                        "cardinality": row.cardinality}
+                pos = _dv.decode_descriptor(desc, table_root, cache)
+                yield pd.DataFrame({
+                    "_dv_fp": [row.data_path] * len(pos),
+                    "_dv_pos": pos})
+
+    n = max(1, min(len(dv_rows),
+                   spark.sparkContext.defaultParallelism))
+    return (desc_df.repartition(n)
+            .mapInPandas(_expand, "_dv_fp string, _dv_pos long")
+            .withColumn("_dv_fp", _norm_uri(F.col("_dv_fp"))))
+
+
+def delta_changes(spark: SparkSession, table: str, *,
+                  from_version: int,
+                  to_version: Optional[int] = None) -> DataFrame:
+    """The Change Data Feed read surface (``table_changes``): one row
+    per changed row for every commit in ``[from_version,
+    to_version]`` (inclusive, Delta's convention), with
+    ``_change_type`` ('insert' | 'delete' | cdc-file-provided types)
+    and ``_commit_version`` appended to the table columns.
+
+    Per commit: spec ``cdc`` actions, when present, are authoritative
+    (their parquet carries ``_change_type``).  Otherwise changes
+    derive from the actions exactly as Delta derives them — adds with
+    ``dataChange`` are inserts, removes are deletes (the removed
+    file's still-present parquet provides the pre-images, with its
+    old deletion vector applied so already-dead rows don't reappear),
+    and a remove+add pair on the SAME path where the add carries a
+    deletion vector (the row-level-DELETE shape) contributes exactly
+    the rows at the NEW-minus-OLD vector positions as deletes.
+    Cost: O(changed data) — only files named by the commits in range
+    are read; pre-delete snapshots resolve per commit at O(log)."""
+    snap_now = delta_snapshot(spark, table)
+    to_v = snap_now.version if to_version is None else int(to_version)
+    from_v = int(from_version)
+    if from_v < 0 or to_v < from_v:
+        raise ValueError(f"bad version range [{from_v}, {to_v}]")
+    maps = snap_now.column_mapping()
+    want = [f.name for f in snap_now.schema.fields]
+    out_parts = []
+
+    def _tag(d: DataFrame, ctype: Optional[str], v: int) -> DataFrame:
+        cols = [F.col(c) for c in want]
+        tcol = (F.lit(ctype) if ctype is not None
+                else F.col("_change_type"))
+        return d.select(*cols, tcol.alias("_change_type"),
+                        F.lit(v).alias("_commit_version"))
+
+    for v in range(from_v, to_v + 1):
+        text = fsutil.read_text(_log_path(table, _commit_name(v)),
+                                spark)
+        if text is None:
+            raise ValueError(
+                f"commit {v} is missing (vacuumed log?); CDF cannot "
+                "be reconstructed")
+        adds, removes, cdc = {}, {}, []
+        for line in text.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "add" in action and action["add"].get("dataChange",
+                                                     True):
+                adds[action["add"]["path"]] = action["add"]
+            elif "remove" in action \
+                    and action["remove"].get("dataChange", True):
+                removes[action["remove"]["path"]] = action["remove"]
+            elif "cdc" in action:
+                cdc.append(action["cdc"])
+        if cdc:
+            d = spark.read.parquet(
+                *[os.path.join(table, c["path"]) for c in cdc])
+            out_parts.append(_tag(d, None, v))
+            continue
+        if not adds and not removes:
+            continue
+        snap_prev = (delta_snapshot(spark, table, version=v - 1)
+                     if removes and v > 0 else None)
+        prev_adds = ({a["path"]: a for a in snap_prev.pruned_adds()}
+                     if snap_prev is not None else {})
+        dv_pairs = [p for p in adds
+                    if p in removes and adds[p].get("deletionVector")]
+        ins_paths = [p for p in adds if p not in dv_pairs]
+        del_paths = [p for p in removes if p not in dv_pairs]
+        if ins_paths:
+            ins_adds = [_action_to_add(adds[p], maps)
+                        for p in ins_paths]
+            has_dv = any(a.get("deletionVector") for a in ins_adds)
+            d = _scan_adds(spark, snap_now, ins_adds,
+                           with_meta=has_dv)
+            if has_dv:
+                d = _apply_deletion_vectors(spark, table, ins_adds, d)
+            out_parts.append(_tag(d, "insert", v))
+        if del_paths:
+            del_adds = [prev_adds[p] for p in del_paths
+                        if p in prev_adds]
+            if del_adds:
+                has_dv = any(a.get("deletionVector")
+                             for a in del_adds)
+                d = _scan_adds(spark, snap_now, del_adds,
+                               with_meta=has_dv)
+                if has_dv:
+                    d = _apply_deletion_vectors(spark, table,
+                                                del_adds, d)
+                out_parts.append(_tag(d, "delete", v))
+        for p in dv_pairs:
+            new_add = _action_to_add(adds[p], maps)
+            old_add = prev_adds.get(p)
+            new_pos = _dv_positions_df(spark, table, [new_add])
+            old_pos = (_dv_positions_df(spark, table, [old_add])
+                       if old_add else None)
+            changed = new_pos if old_pos is None \
+                else new_pos.join(old_pos, ["_dv_fp", "_dv_pos"],
+                                  "left_anti")
+            base = old_add if old_add else new_add
+            scan = _scan_adds(spark, snap_now,
+                              [dict(base, deletionVector=None)],
+                              with_meta=True)
+            d = scan.join(changed,
+                          (scan["_dl_fp"] == changed["_dv_fp"])
+                          & (scan["_dl_ri"] == changed["_dv_pos"]),
+                          "inner")
+            out_parts.append(_tag(d, "delete", v))
+    if not out_parts:
+        schema = T.StructType(
+            list(snap_now.schema.fields)
+            + [T.StructField("_change_type", T.StringType()),
+               T.StructField("_commit_version", T.IntegerType())])
+        return spark.createDataFrame([], schema)
+    out = out_parts[0]
+    for d in out_parts[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 def delta_history(spark: SparkSession, table: str) -> list[dict]:
