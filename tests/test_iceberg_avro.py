@@ -792,3 +792,40 @@ class TestTransforms:
         assert sorted(r["k"] for r in out.collect()) \
             == sorted(r["k"] for r in
                       df.filter("p = '1'").collect())
+
+    def test_snapshot_as_of_timestamp(self, spark, tmp_path):
+        import time as _time
+
+        from wrangle_pypes_spark.sources.iceberg import (
+            read_iceberg,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "t")
+        df = spark.range(0, 5).select(F.col("id").alias("k"))
+        write_iceberg(df, tbl)
+        mid = int(_time.time() * 1000)
+        _time.sleep(0.05)
+        write_iceberg(df, tbl)
+        assert read_iceberg(spark, tbl,
+                            as_of_timestamp_ms=mid).count() == 5
+        assert read_iceberg(spark, tbl).count() == 10
+        with pytest.raises(ValueError, match="no snapshot at or"):
+            read_iceberg(spark, tbl, as_of_timestamp_ms=mid - 10**7)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            read_iceberg(spark, tbl, snapshot_id=1,
+                         as_of_timestamp_ms=mid)
+
+    def test_snapshot_summary_is_honest(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_snapshot,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "t")
+        df = spark.range(0, 42).select(F.col("id").alias("k"))
+        write_iceberg(df, tbl)
+        meta = iceberg_snapshot(spark, tbl).metadata
+        s = meta["snapshots"][-1]
+        assert s["timestamp-ms"] > 0
+        assert s["summary"]["added-records"] == "42"
+        assert int(s["summary"]["added-data-files"]) >= 1
+        assert meta["last-updated-ms"] == s["timestamp-ms"]

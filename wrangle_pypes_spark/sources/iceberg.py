@@ -372,6 +372,7 @@ def _manifest_partials(table: str, entries: list, content: int,
 
 def iceberg_snapshot(spark: SparkSession, table: str, *,
                      snapshot_id: Optional[int] = None,
+                     as_of_timestamp_ms: Optional[int] = None,
                      partition_filter: Optional[dict] = None
                      ) -> IcebergSnapshot:
     """Resolve an Iceberg snapshot to its live data-file list.  Reads
@@ -396,6 +397,21 @@ def iceberg_snapshot(spark: SparkSession, table: str, *,
         specs = {0: meta["partition-spec"]}
 
     snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
+    if as_of_timestamp_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError("snapshot_id and as_of_timestamp_ms are "
+                             "mutually exclusive")
+        eligible = [s for s in snaps.values()
+                    if int(s.get("timestamp-ms") or 0)
+                    <= int(as_of_timestamp_ms)]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot at or before {as_of_timestamp_ms} ms")
+        snapshot_id = max(eligible,
+                          key=lambda s: (int(s.get("timestamp-ms")
+                                             or 0),
+                                         int(s["snapshot-id"])
+                                         ))["snapshot-id"]
     target = (int(snapshot_id) if snapshot_id is not None
               else meta.get("current-snapshot-id"))
     if target is None or int(target) == -1 or not snaps:
@@ -567,6 +583,7 @@ def _prune_by_partition(snap: IcebergSnapshot,
 
 def read_iceberg(spark: SparkSession, table: str, *,
                  snapshot_id: Optional[int] = None,
+                 as_of_timestamp_ms: Optional[int] = None,
                  partition_filter: Optional[dict] = None) -> DataFrame:
     """Read an Iceberg table snapshot as a DataFrame.
 
@@ -586,6 +603,7 @@ def read_iceberg(spark: SparkSession, table: str, *,
     executor-parallel planning path the driver only ever receives the
     pruned entry list."""
     snap = iceberg_snapshot(spark, table, snapshot_id=snapshot_id,
+                            as_of_timestamp_ms=as_of_timestamp_ms,
                             partition_filter=partition_filter)
     if not snap.files:
         return spark.createDataFrame([], snap.schema)
@@ -1160,12 +1178,18 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
     ml_path = os.path.join(mdir, f"snap-{snap_id}-{_uuid.uuid4().hex}.avro")
     write_container_file(ml_path, _MANIFEST_LIST_SCHEMA, ml_entries)
 
+    import time as _time
+    now_ms = int(_time.time() * 1000)
+    n_recs = sum(e["data_file"]["record_count"] for e in entries)
     meta["snapshots"] = meta["snapshots"] + [{
         "snapshot-id": snap_id, "sequence-number": seq,
-        "timestamp-ms": 0, "manifest-list": ml_path,
-        "summary": {"operation": mode}}]
+        "timestamp-ms": now_ms, "manifest-list": ml_path,
+        "summary": {"operation": mode,
+                    "added-data-files": str(len(entries)),
+                    "added-records": str(n_recs)}}]
     meta["current-snapshot-id"] = snap_id
     meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
     new_version = cur_version + 1
     new_meta_path = os.path.join(mdir, f"v{new_version}.metadata.json")
     from .delta import _create_exclusive
@@ -1266,12 +1290,16 @@ def write_iceberg_deletes(keys_df: DataFrame, table: str, *,
         mdir, f"snap-{snap_id}-{_uuid.uuid4().hex}.avro")
     write_container_file(ml_path, _MANIFEST_LIST_SCHEMA, ml_entries)
 
+    import time as _time
+    now_ms = int(_time.time() * 1000)
     meta["snapshots"] = meta.get("snapshots", []) + [{
         "snapshot-id": snap_id, "sequence-number": seq,
-        "timestamp-ms": 0, "manifest-list": ml_path,
-        "summary": {"operation": "delete"}}]
+        "timestamp-ms": now_ms, "manifest-list": ml_path,
+        "summary": {"operation": "delete",
+                    "added-delete-files": "1"}}]
     meta["current-snapshot-id"] = snap_id
     meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
     new_meta_path = os.path.join(
         mdir, f"v{cur_version + 1}.metadata.json")
     from .delta import _create_exclusive
