@@ -104,17 +104,27 @@ def describe_store(spark: SparkSession, path: str) -> Optional[DataFrame]:
                        for f in snap.files}) if pcols else None
         detail = "partition_by=" + ",".join(pcols or ["<none>"])
     elif kind == "delta":
+        from pyspark.sql import functions as F
+
         from .delta import delta_snapshot
 
         snap = delta_snapshot(spark, path)
         version = int(snap.version)
-        n_files = len(snap.files)
-        n_parts = len({tuple((a.get("partitionValues") or {}).get(c)
-                             for c in snap.partition_columns)
-                       for a in snap.files.values()}) \
-            if snap.partition_columns else None
+        # aggregate over the file-state PLAN — the catalog never
+        # materializes the file list in the driver (r12)
+        pcols = snap.partition_columns
+        aggs = [F.count("*").alias("nf")]
+        if pcols:
+            # struct() so tuples containing nulls still count
+            aggs.append(F.countDistinct(F.struct(
+                *[F.col("partitionValues").getItem(c)
+                  for c in pcols])).alias("np"))
+        row = snap.files_df.agg(*aggs).collect()[0]
+        n_files = int(row["nf"])
+        n_parts = int(row["np"]) if pcols else None
         detail = ("partition_by="
-                  + ",".join(snap.partition_columns or ["<none>"]))
+                  + ",".join(snap.logical_partition_columns
+                             or ["<none>"]))
     elif kind == "acid":
         from .acid import _existing_versions, acid_current
 
