@@ -6737,6 +6737,60 @@ FROM final GROUP BY o_orderstatus
 """
 
 
+def q_stream_delta_source_orders(spark, sf_dir):
+    """Delta as a STRUCTURED STREAMING SOURCE via the Spark 4 Python
+    Data Source API (sources/datasource.py ``delta_jarless``): the
+    commit log is the offset log — ``latestOffset`` is the table
+    head, each micro-batch's ``partitions(start, end]`` parses
+    exactly the new commits' add actions (one input partition per
+    added file, read worker-side via pyarrow).  The query builds a
+    Delta table with three append commits, drains it through
+    ``spark.readStream.format("delta_jarless")`` with an availableNow
+    trigger into parquet, and aggregates the drained rows; the oracle
+    recomputes the aggregate from raw orders, so a dropped or
+    double-read commit breaks the value hash."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.datasource import (
+        DeltaJarlessDataSource,
+    )
+    from wrangle_pypes_spark.sources.delta import write_delta
+
+    try:
+        spark.dataSource.register(DeltaJarlessDataSource)
+    except Exception:
+        pass  # already registered in this session
+    base = tempfile.mkdtemp(prefix="wps_delta_src_")
+    tbl = base + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    write_delta(o.filter("o_orderkey % 3 = 0"), tbl)
+    write_delta(o.filter("o_orderkey % 3 = 1"), tbl)
+    write_delta(o.filter("o_orderkey % 3 = 2"), tbl)
+    out = base + "/out"
+    q = (spark.readStream.format("delta_jarless")
+         .option("startingVersion", "0").load(tbl)
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", base + "/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    drained = spark.read.parquet(out)
+    return (drained.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum("o_orderkey").alias("sum_keys"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents")))
+
+
+SQL_STREAM_DELTA_SOURCE = """
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders,
+       SUM(o_orderkey)::BIGINT AS sum_keys,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def q_delta_cdf_orders(spark, sf_dir):
     """Delta Change Data Feed read (sources/delta.py ``delta_changes``
     — the ``table_changes`` surface, r12): create → append →
@@ -9162,6 +9216,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "avro_roundtrip_orders": q_avro_roundtrip_orders,  # NEW r12: user-facing Avro source, executor-side codec, value-oracled
     "delta_column_mapping_orders": q_delta_column_mapping_orders,  # NEW r12: name-mode column mapping read, value-oracled
     "delta_cdf_orders": q_delta_cdf_orders,  # NEW r12: table_changes feed incl. DV-diff deletes, value-oracled
+    "stream_delta_source_orders": q_stream_delta_source_orders,  # NEW r12: Delta as a streaming SOURCE (Python Data Source API), value-oracled
     "stream_delta_ingest_orders": q_stream_delta_ingest,  # NEW r11, registered post-window: never driver-checked
     "gif_frame_stats_docs": q_gif_frame_stats,  # NEW r11, registered post-window: never driver-checked
     "iceberg_eq_delete_orders": q_iceberg_eq_delete_orders,  # NEW r11, registered post-window: never driver-checked
@@ -9206,8 +9261,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wrangle_foreach_custom": q_wrangle_foreach_custom,  # last driver check: r7
     "bloom_dedup_docs": q_bloom_dedup_docs,  # last driver check: r8 (window pad)
     "stream_bloom_dedup_docs": q_stream_bloom_dedup_docs,  # last driver check: r8 (window pad)
-    "manifest_time_travel_orders": q_manifest_time_travel_orders,  # last driver check: r8 (window pad)
     # ---- below the 50-slot driver window from here down ----
+    "manifest_time_travel_orders": q_manifest_time_travel_orders,  # r8 green; displaced for the r12 streaming-source query
     "manifest_lookup_orders": q_manifest_lookup_orders,  # r8 green; displaced for the r12 CDF query
     "semantic_decontam_emb": q_semantic_decontam_emb,  # r8 green; displaced for the r12 column-mapping query
     "semantic_decontam_lsh": q_semantic_decontam_lsh,  # r8 green; displaced for the r12 avro query
@@ -9591,6 +9646,7 @@ _ORACLES: dict[str, str] = {
     "avro_roundtrip_orders": SQL_AVRO_ROUNDTRIP,
     "delta_column_mapping_orders": SQL_DELTA_COLUMN_MAPPING,
     "delta_cdf_orders": SQL_DELTA_CDF,
+    "stream_delta_source_orders": SQL_STREAM_DELTA_SOURCE,
     "stream_delta_ingest_orders": SQL_STREAM_DELTA,
     "gif_frame_stats_docs": SQL_GIF_FRAMES,
     "iceberg_eq_delete_orders": SQL_ICEBERG_EQ_DELETE,

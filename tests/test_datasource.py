@@ -1,0 +1,125 @@
+"""The delta_jarless Python Data Source (sources/datasource.py):
+batch parity with read_delta (deletion vectors included) and the
+streaming offset protocol over the commit log."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrangle_pypes_spark.sources.datasource import (
+    DeltaJarlessDataSource,
+)
+from wrangle_pypes_spark.sources.delta import (
+    delta_delete_where,
+    read_delta,
+    write_delta,
+)
+
+
+@pytest.fixture
+def registered(spark):
+    spark.dataSource.register(DeltaJarlessDataSource)
+    return spark
+
+
+@pytest.fixture
+def tbl(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+class TestBatch:
+    def test_parity_with_read_delta(self, registered, tbl):
+        spark = registered
+        df = spark.range(0, 60).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("p"),
+            (F.col("id") * 1.5).alias("x"))
+        write_delta(df, tbl, partition_by=["p"])
+        write_delta(df.filter("k < 5"), tbl)
+        delta_delete_where(spark, tbl, "k % 4 = 0")
+        got = spark.read.format("delta_jarless").load(tbl)
+        # nullability differs by design: the native scan relaxes it,
+        # the python source keeps the log schema verbatim
+        assert [(f.name, f.dataType) for f in got.schema.fields] \
+            == [(f.name, f.dataType)
+                for f in read_delta(spark, tbl).schema.fields]
+        assert sorted(map(tuple, got.collect())) \
+            == sorted(map(tuple, read_delta(spark, tbl).collect()))
+
+    def test_schema_resolution(self, registered, tbl):
+        spark = registered
+        df = spark.range(3).select(F.col("id").alias("k"))
+        write_delta(df, tbl)
+        got = spark.read.format("delta_jarless").load(tbl)
+        assert got.schema.fieldNames() == ["k"]
+
+
+class TestStream:
+    def _drain(self, spark, tbl, ckpt, out):
+        q = (spark.readStream.format("delta_jarless")
+             .option("startingVersion", "0").load(tbl)
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    def test_incremental_offsets(self, registered, tbl, tmp_path):
+        spark = registered
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        df = spark.range(0, 10).select(F.col("id").alias("k"))
+        write_delta(df, tbl)
+        write_delta(df.select((F.col("k") + 10).alias("k")), tbl)
+        self._drain(spark, tbl, ckpt, out)
+        assert sorted(r["k"] for r in
+                      spark.read.parquet(out).collect()) \
+            == list(range(20))
+        # append after the first drain: ONLY the new commit is read
+        write_delta(df.select((F.col("k") + 20).alias("k")), tbl)
+        self._drain(spark, tbl, ckpt, out)
+        assert sorted(r["k"] for r in
+                      spark.read.parquet(out).collect()) \
+            == list(range(30))
+
+    def test_non_append_changes_gate(self, registered, tbl,
+                                     tmp_path):
+        spark = registered
+        df = spark.range(0, 10).select(F.col("id").alias("k"))
+        write_delta(df, tbl)
+        delta_delete_where(spark, tbl, "k < 3")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        q = (spark.readStream.format("delta_jarless")
+             .option("startingVersion", "0").load(tbl)
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        with pytest.raises(Exception, match="non-append"):
+            q.awaitTermination(180)
+            raise RuntimeError(str(q.exception() or "no error"))
+
+    def test_ignore_changes_skips_dv_rewrites(self, registered, tbl,
+                                              tmp_path):
+        spark = registered
+        df = spark.range(0, 10).select(F.col("id").alias("k"))
+        write_delta(df, tbl)
+        delta_delete_where(spark, tbl, "k < 3")
+        write_delta(df.select((F.col("k") + 10).alias("k")), tbl)
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        q = (spark.readStream.format("delta_jarless")
+             .option("startingVersion", "0")
+             .option("ignoreChanges", "true").load(tbl)
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        # original 10 rows emitted once (DV rewrite skipped), plus the
+        # appended 10 — the delta-spark ignoreChanges contract
+        assert sorted(r["k"] for r in
+                      spark.read.parquet(out).collect()) \
+            == list(range(20))

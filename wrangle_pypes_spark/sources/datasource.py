@@ -1,0 +1,319 @@
+"""``delta_jarless`` — a Spark 4 PYTHON DATA SOURCE exposing the
+jar-less Delta reader as a real format::
+
+    spark.dataSource.register(DeltaJarlessDataSource)
+    spark.read.format("delta_jarless").load("/path/to/table")
+    spark.readStream.format("delta_jarless") \\
+         .option("startingVersion", "0").load("/path/to/table")
+
+Why: sources/delta.py's ``read_delta`` composes the NATIVE vectorized
+parquet scan and is the right batch path; what it cannot provide is a
+``readStream`` surface, because Structured Streaming sources must
+implement the offset protocol.  Spark 4's Python Data Source API
+(``pyspark.sql.datasource``) closes that: this module implements
+
+- **batch read**: one input partition per live add file; workers read
+  parquet via pyarrow, drop deletion-vector positions with a row-index
+  mask, and attach typed partition values — a fully distributed scan
+  with no JVM extension points.
+- **streaming read**: the commit log IS the offset log.  Offsets are
+  ``{"version": N}`` (all commits ≤ N consumed); ``latestOffset`` is
+  the table head, ``partitions(start, end)`` parses exactly the JSON
+  commits in ``(start, end]`` and emits one partition per added file,
+  so each micro-batch reads precisely the new data — the same
+  incremental contract delta-spark's streaming source has.  Non-append
+  changes (remove actions, deletion-vector rewrites) raise unless
+  ``ignoreChanges=true`` (again mirroring delta-spark), in which case
+  DV-rewrite adds are SKIPPED (their rows were already emitted by the
+  commit that first added the file).
+
+Workers have no SparkSession, so everything here reads the log and
+data through plain file I/O + pyarrow; local/POSIX-visible paths are
+the supported surface (the honest statement for a Python source).
+Column-mapping tables gate loudly — use ``read_delta`` for those.
+
+Scale: driver work is O(commits in the micro-batch) JSON parses;
+reads parallelize per file.  Python/Arrow decode is slower per byte
+than the JVM scan — stated tradeoff for the streaming capability.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_LOG_DIR = "_delta_log"
+
+
+class DeltaSourceError(Exception):
+    pass
+
+
+def _log_dir(path: str) -> str:
+    p = path[5:] if path.startswith("file:") else path
+    while p.startswith("//"):
+        p = p[1:]
+    return os.path.join(p, _LOG_DIR)
+
+
+def _table_root(path: str) -> str:
+    p = path[5:] if path.startswith("file:") else path
+    while p.startswith("//"):
+        p = p[1:]
+    return p
+
+
+def _commit_versions(path: str) -> list[int]:
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        raise DeltaSourceError(f"not a Delta table (no log): {path}")
+    return sorted(int(n[:20]) for n in os.listdir(d)
+                  if n.endswith(".json") and n[:20].isdigit())
+
+
+def _commit_actions(path: str, version: int) -> list[dict]:
+    p = os.path.join(_log_dir(path), f"{version:020d}.json")
+    with open(p) as f:
+        return [json.loads(line) for line in f
+                if line.strip()]
+
+
+def _resolve_meta(path: str) -> dict:
+    """Last metaData action — newest JSON commit that carries one,
+    else the newest checkpoint's metaData rows (pyarrow)."""
+    versions = _commit_versions(path)
+    for v in reversed(versions):
+        for a in _commit_actions(path, v):
+            if "metaData" in a:
+                return a["metaData"]
+    d = _log_dir(path)
+    cps = sorted(n for n in os.listdir(d)
+                 if ".checkpoint." in n and n.endswith(".parquet"))
+    if cps:
+        import pyarrow.parquet as pq
+        t = pq.read_table(os.path.join(d, cps[-1]),
+                          columns=["metaData"])
+        for row in t.to_pylist():
+            m = row.get("metaData")
+            if m and m.get("id"):
+                return m
+    raise DeltaSourceError(f"no metaData action found: {path}")
+
+
+def _schema_of(meta: dict) -> T.StructType:
+    conf = meta.get("configuration") or {}
+    if (conf.get("delta.columnMapping.mode") or "none") \
+            not in ("none", ""):
+        raise DeltaSourceError(
+            "delta_jarless does not support column-mapping tables — "
+            "use wrangle_pypes_spark.sources.read_delta")
+    return T.StructType.fromJson(json.loads(meta["schemaString"]))
+
+
+def _pv_to_python(value: Optional[str], dtype: T.DataType):
+    """A log partitionValue string as the python value pyarrow needs
+    for a typed constant column."""
+    import datetime as _dt
+    if value is None or value == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if isinstance(dtype, (T.IntegerType, T.LongType, T.ShortType,
+                          T.ByteType)):
+        return int(value)
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return float(value)
+    if isinstance(dtype, T.BooleanType):
+        return value == "true"
+    if isinstance(dtype, T.DateType):
+        return _dt.date.fromisoformat(value[:10])
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return _dt.datetime.fromisoformat(value)
+    return value
+
+
+def _read_add_rows(table_root: str, payload: dict,
+                   schema: T.StructType) -> Iterator[tuple]:
+    """Worker-side read of ONE add file: pyarrow parquet scan, DV
+    position mask, typed partition constants, schema-ordered
+    tuples."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    fpath = os.path.join(table_root, payload["path"])
+    tbl = pq.read_table(fpath)
+    n = tbl.num_rows
+    if payload.get("dv"):
+        from . import dv as _dv
+        positions = _dv.decode_descriptor(payload["dv"], table_root)
+        mask = np.ones(n, dtype=bool)
+        mask[positions[positions < n]] = False
+        tbl = tbl.filter(mask)
+    cols = {}
+    pv = payload.get("pv") or {}
+    for f in schema.fields:
+        if f.name in tbl.column_names:
+            cols[f.name] = tbl.column(f.name).to_pylist()
+        else:
+            cols[f.name] = [
+                _pv_to_python(pv.get(f.name), f.dataType)
+            ] * tbl.num_rows
+    names = [f.name for f in schema.fields]
+    for i in range(tbl.num_rows):
+        yield tuple(cols[c][i] for c in names)
+
+
+def _dv_payload(a: dict) -> Optional[dict]:
+    dvd = a.get("deletionVector")
+    if not dvd:
+        return None
+    return {"storageType": dvd.get("storageType"),
+            "pathOrInlineDv": dvd.get("pathOrInlineDv"),
+            "offset": dvd.get("offset"),
+            "sizeInBytes": dvd.get("sizeInBytes"),
+            "cardinality": dvd.get("cardinality")}
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, path: str, schema: T.StructType):
+        self._root = _table_root(path)
+        self._schema = schema
+        # resolve the live file set by replaying JSON commits (plus
+        # checkpoint adds) driver-side — pure file I/O, no session
+        files: dict[str, dict] = {}
+        d = _log_dir(self._root)
+        cps = sorted(n for n in os.listdir(d)
+                     if ".checkpoint." in n and n.endswith(".parquet"))
+        start = 0
+        if cps:
+            import pyarrow.parquet as pq
+            cpv = int(cps[-1][:20])
+            t = pq.read_table(os.path.join(d, cps[-1]),
+                              columns=["add"])
+            for row in t.to_pylist():
+                a = row.get("add")
+                if a and a.get("path"):
+                    files[a["path"]] = a
+            start = cpv + 1
+        for v in _commit_versions(self._root):
+            if v < start:
+                continue
+            for action in _commit_actions(self._root, v):
+                if "add" in action:
+                    files[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    files.pop(action["remove"]["path"], None)
+        self._files = list(files.values())
+
+    def partitions(self):
+        return [InputPartition({
+            "path": a["path"],
+            "pv": dict(a.get("partitionValues") or {}),
+            "dv": _dv_payload(a)}) for a in self._files]
+
+    def read(self, partition) -> Iterator[tuple]:
+        yield from _read_add_rows(self._root, partition.value,
+                                  self._schema)
+
+
+def _opt(options: dict, name: str):
+    """Spark stores data source options with case-insensitive
+    (lowercased) keys — accept either spelling."""
+    if name in options:
+        return options[name]
+    return options.get(name.lower())
+
+
+class _StreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, schema: T.StructType,
+                 options: dict):
+        self._root = _table_root(path)
+        self._schema = schema
+        self._ignore_changes = str(
+            _opt(options, "ignoreChanges") or "false").lower() \
+            == "true"
+        sv = _opt(options, "startingVersion")
+        self._starting = int(sv) if sv is not None else None
+
+    def initialOffset(self) -> dict:
+        if self._starting is not None:
+            return {"version": self._starting - 1}
+        # default: start from the current head (new data only), the
+        # delta-spark streaming default
+        versions = _commit_versions(self._root)
+        return {"version": versions[-1] if versions else -1}
+
+    def latestOffset(self) -> dict:
+        versions = _commit_versions(self._root)
+        return {"version": versions[-1] if versions else -1}
+
+    def partitions(self, start: dict, end: dict):
+        out = []
+        for v in _commit_versions(self._root):
+            if not (int(start["version"]) < v <= int(end["version"])):
+                continue
+            actions = _commit_actions(self._root, v)
+            removes = {a["remove"]["path"] for a in actions
+                       if "remove" in a
+                       and a["remove"].get("dataChange", True)}
+            for a in actions:
+                if "add" not in a \
+                        or not a["add"].get("dataChange", True):
+                    continue
+                add = a["add"]
+                is_dv_rewrite = (add.get("deletionVector")
+                                 and add["path"] in removes)
+                if removes and not self._ignore_changes:
+                    raise DeltaSourceError(
+                        f"commit {v} contains non-append changes; "
+                        "set ignoreChanges=true to skip them "
+                        "(delta streaming-source semantics)")
+                if is_dv_rewrite:
+                    continue  # rows already emitted by the first add
+                out.append(InputPartition({
+                    "path": add["path"],
+                    "pv": dict(add.get("partitionValues") or {}),
+                    "dv": _dv_payload(add)}))
+            if removes and not self._ignore_changes:
+                raise DeltaSourceError(
+                    f"commit {v} contains non-append changes; set "
+                    "ignoreChanges=true to skip them")
+        return out
+
+    def read(self, partition) -> Iterator[tuple]:
+        yield from _read_add_rows(self._root, partition.value,
+                                  self._schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # the checkpoint holds the offset; nothing to clean
+
+
+class DeltaJarlessDataSource(DataSource):
+    """The registrable format class (see module docstring)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_jarless"
+
+    def _path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise DeltaSourceError(
+                "delta_jarless requires a path: .load('/table')")
+        return p
+
+    def schema(self):
+        return _schema_of(_resolve_meta(self._path()))
+
+    def reader(self, schema) -> DataSourceReader:
+        return _BatchReader(self._path(), schema)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _StreamReader(self._path(), schema, dict(self.options))
