@@ -6791,6 +6791,53 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_stream_iceberg_source_orders(spark, sf_dir):
+    """Iceberg as a STRUCTURED STREAMING SOURCE (sources/datasource.py
+    ``iceberg_jarless``, Spark 4 Python Data Source API): offsets are
+    the table's monotonic snapshot SEQUENCE NUMBERS — each
+    micro-batch emits exactly the data files ADDED by the snapshots
+    in ``(start, end]`` (manifest-list entries keyed by
+    added_snapshot_id, decoded by the pure-Python Avro codec).  Three
+    append snapshots drain through ``readStream`` with availableNow
+    into parquet; the oracle recomputes the aggregate from raw
+    orders, so a dropped or double-read snapshot breaks the hash."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.datasource import (
+        IcebergJarlessDataSource,
+    )
+    from wrangle_pypes_spark.sources.iceberg import write_iceberg
+
+    try:
+        spark.dataSource.register(IcebergJarlessDataSource)
+    except Exception:
+        pass  # already registered in this session
+    base = tempfile.mkdtemp(prefix="wps_ice_src_")
+    tbl = base + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    write_iceberg(o.filter("o_orderkey % 3 = 0"), tbl)
+    write_iceberg(o.filter("o_orderkey % 3 = 1"), tbl)
+    write_iceberg(o.filter("o_orderkey % 3 = 2"), tbl)
+    out = base + "/out"
+    q = (spark.readStream.format("iceberg_jarless")
+         .option("fromStart", "true").load(tbl)
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", base + "/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    drained = spark.read.parquet(out)
+    return (drained.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum("o_orderkey").alias("sum_keys"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents")))
+
+
+SQL_STREAM_ICEBERG_SOURCE = SQL_STREAM_DELTA_SOURCE
+
+
 def q_delta_cdf_orders(spark, sf_dir):
     """Delta Change Data Feed read (sources/delta.py ``delta_changes``
     — the ``table_changes`` surface, r12): create → append →
@@ -9217,6 +9264,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_column_mapping_orders": q_delta_column_mapping_orders,  # NEW r12: name-mode column mapping read, value-oracled
     "delta_cdf_orders": q_delta_cdf_orders,  # NEW r12: table_changes feed incl. DV-diff deletes, value-oracled
     "stream_delta_source_orders": q_stream_delta_source_orders,  # NEW r12: Delta as a streaming SOURCE (Python Data Source API), value-oracled
+    "stream_iceberg_source_orders": q_stream_iceberg_source_orders,  # NEW r12: Iceberg as a streaming SOURCE by snapshot sequence, value-oracled
     "stream_delta_ingest_orders": q_stream_delta_ingest,  # NEW r11, registered post-window: never driver-checked
     "gif_frame_stats_docs": q_gif_frame_stats,  # NEW r11, registered post-window: never driver-checked
     "iceberg_eq_delete_orders": q_iceberg_eq_delete_orders,  # NEW r11, registered post-window: never driver-checked
@@ -9259,9 +9307,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udtf_chunk_text": q_udtf_chunk_text,  # last driver check: r7
     "tfidf_top_terms": q_tfidf_top_terms,  # last driver check: r7
     "wrangle_foreach_custom": q_wrangle_foreach_custom,  # last driver check: r7
-    "bloom_dedup_docs": q_bloom_dedup_docs,  # last driver check: r8 (window pad)
     "stream_bloom_dedup_docs": q_stream_bloom_dedup_docs,  # last driver check: r8 (window pad)
     # ---- below the 50-slot driver window from here down ----
+    "bloom_dedup_docs": q_bloom_dedup_docs,  # r8 green; displaced for the r12 iceberg-source query
     "manifest_time_travel_orders": q_manifest_time_travel_orders,  # r8 green; displaced for the r12 streaming-source query
     "manifest_lookup_orders": q_manifest_lookup_orders,  # r8 green; displaced for the r12 CDF query
     "semantic_decontam_emb": q_semantic_decontam_emb,  # r8 green; displaced for the r12 column-mapping query
@@ -9647,6 +9695,7 @@ _ORACLES: dict[str, str] = {
     "delta_column_mapping_orders": SQL_DELTA_COLUMN_MAPPING,
     "delta_cdf_orders": SQL_DELTA_CDF,
     "stream_delta_source_orders": SQL_STREAM_DELTA_SOURCE,
+    "stream_iceberg_source_orders": SQL_STREAM_ICEBERG_SOURCE,
     "stream_delta_ingest_orders": SQL_STREAM_DELTA,
     "gif_frame_stats_docs": SQL_GIF_FRAMES,
     "iceberg_eq_delete_orders": SQL_ICEBERG_EQ_DELETE,

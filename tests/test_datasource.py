@@ -123,3 +123,71 @@ class TestStream:
         assert sorted(r["k"] for r in
                       spark.read.parquet(out).collect()) \
             == list(range(20))
+
+
+class TestIcebergJarless:
+    @pytest.fixture
+    def ice_registered(self, spark):
+        from wrangle_pypes_spark.sources.datasource import (
+            IcebergJarlessDataSource,
+        )
+        spark.dataSource.register(IcebergJarlessDataSource)
+        return spark
+
+    def test_batch_parity(self, ice_registered, tbl):
+        from wrangle_pypes_spark.sources.iceberg import (
+            read_iceberg,
+            write_iceberg,
+        )
+        spark = ice_registered
+        df = spark.range(0, 40).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("string").alias("p"))
+        write_iceberg(df, tbl, partition_by=["p"])
+        write_iceberg(df.filter("k < 6"), tbl)
+        got = spark.read.format("iceberg_jarless").load(tbl)
+        assert sorted(map(tuple, got.collect())) \
+            == sorted(map(tuple, read_iceberg(spark, tbl).collect()))
+
+    def test_merge_on_read_gates(self, ice_registered, tbl):
+        from wrangle_pypes_spark.sources.iceberg import (
+            write_iceberg,
+            write_iceberg_deletes,
+        )
+        spark = ice_registered
+        df = spark.range(0, 10).select(F.col("id").alias("k"))
+        write_iceberg(df, tbl)
+        write_iceberg_deletes(
+            spark.createDataFrame([(1,)], "k long"), tbl,
+            equality_cols=["k"])
+        with pytest.raises(Exception, match="read_iceberg"):
+            spark.read.format("iceberg_jarless").load(tbl).collect()
+
+    def test_streaming_by_snapshot(self, ice_registered, tbl,
+                                   tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import write_iceberg
+        spark = ice_registered
+        df = spark.range(0, 10).select(F.col("id").alias("k"))
+        write_iceberg(df, tbl)
+        write_iceberg(df.select((F.col("k") + 10).alias("k")), tbl)
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+
+        def drain():
+            q = (spark.readStream.format("iceberg_jarless")
+                 .option("fromStart", "true").load(tbl)
+                 .writeStream.format("parquet")
+                 .option("path", out)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(180)
+
+        drain()
+        assert sorted(r["k"] for r in
+                      spark.read.parquet(out).collect()) \
+            == list(range(20))
+        write_iceberg(df.select((F.col("k") + 20).alias("k")), tbl)
+        drain()
+        assert sorted(r["k"] for r in
+                      spark.read.parquet(out).collect()) \
+            == list(range(30))

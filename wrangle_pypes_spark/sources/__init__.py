@@ -9,7 +9,8 @@ payload parsing for dynamic columns).
 
 from .acid import (acid_commit, acid_current, acid_read, acid_vacuum)
 from .avro_table import read_avro, write_avro
-from .datasource import DeltaJarlessDataSource
+from .datasource import (DeltaJarlessDataSource,
+                         IcebergJarlessDataSource)
 from .catalog import describe_store, store_kind
 from .delta import (delta_changes, delta_checkpoint,
                     delta_delete_where,
@@ -42,7 +43,7 @@ from .tables import (TABLES, ensure_session_confs, infer_json_schema,
                      load_star_schema, load_table, parse_json_col,
                      read_binary_files, read_csv, read_jsonl, read_text)
 
-__all__ = ("DeltaJarlessDataSource",
+__all__ = ("DeltaJarlessDataSource", "IcebergJarlessDataSource",
            "TABLES", "acid_commit", "acid_current", "acid_read",
            "acid_vacuum", "delta_changes", "delta_checkpoint",
            "delta_delete_where",

@@ -317,3 +317,243 @@ class DeltaJarlessDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _StreamReader(self._path(), schema, dict(self.options))
+
+
+# ---------------------------------------------------------------------------
+# iceberg_jarless — the Iceberg twin (batch + streaming by snapshot)
+# ---------------------------------------------------------------------------
+
+def _ice_meta(path: str) -> dict:
+    root = _table_root(path)
+    mdir = os.path.join(root, "metadata")
+    if not os.path.isdir(mdir):
+        raise DeltaSourceError(f"not an Iceberg table: {path}")
+    hint = os.path.join(mdir, "version-hint.text")
+    name = None
+    if os.path.exists(hint):
+        with open(hint) as f:
+            cand = f"v{f.read().strip()}.metadata.json"
+        if os.path.exists(os.path.join(mdir, cand)):
+            name = cand
+    if name is None:
+        import re as _re
+        best, best_v = None, -1
+        for n in os.listdir(mdir):
+            if not n.endswith(".metadata.json"):
+                continue
+            m = _re.match(r"^v?(\d+)", n)
+            v = int(m.group(1)) if m else 0
+            if v > best_v:
+                best, best_v = n, v
+        name = best
+    if name is None:
+        raise DeltaSourceError(f"no metadata json under {path}")
+    with open(os.path.join(mdir, name)) as f:
+        return json.load(f)
+
+
+def _ice_added_partitions(root: str, meta: dict,
+                          snap_ids: list[int],
+                          ignore_changes: bool) -> list:
+    """InputPartitions for the data files ADDED by the given
+    snapshots (manifest-list entries keyed by added_snapshot_id,
+    entry status == 1), driver-side via the pure-Python Avro codec."""
+    from .avro_io import read_container_file
+    from .iceberg import _normalize_path, _schema_from_metadata
+    _, by_id = _schema_from_metadata(meta)
+    specs = {s["spec-id"]: s["fields"]
+             for s in meta.get("partition-specs", [])}
+    snaps = {int(s["snapshot-id"]): s
+             for s in meta.get("snapshots", [])}
+    out = []
+    for sid in snap_ids:
+        snap = snaps[sid]
+        ml_path = _normalize_path(snap["manifest-list"], root)
+        _, ml_entries = read_container_file(ml_path)
+        for ent in ml_entries:
+            if int(ent.get("added_snapshot_id") or -1) != sid:
+                continue
+            if int(ent.get("content") or 0) != 0:
+                if ignore_changes:
+                    continue
+                raise DeltaSourceError(
+                    f"snapshot {sid} adds DELETE files; "
+                    "iceberg_jarless streams appends only — set "
+                    "ignoreChanges=true to skip, or use read_iceberg")
+            m_path = _normalize_path(ent["manifest_path"], root)
+            _, entries = read_container_file(m_path)
+            spec = specs.get(
+                int(ent.get("partition_spec_id") or 0), [])
+            ident = {f["name"] for f in spec
+                     if f.get("transform", "identity") == "identity"}
+            for e in entries:
+                if int(e.get("status") or 0) != 1:  # ADDED only
+                    continue
+                df_rec = e["data_file"]
+                if int(df_rec.get("content") or 0) != 0:
+                    if ignore_changes:
+                        continue
+                    raise DeltaSourceError(
+                        f"snapshot {sid} contains delete files; set "
+                        "ignoreChanges=true or use read_iceberg")
+                pv = {k: v
+                      for k, v in (df_rec.get("partition")
+                                   or {}).items()
+                      if k in ident}
+                out.append(InputPartition({
+                    "abs_path": _normalize_path(
+                        df_rec["file_path"], root),
+                    "pv": pv}))
+    return out
+
+
+def _ice_read_rows(payload: dict,
+                   schema: T.StructType) -> Iterator[tuple]:
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(payload["abs_path"])
+    pv = payload.get("pv") or {}
+    cols = {}
+    for f in schema.fields:
+        if f.name in tbl.column_names:
+            cols[f.name] = tbl.column(f.name).to_pylist()
+        else:
+            v = pv.get(f.name)
+            if isinstance(v, str) and v != "":
+                v = _pv_to_python(v, f.dataType)
+            cols[f.name] = [v] * tbl.num_rows
+    names = [f.name for f in schema.fields]
+    for i in range(tbl.num_rows):
+        yield tuple(cols[c][i] for c in names)
+
+
+class _IceBatchReader(DataSourceReader):
+    def __init__(self, path: str, schema: T.StructType):
+        self._root = _table_root(path)
+        self._schema = schema
+        meta = _ice_meta(path)
+        cur = meta.get("current-snapshot-id")
+        if cur is None or int(cur) == -1:
+            self._parts = []
+            return
+        snaps = {int(s["snapshot-id"]): s
+                 for s in meta.get("snapshots", [])}
+        # live file set = every manifest of the CURRENT snapshot's
+        # manifest list, existing+added entries; delete files gate
+        from .avro_io import read_container_file
+        from .iceberg import _normalize_path, _schema_from_metadata
+        specs = {s["spec-id"]: s["fields"]
+                 for s in meta.get("partition-specs", [])}
+        snap = snaps[int(cur)]
+        _, ml_entries = read_container_file(
+            _normalize_path(snap["manifest-list"], self._root))
+        parts = []
+        for ent in ml_entries:
+            if int(ent.get("content") or 0) != 0:
+                raise DeltaSourceError(
+                    "iceberg_jarless batch does not support "
+                    "merge-on-read delete files — use read_iceberg")
+            _, entries = read_container_file(_normalize_path(
+                ent["manifest_path"], self._root))
+            spec = specs.get(
+                int(ent.get("partition_spec_id") or 0), [])
+            ident = {f["name"] for f in spec
+                     if f.get("transform", "identity") == "identity"}
+            for e in entries:
+                if int(e.get("status") or 0) == 2:  # DELETED
+                    continue
+                df_rec = e["data_file"]
+                if int(df_rec.get("content") or 0) != 0:
+                    raise DeltaSourceError(
+                        "iceberg_jarless batch does not support "
+                        "delete files — use read_iceberg")
+                pv = {k: v for k, v in (df_rec.get("partition")
+                                        or {}).items() if k in ident}
+                parts.append(InputPartition({
+                    "abs_path": _normalize_path(df_rec["file_path"],
+                                                self._root),
+                    "pv": pv}))
+        self._parts = parts
+
+    def partitions(self):
+        return self._parts
+
+    def read(self, partition) -> Iterator[tuple]:
+        yield from _ice_read_rows(partition.value, self._schema)
+
+
+class _IceStreamReader(DataSourceStreamReader):
+    """Offsets are the table's monotonic SEQUENCE NUMBERS: an offset
+    ``{"seq": N}`` means every snapshot with sequence-number ≤ N is
+    consumed; each micro-batch emits the data files ADDED by the
+    snapshots in ``(start, end]``."""
+
+    def __init__(self, path: str, schema: T.StructType,
+                 options: dict):
+        self._path = path
+        self._root = _table_root(path)
+        self._schema = schema
+        self._ignore_changes = str(
+            _opt(options, "ignoreChanges") or "false").lower() \
+            == "true"
+        from_start = str(
+            _opt(options, "fromStart") or "false").lower() == "true"
+        self._initial_seq = -1 if from_start else None
+
+    def initialOffset(self) -> dict:
+        if self._initial_seq is not None:
+            return {"seq": self._initial_seq}
+        return self.latestOffset()
+
+    def latestOffset(self) -> dict:
+        meta = _ice_meta(self._path)
+        seqs = [int(s.get("sequence-number") or 0)
+                for s in meta.get("snapshots", [])]
+        return {"seq": max(seqs) if seqs else -1}
+
+    def partitions(self, start: dict, end: dict):
+        meta = _ice_meta(self._path)
+        sids = [int(s["snapshot-id"])
+                for s in sorted(meta.get("snapshots", []),
+                                key=lambda s: int(
+                                    s.get("sequence-number") or 0))
+                if int(start["seq"])
+                < int(s.get("sequence-number") or 0)
+                <= int(end["seq"])]
+        return _ice_added_partitions(self._root, meta, sids,
+                                     self._ignore_changes)
+
+    def read(self, partition) -> Iterator[tuple]:
+        yield from _ice_read_rows(partition.value, self._schema)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class IcebergJarlessDataSource(DataSource):
+    """``iceberg_jarless`` — the registrable Iceberg format: batch
+    scans of append-only tables and a streaming source whose offset
+    log is the snapshot sequence (see ``_IceStreamReader``).
+    Merge-on-read tables belong to ``read_iceberg``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_jarless"
+
+    def _path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise DeltaSourceError(
+                "iceberg_jarless requires a path: .load('/table')")
+        return p
+
+    def schema(self):
+        from .iceberg import _schema_from_metadata
+        s, _ = _schema_from_metadata(_ice_meta(self._path()))
+        return s
+
+    def reader(self, schema) -> DataSourceReader:
+        return _IceBatchReader(self._path(), schema)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _IceStreamReader(self._path(), schema,
+                                dict(self.options))
