@@ -900,3 +900,53 @@ class TestChangeDataFeed:
             read_delta(spark, tbl, timestamp=mid - 3600)
         with pytest.raises(ValueError, match="mutually exclusive"):
             read_delta(spark, tbl, version=0, timestamp=mid)
+
+
+class TestCheckpointPartsAndLogCleanup:
+    def test_multipart_checkpoint_roundtrip(self, spark, tbl):
+        df = spark.range(0, 40).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("string").alias("p"))
+        write_delta(df, tbl, partition_by=["p"])
+        write_delta(df.filter("k < 8"), tbl)
+        assert delta_checkpoint(spark, tbl, parts=3) == 1
+        names = os.listdir(os.path.join(tbl, "_delta_log"))
+        multi = [n for n in names if ".checkpoint." in n
+                 and n.count(".") == 4]
+        assert len(multi) >= 2
+        # replay through the multipart checkpoint (hint path)
+        for v in (0, 1):
+            os.remove(os.path.join(tbl, "_delta_log",
+                                   f"{v:020d}.json"))
+        assert read_delta(spark, tbl).count() == 48
+        # listing fallback: stale/absent hint must still find parts
+        os.remove(os.path.join(tbl, "_delta_log",
+                               "_last_checkpoint"))
+        assert read_delta(spark, tbl).count() == 48
+
+    def test_log_cleanup_respects_checkpoint_and_retention(
+            self, spark, tbl):
+        from wrangle_pypes_spark.sources.delta import (
+            delta_log_cleanup,
+        )
+        df = spark.range(0, 10).select(F.col("id").alias("k"))
+        write_delta(df, tbl)          # v0
+        write_delta(df, tbl)          # v1
+        delta_checkpoint(spark, tbl)  # cp @ v1
+        write_delta(df, tbl)          # v2
+        # young files are protected by the default retention
+        assert delta_log_cleanup(spark, tbl) == 0
+        deleted = delta_log_cleanup(spark, tbl, retention_seconds=0)
+        assert deleted == 2  # commits 0 and 1; cp + commit 2 kept
+        snap = delta_snapshot(spark, tbl)
+        assert snap.version == 2
+        assert read_delta(spark, tbl).count() == 30
+        # expired versions are gone loudly
+        with pytest.raises(ValueError):
+            delta_snapshot(spark, tbl, version=0)
+        # without any checkpoint nothing is ever redundant
+        import shutil as _sh
+        tbl2 = tbl + "_2"
+        write_delta(df, tbl2)
+        assert delta_log_cleanup(spark, tbl2,
+                                 retention_seconds=0) == 0

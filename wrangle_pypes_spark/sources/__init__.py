@@ -14,7 +14,8 @@ from .datasource import (DeltaJarlessDataSource,
 from .catalog import describe_store, store_kind
 from .delta import (delta_changes, delta_checkpoint,
                     delta_delete_where,
-                    delta_history, delta_snapshot,
+                    delta_history, delta_log_cleanup,
+                    delta_snapshot,
                     delta_vacuum, read_delta, write_delta)
 from .iceberg import (iceberg_snapshot, read_iceberg,
                       write_iceberg, write_iceberg_deletes)
@@ -46,7 +47,7 @@ from .tables import (TABLES, ensure_session_confs, infer_json_schema,
 __all__ = ("DeltaJarlessDataSource", "IcebergJarlessDataSource",
            "TABLES", "acid_commit", "acid_current", "acid_read",
            "acid_vacuum", "delta_changes", "delta_checkpoint",
-           "delta_delete_where",
+           "delta_delete_where", "delta_log_cleanup",
            "delta_history",
            "delta_snapshot", "delta_vacuum", "describe_store",
            "iceberg_snapshot", "read_avro", "read_delta",

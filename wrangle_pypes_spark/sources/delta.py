@@ -1233,7 +1233,8 @@ def _null_action(name: str):
         .alias(name)
 
 
-def delta_checkpoint(spark: SparkSession, table: str) -> int:
+def delta_checkpoint(spark: SparkSession, table: str, *,
+                     parts: Optional[int] = None) -> int:
     """Write a spec-shaped parquet checkpoint of the CURRENT version
     and publish ``_last_checkpoint``.  Readers then replay only later
     JSON commits — log replay cost stays O(commits since checkpoint).
@@ -1243,7 +1244,14 @@ def delta_checkpoint(spark: SparkSession, table: str) -> int:
     name/createdTime, add incl. modificationTime + deletionVector,
     remove tombstones, txn) and is produced from the snapshot's
     file-state PLAN — no driver-side row list, so checkpointing a
-    many-million-file table is executor work."""
+    many-million-file table is executor work.
+
+    ``parts`` writes a spec-shaped MULTI-PART checkpoint
+    (``NNN.checkpoint.<i>.<n>.parquet``) so one checkpoint file never
+    has to hold every action of a huge table; the actual part count
+    (empty shuffle partitions produce no file) is what the names and
+    ``_last_checkpoint`` record, and both reader paths (hint +
+    listing scan) already resolve it."""
     snap = delta_snapshot(spark, table)
     proto = snap.protocol or {}
     meta = snap.metadata
@@ -1286,20 +1294,83 @@ def delta_checkpoint(spark: SparkSession, table: str) -> int:
 
     cp_tmp = os.path.join(table, _LOG_DIR,
                           f"_cp_tmp_{uuid.uuid4().hex}")
-    cp_df.coalesce(1).write.mode("overwrite").parquet(cp_tmp)
-    part = next(n for n in fsutil.list_dir(cp_tmp, spark)
-                if n.endswith(".parquet"))
-    fsutil.rename(os.path.join(cp_tmp, part),
-                  _log_path(table, _checkpoint_name(snap.version)),
-                  spark)
+    writer = (cp_df.repartition(int(parts)) if parts and parts > 1
+              else cp_df.coalesce(1))
+    writer.write.mode("overwrite").parquet(cp_tmp)
+    produced = sorted(n for n in fsutil.list_dir(cp_tmp, spark)
+                      if n.endswith(".parquet"))
+    hint: dict = {"version": snap.version}
+    if parts and parts > 1 and len(produced) > 1:
+        n = len(produced)
+        for i, name in enumerate(produced, start=1):
+            fsutil.rename(
+                os.path.join(cp_tmp, name),
+                _log_path(table,
+                          f"{snap.version:020d}.checkpoint."
+                          f"{i:010d}.{n:010d}.parquet"),
+                spark)
+        hint["parts"] = n
+    else:
+        fsutil.rename(os.path.join(cp_tmp, produced[0]),
+                      _log_path(table,
+                                _checkpoint_name(snap.version)),
+                      spark)
     fsutil.delete(cp_tmp, spark=spark)
     n_actions = (len(static_rows) + snap.files_df.count()
                  + snap.tombstones_df.count())
+    hint["size"] = int(n_actions)
     fsutil.write_text_atomic(
-        _log_path(table, _LAST_CHECKPOINT),
-        json.dumps({"version": snap.version, "size": int(n_actions)}),
-        spark)
+        _log_path(table, _LAST_CHECKPOINT), json.dumps(hint), spark)
     return snap.version
+
+
+def delta_log_cleanup(spark: SparkSession, table: str, *,
+                      retention_seconds: float = 30 * 24 * 3600.0
+                      ) -> int:
+    """Expire log entries the newest checkpoint makes redundant —
+    JSON commits at or below it and OLDER checkpoints — when their
+    modification time has aged past ``retention_seconds`` (default 30
+    days, Delta's ``logRetentionDuration``).  Returns the number of
+    files deleted.  Time travel to expired versions stops working
+    (exactly the documented Delta behavior); the current snapshot and
+    everything after the checkpoint are untouched."""
+    log_names = fsutil.list_dir(os.path.join(table, _LOG_DIR), spark)
+    cp_best = -1
+    for n in log_names:
+        if ".checkpoint." in n and n.endswith(".parquet") \
+                and n[:20].isdigit():
+            cp_best = max(cp_best, int(n[:20]))
+    if cp_best < 0:
+        return 0  # nothing is redundant without a checkpoint
+    cutoff = time.time() - max(0.0, retention_seconds)
+    deleted = 0
+    for n in log_names:
+        expired = False
+        if n.endswith(".json") and n[:20].isdigit() \
+                and int(n[:20]) <= cp_best:
+            expired = True
+        elif ".checkpoint." in n and n.endswith(".parquet") \
+                and n[:20].isdigit() and int(n[:20]) < cp_best:
+            expired = True
+        if not expired:
+            continue
+        p = _log_path(table, n)
+        if retention_seconds > 0:
+            try:
+                if fsutil.is_local(p):
+                    mtime = os.path.getmtime(
+                        fsutil._strip_file_scheme(p))
+                else:
+                    fs, jpath, _ = fsutil._hadoop(spark, p)
+                    mtime = fs.getFileStatus(jpath) \
+                        .getModificationTime() / 1000.0
+            except OSError:
+                continue
+            if mtime >= cutoff:
+                continue
+        fsutil.delete(p, spark=spark)
+        deleted += 1
+    return deleted
 
 
 def _resolve_timestamp_version(spark: SparkSession, table: str,
