@@ -412,24 +412,33 @@ def _load_checkpoint(spark: SparkSession, table: str,
     state = {"meta": None, "proto": None, "txns": {},
              "tail_adds": {}, "tail_removes": {}}
     cols = {f.name: f for f in cp.schema.fields}
-    if "protocol" in cols:
-        for r in cp.filter(
-                F.col("protocol.minReaderVersion").isNotNull()) \
-                .select("protocol.*").collect():
-            d = {k: v for k, v in r.asDict(True).items()
-                 if v is not None}
-            if d:
-                state["proto"] = d
-    if "metaData" in cols:
-        for r in cp.filter(F.col("metaData.id").isNotNull()) \
-                   .select("metaData.*").collect():
-            state["meta"] = r.asDict(True)
-    if "txn" in cols:
-        for r in cp.filter(F.col("txn.appId").isNotNull()) \
-                   .select("txn.appId", "txn.version").collect():
-            state["txns"][r["appId"]] = max(
-                int(r["version"]),
-                int(state["txns"].get(r["appId"], -1)))
+    # ONE collect for all singleton actions (protocol/metaData/txn):
+    # they live on rows whose add/remove is null, so the predicate
+    # prunes the O(files) bulk before anything reaches the driver
+    singleton_cols = [c for c in ("protocol", "metaData", "txn")
+                      if c in cols]
+    if singleton_cols:
+        cond = None
+        for c, probe in (("protocol", "protocol.minReaderVersion"),
+                         ("metaData", "metaData.id"),
+                         ("txn", "txn.appId")):
+            if c in cols:
+                p = F.col(probe).isNotNull()
+                cond = p if cond is None else (cond | p)
+        for r in cp.filter(cond).select(*singleton_cols).collect():
+            d = r.asDict(True)
+            proto = d.get("protocol")
+            if proto and proto.get("minReaderVersion") is not None:
+                state["proto"] = {k: v for k, v in proto.items()
+                                  if v is not None}
+            meta = d.get("metaData")
+            if meta and meta.get("id"):
+                state["meta"] = meta
+            txn = d.get("txn")
+            if txn and txn.get("appId") is not None:
+                state["txns"][txn["appId"]] = max(
+                    int(txn["version"]),
+                    int(state["txns"].get(txn["appId"], -1)))
 
     def _adds() -> DataFrame:
         if "add" not in cols:
@@ -1316,9 +1325,25 @@ def delta_checkpoint(spark: SparkSession, table: str, *,
                                 _checkpoint_name(snap.version)),
                       spark)
     fsutil.delete(cp_tmp, spark=spark)
-    n_actions = (len(static_rows) + snap.files_df.count()
-                 + snap.tombstones_df.count())
-    hint["size"] = int(n_actions)
+    # action count from the WRITTEN files' parquet footers — no extra
+    # Spark jobs re-running the file-state plan
+    if fsutil.is_local(table):
+        import pyarrow.parquet as pq
+        if "parts" in hint:
+            cp_paths = [
+                _log_path(table,
+                          f"{snap.version:020d}.checkpoint."
+                          f"{i:010d}.{hint['parts']:010d}.parquet")
+                for i in range(1, hint["parts"] + 1)]
+        else:
+            cp_paths = [_log_path(table,
+                                  _checkpoint_name(snap.version))]
+        hint["size"] = int(sum(
+            pq.ParquetFile(fsutil._strip_file_scheme(p))
+            .metadata.num_rows for p in cp_paths))
+    else:
+        hint["size"] = int(len(static_rows) + snap.files_df.count()
+                           + snap.tombstones_df.count())
     fsutil.write_text_atomic(
         _log_path(table, _LAST_CHECKPOINT), json.dumps(hint), spark)
     return snap.version
