@@ -6895,6 +6895,53 @@ FROM v2_del
 """
 
 
+def q_delta_restore_orders(spark, sf_dir):
+    """RESTORE TABLE AS OF VERSION (sources/delta.py
+    ``delta_restore``, r12): create → append → deletion-vector DELETE
+    → restore to the pre-delete version — one commit that rewrites
+    the live file set back (removes for post-target files, re-adds
+    for dropped ones, deletion-vector state included in the diff) —
+    then read and aggregate.  The oracle is the pre-delete state
+    recomputed from raw orders, so a restore that leaks the deletion
+    vector, loses the appended files, or misses a remove breaks the
+    value hash.  History stays travelable (also exercised: the
+    deleted state is still readable at its version)."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.delta import (
+        delta_delete_where,
+        delta_restore,
+        read_delta,
+        write_delta,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_delta_restore_") + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    write_delta(o, tbl, partition_by=["o_orderstatus"])
+    write_delta(o.filter("o_orderkey % 10 = 0"), tbl)
+    delta_delete_where(spark, tbl, "o_totalprice > 170000.0")
+    delta_restore(spark, tbl, version=1)
+    cur = read_delta(spark, tbl)
+    return (cur.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents")))
+
+
+SQL_DELTA_RESTORE = """
+WITH final AS (
+  SELECT o_orderstatus, o_totalprice FROM orders
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 10 = 0
+)
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM final GROUP BY o_orderstatus
+"""
+
+
 def q_delta_column_mapping_orders(spark, sf_dir):
     """Delta column mapping, name mode (sources/delta.py r12): builds
     a FOREIGN-shaped mapped table — data files carry physical column
@@ -9265,6 +9312,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_cdf_orders": q_delta_cdf_orders,  # NEW r12: table_changes feed incl. DV-diff deletes, value-oracled
     "stream_delta_source_orders": q_stream_delta_source_orders,  # NEW r12: Delta as a streaming SOURCE (Python Data Source API), value-oracled
     "stream_iceberg_source_orders": q_stream_iceberg_source_orders,  # NEW r12: Iceberg as a streaming SOURCE by snapshot sequence, value-oracled
+    "delta_restore_orders": q_delta_restore_orders,  # NEW r12: RESTORE AS OF VERSION undoing a DV delete, value-oracled
     "stream_delta_ingest_orders": q_stream_delta_ingest,  # NEW r11, registered post-window: never driver-checked
     "gif_frame_stats_docs": q_gif_frame_stats,  # NEW r11, registered post-window: never driver-checked
     "iceberg_eq_delete_orders": q_iceberg_eq_delete_orders,  # NEW r11, registered post-window: never driver-checked
@@ -9307,8 +9355,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udtf_chunk_text": q_udtf_chunk_text,  # last driver check: r7
     "tfidf_top_terms": q_tfidf_top_terms,  # last driver check: r7
     "wrangle_foreach_custom": q_wrangle_foreach_custom,  # last driver check: r7
-    "stream_bloom_dedup_docs": q_stream_bloom_dedup_docs,  # last driver check: r8 (window pad)
     # ---- below the 50-slot driver window from here down ----
+    "stream_bloom_dedup_docs": q_stream_bloom_dedup_docs,  # r8 green; displaced for the r12 restore query
     "bloom_dedup_docs": q_bloom_dedup_docs,  # r8 green; displaced for the r12 iceberg-source query
     "manifest_time_travel_orders": q_manifest_time_travel_orders,  # r8 green; displaced for the r12 streaming-source query
     "manifest_lookup_orders": q_manifest_lookup_orders,  # r8 green; displaced for the r12 CDF query
@@ -9696,6 +9744,7 @@ _ORACLES: dict[str, str] = {
     "delta_cdf_orders": SQL_DELTA_CDF,
     "stream_delta_source_orders": SQL_STREAM_DELTA_SOURCE,
     "stream_iceberg_source_orders": SQL_STREAM_ICEBERG_SOURCE,
+    "delta_restore_orders": SQL_DELTA_RESTORE,
     "stream_delta_ingest_orders": SQL_STREAM_DELTA,
     "gif_frame_stats_docs": SQL_GIF_FRAMES,
     "iceberg_eq_delete_orders": SQL_ICEBERG_EQ_DELETE,

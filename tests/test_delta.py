@@ -950,3 +950,41 @@ class TestCheckpointPartsAndLogCleanup:
         write_delta(df, tbl2)
         assert delta_log_cleanup(spark, tbl2,
                                  retention_seconds=0) == 0
+
+
+class TestRestore:
+    def test_restore_roundtrip(self, spark, tbl):
+        from wrangle_pypes_spark.sources.delta import (
+            delta_delete_where,
+            delta_restore,
+        )
+        df = spark.range(0, 30).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("p"))
+        write_delta(df, tbl, partition_by=["p"])              # v0
+        write_delta(df.filter("k < 5"), tbl)                  # v1
+        delta_delete_where(spark, tbl, "k % 2 = 0")           # v2
+        assert delta_restore(spark, tbl, version=1) == 3
+        got = sorted(r["k"] for r in read_delta(spark, tbl).collect())
+        assert got == sorted(list(range(30)) + list(range(5)))
+        # history intact: the pre-restore state is still travelable
+        assert read_delta(spark, tbl, version=2).count() \
+            == len([k for k in list(range(30)) + list(range(5))
+                    if k % 2 == 1])
+        # restoring to v0 drops the v1 extras again
+        assert delta_restore(spark, tbl, version=0) == 4
+        assert read_delta(spark, tbl).count() == 30
+        # no-op restore returns the current version without a commit
+        assert delta_restore(spark, tbl, version=4) == 4
+
+    def test_restore_to_vacuumed_version_is_loud(self, spark, tbl):
+        from wrangle_pypes_spark.sources.delta import (
+            delta_restore,
+            delta_vacuum,
+        )
+        df = spark.range(0, 10).select(F.col("id").alias("k"))
+        write_delta(df, tbl)                                  # v0
+        write_delta(df, tbl, mode="overwrite")                # v1
+        delta_vacuum(spark, tbl, retention_seconds=0)
+        with pytest.raises(ValueError, match="vacuumed"):
+            delta_restore(spark, tbl, version=0)

@@ -829,3 +829,53 @@ class TestTransforms:
         assert s["summary"]["added-records"] == "42"
         assert int(s["summary"]["added-data-files"]) >= 1
         assert meta["last-updated-ms"] == s["timestamp-ms"]
+
+    def test_rollback_and_expire(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_expire_snapshots,
+            iceberg_rollback,
+            iceberg_snapshot,
+            read_iceberg,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "t")
+        df = spark.range(0, 10).select(F.col("id").alias("k"))
+        s1 = write_iceberg(df, tbl)
+        s2 = write_iceberg(df.select((F.col("k") + 10).alias("k")),
+                           tbl)
+        s3 = write_iceberg(df.select((F.col("k") + 20).alias("k")),
+                           tbl)
+        # rollback: metadata-only, everything stays travelable
+        assert iceberg_rollback(spark, tbl, snapshot_id=s2) == s2
+        assert read_iceberg(spark, tbl).count() == 20
+        assert read_iceberg(spark, tbl,
+                            snapshot_id=s3).count() == 30
+        # roll forward again, then expire all but the current
+        iceberg_rollback(spark, tbl, snapshot_id=s3)
+        out = iceberg_expire_snapshots(spark, tbl, keep_last=1)
+        assert out["expired_snapshots"] == 2
+        # append-commit manifest lists reference earlier manifests,
+        # so every data file stays reachable from the kept snapshot
+        assert out["deleted_files"] == 0
+        assert read_iceberg(spark, tbl).count() == 30
+        with pytest.raises(ValueError):
+            read_iceberg(spark, tbl, snapshot_id=s1).collect()
+        # overwrite starts a fresh manifest list: expiring the old
+        # lineage now deletes genuinely unreachable manifests + files
+        write_iceberg(df, tbl, mode="overwrite")
+        out2 = iceberg_expire_snapshots(spark, tbl, keep_last=1)
+        assert out2["expired_snapshots"] == 1
+        assert out2["deleted_manifests"] >= 1
+        assert out2["deleted_files"] >= 1
+        assert read_iceberg(spark, tbl).count() == 10
+
+    def test_rollback_unknown_snapshot_is_loud(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_rollback,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "t")
+        write_iceberg(spark.range(3).select(F.col("id").alias("k")),
+                      tbl)
+        with pytest.raises(ValueError, match="not in table"):
+            iceberg_rollback(spark, tbl, snapshot_id=999)

@@ -15,9 +15,11 @@ from .catalog import describe_store, store_kind
 from .delta import (delta_changes, delta_checkpoint,
                     delta_delete_where,
                     delta_history, delta_log_cleanup,
-                    delta_snapshot,
+                    delta_restore, delta_snapshot,
                     delta_vacuum, read_delta, write_delta)
-from .iceberg import (iceberg_snapshot, read_iceberg,
+from .iceberg import (iceberg_expire_snapshots,
+                      iceberg_rollback,
+                      iceberg_snapshot, read_iceberg,
                       write_iceberg, write_iceberg_deletes)
 from .manifest import (manifest_changes, manifest_current,
                        manifest_merge, manifest_merge_into,
@@ -48,6 +50,8 @@ __all__ = ("DeltaJarlessDataSource", "IcebergJarlessDataSource",
            "TABLES", "acid_commit", "acid_current", "acid_read",
            "acid_vacuum", "delta_changes", "delta_checkpoint",
            "delta_delete_where", "delta_log_cleanup",
+           "delta_restore", "iceberg_expire_snapshots",
+           "iceberg_rollback",
            "delta_history",
            "delta_snapshot", "delta_vacuum", "describe_store",
            "iceberg_snapshot", "read_avro", "read_delta",

@@ -1621,6 +1621,75 @@ def delta_changes(spark: SparkSession, table: str, *,
     return out
 
 
+def delta_restore(spark: SparkSession, table: str, *,
+                  version: int) -> int:
+    """RESTORE TABLE AS OF VERSION: publish ONE commit that rewrites
+    the live file set back to ``version``'s — removes for files the
+    target doesn't have, adds for files it has that the current
+    snapshot lacks or carries with a different deletion-vector state.
+    History stays intact (the restore is itself a new version; time
+    travel still sees everything), mirroring Delta's RESTORE.
+
+    Data files the target references must still exist — vacuumed
+    targets fail loudly before anything publishes (the same guard
+    delta-spark applies).  Driver cost is O(changed files): only the
+    diff is collected and named in the commit."""
+    cur = delta_snapshot(spark, table)
+    target = int(version)
+    if target == cur.version:
+        return cur.version
+    tgt = delta_snapshot(spark, table, version=target)
+    cur_adds = {a["path"]: a for a in cur.pruned_adds()}
+    tgt_adds = {a["path"]: a for a in tgt.pruned_adds()}
+
+    def _dv_sig(a: dict):
+        dvd = a.get("deletionVector")
+        return (dvd or {}).get("pathOrInlineDv"), \
+            (dvd or {}).get("offset")
+
+    removes = [cur_adds[p] for p in cur_adds if p not in tgt_adds]
+    adds = [a for p, a in tgt_adds.items()
+            if p not in cur_adds
+            or _dv_sig(a) != _dv_sig(cur_adds[p])]
+    missing = []
+    for a in adds:
+        fp = os.path.join(table, a["path"])
+        if fsutil.is_local(fp) \
+                and not os.path.exists(fsutil._strip_file_scheme(fp)):
+            missing.append(a["path"])
+    if missing:
+        raise ValueError(
+            f"cannot restore to version {target}: {len(missing)} "
+            f"referenced data files were vacuumed (e.g. "
+            f"{missing[:3]})")
+    actions = [_remove_action(a) for a in removes]
+    for a in adds:
+        add = {"path": a["path"],
+               "partitionValues": a.get("partitionValuesPhysical")
+               or a.get("partitionValues") or {},
+               "size": int(a.get("size") or 0),
+               "modificationTime":
+                   int(a.get("modificationTime") or 0),
+               "dataChange": True}
+        if a.get("deletionVector"):
+            add["deletionVector"] = dict(a["deletionVector"])
+        actions.append({"add": add})
+    actions.append({"commitInfo": {
+        "operation": "RESTORE",
+        "operationParameters": {"version": str(target)},
+        "engineInfo": "wrangle_pypes_spark-delta"}})
+    text = "\n".join(json.dumps(x, separators=(",", ":"))
+                     for x in actions)
+    next_version = cur.version + 1
+    if not _create_exclusive(
+            _log_path(table, _commit_name(next_version)), text,
+            spark):
+        raise DeltaConcurrentWriteError(
+            f"version {next_version} was committed concurrently; "
+            "restore must re-read the table and re-run")
+    return next_version
+
+
 def delta_history(spark: SparkSession, table: str) -> list[dict]:
     """Commit history, newest first (the DESCRIBE HISTORY surface):
     one dict per version with the commitInfo action (if any) plus

@@ -1310,3 +1310,125 @@ def write_iceberg_deletes(keys_df: DataFrame, table: str, *,
         os.path.join(mdir, "version-hint.text"),
         str(cur_version + 1), spark)
     return snap_id
+
+
+def iceberg_rollback(spark: SparkSession, table: str, *,
+                     snapshot_id: int) -> int:
+    """Roll the table back to an earlier snapshot — a METADATA-ONLY
+    commit that republishes ``current-snapshot-id`` (Iceberg's
+    ``rollback_to_snapshot``); every snapshot stays in the log, so the
+    rolled-past state remains time-travelable until expiry."""
+    meta_file = _current_metadata_file(table, spark)
+    meta = json.loads(fsutil.read_text(meta_file, spark))
+    cur_version = int(re.match(
+        r"^v?(\d+)", os.path.basename(meta_file)).group(1))
+    ids = {int(s["snapshot-id"]) for s in meta.get("snapshots", [])}
+    if int(snapshot_id) not in ids:
+        raise ValueError(f"snapshot {snapshot_id} not in table "
+                         f"metadata (have {sorted(ids)})")
+    meta["current-snapshot-id"] = int(snapshot_id)
+    import time as _time
+    meta["last-updated-ms"] = int(_time.time() * 1000)
+    mdir = os.path.join(table, "metadata")
+    new_meta_path = os.path.join(
+        mdir, f"v{cur_version + 1}.metadata.json")
+    from .delta import _create_exclusive
+    if not _create_exclusive(new_meta_path, json.dumps(meta), spark):
+        raise RuntimeError(
+            f"concurrent iceberg commit won v{cur_version + 1}; "
+            "re-run")
+    fsutil.write_text_atomic(
+        os.path.join(mdir, "version-hint.text"),
+        str(cur_version + 1), spark)
+    return int(snapshot_id)
+
+
+def iceberg_expire_snapshots(spark: SparkSession, table: str, *,
+                             keep_last: int = 1) -> dict:
+    """Expire old snapshots (Iceberg's ``expire_snapshots``): keep the
+    CURRENT snapshot plus the newest ``keep_last`` by sequence
+    number, drop the rest from the metadata, and delete every
+    manifest list, manifest, and data/delete file reachable ONLY from
+    the expired snapshots (reachability computed over the retained
+    snapshots' manifests — all metadata-scale Avro/JSON work).
+    Returns ``{"expired_snapshots", "deleted_manifests",
+    "deleted_files"}``.  Time travel to expired snapshots stops
+    working; the current snapshot is untouched."""
+    from .avro_io import read_container_file
+    meta_file = _current_metadata_file(table, spark)
+    meta = json.loads(fsutil.read_text(meta_file, spark))
+    cur_version = int(re.match(
+        r"^v?(\d+)", os.path.basename(meta_file)).group(1))
+    snaps = sorted(meta.get("snapshots", []),
+                   key=lambda s: int(s.get("sequence-number") or 0))
+    cur_id = meta.get("current-snapshot-id")
+    keep = {int(s["snapshot-id"]) for s in snaps[-max(1, keep_last):]}
+    if cur_id is not None and int(cur_id) != -1:
+        keep.add(int(cur_id))
+    expired = [s for s in snaps
+               if int(s["snapshot-id"]) not in keep]
+    if not expired:
+        return {"expired_snapshots": 0, "deleted_manifests": 0,
+                "deleted_files": 0}
+
+    def _list_of(s):
+        return _normalize_path(s["manifest-list"], table)
+
+    retained_manifests: set = set()
+    retained_files: set = set()
+    for s in snaps:
+        if int(s["snapshot-id"]) not in keep:
+            continue
+        _, ml = read_container_file(_list_of(s), spark)
+        for ent in ml:
+            mp = _normalize_path(ent["manifest_path"], table)
+            retained_manifests.add(mp)
+            _, entries = read_container_file(mp, spark)
+            for e in entries:
+                retained_files.add(_normalize_path(
+                    e["data_file"]["file_path"], table))
+    deleted_manifests = deleted_files = 0
+    candidate_files: set = set()
+    expired_manifests: set = set()
+    for s in expired:
+        mlp = _list_of(s)
+        _, ml = read_container_file(mlp, spark)
+        for ent in ml:
+            mp = _normalize_path(ent["manifest_path"], table)
+            if mp in retained_manifests:
+                continue
+            expired_manifests.add(mp)
+            _, entries = read_container_file(mp, spark)
+            for e in entries:
+                candidate_files.add(_normalize_path(
+                    e["data_file"]["file_path"], table))
+        fsutil.delete(mlp, spark=spark)
+    for mp in expired_manifests:
+        fsutil.delete(mp, spark=spark)
+        deleted_manifests += 1
+    for fp in sorted(candidate_files - retained_files):
+        fsutil.delete(fp, spark=spark)
+        deleted_files += 1
+
+    meta["snapshots"] = [s for s in snaps
+                         if int(s["snapshot-id"]) in keep]
+    if "snapshot-log" in meta:
+        meta["snapshot-log"] = [
+            e for e in meta["snapshot-log"]
+            if int(e.get("snapshot-id") or -1) in keep]
+    import time as _time
+    meta["last-updated-ms"] = int(_time.time() * 1000)
+    mdir = os.path.join(table, "metadata")
+    new_meta_path = os.path.join(
+        mdir, f"v{cur_version + 1}.metadata.json")
+    from .delta import _create_exclusive
+    if not _create_exclusive(new_meta_path, json.dumps(meta), spark):
+        raise RuntimeError(
+            f"concurrent iceberg commit won v{cur_version + 1}; "
+            "re-run")
+    fsutil.write_text_atomic(
+        os.path.join(mdir, "version-hint.text"),
+        str(cur_version + 1), spark)
+    return {"expired_snapshots": len(expired),
+            "deleted_manifests": deleted_manifests,
+            "deleted_files": deleted_files}
