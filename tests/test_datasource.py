@@ -54,6 +54,32 @@ class TestBatch:
         got = spark.read.format("delta_jarless").load(tbl)
         assert got.schema.fieldNames() == ["k"]
 
+    def test_multipart_checkpoint_reads_all_parts(self, registered,
+                                                  tbl):
+        """Regression: a multi-part checkpoint sliced the add set
+        across parts; reading only the last part silently dropped
+        rows (and start=cpv+1 skipped the commits that could have
+        recovered them)."""
+        from wrangle_pypes_spark.sources.delta import (
+            delta_checkpoint,
+            delta_log_cleanup,
+        )
+        spark = registered
+        df = spark.range(0, 20).select(F.col("id").alias("k"))
+        write_delta(df, tbl)
+        write_delta(df.select((F.col("k") + 20).alias("k")), tbl)
+        write_delta(df.select((F.col("k") + 40).alias("k")), tbl)
+        delta_checkpoint(spark, tbl, parts=3)
+        got = spark.read.format("delta_jarless").load(tbl)
+        assert sorted(r["k"] for r in got.collect()) \
+            == list(range(60))
+        # …and schema/metaData resolution must survive log cleanup,
+        # where the checkpoint parts are the only metaData source
+        delta_log_cleanup(spark, tbl, retention_seconds=0.0)
+        got = spark.read.format("delta_jarless").load(tbl)
+        assert got.schema.fieldNames() == ["k"]
+        assert got.count() == 60
+
 
 class TestStream:
     def _drain(self, spark, tbl, ckpt, out):

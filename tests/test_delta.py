@@ -886,6 +886,43 @@ class TestChangeDataFeed:
                       for r in ch.collect()) \
             == [(1, "update_preimage"), (2, "update_postimage")]
 
+    def test_cdc_partitioned_reattaches_partition_cols(self, spark,
+                                                       tbl):
+        """Regression: foreign cdc parquet omits partition columns
+        (they live in the action's partitionValues) — selecting the
+        table schema over the raw cdc scan raised AnalysisException
+        on exactly the partitioned tables where cdc appears."""
+        from wrangle_pypes_spark.sources.delta import delta_changes
+        schema = T.StructType([T.StructField("k", T.LongType()),
+                               T.StructField("p", T.StringType())])
+        os.makedirs(os.path.join(tbl, "_cdc"), exist_ok=True)
+        stage = os.path.join(tbl, "_stage")
+        for i, rows in enumerate([[(1, "update_preimage"),
+                                   (2, "update_postimage")],
+                                  [(3, "delete")]]):
+            cdc_df = spark.createDataFrame(
+                rows, "k long, _change_type string")
+            cdc_df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(n for n in os.listdir(stage)
+                        if n.endswith(".parquet"))
+            os.replace(os.path.join(stage, part),
+                       os.path.join(tbl, "_cdc", f"c{i}.parquet"))
+        shutil.rmtree(stage)
+        _commit(tbl, 0, [_PROTO, _meta(schema, ["p"])])
+        _commit(tbl, 1, [
+            {"cdc": {"path": "_cdc/c0.parquet",
+                     "partitionValues": {"p": "a"}, "size": 1,
+                     "dataChange": False}},
+            {"cdc": {"path": "_cdc/c1.parquet",
+                     "partitionValues": {"p": "b"}, "size": 1,
+                     "dataChange": False}}])
+        ch = delta_changes(spark, tbl, from_version=1)
+        assert sorted((r["k"], r["p"], r["_change_type"])
+                      for r in ch.collect()) \
+            == [(1, "a", "update_preimage"),
+                (2, "a", "update_postimage"),
+                (3, "b", "delete")]
+
     def test_timestamp_time_travel(self, spark, tbl):
         import time as _time
         df = spark.range(0, 5).select(F.col("id").alias("k"))

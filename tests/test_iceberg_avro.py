@@ -869,6 +869,88 @@ class TestTransforms:
         assert out2["deleted_files"] >= 1
         assert read_iceberg(spark, tbl).count() == 10
 
+    def test_expire_lost_race_leaves_table_intact(self, spark,
+                                                  tmp_path,
+                                                  monkeypatch):
+        """Regression: expire deleted manifests/files BEFORE the
+        metadata commit — a lost commit race left the still-current
+        metadata pointing at deleted files.  Deletion must follow a
+        successful publish."""
+        from wrangle_pypes_spark.sources import delta as _delta_mod
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_expire_snapshots,
+            read_iceberg,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "t")
+        df = spark.range(0, 10).select(F.col("id").alias("k"))
+        s1 = write_iceberg(df, tbl)
+        write_iceberg(df.select((F.col("k") + 10).alias("k")), tbl,
+                      mode="overwrite")
+        monkeypatch.setattr(_delta_mod, "_create_exclusive",
+                            lambda *a, **k: False)
+        with pytest.raises(RuntimeError, match="concurrent"):
+            iceberg_expire_snapshots(spark, tbl, keep_last=1)
+        monkeypatch.undo()
+        # nothing was deleted: the current snapshot AND the snapshot
+        # the failed expire targeted both still resolve
+        assert sorted(r["k"] for r in
+                      read_iceberg(spark, tbl).collect()) \
+            == list(range(10, 20))
+        assert sorted(r["k"] for r in
+                      read_iceberg(spark, tbl,
+                                   snapshot_id=s1).collect()) \
+            == list(range(10))
+        # and a clean retry succeeds end-to-end
+        out = iceberg_expire_snapshots(spark, tbl, keep_last=1)
+        assert out["expired_snapshots"] == 1
+        assert out["deleted_files"] >= 1
+
+    def test_temporal_transform_utc_under_nonutc_tz(self, spark,
+                                                    tmp_path):
+        """Regression: write-path day(ts) evaluated in the SESSION
+        timezone while read-path pruning treats values as UTC — a
+        non-UTC session silently dropped matching files near day
+        boundaries."""
+        import datetime as dt
+
+        from wrangle_pypes_spark.sources.iceberg import (
+            read_iceberg,
+            write_iceberg,
+        )
+        tz0 = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone",
+                       "America/Los_Angeles")
+        try:
+            tbl = str(tmp_path / "t")
+            base = dt.datetime(1995, 2, 10, 1, 0,
+                               tzinfo=dt.timezone.utc).timestamp()
+            # hourly instants: 1995-02-10T01:00Z .. 02-12T00:00Z;
+            # in LA wall-clock the first 7 fall on 02-09
+            df = spark.range(0, 48).select(
+                F.col("id").alias("k"),
+                F.timestamp_seconds(
+                    F.lit(base) + F.col("id") * 3600).alias("ts"))
+            write_iceberg(df, tbl, partition_by=[("day", "ts")])
+            assert read_iceberg(spark, tbl).count() == 48
+            out = read_iceberg(
+                spark, tbl,
+                partition_filter={"ts": "1995-02-10T12:00:00"})
+            # UTC day 1995-02-10 holds ids 0..22 — all must be there
+            # (epoch-second bounds are instant-based, tz-immune)
+            lo = dt.datetime(1995, 2, 10,
+                             tzinfo=dt.timezone.utc).timestamp()
+            hi = dt.datetime(1995, 2, 11,
+                             tzinfo=dt.timezone.utc).timestamp()
+            got = sorted(
+                r["k"] for r in out.filter(
+                    (F.unix_timestamp("ts") >= F.lit(int(lo)))
+                    & (F.unix_timestamp("ts") < F.lit(int(hi))))
+                .collect())
+            assert got == list(range(23))
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", tz0)
+
     def test_rollback_unknown_snapshot_is_loud(self, spark, tmp_path):
         from wrangle_pypes_spark.sources.iceberg import (
             iceberg_rollback,

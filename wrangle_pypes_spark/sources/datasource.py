@@ -87,25 +87,41 @@ def _commit_actions(path: str, version: int) -> list[dict]:
                 if line.strip()]
 
 
+def _latest_checkpoint_parts(log_dir: str) -> tuple[int, list[str]]:
+    """(version, ALL part paths) of the newest checkpoint, or
+    (-1, []).  Multi-part checkpoints
+    (``NNN.checkpoint.K.of.M.parquet``) must be read whole — any
+    single part holds only a slice of the add set."""
+    by_version: dict[int, list[str]] = {}
+    for n in os.listdir(log_dir):
+        if ".checkpoint." in n and n.endswith(".parquet") \
+                and n[:20].isdigit():
+            by_version.setdefault(int(n[:20]), []).append(
+                os.path.join(log_dir, n))
+    if not by_version:
+        return -1, []
+    v = max(by_version)
+    return v, sorted(by_version[v])
+
+
 def _resolve_meta(path: str) -> dict:
     """Last metaData action — newest JSON commit that carries one,
-    else the newest checkpoint's metaData rows (pyarrow)."""
+    else the newest checkpoint's metaData rows (pyarrow, every
+    part)."""
     versions = _commit_versions(path)
     for v in reversed(versions):
         for a in _commit_actions(path, v):
             if "metaData" in a:
                 return a["metaData"]
-    d = _log_dir(path)
-    cps = sorted(n for n in os.listdir(d)
-                 if ".checkpoint." in n and n.endswith(".parquet"))
-    if cps:
+    _, parts = _latest_checkpoint_parts(_log_dir(path))
+    if parts:
         import pyarrow.parquet as pq
-        t = pq.read_table(os.path.join(d, cps[-1]),
-                          columns=["metaData"])
-        for row in t.to_pylist():
-            m = row.get("metaData")
-            if m and m.get("id"):
-                return m
+        for part in parts:
+            t = pq.read_table(part, columns=["metaData"])
+            for row in t.to_pylist():
+                m = row.get("metaData")
+                if m and m.get("id"):
+                    return m
     raise DeltaSourceError(f"no metaData action found: {path}")
 
 
@@ -189,18 +205,16 @@ class _BatchReader(DataSourceReader):
         # checkpoint adds) driver-side — pure file I/O, no session
         files: dict[str, dict] = {}
         d = _log_dir(self._root)
-        cps = sorted(n for n in os.listdir(d)
-                     if ".checkpoint." in n and n.endswith(".parquet"))
+        cpv, parts = _latest_checkpoint_parts(d)
         start = 0
-        if cps:
+        if parts:
             import pyarrow.parquet as pq
-            cpv = int(cps[-1][:20])
-            t = pq.read_table(os.path.join(d, cps[-1]),
-                              columns=["add"])
-            for row in t.to_pylist():
-                a = row.get("add")
-                if a and a.get("path"):
-                    files[a["path"]] = a
+            for part in parts:  # EVERY part — adds are sliced across
+                t = pq.read_table(part, columns=["add"])
+                for row in t.to_pylist():
+                    a = row.get("add")
+                    if a and a.get("path"):
+                        files[a["path"]] = a
             start = cpv + 1
         for v in _commit_versions(self._root):
             if v < start:

@@ -1108,23 +1108,33 @@ def delta_delete_where(spark: SparkSession, table: str,
         by_norm[norm] = a
     table_root = fsutil._strip_file_scheme(table)
 
+    # Old-DV descriptors ride the PLAN (broadcast join on file path),
+    # not the task closure: on a many-file table, shipping by_norm
+    # with every task serializes O(live files) per task — only the
+    # usually-tiny has-a-DV subset needs to reach executors.
+    old_dv_rows = [(fp, json.dumps(a["deletionVector"]))
+                   for fp, a in by_norm.items()
+                   if a.get("deletionVector")]
+    old_dv_df = spark.createDataFrame(
+        old_dv_rows, "fp string, old_dv_json string")
+    matches = matches.join(F.broadcast(old_dv_df), "fp", "left")
+
     def _write_dvs(pdf):
         import pandas as pd
 
         from . import dv as _dv
         fp = pdf["fp"].iloc[0]
-        add = by_norm.get(fp)
         positions = set(int(p) for p in pdf["pos"])
-        if add is not None and add.get("deletionVector"):
+        old_json = pdf["old_dv_json"].iloc[0]
+        if isinstance(old_json, str) and old_json:
             positions |= set(
                 int(p) for p in _dv.decode_descriptor(
-                    add["deletionVector"], table_root))
+                    json.loads(old_json), table_root))
         bitmap = _dv.rba_serialize(sorted(positions))
         dv_uuid = uuid.uuid4()
         data, offsets = _dv.pack_dv_file([bitmap])
         name = f"deletion_vector_{dv_uuid}.bin"
-        with open(os.path.join(table_root, name), "wb") as f:
-            f.write(data)
+        _dv._write_file_bytes(os.path.join(table_root, name), data)
         return pd.DataFrame({
             "path": [fp],
             "pathOrInlineDv": [_dv.encode_uuid_path(dv_uuid)],
@@ -1556,8 +1566,35 @@ def delta_changes(spark: SparkSession, table: str, *,
             elif "cdc" in action:
                 cdc.append(action["cdc"])
         if cdc:
-            d = spark.read.parquet(
-                *[os.path.join(table, c["path"]) for c in cdc])
+            # cdc parquet of a partitioned table omits the partition
+            # columns (they live in the action's partitionValues) —
+            # re-attach them as typed literals per partition tuple,
+            # the same mechanism the grouped scan uses.
+            pcols = snap_now.logical_partition_columns
+            fields = {f.name: f.dataType
+                      for f in snap_now.schema.fields}
+            groups: dict[tuple, list[str]] = {}
+            pvals: dict[tuple, dict] = {}
+            for c in cdc:
+                pv = dict(c.get("partitionValues") or {})
+                key = tuple(pv.get(p) for p in pcols)
+                groups.setdefault(key, []).append(
+                    os.path.join(table, c["path"]))
+                pvals[key] = pv
+            cdc_parts = []
+            for key, paths in sorted(
+                    groups.items(),
+                    key=lambda kv: tuple(map(repr, kv[0]))):
+                g = spark.read.parquet(*paths)
+                for p in pcols:
+                    if p not in g.columns:
+                        g = g.withColumn(
+                            p, _partition_expr(pvals[key].get(p),
+                                               fields[p]))
+                cdc_parts.append(g)
+            d = cdc_parts[0]
+            for g in cdc_parts[1:]:
+                d = d.unionByName(g)
             out_parts.append(_tag(d, None, v))
             continue
         if not adds and not removes:

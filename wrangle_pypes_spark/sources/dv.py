@@ -327,6 +327,25 @@ def _read_file_bytes(path: str) -> bytes:
         return stream.read()
 
 
+def _write_file_bytes(path: str, data: bytes) -> None:
+    """Executor-safe byte write, mirroring ``_read_file_bytes``:
+    local paths via open(); other schemes via pyarrow's filesystem
+    layer.  Without this, a DV written inside an executor on a
+    multi-node cluster would land on that executor's local disk while
+    the committed descriptor points at the table root."""
+    if "://" not in path or path.startswith("file:"):
+        local = path[5:] if path.startswith("file:") else path
+        while local.startswith("//"):
+            local = local[1:]
+        with open(local, "wb") as f:
+            f.write(data)
+        return
+    from pyarrow import fs as pafs
+    f, p = pafs.FileSystem.from_uri(path)
+    with f.open_output_stream(p) as stream:
+        stream.write(data)
+
+
 def decode_descriptor(desc: dict, table: str,
                       _cache: dict | None = None) -> np.ndarray:
     """Positions deleted by one descriptor dict ({storageType,

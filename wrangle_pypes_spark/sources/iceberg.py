@@ -955,15 +955,37 @@ def _transform_col(transform: str, col: str, ice_type: str):
             return F.substring(F.col(col), 1, w)
         raise IcebergProtocolError(
             f"truncate over iceberg type {ice_type!r} unsupported")
-    if t in ("year", "years"):
-        return (F.year(col) - F.lit(1970)).cast("int")
-    if t in ("month", "months"):
-        return ((F.year(col) - F.lit(1970)) * 12
-                + F.month(col) - 1).cast("int")
-    if t in ("day", "days"):
-        return F.datediff(F.col(col), F.lit("1970-01-01")).cast("int")
-    if t in ("hour", "hours"):
-        return F.floor(F.unix_timestamp(F.col(col)) / 3600).cast("int")
+    if t in ("year", "years", "month", "months", "day", "days",
+             "hour", "hours"):
+        # Spec semantics: temporal transforms of timestamptz are
+        # defined on the UTC instant; timestamp (ntz) and date use
+        # the wall-clock fields directly.  Session-timezone functions
+        # (F.year on a tz timestamp, unix_timestamp on ntz) would
+        # diverge from the read-path pruning (eval_transform, which
+        # treats naive values as UTC) near day/month boundaries.
+        import datetime as _dt
+        if ice_type == "timestamptz":
+            micros = F.unix_micros(F.col(col))
+            if t in ("hour", "hours"):
+                d_us = F.lit(3_600_000_000)
+                return ((micros - F.pmod(micros, d_us)) / d_us) \
+                    .cast("int")
+            d_us = F.lit(86_400_000_000)
+            days = ((micros - F.pmod(micros, d_us)) / d_us) \
+                .cast("int")
+            d = F.date_add(F.lit(_dt.date(1970, 1, 1)), days)
+        else:  # timestamp (ntz) or date: wall-clock IS the value
+            if t in ("hour", "hours"):
+                return (F.datediff(F.col(col).cast("date"),
+                                   F.lit("1970-01-01")).cast("long")
+                        * 24 + F.hour(F.col(col))).cast("int")
+            d = F.col(col).cast("date")
+        if t in ("year", "years"):
+            return (F.year(d) - F.lit(1970)).cast("int")
+        if t in ("month", "months"):
+            return ((F.year(d) - F.lit(1970)) * 12
+                    + F.month(d) - 1).cast("int")
+        return F.datediff(d, F.lit("1970-01-01")).cast("int")
     raise IcebergProtocolError(
         f"partition transform {transform!r} unsupported")
 
@@ -1387,8 +1409,11 @@ def iceberg_expire_snapshots(spark: SparkSession, table: str, *,
             for e in entries:
                 retained_files.add(_normalize_path(
                     e["data_file"]["file_path"], table))
-    deleted_manifests = deleted_files = 0
+    # Plan deletions WITHOUT touching storage yet: if the metadata
+    # commit below loses a concurrency race, the still-current
+    # metadata must keep resolving — delete only after publish.
     candidate_files: set = set()
+    expired_manifest_lists: set = set()
     expired_manifests: set = set()
     for s in expired:
         mlp = _list_of(s)
@@ -1402,13 +1427,7 @@ def iceberg_expire_snapshots(spark: SparkSession, table: str, *,
             for e in entries:
                 candidate_files.add(_normalize_path(
                     e["data_file"]["file_path"], table))
-        fsutil.delete(mlp, spark=spark)
-    for mp in expired_manifests:
-        fsutil.delete(mp, spark=spark)
-        deleted_manifests += 1
-    for fp in sorted(candidate_files - retained_files):
-        fsutil.delete(fp, spark=spark)
-        deleted_files += 1
+        expired_manifest_lists.add(mlp)
 
     meta["snapshots"] = [s for s in snaps
                          if int(s["snapshot-id"]) in keep]
@@ -1429,6 +1448,17 @@ def iceberg_expire_snapshots(spark: SparkSession, table: str, *,
     fsutil.write_text_atomic(
         os.path.join(mdir, "version-hint.text"),
         str(cur_version + 1), spark)
+    # Commit succeeded — the expired files are now unreachable from
+    # the published metadata; physical deletion is safe.
+    deleted_manifests = deleted_files = 0
+    for mlp in expired_manifest_lists:
+        fsutil.delete(mlp, spark=spark)
+    for mp in expired_manifests:
+        fsutil.delete(mp, spark=spark)
+        deleted_manifests += 1
+    for fp in sorted(candidate_files - retained_files):
+        fsutil.delete(fp, spark=spark)
+        deleted_files += 1
     return {"expired_snapshots": len(expired),
             "deleted_manifests": deleted_manifests,
             "deleted_files": deleted_files}
