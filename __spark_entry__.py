@@ -9298,74 +9298,115 @@ def q_compression_ratio_docs(spark, sf_dir):
 # rotate below: entry() + bench.py exercise them every round anyway.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- the 50-slot driver verification window ----
-    # Round-12 rotation (VERDICT r11 #1): the three r11 queries that
-    # registered after the window cut (never driver-checked), then ALL
-    # 39 r7-vintage greens (the stalest block), padded to 50 with the
-    # eight oldest r8-vintage greens.  Every r11-window query went
-    # green in CORRECTNESS_r11.json; displaced entries sit below the
-    # marker.  Keep the marker at EXACTLY 50 entries --
-    # tests/test_bare_session.py pins it.
-    "delta_dv_orders": q_delta_dv_orders,  # NEW r12: deletion-vector DELETE + checkpoint survival, value-oracled
-    "iceberg_transform_prune_orders": q_iceberg_transform_prune_orders,  # NEW r12: month+bucket transform pruning, value-oracled
-    "avro_roundtrip_orders": q_avro_roundtrip_orders,  # NEW r12: user-facing Avro source, executor-side codec, value-oracled
-    "delta_column_mapping_orders": q_delta_column_mapping_orders,  # NEW r12: name-mode column mapping read, value-oracled
-    "delta_cdf_orders": q_delta_cdf_orders,  # NEW r12: table_changes feed incl. DV-diff deletes, value-oracled
-    "stream_delta_source_orders": q_stream_delta_source_orders,  # NEW r12: Delta as a streaming SOURCE (Python Data Source API), value-oracled
-    "stream_iceberg_source_orders": q_stream_iceberg_source_orders,  # NEW r12: Iceberg as a streaming SOURCE by snapshot sequence, value-oracled
-    "delta_restore_orders": q_delta_restore_orders,  # NEW r12: RESTORE AS OF VERSION undoing a DV delete, value-oracled
-    "stream_delta_ingest_orders": q_stream_delta_ingest,  # NEW r11, registered post-window: never driver-checked
-    "gif_frame_stats_docs": q_gif_frame_stats,  # NEW r11, registered post-window: never driver-checked
-    "iceberg_eq_delete_orders": q_iceberg_eq_delete_orders,  # NEW r11, registered post-window: never driver-checked
-    "corpus_clean_pipeline": q_corpus_clean_pipeline,  # last driver check: r7
-    "stream_rollup_acid_store": q_stream_rollup_acid_store,  # last driver check: r7
-    "stream_rollup_events": q_stream_rollup_events,  # last driver check: r7
-    "stream_drift_hourly": q_stream_drift_hourly,  # last driver check: r7
-    "url_parse_docs": q_url_parse_docs,  # last driver check: r7
-    "window_running_total": q_window_running_total,  # last driver check: r7
-    "url_blocklist_docs": q_url_blocklist_docs,  # last driver check: r7
-    "domain_stats_docs": q_domain_stats_docs,  # last driver check: r7
-    "link_graph_docs": q_link_graph_docs,  # last driver check: r7
-    "window_lag_gap": q_window_lag_gap,  # last driver check: r7
-    "rollup_status_priority": q_rollup_status_priority,  # last driver check: r7
-    "set_ops_custkeys": q_set_ops_custkeys,  # last driver check: r7
-    "distinct_counts_by_segment": q_distinct_counts_by_segment,  # last driver check: r7
-    "scalar_functions_part": q_scalar_functions_part,  # last driver check: r7
-    "orders_by_month": q_orders_by_month,  # last driver check: r7
-    "unpivot_part_measures": q_unpivot_part_measures,  # last driver check: r7
-    "doc_fingerprint": q_doc_fingerprint,  # last driver check: r7
-    "lang_id": q_lang_id,  # last driver check: r7
-    "embedding_norms": q_embedding_norms,  # last driver check: r7
-    "q12_late_lines_by_flag": q_q12_late_lines_by_flag,  # last driver check: r7
-    "json_extract_events": q_json_extract_events,  # last driver check: r7
-    "sessionize_events": q_sessionize_events,  # last driver check: r7
-    "asof_latest_order_per_event": q_asof_latest_order_per_event,  # last driver check: r7
-    "range_join_event_pairs": q_range_join_event_pairs,  # last driver check: r7
-    "wrangle_map_ops": q_wrangle_map_ops,  # last driver check: r7
-    "wrangle_create_multiple": q_wrangle_create_multiple,  # last driver check: r7
-    "wrangle_attr_id": q_wrangle_attr_id,  # last driver check: r7
-    "wrangle_get_or_create_arrays": q_wrangle_get_or_create_arrays,  # last driver check: r7
-    "full_outer_daily_activity": q_full_outer_daily_activity,  # last driver check: r7
-    "grouping_sets_orders": q_grouping_sets_orders,  # last driver check: r7
-    "wrangle_conditional_gather": q_wrangle_conditional_gather,  # last driver check: r7
-    "wrangle_flatten": q_wrangle_flatten,  # last driver check: r7
-    "wrangle_fold_ops": q_wrangle_fold_ops,  # last driver check: r7
-    "sql_api_top_nations": q_sql_api_top_nations,  # last driver check: r7
-    "data_quality_violations": q_data_quality_violations,  # last driver check: r7
-    "wrangle_lenient_audit": q_wrangle_lenient_audit,  # last driver check: r7
-    "udtf_chunk_text": q_udtf_chunk_text,  # last driver check: r7
-    "tfidf_top_terms": q_tfidf_top_terms,  # last driver check: r7
-    "wrangle_foreach_custom": q_wrangle_foreach_custom,  # last driver check: r7
+    # Round-13 rotation (VERDICT r12 #1): ALL 44 r8-vintage queries
+    # (the stalest block, incl. grouped_ewma whose r11 value oracle
+    # has never been driver-run) + 6 stale-flagged r9 greens to fill
+    # 50.  Every r12-window query went green in CORRECTNESS_r12.json;
+    # displaced entries sit below the marker.  Keep the marker at
+    # EXACTLY 50 entries -- tests/test_bare_session.py pins it.
+    "stream_bloom_dedup_docs": q_stream_bloom_dedup_docs,  # last driver check: r8
+    "bloom_dedup_docs": q_bloom_dedup_docs,  # last driver check: r8
+    "manifest_time_travel_orders": q_manifest_time_travel_orders,  # last driver check: r8
+    "manifest_lookup_orders": q_manifest_lookup_orders,  # last driver check: r8
+    "semantic_decontam_emb": q_semantic_decontam_emb,  # last driver check: r8
+    "semantic_decontam_lsh": q_semantic_decontam_lsh,  # last driver check: r8
+    "stream_cdc_manifest_evolve": q_stream_cdc_manifest_evolve,  # last driver check: r8
+    "stream_cdc_manifest_store": q_stream_cdc_manifest_store,  # last driver check: r8
+    "stream_rollup_manifest_store": q_stream_rollup_manifest_store,  # last driver check: r8
+    "cms_heavy_hitters_custkey": q_cms_heavy_hitters_custkey,  # last driver check: r8
+    "stream_cms_user_hitters": q_stream_cms_user_hitters,  # last driver check: r8
+    "zonemap_prune_lineitem": q_zonemap_prune_lineitem,  # last driver check: r8
+    "zorder_prune_orders": q_zorder_prune_orders,  # last driver check: r8
+    "manifest_cdf_orders": q_manifest_cdf_orders,  # last driver check: r8
+    "merge_into_orders": q_merge_into_orders,  # last driver check: r8
+    "stream_zonemap_events": q_stream_zonemap_events,  # last driver check: r8
+    "scd2_temporal_join_orders": q_scd2_temporal_join_orders,  # last driver check: r8
+    "bks_quantile_orders": q_bks_quantile_orders,  # last driver check: r8
+    "top_ngrams_corpus": q_top_ngrams_corpus,  # last driver check: r8
+    "ngram_containment_docs": q_ngram_containment_docs,  # last driver check: r8
+    "source_overlap_docs": q_source_overlap_docs,  # last driver check: r8
+    "decontaminate_docs": q_decontaminate_docs,  # last driver check: r8
+    "repetition_stats": q_repetition_stats,  # last driver check: r8
+    "bigram_logprob": q_bigram_logprob,  # last driver check: r8
+    "stream_scd2_user_status": q_stream_scd2_user_status,  # last driver check: r8
+    "stream_dedup_keep_best": q_stream_dedup_keep_best,  # last driver check: r8
+    "stream_cdc_store": q_stream_cdc_store,  # last driver check: r8
+    "fuzzy_dedup_canonical": q_fuzzy_dedup_canonical,  # last driver check: r8
+    "async_enrich_tags": q_async_enrich_tags,  # last driver check: r8
+    "async_get_or_create_dim": q_async_get_or_create_dim,  # last driver check: r8
+    "cube_orders": q_cube_orders,  # last driver check: r8
+    "semi_join_customers": q_semi_join_customers,  # last driver check: r8
+    "percentiles_by_segment": q_percentiles_by_segment,  # last driver check: r8
+    "string_agg_priorities": q_string_agg_priorities,  # last driver check: r8
+    "orders_above_cust_avg": q_orders_above_cust_avg,  # last driver check: r8
+    "salted_join_revenue": q_salted_join_revenue,  # last driver check: r8
+    "resize_images": q_resize_images,  # last driver check: r8
+    "sample_frames": q_sample_frames,  # last driver check: r8
+    "grouped_ewma": q_grouped_ewma,  # last driver check: r8
+    "approx_distinct_users": q_approx_distinct_users,  # last driver check: r8
+    "wrangle_flat_orders": q_wrangle_flat_orders,  # last driver check: r8
+    "wrangle_nested_customer": q_wrangle_nested_customer,  # last driver check: r8
+    "q1_pricing_summary": q_q1_pricing_summary,  # last driver check: r8
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,  # last driver check: r8
+    "stream_static_enrich": q_stream_static_enrich,  # last driver check: r9
+    "temperature_mix_sources": q_temperature_mix_sources,  # last driver check: r9
+    "profile_customer": q_profile_customer,  # last driver check: r9
+    "c4_clean_docs": q_c4_clean_docs,  # last driver check: r9
+    "cohort_retention_weekly": q_cohort_retention_weekly,  # last driver check: r9
+    "embedding_label_centroids": q_embedding_label_centroids,  # last driver check: r9
     # ---- below the 50-slot driver window from here down ----
-    "stream_bloom_dedup_docs": q_stream_bloom_dedup_docs,  # r8 green; displaced for the r12 restore query
-    "bloom_dedup_docs": q_bloom_dedup_docs,  # r8 green; displaced for the r12 iceberg-source query
-    "manifest_time_travel_orders": q_manifest_time_travel_orders,  # r8 green; displaced for the r12 streaming-source query
-    "manifest_lookup_orders": q_manifest_lookup_orders,  # r8 green; displaced for the r12 CDF query
-    "semantic_decontam_emb": q_semantic_decontam_emb,  # r8 green; displaced for the r12 column-mapping query
-    "semantic_decontam_lsh": q_semantic_decontam_lsh,  # r8 green; displaced for the r12 avro query
-    "stream_cdc_manifest_evolve": q_stream_cdc_manifest_evolve,  # r8 green; displaced for the r12 pruning query
-    "stream_cdc_manifest_store": q_stream_cdc_manifest_store,  # r8 green; displaced for the r12 DV query
-    # (r11-window greens displaced after their r11 driver pass;
-    #  prior relative order preserved below.)
+    # (r12-window greens displaced after their r12 driver pass; prior
+    #  relative order preserved below.)
+    "delta_dv_orders": q_delta_dv_orders,
+    "iceberg_transform_prune_orders": q_iceberg_transform_prune_orders,
+    "avro_roundtrip_orders": q_avro_roundtrip_orders,
+    "delta_column_mapping_orders": q_delta_column_mapping_orders,
+    "delta_cdf_orders": q_delta_cdf_orders,
+    "stream_delta_source_orders": q_stream_delta_source_orders,
+    "stream_iceberg_source_orders": q_stream_iceberg_source_orders,
+    "delta_restore_orders": q_delta_restore_orders,
+    "stream_delta_ingest_orders": q_stream_delta_ingest,
+    "gif_frame_stats_docs": q_gif_frame_stats,
+    "iceberg_eq_delete_orders": q_iceberg_eq_delete_orders,
+    "corpus_clean_pipeline": q_corpus_clean_pipeline,
+    "stream_rollup_acid_store": q_stream_rollup_acid_store,
+    "stream_rollup_events": q_stream_rollup_events,
+    "stream_drift_hourly": q_stream_drift_hourly,
+    "url_parse_docs": q_url_parse_docs,
+    "window_running_total": q_window_running_total,
+    "url_blocklist_docs": q_url_blocklist_docs,
+    "domain_stats_docs": q_domain_stats_docs,
+    "link_graph_docs": q_link_graph_docs,
+    "window_lag_gap": q_window_lag_gap,
+    "rollup_status_priority": q_rollup_status_priority,
+    "set_ops_custkeys": q_set_ops_custkeys,
+    "distinct_counts_by_segment": q_distinct_counts_by_segment,
+    "scalar_functions_part": q_scalar_functions_part,
+    "orders_by_month": q_orders_by_month,
+    "unpivot_part_measures": q_unpivot_part_measures,
+    "doc_fingerprint": q_doc_fingerprint,
+    "lang_id": q_lang_id,
+    "embedding_norms": q_embedding_norms,
+    "q12_late_lines_by_flag": q_q12_late_lines_by_flag,
+    "json_extract_events": q_json_extract_events,
+    "sessionize_events": q_sessionize_events,
+    "asof_latest_order_per_event": q_asof_latest_order_per_event,
+    "range_join_event_pairs": q_range_join_event_pairs,
+    "wrangle_map_ops": q_wrangle_map_ops,
+    "wrangle_create_multiple": q_wrangle_create_multiple,
+    "wrangle_attr_id": q_wrangle_attr_id,
+    "wrangle_get_or_create_arrays": q_wrangle_get_or_create_arrays,
+    "full_outer_daily_activity": q_full_outer_daily_activity,
+    "grouping_sets_orders": q_grouping_sets_orders,
+    "wrangle_conditional_gather": q_wrangle_conditional_gather,
+    "wrangle_flatten": q_wrangle_flatten,
+    "wrangle_fold_ops": q_wrangle_fold_ops,
+    "sql_api_top_nations": q_sql_api_top_nations,
+    "data_quality_violations": q_data_quality_violations,
+    "wrangle_lenient_audit": q_wrangle_lenient_audit,
+    "udtf_chunk_text": q_udtf_chunk_text,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "wrangle_foreach_custom": q_wrangle_foreach_custom,
     "vector_index_filtered_emb": q_vector_index_filtered_emb,
     "image_decode_stats_docs": q_image_decode_stats,
     "image_resize_bmp_docs": q_image_resize_bmp,
@@ -9478,20 +9519,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_bulk_suppliers": q_q20_bulk_suppliers,
     "q21_suppliers_kept_waiting": q_q21_suppliers_kept_waiting,
     "q22_sales_opportunity": q_q22_sales_opportunity,
-    "stream_static_enrich": q_stream_static_enrich,
     "mix_corpus_sources": q_mix_corpus_sources,
-    "temperature_mix_sources": q_temperature_mix_sources,
     "scd2_customer_history": q_scd2_customer_history,
-    "profile_customer": q_profile_customer,
     "rollup_events_hourly": q_rollup_events_hourly,
     "window_rank_family": q_window_rank_family,
     "window_trailing_30d": q_window_trailing_30d,
     "date_functions_orders": q_date_functions_orders,
     "string_functions_customer": q_string_functions_customer,
-    "c4_clean_docs": q_c4_clean_docs,
     "unigram_logprob": q_unigram_logprob,
-    "cohort_retention_weekly": q_cohort_retention_weekly,
-    "embedding_label_centroids": q_embedding_label_centroids,
     "dedup_keep_longest": q_dedup_keep_longest,
     "dedup_exact": q_dedup_exact,
     "chunk_documents_overlap": q_chunk_documents_overlap,
@@ -9513,42 +9548,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmanifest_root_travel_orders": q_pmanifest_root_travel_orders,
     "wrangle_nested_lineitems": q_wrangle_nested_lineitems,
     "text_index_blocked_docs": q_text_index_blocked_docs,
-    "stream_rollup_manifest_store": q_stream_rollup_manifest_store,
-    "cms_heavy_hitters_custkey": q_cms_heavy_hitters_custkey,
-    "stream_cms_user_hitters": q_stream_cms_user_hitters,
-    "zonemap_prune_lineitem": q_zonemap_prune_lineitem,
-    "zorder_prune_orders": q_zorder_prune_orders,
-    "manifest_cdf_orders": q_manifest_cdf_orders,
-    "merge_into_orders": q_merge_into_orders,
-    "stream_zonemap_events": q_stream_zonemap_events,
-    "scd2_temporal_join_orders": q_scd2_temporal_join_orders,
-    "bks_quantile_orders": q_bks_quantile_orders,
-    "top_ngrams_corpus": q_top_ngrams_corpus,
-    "ngram_containment_docs": q_ngram_containment_docs,
-    "source_overlap_docs": q_source_overlap_docs,
-    "decontaminate_docs": q_decontaminate_docs,
-    "repetition_stats": q_repetition_stats,
-    "bigram_logprob": q_bigram_logprob,
-    "stream_scd2_user_status": q_stream_scd2_user_status,
-    "stream_dedup_keep_best": q_stream_dedup_keep_best,
-    "stream_cdc_store": q_stream_cdc_store,
-    "fuzzy_dedup_canonical": q_fuzzy_dedup_canonical,
-    "async_enrich_tags": q_async_enrich_tags,
-    "async_get_or_create_dim": q_async_get_or_create_dim,
-    "cube_orders": q_cube_orders,
-    "semi_join_customers": q_semi_join_customers,
-    "percentiles_by_segment": q_percentiles_by_segment,
-    "string_agg_priorities": q_string_agg_priorities,
-    "orders_above_cust_avg": q_orders_above_cust_avg,
-    "salted_join_revenue": q_salted_join_revenue,
-    "resize_images": q_resize_images,
-    "sample_frames": q_sample_frames,
-    "grouped_ewma": q_grouped_ewma,
-    "approx_distinct_users": q_approx_distinct_users,
-    "wrangle_flat_orders": q_wrangle_flat_orders,
-    "wrangle_nested_customer": q_wrangle_nested_customer,
-    "q1_pricing_summary": q_q1_pricing_summary,
-    "q2_min_cost_supplier": q_q2_min_cost_supplier,
 }
 
 _ORACLES: dict[str, str] = {
