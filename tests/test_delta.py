@@ -1025,3 +1025,71 @@ class TestRestore:
         delta_vacuum(spark, tbl, retention_seconds=0)
         with pytest.raises(ValueError, match="vacuumed"):
             delta_restore(spark, tbl, version=0)
+
+
+class TestSnapshotCache:
+    """The session snapshot cache (write→checkpoint→read reuse): a
+    committed (table, version) is immutable, but the cache must not
+    outlive the table it described."""
+
+    def test_lifecycle_reuses_without_rereading(self, spark, tbl):
+        from wrangle_pypes_spark.sources import delta as dmod
+        df = spark.range(0, 20).select(F.col("id").alias("k"))
+        write_delta(df, tbl)                                  # v0
+        write_delta(df, tbl)                                  # v1
+        delta_checkpoint(spark, tbl)
+        # the post-commit snapshot is cached; resolution takes the
+        # cache path (same object back, no checkpoint load)
+        s1 = delta_snapshot(spark, tbl)
+        s2 = delta_snapshot(spark, tbl)
+        assert s1 is s2 and s1.version == 1
+        assert read_delta(spark, tbl).count() == 40
+
+    def test_recreated_table_at_same_path_not_served_stale(
+            self, spark, tbl):
+        df = spark.range(0, 7).select(F.col("id").alias("k"))
+        write_delta(df, tbl)                                  # v0
+        assert read_delta(spark, tbl).count() == 7
+        # nuke and rebuild a DIFFERENT table at the SAME path with
+        # the SAME version number — the commit-content fingerprint
+        # must reject the cached v0
+        shutil.rmtree(tbl)
+        df2 = spark.range(0, 31).select(
+            F.col("id").alias("k"), F.lit("x").alias("extra"))
+        write_delta(df2, tbl)                                 # new v0
+        got = read_delta(spark, tbl)
+        assert got.columns == ["k", "extra"]
+        assert got.count() == 31
+
+    def test_foreign_commit_invalidates_head(self, spark, tbl):
+        """A commit published by ANOTHER writer (raw JSON, not our
+        write path) must be visible on the next resolve."""
+        df = spark.range(0, 5).select(F.col("id").alias("k"))
+        write_delta(df, tbl)                                  # v0
+        assert read_delta(spark, tbl).count() == 5            # cached
+        # foreign writer appends by hand: stage a parquet + commit v1
+        stage = tbl + "_stage"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(n for n in os.listdir(stage)
+                    if n.endswith(".parquet"))
+        os.replace(os.path.join(stage, part),
+                   os.path.join(tbl, "foreign.parquet"))
+        shutil.rmtree(stage)
+        _commit(tbl, 1, [{"add": {
+            "path": "foreign.parquet", "partitionValues": {},
+            "size": 1, "modificationTime": 0, "dataChange": True}}])
+        assert read_delta(spark, tbl).count() == 10
+
+    def test_post_commit_chain_is_constant_depth(self, spark, tbl):
+        """Many chained commits must not nest the file-state plan —
+        the carried tail keeps compose at base + ONE local relation."""
+        df = spark.range(0, 3).select(F.col("id").alias("k"))
+        for _ in range(12):
+            write_delta(df, tbl)
+        snap = delta_snapshot(spark, tbl)
+        assert snap.version == 11
+        plan = snap.files_df._jdf.queryExecution().analyzed() \
+            .toString()
+        # one Union of (base-is-absent) tail only: no nested unions
+        assert plan.lower().count("union") <= 1
+        assert read_delta(spark, tbl).count() == 36
