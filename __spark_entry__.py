@@ -7035,6 +7035,205 @@ FROM orders WHERE o_orderstatus = 'F'
 """
 
 
+def _cm_foreign_table(spark, sf_dir, tbl):
+    """The foreign name-mapped fixture q_delta_column_mapping_orders
+    builds (physical col-1/col-2 data files, physical-keyed col-3
+    partition tuples, schemaString with physicalName metadata)."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    statuses = [r["o_orderstatus"] for r in
+                o.select("o_orderstatus").distinct().collect()]
+    _os.makedirs(tbl, exist_ok=True)
+    adds = []
+    for st in sorted(statuses):
+        d = (o.filter(F.col("o_orderstatus") == st)
+             .select(F.col("o_orderkey").alias("col-1"),
+                     F.col("o_totalprice").alias("col-2")))
+        stage = _os.path.join(tbl, "_stage")
+        d.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(n for n in _os.listdir(stage)
+                    if n.endswith(".parquet"))
+        name = f"s-{st}.parquet"
+        _os.replace(_os.path.join(stage, part),
+                    _os.path.join(tbl, name))
+        _shutil.rmtree(stage)
+        adds.append({"add": {"path": name,
+                             "partitionValues": {"col-3": st},
+                             "size": 1, "modificationTime": 0,
+                             "dataChange": True}})
+    schema_json = {"type": "struct", "fields": [
+        {"name": "o_orderkey", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-1"}},
+        {"name": "o_totalprice", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-2"}},
+        {"name": "o_orderstatus", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-3"}}]}
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "cm-fixture", "format": {"provider": "parquet",
+                                           "options": {}},
+            "schemaString": _json.dumps(schema_json),
+            "partitionColumns": ["col-3"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+        }}] + adds
+    _os.makedirs(_os.path.join(tbl, "_delta_log"), exist_ok=True)
+    with open(_os.path.join(tbl, "_delta_log",
+                            f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in actions))
+
+
+def q_delta_column_mapping_write_orders(spark, sf_dir):
+    """Delta column-mapping WRITES (sources/delta.py r13): a foreign
+    name-mapped table (physical col-N data files + physical-keyed
+    partition tuples) gets an APPEND through write_delta — which must
+    translate logical->physical column names for staging and keep
+    physical partition keys in the commit — and then a row-level
+    deletion-vector DELETE.  The final read aggregates per status;
+    the oracle recomputes the same end state from raw orders, so a
+    wrong rename, a logical-keyed partitionValues leak, or a DV
+    misapplied to the mapped scan all break the value hash."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.delta import (
+        delta_delete_where,
+        read_delta,
+        write_delta,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_delta_cmw_") + "/orders"
+    _cm_foreign_table(spark, sf_dir, tbl)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    write_delta(
+        o.filter("o_orderkey % 7 = 0")
+         .withColumn("o_totalprice", F.col("o_totalprice") * 3),
+        tbl)
+    delta_delete_where(spark, tbl, "o_orderkey % 14 = 0")
+    return (read_delta(spark, tbl)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents")))
+
+
+SQL_DELTA_CM_WRITE = """
+WITH allrows AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 3, o_orderstatus
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM allrows WHERE o_orderkey % 14 <> 0
+GROUP BY o_orderstatus
+"""
+
+
+def q_delta_id_mode_orders(spark, sf_dir):
+    """Delta column mapping, ID mode (sources/delta.py r13): a
+    foreign table whose parquet columns live under ARBITRARY physical
+    names and are matched ONLY by parquet field id
+    (``spark.sql.parquet.fieldId.read.enabled`` +
+    ``parquet.field.id`` schema metadata from
+    ``delta.columnMapping.id``) — the layout modern Databricks
+    writers produce.  The query reads the foreign files, APPENDS a
+    slice through write_delta (staged parquet must carry field ids so
+    foreign id-mode readers can match it — verified by reading the
+    post-append state back through the by-id scan), and aggregates.
+    The oracle recomputes the end state from raw orders."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from wrangle_pypes_spark.sources.delta import (
+        read_delta,
+        write_delta,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_delta_idm_") + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    _os.makedirs(tbl, exist_ok=True)
+    adds = []
+    for tag, flt in (("even", "o_orderkey % 2 = 0"),
+                     ("odd", "o_orderkey % 2 = 1")):
+        d = o.filter(flt).select(
+            F.col("o_orderkey").alias(
+                "c-key", metadata={"parquet.field.id": 1}),
+            F.col("o_totalprice").alias(
+                "c-price", metadata={"parquet.field.id": 2}))
+        stage = _os.path.join(tbl, "_stage")
+        d.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(n for n in _os.listdir(stage)
+                    if n.endswith(".parquet"))
+        name = f"{tag}.parquet"
+        _os.replace(_os.path.join(stage, part),
+                    _os.path.join(tbl, name))
+        _shutil.rmtree(stage)
+        adds.append({"add": {"path": name, "partitionValues": {},
+                             "size": 1, "modificationTime": 0,
+                             "dataChange": True}})
+    schema_json = {"type": "struct", "fields": [
+        {"name": "o_orderkey", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "c-key"}},
+        {"name": "o_totalprice", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName":
+                          "c-price"}}]}
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "idm-fixture", "format": {"provider": "parquet",
+                                            "options": {}},
+            "schemaString": _json.dumps(schema_json),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "2"},
+        }}] + adds
+    _os.makedirs(_os.path.join(tbl, "_delta_log"), exist_ok=True)
+    with open(_os.path.join(tbl, "_delta_log",
+                            f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in actions))
+
+    write_delta(
+        o.filter("o_orderkey % 5 = 0")
+         .withColumn("o_totalprice",
+                     F.col("o_totalprice") + 1000.0), tbl)
+    cur = read_delta(spark, tbl)
+    return (cur.select((F.col("o_orderkey") % 10).alias("bucket"),
+                       "o_totalprice")
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents")))
+
+
+SQL_DELTA_ID_MODE = """
+WITH allrows AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 1000.0
+  FROM orders WHERE o_orderkey % 5 = 0
+)
+SELECT (o_orderkey % 10)::BIGINT AS bucket,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM allrows GROUP BY bucket
+"""
+
+
 def q_avro_roundtrip_orders(spark, sf_dir):
     """Avro as a user-facing table format (sources/avro_table.py over
     the pure-Python container codec in sources/avro_io.py): orders
@@ -9352,9 +9551,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mix_sources": q_temperature_mix_sources,  # last driver check: r9
     "profile_customer": q_profile_customer,  # last driver check: r9
     "c4_clean_docs": q_c4_clean_docs,  # last driver check: r9
-    "cohort_retention_weekly": q_cohort_retention_weekly,  # last driver check: r9
-    "embedding_label_centroids": q_embedding_label_centroids,  # last driver check: r9
+    "delta_column_mapping_write_orders": q_delta_column_mapping_write_orders,  # NEW r13: writes into a name-mapped table, value-oracled
+    "delta_id_mode_orders": q_delta_id_mode_orders,  # NEW r13: id-mode (field-id matched) read + write, value-oracled
     # ---- below the 50-slot driver window from here down ----
+    "cohort_retention_weekly": q_cohort_retention_weekly,  # r9 green; displaced for the r13 column-mapping-write query
+    "embedding_label_centroids": q_embedding_label_centroids,  # r9 green; displaced for the r13 id-mode query
     # (r12-window greens displaced after their r12 driver pass; prior
     #  relative order preserved below.)
     "delta_dv_orders": q_delta_dv_orders,
@@ -9740,6 +9941,8 @@ _ORACLES: dict[str, str] = {
     "iceberg_transform_prune_orders": SQL_ICEBERG_TRANSFORM_PRUNE,
     "avro_roundtrip_orders": SQL_AVRO_ROUNDTRIP,
     "delta_column_mapping_orders": SQL_DELTA_COLUMN_MAPPING,
+    "delta_column_mapping_write_orders": SQL_DELTA_CM_WRITE,
+    "delta_id_mode_orders": SQL_DELTA_ID_MODE,
     "delta_cdf_orders": SQL_DELTA_CDF,
     "stream_delta_source_orders": SQL_STREAM_DELTA_SOURCE,
     "stream_iceberg_source_orders": SQL_STREAM_ICEBERG_SOURCE,

@@ -786,23 +786,133 @@ class TestColumnMapping:
             if "add" in a:
                 assert set(a["add"]["partitionValues"]) == {"col-ppp"}
 
-    def test_write_into_mapped_table_is_loud(self, spark, tbl):
+    def test_write_into_name_mapped_table(self, spark, tbl):
+        """r13: appends translate logical -> physical (nested
+        included) so the staged parquet carries the table's physical
+        layout and the commit keeps physical partition keys."""
+        from wrangle_pypes_spark.sources.delta import (
+            delta_delete_where,
+        )
         self._mapped_table(spark, tbl)
-        df = spark.range(3).select(
+        df = spark.range(20, 23).select(
             F.col("id").alias("k"),
-            F.struct(F.lit("z").alias("v")).alias("info"),
+            F.struct(F.concat(F.lit("v"), F.col("id"))
+                     .alias("v")).alias("info"),
             F.lit("x").alias("p"))
-        with pytest.raises(DeltaProtocolError, match="column-mapping"):
-            write_delta(df, tbl)
+        v = write_delta(df, tbl)
+        assert v == 1
+        out = read_delta(spark, tbl)
+        assert sorted(r["k"] for r in out.collect()) \
+            == list(range(5)) + list(range(10, 15)) \
+            + list(range(20, 23))
+        assert out.filter("p = 'x'").filter("k >= 20").count() == 3
+        # the staged file itself must carry PHYSICAL column names
+        import pyarrow.parquet as pq
+        text = open(os.path.join(
+            tbl, "_delta_log", f"{1:020d}.json")).read()
+        add = next(json.loads(ln)["add"]
+                   for ln in text.splitlines()
+                   if "\"add\"" in ln)
+        assert set(add["partitionValues"]) == {"col-ppp"}
+        names = pq.ParquetFile(
+            os.path.join(tbl, add["path"])).schema_arrow.names
+        assert names == ["col-aaa", "col-bbb"]
+        # row-level DELETE composes with the appended file
+        delta_delete_where(spark, tbl, "k >= 21")
+        assert sorted(r["k"] for r in
+                      read_delta(spark, tbl).collect()) \
+            == list(range(5)) + list(range(10, 15)) + [20]
 
-    def test_id_mode_still_gates(self, spark, tbl):
-        schema = T.StructType([T.StructField("k", T.LongType())])
-        m = _meta(schema)
-        m["metaData"]["configuration"] = {
-            "delta.columnMapping.mode": "id"}
-        _commit(tbl, 0, [_PROTO, m])
-        with pytest.raises(DeltaProtocolError, match="id"):
-            delta_snapshot(spark, tbl)
+    def _id_mode_table(self, spark, tbl):
+        """Foreign id-mode table: parquet columns under arbitrary
+        physical names matched ONLY by field id."""
+        import pandas as pd
+        schema_json = {
+            "type": "struct", "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName":
+                                  "col-k1"}},
+                {"name": "info", "nullable": True,
+                 "type": {"type": "struct", "fields": [
+                     {"name": "v", "type": "string",
+                      "nullable": True,
+                      "metadata": {"delta.columnMapping.id": 3,
+                                   "delta.columnMapping.physicalName":
+                                       "col-v3"}}]},
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName":
+                                  "col-i2"}},
+            ]}
+        wschema = T.StructType([
+            T.StructField("col-k1", T.LongType(), True,
+                          {"parquet.field.id": 1}),
+            T.StructField("col-i2", T.StructType([
+                T.StructField("col-v3", T.StringType(), True,
+                              {"parquet.field.id": 3})]), True,
+                          {"parquet.field.id": 2}),
+        ])
+        pdf = pd.DataFrame(
+            [(i, (f"v{i}",)) for i in range(6)],
+            columns=["col-k1", "col-i2"])
+        os.makedirs(tbl, exist_ok=True)
+        spark.createDataFrame(pdf, wschema).coalesce(1) \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(tbl, "_stage"))
+        part = next(n for n in os.listdir(os.path.join(tbl, "_stage"))
+                    if n.endswith(".parquet"))
+        os.replace(os.path.join(tbl, "_stage", part),
+                   os.path.join(tbl, "d0.parquet"))
+        shutil.rmtree(os.path.join(tbl, "_stage"))
+        meta = {"metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema_json),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "3"},
+        }}
+        proto = {"protocol": {"minReaderVersion": 2,
+                              "minWriterVersion": 5}}
+        _commit(tbl, 0, [proto, meta,
+                         {"add": {"path": "d0.parquet",
+                                  "partitionValues": {}, "size": 1,
+                                  "modificationTime": 0,
+                                  "dataChange": True}}])
+
+    def test_id_mode_read(self, spark, tbl):
+        """r13: id-mode tables read by parquet FIELD ID — physical
+        names are arbitrary and never consulted."""
+        self._id_mode_table(spark, tbl)
+        out = read_delta(spark, tbl)
+        assert out.schema.fieldNames() == ["k", "info"]
+        rows = sorted((r["k"], r["info"]["v"])
+                      for r in out.collect())
+        assert rows == [(i, f"v{i}") for i in range(6)]
+
+    def test_id_mode_write_roundtrip(self, spark, tbl):
+        """r13: appends into an id-mode table carry parquet field ids
+        so foreign id-mode readers can match the new files."""
+        import pyarrow.parquet as pq
+        self._id_mode_table(spark, tbl)
+        df = spark.range(10, 13).select(
+            F.col("id").alias("k"),
+            F.struct(F.concat(F.lit("v"), F.col("id"))
+                     .alias("v")).alias("info"))
+        assert write_delta(df, tbl) == 1
+        out = read_delta(spark, tbl)
+        assert sorted(r["k"] for r in out.collect()) \
+            == list(range(6)) + list(range(10, 13))
+        text = open(os.path.join(
+            tbl, "_delta_log", f"{1:020d}.json")).read()
+        add = next(json.loads(ln)["add"]
+                   for ln in text.splitlines() if "\"add\"" in ln)
+        s = pq.ParquetFile(
+            os.path.join(tbl, add["path"])).schema_arrow
+        assert s.field(0).metadata[b"PARQUET:field_id"] == b"1"
+        assert s.field(1).metadata[b"PARQUET:field_id"] == b"2"
+        assert s.field(1).type.field(0) \
+            .metadata[b"PARQUET:field_id"] == b"3"
 
 
 class TestChangeDataFeed:

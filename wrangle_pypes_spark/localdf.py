@@ -1,0 +1,42 @@
+"""Local metadata rows as DataFrames — through Arrow, never pickled
+Python partitions.
+
+Plain ``spark.createDataFrame(rows)`` ships local rows as PICKLED
+PYTHON RDD partitions (``defaultParallelism`` of them), so every
+downstream evaluation pays ~0.2 s of Python-worker round-trip PER
+PARTITION — measured 7.9 s vs 0.16 s for a 50-row list on local[32].
+That tax lands exactly on the metadata-scale plans this engine builds
+constantly: Delta/Iceberg file state, manifest-store probes, broadcast
+key lists, DV descriptors, ledger listings.  ``local_df`` routes
+through the pandas/Arrow conversion instead (JVM-side record batches,
+free to evaluate); empty inputs become a 0-row JVM Range projection
+(empty pandas silently falls back to the pickled path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def local_df(spark: SparkSession, rows: list,
+             schema) -> DataFrame:
+    """``rows`` (tuples matching ``schema``, which may be a StructType
+    or a DDL string) as a DataFrame whose evaluation never spawns
+    Python workers.  Falls back to plain ``createDataFrame`` when the
+    Arrow conversion can't represent a value (correctness over
+    speed)."""
+    import pandas as pd
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    if not rows:
+        return spark.range(0).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name)
+              for f in schema.fields])
+    try:
+        pdf = pd.DataFrame(rows,
+                           columns=[f.name for f in schema.fields])
+        return spark.createDataFrame(pdf, schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema)

@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
+from ..localdf import local_df
 from pyspark.sql import functions as F
 
 
@@ -332,8 +333,8 @@ def _cap_hot_lsh_buckets(banded: DataFrame, max_bucket: Optional[int],
         "other bands; raise max_bucket to widen the cap.",
         stacklevel=3)
     spark = banded.sparkSession
-    hotk = F.broadcast(spark.createDataFrame(
-        [(r["band"], r["bhash"]) for r in hot_rows],
+    hotk = F.broadcast(local_df(
+        spark, [(r["band"], r["bhash"]) for r in hot_rows],
         banded.select("band", "bhash").schema))
     cold = banded.join(hotk, ["band", "bhash"], "left_anti")
     w = Window.partitionBy("band", "bhash").orderBy(F.col(id_col).asc())

@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
+from ..localdf import local_df
 from pyspark.sql import functions as F
 
 
@@ -428,8 +429,8 @@ def profile(df: DataFrame, cols: Optional[Sequence[str]] = None, *,
         (c, dtypes[c], row["_n"], row[f"_null_{c}"], row[f"_dist_{c}"],
          row[f"_min_{c}"], row[f"_max_{c}"], row[f"_mean_{c}"])
         for c in names]
-    return df.sparkSession.createDataFrame(
-        records,
+    return local_df(
+        df.sparkSession, records,
         "column string, dtype string, n bigint, n_null bigint, "
         "n_distinct bigint, min_value string, max_value string, "
         "mean double")
@@ -681,8 +682,8 @@ def assign_sequential_ids(df: DataFrame, order_cols: Sequence[str], *,
         offsets[r["_pid"]] = acc
         acc += r["_n"]
     spark = df.sparkSession
-    off = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()],
+    off = local_df(
+        spark, [(int(p), int(o)) for p, o in offsets.items()],
         "_pid int, _off long")
     # partition-local record index WITHOUT a window (a window
     # partitioned by _pid would re-shuffle the whole table — the

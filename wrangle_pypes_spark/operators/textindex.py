@@ -64,6 +64,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import fsutil
+from ..localdf import local_df
 from ..functions.text import tokens
 from ..sources.manifest import manifest_lookup, manifest_merge
 
@@ -351,8 +352,8 @@ def text_index_search(spark: SparkSession, store_path: str,
     if max_df is not None and max_df < 1:
         raise ValueError("max_df must be >= 1")
     terms = sorted({t.lower() for t in query_terms})
-    probes = spark.createDataFrame(
-        [(t,) for t in terms + [STATS_KEY]], "token string")
+    probes = local_df(
+        spark, [(t,) for t in terms + [STATS_KEY]], "token string")
     rows = manifest_lookup(spark, store_path, probes)
     if rows is None:
         raise ValueError(f"no index committed at {store_path!r}")
@@ -503,8 +504,8 @@ def text_index_topk(spark: SparkSession, store_path: str,
     if max_df is not None and max_df < 1:
         raise ValueError("max_df must be >= 1")
     terms = sorted({t.lower() for t in query_terms})
-    probes = spark.createDataFrame(
-        [(t,) for t in terms + [STATS_KEY]], "token string")
+    probes = local_df(
+        spark, [(t,) for t in terms + [STATS_KEY]], "token string")
     rows = manifest_lookup(spark, store_path, probes)
     if rows is None:
         raise ValueError(f"no index committed at {store_path!r}")
@@ -582,8 +583,9 @@ def text_index_topk(spark: SparkSession, store_path: str,
 
     kept, _ = _plan_topk_blocks(metas, theta, k1=k1, b=b,
                                 n_docs=n_docs, avgdl=avgdl)
-    keep_df = spark.createDataFrame(
-        [(t, blk) for t, blk in sorted(kept)], "token string, block int")
+    keep_df = local_df(
+        spark, [(t, blk) for t, blk in sorted(kept)],
+        "token string, block int")
     hits = _explode(toks.join(F.broadcast(keep_df),
                               ["token", "block"], "left_semi"))
     scored = (hits.select("_doc", score.alias("_s"))
@@ -637,8 +639,8 @@ def text_index_phrase(spark: SparkSession, store_path: str,
                 "never stored, so every phrase containing them would "
                 "return empty regardless of the corpus. Rebuild "
                 "without those stop tokens to serve this phrase.")
-    probes = spark.createDataFrame(
-        [(t,) for t in sorted(set(terms))], "token string")
+    probes = local_df(
+        spark, [(t,) for t in sorted(set(terms))], "token string")
     rows = manifest_lookup(spark, store_path, probes)
     if rows is None:
         raise ValueError(f"no index committed at {store_path!r}")

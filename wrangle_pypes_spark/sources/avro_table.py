@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from .. import fsutil
+from ..localdf import local_df
 from .avro_io import AvroError, read_container, write_container
 
 _SPARK_TO_AVRO = {
@@ -187,7 +188,8 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
                     {c: [r.get(c) for r in records]
                      for c in col_names})
 
-    paths_df = spark.createDataFrame(
+    paths_df = local_df(
+        spark,
         [(fsutil._strip_file_scheme(n) if fsutil.is_local(n) else n,)
          for n in names], "path string")
     n_tasks = max(1, min(len(names),

@@ -28,6 +28,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import fsutil
+from ..localdf import local_df
 
 _MANIFEST_RE = re.compile(r"^_m(\d{6})\.json$")
 _ACID_V_RE = re.compile(r"^_v(\d{6})$")
@@ -207,7 +208,8 @@ def describe_store(spark: SparkSession, path: str) -> Optional[DataFrame]:
             epoch = int(side["epoch"])
         detail = ("cluster_by=" + ",".join(side["cluster_by"])
                   + ("|zorder" if len(side["cluster_by"]) > 1 else ""))
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(path, kind, version, epoch, n_buckets, n_parts, n_kept,
           n_files, detail)],
         "path string, kind string, version int, epoch int, "

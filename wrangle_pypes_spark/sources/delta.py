@@ -21,10 +21,14 @@ Spark DataFrame calls:
   pure-Python roaring codec in sources/dv.py and apply as a
   position anti-join on ``_metadata.file_path``/``row_index`` —
   the same shape the Iceberg reader uses for position deletes.
-  **Column mapping (name mode)** is read-supported: data files carry
-  physical column names, the scan reads the physical schema and
-  renames (nested included) back to the logical view, and partition
-  filters accept logical names.
+  **Column mapping** is supported in BOTH modes: name-mode data
+  files carry physical column names — the scan reads the physical
+  schema and renames (nested included) back to the logical view —
+  and id-mode files match by PARQUET FIELD ID
+  (``spark.sql.parquet.fieldId.read.enabled`` with
+  ``parquet.field.id`` metadata derived from
+  ``delta.columnMapping.id``); partition filters accept logical
+  names in both.
 - **Writer**: ``mode='append' | 'overwrite'`` + ``replace_where=``
   (partition-scoped overwrite), hive-style partition layout, commits
   published with PUT-IF-ABSENT (O_EXCL locally, ``fs.create(path,
@@ -43,13 +47,16 @@ Spark DataFrame calls:
   ``delta_vacuum`` cover the ops surface (DESCRIBE HISTORY / VACUUM
   semantics, retention window included).
 
-Honest gates (loud, never silent): id-mode column mapping (parquet
-field-id matching, which the stock Spark scan cannot address) and
-data-file writes INTO column-mapping tables raise
-``NotImplementedError`` naming the feature; object stores without
-atomic create-if-absent (S3 without a commit coordinator) are exactly
-as unsupported here as in Delta itself and fail on the exclusive
-create.
+Writes into column-mapped tables translate logical -> physical for
+staging (physical column names nested included, parquet field ids
+riding the cast) so foreign readers of either mode can match the new
+files; the commit keeps physical-keyed partitionValues.
+
+Honest gates (loud, never silent): reader features beyond
+``_SUPPORTED_READER_FEATURES`` raise ``NotImplementedError`` naming
+the feature; object stores without atomic create-if-absent (S3
+without a commit coordinator) are exactly as unsupported here as in
+Delta itself and fail on the exclusive create.
 
 Scale notes: snapshot state is a DATAFRAME, not driver memory — the
 checkpoint's add/remove actions stay in a Spark plan, the JSON tail
@@ -146,29 +153,9 @@ def _dv_tuple(dvd: Optional[dict]):
             dvd.get("cardinality"))
 
 
-def _local_df(spark: SparkSession, rows: list,
-              schema: T.StructType) -> DataFrame:
-    """Local metadata rows as a DataFrame through the pandas/Arrow
-    path.  Plain ``createDataFrame(rows)`` ships the rows as PICKLED
-    PYTHON RDD partitions (defaultParallelism of them), so every
-    downstream evaluation pays ~0.2 s of Python-worker startup PER
-    PARTITION — measured 7.9 s vs 0.16 s for a 50-row list on
-    local[32].  The Arrow conversion lands JVM-side record batches
-    instead; commit-metadata plans (file state, DV descriptors,
-    checkpoint singletons) evaluate for free."""
-    import pandas as pd
-    if isinstance(schema, str):
-        schema = T._parse_datatype_string(schema)
-    if not rows:
-        rows = None  # empty frame; dtypes come from the schema
-    try:
-        pdf = pd.DataFrame(rows,
-                           columns=[f.name for f in schema.fields])
-        return spark.createDataFrame(pdf, schema)
-    except Exception:
-        # Arrow path unavailable (disabled conf, exotic type):
-        # correctness over speed
-        return spark.createDataFrame(rows or [], schema)
+# local metadata rows through Arrow, never pickled Python partitions
+# (see wrangle_pypes_spark.localdf for the numbers)
+from ..localdf import local_df as _local_df
 
 
 # ---------------------------------------------------------------------------
@@ -264,8 +251,10 @@ class DeltaSnapshot:
 
     def column_mapping(self) -> Optional[tuple[dict, dict]]:
         """(logical -> physical, physical -> logical) top-level name
-        maps when column mapping is active, else None."""
-        if _mapping_mode(self.metadata) != "name":
+        maps when column mapping is active (name OR id mode — log
+        partitionValues/partitionColumns carry physical names in
+        both), else None."""
+        if _mapping_mode(self.metadata) not in ("name", "id"):
             return None
         log2phys = {f.name: _physical_name(f)
                     for f in self.schema.fields}
@@ -400,12 +389,10 @@ def _check_protocol(proto: dict) -> None:
 def _check_metadata(meta: dict) -> None:
     conf = meta.get("configuration") or {}
     mapping = conf.get("delta.columnMapping.mode", "none")
-    if mapping not in ("none", "", "name"):
-        # "id" matches parquet field ids, which the stock Spark scan
-        # cannot address; "name" (physical-name based) is supported
+    if mapping not in ("none", "", "name", "id"):
         raise DeltaProtocolError(
             f"Delta column mapping mode {mapping!r} not implemented "
-            "(supported: name)")
+            "(supported: name, id)")
 
 
 def _mapping_mode(meta: dict) -> str:
@@ -434,6 +421,75 @@ def _physical_type(dt: T.DataType) -> T.DataType:
         return T.MapType(_physical_type(dt.keyType),
                          _physical_type(dt.valueType),
                          dt.valueContainsNull)
+    return dt
+
+
+def _mapping_id(f: T.StructField):
+    v = (f.metadata or {}).get("delta.columnMapping.id")
+    return None if v is None else int(v)
+
+
+def _fieldid_meta(f: T.StructField, *, required: bool) -> dict:
+    """``{'parquet.field.id': N}`` from a field's column-mapping id —
+    the metadata key Spark's parquet reader/writer matches on when
+    ``spark.sql.parquet.fieldId.{read,write}.enabled`` is set."""
+    fid = _mapping_id(f)
+    if fid is None:
+        if required:
+            raise DeltaProtocolError(
+                f"column mapping id missing for field {f.name!r} — "
+                "an id-mode table must carry delta.columnMapping.id "
+                "on every field")
+        return {}
+    return {"parquet.field.id": fid}
+
+
+def _fieldid_read_type(dt: T.DataType) -> T.DataType:
+    """Type tree under LOGICAL names with parquet.field.id metadata —
+    the read schema for id-mode tables: Spark matches parquet columns
+    by field id, so no rename pass is needed afterwards."""
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, _fieldid_read_type(f.dataType),
+                          f.nullable,
+                          _fieldid_meta(f, required=True))
+            for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_fieldid_read_type(dt.elementType),
+                           dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_fieldid_read_type(dt.keyType),
+                         _fieldid_read_type(dt.valueType),
+                         dt.valueContainsNull)
+    return dt
+
+
+def _physical_write_type(dt: T.DataType, *,
+                         with_ids: bool) -> T.DataType:
+    """Type tree under PHYSICAL names, optionally carrying
+    parquet.field.id metadata — the staging schema for writes into
+    column-mapped tables (ids ride the cast into the parquet
+    footer)."""
+    if isinstance(dt, T.StructType):
+        # ids attach whenever the table carries them (name mode
+        # included — Delta writes both); ``with_ids`` only makes a
+        # missing id an error (id mode can't match without them)
+        return T.StructType([
+            T.StructField(_physical_name(f),
+                          _physical_write_type(f.dataType,
+                                               with_ids=with_ids),
+                          f.nullable,
+                          _fieldid_meta(f, required=with_ids))
+            for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(
+            _physical_write_type(dt.elementType, with_ids=with_ids),
+            dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_write_type(dt.keyType, with_ids=with_ids),
+            _physical_write_type(dt.valueType, with_ids=with_ids),
+            dt.valueContainsNull)
     return dt
 
 
@@ -802,13 +858,17 @@ def _scan_adds(spark: SparkSession, snap: DeltaSnapshot,
     """The table-schema scan over ``adds`` (hive-consistent single
     scan when the layout allows, else per-partition-tuple groups).
     ``with_meta`` appends (_dl_fp, _dl_ri) row-address columns for
-    deletion-vector merging.  Under column mapping (name mode) data
-    files carry PHYSICAL column names: the scan reads the physical
+    deletion-vector merging.  Under column mapping data files carry
+    PHYSICAL column names: in NAME mode the scan reads the physical
     schema and renames back to logical (struct casts rename nested
-    fields positionally), and the hive fast path naturally falls back
-    to grouped scans because physical dir names can't match logical
+    fields positionally); in ID mode the scan matches parquet columns
+    by FIELD ID (read schema carries parquet.field.id under logical
+    names, ``spark.sql.parquet.fieldId.read.enabled``), so no rename
+    pass exists.  The hive fast path naturally falls back to grouped
+    scans because physical dir names can't match logical
     partitionValues."""
     maps = snap.column_mapping()
+    mode = _mapping_mode(snap.metadata)
     fields = {f.name: f.dataType for f in snap.schema.fields}
     pcols = snap.logical_partition_columns
     want = [f.name for f in snap.schema.fields]
@@ -817,6 +877,15 @@ def _scan_adds(spark: SparkSession, snap: DeltaSnapshot,
     if maps is None:
         data_schema = T.StructType(data_fields)
         rename = None
+    elif mode == "id":
+        data_schema = T.StructType([
+            T.StructField(f.name, _fieldid_read_type(f.dataType),
+                          f.nullable,
+                          _fieldid_meta(f, required=True))
+            for f in data_fields])
+        rename = None
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
+                       "true")
     else:
         data_schema = T.StructType([
             T.StructField(maps[0].get(f.name, f.name),
@@ -1127,19 +1196,13 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
         base_actions = [{"protocol": proto}, {"metaData": meta}]
         next_version = 0
     else:
-        if _mapping_mode(current.metadata) != "none":
-            # staging writes logical-named parquet; mixing that into a
-            # physical-named table would corrupt it — reads (and DV
-            # deletes, which rewrite no data) are the supported surface
-            raise DeltaProtocolError(
-                "writing data files into a column-mapping table is "
-                "not implemented (reads and delta_delete_where are)")
         if partition_by is not None \
-                and list(partition_by) != current.partition_columns:
+                and list(partition_by) != current.partition_columns \
+                and list(partition_by) \
+                != current.logical_partition_columns:
             raise ValueError(
                 f"partition_by {list(partition_by)} != table's "
-                f"{current.partition_columns}")
-        partition_by = current.partition_columns
+                f"{current.logical_partition_columns}")
         if [f.name for f in df.schema.fields] \
                 != [f.name for f in current.schema.fields]:
             raise ValueError(
@@ -1151,6 +1214,24 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
             raise ValueError(
                 "schema type mismatch (no evolution support): "
                 + "; ".join(drift))
+        mode_cm = _mapping_mode(current.metadata)
+        if mode_cm in ("name", "id"):
+            # translate logical -> physical for staging: physical
+            # column names (nested included, via cast) and — so a
+            # foreign id-mode reader can match — parquet field ids
+            # from delta.columnMapping.id riding the schema metadata
+            with_ids = (mode_cm == "id")
+            cols = []
+            for f in current.schema.fields:
+                pt = _physical_write_type(f.dataType,
+                                          with_ids=with_ids)
+                cols.append(
+                    F.col(f.name).cast(pt).alias(
+                        _physical_name(f),
+                        metadata=_fieldid_meta(f,
+                                               required=with_ids)))
+            df = df.select(*cols)
+        partition_by = current.partition_columns  # physical names
         base_actions = []
         next_version = current.version + 1
 

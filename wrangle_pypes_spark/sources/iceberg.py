@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import fsutil
+from ..localdf import local_df
 from .avro_io import read_container_file
 
 
@@ -481,8 +482,8 @@ def iceberg_snapshot(spark: SparkSession, table: str, *,
                         yield pd.DataFrame(out,
                                            columns=["kind", "rec"])
 
-        wdf = spark.createDataFrame(
-            [(p, c, s, sid) for p, c, s, sid in work],
+        wdf = local_df(
+            spark, [(p, c, s, sid) for p, c, s, sid in work],
             "m_path string, content int, ml_seq long, sid int")
         n_tasks = max(1, min(len(work),
                              spark.sparkContext.defaultParallelism))
@@ -606,7 +607,7 @@ def read_iceberg(spark: SparkSession, table: str, *,
                             as_of_timestamp_ms=as_of_timestamp_ms,
                             partition_filter=partition_filter)
     if not snap.files:
-        return spark.createDataFrame([], snap.schema)
+        return local_df(spark, [], snap.schema)
     want = [f.name for f in snap.schema.fields]
     # merge-on-read: with live delete files, every data row carries
     # (file, row_index, data sequence) so the delete joins can apply
@@ -654,7 +655,8 @@ def _apply_row_deletes(spark, snap: IcebergSnapshot, d: DataFrame):
     anti-join on (file, pos), equality deletes a broadcast-friendly
     key join against per-key max delete sequences."""
     seq_rows = [(f["path"], int(f["seq"])) for f in snap.files]
-    seq_df = spark.createDataFrame(seq_rows, "_ice_p string, _ice_seq long") \
+    seq_df = local_df(spark, seq_rows,
+                      "_ice_p string, _ice_seq long") \
         .withColumn("_ice_p", _norm_uri(F.col("_ice_p")))
     d = (d.withColumn("_ice_np", _norm_uri(F.col("_ice_fp")))
          .join(F.broadcast(seq_df),

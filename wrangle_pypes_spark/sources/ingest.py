@@ -34,6 +34,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from ..localdf import local_df
 from pyspark.sql import functions as F
 
 _LEDGER_SCHEMA = ("file string, size_bytes long, mtime_ms long, "
@@ -62,7 +63,7 @@ def read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
     """The ledger table (empty with the right schema when absent)."""
     from .. import fsutil
     if not fsutil.dir_exists(ledger_path, spark):
-        return spark.createDataFrame([], _LEDGER_SCHEMA)
+        return local_df(spark, [], _LEDGER_SCHEMA)
     return spark.read.parquet(ledger_path)
 
 
@@ -74,8 +75,8 @@ def discover_new_files(spark: SparkSession, pattern: str, *,
     same path + same size is considered processed regardless of mtime
     (copies/rsyncs touch mtimes).
     """
-    listing = spark.createDataFrame(
-        _list_files(spark, pattern) or [],
+    listing = local_df(
+        spark, _list_files(spark, pattern) or [],
         "file string, size_bytes long, mtime_ms long")
     seen = read_ledger(spark, ledger_path).select("file", "size_bytes")
     return listing.join(seen, ["file", "size_bytes"], "left_anti")

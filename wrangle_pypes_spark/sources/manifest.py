@@ -70,6 +70,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import fsutil
+from ..localdf import local_df
 
 _PTR = "_ptr.json"
 _BKT = "bkt"  # partition dir prefix; NOT underscore-led (Spark hides those)
@@ -565,9 +566,9 @@ def manifest_stats(spark: SparkSession, path: str) -> Optional[DataFrame]:
         version = int(rel.split("/")[1][1:])
         rows.append((int(b), rel, version, int(per_dir.get(rel, 0)),
                      len(files), nbytes))
-    return spark.createDataFrame(
-        rows, "bucket int, dir string, written_version int, "
-              "rows bigint, files int, bytes bigint")
+    return local_df(
+        spark, rows, "bucket int, dir string, written_version int, "
+                     "rows bigint, files int, bytes bigint")
 
 
 def manifest_lookup(spark: SparkSession, path: str,
@@ -619,8 +620,8 @@ def manifest_lookup(spark: SparkSession, path: str,
 
         if man.get("schema") is None:
             return None  # pre-schema legacy manifest: shape unknown
-        return spark.createDataFrame(
-            [], T.StructType.fromJson(man["schema"]))
+        return local_df(
+            spark, [], T.StructType.fromJson(man["schema"]))
     return stored.join(F.broadcast(want), kcols, "left_semi")
 
 
@@ -648,9 +649,9 @@ def manifest_history(spark: SparkSession, path: str) -> Optional[DataFrame]:
         rows.append((int(man["version"]), int(man["epoch"]),
                      int(man["n_buckets"]), len(man["buckets"]),
                      v == cur[0]))
-    return spark.createDataFrame(
-        rows, "version int, epoch int, n_buckets int, "
-              "n_nonempty_buckets int, is_head boolean")
+    return local_df(
+        spark, rows, "version int, epoch int, n_buckets int, "
+                     "n_nonempty_buckets int, is_head boolean")
 
 
 def manifest_merge_into(source: DataFrame, path: str, *,
@@ -742,9 +743,9 @@ def manifest_merge_into(source: DataFrame, path: str, *,
         # legacy store the matched clauses are vacuous, so build the
         # empty stored half from the SOURCE's columns (validated
         # above to carry every store column when inserting).
-        stored = spark.createDataFrame(
-            [], T.StructType([source.schema[c] for c in keys]
-                             + [fields[c] for c in vals]))
+        stored = local_df(
+            spark, [], T.StructType([source.schema[c] for c in keys]
+                                    + [fields[c] for c in vals]))
     pair = source.join(
         stored.select(*keys, F.lit(True).alias("_mi_hit"),
                       *[F.col(c).alias(f"_stored_{c}") for c in vals]),
@@ -886,7 +887,7 @@ def manifest_changes(spark: SparkSession, path: str, *,
         # under the proper schema (not None — callers chain filters)
         if not by_name:
             return None  # pre-schema legacy store: shape unknown
-        return spark.createDataFrame([], T.StructType(
+        return local_df(spark, [], T.StructType(
             [by_name[c] for c in ordered]
             + [T.StructField(op_col, T.StringType(), False)]))
     if df_f is None:

@@ -67,6 +67,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import fsutil
+from ..localdf import local_df
 from . import manifest as _m
 
 _P = "p"  # partition dir prefix, e.g. p=2024-01
@@ -362,9 +363,9 @@ def pmanifest_history(spark: SparkSession, path: str
             continue  # vacuumed
         rows.append((v, int(doc["epoch"]), len(doc["parts"]),
                      v == root[0]))
-    return spark.createDataFrame(
-        rows, "version int, epoch int, n_partitions int, "
-              "is_head boolean")
+    return local_df(
+        spark, rows, "version int, epoch int, n_partitions int, "
+                     "is_head boolean")
 
 
 def pmanifest_merge(updates: DataFrame, path: str, partition_col: str,
@@ -683,8 +684,8 @@ def pmanifest_partitions(spark: SparkSession, path: str
             rows.append((urllib.parse.unquote(t), cur[0], cur[1]))
     if not rows:
         return None
-    return spark.createDataFrame(
-        rows, "partition string, version int, epoch int")
+    return local_df(
+        spark, rows, "partition string, version int, epoch int")
 
 
 def pmanifest_staged(spark: SparkSession, path: str
@@ -712,9 +713,10 @@ def pmanifest_staged(spark: SparkSession, path: str
         if base is None or cur[0] != base:
             rows.append((urllib.parse.unquote(t), cur[0], cur[1],
                          base))
-    return spark.createDataFrame(
-        rows, "partition string, head_version int, head_epoch int, "
-              "root_version int")
+    return local_df(
+        spark, rows,
+        "partition string, head_version int, head_epoch int, "
+        "root_version int")
 
 
 def pmanifest_heal_staged(path: str, *, mode: str = "rollback",

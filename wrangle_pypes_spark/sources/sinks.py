@@ -23,6 +23,7 @@ import os
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
+from ..localdf import local_df
 
 
 def write_parquet(df: DataFrame, path: str, *,
@@ -471,7 +472,8 @@ def audit_parquet_layout(spark, path: str, *,
         min_rows = 0  # empty part files exist
     max_rows = int(row["mx"] or 0)
     avg = round(total_rows / n_files, 2) if n_files else 0.0
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(n_files, total_bytes, total_rows, min_rows, max_rows,
           avg, n_small)],
         "n_files long, total_bytes long, total_rows long, "

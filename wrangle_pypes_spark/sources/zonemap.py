@@ -60,6 +60,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import fsutil
+from ..localdf import local_df
 
 _SIDECAR = "_zonemap.json"
 _ZV = "_zm_zorder"  # transient cluster column for the multi-column path
@@ -302,7 +303,7 @@ def zonemap_read(spark: SparkSession, path: str, *,
     kept, _total = zonemap_files(path, between=between, eq=eq,
                                  spark=spark)
     if not kept:
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     df = spark.read.schema(schema).parquet(
         *[_join(path, f) for f in kept])
     for col, (lo, hi) in (between or {}).items():
@@ -572,6 +573,6 @@ def zonemap_stats(spark: SparkSession, path: str) -> DataFrame:
                          None if st["min"] is None else str(st["min"]),
                          None if st["max"] is None else str(st["max"]),
                          int(st["nulls"])))
-    return spark.createDataFrame(
-        rows, "file string, rows bigint, col string, "
-              "min string, max string, nulls bigint")
+    return local_df(
+        spark, rows, "file string, rows bigint, col string, "
+                     "min string, max string, nulls bigint")

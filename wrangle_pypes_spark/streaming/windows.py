@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..localdf import local_df
+
 
 def stream_table(spark: SparkSession, sf_dir: str, table: str,
                  schema: Optional[T.StructType] = None) -> DataFrame:
@@ -985,8 +987,8 @@ def foreach_batch_get_or_create_upsert(stream_df: DataFrame, pipeline,
             if state["rows"] is None:  # resume: one exact count, ever
                 state["rows"] = dim.count()
         else:
-            dim = spark.createDataFrame(
-                [], pipeline.schema_for(model, batch_df))
+            dim = local_df(
+                spark, [], pipeline.schema_for(model, batch_df))
             state["rows"] = 0
         result, _ = pipeline.get_or_create(model, batch_df, dim,
                                            match_targets,
@@ -1080,9 +1082,10 @@ class StreamMetricsCollector:
                   "processed_rows_per_sec double, "
                   "batch_duration_ms long, state_rows_total long")
         if not self.progress:
-            return spark.createDataFrame([], schema)
-        return spark.createDataFrame(
-            [tuple(d.values()) for d in self.progress], schema)
+            return local_df(spark, [], schema)
+        return local_df(
+            spark, [tuple(d.values()) for d in self.progress],
+            schema)
 
 
 
