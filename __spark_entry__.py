@@ -7462,6 +7462,59 @@ FROM final GROUP BY o_orderstatus
 """
 
 
+def q_iceberg_pos_delete_orders(spark, sf_dir):
+    """Iceberg row-level DELETE via POSITION deletes (r13
+    ``iceberg_delete_where`` — the twin of ``delta_delete_where``):
+    orders land as an append, a predicate delete retracts
+    ``o_orderkey % 4 = 0`` by row address (spec position-delete
+    parquet, reserved field ids, sorted), a SECOND delete composes on
+    the already-thinned state (``% 6 = 0`` — multiples of 12 are
+    already dead and must not re-match), then an append AFTER the
+    deletes re-inserts a slice that must SURVIVE (its data sequence
+    is newer than both delete sequences).  The final aggregate is
+    value-checked against the same composition in SQL — a wrong
+    sequence gate, an unsorted/mis-addressed delete file, or a
+    re-matched dead row all break the hash.  All metadata + joins;
+    no data file is rewritten."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.iceberg import (
+        iceberg_delete_where,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_iceposdel_") + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    write_iceberg(o, tbl, partition_by=["o_orderstatus"])
+    iceberg_delete_where(spark, tbl, "o_orderkey % 4 = 0")
+    iceberg_delete_where(spark, tbl, "o_orderkey % 6 = 0")
+    write_iceberg(
+        o.filter("o_orderkey % 12 = 0")
+         .withColumn("o_totalprice", F.col("o_totalprice") + 500.0),
+        tbl)
+    cur = read_iceberg(spark, tbl)
+    return (cur.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents")))
+
+
+SQL_ICEBERG_POS_DELETE = """
+WITH survivors AS (
+  SELECT o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 4 <> 0 AND o_orderkey % 6 <> 0
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice + 500.0
+  FROM orders WHERE o_orderkey % 12 = 0
+)
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM survivors GROUP BY o_orderstatus
+"""
+
+
 def q_zorder_col(spark, sf_dir):
     """Z-order (Morton) clustering value over two part dimensions —
     the multi-dimensional file-clustering layout (Delta OPTIMIZE ZORDER)
@@ -9550,10 +9603,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_static_enrich": q_stream_static_enrich,  # last driver check: r9
     "temperature_mix_sources": q_temperature_mix_sources,  # last driver check: r9
     "profile_customer": q_profile_customer,  # last driver check: r9
-    "c4_clean_docs": q_c4_clean_docs,  # last driver check: r9
+    "iceberg_pos_delete_orders": q_iceberg_pos_delete_orders,  # NEW r13: position-delete writer, value-oracled
     "delta_column_mapping_write_orders": q_delta_column_mapping_write_orders,  # NEW r13: writes into a name-mapped table, value-oracled
     "delta_id_mode_orders": q_delta_id_mode_orders,  # NEW r13: id-mode (field-id matched) read + write, value-oracled
     # ---- below the 50-slot driver window from here down ----
+    "c4_clean_docs": q_c4_clean_docs,  # r9 green; displaced for the r13 position-delete query
     "cohort_retention_weekly": q_cohort_retention_weekly,  # r9 green; displaced for the r13 column-mapping-write query
     "embedding_label_centroids": q_embedding_label_centroids,  # r9 green; displaced for the r13 id-mode query
     # (r12-window greens displaced after their r12 driver pass; prior
@@ -9942,6 +9996,7 @@ _ORACLES: dict[str, str] = {
     "avro_roundtrip_orders": SQL_AVRO_ROUNDTRIP,
     "delta_column_mapping_orders": SQL_DELTA_COLUMN_MAPPING,
     "delta_column_mapping_write_orders": SQL_DELTA_CM_WRITE,
+    "iceberg_pos_delete_orders": SQL_ICEBERG_POS_DELETE,
     "delta_id_mode_orders": SQL_DELTA_ID_MODE,
     "delta_cdf_orders": SQL_DELTA_CDF,
     "stream_delta_source_orders": SQL_STREAM_DELTA_SOURCE,

@@ -635,6 +635,74 @@ class TestRowLevelDeletes:
         assert ks == expect, (ks, kill_a, kill_b)
         assert kill_b in ks  # survived: its data is newer than the del
 
+    def test_delete_where_position_writer(self, spark, tmp_path):
+        """r13 iceberg_delete_where: predicate rows vanish, appended
+        rows after the delete survive even at matching positions,
+        repeated deletes compose, already-dead rows don't re-match."""
+        import pyarrow.parquet as pq
+
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_delete_where,
+            write_iceberg,
+        )
+
+        tbl = str(tmp_path / "pdw")
+        df = spark.range(0, 30).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("p"))
+        write_iceberg(df, tbl, partition_by=["p"])        # seq 1
+        sid = iceberg_delete_where(spark, tbl, "k % 4 = 0")
+        assert sorted(r["k"] for r in
+                      read_iceberg(spark, tbl).collect()) \
+            == [k for k in range(30) if k % 4 != 0]
+        # second predicate composes; multiples of 12 already dead
+        iceberg_delete_where(spark, tbl, "k % 6 = 0")
+        assert sorted(r["k"] for r in
+                      read_iceberg(spark, tbl).collect()) \
+            == [k for k in range(30) if k % 4 != 0 and k % 6 != 0]
+        # append AFTER the deletes: new rows survive (newer data seq)
+        write_iceberg(df.filter("k IN (0, 4, 6)"), tbl)
+        ks = sorted(r["k"] for r in read_iceberg(spark, tbl).collect())
+        assert 0 in ks and 4 in ks and 6 in ks and 8 not in ks
+        # time travel to before the deletes sees everything
+        assert read_iceberg(spark, tbl, snapshot_id=1).count() == 30
+        # no-match predicate commits nothing
+        snap0 = iceberg_snapshot(spark, tbl)
+        same = iceberg_delete_where(spark, tbl, "k = 99999")
+        assert same == snap0.snapshot_id
+        # the delete file is spec-shaped: reserved field ids + sorted
+        snap = iceberg_snapshot(spark, tbl)
+        pos_files = [f for f in snap.delete_files
+                     if f["content"] == 1]
+        assert len(pos_files) == 2
+        s = pq.ParquetFile(pos_files[0]["path"]).schema_arrow
+        assert s.field("file_path").metadata[b"PARQUET:field_id"] \
+            == b"2147483546"
+        assert s.field("pos").metadata[b"PARQUET:field_id"] \
+            == b"2147483545"
+        t = pq.read_table(pos_files[0]["path"]).to_pylist()
+        assert t == sorted(t, key=lambda r: (r["file_path"],
+                                             r["pos"]))
+
+    def test_delete_where_needs_v2(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import (
+            IcebergProtocolError,
+            iceberg_delete_where,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "pdv1")
+        write_iceberg(spark.range(3).select(F.col("id").alias("k")),
+                      tbl)
+        import json as _json
+        mdir = os.path.join(tbl, "metadata")
+        mf = os.path.join(mdir, "v1.metadata.json")
+        meta = _json.loads(open(mf).read())
+        meta["format-version"] = 1
+        with open(mf, "w") as f:
+            f.write(_json.dumps(meta))
+        with pytest.raises(IcebergProtocolError, match="format-ver"):
+            iceberg_delete_where(spark, tbl, "k = 1")
+
 
 class TestTransforms:
     """Partition transforms: spec Appendix B hash vectors, transform

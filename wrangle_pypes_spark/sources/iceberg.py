@@ -1233,67 +1233,36 @@ def uuid_hex(seed: str) -> str:
     return hashlib.md5(seed.encode()).hexdigest()
 
 
-def write_iceberg_deletes(keys_df: DataFrame, table: str, *,
-                          equality_cols: list) -> int:
-    """Publish an EQUALITY-delete snapshot (v2 merge-on-read): every
-    row in ``keys_df`` (columns = ``equality_cols``) deletes all data
-    rows with that key tuple whose data sequence is strictly older
-    than this snapshot's.  Returns the snapshot id.
-
-    Position deletes are read-supported but not written — the engine's
-    own row-level mutation story is the manifest store's MERGE; this
-    writer exists so pipeline-side retractions (GDPR keys, recalled
-    docs) can be expressed against an Iceberg table without rewriting
-    data files."""
-    spark = keys_df.sparkSession
-    meta_file = _current_metadata_file(table, spark)
-    meta = json.loads(fsutil.read_text(meta_file, spark))
-    cur_version = int(re.match(
-        r"^v?(\d+)", os.path.basename(meta_file)).group(1))
-    if int(meta.get("format-version", 1)) < 2:
-        raise IcebergProtocolError(
-            "equality deletes need format-version 2")
-    _, by_id = _schema_from_metadata(meta)
-    name_to_id = {v: k for k, v in by_id.items()}
-    unknown = [c for c in equality_cols if c not in name_to_id]
-    if unknown:
-        raise ValueError(f"equality_cols {unknown} not in table schema")
-    if sorted(keys_df.columns) != sorted(equality_cols):
-        raise ValueError(
-            f"keys_df columns {keys_df.columns} must equal "
-            f"equality_cols {list(equality_cols)}")
-
+def _publish_delete_snapshot(spark, table: str, meta: dict,
+                             cur_version: int, del_path: str,
+                             content: int,
+                             equality_ids: Optional[list]) -> int:
+    """Shared tail of the two delete writers: wrap ``del_path`` (an
+    already-staged delete parquet) in a delete manifest
+    (``data_file.content`` = 1 position / 2 equality), append a
+    delete-manifest entry on top of the current manifest list, and
+    publish the snapshot with put-if-absent.  Returns the snapshot
+    id."""
     import uuid as _uuid
     mdir = os.path.join(table, "metadata")
-    data_dir = os.path.join(table, "data")
-    fsutil.ensure_dir(data_dir, spark)
-    staging = os.path.join(table, f"_staging_{_uuid.uuid4().hex}")
-    keys_df.coalesce(1).write.mode("overwrite").parquet(staging)
-    part = next(n for n in fsutil.list_dir(staging, spark)
-                if n.endswith(".parquet"))
-    del_path = os.path.join(
-        data_dir, f"eqdel-{_uuid.uuid4().hex}.parquet")
-    fsutil.rename(os.path.join(staging, part), del_path, spark)
-    fsutil.delete(staging, spark=spark)
-
-    manifest_schema = _manifest_avro_schema([],
-                                            with_equality_ids=True)
+    manifest_schema = _manifest_avro_schema(
+        [], with_equality_ids=equality_ids is not None)
     snap_id = (max((int(s["snapshot-id"])
                     for s in meta.get("snapshots", [])), default=0) + 1)
     seq = int(meta.get("last-sequence-number", 0)) + 1
     from .avro_io import write_container_file
+    data_file = {
+        "content": content, "file_path": del_path,
+        "file_format": "PARQUET", "partition": {},
+        "record_count": _parquet_row_count(del_path),
+        "file_size_in_bytes": int(os.path.getsize(
+            fsutil._strip_file_scheme(del_path))),
+    }
+    if equality_ids is not None:
+        data_file["equality_ids"] = [int(i) for i in equality_ids]
     m_path = os.path.join(mdir, f"m-del-{_uuid.uuid4().hex}.avro")
     write_container_file(m_path, manifest_schema, [{
-        "status": 1, "snapshot_id": None,
-        "data_file": {
-            "content": 2, "file_path": del_path,
-            "file_format": "PARQUET", "partition": {},
-            "record_count": _parquet_row_count(del_path),
-            "file_size_in_bytes": int(os.path.getsize(
-                fsutil._strip_file_scheme(del_path))),
-            "equality_ids": [int(name_to_id[c])
-                             for c in equality_cols],
-        }}])
+        "status": 1, "snapshot_id": None, "data_file": data_file}])
     m_len = int(os.path.getsize(fsutil._strip_file_scheme(m_path)))
 
     prev_manifests = []
@@ -1334,6 +1303,130 @@ def write_iceberg_deletes(keys_df: DataFrame, table: str, *,
         os.path.join(mdir, "version-hint.text"),
         str(cur_version + 1), spark)
     return snap_id
+
+
+def write_iceberg_deletes(keys_df: DataFrame, table: str, *,
+                          equality_cols: list) -> int:
+    """Publish an EQUALITY-delete snapshot (v2 merge-on-read): every
+    row in ``keys_df`` (columns = ``equality_cols``) deletes all data
+    rows with that key tuple whose data sequence is strictly older
+    than this snapshot's.  Returns the snapshot id.  The
+    pipeline-side retraction shape (GDPR keys, recalled docs); for
+    "delete the rows matching this predicate" use
+    :func:`iceberg_delete_where` (position deletes)."""
+    spark = keys_df.sparkSession
+    meta_file = _current_metadata_file(table, spark)
+    meta = json.loads(fsutil.read_text(meta_file, spark))
+    cur_version = int(re.match(
+        r"^v?(\d+)", os.path.basename(meta_file)).group(1))
+    if int(meta.get("format-version", 1)) < 2:
+        raise IcebergProtocolError(
+            "equality deletes need format-version 2")
+    _, by_id = _schema_from_metadata(meta)
+    name_to_id = {v: k for k, v in by_id.items()}
+    unknown = [c for c in equality_cols if c not in name_to_id]
+    if unknown:
+        raise ValueError(f"equality_cols {unknown} not in table schema")
+    if sorted(keys_df.columns) != sorted(equality_cols):
+        raise ValueError(
+            f"keys_df columns {keys_df.columns} must equal "
+            f"equality_cols {list(equality_cols)}")
+
+    import uuid as _uuid
+    data_dir = os.path.join(table, "data")
+    fsutil.ensure_dir(data_dir, spark)
+    staging = os.path.join(table, f"_staging_{_uuid.uuid4().hex}")
+    keys_df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(n for n in fsutil.list_dir(staging, spark)
+                if n.endswith(".parquet"))
+    del_path = os.path.join(
+        data_dir, f"eqdel-{_uuid.uuid4().hex}.parquet")
+    fsutil.rename(os.path.join(staging, part), del_path, spark)
+    fsutil.delete(staging, spark=spark)
+    return _publish_delete_snapshot(
+        spark, table, meta, cur_version, del_path, 2,
+        [int(name_to_id[c]) for c in equality_cols])
+
+
+def iceberg_delete_where(spark: SparkSession, table: str,
+                         condition: str, *,
+                         partition_filter: Optional[dict] = None
+                         ) -> int:
+    """Row-level DELETE via POSITION deletes (v2 merge-on-read) — the
+    Iceberg twin of ``delta_delete_where``: LIVE rows matching
+    ``condition`` are matched by row address
+    (``_metadata.file_path`` / ``row_index``), written as a
+    spec-shaped position-delete parquet (``file_path``/``pos``
+    columns under the reserved field ids 2147483546/2147483545,
+    sorted by address), and published as a delete snapshot whose
+    sequence number covers every current data file.  No data file is
+    rewritten.  Returns the committed snapshot id (the current one
+    when nothing matched).
+
+    Existing deletes are honored (the match scan applies them first,
+    so already-dead rows can't re-match).  ``partition_filter``
+    narrows the scan via manifest pruning.  The delete file is
+    written under the unpartitioned spec (partition tuple {}), like
+    ``write_iceberg_deletes`` — a global delete file."""
+    meta_file = _current_metadata_file(table, spark)
+    meta = json.loads(fsutil.read_text(meta_file, spark))
+    cur_version = int(re.match(
+        r"^v?(\d+)", os.path.basename(meta_file)).group(1))
+    if int(meta.get("format-version", 1)) < 2:
+        raise IcebergProtocolError(
+            "position deletes need format-version 2")
+    snap = iceberg_snapshot(spark, table,
+                            partition_filter=partition_filter)
+    cur_sid = int(meta.get("current-snapshot-id", -1))
+    if not snap.files:
+        return cur_sid
+    want = [f.name for f in snap.schema.fields]
+    out = None
+    for fmt in ("parquet", "orc"):
+        paths = [f["path"] for f in snap.files if f["format"] == fmt]
+        if not paths:
+            continue
+        d = getattr(spark.read, fmt)(*paths)
+        missing = [c for c in want if c not in d.columns]
+        if missing:
+            d = _attach_identity_partitions(
+                spark, snap, fmt, missing, with_meta=True)
+        else:
+            d = d.select(
+                "*",
+                F.col("_metadata.file_path").alias("_ice_fp"),
+                F.col("_metadata.row_index").alias("_ice_ri"))
+        d = d.select(*([F.col(c).cast(snap.schema[c].dataType)
+                        for c in want]
+                       + [F.col("_ice_fp"), F.col("_ice_ri")]))
+        out = d if out is None else out.unionByName(d)
+    if snap.delete_files:
+        out = _apply_row_deletes(spark, snap, out)
+    matches = (out.filter(F.expr(condition))
+               .select(_norm_uri(F.col("_ice_fp")).alias(
+                           "file_path",
+                           metadata={"parquet.field.id": 2147483546}),
+                       F.col("_ice_ri").cast("long").alias(
+                           "pos",
+                           metadata={"parquet.field.id": 2147483545})))
+
+    import uuid as _uuid
+    data_dir = os.path.join(table, "data")
+    fsutil.ensure_dir(data_dir, spark)
+    staging = os.path.join(table, f"_staging_{_uuid.uuid4().hex}")
+    (matches.sort("file_path", "pos").coalesce(1)
+     .write.mode("overwrite").parquet(staging))
+    part = next(n for n in fsutil.list_dir(staging, spark)
+                if n.endswith(".parquet"))
+    del_path = os.path.join(
+        data_dir, f"posdel-{_uuid.uuid4().hex}.parquet")
+    fsutil.rename(os.path.join(staging, part), del_path, spark)
+    fsutil.delete(staging, spark=spark)
+    if _parquet_row_count(del_path) == 0:
+        fsutil.delete(del_path, spark=spark)
+        return cur_sid  # nothing matched: no commit
+    return _publish_delete_snapshot(
+        spark, table, meta, cur_version, del_path, 1, None)
 
 
 def iceberg_rollback(spark: SparkSession, table: str, *,
