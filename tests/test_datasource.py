@@ -217,3 +217,78 @@ class TestIcebergJarless:
         assert sorted(r["k"] for r in
                       spark.read.parquet(out).collect()) \
             == list(range(30))
+
+
+class TestThrottling:
+    """maxFilesPerTrigger: a backlog drains in bounded micro-batches
+    instead of one giant batch."""
+
+    def _drain_throttled(self, reader, ckpt, want_total):
+        """Run with the DEFAULT trigger (repeated micro-batches —
+        availableNow bypasses per-trigger admission in the Python
+        source API) until want_total rows arrived, return per-batch
+        counts."""
+        import time as _time
+        batches = []
+
+        def sink(batch_df, batch_id):
+            batches.append((batch_id, batch_df.count()))
+
+        q = (reader.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(processingTime="0 seconds").start())
+        try:
+            deadline = _time.time() + 180
+            while _time.time() < deadline:
+                if sum(n for _, n in batches) >= want_total:
+                    break
+                _time.sleep(0.5)
+        finally:
+            q.stop()
+        return [n for _, n in batches if n]
+
+    def test_delta_backlog_drains_in_bounded_batches(
+            self, registered, tbl, tmp_path):
+        spark = registered
+        df = spark.range(0, 10).select(F.col("id").alias("k"))
+        for i in range(4):  # 4 commits, 1 file each
+            write_delta(
+                df.select((F.col("k") + 10 * i).alias("k"))
+                  .coalesce(1), tbl)
+        reader = (spark.readStream.format("delta_jarless")
+                  .option("startingVersion", "0")
+                  .option("maxFilesPerTrigger", "1").load(tbl))
+        nonempty = self._drain_throttled(
+            reader, str(tmp_path / "ckpt"), 40)
+        # one file per trigger -> 4 bounded batches of 10 rows
+        assert nonempty == [10, 10, 10, 10], nonempty
+
+    def test_iceberg_backlog_drains_in_bounded_batches(
+            self, tbl, tmp_path, spark):
+        from wrangle_pypes_spark.sources.datasource import (
+            IcebergJarlessDataSource,
+        )
+        from wrangle_pypes_spark.sources.iceberg import write_iceberg
+        spark.dataSource.register(IcebergJarlessDataSource)
+        df = spark.range(0, 10).select(F.col("id").alias("k"))
+        for i in range(3):
+            write_iceberg(
+                df.select((F.col("k") + 10 * i).alias("k"))
+                  .coalesce(1), tbl)
+        reader = (spark.readStream.format("iceberg_jarless")
+                  .option("fromStart", "true")
+                  .option("maxFilesPerTrigger", "1").load(tbl))
+        nonempty = self._drain_throttled(
+            reader, str(tmp_path / "ckpt"), 30)
+        assert nonempty == [10, 10, 10], nonempty
+
+    def test_bad_max_files_is_loud(self, registered, tbl):
+        spark = registered
+        write_delta(spark.range(3).select(F.col("id").alias("k")),
+                    tbl)
+        with pytest.raises(Exception, match="maxFilesPerTrigger"):
+            (spark.readStream.format("delta_jarless")
+             .option("startingVersion", "0")
+             .option("maxFilesPerTrigger", "0").load(tbl)
+             .writeStream.format("noop").start()
+             .awaitTermination(60))

@@ -1029,3 +1029,25 @@ class TestTransforms:
                       tbl)
         with pytest.raises(ValueError, match="not in table"):
             iceberg_rollback(spark, tbl, snapshot_id=999)
+
+
+class TestVectorizedBucketHash:
+    def test_vec_matches_scalar_and_spec_vector(self):
+        import random
+
+        import numpy as np
+
+        from wrangle_pypes_spark.sources.iceberg import (
+            _bucket_hash_bytes,
+            murmur3_32,
+            murmur3_32_i64_vec,
+        )
+        rng = random.Random(13)
+        vals = ([0, 1, -1, 34, 2**62, -(2**62), 2**63 - 1, -(2**63)]
+                + [rng.randint(-2**63, 2**63 - 1) for _ in range(5000)])
+        vec = murmur3_32_i64_vec(np.array(vals, dtype=np.int64))
+        ref = [murmur3_32(_bucket_hash_bytes(v, "long"))
+               for v in vals]
+        assert list(vec) == ref
+        # spec Appendix B: bucket hash of int 34 is 2017239379
+        assert int(murmur3_32_i64_vec(np.array([34]))[0]) == 2017239379

@@ -25,7 +25,13 @@ implement the offset protocol.  Spark 4's Python Data Source API
   changes (remove actions, deletion-vector rewrites) raise unless
   ``ignoreChanges=true`` (again mirroring delta-spark), in which case
   DV-rewrite adds are SKIPPED (their rows were already emitted by the
-  commit that first added the file).
+  commit that first added the file).  ``maxFilesPerTrigger=N`` bounds
+  each micro-batch: ``latestOffset`` admits commits (snapshots, for
+  the Iceberg twin) only until N data files are in the batch, so a
+  large backlog drains in bounded steps instead of one giant batch
+  (delta-spark's admission-control semantics; the first batch after a
+  checkpoint restart is unthrottled because the reader only learns
+  the restart offset at ``partitions()``).
 
 Workers have no SparkSession, so everything here reads the log and
 data through plain file I/O + pyarrow; local/POSIX-visible paths are
@@ -255,20 +261,61 @@ class _StreamReader(DataSourceStreamReader):
             == "true"
         sv = _opt(options, "startingVersion")
         self._starting = int(sv) if sv is not None else None
+        mft = _opt(options, "maxFilesPerTrigger")
+        self._max_files = int(mft) if mft is not None else None
+        if self._max_files is not None and self._max_files < 1:
+            raise DeltaSourceError("maxFilesPerTrigger must be >= 1")
+        # the version through which batches have been planned — lets
+        # latestOffset admit a BOUNDED slice of the backlog per
+        # trigger (delta-spark's maxFilesPerTrigger admission
+        # control).  None until the first initialOffset/partitions
+        # call; after a checkpoint restart the first batch is
+        # unthrottled (we don't see the checkpointed offset until
+        # partitions()), every later one is capped.
+        self._planned = None
 
     def initialOffset(self) -> dict:
         if self._starting is not None:
+            self._planned = self._starting - 1
             return {"version": self._starting - 1}
         # default: start from the current head (new data only), the
         # delta-spark streaming default
         versions = _commit_versions(self._root)
-        return {"version": versions[-1] if versions else -1}
+        head = versions[-1] if versions else -1
+        self._planned = head
+        return {"version": head}
 
     def latestOffset(self) -> dict:
         versions = _commit_versions(self._root)
-        return {"version": versions[-1] if versions else -1}
+        head = versions[-1] if versions else -1
+        planned = self._planned
+        if planned is None and self._starting is not None:
+            # latestOffset can run before initialOffset — a
+            # configured start still lets the FIRST batch throttle
+            planned = self._starting - 1
+        if self._max_files is None or planned is None \
+                or head <= planned:
+            return {"version": head}
+        # admit commits until the data-file budget is spent
+        admitted = planned
+        budget = self._max_files
+        for v in versions:
+            if v <= planned:
+                continue
+            n_adds = sum(
+                1 for a in _commit_actions(self._root, v)
+                if "add" in a and a["add"].get("dataChange", True))
+            admitted = v
+            budget -= n_adds
+            if budget <= 0:
+                break
+        return {"version": admitted}
 
     def partitions(self, start: dict, end: dict):
+        self._planned = int(end["version"])
+        return self._partitions(start, end)
+
+    def _partitions(self, start: dict, end: dict):
         out = []
         for v in _commit_versions(self._root):
             if not (int(start["version"]) < v <= int(end["version"])):
@@ -512,19 +559,54 @@ class _IceStreamReader(DataSourceStreamReader):
         from_start = str(
             _opt(options, "fromStart") or "false").lower() == "true"
         self._initial_seq = -1 if from_start else None
+        mft = _opt(options, "maxFilesPerTrigger")
+        self._max_files = int(mft) if mft is not None else None
+        if self._max_files is not None and self._max_files < 1:
+            raise DeltaSourceError("maxFilesPerTrigger must be >= 1")
+        self._planned = None  # see _StreamReader._planned
 
     def initialOffset(self) -> dict:
         if self._initial_seq is not None:
+            self._planned = self._initial_seq
             return {"seq": self._initial_seq}
-        return self.latestOffset()
+        off = self._head_offset()
+        self._planned = off["seq"]
+        return off
 
-    def latestOffset(self) -> dict:
+    def _head_offset(self) -> dict:
         meta = _ice_meta(self._path)
         seqs = [int(s.get("sequence-number") or 0)
                 for s in meta.get("snapshots", [])]
         return {"seq": max(seqs) if seqs else -1}
 
+    def latestOffset(self) -> dict:
+        planned = self._planned
+        if planned is None and self._initial_seq is not None:
+            planned = self._initial_seq  # latestOffset before init
+        if self._max_files is None or planned is None:
+            return self._head_offset()
+        meta = _ice_meta(self._path)
+        snaps = sorted(meta.get("snapshots", []),
+                       key=lambda s: int(
+                           s.get("sequence-number") or 0))
+        admitted = planned
+        budget = self._max_files
+        for s in snaps:
+            seq = int(s.get("sequence-number") or 0)
+            if seq <= planned:
+                continue
+            # summaries carry added-data-files (our writer records
+            # it); an absent summary counts as one file
+            n = int((s.get("summary") or {})
+                    .get("added-data-files") or 1)
+            admitted = seq
+            budget -= n
+            if budget <= 0:
+                break
+        return {"seq": admitted}
+
     def partitions(self, start: dict, end: dict):
+        self._planned = int(end["seq"])
         meta = _ice_meta(self._path)
         sids = [int(s["snapshot-id"])
                 for s in sorted(meta.get("snapshots", []),

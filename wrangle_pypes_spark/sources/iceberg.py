@@ -97,6 +97,35 @@ def murmur3_32(data: bytes, seed: int = 0) -> int:
     return h
 
 
+def murmur3_32_i64_vec(vals):
+    """Vectorized murmur3_32 over the 8-byte little-endian form of an
+    int64 array (the layout Iceberg hashes for int/long/date/time/
+    timestamp — spec Appendix B).  numpy uint32 arithmetic wraps
+    exactly like the scalar reference; equality is pinned in tests.
+    Returns a uint32 array."""
+    import numpy as np
+    v = np.asarray(vals, dtype=np.int64).view(np.uint64)
+    blocks = [(v & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+              (v >> np.uint64(32)).astype(np.uint32)]
+    h = np.zeros(len(v), dtype=np.uint32)
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    for k in blocks:
+        k = k * c1
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * c2
+        h ^= k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h ^= np.uint32(8)  # length
+    h ^= h >> np.uint32(16)
+    h = h * np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h = h * np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return h
+
+
 def _bucket_hash_bytes(value, ice_type: str) -> bytes:
     """The byte layout Iceberg hashes per type (spec Appendix B:
     int/long/date/time/timestamp hash their 64-bit little-endian
@@ -940,7 +969,19 @@ def _transform_col(transform: str, col: str, ice_type: str):
 
         @pandas_udf("int")
         def _bucket(s):
+            import numpy as np
             import pandas as pd
+            if ice_type in ("int", "long"):
+                # vectorized: the whole Arrow batch hashes in numpy
+                mask = s.notna().to_numpy()
+                out = np.empty(len(s), dtype=object)
+                if mask.any():
+                    vals = s[mask].astype(np.int64).to_numpy()
+                    h = murmur3_32_i64_vec(vals)
+                    out[mask] = ((h & np.uint32(0x7FFFFFFF))
+                                 .astype(np.int64) % n)
+                out[~mask] = None
+                return pd.Series(out, dtype="Int32")
             return pd.Series(
                 [None if v is None else
                  (murmur3_32(_bucket_hash_bytes(v, ice_type))
