@@ -152,7 +152,7 @@ class TestForeignLog:
 
     def test_column_mapping_name_mode_is_supported(self, spark, tbl):
         """name-mode column mapping must NOT gate (r12); id mode
-        still does — see TestColumnMapping."""
+        is field-id matched (r13) — see TestColumnMapping."""
         schema = T.StructType([T.StructField("k", T.LongType())])
         m = _meta(schema)
         m["metaData"]["configuration"] = {
@@ -1203,3 +1203,17 @@ class TestSnapshotCache:
         # one Union of (base-is-absent) tail only: no nested unions
         assert plan.lower().count("union") <= 1
         assert read_delta(spark, tbl).count() == 36
+
+
+class TestVacuumProtocolCheck:
+    def test_vacuum_protocol_check_reads(self, spark, tbl):
+        """vacuumProtocolCheck constrains VACUUM, not reads — tables
+        carrying it must open."""
+        schema = T.StructType([T.StructField("k", T.LongType())])
+        _commit(tbl, 0, [
+            {"protocol": {"minReaderVersion": 3,
+                          "minWriterVersion": 7,
+                          "readerFeatures": ["vacuumProtocolCheck"],
+                          "writerFeatures": ["vacuumProtocolCheck"]}},
+            _meta(schema)])
+        assert delta_snapshot(spark, tbl).version == 0

@@ -1051,3 +1051,50 @@ class TestVectorizedBucketHash:
         assert list(vec) == ref
         # spec Appendix B: bucket hash of int 34 is 2017239379
         assert int(murmur3_32_i64_vec(np.array([34]))[0]) == 2017239379
+
+
+class TestFormatV3:
+    def test_v3_metadata_reads_like_v2(self, spark, tmp_path):
+        """v3 metadata without v3-only row features reads normally."""
+        from wrangle_pypes_spark.sources.iceberg import write_iceberg
+        tbl = str(tmp_path / "v3")
+        write_iceberg(spark.range(7).select(F.col("id").alias("k")),
+                      tbl)
+        mdir = os.path.join(tbl, "metadata")
+        mf = os.path.join(mdir, "v1.metadata.json")
+        meta = json.loads(open(mf).read())
+        meta["format-version"] = 3
+        with open(mf, "w") as f:
+            f.write(json.dumps(meta))
+        assert sorted(r["k"] for r in
+                      read_iceberg(spark, tbl).collect()) \
+            == list(range(7))
+
+    def test_v3_field_default_gates(self, spark, tmp_path):
+        """initial-default would silently read as null — must gate."""
+        from wrangle_pypes_spark.sources.iceberg import write_iceberg
+        tbl = str(tmp_path / "v3d")
+        write_iceberg(spark.range(3).select(F.col("id").alias("k")),
+                      tbl)
+        mdir = os.path.join(tbl, "metadata")
+        mf = os.path.join(mdir, "v1.metadata.json")
+        meta = json.loads(open(mf).read())
+        meta["format-version"] = 3
+        meta["schemas"][0]["fields"][0]["initial-default"] = 5
+        with open(mf, "w") as f:
+            f.write(json.dumps(meta))
+        with pytest.raises(IcebergProtocolError, match="default"):
+            read_iceberg(spark, tbl).collect()
+
+    def test_v4_still_gates(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import write_iceberg
+        tbl = str(tmp_path / "v4")
+        write_iceberg(spark.range(3).select(F.col("id").alias("k")),
+                      tbl)
+        mf = os.path.join(tbl, "metadata", "v1.metadata.json")
+        meta = json.loads(open(mf).read())
+        meta["format-version"] = 4
+        with open(mf, "w") as f:
+            f.write(json.dumps(meta))
+        with pytest.raises(IcebergProtocolError, match="format-ver"):
+            read_iceberg(spark, tbl).collect()

@@ -101,7 +101,12 @@ _LAST_CHECKPOINT = "_last_checkpoint"
 # because name mode is supported — the metadata check still gates id
 # mode, which is where the unsupported matching lives)
 _SUPPORTED_READER_FEATURES = {"timestampNtz", "v2Checkpoint",
-                              "deletionVectors", "columnMapping"}
+                              "deletionVectors", "columnMapping",
+                              # read-time no-op: the feature only
+                              # constrains how VACUUM behaves, and
+                              # delta_vacuum already honors the
+                              # retention window
+                              "vacuumProtocolCheck"}
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 

@@ -22,10 +22,12 @@ metadata with put-if-absent ``vN.metadata.json`` publish) plus
 recall retraction shape) round out the lifecycle; richer mutation
 stays with the engine's native stores.
 
-Honest gates (loud, never a silent wrong answer): format-version 3+,
-unknown data_file content codes, non-parquet delete files, data
-formats other than parquet/orc, and non-identity partition columns
-whose values exist only in metadata.
+Honest gates (loud, never a silent wrong answer): format-version 4+
+and the v3 features that change row content (field defaults; puffin
+deletion vectors hit the delete-file format gate) — plain v3 metadata
+reads like v2; unknown data_file content codes, non-parquet delete
+files, data formats other than parquet/orc, and non-identity
+partition columns whose values exist only in metadata.
 
 Scale notes: metadata resolution reads JSON + manifest Avro only —
 O(manifest entries), never O(rows) — mirroring Iceberg's own planning
@@ -417,9 +419,23 @@ def iceberg_snapshot(spark: SparkSession, table: str, *,
     meta_file = _current_metadata_file(table, spark)
     meta = json.loads(fsutil.read_text(meta_file, spark))
     fv = int(meta.get("format-version", 1))
-    if fv > 2:
+    if fv > 3:
         raise IcebergProtocolError(
-            f"iceberg format-version {fv} not implemented (v1/v2)")
+            f"iceberg format-version {fv} not implemented (v1/v2/v3)")
+    if fv == 3:
+        # v3 metadata reads like v2 UNLESS a v3-only feature changes
+        # row content: field defaults materialize values we'd return
+        # as null (silent wrong answer — gate); puffin deletion
+        # vectors are caught by the non-parquet delete-file gate;
+        # row-lineage fields are reader-ignorable.
+        for s in meta.get("schemas", []):
+            for f in s.get("fields", []):
+                if "initial-default" in f or "write-default" in f:
+                    raise IcebergProtocolError(
+                        f"iceberg v3 field default on {f.get('name')!r} "
+                        "not implemented (rows from pre-evolution "
+                        "files would read as null instead of the "
+                        "default)")
     schema, _ = _schema_from_metadata(meta)
     specs = {s["spec-id"]: s["fields"]
              for s in meta.get("partition-specs", [])}
