@@ -7515,6 +7515,55 @@ FROM survivors GROUP BY o_orderstatus
 """
 
 
+def q_delta_optimize_orders(spark, sf_dir):
+    """Delta OPTIMIZE (r13 ``delta_optimize`` — the small-file
+    compaction surface): orders land as FOUR small-file commits, a
+    deletion-vector DELETE thins them, then OPTIMIZE bin-packs every
+    small file per partition and MATERIALIZES the DV deletes away
+    (the rewritten files carry no vectors; removes+adds commit with
+    dataChange=false so CDF/streaming ignore the rearrangement).  The
+    final read must see exactly the deleted-state rows through purely
+    compacted files; the oracle recomputes that state from raw
+    orders.  A dropped row during rewrite, a DV applied twice, or a
+    partition value lost in restaging all break the value hash."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.delta import (
+        delta_delete_where,
+        delta_optimize,
+        delta_snapshot,
+        read_delta,
+        write_delta,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_delta_opt_") + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    for i in range(4):
+        write_delta(o.filter(f"o_orderkey % 4 = {i}"), tbl,
+                    partition_by=(["o_orderstatus"] if i == 0
+                                  else None))
+    delta_delete_where(spark, tbl, "o_orderkey % 9 = 0")
+    out = delta_optimize(spark, tbl)
+    snap = delta_snapshot(spark, tbl)
+    assert out["removed_files"] > out["added_files"], out
+    assert not any(a.get("deletionVector")
+                   for a in snap.pruned_adds()), "DV survived"
+    return (read_delta(spark, tbl)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents")))
+
+
+SQL_DELTA_OPTIMIZE = """
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders WHERE o_orderkey % 9 <> 0
+GROUP BY o_orderstatus
+"""
+
+
 def q_zorder_col(spark, sf_dir):
     """Z-order (Morton) clustering value over two part dimensions —
     the multi-dimensional file-clustering layout (Delta OPTIMIZE ZORDER)
@@ -9602,11 +9651,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q2_min_cost_supplier": q_q2_min_cost_supplier,  # last driver check: r8
     "stream_static_enrich": q_stream_static_enrich,  # last driver check: r9
     "temperature_mix_sources": q_temperature_mix_sources,  # last driver check: r9
-    "profile_customer": q_profile_customer,  # last driver check: r9
+    "delta_optimize_orders": q_delta_optimize_orders,  # NEW r13: OPTIMIZE compaction + DV materialization, value-oracled
     "iceberg_pos_delete_orders": q_iceberg_pos_delete_orders,  # NEW r13: position-delete writer, value-oracled
     "delta_column_mapping_write_orders": q_delta_column_mapping_write_orders,  # NEW r13: writes into a name-mapped table, value-oracled
     "delta_id_mode_orders": q_delta_id_mode_orders,  # NEW r13: id-mode (field-id matched) read + write, value-oracled
     # ---- below the 50-slot driver window from here down ----
+    "profile_customer": q_profile_customer,  # r9 green; displaced for the r13 optimize query
     "c4_clean_docs": q_c4_clean_docs,  # r9 green; displaced for the r13 position-delete query
     "cohort_retention_weekly": q_cohort_retention_weekly,  # r9 green; displaced for the r13 column-mapping-write query
     "embedding_label_centroids": q_embedding_label_centroids,  # r9 green; displaced for the r13 id-mode query
@@ -9997,6 +10047,7 @@ _ORACLES: dict[str, str] = {
     "delta_column_mapping_orders": SQL_DELTA_COLUMN_MAPPING,
     "delta_column_mapping_write_orders": SQL_DELTA_CM_WRITE,
     "iceberg_pos_delete_orders": SQL_ICEBERG_POS_DELETE,
+    "delta_optimize_orders": SQL_DELTA_OPTIMIZE,
     "delta_id_mode_orders": SQL_DELTA_ID_MODE,
     "delta_cdf_orders": SQL_DELTA_CDF,
     "stream_delta_source_orders": SQL_STREAM_DELTA_SOURCE,

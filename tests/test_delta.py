@@ -1217,3 +1217,133 @@ class TestVacuumProtocolCheck:
                           "writerFeatures": ["vacuumProtocolCheck"]}},
             _meta(schema)])
         assert delta_snapshot(spark, tbl).version == 0
+
+
+class TestOptimize:
+    def test_compacts_small_files_and_materializes_dvs(self, spark,
+                                                       tbl):
+        from wrangle_pypes_spark.sources.delta import (
+            delta_delete_where,
+            delta_optimize,
+        )
+        df = spark.range(0, 40).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("p"))
+        for i in range(4):  # 4 commits x 2 partitions = 8 small files
+            write_delta(df.filter(f"k % 4 = {i}").coalesce(1), tbl,
+                        partition_by=["p"] if i == 0 else None)
+        delta_delete_where(spark, tbl, "k % 5 = 0")
+        before = delta_snapshot(spark, tbl)
+        n_before = len(before.pruned_adds())
+        out = delta_optimize(spark, tbl, min_files=2)
+        assert out["removed_files"] == n_before
+        assert out["added_files"] < n_before
+        after = delta_snapshot(spark, tbl)
+        post = after.pruned_adds()
+        # one file per partition tuple, and DVs are GONE (deletes
+        # materialized into the rewritten data)
+        assert len(post) == 2
+        assert not any(a.get("deletionVector") for a in post)
+        assert sorted(r["k"] for r in
+                      read_delta(spark, tbl).collect()) \
+            == [k for k in range(40) if k % 5 != 0]
+        # time travel before the optimize still applies the DVs
+        assert read_delta(spark, tbl,
+                          version=out["version"] - 1).count() \
+            == len([k for k in range(40) if k % 5 != 0])
+
+    def test_streaming_source_skips_optimize_commits(self, spark,
+                                                     tbl, tmp_path):
+        from wrangle_pypes_spark.sources.datasource import (
+            DeltaJarlessDataSource,
+        )
+        from wrangle_pypes_spark.sources.delta import delta_optimize
+        spark.dataSource.register(DeltaJarlessDataSource)
+        df = spark.range(0, 10).select(F.col("id").alias("k"))
+        write_delta(df.coalesce(1), tbl)
+        write_delta(df.select((F.col("k") + 10).alias("k"))
+                    .coalesce(1), tbl)
+        delta_optimize(spark, tbl, min_files=2)
+        out = str(tmp_path / "out")
+        q = (spark.readStream.format("delta_jarless")
+             .option("startingVersion", "0").load(tbl)
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        # rows arrive ONCE (from the original commits); the optimize
+        # rearrangement is neither a re-emit nor a non-append error
+        assert sorted(r["k"] for r in
+                      spark.read.parquet(out).collect()) \
+            == list(range(20))
+
+    def test_cdf_ignores_optimize(self, spark, tbl):
+        from wrangle_pypes_spark.sources.delta import (
+            delta_changes,
+            delta_optimize,
+        )
+        df = spark.range(0, 8).select(F.col("id").alias("k"))
+        write_delta(df.coalesce(1), tbl)                      # v0
+        write_delta(df.select((F.col("k") + 8).alias("k"))
+                    .coalesce(1), tbl)                        # v1
+        out = delta_optimize(spark, tbl, min_files=2)         # v2
+        ch = delta_changes(spark, tbl, from_version=0,
+                           to_version=out["version"])
+        got = sorted((r["k"], r["_change_type"], r["_commit_version"])
+                     for r in ch.collect())
+        assert got == [(k, "insert", 0) for k in range(8)] \
+            + [(k, "insert", 1) for k in range(8, 16)]
+
+    def test_zorder_clusters_output(self, spark, tbl):
+        from wrangle_pypes_spark.sources.delta import delta_optimize
+        df = spark.range(0, 4000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 63).alias("x"),
+            ((F.col("id") * 7) % 63).alias("y"))
+        for i in range(3):
+            write_delta(df.filter(f"k % 3 = {i}").coalesce(1), tbl)
+        out = delta_optimize(spark, tbl, target_file_bytes=12_000,
+                             zorder_by=["x", "y"])
+        assert out["added_files"] >= 2
+        assert read_delta(spark, tbl).count() == 4000
+        # clustering: per output file, the x-range must be narrower
+        # than the global range (interleaved sort groups both dims)
+        stats = (read_delta(spark, tbl)
+                 .groupBy(F.input_file_name().alias("f"))
+                 .agg((F.max("x") - F.min("x")).alias("span"))
+                 .collect())
+        assert len(stats) == out["added_files"]
+        assert min(r["span"] for r in stats) < 62
+
+    def test_nothing_to_do(self, spark, tbl):
+        from wrangle_pypes_spark.sources.delta import delta_optimize
+        df = spark.range(0, 10).select(F.col("id").alias("k"))
+        write_delta(df.coalesce(1), tbl)
+        out = delta_optimize(spark, tbl, min_files=2)
+        assert out == {"version": 0, "removed_files": 0,
+                       "added_files": 0, "bytes_compacted": 0}
+
+    def test_optimize_mapped_table(self, spark, tbl):
+        """Compaction of a name-mapped table restages under the
+        PHYSICAL layout."""
+        from wrangle_pypes_spark.sources.delta import delta_optimize
+        TestColumnMapping._mapped_table(
+            TestColumnMapping(), spark, tbl)
+        df = spark.range(20, 23).select(
+            F.col("id").alias("k"),
+            F.struct(F.concat(F.lit("v"), F.col("id"))
+                     .alias("v")).alias("info"),
+            F.lit("x").alias("p"))
+        write_delta(df, tbl)
+        out = delta_optimize(spark, tbl, min_files=2)
+        assert out["removed_files"] >= 2
+        got = read_delta(spark, tbl)
+        assert sorted(r["k"] for r in got.collect()) \
+            == list(range(5)) + list(range(10, 15)) \
+            + list(range(20, 23))
+        import pyarrow.parquet as pq
+        post = delta_snapshot(spark, tbl).pruned_adds()
+        names = pq.ParquetFile(os.path.join(
+            tbl, post[0]["path"])).schema_arrow.names
+        assert names == ["col-aaa", "col-bbb"]

@@ -469,6 +469,27 @@ def _fieldid_read_type(dt: T.DataType) -> T.DataType:
     return dt
 
 
+def _to_physical_df(df: DataFrame,
+                    snap: "DeltaSnapshot") -> DataFrame:
+    """Translate a logical-named DataFrame to the table's physical
+    layout for staging: physical column names (nested included, via
+    cast) and — so a foreign id-mode reader can match — parquet field
+    ids from delta.columnMapping.id riding the schema metadata.
+    No-op for unmapped tables."""
+    mode_cm = _mapping_mode(snap.metadata)
+    if mode_cm not in ("name", "id"):
+        return df
+    with_ids = (mode_cm == "id")
+    cols = []
+    for f in snap.schema.fields:
+        pt = _physical_write_type(f.dataType, with_ids=with_ids)
+        cols.append(
+            F.col(f.name).cast(pt).alias(
+                _physical_name(f),
+                metadata=_fieldid_meta(f, required=with_ids)))
+    return df.select(*cols)
+
+
 def _physical_write_type(dt: T.DataType, *,
                          with_ids: bool) -> T.DataType:
     """Type tree under PHYSICAL names, optionally carrying
@@ -1120,12 +1141,14 @@ def _stage_data_files(df: DataFrame, table: str,
     return adds
 
 
-def _remove_action(a: dict) -> dict:
+def _remove_action(a: dict, *, data_change: bool = True) -> dict:
     """The spec-shaped remove tombstone for a live add action (under
-    column mapping the log keeps PHYSICAL partition keys)."""
+    column mapping the log keeps PHYSICAL partition keys).
+    ``data_change=False`` marks a pure rearrangement (OPTIMIZE) that
+    streaming sources must not re-emit."""
     return {"remove": {"path": a["path"],
                        "deletionTimestamp": int(time.time() * 1000),
-                       "dataChange": True,
+                       "dataChange": bool(data_change),
                        "extendedFileMetadata": True,
                        "partitionValues":
                            a.get("partitionValuesPhysical")
@@ -1219,23 +1242,7 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
             raise ValueError(
                 "schema type mismatch (no evolution support): "
                 + "; ".join(drift))
-        mode_cm = _mapping_mode(current.metadata)
-        if mode_cm in ("name", "id"):
-            # translate logical -> physical for staging: physical
-            # column names (nested included, via cast) and — so a
-            # foreign id-mode reader can match — parquet field ids
-            # from delta.columnMapping.id riding the schema metadata
-            with_ids = (mode_cm == "id")
-            cols = []
-            for f in current.schema.fields:
-                pt = _physical_write_type(f.dataType,
-                                          with_ids=with_ids)
-                cols.append(
-                    F.col(f.name).cast(pt).alias(
-                        _physical_name(f),
-                        metadata=_fieldid_meta(f,
-                                               required=with_ids)))
-            df = df.select(*cols)
+        df = _to_physical_df(df, current)
         partition_by = current.partition_columns  # physical names
         base_actions = []
         next_version = current.version + 1
@@ -1424,6 +1431,103 @@ def delta_delete_where(spark: SparkSession, table: str,
             "DELETE must re-read the table and re-run")
     _cache_post_commit(spark, table, next_version, snap, text)
     return next_version
+
+
+def delta_optimize(spark: SparkSession, table: str, *,
+                   target_file_bytes: int = 128 * 1024 * 1024,
+                   min_files: int = 2,
+                   partition_filter: Optional[dict] = None,
+                   zorder_by: Optional[Sequence[str]] = None) -> dict:
+    """OPTIMIZE: bin-pack small data files into ~``target_file_bytes``
+    files (delta-spark's compaction surface).  Per partition tuple,
+    files under the target size are rewritten together; files carrying
+    DELETION VECTORS are always rewritten — their deleted rows
+    materialize away and the vector disappears (exactly what OPTIMIZE
+    does to DV tables).  The commit's removes AND adds carry
+    ``dataChange=false``, so CDF ignores the rearrangement and
+    streaming sources do not re-emit the rows.  Returns
+    ``{"version", "removed_files", "added_files",
+    "bytes_compacted"}`` (current version, zeros, when there is
+    nothing to do).
+
+    ``zorder_by`` additionally range-clusters the rewritten rows by
+    the interleaved z-value of those columns (OPTIMIZE ZORDER —
+    ``operators.relational.zorder_col`` computes the Morton code), so
+    downstream scans with zone-map/min-max pruning touch fewer files.
+    ``partition_filter`` scopes the compaction.
+
+    Like overwrite, a lost commit race raises instead of retrying
+    (the removed set would be stale); re-run on the fresh state.
+    Scale: the rewrite scans only the victim files; the driver holds
+    the victim list — the same size as the commit JSON it publishes.
+    One output file per partition tuple (hash repartition) unless
+    ``zorder_by`` splits tuples into range chunks."""
+    snap = delta_snapshot(spark, table)
+    adds = snap.pruned_adds(partition_filter)
+    groups: dict[tuple, list[dict]] = {}
+    for a in adds:
+        key = tuple(sorted((a.get("partitionValues") or {}).items()))
+        groups.setdefault(key, []).append(a)
+    victims: list[dict] = []
+    for lst in groups.values():
+        small = [a for a in lst
+                 if int(a.get("size") or 0) < target_file_bytes
+                 or a.get("deletionVector")]
+        if len(small) >= max(1, min_files) \
+                or any(a.get("deletionVector") for a in small):
+            victims.extend(small)
+    if not victims:
+        return {"version": snap.version, "removed_files": 0,
+                "added_files": 0, "bytes_compacted": 0}
+
+    has_dv = any(a.get("deletionVector") for a in victims)
+    d = _scan_adds(spark, snap, victims, with_meta=has_dv)
+    if has_dv:
+        d = _apply_deletion_vectors(spark, table, victims, d)
+    want = [f.name for f in snap.schema.fields]
+    d = d.select(*want)
+
+    total_bytes = sum(int(a.get("size") or 0) for a in victims)
+    n_out = max(1, -(-total_bytes // max(1, int(target_file_bytes))))
+    pcols = snap.logical_partition_columns
+    if zorder_by:
+        from ..operators.relational import zorder_col
+        d = zorder_col(d, list(zorder_by), out_col="_opt_zv")
+        d = (d.repartitionByRange(n_out, *pcols, "_opt_zv")
+             .sortWithinPartitions(*pcols, "_opt_zv")
+             .drop("_opt_zv"))
+    else:
+        # hash by partition tuple: each tuple lands whole in one task
+        # -> one output file per tuple after the hive split
+        d = (d.repartition(n_out, *pcols) if pcols
+             else d.repartition(n_out))
+    d = _to_physical_df(d, snap)
+
+    new_adds = _stage_data_files(d, table, snap.partition_columns)
+    actions = ([_remove_action(a, data_change=False)
+                for a in victims]
+               + [{"add": dict(a, dataChange=False)}
+                  for a in new_adds]
+               + [{"commitInfo": {
+                   "operation": "OPTIMIZE",
+                   "operationParameters": {
+                       "targetSize": str(int(target_file_bytes)),
+                       "zOrderBy": json.dumps(list(zorder_by or []))},
+                   "engineInfo": "wrangle_pypes_spark-delta"}}])
+    text = "\n".join(json.dumps(x, separators=(",", ":"))
+                     for x in actions)
+    next_version = snap.version + 1
+    if not _create_exclusive(_log_path(table,
+                                       _commit_name(next_version)),
+                             text, spark):
+        raise DeltaConcurrentWriteError(
+            f"version {next_version} was committed concurrently; "
+            "optimize must re-read the table and re-run")
+    _cache_post_commit(spark, table, next_version, snap, text)
+    return {"version": next_version,
+            "removed_files": len(victims),
+            "added_files": len(new_adds),
+            "bytes_compacted": total_bytes}
 
 
 # ---------------------------------------------------------------------------
