@@ -1347,3 +1347,91 @@ class TestOptimize:
         names = pq.ParquetFile(os.path.join(
             tbl, post[0]["path"])).schema_arrow.names
         assert names == ["col-aaa", "col-bbb"]
+
+
+class TestV2Checkpoint:
+    """Foreign V2 checkpoints (UUID-named manifest + _sidecars/
+    parquet holding the file actions) — the shape the v2Checkpoint
+    reader feature promises we can read."""
+
+    def _to_v2(self, tbl):
+        """Transform the classic checkpoint into a spec-shaped V2
+        one: adds move to a sidecar file, the manifest keeps the
+        singletons + a sidecar pointer + checkpointMetadata."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        log = os.path.join(tbl, "_delta_log")
+        classic = next(n for n in os.listdir(log)
+                       if ".checkpoint." in n
+                       and n.endswith(".parquet"))
+        v = int(classic[:20])
+        t = pq.read_table(os.path.join(log, classic))
+        rows = t.to_pylist()
+        add_rows = [r for r in rows if r.get("add")]
+        rest = [{k: v for k, v in r.items() if k != "add"}
+                for r in rows if not r.get("add")]
+        os.makedirs(os.path.join(log, "_sidecars"), exist_ok=True)
+        sc_name = "00000-sidecar.parquet"
+        add_schema = pa.schema(
+            [t.schema.field("add")])
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"add": r["add"]} for r in add_rows],
+                schema=add_schema),
+            os.path.join(log, "_sidecars", sc_name))
+        man_schema = pa.schema(
+            [f for f in t.schema if f.name != "add"]
+            + [pa.field("sidecar", pa.struct(
+                [("path", pa.string()),
+                 ("sizeInBytes", pa.int64())])),
+               pa.field("checkpointMetadata", pa.struct(
+                   [("version", pa.int64())]))])
+        man_rows = rest + [
+            {"sidecar": {"path": sc_name, "sizeInBytes": 1}},
+            {"checkpointMetadata": {"version": v}}]
+        import uuid as _uuid
+        man_name = f"{v:020d}.checkpoint.{_uuid.uuid4().hex}.parquet"
+        pq.write_table(
+            pa.Table.from_pylist(man_rows, schema=man_schema),
+            os.path.join(log, man_name))
+        os.remove(os.path.join(log, classic))
+        hint = os.path.join(log, "_last_checkpoint")
+        if os.path.exists(hint):
+            os.remove(hint)
+        # clean the JSON commits the checkpoint covers: adds can now
+        # come ONLY from the sidecar
+        for n in list(os.listdir(log)):
+            if n.endswith(".json") and n[:20].isdigit() \
+                    and int(n[:20]) <= v:
+                os.remove(os.path.join(log, n))
+
+    def test_v2_checkpoint_sidecar_reads(self, spark, tbl):
+        df = spark.range(0, 12).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("p"))
+        write_delta(df, tbl, partition_by=["p"])
+        write_delta(df.select((F.col("k") + 12).alias("k"),
+                              F.lit("0").alias("p")), tbl)
+        delta_checkpoint(spark, tbl)
+        self._to_v2(tbl)
+        got = read_delta(spark, tbl)
+        assert sorted(r["k"] for r in got.collect()) \
+            == list(range(24))
+        # a later append composes on the v2 checkpoint state
+        write_delta(df.select((F.col("k") + 24).alias("k"),
+                              F.lit("1").alias("p")), tbl)
+        assert read_delta(spark, tbl).count() == 36
+
+    def test_v2_checkpoint_jarless_batch(self, spark, tbl):
+        from wrangle_pypes_spark.sources.datasource import (
+            DeltaJarlessDataSource,
+        )
+        spark.dataSource.register(DeltaJarlessDataSource)
+        df = spark.range(0, 9).select(F.col("id").alias("k"))
+        write_delta(df, tbl)
+        write_delta(df.select((F.col("k") + 9).alias("k")), tbl)
+        delta_checkpoint(spark, tbl)
+        self._to_v2(tbl)
+        got = spark.read.format("delta_jarless").load(tbl)
+        assert sorted(r["k"] for r in got.collect()) \
+            == list(range(18))

@@ -110,6 +110,32 @@ def _latest_checkpoint_parts(log_dir: str) -> tuple[int, list[str]]:
     return v, sorted(by_version[v])
 
 
+def _checkpoint_adds(log_dir: str, part_path: str):
+    """Add actions of one checkpoint file, following V2 sidecar
+    pointers (where the file actions actually live) when present."""
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(part_path)
+    names = set(pf.schema_arrow.names)
+    srcs = [part_path]
+    if "sidecar" in names:
+        t = pq.read_table(part_path, columns=["sidecar"])
+        for row in t.to_pylist():
+            sc = row.get("sidecar")
+            if sc and sc.get("path"):
+                p = sc["path"]
+                if "://" not in p and not os.path.isabs(p):
+                    p = os.path.join(log_dir, "_sidecars", p)
+                srcs.append(p)
+    for src in srcs:
+        spf = pq.ParquetFile(src)
+        if "add" not in set(spf.schema_arrow.names):
+            continue
+        for row in pq.read_table(src, columns=["add"]).to_pylist():
+            a = row.get("add")
+            if a and a.get("path"):
+                yield a
+
+
 def _resolve_meta(path: str) -> dict:
     """Last metaData action — newest JSON commit that carries one,
     else the newest checkpoint's metaData rows (pyarrow, every
@@ -123,6 +149,9 @@ def _resolve_meta(path: str) -> dict:
     if parts:
         import pyarrow.parquet as pq
         for part in parts:
+            pf = pq.ParquetFile(part)
+            if "metaData" not in set(pf.schema_arrow.names):
+                continue
             t = pq.read_table(part, columns=["metaData"])
             for row in t.to_pylist():
                 m = row.get("metaData")
@@ -214,13 +243,9 @@ class _BatchReader(DataSourceReader):
         cpv, parts = _latest_checkpoint_parts(d)
         start = 0
         if parts:
-            import pyarrow.parquet as pq
             for part in parts:  # EVERY part — adds are sliced across
-                t = pq.read_table(part, columns=["add"])
-                for row in t.to_pylist():
-                    a = row.get("add")
-                    if a and a.get("path"):
-                        files[a["path"]] = a
+                for a in _checkpoint_adds(d, part):
+                    files[a["path"]] = a
             start = cpv + 1
         for v in _commit_versions(self._root):
             if v < start:

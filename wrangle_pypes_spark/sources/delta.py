@@ -560,20 +560,41 @@ def _sub(prefix: str, name: str, dtype: T.DataType, present: set):
 
 
 def _load_checkpoint(spark: SparkSession, table: str,
-                     version: int, parts: Optional[int]) -> dict:
-    """Load replay state from a parquet checkpoint (single or
-    multi-part).  Small singletons (protocol/metaData/txn) collect;
-    add/remove actions stay as DataFrames."""
-    if parts:
-        names = [
-            f"{version:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
-            for i in range(1, parts + 1)]
-    else:
-        names = [_checkpoint_name(version)]
+                     version: int, parts: Optional[int],
+                     names: Optional[list] = None) -> dict:
+    """Load replay state from a parquet checkpoint (classic single or
+    multi-part, or a UUID-named V2 checkpoint whose file actions live
+    in ``_sidecars/`` parquet).  Small singletons
+    (protocol/metaData/txn) collect; add/remove actions stay as
+    DataFrames."""
+    if not names:
+        if parts:
+            names = [f"{version:020d}.checkpoint."
+                     f"{i:010d}.{parts:010d}.parquet"
+                     for i in range(1, parts + 1)]
+        else:
+            names = [_checkpoint_name(version)]
     cp = spark.read.parquet(*[_log_path(table, n) for n in names])
     state = {"meta": None, "proto": None, "txns": {},
              "tail_adds": {}, "tail_removes": {}}
     cols = {f.name: f for f in cp.schema.fields}
+    # V2 checkpoints move the O(files) add/remove bulk into sidecar
+    # files; the manifest keeps the singletons and sidecar pointers
+    file_src = cp
+    if "sidecar" in cols:
+        sc_rows = (cp.filter(F.col("sidecar.path").isNotNull())
+                   .select("sidecar.path").collect())
+        sc_paths = []
+        for r in sc_rows:
+            p = r["path"]
+            if "://" in p or os.path.isabs(p):
+                sc_paths.append(p)
+            else:
+                sc_paths.append(
+                    _log_path(table, os.path.join("_sidecars", p)))
+        if sc_paths:
+            file_src = spark.read.parquet(*sc_paths)
+    fcols = {f.name: f for f in file_src.schema.fields}
     # ONE collect for all singleton actions (protocol/metaData/txn):
     # they live on rows whose add/remove is null, so the predicate
     # prunes the O(files) bulk before anything reaches the driver
@@ -603,13 +624,13 @@ def _load_checkpoint(spark: SparkSession, table: str,
                     int(state["txns"].get(txn["appId"], -1)))
 
     def _adds() -> DataFrame:
-        if "add" not in cols:
+        if "add" not in fcols:
             return _local_df(spark, [], _ADD_STATE_SCHEMA)
-        pres = {f.name for f in cols["add"].dataType.fields}
+        pres = {f.name for f in fcols["add"].dataType.fields}
         dv_col = F.lit(None).cast(_DV_STRUCT)
         if "deletionVector" in pres:
             dpres = {f.name for f in next(
-                f for f in cols["add"].dataType.fields
+                f for f in fcols["add"].dataType.fields
                 if f.name == "deletionVector").dataType.fields}
             dv_col = F.when(
                 F.col("add.deletionVector.storageType").isNotNull()
@@ -618,7 +639,7 @@ def _load_checkpoint(spark: SparkSession, table: str,
                            for n, t in zip(_DV_KEYS,
                                            [f.dataType for f in
                                             _DV_STRUCT.fields])]))
-        return (cp.filter(F.col("add.path").isNotNull())
+        return (file_src.filter(F.col("add.path").isNotNull())
                 .select(F.col("add.path").alias("path"),
                         _sub("add", "partitionValues",
                              _ADD_STATE_SCHEMA["partitionValues"]
@@ -631,10 +652,10 @@ def _load_checkpoint(spark: SparkSession, table: str,
                         dv_col.alias("deletionVector")))
 
     def _removes() -> DataFrame:
-        if "remove" not in cols:
+        if "remove" not in fcols:
             return _local_df(spark, [], _REMOVE_STATE_SCHEMA)
-        pres = {f.name for f in cols["remove"].dataType.fields}
-        return (cp.filter(F.col("remove.path").isNotNull())
+        pres = {f.name for f in fcols["remove"].dataType.fields}
+        return (file_src.filter(F.col("remove.path").isNotNull())
                 .select(F.col("remove.path").alias("path"),
                         _sub("remove", "deletionTimestamp",
                              T.LongType(), pres),
@@ -665,6 +686,7 @@ def delta_snapshot(spark: SparkSession, table: str, *,
     commits = {}
     cp_versions = set()
     cp_multipart: dict[int, int] = {}
+    cp_names: dict[int, list] = {}
     for n in log_names:
         if n.endswith(".json") and n[:20].isdigit():
             commits[int(n[:20])] = n
@@ -672,7 +694,9 @@ def delta_snapshot(spark: SparkSession, table: str, *,
                 and n[:20].isdigit():
             v = int(n[:20])
             cp_versions.add(v)
+            cp_names.setdefault(v, []).append(n)
             # multi-part: NNN.checkpoint.<i>.<parts>.parquet
+            # (a UUID mid segment is a V2 checkpoint manifest)
             mid = n[len(f"{v:020d}.checkpoint."):-len(".parquet")]
             bits = mid.split(".")
             if len(bits) == 2 and all(b.isdigit() for b in bits):
@@ -713,7 +737,9 @@ def delta_snapshot(spark: SparkSession, table: str, *,
             cp_parts = cp_multipart.get(cp_version)
 
     if cp_version >= 0:
-        state = _load_checkpoint(spark, table, cp_version, cp_parts)
+        state = _load_checkpoint(spark, table, cp_version, cp_parts,
+                                 names=sorted(
+                                     cp_names.get(cp_version, [])))
         start = cp_version + 1
     else:
         if not commits or target < min(commits):
