@@ -7564,6 +7564,78 @@ GROUP BY o_orderstatus
 """
 
 
+def q_delta_convert_clone_orders(spark, sf_dir):
+    """CONVERT TO DELTA + SHALLOW CLONE (r13 ``convert_to_delta`` /
+    ``delta_clone``): a plain hive-partitioned parquet directory of
+    orders converts IN PLACE into a Delta table (commit 0 references
+    the existing files — nothing copied), gets a deletion-vector
+    DELETE, then shallow-clones (commit 0 of the clone references the
+    source's files by ABSOLUTE path, DV descriptors rewritten to
+    absolute storageType 'p').  An append lands in the CLONE only.
+    The result stacks the clone's aggregate on the original table's —
+    proving the zero-copy fork reads the source data, applies its
+    DVs, and mutates independently.  The oracle recomputes both
+    states from raw orders."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.delta import (
+        convert_to_delta,
+        delta_clone,
+        delta_delete_where,
+        read_delta,
+        write_delta,
+    )
+
+    base = tempfile.mkdtemp(prefix="wps_delta_cvt_")
+    src, dst = base + "/orders", base + "/orders_clone"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    o.write.partitionBy("o_orderstatus").parquet(src)
+    from pyspark.sql import types as T
+    convert_to_delta(
+        spark, src,
+        partition_schema=T.StructType(
+            [T.StructField("o_orderstatus", T.StringType())]))
+    delta_delete_where(spark, src, "o_orderkey % 6 = 0")
+    delta_clone(spark, src, dst)
+    write_delta(
+        o.filter("o_orderkey % 11 = 0")
+         .withColumn("o_totalprice", F.col("o_totalprice") + 250.0)
+         .select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        dst)
+
+    def agg(d, tag):
+        return (d.groupBy("o_orderstatus")
+                .agg(F.count("*").alias("n_orders"),
+                     F.sum(F.floor(F.col("o_totalprice") * 100))
+                      .alias("sum_cents"))
+                .select(F.lit(tag).alias("side"), "*"))
+
+    return agg(read_delta(spark, src), "source") \
+        .unionByName(agg(read_delta(spark, dst), "clone"))
+
+
+SQL_DELTA_CONVERT_CLONE = """
+WITH live AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderkey % 6 <> 0
+), clone_rows AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM live
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 250.0, o_orderstatus
+  FROM orders WHERE o_orderkey % 11 = 0
+)
+SELECT 'source' AS side, o_orderstatus,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM live GROUP BY o_orderstatus
+UNION ALL
+SELECT 'clone', o_orderstatus, COUNT(*)::BIGINT,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT
+FROM clone_rows GROUP BY o_orderstatus
+"""
+
+
 def q_zorder_col(spark, sf_dir):
     """Z-order (Morton) clustering value over two part dimensions —
     the multi-dimensional file-clustering layout (Delta OPTIMIZE ZORDER)
@@ -9650,12 +9722,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q_q1_pricing_summary,  # last driver check: r8
     "q2_min_cost_supplier": q_q2_min_cost_supplier,  # last driver check: r8
     "stream_static_enrich": q_stream_static_enrich,  # last driver check: r9
-    "temperature_mix_sources": q_temperature_mix_sources,  # last driver check: r9
+    "delta_convert_clone_orders": q_delta_convert_clone_orders,  # NEW r13: CONVERT TO DELTA + shallow clone, value-oracled
     "delta_optimize_orders": q_delta_optimize_orders,  # NEW r13: OPTIMIZE compaction + DV materialization, value-oracled
     "iceberg_pos_delete_orders": q_iceberg_pos_delete_orders,  # NEW r13: position-delete writer, value-oracled
     "delta_column_mapping_write_orders": q_delta_column_mapping_write_orders,  # NEW r13: writes into a name-mapped table, value-oracled
     "delta_id_mode_orders": q_delta_id_mode_orders,  # NEW r13: id-mode (field-id matched) read + write, value-oracled
     # ---- below the 50-slot driver window from here down ----
+    "temperature_mix_sources": q_temperature_mix_sources,  # r9 green; displaced for the r13 convert/clone query
     "profile_customer": q_profile_customer,  # r9 green; displaced for the r13 optimize query
     "c4_clean_docs": q_c4_clean_docs,  # r9 green; displaced for the r13 position-delete query
     "cohort_retention_weekly": q_cohort_retention_weekly,  # r9 green; displaced for the r13 column-mapping-write query
@@ -10048,6 +10121,7 @@ _ORACLES: dict[str, str] = {
     "delta_column_mapping_write_orders": SQL_DELTA_CM_WRITE,
     "iceberg_pos_delete_orders": SQL_ICEBERG_POS_DELETE,
     "delta_optimize_orders": SQL_DELTA_OPTIMIZE,
+    "delta_convert_clone_orders": SQL_DELTA_CONVERT_CLONE,
     "delta_id_mode_orders": SQL_DELTA_ID_MODE,
     "delta_cdf_orders": SQL_DELTA_CDF,
     "stream_delta_source_orders": SQL_STREAM_DELTA_SOURCE,

@@ -1435,3 +1435,101 @@ class TestV2Checkpoint:
         got = spark.read.format("delta_jarless").load(tbl)
         assert sorted(r["k"] for r in got.collect()) \
             == list(range(18))
+
+
+class TestConvertAndClone:
+    def test_convert_plain_dir(self, spark, tbl):
+        from wrangle_pypes_spark.sources.delta import convert_to_delta
+        df = spark.range(0, 20).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("x"))
+        df.repartition(3).write.parquet(tbl)
+        assert convert_to_delta(spark, tbl) == 0
+        got = read_delta(spark, tbl)
+        assert got.schema.fieldNames() == ["k", "x"]
+        assert sorted(r["k"] for r in got.collect()) \
+            == list(range(20))
+        # in place: the original files are referenced, not copied
+        with pytest.raises(ValueError, match="already"):
+            convert_to_delta(spark, tbl)
+        # the converted table is a full citizen: append + DV delete
+        write_delta(df.select((F.col("k") + 20).alias("k"),
+                              F.col("x")), tbl)
+        from wrangle_pypes_spark.sources.delta import (
+            delta_delete_where,
+        )
+        delta_delete_where(spark, tbl, "k % 10 = 0")
+        assert sorted(r["k"] for r in
+                      read_delta(spark, tbl).collect()) \
+            == [k for k in range(40) if k % 10 != 0]
+
+    def test_convert_hive_dir(self, spark, tbl):
+        from wrangle_pypes_spark.sources.delta import convert_to_delta
+        df = spark.range(0, 30).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("int").alias("p"))
+        df.write.partitionBy("p").parquet(tbl)
+        with pytest.raises(ValueError, match="partition_schema"):
+            convert_to_delta(spark, tbl)
+        assert convert_to_delta(
+            spark, tbl,
+            partition_schema=T.StructType(
+                [T.StructField("p", T.IntegerType())])) == 0
+        got = read_delta(spark, tbl)
+        assert got.schema["p"].dataType == T.IntegerType()
+        assert got.filter("p = 1").count() == 10
+        assert got.count() == 30
+
+    def test_shallow_clone_is_zero_copy_and_independent(
+            self, spark, tbl, tmp_path):
+        from wrangle_pypes_spark.sources.delta import (
+            delta_clone,
+            delta_delete_where,
+            delta_optimize,
+        )
+        src = tbl
+        dst = str(tmp_path / "clone")
+        df = spark.range(0, 30).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("p"))
+        write_delta(df, src, partition_by=["p"])
+        delta_delete_where(spark, src, "k % 5 = 0")  # DV on source
+        assert delta_clone(spark, src, dst) == 0
+        live = [k for k in range(30) if k % 5 != 0]
+        assert sorted(r["k"] for r in
+                      read_delta(spark, dst).collect()) == live
+        # zero copy: no parquet landed under the clone
+        names = []
+        for root, _, fs in os.walk(dst):
+            names += [f for f in fs if f.endswith(".parquet")]
+        assert names == []
+        # independence: mutations on the clone never touch the source
+        write_delta(df.filter("k < 2").select(
+            (F.col("k") + 100).alias("k"), F.col("p")), dst)
+        delta_delete_where(spark, dst, "k = 1")
+        assert sorted(r["k"] for r in
+                      read_delta(spark, dst).collect()) \
+            == [k for k in live if k != 1] + [100, 101]
+        assert sorted(r["k"] for r in
+                      read_delta(spark, src).collect()) == live
+        # and OPTIMIZE on the clone materializes into CLONE-local
+        # files without touching the source's
+        out = delta_optimize(spark, dst, min_files=1)
+        assert out["added_files"] >= 1
+        assert sorted(r["k"] for r in
+                      read_delta(spark, dst).collect()) \
+            == [k for k in live if k != 1] + [100, 101]
+        assert sorted(r["k"] for r in
+                      read_delta(spark, src).collect()) == live
+
+    def test_clone_of_clone_and_already_exists(self, spark, tbl,
+                                               tmp_path):
+        from wrangle_pypes_spark.sources.delta import delta_clone
+        df = spark.range(0, 5).select(F.col("id").alias("k"))
+        write_delta(df, tbl)
+        d1 = str(tmp_path / "c1")
+        d2 = str(tmp_path / "c2")
+        delta_clone(spark, tbl, d1)
+        delta_clone(spark, d1, d2)  # absolute paths carry over
+        assert read_delta(spark, d2).count() == 5
+        with pytest.raises(ValueError, match="already"):
+            delta_clone(spark, tbl, d1)

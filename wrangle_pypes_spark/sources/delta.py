@@ -871,6 +871,9 @@ def _hive_consistent(adds: list, pcols: list) -> bool:
     the precondition for the single-scan basePath fast path."""
     from urllib.parse import unquote
     for a in adds:
+        if os.path.isabs(a["path"]) or "://" in a["path"]:
+            return False  # clone-style absolute paths: basePath
+            # (the table root) is not an ancestor of the data file
         pv = a.get("partitionValues") or {}
         segs = {}
         for seg in a["path"].split("/")[:-1]:
@@ -1457,6 +1460,146 @@ def delta_delete_where(spark: SparkSession, table: str,
             "DELETE must re-read the table and re-run")
     _cache_post_commit(spark, table, next_version, snap, text)
     return next_version
+
+
+def convert_to_delta(spark: SparkSession, path: str, *,
+                     partition_schema: Optional[T.StructType] = None
+                     ) -> int:
+    """CONVERT TO DELTA: publish commit 0 over an EXISTING parquet
+    directory in place — no data is copied or rewritten.  Plain
+    directories convert as unpartitioned tables; hive layouts
+    (``col=value`` dirs) need ``partition_schema`` naming the
+    partition columns and their types (the same contract delta-spark
+    has — dir names can't tell ``'7'`` from ``7``).  The data schema
+    comes from the parquet footers via the native reader; partition
+    values come from the dir segments.  Returns the committed version
+    (0).  Fails loudly if the path already is a Delta table.
+
+    Scale: one recursive listing + one schema inference open the
+    commit; the add list is the same size as the commit JSON —
+    nothing O(rows)."""
+    root = fsutil._strip_file_scheme(path)
+    if fsutil.dir_exists(os.path.join(root, _LOG_DIR), spark):
+        raise ValueError(f"{path} is already a Delta table")
+    pcols = [f.name for f in (partition_schema or T.StructType())]
+    import urllib.parse
+
+    files: list[tuple[str, dict, int, int]] = []
+
+    def _walk(rel: str) -> None:
+        full = os.path.join(root, rel) if rel else root
+        for name in sorted(fsutil.list_dir(full, spark)):
+            child_rel = os.path.join(rel, name) if rel else name
+            child = os.path.join(root, child_rel)
+            if name.endswith(".parquet"):
+                pv = {}
+                for seg in child_rel.split(os.sep)[:-1]:
+                    if "=" in seg:
+                        k, v = seg.split("=", 1)
+                        pv[k] = (None if v == _HIVE_NULL
+                                 else urllib.parse.unquote(v))
+                st = os.stat(child) if fsutil.is_local(child) \
+                    else None
+                files.append((child_rel.replace(os.sep, "/"), pv,
+                              int(st.st_size) if st else 0,
+                              int(st.st_mtime * 1000) if st else 0))
+            elif "." not in name or "=" in name:
+                _walk(child_rel)
+
+    _walk("")
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    seen_pcols = set().union(*[set(pv) for _, pv, _, _ in files])
+    if seen_pcols != set(pcols):
+        raise ValueError(
+            f"hive partition dirs {sorted(seen_pcols)} != "
+            f"partition_schema columns {sorted(pcols)} — pass "
+            "partition_schema naming every partition column and type")
+    data_schema = spark.read.parquet(
+        os.path.join(root, files[0][0])).schema
+    overlap = set(data_schema.fieldNames()) & set(pcols)
+    if overlap:
+        raise ValueError(
+            f"partition columns {sorted(overlap)} also exist in the "
+            "data files — not a hive layout")
+    schema = T.StructType(list(data_schema.fields)
+                          + list((partition_schema
+                                  or T.StructType()).fields))
+    actions = [{"protocol": {"minReaderVersion": 1,
+                             "minWriterVersion": 2}},
+               {"metaData": _new_metadata(schema, pcols)}]
+    for rel, pv, size, mtime in files:
+        actions.append({"add": {
+            "path": rel, "partitionValues": pv, "size": size,
+            "modificationTime": mtime, "dataChange": True}})
+    actions.append({"commitInfo": {
+        "operation": "CONVERT",
+        "engineInfo": "wrangle_pypes_spark-delta"}})
+    fsutil.ensure_dir(os.path.join(path, _LOG_DIR), spark)
+    text = "\n".join(json.dumps(a, separators=(",", ":"))
+                     for a in actions)
+    if not _create_exclusive(_log_path(path, _commit_name(0)), text,
+                             spark):
+        raise DeltaConcurrentWriteError(
+            f"{path} was converted concurrently")
+    _cache_post_commit(spark, path, 0, None, text)
+    return 0
+
+
+def delta_clone(spark: SparkSession, source: str, dest: str) -> int:
+    """SHALLOW CLONE: publish ``dest`` as a new Delta table whose
+    commit 0 references the SOURCE's live data files by absolute path
+    — a zero-copy fork (the spec allows absolute ``add.path``; at
+    100 TB this is how you get a sandbox without copying 100 TB).
+    Deletion vectors carry over as absolute-path descriptors
+    (storageType 'p').  The clone is independent from the first
+    commit on: appends/deletes/optimize land in the CLONE's log only;
+    vacuuming the SOURCE can break clones, exactly as delta-spark
+    documents for shallow clones."""
+    snap = delta_snapshot(spark, source)
+    src_root = fsutil._strip_file_scheme(source)
+    if fsutil.dir_exists(os.path.join(dest, _LOG_DIR), spark):
+        raise ValueError(f"{dest} is already a Delta table")
+    meta = dict(snap.metadata, id=str(uuid.uuid4()))
+    actions = [{"protocol": snap.protocol
+                or {"minReaderVersion": 1, "minWriterVersion": 2}},
+               {"metaData": meta}]
+    from . import dv as _dv
+    for a in snap.pruned_adds():
+        add = {"path": os.path.join(src_root, a["path"]),
+               "partitionValues": a.get("partitionValuesPhysical")
+               or a.get("partitionValues") or {},
+               "size": int(a.get("size") or 0),
+               "modificationTime": int(a.get("modificationTime")
+                                       or 0),
+               "dataChange": True}
+        dvd = a.get("deletionVector")
+        if dvd:
+            if dvd["storageType"] == "i":
+                add["deletionVector"] = dict(dvd)
+            else:
+                add["deletionVector"] = {
+                    "storageType": "p",
+                    "pathOrInlineDv": _dv.resolve_dv_path(
+                        src_root, dvd["storageType"],
+                        dvd["pathOrInlineDv"]),
+                    "offset": dvd.get("offset"),
+                    "sizeInBytes": dvd["sizeInBytes"],
+                    "cardinality": dvd["cardinality"]}
+        actions.append({"add": add})
+    actions.append({"commitInfo": {
+        "operation": "CLONE",
+        "operationParameters": {"source": source},
+        "engineInfo": "wrangle_pypes_spark-delta"}})
+    fsutil.ensure_dir(os.path.join(dest, _LOG_DIR), spark)
+    text = "\n".join(json.dumps(x, separators=(",", ":"))
+                     for x in actions)
+    if not _create_exclusive(_log_path(dest, _commit_name(0)), text,
+                             spark):
+        raise DeltaConcurrentWriteError(
+            f"{dest} version 0 was committed concurrently")
+    _cache_post_commit(spark, dest, 0, None, text)
+    return 0
 
 
 def delta_optimize(spark: SparkSession, table: str, *,
