@@ -7636,6 +7636,76 @@ FROM clone_rows GROUP BY o_orderstatus
 """
 
 
+def q_iceberg_cdf_orders(spark, sf_dir):
+    """Iceberg incremental change feed (r13 ``iceberg_changes`` — the
+    ``create_changelog_view`` shape, twin of ``delta_changes``): five
+    snapshots exercise every changelog branch — two appends (inserts),
+    a POSITION delete (``%6`` rows), an EQUALITY delete (``%10`` keys,
+    where already-position-deleted keys like 30/60/… must NOT
+    re-report), and an OVERWRITE whose remove half reports the
+    then-live rows as deletes (predecessor deletes applied first) and
+    whose add half reports inserts.  Aggregated per (change type,
+    sequence, status); the oracle recomputes every slice from raw
+    orders — a wrong sequence gate, a re-reported dead row, or a
+    missed overwrite half all break the value hash."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.iceberg import (
+        iceberg_changes,
+        iceberg_delete_where,
+        write_iceberg,
+        write_iceberg_deletes,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_icecdf_") + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    write_iceberg(o.filter("o_orderkey % 2 = 0"), tbl)       # seq 1
+    write_iceberg(o.filter("o_orderkey % 2 = 1"), tbl)       # seq 2
+    iceberg_delete_where(spark, tbl, "o_orderkey % 6 = 0")   # seq 3
+    write_iceberg_deletes(
+        o.filter("o_orderkey % 10 = 0")
+         .select("o_orderkey").distinct(),
+        tbl, equality_cols=["o_orderkey"])                   # seq 4
+    write_iceberg(
+        o.filter("o_orderkey % 7 = 0")
+         .withColumn("o_totalprice", F.col("o_totalprice") * 2),
+        tbl, mode="overwrite")                               # seq 5
+    ch = iceberg_changes(spark, tbl, from_seq=1)
+    return (ch.groupBy("_change_type", "_commit_seq",
+                       "o_orderstatus")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents")))
+
+
+SQL_ICEBERG_CDF = """
+WITH changes AS (
+  SELECT 'insert' AS ct, 1 AS seq, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT 'insert', 2, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 1
+  UNION ALL
+  SELECT 'delete', 3, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 6 = 0
+  UNION ALL
+  SELECT 'delete', 4, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 6 <> 0
+  UNION ALL
+  SELECT 'delete', 5, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 6 <> 0 AND o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT 'insert', 5, o_orderstatus, o_totalprice * 2
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT ct AS _change_type, seq AS _commit_seq, o_orderstatus,
+       COUNT(*)::BIGINT AS n_rows,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM changes GROUP BY ct, seq, o_orderstatus
+"""
+
+
 def q_zorder_col(spark, sf_dir):
     """Z-order (Morton) clustering value over two part dimensions —
     the multi-dimensional file-clustering layout (Delta OPTIMIZE ZORDER)
@@ -9721,13 +9791,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wrangle_nested_customer": q_wrangle_nested_customer,  # last driver check: r8
     "q1_pricing_summary": q_q1_pricing_summary,  # last driver check: r8
     "q2_min_cost_supplier": q_q2_min_cost_supplier,  # last driver check: r8
-    "stream_static_enrich": q_stream_static_enrich,  # last driver check: r9
+    "iceberg_cdf_orders": q_iceberg_cdf_orders,  # NEW r13: incremental changelog across all writer shapes, value-oracled
     "delta_convert_clone_orders": q_delta_convert_clone_orders,  # NEW r13: CONVERT TO DELTA + shallow clone, value-oracled
     "delta_optimize_orders": q_delta_optimize_orders,  # NEW r13: OPTIMIZE compaction + DV materialization, value-oracled
     "iceberg_pos_delete_orders": q_iceberg_pos_delete_orders,  # NEW r13: position-delete writer, value-oracled
     "delta_column_mapping_write_orders": q_delta_column_mapping_write_orders,  # NEW r13: writes into a name-mapped table, value-oracled
     "delta_id_mode_orders": q_delta_id_mode_orders,  # NEW r13: id-mode (field-id matched) read + write, value-oracled
     # ---- below the 50-slot driver window from here down ----
+    "stream_static_enrich": q_stream_static_enrich,  # r9 green; displaced for the r13 iceberg changelog query
     "temperature_mix_sources": q_temperature_mix_sources,  # r9 green; displaced for the r13 convert/clone query
     "profile_customer": q_profile_customer,  # r9 green; displaced for the r13 optimize query
     "c4_clean_docs": q_c4_clean_docs,  # r9 green; displaced for the r13 position-delete query
@@ -10122,6 +10193,7 @@ _ORACLES: dict[str, str] = {
     "iceberg_pos_delete_orders": SQL_ICEBERG_POS_DELETE,
     "delta_optimize_orders": SQL_DELTA_OPTIMIZE,
     "delta_convert_clone_orders": SQL_DELTA_CONVERT_CLONE,
+    "iceberg_cdf_orders": SQL_ICEBERG_CDF,
     "delta_id_mode_orders": SQL_DELTA_ID_MODE,
     "delta_cdf_orders": SQL_DELTA_CDF,
     "stream_delta_source_orders": SQL_STREAM_DELTA_SOURCE,

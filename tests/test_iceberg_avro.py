@@ -267,11 +267,17 @@ class TestIcebergRead:
         assert out.schema["p"].dataType == T.IntegerType()
 
     def test_format_version_gate(self, spark, tmp_path):
+        # v3 without v3-only row features reads like v2 (r13)…
         tbl = str(tmp_path / "ice3")
         _write_metadata(tbl, schemas=_SCHEMA_KP, specs=_SPEC_P,
                         snapshots=[], current=-1, fmt=3)
+        assert iceberg_snapshot(spark, tbl).files == []
+        # …v4 still gates
+        tbl4 = str(tmp_path / "ice4v")
+        _write_metadata(tbl4, schemas=_SCHEMA_KP, specs=_SPEC_P,
+                        snapshots=[], current=-1, fmt=4)
         with pytest.raises(IcebergProtocolError, match="format-version"):
-            iceberg_snapshot(spark, tbl)
+            iceberg_snapshot(spark, tbl4)
 
     def test_unknown_content_gate(self, spark, tmp_path):
         """content values beyond the v2 spec (0/1/2) gate loudly."""
@@ -1098,3 +1104,61 @@ class TestFormatV3:
             f.write(json.dumps(meta))
         with pytest.raises(IcebergProtocolError, match="format-ver"):
             read_iceberg(spark, tbl).collect()
+
+
+class TestIcebergChanges:
+    def test_changelog_across_writer_shapes(self, spark, tmp_path):
+        """inserts (append), deletes (position + equality), and the
+        remove/add halves of an overwrite, with already-dead rows
+        never re-reporting."""
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_changes,
+            iceberg_delete_where,
+            write_iceberg,
+            write_iceberg_deletes,
+        )
+        tbl = str(tmp_path / "t")
+        df = spark.range(0, 30).select(F.col("id").alias("k"))
+        write_iceberg(df.filter("k % 2 = 0"), tbl)           # seq 1
+        write_iceberg(df.filter("k % 2 = 1"), tbl)           # seq 2
+        iceberg_delete_where(spark, tbl, "k % 6 = 0")        # seq 3
+        write_iceberg_deletes(
+            spark.createDataFrame([(10,), (12,), (15,)], "k long"),
+            tbl, equality_cols=["k"])                        # seq 4
+        write_iceberg(df.filter("k >= 28"), tbl,
+                      mode="overwrite")                      # seq 5
+        ch = iceberg_changes(spark, tbl, from_seq=1)
+        got = sorted((r["k"], r["_change_type"], r["_commit_seq"])
+                     for r in ch.collect())
+        evens = [k for k in range(30) if k % 2 == 0]
+        odds = [k for k in range(30) if k % 2 == 1]
+        live4 = [k for k in range(30)
+                 if k % 6 != 0 and k not in (10, 15)]
+        # 12 is a multiple of 6: dead at seq 3, must NOT re-report
+        want = sorted(
+            [(k, "insert", 1) for k in evens]
+            + [(k, "insert", 2) for k in odds]
+            + [(k, "delete", 3) for k in range(30) if k % 6 == 0]
+            + [(k, "delete", 4) for k in (10, 15)]
+            + [(k, "delete", 5) for k in live4]
+            + [(k, "insert", 5) for k in (28, 29)])
+        assert got == want
+        # range clipping
+        ch34 = iceberg_changes(spark, tbl, from_seq=3, to_seq=4)
+        assert sorted((r["k"], r["_commit_seq"])
+                      for r in ch34.collect()) \
+            == sorted([(k, 3) for k in range(30) if k % 6 == 0]
+                      + [(10, 4), (15, 4)])
+
+    def test_empty_range(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_changes,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "t")
+        write_iceberg(spark.range(3).select(F.col("id").alias("k")),
+                      tbl)
+        ch = iceberg_changes(spark, tbl, from_seq=5, to_seq=9)
+        assert ch.count() == 0
+        assert ch.schema.fieldNames() == ["k", "_change_type",
+                                          "_commit_seq"]

@@ -627,6 +627,39 @@ def _prune_by_partition(snap: IcebergSnapshot,
                            delete_files=dels)
 
 
+def _scan_snapshot_files(spark: SparkSession,
+                         snap: IcebergSnapshot, files: list, *,
+                         with_meta: bool) -> Optional[DataFrame]:
+    """Table-schema scan over a SUBSET of a snapshot's data files
+    (identity partition columns re-attached from manifest tuples when
+    absent from the data).  ``with_meta`` appends the
+    (_ice_fp, _ice_ri) row-address columns for delete merging."""
+    import dataclasses as _dc
+    want = [f.name for f in snap.schema.fields]
+    sub = _dc.replace(snap, files=list(files))
+    out = None
+    for fmt in ("parquet", "orc"):
+        paths = [f["path"] for f in files if f["format"] == fmt]
+        if not paths:
+            continue
+        d = getattr(spark.read, fmt)(*paths)
+        missing = [c for c in want if c not in d.columns]
+        if missing:
+            d = _attach_identity_partitions(
+                spark, sub, fmt, missing, with_meta=with_meta)
+        elif with_meta:
+            d = d.select(
+                "*",
+                F.col("_metadata.file_path").alias("_ice_fp"),
+                F.col("_metadata.row_index").alias("_ice_ri"))
+        d = d.select(*([F.col(c).cast(snap.schema[c].dataType)
+                        for c in want]
+                       + ([F.col("_ice_fp"), F.col("_ice_ri")]
+                          if with_meta else [])))
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
 def read_iceberg(spark: SparkSession, table: str, *,
                  snapshot_id: Optional[int] = None,
                  as_of_timestamp_ms: Optional[int] = None,
@@ -657,27 +690,8 @@ def read_iceberg(spark: SparkSession, table: str, *,
     # merge-on-read: with live delete files, every data row carries
     # (file, row_index, data sequence) so the delete joins can apply
     with_meta = bool(snap.delete_files)
-    meta_cols = ["_ice_fp", "_ice_ri"] if with_meta else []
-
-    out = None
-    for fmt in ("parquet", "orc"):
-        paths = [f["path"] for f in snap.files if f["format"] == fmt]
-        if not paths:
-            continue
-        d = getattr(spark.read, fmt)(*paths)
-        missing = [c for c in want if c not in d.columns]
-        if missing:
-            d = _attach_identity_partitions(
-                spark, snap, fmt, missing, with_meta=with_meta)
-        elif with_meta:
-            d = d.select(
-                "*",
-                F.col("_metadata.file_path").alias("_ice_fp"),
-                F.col("_metadata.row_index").alias("_ice_ri"))
-        d = d.select(*([F.col(c).cast(snap.schema[c].dataType)
-                        for c in want]
-                       + [F.col(c) for c in meta_cols]))
-        out = d if out is None else out.unionByName(d)
+    out = _scan_snapshot_files(spark, snap, snap.files,
+                               with_meta=with_meta)
     if with_meta:
         out = _apply_row_deletes(spark, snap, out)
         out = out.select(*want)
@@ -1437,26 +1451,8 @@ def iceberg_delete_where(spark: SparkSession, table: str,
     cur_sid = int(meta.get("current-snapshot-id", -1))
     if not snap.files:
         return cur_sid
-    want = [f.name for f in snap.schema.fields]
-    out = None
-    for fmt in ("parquet", "orc"):
-        paths = [f["path"] for f in snap.files if f["format"] == fmt]
-        if not paths:
-            continue
-        d = getattr(spark.read, fmt)(*paths)
-        missing = [c for c in want if c not in d.columns]
-        if missing:
-            d = _attach_identity_partitions(
-                spark, snap, fmt, missing, with_meta=True)
-        else:
-            d = d.select(
-                "*",
-                F.col("_metadata.file_path").alias("_ice_fp"),
-                F.col("_metadata.row_index").alias("_ice_ri"))
-        d = d.select(*([F.col(c).cast(snap.schema[c].dataType)
-                        for c in want]
-                       + [F.col("_ice_fp"), F.col("_ice_ri")]))
-        out = d if out is None else out.unionByName(d)
+    out = _scan_snapshot_files(spark, snap, snap.files,
+                               with_meta=True)
     if snap.delete_files:
         out = _apply_row_deletes(spark, snap, out)
     matches = (out.filter(F.expr(condition))
@@ -1484,6 +1480,157 @@ def iceberg_delete_where(spark: SparkSession, table: str,
         return cur_sid  # nothing matched: no commit
     return _publish_delete_snapshot(
         spark, table, meta, cur_version, del_path, 1, None)
+
+
+def iceberg_changes(spark: SparkSession, table: str, *,
+                    from_seq: int,
+                    to_seq: Optional[int] = None) -> DataFrame:
+    """Incremental change feed (the ``create_changelog_view`` shape —
+    the Iceberg twin of ``delta_changes``): one row per changed row
+    for every snapshot whose sequence number lies in ``[from_seq,
+    to_seq]`` (inclusive), with ``_change_type``
+    ('insert' | 'delete') and ``_commit_seq`` appended.
+
+    Per snapshot, against its PREDECESSOR:
+
+    - data files present only in the new snapshot -> their rows are
+      inserts (appends AND the add half of an overwrite);
+    - data files that disappeared -> their rows are deletes, with the
+      predecessor's delete files applied first so already-dead rows
+      don't re-report (the remove half of an overwrite);
+    - NEW position-delete files -> exactly the still-live rows at the
+      referenced addresses are deletes (``iceberg_delete_where``);
+    - NEW equality-delete files -> the predecessor's live rows
+      matching the key tuples are deletes (``write_iceberg_deletes``).
+
+    Cost: inserts/removals/position deletes scan only the changed or
+    referenced files; equality deletes scan the predecessor's live
+    set (the key can match anywhere — the same cost the read path
+    pays to apply them).  Snapshot resolution is metadata-scale."""
+    import dataclasses as _dc
+    meta_file = _current_metadata_file(table, spark)
+    meta = json.loads(fsutil.read_text(meta_file, spark))
+    snaps = sorted(meta.get("snapshots", []),
+                   key=lambda s: int(s.get("sequence-number") or 0))
+    if not snaps:
+        raise ValueError(f"no snapshots in {table}")
+    if to_seq is None:
+        to_seq = int(snaps[-1].get("sequence-number") or 0)
+    if int(from_seq) > int(to_seq):
+        raise ValueError(f"bad sequence range [{from_seq}, {to_seq}]")
+    schema, by_id = _schema_from_metadata(meta)
+    want = [f.name for f in schema.fields]
+
+    def _tag(d: DataFrame, ctype: str, seq: int) -> DataFrame:
+        return d.select(*[F.col(c) for c in want],
+                        F.lit(ctype).alias("_change_type"),
+                        F.lit(int(seq)).alias("_commit_seq"))
+
+    out_parts = []
+    prev_sid: Optional[int] = None
+    for s in snaps:
+        seq = int(s.get("sequence-number") or 0)
+        if seq > int(to_seq):
+            break
+        sid = int(s["snapshot-id"])
+        if seq < int(from_seq):
+            prev_sid = sid
+            continue
+        cur = iceberg_snapshot(spark, table, snapshot_id=sid)
+        prev = (iceberg_snapshot(spark, table, snapshot_id=prev_sid)
+                if prev_sid is not None else None)
+        prev_files = {f["path"]: f
+                      for f in (prev.files if prev else [])}
+        cur_files = {f["path"]: f for f in cur.files}
+        added = [f for p, f in sorted(cur_files.items())
+                 if p not in prev_files]
+        removed = [f for p, f in sorted(prev_files.items())
+                   if p not in cur_files]
+        prev_dels = list(prev.delete_files) if prev else []
+        prev_del_paths = {d["path"] for d in prev_dels}
+        new_dels = [d for d in cur.delete_files
+                    if d["path"] not in prev_del_paths]
+
+        if added:
+            out_parts.append(_tag(
+                _scan_snapshot_files(spark, cur, added,
+                                     with_meta=False),
+                "insert", seq))
+        if removed and prev is not None:
+            d = _scan_snapshot_files(spark, prev, removed,
+                                     with_meta=bool(prev_dels))
+            if prev_dels:
+                d = _apply_row_deletes(
+                    spark, _dc.replace(prev, files=removed), d)
+            out_parts.append(_tag(d, "delete", seq))
+
+        pos_new = [d for d in new_dels if d["content"] == 1]
+        eq_new = [d for d in new_dels if d["content"] == 2]
+        if pos_new and prev is not None:
+            dels = None
+            for f in pos_new:
+                x = (spark.read.parquet(f["path"])
+                     .select(_norm_uri(F.col("file_path"))
+                             .alias("_dp"),
+                             F.col("pos").cast("long")
+                             .alias("_dpos")))
+                dels = x if dels is None else dels.unionByName(x)
+            refp = {r["_dp"]
+                    for r in dels.select("_dp").distinct().collect()}
+            ref_files = [f for p, f in sorted(prev_files.items())
+                         if _norm_path_str(p) in refp]
+            if ref_files:
+                base = _scan_snapshot_files(spark, prev, ref_files,
+                                            with_meta=True)
+                base = _apply_row_deletes(
+                    spark, _dc.replace(prev, files=ref_files,
+                                       delete_files=prev_dels),
+                    base)
+                j = base.join(
+                    dels,
+                    (base["_ice_np"] == dels["_dp"])
+                    & (base["_ice_ri"] == dels["_dpos"]), "inner")
+                out_parts.append(_tag(j, "delete", seq))
+        if eq_new and prev is not None:
+            base = _scan_snapshot_files(spark, prev, prev.files,
+                                        with_meta=True)
+            base = _apply_row_deletes(spark, prev, base)
+            from collections import defaultdict
+            groups = defaultdict(list)
+            for f in eq_new:
+                groups[tuple(f["equality_ids"])].append(f)
+            for ids, fs in sorted(groups.items()):
+                names = [by_id[i] for i in ids]
+                keys = None
+                for f in fs:
+                    x = spark.read.parquet(f["path"]) \
+                        .select(*[F.col(n) for n in names])
+                    keys = x if keys is None else keys.unionByName(x)
+                keys = keys.distinct().select(
+                    *[F.col(n).alias(f"_k_{n}") for n in names])
+                cond = None
+                for n in names:
+                    c = base[n].eqNullSafe(keys[f"_k_{n}"])
+                    cond = c if cond is None else cond & c
+                out_parts.append(_tag(
+                    base.join(keys, cond, "left_semi"),
+                    "delete", seq))
+        prev_sid = sid
+
+    extra = T.StructType(
+        list(schema.fields)
+        + [T.StructField("_change_type", T.StringType()),
+           T.StructField("_commit_seq", T.IntegerType())])
+    if not out_parts:
+        return local_df(spark, [], extra)
+    out = out_parts[0]
+    for d in out_parts[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _norm_path_str(p: str) -> str:
+    return re.sub("^file:/+", "/", p)
 
 
 def iceberg_rollback(spark: SparkSession, table: str, *,
