@@ -7706,6 +7706,59 @@ FROM changes GROUP BY ct, seq, o_orderstatus
 """
 
 
+def q_iceberg_convert_orders(spark, sf_dir):
+    """CONVERT an existing hive parquet directory into Iceberg IN
+    PLACE (r13 ``convert_to_iceberg`` — the ``add_files``/migrate
+    shape): snapshot 1 references the original files (identity
+    partition values live in manifest tuples with REAL footer stats),
+    then the converted table takes an append and a position delete —
+    proving the migrated table is a full citizen.  Final aggregate
+    value-checked against the same composition from raw orders."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from wrangle_pypes_spark.sources.iceberg import (
+        convert_to_iceberg,
+        iceberg_delete_where,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_icecvt_") + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    o.write.partitionBy("o_orderstatus").parquet(tbl)
+    convert_to_iceberg(
+        spark, tbl,
+        partition_schema=T.StructType(
+            [T.StructField("o_orderstatus", T.StringType())]))
+    write_iceberg(
+        o.filter("o_orderkey % 13 = 0")
+         .withColumn("o_totalprice", F.col("o_totalprice") + 10.0),
+        tbl)
+    iceberg_delete_where(spark, tbl, "o_orderkey % 8 = 0")
+    return (read_iceberg(spark, tbl)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents")))
+
+
+SQL_ICEBERG_CONVERT = """
+WITH allrows AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 10.0, o_orderstatus
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM allrows WHERE o_orderkey % 8 <> 0
+GROUP BY o_orderstatus
+"""
+
+
 def q_zorder_col(spark, sf_dir):
     """Z-order (Morton) clustering value over two part dimensions —
     the multi-dimensional file-clustering layout (Delta OPTIMIZE ZORDER)
@@ -9798,6 +9851,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_column_mapping_write_orders": q_delta_column_mapping_write_orders,  # NEW r13: writes into a name-mapped table, value-oracled
     "delta_id_mode_orders": q_delta_id_mode_orders,  # NEW r13: id-mode (field-id matched) read + write, value-oracled
     # ---- below the 50-slot driver window from here down ----
+    "iceberg_convert_orders": q_iceberg_convert_orders,  # NEW r13, registered post-window: rotate in next round
     "stream_static_enrich": q_stream_static_enrich,  # r9 green; displaced for the r13 iceberg changelog query
     "temperature_mix_sources": q_temperature_mix_sources,  # r9 green; displaced for the r13 convert/clone query
     "profile_customer": q_profile_customer,  # r9 green; displaced for the r13 optimize query
@@ -10194,6 +10248,7 @@ _ORACLES: dict[str, str] = {
     "delta_optimize_orders": SQL_DELTA_OPTIMIZE,
     "delta_convert_clone_orders": SQL_DELTA_CONVERT_CLONE,
     "iceberg_cdf_orders": SQL_ICEBERG_CDF,
+    "iceberg_convert_orders": SQL_ICEBERG_CONVERT,
     "delta_id_mode_orders": SQL_DELTA_ID_MODE,
     "delta_cdf_orders": SQL_DELTA_CDF,
     "stream_delta_source_orders": SQL_STREAM_DELTA_SOURCE,

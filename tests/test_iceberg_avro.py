@@ -1162,3 +1162,59 @@ class TestIcebergChanges:
         assert ch.count() == 0
         assert ch.schema.fieldNames() == ["k", "_change_type",
                                           "_commit_seq"]
+
+
+class TestConvertToIceberg:
+    def test_convert_plain_and_lifecycle(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import (
+            convert_to_iceberg,
+            iceberg_delete_where,
+            iceberg_snapshot,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "cvt")
+        df = spark.range(0, 20).select(
+            F.col("id").alias("k"), (F.col("id") * 1.5).alias("x"))
+        df.repartition(3).write.parquet(tbl)
+        assert convert_to_iceberg(spark, tbl) == 1
+        got = read_iceberg(spark, tbl)
+        assert sorted(r["k"] for r in got.collect()) \
+            == list(range(20))
+        # real footer stats in the manifests
+        snap = iceberg_snapshot(spark, tbl)
+        assert sum(f["records"] for f in snap.files) == 20
+        with pytest.raises(ValueError, match="already"):
+            convert_to_iceberg(spark, tbl)
+        # full citizen: append + position delete compose
+        write_iceberg(df.select((F.col("k") + 20).alias("k"),
+                                F.col("x")), tbl)
+        iceberg_delete_where(spark, tbl, "k % 10 = 0")
+        assert sorted(r["k"] for r in
+                      read_iceberg(spark, tbl).collect()) \
+            == [k for k in range(40) if k % 10 != 0]
+
+    def test_convert_hive_identity_partitions(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import (
+            convert_to_iceberg,
+        )
+        tbl = str(tmp_path / "cvth")
+        df = spark.range(0, 30).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("int").alias("p"))
+        df.write.partitionBy("p").parquet(tbl)
+        with pytest.raises(ValueError, match="partition_schema"):
+            convert_to_iceberg(spark, tbl)
+        convert_to_iceberg(
+            spark, tbl,
+            partition_schema=T.StructType(
+                [T.StructField("p", T.IntegerType())]))
+        got = read_iceberg(spark, tbl)
+        assert got.schema["p"].dataType == T.IntegerType()
+        assert got.filter("p = 2").count() == 10
+        # manifest-tuple pruning works on the converted table
+        pruned = read_iceberg(spark, tbl, partition_filter={"p": 1})
+        assert pruned.select(
+            F.input_file_name().alias("f")).distinct().count() \
+            < got.select(
+                F.input_file_name().alias("f")).distinct().count()
+        assert pruned.filter("p = 1").count() == 10

@@ -642,7 +642,12 @@ def _scan_snapshot_files(spark: SparkSession,
         paths = [f["path"] for f in files if f["format"] == fmt]
         if not paths:
             continue
-        d = getattr(spark.read, fmt)(*paths)
+        # recursiveFileLookup disables hive partition INFERENCE on
+        # explicit file lists — converted-in-place files and later
+        # appends live at different depths, which inference rejects
+        # (identity partition columns re-attach from manifests below)
+        d = (spark.read.option("recursiveFileLookup", "true")
+             .format(fmt).load(paths))
         missing = [c for c in want if c not in d.columns]
         if missing:
             d = _attach_identity_partitions(
@@ -776,9 +781,27 @@ def _apply_row_deletes(spark, snap: IcebergSnapshot, d: DataFrame):
 def _hive_consistent_ice(snap: IcebergSnapshot, fmt: str,
                          missing: list) -> bool:
     from urllib.parse import unquote
+    root = fsutil._strip_file_scheme(snap.path).rstrip("/")
+    layout_sig = None
     for f in snap.files:
         if f["format"] != fmt:
             continue
+        # Spark's basePath discovery needs ONE uniform layout: every
+        # file at the same depth with k=v segments in the same
+        # positions (converted-in-place files at <root>/p=x next to
+        # appended files at <root>/data/p=x are a conflict)
+        fp = fsutil._strip_file_scheme(f["path"])
+        if not fp.startswith(root + "/"):
+            return False
+        rel_dirs = fp[len(root) + 1:].split("/")[:-1]
+        sig = (len(rel_dirs),
+               tuple((i, seg.split("=", 1)[0])
+                     for i, seg in enumerate(rel_dirs)
+                     if "=" in seg))
+        if layout_sig is None:
+            layout_sig = sig
+        elif sig != layout_sig:
+            return False
         segs = {}
         for seg in f["path"].split("/")[:-1]:
             if "=" in seg:
@@ -839,7 +862,8 @@ def _attach_identity_partitions(spark, snap: IcebergSnapshot,
         pvals[key] = f["partition"]
     parts = []
     for key in sorted(groups):
-        d = getattr(spark.read, fmt)(*groups[key])
+        d = (spark.read.option("recursiveFileLookup", "true")
+             .format(fmt).load(groups[key]))
         if with_meta:
             d = d.select(
                 "*",
@@ -1294,6 +1318,142 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
     fsutil.write_text_atomic(
         os.path.join(mdir, "version-hint.text"), str(new_version),
         spark)
+    return snap_id
+
+
+def convert_to_iceberg(spark: SparkSession, path: str, *,
+                       partition_schema: Optional[T.StructType]
+                       = None) -> int:
+    """CONVERT an existing parquet directory IN PLACE into an Iceberg
+    v2 table (the ``add_files``/migrate shape): snapshot 1 references
+    the files where they are — nothing copied or rewritten.  Hive
+    layouts (``col=value`` dirs) need ``partition_schema`` naming the
+    partition columns and types; they become identity partition
+    fields whose values live in the manifest tuples (our reader
+    re-attaches them; foreign readers get them from the tuples, the
+    Iceberg norm for migrated hive data).  Manifest entries carry
+    REAL record counts (parquet footers) and file sizes.  Returns the
+    snapshot id.  Fails loudly if the path already is an Iceberg
+    table."""
+    import urllib.parse
+    import uuid as _uuid
+
+    root = fsutil._strip_file_scheme(path)
+    mdir = os.path.join(root, "metadata")
+    if fsutil.dir_exists(mdir, spark):
+        raise ValueError(f"{path} is already an Iceberg table")
+    pcols = [f.name for f in (partition_schema or T.StructType())]
+
+    files: list[tuple[str, dict, int]] = []
+
+    def _walk(rel: str) -> None:
+        full = os.path.join(root, rel) if rel else root
+        for name in sorted(fsutil.list_dir(full, spark)):
+            child_rel = os.path.join(rel, name) if rel else name
+            child = os.path.join(root, child_rel)
+            if name.endswith(".parquet"):
+                pv = {}
+                for seg in child_rel.split(os.sep)[:-1]:
+                    if "=" in seg:
+                        k, v = seg.split("=", 1)
+                        pv[k] = (None
+                                 if v == "__HIVE_DEFAULT_PARTITION__"
+                                 else urllib.parse.unquote(v))
+                files.append((child, pv,
+                              int(os.path.getsize(child)
+                                  if fsutil.is_local(child) else 0)))
+            elif "." not in name or "=" in name:
+                _walk(child_rel)
+
+    _walk("")
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    seen_pcols = set().union(*[set(pv) for _, pv, _ in files])
+    if seen_pcols != set(pcols):
+        raise ValueError(
+            f"hive partition dirs {sorted(seen_pcols)} != "
+            f"partition_schema columns {sorted(pcols)} — pass "
+            "partition_schema naming every partition column and type")
+    data_schema = spark.read.parquet(files[0][0]).schema
+    overlap = set(data_schema.fieldNames()) & set(pcols)
+    if overlap:
+        raise ValueError(
+            f"partition columns {sorted(overlap)} also exist in the "
+            "data files — not a hive layout")
+    full_schema = T.StructType(
+        list(data_schema.fields)
+        + list((partition_schema or T.StructType()).fields))
+    ice_schema = _ice_schema_from_spark(full_schema)
+    name_to_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    ice_types = {f["name"]: f["type"] for f in ice_schema["fields"]}
+    spec = [{"name": c, "transform": "identity",
+             "source-id": name_to_id[c], "field-id": 1000 + i}
+            for i, c in enumerate(pcols)]
+    meta = {"format-version": 2, "table-uuid": uuid_hex(path),
+            "location": path, "last-sequence-number": 0,
+            "last-updated-ms": 0,
+            "last-column-id": len(ice_schema["fields"]),
+            "current-schema-id": 0, "schemas": [ice_schema],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec}],
+            "last-partition-id": 1000 + len(spec),
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "current-snapshot-id": -1, "snapshots": []}
+
+    entries = []
+    for fp, pv, size in files:
+        entries.append({
+            "status": 1, "snapshot_id": None,
+            "data_file": {
+                "content": 0, "file_path": fp,
+                "file_format": "PARQUET",
+                "partition": {c: _parse_pv(pv.get(c), ice_types[c])
+                              for c in pcols},
+                "record_count": _parquet_row_count(fp),
+                "file_size_in_bytes": size,
+            }})
+    part_avro_fields = []
+    for f, c in zip(spec, pcols):
+        avro_t = _ICE_TO_AVRO.get(ice_types[c])
+        if avro_t is None:
+            raise IcebergProtocolError(
+                f"partition column {c!r} type {ice_types[c]!r} "
+                "unsupported by the minimal writer")
+        part_avro_fields.append({"name": c,
+                                 "type": ["null", avro_t],
+                                 "field-id": int(f["field-id"])})
+    from .avro_io import write_container_file
+    fsutil.ensure_dir(mdir, spark)
+    manifest_schema = _manifest_avro_schema(part_avro_fields)
+    m_path = os.path.join(mdir, f"m-{_uuid.uuid4().hex}.avro")
+    write_container_file(m_path, manifest_schema, entries)
+    m_len = int(os.path.getsize(fsutil._strip_file_scheme(m_path)))
+    snap_id, seq = 1, 1
+    ml_path = os.path.join(
+        mdir, f"snap-{snap_id}-{_uuid.uuid4().hex}.avro")
+    write_container_file(ml_path, _MANIFEST_LIST_SCHEMA, [{
+        "manifest_path": m_path, "manifest_length": m_len,
+        "partition_spec_id": 0, "content": 0,
+        "sequence_number": seq, "added_snapshot_id": snap_id}])
+    import time as _time
+    now_ms = int(_time.time() * 1000)
+    n_recs = sum(e["data_file"]["record_count"] for e in entries)
+    meta["snapshots"] = [{
+        "snapshot-id": snap_id, "sequence-number": seq,
+        "timestamp-ms": now_ms, "manifest-list": ml_path,
+        "summary": {"operation": "append",
+                    "added-data-files": str(len(entries)),
+                    "added-records": str(n_recs)}}]
+    meta["current-snapshot-id"] = snap_id
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    from .delta import _create_exclusive
+    if not _create_exclusive(os.path.join(mdir, "v1.metadata.json"),
+                             json.dumps(meta), spark):
+        raise RuntimeError(f"{path} was converted concurrently")
+    fsutil.write_text_atomic(
+        os.path.join(mdir, "version-hint.text"), "1", spark)
     return snap_id
 
 
