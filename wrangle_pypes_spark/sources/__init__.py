@@ -12,12 +12,16 @@ from .avro_table import read_avro, write_avro
 from .datasource import (DeltaJarlessDataSource,
                          IcebergJarlessDataSource)
 from .catalog import describe_store, store_kind
-from .delta import (delta_changes, delta_checkpoint,
+from .delta import (convert_to_delta, delta_changes,
+                    delta_checkpoint, delta_clone,
                     delta_delete_where,
                     delta_history, delta_log_cleanup,
+                    delta_optimize,
                     delta_restore, delta_snapshot,
                     delta_vacuum, read_delta, write_delta)
-from .iceberg import (iceberg_expire_snapshots,
+from .iceberg import (convert_to_iceberg, iceberg_changes,
+                      iceberg_delete_where,
+                      iceberg_expire_snapshots,
                       iceberg_rollback,
                       iceberg_snapshot, read_iceberg,
                       write_iceberg, write_iceberg_deletes)
@@ -48,7 +52,9 @@ from .tables import (TABLES, ensure_session_confs, infer_json_schema,
 
 __all__ = ("DeltaJarlessDataSource", "IcebergJarlessDataSource",
            "TABLES", "acid_commit", "acid_current", "acid_read",
-           "acid_vacuum", "delta_changes", "delta_checkpoint",
+           "acid_vacuum", "convert_to_delta", "convert_to_iceberg",
+           "delta_changes", "delta_checkpoint", "delta_clone",
+           "delta_optimize", "iceberg_changes", "iceberg_delete_where",
            "delta_delete_where", "delta_log_cleanup",
            "delta_restore", "iceberg_expire_snapshots",
            "iceberg_rollback",
