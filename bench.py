@@ -130,6 +130,14 @@ HEADLINE = [
     "stream_delta_ingest_orders",
     "gif_frame_stats_docs",
     "iceberg_eq_delete_orders",
+    # r13 additions: the new table-lifecycle surfaces
+    "delta_column_mapping_write_orders",
+    "delta_id_mode_orders",
+    "iceberg_pos_delete_orders",
+    "delta_optimize_orders",
+    "delta_convert_clone_orders",
+    "iceberg_cdf_orders",
+    "iceberg_convert_orders",
     "scd2_rebuild_heal",
     "paragraph_dedup_docs",
     "quality_quantile_filter",
