@@ -134,11 +134,41 @@ class TestForeignLog:
         schema = T.StructType([T.StructField("k", T.LongType())])
         _commit(tbl, 0, [
             {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["rowTracking"],
+                          "writerFeatures": ["rowTracking"]}},
+            _meta(schema)])
+        with pytest.raises(DeltaProtocolError, match="rowTracking"):
+            delta_snapshot(spark, tbl)
+
+    def test_type_widening_reads(self, spark, tbl):
+        """r13: a widened table (narrow parquet under a wide
+        schemaString + the typeWidening feature) reads with the wide
+        types — Spark's parquet reader performs the spec widenings
+        when the scan declares the table schema."""
+        schema = T.StructType([T.StructField("k", T.LongType()),
+                               T.StructField("x", T.DoubleType())])
+        os.makedirs(tbl, exist_ok=True)
+        spark.range(0, 6).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 1.5).cast("float").alias("x"))             .coalesce(1).write.mode("overwrite")             .parquet(os.path.join(tbl, "_stage"))
+        part = next(n for n in os.listdir(os.path.join(tbl, "_stage"))
+                    if n.endswith(".parquet"))
+        os.replace(os.path.join(tbl, "_stage", part),
+                   os.path.join(tbl, "narrow.parquet"))
+        shutil.rmtree(os.path.join(tbl, "_stage"))
+        _commit(tbl, 0, [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                           "readerFeatures": ["typeWidening"],
                           "writerFeatures": ["typeWidening"]}},
-            _meta(schema)])
-        with pytest.raises(DeltaProtocolError, match="typeWidening"):
-            delta_snapshot(spark, tbl)
+            _meta(schema),
+            {"add": {"path": "narrow.parquet",
+                     "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}}])
+        out = read_delta(spark, tbl)
+        assert out.schema["k"].dataType == T.LongType()
+        assert out.schema["x"].dataType == T.DoubleType()
+        got = sorted((r["k"], r["x"]) for r in out.collect())
+        assert got == [(i, i * 1.5) for i in range(6)]
 
     def test_dv_reader_feature_is_supported(self, spark, tbl):
         """deletionVectors in readerFeatures must NOT gate (r12)."""

@@ -106,7 +106,14 @@ _SUPPORTED_READER_FEATURES = {"timestampNtz", "v2Checkpoint",
                               # constrains how VACUUM behaves, and
                               # delta_vacuum already honors the
                               # retention window
-                              "vacuumProtocolCheck"}
+                              "vacuumProtocolCheck",
+                              # every scan already reads data files
+                              # with the TABLE schema explicitly, and
+                              # Spark 4's parquet reader performs the
+                              # spec's widenings (int->long,
+                              # float->double, short/byte->int,
+                              # int->decimal) natively
+                              "typeWidening"}
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
