@@ -853,6 +853,35 @@ class TestColumnMapping:
                       read_delta(spark, tbl).collect()) \
             == list(range(5)) + list(range(10, 15)) + [20]
 
+    def test_replace_where_logical_key_on_mapped_table(self, spark,
+                                                       tbl):
+        """ADVICE r13: replace_where must accept LOGICAL partition
+        names on a column-mapped table (the key check used to run
+        after partition_by was reassigned to physical names)."""
+        self._mapped_table(spark, tbl)
+        df = spark.range(30, 33).select(
+            F.col("id").alias("k"),
+            F.struct(F.concat(F.lit("v"), F.col("id"))
+                     .alias("v")).alias("info"),
+            F.lit("x").alias("p"))
+        v = write_delta(df, tbl, mode="overwrite",
+                        replace_where={"p": "x"})
+        assert v == 1
+        rows = sorted(r["k"] for r in
+                      read_delta(spark, tbl).collect())
+        assert rows == list(range(10, 15)) + list(range(30, 33))
+        # physical key keeps working for foreign callers
+        df2 = df.select("k", "info", F.lit("y").alias("p"))
+        write_delta(df2, tbl, mode="overwrite",
+                    replace_where={"col-ppp": "y"})
+        assert sorted(r["k"] for r in
+                      read_delta(spark, tbl).collect()) \
+            == sorted(list(range(30, 33)) * 2)
+        # unknown keys still fail loudly, naming LOGICAL columns
+        with pytest.raises(ValueError, match=r"\['p'\]"):
+            write_delta(df, tbl, mode="overwrite",
+                        replace_where={"zz": "1"})
+
     def _id_mode_table(self, spark, tbl):
         """Foreign id-mode table: parquet columns under arbitrary
         physical names matched ONLY by field id."""
@@ -943,6 +972,57 @@ class TestColumnMapping:
         assert s.field(1).metadata[b"PARQUET:field_id"] == b"2"
         assert s.field(1).type.field(0) \
             .metadata[b"PARQUET:field_id"] == b"3"
+
+
+    def test_id_mode_scan_never_touches_session_conf(self, spark,
+                                                     tbl):
+        """ADVICE r13: id-mode matching must not flip
+        spark.sql.parquet.fieldId.read.enabled session-wide — the
+        engine resolves ids from footers, so the plan stays correct
+        even with the conf explicitly false at ACTION time."""
+        key = "spark.sql.parquet.fieldId.read.enabled"
+        self._id_mode_table(spark, tbl)
+        spark.conf.set(key, "false")
+        try:
+            out = read_delta(spark, tbl)
+            assert spark.conf.get(key) == "false"
+            rows = sorted((r["k"], r["info"]["v"])
+                          for r in out.collect())
+            assert rows == [(i, f"v{i}") for i in range(6)]
+            assert spark.conf.get(key) == "false"
+        finally:
+            spark.conf.unset(key)
+
+    def test_id_mode_heterogeneous_layouts(self, spark, tbl):
+        """Two id-mode data files whose physical names differ AND
+        whose column order differs — only the field ids agree.  The
+        footer-resolved scan must group per layout and union."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        self._id_mode_table(spark, tbl)
+        # second file: swapped order, fresh names, a name that
+        # COLLIDES with file 1's k-column name but carries NO id
+        sch = pa.schema([
+            pa.field("zzz", pa.struct([
+                pa.field("deep", pa.string(),
+                         metadata={b"PARQUET:field_id": b"3"})]),
+                metadata={b"PARQUET:field_id": b"2"}),
+            pa.field("other", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("col-k1", pa.int64()),  # decoy, no field id
+        ])
+        t = pa.table(
+            {"zzz": [{"deep": f"v{i}"} for i in range(20, 23)],
+             "other": list(range(20, 23)),
+             "col-k1": [999] * 3}, schema=sch)
+        pq.write_table(t, os.path.join(tbl, "d1.parquet"))
+        _commit(tbl, 1, [{"add": {
+            "path": "d1.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}])
+        rows = sorted((r["k"], r["info"]["v"])
+                      for r in read_delta(spark, tbl).collect())
+        assert rows == [(i, f"v{i}")
+                        for i in list(range(6)) + [20, 21, 22]]
 
 
 class TestChangeDataFeed:

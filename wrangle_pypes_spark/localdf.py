@@ -26,8 +26,18 @@ def local_df(spark: SparkSession, rows: list,
     or a DDL string) as a DataFrame whose evaluation never spawns
     Python workers.  Falls back to plain ``createDataFrame`` when the
     Arrow conversion can't represent a value (correctness over
-    speed)."""
-    import pandas as pd
+    speed).
+
+    The conversion builds an explicit ``pyarrow.Table`` with the
+    target Arrow types — NOT a ``pandas.DataFrame`` — because pandas
+    silently promotes an int column containing ``None`` to float64,
+    losing exactness above 2**53 without ever raising (so a pandas
+    path's exception fallback would never trigger on the mangled
+    values).  ``timestamp_utc=False`` keeps naive datetimes on the
+    session-timezone interpretation that plain ``createDataFrame``
+    uses.  Any Arrow-side failure raises out of ``pa.array`` /
+    ``pa.Table`` construction here (never a silent downstream
+    fallback) and routes to the exact pickled path."""
     if isinstance(schema, str):
         schema = T._parse_datatype_string(schema)
     if not rows:
@@ -35,8 +45,15 @@ def local_df(spark: SparkSession, rows: list,
             *[F.lit(None).cast(f.dataType).alias(f.name)
               for f in schema.fields])
     try:
-        pdf = pd.DataFrame(rows,
-                           columns=[f.name for f in schema.fields])
-        return spark.createDataFrame(pdf, schema)
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+        arrow_schema = to_arrow_schema(schema, timestamp_utc=False)
+        cols = [tuple(r) for r in rows]
+        cols = list(zip(*cols))
+        tbl = pa.Table.from_arrays(
+            [pa.array(list(col), type=f.type)
+             for col, f in zip(cols, arrow_schema)],
+            schema=arrow_schema)
+        return spark.createDataFrame(tbl, schema)
     except Exception:
         return spark.createDataFrame(rows, schema)

@@ -24,11 +24,12 @@ Spark DataFrame calls:
   **Column mapping** is supported in BOTH modes: name-mode data
   files carry physical column names — the scan reads the physical
   schema and renames (nested included) back to the logical view —
-  and id-mode files match by PARQUET FIELD ID
-  (``spark.sql.parquet.fieldId.read.enabled`` with
-  ``parquet.field.id`` metadata derived from
-  ``delta.columnMapping.id``); partition filters accept logical
-  names in both.
+  and id-mode files match by PARQUET FIELD ID, resolved by the
+  engine from each file's own footer (executor-parallel, memoized
+  per snapshot — never via the session-wide
+  ``spark.sql.parquet.fieldId.read.enabled`` conf, which Spark
+  consults at action time and so cannot be scoped to a lazy plan);
+  partition filters accept logical names in both.
 - **Writer**: ``mode='append' | 'overwrite'`` + ``replace_where=``
   (partition-scoped overwrite), hive-style partition layout, commits
   published with PUT-IF-ABSENT (O_EXCL locally, ``fs.create(path,
@@ -456,23 +457,81 @@ def _fieldid_meta(f: T.StructField, *, required: bool) -> dict:
     return {"parquet.field.id": fid}
 
 
-def _fieldid_read_type(dt: T.DataType) -> T.DataType:
-    """Type tree under LOGICAL names with parquet.field.id metadata —
-    the read schema for id-mode tables: Spark matches parquet columns
-    by field id, so no rename pass is needed afterwards."""
+def _id_signatures(spark: SparkSession, snap: "DeltaSnapshot",
+                   adds: list[dict]) -> dict[str, str]:
+    """Relative add path -> canonical footer layout signature (the
+    JSON of footers.field_node trees), footers read executor-parallel
+    and memoized on the immutable snapshot so repeated scans of one
+    (table, version) pay the job once."""
+    from . import footers
+    cache = snap.__dict__.setdefault("_id_sig_cache", {})
+    missing = sorted({a["path"] for a in adds} - set(cache))
+    if missing:
+        abs_of = {os.path.join(snap.path, p): p for p in missing}
+        for ap, tree in footers.footer_nodes(
+                spark, sorted(abs_of)).items():
+            cache[abs_of[ap]] = json.dumps(tree,
+                                           separators=(",", ":"))
+    return {a["path"]: cache[a["path"]] for a in adds}
+
+
+def _resolve_id_read(data_fields: list[T.StructField],
+                     nodes: list[dict]) -> tuple:
+    """(read schema, rename spec) for ONE id-mode footer layout:
+    every table field resolves to the footer column carrying its
+    delta.columnMapping.id — by ID, never by name — nested structs
+    included; an id absent from the file reads as null via a
+    synthetic column name no file can bear (name collisions with a
+    WRONG id must not match)."""
+    st = _resolve_id_type(T.StructType(data_fields),
+                          {"n": "", "i": None, "c": nodes})
+    rename = [(st.fields[i].name, f.dataType, f.name)
+              for i, f in enumerate(data_fields)]
+    return st, rename
+
+
+def _resolve_id_type(dt: T.DataType, node) -> T.DataType:
     if isinstance(dt, T.StructType):
-        return T.StructType([
-            T.StructField(f.name, _fieldid_read_type(f.dataType),
-                          f.nullable,
-                          _fieldid_meta(f, required=True))
-            for f in dt.fields])
+        children = (node or {}).get("c") or []
+        by_id: dict[int, dict] = {}
+        for c in children:
+            if c["i"] is None:
+                continue
+            if c["i"] in by_id:
+                raise DeltaProtocolError(
+                    f"duplicate parquet field id {c['i']} in a data "
+                    "file footer of an id-mode table")
+            by_id[c["i"]] = c
+        out = []
+        for f in dt.fields:
+            fid = _mapping_id(f)
+            if fid is None:
+                raise DeltaProtocolError(
+                    f"column mapping id missing for field {f.name!r}"
+                    " — an id-mode table must carry "
+                    "delta.columnMapping.id on every field")
+            child = by_id.get(fid)
+            if child is None:
+                out.append(T.StructField(
+                    f"__wps_absent_id_{fid}",
+                    _physical_type(f.dataType), f.nullable))
+            else:
+                out.append(T.StructField(
+                    child["n"], _resolve_id_type(f.dataType, child),
+                    f.nullable))
+        return T.StructType(out)
     if isinstance(dt, T.ArrayType):
-        return T.ArrayType(_fieldid_read_type(dt.elementType),
-                           dt.containsNull)
+        c = (node or {}).get("c") or []
+        return T.ArrayType(
+            _resolve_id_type(dt.elementType, c[0] if c else None),
+            dt.containsNull)
     if isinstance(dt, T.MapType):
-        return T.MapType(_fieldid_read_type(dt.keyType),
-                         _fieldid_read_type(dt.valueType),
-                         dt.valueContainsNull)
+        c = (node or {}).get("c") or []
+        return T.MapType(
+            _resolve_id_type(dt.keyType, c[0] if len(c) > 0 else None),
+            _resolve_id_type(dt.valueType,
+                             c[1] if len(c) > 1 else None),
+            dt.valueContainsNull)
     return dt
 
 
@@ -923,10 +982,11 @@ def _scan_adds(spark: SparkSession, snap: DeltaSnapshot,
     deletion-vector merging.  Under column mapping data files carry
     PHYSICAL column names: in NAME mode the scan reads the physical
     schema and renames back to logical (struct casts rename nested
-    fields positionally); in ID mode the scan matches parquet columns
-    by FIELD ID (read schema carries parquet.field.id under logical
-    names, ``spark.sql.parquet.fieldId.read.enabled``), so no rename
-    pass exists.  The hive fast path naturally falls back to grouped
+    fields positionally); in ID mode the engine resolves FIELD-ID
+    matching itself from each file's footer (``_id_signatures`` /
+    ``_resolve_id_read``) and scans by the resolved physical names —
+    no session conf involved.  The hive fast path naturally falls
+    back to grouped
     scans because physical dir names can't match logical
     partitionValues."""
     maps = snap.column_mapping()
@@ -936,18 +996,28 @@ def _scan_adds(spark: SparkSession, snap: DeltaSnapshot,
     want = [f.name for f in snap.schema.fields]
     data_fields = [f for f in snap.schema.fields
                    if f.name not in pcols]
+    sig_of: dict[str, str] = {}     # rel path -> layout signature
+    per_sig: dict[str, tuple] = {}  # signature -> (schema, rename)
     if maps is None:
         data_schema = T.StructType(data_fields)
         rename = None
     elif mode == "id":
-        data_schema = T.StructType([
-            T.StructField(f.name, _fieldid_read_type(f.dataType),
-                          f.nullable,
-                          _fieldid_meta(f, required=True))
-            for f in data_fields])
-        rename = None
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
-                       "true")
+        # Field-id matching is resolved HERE, from the files' own
+        # footers, never via spark.sql.parquet.fieldId.read.enabled:
+        # Spark 4 consults that conf from the SESSION at ACTION time
+        # (verified: per-read options are ignored and a set/restore
+        # around the plan build breaks later collects), so using it
+        # would mutate matching behavior for every other parquet read
+        # in the session.  Footers are read executor-parallel and
+        # memoized on the immutable snapshot; files sharing a layout
+        # share one scan.
+        sig_of = _id_signatures(spark, snap, adds)
+        per_sig = {s: _resolve_id_read(data_fields, json.loads(s))
+                   for s in set(sig_of.values())}
+        if len(per_sig) == 1:
+            data_schema, rename = next(iter(per_sig.values()))
+        else:
+            data_schema = rename = None  # chosen per group below
     else:
         data_schema = T.StructType([
             T.StructField(maps[0].get(f.name, f.name),
@@ -964,10 +1034,10 @@ def _scan_adds(spark: SparkSession, snap: DeltaSnapshot,
 
     extra = ["_dl_fp", "_dl_ri"] if with_meta else []
 
-    def _to_logical(d: DataFrame) -> DataFrame:
-        if rename is None:
+    def _to_logical(d: DataFrame, ren) -> DataFrame:
+        if ren is None:
             return d
-        cols = [F.col(p).cast(t).alias(n) for p, t, n in rename]
+        cols = [F.col(p).cast(t).alias(n) for p, t, n in ren]
         return d.select(*cols, *[c for c in extra if c in d.columns])
 
     # Fast path: when every add's path is hive-laid-out AND the dir
@@ -975,8 +1045,11 @@ def _scan_adds(spark: SparkSession, snap: DeltaSnapshot,
     # authoritative — any disagreement falls back), one basePath scan
     # reads all files with partition columns inferred per the provided
     # schema.  This is the 10k-partition-safe shape: no per-partition
-    # DataFrame unions in the driver plan.
-    if not pcols or (maps is None and _hive_consistent(adds, pcols)):
+    # DataFrame unions in the driver plan.  Heterogeneous id-mode
+    # layouts can't share one read schema, so they take the grouped
+    # path even unpartitioned.
+    if (not pcols and len(per_sig) <= 1) \
+            or (maps is None and _hive_consistent(adds, pcols)):
         d = spark.read.schema(snap.schema if pcols else data_schema)
         if pcols:
             d = d.option("basePath", snap.path)
@@ -984,26 +1057,30 @@ def _scan_adds(spark: SparkSession, snap: DeltaSnapshot,
                         for a in adds])
         if with_meta:
             d = _meta_cols(d)
-        d = _to_logical(d)
+        d = _to_logical(d, rename)
         return d.select(*want, *extra)
 
-    # group by partition tuple; each group is one parquet scan with the
-    # log-typed partition literals attached
+    # group by (partition tuple, layout signature); each group is one
+    # parquet scan with the log-typed partition literals attached
     groups: dict[tuple, list[str]] = {}
     pvals: dict[tuple, dict] = {}
     for a in adds:
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in pcols)
+        key = (tuple(pv.get(c) for c in pcols),
+               sig_of.get(a["path"], ""))
         groups.setdefault(key, []).append(
             os.path.join(snap.path, a["path"]))
         pvals[key] = pv
     parts_df = []
     for key, paths in sorted(groups.items(),
-                             key=lambda kv: tuple(map(repr, kv[0]))):
-        d = spark.read.schema(data_schema).parquet(*paths)
+                             key=lambda kv: (tuple(map(repr, kv[0][0])),
+                                             kv[0][1])):
+        g_schema, g_rename = (per_sig[key[1]] if key[1]
+                              else (data_schema, rename))
+        d = spark.read.schema(g_schema).parquet(*paths)
         if with_meta:
             d = _meta_cols(d)
-        d = _to_logical(d)
+        d = _to_logical(d, g_rename)
         for c in pcols:
             d = d.withColumn(c, _partition_expr(pvals[key].get(c),
                                                 fields[c]))
@@ -1289,11 +1366,16 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
         removes = []
         if mode == "overwrite" and current is not None:
             if replace_where:
-                unknown = set(replace_where) - set(partition_by)
+                # partition_by holds PHYSICAL names by here (column-
+                # mapped tables); the documented contract accepts
+                # logical names too, matching pruned_adds.
+                unknown = (set(replace_where) - set(partition_by)
+                           - set(current.logical_partition_columns))
                 if unknown:
                     raise ValueError(
                         f"replace_where keys {sorted(unknown)} are not "
-                        f"partition columns {list(partition_by)}")
+                        f"partition columns "
+                        f"{current.logical_partition_columns}")
                 victims = current.pruned_adds(
                     {k: str(v) for k, v in replace_where.items()})
             else:

@@ -1,0 +1,136 @@
+"""Parquet footer schema harvesting — executor-parallel, metadata
+scale.
+
+Two consumers:
+
+- Delta ID-mode column mapping (``delta._scan_adds``): Spark 4
+  consults ``spark.sql.parquet.fieldId.read.enabled`` from the
+  SESSION conf at ACTION time (verified empirically: setting the conf
+  at plan-build time and restoring it before ``.collect()`` breaks
+  the read, and per-read datasource options are ignored), so a lazy
+  snapshot plan cannot scope that conf without mutating the session
+  for everyone.  Instead the engine resolves field-id matching
+  ITSELF: read each data file's footer, map field id -> physical
+  column name per file, and scan by name — the plan then carries no
+  conf dependence at all.
+- ``convert_to_delta`` / ``convert_to_iceberg``: the table schema
+  must reconcile EVERY file's footer (a directory with schema
+  evolution otherwise converts silently and later scans read drifted
+  columns as null).
+
+Footers are read in executors through pyarrow (local open or
+pyarrow-fs for remote schemes — the dv.py pattern); the driver only
+ever holds one (path, fingerprint/serialized schema) row per file,
+the same order of driver state as the add-action list itself.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import SparkSession
+
+from ..localdf import local_df
+
+_FIELD_ID_KEY = b"PARQUET:field_id"
+
+
+def read_footer_schema(path: str):
+    """Executor-safe parquet footer -> ``pa.Schema``: local paths via
+    plain open, other schemes via pyarrow's filesystem layer."""
+    import pyarrow.parquet as pq
+    if "://" not in path or path.startswith("file:"):
+        local = path[5:] if path.startswith("file:") else path
+        while local.startswith("//"):
+            local = local[1:]
+        return pq.read_schema(local)
+    from pyarrow import fs as pafs
+    f, p = pafs.FileSystem.from_uri(path)
+    return pq.read_schema(p, filesystem=f)
+
+
+def _field_id(field) -> int | None:
+    md = field.metadata or {}
+    v = md.get(_FIELD_ID_KEY)
+    return int(v) if v is not None else None
+
+
+def _type_nodes(dt) -> list:
+    """Child nodes of an arrow type: struct children; list element;
+    map key+item.  Primitives have none."""
+    import pyarrow as pa
+    if pa.types.is_struct(dt):
+        return [field_node(dt.field(i)) for i in range(dt.num_fields)]
+    if (pa.types.is_list(dt) or pa.types.is_large_list(dt)
+            or pa.types.is_fixed_size_list(dt)):
+        return [field_node(dt.value_field)]
+    if pa.types.is_map(dt):
+        return [field_node(dt.key_field), field_node(dt.item_field)]
+    return []
+
+
+def field_node(field) -> dict:
+    """(name, field-id, children) tree of one arrow field — the
+    canonical shape id-resolution walks."""
+    return {"n": field.name, "i": _field_id(field),
+            "c": _type_nodes(field.type)}
+
+
+def schema_nodes(schema) -> list[dict]:
+    return [field_node(schema.field(i)) for i in range(len(schema))]
+
+
+def footer_nodes(spark: SparkSession, paths: list[str],
+                 ) -> dict[str, list[dict]]:
+    """path -> field-node tree for every parquet file in ``paths``,
+    footers read in EXECUTORS (one distributed job, round-robin over
+    the files).  Identical layouts collapse to identical JSON, so
+    callers can group by the serialized value."""
+    if not paths:
+        return {}
+    if len(paths) <= 4:  # not worth a job
+        return {p: schema_nodes(read_footer_schema(p)) for p in paths}
+
+    def scan(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                out.append(json.dumps(
+                    schema_nodes(read_footer_schema(p)),
+                    separators=(",", ":")))
+            yield pd.DataFrame({"path": pdf["path"], "sig": out})
+
+    df = local_df(spark, [(p,) for p in paths], "path string")
+    nparts = max(1, min(32, len(paths) // 64 + 1))
+    if nparts > 1:
+        df = df.repartition(nparts)
+    rows = df.mapInPandas(scan, "path string, sig string").collect()
+    return {r["path"]: json.loads(r["sig"]) for r in rows}
+
+
+def footer_schemas(spark: SparkSession, paths: list[str]) -> dict:
+    """path -> full ``pa.Schema`` for every file (serialized in the
+    executors, deserialized here) — the CONVERT reconciliation input."""
+    import pyarrow as pa
+    if not paths:
+        return {}
+    if len(paths) <= 4:
+        return {p: read_footer_schema(p) for p in paths}
+
+    def scan(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                out.append(read_footer_schema(p)
+                           .serialize().to_pybytes())
+            yield pd.DataFrame({"path": pdf["path"], "ser": out})
+
+    df = local_df(spark, [(p,) for p in paths], "path string")
+    nparts = max(1, min(32, len(paths) // 64 + 1))
+    if nparts > 1:
+        df = df.repartition(nparts)
+    rows = df.mapInPandas(scan, "path string, ser binary").collect()
+    return {r["path"]: pa.ipc.read_schema(pa.py_buffer(bytes(r["ser"])))
+            for r in rows}
