@@ -2,6 +2,7 @@
 batch parity with read_delta (deletion vectors included) and the
 streaming offset protocol over the commit log."""
 
+import json
 import os
 
 import pytest
@@ -281,6 +282,58 @@ class TestThrottling:
         nonempty = self._drain_throttled(
             reader, str(tmp_path / "ckpt"), 30)
         assert nonempty == [10, 10, 10], nonempty
+
+    def test_iceberg_summaryless_snapshots_count_real_files(
+            self, tbl, tmp_path, spark):
+        """ADVICE r13: a foreign snapshot with NO summary must be
+        admitted at its true manifest file count (decoded from the
+        manifest list), not assumed to be 1 file — and an explicit
+        '0' counts 0."""
+        import glob as _glob
+
+        from wrangle_pypes_spark.sources.datasource import (
+            IcebergJarlessDataSource,
+            _ice_added_count,
+            _ice_meta,
+        )
+        from wrangle_pypes_spark.sources.iceberg import write_iceberg
+        spark.dataSource.register(IcebergJarlessDataSource)
+        df = spark.range(0, 12).select(F.col("id").alias("k"))
+        write_iceberg(df.filter("k < 6").repartition(3), tbl)
+        write_iceberg(df.filter("k >= 6").repartition(2), tbl)
+        # strip every summary, as a metadata-only foreign writer may
+        for mj in _glob.glob(os.path.join(tbl, "metadata",
+                                          "*.metadata.json")):
+            meta = json.load(open(mj))
+            for s in meta.get("snapshots", []):
+                s.pop("summary", None)
+            json.dump(meta, open(mj, "w"))
+        meta = _ice_meta(tbl)
+        snaps = sorted(meta["snapshots"],
+                       key=lambda s: int(s["sequence-number"]))
+        assert _ice_added_count(tbl, snaps[0]) == 3
+        assert _ice_added_count(tbl, snaps[1]) == 2
+        # budget 3 admits exactly snapshot 1, then snapshot 2
+        reader = (spark.readStream.format("iceberg_jarless")
+                  .option("fromStart", "true")
+                  .option("maxFilesPerTrigger", "3").load(tbl))
+        nonempty = self._drain_throttled(
+            reader, str(tmp_path / "ckpt"), 12)
+        assert nonempty == [6, 6], nonempty
+        # explicit '0' rides free: both snapshots in ONE batch
+        for mj in _glob.glob(os.path.join(tbl, "metadata",
+                                          "*.metadata.json")):
+            meta = json.load(open(mj))
+            for s in meta.get("snapshots", []):
+                s["summary"] = {"operation": "append",
+                                "added-data-files": "0"}
+            json.dump(meta, open(mj, "w"))
+        reader = (spark.readStream.format("iceberg_jarless")
+                  .option("fromStart", "true")
+                  .option("maxFilesPerTrigger", "1").load(tbl))
+        nonempty = self._drain_throttled(
+            reader, str(tmp_path / "ckpt0"), 12)
+        assert nonempty == [12], nonempty
 
     def test_bad_max_files_is_loud(self, registered, tbl):
         spark = registered

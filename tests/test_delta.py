@@ -1589,6 +1589,61 @@ class TestConvertAndClone:
         assert got.filter("p = 1").count() == 10
         assert got.count() == 30
 
+    def test_convert_records_real_sizes(self, spark, tbl,
+                                        monkeypatch):
+        """VERDICT r13: converted add actions must carry REAL
+        size/modificationTime even when the path is not a local-
+        scheme one (os.stat used to be skipped there, publishing
+        size 0 — which delta_optimize reads as 'compact me').  The
+        hadoop-FS listing branch is forced via is_local=False over a
+        file:/ URI."""
+        from wrangle_pypes_spark import fsutil
+        from wrangle_pypes_spark.sources.delta import convert_to_delta
+        df = spark.range(0, 20).select(F.col("id").alias("k"))
+        df.repartition(2).write.parquet(tbl)
+        real = {n: os.path.getsize(os.path.join(tbl, n))
+                for n in os.listdir(tbl) if n.endswith(".parquet")}
+        orig = fsutil.is_local
+        monkeypatch.setattr(
+            fsutil, "is_local",
+            lambda p: False if "://" in str(p) else orig(p))
+        convert_to_delta(spark, "file://" + tbl)
+        monkeypatch.undo()
+        adds = [json.loads(ln)["add"] for ln in open(os.path.join(
+            tbl, "_delta_log", f"{0:020d}.json"))
+            if "\"add\"" in ln]
+        assert len(adds) == 2
+        for a in adds:
+            assert a["size"] == real[a["path"]] > 0
+            assert a["modificationTime"] > 0
+
+    def test_convert_reconciles_all_footers(self, spark, tbl,
+                                            tmp_path):
+        """ADVICE r13: a directory with schema evolution must convert
+        against EVERY footer — supersets merge (old files read the
+        new column as null), true type conflicts refuse loudly."""
+        from wrangle_pypes_spark.sources.delta import convert_to_delta
+        df1 = spark.range(0, 5).select(F.col("id").alias("k"))
+        df2 = spark.range(5, 8).select(
+            F.col("id").alias("k"), F.lit("new").alias("tag"))
+        df1.coalesce(1).write.parquet(tbl)
+        df2.coalesce(1).write.mode("append").parquet(tbl)
+        assert convert_to_delta(spark, tbl) == 0
+        got = read_delta(spark, tbl)
+        assert got.schema.fieldNames() == ["k", "tag"]
+        rows = sorted((r["k"], r["tag"]) for r in got.collect())
+        assert rows == [(i, None) for i in range(5)] \
+            + [(i, "new") for i in range(5, 8)]
+        # conflicting types: k as string vs k as long
+        bad = str(tmp_path / "bad")
+        spark.range(0, 3).select(F.col("id").alias("k")) \
+            .coalesce(1).write.parquet(bad)
+        spark.range(3, 6).select(
+            F.col("id").cast("string").alias("k")) \
+            .coalesce(1).write.mode("append").parquet(bad)
+        with pytest.raises(ValueError, match="do not merge"):
+            convert_to_delta(spark, bad)
+
     def test_shallow_clone_is_zero_copy_and_independent(
             self, spark, tbl, tmp_path):
         from wrangle_pypes_spark.sources.delta import (

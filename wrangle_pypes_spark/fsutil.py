@@ -166,6 +166,30 @@ def list_dir(path: str, spark=None) -> list[str]:
     return sorted(st.getPath().getName() for st in fs.listStatus(jpath))
 
 
+def list_status(path: str, spark=None) -> list[tuple]:
+    """(name, is_dir, size, mtime_ms) for each child of a directory,
+    [] when missing.  Sizes/mtimes come from the LISTING itself — one
+    RPC per directory on remote filesystems, never one stat per file
+    (the shape a million-file convert needs)."""
+    if is_local(path):
+        import stat as statmod
+        p = _strip_file_scheme(path)
+        if not os.path.isdir(p):
+            return []
+        out = []
+        for name in sorted(os.listdir(p)):
+            st = os.stat(os.path.join(p, name))
+            out.append((name, statmod.S_ISDIR(st.st_mode),
+                        int(st.st_size), int(st.st_mtime * 1000)))
+        return out
+    fs, jpath, _ = _hadoop(_require_spark(spark, path), path)
+    if not fs.exists(jpath):
+        return []
+    return sorted((st.getPath().getName(), bool(st.isDirectory()),
+                   int(st.getLen()), int(st.getModificationTime()))
+                  for st in fs.listStatus(jpath))
+
+
 def rename(src: str, dst: str, spark=None) -> None:
     """Move a file or directory (atomic namespace op on POSIX/HDFS)."""
     if is_local(src) and is_local(dst):

@@ -438,6 +438,38 @@ def _ice_meta(path: str) -> dict:
         return json.load(f)
 
 
+def _ice_added_count(root: str, snap: dict) -> int:
+    """Added DATA files of one snapshot when its summary is silent:
+    the manifest-list's added-files counts when recorded, else a
+    decode of the added manifests counting status==1 data entries —
+    metadata-scale either way, never a guess of 1."""
+    from .avro_io import read_container_file
+    from .iceberg import _normalize_path
+    sid = int(snap["snapshot-id"])
+    _, ml_entries = read_container_file(
+        _normalize_path(snap["manifest-list"], root))
+    total = 0
+    for ent in ml_entries:
+        if int(ent.get("added_snapshot_id") or -1) != sid:
+            continue
+        if int(ent.get("content") or 0) != 0:
+            continue  # delete manifests add no data files
+        n = ent.get("added_data_files_count")
+        if n is None:
+            n = ent.get("added_files_count")
+        if n is not None:
+            total += int(n)
+            continue
+        _, entries = read_container_file(
+            _normalize_path(ent["manifest_path"], root))
+        total += sum(
+            1 for e in entries
+            if int(e.get("status") or 0) == 1
+            and int((e.get("data_file") or {})
+                    .get("content") or 0) == 0)
+    return total
+
+
 def _ice_added_partitions(root: str, meta: dict,
                           snap_ids: list[int],
                           ignore_changes: bool) -> list:
@@ -621,9 +653,14 @@ class _IceStreamReader(DataSourceStreamReader):
             if seq <= planned:
                 continue
             # summaries carry added-data-files (our writer records
-            # it); an absent summary counts as one file
-            n = int((s.get("summary") or {})
-                    .get("added-data-files") or 1)
+            # it); when a FOREIGN writer omitted the summary, count
+            # the snapshot's data-file manifest entries instead of
+            # assuming 1 — a many-file snapshot admitted as "one
+            # file" would blow the trigger budget arbitrarily.  An
+            # explicit '0' is 0 (metadata-only snapshot rides free).
+            raw = (s.get("summary") or {}).get("added-data-files")
+            n = (int(raw) if raw is not None
+                 else _ice_added_count(self._root, s))
             admitted = seq
             budget -= n
             if budget <= 0:

@@ -1564,8 +1564,15 @@ def convert_to_delta(spark: SparkSession, path: str, *,
     values come from the dir segments.  Returns the committed version
     (0).  Fails loudly if the path already is a Delta table.
 
-    Scale: one recursive listing + one schema inference open the
-    commit; the add list is the same size as the commit JSON —
+    Every file's footer is reconciled (executor-parallel) before the
+    commit publishes: schema-evolution supersets merge, true type
+    conflicts refuse loudly — never a silent first-file schema that
+    reads drifted columns as null.  File sizes/mtimes come from the
+    directory LISTING (real values on remote filesystems too — the
+    optimize victim selector trusts them).
+
+    Scale: one recursive listing + one footer-fingerprint job open
+    the commit; the add list is the same size as the commit JSON —
     nothing O(rows)."""
     root = fsutil._strip_file_scheme(path)
     if fsutil.dir_exists(os.path.join(root, _LOG_DIR), spark):
@@ -1577,22 +1584,19 @@ def convert_to_delta(spark: SparkSession, path: str, *,
 
     def _walk(rel: str) -> None:
         full = os.path.join(root, rel) if rel else root
-        for name in sorted(fsutil.list_dir(full, spark)):
+        for name, is_dir, size, mtime in fsutil.list_status(full,
+                                                            spark):
             child_rel = os.path.join(rel, name) if rel else name
-            child = os.path.join(root, child_rel)
-            if name.endswith(".parquet"):
+            if not is_dir and name.endswith(".parquet"):
                 pv = {}
                 for seg in child_rel.split(os.sep)[:-1]:
                     if "=" in seg:
                         k, v = seg.split("=", 1)
                         pv[k] = (None if v == _HIVE_NULL
                                  else urllib.parse.unquote(v))
-                st = os.stat(child) if fsutil.is_local(child) \
-                    else None
                 files.append((child_rel.replace(os.sep, "/"), pv,
-                              int(st.st_size) if st else 0,
-                              int(st.st_mtime * 1000) if st else 0))
-            elif "." not in name or "=" in name:
+                              size, mtime))
+            elif is_dir and ("." not in name or "=" in name):
                 _walk(child_rel)
 
     _walk("")
@@ -1604,8 +1608,10 @@ def convert_to_delta(spark: SparkSession, path: str, *,
             f"hive partition dirs {sorted(seen_pcols)} != "
             f"partition_schema columns {sorted(pcols)} — pass "
             "partition_schema naming every partition column and type")
-    data_schema = spark.read.parquet(
-        os.path.join(root, files[0][0])).schema
+    from .footers import reconciled_spark_schema
+    data_schema = reconciled_spark_schema(
+        spark, [os.path.join(root, rel)
+                for rel, _, _, _ in files])
     overlap = set(data_schema.fieldNames()) & set(pcols)
     if overlap:
         raise ValueError(

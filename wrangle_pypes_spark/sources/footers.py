@@ -109,6 +109,61 @@ def footer_nodes(spark: SparkSession, paths: list[str],
     return {r["path"]: json.loads(r["sig"]) for r in rows}
 
 
+def footer_fingerprints(spark: SparkSession,
+                        paths: list[str]) -> dict[str, str]:
+    """path -> sha1 of the serialized footer schema — the cheap
+    executor-side reduction CONVERT uses to find distinct layouts
+    without shipping every schema to the driver."""
+    if not paths:
+        return {}
+
+    def fp(p):
+        import hashlib
+        return hashlib.sha1(read_footer_schema(p)
+                            .serialize().to_pybytes()).hexdigest()
+
+    if len(paths) <= 4:
+        return {p: fp(p) for p in paths}
+
+    def scan(batches):
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame({"path": pdf["path"],
+                                "fp": [fp(p) for p in pdf["path"]]})
+
+    df = local_df(spark, [(p,) for p in paths], "path string")
+    nparts = max(1, min(32, len(paths) // 64 + 1))
+    if nparts > 1:
+        df = df.repartition(nparts)
+    rows = df.mapInPandas(scan, "path string, fp string").collect()
+    return {r["path"]: r["fp"] for r in rows}
+
+
+def reconciled_spark_schema(spark: SparkSession, paths: list[str]):
+    """One Spark schema agreeing with EVERY file's footer — the
+    CONVERT contract.  Distinct layouts are found executor-parallel;
+    Spark's own mergeSchema pass then merges one exemplar per layout,
+    so supersets (schema evolution) merge and true type conflicts
+    fail LOUDLY instead of converting off the first file's footer and
+    reading drifted columns as silent nulls."""
+    fps = footer_fingerprints(spark, paths)
+    exemplars: dict[str, str] = {}
+    for p in paths:
+        exemplars.setdefault(fps[p], p)
+    ex = sorted(exemplars.values())
+    if len(ex) == 1:
+        return spark.read.parquet(ex[0]).schema
+    try:
+        return spark.read.option("mergeSchema", "true") \
+            .parquet(*ex).schema
+    except Exception as e:
+        raise ValueError(
+            f"CONVERT: the directory's parquet footers disagree and "
+            f"do not merge ({len(ex)} distinct layouts, e.g. "
+            f"{ex[:3]}) — refusing to convert rather than read "
+            f"drifted columns as null: {e}") from e
+
+
 def footer_schemas(spark: SparkSession, paths: list[str]) -> dict:
     """path -> full ``pa.Schema`` for every file (serialized in the
     executors, deserialized here) — the CONVERT reconciliation input."""

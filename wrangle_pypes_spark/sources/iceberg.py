@@ -1348,10 +1348,11 @@ def convert_to_iceberg(spark: SparkSession, path: str, *,
 
     def _walk(rel: str) -> None:
         full = os.path.join(root, rel) if rel else root
-        for name in sorted(fsutil.list_dir(full, spark)):
+        for name, is_dir, size, _mt in fsutil.list_status(full,
+                                                          spark):
             child_rel = os.path.join(rel, name) if rel else name
             child = os.path.join(root, child_rel)
-            if name.endswith(".parquet"):
+            if not is_dir and name.endswith(".parquet"):
                 pv = {}
                 for seg in child_rel.split(os.sep)[:-1]:
                     if "=" in seg:
@@ -1359,10 +1360,8 @@ def convert_to_iceberg(spark: SparkSession, path: str, *,
                         pv[k] = (None
                                  if v == "__HIVE_DEFAULT_PARTITION__"
                                  else urllib.parse.unquote(v))
-                files.append((child, pv,
-                              int(os.path.getsize(child)
-                                  if fsutil.is_local(child) else 0)))
-            elif "." not in name or "=" in name:
+                files.append((child, pv, size))
+            elif is_dir and ("." not in name or "=" in name):
                 _walk(child_rel)
 
     _walk("")
@@ -1374,7 +1373,9 @@ def convert_to_iceberg(spark: SparkSession, path: str, *,
             f"hive partition dirs {sorted(seen_pcols)} != "
             f"partition_schema columns {sorted(pcols)} — pass "
             "partition_schema naming every partition column and type")
-    data_schema = spark.read.parquet(files[0][0]).schema
+    from .footers import reconciled_spark_schema
+    data_schema = reconciled_spark_schema(
+        spark, [fp for fp, _, _ in files])
     overlap = set(data_schema.fieldNames()) & set(pcols)
     if overlap:
         raise ValueError(
