@@ -7745,6 +7745,63 @@ def q_iceberg_convert_orders(spark, sf_dir):
                   .alias("sum_cents")))
 
 
+def q_iceberg_optimize_orders(spark, sf_dir):
+    """Iceberg COMPACTION (r14 ``iceberg_rewrite_data_files`` — the
+    rewrite_data_files twin of ``delta_optimize``): orders land as
+    THREE small-file appends per status partition, a position delete
+    thins them, then the rewrite bin-packs every small file per
+    partition tuple and MATERIALIZES the deletes into the new files.
+    The commit is a REPLACE snapshot: ``iceberg_changes`` must show
+    ONLY the original inserts afterwards (asserted here — a
+    compaction that leaks into the changelog fails loudly), carried
+    manifests keep their own writer schema (stats preservation is
+    byte-tested in tests/test_iceberg_avro.py), and the final
+    aggregate must see exactly the deleted-state rows through purely
+    compacted files.  The oracle recomputes that state from raw
+    orders."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.iceberg import (
+        iceberg_changes,
+        iceberg_delete_where,
+        iceberg_rewrite_data_files,
+        iceberg_snapshot,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_iceopt_") + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    for i in range(3):
+        write_iceberg(o.filter(f"o_orderkey % 3 = {i}"), tbl,
+                      partition_by=(["o_orderstatus"] if i == 0
+                                    else None))
+    iceberg_delete_where(spark, tbl, "o_orderkey % 7 = 0")
+    before = len(iceberg_snapshot(spark, tbl).files)
+    out = iceberg_rewrite_data_files(spark, tbl)
+    after = iceberg_snapshot(spark, tbl)
+    assert out["removed_files"] > out["added_files"], out
+    assert len(after.files) < before, (before, len(after.files))
+    replace_seq = int(after.metadata["last-sequence-number"])
+    ch = iceberg_changes(spark, tbl, from_seq=1)
+    mx = ch.agg(F.max("_commit_seq").alias("m")).collect()[0]["m"]
+    assert mx < replace_seq, "replace snapshot leaked into changes"
+    return (read_iceberg(spark, tbl)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents")))
+
+
+SQL_ICEBERG_OPTIMIZE = """
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders WHERE o_orderkey % 7 <> 0
+GROUP BY o_orderstatus
+"""
+
+
 SQL_ICEBERG_CONVERT = """
 WITH allrows AS (
   SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
@@ -9852,6 +9909,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_id_mode_orders": q_delta_id_mode_orders,  # NEW r13: id-mode (field-id matched) read + write, value-oracled
     # ---- below the 50-slot driver window from here down ----
     "iceberg_convert_orders": q_iceberg_convert_orders,  # NEW r13, registered post-window: rotate in next round
+    "iceberg_optimize_orders": q_iceberg_optimize_orders,  # NEW r14: rewrite_data_files compaction, value-oracled
     "stream_static_enrich": q_stream_static_enrich,  # r9 green; displaced for the r13 iceberg changelog query
     "temperature_mix_sources": q_temperature_mix_sources,  # r9 green; displaced for the r13 convert/clone query
     "profile_customer": q_profile_customer,  # r9 green; displaced for the r13 optimize query
@@ -10249,6 +10307,7 @@ _ORACLES: dict[str, str] = {
     "delta_convert_clone_orders": SQL_DELTA_CONVERT_CLONE,
     "iceberg_cdf_orders": SQL_ICEBERG_CDF,
     "iceberg_convert_orders": SQL_ICEBERG_CONVERT,
+    "iceberg_optimize_orders": SQL_ICEBERG_OPTIMIZE,
     "delta_id_mode_orders": SQL_DELTA_ID_MODE,
     "delta_cdf_orders": SQL_DELTA_CDF,
     "stream_delta_source_orders": SQL_STREAM_DELTA_SOURCE,

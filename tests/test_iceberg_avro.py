@@ -1218,3 +1218,254 @@ class TestConvertToIceberg:
             < got.select(
                 F.input_file_name().alias("f")).distinct().count()
         assert pruned.filter("p = 1").count() == 10
+
+
+class TestRewriteDataFiles:
+    """iceberg_rewrite_data_files: bin-pack compaction with a
+    stats-preserving manifest rewrite (carried entries round-trip
+    through each manifest's own writer schema)."""
+
+    def test_compaction_roundtrip_and_carry_by_reference(
+            self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_rewrite_data_files,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "rw")
+        df = spark.range(0, 30).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("int").alias("p"))
+        for i in range(3):  # 3 snapshots, 2 small files each (p=0/1)
+            write_iceberg(
+                df.filter((F.col("k") % 3) == i).repartition(1), tbl,
+                partition_by=["p"])
+        before = iceberg_snapshot(spark, tbl)
+        assert len(before.files) == 6
+        res = iceberg_rewrite_data_files(spark, tbl)
+        assert res["removed_files"] == 6 and res["added_files"] == 2
+        after = iceberg_snapshot(spark, tbl)
+        assert len(after.files) == 2
+        assert sorted(r["k"] for r in
+                      read_iceberg(spark, tbl).collect()) \
+            == list(range(30))
+        # idempotent: a second run finds nothing (each tuple is 1 file)
+        res2 = iceberg_rewrite_data_files(spark, tbl)
+        assert res2["removed_files"] == 0
+        assert res2["snapshot_id"] == res["snapshot_id"]
+        # summary says replace
+        meta = json.loads(open(os.path.join(
+            tbl, "metadata",
+            "v%d.metadata.json" % 4)).read())
+        snap = next(s for s in meta["snapshots"]
+                    if s["snapshot-id"] == res["snapshot_id"])
+        assert snap["summary"]["operation"] == "replace"
+        # time travel to a pre-compaction snapshot still works
+        old = iceberg_snapshot(spark, tbl, snapshot_id=1)
+        assert sum(f["records"] for f in old.files) == 10
+
+    def test_survivor_manifest_carried_by_reference(self, spark,
+                                                    tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_rewrite_data_files,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "rwref")
+        big = spark.range(0, 60000).select(
+            F.col("id").alias("k"), F.lit(0).alias("p"))
+        write_iceberg(big.coalesce(1), tbl,
+                      partition_by=["p"])  # 1 big file
+        smalls = spark.range(60000, 60010).select(
+            F.col("id").alias("k"), F.lit(1).alias("p"))
+        write_iceberg(smalls.filter("k < 60005").coalesce(1), tbl)
+        write_iceberg(smalls.filter("k >= 60005").coalesce(1), tbl)
+        from wrangle_pypes_spark.sources.avro_io import (
+            read_container_file,
+        )
+        meta = json.loads(open(os.path.join(
+            tbl, "metadata", "v3.metadata.json")).read())
+        cur = next(s for s in meta["snapshots"]
+                   if s["snapshot-id"] == meta["current-snapshot-id"])
+        pre_paths = {e["manifest_path"] for e in
+                     read_container_file(cur["manifest-list"])[1]}
+        res = iceberg_rewrite_data_files(
+            spark, tbl, target_file_bytes=100_000)
+        # the big file's partition had ONE small candidate (none) —
+        # p=1's two smalls compact; big file survives untouched
+        assert res["removed_files"] == 2 and res["added_files"] == 1
+        meta2 = json.loads(open(os.path.join(
+            tbl, "metadata", "v4.metadata.json")).read())
+        cur2 = next(s for s in meta2["snapshots"]
+                    if s["snapshot-id"] == res["snapshot_id"])
+        rows = read_container_file(cur2["manifest-list"])[1]
+        carried = [e for e in rows
+                   if e["manifest_path"] in pre_paths]
+        # the untouched manifest rode along BY REFERENCE
+        assert len(carried) == 1
+        assert sorted(r["k"] for r in
+                      read_iceberg(spark, tbl).collect()) \
+            == list(range(60010))
+
+    def test_position_delete_materializes_away(self, spark,
+                                               tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_delete_where,
+            iceberg_rewrite_data_files,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "rwdel")
+        df = spark.range(0, 20).select(F.col("id").alias("k"))
+        write_iceberg(df, tbl)
+        iceberg_delete_where(spark, tbl, "k % 4 = 0")
+        res = iceberg_rewrite_data_files(spark, tbl, min_files=1)
+        assert res["removed_files"] >= 1
+        live = [k for k in range(20) if k % 4 != 0]
+        assert sorted(r["k"] for r in
+                      read_iceberg(spark, tbl).collect()) == live
+        # the NEW data files already exclude the deleted rows — read
+        # them raw, without any delete application
+        after = iceberg_snapshot(spark, tbl)
+        raw = spark.read.parquet(*[f["path"] for f in after.files])
+        assert sorted(r["k"] for r in raw.collect()) == live
+
+    def test_foreign_stats_round_trip(self, spark, tmp_path):
+        """The stats-preservation byte contract: a FOREIGN manifest
+        carrying stats columns our writer does not model
+        (value_counts, lower_bounds) loses a victim entry; the
+        rewritten manifest must keep the survivor's stats intact and
+        keep the foreign writer schema itself."""
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_rewrite_data_files,
+        )
+        tbl = str(tmp_path / "rwstats")
+        mdir = os.path.join(tbl, "metadata")
+        files = {}
+        for name, lo in (("A", 0), ("B", 100), ("BIG", 200)):
+            n = 5 if name != "BIG" else 50000
+            d = spark.range(lo, lo + n).select(F.col("id").alias("k"))
+            dest = os.path.join(tbl, "data", f"{name}.parquet")
+            _one_parquet(spark, d, dest)
+            files[name] = (dest, n)
+        kv = {"type": "array", "items": {
+            "type": "record", "name": "k117_v118", "fields": [
+                {"name": "key", "type": "int"},
+                {"name": "value", "type": "long"}]}}
+        kvb = {"type": "array", "items": {
+            "type": "record", "name": "k126_v127", "fields": [
+                {"name": "key", "type": "int"},
+                {"name": "value", "type": "bytes"}]}}
+        foreign_schema = {
+            "type": "record", "name": "manifest_entry", "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": ["null", "long"]},
+                {"name": "data_file", "type": {
+                    "type": "record", "name": "r2", "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "partition", "type": {
+                            "type": "record", "name": "r102",
+                            "fields": []}},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes",
+                         "type": "long"},
+                        {"name": "value_counts",
+                         "type": ["null", kv]},
+                        {"name": "lower_bounds",
+                         "type": ["null", kvb]},
+                    ]}}]}
+
+        def entry(name, *, size):
+            dest, n = files[name]
+            return {"status": 1, "snapshot_id": None,
+                    "data_file": {
+                        "content": 0, "file_path": dest,
+                        "file_format": "PARQUET", "partition": {},
+                        "record_count": n,
+                        "file_size_in_bytes": size,
+                        "value_counts": [{"key": 1, "value": n}],
+                        "lower_bounds": [
+                            {"key": 1, "value": b"\x01\x02"}]}}
+
+        m1 = os.path.join(mdir, "m-foreign.avro")
+        A.write_container_file(
+            m1, foreign_schema,
+            [entry("A", size=10), entry("B", size=10),
+             entry("BIG", size=10**9)])
+        ml = os.path.join(mdir, "snap-1.avro")
+        A.write_container_file(ml, _MANIFEST_LIST_SCHEMA, [
+            {"manifest_path": m1, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 0,
+             "added_snapshot_id": 1}])
+        _write_metadata(
+            tbl,
+            schemas=[{"type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "k", "required": False,
+                 "type": "long"}]}],
+            specs=[{"spec-id": 0, "fields": []}],
+            snapshots=[{"snapshot-id": 1, "sequence-number": 1,
+                        "timestamp-ms": 0, "manifest-list": ml,
+                        "summary": {"operation": "append"}}],
+            current=1)
+        res = iceberg_rewrite_data_files(spark, tbl)
+        assert res["removed_files"] == 2 and res["added_files"] == 1
+        assert sorted(r["k"] for r in
+                      read_iceberg(spark, tbl).collect()) \
+            == sorted(list(range(5)) + list(range(100, 105))
+                      + list(range(200, 50200)))
+        # find the rewritten foreign manifest in the new list
+        from wrangle_pypes_spark.sources.avro_io import (
+            read_container_file,
+        )
+        meta2 = json.loads(open(os.path.join(
+            mdir, "v2.metadata.json")).read())
+        cur2 = next(s for s in meta2["snapshots"]
+                    if s["snapshot-id"] == res["snapshot_id"])
+        rows = read_container_file(cur2["manifest-list"])[1]
+        carried = [e for e in rows
+                   if e["manifest_path"] != m1
+                   and int(e.get("content") or 0) == 0
+                   and e["added_snapshot_id"] == 1]
+        assert len(carried) == 1
+        ws, recs = read_container_file(carried[0]["manifest_path"])
+        # foreign writer schema preserved verbatim
+        assert ws == foreign_schema
+        assert len(recs) == 1
+        surv = recs[0]["data_file"]
+        assert surv["file_path"] == files["BIG"][0]
+        assert surv["value_counts"] == [{"key": 1, "value": 50000}]
+        assert surv["lower_bounds"] \
+            == [{"key": 1, "value": b"\x01\x02"}]
+
+    def test_changes_and_stream_skip_replace(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.datasource import (
+            IcebergJarlessDataSource,
+        )
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_changes,
+            iceberg_rewrite_data_files,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "rwch")
+        df = spark.range(0, 12).select(F.col("id").alias("k"))
+        write_iceberg(df.filter("k < 6").coalesce(1), tbl)
+        write_iceberg(df.filter("k >= 6").coalesce(1), tbl)
+        res = iceberg_rewrite_data_files(spark, tbl)
+        assert res["removed_files"] == 2
+        ch = iceberg_changes(spark, tbl, from_seq=1)
+        got = sorted((r["k"], r["_change_type"], r["_commit_seq"])
+                     for r in ch.collect())
+        assert got == [(k, "insert", 1 if k < 6 else 2)
+                       for k in range(12)]
+        # the jarless stream from scratch emits each row exactly once
+        spark.dataSource.register(IcebergJarlessDataSource)
+        out = str(tmp_path / "out")
+        q = (spark.readStream.format("iceberg_jarless")
+             .option("fromStart", "true").load(tbl)
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        assert sorted(r["k"] for r in
+                      spark.read.parquet(out).collect()) \
+            == list(range(12))

@@ -22,6 +22,7 @@ from .delta import (convert_to_delta, delta_changes,
 from .iceberg import (convert_to_iceberg, iceberg_changes,
                       iceberg_delete_where,
                       iceberg_expire_snapshots,
+                      iceberg_rewrite_data_files,
                       iceberg_rollback,
                       iceberg_snapshot, read_iceberg,
                       write_iceberg, write_iceberg_deletes)
@@ -57,7 +58,7 @@ __all__ = ("DeltaJarlessDataSource", "IcebergJarlessDataSource",
            "delta_optimize", "iceberg_changes", "iceberg_delete_where",
            "delta_delete_where", "delta_log_cleanup",
            "delta_restore", "iceberg_expire_snapshots",
-           "iceberg_rollback",
+           "iceberg_rewrite_data_files", "iceberg_rollback",
            "delta_history",
            "delta_snapshot", "delta_vacuum", "describe_store",
            "iceberg_snapshot", "read_avro", "read_delta",

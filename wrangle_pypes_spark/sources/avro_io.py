@@ -334,7 +334,20 @@ def _encode(buf: io.BytesIO, schema, names: dict, value) -> None:
     t = schema["type"]
     if t in ("record", "error"):
         for f in schema["fields"]:
-            _encode(buf, f["type"], names, value[f["name"]])
+            if f["name"] in value:
+                _encode(buf, f["type"], names, value[f["name"]])
+                continue
+            # a missing key encodes as null when the field is a
+            # null-union (optional per the schema); required fields
+            # stay loud
+            ft = f["type"]
+            branches = (ft if isinstance(ft, list) else [ft])
+            if any((b if isinstance(b, str) else b.get("type"))
+                   == "null" for b in branches):
+                _encode(buf, ft, names, None)
+            else:
+                raise AvroError(
+                    f"missing required record field {f['name']!r}")
     elif t == "enum":
         buf.write(_zigzag(schema["symbols"].index(value)))
     elif t == "fixed":

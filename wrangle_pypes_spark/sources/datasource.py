@@ -658,9 +658,12 @@ class _IceStreamReader(DataSourceStreamReader):
             # assuming 1 — a many-file snapshot admitted as "one
             # file" would blow the trigger budget arbitrarily.  An
             # explicit '0' is 0 (metadata-only snapshot rides free).
-            raw = (s.get("summary") or {}).get("added-data-files")
-            n = (int(raw) if raw is not None
-                 else _ice_added_count(self._root, s))
+            if (s.get("summary") or {}).get("operation") == "replace":
+                n = 0  # compaction: no logical rows, rides free
+            else:
+                raw = (s.get("summary") or {}).get("added-data-files")
+                n = (int(raw) if raw is not None
+                     else _ice_added_count(self._root, s))
             admitted = seq
             budget -= n
             if budget <= 0:
@@ -676,7 +679,11 @@ class _IceStreamReader(DataSourceStreamReader):
                                     s.get("sequence-number") or 0))
                 if int(start["seq"])
                 < int(s.get("sequence-number") or 0)
-                <= int(end["seq"])]
+                <= int(end["seq"])
+                # replace = compaction: the rewritten files carry no
+                # new logical rows — re-emitting them would duplicate
+                and (s.get("summary") or {}).get("operation")
+                != "replace"]
         return _ice_added_partitions(self._root, meta, sids,
                                      self._ignore_changes)
 

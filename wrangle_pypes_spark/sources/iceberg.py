@@ -898,8 +898,73 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "content", "type": "int", "field-id": 517},
         {"name": "sequence_number", "type": ["null", "long"],
          "field-id": 515},
+        {"name": "min_sequence_number", "type": ["null", "long"],
+         "field-id": 516},
         {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_data_files_count", "type": ["null", "int"],
+         "field-id": 504},
+        {"name": "existing_data_files_count", "type": ["null", "int"],
+         "field-id": 505},
+        {"name": "deleted_data_files_count", "type": ["null", "int"],
+         "field-id": 506},
+        {"name": "added_rows_count", "type": ["null", "long"],
+         "field-id": 512},
+        {"name": "existing_rows_count", "type": ["null", "long"],
+         "field-id": 513},
+        {"name": "deleted_rows_count", "type": ["null", "long"],
+         "field-id": 514},
+        {"name": "partitions", "type": ["null", {
+            "type": "array", "items": {
+                "type": "record", "name": "r508", "fields": [
+                    {"name": "contains_null", "type": "boolean",
+                     "field-id": 509},
+                    {"name": "contains_nan",
+                     "type": ["null", "boolean"], "field-id": 518},
+                    {"name": "lower_bound",
+                     "type": ["null", "bytes"], "field-id": 510},
+                    {"name": "upper_bound",
+                     "type": ["null", "bytes"], "field-id": 511},
+                ]}}], "field-id": 507},
     ]}
+
+# Java writes the 504-506 counts as added/existing/deleted_DATA_
+# files_count; the spec text names them added/existing/deleted_
+# files_count.  Both shapes exist in the wild — carried entries
+# resolve either.
+_ML_COUNT_ALIASES = {
+    "added_data_files_count": ("added_files_count",),
+    "existing_data_files_count": ("existing_files_count",),
+    "deleted_data_files_count": ("deleted_files_count",),
+}
+
+
+def _ml_row(ent: dict) -> dict:
+    """Normalize a manifest-list entry (ours or a decoded FOREIGN one)
+    to exactly ``_MANIFEST_LIST_SCHEMA``'s fields, preserving the
+    spec's stats/counts/partition-summary columns when the source
+    carried them (they ride as nullable unions; our own fresh entries
+    fill what they know and null the rest)."""
+    out = {}
+    for f in _MANIFEST_LIST_SCHEMA["fields"]:
+        n = f["name"]
+        v = ent.get(n)
+        if v is None:
+            for alias in _ML_COUNT_ALIASES.get(n, ()):
+                v = ent.get(alias)
+                if v is not None:
+                    break
+        out[n] = v
+    for req in ("content", "partition_spec_id"):
+        out[req] = int(out[req] or 0)
+    out["added_snapshot_id"] = int(out["added_snapshot_id"] or 0)
+    if out.get("partitions") is not None:
+        out["partitions"] = [{
+            "contains_null": bool(s.get("contains_null")),
+            "contains_nan": s.get("contains_nan"),
+            "lower_bound": s.get("lower_bound"),
+            "upper_bound": s.get("upper_bound"),
+        } for s in out["partitions"]]
+    return out
 
 
 def _manifest_avro_schema(part_avro_fields: list,
@@ -1097,6 +1162,91 @@ def _parquet_row_count(path: str) -> int:
         _fs._strip_file_scheme(path)).metadata.num_rows)
 
 
+def _spec_columns(spec: list, ice_schema: dict) -> tuple:
+    """Per spec field: (tuple-field name, transform, source column,
+    tuple iceberg type) — plus the name->type map the stagers need."""
+    ice_types = {f["name"]: f["type"] for f in ice_schema["fields"]}
+    id_to_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    spec_cols = []
+    for f in spec:
+        src = id_to_name[f["source-id"]]
+        tr = f.get("transform", "identity")
+        spec_cols.append((f["name"], tr, src,
+                          _spec_tuple_type(tr, ice_types[src])))
+    return spec_cols, ice_types
+
+
+def _stage_data_entries(df: DataFrame, table: str, spec_cols: list,
+                        ice_types: dict) -> list:
+    """Stage ``df`` as hive-partitioned parquet under ``data/`` keyed
+    by the PARTITION TUPLE values and return the ADDED manifest
+    entries (real row counts + file sizes).  Identity staging drops
+    the source column from data files (the reader re-attaches it);
+    transform staging drops only the computed column and keeps
+    sources.  Shared by write_iceberg and the compaction rewriter."""
+    import uuid as _uuid
+    spark = df.sparkSession
+    staging = os.path.join(table, f"_staging_{_uuid.uuid4().hex}")
+    staged = df
+    for fname, tr, src, _tt in spec_cols:
+        if tr != "identity":
+            staged = staged.withColumn(
+                fname, _transform_col(tr, src, ice_types[src]))
+    w = staged.write.mode("overwrite")
+    if spec_cols:
+        w = w.partitionBy(*[fname for fname, *_ in spec_cols])
+    w.parquet(staging)
+    entries = []
+    data_dir = os.path.join(table, "data")
+    fsutil.ensure_dir(data_dir, spark)
+    tuple_types = {fname: tt for fname, _tr, _s, tt in spec_cols}
+
+    def _walk(rel: str) -> None:
+        full = os.path.join(staging, rel) if rel else staging
+        for name in fsutil.list_dir(full, spark):
+            child_rel = os.path.join(rel, name) if rel else name
+            child = os.path.join(staging, child_rel)
+            if name.endswith(".parquet"):
+                pv = {}
+                for seg in child_rel.split(os.sep)[:-1]:
+                    if "=" in seg:
+                        k, v = seg.split("=", 1)
+                        pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" \
+                            else v
+                n_rows = _parquet_row_count(child)
+                # keep the hive segments under data/ so readers (ours
+                # included) can take a single-scan basePath fast path
+                # instead of per-partition unions
+                subdir = os.path.dirname(child_rel)
+                dest_dir = (os.path.join(data_dir, subdir) if subdir
+                            else data_dir)
+                fsutil.ensure_dir(dest_dir, spark)
+                dest = os.path.join(
+                    dest_dir, f"d-{_uuid.uuid4().hex}.parquet")
+                fsutil.rename(child, dest, spark)
+                entries.append({
+                    "status": 1, "snapshot_id": None,
+                    "data_file": {
+                        "content": 0, "file_path": dest,
+                        "file_format": "PARQUET",
+                        "partition": {
+                            fname: _parse_pv(pv.get(fname),
+                                             tuple_types[fname])
+                            for fname, *_ in spec_cols},
+                        "record_count": n_rows,
+                        "file_size_in_bytes": int(
+                            os.path.getsize(
+                                fsutil._strip_file_scheme(dest))
+                            if fsutil.is_local(dest) else 0),
+                    }})
+            elif "." not in name or "=" in name:
+                _walk(child_rel)
+
+    _walk("")
+    fsutil.delete(staging, spark=spark)
+    return entries
+
+
 def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
                   partition_by: Optional[list] = None) -> int:
     """Publish a DataFrame as an Iceberg v2 snapshot; returns the
@@ -1185,80 +1335,9 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
                           if s.get("schema-id", 0)
                           == meta.get("current-schema-id", 0))
 
-    ice_types = {f["name"]: f["type"] for f in ice_schema["fields"]}
-    id_to_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
-    # per spec field: (tuple-field name, transform, source column,
-    # tuple iceberg type)
-    spec_cols = []
-    for f in spec:
-        src = id_to_name[f["source-id"]]
-        tr = f.get("transform", "identity")
-        spec_cols.append((f["name"], tr, src,
-                          _spec_tuple_type(tr, ice_types[src])))
-
-    # stage parquet data files in hive layout keyed by the PARTITION
-    # TUPLE values; identity staging drops the source column from data
-    # files (the reader re-attaches it), transform staging drops only
-    # the computed column and keeps sources
     import uuid as _uuid
-    staging = os.path.join(table, f"_staging_{_uuid.uuid4().hex}")
-    staged = df
-    for fname, tr, src, _tt in spec_cols:
-        if tr != "identity":
-            staged = staged.withColumn(
-                fname, _transform_col(tr, src, ice_types[src]))
-    w = staged.write.mode("overwrite")
-    if spec_cols:
-        w = w.partitionBy(*[fname for fname, *_ in spec_cols])
-    w.parquet(staging)
-    entries = []
-    data_dir = os.path.join(table, "data")
-    fsutil.ensure_dir(data_dir, spark)
-    tuple_types = {fname: tt for fname, _tr, _s, tt in spec_cols}
-
-    def _walk(rel: str) -> None:
-        full = os.path.join(staging, rel) if rel else staging
-        for name in fsutil.list_dir(full, spark):
-            child_rel = os.path.join(rel, name) if rel else name
-            child = os.path.join(staging, child_rel)
-            if name.endswith(".parquet"):
-                pv = {}
-                for seg in child_rel.split(os.sep)[:-1]:
-                    if "=" in seg:
-                        k, v = seg.split("=", 1)
-                        pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" \
-                            else v
-                n_rows = _parquet_row_count(child)
-                # keep the hive segments under data/ so readers (ours
-                # included) can take a single-scan basePath fast path
-                # instead of per-partition unions
-                subdir = os.path.dirname(child_rel)
-                dest_dir = (os.path.join(data_dir, subdir) if subdir
-                            else data_dir)
-                fsutil.ensure_dir(dest_dir, spark)
-                dest = os.path.join(
-                    dest_dir, f"d-{_uuid.uuid4().hex}.parquet")
-                fsutil.rename(child, dest, spark)
-                entries.append({
-                    "status": 1, "snapshot_id": None,
-                    "data_file": {
-                        "content": 0, "file_path": dest,
-                        "file_format": "PARQUET",
-                        "partition": {
-                            fname: _parse_pv(pv.get(fname),
-                                             tuple_types[fname])
-                            for fname, *_ in spec_cols},
-                        "record_count": n_rows,
-                        "file_size_in_bytes": int(
-                            os.path.getsize(
-                                fsutil._strip_file_scheme(dest))
-                            if fsutil.is_local(dest) else 0),
-                    }})
-            elif "." not in name or "=" in name:
-                _walk(child_rel)
-
-    _walk("")
-    fsutil.delete(staging, spark=spark)
+    spec_cols, ice_types = _spec_columns(spec, ice_schema)
+    entries = _stage_data_entries(df, table, spec_cols, ice_types)
 
     from .avro_io import write_container_file
     snap_id = (max((int(s["snapshot-id"])
@@ -1287,19 +1366,26 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
             _normalize_path(cur_snap["manifest-list"], table), spark)
         prev_manifests = prev
     seq = int(meta.get("last-sequence-number", 0)) + 1
-    ml_entries = ([{"sequence_number": None, **e}
-                   for e in prev_manifests]
-                  + [{"manifest_path": m_path,
+    n_recs = sum(e["data_file"]["record_count"] for e in entries)
+    ml_entries = ([_ml_row(e) for e in prev_manifests]
+                  + [_ml_row({
+                      "manifest_path": m_path,
                       "manifest_length": m_len,
                       "partition_spec_id": 0, "content": 0,
                       "sequence_number": seq,
-                      "added_snapshot_id": snap_id}])
+                      "min_sequence_number": seq,
+                      "added_snapshot_id": snap_id,
+                      "added_data_files_count": len(entries),
+                      "existing_data_files_count": 0,
+                      "deleted_data_files_count": 0,
+                      "added_rows_count": n_recs,
+                      "existing_rows_count": 0,
+                      "deleted_rows_count": 0})])
     ml_path = os.path.join(mdir, f"snap-{snap_id}-{_uuid.uuid4().hex}.avro")
     write_container_file(ml_path, _MANIFEST_LIST_SCHEMA, ml_entries)
 
     import time as _time
     now_ms = int(_time.time() * 1000)
-    n_recs = sum(e["data_file"]["record_count"] for e in entries)
     meta["snapshots"] = meta["snapshots"] + [{
         "snapshot-id": snap_id, "sequence-number": seq,
         "timestamp-ms": now_ms, "manifest-list": ml_path,
@@ -1433,13 +1519,19 @@ def convert_to_iceberg(spark: SparkSession, path: str, *,
     snap_id, seq = 1, 1
     ml_path = os.path.join(
         mdir, f"snap-{snap_id}-{_uuid.uuid4().hex}.avro")
-    write_container_file(ml_path, _MANIFEST_LIST_SCHEMA, [{
+    n_recs = sum(e["data_file"]["record_count"] for e in entries)
+    write_container_file(ml_path, _MANIFEST_LIST_SCHEMA, [_ml_row({
         "manifest_path": m_path, "manifest_length": m_len,
         "partition_spec_id": 0, "content": 0,
-        "sequence_number": seq, "added_snapshot_id": snap_id}])
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_data_files_count": len(entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": n_recs,
+        "existing_rows_count": 0, "deleted_rows_count": 0})])
     import time as _time
     now_ms = int(_time.time() * 1000)
-    n_recs = sum(e["data_file"]["record_count"] for e in entries)
     meta["snapshots"] = [{
         "snapshot-id": snap_id, "sequence-number": seq,
         "timestamp-ms": now_ms, "manifest-list": ml_path,
@@ -1504,13 +1596,20 @@ def _publish_delete_snapshot(spark, table: str, meta: dict,
                         == meta["current-snapshot-id"])
         _, prev_manifests = read_container_file(
             _normalize_path(cur_snap["manifest-list"], table), spark)
-    ml_entries = ([{"sequence_number": None, **e}
-                   for e in prev_manifests]
-                  + [{"manifest_path": m_path,
+    ml_entries = ([_ml_row(e) for e in prev_manifests]
+                  + [_ml_row({
+                      "manifest_path": m_path,
                       "manifest_length": m_len,
                       "partition_spec_id": 0, "content": 1,
                       "sequence_number": seq,
-                      "added_snapshot_id": snap_id}])
+                      "min_sequence_number": seq,
+                      "added_snapshot_id": snap_id,
+                      "added_data_files_count": 1,
+                      "existing_data_files_count": 0,
+                      "deleted_data_files_count": 0,
+                      "added_rows_count": data_file["record_count"],
+                      "existing_rows_count": 0,
+                      "deleted_rows_count": 0})])
     ml_path = os.path.join(
         mdir, f"snap-{snap_id}-{_uuid.uuid4().hex}.avro")
     write_container_file(ml_path, _MANIFEST_LIST_SCHEMA, ml_entries)
@@ -1643,6 +1742,252 @@ def iceberg_delete_where(spark: SparkSession, table: str,
         spark, table, meta, cur_version, del_path, 1, None)
 
 
+def iceberg_rewrite_data_files(spark: SparkSession, table: str, *,
+                               target_file_bytes: int
+                               = 128 * 1024 * 1024,
+                               min_files: int = 2) -> dict:
+    """``rewrite_data_files`` — Iceberg compaction, the twin of
+    ``delta_optimize``: per partition tuple, data files under
+    ``target_file_bytes`` are bin-packed into ~target-size files;
+    files with row-level deletes applying to them are ALWAYS
+    rewritten, so the deleted rows materialize away.  Publishes a
+    snapshot with summary operation ``replace`` — no logical rows
+    change, and both ``iceberg_changes`` and the jarless stream
+    source skip replace snapshots, exactly like Delta's
+    ``dataChange=false``.
+
+    STATS PRESERVATION (the reason a naive rewrite was refused in
+    earlier rounds): a manifest that keeps all its files is carried
+    BY REFERENCE — its manifest-list entry keeps the original path,
+    sequence numbers, counts and partition summaries.  A manifest
+    that loses victims is decoded with ITS OWN embedded writer schema
+    and the surviving entries re-encoded with that SAME schema
+    (``avro_io`` is writer-schema-driven in both directions), so
+    foreign stats columns our minimal manifest model does not know —
+    value_counts, null_value_counts, lower/upper bounds, split
+    offsets — round-trip untouched.  Only the freshly written files
+    use the engine's own manifest schema.
+
+    Concurrency: the metadata publish is put-if-absent on
+    ``v{N+1}.metadata.json``; a delete committed concurrently wins
+    the race and this rewrite RAISES instead of resurrecting its rows
+    (re-run on the fresh state).  New files take the new snapshot's
+    sequence number — safe under that single-commit rule because no
+    later-sequence delete can exist below the rewrite when it
+    publishes.
+
+    Returns ``{"snapshot_id", "removed_files", "added_files",
+    "bytes_compacted"}`` (current id and zeros when there is nothing
+    to do).  Scale: victim selection reads manifests only; the
+    rewrite scans victim files only; the driver holds the entry
+    lists — the same order as the manifests it must rewrite."""
+    import dataclasses as _dc
+    import uuid as _uuid
+
+    from .avro_io import read_container_file, write_container_file
+
+    meta_file = _current_metadata_file(table, spark)
+    meta = json.loads(fsutil.read_text(meta_file, spark))
+    cur_version = int(re.match(
+        r"^v?(\d+)", os.path.basename(meta_file)).group(1))
+    if int(meta.get("current-snapshot-id", -1) or -1) == -1:
+        return {"snapshot_id": -1, "removed_files": 0,
+                "added_files": 0, "bytes_compacted": 0}
+    snap = iceberg_snapshot(spark, table)
+    cur_snap = next(s for s in meta["snapshots"]
+                    if s["snapshot-id"]
+                    == meta["current-snapshot-id"])
+    _, ml_entries = read_container_file(
+        _normalize_path(cur_snap["manifest-list"], table), spark)
+
+    data_manifests = []   # (ml entry, writer schema, records)
+    delete_ml_rows = []   # carried verbatim (normalized)
+    for ent in ml_entries:
+        if int(ent.get("content") or 0) != 0:
+            delete_ml_rows.append(_ml_row(ent))
+            continue
+        ws, recs = read_container_file(
+            _normalize_path(ent["manifest_path"], table), spark)
+        data_manifests.append((ent, ws, recs))
+
+    def _entry_path(r: dict) -> str:
+        return _norm_path_str(_normalize_path(
+            r["data_file"]["file_path"], table))
+
+    live: dict[str, dict] = {}
+    for _ent, _ws, recs in data_manifests:
+        for r in recs:
+            if int(r.get("status") or 0) == 2:
+                continue
+            dfr = r["data_file"]
+            if int(dfr.get("content") or 0) != 0:
+                continue
+            live[_entry_path(r)] = {
+                "size": int(dfr.get("file_size_in_bytes") or 0),
+                "pv": dict(dfr.get("partition") or {})}
+
+    # which live files do outstanding deletes touch?
+    seq_of = {_norm_path_str(f["path"]): int(f["seq"])
+              for f in snap.files}
+    pos_paths: set = set()
+    pos_dels = [f for f in snap.delete_files if f["content"] == 1]
+    if pos_dels:
+        refs = None
+        for f in pos_dels:
+            x = (spark.read.parquet(f["path"])
+                 .select(_norm_uri(F.col("file_path")).alias("_p")))
+            refs = x if refs is None else refs.unionByName(x)
+        pos_paths = {r["_p"] for r in refs.distinct().collect()}
+    eq_dels = [f for f in snap.delete_files if f["content"] == 2]
+
+    def _affected(p: str) -> bool:
+        if p in pos_paths:
+            return True
+        fseq = seq_of.get(p, 0)
+        return any(int(f["seq"]) > fseq for f in eq_dels)
+
+    groups: dict[str, list[str]] = {}
+    for p, info in live.items():
+        key = repr(sorted(info["pv"].items()))
+        groups.setdefault(key, []).append(p)
+    victims: set = set()
+    for ps in groups.values():
+        small = [p for p in ps
+                 if live[p]["size"] < int(target_file_bytes)
+                 or _affected(p)]
+        if len(small) >= max(1, int(min_files)) \
+                or any(_affected(p) for p in small):
+            victims.update(small)
+    if not victims:
+        return {"snapshot_id": snap.snapshot_id,
+                "removed_files": 0, "added_files": 0,
+                "bytes_compacted": 0}
+
+    # read victim rows, MOR deletes applied -> compacted rewrite
+    victim_files = [f for f in snap.files
+                    if _norm_path_str(f["path"]) in victims]
+    want = [f.name for f in snap.schema.fields]
+    with_meta = bool(snap.delete_files)
+    d = _scan_snapshot_files(spark, snap, victim_files,
+                             with_meta=with_meta)
+    if with_meta:
+        d = _apply_row_deletes(
+            spark, _dc.replace(snap, files=victim_files), d)
+    d = d.select(*want)
+
+    ice_schema = next(s for s in meta["schemas"]
+                      if s.get("schema-id", 0)
+                      == meta.get("current-schema-id", 0))
+    spec_id = int(meta.get("default-spec-id", 0))
+    spec = next(s["fields"] for s in meta["partition-specs"]
+                if int(s["spec-id"]) == spec_id)
+    spec_cols, ice_types = _spec_columns(spec, ice_schema)
+    total_bytes = sum(live[p]["size"] for p in victims)
+    n_out = max(1, -(-total_bytes // max(1, int(target_file_bytes))))
+    srcs = [src for _f, _tr, src, _tt in spec_cols]
+    d = d.repartition(n_out, *srcs) if srcs else d.repartition(n_out)
+    new_entries = _stage_data_entries(d, table, spec_cols, ice_types)
+
+    mdir = os.path.join(table, "metadata")
+    part_avro_fields = []
+    for f, (fname, _tr, _s, tt) in zip(spec, spec_cols):
+        avro_t = _ICE_TO_AVRO.get(tt)
+        if avro_t is None:
+            raise IcebergProtocolError(
+                f"partition field {fname!r} tuple type {tt!r} "
+                "unsupported by the minimal writer")
+        part_avro_fields.append({"name": fname,
+                                 "type": ["null", avro_t],
+                                 "field-id": int(f["field-id"])})
+    snap_id = (max(int(s["snapshot-id"])
+                   for s in meta["snapshots"]) + 1)
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    m_path = os.path.join(mdir, f"m-{_uuid.uuid4().hex}.avro")
+    write_container_file(m_path, _manifest_avro_schema(
+        part_avro_fields), new_entries)
+    n_recs_new = sum(e["data_file"]["record_count"]
+                     for e in new_entries)
+    new_row = _ml_row({
+        "manifest_path": m_path,
+        "manifest_length": int(os.path.getsize(
+            fsutil._strip_file_scheme(m_path))),
+        "partition_spec_id": spec_id, "content": 0,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_data_files_count": len(new_entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": n_recs_new,
+        "existing_rows_count": 0, "deleted_rows_count": 0})
+
+    carried_rows = []
+    for ent, ws, recs in data_manifests:
+        victim_here = [r for r in recs
+                       if int(r.get("status") or 0) != 2
+                       and _entry_path(r) in victims]
+        if not victim_here:
+            carried_rows.append(_ml_row(ent))
+            continue
+        kept = [r for r in recs
+                if int(r.get("status") or 0) == 2
+                or _entry_path(r) not in victims]
+        if not any(int(r.get("status") or 0) != 2 for r in kept):
+            continue  # nothing live left — drop the manifest
+        rm_path = os.path.join(mdir, f"m-{_uuid.uuid4().hex}.avro")
+        write_container_file(rm_path, ws, kept)
+        row = _ml_row(ent)
+        row["manifest_path"] = rm_path
+        row["manifest_length"] = int(os.path.getsize(
+            fsutil._strip_file_scheme(rm_path)))
+        by_status = {0: 0, 1: 0, 2: 0}
+        rows_by_status = {0: 0, 1: 0, 2: 0}
+        for r in kept:
+            st = int(r.get("status") or 0)
+            by_status[st] += 1
+            rows_by_status[st] += int(
+                r["data_file"].get("record_count") or 0)
+        row["added_data_files_count"] = by_status[1]
+        row["existing_data_files_count"] = by_status[0]
+        row["deleted_data_files_count"] = by_status[2]
+        row["added_rows_count"] = rows_by_status[1]
+        row["existing_rows_count"] = rows_by_status[0]
+        row["deleted_rows_count"] = rows_by_status[2]
+        # original partition summaries stay: a superset bound is
+        # still a CORRECT (if looser) pruning bound for the subset
+        carried_rows.append(row)
+
+    ml_rows = carried_rows + delete_ml_rows + [new_row]
+    ml_path = os.path.join(
+        mdir, f"snap-{snap_id}-{_uuid.uuid4().hex}.avro")
+    write_container_file(ml_path, _MANIFEST_LIST_SCHEMA, ml_rows)
+
+    import time as _time
+    now_ms = int(_time.time() * 1000)
+    meta["snapshots"] = meta["snapshots"] + [{
+        "snapshot-id": snap_id, "sequence-number": seq,
+        "timestamp-ms": now_ms, "manifest-list": ml_path,
+        "summary": {"operation": "replace",
+                    "added-data-files": str(len(new_entries)),
+                    "deleted-data-files": str(len(victims)),
+                    "added-records": str(n_recs_new)}}]
+    meta["current-snapshot-id"] = snap_id
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    new_meta_path = os.path.join(
+        mdir, f"v{cur_version + 1}.metadata.json")
+    from .delta import _create_exclusive
+    if not _create_exclusive(new_meta_path, json.dumps(meta), spark):
+        raise RuntimeError(
+            f"concurrent iceberg commit won v{cur_version + 1}; "
+            "re-run rewrite_data_files on the fresh state")
+    fsutil.write_text_atomic(
+        os.path.join(mdir, "version-hint.text"),
+        str(cur_version + 1), spark)
+    return {"snapshot_id": snap_id, "removed_files": len(victims),
+            "added_files": len(new_entries),
+            "bytes_compacted": int(total_bytes)}
+
+
 def iceberg_changes(spark: SparkSession, table: str, *,
                     from_seq: int,
                     to_seq: Optional[int] = None) -> DataFrame:
@@ -1694,6 +2039,13 @@ def iceberg_changes(spark: SparkSession, table: str, *,
         if seq > int(to_seq):
             break
         sid = int(s["snapshot-id"])
+        if (s.get("summary") or {}).get("operation") == "replace":
+            # compaction/rewrite: files rearranged, no logical rows
+            # changed — the changelog skips it (Iceberg's own
+            # changelog rule for REPLACE snapshots), diffing the next
+            # snapshot against the post-replace file set instead
+            prev_sid = sid
+            continue
         if seq < int(from_seq):
             prev_sid = sid
             continue
