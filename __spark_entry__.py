@@ -7802,6 +7802,254 @@ GROUP BY o_orderstatus
 """
 
 
+def q_iceberg_v3_defaults_orders(spark, sf_dir):
+    """Iceberg v3 FIELD DEFAULTS (r14): a v3 table whose ``o_seg``
+    column was added WITH ``initial-default='LEGACY'`` after the
+    first file landed — rows from the pre-evolution file must read
+    the default (not null), rows from the newer file keep their own
+    values.  The engine groups data files by footer column presence
+    (sources/footers.py) and fills per group; a merged-schema scan
+    that nulls the old file's rows breaks the value hash."""
+    import json as _json
+    import os as _os
+    import tempfile
+    import uuid as _uuid
+
+    from wrangle_pypes_spark.sources.avro_io import (
+        write_container_file,
+    )
+    from wrangle_pypes_spark.sources.iceberg import (
+        _manifest_avro_schema,
+        _MANIFEST_LIST_SCHEMA,
+        _ml_row,
+        read_iceberg,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_icev3d_") + "/orders"
+    mdir = _os.path.join(tbl, "metadata")
+    o = _t(spark, sf_dir, "orders")
+
+    def _stage(df, name):
+        stage = _os.path.join(tbl, "_st_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(n for n in _os.listdir(stage)
+                    if n.endswith(".parquet"))
+        dest = _os.path.join(tbl, "data", name + ".parquet")
+        _os.makedirs(_os.path.dirname(dest), exist_ok=True)
+        _os.replace(_os.path.join(stage, part), dest)
+        import shutil as _sh
+        _sh.rmtree(stage)
+        return dest, df.count()
+
+    f1, n1 = _stage(o.filter("o_orderkey % 2 = 0")
+                     .select("o_orderkey", "o_totalprice"), "pre")
+    f2, n2 = _stage(o.filter("o_orderkey % 2 = 1")
+                     .select("o_orderkey", "o_totalprice",
+                             F.col("o_orderstatus").alias("o_seg")),
+                    "post")
+    m1 = _os.path.join(mdir, "m1.avro")
+    write_container_file(m1, _manifest_avro_schema([]), [
+        {"status": 1, "snapshot_id": None,
+         "data_file": {"content": 0, "file_path": p,
+                       "file_format": "PARQUET", "partition": {},
+                       "record_count": n,
+                       "file_size_in_bytes": 1}}
+        for p, n in ((f1, n1), (f2, n2))])
+    ml = _os.path.join(mdir, "snap-1.avro")
+    write_container_file(ml, _MANIFEST_LIST_SCHEMA, [_ml_row(
+        {"manifest_path": m1, "manifest_length": 1,
+         "partition_spec_id": 0, "content": 0,
+         "sequence_number": 1, "added_snapshot_id": 1})])
+    meta = {
+        "format-version": 3, "table-uuid": _uuid.uuid4().hex,
+        "location": tbl, "last-sequence-number": 1,
+        "last-updated-ms": 0, "last-column-id": 3,
+        "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "o_orderkey", "required": False,
+             "type": "long"},
+            {"id": 2, "name": "o_totalprice", "required": False,
+             "type": "double"},
+            {"id": 3, "name": "o_seg", "required": False,
+             "type": "string", "initial-default": "LEGACY",
+             "write-default": "LEGACY"},
+        ]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "sequence-number": 1,
+                       "timestamp-ms": 0, "manifest-list": ml,
+                       "summary": {"operation": "append"}}]}
+    with open(_os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+        fh.write(_json.dumps(meta))
+    with open(_os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return (read_iceberg(spark, tbl)
+            .groupBy("o_seg")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents")))
+
+
+SQL_ICEBERG_V3_DEFAULTS = """
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'LEGACY'
+            ELSE o_orderstatus END AS o_seg,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders GROUP BY 1
+"""
+
+
+def q_iceberg_puffin_dv_orders(spark, sf_dir):
+    """Iceberg v3 PUFFIN DELETION VECTORS (r14): a foreign-shaped v3
+    table whose position deletes live as a roaring-bitmap blob in a
+    puffin file (4-byte BE length + magic-prefixed portable bitmap +
+    BE CRC-32, referenced_data_file/content_offset addressing) — the
+    engine decodes the blob in executors (sources/dv.py parser) and
+    anti-joins the addresses.  The data file is written SORTED by
+    o_orderkey, so position p holds the (p+1)-th smallest key and the
+    oracle can name the dead rows via ROW_NUMBER.  Positions p with
+    p % 7 == 0 die."""
+    import json as _json
+    import os as _os
+    import struct as _struct
+    import tempfile
+    import uuid as _uuid
+    import zlib as _zlib
+
+    import numpy as _np
+
+    from wrangle_pypes_spark.sources.avro_io import (
+        write_container_file,
+    )
+    from wrangle_pypes_spark.sources.dv import rba_serialize
+    from wrangle_pypes_spark.sources.iceberg import (
+        _manifest_avro_schema,
+        _MANIFEST_LIST_SCHEMA,
+        _ml_row,
+        read_iceberg,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_icepuf_") + "/orders"
+    mdir = _os.path.join(tbl, "metadata")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    stage = _os.path.join(tbl, "_st")
+    (o.coalesce(1).sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(stage))
+    part = next(n for n in _os.listdir(stage)
+                if n.endswith(".parquet"))
+    data = _os.path.join(tbl, "data", "orders.parquet")
+    _os.makedirs(_os.path.dirname(data), exist_ok=True)
+    _os.replace(_os.path.join(stage, part), data)
+    import shutil as _sh
+    _sh.rmtree(stage)
+    n = o.count()
+
+    body = rba_serialize(_np.arange(0, n, 7))
+    blob = (_struct.pack(">i", len(body)) + body
+            + _struct.pack(">I", _zlib.crc32(body) & 0xFFFFFFFF))
+    puf = _os.path.join(tbl, "data", "dv.puffin")
+    with open(puf, "wb") as fh:
+        fh.write(b"PFA1" + blob)
+
+    m1 = _os.path.join(mdir, "m1.avro")
+    write_container_file(m1, _manifest_avro_schema([]), [
+        {"status": 1, "snapshot_id": None,
+         "data_file": {"content": 0, "file_path": data,
+                       "file_format": "PARQUET", "partition": {},
+                       "record_count": n,
+                       "file_size_in_bytes": 1}}])
+    dv_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102",
+                        "fields": []}},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "referenced_data_file",
+                     "type": ["null", "string"]},
+                    {"name": "content_offset",
+                     "type": ["null", "long"]},
+                    {"name": "content_size_in_bytes",
+                     "type": ["null", "long"]},
+                ]}}]}
+    m2 = _os.path.join(mdir, "m2.avro")
+    write_container_file(m2, dv_schema, [
+        {"status": 1, "snapshot_id": None,
+         "data_file": {"content": 1, "file_path": puf,
+                       "file_format": "PUFFIN", "partition": {},
+                       "record_count": int((n + 6) // 7),
+                       "file_size_in_bytes": len(blob) + 4,
+                       "referenced_data_file": data,
+                       "content_offset": 4,
+                       "content_size_in_bytes": len(blob)}}])
+    ml = _os.path.join(mdir, "snap-2.avro")
+    write_container_file(ml, _MANIFEST_LIST_SCHEMA, [
+        _ml_row({"manifest_path": m1, "manifest_length": 1,
+                 "partition_spec_id": 0, "content": 0,
+                 "sequence_number": 1, "added_snapshot_id": 1}),
+        _ml_row({"manifest_path": m2, "manifest_length": 1,
+                 "partition_spec_id": 0, "content": 1,
+                 "sequence_number": 2, "added_snapshot_id": 2})])
+    meta = {
+        "format-version": 3, "table-uuid": _uuid.uuid4().hex,
+        "location": tbl, "last-sequence-number": 2,
+        "last-updated-ms": 0, "last-column-id": 3,
+        "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "o_orderkey", "required": False,
+             "type": "long"},
+            {"id": 2, "name": "o_orderstatus", "required": False,
+             "type": "string"},
+            {"id": 3, "name": "o_totalprice", "required": False,
+             "type": "double"},
+        ]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {"snapshot-id": 1, "sequence-number": 1,
+             "timestamp-ms": 0, "manifest-list": ml,
+             "summary": {"operation": "append"}},
+            {"snapshot-id": 2, "sequence-number": 2,
+             "timestamp-ms": 0, "manifest-list": ml,
+             "summary": {"operation": "delete"}}]}
+    with open(_os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+        fh.write(_json.dumps(meta))
+    with open(_os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return (read_iceberg(spark, tbl)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents")))
+
+
+SQL_ICEBERG_PUFFIN_DV = """
+WITH ranked AS (
+  SELECT o_orderstatus, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos
+  FROM orders
+)
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM ranked WHERE pos % 7 <> 0
+GROUP BY o_orderstatus
+"""
+
+
 SQL_ICEBERG_CONVERT = """
 WITH allrows AS (
   SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
@@ -9910,6 +10158,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- below the 50-slot driver window from here down ----
     "iceberg_convert_orders": q_iceberg_convert_orders,  # NEW r13, registered post-window: rotate in next round
     "iceberg_optimize_orders": q_iceberg_optimize_orders,  # NEW r14: rewrite_data_files compaction, value-oracled
+    "iceberg_v3_defaults_orders": q_iceberg_v3_defaults_orders,  # NEW r14: v3 initial-default materialization, value-oracled
+    "iceberg_puffin_dv_orders": q_iceberg_puffin_dv_orders,  # NEW r14: v3 puffin deletion vectors, value-oracled
     "stream_static_enrich": q_stream_static_enrich,  # r9 green; displaced for the r13 iceberg changelog query
     "temperature_mix_sources": q_temperature_mix_sources,  # r9 green; displaced for the r13 convert/clone query
     "profile_customer": q_profile_customer,  # r9 green; displaced for the r13 optimize query
@@ -10308,6 +10558,8 @@ _ORACLES: dict[str, str] = {
     "iceberg_cdf_orders": SQL_ICEBERG_CDF,
     "iceberg_convert_orders": SQL_ICEBERG_CONVERT,
     "iceberg_optimize_orders": SQL_ICEBERG_OPTIMIZE,
+    "iceberg_v3_defaults_orders": SQL_ICEBERG_V3_DEFAULTS,
+    "iceberg_puffin_dv_orders": SQL_ICEBERG_PUFFIN_DV,
     "delta_id_mode_orders": SQL_DELTA_ID_MODE,
     "delta_cdf_orders": SQL_DELTA_CDF,
     "stream_delta_source_orders": SQL_STREAM_DELTA_SOURCE,

@@ -1076,21 +1076,179 @@ class TestFormatV3:
                       read_iceberg(spark, tbl).collect()) \
             == list(range(7))
 
-    def test_v3_field_default_gates(self, spark, tmp_path):
-        """initial-default would silently read as null — must gate."""
+    def test_v3_field_defaults_materialize_per_file(self, spark,
+                                                    tmp_path):
+        """r14: rows from files written BEFORE a defaulted field
+        existed read the initial-default; files that CARRY the column
+        keep their own values (nulls included) — a merged-schema scan
+        can't tell the two apart, so the fills are footer-grouped."""
+        tbl = str(tmp_path / "v3def")
+        mdir = os.path.join(tbl, "metadata")
+        # file A: pre-evolution (k only); file B: k + tag (with a
+        # real null); file C: pre-evolution again
+        a = spark.range(0, 3).select(F.col("id").alias("k"))
+        b = spark.createDataFrame(
+            [(10, "x"), (11, None)], "k long, tag string")
+        c = spark.range(20, 22).select(F.col("id").alias("k"))
+        files = {}
+        for name, d in (("A", a), ("B", b), ("C", c)):
+            dest = os.path.join(tbl, "data", f"{name}.parquet")
+            _one_parquet(spark, d, dest)
+            files[name] = dest
+        pf = []
+        m1 = os.path.join(mdir, "m1.avro")
+        A.write_container_file(m1, _manifest_schema(pf), [
+            {"status": 1, "snapshot_id": None,
+             "data_file": {"content": 0, "file_path": files[n],
+                           "file_format": "PARQUET", "partition": {},
+                           "record_count": 1,
+                           "file_size_in_bytes": 1}}
+            for n in ("A", "B", "C")])
+        ml = os.path.join(mdir, "snap-1.avro")
+        A.write_container_file(ml, _MANIFEST_LIST_SCHEMA, [
+            {"manifest_path": m1, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 0,
+             "added_snapshot_id": 1}])
+        _write_metadata(
+            tbl,
+            schemas=[{"type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "k", "required": False,
+                 "type": "long"},
+                {"id": 2, "name": "tag", "required": False,
+                 "type": "string", "initial-default": "unk",
+                 "write-default": "w"},
+                {"id": 3, "name": "num", "required": False,
+                 "type": "long", "initial-default": 7},
+            ]}],
+            specs=[{"spec-id": 0, "fields": []}],
+            snapshots=[{"snapshot-id": 1, "sequence-number": 1,
+                        "timestamp-ms": 0, "manifest-list": ml,
+                        "summary": {"operation": "append"}}],
+            current=1, fmt=3)
+        rows = sorted(((r["k"], r["tag"], r["num"])
+                       for r in read_iceberg(spark, tbl).collect()),
+                      key=lambda t: t[0])
+        assert rows == [
+            (0, "unk", 7), (1, "unk", 7), (2, "unk", 7),
+            (10, "x", 7), (11, None, 7),  # B keeps its OWN tag/null
+            (20, "unk", 7), (21, "unk", 7)]
+
+    def test_v3_nested_default_still_gates(self, spark, tmp_path):
         from wrangle_pypes_spark.sources.iceberg import write_iceberg
-        tbl = str(tmp_path / "v3d")
+        tbl = str(tmp_path / "v3nd")
         write_iceberg(spark.range(3).select(F.col("id").alias("k")),
                       tbl)
-        mdir = os.path.join(tbl, "metadata")
-        mf = os.path.join(mdir, "v1.metadata.json")
+        mf = os.path.join(tbl, "metadata", "v1.metadata.json")
         meta = json.loads(open(mf).read())
         meta["format-version"] = 3
-        meta["schemas"][0]["fields"][0]["initial-default"] = 5
+        meta["schemas"][0]["fields"].append({
+            "id": 9, "name": "s", "required": False,
+            "type": {"type": "struct", "fields": [
+                {"id": 10, "name": "x", "required": False,
+                 "type": "long", "initial-default": 1}]}})
         with open(mf, "w") as f:
             f.write(json.dumps(meta))
-        with pytest.raises(IcebergProtocolError, match="default"):
+        with pytest.raises(IcebergProtocolError, match="nested"):
             read_iceberg(spark, tbl).collect()
+
+    def test_v3_puffin_deletion_vector(self, spark, tmp_path):
+        """r14: a puffin deletion-vector blob (4-byte BE length +
+        magic-prefixed 64-bit roaring bitmap + BE CRC-32) kills the
+        referenced rows; compaction then materializes it away."""
+        import struct as _struct
+        import zlib as _zlib
+
+        import numpy as np
+
+        from wrangle_pypes_spark.sources.dv import rba_serialize
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_rewrite_data_files,
+        )
+        tbl = str(tmp_path / "v3dv")
+        mdir = os.path.join(tbl, "metadata")
+        data = os.path.join(tbl, "data", "A.parquet")
+        _one_parquet(spark,
+                     spark.range(0, 10).select(F.col("id").alias("k"))
+                     .coalesce(1).sortWithinPartitions("k"), data)
+        body = rba_serialize(np.array([1, 3, 8]))
+        blob = (_struct.pack(">i", len(body)) + body
+                + _struct.pack(">I", _zlib.crc32(body) & 0xFFFFFFFF))
+        puf = os.path.join(tbl, "data", "dv.puffin")
+        with open(puf, "wb") as f:
+            f.write(b"PFA1" + blob)
+        pf = []
+        m1 = os.path.join(mdir, "m1.avro")
+        A.write_container_file(m1, _manifest_schema(pf), [
+            {"status": 1, "snapshot_id": None,
+             "data_file": {"content": 0, "file_path": data,
+                           "file_format": "PARQUET", "partition": {},
+                           "record_count": 10,
+                           "file_size_in_bytes": 10}}])
+        dv_schema = {
+            "type": "record", "name": "manifest_entry", "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": ["null", "long"]},
+                {"name": "data_file", "type": {
+                    "type": "record", "name": "r2", "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "partition", "type": {
+                            "type": "record", "name": "r102",
+                            "fields": []}},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes",
+                         "type": "long"},
+                        {"name": "referenced_data_file",
+                         "type": ["null", "string"]},
+                        {"name": "content_offset",
+                         "type": ["null", "long"]},
+                        {"name": "content_size_in_bytes",
+                         "type": ["null", "long"]},
+                    ]}}]}
+        m2 = os.path.join(mdir, "m2.avro")
+        A.write_container_file(m2, dv_schema, [
+            {"status": 1, "snapshot_id": None,
+             "data_file": {"content": 1, "file_path": puf,
+                           "file_format": "PUFFIN", "partition": {},
+                           "record_count": 3,
+                           "file_size_in_bytes": len(blob) + 4,
+                           "referenced_data_file": data,
+                           "content_offset": 4,
+                           "content_size_in_bytes": len(blob)}}])
+        ml = os.path.join(mdir, "snap-2.avro")
+        A.write_container_file(ml, _MANIFEST_LIST_SCHEMA, [
+            {"manifest_path": m1, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 0,
+             "added_snapshot_id": 1},
+            {"manifest_path": m2, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 1,
+             "added_snapshot_id": 2}])
+        _write_metadata(
+            tbl,
+            schemas=[{"type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "k", "required": False,
+                 "type": "long"}]}],
+            specs=[{"spec-id": 0, "fields": []}],
+            snapshots=[
+                {"snapshot-id": 1, "sequence-number": 1,
+                 "timestamp-ms": 0, "manifest-list": ml,
+                 "summary": {"operation": "append"}},
+                {"snapshot-id": 2, "sequence-number": 2,
+                 "timestamp-ms": 0, "manifest-list": ml,
+                 "summary": {"operation": "delete"}}],
+            current=2, fmt=3)
+        live = [k for k in range(10) if k not in (1, 3, 8)]
+        assert sorted(r["k"] for r in
+                      read_iceberg(spark, tbl).collect()) == live
+        # compaction materializes the DV into the rewritten file
+        res = iceberg_rewrite_data_files(spark, tbl, min_files=1)
+        assert res["removed_files"] == 1
+        assert sorted(r["k"] for r in
+                      read_iceberg(spark, tbl).collect()) == live
+        snap = iceberg_snapshot(spark, tbl)
+        raw = spark.read.parquet(*[f["path"] for f in snap.files])
+        assert sorted(r["k"] for r in raw.collect()) == live
 
     def test_v4_still_gates(self, spark, tmp_path):
         from wrangle_pypes_spark.sources.iceberg import write_iceberg

@@ -22,12 +22,17 @@ metadata with put-if-absent ``vN.metadata.json`` publish) plus
 recall retraction shape) round out the lifecycle; richer mutation
 stays with the engine's native stores.
 
-Honest gates (loud, never a silent wrong answer): format-version 4+
-and the v3 features that change row content (field defaults; puffin
-deletion vectors hit the delete-file format gate) — plain v3 metadata
-reads like v2; unknown data_file content codes, non-parquet delete
-files, data formats other than parquet/orc, and non-identity
-partition columns whose values exist only in metadata.
+v3 row-content features read natively (r14): TOP-LEVEL field
+defaults materialize per file (footer-grouped fills — files written
+before the column existed get ``initial-default``, never null) and
+PUFFIN deletion vectors decode executor-side through the same
+portable roaring parser Delta DVs use.
+
+Honest gates (loud, never a silent wrong answer): format-version 4+,
+v3 ``initial-default`` on NESTED fields, unknown data_file content
+codes, non-parquet/puffin delete files, data formats other than
+parquet/orc, and non-identity partition columns whose values exist
+only in metadata.
 
 Scale notes: metadata resolution reads JSON + manifest Avro only —
 O(manifest entries), never O(rows) — mirroring Iceberg's own planning
@@ -379,6 +384,28 @@ def _manifest_partials(table: str, entries: list, content: int,
                 "seq": int(seq if seq is not None else 0),
             })
         elif fcontent in (1, 2):  # position / equality deletes
+            if fmt == "puffin" and fcontent == 1:
+                # v3 deletion vector: a puffin blob addressed by
+                # (content_offset, content_size_in_bytes), scoped to
+                # ONE data file (referenced_data_file) — decoded
+                # executor-side by _pos_delete_rows
+                ref = df_rec.get("referenced_data_file")
+                if not ref:
+                    raise IcebergProtocolError(
+                        "puffin deletion vector without "
+                        "referenced_data_file")
+                dels.append({
+                    "path": _normalize_path(df_rec["file_path"],
+                                            table),
+                    "content": 1, "format": "puffin",
+                    "seq": int(seq if seq is not None else snap_seq),
+                    "partition": pv, "equality_ids": [],
+                    "referenced": _normalize_path(ref, table),
+                    "offset": int(df_rec.get("content_offset") or 0),
+                    "size": int(df_rec.get("content_size_in_bytes")
+                                or 0),
+                })
+                continue
             if fmt != "parquet":
                 raise IcebergProtocolError(
                     f"delete file format {fmt!r} unsupported")
@@ -390,7 +417,7 @@ def _manifest_partials(table: str, entries: list, content: int,
                 continue
             dels.append({
                 "path": _normalize_path(df_rec["file_path"], table),
-                "content": fcontent,
+                "content": fcontent, "format": "parquet",
                 "seq": int(seq if seq is not None else snap_seq),
                 "partition": pv,
                 "equality_ids": list(
@@ -423,19 +450,22 @@ def iceberg_snapshot(spark: SparkSession, table: str, *,
         raise IcebergProtocolError(
             f"iceberg format-version {fv} not implemented (v1/v2/v3)")
     if fv == 3:
-        # v3 metadata reads like v2 UNLESS a v3-only feature changes
-        # row content: field defaults materialize values we'd return
-        # as null (silent wrong answer — gate); puffin deletion
-        # vectors are caught by the non-parquet delete-file gate;
-        # row-lineage fields are reader-ignorable.
+        # v3 row-content features (r14): TOP-LEVEL field defaults
+        # materialize on the read path (_field_defaults +
+        # footer-grouped fills in _scan_snapshot_files) and puffin
+        # deletion vectors decode in _pos_delete_rows; row-lineage
+        # fields are reader-ignorable.  NESTED defaults stay a loud
+        # gate — the fill machinery is top-level only.
         for s in meta.get("schemas", []):
             for f in s.get("fields", []):
-                if "initial-default" in f or "write-default" in f:
+                if not isinstance(f.get("type"), dict):
+                    continue
+                blob = json.dumps(f["type"])
+                if '"initial-default"' in blob:
                     raise IcebergProtocolError(
-                        f"iceberg v3 field default on {f.get('name')!r} "
-                        "not implemented (rows from pre-evolution "
-                        "files would read as null instead of the "
-                        "default)")
+                        f"iceberg v3 initial-default inside nested "
+                        f"field {f.get('name')!r} not implemented "
+                        "(top-level defaults are)")
     schema, _ = _schema_from_metadata(meta)
     specs = {s["spec-id"]: s["fields"]
              for s in meta.get("partition-specs", [])}
@@ -627,15 +657,119 @@ def _prune_by_partition(snap: IcebergSnapshot,
                            delete_files=dels)
 
 
+def _parse_default(ice_type, raw):
+    """Iceberg JSON single-value serialization -> python literal for
+    ``F.lit`` (the v3 ``initial-default`` read contract)."""
+    import datetime as _dt
+    import decimal as _decimal
+    t = ice_type
+    if not isinstance(t, str):
+        raise IcebergProtocolError(
+            "non-primitive initial-default not implemented")
+    if raw is None:
+        return None
+    if t == "boolean":
+        return bool(raw)
+    if t in ("int", "long"):
+        return int(raw)
+    if t in ("float", "double"):
+        return float(raw)
+    if t in ("string", "uuid"):
+        return str(raw)
+    if t == "date":
+        return _dt.date.fromisoformat(raw)
+    if t == "timestamp":
+        return _dt.datetime.fromisoformat(raw)
+    if t == "timestamptz":
+        return _dt.datetime.fromisoformat(
+            str(raw).replace("Z", "+00:00"))
+    if _DECIMAL_RE.match(t):
+        return _decimal.Decimal(str(raw))
+    if t == "binary" or _FIXED_RE.match(t):
+        return bytes.fromhex(raw)
+    raise IcebergProtocolError(
+        f"initial-default for type {t!r} not implemented")
+
+
+def _field_defaults(meta: dict) -> dict:
+    """name -> (spark type, python literal) for TOP-LEVEL current-
+    schema fields carrying a v3 ``initial-default`` — the value rows
+    from files written BEFORE the field existed must read as
+    (``write-default`` is writer-side only and ignored on read)."""
+    cur = next((s for s in meta.get("schemas", [])
+                if s.get("schema-id", 0)
+                == meta.get("current-schema-id", 0)), None)
+    out = {}
+    for f in (cur or {}).get("fields", []):
+        if "initial-default" in f:
+            out[f["name"]] = (
+                _to_spark_type(f["type"]),
+                _parse_default(f["type"], f["initial-default"]))
+    return out
+
+
+def _footer_presence(spark, snap: IcebergSnapshot, files: list,
+                     dcols: list) -> dict:
+    """normalized data-file path -> frozenset of ``dcols`` the file's
+    parquet footer actually contains (executor-parallel, memoized on
+    the snapshot) — the per-FILE fact deciding whether a default
+    fills in.  A merged-schema scan can't tell: a column present in
+    SOME files reads null (not the default) for the others."""
+    from . import footers
+    cache = snap.__dict__.setdefault("_footer_name_cache", {})
+    todo = [f for f in files
+            if _norm_path_str(f["path"]) not in cache]
+    if todo:
+        if any(f["format"] != "parquet" for f in todo):
+            raise IcebergProtocolError(
+                "v3 field defaults over non-parquet data files "
+                "not implemented")
+        for p, tree in footers.footer_nodes(
+                spark, sorted({f["path"] for f in todo})).items():
+            cache[_norm_path_str(p)] = frozenset(
+                n["n"] for n in tree)
+    return {_norm_path_str(f["path"]): frozenset(
+                c for c in dcols
+                if c in cache[_norm_path_str(f["path"])])
+            for f in files}
+
+
 def _scan_snapshot_files(spark: SparkSession,
                          snap: IcebergSnapshot, files: list, *,
-                         with_meta: bool) -> Optional[DataFrame]:
+                         with_meta: bool,
+                         _fills: Optional[dict] = None
+                         ) -> Optional[DataFrame]:
     """Table-schema scan over a SUBSET of a snapshot's data files
     (identity partition columns re-attached from manifest tuples when
     absent from the data).  ``with_meta`` appends the
-    (_ice_fp, _ice_ri) row-address columns for delete merging."""
+    (_ice_fp, _ice_ri) row-address columns for delete merging.
+
+    v3 field defaults: when the current schema carries top-level
+    ``initial-default`` values, files are grouped by which of those
+    columns their FOOTER contains; each group lacking a column gets
+    the default as a literal (``_fills``), never a null."""
     import dataclasses as _dc
     want = [f.name for f in snap.schema.fields]
+    if _fills is None:
+        defaults = _field_defaults(snap.metadata)
+        if defaults:
+            present = _footer_presence(spark, snap, files,
+                                       list(defaults))
+            groups: dict = {}
+            for f in files:
+                groups.setdefault(
+                    present[_norm_path_str(f["path"])], []).append(f)
+            out = None
+            for key, fgroup in sorted(groups.items(),
+                                      key=lambda kv: sorted(kv[0])):
+                fills = {c: defaults[c] for c in defaults
+                         if c not in key}
+                d = _scan_snapshot_files(spark, snap, fgroup,
+                                         with_meta=with_meta,
+                                         _fills=fills)
+                out = d if out is None else out.unionByName(d)
+            return out
+        _fills = {}
     sub = _dc.replace(snap, files=list(files))
     out = None
     for fmt in ("parquet", "orc"):
@@ -648,10 +782,26 @@ def _scan_snapshot_files(spark: SparkSession,
         # (identity partition columns re-attach from manifests below)
         d = (spark.read.option("recursiveFileLookup", "true")
              .format(fmt).load(paths))
-        missing = [c for c in want if c not in d.columns]
+        fill_pending = {c: fv for c, fv in _fills.items()
+                        if c not in d.columns}
+        missing = [c for c in want
+                   if c not in d.columns and c not in fill_pending]
         if missing:
+            # rebuilds the scan from the file list, so defaults are
+            # applied AFTER it (fill columns are not in ``missing``)
             d = _attach_identity_partitions(
                 spark, sub, fmt, missing, with_meta=with_meta)
+            for c, (dt, v) in fill_pending.items():
+                if c not in d.columns:
+                    d = d.withColumn(c, F.lit(v).cast(dt))
+        elif fill_pending:
+            for c, (dt, v) in fill_pending.items():
+                d = d.withColumn(c, F.lit(v).cast(dt))
+            if with_meta:
+                d = d.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("_ice_fp"),
+                    F.col("_metadata.row_index").alias("_ice_ri"))
         elif with_meta:
             d = d.select(
                 "*",
@@ -710,6 +860,72 @@ def _norm_uri(col):
     return F.regexp_replace(col, "^file:/+", "/")
 
 
+def _pos_delete_rows(spark, pos_files: list) -> Optional[DataFrame]:
+    """(_dp, _dpos, _dseq) rows for position deletes of BOTH shapes:
+    v2 parquet delete files (file_path/pos columns, scanned as data)
+    and v3 PUFFIN deletion vectors — one roaring-bitmap blob per
+    referenced data file, addressed by (content_offset,
+    content_size_in_bytes) from the manifest and decoded INSIDE
+    executors (``mapInPandas`` over the descriptor rows; the blob is
+    4-byte BE length + the magic-prefixed 64-bit roaring bitmap +
+    4-byte BE CRC-32 — the same portable bitmap ``sources/dv.py``
+    already parses for Delta)."""
+    out = None
+    parq = [f for f in pos_files
+            if f.get("format", "parquet") == "parquet"]
+    for f in parq:
+        x = (spark.read.parquet(f["path"])
+             .select(_norm_uri(F.col("file_path")).alias("_dp"),
+                     F.col("pos").cast("long").alias("_dpos"),
+                     F.lit(int(f["seq"])).alias("_dseq")))
+        out = x if out is None else out.unionByName(x)
+    puff = [f for f in pos_files if f.get("format") == "puffin"]
+    if puff:
+        desc = local_df(
+            spark,
+            [(f["path"], int(f["offset"]), int(f["size"]),
+              _norm_path_str(f["referenced"]), int(f["seq"]))
+             for f in puff],
+            "path string, offset long, size long, "
+            "ref string, dseq long")
+
+        def _expand(batches):
+            import struct as _struct
+            import zlib as _zlib
+
+            import pandas as pd
+
+            from .dv import _read_file_bytes, rba_deserialize
+            cache: dict = {}
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    data = cache.get(row.path)
+                    if data is None:
+                        data = _read_file_bytes(row.path)
+                        cache[row.path] = data
+                    off = int(row.offset)
+                    blen = _struct.unpack_from(">i", data, off)[0]
+                    body = data[off + 4:off + 4 + blen]
+                    if len(body) != blen:
+                        raise ValueError(
+                            "truncated puffin deletion vector")
+                    want_crc = _struct.unpack_from(
+                        ">I", data, off + 4 + blen)[0]
+                    if (_zlib.crc32(body) & 0xFFFFFFFF) != want_crc:
+                        raise ValueError(
+                            "puffin deletion vector CRC mismatch")
+                    positions = rba_deserialize(body)
+                    yield pd.DataFrame({
+                        "_dp": row.ref,
+                        "_dpos": positions.astype("int64"),
+                        "_dseq": int(row.dseq)})
+
+        x = desc.mapInPandas(_expand,
+                             "_dp string, _dpos long, _dseq long")
+        out = x if out is None else out.unionByName(x)
+    return out
+
+
 def _apply_row_deletes(spark, snap: IcebergSnapshot, d: DataFrame):
     """Merge-on-read per the v2 spec: a POSITION delete removes row
     ``pos`` of ``file_path`` when data_seq <= delete_seq; an EQUALITY
@@ -730,13 +946,7 @@ def _apply_row_deletes(spark, snap: IcebergSnapshot, d: DataFrame):
 
     pos = [f for f in snap.delete_files if f["content"] == 1]
     if pos:
-        dels = None
-        for f in pos:
-            x = (spark.read.parquet(f["path"])
-                 .select(_norm_uri(F.col("file_path")).alias("_dp"),
-                         F.col("pos").cast("long").alias("_dpos"),
-                         F.lit(int(f["seq"])).alias("_dseq")))
-            dels = x if dels is None else dels.unionByName(x)
+        dels = _pos_delete_rows(spark, pos)
         d = d.join(dels, (d["_ice_np"] == dels["_dp"])
                    & (d["_ice_ri"] == dels["_dpos"])
                    & (d["_ice_seq"] <= dels["_dseq"]), "left_anti")
@@ -1831,13 +2041,18 @@ def iceberg_rewrite_data_files(spark: SparkSession, table: str, *,
               for f in snap.files}
     pos_paths: set = set()
     pos_dels = [f for f in snap.delete_files if f["content"] == 1]
-    if pos_dels:
+    parq_pos = [f for f in pos_dels
+                if f.get("format", "parquet") == "parquet"]
+    if parq_pos:
         refs = None
-        for f in pos_dels:
+        for f in parq_pos:
             x = (spark.read.parquet(f["path"])
                  .select(_norm_uri(F.col("file_path")).alias("_p")))
             refs = x if refs is None else refs.unionByName(x)
         pos_paths = {r["_p"] for r in refs.distinct().collect()}
+    # puffin DVs name their target in METADATA — no file read needed
+    pos_paths |= {_norm_path_str(f["referenced"]) for f in pos_dels
+                  if f.get("format") == "puffin"}
     eq_dels = [f for f in snap.delete_files if f["content"] == 2]
 
     def _affected(p: str) -> bool:
@@ -2080,14 +2295,8 @@ def iceberg_changes(spark: SparkSession, table: str, *,
         pos_new = [d for d in new_dels if d["content"] == 1]
         eq_new = [d for d in new_dels if d["content"] == 2]
         if pos_new and prev is not None:
-            dels = None
-            for f in pos_new:
-                x = (spark.read.parquet(f["path"])
-                     .select(_norm_uri(F.col("file_path"))
-                             .alias("_dp"),
-                             F.col("pos").cast("long")
-                             .alias("_dpos")))
-                dels = x if dels is None else dels.unionByName(x)
+            dels = _pos_delete_rows(spark, pos_new) \
+                .select("_dp", "_dpos")
             refp = {r["_dp"]
                     for r in dels.select("_dp").distinct().collect()}
             ref_files = [f for p, f in sorted(prev_files.items())
