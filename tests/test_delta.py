@@ -170,6 +170,38 @@ class TestForeignLog:
         got = sorted((r["k"], r["x"]) for r in out.collect())
         assert got == [(i, i * 1.5) for i in range(6)]
 
+    def test_type_widening_append_writes_wide(self, spark, tbl):
+        """r14 pin (VERDICT): an APPEND into a widened foreign table
+        writes the WIDENED type (the table schema is the write
+        contract — new files must carry it), and an append that
+        still uses the old narrow type gates loudly instead of
+        committing drifted files."""
+        self.test_type_widening_reads(spark, tbl)
+        wide = spark.range(10, 13).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.5).alias("x"))
+        assert write_delta(wide, tbl) == 1
+        # the staged parquet itself carries the WIDE physical types
+        import pyarrow.parquet as pq
+        text = open(os.path.join(
+            tbl, "_delta_log", f"{1:020d}.json")).read()
+        add = next(json.loads(ln)["add"]
+                   for ln in text.splitlines() if "\"add\"" in ln)
+        sch = pq.ParquetFile(
+            os.path.join(tbl, add["path"])).schema_arrow
+        assert str(sch.field("k").type) == "int64"
+        assert str(sch.field("x").type) == "double"
+        got = sorted((r["k"], r["x"]) for r in
+                     read_delta(spark, tbl).collect())
+        assert got == [(i, i * 1.5) for i in range(6)] \
+            + [(i, i * 1.5) for i in range(10, 13)]
+        # narrow-typed append refuses loudly
+        narrow = spark.range(20, 22).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 1.5).cast("float").alias("x"))
+        with pytest.raises(ValueError, match="type mismatch"):
+            write_delta(narrow, tbl)
+
     def test_dv_reader_feature_is_supported(self, spark, tbl):
         """deletionVectors in readerFeatures must NOT gate (r12)."""
         schema = T.StructType([T.StructField("k", T.LongType())])

@@ -1627,3 +1627,80 @@ class TestRewriteDataFiles:
         assert sorted(r["k"] for r in
                       spark.read.parquet(out).collect()) \
             == list(range(12))
+
+
+class TestChangesPlanBatching:
+    def test_append_runs_coalesce_to_one_scan(self, spark, tmp_path):
+        """r14: N consecutive append-only snapshots must assemble ONE
+        scan node (file->seq via broadcast map), not N — the plan
+        width over a long append-only history is O(regimes)."""
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_changes,
+            iceberg_delete_where,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "batch")
+        df = spark.range(0, 100).select(F.col("id").alias("k"))
+        n_commits = 20
+        for i in range(n_commits):
+            write_iceberg(
+                df.filter(f"k % {n_commits} = {i}").coalesce(1), tbl)
+        ch = iceberg_changes(spark, tbl, from_seq=1)
+        # plan BEFORE any action (AQE finalization reprints stage
+        # subtrees, which would double-count)
+        import io
+        import re as _re
+        from contextlib import redirect_stdout
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            ch.explain("formatted")
+        n_parquet_scans = len(_re.findall(r"\(\d+\) Scan parquet",
+                                          buf.getvalue()))
+        # one parquet scan for all 20 appends (+ a broadcast map)
+        assert n_parquet_scans == 1, buf.getvalue()
+        got = sorted((r["k"], r["_commit_seq"])
+                     for r in ch.collect())
+        assert got == sorted((k, k % n_commits + 1)
+                             for k in range(100))
+
+    def test_mixed_regimes_still_correct(self, spark, tmp_path):
+        """appends + a delete + more appends: three regimes, exact
+        changelog, and the plan stays narrow (2 data scans + the
+        delete machinery)."""
+        import io
+        from contextlib import redirect_stdout
+
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_changes,
+            iceberg_delete_where,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "mix")
+        df = spark.range(0, 40).select(F.col("id").alias("k"))
+        for i in range(4):
+            write_iceberg(
+                df.filter(f"k % 8 = {i}").coalesce(1), tbl)
+        iceberg_delete_where(spark, tbl, "k % 16 = 0")  # seq 5
+        for i in range(4, 8):
+            write_iceberg(
+                df.filter(f"k % 8 = {i}").coalesce(1), tbl)
+        ch = iceberg_changes(spark, tbl, from_seq=1)
+        # plan first (pre-AQE; finalization reprints stage subtrees)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            ch.explain("formatted")
+        import re as _re
+        n_scans = len(_re.findall(r"\(\d+\) Scan parquet",
+                                  buf.getvalue()))
+        # 2 batched insert scans + the delete half's bounded scans —
+        # far fewer than the 9 per-snapshot scans the naive plan had
+        assert n_scans <= 5, n_scans
+        rows = sorted((r["k"], r["_change_type"], r["_commit_seq"])
+                      for r in ch.collect())
+        want = sorted(
+            [(k, "insert", k % 8 + 1) for k in range(40)
+             if k % 8 < 4]
+            + [(k, "delete", 5) for k in range(40) if k % 16 == 0]
+            + [(k, "insert", k % 8 + 2) for k in range(40)
+               if k % 8 >= 4])
+        assert rows == want

@@ -2248,6 +2248,41 @@ def iceberg_changes(spark: SparkSession, table: str, *,
                         F.lit(int(seq)).alias("_commit_seq"))
 
     out_parts = []
+    # Consecutive APPEND-ONLY snapshots coalesce into ONE scan (the
+    # added files carry their commit seq via a broadcast file->seq
+    # map), so the union width is O(changed regimes), not
+    # O(snapshots) — a feed over a year of hourly appends assembles
+    # a handful of scan nodes, not 10k.
+    pending_appends: list = []  # (seq, snapshot, added files)
+
+    def _flush_appends() -> None:
+        if not pending_appends:
+            return
+        if len(pending_appends) == 1:
+            seq0, snap0, files0 = pending_appends[0]
+            out_parts.append(_tag(
+                _scan_snapshot_files(spark, snap0, files0,
+                                     with_meta=False),
+                "insert", seq0))
+        else:
+            snap_last = pending_appends[-1][1]
+            all_files = [f for _, _, fs in pending_appends
+                         for f in fs]
+            seq_map = sorted(
+                (_norm_path_str(f["path"]), int(sq))
+                for sq, _, fs in pending_appends for f in fs)
+            d = _scan_snapshot_files(spark, snap_last, all_files,
+                                     with_meta=True)
+            m = local_df(spark, seq_map, "_cf string, _cseq int")
+            d = (d.withColumn("_np", _norm_uri(F.col("_ice_fp")))
+                 .join(F.broadcast(m),
+                       F.col("_np") == F.col("_cf"), "left"))
+            out_parts.append(d.select(
+                *[F.col(c) for c in want],
+                F.lit("insert").alias("_change_type"),
+                F.col("_cseq").alias("_commit_seq")))
+        pending_appends.clear()
+
     prev_sid: Optional[int] = None
     for s in snaps:
         seq = int(s.get("sequence-number") or 0)
@@ -2279,11 +2314,17 @@ def iceberg_changes(spark: SparkSession, table: str, *,
         new_dels = [d for d in cur.delete_files
                     if d["path"] not in prev_del_paths]
 
-        if added:
+        append_only = (added and not removed and not new_dels)
+        if append_only:
+            pending_appends.append((seq, cur, added))
+        elif added:
+            _flush_appends()
             out_parts.append(_tag(
                 _scan_snapshot_files(spark, cur, added,
                                      with_meta=False),
                 "insert", seq))
+        else:
+            _flush_appends()
         if removed and prev is not None:
             d = _scan_snapshot_files(spark, prev, removed,
                                      with_meta=bool(prev_dels))
@@ -2339,6 +2380,7 @@ def iceberg_changes(spark: SparkSession, table: str, *,
                     "delete", seq))
         prev_sid = sid
 
+    _flush_appends()
     extra = T.StructType(
         list(schema.fields)
         + [T.StructField("_change_type", T.StringType()),
