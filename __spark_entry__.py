@@ -10099,12 +10099,66 @@ def q_compression_ratio_docs(spark, sf_dir):
 # rotate below: entry() + bench.py exercise them every round anyway.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- the 50-slot driver verification window ----
-    # Round-13 rotation (VERDICT r12 #1): ALL 44 r8-vintage queries
-    # (the stalest block, incl. grouped_ewma whose r11 value oracle
-    # has never been driver-run) + 6 stale-flagged r9 greens to fill
-    # 50.  Every r12-window query went green in CORRECTNESS_r12.json;
-    # displaced entries sit below the marker.  Keep the marker at
-    # EXACTLY 50 entries -- tests/test_bare_session.py pins it.
+    # Round-14 rotation (VERDICT r13 #1): the mechanically-derived
+    # stale set from scripts/rotation_report.py --stale -- the 4
+    # never-driver-checked queries (iceberg_convert_orders from r13
+    # plus the three NEW r14 lifecycle/v3 queries) and the 46
+    # stale-flagged rows whose implementing code the r14 changes
+    # touched (localdf/fsutil/footers and their importers).  Every
+    # r13-window query went green in CORRECTNESS_r13.json; displaced
+    # entries sit below the marker.  Keep the marker at EXACTLY 50
+    # entries -- tests/test_bare_session.py pins it.
+    "iceberg_convert_orders": q_iceberg_convert_orders,  # NEW r13, never driver-checked (judge-run green)
+    "iceberg_optimize_orders": q_iceberg_optimize_orders,  # NEW r14, never driver-checked
+    "iceberg_v3_defaults_orders": q_iceberg_v3_defaults_orders,  # NEW r14, never driver-checked
+    "iceberg_puffin_dv_orders": q_iceberg_puffin_dv_orders,  # NEW r14, never driver-checked
+    "stream_static_enrich": q_stream_static_enrich,  # stale-flagged: code path touched since last check
+    "temperature_mix_sources": q_temperature_mix_sources,  # stale-flagged: code path touched since last check
+    "profile_customer": q_profile_customer,  # stale-flagged: code path touched since last check
+    "c4_clean_docs": q_c4_clean_docs,  # stale-flagged: code path touched since last check
+    "cohort_retention_weekly": q_cohort_retention_weekly,  # stale-flagged: code path touched since last check
+    "embedding_label_centroids": q_embedding_label_centroids,  # stale-flagged: code path touched since last check
+    "mix_corpus_sources": q_mix_corpus_sources,  # stale-flagged: code path touched since last check
+    "scd2_customer_history": q_scd2_customer_history,  # stale-flagged: code path touched since last check
+    "dedup_keep_longest": q_dedup_keep_longest,  # stale-flagged: code path touched since last check
+    "dedup_exact": q_dedup_exact,  # stale-flagged: code path touched since last check
+    "train_val_test_split": q_train_val_test_split,  # stale-flagged: code path touched since last check
+    "shuffle_documents": q_shuffle_documents,  # stale-flagged: code path touched since last check
+    "multimodal_features": q_multimodal_features,  # stale-flagged: code path touched since last check
+    "profile_customer_approx": q_profile_customer_approx,  # stale-flagged: code path touched since last check
+    "merge_intervals_user": q_merge_intervals_user,  # stale-flagged: code path touched since last check
+    "bucketize_order_totals": q_bucketize_order_totals,  # stale-flagged: code path touched since last check
+    "winsorize_order_totals": q_winsorize_order_totals,  # stale-flagged: code path touched since last check
+    "cdc_apply_orders": q_cdc_apply_orders,  # stale-flagged: code path touched since last check
+    "cdc_vacuum_store": q_cdc_vacuum_store,  # stale-flagged: code path touched since last check
+    "hard_negatives_emb": q_hard_negatives_emb,  # stale-flagged: code path touched since last check
+    "mine_triplets_emb": q_mine_triplets_emb,  # stale-flagged: code path touched since last check
+    "pmanifest_root_travel_orders": q_pmanifest_root_travel_orders,  # stale-flagged: code path touched since last check
+    "text_index_blocked_docs": q_text_index_blocked_docs,  # stale-flagged: code path touched since last check
+    "vector_index_topk_emb": q_vector_index_topk_emb,  # stale-flagged: code path touched since last check
+    "text_index_topk_served_docs": q_text_index_topk_served_docs,  # stale-flagged: code path touched since last check
+    "text_index_topk_docs": q_text_index_topk_docs,  # stale-flagged: code path touched since last check
+    "text_index_search_docs": q_text_index_search_docs,  # stale-flagged: code path touched since last check
+    "stream_text_index_docs": q_stream_text_index_docs,  # stale-flagged: code path touched since last check
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,  # stale-flagged: code path touched since last check
+    "stream_minhash_index": q_stream_minhash_index,  # stale-flagged: code path touched since last check
+    "pmanifest_prune_orders": q_pmanifest_prune_orders,  # stale-flagged: code path touched since last check
+    "pmanifest_cdf_orders": q_pmanifest_cdf_orders,  # stale-flagged: code path touched since last check
+    "stratified_sample_langs": q_stratified_sample_langs,  # stale-flagged: code path touched since last check
+    "curriculum_order_docs": q_curriculum_order_docs,  # stale-flagged: code path touched since last check
+    "group_split_sources": q_group_split_sources,  # stale-flagged: code path touched since last check
+    "sequential_ids_orders": q_sequential_ids_orders,  # stale-flagged: code path touched since last check
+    "flatten_nested_customer": q_flatten_nested_customer,  # stale-flagged: code path touched since last check
+    "binary_ingest_docs": q_binary_ingest_docs,  # stale-flagged: code path touched since last check
+    "split_leakage_audit": q_split_leakage_audit,  # stale-flagged: code path touched since last check
+    "classifier_score_docs": q_classifier_score_docs,  # stale-flagged: code path touched since last check
+    "training_shards_manifest": q_training_shards_manifest,  # stale-flagged: code path touched since last check
+    "compact_roundtrip_orders": q_compact_roundtrip_orders,  # stale-flagged: code path touched since last check
+    "scd2_rebuild_heal": q_scd2_rebuild_heal,  # stale-flagged: code path touched since last check
+    "funnel_events": q_funnel_events,  # stale-flagged: code path touched since last check
+    "paragraph_dedup_docs": q_paragraph_dedup_docs,  # stale-flagged: code path touched since last check
+    "dsir_weights_docs": q_dsir_weights_docs,  # stale-flagged: code path touched since last check
+    # ---- below the 50-slot driver window from here down ----
     "stream_bloom_dedup_docs": q_stream_bloom_dedup_docs,  # last driver check: r8
     "bloom_dedup_docs": q_bloom_dedup_docs,  # last driver check: r8
     "manifest_time_travel_orders": q_manifest_time_travel_orders,  # last driver check: r8
@@ -10155,19 +10209,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iceberg_pos_delete_orders": q_iceberg_pos_delete_orders,  # NEW r13: position-delete writer, value-oracled
     "delta_column_mapping_write_orders": q_delta_column_mapping_write_orders,  # NEW r13: writes into a name-mapped table, value-oracled
     "delta_id_mode_orders": q_delta_id_mode_orders,  # NEW r13: id-mode (field-id matched) read + write, value-oracled
-    # ---- below the 50-slot driver window from here down ----
-    "iceberg_convert_orders": q_iceberg_convert_orders,  # NEW r13, registered post-window: rotate in next round
-    "iceberg_optimize_orders": q_iceberg_optimize_orders,  # NEW r14: rewrite_data_files compaction, value-oracled
-    "iceberg_v3_defaults_orders": q_iceberg_v3_defaults_orders,  # NEW r14: v3 initial-default materialization, value-oracled
-    "iceberg_puffin_dv_orders": q_iceberg_puffin_dv_orders,  # NEW r14: v3 puffin deletion vectors, value-oracled
-    "stream_static_enrich": q_stream_static_enrich,  # r9 green; displaced for the r13 iceberg changelog query
-    "temperature_mix_sources": q_temperature_mix_sources,  # r9 green; displaced for the r13 convert/clone query
-    "profile_customer": q_profile_customer,  # r9 green; displaced for the r13 optimize query
-    "c4_clean_docs": q_c4_clean_docs,  # r9 green; displaced for the r13 position-delete query
-    "cohort_retention_weekly": q_cohort_retention_weekly,  # r9 green; displaced for the r13 column-mapping-write query
-    "embedding_label_centroids": q_embedding_label_centroids,  # r9 green; displaced for the r13 id-mode query
-    # (r12-window greens displaced after their r12 driver pass; prior
-    #  relative order preserved below.)
     "delta_dv_orders": q_delta_dv_orders,
     "iceberg_transform_prune_orders": q_iceberg_transform_prune_orders,
     "avro_roundtrip_orders": q_avro_roundtrip_orders,
@@ -10268,37 +10309,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_top5": q_lsh_ann_top5,
     "ivf_ann_top5": q_ivf_ann_top5,
     "vector_index_pq_emb": q_vector_index_pq_emb,
-    "vector_index_topk_emb": q_vector_index_topk_emb,
-    "text_index_topk_served_docs": q_text_index_topk_served_docs,
-    "text_index_topk_docs": q_text_index_topk_docs,
-    "text_index_search_docs": q_text_index_search_docs,
-    "stream_text_index_docs": q_stream_text_index_docs,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "stream_minhash_index": q_stream_minhash_index,
-    "pmanifest_prune_orders": q_pmanifest_prune_orders,
-    "pmanifest_cdf_orders": q_pmanifest_cdf_orders,
-    "stratified_sample_langs": q_stratified_sample_langs,
-    "curriculum_order_docs": q_curriculum_order_docs,
     "token_fertility_lang": q_token_fertility_lang,
-    "group_split_sources": q_group_split_sources,
-    "sequential_ids_orders": q_sequential_ids_orders,
-    "flatten_nested_customer": q_flatten_nested_customer,
-    "binary_ingest_docs": q_binary_ingest_docs,
-    "split_leakage_audit": q_split_leakage_audit,
     "vocab_diversity_sources": q_vocab_diversity_sources,
     "script_mix_docs": q_script_mix_docs,
     "anchor_text_docs": q_anchor_text_docs,
-    "classifier_score_docs": q_classifier_score_docs,
-    "training_shards_manifest": q_training_shards_manifest,
     "web_ingest_docs": q_web_ingest_docs,
     "normalize_text_docs": q_normalize_text_docs,
-    "compact_roundtrip_orders": q_compact_roundtrip_orders,
-    "scd2_rebuild_heal": q_scd2_rebuild_heal,
     "token_pmi_pairs": q_token_pmi_pairs,
     "inverted_index_stats": q_inverted_index_stats,
-    "funnel_events": q_funnel_events,
-    "paragraph_dedup_docs": q_paragraph_dedup_docs,
-    "dsir_weights_docs": q_dsir_weights_docs,
     "cap_per_source": q_cap_per_source,
     "quality_quantile_filter": q_quality_quantile_filter,
     "boilerplate_lines_docs": q_boilerplate_lines_docs,
@@ -10330,35 +10348,18 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_bulk_suppliers": q_q20_bulk_suppliers,
     "q21_suppliers_kept_waiting": q_q21_suppliers_kept_waiting,
     "q22_sales_opportunity": q_q22_sales_opportunity,
-    "mix_corpus_sources": q_mix_corpus_sources,
-    "scd2_customer_history": q_scd2_customer_history,
     "rollup_events_hourly": q_rollup_events_hourly,
     "window_rank_family": q_window_rank_family,
     "window_trailing_30d": q_window_trailing_30d,
     "date_functions_orders": q_date_functions_orders,
     "string_functions_customer": q_string_functions_customer,
     "unigram_logprob": q_unigram_logprob,
-    "dedup_keep_longest": q_dedup_keep_longest,
-    "dedup_exact": q_dedup_exact,
     "chunk_documents_overlap": q_chunk_documents_overlap,
-    "train_val_test_split": q_train_val_test_split,
-    "shuffle_documents": q_shuffle_documents,
     "wrangle_get_or_create": q_wrangle_get_or_create,
     "text_stats": q_text_stats,
-    "multimodal_features": q_multimodal_features,
     "wrangle_array_ops": q_wrangle_array_ops,
     "pivot_status_priority": q_pivot_status_priority,
-    "profile_customer_approx": q_profile_customer_approx,
-    "merge_intervals_user": q_merge_intervals_user,
-    "bucketize_order_totals": q_bucketize_order_totals,
-    "winsorize_order_totals": q_winsorize_order_totals,
-    "cdc_apply_orders": q_cdc_apply_orders,
-    "cdc_vacuum_store": q_cdc_vacuum_store,
-    "hard_negatives_emb": q_hard_negatives_emb,
-    "mine_triplets_emb": q_mine_triplets_emb,
-    "pmanifest_root_travel_orders": q_pmanifest_root_travel_orders,
     "wrangle_nested_lineitems": q_wrangle_nested_lineitems,
-    "text_index_blocked_docs": q_text_index_blocked_docs,
 }
 
 _ORACLES: dict[str, str] = {

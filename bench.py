@@ -138,6 +138,9 @@ HEADLINE = [
     "delta_convert_clone_orders",
     "iceberg_cdf_orders",
     "iceberg_convert_orders",
+    "iceberg_optimize_orders",      # NEW r14: rewrite_data_files
+    "iceberg_v3_defaults_orders",   # NEW r14: v3 field defaults
+    "iceberg_puffin_dv_orders",     # NEW r14: puffin deletion vectors
     "scd2_rebuild_heal",
     "paragraph_dedup_docs",
     "quality_quantile_filter",
