@@ -1730,3 +1730,77 @@ class TestConvertAndClone:
         assert read_delta(spark, d2).count() == 5
         with pytest.raises(ValueError, match="already"):
             delta_clone(spark, tbl, d1)
+
+
+class TestWriterFeatureGates:
+    """r14: the spec's writer rule — refuse to commit when the table
+    carries writer obligations this engine cannot maintain, instead
+    of silently breaking them."""
+
+    def _table(self, spark, tbl, *, proto=None, conf=None,
+               field_md=None):
+        schema = T.StructType([
+            T.StructField("k", T.LongType(), True, field_md or {})])
+        os.makedirs(tbl, exist_ok=True)
+        meta = _meta(schema)
+        if conf:
+            meta["metaData"]["configuration"] = conf
+        _commit(tbl, 0, [
+            {"protocol": proto or {"minReaderVersion": 1,
+                                   "minWriterVersion": 2}},
+            meta])
+
+    def test_unknown_writer_feature_gates(self, spark, tbl):
+        self._table(spark, tbl, proto={
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["rowTracking"]})
+        df = spark.range(3).select(F.col("id").alias("k"))
+        with pytest.raises(DeltaProtocolError, match="rowTracking"):
+            write_delta(df, tbl)
+        # reading is unaffected (rowTracking is writer-side only)
+        assert read_delta(spark, tbl).count() == 0
+
+    def test_append_only_table_refuses_mutation(self, spark, tbl):
+        self._table(spark, tbl, conf={"delta.appendOnly": "true"})
+        df = spark.range(3).select(F.col("id").alias("k"))
+        assert write_delta(df, tbl) == 1  # appends stay fine
+        from wrangle_pypes_spark.sources.delta import (
+            delta_delete_where,
+            delta_optimize,
+        )
+        with pytest.raises(ValueError, match="appendOnly"):
+            write_delta(df, tbl, mode="overwrite")
+        with pytest.raises(ValueError, match="appendOnly"):
+            delta_delete_where(spark, tbl, "k = 1")
+        with pytest.raises(ValueError, match="appendOnly"):
+            delta_optimize(spark, tbl)
+
+    def test_check_constraint_gates(self, spark, tbl):
+        self._table(spark, tbl, conf={
+            "delta.constraints.positive": "k > 0"})
+        df = spark.range(3).select(F.col("id").alias("k"))
+        with pytest.raises(DeltaProtocolError, match="constraints"):
+            write_delta(df, tbl)
+
+    def test_invariant_and_generated_column_gate(self, spark, tbl):
+        self._table(spark, tbl, field_md={
+            "delta.invariants":
+                '{"expression":{"expression":"k > 0"}}'})
+        df = spark.range(3).select(F.col("id").alias("k"))
+        with pytest.raises(DeltaProtocolError, match="invariants"):
+            write_delta(df, tbl)
+        tbl2 = tbl + "_gen"
+        self._table(spark, tbl2, field_md={
+            "delta.generationExpression": "id + 1"})
+        with pytest.raises(DeltaProtocolError, match="generated"):
+            write_delta(df, tbl2)
+
+    def test_supported_feature_list_passes(self, spark, tbl):
+        self._table(spark, tbl, proto={
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors", "appendOnly",
+                               "invariants", "changeDataFeed"]})
+        df = spark.range(3).select(F.col("id").alias("k"))
+        assert write_delta(df, tbl) == 1
+        assert read_delta(spark, tbl).count() == 3

@@ -1704,3 +1704,36 @@ class TestChangesPlanBatching:
             + [(k, "insert", k % 8 + 2) for k in range(40)
                if k % 8 >= 4])
         assert rows == want
+
+
+class TestManifestListSummaries:
+    def test_writer_publishes_partition_summaries(self, spark,
+                                                  tmp_path):
+        """r14: our manifest-list entries carry the spec's field_
+        summary rows (contains_null + LE-serialized bounds) so
+        foreign planners can skip whole manifests."""
+        import struct as _struct
+
+        from wrangle_pypes_spark.sources.avro_io import (
+            read_container_file,
+        )
+        from wrangle_pypes_spark.sources.iceberg import write_iceberg
+        tbl = str(tmp_path / "sumt")
+        df = spark.range(0, 20).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("int").alias("p"))
+        write_iceberg(df.coalesce(1), tbl, partition_by=["p"])
+        meta = json.loads(open(os.path.join(
+            tbl, "metadata", "v1.metadata.json")).read())
+        snap = meta["snapshots"][0]
+        _, rows = read_container_file(snap["manifest-list"])
+        assert len(rows) == 1
+        ent = rows[0]
+        assert ent["added_data_files_count"] == 4  # one per p value
+        assert ent["added_rows_count"] == 20
+        (summ,) = (ent["partitions"],)
+        assert len(summ) == 1
+        s0 = summ[0]
+        assert s0["contains_null"] is False
+        assert _struct.unpack("<i", bytes(s0["lower_bound"]))[0] == 0
+        assert _struct.unpack("<i", bytes(s0["upper_bound"]))[0] == 3

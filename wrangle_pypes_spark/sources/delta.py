@@ -399,6 +399,67 @@ def _check_protocol(proto: dict) -> None:
             f"{sorted(_SUPPORTED_READER_FEATURES)})")
 
 
+# writer features this engine actually honors when committing.
+# Conditional obligations (invariants, constraints, generated /
+# identity columns) are checked against the METADATA — the feature
+# flag alone is harmless until an instance exists.  changeDataFeed is
+# allowed: the spec's readers derive changes from dataChange
+# add/remove (and DV pairs) when no cdc actions exist, which is
+# exactly what this engine commits.
+_SUPPORTED_WRITER_FEATURES = {
+    "appendOnly", "deletionVectors", "columnMapping", "typeWidening",
+    "timestampNtz", "v2Checkpoint", "vacuumProtocolCheck",
+    "changeDataFeed", "invariants", "checkConstraints",
+    "generatedColumns", "identityColumns",
+}
+
+
+def _check_writer_allowed(snap: "DeltaSnapshot",
+                          operation: str) -> None:
+    """The spec's writer rule: refuse to commit unless every writer
+    feature/obligation the table carries is implemented.  Loud, never
+    a silently broken invariant.  ``operation`` is one of
+    append|overwrite|delete|optimize|restore."""
+    proto = snap.protocol or {}
+    if int(proto.get("minWriterVersion", 2)) >= 7:
+        unsupported = (set(proto.get("writerFeatures") or [])
+                       - _SUPPORTED_WRITER_FEATURES)
+        if unsupported:
+            raise DeltaProtocolError(
+                f"Delta writer features {sorted(unsupported)} not "
+                "implemented — committing would break invariants "
+                "this engine cannot maintain (supported: "
+                f"{sorted(_SUPPORTED_WRITER_FEATURES)})")
+    conf = (snap.metadata or {}).get("configuration") or {}
+    if str(conf.get("delta.appendOnly", "")).lower() == "true" \
+            and operation != "append":
+        raise ValueError(
+            f"table is delta.appendOnly=true — {operation} is "
+            "forbidden by the table's own configuration")
+    if any(k.startswith("delta.constraints.") for k in conf):
+        raise DeltaProtocolError(
+            "table carries CHECK constraints "
+            f"({sorted(k for k in conf if k.startswith('delta.constraints.'))}) "
+            "— this writer does not evaluate them, refusing to "
+            "commit rows that might violate them")
+    for f in (snap.schema.fields if snap.schema else []):
+        md = f.metadata or {}
+        if "delta.invariants" in md:
+            raise DeltaProtocolError(
+                f"column {f.name!r} carries a delta.invariants "
+                "expression — this writer does not evaluate "
+                "invariants, refusing")
+        if "delta.generationExpression" in md:
+            raise DeltaProtocolError(
+                f"column {f.name!r} is a generated column — this "
+                "writer does not compute generation expressions, "
+                "refusing")
+        if any(k.startswith("delta.identity.") for k in md):
+            raise DeltaProtocolError(
+                f"column {f.name!r} is an identity column — this "
+                "writer does not allocate identity values, refusing")
+
+
 def _check_metadata(meta: dict) -> None:
     conf = meta.get("configuration") or {}
     mapping = conf.get("delta.columnMapping.mode", "none")
@@ -1329,6 +1390,8 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
             and int(current.txns.get(txn_app_id, -1)) \
             >= int(txn_version):
         return current.version  # idempotent replay: already committed
+    if current is not None:
+        _check_writer_allowed(current, mode)
 
     if current is None:
         partition_by = list(partition_by or [])
@@ -1443,6 +1506,7 @@ def delta_delete_where(spark: SparkSession, table: str,
     requires of engines adding DVs to a v1 table.
     """
     snap = delta_snapshot(spark, table)
+    _check_writer_allowed(snap, "delete")
     adds = snap.pruned_adds(partition_filter)
     if not adds:
         return snap.version
@@ -1727,6 +1791,7 @@ def delta_optimize(spark: SparkSession, table: str, *,
     One output file per partition tuple (hash repartition) unless
     ``zorder_by`` splits tuples into range chunks."""
     snap = delta_snapshot(spark, table)
+    _check_writer_allowed(snap, "optimize")
     adds = snap.pruned_adds(partition_filter)
     groups: dict[tuple, list[dict]] = {}
     for a in adds:
@@ -2270,6 +2335,7 @@ def delta_restore(spark: SparkSession, table: str, *,
     delta-spark applies).  Driver cost is O(changed files): only the
     diff is collected and named in the commit."""
     cur = delta_snapshot(spark, table)
+    _check_writer_allowed(cur, "restore")
     target = int(version)
     if target == cur.version:
         return cur.version

@@ -1244,6 +1244,65 @@ def _parse_pv(raw: Optional[str], ice_type: str):
     return raw
 
 
+def _single_value_bytes(v, ice_type: str) -> Optional[bytes]:
+    """Iceberg Appendix-D BINARY single-value serialization for the
+    partition-summary bounds our writers publish (little-endian
+    fixed-width numerics, raw UTF-8 strings).  Types outside the
+    tuple shapes this writer stages return None (no bound — always a
+    SAFE answer for a pruning summary)."""
+    import struct as _struct
+    if v is None:
+        return None
+    if ice_type == "int":
+        return _struct.pack("<i", int(v))
+    if ice_type == "long":
+        return _struct.pack("<q", int(v))
+    if ice_type == "float":
+        return _struct.pack("<f", float(v))
+    if ice_type == "double":
+        return _struct.pack("<d", float(v))
+    if ice_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    if ice_type == "string":
+        return str(v).encode("utf-8")
+    if ice_type == "date":
+        import datetime as _dt
+        if isinstance(v, str):
+            v = _dt.date.fromisoformat(v)
+        if isinstance(v, _dt.date):
+            return _struct.pack(
+                "<i", (v - _dt.date(1970, 1, 1)).days)
+    return None
+
+
+def _partition_summaries(entries: list,
+                         spec_cols: list) -> Optional[list]:
+    """field_summary rows (contains_null / lower / upper) for a
+    manifest's ADDED entries, in spec-field order — the
+    manifest-list's per-partition pruning metadata (spec field 507).
+    Foreign planners skip whole manifests on these bounds, so they
+    must be CORRECT or absent: a field whose type the serializer
+    does not model gets null bounds (safe), never a wrong bound."""
+    if not spec_cols:
+        return []
+    out = []
+    for fname, _tr, _src, tt in spec_cols:
+        vals = [e["data_file"].get("partition", {}).get(fname)
+                for e in entries]
+        nonnull = [v for v in vals if v is not None]
+        lo = hi = None
+        if nonnull:
+            try:
+                lo = _single_value_bytes(min(nonnull), tt)
+                hi = _single_value_bytes(max(nonnull), tt)
+            except TypeError:  # unorderable mix — no bound is safe
+                lo = hi = None
+        out.append({"contains_null": len(nonnull) != len(vals),
+                    "contains_nan": None,
+                    "lower_bound": lo, "upper_bound": hi})
+    return out
+
+
 def _normalize_partition_by(partition_by) -> list[tuple[str, str]]:
     """User partition_by entries -> (transform, source column) pairs.
     Strings mean identity; tuples/lists name a transform:
@@ -1590,7 +1649,9 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
                       "deleted_data_files_count": 0,
                       "added_rows_count": n_recs,
                       "existing_rows_count": 0,
-                      "deleted_rows_count": 0})])
+                      "deleted_rows_count": 0,
+                      "partitions": _partition_summaries(
+                          entries, spec_cols)})])
     ml_path = os.path.join(mdir, f"snap-{snap_id}-{_uuid.uuid4().hex}.avro")
     write_container_file(ml_path, _MANIFEST_LIST_SCHEMA, ml_entries)
 
@@ -1739,7 +1800,9 @@ def convert_to_iceberg(spark: SparkSession, path: str, *,
         "existing_data_files_count": 0,
         "deleted_data_files_count": 0,
         "added_rows_count": n_recs,
-        "existing_rows_count": 0, "deleted_rows_count": 0})])
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+        "partitions": _partition_summaries(
+            entries, _spec_columns(spec, ice_schema)[0])})])
     import time as _time
     now_ms = int(_time.time() * 1000)
     meta["snapshots"] = [{
@@ -2133,7 +2196,8 @@ def iceberg_rewrite_data_files(spark: SparkSession, table: str, *,
         "existing_data_files_count": 0,
         "deleted_data_files_count": 0,
         "added_rows_count": n_recs_new,
-        "existing_rows_count": 0, "deleted_rows_count": 0})
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+        "partitions": _partition_summaries(new_entries, spec_cols)})
 
     carried_rows = []
     for ent, ws, recs in data_manifests:
