@@ -8050,6 +8050,64 @@ GROUP BY o_orderstatus
 """
 
 
+def q_iceberg_dv_write_orders(spark, sf_dir):
+    """Iceberg v3 DELETION-VECTOR WRITES (r14
+    ``iceberg_delete_where(puffin=True)``): orders land as an
+    append, TWO successive DV deletes publish puffin roaring blobs —
+    the second must MERGE into the first (one DV per data file, the
+    old entry superseded via the writer-schema-preserving manifest
+    rewrite) — and the table upgrades to format-version 3.  A
+    re-append after the deletes must survive (its rows carry a newer
+    data sequence).  The engine asserts exactly one DV per touched
+    file before returning; the oracle recomputes the end state."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.iceberg import (
+        iceberg_delete_where,
+        iceberg_snapshot,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_icedvw_") + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    write_iceberg(o, tbl, partition_by=["o_orderstatus"])
+    iceberg_delete_where(spark, tbl, "o_orderkey % 4 = 0",
+                         puffin=True)
+    iceberg_delete_where(spark, tbl, "o_orderkey % 6 = 0",
+                         puffin=True)
+    write_iceberg(
+        o.filter("o_orderkey % 12 = 0")
+         .withColumn("o_totalprice", F.col("o_totalprice") + 500.0),
+        tbl)
+    snap = iceberg_snapshot(spark, tbl)
+    dvs = [f for f in snap.delete_files
+           if f.get("format") == "puffin"]
+    refs = [f["referenced"] for f in dvs]
+    assert len(refs) == len(set(refs)), "duplicate DV per data file"
+    assert int(snap.metadata["format-version"]) == 3
+    return (read_iceberg(spark, tbl)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents")))
+
+
+SQL_ICEBERG_DV_WRITE = """
+WITH survivors AS (
+  SELECT o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 4 <> 0 AND o_orderkey % 6 <> 0
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice + 500.0
+  FROM orders WHERE o_orderkey % 12 = 0
+)
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM survivors GROUP BY o_orderstatus
+"""
+
+
 SQL_ICEBERG_CONVERT = """
 WITH allrows AS (
   SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
@@ -10561,6 +10619,7 @@ _ORACLES: dict[str, str] = {
     "iceberg_optimize_orders": SQL_ICEBERG_OPTIMIZE,
     "iceberg_v3_defaults_orders": SQL_ICEBERG_V3_DEFAULTS,
     "iceberg_puffin_dv_orders": SQL_ICEBERG_PUFFIN_DV,
+    "iceberg_dv_write_orders": SQL_ICEBERG_DV_WRITE,
     "delta_id_mode_orders": SQL_DELTA_ID_MODE,
     "delta_cdf_orders": SQL_DELTA_CDF,
     "stream_delta_source_orders": SQL_STREAM_DELTA_SOURCE,

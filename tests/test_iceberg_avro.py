@@ -1737,3 +1737,90 @@ class TestManifestListSummaries:
         assert s0["contains_null"] is False
         assert _struct.unpack("<i", bytes(s0["lower_bound"]))[0] == 0
         assert _struct.unpack("<i", bytes(s0["upper_bound"]))[0] == 3
+
+
+class TestPuffinDVWrites:
+    """iceberg_delete_where(puffin=True): the v3 DELETE writer —
+    deletion vectors in a spec-shaped puffin container, one blob per
+    file, one DV per file enforced by merge+supersede."""
+
+    def test_dv_delete_roundtrip_and_merge(self, spark, tmp_path):
+        import struct as _struct
+
+        from wrangle_pypes_spark.sources.avro_io import (
+            read_container_file,
+        )
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_delete_where,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "dvw")
+        df = spark.range(0, 20).select(F.col("id").alias("k"))
+        write_iceberg(df.coalesce(1), tbl)
+        v1 = iceberg_delete_where(spark, tbl, "k % 4 = 0",
+                                  puffin=True)
+        assert v1 == 2
+        meta = json.loads(open(os.path.join(
+            tbl, "metadata", "v2.metadata.json")).read())
+        assert meta["format-version"] == 3
+        live1 = [k for k in range(20) if k % 4 != 0]
+        assert sorted(r["k"] for r in
+                      read_iceberg(spark, tbl).collect()) == live1
+        # second delete MERGES into one DV per file: the old entry
+        # is superseded, the new bitmap covers both predicates
+        iceberg_delete_where(spark, tbl, "k % 6 = 0", puffin=True)
+        live2 = [k for k in live1 if k % 6 != 0]
+        assert sorted(r["k"] for r in
+                      read_iceberg(spark, tbl).collect()) == live2
+        snap = iceberg_snapshot(spark, tbl)
+        dvs = [f for f in snap.delete_files
+               if f.get("format") == "puffin"]
+        assert len(dvs) == 1, dvs  # ONE DV for the one data file
+        # the puffin container is spec-shaped: header magic, blob,
+        # footer payload + size + flags + closing magic
+        raw = open(dvs[0]["path"], "rb").read()
+        assert raw[:4] == b"PFA1" and raw[-4:] == b"PFA1"
+        psize = _struct.unpack("<i", raw[-12:-8])[0]
+        payload = json.loads(raw[-12 - psize:-12])
+        assert payload["blobs"][0]["type"] == "deletion-vector-v1"
+        assert payload["blobs"][0]["properties"][
+            "referenced-data-file"]
+        # v2-style parquet position deletes now refuse on this table
+        with pytest.raises(IcebergProtocolError, match="puffin"):
+            iceberg_delete_where(spark, tbl, "k = 1")
+        # ...and compaction materializes the DV away
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_rewrite_data_files,
+        )
+        res = iceberg_rewrite_data_files(spark, tbl, min_files=1)
+        assert res["removed_files"] == 1
+        assert sorted(r["k"] for r in
+                      read_iceberg(spark, tbl).collect()) == live2
+
+    def test_gate_on_v2_pos_delete_files(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_delete_where,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "dvg")
+        df = spark.range(0, 10).select(F.col("id").alias("k"))
+        write_iceberg(df.coalesce(1), tbl)
+        iceberg_delete_where(spark, tbl, "k = 0")  # v2 parquet shape
+        with pytest.raises(IcebergProtocolError,
+                           match="rewrite_data_files"):
+            iceberg_delete_where(spark, tbl, "k = 1", puffin=True)
+
+    def test_changelog_sees_dv_deletes(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_changes,
+            iceberg_delete_where,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "dvc")
+        df = spark.range(0, 12).select(F.col("id").alias("k"))
+        write_iceberg(df.coalesce(1), tbl)
+        iceberg_delete_where(spark, tbl, "k >= 9", puffin=True)
+        ch = iceberg_changes(spark, tbl, from_seq=1)
+        got = sorted((r["k"], r["_change_type"]) for r in ch.collect())
+        assert got == sorted([(k, "insert") for k in range(12)]
+                             + [(k, "delete") for k in (9, 10, 11)])

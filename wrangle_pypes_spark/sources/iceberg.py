@@ -1178,9 +1178,11 @@ def _ml_row(ent: dict) -> dict:
 
 
 def _manifest_avro_schema(part_avro_fields: list,
-                          with_equality_ids: bool = False) -> dict:
+                          with_equality_ids: bool = False,
+                          with_dv_refs: bool = False) -> dict:
     """The manifest-entry Avro schema (spec field ids included) over a
-    concrete partition-tuple record."""
+    concrete partition-tuple record.  ``with_dv_refs`` adds the v3
+    deletion-vector addressing fields (143-145)."""
     data_file_fields = [
         {"name": "content", "type": "int", "field-id": 134},
         {"name": "file_path", "type": "string", "field-id": 100},
@@ -1198,6 +1200,15 @@ def _manifest_avro_schema(part_avro_fields: list,
              "type": ["null", {"type": "array", "items": "int",
                                "element-id": 136}],
              "field-id": 135})
+    if with_dv_refs:
+        data_file_fields += [
+            {"name": "referenced_data_file",
+             "type": ["null", "string"], "field-id": 143},
+            {"name": "content_offset",
+             "type": ["null", "long"], "field-id": 144},
+            {"name": "content_size_in_bytes",
+             "type": ["null", "long"], "field-id": 145},
+        ]
     return {
         "type": "record", "name": "manifest_entry", "fields": [
             {"name": "status", "type": "int", "field-id": 0},
@@ -1952,10 +1963,227 @@ def write_iceberg_deletes(keys_df: DataFrame, table: str, *,
         [int(name_to_id[c]) for c in equality_cols])
 
 
+def _write_puffin_file(path: str, blobs: list, spark) -> list:
+    """Assemble a spec-shaped PUFFIN container: 'PFA1' magic, one
+    deletion-vector-v1 blob per entry (4-byte BE length +
+    magic-prefixed portable roaring bitmap + 4-byte BE CRC-32), and
+    the JSON FooterPayload registering each blob (offset/length/
+    referenced-data-file), FooterPayloadSize LE + flags + closing
+    magic.  ``blobs`` is [(bitmap_bytes, properties_dict)]; returns
+    [(offset, blob_length)] in input order."""
+    import struct as _struct
+    import zlib as _zlib
+    out = bytearray(b"PFA1")
+    footer_blobs = []
+    spans = []
+    for bitmap, props in blobs:
+        off = len(out)
+        blob = (_struct.pack(">i", len(bitmap)) + bitmap
+                + _struct.pack(">I",
+                               _zlib.crc32(bitmap) & 0xFFFFFFFF))
+        out += blob
+        spans.append((off, len(blob)))
+        footer_blobs.append({
+            "type": "deletion-vector-v1", "fields": [],
+            "offset": off, "length": len(blob),
+            "properties": props})
+    payload = json.dumps({
+        "blobs": footer_blobs,
+        "properties": {"created-by": "wrangle_pypes_spark"}},
+        separators=(",", ":")).encode()
+    out += payload
+    out += _struct.pack("<i", len(payload))
+    out += _struct.pack("<i", 0)  # flags: footer uncompressed
+    out += b"PFA1"
+    from .dv import _write_file_bytes
+    _write_file_bytes(path, bytes(out))
+    return spans
+
+
+def _publish_dv_delete_snapshot(spark, table: str, meta: dict,
+                                cur_version: int,
+                                snap: IcebergSnapshot,
+                                matches: DataFrame) -> int:
+    """The v3 DELETE shape: matched row addresses become PUFFIN
+    deletion vectors — one blob per referenced data file, bitmaps
+    built per file INSIDE executors, merged with any existing DV for
+    that file (the spec's one-DV-per-file rule; superseded DV entries
+    are dropped from their manifests via the writer-schema-preserving
+    rewrite).  Upgrades the table to format-version 3.  The driver
+    holds one COMPRESSED bitmap per touched file — the same bytes the
+    puffin file stores."""
+    import struct as _struct
+    import uuid as _uuid
+
+    from .avro_io import read_container_file, write_container_file
+    from .dv import _read_file_bytes, rba_deserialize, rba_serialize
+
+    if any(f["content"] == 1
+           and f.get("format", "parquet") == "parquet"
+           for f in snap.delete_files):
+        raise IcebergProtocolError(
+            "table carries v2 position-delete FILES — format v3 "
+            "forbids them alongside deletion vectors; run "
+            "iceberg_rewrite_data_files first to materialize them "
+            "away, then delete with puffin=True")
+
+    def _bitmap_of_group(pdf):
+        import numpy as np
+        import pandas as pd
+        pos = np.sort(pdf["pos"].to_numpy(dtype="int64"))
+        return pd.DataFrame({
+            "file_path": [pdf["file_path"].iloc[0]],
+            "bitmap": [rba_serialize(pos)],
+            "card": [int(len(np.unique(pos)))]})
+
+    per_file = (matches.groupBy("file_path")
+                .applyInPandas(_bitmap_of_group,
+                               "file_path string, bitmap binary, "
+                               "card long")
+                .collect())
+    cur_sid = int(meta.get("current-snapshot-id", -1))
+    if not per_file:
+        return cur_sid  # nothing matched: no commit
+
+    old_dv = {_norm_path_str(f["referenced"]): f
+              for f in snap.delete_files
+              if f.get("format") == "puffin"}
+    superseded: set = set()
+    rows = []  # (data path, bitmap bytes, cardinality)
+    for r in sorted(per_file, key=lambda r: r["file_path"]):
+        p, bits = r["file_path"], bytes(r["bitmap"])
+        card = int(r["card"])
+        prev = old_dv.get(_norm_path_str(p))
+        if prev is not None:
+            import numpy as np
+            data = _read_file_bytes(prev["path"])
+            off = int(prev["offset"])
+            blen = _struct.unpack_from(">i", data, off)[0]
+            body = data[off + 4:off + 4 + blen]
+            merged = np.union1d(rba_deserialize(bits),
+                                rba_deserialize(body))
+            bits, card = rba_serialize(merged), int(len(merged))
+            superseded.add((_norm_path_str(prev["path"]), off))
+        rows.append((p, bits, card))
+
+    mdir = os.path.join(table, "metadata")
+    data_dir = os.path.join(table, "data")
+    fsutil.ensure_dir(data_dir, spark)
+    puf_path = os.path.join(data_dir,
+                            f"dv-{_uuid.uuid4().hex}.puffin")
+    spans = _write_puffin_file(
+        puf_path,
+        [(bits, {"referenced-data-file": p,
+                 "cardinality": str(card)})
+         for p, bits, card in rows], spark)
+    puf_size = sum(l for _, l in spans) + 0  # container adds header
+    try:
+        puf_size = int(os.path.getsize(
+            fsutil._strip_file_scheme(puf_path)))
+    except OSError:
+        pass
+
+    snap_id = (max((int(s["snapshot-id"])
+                    for s in meta.get("snapshots", [])),
+                   default=0) + 1)
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    entries = []
+    for (p, bits, card), (off, blen) in zip(rows, spans):
+        entries.append({"status": 1, "snapshot_id": None,
+                        "data_file": {
+                            "content": 1, "file_path": puf_path,
+                            "file_format": "PUFFIN",
+                            "partition": {},
+                            "record_count": card,
+                            "file_size_in_bytes": puf_size,
+                            "referenced_data_file": p,
+                            "content_offset": off,
+                            "content_size_in_bytes": blen}})
+    m_path = os.path.join(mdir, f"m-dv-{_uuid.uuid4().hex}.avro")
+    write_container_file(
+        m_path, _manifest_avro_schema([], with_dv_refs=True),
+        entries)
+    m_len = int(os.path.getsize(fsutil._strip_file_scheme(m_path)))
+
+    # carry the current manifest list, dropping superseded DV entries
+    # from their manifests through the writer-schema-preserving
+    # rewrite (untouched manifests ride by reference)
+    ml_rows = []
+    if cur_sid != -1:
+        cur_snap = next(s for s in meta["snapshots"]
+                        if s["snapshot-id"] == cur_sid)
+        _, prev_ml = read_container_file(
+            _normalize_path(cur_snap["manifest-list"], table), spark)
+        for ent in prev_ml:
+            if int(ent.get("content") or 0) != 1 or not superseded:
+                ml_rows.append(_ml_row(ent))
+                continue
+            ws, recs = read_container_file(
+                _normalize_path(ent["manifest_path"], table), spark)
+
+            def _hit(rec):
+                dfr = rec["data_file"]
+                return ((_norm_path_str(_normalize_path(
+                            dfr["file_path"], table)),
+                         int(dfr.get("content_offset") or -1))
+                        in superseded)
+
+            if not any(_hit(rec) for rec in recs):
+                ml_rows.append(_ml_row(ent))
+                continue
+            kept = [rec for rec in recs if not _hit(rec)]
+            if not kept:
+                continue  # manifest fully superseded — drop it
+            rm_path = os.path.join(
+                mdir, f"m-dv-{_uuid.uuid4().hex}.avro")
+            write_container_file(rm_path, ws, kept)
+            row = _ml_row(ent)
+            row["manifest_path"] = rm_path
+            row["manifest_length"] = int(os.path.getsize(
+                fsutil._strip_file_scheme(rm_path)))
+            ml_rows.append(row)
+    ml_rows.append(_ml_row({
+        "manifest_path": m_path, "manifest_length": m_len,
+        "partition_spec_id": 0, "content": 1,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_data_files_count": len(entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": sum(c for _, _, c in rows),
+        "existing_rows_count": 0, "deleted_rows_count": 0}))
+    ml_path = os.path.join(
+        mdir, f"snap-{snap_id}-{_uuid.uuid4().hex}.avro")
+    write_container_file(ml_path, _MANIFEST_LIST_SCHEMA, ml_rows)
+
+    import time as _time
+    now_ms = int(_time.time() * 1000)
+    meta["format-version"] = 3  # DVs are a v3 feature
+    meta["snapshots"] = meta.get("snapshots", []) + [{
+        "snapshot-id": snap_id, "sequence-number": seq,
+        "timestamp-ms": now_ms, "manifest-list": ml_path,
+        "summary": {"operation": "delete",
+                    "added-delete-files": str(len(entries))}}]
+    meta["current-snapshot-id"] = snap_id
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    new_meta_path = os.path.join(
+        mdir, f"v{cur_version + 1}.metadata.json")
+    from .delta import _create_exclusive
+    if not _create_exclusive(new_meta_path, json.dumps(meta), spark):
+        raise RuntimeError(
+            f"concurrent iceberg commit won v{cur_version + 1}; "
+            "re-run")
+    fsutil.write_text_atomic(
+        os.path.join(mdir, "version-hint.text"),
+        str(cur_version + 1), spark)
+    return snap_id
+
+
 def iceberg_delete_where(spark: SparkSession, table: str,
                          condition: str, *,
-                         partition_filter: Optional[dict] = None
-                         ) -> int:
+                         partition_filter: Optional[dict] = None,
+                         puffin: bool = False) -> int:
     """Row-level DELETE via POSITION deletes (v2 merge-on-read) — the
     Iceberg twin of ``delta_delete_where``: LIVE rows matching
     ``condition`` are matched by row address
@@ -1971,7 +2199,14 @@ def iceberg_delete_where(spark: SparkSession, table: str,
     so already-dead rows can't re-match).  ``partition_filter``
     narrows the scan via manifest pruning.  The delete file is
     written under the unpartitioned spec (partition tuple {}), like
-    ``write_iceberg_deletes`` — a global delete file."""
+    ``write_iceberg_deletes`` — a global delete file.
+
+    ``puffin=True`` publishes the v3 shape instead: PUFFIN deletion
+    vectors (one roaring blob per referenced data file, merged with
+    any existing DV for that file, superseded DV entries dropped from
+    their manifests) and upgrades the table to format-version 3 —
+    see :func:`_publish_dv_delete_snapshot`.  A v3 table REQUIRES
+    this path: the spec forbids position-delete files in v3."""
     meta_file = _current_metadata_file(table, spark)
     meta = json.loads(fsutil.read_text(meta_file, spark))
     cur_version = int(re.match(
@@ -1979,6 +2214,11 @@ def iceberg_delete_where(spark: SparkSession, table: str,
     if int(meta.get("format-version", 1)) < 2:
         raise IcebergProtocolError(
             "position deletes need format-version 2")
+    if int(meta.get("format-version", 1)) >= 3 and not puffin:
+        raise IcebergProtocolError(
+            "format-version 3 forbids position-delete FILES — call "
+            "iceberg_delete_where(..., puffin=True) to publish a "
+            "deletion vector instead")
     snap = iceberg_snapshot(spark, table,
                             partition_filter=partition_filter)
     cur_sid = int(meta.get("current-snapshot-id", -1))
@@ -1995,6 +2235,9 @@ def iceberg_delete_where(spark: SparkSession, table: str,
                        F.col("_ice_ri").cast("long").alias(
                            "pos",
                            metadata={"parquet.field.id": 2147483545})))
+    if puffin:
+        return _publish_dv_delete_snapshot(
+            spark, table, meta, cur_version, snap, matches)
 
     import uuid as _uuid
     data_dir = os.path.join(table, "data")
