@@ -10170,6 +10170,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iceberg_optimize_orders": q_iceberg_optimize_orders,  # NEW r14, never driver-checked
     "iceberg_v3_defaults_orders": q_iceberg_v3_defaults_orders,  # NEW r14, never driver-checked
     "iceberg_puffin_dv_orders": q_iceberg_puffin_dv_orders,  # NEW r14, never driver-checked
+    "iceberg_dv_write_orders": q_iceberg_dv_write_orders,  # NEW r14, never driver-checked
     "stream_static_enrich": q_stream_static_enrich,  # stale-flagged: code path touched since last check
     "temperature_mix_sources": q_temperature_mix_sources,  # stale-flagged: code path touched since last check
     "profile_customer": q_profile_customer,  # stale-flagged: code path touched since last check
@@ -10215,8 +10216,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_rebuild_heal": q_scd2_rebuild_heal,  # stale-flagged: code path touched since last check
     "funnel_events": q_funnel_events,  # stale-flagged: code path touched since last check
     "paragraph_dedup_docs": q_paragraph_dedup_docs,  # stale-flagged: code path touched since last check
-    "dsir_weights_docs": q_dsir_weights_docs,  # stale-flagged: code path touched since last check
     # ---- below the 50-slot driver window from here down ----
+    "dsir_weights_docs": q_dsir_weights_docs,  # stale-flagged; displaced to fit iceberg_dv_write_orders (covered by check_oracle locally)
     "stream_bloom_dedup_docs": q_stream_bloom_dedup_docs,  # last driver check: r8
     "bloom_dedup_docs": q_bloom_dedup_docs,  # last driver check: r8
     "manifest_time_travel_orders": q_manifest_time_travel_orders,  # last driver check: r8
