@@ -1804,3 +1804,138 @@ class TestWriterFeatureGates:
         df = spark.range(3).select(F.col("id").alias("k"))
         assert write_delta(df, tbl) == 1
         assert read_delta(spark, tbl).count() == 3
+
+
+class TestSchemaEvolution:
+    """merge_schema=True appends write-only columns to the table
+    schema (spec: a new metaData action rides the commit; last
+    metaData wins on replay); older files read the new columns as
+    null.  Mirrors delta-spark's mergeSchema write option."""
+
+    def _seed(self, spark, tbl):
+        df = spark.range(5).select(F.col("id").alias("k"),
+                                   F.lit("a").alias("s"))
+        assert write_delta(df, tbl) == 0
+
+    def test_append_new_column(self, spark, tbl):
+        self._seed(spark, tbl)
+        df = spark.range(5, 8).select(
+            F.col("id").alias("k"), F.lit("b").alias("s"),
+            (F.col("id") * 2).alias("extra"))
+        # without the flag: loud refusal that names the flag
+        with pytest.raises(ValueError, match="merge_schema=True"):
+            write_delta(df, tbl)
+        assert write_delta(df, tbl, merge_schema=True) == 1
+        out = read_delta(spark, tbl).orderBy("k")
+        assert out.columns == ["k", "s", "extra"]
+        rows = out.collect()
+        assert [r["extra"] for r in rows] \
+            == [None] * 5 + [10, 12, 14]
+        # the commit re-publishes metaData with the merged schema
+        text = open(os.path.join(
+            tbl, "_delta_log", f"{1:020d}.json")).read()
+        metas = [json.loads(ln)["metaData"]
+                 for ln in text.splitlines() if "metaData" in ln]
+        assert len(metas) == 1
+        names = [f["name"] for f in
+                 json.loads(metas[0]["schemaString"])["fields"]]
+        assert names == ["k", "s", "extra"]
+
+    def test_subset_write_keeps_table_columns(self, spark, tbl):
+        """A merge_schema write may omit existing non-partition
+        columns — they stay in the schema and this commit's files
+        read them as null."""
+        self._seed(spark, tbl)
+        df = spark.range(8, 10).select(
+            F.col("id").alias("k"), F.lit(1.5).alias("w"))
+        assert write_delta(df, tbl, merge_schema=True) == 1
+        out = read_delta(spark, tbl).orderBy("k")
+        assert out.columns == ["k", "s", "w"]
+        rows = out.collect()
+        assert [r["s"] for r in rows] == ["a"] * 5 + [None] * 2
+        assert [r["w"] for r in rows] == [None] * 5 + [1.5, 1.5]
+
+    def test_no_metadata_action_when_schema_unchanged(self, spark,
+                                                      tbl):
+        self._seed(spark, tbl)
+        df = spark.range(5, 6).select(F.col("id").alias("k"),
+                                      F.lit("z").alias("s"))
+        assert write_delta(df, tbl, merge_schema=True) == 1
+        text = open(os.path.join(
+            tbl, "_delta_log", f"{1:020d}.json")).read()
+        assert "metaData" not in text
+
+    def test_retype_refuses(self, spark, tbl):
+        self._seed(spark, tbl)
+        df = spark.range(3).select(
+            F.col("id").cast("int").alias("k"),
+            F.lit("b").alias("s"))
+        with pytest.raises(ValueError, match="never retypes"):
+            write_delta(df, tbl, merge_schema=True)
+
+    def test_partition_columns_must_ride(self, spark, tbl):
+        df = spark.range(6).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("p"))
+        assert write_delta(df, tbl, partition_by=["p"]) == 0
+        bad = spark.range(3).select(F.col("id").alias("k"),
+                                    F.lit(1).alias("n"))
+        with pytest.raises(ValueError, match="partition columns"):
+            write_delta(bad, tbl, merge_schema=True)
+        good = spark.range(6, 8).select(
+            F.col("id").alias("k"), F.lit("1").alias("p"),
+            F.lit(2).alias("n"))
+        assert write_delta(good, tbl, merge_schema=True) == 1
+        out = read_delta(spark, tbl, partition_filter={"p": "1"})
+        assert sorted((r["k"], r["n"]) for r in out.collect()) \
+            == [(1, None), (3, None), (5, None), (6, 2), (7, 2)]
+
+    def test_mapped_table_gets_fresh_ids(self, spark, tbl):
+        """Evolving a name-mapped table assigns the new column a
+        fresh physicalName + mapping id past maxColumnId, and the
+        staged parquet carries the physical layout."""
+        import pyarrow.parquet as pq
+        TestColumnMapping._mapped_table(TestColumnMapping(),
+                                        spark, tbl)
+        df = spark.range(20, 22).select(
+            F.col("id").alias("k"),
+            F.struct(F.concat(F.lit("v"), F.col("id"))
+                     .alias("v")).alias("info"),
+            F.lit("x").alias("p"),
+            (F.col("id") * 10).alias("score"))
+        assert write_delta(df, tbl, merge_schema=True) == 1
+        snap = delta_snapshot(spark, tbl)
+        conf = snap.metadata["configuration"]
+        assert int(conf["delta.columnMapping.maxColumnId"]) == 5
+        sf = next(f for f in
+                  json.loads(snap.metadata["schemaString"])["fields"]
+                  if f["name"] == "score")
+        phys = sf["metadata"]["delta.columnMapping.physicalName"]
+        assert phys.startswith("col-")
+        assert sf["metadata"]["delta.columnMapping.id"] == 5
+        text = open(os.path.join(
+            tbl, "_delta_log", f"{1:020d}.json")).read()
+        add = next(json.loads(ln)["add"]
+                   for ln in text.splitlines() if "\"add\"" in ln)
+        sch = pq.ParquetFile(
+            os.path.join(tbl, add["path"])).schema_arrow
+        assert phys in sch.names and "score" not in sch.names
+        out = read_delta(spark, tbl).orderBy("k")
+        assert out.columns == ["k", "info", "p", "score"]
+        rows = out.collect()
+        assert [r["score"] for r in rows] \
+            == [None] * 10 + [200, 210]
+
+    def test_evolving_write_never_retries_races(self, spark, tbl,
+                                                monkeypatch):
+        """A lost commit race under merge_schema must surface, not
+        blind-retry with a stale merged schema."""
+        self._seed(spark, tbl)
+        df = spark.range(5, 6).select(
+            F.col("id").alias("k"), F.lit("b").alias("s"),
+            F.lit(1).alias("n"))
+        TestWriterRoundtrip._steal_next_commit(monkeypatch, tbl,
+                                               times=1)
+        with pytest.raises(DeltaConcurrentWriteError,
+                           match="merge_schema"):
+            write_delta(df, tbl, merge_schema=True)

@@ -1824,3 +1824,107 @@ class TestPuffinDVWrites:
         got = sorted((r["k"], r["_change_type"]) for r in ch.collect())
         assert got == sorted([(k, "insert") for k in range(12)]
                              + [(k, "delete") for k in (9, 10, 11)])
+
+
+class TestSchemaEvolution:
+    """merge_schema=True appends new write columns under a NEW
+    schema-id (Iceberg spec: "schemas" is append-only history,
+    current-schema-id moves, last-column-id allocates fresh field
+    ids); files written before the evolution lack the column and the
+    scan null-fills them via footer grouping."""
+
+    def test_append_column_and_metadata(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import write_iceberg
+
+        tbl = str(tmp_path / "ev1")
+        df0 = spark.range(5).select(F.col("id").alias("k"),
+                                    F.lit("a").alias("s"))
+        write_iceberg(df0.coalesce(1), tbl)
+        df1 = spark.range(5, 8).select(
+            F.col("id").alias("k"), F.lit("b").alias("s"),
+            (F.col("id") * 2).alias("extra"))
+        with pytest.raises(ValueError, match="merge_schema=True"):
+            write_iceberg(df1, tbl)
+        write_iceberg(df1.coalesce(1), tbl, merge_schema=True)
+        out = read_iceberg(spark, tbl).orderBy("k")
+        assert out.columns == ["k", "s", "extra"]
+        assert [r["extra"] for r in out.collect()] \
+            == [None] * 5 + [10, 12, 14]
+        meta = iceberg_snapshot(spark, tbl).metadata
+        assert len(meta["schemas"]) == 2          # history kept
+        assert meta["current-schema-id"] == 1
+        old = next(s for s in meta["schemas"]
+                   if s.get("schema-id", 0) == 0)
+        assert [f["name"] for f in old["fields"]] == ["k", "s"]
+        new = next(s for s in meta["schemas"]
+                   if s.get("schema-id", 0) == 1)
+        ids = [f["id"] for f in new["fields"]]
+        assert len(set(ids)) == 3 and max(ids) \
+            == int(meta["last-column-id"])
+
+    def test_requires_every_existing_column(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import write_iceberg
+
+        tbl = str(tmp_path / "ev2")
+        df0 = spark.range(5).select(F.col("id").alias("k"),
+                                    F.lit("a").alias("s"))
+        write_iceberg(df0, tbl)
+        bad = spark.range(3).select(F.col("id").alias("k"),
+                                    F.lit(1).alias("n"))
+        with pytest.raises(ValueError, match="missing"):
+            write_iceberg(bad, tbl, merge_schema=True)
+        retyped = spark.range(3).select(
+            F.col("id").cast("int").alias("k"),
+            F.lit("b").alias("s"), F.lit(1).alias("n"))
+        with pytest.raises(ValueError, match="never retypes"):
+            write_iceberg(retyped, tbl, merge_schema=True)
+
+    def test_partitioned_evolution(self, spark, tmp_path):
+        """Identity partition columns of PRE-evolution files still
+        re-attach from manifest tuples — they must not be clobbered
+        by the evolved-column null-fill."""
+        from wrangle_pypes_spark.sources.iceberg import write_iceberg
+
+        tbl = str(tmp_path / "ev3")
+        p0 = spark.range(10).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("p"))
+        write_iceberg(p0.coalesce(1), tbl, partition_by=["p"])
+        p1 = spark.range(10, 13).select(
+            F.col("id").alias("k"), F.lit("1").alias("p"),
+            F.lit(9.5).alias("w"))
+        write_iceberg(p1.coalesce(1), tbl, merge_schema=True)
+        out = read_iceberg(spark, tbl).orderBy("k")
+        rows = out.collect()
+        assert [r["w"] for r in rows] == [None] * 10 + [9.5] * 3
+        assert all(r["p"] == str(r["k"] % 2) for r in rows[:10])
+        # partition pruning still works across the evolution
+        pruned = read_iceberg(spark, tbl,
+                              partition_filter={"p": "0"})
+        assert sorted(r["k"] for r in pruned.collect()) \
+            == [0, 2, 4, 6, 8]
+
+    def test_jarless_batch_reads_evolved_table(self, spark,
+                                               tmp_path):
+        """The Python Data Source batch reader null-fills evolved
+        columns per file (schema = current metadata; old files lack
+        the column)."""
+        from wrangle_pypes_spark.sources.datasource import (
+            IcebergJarlessDataSource,
+        )
+        from wrangle_pypes_spark.sources.iceberg import write_iceberg
+
+        spark.dataSource.register(IcebergJarlessDataSource)
+        tbl = str(tmp_path / "ev4")
+        df0 = spark.range(4).select(F.col("id").alias("k"),
+                                    F.lit("a").alias("s"))
+        write_iceberg(df0.coalesce(1), tbl)
+        df1 = spark.range(4, 6).select(
+            F.col("id").alias("k"), F.lit("b").alias("s"),
+            (F.col("id") * 3).alias("extra"))
+        write_iceberg(df1.coalesce(1), tbl, merge_schema=True)
+        out = (spark.read.format("iceberg_jarless").load(tbl)
+               .orderBy("k"))
+        assert out.columns == ["k", "s", "extra"]
+        assert [r["extra"] for r in out.collect()] \
+            == [None] * 4 + [12, 15]

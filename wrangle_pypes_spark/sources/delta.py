@@ -596,19 +596,24 @@ def _resolve_id_type(dt: T.DataType, node) -> T.DataType:
     return dt
 
 
-def _to_physical_df(df: DataFrame,
-                    snap: "DeltaSnapshot") -> DataFrame:
+def _to_physical_df(df: DataFrame, snap: "DeltaSnapshot",
+                    fields: Optional[list] = None) -> DataFrame:
     """Translate a logical-named DataFrame to the table's physical
     layout for staging: physical column names (nested included, via
     cast) and — so a foreign id-mode reader can match — parquet field
     ids from delta.columnMapping.id riding the schema metadata.
-    No-op for unmapped tables."""
+    No-op for unmapped tables.  ``fields`` overrides the field list
+    (merge_schema staging: the MERGED schema's fields, of which only
+    those the write actually carries are selected)."""
     mode_cm = _mapping_mode(snap.metadata)
     if mode_cm not in ("name", "id"):
         return df
     with_ids = (mode_cm == "id")
+    have = set(df.columns)
     cols = []
-    for f in snap.schema.fields:
+    for f in (snap.schema.fields if fields is None else fields):
+        if f.name not in have:
+            continue
         pt = _physical_write_type(f.dataType, with_ids=with_ids)
         cols.append(
             F.col(f.name).cast(pt).alias(
@@ -1331,21 +1336,118 @@ def _remove_action(a: dict, *, data_change: bool = True) -> dict:
 
 
 def _type_mismatches(write_schema: T.StructType,
-                     table_schema: T.StructType) -> list[str]:
-    """Column-level type disagreements (names already validated);
-    nullability is ignored — parquet carries actual nulls, the log
-    schema governs."""
+                     table_schema: T.StructType, *,
+                     by_name: bool = False) -> list[str]:
+    """Column-level type disagreements; nullability is ignored —
+    parquet carries actual nulls, the log schema governs.  Positional
+    by default (names already validated); ``by_name`` compares only
+    the write columns the table also has (the merge_schema shape)."""
+    if by_name:
+        tbl = {f.name: f for f in table_schema.fields}
+        pairs = [(wf, tbl[wf.name]) for wf in write_schema.fields
+                 if wf.name in tbl]
+    else:
+        pairs = list(zip(write_schema.fields, table_schema.fields))
     out = []
-    for wf, tf in zip(write_schema.fields, table_schema.fields):
+    for wf, tf in pairs:
         if wf.dataType.simpleString() != tf.dataType.simpleString():
             out.append(f"{wf.name}: {wf.dataType.simpleString()} vs "
                        f"table {tf.dataType.simpleString()}")
     return out
 
 
+def _max_mapping_id(dt: T.DataType) -> int:
+    """Largest delta.columnMapping.id anywhere in a type tree."""
+    if isinstance(dt, T.StructType):
+        return max((max(_mapping_id(f) or 0,
+                        _max_mapping_id(f.dataType))
+                    for f in dt.fields), default=0)
+    if isinstance(dt, T.ArrayType):
+        return _max_mapping_id(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return max(_max_mapping_id(dt.keyType),
+                   _max_mapping_id(dt.valueType))
+    return 0
+
+
+def _with_new_mapping(dt: T.DataType, next_id: int
+                      ) -> tuple[T.DataType, int]:
+    """The same type tree with fresh column-mapping metadata on every
+    struct field (new columns entering a mapped table: nested fields
+    need their own physicalName + id for id-mode matching)."""
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = next_id
+            next_id += 1
+            inner, next_id = _with_new_mapping(f.dataType, next_id)
+            fields.append(T.StructField(
+                f.name, inner, f.nullable,
+                {"delta.columnMapping.id": fid,
+                 "delta.columnMapping.physicalName":
+                     f"col-{uuid.uuid4()}"}))
+        return T.StructType(fields), next_id
+    if isinstance(dt, T.ArrayType):
+        inner, next_id = _with_new_mapping(dt.elementType, next_id)
+        return T.ArrayType(inner, dt.containsNull), next_id
+    if isinstance(dt, T.MapType):
+        kt, next_id = _with_new_mapping(dt.keyType, next_id)
+        vt, next_id = _with_new_mapping(dt.valueType, next_id)
+        return T.MapType(kt, vt, dt.valueContainsNull), next_id
+    return dt, next_id
+
+
+def _merged_write_schema(write_schema: T.StructType,
+                         current: "DeltaSnapshot"
+                         ) -> tuple[T.StructType, Optional[dict]]:
+    """mergeSchema resolution for a write into an existing table:
+    common columns keep the table's field (types already validated —
+    evolution ADDS columns, never retypes; nested adds surface as a
+    type mismatch upstream and refuse), new write columns append to
+    the table schema in write order, and table columns absent from
+    the write stay — this commit's files simply lack them, and the
+    explicit-schema scan reads them as null.  Under column mapping
+    the new fields get fresh physical names and mapping ids past
+    delta.columnMapping.maxColumnId (nested included).  Returns
+    (merged schema, metaData ACTION for the commit) — the action is
+    None when no column is new, because the spec only re-publishes
+    metaData when it changes."""
+    table_names = {f.name for f in current.schema.fields}
+    extras = [f for f in write_schema.fields
+              if f.name not in table_names]
+    if not extras:
+        return current.schema, None
+    mode_cm = _mapping_mode(current.metadata)
+    conf = dict(current.metadata.get("configuration") or {})
+    new_fields = []
+    if mode_cm in ("name", "id"):
+        next_id = max(
+            int(conf.get("delta.columnMapping.maxColumnId", 0)),
+            _max_mapping_id(current.schema)) + 1
+        for f in extras:
+            fid = next_id
+            next_id += 1
+            inner, next_id = _with_new_mapping(f.dataType, next_id)
+            new_fields.append(T.StructField(
+                f.name, inner, True,
+                {"delta.columnMapping.id": fid,
+                 "delta.columnMapping.physicalName":
+                     f"col-{uuid.uuid4()}"}))
+        conf["delta.columnMapping.maxColumnId"] = str(next_id - 1)
+    else:
+        new_fields = [T.StructField(f.name, f.dataType, True)
+                      for f in extras]
+    merged = T.StructType(list(current.schema.fields) + new_fields)
+    meta = dict(current.metadata)
+    meta["schemaString"] = _schema_string(merged)
+    meta["configuration"] = conf
+    return merged, meta
+
+
 def write_delta(df: DataFrame, table: str, *, mode: str = "append",
                 partition_by: Optional[Sequence[str]] = None,
                 replace_where: Optional[dict] = None,
+                merge_schema: bool = False,
                 txn_app_id: Optional[str] = None,
                 txn_version: Optional[int] = None,
                 max_retries: int = 10) -> int:
@@ -1358,6 +1460,16 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
     files — the partition-scoped backfill idiom.  Overwrites do NOT
     retry through a race (the removed set would be stale) — they raise
     ``DeltaConcurrentWriteError`` for the caller to re-run.
+
+    ``merge_schema=True`` is the spec's schema-evolution write: new
+    write columns append to the table schema (a new ``metaData``
+    action rides the commit — last metaData wins on replay), table
+    columns absent from the write stay and read as null from this
+    commit's files, and common columns must keep their exact types
+    (nested adds refuse loudly as a type mismatch).  Under column
+    mapping, new fields get fresh physical names and mapping ids past
+    ``delta.columnMapping.maxColumnId``.  Evolving writes never retry
+    through a commit race — the merged schema would be stale.
 
     ``txn_app_id``/``txn_version`` ride the spec's ``txn`` action —
     the protocol's own idempotent-streaming mechanism: if the table
@@ -1407,20 +1519,42 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
             raise ValueError(
                 f"partition_by {list(partition_by)} != table's "
                 f"{current.logical_partition_columns}")
-        if [f.name for f in df.schema.fields] \
-                != [f.name for f in current.schema.fields]:
-            raise ValueError(
-                "schema mismatch: write columns "
-                f"{df.schema.fieldNames()} vs table "
-                f"{current.schema.fieldNames()} (no evolution support)")
-        drift = _type_mismatches(df.schema, current.schema)
-        if drift:
-            raise ValueError(
-                "schema type mismatch (no evolution support): "
-                + "; ".join(drift))
-        df = _to_physical_df(df, current)
+        if merge_schema:
+            missing_p = [c for c in current.logical_partition_columns
+                         if c not in df.columns]
+            if missing_p:
+                raise ValueError(
+                    "merge_schema write must still carry the "
+                    f"partition columns; missing {missing_p}")
+            drift = _type_mismatches(df.schema, current.schema,
+                                     by_name=True)
+            if drift:
+                raise ValueError(
+                    "schema type mismatch under merge_schema "
+                    "(evolution ADDS columns; it never retypes one, "
+                    "and nested adds are not supported): "
+                    + "; ".join(drift))
+            merged, meta_action = _merged_write_schema(df.schema,
+                                                       current)
+            base_actions = ([{"metaData": meta_action}]
+                            if meta_action is not None else [])
+        else:
+            if [f.name for f in df.schema.fields] \
+                    != [f.name for f in current.schema.fields]:
+                raise ValueError(
+                    "schema mismatch: write columns "
+                    f"{df.schema.fieldNames()} vs table "
+                    f"{current.schema.fieldNames()} "
+                    "(pass merge_schema=True to evolve)")
+            drift = _type_mismatches(df.schema, current.schema)
+            if drift:
+                raise ValueError(
+                    "schema type mismatch (no evolution support): "
+                    + "; ".join(drift))
+            merged = current.schema
+            base_actions = []
+        df = _to_physical_df(df, current, fields=merged.fields)
         partition_by = current.partition_columns  # physical names
-        base_actions = []
         next_version = current.version + 1
 
     adds = _stage_data_files(df, table, partition_by)
@@ -1462,10 +1596,15 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
                                text)
             return next_version
         # lost the race
-        if mode == "overwrite" or current is None:
+        if mode == "overwrite" or current is None or base_actions:
+            # base_actions => this commit re-publishes metaData
+            # (merge_schema): the merged schema was computed against
+            # a now-stale snapshot, so a blind retry could clobber a
+            # concurrent evolution — the caller must re-run
             raise DeltaConcurrentWriteError(
                 f"version {next_version} was committed concurrently; "
-                "overwrite/create must re-read the table and re-run")
+                "overwrite/create/merge_schema must re-read the "
+                "table and re-run")
         current = delta_snapshot(spark, table)
         if txn_app_id is not None \
                 and int(current.txns.get(txn_app_id, -1)) \

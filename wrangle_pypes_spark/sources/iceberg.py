@@ -722,7 +722,8 @@ def _footer_presence(spark, snap: IcebergSnapshot, files: list,
     if todo:
         if any(f["format"] != "parquet" for f in todo):
             raise IcebergProtocolError(
-                "v3 field defaults over non-parquet data files "
+                "per-file footer projection (v3 field defaults / "
+                "schema evolution) over non-parquet data files "
                 "not implemented")
         for p, tree in footers.footer_nodes(
                 spark, sorted({f["path"] for f in todo})).items():
@@ -744,14 +745,26 @@ def _scan_snapshot_files(spark: SparkSession,
     absent from the data).  ``with_meta`` appends the
     (_ice_fp, _ice_ri) row-address columns for delete merging.
 
-    v3 field defaults: when the current schema carries top-level
-    ``initial-default`` values, files are grouped by which of those
-    columns their FOOTER contains; each group lacking a column gets
-    the default as a literal (``_fills``), never a null."""
+    v3 field defaults + schema evolution: when the current schema
+    carries top-level ``initial-default`` values, OR the table has
+    evolved (>1 schema in the metadata — files written before a
+    column was added lack it), files are grouped by which of the
+    affected columns their FOOTER contains; each group lacking a
+    column gets the default as a literal (``_fills``) — a typed NULL
+    for defaultless evolved columns.  Identity partition sources are
+    excluded (metadata-only partition columns re-attach from manifest
+    tuples, not fills).  The footer probe is metadata-scale,
+    executor-parallel, and memoized on the immutable snapshot."""
     import dataclasses as _dc
     want = [f.name for f in snap.schema.fields]
     if _fills is None:
-        defaults = _field_defaults(snap.metadata)
+        defaults = dict(_field_defaults(snap.metadata))
+        if len(snap.metadata.get("schemas") or []) > 1:
+            ident = {f["name"] for f in snap.partition_spec
+                     if f.get("transform") == "identity"}
+            for f in snap.schema.fields:
+                if f.name not in defaults and f.name not in ident:
+                    defaults[f.name] = (f.dataType, None)
         if defaults:
             present = _footer_presence(spark, snap, files,
                                        list(defaults))
@@ -1528,7 +1541,8 @@ def _stage_data_entries(df: DataFrame, table: str, spec_cols: list,
 
 
 def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
-                  partition_by: Optional[list] = None) -> int:
+                  partition_by: Optional[list] = None,
+                  merge_schema: bool = False) -> int:
     """Publish a DataFrame as an Iceberg v2 snapshot; returns the
     snapshot id.  Append adds a manifest on top of the current
     snapshot's manifest list; overwrite starts a fresh manifest list
@@ -1586,12 +1600,30 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
                 "current-snapshot-id": -1, "snapshots": []}
     else:
         schema_struct, _ = _schema_from_metadata(meta)
-        if [f.name for f in df.schema.fields] \
-                != [f.name for f in schema_struct.fields]:
+        table_names = [f.name for f in schema_struct.fields]
+        extras: list = []
+        if merge_schema:
+            # the spec's add-column evolution: every existing column
+            # must ride the write (old FILES may lack new columns —
+            # the scan null-fills those via footer grouping — but new
+            # files always carry the full current schema), new write
+            # columns append with fresh field ids under a NEW
+            # schema-id, and types never change
+            absent = [n for n in table_names if n not in df.columns]
+            if absent:
+                raise ValueError(
+                    "merge_schema write must carry every existing "
+                    f"table column; missing {absent}")
+            extras = [f for f in df.schema.fields
+                      if f.name not in table_names]
+            df = df.select(*table_names,
+                           *[f.name for f in extras])
+        elif [f.name for f in df.schema.fields] != table_names:
             raise ValueError(
                 "schema mismatch: write columns "
                 f"{df.schema.fieldNames()} vs table "
-                f"{schema_struct.fieldNames()} (no evolution support)")
+                f"{schema_struct.fieldNames()} "
+                "(pass merge_schema=True to evolve)")
         drift = [f"{wf.name}: {wf.dataType.simpleString()} vs table "
                  f"{tf.dataType.simpleString()}"
                  for wf, tf in zip(df.schema.fields,
@@ -1600,8 +1632,10 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
                  != tf.dataType.simpleString()]
         if drift:
             raise ValueError(
-                "schema type mismatch (no evolution support): "
-                + "; ".join(drift))
+                "schema type mismatch"
+                + (" (evolution ADDS columns, never retypes)"
+                   if merge_schema else " (no evolution support)")
+                + ": " + "; ".join(drift))
         spec = meta["partition-specs"][0]["fields"]
         if partition_by is not None:
             _, by_id0 = _schema_from_metadata(meta)
@@ -1614,6 +1648,32 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
         ice_schema = next(s for s in meta["schemas"]
                           if s.get("schema-id", 0)
                           == meta.get("current-schema-id", 0))
+        if extras:
+            last_id = int(meta.get(
+                "last-column-id",
+                max((f["id"] for s in meta["schemas"]
+                     for f in s["fields"]), default=0)))
+            new_fields = []
+            for f in extras:
+                ice_t = _SPARK_TO_ICE.get(f.dataType)
+                if ice_t is None:
+                    raise IcebergProtocolError(
+                        f"write_iceberg: evolved column {f.name!r} "
+                        f"type {f.dataType.simpleString()} "
+                        "unsupported by the minimal writer")
+                last_id += 1
+                new_fields.append({"id": last_id, "name": f.name,
+                                   "required": False, "type": ice_t})
+            new_sid = max((s.get("schema-id", 0)
+                           for s in meta["schemas"]), default=0) + 1
+            ice_schema = {"type": "struct", "schema-id": new_sid,
+                          "fields": (list(ice_schema["fields"])
+                                     + new_fields)}
+            # the spec keeps EVERY schema in the metadata ("schemas"
+            # is append-only history); current-schema-id moves
+            meta["schemas"] = list(meta["schemas"]) + [ice_schema]
+            meta["current-schema-id"] = new_sid
+            meta["last-column-id"] = last_id
 
     import uuid as _uuid
     spec_cols, ice_types = _spec_columns(spec, ice_schema)
