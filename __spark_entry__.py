@@ -7802,6 +7802,97 @@ GROUP BY o_orderstatus
 """
 
 
+def q_delta_schema_evolution_orders(spark, sf_dir):
+    """Delta SCHEMA EVOLUTION on write (r14 ``merge_schema=True``,
+    sources/delta.py): even orders land first, then the odd half
+    appends WITH a new ``status`` column — the commit re-publishes
+    metaData with the merged schema (spec: last metaData wins on
+    replay) and the pre-evolution files read the new column as null.
+    The aggregate splits on exactly that null boundary, so a fill
+    leaking into the wrong files, a dropped metaData action, or a
+    silently-cast type all break the value hash."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.delta import (
+        read_delta,
+        write_delta,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_devo_") + "/orders"
+    o = _t(spark, sf_dir, "orders")
+    write_delta(
+        o.filter("o_orderkey % 2 = 0")
+         .select("o_orderkey", "o_custkey", "o_totalprice"),
+        tbl)
+    write_delta(
+        o.filter("o_orderkey % 2 = 1")
+         .select("o_orderkey", "o_custkey", "o_totalprice",
+                 F.col("o_orderstatus").alias("status")),
+        tbl, merge_schema=True)
+    return (read_delta(spark, tbl)
+            .groupBy(F.coalesce("status", F.lit("<pre>"))
+                      .alias("status"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents")))
+
+
+SQL_DELTA_SCHEMA_EVOLUTION = """
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+            ELSE '<pre>' END AS status,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_iceberg_schema_evolution_orders(spark, sf_dir):
+    """Iceberg SCHEMA EVOLUTION on write (r14 ``merge_schema=True``,
+    sources/iceberg.py): an identity-partitioned table evolves a new
+    ``prio`` column under a NEW schema-id (schemas list stays
+    append-only history, fresh field id past last-column-id); the
+    scan null-fills the column for pre-evolution files through the
+    same footer-grouped machinery as v3 field defaults WITHOUT
+    clobbering the manifest-attached partition column.  Grouping on
+    (partition, coalesced new column) pins both at once."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_ievo_") + "/orders"
+    o = _t(spark, sf_dir, "orders")
+    write_iceberg(
+        o.filter("o_orderkey % 2 = 0")
+         .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        tbl, partition_by=["o_orderstatus"])
+    write_iceberg(
+        o.filter("o_orderkey % 2 = 1")
+         .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                 F.col("o_orderpriority").alias("prio")),
+        tbl, merge_schema=True)
+    return (read_iceberg(spark, tbl)
+            .groupBy("o_orderstatus",
+                     F.coalesce("prio", F.lit("<old>")).alias("prio"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents")))
+
+
+SQL_ICEBERG_SCHEMA_EVOLUTION = """
+SELECT o_orderstatus,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+            ELSE '<old>' END AS prio,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders
+GROUP BY 1, 2
+"""
+
+
 def q_iceberg_v3_defaults_orders(spark, sf_dir):
     """Iceberg v3 FIELD DEFAULTS (r14): a v3 table whose ``o_seg``
     column was added WITH ``initial-default='LEGACY'`` after the
@@ -10171,6 +10262,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iceberg_v3_defaults_orders": q_iceberg_v3_defaults_orders,  # NEW r14, never driver-checked
     "iceberg_puffin_dv_orders": q_iceberg_puffin_dv_orders,  # NEW r14, never driver-checked
     "iceberg_dv_write_orders": q_iceberg_dv_write_orders,  # NEW r14, never driver-checked
+    "delta_schema_evolution_orders": q_delta_schema_evolution_orders,  # NEW r14: merge_schema writes, value-oracled
+    "iceberg_schema_evolution_orders": q_iceberg_schema_evolution_orders,  # NEW r14: merge_schema writes, value-oracled
     "stream_static_enrich": q_stream_static_enrich,  # stale-flagged: code path touched since last check
     "temperature_mix_sources": q_temperature_mix_sources,  # stale-flagged: code path touched since last check
     "profile_customer": q_profile_customer,  # stale-flagged: code path touched since last check
@@ -10214,9 +10307,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_shards_manifest": q_training_shards_manifest,  # stale-flagged: code path touched since last check
     "compact_roundtrip_orders": q_compact_roundtrip_orders,  # stale-flagged: code path touched since last check
     "scd2_rebuild_heal": q_scd2_rebuild_heal,  # stale-flagged: code path touched since last check
-    "funnel_events": q_funnel_events,  # stale-flagged: code path touched since last check
-    "paragraph_dedup_docs": q_paragraph_dedup_docs,  # stale-flagged: code path touched since last check
     # ---- below the 50-slot driver window from here down ----
+    "funnel_events": q_funnel_events,  # stale-flagged; displaced to fit the r14 schema-evolution queries (covered by check_oracle locally)
+    "paragraph_dedup_docs": q_paragraph_dedup_docs,  # stale-flagged; displaced to fit the r14 schema-evolution queries (covered by check_oracle locally)
     "dsir_weights_docs": q_dsir_weights_docs,  # stale-flagged; displaced to fit iceberg_dv_write_orders (covered by check_oracle locally)
     "stream_bloom_dedup_docs": q_stream_bloom_dedup_docs,  # last driver check: r8
     "bloom_dedup_docs": q_bloom_dedup_docs,  # last driver check: r8
@@ -10618,6 +10711,8 @@ _ORACLES: dict[str, str] = {
     "iceberg_cdf_orders": SQL_ICEBERG_CDF,
     "iceberg_convert_orders": SQL_ICEBERG_CONVERT,
     "iceberg_optimize_orders": SQL_ICEBERG_OPTIMIZE,
+    "delta_schema_evolution_orders": SQL_DELTA_SCHEMA_EVOLUTION,
+    "iceberg_schema_evolution_orders": SQL_ICEBERG_SCHEMA_EVOLUTION,
     "iceberg_v3_defaults_orders": SQL_ICEBERG_V3_DEFAULTS,
     "iceberg_puffin_dv_orders": SQL_ICEBERG_PUFFIN_DV,
     "iceberg_dv_write_orders": SQL_ICEBERG_DV_WRITE,
