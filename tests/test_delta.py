@@ -676,11 +676,11 @@ class TestDistributedState:
         add_rows = [
             (None, None, None,
              (f"p=fake{i}/f{i}.parquet", {"p": f"fake{i}"},
-              1, 0, False, None), None)
+              1, 0, False, None, None), None)
             for i in range(n_adds - 1)]
         real_row = (None, None, None,
                     ("p=real/d.parquet", {"p": "real"}, 1, 0, False,
-                     None), None)
+                     None, None), None)
         cp_df = spark.createDataFrame(
             [proto_row, meta_row, real_row] + add_rows,
             _CHECKPOINT_SCHEMA)
@@ -1939,3 +1939,134 @@ class TestSchemaEvolution:
         with pytest.raises(DeltaConcurrentWriteError,
                            match="merge_schema"):
             write_delta(df, tbl, merge_schema=True)
+
+
+class TestDataSkipping:
+    """Per-file ``stats`` on adds (numRecords/min/max/nullCount from
+    the staged parquet footers — the spec's data-skipping metadata)
+    and ``read_delta(where_range=)`` file pruning + exact filtering."""
+
+    def _four_files(self, spark, tbl):
+        for i in range(4):
+            df = spark.range(i * 100, (i + 1) * 100).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 1.5).alias("v"),
+                F.lit(f"s{i}").alias("tag"))
+            write_delta(df.coalesce(1), tbl)
+
+    def test_stats_ride_the_commit(self, spark, tbl):
+        self._four_files(spark, tbl)
+        text = open(os.path.join(
+            tbl, "_delta_log", f"{0:020d}.json")).read()
+        add = next(json.loads(ln)["add"]
+                   for ln in text.splitlines() if "\"add\"" in ln)
+        st = json.loads(add["stats"])
+        assert st["numRecords"] == 100
+        assert st["minValues"]["k"] == 0
+        assert st["maxValues"]["k"] == 99
+        assert st["maxValues"]["v"] == 148.5
+        assert st["minValues"]["tag"] == "s0"
+        assert st["nullCount"] == {"k": 0, "v": 0, "tag": 0}
+
+    def test_where_range_prunes_and_filters_exactly(self, spark,
+                                                    tbl):
+        self._four_files(spark, tbl)
+        snap = delta_snapshot(spark, tbl)
+        surv = snap.pruned_adds(
+            stats_ranges={"k": (T.LongType(), 150, 160)})
+        assert len(surv) == 1      # three files skipped on stats
+        out = read_delta(spark, tbl, where_range={"k": (150, 160)})
+        assert sorted(r["k"] for r in out.collect()) \
+            == list(range(150, 161))
+        # string range, one side unbounded
+        assert read_delta(spark, tbl,
+                          where_range={"tag": ("s3", None)}) \
+            .count() == 100
+        assert len(snap.pruned_adds(
+            stats_ranges={"tag": (T.StringType(), "s3", None)})) == 1
+        # bad columns refuse
+        with pytest.raises(ValueError, match="not in table schema"):
+            read_delta(spark, tbl, where_range={"zz": (1, 2)})
+
+    def test_where_range_survives_checkpoint(self, spark, tbl):
+        self._four_files(spark, tbl)
+        delta_checkpoint(spark, tbl)
+        from wrangle_pypes_spark.sources import delta as dmod
+        dmod._SNAPSHOT_CACHE.clear()
+        snap = delta_snapshot(spark, tbl)
+        surv = snap.pruned_adds(
+            stats_ranges={"k": (T.LongType(), 350, None)})
+        assert len(surv) == 1
+        assert read_delta(spark, tbl,
+                          where_range={"k": (350, None)}) \
+            .count() == 50
+
+    def test_foreign_adds_without_stats_survive(self, spark, tbl):
+        """A foreign log whose adds carry no stats: where_range must
+        fall through to the exact filter, never skip."""
+        df = spark.range(20).select(F.col("id").alias("k"))
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tbl, "_stage"))
+        part = next(n for n in os.listdir(
+            os.path.join(tbl, "_stage")) if n.endswith(".parquet"))
+        os.replace(os.path.join(tbl, "_stage", part),
+                   os.path.join(tbl, "d.parquet"))
+        schema = T.StructType([T.StructField("k", T.LongType())])
+        _commit(tbl, 0, [_PROTO, _meta(schema),
+                         {"add": {"path": "d.parquet",
+                                  "partitionValues": {}, "size": 1,
+                                  "modificationTime": 0,
+                                  "dataChange": True}}])
+        out = read_delta(spark, tbl, where_range={"k": (5, 7)})
+        assert sorted(r["k"] for r in out.collect()) == [5, 6, 7]
+
+    def test_all_null_file_skips_for_range(self, spark, tbl):
+        """min/max absent but nullCount == numRecords proves a range
+        predicate can never match — the file skips."""
+        a = spark.range(5).select(F.col("id").alias("k"),
+                                  F.lit(None).cast("double")
+                                  .alias("v"))
+        write_delta(a.coalesce(1), tbl)
+        b = spark.range(5, 8).select(F.col("id").alias("k"),
+                                     F.lit(2.5).alias("v"))
+        write_delta(b.coalesce(1), tbl)
+        snap = delta_snapshot(spark, tbl)
+        surv = snap.pruned_adds(
+            stats_ranges={"v": (T.DoubleType(), 0.0, None)})
+        assert len(surv) == 1
+        assert read_delta(spark, tbl,
+                          where_range={"v": (0.0, None)}).count() == 3
+
+    def test_stats_carry_through_dv_delete(self, spark, tbl):
+        from wrangle_pypes_spark.sources.delta import (
+            delta_delete_where,
+        )
+        self._four_files(spark, tbl)
+        delta_delete_where(spark, tbl, "k % 2 = 0")
+        snap = delta_snapshot(spark, tbl)
+        adds = snap.pruned_adds()
+        assert all(a.get("stats") for a in adds)
+        # bounds stay valid (non-tight) after the DV: pruning + DV
+        # merge still agree with a full recompute
+        out = read_delta(spark, tbl, where_range={"k": (150, 160)})
+        assert sorted(r["k"] for r in out.collect()) \
+            == [151, 153, 155, 157, 159]
+
+    def test_timestamp_range(self, spark, tbl):
+        import datetime
+        df = spark.range(6).select(
+            F.col("id").alias("k"),
+            F.expr("timestamp('2024-01-01 00:00:00') + "
+                   "make_interval(0,0,0,id,0,0,0)").alias("ts"))
+        write_delta(df.repartition(3, "k"), tbl)
+        out = read_delta(spark, tbl, where_range={
+            "ts": (datetime.datetime(2024, 1, 3), None)})
+        assert out.count() == 4
+
+    def test_partition_column_range_refuses(self, spark, tbl):
+        df = spark.range(6).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("p"))
+        write_delta(df, tbl, partition_by=["p"])
+        with pytest.raises(ValueError, match="partition_filter"):
+            read_delta(spark, tbl, where_range={"p": ("0", "1")})

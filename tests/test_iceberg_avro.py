@@ -1928,3 +1928,167 @@ class TestSchemaEvolution:
         assert out.columns == ["k", "s", "extra"]
         assert [r["extra"] for r in out.collect()] \
             == [None] * 4 + [12, 15]
+
+
+class TestBoundsPruning:
+    """Per-column manifest stats on write (value/null counts +
+    Appendix-D lower/upper bounds, spec fields 109/110/125/128) and
+    ``read_iceberg(where_range=)`` manifest-side file skipping."""
+
+    def _four_files(self, spark, tbl):
+        from wrangle_pypes_spark.sources.iceberg import write_iceberg
+        for i in range(4):
+            df = spark.range(i * 100, (i + 1) * 100).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 1.5).alias("v"),
+                F.lit(f"s{i}").alias("tag"))
+            write_iceberg(df.coalesce(1), tbl)
+
+    def test_bounds_written_appendix_d(self, spark, tmp_path):
+        import glob
+        import struct
+
+        from wrangle_pypes_spark.sources.avro_io import (
+            read_container_file,
+        )
+        tbl = str(tmp_path / "b1")
+        self._four_files(spark, tbl)
+        m = sorted(glob.glob(
+            os.path.join(tbl, "metadata", "m-*.avro")))[0]
+        _, recs = read_container_file(m)
+        d = recs[0]["data_file"]
+        lo = {kv["key"]: bytes(kv["value"])
+              for kv in d["lower_bounds"]}
+        hi = {kv["key"]: bytes(kv["value"])
+              for kv in d["upper_bounds"]}
+        ks = sorted(r["data_file"]["partition"] is not None
+                    for r in recs)
+        lo_k = struct.unpack("<q", lo[1])[0]
+        hi_k = struct.unpack("<q", hi[1])[0]
+        assert hi_k - lo_k == 99
+        assert struct.unpack("<d", hi[2])[0] == lo_k * 1.5 + 148.5
+        assert lo[3].decode() == hi[3].decode()  # constant tag
+        vc = {kv["key"]: kv["value"] for kv in d["value_counts"]}
+        nv = {kv["key"]: kv["value"]
+              for kv in d["null_value_counts"]}
+        assert vc == {1: 100, 2: 100, 3: 100}
+        assert nv == {1: 0, 2: 0, 3: 0}
+
+    def test_where_range_prunes_and_filters(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import (
+            _build_range_tests,
+            iceberg_snapshot,
+        )
+        tbl = str(tmp_path / "b2")
+        self._four_files(spark, tbl)
+        s = iceberg_snapshot(spark, tbl,
+                             range_tests=_build_range_tests(
+                                 spark, tbl, {"k": (150, 160)}))
+        assert len(s.files) == 1   # three files skipped on bounds
+        out = read_iceberg(spark, tbl, where_range={"k": (150, 160)})
+        assert sorted(r["k"] for r in out.collect()) \
+            == list(range(150, 161))
+        assert read_iceberg(
+            spark, tbl, where_range={"tag": ("s3", None)}) \
+            .count() == 100
+        with pytest.raises(ValueError, match="not in table schema"):
+            read_iceberg(spark, tbl, where_range={"zz": (0, 1)})
+
+    def test_foreign_manifest_without_bounds_survives(self, spark,
+                                                      tmp_path):
+        """Entries lacking the stats maps (pre-r14 tables, minimal
+        foreign writers) must always reach the exact filter."""
+        import glob
+
+        from wrangle_pypes_spark.sources.avro_io import (
+            read_container_file,
+            write_container_file,
+        )
+        from wrangle_pypes_spark.sources.iceberg import (
+            _manifest_avro_schema,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "b3")
+        df = spark.range(20).select(F.col("id").alias("k"))
+        write_iceberg(df.coalesce(1), tbl)
+        # rewrite the manifest through the stats-less schema
+        m = sorted(glob.glob(
+            os.path.join(tbl, "metadata", "m-*.avro")))[0]
+        _, recs = read_container_file(m)
+        for r in recs:
+            for k in ("value_counts", "null_value_counts",
+                      "lower_bounds", "upper_bounds"):
+                r["data_file"].pop(k, None)
+        write_container_file(m, _manifest_avro_schema([]), recs)
+        out = read_iceberg(spark, tbl, where_range={"k": (5, 7)})
+        assert sorted(r["k"] for r in out.collect()) == [5, 6, 7]
+
+    def test_bounds_survive_compaction(self, spark, tmp_path):
+        import glob
+
+        from wrangle_pypes_spark.sources.avro_io import (
+            read_container_file,
+        )
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_rewrite_data_files,
+            iceberg_snapshot,
+            write_iceberg,
+            _build_range_tests,
+        )
+        tbl = str(tmp_path / "b4")
+        self._four_files(spark, tbl)
+        out = iceberg_rewrite_data_files(spark, tbl,
+                                         target_file_bytes=1 << 30)
+        assert out["added_files"] >= 1
+        # the compacted file's manifest still carries bounds
+        snap = iceberg_snapshot(spark, tbl)
+        cur = next(s for s in snap.metadata["snapshots"]
+                   if s["snapshot-id"]
+                   == snap.metadata["current-snapshot-id"])
+        _, ml = read_container_file(cur["manifest-list"])
+        newest = [e for e in ml if int(e.get("content") or 0) == 0]
+        found = False
+        for e in newest:
+            _, recs = read_container_file(e["manifest_path"])
+            for r in recs:
+                if r["data_file"].get("lower_bounds"):
+                    found = True
+        assert found
+        # and the whole 0..399 range now prunes to the single file
+        s = iceberg_snapshot(spark, tbl,
+                             range_tests=_build_range_tests(
+                                 spark, tbl, {"k": (390, None)}))
+        assert len(s.files) == 1   # bounds on the compacted file
+        assert read_iceberg(spark, tbl,
+                            where_range={"k": (390, None)}) \
+            .count() == 10
+
+    def test_date_and_timestamp_ranges(self, spark, tmp_path):
+        import datetime
+
+        from wrangle_pypes_spark.sources.iceberg import (
+            _build_range_tests,
+            iceberg_snapshot,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "b5")
+        for lo in (0, 3):
+            df = spark.range(lo, lo + 3).select(
+                F.col("id").alias("k"),
+                F.expr("date('2024-01-01') + cast(id as int)")
+                 .cast("date").alias("d"),
+                F.expr("timestamp('2024-01-01 00:00:00') + "
+                       "make_interval(0,0,0,id,0,0,0)").alias("ts"))
+            write_iceberg(df.coalesce(1), tbl)
+        out = read_iceberg(spark, tbl, where_range={
+            "d": (datetime.date(2024, 1, 5), None)})
+        assert sorted(r["k"] for r in out.collect()) == [4, 5]
+        s = iceberg_snapshot(spark, tbl,
+                             range_tests=_build_range_tests(
+                                 spark, tbl,
+                                 {"d": (datetime.date(2024, 1, 5),
+                                        None)}))
+        assert len(s.files) == 1
+        out2 = read_iceberg(spark, tbl, where_range={
+            "ts": (None, datetime.datetime(2024, 1, 2, 12))})
+        assert sorted(r["k"] for r in out2.collect()) == [0, 1]

@@ -146,6 +146,7 @@ _ADD_STATE_SCHEMA = T.StructType([
     T.StructField("modificationTime", T.LongType()),
     T.StructField("dataChange", T.BooleanType()),
     T.StructField("deletionVector", _DV_STRUCT),
+    T.StructField("stats", T.StringType()),
 ])
 
 _REMOVE_STATE_SCHEMA = T.StructType([
@@ -285,12 +286,22 @@ class DeltaSnapshot:
         return [phys2log.get(c, c) for c in self.partition_columns]
 
     def pruned_adds(self,
-                    partition_filter: Optional[dict] = None
+                    partition_filter: Optional[dict] = None,
+                    stats_ranges: Optional[dict] = None
                     ) -> list[dict]:
         """Collect add actions as dicts, AFTER applying
         ``partition_filter`` in the Spark plan — the driver holds only
         the pruned list (for an unfiltered call, the full list: that
         is the planning cost of actually scanning every file).
+
+        ``stats_ranges`` ({physical column: (dtype, lo, hi)}) is DATA
+        SKIPPING on the adds' ``stats`` JSON, also inside the plan: a
+        file survives unless its stats PROVE every row misses the
+        range (max < lo or min > hi) — files without stats (or without
+        that column's min/max) always survive, so skipping is purely
+        an I/O reduction, never a correctness decision.  min == max ==
+        null with rows present (an all-null file) is skipped: a range
+        comparison can't select SQL nulls.
 
         Under column mapping, filter keys may be logical or physical
         names; returned ``partitionValues`` are LOGICAL-keyed, with
@@ -300,6 +311,33 @@ class DeltaSnapshot:
         log_pcols = self.logical_partition_columns
         log2phys = maps[0] if maps else {}
         d = self.files_df
+        if stats_ranges:
+            for col, (dt, lo, hi) in stats_ranges.items():
+                parsed = F.from_json(F.col("stats"), T.StructType([
+                    T.StructField("numRecords", T.LongType()),
+                    T.StructField("minValues", T.StructType(
+                        [T.StructField(col, dt)])),
+                    T.StructField("maxValues", T.StructType(
+                        [T.StructField(col, dt)])),
+                    T.StructField("nullCount", T.StructType(
+                        [T.StructField(col, T.LongType())])),
+                ]))
+                mn = parsed["minValues"][col]
+                mx = parsed["maxValues"][col]
+                all_null = F.coalesce(
+                    parsed["nullCount"][col] == parsed["numRecords"],
+                    F.lit(False))
+                no_stats = F.col("stats").isNull() \
+                    | (mn.isNull() & ~all_null)
+                in_range = F.lit(True)
+                if lo is not None:
+                    in_range = in_range & (mx >= F.lit(lo))
+                if hi is not None:
+                    in_range = in_range & (mn <= F.lit(hi))
+                # coalesce(True): a half-present bound (foreign stats
+                # with min but no max) proves nothing — keep the file
+                d = d.filter(no_stats | F.coalesce(
+                    mn.isNotNull() & in_range, F.lit(True)))
         if partition_filter:
             unknown = [k for k in partition_filter
                        if k not in log_pcols
@@ -328,6 +366,8 @@ class DeltaSnapshot:
             dvd = r["deletionVector"]
             if dvd is not None and dvd["storageType"] is not None:
                 a["deletionVector"] = dvd.asDict()
+            if r["stats"] is not None:
+                a["stats"] = r["stats"]
             out.append(a)
         return out
 
@@ -781,7 +821,8 @@ def _load_checkpoint(spark: SparkSession, table: str,
                              pres),
                         _sub("add", "dataChange", T.BooleanType(),
                              pres),
-                        dv_col.alias("deletionVector")))
+                        dv_col.alias("deletionVector"),
+                        _sub("add", "stats", T.StringType(), pres)))
 
     def _removes() -> DataFrame:
         if "remove" not in fcols:
@@ -923,7 +964,8 @@ def _snapshot_from_state(spark: SparkSession, table: str,
                      int(a.get("size") or 0),
                      int(a.get("modificationTime") or 0),
                      bool(a.get("dataChange", True)),
-                     _dv_tuple(a.get("deletionVector")))
+                     _dv_tuple(a.get("deletionVector")),
+                     a.get("stats"))
                     for a in tail_adds.values()]
         rem_rows = [(r["path"],
                      int(r.get("deletionTimestamp") or 0),
@@ -1216,7 +1258,8 @@ def _apply_deletion_vectors(spark: SparkSession, table: str,
 def read_delta(spark: SparkSession, table: str, *,
                version: Optional[int] = None,
                timestamp=None,
-               partition_filter: Optional[dict] = None) -> DataFrame:
+               partition_filter: Optional[dict] = None,
+               where_range: Optional[dict] = None) -> DataFrame:
     """Read a Delta table snapshot as a DataFrame.
 
     ``partition_filter`` ({col: value-string}) prunes on the LOG's
@@ -1229,10 +1272,37 @@ def read_delta(spark: SparkSession, table: str, *,
     (the Delta norm) read correctly.  Files carrying deletion vectors
     have their deleted positions anti-joined away.  ``timestamp`` is
     TIMESTAMP AS OF (see :func:`delta_snapshot`).
-    """
+
+    ``where_range`` ({data column: (lo, hi)}, ``None`` = unbounded
+    side) is DATA SKIPPING + the predicate: files whose per-file
+    ``stats`` prove no row can land in [lo, hi] never reach the scan
+    (pruned inside the file-state plan — at fleet scale this is what
+    keeps a narrow range query from opening a million footers), and
+    the surviving rows are filtered EXACTLY (``col >= lo AND col <=
+    hi``, SQL semantics: nulls excluded), so the result equals a full
+    scan with the same WHERE — skipping is purely an I/O win.  Files
+    without stats always survive to the exact filter.  Use
+    ``partition_filter`` for partition columns."""
     snap = delta_snapshot(spark, table, version=version,
                           timestamp=timestamp)
-    adds = snap.pruned_adds(partition_filter)
+    ranges = None
+    if where_range:
+        maps = snap.column_mapping()
+        log2phys = maps[0] if maps else {}
+        fields = {f.name: f.dataType for f in snap.schema.fields}
+        pcols = set(snap.logical_partition_columns)
+        ranges = {}
+        for c, (lo, hi) in where_range.items():
+            if c in pcols:
+                raise ValueError(
+                    f"where_range column {c!r} is a partition column "
+                    "— use partition_filter (log-tuple pruning)")
+            if c not in fields:
+                raise ValueError(
+                    f"where_range column {c!r} not in table schema "
+                    f"{sorted(fields)}")
+            ranges[log2phys.get(c, c)] = (fields[c], lo, hi)
+    adds = snap.pruned_adds(partition_filter, stats_ranges=ranges)
     if not adds:
         return _local_df(spark, [], snap.schema)
     want = [f.name for f in snap.schema.fields]
@@ -1241,6 +1311,12 @@ def read_delta(spark: SparkSession, table: str, *,
     if has_dv:
         d = _apply_deletion_vectors(spark, table, adds, d)
         d = d.select(*want)
+    if where_range:
+        for c, (lo, hi) in where_range.items():
+            if lo is not None:
+                d = d.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                d = d.filter(F.col(c) <= F.lit(hi))
     return d
 
 
@@ -1265,12 +1341,19 @@ def _new_metadata(schema: T.StructType,
 
 
 def _stage_data_files(df: DataFrame, table: str,
-                      partition_by: Sequence[str]) -> list[dict]:
+                      partition_by: Sequence[str], *,
+                      collect_stats: bool = True) -> list[dict]:
     """Write df's parquet files into the table directory (hive layout
     when partitioned) and return their add actions.  Files land under
     unique names BEFORE the commit that references them — invisible to
     readers until the commit publishes (the Delta crash-safety story:
-    orphaned data files are garbage, never corruption)."""
+    orphaned data files are garbage, never corruption).
+
+    Each add carries the spec's ``stats`` JSON (numRecords +
+    min/max/nullCount for the first 32 top-level columns, harvested
+    from the just-written parquet footers — executor-parallel past a
+    handful of files) so both foreign engines and ``read_delta``'s
+    ``where_range`` can data-skip whole files."""
     spark = df.sparkSession
     staging = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
     w = df.write.mode("overwrite")
@@ -1316,6 +1399,12 @@ def _stage_data_files(df: DataFrame, table: str,
                 _walk(child_rel)
 
     _walk("")
+    if collect_stats and adds:
+        from . import footers as _footers
+        st = _footers.footer_stats(
+            spark, [os.path.join(table, a["path"]) for a in adds])
+        for a in adds:
+            a["stats"] = st[os.path.join(table, a["path"])]
     fsutil.delete(staging, spark=spark)
     return adds
 
@@ -1736,6 +1825,10 @@ def delta_delete_where(spark: SparkSession, table: str,
                        "offset": int(r["offset"]),
                        "sizeInBytes": int(r["sizeInBytes"]),
                        "cardinality": int(r["cardinality"])}}
+        if a.get("stats") is not None:
+            # the data file is untouched: its min/max/nullCount stay
+            # valid BOUNDS with rows vectored out (spec: non-tight)
+            new_add["stats"] = a["stats"]
         actions.append({"add": new_add})
     actions.append({"commitInfo": {
         "operation": "DELETE",
@@ -1826,10 +1919,14 @@ def convert_to_delta(spark: SparkSession, path: str, *,
     actions = [{"protocol": {"minReaderVersion": 1,
                              "minWriterVersion": 2}},
                {"metaData": _new_metadata(schema, pcols)}]
+    from .footers import footer_stats
+    st = footer_stats(spark, [os.path.join(root, rel)
+                              for rel, _, _, _ in files])
     for rel, pv, size, mtime in files:
         actions.append({"add": {
             "path": rel, "partitionValues": pv, "size": size,
-            "modificationTime": mtime, "dataChange": True}})
+            "modificationTime": mtime, "dataChange": True,
+            "stats": st[os.path.join(root, rel)]}})
     actions.append({"commitInfo": {
         "operation": "CONVERT",
         "engineInfo": "wrangle_pypes_spark-delta"}})
@@ -1871,6 +1968,8 @@ def delta_clone(spark: SparkSession, source: str, dest: str) -> int:
                "modificationTime": int(a.get("modificationTime")
                                        or 0),
                "dataChange": True}
+        if a.get("stats") is not None:
+            add["stats"] = a["stats"]
         dvd = a.get("deletionVector")
         if dvd:
             if dvd["storageType"] == "i":
@@ -2039,6 +2138,7 @@ _CHECKPOINT_SCHEMA = T.StructType([
         T.StructField("modificationTime", T.LongType()),
         T.StructField("dataChange", T.BooleanType()),
         T.StructField("deletionVector", _DV_STRUCT),
+        T.StructField("stats", T.StringType()),
     ])),
     T.StructField("remove", T.StructType([
         T.StructField("path", T.StringType()),
@@ -2104,7 +2204,7 @@ def delta_checkpoint(spark: SparkSession, table: str, *,
         F.struct("path", "partitionValues", "size",
                  "modificationTime",
                  F.lit(False).alias("dataChange"),
-                 "deletionVector").alias("add"),
+                 "deletionVector", "stats").alias("add"),
         _null_action("remove"))
     removes_part = snap.tombstones_df.select(
         _null_action("txn"), _null_action("protocol"),
@@ -2511,6 +2611,8 @@ def delta_restore(spark: SparkSession, table: str, *,
                "modificationTime":
                    int(a.get("modificationTime") or 0),
                "dataChange": True}
+        if a.get("stats") is not None:
+            add["stats"] = a["stats"]
         if a.get("deletionVector"):
             add["deletionVector"] = dict(a["deletionVector"])
         actions.append({"add": add})

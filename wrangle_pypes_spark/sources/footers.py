@@ -189,3 +189,126 @@ def footer_schemas(spark: SparkSession, paths: list[str]) -> dict:
     rows = df.mapInPandas(scan, "path string, ser binary").collect()
     return {r["path"]: pa.ipc.read_schema(pa.py_buffer(bytes(r["ser"])))
             for r in rows}
+
+
+def read_footer_metadata(path: str):
+    """Executor-safe ``pq.FileMetaData`` (row-group statistics live
+    here) — same local/pyarrow-fs routing as the schema read."""
+    import pyarrow.parquet as pq
+    if "://" not in path or path.startswith("file:"):
+        local = path[5:] if path.startswith("file:") else path
+        while local.startswith("//"):
+            local = local[1:]
+        return pq.read_metadata(local)
+    from pyarrow import fs as pafs
+    f, p = pafs.FileSystem.from_uri(path)
+    return pq.read_metadata(p, filesystem=f)
+
+
+def _stats_json_value(v):
+    """A row-group statistic as the JSON value per-file stats carry
+    (Delta's stats string / the value Appendix-D encoders consume).
+    None = the value is not representably orderable (NaN/inf floats,
+    raw bytes, exotic logical types) — the COLUMN drops from stats,
+    which only ever makes skipping less aggressive, never wrong."""
+    import datetime as _dt
+    import math
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return v if math.isfinite(v) else None
+    if isinstance(v, str):
+        return v
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return (v.strftime("%Y-%m-%dT%H:%M:%S.")
+                + f"{v.microsecond // 1000:03d}Z")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return None
+
+
+def read_footer_stats(path: str, max_cols: int = 32) -> str:
+    """One parquet file's per-column stats as the Delta spec's stats
+    JSON: ``numRecords`` plus ``minValues``/``maxValues``/``nullCount``
+    for the first ``max_cols`` TOP-LEVEL primitive columns
+    (delta-spark's ``dataSkippingNumIndexedCols`` default) whose every
+    row group carries statistics.  Column names are whatever the
+    footer carries — physical names under column mapping, exactly per
+    spec.  Values aggregate across row groups (min of mins, max of
+    maxes, sum of null counts)."""
+    md = read_footer_metadata(path)
+    nrg = md.num_row_groups
+    # top-level primitive leaves: path_in_schema has no dots
+    idx = []
+    if nrg:
+        rg0 = md.row_group(0)
+        for j in range(rg0.num_columns):
+            p = rg0.column(j).path_in_schema
+            if "." not in p:
+                idx.append((j, p))
+            if len({n for _, n in idx}) >= max_cols:
+                break
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for j, name in idx:
+        lo = hi = None
+        nn = 0
+        ok_mm = ok_null = True
+        for g in range(nrg):
+            st = md.row_group(g).column(j).statistics
+            if st is None:
+                ok_mm = ok_null = False
+                break
+            if st.has_min_max:
+                a, b = _stats_json_value(st.min), \
+                    _stats_json_value(st.max)
+                if a is None or b is None:
+                    ok_mm = False
+                else:
+                    lo = a if lo is None or a < lo else lo
+                    hi = b if hi is None or b > hi else hi
+            else:
+                ok_mm = False
+            if st.null_count is not None:
+                nn += int(st.null_count)
+            else:
+                ok_null = False
+        if ok_mm and lo is not None:
+            mins[name] = lo
+            maxs[name] = hi
+        if ok_null:
+            nulls[name] = nn
+    return json.dumps(
+        {"numRecords": int(md.num_rows), "minValues": mins,
+         "maxValues": maxs, "nullCount": nulls},
+        separators=(",", ":"))
+
+
+def footer_stats(spark: SparkSession, paths: list[str],
+                 max_cols: int = 32) -> dict[str, str]:
+    """path -> stats JSON for every file; executor-parallel past a
+    handful of files, driver-side below (not worth a job)."""
+    if not paths:
+        return {}
+    if len(paths) <= 8:
+        return {p: read_footer_stats(p, max_cols) for p in paths}
+
+    def scan(batches):
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame({
+                "path": pdf["path"],
+                "st": [read_footer_stats(p, max_cols)
+                       for p in pdf["path"]]})
+
+    df = local_df(spark, [(p,) for p in paths], "path string")
+    nparts = max(1, min(32, len(paths) // 64 + 1))
+    if nparts > 1:
+        df = df.repartition(nparts)
+    rows = df.mapInPandas(scan, "path string, st string").collect()
+    return {r["path"]: r["st"] for r in rows}

@@ -338,14 +338,57 @@ def _schema_from_metadata(meta: dict) -> tuple[T.StructType, dict]:
 _PARALLEL_MANIFEST_THRESHOLD = 5
 
 
+def _bounds_value(m, fid: int):
+    """One field's value out of a manifest int-keyed map, whichever
+    shape the writer schema decoded to (array-of-{key,value} — the
+    spec encoding — or a plain dict)."""
+    if m is None:
+        return None
+    if isinstance(m, dict):
+        v = m.get(fid)
+        return v if v is not None else m.get(str(fid))
+    for kv in m:
+        try:
+            if int(kv.get("key")) == fid:
+                return kv.get("value")
+        except (TypeError, ValueError):
+            return None
+    return None
+
+
+def _bounds_overlap(df_rec: dict, range_tests: list) -> bool:
+    """Data-skipping test on a data_file's lower/upper bounds: False
+    only when the bounds PROVE no row lands in every requested range.
+    Missing maps, missing fields, or undecodable values keep the file
+    — skipping is an I/O reduction, never a correctness call."""
+    lob = df_rec.get("lower_bounds")
+    upb = df_rec.get("upper_bounds")
+    for fid, tt, lo, hi in range_tests:
+        f_lo = _single_value_from_bytes(_bounds_value(lob, fid), tt)
+        f_hi = _single_value_from_bytes(_bounds_value(upb, fid), tt)
+        try:
+            if lo is not None and f_hi is not None and f_hi < lo:
+                return False
+            if hi is not None and f_lo is not None and f_lo > hi:
+                return False
+        except TypeError:  # unorderable foreign value — keep
+            continue
+    return True
+
+
 def _manifest_partials(table: str, entries: list, content: int,
                        ml_seq, snap_seq: int,
-                       tests: Optional[list]) -> tuple[list, list]:
+                       tests: Optional[list],
+                       range_tests: Optional[list] = None
+                       ) -> tuple[list, list]:
     """One manifest's live entries -> (data files, delete files),
     applying sequence inheritance and (optionally) partition-tuple
     pruning tests so non-matching entries never leave the decoder —
     in the executor-parallel path that means the driver receives only
-    the PRUNED file list."""
+    the PRUNED file list.  ``range_tests`` ([(field id, ice type, lo,
+    hi)], comparison domain of ``_single_value_from_bytes``) skip
+    DATA files on their column bounds; delete files never range-prune
+    (they must keep applying to every surviving data file)."""
     files: list = []
     dels: list = []
     for e in entries:
@@ -375,6 +418,9 @@ def _manifest_partials(table: str, entries: list, content: int,
                     f"data file format {fmt!r} unsupported")
             if tests and not all(_pv_matches(pv.get(n), v)
                                  for n, v in tests):
+                continue
+            if range_tests and not _bounds_overlap(df_rec,
+                                                   range_tests):
                 continue
             files.append({
                 "path": _normalize_path(df_rec["file_path"], table),
@@ -432,7 +478,8 @@ def _manifest_partials(table: str, entries: list, content: int,
 def iceberg_snapshot(spark: SparkSession, table: str, *,
                      snapshot_id: Optional[int] = None,
                      as_of_timestamp_ms: Optional[int] = None,
-                     partition_filter: Optional[dict] = None
+                     partition_filter: Optional[dict] = None,
+                     range_tests: Optional[list] = None
                      ) -> IcebergSnapshot:
     """Resolve an Iceberg snapshot to its live data-file list.  Reads
     metadata JSON + manifest Avro only (O(manifest entries)).
@@ -442,7 +489,10 @@ def iceberg_snapshot(spark: SparkSession, table: str, *,
     the manifest count, mirroring Iceberg's own distributed planning);
     with ``partition_filter`` the transform-pruning tests are pushed
     into that decode, so the driver materializes only the pruned
-    entry list."""
+    entry list.  ``range_tests`` ([(field id, ice type, lo, hi)] in
+    the Appendix-D comparison domain — see
+    ``read_iceberg(where_range=)``) data-skip files on their manifest
+    column bounds inside the same decode."""
     meta_file = _current_metadata_file(table, spark)
     meta = json.loads(fsutil.read_text(meta_file, spark))
     fv = int(meta.get("format-version", 1))
@@ -531,11 +581,12 @@ def iceberg_snapshot(spark: SparkSession, table: str, *,
             _, entries = read_container_file(m_path, spark)
             tests = tests_by_spec.get(sid) if tests_by_spec else None
             f, d = _manifest_partials(table, entries, content,
-                                      ml_seq, snap_seq, tests)
+                                      ml_seq, snap_seq, tests,
+                                      range_tests)
             files.extend(f)
             delete_files.extend(d)
     else:
-        tb, tests_bc = table, tests_by_spec
+        tb, tests_bc, ranges_bc = table, tests_by_spec, range_tests
 
         def _decode(batches):
             import pandas as pd
@@ -550,7 +601,7 @@ def iceberg_snapshot(spark: SparkSession, table: str, *,
                         tb, entries, int(row.content),
                         None if pd.isna(row.ml_seq)
                         else int(row.ml_seq),
-                        snap_seq, tests)
+                        snap_seq, tests, ranges_bc)
                     out = ([("f", json.dumps(x)) for x in f]
                            + [("d", json.dumps(x)) for x in d])
                     if out:
@@ -828,10 +879,45 @@ def _scan_snapshot_files(spark: SparkSession,
     return out
 
 
+def _build_range_tests(spark: SparkSession, table: str,
+                       where_range: dict) -> list:
+    """``where_range`` -> [(field id, ice type, lo, hi)] in the
+    Appendix-D comparison domain (dates -> epoch days, timestamps ->
+    epoch micros).  Columns must be top-level primitives of the
+    CURRENT schema."""
+    meta = json.loads(fsutil.read_text(
+        _current_metadata_file(table, spark), spark))
+    if "schemas" in meta:
+        cur = meta.get("current-schema-id", 0)
+        ice = next(s for s in meta["schemas"]
+                   if s.get("schema-id", 0) == cur)
+    else:
+        ice = meta["schema"]
+    by_name = {f["name"]: f for f in ice["fields"]}
+    out = []
+    for c, (lo, hi) in where_range.items():
+        f = by_name.get(c)
+        if f is None:
+            raise ValueError(
+                f"where_range column {c!r} not in table schema "
+                f"{sorted(by_name)}")
+        tt = f["type"]
+        if not isinstance(tt, str):
+            raise ValueError(
+                f"where_range column {c!r} is nested "
+                f"({json.dumps(tt)[:60]}…) — bounds pruning covers "
+                "top-level primitives")
+        out.append((int(f["id"]), tt,
+                    _range_comparable(lo, tt),
+                    _range_comparable(hi, tt)))
+    return out
+
+
 def read_iceberg(spark: SparkSession, table: str, *,
                  snapshot_id: Optional[int] = None,
                  as_of_timestamp_ms: Optional[int] = None,
-                 partition_filter: Optional[dict] = None) -> DataFrame:
+                 partition_filter: Optional[dict] = None,
+                 where_range: Optional[dict] = None) -> DataFrame:
     """Read an Iceberg table snapshot as a DataFrame.
 
     Data files normally embed every column (Iceberg writers store
@@ -848,10 +934,24 @@ def read_iceberg(spark: SparkSession, table: str, *,
     see :func:`_prune_by_partition` for semantics.  The tests are
     pushed into the manifest decode itself, so on the
     executor-parallel planning path the driver only ever receives the
-    pruned entry list."""
+    pruned entry list.
+
+    ``where_range`` ({data column: (lo, hi)}, ``None`` = unbounded
+    side) is DATA SKIPPING + the predicate: files whose manifest
+    ``lower_bounds``/``upper_bounds`` prove no row can land in
+    [lo, hi] are dropped inside the same manifest decode (never
+    listed or opened), and surviving rows are filtered EXACTLY
+    (``col >= lo AND col <= hi``, SQL semantics: nulls excluded) —
+    the result always equals a full scan with the same WHERE.  Files
+    without bounds for the column always survive to the exact
+    filter."""
+    range_tests = None
+    if where_range:
+        range_tests = _build_range_tests(spark, table, where_range)
     snap = iceberg_snapshot(spark, table, snapshot_id=snapshot_id,
                             as_of_timestamp_ms=as_of_timestamp_ms,
-                            partition_filter=partition_filter)
+                            partition_filter=partition_filter,
+                            range_tests=range_tests)
     if not snap.files:
         return local_df(spark, [], snap.schema)
     want = [f.name for f in snap.schema.fields]
@@ -863,6 +963,12 @@ def read_iceberg(spark: SparkSession, table: str, *,
     if with_meta:
         out = _apply_row_deletes(spark, snap, out)
         out = out.select(*want)
+    if where_range:
+        for c, (lo, hi) in where_range.items():
+            if lo is not None:
+                out = out.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                out = out.filter(F.col(c) <= F.lit(hi))
     return out
 
 
@@ -1190,12 +1296,27 @@ def _ml_row(ent: dict) -> dict:
     return out
 
 
+def _int_keyed_map(name: str, kid: int, vid: int,
+                   vtype: str) -> dict:
+    """The spec's int-keyed map encoding in manifests: an Avro ARRAY
+    of key/value records with ``logicalType: map`` (Avro maps only
+    take string keys)."""
+    return {"type": "array", "logicalType": "map",
+            "items": {"type": "record", "name": name, "fields": [
+                {"name": "key", "type": "int", "field-id": kid},
+                {"name": "value", "type": vtype, "field-id": vid}]}}
+
+
 def _manifest_avro_schema(part_avro_fields: list,
                           with_equality_ids: bool = False,
-                          with_dv_refs: bool = False) -> dict:
+                          with_dv_refs: bool = False,
+                          with_col_stats: bool = False) -> dict:
     """The manifest-entry Avro schema (spec field ids included) over a
     concrete partition-tuple record.  ``with_dv_refs`` adds the v3
-    deletion-vector addressing fields (143-145)."""
+    deletion-vector addressing fields (143-145); ``with_col_stats``
+    the per-column stats maps (value/null counts, lower/upper bounds
+    — spec 109/110/125/128) foreign planners and ``where_range`` prune
+    data files on."""
     data_file_fields = [
         {"name": "content", "type": "int", "field-id": 134},
         {"name": "file_path", "type": "string", "field-id": 100},
@@ -1207,6 +1328,25 @@ def _manifest_avro_schema(part_avro_fields: list,
         {"name": "file_size_in_bytes", "type": "long",
          "field-id": 104},
     ]
+    if with_col_stats:
+        data_file_fields += [
+            {"name": "value_counts",
+             "type": ["null", _int_keyed_map("k119_v120", 119, 120,
+                                             "long")],
+             "field-id": 109},
+            {"name": "null_value_counts",
+             "type": ["null", _int_keyed_map("k121_v122", 121, 122,
+                                             "long")],
+             "field-id": 110},
+            {"name": "lower_bounds",
+             "type": ["null", _int_keyed_map("k126_v127", 126, 127,
+                                             "bytes")],
+             "field-id": 125},
+            {"name": "upper_bounds",
+             "type": ["null", _int_keyed_map("k129_v130", 129, 130,
+                                             "bytes")],
+             "field-id": 128},
+        ]
     if with_equality_ids:
         data_file_fields.append(
             {"name": "equality_ids",
@@ -1296,7 +1436,76 @@ def _single_value_bytes(v, ice_type: str) -> Optional[bytes]:
         if isinstance(v, _dt.date):
             return _struct.pack(
                 "<i", (v - _dt.date(1970, 1, 1)).days)
+    if ice_type in ("timestamp", "timestamptz"):
+        import datetime as _dt
+        if isinstance(v, str):  # footer-stats ISO form, Z suffix ok
+            v = _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc) \
+                    .replace(tzinfo=None)
+            epoch = _dt.datetime(1970, 1, 1)
+            v = int((v - epoch).total_seconds()) * 1_000_000 \
+                + v.microsecond
+        if isinstance(v, int):
+            return _struct.pack("<q", v)
     return None
+
+
+def _single_value_from_bytes(b: Optional[bytes], ice_type: str):
+    """Appendix-D decode — the comparison domain for bounds pruning
+    (date -> epoch days, timestamps -> epoch micros).  None for types
+    the codec does not model (no bound — never prune on it)."""
+    import struct as _struct
+    if b is None:
+        return None
+    b = bytes(b)
+    try:
+        if ice_type == "int":
+            return _struct.unpack("<i", b)[0]
+        if ice_type == "long":
+            return _struct.unpack("<q", b)[0]
+        if ice_type == "float":
+            return _struct.unpack("<f", b)[0]
+        if ice_type == "double":
+            return _struct.unpack("<d", b)[0]
+        if ice_type == "boolean":
+            return b != b"\x00"
+        if ice_type == "string":
+            return b.decode("utf-8")
+        if ice_type == "date":
+            return _struct.unpack("<i", b)[0]
+        if ice_type in ("timestamp", "timestamptz"):
+            return _struct.unpack("<q", b)[0]
+    except (_struct.error, UnicodeDecodeError):
+        return None
+    return None
+
+
+def _range_comparable(v, ice_type: str):
+    """A user range endpoint in the SAME domain
+    ``_single_value_from_bytes`` decodes to."""
+    import datetime as _dt
+    if v is None:
+        return None
+    if ice_type == "date":
+        if isinstance(v, str):
+            v = _dt.date.fromisoformat(v)
+        if isinstance(v, _dt.datetime):
+            v = v.date()
+        return (v - _dt.date(1970, 1, 1)).days
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(v, str):
+            v = _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+        if isinstance(v, _dt.date) and not isinstance(v,
+                                                      _dt.datetime):
+            v = _dt.datetime(v.year, v.month, v.day)
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        epoch = _dt.datetime(1970, 1, 1)
+        return int((v - epoch).total_seconds()) * 1_000_000 \
+            + v.microsecond
+    return v
 
 
 def _partition_summaries(entries: list,
@@ -1470,13 +1679,22 @@ def _spec_columns(spec: list, ice_schema: dict) -> tuple:
 
 
 def _stage_data_entries(df: DataFrame, table: str, spec_cols: list,
-                        ice_types: dict) -> list:
+                        ice_types: dict,
+                        field_stats: Optional[dict] = None) -> list:
     """Stage ``df`` as hive-partitioned parquet under ``data/`` keyed
     by the PARTITION TUPLE values and return the ADDED manifest
     entries (real row counts + file sizes).  Identity staging drops
     the source column from data files (the reader re-attaches it);
     transform staging drops only the computed column and keeps
-    sources.  Shared by write_iceberg and the compaction rewriter."""
+    sources.  Shared by write_iceberg and the compaction rewriter.
+
+    ``field_stats`` ({column name: (field id, iceberg type)}) turns on
+    per-column stats in the entries: value/null counts and
+    Appendix-D-encoded lower/upper bounds (spec 109/110/125/128),
+    harvested from each staged file's parquet footer — what foreign
+    planners and ``read_iceberg(where_range=)`` data-skip on.
+    Columns whose footer carries no statistics are simply absent
+    (always safe)."""
     import uuid as _uuid
     spark = df.sparkSession
     staging = os.path.join(table, f"_staging_{_uuid.uuid4().hex}")
@@ -1506,7 +1724,31 @@ def _stage_data_entries(df: DataFrame, table: str, spec_cols: list,
                         k, v = seg.split("=", 1)
                         pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" \
                             else v
-                n_rows = _parquet_row_count(child)
+                col_stats = {}
+                if field_stats:
+                    from .footers import read_footer_stats
+                    st = json.loads(read_footer_stats(child))
+                    n_rows = int(st["numRecords"])
+                    vc, nvc, lob, upb = [], [], [], []
+                    for cname, (fid, tt) in field_stats.items():
+                        if cname in st["nullCount"]:
+                            vc.append({"key": fid, "value": n_rows})
+                            nvc.append({"key": fid, "value": int(
+                                st["nullCount"][cname])})
+                        if cname in st["minValues"]:
+                            lo = _single_value_bytes(
+                                st["minValues"][cname], tt)
+                            hi = _single_value_bytes(
+                                st["maxValues"][cname], tt)
+                            if lo is not None and hi is not None:
+                                lob.append({"key": fid, "value": lo})
+                                upb.append({"key": fid, "value": hi})
+                    col_stats = {"value_counts": vc,
+                                 "null_value_counts": nvc,
+                                 "lower_bounds": lob,
+                                 "upper_bounds": upb}
+                else:
+                    n_rows = _parquet_row_count(child)
                 # keep the hive segments under data/ so readers (ours
                 # included) can take a single-scan basePath fast path
                 # instead of per-partition unions
@@ -1519,7 +1761,7 @@ def _stage_data_entries(df: DataFrame, table: str, spec_cols: list,
                 fsutil.rename(child, dest, spark)
                 entries.append({
                     "status": 1, "snapshot_id": None,
-                    "data_file": {
+                    "data_file": dict({
                         "content": 0, "file_path": dest,
                         "file_format": "PARQUET",
                         "partition": {
@@ -1531,7 +1773,7 @@ def _stage_data_entries(df: DataFrame, table: str, spec_cols: list,
                             os.path.getsize(
                                 fsutil._strip_file_scheme(dest))
                             if fsutil.is_local(dest) else 0),
-                    }})
+                    }, **col_stats)})
             elif "." not in name or "=" in name:
                 _walk(child_rel)
 
@@ -1677,7 +1919,11 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
 
     import uuid as _uuid
     spec_cols, ice_types = _spec_columns(spec, ice_schema)
-    entries = _stage_data_entries(df, table, spec_cols, ice_types)
+    field_stats = {f["name"]: (int(f["id"]), f["type"])
+                   for f in ice_schema["fields"]
+                   if isinstance(f["type"], str)}
+    entries = _stage_data_entries(df, table, spec_cols, ice_types,
+                                  field_stats=field_stats)
 
     from .avro_io import write_container_file
     snap_id = (max((int(s["snapshot-id"])
@@ -1692,7 +1938,8 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
         part_avro_fields.append({"name": fname,
                                  "type": ["null", avro_t],
                                  "field-id": int(f["field-id"])})
-    manifest_schema = _manifest_avro_schema(part_avro_fields)
+    manifest_schema = _manifest_avro_schema(part_avro_fields,
+                                            with_col_stats=True)
     m_path = os.path.join(mdir, f"m-{_uuid.uuid4().hex}.avro")
     write_container_file(m_path, manifest_schema, entries)
     m_len = int(os.path.getsize(fsutil._strip_file_scheme(m_path)))
@@ -1830,8 +2077,26 @@ def convert_to_iceberg(spark: SparkSession, path: str, *,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "current-snapshot-id": -1, "snapshots": []}
 
+    from .footers import read_footer_stats
+    field_stats = {f["name"]: (int(f["id"]), f["type"])
+                   for f in ice_schema["fields"]
+                   if isinstance(f["type"], str)}
     entries = []
     for fp, pv, size in files:
+        st = json.loads(read_footer_stats(fp))
+        vc, nvc, lob, upb = [], [], [], []
+        for cname, (fid, tt) in field_stats.items():
+            if cname in st["nullCount"]:
+                vc.append({"key": fid,
+                           "value": int(st["numRecords"])})
+                nvc.append({"key": fid,
+                            "value": int(st["nullCount"][cname])})
+            if cname in st["minValues"]:
+                lo = _single_value_bytes(st["minValues"][cname], tt)
+                hi = _single_value_bytes(st["maxValues"][cname], tt)
+                if lo is not None and hi is not None:
+                    lob.append({"key": fid, "value": lo})
+                    upb.append({"key": fid, "value": hi})
         entries.append({
             "status": 1, "snapshot_id": None,
             "data_file": {
@@ -1839,8 +2104,10 @@ def convert_to_iceberg(spark: SparkSession, path: str, *,
                 "file_format": "PARQUET",
                 "partition": {c: _parse_pv(pv.get(c), ice_types[c])
                               for c in pcols},
-                "record_count": _parquet_row_count(fp),
+                "record_count": int(st["numRecords"]),
                 "file_size_in_bytes": size,
+                "value_counts": vc, "null_value_counts": nvc,
+                "lower_bounds": lob, "upper_bounds": upb,
             }})
     part_avro_fields = []
     for f, c in zip(spec, pcols):
@@ -1854,7 +2121,8 @@ def convert_to_iceberg(spark: SparkSession, path: str, *,
                                  "field-id": int(f["field-id"])})
     from .avro_io import write_container_file
     fsutil.ensure_dir(mdir, spark)
-    manifest_schema = _manifest_avro_schema(part_avro_fields)
+    manifest_schema = _manifest_avro_schema(part_avro_fields,
+                                            with_col_stats=True)
     m_path = os.path.join(mdir, f"m-{_uuid.uuid4().hex}.avro")
     write_container_file(m_path, manifest_schema, entries)
     m_len = int(os.path.getsize(fsutil._strip_file_scheme(m_path)))
@@ -2467,7 +2735,11 @@ def iceberg_rewrite_data_files(spark: SparkSession, table: str, *,
     n_out = max(1, -(-total_bytes // max(1, int(target_file_bytes))))
     srcs = [src for _f, _tr, src, _tt in spec_cols]
     d = d.repartition(n_out, *srcs) if srcs else d.repartition(n_out)
-    new_entries = _stage_data_entries(d, table, spec_cols, ice_types)
+    field_stats = {f["name"]: (int(f["id"]), f["type"])
+                   for f in ice_schema["fields"]
+                   if isinstance(f["type"], str)}
+    new_entries = _stage_data_entries(d, table, spec_cols, ice_types,
+                                      field_stats=field_stats)
 
     mdir = os.path.join(table, "metadata")
     part_avro_fields = []
@@ -2485,7 +2757,7 @@ def iceberg_rewrite_data_files(spark: SparkSession, table: str, *,
     seq = int(meta.get("last-sequence-number", 0)) + 1
     m_path = os.path.join(mdir, f"m-{_uuid.uuid4().hex}.avro")
     write_container_file(m_path, _manifest_avro_schema(
-        part_avro_fields), new_entries)
+        part_avro_fields, with_col_stats=True), new_entries)
     n_recs_new = sum(e["data_file"]["record_count"]
                      for e in new_entries)
     new_row = _ml_row({
