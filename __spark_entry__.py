@@ -7893,6 +7893,115 @@ GROUP BY 1, 2
 """
 
 
+def q_delta_data_skipping_orders(spark, sf_dir):
+    """Delta DATA SKIPPING (r14, sources/delta.py): orders land as 6
+    appends sliced by o_orderkey sextile, so every add's spec
+    ``stats`` JSON (footer-harvested numRecords/min/max/nullCount)
+    carries a disjoint key range; ``read_delta(where_range=)`` must
+    prune non-overlapping files INSIDE the file-state plan (guarded
+    here — if stats pruning breaks, the file-count assert fails
+    loudly) and filter the survivors exactly.  The oracle recomputes
+    the same range from raw orders, so an over-eager skip (lost rows)
+    or a wrong bound breaks the value hash."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from wrangle_pypes_spark.sources.delta import (
+        delta_snapshot,
+        read_delta,
+        write_delta,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_dskip_") + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    n = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    step = max(1, n // 6)
+    lo = 0
+    while lo < n:
+        write_delta(
+            o.filter((F.col("o_orderkey") >= lo)
+                     & (F.col("o_orderkey") < lo + step)).coalesce(1),
+            tbl)
+        lo += step
+    snap = delta_snapshot(spark, tbl)
+    total = len(snap.pruned_adds())
+    surv = snap.pruned_adds(stats_ranges={
+        "o_orderkey": (T.LongType(), step, 2 * step - 1)})
+    assert len(surv) < total, \
+        f"stats pruning skipped nothing ({len(surv)}/{total})"
+    return (read_delta(spark, tbl,
+                       where_range={"o_orderkey": (step,
+                                                   2 * step - 1)})
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key")))
+
+
+def q_iceberg_bounds_prune_orders(spark, sf_dir):
+    """Iceberg DATA SKIPPING on manifest column bounds (r14,
+    sources/iceberg.py): the same sextile-sliced build, but the
+    pruning metadata is the spec's ``lower_bounds``/``upper_bounds``
+    (Appendix-D bytes keyed by field id) written into each data_file
+    manifest entry; ``read_iceberg(where_range=)`` pushes the bounds
+    tests into the manifest decode so pruned files never reach the
+    driver (file-count guarded), then filters exactly.  Same oracle
+    shape as the Delta twin."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.iceberg import (
+        _build_range_tests,
+        iceberg_snapshot,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_iskip_") + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    n = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    step = max(1, n // 6)
+    lo = 0
+    while lo < n:
+        write_iceberg(
+            o.filter((F.col("o_orderkey") >= lo)
+                     & (F.col("o_orderkey") < lo + step)).coalesce(1),
+            tbl)
+        lo += step
+    total = len(iceberg_snapshot(spark, tbl).files)
+    pruned = iceberg_snapshot(
+        spark, tbl,
+        range_tests=_build_range_tests(
+            spark, tbl, {"o_orderkey": (step, 2 * step - 1)}))
+    assert len(pruned.files) < total, \
+        f"bounds pruning skipped nothing ({len(pruned.files)}/{total})"
+    return (read_iceberg(spark, tbl,
+                         where_range={"o_orderkey": (step,
+                                                     2 * step - 1)})
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100))
+                  .alias("sum_cents"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key")))
+
+
+SQL_RANGE_SKIP = """
+WITH b AS (SELECT (MAX(o_orderkey) + 1) // 6 AS step FROM orders)
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents,
+       MIN(o_orderkey)::BIGINT AS min_key,
+       MAX(o_orderkey)::BIGINT AS max_key
+FROM orders, b
+WHERE o_orderkey >= b.step AND o_orderkey <= 2 * b.step - 1
+GROUP BY o_orderstatus
+"""
+
+
 def q_iceberg_v3_defaults_orders(spark, sf_dir):
     """Iceberg v3 FIELD DEFAULTS (r14): a v3 table whose ``o_seg``
     column was added WITH ``initial-default='LEGACY'`` after the
@@ -10264,6 +10373,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iceberg_dv_write_orders": q_iceberg_dv_write_orders,  # NEW r14, never driver-checked
     "delta_schema_evolution_orders": q_delta_schema_evolution_orders,  # NEW r14: merge_schema writes, value-oracled
     "iceberg_schema_evolution_orders": q_iceberg_schema_evolution_orders,  # NEW r14: merge_schema writes, value-oracled
+    "delta_data_skipping_orders": q_delta_data_skipping_orders,  # NEW r14: per-file stats + where_range pruning, value-oracled
+    "iceberg_bounds_prune_orders": q_iceberg_bounds_prune_orders,  # NEW r14: manifest column bounds pruning, value-oracled
     "stream_static_enrich": q_stream_static_enrich,  # stale-flagged: code path touched since last check
     "temperature_mix_sources": q_temperature_mix_sources,  # stale-flagged: code path touched since last check
     "profile_customer": q_profile_customer,  # stale-flagged: code path touched since last check
@@ -10305,9 +10416,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage_audit": q_split_leakage_audit,  # stale-flagged: code path touched since last check
     "classifier_score_docs": q_classifier_score_docs,  # stale-flagged: code path touched since last check
     "training_shards_manifest": q_training_shards_manifest,  # stale-flagged: code path touched since last check
-    "compact_roundtrip_orders": q_compact_roundtrip_orders,  # stale-flagged: code path touched since last check
-    "scd2_rebuild_heal": q_scd2_rebuild_heal,  # stale-flagged: code path touched since last check
     # ---- below the 50-slot driver window from here down ----
+    "compact_roundtrip_orders": q_compact_roundtrip_orders,  # stale-flagged; displaced to fit the r14 data-skipping queries (covered by check_oracle locally)
+    "scd2_rebuild_heal": q_scd2_rebuild_heal,  # stale-flagged; displaced to fit the r14 data-skipping queries (covered by check_oracle locally)
     "funnel_events": q_funnel_events,  # stale-flagged; displaced to fit the r14 schema-evolution queries (covered by check_oracle locally)
     "paragraph_dedup_docs": q_paragraph_dedup_docs,  # stale-flagged; displaced to fit the r14 schema-evolution queries (covered by check_oracle locally)
     "dsir_weights_docs": q_dsir_weights_docs,  # stale-flagged; displaced to fit iceberg_dv_write_orders (covered by check_oracle locally)
@@ -10713,6 +10824,8 @@ _ORACLES: dict[str, str] = {
     "iceberg_optimize_orders": SQL_ICEBERG_OPTIMIZE,
     "delta_schema_evolution_orders": SQL_DELTA_SCHEMA_EVOLUTION,
     "iceberg_schema_evolution_orders": SQL_ICEBERG_SCHEMA_EVOLUTION,
+    "delta_data_skipping_orders": SQL_RANGE_SKIP,
+    "iceberg_bounds_prune_orders": SQL_RANGE_SKIP,
     "iceberg_v3_defaults_orders": SQL_ICEBERG_V3_DEFAULTS,
     "iceberg_puffin_dv_orders": SQL_ICEBERG_PUFFIN_DV,
     "iceberg_dv_write_orders": SQL_ICEBERG_DV_WRITE,
