@@ -2070,3 +2070,104 @@ class TestDataSkipping:
         write_delta(df, tbl, partition_by=["p"])
         with pytest.raises(ValueError, match="partition_filter"):
             read_delta(spark, tbl, where_range={"p": ("0", "1")})
+
+
+class TestColumnDDL:
+    """delta_enable_column_mapping / delta_rename_column /
+    delta_drop_column — the metadata-only ALTER family (spec: rename
+    and drop require column mapping; physicalName/id keep pointing at
+    the same parquet data)."""
+
+    def _seed(self, spark, tbl):
+        df = spark.range(5).select(
+            F.col("id").alias("k"), F.lit("a").alias("s"),
+            (F.col("id") * 2.0).alias("v"))
+        write_delta(df.coalesce(1), tbl)
+
+    def test_rename_requires_mapping(self, spark, tbl):
+        from wrangle_pypes_spark.sources.delta import (
+            delta_drop_column,
+            delta_rename_column,
+        )
+        self._seed(spark, tbl)
+        with pytest.raises(DeltaProtocolError, match="column mapping"):
+            delta_rename_column(spark, tbl, "s", "s2")
+        with pytest.raises(DeltaProtocolError, match="column mapping"):
+            delta_drop_column(spark, tbl, "s")
+
+    def test_upgrade_keeps_physical_names(self, spark, tbl):
+        from wrangle_pypes_spark.sources.delta import (
+            delta_enable_column_mapping,
+        )
+        self._seed(spark, tbl)
+        v = delta_enable_column_mapping(spark, tbl)
+        assert v == 1
+        snap = delta_snapshot(spark, tbl)
+        conf = snap.metadata["configuration"]
+        assert conf["delta.columnMapping.mode"] == "name"
+        assert conf["delta.columnMapping.maxColumnId"] == "3"
+        for f in snap.schema.fields:
+            md = f.metadata
+            assert md["delta.columnMapping.physicalName"] == f.name
+        proto = snap.protocol
+        assert proto["minReaderVersion"] >= 2
+        assert proto["minWriterVersion"] >= 5
+        # data still reads (physical names unchanged)
+        assert read_delta(spark, tbl).count() == 5
+        # no-op on second call
+        assert delta_enable_column_mapping(spark, tbl) == 1
+
+    def test_rename_read_append_stats(self, spark, tbl):
+        from wrangle_pypes_spark.sources.delta import (
+            delta_enable_column_mapping,
+            delta_rename_column,
+        )
+        self._seed(spark, tbl)
+        delta_enable_column_mapping(spark, tbl)
+        delta_rename_column(spark, tbl, "s", "label")
+        out = read_delta(spark, tbl)
+        assert out.columns == ["k", "label", "v"]
+        assert out.filter("label = 'a'").count() == 5
+        # append under the NEW logical name lands in the OLD physical
+        df2 = spark.range(5, 8).select(
+            F.col("id").alias("k"), F.lit("b").alias("label"),
+            (F.col("id") * 2.0).alias("v"))
+        write_delta(df2.coalesce(1), tbl)
+        out = read_delta(spark, tbl)
+        assert out.count() == 8
+        assert out.filter("label = 'b'").count() == 3
+        # data skipping still works (stats keys = physical names)
+        assert read_delta(spark, tbl,
+                          where_range={"k": (6, None)}).count() == 2
+        with pytest.raises(ValueError, match="already exists"):
+            delta_rename_column(spark, tbl, "k", "label")
+
+    def test_drop_and_no_resurrect(self, spark, tbl):
+        from wrangle_pypes_spark.sources.delta import (
+            delta_drop_column,
+            delta_enable_column_mapping,
+        )
+        self._seed(spark, tbl)
+        delta_enable_column_mapping(spark, tbl)
+        delta_drop_column(spark, tbl, "v")
+        out = read_delta(spark, tbl)
+        assert out.columns == ["k", "s"]
+        assert out.count() == 5
+        # re-adding the NAME mints a fresh physicalName: old physical
+        # data cannot resurrect — the new column reads null for old
+        # rows
+        df2 = spark.range(5, 7).select(
+            F.col("id").alias("k"), F.lit("b").alias("s"),
+            F.lit(9.0).alias("v"))
+        write_delta(df2.coalesce(1), tbl, merge_schema=True)
+        rows = {r["k"]: r["v"]
+                for r in read_delta(spark, tbl).collect()}
+        assert rows[0] is None and rows[5] == 9.0
+        with pytest.raises(ValueError, match="partition column"):
+            tbl2 = tbl + "_p"
+            df = spark.range(4).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 2).cast("string").alias("p"))
+            write_delta(df, tbl2, partition_by=["p"])
+            delta_enable_column_mapping(spark, tbl2)
+            delta_drop_column(spark, tbl2, "p")

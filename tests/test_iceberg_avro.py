@@ -2092,3 +2092,114 @@ class TestBoundsPruning:
         out2 = read_iceberg(spark, tbl, where_range={
             "ts": (None, datetime.datetime(2024, 1, 2, 12))})
         assert sorted(r["k"] for r in out2.collect()) == [0, 1]
+
+
+class TestColumnDDL:
+    """iceberg_rename_column / iceberg_drop_column — metadata-only
+    schema DDL: columns are field-id addressed, renames publish a
+    name-mapping so files written under the old name keep resolving,
+    drops never reuse ids, and name re-adds refuse (the name-matched
+    scan would resurrect dropped data)."""
+
+    def test_rename_reads_old_and_new_files(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_rename_column,
+            iceberg_snapshot,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "r1")
+        df = spark.range(5).select(F.col("id").alias("k"),
+                                   (F.col("id") * 1.5).alias("v"))
+        write_iceberg(df.coalesce(1), tbl)
+        iceberg_rename_column(spark, tbl, "v", "score")
+        meta = iceberg_snapshot(spark, tbl).metadata
+        nm = json.loads(
+            meta["properties"]["schema.name-mapping.default"])
+        assert nm == [{"field-id": 2, "names": ["v", "score"]}]
+        assert len(meta["schemas"]) == 2
+        out = read_iceberg(spark, tbl).orderBy("k")
+        assert out.columns == ["k", "score"]
+        assert [r["score"] for r in out.collect()] \
+            == [i * 1.5 for i in range(5)]
+        # append under the new name; both vintages read together
+        df2 = spark.range(5, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 1.5).alias("score"))
+        write_iceberg(df2.coalesce(1), tbl)
+        out = read_iceberg(spark, tbl).orderBy("k")
+        assert [r["score"] for r in out.collect()] \
+            == [i * 1.5 for i in range(8)]
+
+    def test_rename_on_partitioned_table(self, spark, tmp_path):
+        """Identity-partitioned tables take the attach path — the
+        explicit-schema scan must read renamed columns under the old
+        file-side name, not null-fill them."""
+        from wrangle_pypes_spark.sources.iceberg import (
+            IcebergProtocolError,
+            iceberg_rename_column,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "r2")
+        df = spark.range(6).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("p"),
+            (F.col("id") * 1.5).alias("v"))
+        write_iceberg(df.coalesce(1), tbl, partition_by=["p"])
+        iceberg_rename_column(spark, tbl, "v", "score")
+        out = read_iceberg(spark, tbl).orderBy("k")
+        rows = out.collect()
+        assert [r["score"] for r in rows] \
+            == [i * 1.5 for i in range(6)]
+        assert all(r["p"] == str(r["k"] % 2) for r in rows)
+        # partition source columns refuse to rename
+        with pytest.raises(IcebergProtocolError, match="partition"):
+            iceberg_rename_column(spark, tbl, "p", "bucket")
+
+    def test_bounds_pruning_across_rename(self, spark, tmp_path):
+        """lower/upper bounds are field-id keyed — a rename must not
+        break data skipping on files written under the old name."""
+        from wrangle_pypes_spark.sources.iceberg import (
+            _build_range_tests,
+            iceberg_rename_column,
+            iceberg_snapshot,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "r3")
+        for i in range(3):
+            df = spark.range(i * 10, (i + 1) * 10).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 1.0).alias("v"))
+            write_iceberg(df.coalesce(1), tbl)
+        iceberg_rename_column(spark, tbl, "v", "score")
+        s = iceberg_snapshot(spark, tbl,
+                             range_tests=_build_range_tests(
+                                 spark, tbl, {"score": (25.0, None)}))
+        assert len(s.files) == 1
+        out = read_iceberg(spark, tbl,
+                           where_range={"score": (25.0, None)})
+        assert sorted(r["k"] for r in out.collect()) \
+            == list(range(25, 30))
+
+    def test_drop_and_resurrect_guard(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import (
+            IcebergProtocolError,
+            iceberg_drop_column,
+            iceberg_snapshot,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "r4")
+        df = spark.range(5).select(F.col("id").alias("k"),
+                                   (F.col("id") * 1.5).alias("v"))
+        write_iceberg(df.coalesce(1), tbl)
+        iceberg_drop_column(spark, tbl, "v")
+        out = read_iceberg(spark, tbl)
+        assert out.columns == ["k"] and out.count() == 5
+        meta = iceberg_snapshot(spark, tbl).metadata
+        assert int(meta["last-column-id"]) == 2  # never decreases
+        # re-adding the dropped NAME refuses — the name-matched scan
+        # would read the dead physical data back
+        df2 = spark.range(5, 6).select(F.col("id").alias("k"),
+                                       F.lit(0.0).alias("v"))
+        with pytest.raises(IcebergProtocolError, match="earlier"):
+            write_iceberg(df2, tbl, merge_schema=True)
+        with pytest.raises(ValueError, match="no column"):
+            iceberg_drop_column(spark, tbl, "zz")

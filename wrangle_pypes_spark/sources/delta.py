@@ -1847,6 +1847,151 @@ def delta_delete_where(spark: SparkSession, table: str,
     return next_version
 
 
+def _publish_metadata_commit(spark: SparkSession, table: str,
+                             snap: DeltaSnapshot, actions: list,
+                             op: str) -> int:
+    """One metadata-only commit (DDL family): publish ``actions`` +
+    commitInfo as the next version, put-if-absent, never retried (the
+    computed metadata would be stale after a lost race)."""
+    actions = list(actions) + [{"commitInfo": {
+        "operation": op,
+        "engineInfo": "wrangle_pypes_spark-delta"}}]
+    text = "\n".join(json.dumps(a, separators=(",", ":"))
+                     for a in actions)
+    next_version = snap.version + 1
+    if not _create_exclusive(
+            _log_path(table, _commit_name(next_version)), text,
+            spark):
+        raise DeltaConcurrentWriteError(
+            f"version {next_version} was committed concurrently; "
+            f"{op} must re-read the table and re-run")
+    _cache_post_commit(spark, table, next_version, snap, text)
+    return next_version
+
+
+def _with_upgrade_mapping(dt: T.DataType, next_id: int
+                          ) -> tuple[T.DataType, int]:
+    """Column-mapping upgrade metadata for a type tree: every struct
+    field gets an id and physicalName == its CURRENT name (delta's
+    upgrade semantics — existing parquet already carries these names,
+    so reads keep matching; only columns added later get uuid
+    physical names)."""
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = next_id
+            next_id += 1
+            inner, next_id = _with_upgrade_mapping(f.dataType,
+                                                   next_id)
+            md = dict(f.metadata or {})
+            md.setdefault("delta.columnMapping.id", fid)
+            md.setdefault("delta.columnMapping.physicalName", f.name)
+            fields.append(T.StructField(f.name, inner, f.nullable,
+                                        md))
+        return T.StructType(fields), next_id
+    if isinstance(dt, T.ArrayType):
+        inner, next_id = _with_upgrade_mapping(dt.elementType,
+                                               next_id)
+        return T.ArrayType(inner, dt.containsNull), next_id
+    if isinstance(dt, T.MapType):
+        kt, next_id = _with_upgrade_mapping(dt.keyType, next_id)
+        vt, next_id = _with_upgrade_mapping(dt.valueType, next_id)
+        return T.MapType(kt, vt, dt.valueContainsNull), next_id
+    return dt, next_id
+
+
+def delta_enable_column_mapping(spark: SparkSession,
+                                table: str) -> int:
+    """Upgrade a table to NAME-mode column mapping (the delta-spark
+    ``delta.columnMapping.mode = name`` ALTER): every field keeps its
+    current name as the physicalName — existing parquet matches
+    unchanged — and gets a mapping id; the protocol moves to
+    reader 2 / writer 5 (or gains the columnMapping feature on a
+    v7 table).  The gateway DDL for RENAME/DROP COLUMN.  No-op when
+    mapping is already active."""
+    snap = delta_snapshot(spark, table)
+    if _mapping_mode(snap.metadata) in ("name", "id"):
+        return snap.version
+    schema, max_id = _with_upgrade_mapping(snap.schema, 1)
+    meta = dict(snap.metadata)
+    meta["schemaString"] = _schema_string(schema)
+    conf = dict(meta.get("configuration") or {})
+    conf["delta.columnMapping.mode"] = "name"
+    conf["delta.columnMapping.maxColumnId"] = str(max_id - 1)
+    meta["configuration"] = conf
+    proto = dict(snap.protocol or {})
+    actions = []
+    r, w = int(proto.get("minReaderVersion", 1)), \
+        int(proto.get("minWriterVersion", 2))
+    if w >= 7:
+        feats = set(proto.get("writerFeatures") or [])
+        rfeats = set(proto.get("readerFeatures") or [])
+        proto["writerFeatures"] = sorted(feats | {"columnMapping"})
+        proto["readerFeatures"] = sorted(rfeats | {"columnMapping"})
+        actions.append({"protocol": proto})
+    elif r < 2 or w < 5:
+        actions.append({"protocol": {
+            "minReaderVersion": max(r, 2),
+            "minWriterVersion": max(w, 5)}})
+    actions.append({"metaData": meta})
+    return _publish_metadata_commit(
+        spark, table, snap, actions, "SET COLUMN MAPPING")
+
+
+def delta_rename_column(spark: SparkSession, table: str,
+                        old: str, new: str) -> int:
+    """RENAME COLUMN — metadata-only under column mapping (the
+    logical name changes; physicalName and id keep pointing at the
+    same parquet data, so no file is touched).  Requires mapping mode
+    name/id, exactly as delta-spark does — run
+    :func:`delta_enable_column_mapping` first on unmapped tables."""
+    snap = delta_snapshot(spark, table)
+    if _mapping_mode(snap.metadata) not in ("name", "id"):
+        raise DeltaProtocolError(
+            "RENAME COLUMN requires column mapping "
+            "(delta.columnMapping.mode name|id) — run "
+            "delta_enable_column_mapping first")
+    names = [f.name for f in snap.schema.fields]
+    if old not in names:
+        raise ValueError(f"no column {old!r} in {names}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    fields = [T.StructField(new, f.dataType, f.nullable, f.metadata)
+              if f.name == old else f
+              for f in snap.schema.fields]
+    meta = dict(snap.metadata)
+    meta["schemaString"] = _schema_string(T.StructType(fields))
+    return _publish_metadata_commit(
+        spark, table, snap, [{"metaData": meta}], "RENAME COLUMN")
+
+
+def delta_drop_column(spark: SparkSession, table: str,
+                      col: str) -> int:
+    """DROP COLUMN — metadata-only under column mapping: the field
+    leaves the schema; its physical data stays in the files but no
+    scan selects it, and the retired mapping id is never reused
+    (maxColumnId only grows), so a later add cannot resurrect it.
+    Partition columns and the last remaining column refuse."""
+    snap = delta_snapshot(spark, table)
+    if _mapping_mode(snap.metadata) not in ("name", "id"):
+        raise DeltaProtocolError(
+            "DROP COLUMN requires column mapping "
+            "(delta.columnMapping.mode name|id) — run "
+            "delta_enable_column_mapping first")
+    names = [f.name for f in snap.schema.fields]
+    if col not in names:
+        raise ValueError(f"no column {col!r} in {names}")
+    if col in snap.logical_partition_columns:
+        raise ValueError(f"cannot drop partition column {col!r}")
+    fields = [f for f in snap.schema.fields if f.name != col]
+    if not fields:
+        raise ValueError("cannot drop the last column")
+    meta = dict(snap.metadata)
+    meta["schemaString"] = _schema_string(T.StructType(fields))
+    return _publish_metadata_commit(
+        spark, table, snap, [{"metaData": meta}], "DROP COLUMN")
+
+
 def convert_to_delta(spark: SparkSession, path: str, *,
                      partition_schema: Optional[T.StructType] = None
                      ) -> int:

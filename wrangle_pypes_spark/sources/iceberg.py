@@ -786,10 +786,39 @@ def _footer_presence(spark, snap: IcebergSnapshot, files: list,
             for f in files}
 
 
+def _name_aliases(meta: dict) -> dict:
+    """current field name -> [historical names] from the spec's
+    ``schema.name-mapping.default`` property — how files written
+    before a RENAME keep resolving when data carries no field ids."""
+    props = meta.get("properties") or {}
+    raw = props.get("schema.name-mapping.default")
+    if not raw:
+        return {}
+    try:
+        nm = json.loads(raw)
+    except ValueError:
+        return {}
+    ice = _current_ice_schema(meta)
+    by_id = {int(f["id"]): f["name"] for f in ice["fields"]}
+    out = {}
+    for e in nm:
+        try:
+            cur = by_id.get(int(e.get("field-id", -1)))
+        except (TypeError, ValueError):
+            continue
+        if cur is None:
+            continue
+        others = [n for n in (e.get("names") or []) if n != cur]
+        if others:
+            out[cur] = others
+    return out
+
+
 def _scan_snapshot_files(spark: SparkSession,
                          snap: IcebergSnapshot, files: list, *,
                          with_meta: bool,
-                         _fills: Optional[dict] = None
+                         _fills: Optional[dict] = None,
+                         _renames: Optional[dict] = None
                          ) -> Optional[DataFrame]:
     """Table-schema scan over a SUBSET of a snapshot's data files
     (identity partition columns re-attached from manifest tuples when
@@ -810,15 +839,21 @@ def _scan_snapshot_files(spark: SparkSession,
     want = [f.name for f in snap.schema.fields]
     if _fills is None:
         defaults = dict(_field_defaults(snap.metadata))
+        aliases = _name_aliases(snap.metadata)
         if len(snap.metadata.get("schemas") or []) > 1:
             ident = {f["name"] for f in snap.partition_spec
                      if f.get("transform") == "identity"}
             for f in snap.schema.fields:
                 if f.name not in defaults and f.name not in ident:
                     defaults[f.name] = (f.dataType, None)
+        for c in aliases:
+            if c in [f.name for f in snap.schema.fields] \
+                    and c not in defaults:
+                defaults[c] = (snap.schema[c].dataType, None)
         if defaults:
-            present = _footer_presence(spark, snap, files,
-                                       list(defaults))
+            probe = list(defaults) + [
+                n for c in defaults for n in aliases.get(c, [])]
+            present = _footer_presence(spark, snap, files, probe)
             groups: dict = {}
             for f in files:
                 groups.setdefault(
@@ -826,11 +861,20 @@ def _scan_snapshot_files(spark: SparkSession,
             out = None
             for key, fgroup in sorted(groups.items(),
                                       key=lambda kv: sorted(kv[0])):
-                fills = {c: defaults[c] for c in defaults
-                         if c not in key}
+                fills, renames = {}, {}
+                for c in defaults:
+                    if c in key:
+                        continue
+                    old = next((n for n in aliases.get(c, [])
+                                if n in key), None)
+                    if old is not None:
+                        renames[c] = old   # pre-rename file: alias
+                    else:
+                        fills[c] = defaults[c]
                 d = _scan_snapshot_files(spark, snap, fgroup,
                                          with_meta=with_meta,
-                                         _fills=fills)
+                                         _fills=fills,
+                                         _renames=renames)
                 out = d if out is None else out.unionByName(d)
             return out
         _fills = {}
@@ -846,6 +890,9 @@ def _scan_snapshot_files(spark: SparkSession,
         # (identity partition columns re-attach from manifests below)
         d = (spark.read.option("recursiveFileLookup", "true")
              .format(fmt).load(paths))
+        for new_c, old_c in (_renames or {}).items():
+            if old_c in d.columns and new_c not in d.columns:
+                d = d.withColumnRenamed(old_c, new_c)
         fill_pending = {c: fv for c, fv in _fills.items()
                         if c not in d.columns}
         missing = [c for c in want
@@ -854,7 +901,8 @@ def _scan_snapshot_files(spark: SparkSession,
             # rebuilds the scan from the file list, so defaults are
             # applied AFTER it (fill columns are not in ``missing``)
             d = _attach_identity_partitions(
-                spark, sub, fmt, missing, with_meta=with_meta)
+                spark, sub, fmt, missing, with_meta=with_meta,
+                renames=_renames)
             for c, (dt, v) in fill_pending.items():
                 if c not in d.columns:
                     d = d.withColumn(c, F.lit(v).cast(dt))
@@ -1151,11 +1199,16 @@ def _hive_consistent_ice(snap: IcebergSnapshot, fmt: str,
 
 def _attach_identity_partitions(spark, snap: IcebergSnapshot,
                                 fmt: str, missing: list[str], *,
-                                with_meta: bool = False):
+                                with_meta: bool = False,
+                                renames: Optional[dict] = None):
     """Metadata-only partition columns: group files by partition tuple
     and attach typed literals from the manifests (mirrors the Delta
     reader; one scan per live partition tuple).  ``with_meta`` adds
-    the (_ice_fp, _ice_ri) row-address columns for delete merging."""
+    the (_ice_fp, _ice_ri) row-address columns for delete merging.
+    ``renames`` ({current name: old file-side name}) makes the
+    explicit-schema fast path read RENAMED columns under the name the
+    files actually carry, then alias back — an explicit schema with
+    the new name would silently null-fill them."""
     ident = {f["name"] for f in snap.partition_spec
              if f.get("transform") == "identity"}
     not_identity = [c for c in missing if c not in ident]
@@ -1163,18 +1216,29 @@ def _attach_identity_partitions(spark, snap: IcebergSnapshot,
         raise IcebergProtocolError(
             f"columns {not_identity} absent from data files and not "
             "identity partition fields — cannot reconstruct")
+    renames = renames or {}
     fields = {f.name: f.dataType for f in snap.schema.fields}
+
+    def _rename_back(d):
+        for new_c, old_c in renames.items():
+            if old_c in d.columns and new_c not in d.columns:
+                d = d.withColumnRenamed(old_c, new_c)
+        return d
+
     # single-scan fast path (mirrors sources/delta.py): when every
     # file path carries hive segments agreeing with its manifest
     # partition tuple, one basePath scan infers the partition columns
     # typed per the table schema — no per-partition driver unions
     if fmt == "parquet" and _hive_consistent_ice(snap, fmt, missing):
         want = T.StructType(
-            [f for f in snap.schema.fields])
+            [T.StructField(renames.get(f.name, f.name), f.dataType,
+                           f.nullable)
+             for f in snap.schema.fields])
         d = (spark.read.schema(want)
              .option("basePath", snap.path)
              .parquet(*[f["path"] for f in snap.files
                         if f["format"] == fmt]))
+        d = _rename_back(d)
         if with_meta:
             d = d.select(
                 "*",
@@ -1193,6 +1257,7 @@ def _attach_identity_partitions(spark, snap: IcebergSnapshot,
     for key in sorted(groups):
         d = (spark.read.option("recursiveFileLookup", "true")
              .format(fmt).load(groups[key]))
+        d = _rename_back(d)
         if with_meta:
             d = d.select(
                 "*",
@@ -1896,7 +1961,21 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
                 max((f["id"] for s in meta["schemas"]
                      for f in s["fields"]), default=0)))
             new_fields = []
+            ever_named = {f2["name"] for s in meta["schemas"]
+                          for f2 in s["fields"]}
             for f in extras:
+                if f.name in ever_named:
+                    # a DROPPED (or renamed-away) column of the same
+                    # name: old data files still carry it, and this
+                    # name-matched reader would resurrect the dead
+                    # data under the new field — refuse loudly (an
+                    # id-matched reader could allow it)
+                    raise IcebergProtocolError(
+                        f"write_iceberg: column name {f.name!r} "
+                        "existed in an earlier schema of this table; "
+                        "re-adding it would resurrect dropped data "
+                        "under the name-matched scan — use a new "
+                        "name")
                 ice_t = _SPARK_TO_ICE.get(f.dataType)
                 if ice_t is None:
                     raise IcebergProtocolError(
@@ -3034,6 +3113,124 @@ def iceberg_changes(spark: SparkSession, table: str, *,
 
 def _norm_path_str(p: str) -> str:
     return re.sub("^file:/+", "/", p)
+
+
+def _publish_metadata_change(spark: SparkSession, table: str,
+                             meta: dict, cur_version: int) -> int:
+    """Put-if-absent publish of a METADATA-ONLY commit (new
+    ``v{N+1}.metadata.json`` + hint) — the shared tail of rollback
+    and the schema-DDL family."""
+    import time as _time
+    meta["last-updated-ms"] = int(_time.time() * 1000)
+    mdir = os.path.join(table, "metadata")
+    new_meta_path = os.path.join(
+        mdir, f"v{cur_version + 1}.metadata.json")
+    from .delta import _create_exclusive
+    if not _create_exclusive(new_meta_path, json.dumps(meta), spark):
+        raise RuntimeError(
+            f"concurrent iceberg commit won v{cur_version + 1}; "
+            "re-run")
+    fsutil.write_text_atomic(
+        os.path.join(mdir, "version-hint.text"),
+        str(cur_version + 1), spark)
+    return cur_version + 1
+
+
+def _current_ice_schema(meta: dict) -> dict:
+    if "schemas" in meta:
+        cur = meta.get("current-schema-id", 0)
+        return next(s for s in meta["schemas"]
+                    if s.get("schema-id", 0) == cur)
+    return meta["schema"]
+
+
+def _spec_source_ids(meta: dict) -> set:
+    return {int(f["source-id"])
+            for s in meta.get("partition-specs", [])
+            for f in s["fields"]}
+
+
+def _push_schema(meta: dict, fields: list) -> None:
+    """Append a new current schema built from ``fields`` (the spec's
+    append-only schemas history; ids never reuse)."""
+    new_sid = max((s.get("schema-id", 0)
+                   for s in meta.get("schemas", [])), default=0) + 1
+    meta.setdefault("schemas", [])
+    meta["schemas"] = list(meta["schemas"]) + [
+        {"type": "struct", "schema-id": new_sid, "fields": fields}]
+    meta["current-schema-id"] = new_sid
+
+
+def iceberg_rename_column(spark: SparkSession, table: str,
+                          old: str, new: str) -> int:
+    """RENAME COLUMN — metadata-only (Iceberg columns are addressed
+    by FIELD ID; the id keeps pointing at the same data).  A new
+    schema-id publishes with the field renamed, and the spec's
+    ``schema.name-mapping.default`` property records every name the
+    field has carried, so data files written under the OLD name (our
+    parquet carries no field ids) keep resolving: the scan reads the
+    old column and aliases it to the new name per file group.
+    Identity-partition source columns refuse (partition tuples and
+    re-attach are name-keyed in this engine).  Returns the new
+    metadata version."""
+    meta_file = _current_metadata_file(table, spark)
+    meta = json.loads(fsutil.read_text(meta_file, spark))
+    cur_version = int(re.match(
+        r"^v?(\d+)", os.path.basename(meta_file)).group(1))
+    ice = _current_ice_schema(meta)
+    by_name = {f["name"]: f for f in ice["fields"]}
+    if old not in by_name:
+        raise ValueError(f"no column {old!r} in current schema "
+                         f"{sorted(by_name)}")
+    if new in by_name:
+        raise ValueError(f"column {new!r} already exists")
+    fid = int(by_name[old]["id"])
+    if fid in _spec_source_ids(meta):
+        raise IcebergProtocolError(
+            f"cannot rename {old!r}: it is a partition source "
+            "column (tuple re-attach is name-keyed)")
+    fields = [dict(f, name=new) if int(f["id"]) == fid else f
+              for f in ice["fields"]]
+    _push_schema(meta, fields)
+    props = dict(meta.get("properties") or {})
+    nm = json.loads(props.get("schema.name-mapping.default", "[]"))
+    ent = next((e for e in nm
+                if int(e.get("field-id", -1)) == fid), None)
+    if ent is None:
+        ent = {"field-id": fid, "names": []}
+        nm.append(ent)
+    for n in (old, new):
+        if n not in ent["names"]:
+            ent["names"].append(n)
+    props["schema.name-mapping.default"] = json.dumps(nm)
+    meta["properties"] = props
+    return _publish_metadata_change(spark, table, meta, cur_version)
+
+
+def iceberg_drop_column(spark: SparkSession, table: str,
+                        col: str) -> int:
+    """DROP COLUMN — metadata-only: a new schema-id publishes without
+    the field; existing data files keep the physical column but no
+    scan selects it (``last-column-id`` never decreases, so the id is
+    never reused and a later add cannot resurrect the dropped data).
+    Partition source columns and the last remaining column refuse."""
+    meta_file = _current_metadata_file(table, spark)
+    meta = json.loads(fsutil.read_text(meta_file, spark))
+    cur_version = int(re.match(
+        r"^v?(\d+)", os.path.basename(meta_file)).group(1))
+    ice = _current_ice_schema(meta)
+    by_name = {f["name"]: f for f in ice["fields"]}
+    if col not in by_name:
+        raise ValueError(f"no column {col!r} in current schema "
+                         f"{sorted(by_name)}")
+    if int(by_name[col]["id"]) in _spec_source_ids(meta):
+        raise IcebergProtocolError(
+            f"cannot drop {col!r}: it is a partition source column")
+    fields = [f for f in ice["fields"] if f["name"] != col]
+    if not fields:
+        raise ValueError("cannot drop the last column")
+    _push_schema(meta, fields)
+    return _publish_metadata_change(spark, table, meta, cur_version)
 
 
 def iceberg_rollback(spark: SparkSession, table: str, *,
