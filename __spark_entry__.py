@@ -8002,6 +8002,90 @@ GROUP BY o_orderstatus
 """
 
 
+def q_delta_column_ddl_orders(spark, sf_dir):
+    """Delta schema DDL (r14, sources/delta.py): even orders land,
+    the table upgrades to name-mode column mapping
+    (physicalName == current name, protocol reader2/writer5), the
+    price column RENAMES (metadata-only — physicalName keeps
+    addressing the staged parquet), odd orders append under the NEW
+    logical name, and the clerk-ish status column DROPS.  The final
+    aggregate reads both vintages through the rename, so a broken
+    physical mapping (nulls from old files), a dropped-column leak,
+    or a resurrect all break the value hash."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.delta import (
+        delta_drop_column,
+        delta_enable_column_mapping,
+        delta_rename_column,
+        read_delta,
+        write_delta,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_dddl_") + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    write_delta(o.filter("o_orderkey % 2 = 0"), tbl)
+    delta_enable_column_mapping(spark, tbl)
+    delta_rename_column(spark, tbl, "o_totalprice", "price")
+    write_delta(
+        o.filter("o_orderkey % 2 = 1")
+         .withColumnRenamed("o_totalprice", "price"), tbl)
+    delta_drop_column(spark, tbl, "o_orderpriority")
+    out = read_delta(spark, tbl)
+    assert out.columns == ["o_orderkey", "o_orderstatus", "price"], \
+        out.columns
+    return (out.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("price") * 100))
+                  .alias("sum_cents")))
+
+
+def q_iceberg_column_ddl_orders(spark, sf_dir):
+    """Iceberg schema DDL (r14, sources/iceberg.py): same shape as
+    the Delta twin, but the rename is field-id addressed with the
+    spec's ``schema.name-mapping.default`` resolving OLD-named files
+    (the scan reads the old column per footer group and aliases), and
+    the drop retires the field id forever.  A name-mapping miss would
+    null half the prices; a resurrecting drop would change the
+    aggregate."""
+    import tempfile
+
+    from wrangle_pypes_spark.sources.iceberg import (
+        iceberg_drop_column,
+        iceberg_rename_column,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_iddl_") + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    write_iceberg(o.filter("o_orderkey % 2 = 0"), tbl)
+    iceberg_rename_column(spark, tbl, "o_totalprice", "price")
+    write_iceberg(
+        o.filter("o_orderkey % 2 = 1")
+         .withColumnRenamed("o_totalprice", "price"), tbl)
+    iceberg_drop_column(spark, tbl, "o_orderpriority")
+    out = read_iceberg(spark, tbl)
+    assert out.columns == ["o_orderkey", "o_orderstatus", "price"], \
+        out.columns
+    return (out.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("price") * 100))
+                  .alias("sum_cents")))
+
+
+SQL_COLUMN_DDL = """
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 def q_iceberg_v3_defaults_orders(spark, sf_dir):
     """Iceberg v3 FIELD DEFAULTS (r14): a v3 table whose ``o_seg``
     column was added WITH ``initial-default='LEGACY'`` after the
@@ -10375,6 +10459,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iceberg_schema_evolution_orders": q_iceberg_schema_evolution_orders,  # NEW r14: merge_schema writes, value-oracled
     "delta_data_skipping_orders": q_delta_data_skipping_orders,  # NEW r14: per-file stats + where_range pruning, value-oracled
     "iceberg_bounds_prune_orders": q_iceberg_bounds_prune_orders,  # NEW r14: manifest column bounds pruning, value-oracled
+    "delta_column_ddl_orders": q_delta_column_ddl_orders,  # NEW r14: enable-mapping + rename + drop, value-oracled
+    "iceberg_column_ddl_orders": q_iceberg_column_ddl_orders,  # NEW r14: field-id rename via name-mapping + drop, value-oracled
     "stream_static_enrich": q_stream_static_enrich,  # stale-flagged: code path touched since last check
     "temperature_mix_sources": q_temperature_mix_sources,  # stale-flagged: code path touched since last check
     "profile_customer": q_profile_customer,  # stale-flagged: code path touched since last check
@@ -10414,9 +10500,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flatten_nested_customer": q_flatten_nested_customer,  # stale-flagged: code path touched since last check
     "binary_ingest_docs": q_binary_ingest_docs,  # stale-flagged: code path touched since last check
     "split_leakage_audit": q_split_leakage_audit,  # stale-flagged: code path touched since last check
-    "classifier_score_docs": q_classifier_score_docs,  # stale-flagged: code path touched since last check
-    "training_shards_manifest": q_training_shards_manifest,  # stale-flagged: code path touched since last check
     # ---- below the 50-slot driver window from here down ----
+    "classifier_score_docs": q_classifier_score_docs,  # stale-flagged; displaced to fit the r14 column-DDL queries (covered by check_oracle locally)
+    "training_shards_manifest": q_training_shards_manifest,  # stale-flagged; displaced to fit the r14 column-DDL queries (covered by check_oracle locally)
     "compact_roundtrip_orders": q_compact_roundtrip_orders,  # stale-flagged; displaced to fit the r14 data-skipping queries (covered by check_oracle locally)
     "scd2_rebuild_heal": q_scd2_rebuild_heal,  # stale-flagged; displaced to fit the r14 data-skipping queries (covered by check_oracle locally)
     "funnel_events": q_funnel_events,  # stale-flagged; displaced to fit the r14 schema-evolution queries (covered by check_oracle locally)
@@ -10826,6 +10912,8 @@ _ORACLES: dict[str, str] = {
     "iceberg_schema_evolution_orders": SQL_ICEBERG_SCHEMA_EVOLUTION,
     "delta_data_skipping_orders": SQL_RANGE_SKIP,
     "iceberg_bounds_prune_orders": SQL_RANGE_SKIP,
+    "delta_column_ddl_orders": SQL_COLUMN_DDL,
+    "iceberg_column_ddl_orders": SQL_COLUMN_DDL,
     "iceberg_v3_defaults_orders": SQL_ICEBERG_V3_DEFAULTS,
     "iceberg_puffin_dv_orders": SQL_ICEBERG_PUFFIN_DV,
     "iceberg_dv_write_orders": SQL_ICEBERG_DV_WRITE,
