@@ -8086,6 +8086,78 @@ GROUP BY o_orderstatus
 """
 
 
+def q_delta_write_obligations_orders(spark, sf_dir):
+    """Delta WRITE OBLIGATIONS evaluated (r14, sources/delta.py —
+    formerly loud gates): a foreign table carries a CHECK constraint
+    (``o_totalprice > 0``), a column invariant (non-negative key) and
+    a GENERATED column (``price_cents = floor(o_totalprice*100)``).
+    The append computes the absent generated column from its
+    expression, a violating append (negative prices) must REFUSE
+    without committing (asserted — a half-committed violation would
+    also break the count), and the final aggregate reads the
+    generated values, so a wrong generation expression breaks the
+    value hash."""
+    import json as _json
+    import os as _os
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from wrangle_pypes_spark.sources.delta import (
+        read_delta,
+        write_delta,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="wps_doblg_") + "/orders"
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType(), True,
+                      {"delta.invariants":
+                       '{"expression":'
+                       '{"expression":"o_orderkey >= 0"}}'}),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("price_cents", T.LongType(), True,
+                      {"delta.generationExpression":
+                       "CAST(FLOOR(o_totalprice * 100) AS BIGINT)"}),
+    ])
+    _os.makedirs(_os.path.join(tbl, "_delta_log"), exist_ok=True)
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": str(_uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema.jsonValue()),
+            "partitionColumns": [],
+            "configuration": {
+                "delta.constraints.positive_price":
+                    "o_totalprice > 0"}}}]
+    with open(_os.path.join(tbl, "_delta_log",
+                            f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in actions))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    write_delta(o, tbl)          # generated column computed
+    try:
+        write_delta(o.withColumn(
+            "o_totalprice", F.col("o_totalprice") * -1), tbl)
+        raise AssertionError("violating write must refuse")
+    except ValueError:
+        pass
+    return (read_delta(spark, tbl)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum("price_cents").alias("sum_cents")))
+
+
+SQL_WRITE_OBLIGATIONS = """
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders,
+       SUM(FLOOR(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 def q_iceberg_v3_defaults_orders(spark, sf_dir):
     """Iceberg v3 FIELD DEFAULTS (r14): a v3 table whose ``o_seg``
     column was added WITH ``initial-default='LEGACY'`` after the
@@ -10461,6 +10533,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iceberg_bounds_prune_orders": q_iceberg_bounds_prune_orders,  # NEW r14: manifest column bounds pruning, value-oracled
     "delta_column_ddl_orders": q_delta_column_ddl_orders,  # NEW r14: enable-mapping + rename + drop, value-oracled
     "iceberg_column_ddl_orders": q_iceberg_column_ddl_orders,  # NEW r14: field-id rename via name-mapping + drop, value-oracled
+    "delta_write_obligations_orders": q_delta_write_obligations_orders,  # NEW r14: CHECK/invariant/generated evaluated, value-oracled
     "stream_static_enrich": q_stream_static_enrich,  # stale-flagged: code path touched since last check
     "temperature_mix_sources": q_temperature_mix_sources,  # stale-flagged: code path touched since last check
     "profile_customer": q_profile_customer,  # stale-flagged: code path touched since last check
@@ -10499,8 +10572,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequential_ids_orders": q_sequential_ids_orders,  # stale-flagged: code path touched since last check
     "flatten_nested_customer": q_flatten_nested_customer,  # stale-flagged: code path touched since last check
     "binary_ingest_docs": q_binary_ingest_docs,  # stale-flagged: code path touched since last check
-    "split_leakage_audit": q_split_leakage_audit,  # stale-flagged: code path touched since last check
     # ---- below the 50-slot driver window from here down ----
+    "split_leakage_audit": q_split_leakage_audit,  # stale-flagged; displaced to fit delta_write_obligations_orders (covered by check_oracle locally)
     "classifier_score_docs": q_classifier_score_docs,  # stale-flagged; displaced to fit the r14 column-DDL queries (covered by check_oracle locally)
     "training_shards_manifest": q_training_shards_manifest,  # stale-flagged; displaced to fit the r14 column-DDL queries (covered by check_oracle locally)
     "compact_roundtrip_orders": q_compact_roundtrip_orders,  # stale-flagged; displaced to fit the r14 data-skipping queries (covered by check_oracle locally)
@@ -10914,6 +10987,7 @@ _ORACLES: dict[str, str] = {
     "iceberg_bounds_prune_orders": SQL_RANGE_SKIP,
     "delta_column_ddl_orders": SQL_COLUMN_DDL,
     "iceberg_column_ddl_orders": SQL_COLUMN_DDL,
+    "delta_write_obligations_orders": SQL_WRITE_OBLIGATIONS,
     "iceberg_v3_defaults_orders": SQL_ICEBERG_V3_DEFAULTS,
     "iceberg_puffin_dv_orders": SQL_ICEBERG_PUFFIN_DV,
     "iceberg_dv_write_orders": SQL_ICEBERG_DV_WRITE,

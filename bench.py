@@ -141,6 +141,13 @@ HEADLINE = [
     "iceberg_optimize_orders",      # NEW r14: rewrite_data_files
     "iceberg_v3_defaults_orders",   # NEW r14: v3 field defaults
     "iceberg_puffin_dv_orders",     # NEW r14: puffin deletion vectors
+    "iceberg_dv_write_orders",      # NEW r14: puffin DV writes
+    "delta_schema_evolution_orders",   # NEW r14: merge_schema writes
+    "iceberg_schema_evolution_orders",  # NEW r14: merge_schema writes
+    "delta_data_skipping_orders",   # NEW r14: stats file pruning
+    "iceberg_bounds_prune_orders",  # NEW r14: manifest bounds pruning
+    "delta_column_ddl_orders",      # NEW r14: mapping+rename+drop
+    "iceberg_column_ddl_orders",    # NEW r14: name-mapping rename+drop
     "scd2_rebuild_heal",
     "paragraph_dedup_docs",
     "quality_quantile_filter",

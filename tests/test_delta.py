@@ -1775,25 +1775,70 @@ class TestWriterFeatureGates:
         with pytest.raises(ValueError, match="appendOnly"):
             delta_optimize(spark, tbl)
 
-    def test_check_constraint_gates(self, spark, tbl):
+    def test_check_constraint_evaluated(self, spark, tbl):
+        """r14: CHECK constraints EVALUATE on write (delta-spark
+        semantics — every row must be TRUE, null is a violation)
+        instead of gating the table."""
         self._table(spark, tbl, conf={
             "delta.constraints.positive": "k > 0"})
-        df = spark.range(3).select(F.col("id").alias("k"))
-        with pytest.raises(DeltaProtocolError, match="constraints"):
-            write_delta(df, tbl)
+        bad = spark.range(3).select(F.col("id").alias("k"))  # has 0
+        with pytest.raises(ValueError, match="positive"):
+            write_delta(bad, tbl)
+        good = spark.range(1, 4).select(F.col("id").alias("k"))
+        assert write_delta(good, tbl) == 1
+        assert read_delta(spark, tbl).count() == 3
+        # null result = violation, like delta-spark
+        nullk = spark.range(1).select(
+            F.lit(None).cast("long").alias("k"))
+        with pytest.raises(ValueError, match="positive"):
+            write_delta(nullk, tbl)
+        # deletes/compaction on a constrained table stay allowed
+        from wrangle_pypes_spark.sources.delta import (
+            delta_delete_where,
+        )
+        delta_delete_where(spark, tbl, "k = 2")
+        assert read_delta(spark, tbl).count() == 2
 
-    def test_invariant_and_generated_column_gate(self, spark, tbl):
+    def test_invariant_evaluated(self, spark, tbl):
         self._table(spark, tbl, field_md={
             "delta.invariants":
                 '{"expression":{"expression":"k > 0"}}'})
+        bad = spark.range(3).select(F.col("id").alias("k"))
+        with pytest.raises(ValueError, match="invariant on k"):
+            write_delta(bad, tbl)
+        good = spark.range(1, 4).select(F.col("id").alias("k"))
+        assert write_delta(good, tbl) == 1
+        assert read_delta(spark, tbl).count() == 3
+
+    def test_generated_column_computed_and_validated(self, spark,
+                                                     tbl):
+        schema = T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("k2", T.LongType(), True,
+                          {"delta.generationExpression": "k * 2"})])
+        _commit(tbl, 0, [_PROTO, _meta(schema)])
+        # absent -> computed
         df = spark.range(3).select(F.col("id").alias("k"))
-        with pytest.raises(DeltaProtocolError, match="invariants"):
+        assert write_delta(df, tbl) == 1
+        rows = {r["k"]: r["k2"]
+                for r in read_delta(spark, tbl).collect()}
+        assert rows == {0: 0, 1: 2, 2: 4}
+        # present and consistent -> accepted
+        ok = spark.range(3, 5).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("k2"))
+        assert write_delta(ok, tbl) == 2
+        # present and WRONG -> refused
+        liar = spark.range(5, 6).select(
+            F.col("id").alias("k"), F.lit(0).alias("k2"))
+        with pytest.raises(ValueError, match="generated column k2"):
+            write_delta(liar, tbl)
+
+    def test_identity_column_still_gates(self, spark, tbl):
+        self._table(spark, tbl, field_md={
+            "delta.identity.start": "1"})
+        df = spark.range(3).select(F.col("id").alias("k"))
+        with pytest.raises(DeltaProtocolError, match="identity"):
             write_delta(df, tbl)
-        tbl2 = tbl + "_gen"
-        self._table(spark, tbl2, field_md={
-            "delta.generationExpression": "id + 1"})
-        with pytest.raises(DeltaProtocolError, match="generated"):
-            write_delta(df, tbl2)
 
     def test_supported_feature_list_passes(self, spark, tbl):
         self._table(spark, tbl, proto={

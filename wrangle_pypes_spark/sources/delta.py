@@ -476,28 +476,82 @@ def _check_writer_allowed(snap: "DeltaSnapshot",
         raise ValueError(
             f"table is delta.appendOnly=true — {operation} is "
             "forbidden by the table's own configuration")
-    if any(k.startswith("delta.constraints.") for k in conf):
-        raise DeltaProtocolError(
-            "table carries CHECK constraints "
-            f"({sorted(k for k in conf if k.startswith('delta.constraints.'))}) "
-            "— this writer does not evaluate them, refusing to "
-            "commit rows that might violate them")
-    for f in (snap.schema.fields if snap.schema else []):
-        md = f.metadata or {}
-        if "delta.invariants" in md:
+    # CHECK constraints / invariants / generated columns are
+    # EVALUATED on the new-row path (_enforce_write_obligations,
+    # called by write_delta) — delete/optimize/restore only
+    # rearrange rows that already satisfied them.  Identity
+    # allocation stays refused: it needs the high-water-mark
+    # protocol this writer does not implement.
+    if operation in ("append", "overwrite"):
+        for f in (snap.schema.fields if snap.schema else []):
+            md = f.metadata or {}
+            if any(k.startswith("delta.identity.") for k in md):
+                raise DeltaProtocolError(
+                    f"column {f.name!r} is an identity column — "
+                    "this writer does not allocate identity values, "
+                    "refusing")
+
+
+def _write_checks(snap: "DeltaSnapshot") -> list[tuple[str, str]]:
+    """(name, boolean SQL) obligations the table imposes on new
+    rows: CHECK constraints from the configuration and column
+    ``delta.invariants`` expressions."""
+    conf = (snap.metadata or {}).get("configuration") or {}
+    out = []
+    for k in sorted(conf):
+        if k.startswith("delta.constraints."):
+            out.append((f"CHECK constraint "
+                        f"{k[len('delta.constraints.'):]}", conf[k]))
+    for f in snap.schema.fields:
+        inv = (f.metadata or {}).get("delta.invariants")
+        if inv:
+            try:
+                expr = json.loads(inv)["expression"]["expression"]
+            except (ValueError, KeyError, TypeError):
+                raise DeltaProtocolError(
+                    f"column {f.name!r} carries an unparseable "
+                    f"delta.invariants payload: {inv!r}")
+            out.append((f"invariant on {f.name}", expr))
+    return out
+
+
+def _enforce_write_obligations(df: DataFrame,
+                               snap: "DeltaSnapshot") -> DataFrame:
+    """Evaluate the table's write obligations on NEW rows, exactly
+    as delta-spark does: absent GENERATED columns are computed from
+    their generation expression, present ones are validated against
+    it, and CHECK constraints / column invariants refuse the whole
+    commit when any row does not evaluate TRUE (delta-spark
+    semantics: a null result is a violation, not a pass).  Each
+    check is one bounded limit(1) scan of the staged plan — the
+    violating row is named in the error."""
+    checks = _write_checks(snap)
+    for f in snap.schema.fields:
+        gen = (f.metadata or {}).get("delta.generationExpression")
+        if gen is None:
+            continue
+        if f.name not in df.columns:
+            df = df.withColumn(f.name,
+                               F.expr(gen).cast(f.dataType))
+        else:
+            checks.append((
+                f"generated column {f.name}",
+                f"`{f.name}` <=> CAST(({gen}) AS "
+                f"{f.dataType.simpleString()})"))
+    for name, expr in checks:
+        try:
+            cond = F.expr(expr).cast("boolean")
+        except Exception as e:
             raise DeltaProtocolError(
-                f"column {f.name!r} carries a delta.invariants "
-                "expression — this writer does not evaluate "
-                "invariants, refusing")
-        if "delta.generationExpression" in md:
-            raise DeltaProtocolError(
-                f"column {f.name!r} is a generated column — this "
-                "writer does not compute generation expressions, "
-                "refusing")
-        if any(k.startswith("delta.identity.") for k in md):
-            raise DeltaProtocolError(
-                f"column {f.name!r} is an identity column — this "
-                "writer does not allocate identity values, refusing")
+                f"{name}: expression {expr!r} does not compile in "
+                f"this engine: {e}")
+        bad = df.filter(~F.coalesce(cond, F.lit(False))).limit(1) \
+            .collect()
+        if bad:
+            raise ValueError(
+                f"{name} violated ({expr}); e.g. row "
+                f"{bad[0].asDict()}")
+    return df
 
 
 def _check_metadata(meta: dict) -> None:
@@ -1608,6 +1662,10 @@ def write_delta(df: DataFrame, table: str, *, mode: str = "append",
             raise ValueError(
                 f"partition_by {list(partition_by)} != table's "
                 f"{current.logical_partition_columns}")
+        # generated columns compute/validate, CHECK constraints and
+        # invariants refuse violating commits — BEFORE the schema
+        # checks, so a computed generated column counts as carried
+        df = _enforce_write_obligations(df, current)
         if merge_schema:
             missing_p = [c for c in current.logical_partition_columns
                          if c not in df.columns]
