@@ -10522,6 +10522,20 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r13-window query went green in CORRECTNESS_r13.json; displaced
     # entries sit below the marker.  Keep the marker at EXACTLY 50
     # entries -- tests/test_bare_session.py pins it.
+    #
+    # Window-policy tension, stated honestly: LATE-r14 work (schema
+    # evolution, data skipping, column DDL, write obligations)
+    # changed sources/delta.py and sources/iceberg.py heavily AFTER
+    # the stale set above was computed, which re-stales the
+    # r13-checked interop queries that do NOT fit alongside the 12
+    # never-checked rows.  Mitigation: all 18 interop queries
+    # outside the window (delta_roundtrip/dv/cdf/restore/optimize/
+    # convert_clone/column_mapping*/id_mode, iceberg_roundtrip/
+    # eq+pos_delete/cdf/transform_prune, avro_roundtrip,
+    # stream_{delta,iceberg}_source, stream_delta_ingest) were run
+    # through scripts/check_oracle.py --bare at sf0.01 on the final
+    # r14 code: ALL PASS (2026-08-17, post-commit f91f886).  The
+    # r15 window should rotate them in.
     "iceberg_convert_orders": q_iceberg_convert_orders,  # NEW r13, never driver-checked (judge-run green)
     "iceberg_optimize_orders": q_iceberg_optimize_orders,  # NEW r14, never driver-checked
     "iceberg_v3_defaults_orders": q_iceberg_v3_defaults_orders,  # NEW r14, never driver-checked
