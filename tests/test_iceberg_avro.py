@@ -1133,9 +1133,66 @@ class TestFormatV3:
             (10, "x", 7), (11, None, 7),  # B keeps its OWN tag/null
             (20, "unk", 7), (21, "unk", 7)]
 
-    def test_v3_nested_default_still_gates(self, spark, tmp_path):
+    def test_v3_nested_default_single_level_reads(self, spark,
+                                                  tmp_path):
+        """r14 late: an initial-default on a DIRECT CHILD of a
+        top-level struct materializes — files carrying the parent
+        but not the child get the default inside every non-null
+        parent (null parents stay null); files predating the whole
+        parent read a null parent (a child default fills a missing
+        FIELD, it does not conjure structs)."""
+        tbl = str(tmp_path / "v3nd1")
+        mdir = os.path.join(tbl, "metadata")
+        # A: no parent at all; B: parent {y} without child x
+        a = spark.range(0, 2).select(F.col("id").alias("k"))
+        b = spark.createDataFrame(
+            [(10, ("hi",)), (11, None)],
+            "k long, s struct<y: string>")
+        files = {}
+        for name, d in (("A", a), ("B", b)):
+            dest = os.path.join(tbl, "data", f"{name}.parquet")
+            _one_parquet(spark, d, dest)
+            files[name] = dest
+        m1 = os.path.join(mdir, "m1.avro")
+        A.write_container_file(m1, _manifest_schema([]), [
+            {"status": 1, "snapshot_id": None,
+             "data_file": {"content": 0, "file_path": files[n],
+                           "file_format": "PARQUET", "partition": {},
+                           "record_count": 2,
+                           "file_size_in_bytes": 1}}
+            for n in ("A", "B")])
+        ml = os.path.join(mdir, "snap-1.avro")
+        A.write_container_file(ml, _MANIFEST_LIST_SCHEMA, [
+            {"manifest_path": m1, "manifest_length": 1,
+             "partition_spec_id": 0, "content": 0,
+             "added_snapshot_id": 1}])
+        _write_metadata(
+            tbl,
+            schemas=[{"type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "k", "required": False,
+                 "type": "long"},
+                {"id": 2, "name": "s", "required": False,
+                 "type": {"type": "struct", "fields": [
+                     {"id": 3, "name": "y", "required": False,
+                      "type": "string"},
+                     {"id": 4, "name": "x", "required": False,
+                      "type": "long", "initial-default": 1}]}},
+            ]}],
+            specs=[{"spec-id": 0, "fields": []}],
+            snapshots=[{"snapshot-id": 1, "sequence-number": 1,
+                        "timestamp-ms": 1, "manifest-list": ml}],
+            current=1, fmt=3)
+        out = read_iceberg(spark, tbl).orderBy("k")
+        rows = out.collect()
+        got = [(r["k"], None if r["s"] is None
+                else (r["s"]["y"], r["s"]["x"])) for r in rows]
+        assert got == [(0, None), (1, None),
+                       (10, ("hi", 1)), (11, None)], got
+
+    def test_v3_deeper_nested_default_still_gates(self, spark,
+                                                  tmp_path):
         from wrangle_pypes_spark.sources.iceberg import write_iceberg
-        tbl = str(tmp_path / "v3nd")
+        tbl = str(tmp_path / "v3nd2")
         write_iceberg(spark.range(3).select(F.col("id").alias("k")),
                       tbl)
         mf = os.path.join(tbl, "metadata", "v1.metadata.json")
@@ -1144,11 +1201,13 @@ class TestFormatV3:
         meta["schemas"][0]["fields"].append({
             "id": 9, "name": "s", "required": False,
             "type": {"type": "struct", "fields": [
-                {"id": 10, "name": "x", "required": False,
-                 "type": "long", "initial-default": 1}]}})
+                {"id": 10, "name": "inner", "required": False,
+                 "type": {"type": "struct", "fields": [
+                     {"id": 11, "name": "x", "required": False,
+                      "type": "long", "initial-default": 1}]}}]}})
         with open(mf, "w") as f:
             f.write(json.dumps(meta))
-        with pytest.raises(IcebergProtocolError, match="nested"):
+        with pytest.raises(IcebergProtocolError, match="deeper"):
             read_iceberg(spark, tbl).collect()
 
     def test_v3_puffin_deletion_vector(self, spark, tmp_path):

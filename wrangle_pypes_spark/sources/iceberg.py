@@ -500,22 +500,34 @@ def iceberg_snapshot(spark: SparkSession, table: str, *,
         raise IcebergProtocolError(
             f"iceberg format-version {fv} not implemented (v1/v2/v3)")
     if fv == 3:
-        # v3 row-content features (r14): TOP-LEVEL field defaults
-        # materialize on the read path (_field_defaults +
-        # footer-grouped fills in _scan_snapshot_files) and puffin
-        # deletion vectors decode in _pos_delete_rows; row-lineage
-        # fields are reader-ignorable.  NESTED defaults stay a loud
-        # gate — the fill machinery is top-level only.
+        # v3 row-content features (r14): field defaults materialize
+        # on the read path (_field_defaults + footer-grouped fills
+        # in _scan_snapshot_files) for top-level fields AND direct
+        # children of top-level structs; puffin deletion vectors
+        # decode in _pos_delete_rows; row-lineage fields are
+        # reader-ignorable.  DEEPER defaults (struct-in-struct,
+        # list/map element defaults) stay a loud gate — the fill
+        # machinery rebuilds one struct level.
         for s in meta.get("schemas", []):
             for f in s.get("fields", []):
-                if not isinstance(f.get("type"), dict):
+                t = f.get("type")
+                if not isinstance(t, dict):
                     continue
-                blob = json.dumps(f["type"])
-                if '"initial-default"' in blob:
+                if t.get("type") == "struct":
+                    deep = [ch for ch in t.get("fields", [])
+                            if isinstance(ch.get("type"), dict)
+                            and '"initial-default"'
+                            in json.dumps(ch["type"])]
+                    if deep:
+                        raise IcebergProtocolError(
+                            f"iceberg v3 initial-default nested "
+                            f"deeper than one struct level under "
+                            f"{f.get('name')!r} not implemented")
+                elif '"initial-default"' in json.dumps(t):
                     raise IcebergProtocolError(
-                        f"iceberg v3 initial-default inside nested "
-                        f"field {f.get('name')!r} not implemented "
-                        "(top-level defaults are)")
+                        f"iceberg v3 initial-default inside "
+                        f"non-struct nested field {f.get('name')!r} "
+                        "not implemented")
     schema, _ = _schema_from_metadata(meta)
     specs = {s["spec-id"]: s["fields"]
              for s in meta.get("partition-specs", [])}
@@ -743,10 +755,13 @@ def _parse_default(ice_type, raw):
 
 
 def _field_defaults(meta: dict) -> dict:
-    """name -> (spark type, python literal) for TOP-LEVEL current-
-    schema fields carrying a v3 ``initial-default`` — the value rows
-    from files written BEFORE the field existed must read as
-    (``write-default`` is writer-side only and ignored on read)."""
+    """name -> (spark type, python literal) for current-schema fields
+    carrying a v3 ``initial-default`` — the value rows from files
+    written BEFORE the field existed must read as (``write-default``
+    is writer-side only and ignored on read).  Covers top-level
+    fields and direct children of top-level structs (dotted
+    ``parent.child`` keys); deeper nesting gates in
+    :func:`iceberg_snapshot`."""
     cur = next((s for s in meta.get("schemas", [])
                 if s.get("schema-id", 0)
                 == meta.get("current-schema-id", 0)), None)
@@ -756,7 +771,27 @@ def _field_defaults(meta: dict) -> dict:
             out[f["name"]] = (
                 _to_spark_type(f["type"]),
                 _parse_default(f["type"], f["initial-default"]))
+        t = f.get("type")
+        if isinstance(t, dict) and t.get("type") == "struct":
+            for ch in t.get("fields", []):
+                if "initial-default" in ch:
+                    out[f"{f['name']}.{ch['name']}"] = (
+                        _to_spark_type(ch["type"]),
+                        _parse_default(ch["type"],
+                                       ch["initial-default"]))
     return out
+
+
+def _tree_has(tree: list, dotted: str) -> bool:
+    """True when a footer field-node tree contains ``dotted``
+    (``a`` or ``a.b`` — each segment matched by name)."""
+    nodes = tree
+    for part in dotted.split("."):
+        n = next((x for x in nodes if x["n"] == part), None)
+        if n is None:
+            return False
+        nodes = n["c"]
+    return True
 
 
 def _footer_presence(spark, snap: IcebergSnapshot, files: list,
@@ -765,9 +800,11 @@ def _footer_presence(spark, snap: IcebergSnapshot, files: list,
     parquet footer actually contains (executor-parallel, memoized on
     the snapshot) — the per-FILE fact deciding whether a default
     fills in.  A merged-schema scan can't tell: a column present in
-    SOME files reads null (not the default) for the others."""
+    SOME files reads null (not the default) for the others.  Entries
+    may be dotted (``parent.child`` — nested v3 defaults); matching
+    walks the footer's field-node tree."""
     from . import footers
-    cache = snap.__dict__.setdefault("_footer_name_cache", {})
+    cache = snap.__dict__.setdefault("_footer_tree_cache", {})
     todo = [f for f in files
             if _norm_path_str(f["path"]) not in cache]
     if todo:
@@ -778,11 +815,10 @@ def _footer_presence(spark, snap: IcebergSnapshot, files: list,
                 "not implemented")
         for p, tree in footers.footer_nodes(
                 spark, sorted({f["path"] for f in todo})).items():
-            cache[_norm_path_str(p)] = frozenset(
-                n["n"] for n in tree)
+            cache[_norm_path_str(p)] = tree
     return {_norm_path_str(f["path"]): frozenset(
                 c for c in dcols
-                if c in cache[_norm_path_str(f["path"])])
+                if _tree_has(cache[_norm_path_str(f["path"])], c))
             for f in files}
 
 
@@ -812,6 +848,35 @@ def _name_aliases(meta: dict) -> dict:
         if others:
             out[cur] = others
     return out
+
+
+def _apply_fills(d: DataFrame, snap: IcebergSnapshot,
+                 fills: dict) -> DataFrame:
+    """Apply one file group's default fills: top-level columns become
+    typed literals; dotted ``parent.child`` entries rebuild the
+    parent struct in SCHEMA order (present children read through,
+    filled children get the default literal, and a null parent row
+    stays null — a default fills the missing FIELD, it does not
+    conjure a struct)."""
+    top = {c: fv for c, fv in fills.items() if "." not in c}
+    for c, (dt, v) in top.items():
+        d = d.withColumn(c, F.lit(v).cast(dt))
+    nested: dict = {}
+    for c, fv in fills.items():
+        if "." in c:
+            p, ch = c.split(".", 1)
+            nested.setdefault(p, {})[ch] = fv
+    for p, chmap in nested.items():
+        st = snap.schema[p].dataType
+        rebuilt = F.struct(*[
+            (F.lit(chmap[f.name][1]).cast(f.dataType)
+             if f.name in chmap
+             else F.col(p).getField(f.name)).alias(f.name)
+            for f in st.fields])
+        d = d.withColumn(
+            p, F.when(F.col(p).isNull(),
+                      F.lit(None).cast(st)).otherwise(rebuilt))
+    return d
 
 
 def _scan_snapshot_files(spark: SparkSession,
@@ -851,8 +916,12 @@ def _scan_snapshot_files(spark: SparkSession,
                     and c not in defaults:
                 defaults[c] = (snap.schema[c].dataType, None)
         if defaults:
-            probe = list(defaults) + [
-                n for c in defaults for n in aliases.get(c, [])]
+            dotted_parents = {c.split(".", 1)[0]
+                              for c in defaults if "." in c}
+            probe = (list(defaults)
+                     + [n for c in defaults
+                        for n in aliases.get(c, [])]
+                     + sorted(dotted_parents))
             present = _footer_presence(spark, snap, files, probe)
             groups: dict = {}
             for f in files:
@@ -865,6 +934,17 @@ def _scan_snapshot_files(spark: SparkSession,
                 for c in defaults:
                     if c in key:
                         continue
+                    if "." in c:
+                        p = c.split(".", 1)[0]
+                        if p not in key:
+                            # the whole parent struct predates these
+                            # files: the parent reads null (a child
+                            # default fills a missing FIELD inside
+                            # existing parents, it does not conjure
+                            # structs)
+                            fills[p] = (snap.schema[p].dataType,
+                                        None)
+                            continue
                     old = next((n for n in aliases.get(c, [])
                                 if n in key), None)
                     if old is not None:
@@ -893,22 +973,21 @@ def _scan_snapshot_files(spark: SparkSession,
         for new_c, old_c in (_renames or {}).items():
             if old_c in d.columns and new_c not in d.columns:
                 d = d.withColumnRenamed(old_c, new_c)
-        fill_pending = {c: fv for c, fv in _fills.items()
-                        if c not in d.columns}
         missing = [c for c in want
-                   if c not in d.columns and c not in fill_pending]
+                   if c not in d.columns and c not in _fills]
         if missing:
             # rebuilds the scan from the file list, so defaults are
-            # applied AFTER it (fill columns are not in ``missing``)
+            # applied AFTER it (fill columns are not in ``missing``).
+            # Fills apply UNCONDITIONALLY: group membership proves
+            # the files lack the column — the attach fast path's
+            # explicit schema may have null-injected it, and that
+            # null must become the default, not survive it.
             d = _attach_identity_partitions(
                 spark, sub, fmt, missing, with_meta=with_meta,
                 renames=_renames)
-            for c, (dt, v) in fill_pending.items():
-                if c not in d.columns:
-                    d = d.withColumn(c, F.lit(v).cast(dt))
-        elif fill_pending:
-            for c, (dt, v) in fill_pending.items():
-                d = d.withColumn(c, F.lit(v).cast(dt))
+            d = _apply_fills(d, snap, _fills)
+        elif _fills:
+            d = _apply_fills(d, snap, _fills)
             if with_meta:
                 d = d.select(
                     "*",
