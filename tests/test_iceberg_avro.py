@@ -2262,3 +2262,59 @@ class TestColumnDDL:
             write_iceberg(df2, tbl, merge_schema=True)
         with pytest.raises(ValueError, match="no column"):
             iceberg_drop_column(spark, tbl, "zz")
+
+
+class TestIceSnapshotCache:
+    """Session snapshot cache (the Delta cache's Iceberg twin): a
+    resolved (metadata text, target) is immutable and reused;
+    commits invalidate via the text hash; recreation at the same
+    path can never serve a stale snapshot; filtered resolutions
+    bypass."""
+
+    def test_reuse_invalidate_and_recreate(self, spark, tmp_path):
+        import shutil
+
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_snapshot,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "c1")
+        df = spark.range(6).select(F.col("id").alias("k"))
+        write_iceberg(df.coalesce(1), tbl)
+        s1 = iceberg_snapshot(spark, tbl)
+        assert iceberg_snapshot(spark, tbl) is s1
+        # a commit changes the metadata text -> new resolution
+        write_iceberg(df.coalesce(1), tbl)
+        s2 = iceberg_snapshot(spark, tbl)
+        assert s2 is not s1 and len(s2.files) == 2
+        # time travel by snapshot id caches independently
+        old = iceberg_snapshot(spark, tbl,
+                               snapshot_id=s1.snapshot_id)
+        assert len(old.files) == 1
+        assert iceberg_snapshot(
+            spark, tbl, snapshot_id=s1.snapshot_id) is old
+        # recreate the table at the same path: different metadata
+        # text -> different entry, never the stale snapshot
+        shutil.rmtree(tbl)
+        write_iceberg(spark.range(3).select(F.col("id").alias("k"))
+                      .coalesce(1), tbl)
+        s3 = iceberg_snapshot(spark, tbl)
+        assert s3 is not s1 and len(s3.files) == 1
+
+    def test_filtered_resolutions_bypass(self, spark, tmp_path):
+        from wrangle_pypes_spark.sources.iceberg import (
+            iceberg_snapshot,
+            write_iceberg,
+        )
+        tbl = str(tmp_path / "c2")
+        df = spark.range(9).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("p"))
+        write_iceberg(df.coalesce(1), tbl, partition_by=["p"])
+        full = iceberg_snapshot(spark, tbl)
+        pruned = iceberg_snapshot(spark, tbl,
+                                  partition_filter={"p": "1"})
+        assert len(pruned.files) < len(full.files)
+        # and the unfiltered cache entry is untouched by the pruned
+        # resolution
+        assert iceberg_snapshot(spark, tbl) is full

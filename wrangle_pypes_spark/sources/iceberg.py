@@ -475,6 +475,29 @@ def _manifest_partials(table: str, entries: list, content: int,
     return files, dels
 
 
+# session snapshot cache — the Iceberg twin of the Delta cache that
+# closed r12's lifecycle-cost weakness: a resolved (metadata text,
+# target snapshot) is immutable, so commit-heavy write→read→read
+# lifecycles decode each manifest set once per session instead of
+# once per step.  Keyed by the metadata TEXT hash (recreation-safe)
+# and SparkSession id; filtered resolutions bypass it.
+from collections import OrderedDict as _IceOrderedDict
+
+_ICE_SNAPSHOT_CACHE: "_IceOrderedDict[tuple, IcebergSnapshot]" = \
+    _IceOrderedDict()
+_ICE_SNAPSHOT_CACHE_MAX = 64
+
+
+def _ice_cache_put(cache_key, snap: IcebergSnapshot
+                   ) -> IcebergSnapshot:
+    if cache_key is not None:
+        _ICE_SNAPSHOT_CACHE[cache_key] = snap
+        _ICE_SNAPSHOT_CACHE.move_to_end(cache_key)
+        while len(_ICE_SNAPSHOT_CACHE) > _ICE_SNAPSHOT_CACHE_MAX:
+            _ICE_SNAPSHOT_CACHE.popitem(last=False)
+    return snap
+
+
 def iceberg_snapshot(spark: SparkSession, table: str, *,
                      snapshot_id: Optional[int] = None,
                      as_of_timestamp_ms: Optional[int] = None,
@@ -494,7 +517,26 @@ def iceberg_snapshot(spark: SparkSession, table: str, *,
     ``read_iceberg(where_range=)``) data-skip files on their manifest
     column bounds inside the same decode."""
     meta_file = _current_metadata_file(table, spark)
-    meta = json.loads(fsutil.read_text(meta_file, spark))
+    meta_text = fsutil.read_text(meta_file, spark)
+    cache_key = None
+    if partition_filter is None and range_tests is None:
+        # a published metadata JSON is immutable (put-if-absent
+        # commit rule), so the resolved snapshot — manifest decode
+        # included — is reusable for the session; the TEXT hash keys
+        # the entry, so a table recreated at the same path can never
+        # serve a stale snapshot.  Pruned resolutions (partition or
+        # range tests) are parameterized by their filters and bypass
+        # the cache — pruning stays pushed into the decode.
+        import hashlib
+        cache_key = (id(spark), _norm_path_str(table),
+                     hashlib.sha1(meta_text.encode()).hexdigest(),
+                     None if snapshot_id is None else int(snapshot_id),
+                     as_of_timestamp_ms)
+        hit = _ICE_SNAPSHOT_CACHE.get(cache_key)
+        if hit is not None:
+            _ICE_SNAPSHOT_CACHE.move_to_end(cache_key)
+            return hit
+    meta = json.loads(meta_text)
     fv = int(meta.get("format-version", 1))
     if fv > 3:
         raise IcebergProtocolError(
@@ -553,8 +595,8 @@ def iceberg_snapshot(spark: SparkSession, table: str, *,
     target = (int(snapshot_id) if snapshot_id is not None
               else meta.get("current-snapshot-id"))
     if target is None or int(target) == -1 or not snaps:
-        return IcebergSnapshot(table, -1, schema,
-                               specs.get(0, []), [], meta)
+        return _ice_cache_put(cache_key, IcebergSnapshot(
+            table, -1, schema, specs.get(0, []), [], meta))
     if int(target) not in snaps:
         raise ValueError(f"snapshot {target} not in table metadata "
                          f"(have {sorted(snaps)})")
@@ -630,8 +672,9 @@ def iceberg_snapshot(spark: SparkSession, table: str, *,
                   .collect()):
             rec = json.loads(r["rec"])
             (files if r["kind"] == "f" else delete_files).append(rec)
-    return IcebergSnapshot(table, int(target), schema, spec_fields,
-                           files, meta, delete_files=delete_files)
+    return _ice_cache_put(cache_key, IcebergSnapshot(
+        table, int(target), schema, spec_fields, files, meta,
+        delete_files=delete_files))
 
 
 def _ice_field_types(meta: dict) -> dict:
