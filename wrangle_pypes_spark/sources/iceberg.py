@@ -498,6 +498,49 @@ def _ice_cache_put(cache_key, snap: IcebergSnapshot
     return snap
 
 
+def _ice_cache_key(spark, table: str, text: str) -> tuple:
+    import hashlib
+    return (id(spark), _norm_path_str(table),
+            hashlib.sha1(text.encode()).hexdigest(), None, None)
+
+
+def _ice_warm_post_commit(spark, table: str,
+                          old_text: Optional[str], new_text: str,
+                          new_files: list, new_deletes: list,
+                          *, carry_old: bool) -> None:
+    """Derive and cache the post-commit snapshot from the writer's
+    own state (the Delta post-commit pattern): the next read then
+    resolves with ZERO manifest decode.  ``carry_old`` extends the
+    PRE-commit cached snapshot's file lists (append/delete shape);
+    without a cached pre-state the warm is skipped and the next read
+    simply decodes.  Best-effort — never breaks a published commit."""
+    try:
+        meta = json.loads(new_text)
+        schema, _ = _schema_from_metadata(meta)
+        specs = {s["spec-id"]: s["fields"]
+                 for s in meta.get("partition-specs", [])}
+        spec_fields = specs.get(int(meta.get("default-spec-id", 0)),
+                                [])
+        files, dels = list(new_files), list(new_deletes)
+        if carry_old:
+            if old_text is None:
+                return
+            old = _ICE_SNAPSHOT_CACHE.get(
+                _ice_cache_key(spark, table, old_text))
+            if old is None:
+                return
+            files = list(old.files) + files
+            dels = list(old.delete_files) + dels
+        _ice_cache_put(
+            _ice_cache_key(spark, table, new_text),
+            IcebergSnapshot(table,
+                            int(meta["current-snapshot-id"]),
+                            schema, spec_fields, files, meta,
+                            delete_files=dels))
+    except Exception:
+        return
+
+
 def iceberg_snapshot(spark: SparkSession, table: str, *,
                      snapshot_id: Optional[int] = None,
                      as_of_timestamp_ms: Optional[int] = None,
@@ -1996,11 +2039,13 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
     fsutil.ensure_dir(mdir, spark)
     try:
         meta_file = _current_metadata_file(table, spark)
-        meta = json.loads(fsutil.read_text(meta_file, spark))
+        old_text = fsutil.read_text(meta_file, spark)
+        meta = json.loads(old_text)
         cur_version = int(re.match(
             r"^v?(\d+)", os.path.basename(meta_file)).group(1))
     except FileNotFoundError:
         meta = None
+        old_text = None
         cur_version = 0
 
     if meta is None:
@@ -2187,13 +2232,24 @@ def write_iceberg(df: DataFrame, table: str, *, mode: str = "append",
     meta["last-updated-ms"] = now_ms
     new_version = cur_version + 1
     new_meta_path = os.path.join(mdir, f"v{new_version}.metadata.json")
+    new_text = json.dumps(meta)
     from .delta import _create_exclusive
-    if not _create_exclusive(new_meta_path, json.dumps(meta), spark):
+    if not _create_exclusive(new_meta_path, new_text, spark):
         raise RuntimeError(
             f"concurrent iceberg commit won v{new_version}; re-run")
     fsutil.write_text_atomic(
         os.path.join(mdir, "version-hint.text"), str(new_version),
         spark)
+    _ice_warm_post_commit(
+        spark, table, old_text, new_text,
+        [{"path": _normalize_path(e["data_file"]["file_path"],
+                                  table),
+          "format": str(e["data_file"].get("file_format")
+                        or "PARQUET").lower(),
+          "partition": dict(e["data_file"].get("partition") or {}),
+          "records": int(e["data_file"].get("record_count") or 0),
+          "seq": int(seq)} for e in entries],
+        [], carry_old=(mode == "append"))
     return snap_id
 
 
@@ -2373,7 +2429,8 @@ def uuid_hex(seed: str) -> str:
 def _publish_delete_snapshot(spark, table: str, meta: dict,
                              cur_version: int, del_path: str,
                              content: int,
-                             equality_ids: Optional[list]) -> int:
+                             equality_ids: Optional[list],
+                             old_text: Optional[str] = None) -> int:
     """Shared tail of the two delete writers: wrap ``del_path`` (an
     already-staged delete parquet) in a delete manifest
     (``data_file.content`` = 1 position / 2 equality), append a
@@ -2439,13 +2496,21 @@ def _publish_delete_snapshot(spark, table: str, meta: dict,
     meta["last-updated-ms"] = now_ms
     new_meta_path = os.path.join(
         mdir, f"v{cur_version + 1}.metadata.json")
+    new_text = json.dumps(meta)
     from .delta import _create_exclusive
-    if not _create_exclusive(new_meta_path, json.dumps(meta), spark):
+    if not _create_exclusive(new_meta_path, new_text, spark):
         raise RuntimeError(
             f"concurrent iceberg commit won v{cur_version + 1}; re-run")
     fsutil.write_text_atomic(
         os.path.join(mdir, "version-hint.text"),
         str(cur_version + 1), spark)
+    _ice_warm_post_commit(
+        spark, table, old_text, new_text, [],
+        [{"path": _normalize_path(del_path, table),
+          "content": int(content), "format": "parquet",
+          "seq": int(seq), "partition": {},
+          "equality_ids": [int(i) for i in (equality_ids or [])]}],
+        carry_old=True)
     return snap_id
 
 
@@ -2460,7 +2525,8 @@ def write_iceberg_deletes(keys_df: DataFrame, table: str, *,
     :func:`iceberg_delete_where` (position deletes)."""
     spark = keys_df.sparkSession
     meta_file = _current_metadata_file(table, spark)
-    meta = json.loads(fsutil.read_text(meta_file, spark))
+    old_text = fsutil.read_text(meta_file, spark)
+    meta = json.loads(old_text)
     cur_version = int(re.match(
         r"^v?(\d+)", os.path.basename(meta_file)).group(1))
     if int(meta.get("format-version", 1)) < 2:
@@ -2489,7 +2555,8 @@ def write_iceberg_deletes(keys_df: DataFrame, table: str, *,
     fsutil.delete(staging, spark=spark)
     return _publish_delete_snapshot(
         spark, table, meta, cur_version, del_path, 2,
-        [int(name_to_id[c]) for c in equality_cols])
+        [int(name_to_id[c]) for c in equality_cols],
+        old_text=old_text)
 
 
 def _write_puffin_file(path: str, blobs: list, spark) -> list:
@@ -2737,7 +2804,8 @@ def iceberg_delete_where(spark: SparkSession, table: str,
     see :func:`_publish_dv_delete_snapshot`.  A v3 table REQUIRES
     this path: the spec forbids position-delete files in v3."""
     meta_file = _current_metadata_file(table, spark)
-    meta = json.loads(fsutil.read_text(meta_file, spark))
+    old_text = fsutil.read_text(meta_file, spark)
+    meta = json.loads(old_text)
     cur_version = int(re.match(
         r"^v?(\d+)", os.path.basename(meta_file)).group(1))
     if int(meta.get("format-version", 1)) < 2:
@@ -2784,7 +2852,8 @@ def iceberg_delete_where(spark: SparkSession, table: str,
         fsutil.delete(del_path, spark=spark)
         return cur_sid  # nothing matched: no commit
     return _publish_delete_snapshot(
-        spark, table, meta, cur_version, del_path, 1, None)
+        spark, table, meta, cur_version, del_path, 1, None,
+        old_text=old_text)
 
 
 def iceberg_rewrite_data_files(spark: SparkSession, table: str, *,
