@@ -243,6 +243,13 @@ def main() -> None:
                               "1" if run_all else "3"))
     if "--runs" in argv:
         runs = int(argv[argv.index("--runs") + 1])
+    # --only a,b,c: time just the named queries (isolated-measurement
+    # tool for optimization triage — guide §1.1's empirical loop).
+    # The driver invokes bench.py with no arguments, so the recorded
+    # headline methodology is untouched.
+    only = None
+    if "--only" in argv:
+        only = [s for s in argv[argv.index("--only") + 1].split(",") if s]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # sweep OUR OWN abandoned per-query temp stores (tempfile.mkdtemp
@@ -258,6 +265,8 @@ def main() -> None:
     spark = get_session("wrangle-bench", cpus=cpus)
     qs = entrymod.queries()
     names = list(qs) if run_all else HEADLINE
+    if only:
+        names = [n for n in only if n in qs]
 
     # untimed warmup: init scan/codegen/shuffle machinery once, and
     # pull EVERY table through the page cache — the host occasionally
