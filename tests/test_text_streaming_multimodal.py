@@ -873,3 +873,45 @@ def test_gif_synthesize_and_sample_frames_real(spark):
             assert r["pixel_min"] == int(v.min())
             assert r["pixel_max"] == int(v.max())
             assert r["width"] == 8 and r["height"] == 10
+
+
+def test_stateful_drain_does_not_leak_jvm_threads(spark, sf_dir):
+    """Spark 4.1's ChecksumCheckpointFileManager leaks its per-state-
+    store thread pool when a streaming query stops (+~128 threads per
+    stateful drain with 8 state partitions).  ensure_session_confs /
+    get_session disable checkpoint file checksums to avoid it; this
+    pins the property so a conf regression (or an upstream behavior
+    change) is caught: two extra drains of a stateful query must not
+    grow the JVM thread count by more than a small slack."""
+    from wrangle_pypes_spark.streaming import stream_dedup
+
+    def nthreads():
+        # count only the leak's signature pool: generic pools
+        # (block-manager ask/storage) are bounded caches that grow on
+        # demand to a fixed cap and idle-out — not leaks
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        bean = mf.getThreadMXBean()
+        infos = bean.getThreadInfo(bean.getAllThreadIds())
+        return sum(1 for i in infos if i is not None
+                   and "ChecksumCheckpointFileManager"
+                   in i.getThreadName())
+
+    def drain(tag):
+        ev = stream_events(spark, sf_dir)
+        out = stream_dedup(ev, ["user_id"], ts_col="ts")
+        run_available_now_to_memory(out, f"t_leak_{tag}",
+                                    output_mode="append",
+                                    state_partitions=8)
+
+    drain("warm")  # absorb one-time streaming machinery threads
+    before = nthreads()
+    drain("a")
+    drain("b")
+    after = nthreads()
+    # one leaked ChecksumCheckpointFileManager pool is 4 threads/store
+    # x 8 partitions = 32+ per drain; with checksums disabled none of
+    # these threads should exist at all
+    assert after - before < 8, (
+        f"ChecksumCheckpointFileManager threads grew {before} -> "
+        f"{after} across two stateful drains — the streaming "
+        "checkpoint manager pool leak is back")

@@ -33,6 +33,17 @@ def get_session(app_name: str = "wrangle_pypes_spark",
         # testdata events.ts is parquet TIMESTAMP(NANOS) which Spark cannot
         # read natively; read as long and convert (sources.load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4.1's ChecksumCheckpointFileManager leaks its per-state-
+        # store thread pool when a streaming query stops (measured: +128
+        # threads per stream-stream-join drain; a session running many
+        # short streaming queries accumulates thousands of threads and
+        # every later job slows through safepoint/scheduler overhead —
+        # bench tail queries read 3-6x their isolated cost).  Checkpoint
+        # file checksums only add corruption DETECTION; any long-lived
+        # driver that starts/stops streaming queries needs this off
+        # until the upstream pool shutdown lands.
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+                "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -46,6 +46,13 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Spark 4.1 leaks the ChecksumCheckpointFileManager thread pool on
+    # streaming query stop (+~128 threads per stateful drain); a session
+    # that runs many short streaming queries degrades every later job.
+    # Runtime-settable, so bare driver sessions get the fix too (see
+    # session.get_session for the measurement).
+    spark.conf.set(
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     return spark
 
 
