@@ -253,7 +253,7 @@ class TestGif:
         # a mid-stream clear — all 3-bit codes, packed independently
         codes = [4, 1, 2, 4, 3, 0, 5]
         data = self._pack_codes(codes, [3] * len(codes))
-        assert C._lzw_decode(data, 2) == [1, 2, 3, 0]
+        assert list(C._lzw_decode(data, 2)) == [1, 2, 3, 0]
 
     def test_lzw_decode_dictionary_growth_per_spec(self):
         # the classic KwKwK case: codes [clear, 1, 2, 6, eoi] where 6
@@ -263,17 +263,17 @@ class TestGif:
         # dict after "1": nothing new; after "2": 6=(1,2); code 7 is
         # next_code -> entry = (2,)+(2,) = (2,2)
         data = self._pack_codes(codes, [3] * len(codes))
-        assert C._lzw_decode(data, 2) == [1, 2, 2, 2]
+        assert list(C._lzw_decode(data, 2)) == [1, 2, 2, 2]
 
     def test_lzw_roundtrip_growth(self):
         import numpy as np
         rng = np.random.RandomState(5)
         for n in (1, 10, 5000):
             seq = rng.randint(0, 256, n).tolist()
-            assert C._lzw_decode(C._lzw_encode(seq, 8), 8) == seq
+            assert list(C._lzw_decode(C._lzw_encode(seq, 8), 8)) == seq
         # low-entropy input exercises long dictionary chains
         seq = ([7] * 1000) + list(range(16)) * 50
-        assert C._lzw_decode(C._lzw_encode(seq, 8), 8) == seq
+        assert list(C._lzw_decode(C._lzw_encode(seq, 8), 8)) == seq
 
     def test_gif_roundtrip_animated(self):
         import numpy as np

@@ -855,7 +855,9 @@ class TestTransforms:
             I.write_iceberg(df.filter(F.col("k") % 6 == i), tbl,
                             partition_by=["p"] if i == 0 else None)
         snap = I.iceberg_snapshot(spark, tbl)
-        assert len(snap.files) >= 6 * 3
+        # one manifest per append; with hash write distribution each
+        # append (a single p value here) stages exactly one file
+        assert len(snap.files) >= 6
         assert I.read_iceberg(spark, tbl).count() == 60
         pruned = I.iceberg_snapshot(spark, tbl,
                                     partition_filter={"p": "1"})

@@ -459,23 +459,30 @@ def image_encode(arr: np.ndarray, fmt: str, **kw) -> bytes:
 # sampling can be REAL without ffmpeg
 # --------------------------------------------------------------------------
 
-def _lzw_decode(data: bytes, min_code_size: int) -> list:
+def _lzw_decode(data: bytes, min_code_size: int) -> bytearray:
     """GIF-flavor LZW: variable code width from min+1 to 12 bits,
-    CLEAR resets the dictionary, EOI terminates."""
+    CLEAR resets the dictionary, EOI terminates.  Returns the decoded
+    symbol stream as a ``bytearray`` (GIF symbols are palette indices
+    < 256 by construction): dictionary entries are ``bytes`` values so
+    every append to the output is a memcpy, not a per-symbol Python
+    loop — the dominant cost of the tuple-valued variant this
+    replaces."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    out = []
+    out = bytearray()
     # bit reader, LSB-first per spec
     acc = 0
     nbits = 0
     pos = 0
+    n_data = len(data)
     width = min_code_size + 1
-    dict_ = {i: (i,) for i in range(clear)}
+    base = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    dict_ = list(base)  # index == code; clear/eoi slots never read
     next_code = eoi + 1
     prev = None
     while True:
         while nbits < width:
-            if pos >= len(data):
+            if pos >= n_data:
                 raise ValueError("truncated GIF LZW stream (no EOI)")
             acc |= data[pos] << nbits
             nbits += 8
@@ -484,7 +491,7 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list:
         acc >>= width
         nbits -= width
         if code == clear:
-            dict_ = {i: (i,) for i in range(clear)}
+            dict_ = list(base)
             next_code = eoi + 1
             width = min_code_size + 1
             prev = None
@@ -492,21 +499,23 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list:
         if code == eoi:
             return out
         if prev is None:
+            if code >= next_code:
+                raise ValueError(f"corrupt GIF LZW code {code}")
             entry = dict_[code]
-        elif code in dict_:
+        elif code < next_code:
             entry = dict_[code]
             if next_code <= 4095:
-                dict_[next_code] = prev + (entry[0],)
+                dict_.append(prev + entry[:1])
                 next_code += 1
         elif code == next_code:
-            entry = prev + (prev[0],)
+            entry = prev + prev[:1]
             if next_code <= 4095:
-                dict_[next_code] = entry
+                dict_.append(entry)
                 next_code += 1
         else:
             raise ValueError(f"corrupt GIF LZW code {code}")
-        out.extend(entry)
-        prev = dict_[code] if code in dict_ else entry
+        out += entry
+        prev = entry
         if next_code - 1 == (1 << width) - 1 and width < 12:
             width += 1
     raise ValueError("unreachable")
@@ -658,8 +667,9 @@ def gif_decode(data: bytes):
             lzw += data[pos + 1:pos + 1 + ln]
             pos += ln + 1
         pos += 1
-        idx = np.array(_lzw_decode(bytes(lzw), min_code),
-                       dtype=np.int32)
+        idx = np.frombuffer(
+            bytes(_lzw_decode(bytes(lzw), min_code)),
+            dtype=np.uint8).astype(np.int32)
         if len(idx) != fw * fh:
             raise ValueError("GIF frame pixel count mismatch")
         idx = idx.reshape(fh, fw)

@@ -257,6 +257,20 @@ def sample_frames(df: DataFrame, *, every_n: int = 10,
 #          b = (x + y + 3*id) % 256
 #   wav:   s(i, id) = ((i * ((id % 97) + 3) + id) % 65536) - 32768
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin a metadata-thin id table across the session's
+    default parallelism before a heavy Python codec stage: a
+    single-file scan yields ONE input partition, which would serialize
+    the whole synthesize/encode fan-out onto one core.  Only the id
+    rows move (a few bytes each) — payloads are produced after the
+    exchange, so this never shuffles heavy bytes (guide §8 shape)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _render_gray(cid: int, width: int, height: int):
     import numpy as np
     x = np.arange(width, dtype=np.int64)[None, :]
@@ -303,7 +317,7 @@ def synthesize_image_corpus(df: DataFrame, *, id_col: str,
                     for _ in range(len(pdf))],
             })
 
-    return df.mapInPandas(_batches, schema=RESIZED_SCHEMA)
+    return _spread(df).mapInPandas(_batches, schema=RESIZED_SCHEMA)
 
 
 IMAGE_STATS_SCHEMA = T.StructType([
@@ -436,7 +450,7 @@ def synthesize_wav_corpus(df: DataFrame, *, id_col: str,
                     for _ in range(len(pdf))],
             })
 
-    return df.mapInPandas(_batches, schema=RESIZED_SCHEMA)
+    return _spread(df).mapInPandas(_batches, schema=RESIZED_SCHEMA)
 
 
 AUDIO_STATS_SCHEMA = T.StructType([
@@ -520,7 +534,7 @@ def synthesize_gif_corpus(df: DataFrame, *, id_col: str, width: int,
                     for _ in range(len(pdf))],
             })
 
-    return df.mapInPandas(_batches, schema=RESIZED_SCHEMA)
+    return _spread(df).mapInPandas(_batches, schema=RESIZED_SCHEMA)
 
 
 FRAME_STATS_SCHEMA = T.StructType([

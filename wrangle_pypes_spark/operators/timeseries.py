@@ -35,17 +35,49 @@ def grouped_ewma(df: DataFrame, *, key_col: str, ts_col: str,
         T.StructField("ewma", T.DoubleType()),
     ])
 
-    def _one_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
-        ewma = pdf[value_col].astype("float64").ewm(
-            alpha=alpha, adjust=False).mean()
-        return pd.DataFrame({
-            key_col: pdf[key_col], ts_col: pdf[ts_col],
-            value_col: pdf[value_col], "ewma": ewma,
-        })
+    def _partition(batches):
+        # One Python call per Arrow batch instead of one per KEY
+        # (applyInPandas pays pandas-frame construction + function
+        # dispatch per group; with many small keys that overhead
+        # dominates).  Rows arrive sorted by (key, ts, value), so each
+        # key's rows are contiguous; groupby(sort=False).ewm replays
+        # the identical adjust=False recurrence per key in one C pass.
+        # A key split across batch boundaries is continued by seeding
+        # the next batch's first group with the carried ewma: with
+        # adjust=False, y_t = (1-a)*y_{t-1} + a*x_t, so prepending the
+        # carried value and dropping it reproduces the unbroken
+        # recurrence bit-for-bit.
+        carry_key = None
+        carry_val = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf[key_col]
+            vals = pdf[value_col].astype("float64")
+            ewma = (vals.groupby(keys.values, sort=False)
+                    .ewm(alpha=alpha, adjust=False).mean()
+                    .reset_index(drop=True))
+            first_key = keys.iloc[0]
+            if carry_key is not None and first_key == carry_key:
+                mask = keys.values == first_key
+                n0 = len(keys) if mask.all() else int(mask.argmin())
+                seeded = (pd.concat([pd.Series([carry_val]),
+                                     vals.iloc[:n0]],
+                                    ignore_index=True)
+                          .ewm(alpha=alpha, adjust=False).mean()
+                          .iloc[1:].reset_index(drop=True))
+                ewma.iloc[:n0] = seeded.values
+            carry_key = keys.iloc[-1]
+            carry_val = float(ewma.iloc[-1])
+            yield pd.DataFrame({
+                key_col: keys, ts_col: pdf[ts_col],
+                value_col: pdf[value_col], "ewma": ewma,
+            })
 
     return (df.select(key_col, ts_col, value_col)
-            .groupBy(key_col).applyInPandas(_one_group, schema=schema))
+            .repartition(key_col)
+            .sortWithinPartitions(key_col, ts_col, value_col)
+            .mapInPandas(_partition, schema=schema))
 
 
 _RESAMPLE_AGGS = {

@@ -1933,81 +1933,106 @@ def _stage_data_entries(df: DataFrame, table: str, spec_cols: list,
         if tr != "identity":
             staged = staged.withColumn(
                 fname, _transform_col(tr, src, ice_types[src]))
+    if spec_cols:
+        # hash distribution (Iceberg write.distribution-mode=hash):
+        # cluster rows by the partition tuple before the partitioned
+        # write so each partition value lands in one task and one
+        # file — a plain partitionBy over T tasks writes up to T
+        # files PER value, and every extra file costs a footer
+        # harvest, a manifest entry, and a reader open forever after.
+        staged = staged.repartition(
+            *[F.col(fname) for fname, *_ in spec_cols])
     w = staged.write.mode("overwrite")
     if spec_cols:
         w = w.partitionBy(*[fname for fname, *_ in spec_cols])
     w.parquet(staging)
-    entries = []
     data_dir = os.path.join(table, "data")
     fsutil.ensure_dir(data_dir, spark)
     tuple_types = {fname: tt for fname, _tr, _s, tt in spec_cols}
+
+    # phase 1: list the staged files (driver, namespace-scale only)
+    staged_rels: list[str] = []
 
     def _walk(rel: str) -> None:
         full = os.path.join(staging, rel) if rel else staging
         for name in fsutil.list_dir(full, spark):
             child_rel = os.path.join(rel, name) if rel else name
-            child = os.path.join(staging, child_rel)
             if name.endswith(".parquet"):
-                pv = {}
-                for seg in child_rel.split(os.sep)[:-1]:
-                    if "=" in seg:
-                        k, v = seg.split("=", 1)
-                        pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" \
-                            else v
-                col_stats = {}
-                if field_stats:
-                    from .footers import read_footer_stats
-                    st = json.loads(read_footer_stats(child))
-                    n_rows = int(st["numRecords"])
-                    vc, nvc, lob, upb = [], [], [], []
-                    for cname, (fid, tt) in field_stats.items():
-                        if cname in st["nullCount"]:
-                            vc.append({"key": fid, "value": n_rows})
-                            nvc.append({"key": fid, "value": int(
-                                st["nullCount"][cname])})
-                        if cname in st["minValues"]:
-                            lo = _single_value_bytes(
-                                st["minValues"][cname], tt)
-                            hi = _single_value_bytes(
-                                st["maxValues"][cname], tt)
-                            if lo is not None and hi is not None:
-                                lob.append({"key": fid, "value": lo})
-                                upb.append({"key": fid, "value": hi})
-                    col_stats = {"value_counts": vc,
-                                 "null_value_counts": nvc,
-                                 "lower_bounds": lob,
-                                 "upper_bounds": upb}
-                else:
-                    n_rows = _parquet_row_count(child)
-                # keep the hive segments under data/ so readers (ours
-                # included) can take a single-scan basePath fast path
-                # instead of per-partition unions
-                subdir = os.path.dirname(child_rel)
-                dest_dir = (os.path.join(data_dir, subdir) if subdir
-                            else data_dir)
-                fsutil.ensure_dir(dest_dir, spark)
-                dest = os.path.join(
-                    dest_dir, f"d-{_uuid.uuid4().hex}.parquet")
-                fsutil.rename(child, dest, spark)
-                entries.append({
-                    "status": 1, "snapshot_id": None,
-                    "data_file": dict({
-                        "content": 0, "file_path": dest,
-                        "file_format": "PARQUET",
-                        "partition": {
-                            fname: _parse_pv(pv.get(fname),
-                                             tuple_types[fname])
-                            for fname, *_ in spec_cols},
-                        "record_count": n_rows,
-                        "file_size_in_bytes": int(
-                            os.path.getsize(
-                                fsutil._strip_file_scheme(dest))
-                            if fsutil.is_local(dest) else 0),
-                    }, **col_stats)})
+                staged_rels.append(child_rel)
             elif "." not in name or "=" in name:
                 _walk(child_rel)
 
     _walk("")
+
+    # phase 2: move every file into data/ (namespace renames, cheap);
+    # keep the hive segments under data/ so readers (ours included)
+    # can take a single-scan basePath fast path instead of
+    # per-partition unions
+    moves: list[tuple[str, str]] = []
+    ensured: set = set()
+    for child_rel in staged_rels:
+        subdir = os.path.dirname(child_rel)
+        dest_dir = (os.path.join(data_dir, subdir) if subdir
+                    else data_dir)
+        if dest_dir not in ensured:
+            fsutil.ensure_dir(dest_dir, spark)
+            ensured.add(dest_dir)
+        dest = os.path.join(dest_dir, f"d-{_uuid.uuid4().hex}.parquet")
+        fsutil.rename(os.path.join(staging, child_rel), dest, spark)
+        moves.append((child_rel, dest))
+
+    # phase 3: footer harvest for ALL files in one executor-parallel
+    # pass (footers.footer_stats; driver-side under a handful) — the
+    # per-file sequential driver loop this replaces was O(files) with
+    # a multi-ms constant and dominated partitioned-write cost
+    from .footers import footer_stats
+    stats_by_path = footer_stats(spark, [dest for _, dest in moves])
+
+    entries = []
+    for child_rel, dest in moves:
+        pv = {}
+        for seg in child_rel.split(os.sep)[:-1]:
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" \
+                    else v
+        st = json.loads(stats_by_path[dest])
+        n_rows = int(st["numRecords"])
+        col_stats = {}
+        if field_stats:
+            vc, nvc, lob, upb = [], [], [], []
+            for cname, (fid, tt) in field_stats.items():
+                if cname in st["nullCount"]:
+                    vc.append({"key": fid, "value": n_rows})
+                    nvc.append({"key": fid, "value": int(
+                        st["nullCount"][cname])})
+                if cname in st["minValues"]:
+                    lo = _single_value_bytes(
+                        st["minValues"][cname], tt)
+                    hi = _single_value_bytes(
+                        st["maxValues"][cname], tt)
+                    if lo is not None and hi is not None:
+                        lob.append({"key": fid, "value": lo})
+                        upb.append({"key": fid, "value": hi})
+            col_stats = {"value_counts": vc,
+                         "null_value_counts": nvc,
+                         "lower_bounds": lob,
+                         "upper_bounds": upb}
+        entries.append({
+            "status": 1, "snapshot_id": None,
+            "data_file": dict({
+                "content": 0, "file_path": dest,
+                "file_format": "PARQUET",
+                "partition": {
+                    fname: _parse_pv(pv.get(fname),
+                                     tuple_types[fname])
+                    for fname, *_ in spec_cols},
+                "record_count": n_rows,
+                "file_size_in_bytes": int(
+                    os.path.getsize(
+                        fsutil._strip_file_scheme(dest))
+                    if fsutil.is_local(dest) else 0),
+            }, **col_stats)})
     fsutil.delete(staging, spark=spark)
     return entries
 
