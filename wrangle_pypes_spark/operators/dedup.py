@@ -387,6 +387,20 @@ def minhash_lsh_pairs_against(new_df: DataFrame, banded_corpus: DataFrame,
     banded_new = minhash_banded(new_df, text_col, id_col=id_col,
                                 num_hashes=num_hashes, bands=bands,
                                 shingle_n=shingle_n)
+    return minhash_lsh_pairs_against_banded(
+        banded_new, banded_corpus, id_col=id_col, num_hashes=num_hashes,
+        jaccard_threshold=jaccard_threshold, max_bucket=max_bucket)
+
+
+def minhash_lsh_pairs_against_banded(banded_new: DataFrame,
+                                     banded_corpus: DataFrame, *,
+                                     id_col: str, num_hashes: int = 64,
+                                     jaccard_threshold: float = 0.8,
+                                     max_bucket: Optional[int] = 4096
+                                     ) -> DataFrame:
+    """:func:`minhash_lsh_pairs_against` when the NEW side is already
+    banded (a caller that also stores the signatures computes them
+    once and reuses the frame — the streaming index maintainer)."""
     # skew guard on the CORPUS side only: a hot corpus bucket is
     # capped to its exemplar, so each new doc in it emits ONE pair
     # (cluster membership preserved at linear cost — ADVICE r10); a
@@ -450,6 +464,22 @@ def minhash_lsh_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
     banded = minhash_banded(df, text_col, id_col=id_col,
                             num_hashes=num_hashes, bands=bands,
                             shingle_n=shingle_n)
+    return minhash_lsh_dup_pairs_banded(
+        banded, id_col=id_col, num_hashes=num_hashes,
+        jaccard_threshold=jaccard_threshold, persist=persist,
+        max_bucket=max_bucket)
+
+
+def minhash_lsh_dup_pairs_banded(banded: DataFrame, *, id_col: str,
+                                 num_hashes: int = 64,
+                                 jaccard_threshold: float = 0.8,
+                                 persist: bool = True,
+                                 max_bucket: Optional[int] = 4096,
+                                 materialize: bool = True) -> DataFrame:
+    """:func:`minhash_lsh_dup_pairs` when the signatures are already
+    banded — pass ``materialize=False`` when the frame is already a
+    materialized scan (localCheckpoint / stored table) so the skew
+    guard does not copy it again."""
     extra = None
     if max_bucket is not None:
         # the guard localCheckpoints (its count pass + splits + the
@@ -457,7 +487,7 @@ def minhash_lsh_dup_pairs(df: DataFrame, text_col: str, *, id_col: str,
         # the persist flag only matters with the guard off
         banded, extra = _cap_hot_lsh_buckets(
             banded, max_bucket, "minhash_lsh_dup_pairs", id_col,
-            emit_member_pairs=True)
+            emit_member_pairs=True, materialize=materialize)
     elif persist:
         banded = banded.persist()
 

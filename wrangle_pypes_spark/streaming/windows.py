@@ -1849,8 +1849,9 @@ def foreach_batch_minhash_index(stream_df: DataFrame, index_path: str, *,
     SETS can differ on guard-affected buckets.
     """
     from .. import fsutil
-    from ..operators.dedup import (minhash_banded, minhash_lsh_dup_pairs,
-                                   minhash_lsh_pairs_against)
+    from ..operators.dedup import (minhash_banded,
+                                   minhash_lsh_dup_pairs_banded,
+                                   minhash_lsh_pairs_against_banded)
 
     kw = dict(num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
     run_tag = _store_run_tag(checkpoint)
@@ -1862,14 +1863,19 @@ def foreach_batch_minhash_index(stream_df: DataFrame, index_path: str, *,
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df = batch_df.localCheckpoint(eager=True)
         tag = f"{run_tag}-{int(epoch_id)}"
+        # band ONCE per batch: the within-batch self-join, the
+        # vs-index join, and the index write all consume the same
+        # signatures — the per-source formulation re-ran the
+        # shingle+hash+aggregate pipeline three times per batch
+        sigs = minhash_banded(batch_df, text_col, id_col=id_col,
+                              **kw).localCheckpoint(eager=True)
         if pairs_path is not None:
             have_index = fsutil.dir_exists(index_path, spark=spark)
-            canon = _canon(minhash_lsh_dup_pairs(
-                batch_df, text_col, id_col=id_col,
+            canon = _canon(minhash_lsh_dup_pairs_banded(
+                sigs, id_col=id_col, num_hashes=num_hashes,
                 jaccard_threshold=jaccard_threshold, persist=False,
-                max_bucket=max_bucket, **kw))
+                max_bucket=max_bucket, materialize=False))
             if have_index:
                 # exclude THIS batch's own partition (partition-
                 # pruned): on a redelivery the index already holds
@@ -1878,12 +1884,12 @@ def foreach_batch_minhash_index(stream_df: DataFrame, index_path: str, *,
                 idx = spark.read.parquet(index_path) \
                     .filter(F.col("_epoch") != tag)
                 canon = canon.unionByName(_canon(
-                    minhash_lsh_pairs_against(
-                        batch_df, idx, text_col, id_col=id_col,
+                    minhash_lsh_pairs_against_banded(
+                        sigs, idx, id_col=id_col,
+                        num_hashes=num_hashes,
                         jaccard_threshold=jaccard_threshold,
-                        max_bucket=max_bucket, **kw)))
+                        max_bucket=max_bucket)))
             _write_epoch_partition(canon, pairs_path, tag)
-        sigs = minhash_banded(batch_df, text_col, id_col=id_col, **kw)
         _write_epoch_partition(sigs, index_path, tag)
 
     writer = stream_df.writeStream.foreachBatch(_batch) \
