@@ -42,33 +42,56 @@ def pagerank(edges: DataFrame, *, src_col: str = "src",
     e = (edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
          .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
          .distinct())
+    outdeg = e.groupBy("s").agg(F.count("*").alias("deg"))
+    # dangling (no out-edges) is a STATIC property — annotate it on the
+    # node table once instead of an anti-join + collect every round
     nodes = (e.select(F.col("s").alias("node"))
              .union(e.select(F.col("d").alias("node")))
-             .distinct().localCheckpoint(eager=True))
-    n = nodes.count()
+             .distinct()
+             .join(outdeg.select(F.col("s").alias("node"),
+                                 F.lit(True).alias("_has_out")),
+                   "node", "left")
+             .select("node", F.coalesce("_has_out", F.lit(False))
+                     .alias("_has_out"))
+             .localCheckpoint(eager=True))
+    head = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(~F.col("_has_out"), 1).otherwise(0)).alias("nd")
+    ).collect()[0]
+    n = int(head["n"])
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = e.groupBy("s").agg(F.count("*").alias("deg"))
+        return nodes.select("node").withColumn("rank", F.lit(0.0))
     withdeg = e.join(outdeg, "s").localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
+    # uniform start: dangling mass is exactly nd copies of 1/n
+    dangling = int(head["nd"] or 0) * (1.0 / n)
     converged = False
     for _ in range(max_iter):
-        # one pass: total rank sitting on dangling nodes (no out-edges)
-        dangling = (ranks.join(outdeg, ranks.node == outdeg.s, "left_anti")
-                    .agg(F.sum("rank")).collect()[0][0]) or 0.0
         contrib = (withdeg.join(ranks, withdeg.s == ranks.node)
                    .groupBy("d")
                    .agg(F.sum(F.col("rank") / F.col("deg")).alias("c")))
         new = (nodes.join(contrib, nodes.node == contrib.d, "left")
-               .select(F.col("node"),
+               .select(F.col("node"), F.col("_has_out"),
                        (F.lit(base) + F.lit(damping) *
                         (F.coalesce("c", F.lit(0.0)) + F.lit(dangling / n))
                         ).alias("rank"))
-               .localCheckpoint(eager=True))
-        delta = (new.join(ranks.withColumnRenamed("rank", "_old"), "node")
-                 .agg(F.sum(F.abs(F.col("rank") - F.col("_old"))))
-                 .collect()[0][0]) or 0.0
+               .localCheckpoint(eager=False))
+        # ONE action per round: the lazy checkpoint materializes under
+        # this aggregate, which yields both the convergence delta and
+        # the NEXT round's dangling mass (the 3-actions-per-round
+        # formulation — dangling collect, eager checkpoint, delta
+        # collect — paid 3 job launches per iteration)
+        stats = (new.join(ranks.select("node",
+                                       F.col("rank").alias("_old")),
+                          "node")
+                 .agg(F.sum(F.abs(F.col("rank") - F.col("_old")))
+                      .alias("_delta"),
+                      F.sum(F.when(~F.col("_has_out"), F.col("rank")))
+                      .alias("_dangling"))
+                 .collect()[0])
+        delta = stats["_delta"] or 0.0
+        dangling = stats["_dangling"] or 0.0
         ranks = new
         if delta < tol:
             converged = True
@@ -79,4 +102,4 @@ def pagerank(edges: DataFrame, *, src_col: str = "src",
             f"pagerank did not converge in max_iter={max_iter} rounds "
             f"(last L1 delta above tol={tol}); returning current ranks. "
             "Raise max_iter.", RuntimeWarning, stacklevel=2)
-    return ranks
+    return ranks.select("node", "rank")
