@@ -2782,7 +2782,10 @@ def q_dsir_weights_docs(spark, sf_dir):
     cross-engine float contract of ``unigram_logprob``)."""
     from wrangle_pypes_spark.operators import dsir_importance
     d = _t(spark, sf_dir, "documents")
-    return dsir_importance(d, d.filter(F.col("lang") == "en"))
+    # target = the English SLICE of raw: the predicate form lets the
+    # operator reuse the persisted per-(doc, bucket) table for the
+    # target marginal instead of exploding+hashing the slice twice
+    return dsir_importance(d, target_pred=F.col("lang") == "en")
 
 
 SQL_DSIR_WEIGHTS = r"""
@@ -9678,7 +9681,7 @@ def q_dsir_select_docs(spark, sf_dir):
     ulp divergence only matters at exact key ties, broken by id)."""
     from wrangle_pypes_spark.operators import dsir_importance, gumbel_topk
     d = _t(spark, sf_dir, "documents")
-    w = dsir_importance(d, d.filter(F.col("lang") == "en"))
+    w = dsir_importance(d, target_pred=F.col("lang") == "en")
     return (gumbel_topk(w, "dsir_logweight", key_col="doc_id", k=100)
             .select("doc_id", "dsir_logweight"))
 

@@ -266,7 +266,12 @@ def main() -> None:
     qs = entrymod.queries()
     names = list(qs) if run_all else HEADLINE
     if only:
-        names = [n for n in only if n in qs]
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            # a typo must not masquerade as a successful (shorter) run
+            raise SystemExit(
+                f"--only names not in the query registry: {unknown}")
+        names = list(only)
 
     # untimed warmup: init scan/codegen/shuffle machinery once, and
     # pull EVERY table through the page cache — the host occasionally

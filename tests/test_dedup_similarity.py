@@ -590,6 +590,24 @@ def test_source_overlap_matrix(spark):
     assert all(k[0] is not None for k in out)  # null source dropped
 
 
+def test_source_overlap_null_fingerprints_in_totals_only(spark):
+    """NULL fingerprints count toward per-source totals (the old
+    distinct kept one (null, src) row per source) but never produce
+    cross-source pairs (the old fingerprint self-join dropped null
+    keys) — the r15 collect_set rewrite must preserve both halves."""
+    from wrangle_pypes_spark.operators.dedup import source_overlap
+    rows = [("a", "x"), ("a", None), ("b", "x"), ("b", None),
+            ("c", None)]
+    df = spark.createDataFrame(rows, "src string, fp string")
+    out = {(r.source_a, r.source_b): r for r in source_overlap(
+        df, source_col="src", fingerprint_col="fp").collect()}
+    assert set(out) == {("a", "b")}  # null fp never pairs; c absent
+    ab = out[("a", "b")]
+    assert (ab.n_common, ab.n_a, ab.n_b) == (1, 2, 2)
+    assert ab.jaccard == pytest.approx(1 / 3)
+    assert ab.containment == pytest.approx(1 / 2)
+
+
 def test_source_overlap_arg_validation(spark):
     from wrangle_pypes_spark.operators.dedup import source_overlap
     df = spark.createDataFrame([("a", "x")], "src string, fp string")

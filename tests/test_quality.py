@@ -196,6 +196,33 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_dsir_importance_target_pred_matches_two_df(spark):
+    """The fused single-scan path (target_pred) must produce exactly
+    the weights of the two-DataFrame form when the target is the
+    matching slice of raw — including docs whose predicate is NULL."""
+    from pyspark.sql import functions as F
+
+    from wrangle_pypes_spark.operators import dsir_importance
+
+    raw = spark.createDataFrame(
+        [(1, "physics energy quantum field", "en"),
+         (2, "buy cheap pills online now", "de"),
+         (3, "quantum field theory energy", "en"),
+         (4, "mercado central de abastos", None)],
+        "doc_id long, text string, lang string")
+    two = {r.doc_id: (r.n_grams, r.dsir_logweight) for r in
+           dsir_importance(raw, raw.filter(F.col("lang") == "en"))
+           .collect()}
+    pred = {r.doc_id: (r.n_grams, r.dsir_logweight) for r in
+            dsir_importance(raw, target_pred=F.col("lang") == "en")
+            .collect()}
+    assert two == pred
+    with pytest.raises(ValueError):
+        dsir_importance(raw)
+    with pytest.raises(ValueError):
+        dsir_importance(raw, raw, target_pred=F.col("lang") == "en")
+
+
 def test_boilerplate_removal_drops_high_df_lines(spark):
     """Segments in >= min_docs documents vanish from EVERY document
     (including the first); unique segments survive in order; fully-

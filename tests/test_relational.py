@@ -265,6 +265,47 @@ def test_grouped_ewma_matches_replica(spark, tables):
             assert ts1 == ts2 and v1 == v2 and abs(e1 - e2) < 1e-9
 
 
+def test_grouped_ewma_null_keys_and_batch_spans(spark):
+    """Null keys form their own group (ADVICE r14: dropna must be False
+    or the positional realignment corrupts every row at/after the null
+    run), and the carry comparison is null-safe across pandas-batch
+    boundaries.  Tiny Arrow batches force a key (including the null
+    key) to span batches."""
+    import datetime as dt
+
+    from wrangle_pypes_spark.operators.timeseries import grouped_ewma
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    # null-keyed run long enough to span several 4-row batches, plus
+    # two real keys around it in sort order
+    for i in range(10):
+        rows.append((None, t0 + dt.timedelta(minutes=i), float(i)))
+    for i in range(7):
+        rows.append((1, t0 + dt.timedelta(minutes=i), 10.0 + i))
+    for i in range(6):
+        rows.append((2, t0 + dt.timedelta(minutes=i), 20.0 + i))
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        out = grouped_ewma(df.repartition(1), key_col="user_id",
+                           ts_col="ts", value_col="value", alpha=0.3)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.user_id, []).append((r.ts, r.value, r.ewma))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert sum(len(v) for v in got.values()) == len(rows)
+    for key, seq in ((None, 10), (1, 7), (2, 6)):
+        series = sorted(got[key])
+        assert len(series) == seq
+        ewma = None
+        for ts, v, e in series:
+            ewma = v if ewma is None else 0.3 * v + 0.7 * ewma
+            assert abs(e - ewma) < 1e-9, (key, ts, e, ewma)
+
+
 def test_asof_join_null_value_preserved(spark):
     """The as-of matched right row's legitimately-NULL value must come
     through as NULL — not be skipped in favor of a stale older value."""

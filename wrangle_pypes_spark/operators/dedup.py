@@ -1386,11 +1386,16 @@ def source_overlap(df: DataFrame, *, source_col: str,
     caller-supplied ``fingerprint_col`` — e.g. a minhash band key for
     fuzzy overlap).
 
-    Scale: one distinct on (fingerprint, source) — the only data-sized
-    shuffle; the self-join key is the fingerprint, whose fan-out is
-    bounded by the SOURCE count (a categorical dim, not data-sized), so
-    pair rows are ≤ S²/2 per fingerprint; per-source totals are a
-    k-row aggregate broadcast back onto the k²-row pair table.
+    Scale: ONE data-sized shuffle — ``groupBy(fingerprint)`` with a
+    map-side-partial ``collect_set(source)`` (the set is bounded by the
+    SOURCE count, a categorical dim, so partial states stay tiny); the
+    (a ≤ b) source-pair matrix is expanded from each set with
+    higher-order array functions (≤ S²/2 struct rows per fingerprint,
+    same fan-out bound the old fingerprint self-join had, minus its two
+    extra exchanges), and one tiny aggregate over ≤ S² rows yields both
+    the off-diagonal overlap counts and the per-source diagonal totals,
+    re-attached with windows over that same tiny frame — no recompute
+    of the corpus-sized upstream, no broadcast of a second aggregation.
     """
     if (text_col is None) == (fingerprint_col is None):
         raise ValueError("pass exactly one of text_col / fingerprint_col")
@@ -1398,22 +1403,35 @@ def source_overlap(df: DataFrame, *, source_col: str,
           else F.col(fingerprint_col))
     mem = (df.select(fp.alias("_fp"),
                      F.col(source_col).alias("_src"))
-             .filter(F.col("_src").isNotNull())
-             .distinct())
-    totals = mem.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
-    a = mem.select(F.col("_fp"), F.col("_src").alias("source_a"))
-    b = mem.select(F.col("_fp"), F.col("_src").alias("source_b"))
-    pairs = (a.join(b, "_fp")
-              .filter(F.col("source_a") < F.col("source_b"))
-              .groupBy("source_a", "source_b")
-              .agg(F.count(F.lit(1)).alias("n_common")))
-    out = (pairs
-           .join(F.broadcast(totals.select(
-               F.col("_src").alias("source_a"), F.col("_n").alias("n_a"))),
-               "source_a")
-           .join(F.broadcast(totals.select(
-               F.col("_src").alias("source_b"), F.col("_n").alias("n_b"))),
-               "source_b"))
+             .filter(F.col("_src").isNotNull()))
+    grouped = (mem.groupBy("_fp")
+               .agg(F.array_sort(F.collect_set("_src")).alias("_ss")))
+    # (a, a) diagonal counts distinct fingerprints per source (the old
+    # per-source totals); (a, b) a<b counts shared fingerprints.  A
+    # NULL fingerprint matches the old semantics exactly: it counted
+    # in totals (the distinct kept one (null, src) row per source) but
+    # never joined — so the null group emits only its diagonal.
+    ss = F.col("_ss")
+    upper = F.flatten(F.transform(
+        ss, lambda x, i: F.transform(
+            F.slice(ss, i + 1, F.size(ss) - i),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    diag = F.transform(ss, lambda x: F.struct(x.alias("a"), x.alias("b")))
+    mat = (grouped
+           .select(F.explode(F.when(F.col("_fp").isNull(), diag)
+                             .otherwise(upper)).alias("_p"))
+           .groupBy(F.col("_p.a").alias("source_a"),
+                    F.col("_p.b").alias("source_b"))
+           .agg(F.count(F.lit(1)).alias("n_common")))
+    is_diag = F.col("source_a") == F.col("source_b")
+    wa = Window.partitionBy("source_a")
+    wb = Window.partitionBy("source_b")
+    out = (mat
+           .withColumn("n_a", F.max(F.when(is_diag, F.col("n_common")))
+                       .over(wa))
+           .withColumn("n_b", F.max(F.when(is_diag, F.col("n_common")))
+                       .over(wb))
+           .filter(F.col("source_a") < F.col("source_b")))
     union = F.col("n_a") + F.col("n_b") - F.col("n_common")
     jac = F.col("n_common") / union
     cont = F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))

@@ -263,12 +263,14 @@ def _spread(df: DataFrame) -> DataFrame:
     single-file scan yields ONE input partition, which would serialize
     the whole synthesize/encode fan-out onto one core.  Only the id
     rows move (a few bytes each) — payloads are produced after the
-    exchange, so this never shuffles heavy bytes (guide §8 shape)."""
+    exchange, so this never shuffles heavy bytes (guide §8 shape).
+
+    Unconditional: probing the incoming partition count via
+    ``df.rdd.getNumPartitions()`` forces a full plan-to-RDD conversion
+    per call (VERDICT r14 #9), which costs more than the round-robin
+    exchange of a few thousand id rows ever could."""
     spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _render_gray(cid: int, width: int, height: int):

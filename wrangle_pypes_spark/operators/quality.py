@@ -436,11 +436,12 @@ def _feature_bucket(col: Column, hash_scheme: str,
                      "(expected 'md5' or 'xxhash64')")
 
 
-def dsir_importance(raw: DataFrame, target: DataFrame,
+def dsir_importance(raw: DataFrame, target: Optional[DataFrame] = None,
                     text_col: str = "text", *, id_col: str = "doc_id",
                     smoothing: float = 1.0,
                     round_digits: int = 4,
                     hash_scheme: str = "md5",
+                    target_pred: Optional[Column] = None,
                     cache_registry: Optional[list] = None) -> DataFrame:
     """DSIR-style importance weights (Data Selection via Importance
     Resampling, Xie et al. 2023 — the public hashed-n-gram recipe):
@@ -474,24 +475,49 @@ def dsir_importance(raw: DataFrame, target: DataFrame,
     cost is one explode + one doc-keyed aggregate — the tf-idf
     topology.  Both cached tables are handed to ``cache_registry``
     (caller unpersists, the contract used elsewhere).
+
+    ``target_pred`` (instead of ``target``): when the target corpus is
+    a SUBSET of ``raw`` selected by a row predicate (the common
+    "target = the English slice of the corpus" shape), pass the
+    predicate and the target bucket counts are summed from the
+    already-persisted per-(doc, bucket) table — the target slice is
+    never exploded or hashed a second time (one full n-gram + md5 pass
+    saved; identical counts, since per-doc bucket sums equal the
+    exploded gram count).  Pass exactly one of ``target`` /
+    ``target_pred``.
     """
+    if (target is None) == (target_pred is None):
+        raise ValueError("pass exactly one of target / target_pred")
     B = 65536
 
     def bucket(gram):
         return _feature_bucket(gram, hash_scheme, B)
 
-    def grams(df: DataFrame):
+    def grams(df: DataFrame, flag: Optional[Column] = None):
         g = F.concat(_word_ngrams(F.col(text_col), 1),
                      _word_ngrams(F.col(text_col), 2))
-        return df.select(F.col(id_col).alias("_doc"),
-                         F.explode(g).alias("_gram")) \
-                 .withColumn("_b", bucket(F.col("_gram")))
+        cols = [F.col(id_col).alias("_doc"), F.explode(g).alias("_gram")]
+        if flag is not None:
+            cols.append(flag.alias("_t"))
+        return df.select(*cols).withColumn("_b", bucket(F.col("_gram")))
 
     from pyspark import StorageLevel
-    per_bucket = grams(raw).groupBy("_doc", "_b").agg(
-        F.count("*").alias("_n")).persist(StorageLevel.MEMORY_AND_DISK)
+    if target_pred is not None:
+        # _t is constant per doc (a row-level predicate evaluated
+        # before the explode), so adding it to the grouping keys
+        # creates no extra groups — it just rides along so the target
+        # marginal can filter the cached table instead of re-hashing
+        per_bucket = grams(raw, flag=target_pred).groupBy(
+            "_doc", "_b", "_t").agg(
+            F.count("*").alias("_n")).persist(StorageLevel.MEMORY_AND_DISK)
+        tgt_counts = (per_bucket.filter(F.col("_t"))
+                      .groupBy("_b").agg(F.sum("_n").alias("_tc")))
+    else:
+        per_bucket = grams(raw).groupBy("_doc", "_b").agg(
+            F.count("*").alias("_n")).persist(StorageLevel.MEMORY_AND_DISK)
+        tgt_counts = grams(target).groupBy("_b").agg(
+            F.count("*").alias("_tc"))
     raw_counts = per_bucket.groupBy("_b").agg(F.sum("_n").alias("_rc"))
-    tgt_counts = grams(target).groupBy("_b").agg(F.count("*").alias("_tc"))
     # FULL outer: buckets seen only in the target (the normal case for
     # an out-of-domain target corpus) must still count toward T, or
     # every p-hat_tgt is inflated; raw-only buckets carry _tc = 0

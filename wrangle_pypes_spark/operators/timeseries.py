@@ -47,6 +47,11 @@ def grouped_ewma(df: DataFrame, *, key_col: str, ts_col: str,
         # adjust=False, y_t = (1-a)*y_{t-1} + a*x_t, so prepending the
         # carried value and dropping it reproduces the unbroken
         # recurrence bit-for-bit.
+        # carry_started distinguishes "no batch seen yet" from "last key
+        # was null" — a None/NaN carry_key is a legitimate key value
+        # (null-keyed rows form their own group; dropna=False below
+        # keeps them, and the carry comparison is null-safe)
+        carry_started = False
         carry_key = None
         carry_val = None
         for pdf in batches:
@@ -54,12 +59,16 @@ def grouped_ewma(df: DataFrame, *, key_col: str, ts_col: str,
                 continue
             keys = pdf[key_col]
             vals = pdf[value_col].astype("float64")
-            ewma = (vals.groupby(keys.values, sort=False)
+            ewma = (vals.groupby(keys.values, sort=False, dropna=False)
                     .ewm(alpha=alpha, adjust=False).mean()
                     .reset_index(drop=True))
             first_key = keys.iloc[0]
-            if carry_key is not None and first_key == carry_key:
-                mask = keys.values == first_key
+            same_key = (pd.isna(first_key) and pd.isna(carry_key)) \
+                if (pd.isna(first_key) or pd.isna(carry_key)) \
+                else bool(first_key == carry_key)
+            if carry_started and same_key:
+                mask = (keys.isna().values if pd.isna(first_key)
+                        else keys.values == first_key)
                 n0 = len(keys) if mask.all() else int(mask.argmin())
                 seeded = (pd.concat([pd.Series([carry_val]),
                                      vals.iloc[:n0]],
@@ -67,6 +76,7 @@ def grouped_ewma(df: DataFrame, *, key_col: str, ts_col: str,
                           .ewm(alpha=alpha, adjust=False).mean()
                           .iloc[1:].reset_index(drop=True))
                 ewma.iloc[:n0] = seeded.values
+            carry_started = True
             carry_key = keys.iloc[-1]
             carry_val = float(ewma.iloc[-1])
             yield pd.DataFrame({
