@@ -49,17 +49,25 @@ def _hist_build(col: str, lo: float, hi: float, bins: int) -> Column:
     quantile state (merge = element-wise add).  Values clamp into the
     edge bins; NULLs are not counted.  ``bins`` conditional sums share
     one map-side combine, so build cost is one aggregate like every
-    other kind."""
+    other kind.
+
+    Built as ONE SQL-string expression (the minhash/simhash idiom):
+    the per-bin Column-API construction made ~60 py4j round trips per
+    bin — ~1.4 s of driver-side plan-build for a 50-bin pair of
+    rollups, re-paid per micro-batch by the streaming maintainer.  The
+    ``D`` suffix keeps the literals DOUBLE (a bare ``0.1`` parses as
+    DECIMAL in Spark SQL, which would change the arithmetic)."""
     width = (hi - lo) / bins
+    q = "`" + col.replace("`", "``") + "`"
     # explicit NULL guard: greatest()/least() IGNORE null operands, so
     # without it a NULL value would silently clamp into bin 0
-    idx = F.when(
-        F.col(col).isNotNull(),
-        F.least(F.greatest(F.floor((F.col(col) - lo) / F.lit(width)),
-                           F.lit(0)), F.lit(bins - 1)))
-    return F.array(*[
-        F.sum(F.when(idx == i, 1).otherwise(0)).cast("long")
-        for i in range(bins)])
+    idx = (f"CASE WHEN {q} IS NOT NULL THEN "
+           f"least(greatest(floor(({q} - {float(lo)!r}D) / "
+           f"{float(width)!r}D), 0), {bins - 1}) END")
+    cells = ", ".join(
+        f"CAST(sum(CASE WHEN ({idx}) = {i} THEN 1 ELSE 0 END) AS BIGINT)"
+        for i in range(bins))
+    return F.expr(f"array({cells})")
 
 
 def _hist_merge(name: str, bins: int) -> Column:
