@@ -556,8 +556,13 @@ def bpe_induce(docs: DataFrame, text_col: str = "text", *,
                 & (x == ra),
                 F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ma))
             ).otherwise(F.concat(acc, F.array(x))))
+        # LAZY checkpoint (the pagerank r14 trick): the rewrite
+        # materializes under the NEXT round's max_by job instead of a
+        # dedicated eager job — one driver action per merge round, and
+        # the final round's rewrite (never read) is never computed.
+        # Lineage still truncates at every materialized round.
         vocab = (vocab.select(merged.alias("_syms"), "_f")
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
     return merges
 
 

@@ -64,12 +64,42 @@ def stratified_sample(df: DataFrame, strata_col: str,
                       hash_scheme: str = "xxhash64") -> DataFrame:
     """Per-stratum deterministic sampling (e.g. downsample by language:
     ``{"en": 0.1, "de": 1.0}``).  Unlisted strata are dropped — the
-    data-mixing primitive for corpus re-weighting."""
-    cond = F.lit(False)
-    for stratum, frac in fractions.items():
-        cond = cond | ((F.col(strata_col) == F.lit(stratum)) &
-                       _membership_cond(key_col, seed, float(frac),
-                                        hash_scheme))
+    data-mixing primitive for corpus re-weighting.
+
+    The key hash depends only on (seed, key), so it is HOISTED out of
+    the per-stratum disjunction and compared against a per-stratum
+    threshold (one CASE): one hash per row instead of one per listed
+    stratum (the r15 rewrite — the old OR-of-k-predicates shape hashed
+    the key up to k times per dropped row and built k expression trees
+    over py4j).  Decisions are bit-identical: same draw, same bounds.
+    A NULL threshold (unlisted stratum, NULL strata) compares NULL and
+    the filter drops the row, exactly like the old disjunction."""
+    full = [s for s, f in fractions.items() if float(f) >= 1.0]
+    hashed = {s: float(f) for s, f in fractions.items()
+              if 0.0 < float(f) < 1.0}
+    cond = F.col(strata_col).isin(full) if full else F.lit(False)
+    if hashed:
+        if hash_scheme == "xxhash64":
+            u: Column = F.pmod(F.xxhash64(F.lit(seed), F.col(key_col)),
+                               F.lit(1_000_000))
+
+            def bnd(f: float) -> Column:
+                return F.lit(int(f * 1_000_000))
+        elif hash_scheme == "md5":
+            u = _md5_unit_key(key_col, seed)
+
+            def bnd(f: float) -> Column:
+                return F.lit(format(min(int(f * 16**8), 16**8 - 1),
+                                    "08x"))
+        else:
+            raise ValueError(f"unknown hash_scheme {hash_scheme!r} "
+                             "(expected 'xxhash64' or 'md5')")
+        bound = None
+        for s, f in hashed.items():
+            arm = F.col(strata_col) == F.lit(s)
+            bound = (F.when(arm, bnd(f)) if bound is None
+                     else bound.when(arm, bnd(f)))
+        cond = cond | (u < bound)
     return df.filter(cond)
 
 

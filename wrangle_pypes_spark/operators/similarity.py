@@ -726,23 +726,35 @@ def random_projection(df: DataFrame, vec_col: str, *, out_dim: int,
             h = hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()
             return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
 
+        # ONE SQL-string expression for all components (the
+        # minhash/simhash idiom): dim × out_dim F.lit sign literals
+        # plus per-component lambdas cost ~3 000 py4j round trips of
+        # plan build (~1 s at dim=64, out_dim=8); the string form is
+        # one gateway call for the identical expression tree.
+        # zip_with pads the SHORTER side with NULLs: coalesce keeps
+        # short rows correct (missing positions add 0) and pins the
+        # documented ignore-beyond-dim rule for overlong rows.  The D
+        # suffix keeps literals DOUBLE (bare decimals parse as DECIMAL
+        # in Spark SQL).
+        q = "`" + vec_col.replace("`", "``") + "`"
+        v_sql = (f"transform({q}, x -> coalesce(nanvl("
+                 f"CAST(x AS DOUBLE), 0.0D), 0.0D))")
         for j in range(out_dim):
-            signs = F.array(*[F.lit(py_sign(i, j)) for i in range(dim)])
-            # zip_with pads the SHORTER side with NULLs: coalesce keeps
-            # short rows correct (missing positions add 0) and pins the
-            # documented ignore-beyond-dim rule for overlong rows
-            signed = F.zip_with(v, signs,
-                                lambda x, s: F.coalesce(x * s, F.lit(0.0)))
+            signs = ",".join(
+                ("1.0D" if py_sign(i, j) > 0 else "-1.0D")
+                for i in range(dim))
             comps.append(
-                F.aggregate(signed, F.lit(0.0), lambda a, b: a + b)
-                * F.lit(inv))
+                f"aggregate(zip_with({v_sql}, array({signs}), "
+                f"(x, s) -> coalesce(x * s, 0.0D)), 0.0D, "
+                f"(a, b) -> a + b) * {inv!r}D")
+        y = F.expr(f"array({', '.join(comps)})")  # one gateway call
     else:
         for j in range(out_dim):
             signed = F.zip_with(v, idx, lambda x, i: x * sgn(i, j))
             comps.append(
                 F.aggregate(signed, F.lit(0.0), lambda a, b: a + b)
                 * F.lit(inv))
-    y = F.array(*comps)
+        y = F.array(*comps)
     if round_digits is not None:
         y = F.transform(y, lambda x: F.round(x, round_digits))
     # a NULL input vector must give a NULL output vector, not an
