@@ -56,15 +56,23 @@ def test_no_value_oracle_query_returns_complex_columns(spark, sf_dir,
     schema — analysis only, nothing collected beyond what the query
     function itself materializes.  A complex column here means the
     driver's next window check of that query is guaranteed to crash."""
+    from concurrent.futures import ThreadPoolExecutor
+
     qs, oracles = registry
-    offenders = {}
-    for name, fn in qs.items():
-        if name not in oracles:
-            continue  # rows-only by design: driver never hashes values
-        df = fn(spark, sf_dir)
-        bad = complex_value_oracle_cols(df.dtypes)
-        if bad:
-            offenders[name] = bad
-        spark.catalog.clearCache()
+    names = [n for n in qs if n in oracles]
+
+    def check(name):
+        # independent jobs overlap on the shared scheduler (guide
+        # §2.6) — this test was the suite's single slowest item (184 s
+        # serial: ~40 lifecycle queries execute their writes/drains
+        # inside the builder), and only the SCHEMA is asserted, so
+        # per-query isolation buys nothing here
+        df = qs[name](spark, sf_dir)
+        return name, complex_value_oracle_cols(df.dtypes)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(check, names))
+    spark.catalog.clearCache()
+    offenders = {n: bad for n, bad in results if bad}
     assert not offenders, (
         f"value-oracle queries with driver-unhashable columns: {offenders}")
