@@ -231,6 +231,23 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
 
+def _cpu_sample() -> tuple[int, int]:
+    """(total, steal) jiffies from /proc/stat — the host runs in a
+    shared microVM whose neighbors steal CPU in multi-second windows
+    (OPTIMIZATION_r15.md Finding A: identical code read 2.9 s and
+    9.0 s for the same query in back-to-back benches, with untouched
+    queries inflating 3-4x in roving clusters).  Sampling steal around
+    every timed run lets a reader discount noise-hit readings instead
+    of chasing phantom regressions.  Additive only: no timing-loop or
+    JSON-contract change — a new "host_steal_pct" map rides along."""
+    try:
+        parts = open("/proc/stat").readline().split()
+        vals = [int(x) for x in parts[1:9]]
+        return sum(vals), vals[7]
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
 def main() -> None:
     # --all: time EVERY registered query (registry order) so each of
     # the operators has a recorded wall time; the default headline
@@ -313,13 +330,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
+    steal_pct: dict[str, float] = {}
     for name in names:
         fn = qs[name]
         samples = []
+        steals = []
         for _ in range(runs):
+            c0, s0 = _cpu_sample()
             t0 = time.perf_counter()
             _consume(fn(spark, sf_dir))
             samples.append(round(time.perf_counter() - t0, 3))
+            c1, s1 = _cpu_sample()
+            if c1 > c0:
+                steals.append(100.0 * (s1 - s0) / (c1 - c0))
             # untimed hygiene between runs AND queries: queries that
             # persist intermediates (LSH/minhash/near-dup) would
             # otherwise accumulate cached blocks and GC pressure that
@@ -329,6 +352,8 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = _median(samples)
         raw_runs[name] = samples
+        if steals:
+            steal_pct[name] = round(max(steals), 1)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -361,6 +386,10 @@ def main() -> None:
         "queries_normalized": {
             n: round(t / host_factor, 3) if host_factor > 0 else t
             for n, t in timings.items()},
+        # ADDITIVE (r15): worst per-query host CPU-steal fraction seen
+        # across the timed runs — a reading taken at >~3% steal is a
+        # noisy-neighbor window, not a code delta (Finding A)
+        "host_steal_pct": steal_pct,
     })
     # sidecar copy: the driver's stdout tail-capture truncated the
     # one-line JSON once (BENCH_r03 "parsed": null) — the file is the
